@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access layer over the driver-generated parquet testdata.
+  *
+  * Mirrors the reference's catalog/table abstraction
+  * (`/root/reference/sql/tables.go:22`, `sql/catalog.go`) re-expressed as
+  * Spark reads: a table is a parquet file registered as a temp view; scans,
+  * projection pushdown and filter pushdown are all Catalyst's business
+  * (DSv2 `SupportsPushDownRequiredColumns` / `SupportsPushDownFilters`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table. Column pruning/filter pushdown happen automatically.
+    *
+    * `events.ts` is written as parquet INT64 TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; we read it as raw nanos and re-expose it as a
+    * microsecond TimestampType column (same instants, µs truncation).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` queries resolve
+    * names exactly like the reference's session catalog does. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

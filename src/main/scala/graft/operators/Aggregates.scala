@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation functions — SURVEY.md §2.4 (reference GroupBy
+  * sql/plan/group_by.go:31; function impls in
+  * sql/expression/function/aggregation/unary_aggs.og.go: Avg:92, BitAnd:171,
+  * BitOr:250, BitXor:329, Count:408, Max:724, Min:803, Sum:882,
+  * StdDevPop:961..VarSamp:1198; count_distinct.go; group_concat.go).
+  *
+  * The reference runs a single-process one-pass hash agg; Spark gives
+  * partial (map-side) + final aggregation with spill for free. Every money
+  * column is aggregated as exact DECIMAL so results are merge-order
+  * independent (see [[graft.Det]]).
+  */
+object Aggregates {
+  import Det._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- COUNT(DISTINCT), multiple distinct aggregates (count_distinct.go)
+    QueryDef(
+      "agg_count_distinct",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+                COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- GROUP_CONCAT(DISTINCT ... ORDER BY ... SEPARATOR)
+    //      (group_concat.go) -> sorted collect_set + array_join
+    QueryDef(
+      "agg_group_concat",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+                  AS statuses
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- BIT_AND / BIT_OR / BIT_XOR (unary_aggs.og.go:171,250,329)
+    QueryDef(
+      "agg_bitops",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            bit_and(col("l_orderkey")).as("band"),
+            bit_or(col("l_orderkey")).as("bor"),
+            bit_xor(col("l_orderkey")).as("bxor"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, BIT_AND(l_orderkey) AS band,
+                BIT_OR(l_orderkey) AS bor, BIT_XOR(l_orderkey) AS bxor
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- STDDEV / VARIANCE (pop+samp) via exact decimal sums so the result
+    //      is independent of Spark's partial-aggregate merge order.
+    //      var_samp = (sum(x^2) - sum(x)^2/n) / (n-1), evaluated in double
+    //      with identical expression shape on the DuckDB side.
+    QueryDef(
+      "agg_stats",
+      (s, d) => {
+        val x = col("l_quantity").cast(DecimalType(12, 2))
+        val sx = sum(x).cast("double")
+        val sxx = sum(x * x).cast("double")
+        val n = count(col("l_quantity")).cast("double")
+        Tables.t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            ((sxx - sx * sx / n) / (n - 1)).as("var_samp"),
+            ((sxx - sx * sx / n) / n).as("var_pop"),
+            sqrt((sxx - sx * sx / n) / (n - 1)).as("stddev_samp"),
+            sqrt((sxx - sx * sx / n) / n).as("stddev_pop"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH m AS (
+                SELECT l_returnflag,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+                           CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                  CAST(COUNT(l_quantity) AS DOUBLE) AS n
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag,
+                (sxx - sx*sx/n) / (n-1) AS var_samp,
+                (sxx - sx*sx/n) / n     AS var_pop,
+                sqrt((sxx - sx*sx/n) / (n-1)) AS stddev_samp,
+                sqrt((sxx - sx*sx/n) / n)     AS stddev_pop
+              FROM m ORDER BY l_returnflag""")),
+
+    // ---- MIN_BY / MAX_BY: deterministic stand-ins for the order-dependent
+    //      FIRST/LAST/ANY_VALUE family (unary_aggs.og.go:13,487,645)
+    QueryDef(
+      "agg_min_max_by",
+      (s, d) => {
+        // composite integer ordering key (price cents, orderkey) so the
+        // argmin/argmax is total even when two orders share a price
+        val key = floor(col("o_totalprice") * 100).cast("long") * 10000000L +
+          col("o_orderkey")
+        Tables.t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            min_by(col("o_orderkey"), key).as("cheapest_order"),
+            max_by(col("o_orderkey"), key).as("priciest_order"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+                arg_min(o_orderkey, CAST(FLOOR(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+                  AS cheapest_order,
+                arg_max(o_orderkey, CAST(FLOOR(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+                  AS priciest_order,
+                MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- AVG + SUM per group over a computed expression
+    QueryDef(
+      "agg_avg_expr",
+      (s, d) =>
+        Tables.t(s, d, "part")
+          .groupBy(col("p_brand"))
+          .agg(
+            davg(col("p_retailprice")).as("avg_price"),
+            dsum(col("p_retailprice")).as("sum_price"),
+            min(col("p_size")).as("min_size"),
+            max(col("p_size")).as("max_size"))
+          .orderBy(col("p_brand")),
+      Some(s"""SELECT p_brand, ${sqlAvg("p_retailprice")} AS avg_price,
+                 ${sqlSum("p_retailprice")} AS sum_price,
+                 MIN(p_size) AS min_size, MAX(p_size) AS max_size
+               FROM part GROUP BY p_brand ORDER BY p_brand"""))
+  )
+}

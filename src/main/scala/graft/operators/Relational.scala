@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operators: scans, projections, filters, aggregation,
+  * sorting/limits, distinct — SURVEY.md §2.1, §2.2, §2.4, §2.6.
+  *
+  * Reference shapes: `Project` (sql/plan/project.go:27), `Filter`
+  * (sql/plan/filter.go:22), `GroupBy` (sql/plan/group_by.go:31, hash agg in
+  * sql/rowexec/agg.go:113), `Sort`/`TopN` (sql/plan/sort.go:30,132),
+  * `Distinct` (sql/plan/distinct.go:23), `Limit`/`Offset`
+  * (sql/plan/limit.go:22, offset.go:22), `Values` (sql/plan/values.go:173),
+  * `Having`. All are declared via the DataFrame API so Catalyst handles
+  * pushdown, pruning, partial aggregation and TakeOrderedAndProject.
+  */
+object Relational {
+  import Det._
+
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- scan + projection + filter pushdown (ResolvedTable + Project + Filter)
+    QueryDef(
+      "scan_project_filter",
+      (s, d) =>
+        li(s, d)
+          .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+              ORDER BY l_orderkey, l_linenumber, l_extendedprice""")),
+
+    // ---- complex predicates: BETWEEN, IN, LIKE, CASE, boolean logic
+    QueryDef(
+      "filter_predicates",
+      (s, d) =>
+        li(s, d)
+          .filter(
+            col("l_quantity").between(10, 20) &&
+              col("l_returnflag").isin("A", "N") &&
+              col("l_linestatus").like("F%") &&
+              !(col("l_discount") < lit(0.02)))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            when(col("l_tax") > 0.04, lit("high"))
+              .when(col("l_tax") > 0.02, lit("mid"))
+              .otherwise(lit("low")).as("tax_band"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("tax_band")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_tax > 0.04 THEN 'high'
+                     WHEN l_tax > 0.02 THEN 'mid'
+                     ELSE 'low' END AS tax_band
+              FROM lineitem
+              WHERE l_quantity BETWEEN 10 AND 20
+                AND l_returnflag IN ('A','N')
+                AND l_linestatus LIKE 'F%'
+                AND NOT (l_discount < 0.02)
+              ORDER BY l_orderkey, l_linenumber, tax_band""")),
+
+    // ---- flagship: TPC-H Q1-style hash aggregation with exact-decimal sums
+    QueryDef(
+      "q1_agg",
+      (s, d) =>
+        li(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+              .cast("double").as("sum_disc_price"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                 ${sqlSum("l_quantity")} AS sum_qty,
+                 ${sqlSum("l_extendedprice")} AS sum_base_price,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+                 ${sqlAvg("l_quantity")} AS avg_qty,
+                 ${sqlAvg("l_extendedprice")} AS avg_price,
+                 ${sqlAvg("l_discount")} AS avg_disc,
+                 COUNT(*) AS count_order
+               FROM lineitem WHERE l_shipdate <= '1998-09-02'
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // ---- global aggregation, no grouping keys (groupByIter path)
+    QueryDef(
+      "agg_global",
+      (s, d) =>
+        li(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          dsum(col("l_quantity")).as("total_qty"),
+          min(col("l_shipdate")).cast("date").as("min_ship"),
+          max(col("l_shipdate")).cast("date").as("max_ship")),
+      Some("""SELECT COUNT(*) AS n_rows,
+                COUNT(DISTINCT l_orderkey) AS n_orders,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+                CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+                CAST(MAX(l_shipdate) AS DATE) AS max_ship
+              FROM lineitem""")),
+
+    // ---- HAVING (post-aggregation filter)
+    QueryDef(
+      "having_filter",
+      (s, d) =>
+        ord(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+          .filter(col("n_orders") >= 3)
+          .orderBy(col("o_custkey")),
+      Some(s"""SELECT o_custkey, COUNT(*) AS n_orders,
+                 ${sqlSum("o_totalprice")} AS spend
+               FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+               ORDER BY o_custkey""")),
+
+    // ---- DISTINCT (hash dedupe)
+    QueryDef(
+      "distinct_op",
+      (s, d) =>
+        li(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- TopN (Sort+Limit fused -> TakeOrderedAndProject)
+    QueryDef(
+      "topn",
+      (s, d) =>
+        ord(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .limit(25),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"""),
+      headline = true),
+
+    // ---- LIMIT + OFFSET
+    QueryDef(
+      "limit_offset",
+      (s, d) =>
+        ord(s, d)
+          .orderBy(col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .offset(10).limit(15),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+              ORDER BY o_orderkey LIMIT 15 OFFSET 10""")),
+
+    // ---- multi-key sort with explicit null placement (MySQL: NULLs first ASC)
+    QueryDef(
+      "sort_multikey",
+      (s, d) =>
+        li(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            when(col("l_quantity") > 48, lit(null).cast("double"))
+              .otherwise(col("l_discount")).as("d_nullable"))
+          .orderBy(
+            col("d_nullable").asc_nulls_first,
+            col("l_orderkey").desc,
+            col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_quantity > 48 THEN NULL ELSE l_discount END AS d_nullable
+              FROM lineitem
+              ORDER BY d_nullable ASC NULLS FIRST, l_orderkey DESC, l_linenumber""")),
+
+    // ---- Values / literal row source
+    QueryDef(
+      "values_inline",
+      (s, _) => {
+        import s.implicits._
+        Seq((1, "a"), (2, "b"), (3, "c"))
+          .toDF("id", "tag")
+          .orderBy(col("id"))
+      },
+      Some("SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) AS t(id, tag) ORDER BY id")),
+
+    // ---- projection with alias chain (later exprs see earlier aliases,
+    //      sql.EvalProjections sql/rows.go:69) -> sequential withColumn
+    QueryDef(
+      "project_alias_chain",
+      (s, d) =>
+        li(s, d)
+          .withColumn("gross", col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+          .withColumn("net", col("gross") *
+            (lit(1) + col("l_tax").cast(DecimalType(4, 2))))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("gross").cast("double").as("gross"),
+            col("net").cast("double").as("net"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("gross"))
+          .limit(1000),
+      Some("""SELECT l_orderkey, l_linenumber,
+                CAST(gross AS DOUBLE) AS gross, CAST(net AS DOUBLE) AS net
+              FROM (
+                SELECT l_orderkey, l_linenumber,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(4,2))) AS gross,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(4,2))) *
+                    (1 + CAST(l_tax AS DECIMAL(4,2))) AS net
+                FROM lineitem)
+              ORDER BY l_orderkey, l_linenumber, gross LIMIT 1000"""))
+  )
+}
