@@ -16,7 +16,12 @@ object SparkEntry {
       operators.Joins.defs ++
       operators.Aggregates.defs ++
       operators.Windows.defs ++
-      operators.SetOpsSubqueries.defs
+      operators.SetOpsSubqueries.defs ++
+      operators.Functions.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.Events.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

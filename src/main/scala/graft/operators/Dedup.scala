@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * MinHash+LSH, n-gram Jaccard, embedding near-duplicate.
+  *
+  * Scale design (100 TB): every pipeline here avoids the O(n²) all-pairs
+  * trap — exact dedup is a hash groupBy on a digest; MinHash reduces each
+  * doc to a k-value signature (map-side `min` aggregates, shuffle is
+  * k longs per doc); candidate generation joins on LSH *band keys* so only
+  * probable-duplicate pairs materialize; Jaccard is computed only for those
+  * candidates. The md5-based hash family is engine-portable, so the whole
+  * pipeline has a DuckDB oracle.
+  */
+object Dedup {
+
+  /** 60-bit integer hash of a string via md5 — portable across engines. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private val H60_SQL = (e: String) =>
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** doc_id + distinct 3-token shingles. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, greatest(size(tk)-2, 0)), i -> array_join(slice(tk, i, 3), ' '))"))
+        .as("sh"))
+      .distinct()
+
+  private val SHINGLES_SQL =
+    """SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            unnest(generate_series(1, greatest(len(tk)-2, 0))) AS t(i)"""
+
+  private val K = 8 // minhash signature width; banded 4×2 for LSH
+
+  /** doc_id + K minhash values (one min-agg per seeded hash). */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).groupBy(col("doc_id"))
+      .agg(
+        min(h60(concat(lit("0:"), col("sh")))).as("mh0"),
+        (1 until K).map(j =>
+          min(h60(concat(lit(s"$j:"), col("sh")))).as(s"mh$j")): _*)
+
+  private val SIG_SQL =
+    s"""SELECT doc_id,
+        ${(0 until K).map(j => s"MIN(${H60_SQL(s"'$j:' || sh")}) AS mh$j").mkString(",\n        ")}
+        FROM ($SHINGLES_SQL) GROUP BY doc_id"""
+
+  /** 4 bands × 2 rows: band key = md5 over the band's signature slice. */
+  private def bands(sig: DataFrame): DataFrame =
+    (0 until K / 2).map { b =>
+      sig.select(
+        col("doc_id"), lit(b).as("band"),
+        md5(concat(
+          col(s"mh${2 * b}").cast("string"), lit("_"),
+          col(s"mh${2 * b + 1}").cast("string")).cast("binary")).as("bkey"))
+    }.reduce(_ unionAll _)
+
+  private val BANDS_SQL =
+    (0 until K / 2).map { b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: hash-groupBy on content digest, keep lowest doc_id
+    QueryDef(
+      "dedup_exact",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+          .orderBy(col("content_md5")),
+      Some("""SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper,
+                COUNT(*) AS n_copies
+              FROM documents GROUP BY md5(text) ORDER BY content_md5""")),
+
+    // ---- MinHash signatures (the per-doc sketch; k=8 seeded 60-bit hashes)
+    QueryDef(
+      "dedup_minhash_sig",
+      (s, d) => signatures(s, d).orderBy(col("doc_id")),
+      Some(s"$SIG_SQL ORDER BY doc_id"),
+      headline = true),
+
+    // ---- LSH banding: candidate pairs = docs sharing >=1 of 4 band keys
+    QueryDef(
+      "dedup_lsh_pairs",
+      (s, d) => {
+        val b = bands(signatures(s, d))
+        val a = b.as("a"); val c = b.as("c")
+        a.join(c,
+            col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
+              col("a.doc_id") < col("c.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+          .agg(countDistinct(col("a.band")).as("n_bands"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH sig AS ($SIG_SQL),
+               bands AS ($BANDS_SQL)
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(DISTINCT a.band) AS n_bands
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- n-gram Jaccard, computed only for LSH candidates (scale path:
+    //      the expensive set-intersection join touches candidate docs only)
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val b = bands(signatures(s, d))
+        val cand = b.as("a").join(b.as("c"),
+            col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
+              col("a.doc_id") < col("c.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+          .distinct()
+        val na = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+        cand
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0, Seq("n_inter"))
+          .join(na.as("ca"), col("doc_a") === col("ca.doc_id"))
+          .join(na.as("cb"), col("doc_b") === col("cb.doc_id"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            (col("n_inter").cast("double") /
+              (col("ca.n") + col("cb.n") - col("n_inter"))).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH sig AS ($SIG_SQL),
+               bands AS ($BANDS_SQL),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+               sh AS ($SHINGLES_SQL),
+               sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (
+                 SELECT doc_a, doc_b, COUNT(*) AS n_inter
+                 FROM cand
+                 JOIN sh sa ON doc_a = sa.doc_id
+                 JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+                 GROUP BY 1, 2)
+               SELECT c.doc_a, c.doc_b,
+                 CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+                   (ca.n + cb.n - COALESCE(i.n_inter, 0)) AS jaccard
+               FROM cand c
+               LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+               JOIN sizes ca ON c.doc_a = ca.doc_id
+               JOIN sizes cb ON c.doc_b = cb.doc_id
+               ORDER BY c.doc_a, c.doc_b""")),
+
+    // ---- embedding near-dup: cosine > threshold within a blocking key
+    //      (label); at scale the blocking key is an LSH bucket, see
+    //      Similarity.sim_lsh_bucket
+    QueryDef(
+      "dedup_embedding",
+      (s, d) => {
+        val e = Tables.t(s, d, "embeddings").select(
+          col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val dot = (a: String, b: String) =>
+          expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+        val a = e.as("a"); val b = e.as("b")
+        a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.label").as("label"),
+            (dot("a.v", "b.v") / (sqrt(dot("a.v", "a.v")) * sqrt(dot("b.v", "b.v"))))
+              .as("cos"))
+          .filter(col("cos") > 0.3)
+          .groupBy(col("label")).agg(count(lit(1)).as("n_near_pairs"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings)
+              SELECT a.label, COUNT(*) AS n_near_pairs
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                    > 0.3
+              GROUP BY a.label ORDER BY a.label"""))
+  )
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream analytics over the `events` table, treated relationally
+  * (the reference has no streaming subsystem — SURVEY.md §2.10; the
+  * Structured Streaming variant of these shapes lives in graft.streaming).
+  */
+object Events {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tumbling-window aggregation (hourly buckets per event type)
+    QueryDef(
+      "events_hourly",
+      (s, d) =>
+        Tables.t(s, d, "events")
+          .groupBy(
+            date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(14, 2))).cast("double").as("total_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+                COUNT(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- sessionization: 30-minute inactivity gap splits sessions
+    //      (lag -> gap flag -> running sum = session id -> per-session agg)
+    QueryDef(
+      "events_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = Tables.t(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
+              1).otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ev.groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+              .as("duration_us"),
+            sum(col("value").cast(DecimalType(14, 2))).cast("double")
+              .as("session_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      // events.ts carries sub-µs (ns) components; the engine reads it at µs
+      // precision, so the oracle compares epoch_us (floor-to-µs) throughout.
+      Some("""WITH w AS (
+                SELECT user_id, event_id, ts, value,
+                  CASE WHEN LAG(ts) OVER u IS NULL OR
+                            epoch_us(ts) - epoch_us(LAG(ts) OVER u) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              s AS (
+                SELECT user_id, ts, value,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM w)
+              SELECT user_id, session_id, COUNT(*) AS n_events,
+                epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+                CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS session_value
+              FROM s GROUP BY 1, 2 ORDER BY user_id, session_id"""),
+      headline = true),
+
+    // ---- sliding top-N: most active user per event_type per day
+    QueryDef(
+      "events_daily_top_user",
+      (s, d) => {
+        val daily = Tables.t(s, d, "events")
+          .groupBy(
+            date_trunc("day", col("ts")).cast("date").as("day"),
+            col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("day"), col("event_type"))
+          .orderBy(col("n").desc, col("user_id"))
+        daily.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("day"), col("event_type"), col("user_id"), col("n"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                       user_id, COUNT(*) AS n
+                FROM events GROUP BY 1, 2, 3)
+              SELECT day, event_type, user_id, n FROM (
+                SELECT *, row_number() OVER (PARTITION BY day, event_type
+                  ORDER BY n DESC, user_id) AS rk FROM daily)
+              WHERE rk = 1 ORDER BY day, event_type"""))
+  )
+}

@@ -1,0 +1,270 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.MySqlFormat
+import org.apache.spark.sql.functions._
+
+/** Scalar function library — SURVEY.md §2.8 (reference registry of 346
+  * functions at sql/expression/function/registry.go). One query per bucket,
+  * exercising the Spark built-ins (all codegen'd Catalyst expressions) that
+  * cover the corresponding MySQL functions; MySQL-specific gaps (date_format
+  * translator, inet/conv/elt/field) live in graft.functions.
+  */
+object Functions {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- string bucket (function/string.go etc.)
+    QueryDef(
+      "fn_string",
+      (s, d) =>
+        Tables.t(s, d, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            lower(col("p_brand")).as("lbrand"),
+            substring(col("p_name"), 1, 8).as("prefix8"),
+            expr("left(p_name, 3)").as("l3"),
+            expr("right(p_name, 3)").as("r3"),
+            length(col("p_name")).as("name_len"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+            lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+            rpad(col("p_brand"), 12, "*").as("brand_pad"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+            reverse(col("p_name")).as("rname"),
+            instr(col("p_name"), "a").as("first_a"),
+            translate(col("p_name"), "abc", "xyz").as("trans"),
+            repeat(col("p_brand"), 2).as("brand2"),
+            trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+            ascii(substring(col("p_name"), 1, 1)).as("first_ord"),
+            size(split(col("p_name"), " ")).as("n_words"),
+            replace(col("p_type"), lit("a"), lit("@")).as("type_at"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+                upper(p_name) AS uname, lower(p_brand) AS lbrand,
+                substr(p_name, 1, 8) AS prefix8,
+                left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+                length(p_name) AS name_len,
+                concat_ws('-', p_brand, p_type) AS brand_type,
+                lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+                rpad(p_brand, 12, '*') AS brand_pad,
+                regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+                reverse(p_name) AS rname,
+                instr(p_name, 'a') AS first_a,
+                translate(p_name, 'abc', 'xyz') AS trans,
+                repeat(p_brand, 2) AS brand2,
+                trim('  ' || p_name || '  ') AS trimmed,
+                ascii(substr(p_name, 1, 1)) AS first_ord,
+                len(string_split(p_name, ' ')) AS n_words,
+                replace(p_type, 'a', '@') AS type_at
+              FROM part ORDER BY p_partkey""")),
+
+    // ---- math bucket (integer ops exact; transcendentals rounded to 6dp
+    //      because libm implementations differ in the last ulp)
+    QueryDef(
+      "fn_math",
+      (s, d) =>
+        Tables.t(s, d, "part")
+          .select(
+            col("p_partkey"),
+            abs(col("p_size") - 25).as("abs_off"),
+            ceil(col("p_retailprice")).as("ceil_p"),
+            floor(col("p_retailprice")).as("floor_p"),
+            round(col("p_retailprice"), 1).as("round_p"),
+            (col("p_size") % 7).as("mod7"),
+            signum(col("p_size") - lit(25)).cast("int").as("sgn"),
+            greatest(col("p_size"), lit(10)).as("gst"),
+            least(col("p_size"), lit(40)).as("lst"),
+            sqrt(col("p_size")).as("sqrt_sz"),
+            round(log(col("p_size") + 1), 6).as("ln_sz"),
+            round(log10(col("p_size") + 1), 6).as("log10_sz"),
+            round(exp(col("p_size") / lit(25.0)), 6).as("exp_sz"),
+            round(pow(col("p_size"), 1.5), 6).as("pow_sz"),
+            expr("p_partkey & 255").as("band"),
+            expr("p_partkey | 256").as("bor"),
+            expr("p_partkey ^ 129").as("bxor"),
+            shiftleft(col("p_partkey"), 2).as("shl"),
+            shiftright(col("p_partkey"), 1).as("shr"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+                abs(p_size - 25) AS abs_off,
+                ceil(p_retailprice) AS ceil_p, floor(p_retailprice) AS floor_p,
+                round(p_retailprice, 1) AS round_p,
+                p_size % 7 AS mod7,
+                CAST(sign(p_size - 25) AS INT) AS sgn,
+                greatest(p_size, 10) AS gst, least(p_size, 40) AS lst,
+                sqrt(p_size) AS sqrt_sz,
+                round(ln(p_size + 1), 6) AS ln_sz,
+                round(log10(p_size + 1), 6) AS log10_sz,
+                round(exp(p_size / 25.0), 6) AS exp_sz,
+                round(pow(p_size, 1.5), 6) AS pow_sz,
+                p_partkey & 255 AS band,
+                p_partkey | 256 AS bor,
+                xor(p_partkey, 129) AS bxor,
+                p_partkey << 2 AS shl,
+                p_partkey >> 1 AS shr
+              FROM part ORDER BY p_partkey""")),
+
+    // ---- date/time bucket incl. the MySQL %-format translator
+    QueryDef(
+      "fn_datetime",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            quarter(col("o_orderdate")).as("qtr"),
+            weekofyear(col("o_orderdate")).as("woy"),
+            dayofyear(col("o_orderdate")).as("doy"),
+            dayofweek(col("o_orderdate")).as("dow1"),
+            hour(col("o_orderdate")).as("hr"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+            last_day(col("o_orderdate")).as("month_end"),
+            date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+            datediff(lit("1999-01-01").cast("date"),
+              col("o_orderdate").cast("date")).as("days_to_99"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"),
+            MySqlFormat.dateFormat(col("o_orderdate"), "%Y-%m-%d").as("mysql_ymd"),
+            MySqlFormat.dateFormat(col("o_orderdate"), "%d/%m/%Y %H:%i").as("mysql_dmy"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                CAST(day(o_orderdate) AS INT) AS dom,
+                CAST(quarter(o_orderdate) AS INT) AS qtr,
+                CAST(weekofyear(o_orderdate) AS INT) AS woy,
+                CAST(dayofyear(o_orderdate) AS INT) AS doy,
+                CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow1,
+                CAST(hour(o_orderdate) AS INT) AS hr,
+                CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                CAST(o_orderdate AS DATE) + 30 AS plus30,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT)
+                  AS days_to_99,
+                epoch_us(o_orderdate) AS epoch_us,
+                strftime(o_orderdate, '%Y-%m-%d') AS mysql_ymd,
+                strftime(o_orderdate, '%d/%m/%Y %H:%M') AS mysql_dmy
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ---- control-flow / null-handling bucket (if/ifnull/nullif/coalesce/case)
+    QueryDef(
+      "fn_conditional",
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("bal_sign"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(none)"))
+              .as("seg_filled"),
+            greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+            least(col("c_acctbal"), lit(1000.0)).as("bal_cap"),
+            col("c_acctbal").isNull.as("bal_is_null"),
+            when(col("c_nationkey") % 2 === 0, col("c_acctbal")).as("even_bal"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+                CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+                nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+                coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg_filled,
+                greatest(c_acctbal, 0.0) AS bal_floor,
+                least(c_acctbal, 1000.0) AS bal_cap,
+                c_acctbal IS NULL AS bal_is_null,
+                CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal END AS even_bal
+              FROM customer ORDER BY c_custkey""")),
+
+    // ---- regex bucket (reference uses ICU; Java/RE2 dialects agree on
+    //      these simple patterns)
+    QueryDef(
+      "fn_regexp",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+            regexp_replace(col("text"), "[aeiou]", "_").as("masked"),
+            col("text").rlike("join.*merge").as("has_join_merge"),
+            regexp_extract(col("text"), "(\\w+) (\\w+)", 2).as("second_word"))
+          .orderBy(col("doc_id"))
+          .limit(500),
+      Some("""SELECT doc_id,
+                regexp_extract(text, '([a-z]+)', 1) AS first_word,
+                regexp_replace(text, '[aeiou]', '_', 'g') AS masked,
+                regexp_matches(text, 'join.*merge') AS has_join_merge,
+                regexp_extract(text, '(\w+) (\w+)', 2) AS second_word
+              FROM documents ORDER BY doc_id LIMIT 500""")),
+
+    // ---- JSON bucket (function/json/; MySQL json_extract ~ $.path)
+    QueryDef(
+      "fn_json",
+      (s, d) =>
+        Tables.t(s, d, "events")
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").as("k_str"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+            get_json_object(col("props"), "$.missing").as("k_missing"),
+            json_array_length(lit("""[1,2,3,4]""")).as("arr_len"),
+            get_json_object(
+              concat(lit("""{"a":{"b":["""), col("event_id").cast("string"), lit(",2]}}")),
+              "$.a.b[0]").as("nested"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+                json_extract_string(props, '$.missing') AS k_missing,
+                CAST(json_array_length('[1,2,3,4]') AS INT) AS arr_len,
+                json_extract_string('{"a":{"b":[' || event_id || ',2]}}', '$.a.b[0]')
+                  AS nested
+              FROM events ORDER BY event_id""")),
+
+    // ---- crypto/encode bucket (md5/sha2; reference function/encode.go)
+    QueryDef(
+      "fn_hash",
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            md5(col("c_name").cast("binary")).as("name_md5"),
+            sha2(col("c_name").cast("binary"), 256).as("name_sha256"),
+            lower(hex(col("c_name").cast("binary"))).as("name_hex"),
+            base64(col("c_name").cast("binary")).as("name_b64"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+                md5(c_name) AS name_md5,
+                sha256(c_name) AS name_sha256,
+                lower(hex(encode(c_name))) AS name_hex,
+                to_base64(encode(c_name)) AS name_b64
+              FROM customer ORDER BY c_custkey""")),
+
+    // ---- cast/coercion bucket (sql/types/ conversion semantics)
+    QueryDef(
+      "fn_cast",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            col("o_orderkey").cast("string").as("key_str"),
+            col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+            col("o_totalprice").cast("decimal(12,2)").cast("string").as("price_str"),
+            col("o_orderdate").cast("date").as("od_date"),
+            col("o_orderdate").cast("date").cast("string").as("od_str"),
+            lit("42").cast("int").as("s2i"),
+            lit("3.5").cast("double").as("s2d"),
+            col("o_orderkey").cast("double").as("i2d"),
+            (col("o_orderstatus") === "O").cast("int").as("b2i"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+                CAST(o_orderkey AS VARCHAR) AS key_str,
+                CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+                CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+                CAST(o_orderdate AS DATE) AS od_date,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od_str,
+                CAST('42' AS INT) AS s2i,
+                CAST('3.5' AS DOUBLE) AS s2d,
+                CAST(o_orderkey AS DOUBLE) AS i2d,
+                CAST(o_orderstatus = 'O' AS INT) AS b2i
+              FROM orders ORDER BY o_orderkey"""))
+  )
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding vectors (`ArrayType(FloatType)`) —
+  * north-star extension.
+  *
+  * Two paths, as a 100 TB design requires:
+  *  - brute-force top-k: exact, O(probes × corpus); right when the probe
+  *    set is small (broadcast the probes, scan the corpus once).
+  *  - LSH-bucketed: hyperplane-sign bucket key computed per vector, then
+  *    candidate search only within the probe's bucket — turns the scan
+  *    into an equi-join on bucket, which shuffles/partitions like any
+  *    other key join and prunes the corpus by ~2^bits.
+  *
+  * Reference analog: VECTOR type + vec_distance family
+  * (sql/types/vector.go:34, sql/expression/function/vector/distance.go:28)
+  * and the ANN ORDER BY rewrite (sql/analyzer/replace_order_by_distance.go).
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "embeddings").select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** sequential-fold dot product: deterministic double summation order */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  private def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- brute-force cosine top-k (exact baseline)
+    QueryDef(
+      "sim_topk_bruteforce",
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("probe"), col("v").as("pv"))
+        val corpus = e.filter(col("vec_id") >= 3)
+          .select(col("vec_id").as("neighbor"), col("v").as("nv"))
+        val scored = corpus.crossJoin(broadcast(probes))
+          .select(col("probe"), col("neighbor"), cosine("pv", "nv").as("cos"))
+        val w = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("neighbor"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("probe"), col("neighbor"), col("rk"))
+          .orderBy(col("probe"), col("rk"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              scored AS (
+                SELECT p.vec_id AS probe, n.vec_id AS neighbor,
+                  list_dot_product(p.v, n.v) /
+                    (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(n.v, n.v)))
+                    AS cos,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_dot_product(p.v, n.v) /
+                      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(n.v, n.v)))
+                      DESC, n.vec_id) AS rk
+                FROM e p JOIN e n ON p.vec_id < 3 AND n.vec_id >= 3)
+              SELECT probe, neighbor, rk FROM scored WHERE rk <= 5
+              ORDER BY probe, rk"""),
+      headline = true),
+
+    // ---- LSH-bucketed ANN: axis-aligned hyperplane signs (first 8 dims)
+    //      as bucket key; search joins probe->bucket only
+    QueryDef(
+      "sim_lsh_bucket",
+      (s, d) => {
+        val bucketed = emb(s, d).withColumn("bucket",
+          expr("aggregate(sequence(0, 7), 0L, (acc, j) -> acc + CASE WHEN element_at(v, j + 1) > 0 THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"))
+        val probes = bucketed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe"), col("v").as("pv"), col("bucket"))
+        val corpus = bucketed.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor"), col("v").as("nv"), col("bucket"))
+        val scored = corpus.join(broadcast(probes), Seq("bucket"))
+          .select(col("probe"), col("neighbor"), col("bucket"),
+            cosine("pv", "nv").as("cos"))
+        val w = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("neighbor"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("probe"), col("bucket"), col("neighbor"), col("rk"))
+          .orderBy(col("probe"), col("rk"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              b AS (
+                SELECT vec_id, v,
+                  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END) +
+                  (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) +
+                  (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) +
+                  (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) +
+                  (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) +
+                  (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) +
+                  (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+                FROM e),
+              scored AS (
+                SELECT p.vec_id AS probe, p.bucket AS bucket, n.vec_id AS neighbor,
+                  list_dot_product(p.v, n.v) /
+                    (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(n.v, n.v)))
+                    AS cos,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_dot_product(p.v, n.v) /
+                      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(n.v, n.v)))
+                      DESC, n.vec_id) AS rk
+                FROM b p JOIN b n ON p.bucket = n.bucket
+                  AND p.vec_id < 5 AND n.vec_id >= 5)
+              SELECT probe, bucket, neighbor, rk FROM scored WHERE rk <= 3
+              ORDER BY probe, rk""")),
+
+    // ---- vector distance functions (reference vec_distance family):
+    //      euclidean, squared-L2, cosine distance vs a constant query vector
+    QueryDef(
+      "vec_distances",
+      (s, d) => {
+        val q = (0 until 64).map(i => if (i % 2 == 0) 0.1 else -0.1)
+        val qcol = array(q.map(lit): _*)
+        val e = emb(s, d).withColumn("q", qcol)
+        e.select(
+            col("vec_id"),
+            dot("v", "q").as("dotp"),
+            sqrt(expr("aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+              .as("l2"),
+            expr("aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+              .as("l2sq"),
+            (lit(1.0) - cosine("v", "q")).as("cos_dist"))
+          .orderBy(col("vec_id"))
+      },
+      Some({
+        val q = (0 until 64).map(i => if (i % 2 == 0) "0.1" else "-0.1")
+          .mkString("[", ",", "]")
+        s"""WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                CAST($q AS DOUBLE[]) AS q
+              FROM embeddings)
+            SELECT vec_id,
+              list_dot_product(v, q) AS dotp,
+              sqrt(list_sum(list_transform(list_zip(v, q), z -> (z[1] - z[2]) * (z[1] - z[2])))) AS l2,
+              list_sum(list_transform(list_zip(v, q), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS l2sq,
+              1.0 - list_dot_product(v, q) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))) AS cos_dist
+            FROM e ORDER BY vec_id"""
+      }))
+  )
+}

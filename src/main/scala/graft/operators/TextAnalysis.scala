@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extension beyond the reference surface): token counting, quality
+  * scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All are pure column expressions / explode+agg shapes, so they scale
+  * embarrassingly parallel: no shuffle except the per-doc re-aggregation
+  * after explode, which is partial-agg friendly (doc_id keys are unique
+  * and dense, no skew).
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting + per-doc scalar stats (no shuffle at all)
+    QueryDef(
+      "text_tokens",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            length(col("text")).as("n_chars_computed"),
+            col("n_chars"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), " ", ""))).as("n_spaces"),
+            length(regexp_replace(col("text"), "[^aeiou]", "")).as("n_vowels"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                length(text) AS n_chars_computed,
+                n_chars,
+                length(text) - length(replace(text, ' ', '')) AS n_spaces,
+                length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- quality scoring: stopword ratio + vocabulary diversity via
+    //      explode -> re-aggregate (map-side combinable)
+    QueryDef(
+      "text_quality",
+      (s, d) => {
+        val toks = Tables.t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        toks.groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_distinct"),
+            (countDistinct(col("tok")).cast("double") / count(lit(1)))
+              .as("diversity"),
+            (sum(when(col("tok").isin(stopEn: _*), 1).otherwise(0)).cast("double") /
+              count(lit(1))).as("stopword_ratio"),
+            (sum(length(col("tok"))).cast("double") / count(lit(1)))
+              .as("avg_token_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, COUNT(*) AS n_tokens,
+                 COUNT(DISTINCT tok) AS n_distinct,
+                 CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS diversity,
+                 CAST(SUM(CASE WHEN tok IN (${stopEn.map("'" + _ + "'").mkString(",")})
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio,
+                 CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) AS avg_token_len
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents)
+               GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- language-ID heuristic: marker-token hit counts per language,
+    //      argmax with deterministic tiebreak
+    QueryDef(
+      "text_langid",
+      (s, d) => {
+        val markers = Map(
+          "en" -> Seq("the", "a", "and", "query", "join"),
+          "de" -> Seq("der", "die", "das", "und", "nicht"),
+          "es" -> Seq("el", "la", "los", "que", "y"),
+          "fr" -> Seq("le", "la", "les", "et", "que"))
+        val toks = Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val scoreCols = markers.toSeq.map { case (l, ws) =>
+          sum(when(col("tok").isin(ws: _*), 1).otherwise(0)).as(s"s_$l")
+        }
+        val scored = toks.groupBy(col("doc_id"), col("lang"))
+          .agg(scoreCols.head, scoreCols.tail: _*)
+        scored.select(
+            col("doc_id"), col("lang").as("labeled_lang"),
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+                 col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+                    col("s_de") > 0, "de")
+              .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+              .when(col("s_fr") > 0, "fr")
+              .otherwise("unknown").as("guessed_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH scored AS (
+                SELECT doc_id, lang,
+                  SUM(CASE WHEN tok IN ('the','a','and','query','join') THEN 1 ELSE 0 END) AS s_en,
+                  SUM(CASE WHEN tok IN ('der','die','das','und','nicht') THEN 1 ELSE 0 END) AS s_de,
+                  SUM(CASE WHEN tok IN ('el','la','los','que','y') THEN 1 ELSE 0 END) AS s_es,
+                  SUM(CASE WHEN tok IN ('le','la','les','et','que') THEN 1 ELSE 0 END) AS s_fr
+                FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY doc_id, lang)
+              SELECT doc_id, lang AS labeled_lang,
+                CASE
+                  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                  WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                  WHEN s_fr > 0 THEN 'fr'
+                  ELSE 'unknown' END AS guessed_lang
+              FROM scored ORDER BY doc_id""")),
+
+    // ---- document fingerprinting: content hash + order-insensitive
+    //      bag-of-words fingerprint (md5-derived 60-bit integer)
+    QueryDef(
+      "text_fingerprint",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            md5(col("text").cast("binary")).as("content_md5"),
+            conv(substring(md5(
+              array_join(array_sort(split(col("text"), " ")), " ").cast("binary")),
+              1, 15), 16, 10).cast("long").as("bow_fingerprint"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                md5(text) AS content_md5,
+                CAST('0x' || substr(md5(array_to_string(list_sort(string_split(text,' ')), ' ')), 1, 15)
+                     AS BIGINT) AS bow_fingerprint
+              FROM documents ORDER BY doc_id"""))
+  )
+}
