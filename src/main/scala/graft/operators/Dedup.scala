@@ -168,16 +168,18 @@ object Dedup {
     QueryDef(
       "dedup_embedding",
       (s, d) => {
+        // norms are computed once per vector (2k ops), not once per pair
+        // (200k ops): at scale the pair join must do exactly one dot product
         val e = Tables.t(s, d, "embeddings").select(
-          col("vec_id"), col("label"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        val dot = (a: String, b: String) =>
-          expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+            col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm", sqrt(expr(
+            "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
         val a = e.as("a"); val b = e.as("b")
         a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.label").as("label"),
-            (dot("a.v", "b.v") / (sqrt(dot("a.v", "a.v")) * sqrt(dot("b.v", "b.v"))))
-              .as("cos"))
+            (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") /
+              (col("a.nrm") * col("b.nrm"))).as("cos"))
           .filter(col("cos") > 0.3)
           .groupBy(col("label")).agg(count(lit(1)).as("n_near_pairs"))
           .orderBy(col("label"))
@@ -185,12 +187,12 @@ object Dedup {
       Some("""WITH e AS (
                 SELECT vec_id, label,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                FROM embeddings)
+                FROM embeddings),
+              n AS (
+                SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
               SELECT a.label, COUNT(*) AS n_near_pairs
-              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-              WHERE list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                    > 0.3
+              FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.3
               GROUP BY a.label ORDER BY a.label"""))
   )
 }

@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** vectors as doubles with the L2 norm precomputed once per vector —
+    * the pair-scoring join then does exactly one dot product per pair */
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "embeddings").select(
-      col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
 
   /** sequential-fold dot product: deterministic double summation order */
   private def dot(a: String, b: String): Column =
@@ -42,11 +46,12 @@ object Similarity {
       (s, d) => {
         val e = emb(s, d)
         val probes = e.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("probe"), col("v").as("pv"))
+          .select(col("vec_id").as("probe"), col("v").as("pv"), col("nrm").as("pn"))
         val corpus = e.filter(col("vec_id") >= 3)
-          .select(col("vec_id").as("neighbor"), col("v").as("nv"))
+          .select(col("vec_id").as("neighbor"), col("v").as("nv"), col("nrm").as("nn"))
         val scored = corpus.crossJoin(broadcast(probes))
-          .select(col("probe"), col("neighbor"), cosine("pv", "nv").as("cos"))
+          .select(col("probe"), col("neighbor"),
+            (dot("pv", "nv") / (col("pn") * col("nn"))).as("cos"))
         val w = Window.partitionBy(col("probe"))
           .orderBy(col("cos").desc, col("neighbor"))
         scored.withColumn("rk", row_number().over(w))
@@ -57,16 +62,15 @@ object Similarity {
       Some("""WITH e AS (
                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                 FROM embeddings),
+              nv AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
               scored AS (
                 SELECT p.vec_id AS probe, n.vec_id AS neighbor,
-                  list_dot_product(p.v, n.v) /
-                    (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(n.v, n.v)))
-                    AS cos,
+                  list_dot_product(p.v, n.v) / (p.nrm * n.nrm) AS cos,
                   row_number() OVER (PARTITION BY p.vec_id
-                    ORDER BY list_dot_product(p.v, n.v) /
-                      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(n.v, n.v)))
+                    ORDER BY list_dot_product(p.v, n.v) / (p.nrm * n.nrm)
                       DESC, n.vec_id) AS rk
-                FROM e p JOIN e n ON p.vec_id < 3 AND n.vec_id >= 3)
+                FROM nv p JOIN nv n ON p.vec_id < 3 AND n.vec_id >= 3)
               SELECT probe, neighbor, rk FROM scored WHERE rk <= 5
               ORDER BY probe, rk"""),
       headline = true),
@@ -79,12 +83,14 @@ object Similarity {
         val bucketed = emb(s, d).withColumn("bucket",
           expr("aggregate(sequence(0, 7), 0L, (acc, j) -> acc + CASE WHEN element_at(v, j + 1) > 0 THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"))
         val probes = bucketed.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("probe"), col("v").as("pv"), col("bucket"))
+          .select(col("vec_id").as("probe"), col("v").as("pv"),
+            col("nrm").as("pn"), col("bucket"))
         val corpus = bucketed.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("neighbor"), col("v").as("nv"), col("bucket"))
+          .select(col("vec_id").as("neighbor"), col("v").as("nv"),
+            col("nrm").as("nn"), col("bucket"))
         val scored = corpus.join(broadcast(probes), Seq("bucket"))
           .select(col("probe"), col("neighbor"), col("bucket"),
-            cosine("pv", "nv").as("cos"))
+            (dot("pv", "nv") / (col("pn") * col("nn"))).as("cos"))
         val w = Window.partitionBy(col("probe"))
           .orderBy(col("cos").desc, col("neighbor"))
         scored.withColumn("rk", row_number().over(w))
