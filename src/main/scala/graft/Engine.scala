@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MySQL dialect shim — SURVEY.md §7.2 step 5.
+  *
+  * Spark SQL already parses most MySQL-isms this engine needs: backtick
+  * quoting, `<=>`, `DIV`, `REGEXP`/`RLIKE`, `INTERVAL n unit`. The
+  * remaining gaps are pure-syntax rewrites done before handing the text to
+  * Catalyst (the reference instead carries a whole vitess parser —
+  * sql/planbuilder/parse.go:35; a pre-rewriter is the Spark-first answer):
+  *
+  *  - `LIMIT offset, count`      -> `LIMIT count OFFSET offset`
+  *  - `# comment`                -> `-- comment`
+  *  - `STRAIGHT_JOIN`            -> `JOIN` (ordering is Catalyst's job)
+  *  - `SQL_CALC_FOUND_ROWS`      -> dropped (session feature, descoped)
+  *
+  * The rewriter is literal-aware: nothing inside '...', "..." or `...`
+  * is touched.
+  */
+object Dialect {
+
+  private def rewriteCode(code: String): String =
+    code
+      .replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
+      .replaceAll("(?i)\\bSTRAIGHT_JOIN\\b", "JOIN")
+      .replaceAll("(?i)\\bSQL_CALC_FOUND_ROWS\\b", "")
+
+  def rewrite(sql: String): String = {
+    val out = new StringBuilder
+    val code = new StringBuilder // non-literal run awaiting regex rewrites
+    def flushCode(): Unit = { out.append(rewriteCode(code.result())); code.clear() }
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      sql.charAt(i) match {
+        case q @ ('\'' | '"' | '`') => // copy quoted literal verbatim
+          flushCode()
+          val start = i; i += 1
+          while (i < n && (sql.charAt(i) != q ||
+                 (i + 1 < n && sql.charAt(i + 1) == q && { i += 1; true }))) i += 1
+          i = math.min(i + 1, n)
+          out.append(sql.substring(start, i))
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => // -- comment
+          flushCode()
+          val start = i
+          while (i < n && sql.charAt(i) != '\n') i += 1
+          out.append(sql.substring(start, i))
+        case '#' => // MySQL # comment -> --
+          flushCode()
+          out.append("--")
+          i += 1
+          while (i < n && sql.charAt(i) != '\n') { out.append(sql.charAt(i)); i += 1 }
+        case ch =>
+          code.append(ch); i += 1
+      }
+    }
+    flushCode()
+    out.result()
+  }
+}
+
+/** Session + catalog façade — the engine's front door, mirroring the
+  * reference's `Engine.Query` / catalog surface (engine.go:194,
+  * sql/catalog.go, memory backend memory/table.go:48) on top of the Spark
+  * session catalog.
+  *
+  * Tables live as temp views over parquet (reads) or in-memory DataFrames
+  * (DDL/DML results). The OLTP row-DML machinery is descoped per
+  * SURVEY.md §2.12; `INSERT INTO ... SELECT` appends via union, matching
+  * the reference's in-memory integrator semantics.
+  */
+class Engine(val spark: SparkSession) {
+
+  functions.expressions.register(spark)
+
+  /** Run one SQL statement through the dialect shim into Catalyst. */
+  def query(sql: String): DataFrame = spark.sql(Dialect.rewrite(sql))
+
+  /** Attach every table of a testdata directory as a database. */
+  def attachDir(dir: String): Unit = Tables.registerAll(spark, dir)
+
+  /** CREATE TABLE t AS SELECT ... (TableCopier, sql/plan/table_copier.go). */
+  def ctas(name: String, sql: String): Unit =
+    query(sql).createOrReplaceTempView(name)
+
+  /** CREATE [OR REPLACE] VIEW. */
+  def createView(name: String, sql: String): Unit =
+    query(sql).createOrReplaceTempView(name)
+
+  /** INSERT INTO t SELECT ... — append semantics over the memory backend. */
+  def insertIntoSelect(table: String, sql: String): Unit = {
+    val cur = spark.table(table)
+    cur.unionByName(query(sql)).createOrReplaceTempView(table)
+  }
+
+  /** DROP TABLE/VIEW. */
+  def drop(name: String): Unit = spark.catalog.dropTempView(name)
+
+  /** SHOW TABLES (catalog read). */
+  def showTables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
+  /** DESCRIBE t (catalog read). */
+  def describe(table: String): Seq[(String, String)] =
+    spark.table(table).schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+
+  /** EXPLAIN — formatted Catalyst plan. */
+  def explain(sql: String): String =
+    query(sql).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+}

@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for MySQL functions Spark lacks —
+  * SURVEY.md §2.8 "custom expressions" bucket (reference impls under
+  * sql/expression/function/: field FIELD(), insert INSERT(), export_set,
+  * inet_aton/inet_ntoa in registry.go; rolling-hash fingerprinting is the
+  * north-star text-analysis extension).
+  *
+  * These are interpreted (`CodegenFallback`) — they sit in projection
+  * position on dimension-sized data, not in hot scan loops; promote to
+  * `doGenCode` if a profile ever shows them on the critical path.
+  */
+object expressions {
+
+  /** FIELD(x, s1, s2, ...) — 1-based index of x among s1.., 0 if absent
+    * (reference: FIELD in registry.go; NULL x -> 0 per MySQL). */
+  case class MySqlField(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any = {
+      val target = children.head.eval(input)
+      if (target == null) 0
+      else {
+        val idx = children.tail.indexWhere { e =>
+          val v = e.eval(input)
+          v != null && v == target
+        }
+        idx + 1
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+  }
+
+  /** INSERT(str, pos, len, newstr) — MySQL string splice: replaces `len`
+    * chars of `str` starting at 1-based `pos`; out-of-range pos returns
+    * str unchanged. */
+  case class MySqlInsertStr(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length == 4)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) return null
+      val s = vs(0).asInstanceOf[UTF8String].toString
+      val pos = vs(1).asInstanceOf[Number].intValue()
+      val len = vs(2).asInstanceOf[Number].intValue()
+      val ins = vs(3).asInstanceOf[UTF8String].toString
+      if (pos < 1 || pos > s.length) UTF8String.fromString(s)
+      else {
+        val end = math.min(s.length, pos - 1 + math.max(len, 0))
+        UTF8String.fromString(s.substring(0, pos - 1) + ins + s.substring(end))
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+  }
+
+  /** INET_ATON('a.b.c.d') -> long, NULL on malformed input (MySQL). */
+  case class InetAton(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val parts = v.asInstanceOf[UTF8String].toString.split("\\.", -1)
+      if (parts.length != 4) return null
+      var acc = 0L
+      var i = 0
+      while (i < 4) {
+        val p = try parts(i).toInt catch { case _: NumberFormatException => return null }
+        if (p < 0 || p > 255) return null
+        acc = acc * 256 + p
+        i += 1
+      }
+      acc
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** INET_NTOA(n) -> 'a.b.c.d'. */
+  case class InetNtoa(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val n = v.asInstanceOf[Number].longValue() & 0xFFFFFFFFL
+      UTF8String.fromString(
+        s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** EXPORT_SET(bits, on, off, sep, n) with the MySQL default ordering:
+    * lowest bit first. */
+  case class ExportSet(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.length == 5)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) return null
+      val bits = vs(0).asInstanceOf[Number].longValue()
+      val on = vs(1).asInstanceOf[UTF8String].toString
+      val off = vs(2).asInstanceOf[UTF8String].toString
+      val sep = vs(3).asInstanceOf[UTF8String].toString
+      val n = math.min(math.max(vs(4).asInstanceOf[Number].intValue(), 0), 64)
+      val out = (0 until n).map(i => if (((bits >> i) & 1L) == 1L) on else off)
+      UTF8String.fromString(out.mkString(sep))
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+  }
+
+  /** MySQL QUOTE(): wraps in single quotes, escaping ', \, NUL, ^Z. */
+  case class QuoteStr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val b = new StringBuilder("'")
+      s.foreach {
+        case '\'' => b.append("\\'")
+        case '\\' => b.append("\\\\")
+        case '\u0000' => b.append("\\0")
+        case '\u001A' => b.append("\\Z")
+        case c => b.append(c)
+      }
+      UTF8String.fromString(b.append("'").result())
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** Winnowing fingerprint: minimum of the polynomial rolling hashes of all
+    * k-char windows (Rabin-Karp recurrence, O(n) per document). Matches the
+    * "document fingerprinting (rolling hash)" north-star op; SQL oracle
+    * computes the same min over per-window hashes in O(n·k).
+    *
+    * hash(w) = sum_{i<k} c_i * B^(k-1-i)  mod M,  B=31, M=2^61-1.
+    */
+  case class WinnowFingerprint(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    private val B = 31L
+    private val M = (1L << 61) - 1
+    private def mulmod(a: Long, b: Long): Long =
+      java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
+        .mod(java.math.BigInteger.valueOf(M)).longValue()
+    override def nullSafeEval(str: Any, kAny: Any): Any = {
+      val s = str.asInstanceOf[UTF8String].toString
+      val k = kAny.asInstanceOf[Number].intValue()
+      if (k <= 0 || s.length < k) return null
+      // B^(k-1) mod M for the roll-off term
+      var bk = 1L
+      (1 until k).foreach(_ => bk = mulmod(bk, B))
+      var h = 0L
+      (0 until k).foreach(i => h = (mulmod(h, B) + s.charAt(i)) % M)
+      var best = h
+      var i = k
+      while (i < s.length) {
+        h = (h - mulmod(s.charAt(i - k), bk) % M + M) % M
+        h = (mulmod(h, B) + s.charAt(i)) % M
+        if (h < best) best = h
+        i += 1
+      }
+      best
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  // ---- Column wrappers -----------------------------------------------
+
+  import org.apache.spark.sql.GraftBridge
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  private def x(col: Column): Expression = GraftBridge.expression(col)
+
+  def field(target: Column, among: Column*): Column =
+    c(MySqlField((target +: among).map(x)))
+  def insertStr(s: Column, pos: Column, len: Column, ins: Column): Column =
+    c(MySqlInsertStr(Seq(s, pos, len, ins).map(x)))
+  def inetAton(s: Column): Column = c(InetAton(x(s)))
+  def inetNtoa(n: Column): Column = c(InetNtoa(x(n)))
+  def exportSet(bits: Column, on: Column, off: Column, sep: Column, n: Column): Column =
+    c(ExportSet(Seq(bits, on, off, sep, n).map(x)))
+  def quoteStr(s: Column): Column = c(QuoteStr(x(s)))
+  def winnowFingerprint(s: Column, k: Column): Column =
+    c(WinnowFingerprint(x(s), x(k)))
+
+  /** Register everything for SQL use (the reference's FunctionProvider /
+    * registry.go analog; production path would be
+    * SparkSessionExtensions.injectFunction). */
+  def register(spark: SparkSession): Unit = {
+    val reg = org.apache.spark.sql.GraftBridge.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("mysql_field", es => MySqlField(es), "scala_udf")
+    reg.createOrReplaceTempFunction("mysql_insert", es => MySqlInsertStr(es), "scala_udf")
+    reg.createOrReplaceTempFunction("inet_aton", es => InetAton(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("inet_ntoa", es => InetNtoa(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("export_set", es => ExportSet(es), "scala_udf")
+    reg.createOrReplaceTempFunction("mysql_quote", es => QuoteStr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      es => WinnowFingerprint(es(0), es(1)), "scala_udf")
+  }
+}

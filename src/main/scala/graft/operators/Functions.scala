@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.MySqlFormat
+import graft.functions.{expressions => gfx, MySqlFormat}
 import org.apache.spark.sql.functions._
 
 /** Scalar function library — SURVEY.md §2.8 (reference registry of 346
@@ -236,6 +236,51 @@ object Functions {
                 sha256(c_name) AS name_sha256,
                 lower(hex(encode(c_name))) AS name_hex,
                 to_base64(encode(c_name)) AS name_b64
+              FROM customer ORDER BY c_custkey""")),
+
+    // ---- native custom expressions (graft.functions.expressions): the
+    //      MySQL functions Spark lacks, evaluated as Catalyst Expressions
+    QueryDef(
+      "fn_mysql_native",
+      (s, d) => {
+        val ip = concat_ws(".",
+          (col("c_custkey") % 256).cast("string"),
+          (col("c_custkey") * 7 % 256).cast("string"),
+          (col("c_custkey") * 13 % 256).cast("string"),
+          (col("c_custkey") * 29 % 256).cast("string"))
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            gfx.field(col("c_mktsegment"), lit("AUTOMOBILE"), lit("BUILDING"),
+              lit("FURNITURE"), lit("MACHINERY"), lit("HOUSEHOLD")).as("seg_idx"),
+            gfx.insertStr(col("c_name"), lit(3), lit(2), lit("XX")).as("spliced"),
+            gfx.inetAton(ip).as("ip_num"),
+            gfx.inetNtoa(col("c_custkey") * 99991 % 4294967296L).as("ip_str"),
+            gfx.exportSet(col("c_custkey"), lit("1"), lit("0"), lit(","), lit(8))
+              .as("bits_csv"),
+            gfx.quoteStr(col("c_name")).as("quoted"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+                CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+                  WHEN 'FURNITURE' THEN 3 WHEN 'MACHINERY' THEN 4
+                  WHEN 'HOUSEHOLD' THEN 5 ELSE 0 END AS seg_idx,
+                substr(c_name, 1, 2) || 'XX' || substr(c_name, 5) AS spliced,
+                ((c_custkey % 256) * 16777216) + ((c_custkey * 7 % 256) * 65536) +
+                  ((c_custkey * 13 % 256) * 256) + (c_custkey * 29 % 256) AS ip_num,
+                CAST(((c_custkey * 99991 % 4294967296) >> 24) & 255 AS VARCHAR) || '.' ||
+                CAST(((c_custkey * 99991 % 4294967296) >> 16) & 255 AS VARCHAR) || '.' ||
+                CAST(((c_custkey * 99991 % 4294967296) >> 8) & 255 AS VARCHAR) || '.' ||
+                CAST((c_custkey * 99991 % 4294967296) & 255 AS VARCHAR) AS ip_str,
+                CAST((c_custkey >> 0) & 1 AS VARCHAR) || ',' ||
+                CAST((c_custkey >> 1) & 1 AS VARCHAR) || ',' ||
+                CAST((c_custkey >> 2) & 1 AS VARCHAR) || ',' ||
+                CAST((c_custkey >> 3) & 1 AS VARCHAR) || ',' ||
+                CAST((c_custkey >> 4) & 1 AS VARCHAR) || ',' ||
+                CAST((c_custkey >> 5) & 1 AS VARCHAR) || ',' ||
+                CAST((c_custkey >> 6) & 1 AS VARCHAR) || ',' ||
+                CAST((c_custkey >> 7) & 1 AS VARCHAR) AS bits_csv,
+                '''' || c_name || '''' AS quoted
               FROM customer ORDER BY c_custkey""")),
 
     // ---- cast/coercion bucket (sql/types/ conversion semantics)

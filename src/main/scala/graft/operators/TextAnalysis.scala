@@ -115,6 +115,28 @@ object TextAnalysis {
                   ELSE 'unknown' END AS guessed_lang
               FROM scored ORDER BY doc_id""")),
 
+    // ---- rolling-hash winnowing fingerprint: min of Rabin-Karp hashes of
+    //      all 8-char windows. The native expression is O(n) per doc (true
+    //      rolling update); the oracle recomputes each window in O(n·k).
+    QueryDef(
+      "text_winnow",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            graft.functions.expressions.winnowFingerprint(col("text"), lit(8))
+              .as("winnow_fp"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                (SELECT MIN(list_reduce(
+                    list_prepend(CAST(0 AS HUGEINT),
+                      list_transform(string_split(substr(text, i, 8), ''),
+                                     c -> CAST(ascii(c) AS HUGEINT))),
+                    (a, b) -> (a * 31 + b) % 2305843009213693951))
+                 FROM unnest(generate_series(1, length(text) - 7)) AS u(i))
+                  AS winnow_fp
+              FROM documents ORDER BY doc_id""")),
+
     // ---- document fingerprinting: content hash + order-insensitive
     //      bag-of-words fingerprint (md5-derived 60-bit integer)
     QueryDef(

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming versions of the event-analytics shapes.
+  *
+  * The reference has no streaming subsystem (SURVEY.md §2.10) — this is the
+  * post-parity extension mapped 1:1 onto Spark concepts: `readStream` over
+  * the events schema, `withWatermark` for late-data bounds, `window()` for
+  * tumbling aggregation, and `flatMapGroupsWithState` for sessionization
+  * state the way the batch operator does it with window functions.
+  *
+  * Scale: watermark + windowed agg is incrementally maintained per
+  * micro-batch and shuffles only by (window, event_type); session state is
+  * partitioned by user_id with per-key timeout — both shapes are the
+  * standard 1000-executor streaming topologies.
+  */
+object EventStreams {
+
+  /** events schema as produced by the testdata (ts surfaced at µs). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly tumbling counts/sums with a 1h watermark. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+  private case class SessState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization with explicit state: a session closes after
+    * 30 minutes of inactivity (processing-time timeout drives emission). */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+          var st = state.getOption.orNull
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (st == null) st = SessState(t, t, 1, e.value)
+            else if (t - st.last > gapMs) {
+              out += SessionAgg(user, new java.sql.Timestamp(st.start), st.n, st.total)
+              st = SessState(t, t, 1, e.value)
+            } else st = st.copy(last = t, n = st.n + 1, total = st.total + e.value)
+          }
+          if (st != null) state.update(st)
+          if (state.hasTimedOut && st != null) {
+            out += SessionAgg(user, new java.sql.Timestamp(st.start), st.n, st.total)
+            state.remove()
+          } else state.setTimeoutDuration(gapMs)
+          out.iterator
+      }
+  }
+
+  /** Drive a streaming DataFrame synchronously to a memory sink; returns
+    * the materialized result (for tests/local smoke — production writes
+    * to a real sink with a trigger). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      mode: String = "update"): DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

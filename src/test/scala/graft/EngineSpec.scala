@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DialectSpec extends AnyFunSuite {
+  test("LIMIT x,y becomes LIMIT y OFFSET x") {
+    assert(Dialect.rewrite("SELECT 1 FROM t LIMIT 5, 10")
+      == "SELECT 1 FROM t LIMIT 10 OFFSET 5")
+  }
+  test("plain LIMIT untouched") {
+    assert(Dialect.rewrite("SELECT 1 LIMIT 10") == "SELECT 1 LIMIT 10")
+  }
+  test("string literals are never rewritten") {
+    val q = "SELECT 'LIMIT 1, 2' AS s, \"# not a comment\" AS t FROM x LIMIT 1, 2"
+    assert(Dialect.rewrite(q)
+      == "SELECT 'LIMIT 1, 2' AS s, \"# not a comment\" AS t FROM x LIMIT 2 OFFSET 1")
+  }
+  test("# comments become -- comments") {
+    assert(Dialect.rewrite("SELECT 1 # trailing\nFROM t")
+      == "SELECT 1 -- trailing\nFROM t")
+  }
+  test("STRAIGHT_JOIN and SQL_CALC_FOUND_ROWS handled") {
+    assert(Dialect.rewrite("SELECT SQL_CALC_FOUND_ROWS a FROM t STRAIGHT_JOIN u")
+      .replaceAll("\\s+", " ").trim == "SELECT a FROM t JOIN u")
+  }
+  test("escaped quotes inside literals survive") {
+    val q = "SELECT 'it''s' FROM t LIMIT 1, 2"
+    assert(Dialect.rewrite(q) == "SELECT 'it''s' FROM t LIMIT 2 OFFSET 1")
+  }
+}
+
+class EngineSpec extends AnyFunSuite {
+  import SparkSpec.{spark, sfDir}
+  private lazy val engine = { val e = new Engine(spark); e.attachDir(sfDir); e }
+
+  test("query with MySQL-isms end-to-end") {
+    val rows = engine.query(
+      """SELECT o_orderkey, o_totalprice  # top orders
+         FROM orders
+         WHERE o_orderkey <=> o_orderkey AND o_orderkey DIV 2 >= 0
+           AND o_orderstatus REGEXP 'O|F'
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2, 3""").collect()
+    assert(rows.length == 3)
+  }
+
+  test("ctas + insertIntoSelect + drop round-trip") {
+    engine.ctas("big_orders", "SELECT * FROM orders WHERE o_totalprice > 400000")
+    val n0 = spark.table("big_orders").count()
+    assert(n0 > 0)
+    engine.insertIntoSelect("big_orders",
+      "SELECT * FROM orders WHERE o_totalprice <= 100000 LIMIT 5")
+    assert(spark.table("big_orders").count() == n0 + 5)
+    engine.drop("big_orders")
+    assert(!engine.showTables().contains("big_orders"))
+  }
+
+  test("catalog reads: showTables + describe") {
+    assert(engine.showTables().contains("lineitem"))
+    val d = engine.describe("region").toMap
+    assert(d("r_regionkey") == "int" && d("r_name") == "string")
+  }
+
+  test("explain returns a formatted plan with pushed filters") {
+    val plan = engine.explain(
+      "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45")
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThan(l_quantity,45"))
+  }
+
+  test("custom native functions are registered on the session") {
+    assert(engine.query("SELECT winnow_fingerprint('the quick brown fox jumps', 8) AS f")
+      .collect()(0).getLong(0) == 970748898268L)
+  }
+}

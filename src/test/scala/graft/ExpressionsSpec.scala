@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{expressions => gfx}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionsSpec extends AnyFunSuite {
+  import SparkSpec.spark
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("field returns 1-based index, 0 when absent") {
+    assert(one[Int](gfx.field(lit("b"), lit("a"), lit("b"), lit("c"))) == 2)
+    assert(one[Int](gfx.field(lit("z"), lit("a"), lit("b"))) == 0)
+    assert(one[Int](gfx.field(lit(null).cast("string"), lit("a"))) == 0)
+  }
+
+  test("insertStr splices like MySQL INSERT()") {
+    assert(one[String](gfx.insertStr(lit("Quadratic"), lit(3), lit(4), lit("What"))) == "QuWhattic")
+    // out-of-range pos -> unchanged
+    assert(one[String](gfx.insertStr(lit("abc"), lit(99), lit(2), lit("X"))) == "abc")
+    assert(one[String](gfx.insertStr(lit("abc"), lit(0), lit(2), lit("X"))) == "abc")
+  }
+
+  test("inet_aton/inet_ntoa round-trip and MySQL edge cases") {
+    assert(one[Long](gfx.inetAton(lit("10.0.5.9"))) == 167773449L)
+    assert(one[String](gfx.inetNtoa(lit(167773449L))) == "10.0.5.9")
+    assert(one[Any](gfx.inetAton(lit("256.1.1.1"))) == null)
+    assert(one[Any](gfx.inetAton(lit("1.2.3"))) == null)
+    assert(one[Any](gfx.inetAton(lit("a.b.c.d"))) == null)
+  }
+
+  test("export_set renders lowest bit first") {
+    assert(one[String](gfx.exportSet(lit(5L), lit("Y"), lit("N"), lit(","), lit(4))) == "Y,N,Y,N")
+    assert(one[String](gfx.exportSet(lit(6L), lit("1"), lit("0"), lit(""), lit(8))) == "01100000")
+  }
+
+  test("quoteStr escapes per MySQL QUOTE()") {
+    assert(one[String](gfx.quoteStr(lit("Don't"))) == "'Don\\'t'")
+    assert(one[String](gfx.quoteStr(lit("a\\b"))) == "'a\\\\b'")
+  }
+
+  test("winnowFingerprint matches the reference fold") {
+    // cross-checked against python: min over 8-windows of
+    // 'the quick brown fox jumps' with h = (h*31 + c) mod 2^61-1
+    assert(one[Long](gfx.winnowFingerprint(lit("the quick brown fox jumps"), lit(8)))
+      == 970748898268L)
+    assert(one[Any](gfx.winnowFingerprint(lit("short"), lit(8))) == null)
+  }
+
+  test("SQL registration makes functions usable in spark.sql") {
+    gfx.register(spark)
+    val r = spark.sql(
+      "SELECT mysql_field('b','a','b') AS f, inet_ntoa(inet_aton('1.2.3.4')) AS ip")
+      .collect()(0)
+    assert(r.getInt(0) == 2 && r.getString(1) == "1.2.3.4")
+  }
+}
