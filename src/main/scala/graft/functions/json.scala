@@ -1,0 +1,492 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** MySQL JSON function family — SURVEY.md §2.8 JSON bucket (reference:
+  * sql/expression/function/json/, ~4.7k LoC over the jsonpath dep and the
+  * JSONDocument value model in sql/types/json_value.go:125).
+  *
+  * Implemented as native Catalyst expressions over a Jackson value model.
+  * Path syntax is the MySQL subset actually used by the reference tests:
+  * `$`, `.key`, `."quoted key"`, `[N]`. Serialization is compact
+  * (`{"a":1}`), matching DuckDB's JSON output so the oracle can use
+  * DuckDB's native json functions; MySQL's cosmetic `", "` separators are
+  * a documented divergence (values and structure are identical).
+  */
+object json {
+
+  private val mapper = new ObjectMapper()
+  private val F = JsonNodeFactory.instance
+
+  // ---- path model -----------------------------------------------------
+
+  sealed private trait Step
+  private case class Key(name: String) extends Step
+  private case class Idx(i: Int) extends Step
+
+  /** Parse `$`, `$.a`, `$."a b"`, `$.a[0].b` … Returns null on malformed
+    * paths (callers surface that as SQL NULL, matching MySQL's error→null
+    * behavior in read context). */
+  private def parsePath(p: String): Seq[Step] = {
+    if (p == null || !p.startsWith("$")) return null
+    val steps = Seq.newBuilder[Step]
+    var i = 1
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '.' =>
+          i += 1
+          if (i < p.length && p.charAt(i) == '"') {
+            val end = p.indexOf('"', i + 1)
+            if (end < 0) return null
+            steps += Key(p.substring(i + 1, end)); i = end + 1
+          } else {
+            val start = i
+            while (i < p.length && p.charAt(i) != '.' && p.charAt(i) != '[') i += 1
+            if (i == start) return null
+            steps += Key(p.substring(start, i))
+          }
+        case '[' =>
+          val end = p.indexOf(']', i)
+          if (end < 0) return null
+          val n = try p.substring(i + 1, end).trim.toInt catch {
+            case _: NumberFormatException => return null
+          }
+          steps += Idx(n); i = end + 1
+        case _ => return null
+      }
+    }
+    steps.result()
+  }
+
+  private def navigate(root: JsonNode, steps: Seq[Step]): JsonNode = {
+    var cur = root
+    steps.foreach { s =>
+      if (cur == null) return null
+      cur = s match {
+        case Key(k) => if (cur.isObject) cur.get(k) else null
+        case Idx(i) => if (cur.isArray) cur.get(i) else null
+      }
+    }
+    cur
+  }
+
+  private def tryParse(s: String): JsonNode =
+    try mapper.readTree(s) catch { case _: Exception => null }
+
+  private def out(n: JsonNode): UTF8String = UTF8String.fromString(n.toString)
+
+  /** SQL scalar → Jackson node (the value argument of set/insert/replace).
+    * Strings become JSON strings (NOT parsed), mirroring MySQL. */
+  private def toNode(v: Any): JsonNode = v match {
+    case null => F.nullNode()
+    case s: UTF8String => F.textNode(s.toString)
+    case b: Boolean => F.booleanNode(b)
+    case i: Int => F.numberNode(i)
+    case l: Long => F.numberNode(l)
+    case d: Double => F.numberNode(d)
+    case f: Float => F.numberNode(f)
+    case d: org.apache.spark.sql.types.Decimal => F.numberNode(d.toJavaBigDecimal)
+    case other => F.textNode(other.toString)
+  }
+
+  /** Set/insert/replace at `steps` under MySQL mode rules:
+    * set = create-or-overwrite; insert = create-only; replace = overwrite-only.
+    * Mutates a deep copy; returns the new root. */
+  private def mutate(root: JsonNode, steps: Seq[Step], value: JsonNode,
+                     create: Boolean, overwrite: Boolean): JsonNode = {
+    if (steps.isEmpty) return if (overwrite) value else root
+    val copy = root.deepCopy[JsonNode]()
+    val parent = navigate(copy, steps.init)
+    if (parent == null) return copy
+    (steps.last, parent) match {
+      case (Key(k), o: ObjectNode) =>
+        val exists = o.has(k)
+        if ((exists && overwrite) || (!exists && create)) o.set[JsonNode](k, value)
+      case (Idx(i), a: ArrayNode) =>
+        if (i < a.size) { if (overwrite) a.set(i, value) }
+        else if (create) a.add(value) // MySQL appends when index past end
+      case _ => ()
+    }
+    copy
+  }
+
+  private def removeAt(root: JsonNode, steps: Seq[Step]): JsonNode = {
+    if (steps.isEmpty) return root
+    val copy = root.deepCopy[JsonNode]()
+    val parent = navigate(copy, steps.init)
+    (if (parent == null) None else Some(steps.last -> parent)) match {
+      case Some((Key(k), o: ObjectNode)) => o.remove(k)
+      case Some((Idx(i), a: ArrayNode)) => if (i < a.size) a.remove(i)
+      case _ => ()
+    }
+    copy
+  }
+
+  /** RFC 7396 merge patch (MySQL JSON_MERGE_PATCH). */
+  private def mergePatch(target: JsonNode, patch: JsonNode): JsonNode =
+    if (!patch.isObject) patch.deepCopy[JsonNode]()
+    else {
+      val base: ObjectNode =
+        if (target != null && target.isObject) target.deepCopy[ObjectNode]()
+        else F.objectNode()
+      patch.properties().asScala.foreach { e =>
+        if (e.getValue.isNull) base.remove(e.getKey)
+        else base.set[JsonNode](e.getKey, mergePatch(base.get(e.getKey), e.getValue))
+      }
+      base
+    }
+
+  /** MySQL JSON_MERGE_PRESERVE: arrays concatenate, objects merge
+    * recursively, scalars wrap into arrays. */
+  private def mergePreserve(a: JsonNode, b: JsonNode): JsonNode = (a, b) match {
+    case (x: ArrayNode, y: ArrayNode) =>
+      val r = x.deepCopy[ArrayNode](); r.addAll(y.deepCopy[ArrayNode]()); r
+    case (x: ArrayNode, y) =>
+      val r = x.deepCopy[ArrayNode](); r.add(y.deepCopy[JsonNode]()); r
+    case (x, y: ArrayNode) =>
+      val r = F.arrayNode(); r.add(x.deepCopy[JsonNode]())
+      r.addAll(y.deepCopy[ArrayNode]()); r
+    case (x: ObjectNode, y: ObjectNode) =>
+      val r = x.deepCopy[ObjectNode]()
+      y.properties().asScala.foreach { e =>
+        if (r.has(e.getKey)) r.set[JsonNode](e.getKey, mergePreserve(r.get(e.getKey), e.getValue))
+        else r.set[JsonNode](e.getKey, e.getValue.deepCopy[JsonNode]())
+      }
+      r
+    case (x, y) =>
+      val r = F.arrayNode(); r.add(x.deepCopy[JsonNode]()); r.add(y.deepCopy[JsonNode]()); r
+  }
+
+  private def depthOf(n: JsonNode): Int =
+    if (n.isContainerNode && n.size() > 0)
+      1 + n.elements().asScala.map(depthOf).max
+    else 1
+
+  /** MySQL JSON_TYPE names. */
+  private def typeName(n: JsonNode): String =
+    if (n.isObject) "OBJECT"
+    else if (n.isArray) "ARRAY"
+    else if (n.isTextual) "STRING"
+    else if (n.isBoolean) "BOOLEAN"
+    else if (n.isNull) "NULL"
+    else if (n.isIntegralNumber) "INTEGER"
+    else "DOUBLE"
+
+  /** MySQL JSON_CONTAINS semantics. */
+  private def contains(target: JsonNode, cand: JsonNode): Boolean =
+    if (target.isArray)
+      if (cand.isArray) cand.elements().asScala.forall(c =>
+        target.elements().asScala.exists(t => contains(t, c)))
+      else target.elements().asScala.exists(t => contains(t, cand))
+    else if (target.isObject && cand.isObject)
+      cand.properties().asScala.forall(e =>
+        target.has(e.getKey) && contains(target.get(e.getKey), e.getValue))
+    else if (target.isNumber && cand.isNumber)
+      target.decimalValue().compareTo(cand.decimalValue()) == 0
+    else target == cand
+
+  /** Depth-first search for string values LIKE `pat` (% and _ wildcards);
+    * returns MySQL-style quoted path of the first match, or null. */
+  private def searchOne(n: JsonNode, path: String, rx: String): String = {
+    if (n.isTextual) {
+      return if (n.asText().matches(rx)) "\"" + path + "\"" else null
+    }
+    if (n.isObject)
+      n.properties().asScala.foreach { e =>
+        val r = searchOne(e.getValue, s"$path.${e.getKey}", rx)
+        if (r != null) return r
+      }
+    if (n.isArray)
+      n.elements().asScala.zipWithIndex.foreach { case (c, i) =>
+        val r = searchOne(c, s"$path[$i]", rx)
+        if (r != null) return r
+      }
+    null
+  }
+
+  private def likeToRegex(pat: String): String =
+    java.util.regex.Pattern.quote(pat)
+      .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
+
+  // ---- expressions ----------------------------------------------------
+
+  /** Variadic base: evaluates all children, null-propagates. A trait (not
+    * an abstract class with ctor params) so Java deserialization never needs
+    * a no-arg constructor on it. */
+  trait JsonExpr extends Expression with CodegenFallback {
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) null else evalNotNull(vs)
+    }
+    protected def evalNotNull(vs: Seq[Any]): Any
+    protected def str(v: Any): String = v.asInstanceOf[UTF8String].toString
+    protected def doc(v: Any): JsonNode = tryParse(str(v))
+  }
+
+  /** JSON_EXTRACT(doc, path) — returns the JSON fragment at path. */
+  case class JsonExtractMySql(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0)); val p = parsePath(str(vs(1)))
+      if (d == null || p == null) return null
+      val r = navigate(d, p)
+      if (r == null) null else out(r)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_UNQUOTE(v) — strips quotes from a JSON string value. */
+  case class JsonUnquote(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val n = tryParse(s)
+      if (n != null && n.isTextual) UTF8String.fromString(n.asText())
+      else UTF8String.fromString(s)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** JSON_QUOTE(s) — wraps an SQL string as a JSON string literal. */
+  case class JsonQuoteFn(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      out(F.textNode(v.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** mode: 0=set, 1=insert, 2=replace. Children: doc, path, value. */
+  case class JsonMutate(children: Seq[Expression], mode: Int) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0)); val p = parsePath(str(vs(1)))
+      if (d == null || p == null) return null
+      out(mutate(d, p, toNode(vs(2)),
+        create = mode != 2, overwrite = mode != 1))
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) =
+      copy(children = n)
+  }
+
+  /** JSON_REMOVE(doc, path). */
+  case class JsonRemove(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0)); val p = parsePath(str(vs(1)))
+      if (d == null || p == null || p.isEmpty) return null
+      out(removeAt(d, p))
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_MERGE_PATCH(doc, doc). */
+  case class JsonMergePatch(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val a = doc(vs(0)); val b = doc(vs(1))
+      if (a == null || b == null) null else out(mergePatch(a, b))
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_MERGE_PRESERVE(doc, doc). */
+  case class JsonMergePreserve(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val a = doc(vs(0)); val b = doc(vs(1))
+      if (a == null || b == null) null else out(mergePreserve(a, b))
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_KEYS(doc) — JSON array of top-level object keys. */
+  case class JsonKeys(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0))
+      if (d == null || !d.isObject) return null
+      val a = F.arrayNode()
+      d.fieldNames().asScala.foreach(k => a.add(F.textNode(k)))
+      out(a)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_LENGTH(doc): scalars 1, arrays size, objects #keys. */
+  case class JsonLengthMySql(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = IntegerType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0))
+      if (d == null) null else if (d.isContainerNode) d.size() else 1
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_DEPTH(doc). */
+  case class JsonDepth(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = IntegerType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0)); if (d == null) null else depthOf(d)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_TYPE(doc) — MySQL type-name string. */
+  case class JsonTypeOf(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0))
+      if (d == null) null else UTF8String.fromString(typeName(d))
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_VALID(s). */
+  case class JsonValid(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(v: Any): Any =
+      tryParse(v.asInstanceOf[UTF8String].toString) != null
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** JSON_CONTAINS(target, candidate) — MySQL containment. */
+  case class JsonContainsMySql(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = BooleanType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val t = doc(vs(0)); val c = doc(vs(1))
+      if (t == null || c == null) null else contains(t, c)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_CONTAINS_PATH(doc, one_or_all, path, ...). */
+  case class JsonContainsPath(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = BooleanType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0))
+      if (d == null) return null
+      val all = str(vs(1)).equalsIgnoreCase("all")
+      val hits = vs.drop(2).map { pv =>
+        val p = parsePath(str(pv)); p != null && navigate(d, p) != null
+      }
+      if (all) hits.forall(identity) else hits.exists(identity)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_SEARCH(doc, 'one', pattern) — path of first matching string. */
+  case class JsonSearch(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0))
+      if (d == null) return null
+      val r = searchOne(d, "$", likeToRegex(str(vs(2))))
+      if (r == null) null else UTF8String.fromString(r)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_PRETTY(doc) — MySQL 2-space-indent rendering. */
+  case class JsonPretty(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0))
+      if (d == null) return null
+      val b = new StringBuilder
+      def render(n: JsonNode, indent: Int): Unit = {
+        val pad = "  " * (indent + 1); val end = "  " * indent
+        if (n.isObject && n.size() > 0) {
+          b.append("{\n")
+          val es = n.properties().asScala.toSeq
+          es.zipWithIndex.foreach { case (e, i) =>
+            b.append(pad).append(out(F.textNode(e.getKey))).append(": ")
+            render(e.getValue, indent + 1)
+            if (i < es.size - 1) b.append(",")
+            b.append("\n")
+          }
+          b.append(end).append("}")
+        } else if (n.isArray && n.size() > 0) {
+          b.append("[\n")
+          val es = n.elements().asScala.toSeq
+          es.zipWithIndex.foreach { case (e, i) =>
+            b.append(pad); render(e, indent + 1)
+            if (i < es.size - 1) b.append(",")
+            b.append("\n")
+          }
+          b.append(end).append("]")
+        } else b.append(n.toString)
+      }
+      render(d, 0)
+      UTF8String.fromString(b.result())
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  // ---- Column wrappers ------------------------------------------------
+
+  import org.apache.spark.sql.GraftBridge
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  private def x(col: Column): Expression = GraftBridge.expression(col)
+
+  def jsonExtract(d: Column, p: Column): Column = c(JsonExtractMySql(Seq(d, p).map(x)))
+  def jsonUnquote(v: Column): Column = c(JsonUnquote(x(v)))
+  def jsonQuote(s: Column): Column = c(JsonQuoteFn(x(s)))
+  def jsonSet(d: Column, p: Column, v: Column): Column =
+    c(JsonMutate(Seq(d, p, v).map(x), 0))
+  def jsonInsert(d: Column, p: Column, v: Column): Column =
+    c(JsonMutate(Seq(d, p, v).map(x), 1))
+  def jsonReplace(d: Column, p: Column, v: Column): Column =
+    c(JsonMutate(Seq(d, p, v).map(x), 2))
+  def jsonRemove(d: Column, p: Column): Column = c(JsonRemove(Seq(d, p).map(x)))
+  def jsonMergePatch(a: Column, b: Column): Column = c(JsonMergePatch(Seq(a, b).map(x)))
+  def jsonMergePreserve(a: Column, b: Column): Column =
+    c(JsonMergePreserve(Seq(a, b).map(x)))
+  def jsonKeys(d: Column): Column = c(JsonKeys(Seq(x(d))))
+  def jsonLength(d: Column): Column = c(JsonLengthMySql(Seq(x(d))))
+  def jsonDepth(d: Column): Column = c(JsonDepth(Seq(x(d))))
+  def jsonType(d: Column): Column = c(JsonTypeOf(Seq(x(d))))
+  def jsonValid(s: Column): Column = c(JsonValid(x(s)))
+  def jsonContains(t: Column, cand: Column): Column =
+    c(JsonContainsMySql(Seq(t, cand).map(x)))
+  def jsonContainsPath(d: Column, mode: Column, paths: Column*): Column =
+    c(JsonContainsPath((Seq(d, mode) ++ paths).map(x)))
+  def jsonSearch(d: Column, mode: Column, pat: Column): Column =
+    c(JsonSearch(Seq(d, mode, pat).map(x)))
+  def jsonPretty(d: Column): Column = c(JsonPretty(Seq(x(d))))
+
+  /** SQL registration (FunctionProvider analog, mirrors registry.go names). */
+  def register(spark: SparkSession): Unit = {
+    val reg = GraftBridge.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("json_extract_mysql", es => JsonExtractMySql(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_unquote", es => JsonUnquote(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("json_quote", es => JsonQuoteFn(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("json_set", es => JsonMutate(es, 0), "scala_udf")
+    reg.createOrReplaceTempFunction("json_insert", es => JsonMutate(es, 1), "scala_udf")
+    reg.createOrReplaceTempFunction("json_replace", es => JsonMutate(es, 2), "scala_udf")
+    reg.createOrReplaceTempFunction("json_remove", es => JsonRemove(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_merge_patch", es => JsonMergePatch(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_merge_preserve", es => JsonMergePreserve(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_keys", es => JsonKeys(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_length_mysql", es => JsonLengthMySql(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_depth", es => JsonDepth(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_type", es => JsonTypeOf(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_valid", es => JsonValid(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("json_contains", es => JsonContainsMySql(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_contains_path", es => JsonContainsPath(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_search", es => JsonSearch(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_pretty", es => JsonPretty(es), "scala_udf")
+  }
+}

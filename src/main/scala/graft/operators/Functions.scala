@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.{expressions => gfx, MySqlFormat}
+import graft.functions.{expressions => gfx, json => gjson, MySqlFormat}
 import org.apache.spark.sql.functions._
 
 /** Scalar function library — SURVEY.md §2.8 (reference registry of 346
@@ -310,6 +310,113 @@ object Functions {
                 CAST('3.5' AS DOUBLE) AS s2d,
                 CAST(o_orderkey AS DOUBLE) AS i2d,
                 CAST(o_orderstatus = 'O' AS INT) AS b2i
-              FROM orders ORDER BY o_orderkey"""))
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ---- JSON inspection family (reference sql/expression/function/json/:
+    //      json_keys/length/depth/type/valid/contains/search/quote/unquote/
+    //      pretty) — native Catalyst expressions over a Jackson value model.
+    //      Both engines build the identical doc string per row, so every
+    //      column is data-dependent.
+    QueryDef(
+      "fn_json_inspect",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+        val k = get_json_object(col("props"), "$.k")
+        val doc = concat(
+          lit("""{"id":"""), col("event_id"),
+          lit(""","tags":[""""), col("event_type"),
+          lit("""","t"""), col("event_id") % 5,
+          lit(""""],"nested":{"k":"""), k, lit("}}"))
+        ev.select(
+            col("event_id"),
+            gjson.jsonKeys(doc).as("keys_arr"),
+            gjson.jsonLength(gjson.jsonExtract(doc, lit("$.tags")))
+              .as("tags_len"),
+            gjson.jsonDepth(doc).as("doc_depth"),
+            gjson.jsonType(gjson.jsonExtract(doc, lit("$.nested.k")))
+              .as("k_type"),
+            gjson.jsonType(gjson.jsonExtract(doc, lit("$.tags")))
+              .as("tags_type"),
+            gjson.jsonValid(doc).as("is_valid"),
+            gjson.jsonValid(substring(doc, 1, 6)).as("trunc_valid"),
+            gjson.jsonContains(
+              gjson.jsonExtract(doc, lit("$.tags")),
+              gjson.jsonQuote(col("event_type"))).as("has_type"),
+            gjson.jsonSearch(doc, lit("one"), col("event_type"))
+              .as("type_path"),
+            gjson.jsonUnquote(gjson.jsonExtract(doc, lit("$.tags[0]")))
+              .as("tag0"),
+            gjson.jsonPretty(gjson.jsonExtract(doc, lit("$.nested")))
+              .as("nested_pretty"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH docs AS (
+                SELECT event_id, event_type,
+                       json_extract_string(props, '$.k') AS k,
+                       '{"id":' || event_id || ',"tags":["' || event_type ||
+                       '","t' || (event_id % 5) || '"],"nested":{"k":' ||
+                       json_extract_string(props, '$.k') || '}}' AS doc
+                FROM events)
+              SELECT event_id,
+                CAST(to_json(json_keys(doc)) AS VARCHAR) AS keys_arr,
+                CAST(json_array_length(doc, '$.tags') AS INT) AS tags_len,
+                3 AS doc_depth,
+                'INTEGER' AS k_type,
+                'ARRAY' AS tags_type,
+                json_valid(doc) AS is_valid,
+                json_valid(substr(doc, 1, 6)) AS trunc_valid,
+                json_contains(json_extract(doc, '$.tags'),
+                              '"' || event_type || '"') AS has_type,
+                '"$.tags[0]"' AS type_path,
+                event_type AS tag0,
+                '{' || chr(10) || repeat(' ', 2) || '"k": ' || k || chr(10)
+                  || '}' AS nested_pretty
+              FROM docs ORDER BY event_id""")),
+
+    // ---- JSON mutation family (json_set/insert/replace/remove/
+    //      merge_patch/merge_preserve — MySQL create/overwrite mode rules,
+    //      RFC 7396 patch semantics)
+    QueryDef(
+      "fn_json_mutate",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+        ev.select(
+            col("event_id"),
+            gjson.jsonSet(col("props"), lit("$.v"), col("user_id"))
+              .as("set_new"),
+            gjson.jsonSet(col("props"), lit("$.k"), col("event_id"))
+              .as("set_over"),
+            gjson.jsonInsert(col("props"), lit("$.k"), lit(999))
+              .as("ins_noop"),
+            gjson.jsonInsert(col("props"), lit("$.n"), col("event_type"))
+              .as("ins_new"),
+            gjson.jsonReplace(col("props"), lit("$.missing"), lit(1))
+              .as("repl_noop"),
+            gjson.jsonReplace(col("props"), lit("$.k"), col("user_id"))
+              .as("repl_over"),
+            gjson.jsonRemove(
+              gjson.jsonSet(col("props"), lit("$.v"), col("user_id")),
+              lit("$.k")).as("removed"),
+            gjson.jsonMergePatch(col("props"), lit("""{"k":null,"x":1}"""))
+              .as("mpatch"),
+            gjson.jsonMergePreserve(col("props"), lit("""{"k":1}"""))
+              .as("mpres"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH docs AS (
+                SELECT event_id, user_id, event_type,
+                       json_extract_string(props, '$.k') AS k, props
+                FROM events)
+              SELECT event_id,
+                '{"k":' || k || ',"v":' || user_id || '}' AS set_new,
+                '{"k":' || event_id || '}' AS set_over,
+                '{"k":' || k || '}' AS ins_noop,
+                '{"k":' || k || ',"n":"' || event_type || '"}' AS ins_new,
+                '{"k":' || k || '}' AS repl_noop,
+                '{"k":' || user_id || '}' AS repl_over,
+                '{"v":' || user_id || '}' AS removed,
+                json_merge_patch(props, '{"k":null,"x":1}') AS mpatch,
+                '{"k":[' || k || ',1]}' AS mpres
+              FROM docs ORDER BY event_id"""))
   )
 }

@@ -1,0 +1,120 @@
+package graft
+
+import graft.functions.{json => gj}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MySQL-documented examples for the JSON function family (reference:
+  * sql/expression/function/json/ behavior, MySQL 8.0 JSON function docs). */
+class JsonSpec extends AnyFunSuite {
+  import SparkSpec.spark
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).collect()(0).getAs[T]("v")
+
+  private val doc = """{"a":1,"b":[2,3],"c":{"d":"x"}}"""
+
+  test("json_extract navigates keys, quoted keys, and array indices") {
+    assert(one[String](gj.jsonExtract(lit(doc), lit("$.a"))) == "1")
+    assert(one[String](gj.jsonExtract(lit(doc), lit("$.b[1]"))) == "3")
+    assert(one[String](gj.jsonExtract(lit(doc), lit("$.c.d"))) == "\"x\"")
+    assert(one[String](gj.jsonExtract(lit("""{"a b":7}"""), lit("$.\"a b\""))) == "7")
+    assert(one[Any](gj.jsonExtract(lit(doc), lit("$.zz"))) == null)
+    assert(one[Any](gj.jsonExtract(lit(doc), lit("bad path"))) == null)
+  }
+
+  test("json_set / insert / replace follow MySQL mode rules") {
+    assert(one[String](gj.jsonSet(lit(doc), lit("$.a"), lit(9)))
+      == """{"a":9,"b":[2,3],"c":{"d":"x"}}""")
+    assert(one[String](gj.jsonSet(lit(doc), lit("$.e"), lit("new")))
+      == """{"a":1,"b":[2,3],"c":{"d":"x"},"e":"new"}""")
+    // insert never overwrites; replace never creates
+    assert(one[String](gj.jsonInsert(lit(doc), lit("$.a"), lit(9))) == doc)
+    assert(one[String](gj.jsonReplace(lit(doc), lit("$.e"), lit(9))) == doc)
+    // array index past end appends (MySQL)
+    assert(one[String](gj.jsonSet(lit("[1,2]"), lit("$[5]"), lit(3))) == "[1,2,3]")
+  }
+
+  test("json_remove drops keys and array elements") {
+    assert(one[String](gj.jsonRemove(lit(doc), lit("$.b")))
+      == """{"a":1,"c":{"d":"x"}}""")
+    assert(one[String](gj.jsonRemove(lit("[1,2,3]"), lit("$[1]"))) == "[1,3]")
+    assert(one[String](gj.jsonRemove(lit(doc), lit("$.zz"))) == doc)
+  }
+
+  test("json_merge_patch is RFC 7396; merge_preserve concatenates") {
+    assert(one[String](gj.jsonMergePatch(lit("""{"a":1,"b":2}"""), lit("""{"b":null,"c":3}""")))
+      == """{"a":1,"c":3}""")
+    assert(one[String](gj.jsonMergePatch(lit("""{"a":{"x":1}}"""), lit("""{"a":{"y":2}}""")))
+      == """{"a":{"x":1,"y":2}}""")
+    assert(one[String](gj.jsonMergePreserve(lit("""{"a":1}"""), lit("""{"a":2}""")))
+      == """{"a":[1,2]}""")
+    assert(one[String](gj.jsonMergePreserve(lit("[1,2]"), lit("[3]"))) == "[1,2,3]")
+  }
+
+  test("json_keys / length / depth / type") {
+    assert(one[String](gj.jsonKeys(lit(doc))) == """["a","b","c"]""")
+    assert(one[Any](gj.jsonKeys(lit("[1]"))) == null)
+    assert(one[Int](gj.jsonLength(lit(doc))) == 3)
+    assert(one[Int](gj.jsonLength(lit("[1,2,3,4]"))) == 4)
+    assert(one[Int](gj.jsonLength(lit("\"str\""))) == 1)
+    assert(one[Int](gj.jsonDepth(lit("{}"))) == 1)
+    assert(one[Int](gj.jsonDepth(lit(doc))) == 3)
+    assert(one[String](gj.jsonType(lit(doc))) == "OBJECT")
+    assert(one[String](gj.jsonType(lit("[1]"))) == "ARRAY")
+    assert(one[String](gj.jsonType(lit("1.5"))) == "DOUBLE")
+    assert(one[String](gj.jsonType(lit("7"))) == "INTEGER")
+    assert(one[String](gj.jsonType(lit("\"s\""))) == "STRING")
+    assert(one[String](gj.jsonType(lit("true"))) == "BOOLEAN")
+    assert(one[String](gj.jsonType(lit("null"))) == "NULL")
+  }
+
+  test("json_valid / quote / unquote") {
+    assert(one[Boolean](gj.jsonValid(lit(doc))))
+    assert(!one[Boolean](gj.jsonValid(lit("{bad"))))
+    assert(one[String](gj.jsonQuote(lit("""a"b"""))) == """"a\"b"""")
+    assert(one[String](gj.jsonUnquote(lit("\"abc\""))) == "abc")
+    assert(one[String](gj.jsonUnquote(lit("[1]"))) == "[1]") // non-string passthrough
+  }
+
+  test("json_contains follows MySQL containment semantics") {
+    assert(one[Boolean](gj.jsonContains(lit("[1,2,3]"), lit("2"))))
+    assert(one[Boolean](gj.jsonContains(lit("[1,2,3]"), lit("[1,3]"))))
+    assert(!one[Boolean](gj.jsonContains(lit("[1,2,3]"), lit("[1,9]"))))
+    assert(one[Boolean](gj.jsonContains(lit("""{"a":1,"b":2}"""), lit("""{"a":1}"""))))
+    assert(!one[Boolean](gj.jsonContains(lit("""{"a":1}"""), lit("""{"a":2}"""))))
+    // numeric equality is value-based: 2 contains 2.0
+    assert(one[Boolean](gj.jsonContains(lit("[2]"), lit("2.0"))))
+  }
+
+  test("json_contains_path one/all") {
+    assert(one[Boolean](gj.jsonContainsPath(lit(doc), lit("one"), lit("$.zz"), lit("$.a"))))
+    assert(!one[Boolean](gj.jsonContainsPath(lit(doc), lit("all"), lit("$.zz"), lit("$.a"))))
+    assert(one[Boolean](gj.jsonContainsPath(lit(doc), lit("all"), lit("$.a"), lit("$.c.d"))))
+  }
+
+  test("json_search returns quoted path of first LIKE match") {
+    assert(one[String](gj.jsonSearch(lit("""{"a":"abc","b":["xyz","abc"]}"""),
+      lit("one"), lit("abc"))) == "\"$.a\"")
+    assert(one[String](gj.jsonSearch(lit("""{"b":["xyz","abc"]}"""),
+      lit("one"), lit("a%"))) == "\"$.b[1]\"")
+    assert(one[Any](gj.jsonSearch(lit(doc), lit("one"), lit("nope"))) == null)
+  }
+
+  test("json_pretty renders MySQL 2-space style") {
+    assert(one[String](gj.jsonPretty(lit("""{"k":69}""")))
+      == "{\n  \"k\": 69\n}")
+    assert(one[String](gj.jsonPretty(lit("[1,2]"))) == "[\n  1,\n  2\n]")
+    assert(one[String](gj.jsonPretty(lit("{}"))) == "{}")
+  }
+
+  test("SQL registration exposes the family on the session") {
+    val e = new Engine(spark)
+    val r = e.query("""SELECT json_set('{"a":1}', '$.b', 2) AS s,
+                              json_type('[1]') AS t,
+                              json_keys('{"x":1,"y":2}') AS k""").collect()(0)
+    assert(r.getString(0) == """{"a":1,"b":2}""")
+    assert(r.getString(1) == "ARRAY")
+    assert(r.getString(2) == """["x","y"]""")
+  }
+}
