@@ -140,6 +140,69 @@ object Aggregates {
       Some(s"""SELECT p_brand, ${sqlAvg("p_retailprice")} AS avg_price,
                  ${sqlSum("p_retailprice")} AS sum_price,
                  MIN(p_size) AS min_size, MAX(p_size) AS max_size
-               FROM part GROUP BY p_brand ORDER BY p_brand"""))
+               FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- ROLLUP: hierarchical subtotals. The reference has no grouping
+    //      sets (SURVEY §2.4: planbuilder/aggregates.go:91 builds plain
+    //      GROUP BY only) — this is the free Spark upgrade noted there.
+    //      grouping_id() disambiguates subtotal rows (bit per column, first
+    //      column = MSB, same encoding in Spark and DuckDB's grouping()).
+    QueryDef(
+      "agg_rollup",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            grouping_id().as("gid"))
+          .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                 ${sqlSum("l_quantity")} AS sum_qty,
+                 2*GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid
+               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+               ORDER BY gid, l_returnflag NULLS FIRST,
+                 l_linestatus NULLS FIRST""")),
+
+    // ---- CUBE: all grouping combinations
+    QueryDef(
+      "agg_cube",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            grouping_id().as("gid"))
+          .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+                 ${sqlSum("o_totalprice")} AS sum_price,
+                 2*GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS gid
+               FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+               ORDER BY gid, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST""")),
+
+    // ---- explicit GROUPING SETS (SQL form; arbitrary set list)
+    QueryDef(
+      "agg_grouping_sets",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                    ${Det.sqlSum("l_extendedprice")} AS sum_price,
+                    grouping_id() AS gid
+                  FROM lineitem
+                  GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                  ORDER BY gid, l_returnflag ASC NULLS FIRST,
+                    l_linestatus ASC NULLS FIRST""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                 ${sqlSum("l_extendedprice")} AS sum_price,
+                 2*GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY gid, l_returnflag NULLS FIRST,
+                 l_linestatus NULLS FIRST"""))
   )
 }

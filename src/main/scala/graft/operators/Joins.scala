@@ -244,6 +244,31 @@ object Joins {
               WHERE r_name = 'ASIA'
                 AND o_orderdate >= '1994-01-01' AND o_orderdate < '1996-01-01'
               GROUP BY n_name ORDER BY revenue DESC, n_name"""),
-      headline = true)
+      headline = true),
+
+    // ---- LATERAL join (correlated FROM-clause subquery; reference
+    //      JoinTypeLateral* sql/plan/join.go:63-66). Spark 3.4+ parses
+    //      LATERAL natively; Catalyst decorrelates the aggregate subquery
+    //      into a left outer aggregate join — no per-row re-execution, so
+    //      it scales as one shuffle at 100 TB rather than N index probes.
+    QueryDef(
+      "join_lateral",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c.c_custkey, t.n_ord, t.max_price
+                 FROM customer c
+                 JOIN LATERAL (
+                   SELECT count(o_orderkey) AS n_ord,
+                          max(o_totalprice) AS max_price
+                   FROM orders WHERE o_custkey = c.c_custkey) t
+                 ORDER BY c.c_custkey""")
+      },
+      Some("""SELECT c.c_custkey, t.n_ord, t.max_price
+              FROM customer c
+              JOIN LATERAL (
+                SELECT count(o_orderkey) AS n_ord,
+                       max(o_totalprice) AS max_price
+                FROM orders WHERE o_custkey = c.c_custkey) t ON TRUE
+              ORDER BY c.c_custkey"""))
   )
 }

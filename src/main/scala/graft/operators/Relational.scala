@@ -214,6 +214,32 @@ object Relational {
                     (1 - CAST(l_discount AS DECIMAL(4,2))) *
                     (1 + CAST(l_tax AS DECIMAL(4,2))) AS net
                 FROM lineitem)
-              ORDER BY l_orderkey, l_linenumber, gross LIMIT 1000"""))
+              ORDER BY l_orderkey, l_linenumber, gross LIMIT 1000""")),
+
+    // ---- JSON_TABLE (reference sql/plan/json_table.go:113 — explode a
+    //      JSON document into rows/columns by path). Spark-first: from_json
+    //      to array<struct> + explode (a Generator, exactly the custom-UDTF
+    //      slot SURVEY §2.11 reserves); schema projection happens inside
+    //      the generator, so only the requested columns materialize.
+    QueryDef(
+      "json_table",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val ev = Tables.t(s, d, "events")
+        val doc = concat(
+          lit("""[{"n":1,"v":""""), col("event_type"),
+          lit(""""},{"n":2,"v":""""), upper(col("event_type")), lit(""""}]"""))
+        val schema = ArrayType(StructType(Seq(
+          StructField("n", IntegerType), StructField("v", StringType))))
+        ev.select(col("event_id"),
+            explode(from_json(doc, schema)).as("j"))
+          .select(col("event_id"), col("j.n").as("n"), col("j.v").as("v"))
+          .orderBy(col("event_id"), col("n"))
+      },
+      Some("""SELECT event_id, n, v FROM (
+                SELECT event_id, 1 AS n, event_type AS v FROM events
+                UNION ALL
+                SELECT event_id, 2 AS n, upper(event_type) AS v FROM events)
+              ORDER BY event_id, n"""))
   )
 }
