@@ -120,6 +120,27 @@ object expressions {
         newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
   }
 
+  /** MAKE_SET(bits, s1, s2, ...) — joins with ',' the strings whose bit is
+    * set (lowest bit = s1); NULL strings are skipped (MySQL semantics,
+    * reference: MAKE_SET in registry.go). */
+  case class MakeSet(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = children.head.nullable
+    override def eval(input: InternalRow): Any = {
+      val bitsV = children.head.eval(input)
+      if (bitsV == null) return null
+      val bits = bitsV.asInstanceOf[Number].longValue()
+      val parts = children.tail.zipWithIndex.collect {
+        case (e, i) if ((bits >> i) & 1L) == 1L && e.eval(input) != null =>
+          e.eval(input).toString
+      }
+      UTF8String.fromString(parts.mkString(","))
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+  }
+
   /** MySQL QUOTE(): wraps in single quotes, escaping ', \, NUL, ^Z. */
   case class QuoteStr(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -193,6 +214,8 @@ object expressions {
   def exportSet(bits: Column, on: Column, off: Column, sep: Column, n: Column): Column =
     c(ExportSet(Seq(bits, on, off, sep, n).map(x)))
   def quoteStr(s: Column): Column = c(QuoteStr(x(s)))
+  def makeSet(bits: Column, strs: Column*): Column =
+    c(MakeSet((bits +: strs).map(x)))
   def winnowFingerprint(s: Column, k: Column): Column =
     c(WinnowFingerprint(x(s), x(k)))
 
@@ -207,6 +230,7 @@ object expressions {
     reg.createOrReplaceTempFunction("inet_ntoa", es => InetNtoa(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("export_set", es => ExportSet(es), "scala_udf")
     reg.createOrReplaceTempFunction("mysql_quote", es => QuoteStr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("make_set", es => MakeSet(es), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       es => WinnowFingerprint(es(0), es(1)), "scala_udf")
   }

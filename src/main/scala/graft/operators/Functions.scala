@@ -283,6 +283,52 @@ object Functions {
                 '''' || c_name || '''' AS quoted
               FROM customer ORDER BY c_custkey""")),
 
+    // ---- extended string bucket: elt/find_in_set/conv/format/
+    //      substring_index/chr are Spark built-ins (codegen'd); make_set and
+    //      strcmp are the genuine gaps (native expression / CASE shape).
+    QueryDef(
+      "fn_string_ext",
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            expr("elt((c_custkey % 3) + 1, 'one', 'two', 'three')").as("elt_pick"),
+            expr("""find_in_set(c_mktsegment,
+              'AUTOMOBILE,BUILDING,FURNITURE,MACHINERY,HOUSEHOLD')""").as("seg_pos"),
+            gfx.makeSet(col("c_custkey") % 8, lit("a"), lit("b"), lit("c"))
+              .as("mset"),
+            conv(col("c_custkey").cast("string"), 10, 16).as("hex16"),
+            conv(col("c_custkey").cast("string"), 10, 2).as("bin2"),
+            format_number(col("c_acctbal"), 2).as("bal_fmt"),
+            substring_index(col("c_name"), "0", 3).as("sidx"),
+            when(col("c_name") < col("c_mktsegment"), -1)
+              .when(col("c_name") === col("c_mktsegment"), 0)
+              .otherwise(1).as("cmp"),
+            chr(lit(65) + col("c_custkey") % 26).as("chr_pick"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+                CASE (c_custkey % 3) + 1 WHEN 1 THEN 'one' WHEN 2 THEN 'two'
+                  ELSE 'three' END AS elt_pick,
+                CAST(coalesce(list_position(
+                  string_split('AUTOMOBILE,BUILDING,FURNITURE,MACHINERY,HOUSEHOLD', ','),
+                  c_mktsegment), 0) AS INT) AS seg_pos,
+                concat_ws(',',
+                  CASE WHEN (c_custkey % 8) & 1 = 1 THEN 'a' END,
+                  CASE WHEN (c_custkey % 8) & 2 = 2 THEN 'b' END,
+                  CASE WHEN (c_custkey % 8) & 4 = 4 THEN 'c' END) AS mset,
+                upper(to_hex(c_custkey)) AS hex16,
+                bin(c_custkey) AS bin2,
+                CASE WHEN c_acctbal < 0 THEN '-' ELSE '' END ||
+                  CASE WHEN length(printf('%.2f', abs(c_acctbal))) = 7
+                       THEN substr(printf('%.2f', abs(c_acctbal)), 1, 1) || ',' ||
+                            substr(printf('%.2f', abs(c_acctbal)), 2)
+                       ELSE printf('%.2f', abs(c_acctbal)) END AS bal_fmt,
+                array_to_string(string_split(c_name, '0')[1:3], '0') AS sidx,
+                CASE WHEN c_name < c_mktsegment THEN -1
+                     WHEN c_name = c_mktsegment THEN 0 ELSE 1 END AS cmp,
+                chr(CAST(65 + c_custkey % 26 AS INT)) AS chr_pick
+              FROM customer ORDER BY c_custkey""")),
+
     // ---- cast/coercion bucket (sql/types/ conversion semantics)
     QueryDef(
       "fn_cast",

@@ -49,6 +49,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(one[Any](gfx.winnowFingerprint(lit("short"), lit(8))) == null)
   }
 
+  test("makeSet joins bit-selected strings, skips NULLs") {
+    assert(one[String](gfx.makeSet(lit(5L), lit("a"), lit("b"), lit("c"))) == "a,c")
+    assert(one[String](gfx.makeSet(lit(0L), lit("a"))) == "")
+    assert(one[String](gfx.makeSet(lit(3L), lit("a"),
+      lit(null).cast("string"), lit("c"))) == "a")
+    assert(one[Any](gfx.makeSet(lit(null).cast("long"), lit("a"))) == null)
+  }
+
+  test("soundex (Spark built-in): standard 4-char algorithm") {
+    // divergence note: MySQL SOUNDEX returns the extended-length variant
+    // ('Quadratically' -> 'Q36324'); Spark returns the standard 4-char
+    // prefix of the same code ('Q363'). Same equivalence classes.
+    assert(one[String](soundex(lit("Quadratically"))) == "Q363")
+    assert(one[String](soundex(lit("Robert"))) == "R163")
+    assert(one[String](soundex(lit("Robert"))) == one[String](soundex(lit("Rupert"))))
+  }
+
   test("SQL registration makes functions usable in spark.sql") {
     gfx.register(spark)
     val r = spark.sql(
