@@ -142,6 +142,42 @@ object Aggregates {
                  MIN(p_size) AS min_size, MAX(p_size) AS max_size
                FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
+    // ---- JSON aggregates (reference JSON_ARRAYAGG
+    //      sql/expression/function/aggregation/unary_aggs.og.go:566,
+    //      JSON_OBJECTAGG json_agg.go) + ANY_VALUE (:13). Spark-first:
+    //      to_json over collect_list/map_from_entries — partial aggregation
+    //      (map-side combine) still applies to the list buffers. Sorted
+    //      inside each group for run-to-run determinism under parallel merge.
+    QueryDef(
+      "agg_json",
+      (s, d) => {
+        val counts = Tables.t(s, d, "orders")
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).cast("int").as("cnt"),
+            min(col("o_orderkey")).as("min_key"))
+        counts.groupBy(col("o_orderpriority"))
+          .agg(
+            to_json(sort_array(collect_list(col("min_key")))).as("keys_arr"),
+            to_json(map_from_entries(sort_array(
+              collect_list(struct(col("o_orderstatus"), col("cnt"))))))
+              .as("status_obj"),
+            any_value(upper(col("o_orderpriority"))).as("any_upper"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH counts AS (
+                SELECT o_orderpriority, o_orderstatus,
+                       CAST(count(*) AS INT) AS cnt,
+                       min(o_orderkey) AS min_key
+                FROM orders GROUP BY o_orderpriority, o_orderstatus)
+              SELECT o_orderpriority,
+                to_json(list_sort(list(min_key))) AS keys_arr,
+                '{' || string_agg('"' || o_orderstatus || '":' || cnt,
+                                  ',' ORDER BY o_orderstatus) || '}'
+                  AS status_obj,
+                upper(o_orderpriority) AS any_upper
+              FROM counts GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
     // ---- ROLLUP: hierarchical subtotals. The reference has no grouping
     //      sets (SURVEY §2.4: planbuilder/aggregates.go:91 builds plain
     //      GROUP BY only) — this is the free Spark upgrade noted there.
