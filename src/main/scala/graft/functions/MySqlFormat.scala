@@ -55,4 +55,9 @@ object MySqlFormat {
   /** MySQL DATE_FORMAT(col, '%Y-%m-%d ...') as a Spark Column. */
   def dateFormat(c: Column, mysqlFmt: String): Column =
     date_format(c, toJavaPattern(mysqlFmt))
+
+  /** MySQL STR_TO_DATE(str, '%d/%m/%Y ...') — timestamp if the pattern has
+    * time parts; callers cast to date for date-only patterns. */
+  def strToDate(c: Column, mysqlFmt: String): Column =
+    org.apache.spark.sql.functions.to_timestamp(c, toJavaPattern(mysqlFmt))
 }

@@ -148,6 +148,69 @@ object Functions {
                 strftime(o_orderdate, '%d/%m/%Y %H:%M') AS mysql_dmy
               FROM orders ORDER BY o_orderkey""")),
 
+    // ---- extended date/time bucket: to_days/from_days, yearweek (mode 0),
+    //      timestampdiff, sec_to_time/time_to_sec, convert_tz, makedate,
+    //      unix_timestamp/from_unixtime, str_to_date round-trip
+    QueryDef(
+      "fn_datetime_ext",
+      (s, d) => {
+        import graft.functions.DateTimeExt._
+        val ev = Tables.t(s, d, "events")
+        val dt = col("ts").cast("date")
+        val tsec = hour(col("ts")) * 3600 + minute(col("ts")) * 60 +
+          second(col("ts"))
+        ev.select(
+            col("event_id"),
+            toDays(dt).as("to_days"),
+            fromDays(toDays(dt)).as("from_days_rt"),
+            yearWeek(dt).as("yw"),
+            timestampDiffMonths(to_date(lit("2023-06-15")), dt).as("tsdiff_mo"),
+            unix_timestamp(col("ts")).as("unix_s"),
+            from_unixtime(unix_timestamp(col("ts"))).as("from_unix"),
+            secToTime(tsec).as("sec2time"),
+            timeToSec(secToTime(tsec)).as("time2sec_rt"),
+            convertTzFromUtc(col("ts"), "America/New_York").as("ny_ts"),
+            makeDate(year(dt), dayofyear(dt)).as("makedate_rt"),
+            MySqlFormat.strToDate(
+              MySqlFormat.dateFormat(dt, "%d/%m/%Y"), "%d/%m/%Y")
+              .cast("date").as("str2date_rt"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH base AS (
+                SELECT event_id, ts, CAST(ts AS DATE) AS dt,
+                       hour(ts)*3600 + minute(ts)*60 +
+                         CAST(floor(second(ts)) AS INT) AS tsec
+                FROM events)
+              SELECT event_id,
+                CAST(date_diff('day', DATE '1970-01-01', dt) + 719528 AS BIGINT)
+                  AS to_days,
+                dt AS from_days_rt,
+                CAST(CASE WHEN dt >= make_date(year(dt), 1, 1)
+                            + CAST((7 - dayofweek(make_date(year(dt), 1, 1))) % 7 AS INT)
+                     THEN year(dt)*100 +
+                       (date_diff('day',
+                          make_date(year(dt), 1, 1)
+                            + CAST((7 - dayofweek(make_date(year(dt), 1, 1))) % 7 AS INT),
+                          dt) // 7) + 1
+                     ELSE (year(dt)-1)*100 +
+                       (date_diff('day',
+                          make_date(year(dt)-1, 1, 1)
+                            + CAST((7 - dayofweek(make_date(year(dt)-1, 1, 1))) % 7 AS INT),
+                          dt) // 7) + 1 END AS INT) AS yw,
+                CAST((year(dt) - 2023)*12 + (month(dt) - 6)
+                  - CASE WHEN day(dt) < 15 THEN 1 ELSE 0 END AS INT) AS tsdiff_mo,
+                CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+                strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000),
+                  '%Y-%m-%d %H:%M:%S') AS from_unix,
+                printf('%02d:%02d:%02d', tsec // 3600, (tsec % 3600) // 60,
+                  tsec % 60) AS sec2time,
+                tsec AS time2sec_rt,
+                timezone('America/New_York', timezone('UTC', ts)) AS ny_ts,
+                dt AS makedate_rt,
+                dt AS str2date_rt
+              FROM base ORDER BY event_id"""))
+      ,
+
     // ---- control-flow / null-handling bucket (if/ifnull/nullif/coalesce/case)
     QueryDef(
       "fn_conditional",

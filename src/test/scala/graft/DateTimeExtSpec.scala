@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.DateTimeExt._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MySQL-doc examples for the extended date/time functions. */
+class DateTimeExtSpec extends AnyFunSuite {
+  import SparkSpec.spark
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("to_days / from_days match MySQL doc values") {
+    assert(one[Int](toDays(lit("2007-10-07"))) == 733321)
+    assert(one[Int](toDays(lit("1970-01-01"))) == 719528)
+    assert(one[java.sql.Date](fromDays(lit(733321))).toString == "2007-10-07")
+  }
+
+  test("yearweek mode 0 matches MySQL examples") {
+    assert(one[Int](yearWeek(lit("1987-01-01"))) == 198652)
+    assert(one[Int](yearWeek(lit("2000-01-01"))) == 199952)
+    assert(one[Int](yearWeek(lit("2024-01-07"))) == 202401)
+    assert(one[Int](yearWeek(lit("2024-01-06"))) == 202353)
+  }
+
+  test("timestampdiff(MONTH) counts complete months") {
+    assert(one[Int](timestampDiffMonths(
+      to_date(lit("2003-02-01")), to_date(lit("2003-05-01")))) == 3)
+    assert(one[Int](timestampDiffMonths(
+      to_date(lit("2003-01-31")), to_date(lit("2003-02-28")))) == 0)
+    assert(one[Int](timestampDiffMonths(
+      to_date(lit("2003-02-28")), to_date(lit("2003-01-31")))) == -1)
+  }
+
+  test("sec_to_time / time_to_sec round-trip MySQL examples") {
+    assert(one[String](secToTime(lit(2378))) == "00:39:38")
+    assert(one[Int](timeToSec(lit("22:23:00"))) == 80580)
+    assert(one[Int](timeToSec(secToTime(lit(80580)))) == 80580)
+  }
+
+  test("makedate builds from year + day-of-year") {
+    assert(one[java.sql.Date](makeDate(lit(2011), lit(31))).toString == "2011-01-31")
+    assert(one[java.sql.Date](makeDate(lit(2011), lit(32))).toString == "2011-02-01")
+  }
+
+  test("str_to_date parses via the %-translator") {
+    assert(one[java.sql.Date](functions.MySqlFormat
+      .strToDate(lit("04/10/1997"), "%d/%m/%Y").cast("date")).toString == "1997-10-04")
+  }
+}
