@@ -74,6 +74,7 @@ class Engine(val spark: SparkSession) {
 
   functions.expressions.register(spark)
   functions.json.register(spark)
+  functions.spatial.register(spark)
 
   /** Run one SQL statement through the dialect shim into Catalyst. */
   def query(sql: String): DataFrame = spark.sql(Dialect.rewrite(sql))

@@ -392,6 +392,52 @@ object Functions {
                 chr(CAST(65 + c_custkey % 26 AS INT)) AS chr_pick
               FROM customer ORDER BY c_custkey""")),
 
+    // ---- spatial ST_* core subset (reference function/spatial/, 15k LoC;
+    //      the cartesian constructors/accessors/predicates re-expressed as
+    //      native expressions over WKT — see graft.functions.spatial).
+    //      Oracle computes the same planar math directly.
+    QueryDef(
+      "fn_spatial",
+      (s, d) => {
+        import graft.functions.{spatial => sp}
+        val x = (col("c_custkey") % 100).cast("int")
+        val y = (col("c_custkey") * 7 % 100).cast("int")
+        val side = (col("c_custkey") % 10 + 1).cast("int")
+        val pt = sp.stPoint(x, y)
+        val ptw = sp.stPoint(x.cast("double") + 0.5, y.cast("double") + 0.5)
+        val square = concat(
+          lit("POLYGON((0 0, "), side, lit(" 0, "), side, lit(" "), side,
+          lit(", 0 "), side, lit(", 0 0))"))
+        val line = concat(
+          lit("LINESTRING(0 0, "), x, lit(" "), y, lit(", "),
+          x + 3, lit(" "), y + 4, lit(")"))
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            sp.stX(pt).as("px"),
+            sp.stY(pt).as("py"),
+            sp.stDistance(pt, lit("POINT(50 50)")).as("dist_c"),
+            sp.stArea(square).as("sq_area"),
+            sp.stWithin(ptw, lit("POLYGON((25 25, 75 25, 75 75, 25 75, 25 25))"))
+              .as("in_box"),
+            sp.stLength(line).as("path_len"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH pts AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 100 AS DOUBLE) AS x,
+                       CAST(c_custkey * 7 % 100 AS DOUBLE) AS y,
+                       CAST(c_custkey % 10 + 1 AS DOUBLE) AS side
+                FROM customer)
+              SELECT c_custkey,
+                x AS px, y AS py,
+                sqrt((x - 50)*(x - 50) + (y - 50)*(y - 50)) AS dist_c,
+                side * side AS sq_area,
+                (x + 0.5) > 25 AND (x + 0.5) < 75 AND
+                  (y + 0.5) > 25 AND (y + 0.5) < 75 AS in_box,
+                sqrt(x*x + y*y) + 5 AS path_len
+              FROM pts ORDER BY c_custkey""")),
+
     // ---- cast/coercion bucket (sql/types/ conversion semantics)
     QueryDef(
       "fn_cast",
