@@ -154,6 +154,60 @@ object TextAnalysis {
                 md5(text) AS content_md5,
                 CAST('0x' || substr(md5(array_to_string(list_sort(string_split(text,' ')), ' ')), 1, 15)
                      AS BIGINT) AS bow_fingerprint
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // ---- MATCH ... AGAINST natural-language mode (reference
+    //      sql/expression/matchagainst.go + sql/fulltext/fulltext.go:
+    //      word-tokenized relevance). Spark-first TF-IDF: per-doc term
+    //      frequencies stay in whole-stage codegen; the corpus document
+    //      frequencies are ONE aggregated row broadcast back over the scan
+    //      (no per-row subquery, no second shuffle) — the same plan shape
+    //      holds at 100 TB with the stats row still scalar-sized.
+    QueryDef(
+      "text_match",
+      (s, d) => {
+        val toks = split(lower(col("text")), "[^a-z0-9]+")
+        def tf(term: String) =
+          size(filter(toks, w => w === term))
+        val scored = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            tf("data").as("tf_data"), tf("learning").as("tf_learning"))
+        val stats = scored.agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("tf_data") > 0).cast("long")).as("df_data"),
+          sum((col("tf_learning") > 0).cast("long")).as("df_learning"))
+        scored.crossJoin(broadcast(stats))
+          .select(
+            col("doc_id"), col("tf_data"), col("tf_learning"),
+            round(
+              when(col("df_data") > 0, col("tf_data") *
+                log(col("n_docs").cast("double") / col("df_data"))).otherwise(0.0) +
+              when(col("df_learning") > 0, col("tf_learning") *
+                log(col("n_docs").cast("double") / col("df_learning"))).otherwise(0.0),
+              6).as("relevance"),
+            (col("tf_data") + col("tf_learning") > 0).as("matched"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tfs AS (
+                SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    w -> w = 'data')) AS INT) AS tf_data,
+                  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    w -> w = 'learning')) AS INT) AS tf_learning
+                FROM documents),
+              stats AS (
+                SELECT count(*) AS n_docs,
+                  sum(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS df_data,
+                  sum(CASE WHEN tf_learning > 0 THEN 1 ELSE 0 END) AS df_learning
+                FROM tfs)
+              SELECT doc_id, tf_data, tf_learning,
+                round(CASE WHEN df_data > 0
+                        THEN tf_data * ln(CAST(n_docs AS DOUBLE) / df_data)
+                        ELSE 0.0 END +
+                      CASE WHEN df_learning > 0
+                        THEN tf_learning * ln(CAST(n_docs AS DOUBLE) / df_learning)
+                        ELSE 0.0 END, 6) AS relevance,
+                (tf_data + tf_learning) > 0 AS matched
+              FROM tfs, stats ORDER BY doc_id"""))
   )
 }
