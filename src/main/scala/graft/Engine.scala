@@ -99,6 +99,28 @@ class Engine(val spark: SparkSession) {
   /** DROP TABLE/VIEW. */
   def drop(name: String): Unit = spark.catalog.dropTempView(name)
 
+  /** LOAD DATA INFILE (reference sql/plan/load_data.go:25): delimited-file
+    * ingest. FIELDS TERMINATED BY -> `sep`, optional IGNORE 1 LINES ->
+    * `header`; the scan distributes across executors like any file source. */
+  def loadData(table: String, path: String, fieldsTerminatedBy: String = ",",
+               ignoreHeader: Boolean = false): Unit =
+    spark.read
+      .option("sep", fieldsTerminatedBy)
+      .option("header", ignoreHeader)
+      .option("inferSchema", true)
+      .csv(path)
+      .createOrReplaceTempView(table)
+
+  /** SELECT ... INTO OUTFILE (reference sql/plan/into.go:26): delimited
+    * sink. One file per partition at scale; `single` coalesces for the
+    * MySQL-compatible one-file shape. */
+  def intoOutfile(sql: String, path: String, fieldsTerminatedBy: String = ",",
+                  single: Boolean = true): Unit = {
+    val df = query(sql)
+    (if (single) df.coalesce(1) else df)
+      .write.mode("overwrite").option("sep", fieldsTerminatedBy).csv(path)
+  }
+
   /** SHOW TABLES (catalog read). */
   def showTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq.sorted

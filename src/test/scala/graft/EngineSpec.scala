@@ -67,6 +67,21 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThan(l_quantity,45"))
   }
 
+  test("LOAD DATA INFILE + SELECT INTO OUTFILE round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    // OUTFILE: dump a query as delimited text
+    engine.intoOutfile(
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+      s"$dir/out", fieldsTerminatedBy = "|")
+    // LOAD DATA: ingest it back under FIELDS TERMINATED BY '|'
+    engine.loadData("region_rt", s"$dir/out", fieldsTerminatedBy = "|")
+    val back = spark.table("region_rt").collect()
+    assert(back.length == 5)
+    assert(back.map(_.get(1).toString).toSet ==
+      spark.table("region").collect().map(_.getString(1)).toSet)
+    engine.drop("region_rt")
+  }
+
   test("custom native functions are registered on the session") {
     assert(engine.query("SELECT winnow_fingerprint('the quick brown fox jumps', 8) AS f")
       .collect()(0).getLong(0) == 970748898268L)
