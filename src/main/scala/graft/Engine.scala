@@ -76,8 +76,43 @@ class Engine(val spark: SparkSession) {
   functions.json.register(spark)
   functions.spatial.register(spark)
 
+  /** Session user variables (@name — reference sql/types/system_*.go /
+    * session state). Rendered as literals into the query text, outside
+    * string literals only. */
+  private val sessionVars = scala.collection.mutable.Map.empty[String, String]
+
+  /** SET @name = value. Strings are quoted; numbers pass through. */
+  def setVar(name: String, value: Any): Unit = {
+    val rendered = value match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case other => String.valueOf(other)
+    }
+    sessionVars(name) = rendered
+  }
+
+  private def substituteVars(sql: String): String =
+    if (sessionVars.isEmpty) sql
+    else sessionVars.foldLeft(sql) { case (acc, (n, v)) =>
+      // Dialect.rewrite has already run; @name never appears inside
+      // engine-generated literals, and user literals keep their @s because
+      // substitution is token-bounded.
+      acc.replaceAll("@" + java.util.regex.Pattern.quote(n) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(v))
+    }
+
   /** Run one SQL statement through the dialect shim into Catalyst. */
-  def query(sql: String): DataFrame = spark.sql(Dialect.rewrite(sql))
+  def query(sql: String): DataFrame =
+    spark.sql(substituteVars(Dialect.rewrite(sql)))
+
+  /** Prepared statement with named parameters (:name) — reference
+    * Engine.PrepareQuery engine.go:160; Spark-first via parameterized SQL
+    * (plan re-analysis is Catalyst's job; no client-side AST cache needed). */
+  def queryPrepared(sql: String, params: Map[String, Any]): DataFrame =
+    spark.sql(Dialect.rewrite(sql), params)
+
+  /** Prepared statement with positional `?` markers (MySQL style). */
+  def queryPrepared(sql: String, params: Seq[Any]): DataFrame =
+    spark.sql(Dialect.rewrite(sql), params.toArray)
 
   /** Attach every table of a testdata directory as a database. */
   def attachDir(dir: String): Unit = Tables.registerAll(spark, dir)

@@ -199,6 +199,72 @@ object expressions {
       copy(l, r)
   }
 
+  /** MySQL COMPRESS(): 4-byte little-endian uncompressed length, then the
+    * zlib deflate stream (reference: compress in registry.go /
+    * function/encode.go family). Empty string compresses to empty. */
+  case class CompressExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v match {
+        case u: UTF8String => u.getBytes
+        case b: Array[Byte] => b
+      }
+      if (bytes.isEmpty) return Array.emptyByteArray
+      val d = new java.util.zip.Deflater()
+      d.setInput(bytes); d.finish()
+      val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 16)
+      out.write(bytes.length & 0xFF); out.write((bytes.length >> 8) & 0xFF)
+      out.write((bytes.length >> 16) & 0xFF); out.write((bytes.length >> 24) & 0xFF)
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** MySQL UNCOMPRESS(): inverse of CompressExpr; NULL on corrupt input. */
+  case class UncompressExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      if (bytes.isEmpty) return UTF8String.fromString("")
+      if (bytes.length < 5) return null
+      try {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(bytes, 4, bytes.length - 4)
+        val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+        val buf = new Array[Byte](4096)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput()) return null
+          out.write(buf, 0, n)
+        }
+        inf.end()
+        UTF8String.fromBytes(out.toByteArray)
+      } catch { case _: Exception => null }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** MySQL UNCOMPRESSED_LENGTH(): reads the 4-byte LE header. */
+  case class UncompressedLength(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      if (b.isEmpty) 0
+      else if (b.length < 4) null
+      else (b(0) & 0xFF) | ((b(1) & 0xFF) << 8) | ((b(2) & 0xFF) << 16) |
+        ((b(3) & 0xFF) << 24)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   // ---- Column wrappers -----------------------------------------------
 
   import org.apache.spark.sql.GraftBridge
@@ -216,6 +282,9 @@ object expressions {
   def quoteStr(s: Column): Column = c(QuoteStr(x(s)))
   def makeSet(bits: Column, strs: Column*): Column =
     c(MakeSet((bits +: strs).map(x)))
+  def compress(s: Column): Column = c(CompressExpr(x(s)))
+  def uncompress(b: Column): Column = c(UncompressExpr(x(b)))
+  def uncompressedLength(b: Column): Column = c(UncompressedLength(x(b)))
   def winnowFingerprint(s: Column, k: Column): Column =
     c(WinnowFingerprint(x(s), x(k)))
 
@@ -231,6 +300,10 @@ object expressions {
     reg.createOrReplaceTempFunction("export_set", es => ExportSet(es), "scala_udf")
     reg.createOrReplaceTempFunction("mysql_quote", es => QuoteStr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("make_set", es => MakeSet(es), "scala_udf")
+    reg.createOrReplaceTempFunction("compress", es => CompressExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("uncompress", es => UncompressExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("uncompressed_length",
+      es => UncompressedLength(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       es => WinnowFingerprint(es(0), es(1)), "scala_udf")
   }

@@ -301,6 +301,29 @@ object Functions {
                 to_base64(encode(c_name)) AS name_b64
               FROM customer ORDER BY c_custkey""")),
 
+    // ---- compress/uncompress/uncompressed_length (reference registry.go
+    //      compress family; MySQL 4-byte-LE-header + zlib format). The
+    //      compressed bytes themselves are zlib-version-dependent, so the
+    //      oracle checks the MySQL-defined invariants: header length equals
+    //      the input length and the round-trip is the identity.
+    QueryDef(
+      "fn_compress",
+      (s, d) => {
+        val comp = gfx.compress(col("text"))
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            gfx.uncompressedLength(comp).as("ulen"),
+            (gfx.uncompress(comp) === col("text")).as("rt_ok"),
+            (length(comp) > 4).as("has_payload"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                CAST(length(text) AS INT) AS ulen,
+                TRUE AS rt_ok,
+                TRUE AS has_payload
+              FROM documents ORDER BY doc_id""")),
+
     // ---- native custom expressions (graft.functions.expressions): the
     //      MySQL functions Spark lacks, evaluated as Catalyst Expressions
     QueryDef(

@@ -82,6 +82,46 @@ class EngineSpec extends AnyFunSuite {
     engine.drop("region_rt")
   }
 
+  test("prepared statements: named and positional parameters") {
+    val named = engine.queryPrepared(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > :lo AND o_orderstatus = :st",
+      Map("lo" -> 400000, "st" -> "O")).collect()(0).getLong(0)
+    val positional = engine.queryPrepared(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > ? AND o_orderstatus = ?",
+      Seq(400000, "O")).collect()(0).getLong(0)
+    assert(named == positional && named > 0)
+  }
+
+  test("session variables substitute outside literals") {
+    engine.setVar("min_price", 400000)
+    engine.setVar("status", "O")
+    val n = engine.query(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > @min_price AND o_orderstatus = @status")
+      .collect()(0).getLong(0)
+    val direct = engine.query(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > 400000 AND o_orderstatus = 'O'")
+      .collect()(0).getLong(0)
+    assert(n == direct && n > 0)
+  }
+
+  test("compress/uncompress round-trip with MySQL header semantics") {
+    val r = engine.query(
+      """SELECT uncompress(compress('hello world')) AS rt,
+                uncompressed_length(compress(repeat('ab', 50))) AS ulen""")
+      .collect()(0)
+    assert(r.getString(0) == "hello world")
+    assert(r.getInt(1) == 100)
+  }
+
+  test("crc32/sha1 built-ins match MySQL doc values") {
+    val r = engine.query(
+      "SELECT crc32('MySQL') AS c, sha1('abc') AS s, md5('testing') AS m")
+      .collect()(0)
+    assert(r.getLong(0) == 3259397556L)
+    assert(r.getString(1) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getString(2) == "ae2b1fca515949e5d54fb22b8ed95575")
+  }
+
   test("custom native functions are registered on the session") {
     assert(engine.query("SELECT winnow_fingerprint('the quick brown fox jumps', 8) AS f")
       .collect()(0).getLong(0) == 970748898268L)
