@@ -301,6 +301,55 @@ object Functions {
                 to_base64(encode(c_name)) AS name_b64
               FROM customer ORDER BY c_custkey""")),
 
+    // ---- MySQL type-layer semantics (SURVEY §1.2): ENUM index/validation,
+    //      SET bitmask render, YEAR range check, UNSIGNED BIGINT beyond
+    //      Long range via DECIMAL(20,0), BOOLEAN-as-tinyint
+    QueryDef(
+      "fn_types",
+      (s, d) => {
+        val enumIdx = gfx.field(col("c_mktsegment"), lit("AUTOMOBILE"),
+          lit("BUILDING"), lit("FURNITURE"), lit("MACHINERY"), lit("HOUSEHOLD"))
+        val yr = (lit(1880) + col("c_custkey") % 300).cast("int")
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            // ENUM: index->string round-trip; invalid value -> NULL
+            when(enumIdx > 0, col("c_mktsegment")).otherwise(lit(null))
+              .as("enum_valid"),
+            enumIdx.as("enum_idx"),
+            // SET('a','b','c') stored as bitmask, rendered as csv
+            gfx.makeSet(col("c_custkey") % 8, lit("read"), lit("write"),
+              lit("exec")).as("set_render"),
+            (expr("(c_custkey % 8) & 2") > 0).as("set_has_write"),
+            // YEAR: valid range 1901..2155 else NULL (sql/types/year.go:40)
+            when(yr.between(1901, 2155), yr).otherwise(lit(null)).as("year_chk"),
+            // UNSIGNED BIGINT max - key: exceeds Long, lives in DECIMAL(20,0)
+            (lit("18446744073709551615").cast("decimal(20,0)") -
+              col("c_custkey").cast("decimal(20,0)")).as("ubig"),
+            // BOOLEAN is tinyint: TRUE+TRUE+FALSE = 2
+            ((col("c_custkey") % 2 === 0).cast("int") +
+              (col("c_custkey") % 3 === 0).cast("int")).as("bool_arith"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+                CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE',
+                  'MACHINERY','HOUSEHOLD') THEN c_mktsegment END AS enum_valid,
+                CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+                  WHEN 'FURNITURE' THEN 3 WHEN 'MACHINERY' THEN 4
+                  WHEN 'HOUSEHOLD' THEN 5 ELSE 0 END AS enum_idx,
+                concat_ws(',',
+                  CASE WHEN (c_custkey % 8) & 1 = 1 THEN 'read' END,
+                  CASE WHEN (c_custkey % 8) & 2 = 2 THEN 'write' END,
+                  CASE WHEN (c_custkey % 8) & 4 = 4 THEN 'exec' END) AS set_render,
+                ((c_custkey % 8) & 2) > 0 AS set_has_write,
+                CASE WHEN 1880 + c_custkey % 300 BETWEEN 1901 AND 2155
+                  THEN CAST(1880 + c_custkey % 300 AS INT) END AS year_chk,
+                CAST('18446744073709551615' AS DECIMAL(20,0))
+                  - CAST(c_custkey AS DECIMAL(20,0)) AS ubig,
+                CAST(c_custkey % 2 = 0 AS INT) + CAST(c_custkey % 3 = 0 AS INT)
+                  AS bool_arith
+              FROM customer ORDER BY c_custkey""")),
+
     // ---- compress/uncompress/uncompressed_length (reference registry.go
     //      compress family; MySQL 4-byte-LE-header + zlib format). The
     //      compressed bytes themselves are zlib-version-dependent, so the
