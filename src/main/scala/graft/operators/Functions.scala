@@ -301,6 +301,34 @@ object Functions {
                 to_base64(encode(c_name)) AS name_b64
               FROM customer ORDER BY c_custkey""")),
 
+    // ---- collations (SURVEY §7.4 hard-part 4: MySQL utf8mb4_*_ci).
+    //      Spark 4 native collations: UTF8_LCASE equality/grouping ≈
+    //      utf8mb4_0900_ai_ci for the case-insensitivity axis (accent
+    //      folding descoped). Distinct/grouping under the collation merge
+    //      case variants without materializing lower() copies.
+    QueryDef(
+      "fn_collation",
+      (s, d) => {
+        val mixed = when(col("c_custkey") % 2 === 0,
+          upper(col("c_mktsegment"))).otherwise(lower(col("c_mktsegment")))
+        Tables.t(s, d, "customer")
+          .select(col("c_custkey"), mixed.as("seg_mixed"))
+          .agg(
+            countDistinct(col("seg_mixed")).as("n_binary"),
+            countDistinct(collate(col("seg_mixed"), "UTF8_LCASE")).as("n_ci"),
+            sum((collate(col("seg_mixed"), "UTF8_LCASE") ===
+              collate(lit("automobile"), "UTF8_LCASE")).cast("long"))
+              .as("n_auto_ci"))
+      },
+      Some("""SELECT
+                CAST(COUNT(DISTINCT seg_mixed) AS BIGINT) AS n_binary,
+                CAST(COUNT(DISTINCT lower(seg_mixed)) AS BIGINT) AS n_ci,
+                SUM(CASE WHEN lower(seg_mixed) = 'automobile' THEN 1 ELSE 0 END)
+                  AS n_auto_ci
+              FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                           ELSE lower(c_mktsegment) END AS seg_mixed
+                    FROM customer)""")),
+
     // ---- MySQL type-layer semantics (SURVEY §1.2): ENUM index/validation,
     //      SET bitmask render, YEAR range check, UNSIGNED BIGINT beyond
     //      Long range via DECIMAL(20,0), BOOLEAN-as-tinyint
