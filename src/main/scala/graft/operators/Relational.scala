@@ -216,6 +216,16 @@ object Relational {
                 FROM lineitem)
               ORDER BY l_orderkey, l_linenumber, gross LIMIT 1000""")),
 
+    // ---- COUNT(*) fast path (reference TableCountLookup via
+    //      replaceCountStar sql/analyzer/replace_count_star.go:31 answers
+    //      from table metadata). Spark's scan reads only parquet footers
+    //      for a count-star: zero data columns are materialized.
+    QueryDef(
+      "count_star",
+      (s, d) =>
+        Tables.t(s, d, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT COUNT(*) AS n FROM lineitem")),
+
     // ---- JSON_TABLE (reference sql/plan/json_table.go:113 — explode a
     //      JSON document into rows/columns by path). Spark-first: from_json
     //      to array<struct> + explode (a Generator, exactly the custom-UDTF

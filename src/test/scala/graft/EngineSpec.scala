@@ -122,6 +122,44 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getString(2) == "ae2b1fca515949e5d54fb22b8ed95575")
   }
 
+  test("join hints select physical strategies (reference select_hints.go)") {
+    // MySQL HASH_JOIN / MERGE_JOIN hints -> Spark SHUFFLE_HASH / MERGE
+    val merge = engine.query(
+      """SELECT /*+ MERGE(orders) */ count(*) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey""")
+      .queryExecution.executedPlan.toString
+    assert(merge.contains("SortMergeJoin"))
+    val hash = engine.query(
+      """SELECT /*+ SHUFFLE_HASH(orders) */ count(*) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey""")
+      .queryExecution.executedPlan.toString
+    assert(hash.contains("ShuffledHashJoin"))
+    val bcast = engine.query(
+      """SELECT /*+ BROADCAST(customer) */ count(*) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey""")
+      .queryExecution.executedPlan.toString
+    assert(bcast.contains("BroadcastHashJoin"))
+  }
+
+  test("cached results reuse (reference CachedResults cached_results.go)") {
+    val df = engine.query("SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey")
+    df.cache()
+    try {
+      assert(df.count() == df.count()) // second run hits InMemoryRelation
+      assert(df.queryExecution.executedPlan.toString.contains("InMemoryTableScan") ||
+        df.queryExecution.withCachedData.toString.contains("InMemoryRelation"))
+    } finally df.unpersist()
+  }
+
+  test("scalar subquery over >1 row errors (reference Max1Row)") {
+    val ex = intercept[Exception] {
+      engine.query(
+        "SELECT (SELECT o_orderkey FROM orders) AS x FROM region").collect()
+    }
+    assert(ex.getMessage.toUpperCase.contains("MORE THAN ONE ROW") ||
+      ex.getMessage.contains("SCALAR_SUBQUERY"))
+  }
+
   test("custom native functions are registered on the session") {
     assert(engine.query("SELECT winnow_fingerprint('the quick brown fox jumps', 8) AS f")
       .collect()(0).getLong(0) == 970748898268L)
