@@ -47,6 +47,38 @@ class StreamingSpec extends AnyFunSuite {
       Set("user_id", "session_start", "n_events", "total_value"))
   }
 
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, hhmm: String): EventStreams.Ev =
+      EventStreams.Ev(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"),
+        1L, "click", 1.0)
+    val src = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.hourlyAgg(src.toDF())
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      // batch 1 advances the watermark to 11:10
+      src.addData(ev(1, "09:10"), ev(2, "10:10"), ev(3, "12:10"))
+      q.processAllAvailable()
+      // batch 2: 09:20 is behind the watermark -> dropped; 13:30 advances
+      // the watermark past the 12:00 window so it finalizes
+      src.addData(ev(4, "09:20"), ev(5, "13:30"))
+      q.processAllAvailable()
+      // batch 3: flush — append emits a finalized window one batch after
+      // the watermark passes it
+      src.addData(ev(6, "15:30"))
+      q.processAllAvailable()
+      val byHour = spark.table("wm_test")
+        .select(hour(col("hour")).as("h"), col("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byHour.get(9).contains(1L), byHour) // late 09:20 row NOT counted
+      assert(byHour.get(10).contains(1L), byHour)
+      assert(byHour.get(12).contains(1L), byHour)
+    } finally q.stop()
+  }
+
   test("multimodal decode emits the declared feature schema") {
     val df = graft.operators.Multimodal.decodeFeatures(spark, sfDir)
     assert(df.schema == graft.operators.Multimodal.featureSchema)
