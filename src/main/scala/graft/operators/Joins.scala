@@ -159,6 +159,36 @@ object Joins {
                 ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
               GROUP BY s_suppkey ORDER BY s_suppkey""")),
 
+    // ---- bucketed band join — the SURVEY §2.3 "optional custom strategy"
+    //      realized as plan composition instead of a SparkStrategy: map each
+    //      build row onto the ≤3 width-100 buckets its ±100 band overlaps
+    //      (explode), map each probe row to its own bucket, equi-join on the
+    //      bucket key, then filter exact. Catalyst plans a HASH join on
+    //      `bucket`, so at 100 TB this shuffles by bucket instead of
+    //      broadcast-nested-loop scanning every pair — O(n + m·3) rows
+    //      through a hash join vs O(n·m) comparisons.
+    QueryDef(
+      "join_band_bucketed",
+      (s, d) => {
+        val w = 100
+        val c = t("customer")(s, d)
+          .withColumn("bucket", floor(col("c_acctbal") / w).cast("long"))
+        val sp = t("supplier")(s, d)
+          .withColumn("bucket", explode(sequence(
+            floor((col("s_acctbal") - 100) / w).cast("long"),
+            floor((col("s_acctbal") + 100) / w).cast("long"))))
+        c.join(sp, Seq("bucket"))
+          .filter(col("c_acctbal")
+            .between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_near"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, COUNT(*) AS n_near
+              FROM customer JOIN supplier
+                ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+              GROUP BY s_suppkey ORDER BY s_suppkey""")),
+
     // ---- USING-style join (shared key name; natural-join family)
     QueryDef(
       "join_using",
