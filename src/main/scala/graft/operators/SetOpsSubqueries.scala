@@ -202,6 +202,26 @@ object SetOpsSubqueries {
       Some("""WITH RECURSIVE t(n) AS (
                 SELECT CAST(1 AS BIGINT)
                 UNION ALL SELECT n*2 FROM t WHERE n*2 <= 1024)
-              SELECT n FROM t ORDER BY n"""))
+              SELECT n FROM t ORDER BY n""")),
+
+    // ---- set-op branch coercion (resolve_unions.go: MySQL promotion
+    //      across UNION branches). Spark SQL's implicit-cast resolution
+    //      widens int+double -> double and int+string per its own rules;
+    //      we pin the MySQL-compatible cases (numeric widening).
+    QueryDef(
+      "set_union_coerce",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT k, v FROM (
+                   SELECT n_nationkey AS k, n_nationkey AS v FROM nation
+                   UNION ALL
+                   SELECT r_regionkey AS k, r_regionkey + 0.5 AS v FROM region)
+                 ORDER BY k, v""")
+      },
+      Some("""SELECT k, v FROM (
+                SELECT n_nationkey AS k, CAST(n_nationkey AS DOUBLE) AS v FROM nation
+                UNION ALL
+                SELECT r_regionkey AS k, r_regionkey + 0.5 AS v FROM region)
+              ORDER BY k, v"""))
   )
 }

@@ -156,6 +156,43 @@ object Windows {
                            ORDER BY o_totalprice, o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               ORDER BY o_orderpriority, o_orderkey"""),
-      headline = true)
+      headline = true),
+
+    // ---- named windows (reference NamedWindows node + buildNamedWindows:
+    //      one WINDOW clause shared by several functions). Spark SQL parses
+    //      the WINDOW clause natively; both ranking and frame aggs share it.
+    QueryDef(
+      "win_named",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT o_orderkey,
+                   row_number() OVER w AS rn,
+                   rank() OVER w AS rk,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf
+                     AS running_dec
+                 FROM orders
+                 WINDOW w AS (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey),
+                        wf AS (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ORDER BY o_orderkey""")
+          .withColumn("running", col("running_dec").cast("double"))
+          .drop("running_dec")
+      },
+      Some("""SELECT o_orderkey, rn, rk, CAST(running_dec AS DOUBLE) AS running
+              FROM (
+                SELECT o_orderkey,
+                  row_number() OVER w AS rn,
+                  rank() OVER w AS rk,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf
+                    AS running_dec
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey),
+                       wf AS (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              ORDER BY o_orderkey"""))
   )
 }
