@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** VECTOR distance family — reference sql/types/vector.go:34 and
+  * sql/expression/function/vector/distance.go:28 (L2², Euclidean, Cosine).
+  *
+  * Native expressions over `ArrayType(DoubleType)`: one tight primitive
+  * loop per pair instead of the interpreted `zip_with`+`aggregate`
+  * higher-order chain (which allocates a lambda frame per element). The
+  * summation order is the same sequential left fold, so results are
+  * bit-identical to the HOF formulation and the DuckDB oracle.
+  */
+object vector {
+
+  private def dots(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+
+  /** VEC_DOT(a, b): sequential-fold dot product. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      dots(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** VEC_DISTANCE_L2_SQUARED(a, b). */
+  case class VecL2Sq(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toDoubleArray()
+      val y = b.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(x.length, y.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val d = x(i) - y(i); acc += d * d; i += 1 }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  import org.apache.spark.sql.GraftBridge
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  private def x(col: Column): Expression = GraftBridge.expression(col)
+
+  def vecDot(a: Column, b: Column): Column = c(VecDot(x(a), x(b)))
+  def vecL2Sq(a: Column, b: Column): Column = c(VecL2Sq(x(a), x(b)))
+  def vecL2(a: Column, b: Column): Column = c(Sqrt(VecL2Sq(x(a), x(b))))
+  def vecNorm(a: Column): Column = c(Sqrt(VecDot(x(a), x(a))))
+  /** cosine DISTANCE (1 - similarity), the reference's VEC_DISTANCE_COSINE. */
+  def vecCosineDist(a: Column, b: Column): Column = {
+    val ax = x(a); val bx = x(b)
+    org.apache.spark.sql.functions.lit(1.0) -
+      c(VecDot(ax, bx)) / (c(Sqrt(VecDot(ax, ax))) * c(Sqrt(VecDot(bx, bx))))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = GraftBridge.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_distance_l2_squared",
+      es => VecL2Sq(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_distance_euclidean",
+      es => Sqrt(VecL2Sq(es(0), es(1))), "scala_udf")
+  }
+}

@@ -170,15 +170,15 @@ object Dedup {
       (s, d) => {
         // norms are computed once per vector (2k ops), not once per pair
         // (200k ops): at scale the pair join must do exactly one dot product
+        import graft.functions.{vector => gvec}
         val e = Tables.t(s, d, "embeddings").select(
             col("vec_id"), col("label"),
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-          .withColumn("nrm", sqrt(expr(
-            "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+          .withColumn("nrm", gvec.vecNorm(col("v")))
         val a = e.as("a"); val b = e.as("b")
         a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.label").as("label"),
-            (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") /
+            (gvec.vecDot(col("a.v"), col("b.v")) /
               (col("a.nrm") * col("b.nrm"))).as("cos"))
           .filter(col("cos") > 0.3)
           .groupBy(col("label")).agg(count(lit(1)).as("n_near_pairs"))

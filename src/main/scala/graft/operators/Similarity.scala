@@ -22,21 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import graft.functions.{vector => gvec}
+
   /** vectors as doubles with the L2 norm precomputed once per vector —
     * the pair-scoring join then does exactly one dot product per pair */
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "embeddings").select(
         col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+      .withColumn("nrm", gvec.vecNorm(col("v")))
 
-  /** sequential-fold dot product: deterministic double summation order */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+  /** native sequential-fold dot product (graft.functions.vector): same
+    * summation order as the aggregate/zip_with fold, one primitive loop */
+  private def dot(a: String, b: String): Column = gvec.vecDot(col(a), col(b))
 
   private def cosine(a: String, b: String): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / (gvec.vecNorm(col(a)) * gvec.vecNorm(col(b)))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -137,10 +138,8 @@ object Similarity {
         e.select(
             col("vec_id"),
             dot("v", "q").as("dotp"),
-            sqrt(expr("aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
-              .as("l2"),
-            expr("aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-              .as("l2sq"),
+            gvec.vecL2(col("v"), col("q")).as("l2"),
+            gvec.vecL2Sq(col("v"), col("q")).as("l2sq"),
             (lit(1.0) - cosine("v", "q")).as("cos_dist"))
           .orderBy(col("vec_id"))
       },
