@@ -24,6 +24,20 @@ object Dedup {
   private val H60_SQL = (e: String) =>
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** 28-bit md5-derived hash: the ONE string hash per shingle; the K
+    * seeded minhash values derive from it by universal hashing
+    * ((a_j·h + b_j) mod p), so the per-shingle cost is 1 md5 + K
+    * multiply-adds instead of K md5s. 28 bits keeps a_j·h inside Long. */
+  private def h28(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
+
+  private val H28_SQL = (e: String) =>
+    s"CAST('0x' || substr(md5($e), 1, 7) AS BIGINT)"
+
+  private val P61 = 2305843009213693951L // 2^61 - 1
+  private def seedA(j: Int): Long = 2654435761L + 2 * j
+  private def seedB(j: Int): Long = 1013904223L * (j + 1)
+
   /** doc_id + distinct 3-token shingles. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "documents")
@@ -40,32 +54,38 @@ object Dedup {
 
   private val K = 8 // minhash signature width; banded 4×2 for LSH
 
-  /** doc_id + K minhash values (one min-agg per seeded hash). */
+  /** doc_id + K minhash values: one md5 per shingle, then K universal-hash
+    * min-aggregates (pure arithmetic, fully codegen'd, map-side combined). */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    shingles(s, d).groupBy(col("doc_id"))
+    shingles(s, d).withColumn("h", h28(col("sh")))
+      .groupBy(col("doc_id"))
       .agg(
-        min(h60(concat(lit("0:"), col("sh")))).as("mh0"),
+        min((col("h") * seedA(0) + seedB(0)) % P61).as("mh0"),
         (1 until K).map(j =>
-          min(h60(concat(lit(s"$j:"), col("sh")))).as(s"mh$j")): _*)
+          min((col("h") * seedA(j) + seedB(j)) % P61).as(s"mh$j")): _*)
 
   private val SIG_SQL =
     s"""SELECT doc_id,
-        ${(0 until K).map(j => s"MIN(${H60_SQL(s"'$j:' || sh")}) AS mh$j").mkString(",\n        ")}
-        FROM ($SHINGLES_SQL) GROUP BY doc_id"""
+        ${(0 until K).map(j =>
+          s"MIN((h * ${seedA(j)} + ${seedB(j)}) % $P61) AS mh$j").mkString(",\n        ")}
+        FROM (SELECT doc_id, ${H28_SQL("sh")} AS h FROM ($SHINGLES_SQL))
+        GROUP BY doc_id"""
 
-  /** 4 bands × 2 rows: band key = md5 over the band's signature slice. */
+  /** 4 bands × 2 rows: band key folds the band's signature slice into one
+    * long (equality-only key; no string hashing needed). */
+  private val M9 = 1000000007L
   private def bands(sig: DataFrame): DataFrame =
     (0 until K / 2).map { b =>
       sig.select(
         col("doc_id"), lit(b).as("band"),
-        md5(concat(
-          col(s"mh${2 * b}").cast("string"), lit("_"),
-          col(s"mh${2 * b + 1}").cast("string")).cast("binary")).as("bkey"))
+        ((col(s"mh${2 * b}") % M9) * M9 + (col(s"mh${2 * b + 1}") % M9))
+          .as("bkey"))
     }.reduce(_ unionAll _)
 
   private val BANDS_SQL =
     (0 until K / 2).map { b =>
-      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bkey FROM sig"
+      s"""SELECT doc_id, $b AS band,
+          (mh${2 * b} % $M9) * $M9 + (mh${2 * b + 1} % $M9) AS bkey FROM sig"""
     }.mkString("\n  UNION ALL ")
 
   val defs: Seq[QueryDef] = Seq(
