@@ -36,4 +36,9 @@ object Tables {
     * names exactly like the reference's session catalog does. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register just the named tables (cheaper for single-query use: no
+    * file-listing of the other parquet sources). */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 }

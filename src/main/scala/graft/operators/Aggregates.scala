@@ -224,7 +224,7 @@ object Aggregates {
     QueryDef(
       "agg_grouping_sets",
       (s, d) => {
-        Tables.registerAll(s, d)
+        Tables.register(s, d, "lineitem")
         s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
                     ${Det.sqlSum("l_extendedprice")} AS sum_price,
                     grouping_id() AS gid

@@ -284,7 +284,7 @@ object Joins {
     QueryDef(
       "join_lateral",
       (s, d) => {
-        Tables.registerAll(s, d)
+        Tables.register(s, d, "customer", "orders")
         s.sql("""SELECT c.c_custkey, t.n_ord, t.max_price
                  FROM customer c
                  JOIN LATERAL (

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
 object SetOpsSubqueries {
   import Det._
 
-  private def sql(q: String)(s: org.apache.spark.sql.SparkSession, d: String) = {
-    Tables.registerAll(s, d)
+  /** register only the tables the statement touches, then run it */
+  private def sql(tables: String*)(q: String)(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    Tables.register(s, d, tables: _*)
     s.sql(q)
   }
 
@@ -107,7 +109,7 @@ object SetOpsSubqueries {
     // ---- scalar subquery (plan/subquery.go:31)
     QueryDef(
       "subq_scalar",
-      sql("""SELECT o_orderkey, o_totalprice FROM orders
+      sql("orders", "lineitem")("""SELECT o_orderkey, o_totalprice FROM orders
              WHERE o_totalprice > 1.5 * (
                SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                       / COUNT(*) FROM orders)
@@ -121,7 +123,7 @@ object SetOpsSubqueries {
     // ---- IN subquery -> semi join (unnest_in_subqueries.go:42)
     QueryDef(
       "subq_in",
-      sql("""SELECT c_custkey, c_name FROM customer
+      sql("customer", "orders")("""SELECT c_custkey, c_name FROM customer
              WHERE c_custkey IN (
                SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
              ORDER BY c_custkey"""),
@@ -133,7 +135,7 @@ object SetOpsSubqueries {
     // ---- correlated EXISTS -> decorrelated semi join
     QueryDef(
       "subq_exists_correlated",
-      sql("""SELECT s_suppkey, s_name FROM supplier
+      sql("supplier", "lineitem")("""SELECT s_suppkey, s_name FROM supplier
              WHERE EXISTS (
                SELECT 1 FROM lineitem
                WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
@@ -147,7 +149,7 @@ object SetOpsSubqueries {
     // ---- correlated scalar subquery in projection
     QueryDef(
       "subq_scalar_correlated",
-      sql("""SELECT n_nationkey, n_name,
+      sql("nation", "customer")("""SELECT n_nationkey, n_name,
                (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)
                  AS n_customers
              FROM nation ORDER BY n_nationkey"""),
@@ -160,7 +162,7 @@ object SetOpsSubqueries {
     //      the all-NULL poisoning case is covered in the spec suite)
     QueryDef(
       "subq_not_in",
-      sql("""SELECT c_custkey FROM customer
+      sql("customer", "orders")("""SELECT c_custkey FROM customer
              WHERE c_custkey NOT IN (
                SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
              ORDER BY c_custkey"""),
@@ -172,7 +174,7 @@ object SetOpsSubqueries {
     // ---- plain CTE (sql/planbuilder/cte.go:28)
     QueryDef(
       "cte_basic",
-      sql("""WITH nat AS (
+      sql("nation", "customer")("""WITH nat AS (
                SELECT n_nationkey, n_name FROM nation),
              cust_per_nat AS (
                SELECT c_nationkey, COUNT(*) AS n_cust
@@ -211,7 +213,7 @@ object SetOpsSubqueries {
     QueryDef(
       "set_union_coerce",
       (s, d) => {
-        Tables.registerAll(s, d)
+        Tables.register(s, d, "nation", "region")
         s.sql("""SELECT k, v FROM (
                    SELECT n_nationkey AS k, n_nationkey AS v FROM nation
                    UNION ALL

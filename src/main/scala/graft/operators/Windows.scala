@@ -164,7 +164,7 @@ object Windows {
     QueryDef(
       "win_named",
       (s, d) => {
-        Tables.registerAll(s, d)
+        Tables.register(s, d, "orders")
         s.sql("""SELECT o_orderkey,
                    row_number() OVER w AS rn,
                    rank() OVER w AS rk,
