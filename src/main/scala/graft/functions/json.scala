@@ -399,6 +399,27 @@ object json {
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
   }
 
+  /** JSON_OVERLAPS(a, b): true if the docs share any array element, any
+    * key-value pair (objects), or are equal scalars (MySQL 8.0.17+). */
+  case class JsonOverlaps(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = BooleanType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val a = doc(vs(0)); val b = doc(vs(1))
+      if (a == null || b == null) return null
+      (a, b) match {
+        case (x: ArrayNode, y: ArrayNode) =>
+          x.elements().asScala.exists(e => y.elements().asScala.exists(_ == e))
+        case (x: ArrayNode, y) => x.elements().asScala.contains(y)
+        case (x, y: ArrayNode) => y.elements().asScala.contains(x)
+        case (x: ObjectNode, y: ObjectNode) =>
+          x.properties().asScala.exists(e =>
+            y.has(e.getKey) && y.get(e.getKey) == e.getValue)
+        case (x, y) => x == y
+      }
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
   /** JSON_PRETTY(doc) — MySQL 2-space-indent rendering. */
   case class JsonPretty(children: Seq[Expression]) extends JsonExpr {
     override def dataType: DataType = StringType
@@ -466,6 +487,8 @@ object json {
   def jsonSearch(d: Column, mode: Column, pat: Column): Column =
     c(JsonSearch(Seq(d, mode, pat).map(x)))
   def jsonPretty(d: Column): Column = c(JsonPretty(Seq(x(d))))
+  def jsonOverlaps(a: Column, b: Column): Column =
+    c(JsonOverlaps(Seq(a, b).map(x)))
 
   /** SQL registration (FunctionProvider analog, mirrors registry.go names). */
   def register(spark: SparkSession): Unit = {
@@ -488,5 +511,6 @@ object json {
     reg.createOrReplaceTempFunction("json_contains_path", es => JsonContainsPath(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_search", es => JsonSearch(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_pretty", es => JsonPretty(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_overlaps", es => JsonOverlaps(es), "scala_udf")
   }
 }

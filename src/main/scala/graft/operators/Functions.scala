@@ -248,14 +248,20 @@ object Functions {
             regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
             regexp_replace(col("text"), "[aeiou]", "_").as("masked"),
             col("text").rlike("join.*merge").as("has_join_merge"),
-            regexp_extract(col("text"), "(\\w+) (\\w+)", 2).as("second_word"))
+            regexp_extract(col("text"), "(\\w+) (\\w+)", 2).as("second_word"),
+            expr("regexp_instr(text, 'data')").as("data_pos"),
+            expr("coalesce(regexp_substr(text, '[a-z]*ing'), '')").as("ing_word"),
+            expr("regexp_count(text, 'the')").as("n_the"))
           .orderBy(col("doc_id"))
           .limit(500),
       Some("""SELECT doc_id,
                 regexp_extract(text, '([a-z]+)', 1) AS first_word,
                 regexp_replace(text, '[aeiou]', '_', 'g') AS masked,
                 regexp_matches(text, 'join.*merge') AS has_join_merge,
-                regexp_extract(text, '(\w+) (\w+)', 2) AS second_word
+                regexp_extract(text, '(\w+) (\w+)', 2) AS second_word,
+                CAST(coalesce(instr(text, 'data'),0) AS INT) AS data_pos,
+                coalesce(regexp_extract(text, '[a-z]*ing'), '') AS ing_word,
+                CAST(len(regexp_extract_all(text, 'the')) AS INT) AS n_the
               FROM documents ORDER BY doc_id LIMIT 500""")),
 
     // ---- JSON bucket (function/json/; MySQL json_extract ~ $.path)

@@ -101,6 +101,16 @@ class JsonSpec extends AnyFunSuite {
     assert(one[Any](gj.jsonSearch(lit(doc), lit("one"), lit("nope"))) == null)
   }
 
+  test("json_overlaps follows MySQL 8.0.17 semantics") {
+    assert(one[Boolean](gj.jsonOverlaps(lit("[1,3,5,7]"), lit("[2,5,7]"))))
+    assert(!one[Boolean](gj.jsonOverlaps(lit("[1,3]"), lit("[2,4]"))))
+    assert(one[Boolean](gj.jsonOverlaps(lit("""{"a":1,"b":2}"""), lit("""{"c":3,"b":2}"""))))
+    assert(!one[Boolean](gj.jsonOverlaps(lit("""{"a":1}"""), lit("""{"a":2}"""))))
+    assert(one[Boolean](gj.jsonOverlaps(lit("[1,2]"), lit("2"))))
+    assert(one[Boolean](gj.jsonOverlaps(lit("5"), lit("5"))))
+    assert(!one[Boolean](gj.jsonOverlaps(lit("5"), lit("6"))))
+  }
+
   test("json_pretty renders MySQL 2-space style") {
     assert(one[String](gj.jsonPretty(lit("""{"k":69}""")))
       == "{\n  \"k\": 69\n}")
