@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Events.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.TpcH.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
