@@ -67,8 +67,8 @@ object TpcH {
           .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n1), col("s_nationkey") === col("snk"))
           .join(broadcast(n2), col("c_nationkey") === col("cnk"))
-          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-                  (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .filter((col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
+                  (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
           .agg(sum(revenue).cast("double").as("revenue"))
@@ -86,8 +86,8 @@ object TpcH {
                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
                  WHERE l_shipdate BETWEEN '1995-01-01' AND '1996-12-31'
-                   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
-                        (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+                   AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11') OR
+                        (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')))
                GROUP BY supp_nation, cust_nation, l_year
                ORDER BY supp_nation, cust_nation, l_year"""),
       headline = true),
@@ -115,13 +115,13 @@ object TpcH {
           .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n2), col("s_nationkey") === col("snk"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
-          .agg((sum(when(col("supp_nation") === "NATION_2", revenue)
+          .agg((sum(when(col("supp_nation") === "NATION_11", revenue)
               .otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double") /
             sum(revenue).cast("double")).as("mkt_share"))
           .orderBy(col("o_year"))
       },
       Some(s"""SELECT o_year,
-                 CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                 CAST(SUM(CASE WHEN supp_nation = 'NATION_11' THEN volume
                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
                    CAST(SUM(volume) AS DOUBLE) AS mkt_share
                FROM (
