@@ -142,6 +142,33 @@ object Aggregates {
                  MIN(p_size) AS min_size, MAX(p_size) AS max_size
                FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
+    // ---- salted two-stage aggregation — the 100 TB skew pattern. A
+    //      3-value grouping key (l_returnflag) would funnel a third of the
+    //      table through one reducer; salting spreads each hot key across
+    //      16 partial groups, then a second (tiny) aggregation merges the
+    //      partials. Result is identical to the direct groupBy, which is
+    //      what the oracle verifies. (Spark's map-side partial agg already
+    //      mitigates this for algebraic aggs; the explicit salt is the
+    //      shape needed for holistic aggs or extreme cardinality skew.)
+    QueryDef(
+      "agg_salted",
+      (s, d) => {
+        val partial = Tables.t(s, d, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(
+            count(lit(1)).as("n_part"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_part"))
+        partial.groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("n_part")).as("n_rows"),
+            sum(col("qty_part")).cast("double").as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+                 ${sqlSum("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- JSON aggregates (reference JSON_ARRAYAGG
     //      sql/expression/function/aggregation/unary_aggs.og.go:566,
     //      JSON_OBJECTAGG json_agg.go) + ANY_VALUE (:13). Spark-first:
