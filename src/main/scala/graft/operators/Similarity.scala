@@ -127,6 +127,80 @@ object Similarity {
               SELECT probe, bucket, neighbor, rk FROM scored WHERE rk <= 3
               ORDER BY probe, rk""")),
 
+    // ---- IVF-style ANN: assign every vector to its nearest of C coarse
+    //      centroids (broadcast; here the first 8 vectors stand in for
+    //      k-means centroids), then search only the probe's inverted list.
+    //      At 100 TB the corpus is partitioned by centroid id, so a probe
+    //      touches 1/C of the data (nprobe=1) via an equi-join — the same
+    //      recall/latency dial as a real IVF index, all in plan algebra.
+    QueryDef(
+      "sim_ivf",
+      (s, d) => {
+        import graft.functions.{vector => gvec}
+        val e = emb(s, d)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val dists = e.select(col("vec_id"), col("v"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            gvec.vecL2Sq(col("v"), col("cv")).as("d2"))
+        // two-pass argmin (min distance, then min cent_id among exact
+        // ties) — deterministic and expressible identically in the oracle
+        val mins = dists.groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
+        val assigned = dists.join(mins, Seq("vec_id"))
+          .filter(col("d2") === col("md"))
+          .groupBy(col("vec_id")).agg(min(col("cent_id")).as("cent"))
+        val withCent = e.join(assigned, Seq("vec_id"))
+        val probes = withCent.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe"), col("v").as("pv"),
+            col("nrm").as("pn"), col("cent"))
+        val corpus = withCent.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor"), col("v").as("nv"),
+            col("nrm").as("nn"), col("cent"))
+        val scored = corpus.join(broadcast(probes), Seq("cent"))
+          .select(col("probe"), col("cent"), col("neighbor"),
+            (gvec.vecDot(col("pv"), col("nv")) / (col("pn") * col("nn")))
+              .as("cos"))
+        val w = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("neighbor"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("probe"), col("cent"), col("neighbor"), col("rk"))
+          .orderBy(col("probe"), col("rk"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              nv AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              cents AS (
+                SELECT vec_id AS cent_id, v AS cv FROM nv WHERE vec_id < 8),
+              dists AS (
+                SELECT n.vec_id, c.cent_id,
+                  list_sum(list_transform(list_zip(n.v, c.cv),
+                    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+                FROM nv n CROSS JOIN cents c),
+              mins AS (
+                SELECT vec_id, min(d2) AS md FROM dists GROUP BY vec_id),
+              assigned AS (
+                SELECT d.vec_id, min(d.cent_id) AS cent
+                FROM dists d JOIN mins m
+                  ON d.vec_id = m.vec_id AND d.d2 = m.md
+                GROUP BY d.vec_id),
+              wc AS (
+                SELECT nv.vec_id, nv.v, nv.nrm, a.cent
+                FROM nv JOIN assigned a ON nv.vec_id = a.vec_id),
+              scored AS (
+                SELECT p.vec_id AS probe, p.cent AS cent, n.vec_id AS neighbor,
+                  list_dot_product(p.v, n.v) / (p.nrm * n.nrm) AS cos,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_dot_product(p.v, n.v) / (p.nrm * n.nrm) DESC,
+                             n.vec_id) AS rk
+                FROM wc p JOIN wc n ON p.cent = n.cent
+                  AND p.vec_id < 5 AND n.vec_id >= 5)
+              SELECT probe, cent, neighbor, rk FROM scored WHERE rk <= 3
+              ORDER BY probe, rk""")),
+
     // ---- vector distance functions (reference vec_distance family):
     //      euclidean, squared-L2, cosine distance vs a constant query vector
     QueryDef(
