@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-readiness audit over every declared query's physical plan: the
+  * O(n·m) join strategies (cartesian / broadcast-nested-loop) may appear
+  * only where the operator's semantics genuinely require them. A new query
+  * that accidentally plans a nested loop fails here before it ships. */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkSpec.{spark, sfDir}
+
+  /** queries whose semantics are inherently non-equi / all-pairs */
+  private val allowedNestedLoop = Set(
+    "join_cross",          // CROSS JOIN is the operator under test
+    "join_band",           // naive band join (bucketed variant is the scale path)
+    "sim_topk_bruteforce", // exact brute force is the baseline by design
+    "sim_ivf",             // centroid assignment: corpus × 8 centroids (broadcast)
+    "text_match",          // single aggregated stats row broadcast to the scan
+    "fn_mysql_native", "values_inline", "fn_spatial" // scalar/constant shapes
+  )
+
+  test("no unexpected cartesian or nested-loop joins across all queries") {
+    val offenders = SparkEntry.all.flatMap { q =>
+      val plan =
+        try q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+      val nested = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      if (nested && !allowedNestedLoop.contains(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian plans in: ${offenders.mkString(", ")}")
+  }
+
+  test("filters reach the parquet scan (pushdown smoke)") {
+    val plan = SparkEntry.queries("scan_project_filter")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(!plan.contains("PushedFilters: []"), plan)
+  }
+}
