@@ -114,6 +114,16 @@ class Engine(val spark: SparkSession) {
   def queryPrepared(sql: String, params: Seq[Any]): DataFrame =
     spark.sql(Dialect.rewrite(sql), params.toArray)
 
+  /** SELECT ... INTO @var (reference sql/plan/into.go @vars path): runs a
+    * single-row single-column query and stores the scalar as a session
+    * variable for later @var substitution. */
+  def selectInto(sql: String, varName: String): Unit = {
+    val rows = query(sql).collect()
+    require(rows.length == 1 && rows(0).length == 1,
+      s"SELECT INTO expects 1 row x 1 column, got ${rows.length} rows")
+    setVar(varName, rows(0).get(0))
+  }
+
   /** Attach every table of a testdata directory as a database. */
   def attachDir(dir: String): Unit = Tables.registerAll(spark, dir)
 

@@ -173,7 +173,10 @@ object Functions {
             makeDate(year(dt), dayofyear(dt)).as("makedate_rt"),
             MySqlFormat.strToDate(
               MySqlFormat.dateFormat(dt, "%d/%m/%Y"), "%d/%m/%Y")
-              .cast("date").as("str2date_rt"))
+              .cast("date").as("str2date_rt"),
+            date_format(dt, "MMMM").as("month_name"),
+            date_format(dt, "EEEE").as("day_name"),
+            ((dayofweek(dt) + 5) % 7).as("weekday_mysql"))
           .orderBy(col("event_id"))
       },
       Some("""WITH base AS (
@@ -207,7 +210,10 @@ object Functions {
                 tsec AS time2sec_rt,
                 timezone('America/New_York', timezone('UTC', ts)) AS ny_ts,
                 dt AS makedate_rt,
-                dt AS str2date_rt
+                dt AS str2date_rt,
+                strftime(dt, '%B') AS month_name,
+                strftime(dt, '%A') AS day_name,
+                CAST((dayofweek(dt) + 6) % 7 AS INT) AS weekday_mysql
               FROM base ORDER BY event_id"""))
       ,
 

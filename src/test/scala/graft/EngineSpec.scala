@@ -104,6 +104,14 @@ class EngineSpec extends AnyFunSuite {
     assert(n == direct && n > 0)
   }
 
+  test("SELECT INTO @var then reuse in a later query") {
+    engine.selectInto("SELECT max(o_totalprice) FROM orders", "maxp")
+    val n = engine.query(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice = @maxp")
+      .collect()(0).getLong(0)
+    assert(n >= 1)
+  }
+
   test("compress/uncompress round-trip with MySQL header semantics") {
     val r = engine.query(
       """SELECT uncompress(compress('hello world')) AS rt,
