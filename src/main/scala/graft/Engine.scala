@@ -174,6 +174,26 @@ class Engine(val spark: SparkSession) {
   def describe(table: String): Seq[(String, String)] =
     spark.table(table).schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
 
+  /** Synthesize information_schema views from the session catalog
+    * (reference: sql/information_schema/ builds these in-engine). Views
+    * are queryable like any table: `SELECT * FROM information_schema_columns
+    * WHERE table_name = 'lineitem'`. */
+  def enableInformationSchema(): Unit = {
+    import spark.implicits._
+    val tables = spark.catalog.listTables().collect()
+    tables.map(t => (t.name, Option(t.database).getOrElse(""), t.tableType))
+      .toSeq.toDF("table_name", "table_schema", "table_type")
+      .createOrReplaceTempView("information_schema_tables")
+    tables.flatMap { t =>
+      spark.table(t.name).schema.fields.zipWithIndex.map { case (f, i) =>
+        (t.name, f.name, i + 1, f.dataType.simpleString, f.nullable)
+      }
+    }.toSeq
+      .toDF("table_name", "column_name", "ordinal_position", "data_type",
+        "is_nullable")
+      .createOrReplaceTempView("information_schema_columns")
+  }
+
   /** EXPLAIN — formatted Catalyst plan. */
   def explain(sql: String): String =
     query(sql).queryExecution.explainString(
