@@ -194,6 +194,39 @@ class Engine(val spark: SparkSession) {
       .createOrReplaceTempView("information_schema_columns")
   }
 
+  /** SHOW CREATE TABLE — renders MySQL-style DDL from the Spark schema
+    * (reverse of the SURVEY §1.2 type mapping; reference answers this from
+    * its catalog in sql/rowexec/show.go). */
+  def showCreateTable(table: String): String = {
+    def mysqlType(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType => "tinyint"
+        case ShortType => "smallint"
+        case IntegerType => "int"
+        case LongType => "bigint"
+        case FloatType => "float"
+        case DoubleType => "double"
+        case d: DecimalType if d.precision == 20 && d.scale == 0 =>
+          "bigint unsigned"
+        case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+        case StringType => "text"
+        case BinaryType => "blob"
+        case DateType => "date"
+        case _: TimestampType => "timestamp"
+        case TimestampNTZType => "datetime"
+        case BooleanType => "tinyint(1)"
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => "vector"
+        case other => other.simpleString // honest fallback for nested types
+      }
+    }
+    val fields = spark.table(table).schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"  `${f.name}` ${mysqlType(f.dataType)}$nn"
+    }
+    s"CREATE TABLE `$table` (\n${fields.mkString(",\n")}\n)"
+  }
+
   /** EXPLAIN — formatted Catalyst plan. */
   def explain(sql: String): String =
     query(sql).queryExecution.explainString(

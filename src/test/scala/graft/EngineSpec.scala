@@ -60,6 +60,15 @@ class EngineSpec extends AnyFunSuite {
     assert(d("r_regionkey") == "int" && d("r_name") == "string")
   }
 
+  test("SHOW CREATE TABLE renders MySQL DDL from the schema") {
+    val ddl = engine.showCreateTable("region")
+    assert(ddl.startsWith("CREATE TABLE `region`"))
+    assert(ddl.contains("`r_regionkey` int"))
+    assert(ddl.contains("`r_name` text"))
+    val embDdl = engine.showCreateTable("embeddings")
+    assert(embDdl.contains("`embedding` vector"))
+  }
+
   test("explain returns a formatted plan with pushed filters") {
     val plan = engine.explain(
       "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45")
