@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.Events.defs ++
       operators.Multimodal.defs ++
-      operators.TpcH.defs
+      operators.TpcH.defs ++
+      operators.AsOf.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
