@@ -142,6 +142,22 @@ object Aggregates {
                  MIN(p_size) AS min_size, MAX(p_size) AS max_size
                FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
+    // ---- approximate distinct (HLL++). The reference has no approx
+    //      aggregates (SURVEY §2.4) — this is the 100 TB upgrade: a
+    //      mergeable constant-size sketch instead of an exact distinct
+    //      shuffle. No oracle (sketch estimates differ across engines);
+    //      the spec suite pins the 5% rsd bound instead.
+    QueryDef(
+      "agg_approx_distinct",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+            approx_count_distinct(col("l_suppkey"), 0.05).as("approx_supps"))
+          .orderBy(col("l_returnflag")),
+      None),
+
     // ---- salted two-stage aggregation — the 100 TB skew pattern. A
     //      3-value grouping key (l_returnflag) would funnel a third of the
     //      table through one reducer; salting spreads each hot key across

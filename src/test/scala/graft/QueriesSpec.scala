@@ -55,7 +55,10 @@ class QueriesSpec extends AnyFunSuite {
     assert(n == docs)
   }
 
-  test("oracle SQL exists for every query (full coverage this round)") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  test("oracle SQL exists for every query except documented sketch ops") {
+    // sketch estimates (HLL) are engine-specific by design; their
+    // correctness contract is the rsd bound pinned in ApproxSpec
+    val sketchOnly = Set("agg_approx_distinct")
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- sketchOnly)
   }
 }
