@@ -66,4 +66,49 @@ object DateTimeExt {
   /** MAKEDATE(year, dayofyear). */
   def makeDate(y: Column, doy: Column): Column =
     date_add(make_date(y, lit(1), lit(1)), (doy - 1).cast("int"))
+
+  /** WEEK(date, mode) for the common modes:
+    * 0 = Sunday-start, 0..53, week 1 contains this year's first Sunday;
+    * 1 = Monday-start, 0..53, week 1 has >3 days this year (ISO-ish);
+    * 3 = ISO 8601 (Monday-start, 1..53, belongs-to-year shifts).
+    * Mode 3 is Spark's weekofyear; modes 0/1 derive from the first
+    * week-start of the year. */
+  def week(d0: Column, mode: Int): Column = {
+    val d = d0.cast("date")
+    mode match {
+      case 3 => weekofyear(d)
+      case 0 =>
+        val fs = firstSunday(make_date(year(d), lit(1), lit(1)))
+        when(d >= fs, (floor(datediff(d, fs) / 7) + 1).cast("int"))
+          .otherwise(lit(0))
+      case 1 =>
+        // first Monday-start week with >=4 days in this year begins at
+        // jan1 - ((dow_mon(jan1) <= 3) ? dow_mon : dow_mon - 7) days,
+        // where dow_mon(jan1) = days since Monday (0=Mon..6=Sun)
+        val jan1 = make_date(year(d), lit(1), lit(1))
+        val dowMon = (dayofweek(jan1) + 5) % 7
+        val start = date_add(jan1,
+          when(dowMon <= 3, -dowMon).otherwise(lit(7) - dowMon).cast("int"))
+        when(d >= start, (floor(datediff(d, start) / 7) + 1).cast("int"))
+          .otherwise(lit(0))
+      case m => throw new IllegalArgumentException(s"WEEK mode $m unsupported")
+    }
+  }
+
+  /** GET_FORMAT(type, standard) — the MySQL constant table. */
+  def getFormat(typ: String, standard: String): String =
+    (typ.toUpperCase, standard.toUpperCase) match {
+      case ("DATE", "ISO") => "%Y-%m-%d"
+      case ("DATE", "USA") => "%m.%d.%Y"
+      case ("DATE", "EUR") => "%d.%m.%Y"
+      case ("DATE", "JIS") => "%Y-%m-%d"
+      case ("DATE", "INTERNAL") => "%Y%m%d"
+      case ("TIME", "ISO") | ("TIME", "JIS") => "%H:%i:%s"
+      case ("TIME", "USA") => "%h:%i:%s %p"
+      case ("TIME", "EUR") => "%H.%i.%s"
+      case ("TIME", "INTERNAL") => "%H%i%s"
+      case ("DATETIME", "USA") | ("DATETIME", "EUR") => "%Y-%m-%d %H.%i.%s"
+      case ("DATETIME", _) => "%Y-%m-%d %H:%i:%s"
+      case (t, st) => throw new IllegalArgumentException(s"GET_FORMAT($t, $st)")
+    }
 }

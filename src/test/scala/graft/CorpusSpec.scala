@@ -114,6 +114,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(2L))
   }
 
+  test("MySQL LIKE is case-insensitive for non-binary collations -> ilike") {
+    // MySQL: s LIKE 'FIRST%' matches 'first row' under *_ci collations
+    assert(mytable.filter($"s".ilike("FIRST%")).count() == 1)
+    assert(mytable.filter($"s".like("FIRST%")).count() == 0) // BINARY-collation behavior
+    assert(mytable.filter($"s".ilike("%ROW")).count() == 3)
+  }
+
+  test("INTERVAL arithmetic in SQL and DSL") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT DATE '1998-12-01' - INTERVAL 90 DAY AS d,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 90 MINUTE AS t""")
+      .collect()(0)
+    assert(r.getDate(0).toString == "1998-09-02")
+    assert(r.getTimestamp(1).toString == "2024-01-01 01:30:00.0")
+  }
+
   test("NOT IN against a set containing NULL matches nothing (3VL)") {
     niltable.createOrReplaceTempView("niltable_v")
     val got = spark.sql(

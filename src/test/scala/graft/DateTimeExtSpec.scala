@@ -44,6 +44,28 @@ class DateTimeExtSpec extends AnyFunSuite {
     assert(one[java.sql.Date](makeDate(lit(2011), lit(32))).toString == "2011-02-01")
   }
 
+  test("week modes 0/1/3 match MySQL examples") {
+    // MySQL: WEEK('2008-02-20',0)=7, WEEK('2008-02-20',1)=8,
+    //        WEEK('2008-12-31',1)=53
+    assert(one[Int](week(lit("2008-02-20"), 0)) == 7)
+    assert(one[Int](week(lit("2008-02-20"), 1)) == 8)
+    assert(one[Int](week(lit("2008-12-31"), 1)) == 53)
+    // WEEK('2000-01-01',0)=0 (before first Sunday)
+    assert(one[Int](week(lit("2000-01-01"), 0)) == 0)
+    // mode 3 = ISO: 2008-02-20 is ISO week 8
+    assert(one[Int](week(lit("2008-02-20"), 3)) == 8)
+  }
+
+  test("get_format returns the MySQL constant table") {
+    assert(getFormat("DATE", "ISO") == "%Y-%m-%d")
+    assert(getFormat("DATE", "USA") == "%m.%d.%Y")
+    assert(getFormat("TIME", "USA") == "%h:%i:%s %p")
+    assert(getFormat("DATETIME", "ISO") == "%Y-%m-%d %H:%i:%s")
+    // the returned format feeds straight back into the %-translator
+    assert(one[String](functions.MySqlFormat.dateFormat(
+      to_date(lit("1997-10-04")), getFormat("DATE", "EUR"))) == "04.10.1997")
+  }
+
   test("str_to_date parses via the %-translator") {
     assert(one[java.sql.Date](functions.MySqlFormat
       .strToDate(lit("04/10/1997"), "%d/%m/%Y").cast("date")).toString == "1997-10-04")
