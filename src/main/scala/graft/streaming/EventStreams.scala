@@ -73,6 +73,15 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drops events whose `event_id` was already
+    * seen, with state bounded by the watermark (the streaming face of the
+    * batch `dedup_exact` operator — state holds only ids newer than
+    * watermark-delay, so it is O(arrival rate × delay), not O(history)). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drive a streaming DataFrame synchronously to a memory sink; returns
     * the materialized result (for tests/local smoke — production writes
     * to a real sink with a trigger). */

@@ -79,6 +79,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, hhmm: String): EventStreams.Ev =
+      EventStreams.Ev(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"),
+        1L, "click", 1.0)
+    val src = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.dedupStream(src.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      src.addData(ev(1, "10:00"), ev(1, "10:05"), ev(2, "10:10"))
+      q.processAllAvailable()
+      src.addData(ev(2, "10:20"), ev(3, "10:30")) // 2 is a dup within state
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select($"event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("multimodal decode emits the declared feature schema") {
     val df = graft.operators.Multimodal.decodeFeatures(spark, sfDir)
     assert(df.schema == graft.operators.Multimodal.featureSchema)
