@@ -25,6 +25,8 @@ object Dialect {
       .replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
       .replaceAll("(?i)\\bSTRAIGHT_JOIN\\b", "JOIN")
       .replaceAll("(?i)\\bSQL_CALC_FOUND_ROWS\\b", "")
+      // MySQL logical XOR (boolean operands); Spark SQL has no XOR keyword
+      .replaceAll("(?i)\\bXOR\\b", "!=")
 
   def rewrite(sql: String): String = {
     val out = new StringBuilder

@@ -105,6 +105,44 @@ object Functions {
                 p_partkey >> 1 AS shr
               FROM part ORDER BY p_partkey""")),
 
+    // ---- extended math: TRUNCATE (toward zero, ± digits), cot,
+    //      degrees/radians/atan2/pi (reference function/math.go family)
+    QueryDef(
+      "fn_math_ext",
+      (s, d) => {
+        // MySQL TRUNCATE(x, dgt): toward zero at 10^dgt
+        def truncAt(x: org.apache.spark.sql.Column, dgt: Int) = {
+          val p = math.pow(10, dgt)
+          (signum(x) * floor(abs(x) * p) / p)
+        }
+        val x = col("p_retailprice") - 1000 // mixed signs
+        Tables.t(s, d, "part")
+          .select(
+            col("p_partkey"),
+            truncAt(x, 1).as("trunc1"),
+            truncAt(x, 0).as("trunc0"),
+            truncAt(x, -2).as("trunc_m2"),
+            round(degrees(col("p_size")), 6).as("deg"),
+            round(radians(col("p_size")), 6).as("rad"),
+            round(atan2(col("p_size"), lit(7)), 6).as("at2"),
+            round(lit(1.0) / tan(col("p_size")), 6).as("cot_sz"),
+            round(lit(math.Pi), 6).as("pi_const"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+                sign(p_retailprice - 1000) *
+                  floor(abs(p_retailprice - 1000) * 10) / 10 AS trunc1,
+                sign(p_retailprice - 1000) *
+                  floor(abs(p_retailprice - 1000)) AS trunc0,
+                sign(p_retailprice - 1000) *
+                  floor(abs(p_retailprice - 1000) * 0.01) / 0.01 AS trunc_m2,
+                round(degrees(p_size), 6) AS deg,
+                round(radians(p_size), 6) AS rad,
+                round(atan2(p_size, 7), 6) AS at2,
+                round(cot(p_size), 6) AS cot_sz,
+                round(pi(), 6) AS pi_const
+              FROM part ORDER BY p_partkey""")),
+
     // ---- date/time bucket incl. the MySQL %-format translator
     QueryDef(
       "fn_datetime",

@@ -27,6 +27,10 @@ class DialectSpec extends AnyFunSuite {
     val q = "SELECT 'it''s' FROM t LIMIT 1, 2"
     assert(Dialect.rewrite(q) == "SELECT 'it''s' FROM t LIMIT 2 OFFSET 1")
   }
+  test("logical XOR becomes != (boolean 3VL preserved)") {
+    assert(Dialect.rewrite("SELECT a XOR b FROM t") == "SELECT a != b FROM t")
+    assert(Dialect.rewrite("SELECT 'a XOR b' FROM t") == "SELECT 'a XOR b' FROM t")
+  }
 }
 
 class EngineSpec extends AnyFunSuite {
