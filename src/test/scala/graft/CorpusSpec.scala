@@ -137,4 +137,66 @@ class CorpusSpec extends AnyFunSuite {
       "SELECT i FROM niltable_v WHERE i2 NOT IN (2, NULL)").count()
     assert(got == 0)
   }
+
+  // ---- datetime_table fixture (setup_data.sg.go:141) -------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def dt(s: String) = java.sql.Date.valueOf(s)
+  private lazy val datetimeTable = Seq(
+    (1L, dt("2019-12-31"), ts("2020-01-01 12:00:00"), ts("2020-01-02 12:00:00")),
+    (2L, dt("2020-01-03"), ts("2020-01-04 12:00:00"), ts("2020-01-05 12:00:00")),
+    (3L, dt("2020-01-07"), ts("2020-01-07 12:00:00"), ts("2020-01-07 12:00:01")))
+    .toDF("i", "date_col", "datetime_col", "timestamp_col")
+
+  test("date vs datetime comparisons promote correctly") {
+    // date_col > '2020-01-01' — string literal coerces to date
+    assert(datetimeTable.filter($"date_col" > "2020-01-01").select($"i")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // datetime equality against a date-only literal means midnight
+    assert(datetimeTable.filter($"datetime_col" === "2020-01-04 12:00:00")
+      .select($"i").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // cross-column compare: timestamp_col is strictly after datetime_col
+    assert(datetimeTable.filter($"timestamp_col" > $"datetime_col").count() == 3)
+  }
+
+  test("date arithmetic on the fixture rows") {
+    val got = datetimeTable.orderBy($"i")
+      .select(datediff($"timestamp_col".cast("date"), $"date_col"))
+      .collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(2, 2, 0))
+  }
+
+  // ---- one_pk / two_pk fixtures (setup_data.sg.go:3135,3141) -----------
+
+  private lazy val onePk = Seq(
+    (0, 0, 1, 2, 3, 4), (1, 10, 11, 12, 13, 14),
+    (2, 20, 21, 22, 23, 24), (3, 30, 31, 32, 33, 34))
+    .toDF("pk", "c1", "c2", "c3", "c4", "c5")
+  private lazy val twoPk = Seq(
+    (0, 0, 0, 1, 2, 3, 4), (0, 1, 10, 11, 12, 13, 14),
+    (1, 0, 20, 21, 22, 23, 24), (1, 1, 30, 31, 32, 33, 34))
+    .toDF("pk1", "pk2", "c1", "c2", "c3", "c4", "c5")
+
+  test("composite-key join one_pk x two_pk on (pk1, pk2) derivation") {
+    // classic reference shape: one_pk.pk = two_pk.pk1 * 2 + two_pk.pk2
+    val got = onePk.join(twoPk, $"pk" === $"pk1" * 2 + $"pk2")
+      .select($"pk", $"pk1", $"pk2").orderBy($"pk")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((0, 0, 0), (1, 0, 1), (2, 1, 0), (3, 1, 1)))
+  }
+
+  test("self-join on one_pk with shifted keys") {
+    val a = onePk.as("a"); val b = onePk.as("b")
+    val got = a.join(b, col("a.pk") === col("b.pk") + 1)
+      .select(col("a.pk"), col("b.c1")).orderBy(col("a.pk"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1, 0), (2, 10), (3, 20)))
+  }
+
+  test("aggregate over composite groups of two_pk") {
+    val got = twoPk.groupBy($"pk1")
+      .agg(sum($"c1").as("s"), max($"c5").as("m")).orderBy($"pk1")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((0, 10L, 14), (1, 50L, 34)))
+  }
 }
