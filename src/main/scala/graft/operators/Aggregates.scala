@@ -142,6 +142,26 @@ object Aggregates {
                  MIN(p_size) AS min_size, MAX(p_size) AS max_size
                FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
+    // ---- PIVOT: wide conditional aggregation (Spark-native upgrade of
+    //      the CASE-WHEN-per-column pattern the reference corpus uses).
+    //      Pivot values are declared, so the plan is a single pass — no
+    //      per-value scans.
+    QueryDef(
+      "agg_pivot",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity")))
+          .na.fill(0.0)
+          .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag,
+                 COALESCE(${sqlSum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}, 0)
+                   AS F,
+                 COALESCE(${sqlSum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")}, 0)
+                   AS O
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- approximate distinct (HLL++). The reference has no approx
     //      aggregates (SURVEY §2.4) — this is the 100 TB upgrade: a
     //      mergeable constant-size sketch instead of an exact distinct
