@@ -106,6 +106,33 @@ class Engine(val spark: SparkSession) {
   def query(sql: String): DataFrame =
     spark.sql(substituteVars(Dialect.rewrite(sql)))
 
+  /** Run a multi-statement script (reference ScriptTest shape:
+    * `;`-separated statements, literal-aware split). Returns each
+    * statement's result; callers usually keep only the last. */
+  def runScript(script: String): Seq[DataFrame] =
+    splitStatements(script).map(query)
+
+  private def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    val n = script.length
+    while (i < n) {
+      script.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          val start = i; i += 1
+          while (i < n && (script.charAt(i) != q ||
+                 (i + 1 < n && script.charAt(i + 1) == q && { i += 1; true }))) i += 1
+          i = math.min(i + 1, n)
+          cur.append(script.substring(start, i))
+        case ';' => out += cur.result(); cur.clear(); i += 1
+        case ch => cur.append(ch); i += 1
+      }
+    }
+    if (cur.result().trim.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Prepared statement with named parameters (:name) — reference
     * Engine.PrepareQuery engine.go:160; Spark-first via parameterized SQL
     * (plan re-analysis is Catalyst's job; no client-side AST cache needed). */

@@ -181,6 +181,24 @@ class EngineSpec extends AnyFunSuite {
       ex.getMessage.contains("SCALAR_SUBQUERY"))
   }
 
+  test("multi-statement script runs in order, literal-aware split") {
+    val results = engine.runScript(
+      """SELECT 1 AS a;
+         SELECT 'x; not a split' AS s;
+         SELECT count(*) AS n FROM region""")
+    assert(results.length == 3)
+    assert(results(1).collect()(0).getString(0) == "x; not a split")
+    assert(results(2).collect()(0).getLong(0) == 5)
+  }
+
+  test("GraftExtensions injects the function library") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext) // builds all injection entries without error
+    // behavior equivalence: the same builders back the Engine-registered fns
+    assert(engine.query("SELECT json_type('[1]') AS t").collect()(0)
+      .getString(0) == "ARRAY")
+  }
+
   test("custom native functions are registered on the session") {
     assert(engine.query("SELECT winnow_fingerprint('the quick brown fox jumps', 8) AS f")
       .collect()(0).getLong(0) == 970748898268L)
