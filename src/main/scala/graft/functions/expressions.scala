@@ -265,6 +265,28 @@ object expressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** MySQL implicit string->number coercion (SURVEY §7.4 hard-part 1;
+    * reference sql/types/number.go + convert_value.go): the longest valid
+    * numeric PREFIX converts, everything else is 0 — `'12.5abc'` -> 12.5,
+    * `'abc'` -> 0, `' 42'` -> 42. Spark's cast gives NULL for these;
+    * MySQL's truncate-with-warning behavior maps to this expression. */
+  case class MySqlToNumber(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val m = MySqlToNumber.Prefix.matcher(s)
+      if (m.find() && m.group(1).nonEmpty) m.group(1).toDouble else 0.0
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+  object MySqlToNumber {
+    /** identical pattern is used in the DuckDB oracle SQL */
+    val PrefixRegex = "^[ \\t]*([+-]?(?:[0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"
+    private val Prefix = java.util.regex.Pattern.compile(PrefixRegex)
+  }
+
   // ---- Column wrappers -----------------------------------------------
 
   import org.apache.spark.sql.GraftBridge
@@ -285,6 +307,7 @@ object expressions {
   def compress(s: Column): Column = c(CompressExpr(x(s)))
   def uncompress(b: Column): Column = c(UncompressExpr(x(b)))
   def uncompressedLength(b: Column): Column = c(UncompressedLength(x(b)))
+  def mysqlToNumber(s: Column): Column = c(MySqlToNumber(x(s)))
   def winnowFingerprint(s: Column, k: Column): Column =
     c(WinnowFingerprint(x(s), x(k)))
 
@@ -304,6 +327,8 @@ object expressions {
     reg.createOrReplaceTempFunction("uncompress", es => UncompressExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("uncompressed_length",
       es => UncompressedLength(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("mysql_to_number",
+      es => MySqlToNumber(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       es => WinnowFingerprint(es(0), es(1)), "scala_udf")
   }

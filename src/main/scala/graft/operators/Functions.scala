@@ -603,7 +603,10 @@ object Functions {
             lit("42").cast("int").as("s2i"),
             lit("3.5").cast("double").as("s2d"),
             col("o_orderkey").cast("double").as("i2d"),
-            (col("o_orderstatus") === "O").cast("int").as("b2i"))
+            (col("o_orderstatus") === "O").cast("int").as("b2i"),
+            gfx.mysqlToNumber(concat(col("o_orderkey"), lit(".5x")))
+              .as("mysql_prefix_num"),
+            gfx.mysqlToNumber(col("o_orderpriority")).as("mysql_prio_num"))
           .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey,
                 CAST(o_orderkey AS VARCHAR) AS key_str,
@@ -614,7 +617,13 @@ object Functions {
                 CAST('42' AS INT) AS s2i,
                 CAST('3.5' AS DOUBLE) AS s2d,
                 CAST(o_orderkey AS DOUBLE) AS i2d,
-                CAST(o_orderstatus = 'O' AS INT) AS b2i
+                CAST(o_orderstatus = 'O' AS INT) AS b2i,
+                CAST(coalesce(nullif(regexp_extract(o_orderkey || '.5x',
+                  '^[ \t]*([+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)', 1),
+                  ''), '0') AS DOUBLE) AS mysql_prefix_num,
+                CAST(coalesce(nullif(regexp_extract(o_orderpriority,
+                  '^[ \t]*([+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)', 1),
+                  ''), '0') AS DOUBLE) AS mysql_prio_num
               FROM orders ORDER BY o_orderkey""")),
 
     // ---- JSON inspection family (reference sql/expression/function/json/:

@@ -66,6 +66,17 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(one[String](soundex(lit("Robert"))) == one[String](soundex(lit("Rupert"))))
   }
 
+  test("mysqlToNumber takes the longest numeric prefix, else 0") {
+    assert(one[Double](gfx.mysqlToNumber(lit("12.5abc"))) == 12.5)
+    assert(one[Double](gfx.mysqlToNumber(lit("abc"))) == 0.0)
+    assert(one[Double](gfx.mysqlToNumber(lit(" 42"))) == 42.0)
+    assert(one[Double](gfx.mysqlToNumber(lit("1e3x"))) == 1000.0)
+    assert(one[Double](gfx.mysqlToNumber(lit(".5x"))) == 0.5)
+    assert(one[Double](gfx.mysqlToNumber(lit("-3.x"))) == -3.0)
+    assert(one[Double](gfx.mysqlToNumber(lit("+-3"))) == 0.0)
+    assert(one[Double](gfx.mysqlToNumber(lit(""))) == 0.0)
+  }
+
   test("SQL registration makes functions usable in spark.sql") {
     gfx.register(spark)
     val r = spark.sql(
