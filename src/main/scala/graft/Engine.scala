@@ -177,13 +177,20 @@ class Engine(val spark: SparkSession) {
     * ingest. FIELDS TERMINATED BY -> `sep`, optional IGNORE 1 LINES ->
     * `header`; the scan distributes across executors like any file source. */
   def loadData(table: String, path: String, fieldsTerminatedBy: String = ",",
-               ignoreHeader: Boolean = false): Unit =
-    spark.read
-      .option("sep", fieldsTerminatedBy)
-      .option("header", ignoreHeader)
-      .option("inferSchema", true)
-      .csv(path)
-      .createOrReplaceTempView(table)
+               ignoreHeader: Boolean = false, format: String = "csv"): Unit = {
+    val df = format match {
+      case "csv" =>
+        spark.read
+          .option("sep", fieldsTerminatedBy)
+          .option("header", ignoreHeader)
+          .option("inferSchema", true)
+          .csv(path)
+      case "json" => spark.read.json(path) // JSON-lines
+      case "parquet" => spark.read.parquet(path)
+      case other => throw new IllegalArgumentException(s"LOAD DATA format $other")
+    }
+    df.createOrReplaceTempView(table)
+  }
 
   /** SELECT ... INTO OUTFILE (reference sql/plan/into.go:26): delimited
     * sink. One file per partition at scale; `single` coalesces for the

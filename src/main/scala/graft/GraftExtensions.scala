@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("uncompress", es => ge.UncompressExpr(es.head)),
       fn("uncompressed_length", es => ge.UncompressedLength(es.head)),
       fn("winnow_fingerprint", es => ge.WinnowFingerprint(es(0), es(1))),
+      fn("mysql_to_number", es => ge.MySqlToNumber(es.head)),
       fn("json_extract_mysql", es => gj.JsonExtractMySql(es)),
       fn("json_set", es => gj.JsonMutate(es, 0)),
       fn("json_insert", es => gj.JsonMutate(es, 1)),
