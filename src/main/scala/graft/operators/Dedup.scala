@@ -182,6 +182,52 @@ object Dedup {
                JOIN sizes cb ON c.doc_b = cb.doc_id
                ORDER BY c.doc_a, c.doc_b""")),
 
+    // ---- SimHash: 60-bit signature; bit b is the sign of the sum over
+    //      tokens of ±1 at bit b of the token hash. Expressed as 60
+    //      codegen'd conditional-sum aggregates per doc (no bit-explosion
+    //      join); near-duplicates differ in few bits -> hamming distance
+    //      via bit_count(xor). Reference analog: the dedup north-star;
+    //      token hash reuses the portable md5-60 (engine-matched oracle).
+    QueryDef(
+      "dedup_simhash",
+      (s, d) => {
+        val B = 60
+        val toks = Tables.t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h", h60(col("tok")))
+        val bitSums = (0 until B).map(b =>
+          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+        val sig = toks.groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"),
+            (0 until B).map(b =>
+              when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+              .reduce(_ + _).as("simhash"))
+        val ref = sig.orderBy(col("doc_id")).limit(1)
+          .select(col("simhash").as("ref_hash"))
+        sig.crossJoin(broadcast(ref))
+          .select(col("doc_id"), col("simhash"),
+            bit_count(expr("simhash ^ ref_hash")).as("hamming_to_doc0"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val B = 60
+        val sums = (0 until B).map(b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(", ")
+        val recombine = (0 until B).map(b =>
+          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (
+              SELECT doc_id, ${H60_SQL("unnest(string_split(text, ' '))")} AS h
+              FROM documents),
+            bits AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+            sig AS (SELECT doc_id, $recombine AS simhash FROM bits),
+            ref AS (SELECT simhash AS ref_hash FROM sig ORDER BY doc_id LIMIT 1)
+            SELECT doc_id, simhash,
+              CAST(bit_count(xor(simhash, ref_hash)) AS INT) AS hamming_to_doc0
+            FROM sig, ref ORDER BY doc_id"""
+      }),
+
     // ---- embedding near-dup: cosine > threshold within a blocking key
     //      (label); at scale the blocking key is an LSH bucket, see
     //      Similarity.sim_lsh_bucket
