@@ -70,6 +70,15 @@ object vector {
       c(VecDot(ax, bx)) / (c(Sqrt(VecDot(ax, ax))) * c(Sqrt(VecDot(bx, bx))))
   }
 
+  /** TO_VECTOR / VEC_FROMTEXT: '[1.0,2.0]' -> array<double> (reference
+    * vector/distance.go text forms) — from_json on an array schema. */
+  def vecFromText(c: Column): Column =
+    org.apache.spark.sql.functions.from_json(c, ArrayType(DoubleType))
+
+  /** FROM_VECTOR / VEC_TOTEXT: array -> compact '[1.0,2.0]' text. */
+  def vecToText(c: Column): Column =
+    org.apache.spark.sql.functions.to_json(c)
+
   def register(spark: SparkSession): Unit = {
     val reg = GraftBridge.functionRegistry(spark)
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "scala_udf")

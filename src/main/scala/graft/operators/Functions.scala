@@ -588,6 +588,45 @@ object Functions {
                 sqrt(x*x + y*y) + 5 AS path_len
               FROM pts ORDER BY c_custkey""")),
 
+    // ---- UUID family (registry.go uuid_to_bin/bin_to_uuid/is_uuid):
+    //      deterministic md5-derived uuid text per row, validated and
+    //      round-tripped through the binary forms (±swap flag)
+    QueryDef(
+      "fn_uuid",
+      (s, d) => {
+        import graft.functions.UuidFns._
+        val h = md5(col("c_name").cast("binary"))
+        val u = concat_ws("-",
+          substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+          substring(h, 17, 4), substring(h, 21, 12))
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            u.as("uuid_txt"),
+            isUuid(u).as("valid"),
+            isUuid(col("c_name")).as("name_valid"),
+            lower(hex(uuidToBin(u))).as("bin_hex"),
+            lower(hex(uuidToBin(u, swap = true))).as("bin_hex_swap"),
+            binToUuid(uuidToBin(u)).as("rt"),
+            binToUuid(uuidToBin(u, swap = true), swap = true).as("rt_swap"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH u AS (
+                SELECT c_custkey,
+                  substr(md5(c_name), 1, 8) || '-' || substr(md5(c_name), 9, 4)
+                    || '-' || substr(md5(c_name), 13, 4) || '-'
+                    || substr(md5(c_name), 17, 4) || '-'
+                    || substr(md5(c_name), 21, 12) AS uuid_txt,
+                  md5(c_name) AS h
+                FROM customer)
+              SELECT c_custkey, uuid_txt,
+                TRUE AS valid, FALSE AS name_valid,
+                h AS bin_hex,
+                substr(h, 13, 4) || substr(h, 9, 4) || substr(h, 1, 8)
+                  || substr(h, 17, 16) AS bin_hex_swap,
+                uuid_txt AS rt, uuid_txt AS rt_swap
+              FROM u ORDER BY c_custkey""")),
+
     // ---- cast/coercion bucket (sql/types/ conversion semantics)
     QueryDef(
       "fn_cast",
