@@ -98,6 +98,34 @@ object expressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** INET6_ATON: text (v4 or v6) -> 4/16-byte binary; NULL on malformed.
+    * Uses Guava's literal parser (no DNS lookup, unlike InetAddress). */
+  case class Inet6Aton(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      try com.google.common.net.InetAddresses
+        .forString(v.asInstanceOf[UTF8String].toString).getAddress
+      catch { case _: IllegalArgumentException => null }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** INET6_NTOA: 4/16-byte binary -> canonical text; NULL on bad length. */
+  case class Inet6Ntoa(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      if (b.length != 4 && b.length != 16) null
+      else UTF8String.fromString(
+        com.google.common.net.InetAddresses.toAddrString(
+          java.net.InetAddress.getByAddress(b)))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** EXPORT_SET(bits, on, off, sep, n) with the MySQL default ordering:
     * lowest bit first. */
   case class ExportSet(children: Seq[Expression])
@@ -308,6 +336,13 @@ object expressions {
   def uncompress(b: Column): Column = c(UncompressExpr(x(b)))
   def uncompressedLength(b: Column): Column = c(UncompressedLength(x(b)))
   def mysqlToNumber(s: Column): Column = c(MySqlToNumber(x(s)))
+  def inet6Aton(s: Column): Column = c(Inet6Aton(x(s)))
+  def inet6Ntoa(b: Column): Column = c(Inet6Ntoa(x(b)))
+  /** IS_IPV4 / IS_IPV6 as regex/parse compositions. */
+  def isIpv4(s: Column): Column =
+    s.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$")
+  def isIpv6(s: Column): Column =
+    c(Inet6Aton(x(s))).isNotNull && !isIpv4(s)
   def winnowFingerprint(s: Column, k: Column): Column =
     c(WinnowFingerprint(x(s), x(k)))
 

@@ -66,6 +66,17 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(one[String](soundex(lit("Robert"))) == one[String](soundex(lit("Rupert"))))
   }
 
+  test("inet6 family: aton/ntoa round-trips, is_ipv4/is_ipv6") {
+    assert(one[String](gfx.inet6Ntoa(gfx.inet6Aton(lit("fdfe::5a55:caff:fefa:9089"))))
+      == "fdfe::5a55:caff:fefa:9089")
+    assert(one[String](gfx.inet6Ntoa(gfx.inet6Aton(lit("10.0.5.9")))) == "10.0.5.9")
+    assert(one[Any](gfx.inet6Aton(lit("not an ip"))) == null)
+    assert(one[Boolean](gfx.isIpv4(lit("10.0.5.9"))))
+    assert(!one[Boolean](gfx.isIpv4(lit("10.0.5.256"))))
+    assert(one[Boolean](gfx.isIpv6(lit("::1"))))
+    assert(!one[Boolean](gfx.isIpv6(lit("10.0.5.9"))))
+  }
+
   test("mysqlToNumber takes the longest numeric prefix, else 0") {
     assert(one[Double](gfx.mysqlToNumber(lit("12.5abc"))) == 12.5)
     assert(one[Double](gfx.mysqlToNumber(lit("abc"))) == 0.0)
