@@ -165,18 +165,32 @@ object Aggregates {
     // ---- approximate distinct (HLL++). The reference has no approx
     //      aggregates (SURVEY §2.4) — this is the 100 TB upgrade: a
     //      mergeable constant-size sketch instead of an exact distinct
-    //      shuffle. No oracle (sketch estimates differ across engines);
-    //      the spec suite pins the 5% rsd bound instead.
+    //      shuffle. Sketch estimates differ across engines, so the oracle
+    //      checks the engine-agnostic contract: the exact distincts (which
+    //      both engines compute identically) plus the HLL estimate landing
+    //      within 3×rsd of exact — a boolean both sides agree on. The spec
+    //      suite additionally pins the 5% rsd bound.
     QueryDef(
       "agg_approx_distinct",
       (s, d) =>
         Tables.t(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
-            approx_count_distinct(col("l_suppkey"), 0.05).as("approx_supps"))
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_suppkey")).as("exact_supps"),
+            (abs(approx_count_distinct(col("l_partkey"), 0.05).cast("double") /
+              countDistinct(col("l_partkey")).cast("double") - 1.0) < 0.15)
+              .as("parts_within_tol"),
+            (abs(approx_count_distinct(col("l_suppkey"), 0.05).cast("double") /
+              countDistinct(col("l_suppkey")).cast("double") - 1.0) < 0.15)
+              .as("supps_within_tol"))
           .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag,
+                COUNT(DISTINCT l_partkey) AS exact_parts,
+                COUNT(DISTINCT l_suppkey) AS exact_supps,
+                TRUE AS parts_within_tol,
+                TRUE AS supps_within_tol
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- salted two-stage aggregation — the 100 TB skew pattern. A
     //      3-value grouping key (l_returnflag) would funnel a third of the

@@ -71,7 +71,8 @@ object Events {
                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
                 FROM w)
-              SELECT user_id, session_id, COUNT(*) AS n_events,
+              SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                COUNT(*) AS n_events,
                 epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
                 CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS session_value
               FROM s GROUP BY 1, 2 ORDER BY user_id, session_id"""),

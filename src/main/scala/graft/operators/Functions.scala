@@ -88,7 +88,8 @@ object Functions {
           .orderBy(col("p_partkey")),
       Some("""SELECT p_partkey,
                 abs(p_size - 25) AS abs_off,
-                ceil(p_retailprice) AS ceil_p, floor(p_retailprice) AS floor_p,
+                CAST(ceil(p_retailprice) AS BIGINT) AS ceil_p,
+                CAST(floor(p_retailprice) AS BIGINT) AS floor_p,
                 round(p_retailprice, 1) AS round_p,
                 p_size % 7 AS mod7,
                 CAST(sign(p_size - 25) AS INT) AS sgn,
@@ -373,8 +374,8 @@ object Functions {
       Some("""SELECT
                 CAST(COUNT(DISTINCT seg_mixed) AS BIGINT) AS n_binary,
                 CAST(COUNT(DISTINCT lower(seg_mixed)) AS BIGINT) AS n_ci,
-                SUM(CASE WHEN lower(seg_mixed) = 'automobile' THEN 1 ELSE 0 END)
-                  AS n_auto_ci
+                CAST(SUM(CASE WHEN lower(seg_mixed) = 'automobile' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_auto_ci
               FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
                            ELSE lower(c_mktsegment) END AS seg_mixed
                     FROM customer)""")),
@@ -401,9 +402,11 @@ object Functions {
             (expr("(c_custkey % 8) & 2") > 0).as("set_has_write"),
             // YEAR: valid range 1901..2155 else NULL (sql/types/year.go:40)
             when(yr.between(1901, 2155), yr).otherwise(lit(null)).as("year_chk"),
-            // UNSIGNED BIGINT max - key: exceeds Long, lives in DECIMAL(20,0)
+            // UNSIGNED BIGINT max - key: exceeds Long, lives in DECIMAL(20,0);
+            // rendered as text because DECIMAL(21,0) exceeds every engine's
+            // native int and degrades to lossy float in the comparison layer
             (lit("18446744073709551615").cast("decimal(20,0)") -
-              col("c_custkey").cast("decimal(20,0)")).as("ubig"),
+              col("c_custkey").cast("decimal(20,0)")).cast("string").as("ubig"),
             // BOOLEAN is tinyint: TRUE+TRUE+FALSE = 2
             ((col("c_custkey") % 2 === 0).cast("int") +
               (col("c_custkey") % 3 === 0).cast("int")).as("bool_arith"))
@@ -422,8 +425,8 @@ object Functions {
                 ((c_custkey % 8) & 2) > 0 AS set_has_write,
                 CASE WHEN 1880 + c_custkey % 300 BETWEEN 1901 AND 2155
                   THEN CAST(1880 + c_custkey % 300 AS INT) END AS year_chk,
-                CAST('18446744073709551615' AS DECIMAL(20,0))
-                  - CAST(c_custkey AS DECIMAL(20,0)) AS ubig,
+                CAST(CAST('18446744073709551615' AS DECIMAL(20,0))
+                  - CAST(c_custkey AS DECIMAL(20,0)) AS VARCHAR) AS ubig,
                 CAST(c_custkey % 2 = 0 AS INT) + CAST(c_custkey % 3 = 0 AS INT)
                   AS bool_arith
               FROM customer ORDER BY c_custkey""")),
@@ -649,7 +652,7 @@ object Functions {
           .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey,
                 CAST(o_orderkey AS VARCHAR) AS key_str,
-                CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+                CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
                 CAST(o_orderdate AS DATE) AS od_date,
                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od_str,

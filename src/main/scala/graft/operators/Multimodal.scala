@@ -93,7 +93,7 @@ object Multimodal {
                           WHEN octet_length(encode(text)) % 3 = 1 THEN 'img/jpeg'
                           ELSE 'audio/wav' END AS format,
                 COUNT(*) AS n_docs,
-                SUM(octet_length(encode(text))) AS total_bytes
+                CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
               FROM documents GROUP BY 1 ORDER BY format"""))
   )
 }

@@ -128,13 +128,13 @@ object TextAnalysis {
               .as("winnow_fp"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
-                (SELECT MIN(list_reduce(
+                CAST((SELECT MIN(list_reduce(
                     list_prepend(CAST(0 AS HUGEINT),
                       list_transform(string_split(substr(text, i, 8), ''),
                                      c -> CAST(ascii(c) AS HUGEINT))),
                     (a, b) -> (a * 31 + b) % 2305843009213693951))
                  FROM unnest(generate_series(1, length(text) - 7)) AS u(i))
-                  AS winnow_fp
+                  AS BIGINT) AS winnow_fp
               FROM documents ORDER BY doc_id""")),
 
     // ---- document fingerprinting: content hash + order-insensitive
