@@ -163,13 +163,16 @@ object Aggregates {
                FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- approximate distinct (HLL++). The reference has no approx
-    //      aggregates (SURVEY §2.4) — this is the 100 TB upgrade: a
-    //      mergeable constant-size sketch instead of an exact distinct
-    //      shuffle. Sketch estimates differ across engines, so the oracle
-    //      checks the engine-agnostic contract: the exact distincts (which
-    //      both engines compute identically) plus the HLL estimate landing
-    //      within 3×rsd of exact — a boolean both sides agree on. The spec
-    //      suite additionally pins the 5% rsd bound.
+    //      aggregates (SURVEY §2.4) — at 100 TB the sketch replaces the
+    //      exact-distinct shuffle with a mergeable constant-size buffer.
+    //      NOTE: this *verification* query deliberately pays the exact
+    //      COUNT(DISTINCT) cost alongside the sketch, because sketch
+    //      estimates differ across engines: the oracle can only check the
+    //      engine-agnostic contract (exact distincts, which both engines
+    //      compute identically, plus the HLL estimate landing within 3×rsd
+    //      of exact — a boolean both sides agree on). The sketch-only
+    //      100 TB pattern and its rsd bound are pinned by ApproxSpec,
+    //      which runs approx_count_distinct without the exact columns.
     QueryDef(
       "agg_approx_distinct",
       (s, d) =>

@@ -638,7 +638,7 @@ object Functions {
           .select(
             col("o_orderkey"),
             col("o_orderkey").cast("string").as("key_str"),
-            col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+            col("o_totalprice").cast("decimal(12,2)").cast("string").as("price_dec"),
             col("o_totalprice").cast("decimal(12,2)").cast("string").as("price_str"),
             col("o_orderdate").cast("date").as("od_date"),
             col("o_orderdate").cast("date").cast("string").as("od_str"),

@@ -55,10 +55,9 @@ class QueriesSpec extends AnyFunSuite {
     assert(n == docs)
   }
 
-  test("oracle SQL exists for every query except documented sketch ops") {
-    // sketch estimates (HLL) are engine-specific by design; their
-    // correctness contract is the rsd bound pinned in ApproxSpec
-    val sketchOnly = Set("agg_approx_distinct")
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- sketchOnly)
+  test("oracle SQL exists for every query") {
+    // every declared query must be oracle-checkable (even the HLL sketch,
+    // whose oracle verifies engine-agnostic tolerance booleans)
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
 }
