@@ -56,13 +56,16 @@ object Dedup {
 
   /** doc_id + K minhash values: one md5 per shingle, then K universal-hash
     * min-aggregates (pure arithmetic, fully codegen'd, map-side combined). */
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    shingles(s, d).withColumn("h", h28(col("sh")))
+  private def signaturesFrom(sh: DataFrame): DataFrame =
+    sh.withColumn("h", h28(col("sh")))
       .groupBy(col("doc_id"))
       .agg(
         min((col("h") * seedA(0) + seedB(0)) % P61).as("mh0"),
         (1 until K).map(j =>
           min((col("h") * seedA(j) + seedB(j)) % P61).as(s"mh$j")): _*)
+
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesFrom(shingles(s, d))
 
   private val SIG_SQL =
     s"""SELECT doc_id,
@@ -72,15 +75,16 @@ object Dedup {
         GROUP BY doc_id"""
 
   /** 4 bands × 2 rows: band key folds the band's signature slice into one
-    * long (equality-only key; no string hashing needed). */
+    * long (equality-only key; no string hashing needed). A single
+    * posexplode over the band-key array — NOT a 4-way unionAll, which
+    * would plan the signature subtree once per band (the round-1 scale
+    * defect: 8 corpus tokenization passes at 100 TB). */
   private val M9 = 1000000007L
   private def bands(sig: DataFrame): DataFrame =
-    (0 until K / 2).map { b =>
-      sig.select(
-        col("doc_id"), lit(b).as("band"),
-        ((col(s"mh${2 * b}") % M9) * M9 + (col(s"mh${2 * b + 1}") % M9))
-          .as("bkey"))
-    }.reduce(_ unionAll _)
+    sig.select(col("doc_id"), posexplode(array(
+        (0 until K / 2).map(b =>
+          (col(s"mh${2 * b}") % M9) * M9 + (col(s"mh${2 * b + 1}") % M9)): _*)))
+      .toDF("doc_id", "band", "bkey")
 
   private val BANDS_SQL =
     (0 until K / 2).map { b =>
@@ -109,11 +113,16 @@ object Dedup {
       Some(s"$SIG_SQL ORDER BY doc_id"),
       headline = true),
 
-    // ---- LSH banding: candidate pairs = docs sharing >=1 of 4 band keys
+    // ---- LSH banding: candidate pairs = docs sharing >=1 of 4 band keys.
+    //      Signatures are materialized ONCE (persist; at cluster scale:
+    //      checkpoint to a table) before the self-join — the corpus is
+    //      scanned and tokenized exactly once, and both join sides read
+    //      the k-longs-per-doc cache. Sig is ~64 bytes/doc: trivially
+    //      memory-resident even at 100 TB corpus scale.
     QueryDef(
       "dedup_lsh_pairs",
       (s, d) => {
-        val b = bands(signatures(s, d))
+        val b = bands(signatures(s, d).persist())
         val a = b.as("a"); val c = b.as("c")
         a.join(c,
             col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
@@ -131,12 +140,17 @@ object Dedup {
                GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- n-gram Jaccard, computed only for LSH candidates (scale path:
-    //      the expensive set-intersection join touches candidate docs only)
+    //      the expensive set-intersection join touches candidate docs only).
+    //      Shingles are materialized once and reused by the signature
+    //      derivation, both intersection sides, and the size counts — one
+    //      corpus scan + one tokenization pass total. At 100 TB the persist
+    //      becomes a checkpoint table (shingles are several× corpus size;
+    //      MEMORY_AND_DISK spills), but the plan shape is the same.
     QueryDef(
       "dedup_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(s, d)
-        val b = bands(signatures(s, d))
+        val sh = shingles(s, d).persist()
+        val b = bands(signaturesFrom(sh).persist())
         val cand = b.as("a").join(b.as("c"),
             col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
               col("a.doc_id") < col("c.doc_id"))

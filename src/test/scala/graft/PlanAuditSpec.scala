@@ -33,6 +33,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected nested-loop/cartesian plans in: ${offenders.mkString(", ")}")
   }
 
+  test("LSH pipelines scan the corpus once (signature subtree materialized)") {
+    // Round-1 defect: the 4-band unionAll self-join planned the
+    // Scan→Generate(shingles)→HashAggregate(minhash) subtree 8× — eight
+    // corpus tokenization passes at 100 TB. With posexplode banding +
+    // persisted signatures/shingles, the formatted plan must contain at
+    // most this many DISTINCT parquet scan nodes (cache-shared scans
+    // reuse one node id): lsh_pairs 1 (sig cache), ngram_jaccard 2
+    // (shingle cache + the sig cache's captured build plan).
+    val maxScans = Map("dedup_lsh_pairs" -> 1, "dedup_ngram_jaccard" -> 2)
+    val scanId = """Scan parquet\s+\((\d+)\)""".r
+    maxScans.foreach { case (name, maxN) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      val ids = scanId.findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(ids.size <= maxN,
+        s"$name plans ${ids.size} distinct parquet scans (max $maxN): $ids")
+    }
+  }
+
   test("filters reach the parquet scan (pushdown smoke)") {
     val plan = SparkEntry.queries("scan_project_filter")(spark, sfDir)
       .queryExecution.executedPlan.toString
