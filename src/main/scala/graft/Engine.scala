@@ -77,6 +77,7 @@ class Engine(val spark: SparkSession) {
   functions.expressions.register(spark)
   functions.json.register(spark)
   functions.spatial.register(spark)
+  functions.MySqlFormat.register(spark)
 
   /** Session user variables (@name — reference sql/types/system_*.go /
     * session state). Rendered as literals into the query text, outside

@@ -61,7 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("st_length", es => gs.StLength(es.head)),
       fn("st_within", es => gs.StWithin(es(0), es(1))),
       fn("vec_dot", es => gv.VecDot(es(0), es(1))),
-      fn("vec_distance_l2_squared", es => gv.VecL2Sq(es(0), es(1))))
+      fn("vec_distance_l2_squared", es => gv.VecL2Sq(es(0), es(1))),
+      // MySQL %-pattern date formatting overrides the builtins (dispatch
+      // by format shape; Java-pattern callers hit the builtin path)
+      fn("date_format", es => graft.functions.MySqlFormat.dateFormatExpr(es)),
+      fn("str_to_date", es => graft.functions.MySqlFormat.strToDateExpr(es)))
     fns.foreach(ext.injectFunction)
   }
 }

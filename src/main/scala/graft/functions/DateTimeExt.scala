@@ -67,31 +67,46 @@ object DateTimeExt {
   def makeDate(y: Column, doy: Column): Column =
     date_add(make_date(y, lit(1), lit(1)), (doy - 1).cast("int"))
 
-  /** WEEK(date, mode) for the common modes:
-    * 0 = Sunday-start, 0..53, week 1 contains this year's first Sunday;
-    * 1 = Monday-start, 0..53, week 1 has >3 days this year (ISO-ish);
-    * 3 = ISO 8601 (Monday-start, 1..53, belongs-to-year shifts).
-    * Mode 3 is Spark's weekofyear; modes 0/1 derive from the first
-    * week-start of the year. */
+  /** WEEK(date, mode) — the full MySQL mode table (reference
+    * sql/expression/function/time.go WEEK). Axes per mode:
+    * week start (odd = Monday, even = Sunday); week-1 rule (modes 1/3/4/6:
+    * the week with >=4 days this year; others: the first week fully
+    * starting this year); range (modes 0/1/4/5: 0..53, days before week 1
+    * give 0; modes 2/3/6/7: 1..53, those days count into the previous
+    * year's last week). Modes with BOTH the >=4-days rule and the 1..53
+    * range (3 and 6) also roll forward: late-December days on/after next
+    * year's week-1 start are week 1 (reference time.go calcWeek: the
+    * `weekYear && days >= 52*7` branch; 0..53 modes never roll —
+    * WEEK('2008-12-31',1) = 53). Mode 3 is ISO 8601 = Spark's
+    * weekofyear. */
   def week(d0: Column, mode: Int): Column = {
+    require(mode >= 0 && mode <= 7, s"WEEK mode $mode out of range")
     val d = d0.cast("date")
-    mode match {
-      case 3 => weekofyear(d)
-      case 0 =>
-        val fs = firstSunday(make_date(year(d), lit(1), lit(1)))
-        when(d >= fs, (floor(datediff(d, fs) / 7) + 1).cast("int"))
-          .otherwise(lit(0))
-      case 1 =>
-        // first Monday-start week with >=4 days in this year begins at
-        // jan1 - ((dow_mon(jan1) <= 3) ? dow_mon : dow_mon - 7) days,
-        // where dow_mon(jan1) = days since Monday (0=Mon..6=Sun)
-        val jan1 = make_date(year(d), lit(1), lit(1))
-        val dowMon = (dayofweek(jan1) + 5) % 7
-        val start = date_add(jan1,
-          when(dowMon <= 3, -dowMon).otherwise(lit(7) - dowMon).cast("int"))
-        when(d >= start, (floor(datediff(d, start) / 7) + 1).cast("int"))
-          .otherwise(lit(0))
-      case m => throw new IllegalArgumentException(s"WEEK mode $m unsupported")
+    if (mode == 3) weekofyear(d)
+    else {
+      val mondayFirst = mode % 2 == 1
+      val fourDays = Set(1, 4, 6)(mode) // (3 handled above)
+      val zeroRange = Set(0, 1, 4, 5)(mode)
+      def startOf(yc: Column): Column = {
+        val jan1 = make_date(yc, lit(1), lit(1))
+        // days since the week's first day (0..6); dayofweek: Sunday=1
+        val dow =
+          if (mondayFirst) (dayofweek(jan1) + 5) % 7
+          else (dayofweek(jan1) + 6) % 7
+        if (fourDays)
+          date_add(jan1, when(dow <= 3, -dow).otherwise(lit(7) - dow).cast("int"))
+        else
+          date_add(jan1, ((lit(7) - dow) % 7).cast("int"))
+      }
+      def wk(start: Column): Column =
+        (floor(datediff(d, start) / 7) + 1).cast("int")
+      val s = startOf(year(d))
+      val rollFwd =
+        if (fourDays && !zeroRange) when(d >= startOf(year(d) + 1), lit(1))
+        else when(lit(false), lit(0))
+      rollFwd
+        .when(d >= s, wk(s))
+        .otherwise(if (zeroRange) lit(0) else wk(startOf(year(d) - 1)))
     }
   }
 

@@ -60,4 +60,54 @@ object MySqlFormat {
     * time parts; callers cast to date for date-only patterns. */
   def strToDate(c: Column, mysqlFmt: String): Column =
     org.apache.spark.sql.functions.to_timestamp(c, toJavaPattern(mysqlFmt))
+
+  // --- SQL-text registration -----------------------------------------
+  // Overrides Spark's builtin `date_format`/`str_to_date` in the session
+  // registry so SQL text written against the reference dialect
+  // (`DATE_FORMAT(d, '%Y-%m')`, reference
+  // sql/expression/function/dateformat.go) formats correctly instead of
+  // silently treating `%Y` as Java-pattern literals. Dispatch is by
+  // format shape: a foldable format string containing `%` is translated
+  // through the specifier table; anything else (Java patterns, dynamic
+  // formats) passes through to the builtin behavior unchanged, so
+  // Spark-dialect callers are unaffected.
+
+  import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Expression, Literal, ParseToDate, ParseToTimestamp}
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** (possibly-translated format expr, original MySQL format if literal) */
+  private def translated(e: Expression): (Expression, Option[String]) =
+    e match {
+      case Literal(s: UTF8String, _: StringType) if s.toString.contains("%") =>
+        val fmt = s.toString
+        (Literal(UTF8String.fromString(toJavaPattern(fmt)), StringType),
+          Some(fmt))
+      case other => (other, None)
+    }
+
+  /** Specifiers that carry time-of-day — STR_TO_DATE yields DATETIME iff
+    * one is present, DATE otherwise (reference dateformat.go result type). */
+  private val timeSpecs = Set('H', 'k', 'h', 'I', 'l', 'i', 'S', 's', 'f',
+    'p', 'T', 'r')
+
+  def dateFormatExpr(es: Seq[Expression]): Expression = {
+    require(es.length == 2, "date_format(expr, format)")
+    new DateFormatClass(es(0), translated(es(1))._1)
+  }
+
+  def strToDateExpr(es: Seq[Expression]): Expression = {
+    require(es.length == 2, "str_to_date(str, format)")
+    val (fmt, orig) = translated(es(1))
+    val hasTime = orig.exists(_.sliding(2).exists(p =>
+      p.length == 2 && p.charAt(0) == '%' && timeSpecs(p.charAt(1))))
+    if (orig.isDefined && !hasTime) new ParseToDate(es(0), fmt)
+    else new ParseToTimestamp(es(0), fmt)
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("date_format", dateFormatExpr, "scala_udf")
+    reg.createOrReplaceTempFunction("str_to_date", strToDateExpr, "scala_udf")
+  }
 }

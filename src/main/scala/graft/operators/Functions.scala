@@ -256,6 +256,93 @@ object Functions {
               FROM base ORDER BY event_id"""))
       ,
 
+    // ---- MySQL DATE_FORMAT/STR_TO_DATE reachable from SQL TEXT (reference
+    //      sql/expression/function/dateformat.go, registered in registry.go).
+    //      The session registry override translates %-specifiers through
+    //      MySqlFormat.toJavaPattern; a user's `DATE_FORMAT(d, '%Y-%m')`
+    //      must format, not echo `%Y` as a Java-pattern literal. Exercises
+    //      %Y %m %d %H %i %s %W %j via Engine.query AND the same patterns
+    //      via the DataFrame API, proving both routes agree.
+    QueryDef(
+      "fn_dateformat_sql",
+      (s, d) => {
+        Tables.register(s, d, "orders")
+        val e = new graft.Engine(s)
+        e.query("""SELECT o_orderkey,
+                     DATE_FORMAT(o_orderdate, '%Y-%m') AS ym,
+                     DATE_FORMAT(o_orderdate, '%d/%m/%Y') AS dmy,
+                     DATE_FORMAT(o_orderdate, '%H:%i:%s') AS hms,
+                     DATE_FORMAT(o_orderdate, '%W') AS wday,
+                     DATE_FORMAT(o_orderdate, '%j') AS doy,
+                     STR_TO_DATE(DATE_FORMAT(o_orderdate, '%d/%m/%Y'),
+                       '%d/%m/%Y') AS rt_date,
+                     STR_TO_DATE(DATE_FORMAT(o_orderdate, '%d/%m/%Y %H:%i'),
+                       '%d/%m/%Y %H:%i') AS rt_ts,
+                     o_orderdate
+                   FROM orders ORDER BY o_orderkey""")
+          .withColumn("df_api",
+            graft.functions.MySqlFormat.dateFormat(col("o_orderdate"), "%Y-%m"))
+          .drop("o_orderdate")
+      },
+      Some("""SELECT o_orderkey,
+                strftime(o_orderdate, '%Y-%m') AS ym,
+                strftime(o_orderdate, '%d/%m/%Y') AS dmy,
+                strftime(o_orderdate, '%H:%M:%S') AS hms,
+                strftime(o_orderdate, '%A') AS wday,
+                strftime(o_orderdate, '%j') AS doy,
+                CAST(o_orderdate AS DATE) AS rt_date,
+                CAST(o_orderdate AS TIMESTAMP) AS rt_ts,
+                strftime(o_orderdate, '%Y-%m') AS df_api
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ---- WEEK(date, mode) full mode table 0..7 (reference
+    //      sql/expression/function/time.go WEEK) — week start (Sun/Mon),
+    //      week-1 rule (first full week vs >=4-days), 0..53 vs 1..53
+    //      ranges, and the >=4-days modes' December roll-forward into the
+    //      next year's week 1. The oracle re-derives each mode from first
+    //      principles in DuckDB (dayofweek there is Sunday=0).
+    QueryDef(
+      "fn_week_modes",
+      (s, d) => {
+        import graft.functions.DateTimeExt
+        val dt = col("o_orderdate").cast("date")
+        val cols = col("o_orderkey") +:
+          (0 to 7).map(m => DateTimeExt.week(dt, m).as(s"w$m"))
+        Tables.t(s, d, "orders").select(cols: _*).orderBy(col("o_orderkey"))
+      },
+      Some {
+        def weekSql(mode: Int): String =
+          if (mode == 3) "CAST(weekofyear(dt) AS INT)"
+          else {
+            val monday = mode % 2 == 1
+            val fourDays = Set(1, 4, 6)(mode)
+            val zeroRange = Set(0, 1, 4, 5)(mode)
+            def dowOf(j: String) =
+              if (monday) s"(dayofweek($j)+6)%7" else s"dayofweek($j)"
+            def startOf(y: String) = {
+              val j = s"make_date($y,1,1)"
+              if (fourDays)
+                s"($j + CAST(CASE WHEN ${dowOf(j)} <= 3 THEN -(${dowOf(j)}) ELSE 7-(${dowOf(j)}) END AS INT))"
+              else
+                s"($j + CAST((7-(${dowOf(j)}))%7 AS INT))"
+            }
+            def wk(start: String) = s"((date_diff('day', $start, dt) // 7) + 1)"
+            val s0 = startOf("year(dt)")
+            val before = if (zeroRange) "0" else wk(startOf("year(dt)-1"))
+            val main = s"CASE WHEN dt >= $s0 THEN ${wk(s0)} ELSE $before END"
+            val full =
+              if (fourDays && !zeroRange)
+                s"CASE WHEN dt >= ${startOf("year(dt)+1")} THEN 1 ELSE $main END"
+              else main
+            s"CAST($full AS INT)"
+          }
+        s"""SELECT o_orderkey,
+              ${(0 to 7).map(m => s"${weekSql(m)} AS w$m").mkString(", ")}
+            FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt
+                  FROM orders)
+            ORDER BY o_orderkey"""
+      }),
+
     // ---- control-flow / null-handling bucket (if/ifnull/nullif/coalesce/case)
     QueryDef(
       "fn_conditional",

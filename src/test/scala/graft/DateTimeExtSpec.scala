@@ -44,16 +44,31 @@ class DateTimeExtSpec extends AnyFunSuite {
     assert(one[java.sql.Date](makeDate(lit(2011), lit(32))).toString == "2011-02-01")
   }
 
-  test("week modes 0/1/3 match MySQL examples") {
-    // MySQL: WEEK('2008-02-20',0)=7, WEEK('2008-02-20',1)=8,
-    //        WEEK('2008-12-31',1)=53
+  test("week modes 0-7 match MySQL doc examples and calcWeek semantics") {
+    // MySQL doc: WEEK('2008-02-20',0)=7, WEEK('2008-02-20',1)=8,
+    //            WEEK('2008-12-31',1)=53, WEEK('2000-01-01',0)=0,
+    //            WEEK('2000-01-01',2)=52
     assert(one[Int](week(lit("2008-02-20"), 0)) == 7)
     assert(one[Int](week(lit("2008-02-20"), 1)) == 8)
     assert(one[Int](week(lit("2008-12-31"), 1)) == 53)
-    // WEEK('2000-01-01',0)=0 (before first Sunday)
     assert(one[Int](week(lit("2000-01-01"), 0)) == 0)
-    // mode 3 = ISO: 2008-02-20 is ISO week 8
+    assert(one[Int](week(lit("2000-01-01"), 2)) == 52)
+    // mode 3 = ISO: 2008-02-20 is ISO week 8; Dec 31 2008 rolls to week 1
     assert(one[Int](week(lit("2008-02-20"), 3)) == 8)
+    assert(one[Int](week(lit("2008-12-31"), 3)) == 1)
+    // modes 4-7 (derived from reference time.go calcWeek):
+    // 2008: Jan 1 = Tuesday. Mode 4/6 (Sun,>=4d) week 1 starts 2007-12-30;
+    // mode 5/7 (Mon, first-full-week) week 1 starts 2008-01-07.
+    assert(one[Int](week(lit("2008-02-20"), 4)) == 8)
+    assert(one[Int](week(lit("2008-02-20"), 5)) == 7)
+    assert(one[Int](week(lit("2008-02-20"), 6)) == 8)
+    assert(one[Int](week(lit("2008-02-20"), 7)) == 7)
+    // 0..53-range modes never roll into next year's week 1
+    assert(one[Int](week(lit("2008-12-31"), 4)) == 53)
+    // 2000-01-01 (Saturday): mode 4 -> 0 (before week 1, 0-range);
+    // mode 6 counts into 1999's last week
+    assert(one[Int](week(lit("2000-01-01"), 4)) == 0)
+    assert(one[Int](week(lit("2000-01-01"), 6)) == 52)
   }
 
   test("get_format returns the MySQL constant table") {
