@@ -28,18 +28,48 @@ object json {
   private val F = JsonNodeFactory.instance
 
   // ---- path model -----------------------------------------------------
+  // Full MySQL path grammar (reference sql/expression/function/json/ via
+  // the dolthub/jsonpath dep): `$`, `.key`, `."quoted"`, `[N]`, plus the
+  // multi-match forms `.*`, `[*]`, `**` (recursive descent), `[last]` /
+  // `[last-N]`, and ranges `[M to N]` (bounds may be `last-N`).
 
   sealed private trait Step
   private case class Key(name: String) extends Step
   private case class Idx(i: Int) extends Step
+  /** array index bound: `last - off` when fromLast, else plain `v`. */
+  private case class Bound(v: Int, fromLast: Boolean) {
+    def resolve(size: Int): Int = if (fromLast) size - 1 - v else v
+  }
+  private case class IdxLast(off: Int) extends Step
+  private case class IdxRange(from: Bound, to: Bound) extends Step
+  private case object KeyWild extends Step  // .*
+  private case object IdxWild extends Step  // [*]
+  private case object Descend extends Step  // **
 
-  /** Parse `$`, `$.a`, `$."a b"`, `$.a[0].b` … Returns null on malformed
-    * paths (callers surface that as SQL NULL, matching MySQL's error→null
-    * behavior in read context). */
+  private def isMulti(s: Step): Boolean = s match {
+    case KeyWild | IdxWild | Descend | _: IdxRange => true
+    case _ => false
+  }
+  private def hasWildcard(steps: Seq[Step]): Boolean = steps.exists(isMulti)
+
+  /** Parse `$`, `$.a`, `$."a b"`, `$.a[0].b`, `$.a[*].b`, `$**.c`,
+    * `$.a[last-1]`, `$.a[0 to 2]` … Returns null on malformed paths
+    * (callers surface that as SQL NULL, matching MySQL's error→null
+    * behavior in read context). `**` must be followed by another leg
+    * (MySQL rejects a trailing `**`). */
   private def parsePath(p: String): Seq[Step] = {
     if (p == null || !p.startsWith("$")) return null
     val steps = Seq.newBuilder[Step]
     var i = 1
+    def bound(s: String): Bound = {
+      val t = s.trim
+      if (t == "last") Bound(0, fromLast = true)
+      else if (t.startsWith("last")) {
+        val rest = t.drop(4).trim
+        if (!rest.startsWith("-")) return null
+        Bound(rest.drop(1).trim.toInt, fromLast = true)
+      } else Bound(t.toInt, fromLast = false)
+    }
     while (i < p.length) {
       p.charAt(i) match {
         case '.' =>
@@ -48,25 +78,45 @@ object json {
             val end = p.indexOf('"', i + 1)
             if (end < 0) return null
             steps += Key(p.substring(i + 1, end)); i = end + 1
+          } else if (i < p.length && p.charAt(i) == '*') {
+            steps += KeyWild; i += 1
           } else {
             val start = i
-            while (i < p.length && p.charAt(i) != '.' && p.charAt(i) != '[') i += 1
+            while (i < p.length && p.charAt(i) != '.' && p.charAt(i) != '[' &&
+                   p.charAt(i) != '*') i += 1
             if (i == start) return null
             steps += Key(p.substring(start, i))
           }
         case '[' =>
           val end = p.indexOf(']', i)
           if (end < 0) return null
-          val n = try p.substring(i + 1, end).trim.toInt catch {
-            case _: NumberFormatException => return null
-          }
-          steps += Idx(n); i = end + 1
+          val body = p.substring(i + 1, end).trim
+          val step: Step =
+            try {
+              if (body == "*") IdxWild
+              else if (body.contains(" to ")) {
+                val Array(a, b) = body.split(" to ", 2)
+                val (ba, bb) = (bound(a), bound(b))
+                if (ba == null || bb == null) return null
+                IdxRange(ba, bb)
+              } else {
+                val bd = bound(body)
+                if (bd == null) return null
+                if (bd.fromLast) IdxLast(bd.v) else Idx(bd.v)
+              }
+            } catch { case _: NumberFormatException => return null }
+          steps += step; i = end + 1
+        case '*' if i + 1 < p.length && p.charAt(i + 1) == '*' =>
+          steps += Descend; i += 2
         case _ => return null
       }
     }
-    steps.result()
+    val r = steps.result()
+    if (r.nonEmpty && r.last == Descend) null else r
   }
 
+  /** Single-match navigation (mutation sites; wildcard steps yield null —
+    * MySQL rejects wildcard paths in write context). */
   private def navigate(root: JsonNode, steps: Seq[Step]): JsonNode = {
     var cur = root
     steps.foreach { s =>
@@ -74,6 +124,51 @@ object json {
       cur = s match {
         case Key(k) => if (cur.isObject) cur.get(k) else null
         case Idx(i) => if (cur.isArray) cur.get(i) else null
+        case IdxLast(off) => if (cur.isArray) cur.get(cur.size - 1 - off) else null
+        case _ => null
+      }
+    }
+    cur
+  }
+
+  /** Pre-order: the node itself, then descendants in document order. */
+  private def collectDescend(n: JsonNode,
+      acc: scala.collection.mutable.ArrayBuffer[JsonNode]): Unit = {
+    acc += n
+    if (n.isObject || n.isArray) n.elements().asScala.foreach(collectDescend(_, acc))
+  }
+
+  /** Multi-match navigation (read context). MySQL autowrap rule applies at
+    * the `[N]` leg: a non-array behaves as a one-element array, so `$[0]`
+    * (and `$[last]`) on a scalar selects the scalar. */
+  private def navigateAll(root: JsonNode, steps: Seq[Step]): Seq[JsonNode] = {
+    var cur: Seq[JsonNode] = if (root == null) Nil else Seq(root)
+    steps.foreach { s =>
+      cur = cur.flatMap { n =>
+        s match {
+          case Key(k) =>
+            if (n.isObject) Option(n.get(k)).toSeq else Nil
+          case Idx(i) =>
+            if (n.isArray) Option(n.get(i)).toSeq
+            else if (i == 0) Seq(n) else Nil
+          case IdxLast(off) =>
+            if (n.isArray) Option(n.get(n.size - 1 - off)).toSeq
+            else if (off == 0) Seq(n) else Nil
+          case IdxRange(a, b) =>
+            val size = if (n.isArray) n.size else 1
+            val (lo, hi) = (math.max(a.resolve(size), 0),
+              math.min(b.resolve(size), size - 1))
+            if (n.isArray) (lo to hi).flatMap(j => Option(n.get(j)))
+            else if (lo <= 0 && hi >= 0) Seq(n) else Nil
+          case KeyWild =>
+            if (n.isObject) n.elements().asScala.toSeq else Nil
+          case IdxWild =>
+            if (n.isArray) n.elements().asScala.toSeq else Nil
+          case Descend =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+            collectDescend(n, buf)
+            buf.toSeq
+        }
       }
     }
     cur
@@ -233,14 +328,26 @@ object json {
     protected def doc(v: Any): JsonNode = tryParse(str(v))
   }
 
-  /** JSON_EXTRACT(doc, path) — returns the JSON fragment at path. */
+  /** JSON_EXTRACT(doc, path, ...) — the JSON fragment(s) at the path(s).
+    * MySQL one-vs-many rule: a single non-wildcard path returns the match
+    * itself; wildcard paths or multiple path args return a JSON array of
+    * every match (empty match set -> SQL NULL). */
   case class JsonExtractMySql(children: Seq[Expression]) extends JsonExpr {
     override def dataType: DataType = StringType
     protected def evalNotNull(vs: Seq[Any]): Any = {
-      val d = doc(vs(0)); val p = parsePath(str(vs(1)))
-      if (d == null || p == null) return null
-      val r = navigate(d, p)
-      if (r == null) null else out(r)
+      val d = doc(vs(0))
+      if (d == null) return null
+      val paths = vs.drop(1).map(v => parsePath(str(v)))
+      if (paths.contains(null)) return null
+      val matches = paths.flatMap(p => navigateAll(d, p))
+      val wrap = paths.length > 1 || paths.exists(hasWildcard)
+      if (matches.isEmpty) null
+      else if (!wrap) out(matches.head)
+      else {
+        val arr = F.arrayNode()
+        matches.foreach(arr.add)
+        out(arr)
+      }
     }
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
   }
@@ -272,7 +379,7 @@ object json {
     override def dataType: DataType = StringType
     protected def evalNotNull(vs: Seq[Any]): Any = {
       val d = doc(vs(0)); val p = parsePath(str(vs(1)))
-      if (d == null || p == null) return null
+      if (d == null || p == null || hasWildcard(p)) return null
       out(mutate(d, p, toNode(vs(2)),
         create = mode != 2, overwrite = mode != 1))
     }
@@ -285,7 +392,7 @@ object json {
     override def dataType: DataType = StringType
     protected def evalNotNull(vs: Seq[Any]): Any = {
       val d = doc(vs(0)); val p = parsePath(str(vs(1)))
-      if (d == null || p == null || p.isEmpty) return null
+      if (d == null || p == null || p.isEmpty || hasWildcard(p)) return null
       out(removeAt(d, p))
     }
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
@@ -380,7 +487,7 @@ object json {
       if (d == null) return null
       val all = str(vs(1)).equalsIgnoreCase("all")
       val hits = vs.drop(2).map { pv =>
-        val p = parsePath(str(pv)); p != null && navigate(d, p) != null
+        val p = parsePath(str(pv)); p != null && navigateAll(d, p).nonEmpty
       }
       if (all) hits.forall(identity) else hits.exists(identity)
     }
@@ -462,7 +569,8 @@ object json {
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def x(col: Column): Expression = GraftBridge.expression(col)
 
-  def jsonExtract(d: Column, p: Column): Column = c(JsonExtractMySql(Seq(d, p).map(x)))
+  def jsonExtract(d: Column, paths: Column*): Column =
+    c(JsonExtractMySql((d +: paths).map(x)))
   def jsonUnquote(v: Column): Column = c(JsonUnquote(x(v)))
   def jsonQuote(s: Column): Column = c(JsonQuoteFn(x(s)))
   def jsonSet(d: Column, p: Column, v: Column): Column =

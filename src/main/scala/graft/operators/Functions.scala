@@ -860,6 +860,54 @@ object Functions {
                 '{"v":' || user_id || '}' AS removed,
                 json_merge_patch(props, '{"k":null,"x":1}') AS mpatch,
                 '{"k":[' || k || ',1]}' AS mpres
-              FROM docs ORDER BY event_id"""))
+              FROM docs ORDER BY event_id""")),
+
+    // ---- JSON path wildcards: `[*]`, `.*`, `**`, `[last]`, `[M to N]`,
+    //      multi-path extract, and MySQL's autowrap of scalars at `[0]`
+    //      (reference jsonpath dep + sql/expression/function/json/; MySQL
+    //      one-vs-many rule: wildcard or multi-path results always wrap in
+    //      an array). Docs are built per-row from event_id arithmetic so
+    //      the oracle re-derives every expected string independently.
+    QueryDef(
+      "fn_json_wildcard",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+        val id = col("event_id")
+        val doc = concat(
+          lit("""{"id":"""), id,
+          lit(""","items":[{"p":"""), id % 7, lit(""","q":"""), id % 5,
+          lit("""},{"p":"""), id % 3 + 10, lit(""","q":"""), id % 11,
+          lit("""}],"meta":{"x":"""), id % 13,
+          lit(""","y":{"p":"""), id % 9, lit("}}}"))
+        ev.select(
+            id,
+            gjson.jsonExtract(doc, lit("$.items[*].p")).as("items_p"),
+            gjson.jsonExtract(doc, lit("$.meta.*")).as("meta_vals"),
+            gjson.jsonExtract(doc, lit("$**.p")).as("all_p"),
+            gjson.jsonExtract(id.cast("string"), lit("$[0]")).as("scalar0"),
+            gjson.jsonExtract(doc, lit("$.items[last].q")).as("last_q"),
+            gjson.jsonExtract(doc, lit("$.items[0 to 1].q")).as("range_q"),
+            gjson.jsonExtract(doc, lit("$.id"), lit("$.meta.x")).as("two_paths"),
+            gjson.jsonContainsPath(doc, lit("all"),
+              lit("$**.p"), lit("$.items[*].q")).as("has_all"),
+            gjson.jsonContainsPath(doc, lit("one"),
+              lit("$.items[*].zz")).as("has_missing"))
+          .orderBy(id)
+      },
+      Some("""SELECT event_id,
+                '[' || (event_id % 7) || ',' || (event_id % 3 + 10) || ']'
+                  AS items_p,
+                '[' || (event_id % 13) || ',{"p":' || (event_id % 9) || '}]'
+                  AS meta_vals,
+                '[' || (event_id % 7) || ',' || (event_id % 3 + 10) || ','
+                  || (event_id % 9) || ']' AS all_p,
+                CAST(event_id AS VARCHAR) AS scalar0,
+                CAST(event_id % 11 AS VARCHAR) AS last_q,
+                '[' || (event_id % 5) || ',' || (event_id % 11) || ']'
+                  AS range_q,
+                '[' || event_id || ',' || (event_id % 13) || ']' AS two_paths,
+                TRUE AS has_all,
+                FALSE AS has_missing
+              FROM events ORDER BY event_id"""))
   )
 }

@@ -23,6 +23,44 @@ class JsonSpec extends AnyFunSuite {
     assert(one[Any](gj.jsonExtract(lit(doc), lit("bad path"))) == null)
   }
 
+  test("json_extract wildcard paths: [*], .*, **, last, ranges, multi-path") {
+    val store = """{"s":{"b":[{"p":1,"t":"a"},{"p":2,"t":"b"}],"v":{"p":3}}}"""
+    // [*] over arrays; wildcard results always wrap in an array
+    assert(one[String](gj.jsonExtract(lit(store), lit("$.s.b[*].p"))) == "[1,2]")
+    // .* over object members (document order)
+    assert(one[String](gj.jsonExtract(lit(store), lit("$.s.v.*"))) == "[3]")
+    assert(one[String](gj.jsonExtract(lit(doc), lit("$.*")))
+      == """[1,[2,3],{"d":"x"}]""")
+    // ** recursive descent, any depth
+    assert(one[String](gj.jsonExtract(lit(store), lit("$**.p"))) == "[1,2,3]")
+    assert(one[String](gj.jsonExtract(lit(store), lit("$**.t"))) == """["a","b"]""")
+    // trailing ** is malformed
+    assert(one[Any](gj.jsonExtract(lit(store), lit("$**"))) == null)
+    // [last] / [last-N] single-match forms do NOT wrap
+    assert(one[String](gj.jsonExtract(lit("[10,20,30]"), lit("$[last]"))) == "30")
+    assert(one[String](gj.jsonExtract(lit("[10,20,30]"), lit("$[last-2]"))) == "10")
+    // ranges wrap and clip; bounds may be last-relative
+    assert(one[String](gj.jsonExtract(lit("[10,20,30]"), lit("$[0 to 1]"))) == "[10,20]")
+    assert(one[String](gj.jsonExtract(lit("[10,20,30]"), lit("$[1 to last]"))) == "[20,30]")
+    // MySQL autowrap: a scalar behaves as a one-element array at [0]
+    assert(one[String](gj.jsonExtract(lit("7"), lit("$[0]"))) == "7")
+    assert(one[Any](gj.jsonExtract(lit("7"), lit("$[1]"))) == null)
+    // multiple paths concatenate and wrap; empty match set is NULL
+    assert(one[String](gj.jsonExtract(lit(doc), lit("$.a"), lit("$.c.d")))
+      == """[1,"x"]""")
+    assert(one[Any](gj.jsonExtract(lit(doc), lit("$.zz[*]"))) == null)
+    // wildcard paths are rejected in write context (error -> null)
+    assert(one[Any](gj.jsonSet(lit(doc), lit("$.b[*]"), lit(9))) == null)
+  }
+
+  test("json_contains_path sees wildcard matches") {
+    val store = """{"s":{"b":[{"p":1},{"p":2}]}}"""
+    assert(one[Boolean](gj.jsonContainsPath(lit(store), lit("one"), lit("$**.p"))))
+    assert(one[Boolean](gj.jsonContainsPath(lit(store), lit("all"),
+      lit("$.s.b[*].p"), lit("$.s.b[last].p"))))
+    assert(!one[Boolean](gj.jsonContainsPath(lit(store), lit("one"), lit("$**.zz"))))
+  }
+
   test("json_set / insert / replace follow MySQL mode rules") {
     assert(one[String](gj.jsonSet(lit(doc), lit("$.a"), lit(9)))
       == """{"a":9,"b":[2,3],"c":{"d":"x"}}""")
