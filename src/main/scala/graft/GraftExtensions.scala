@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("uncompressed_length", es => ge.UncompressedLength(es.head)),
       fn("winnow_fingerprint", es => ge.WinnowFingerprint(es(0), es(1))),
       fn("mysql_to_number", es => ge.MySqlToNumber(es.head)),
+      fn("ai_ci_fold", es => ge.AccentFold(es.head)),
       fn("json_extract_mysql", es => gj.JsonExtractMySql(es)),
       fn("json_set", es => gj.JsonMutate(es, 0)),
       fn("json_insert", es => gj.JsonMutate(es, 1)),

@@ -170,6 +170,26 @@ object expressions {
   }
 
   /** MySQL QUOTE(): wraps in single quotes, escaping ', \, NUL, ^Z. */
+  /** Accent-insensitive case-insensitive fold — the comparison key of
+    * MySQL's default collation utf8mb4_0900_ai_ci (reference
+    * sql/collations.go: ai_ci is the 8.0 default). Unicode NFD
+    * decomposition, combining-mark strip, lowercase: two strings compare
+    * equal under ai_ci iff their folds are byte-equal, so grouping /
+    * joining on the fold gives collation-correct semantics with plain
+    * binary equality (shuffle keys stay simple byte arrays at scale). */
+  case class AccentFold(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val folded = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}+", "")
+        .toLowerCase(java.util.Locale.ROOT)
+      UTF8String.fromString(folded)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   case class QuoteStr(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
@@ -345,6 +365,7 @@ object expressions {
     c(Inet6Aton(x(s))).isNotNull && !isIpv4(s)
   def winnowFingerprint(s: Column, k: Column): Column =
     c(WinnowFingerprint(x(s), x(k)))
+  def accentFold(s: Column): Column = c(AccentFold(x(s)))
 
   /** Register everything for SQL use (the reference's FunctionProvider /
     * registry.go analog; production path would be
@@ -366,5 +387,7 @@ object expressions {
       es => MySqlToNumber(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       es => WinnowFingerprint(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("ai_ci_fold",
+      es => AccentFold(es.head), "scala_udf")
   }
 }

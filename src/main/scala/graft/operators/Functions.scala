@@ -440,10 +440,10 @@ object Functions {
               FROM customer ORDER BY c_custkey""")),
 
     // ---- collations (SURVEY §7.4 hard-part 4: MySQL utf8mb4_*_ci).
-    //      Spark 4 native collations: UTF8_LCASE equality/grouping ≈
-    //      utf8mb4_0900_ai_ci for the case-insensitivity axis (accent
-    //      folding descoped). Distinct/grouping under the collation merge
-    //      case variants without materializing lower() copies.
+    //      Spark 4 native collations: UTF8_LCASE equality/grouping covers
+    //      the case-insensitivity axis; the accent axis is fn_collation_ai
+    //      below. Distinct/grouping under the collation merge case
+    //      variants without materializing lower() copies.
     QueryDef(
       "fn_collation",
       (s, d) => {
@@ -466,6 +466,53 @@ object Functions {
               FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
                            ELSE lower(c_mktsegment) END AS seg_mixed
                     FROM customer)""")),
+
+    // ---- accent-insensitive collation — MySQL's DEFAULT collation is
+    //      utf8mb4_0900_ai_ci (reference sql/collations.go), so ai_ci
+    //      equality/grouping is table-stakes. Two implementations, proven
+    //      equal: (a) AccentFold (NFD + strip combining marks + lowercase)
+    //      — grouping on the fold keeps shuffle keys plain binary; (b)
+    //      Spark 4's native ICU UNICODE_CI_AI collation. The oracle
+    //      re-derives the fold with DuckDB's strip_accents + lower.
+    QueryDef(
+      "fn_collation_ai",
+      (s, d) => {
+        val seg = lower(col("c_mktsegment"))
+        val mixed = when(col("c_custkey") % 3 === 0,
+            translate(seg, "aeiou", "áéíóú"))
+          .when(col("c_custkey") % 3 === 1, upper(seg))
+          .otherwise(seg)
+        Tables.t(s, d, "customer")
+          .select(col("c_custkey"), mixed.as("seg_mixed"))
+          .agg(
+            countDistinct(col("seg_mixed")).as("n_binary"),
+            countDistinct(gfx.accentFold(col("seg_mixed"))).as("n_ai_fold"),
+            countDistinct(collate(col("seg_mixed"), "UNICODE_CI_AI"))
+              .as("n_ai_native"),
+            sum((gfx.accentFold(col("seg_mixed")) === lit("automobile"))
+              .cast("long")).as("n_auto_ai"),
+            sum((collate(col("seg_mixed"), "UNICODE_CI_AI") ===
+              collate(lit("autómobilé"), "UNICODE_CI_AI"))
+              .cast("long")).as("n_auto_native"))
+      },
+      Some("""WITH m AS (
+                SELECT CASE
+                         WHEN c_custkey % 3 = 0
+                           THEN translate(lower(c_mktsegment), 'aeiou', 'áéíóú')
+                         WHEN c_custkey % 3 = 1 THEN upper(c_mktsegment)
+                         ELSE lower(c_mktsegment) END AS seg_mixed
+                FROM customer)
+              SELECT
+                CAST(COUNT(DISTINCT seg_mixed) AS BIGINT) AS n_binary,
+                CAST(COUNT(DISTINCT lower(strip_accents(seg_mixed))) AS BIGINT)
+                  AS n_ai_fold,
+                CAST(COUNT(DISTINCT lower(strip_accents(seg_mixed))) AS BIGINT)
+                  AS n_ai_native,
+                CAST(SUM(CASE WHEN lower(strip_accents(seg_mixed)) = 'automobile'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_auto_ai,
+                CAST(SUM(CASE WHEN lower(strip_accents(seg_mixed)) = 'automobile'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_auto_native
+              FROM m""")),
 
     // ---- MySQL type-layer semantics (SURVEY §1.2): ENUM index/validation,
     //      SET bitmask render, YEAR range check, UNSIGNED BIGINT beyond

@@ -49,6 +49,14 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(one[Any](gfx.winnowFingerprint(lit("short"), lit(8))) == null)
   }
 
+  test("accentFold is the ai_ci comparison key") {
+    assert(one[String](gfx.accentFold(lit("Café"))) == "cafe")
+    assert(one[String](gfx.accentFold(lit("ÀÇÉÑÖÜ"))) == "acenou")
+    assert(one[String](gfx.accentFold(lit("naïve Über"))) == "naive uber")
+    // already-folded text is a fixpoint
+    assert(one[String](gfx.accentFold(lit("plain text 123"))) == "plain text 123")
+  }
+
   test("makeSet joins bit-selected strings, skips NULLs") {
     assert(one[String](gfx.makeSet(lit(5L), lit("a"), lit("b"), lit("c"))) == "a,c")
     assert(one[String](gfx.makeSet(lit(0L), lit("a"))) == "")
