@@ -103,9 +103,13 @@ class Engine(val spark: SparkSession) {
         java.util.regex.Matcher.quoteReplacement(v))
     }
 
-  /** Run one SQL statement through the dialect shim into Catalyst. */
-  def query(sql: String): DataFrame =
-    spark.sql(substituteVars(Dialect.rewrite(sql)))
+  /** Run one SQL statement through the dialect shim into Catalyst.
+    * `WITH RECURSIVE` statements (which Spark's parser rejects) are
+    * intercepted and driven through the RecursiveCte working-table loop. */
+  def query(sql: String): DataFrame = {
+    val rewritten = substituteVars(Dialect.rewrite(sql))
+    plans.RecursiveSql.run(spark, rewritten).getOrElse(spark.sql(rewritten))
+  }
 
   /** Run a multi-statement script (reference ScriptTest shape:
     * `;`-separated statements, literal-aware split). Returns each

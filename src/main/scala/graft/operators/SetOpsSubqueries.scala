@@ -206,6 +206,31 @@ object SetOpsSubqueries {
                 UNION ALL SELECT n*2 FROM t WHERE n*2 <= 1024)
               SELECT n FROM t ORDER BY n""")),
 
+    // ---- WITH RECURSIVE as literal SQL TEXT (reference
+    //      sql/planbuilder/cte.go:87): the dialect layer intercepts the
+    //      statement (Spark's parser has no recursive CTEs) and drives the
+    //      same semi-naive working-table loop as cte_recursive. This form
+    //      exercises a table-sourced anchor, a column list, and UNION
+    //      DISTINCT semantics; DuckDB runs the identical statement
+    //      natively as the oracle.
+    QueryDef(
+      "cte_recursive_sql",
+      (s, d) => {
+        Tables.register(s, d, "nation")
+        new graft.Engine(s).query(
+          """WITH RECURSIVE walk (k) AS (
+               SELECT n_nationkey FROM nation WHERE n_nationkey < 3
+               UNION
+               SELECT k + 5 FROM walk WHERE k < 20
+             )
+             SELECT k FROM walk ORDER BY k""")
+      },
+      Some("""WITH RECURSIVE walk (k) AS (
+                SELECT n_nationkey FROM nation WHERE n_nationkey < 3
+                UNION
+                SELECT k + 5 FROM walk WHERE k < 20)
+              SELECT k FROM walk ORDER BY k""")),
+
     // ---- set-op branch coercion (resolve_unions.go: MySQL promotion
     //      across UNION branches). Spark SQL's implicit-cast resolution
     //      widens int+double -> double and int+string per its own rules;

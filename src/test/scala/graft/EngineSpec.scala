@@ -191,6 +191,27 @@ class EngineSpec extends AnyFunSuite {
     assert(results(2).collect()(0).getLong(0) == 5)
   }
 
+  test("WITH RECURSIVE SQL text drives the working-table loop") {
+    // UNION ALL form: powers of two
+    val pow = engine.query(
+      """WITH RECURSIVE t (n) AS (
+           SELECT CAST(1 AS BIGINT)
+           UNION ALL
+           SELECT n * 2 FROM t WHERE n < 512
+         ) SELECT n FROM t ORDER BY n""").collect().map(_.getLong(0))
+    assert(pow.toSeq == Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L))
+    // UNION (distinct) form converges even when steps revisit values
+    val dis = engine.query(
+      """WITH RECURSIVE t (n) AS (
+           SELECT 1 UNION SELECT 2
+           UNION
+           SELECT n + 1 FROM t WHERE n < 4
+         ) SELECT n FROM t ORDER BY n""").collect().map(_.getInt(0))
+    assert(dis.toSeq == Seq(1, 2, 3, 4))
+    // non-recursive statements flow through unchanged
+    assert(engine.query("SELECT 1 AS one").collect()(0).getInt(0) == 1)
+  }
+
   test("GraftExtensions injects the function library") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // builds all injection entries without error
