@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("st_area", es => gs.StArea(es.head)),
       fn("st_length", es => gs.StLength(es.head)),
       fn("st_within", es => gs.StWithin(es(0), es(1))),
+      fn("st_geomfromtext", es => gs.StGeomFromText(es.head)),
+      fn("st_intersects", es => gs.StIntersects(es(0), es(1))),
+      fn("st_contains", es => gs.StContains(es(0), es(1))),
+      fn("st_geohash", es => gs.StGeoHash(es)),
+      fn("st_latfromgeohash", es => gs.GeoHashCoord(es.head, 0)),
+      fn("st_longfromgeohash", es => gs.GeoHashCoord(es.head, 1)),
+      fn("st_pointfromgeohash", es => gs.StPointFromGeoHash(es.head)),
       fn("vec_dot", es => gv.VecDot(es(0), es(1))),
       fn("vec_distance_l2_squared", es => gv.VecL2Sq(es(0), es(1))),
       // MySQL %-pattern date formatting overrides the builtins (dispatch

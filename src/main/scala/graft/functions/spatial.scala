@@ -92,6 +92,172 @@ object spatial {
     inside
   }
 
+  // ---- general geometry model (wave 2) --------------------------------
+  // POINT / LINESTRING / POLYGON (with holes), parsed tolerantly and
+  // re-serialized canonically (reference sql/types/geometry.go WKT forms;
+  // MySQL validates ring closure and minimum point counts).
+
+  sealed private[functions] trait Geom
+  private[functions] case class GPoint(x: Double, y: Double) extends Geom
+  private[functions] case class GLine(pts: Array[(Double, Double)]) extends Geom
+  private[functions] case class GPoly(rings: Array[Array[(Double, Double)]]) extends Geom
+
+  /** Canonical number rendering: integral values print without `.0`. */
+  private def fmtNum(d: Double): String =
+    if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+
+  /** Parse any supported WKT; null on malformed input (bad tag, unbalanced
+    * parens, wrong arity, unclosed polygon ring, <4-point ring). */
+  private[functions] def parseGeom(wkt: String): Geom = {
+    if (wkt == null) return null
+    val s = wkt.trim
+    val open = s.indexOf('(')
+    if (open < 0 || !s.endsWith(")")) return null
+    val tag = s.substring(0, open).trim.toUpperCase
+    val body = s.substring(open + 1, s.length - 1).trim
+    try tag match {
+      case "POINT" =>
+        val c = coords(body)
+        if (c.length == 1) GPoint(c(0)._1, c(0)._2) else null
+      case "LINESTRING" =>
+        val c = coords(body)
+        if (c.length >= 2) GLine(c) else null
+      case "POLYGON" =>
+        // body = (ring1),(ring2)...
+        if (!body.startsWith("(") || !body.endsWith(")")) return null
+        val rings = body.substring(1, body.length - 1)
+          .split("\\)\\s*,\\s*\\(").map(coords)
+        val ok = rings.nonEmpty && rings.forall { r =>
+          r.length >= 4 && r.head == r.last
+        }
+        if (ok) GPoly(rings) else null
+      case _ => null
+    } catch { case _: Exception => null }
+  }
+
+  private[functions] def toWkt(g: Geom): String = g match {
+    case GPoint(x, y) => s"POINT(${fmtNum(x)} ${fmtNum(y)})"
+    case GLine(pts) =>
+      pts.map(p => s"${fmtNum(p._1)} ${fmtNum(p._2)}")
+        .mkString("LINESTRING(", ",", ")")
+    case GPoly(rings) =>
+      rings.map(_.map(p => s"${fmtNum(p._1)} ${fmtNum(p._2)}")
+        .mkString("(", ",", ")")).mkString("POLYGON(", ",", ")")
+  }
+
+  /** Point strictly inside a polygon: inside the outer ring and not
+    * inside any hole. */
+  private[functions] def pointInPoly(px: Double, py: Double, poly: GPoly): Boolean =
+    pointInRing(px, py, poly.rings.head) &&
+      !poly.rings.tail.exists(h => pointInRing(px, py, h))
+
+  /** Proper + touching segment intersection (orientation tests with
+    * collinear-overlap handling). */
+  private[functions] def segsIntersect(p1: (Double, Double), p2: (Double, Double),
+      q1: (Double, Double), q2: (Double, Double)): Boolean = {
+    def orient(a: (Double, Double), b: (Double, Double), c: (Double, Double)): Int = {
+      val v = (b._2 - a._2) * (c._1 - b._1) - (b._1 - a._1) * (c._2 - b._2)
+      if (v > 0) 1 else if (v < 0) -1 else 0
+    }
+    def onSeg(a: (Double, Double), b: (Double, Double), c: (Double, Double)): Boolean =
+      c._1 <= math.max(a._1, b._1) && c._1 >= math.min(a._1, b._1) &&
+        c._2 <= math.max(a._2, b._2) && c._2 >= math.min(a._2, b._2)
+    val o1 = orient(p1, p2, q1); val o2 = orient(p1, p2, q2)
+    val o3 = orient(q1, q2, p1); val o4 = orient(q1, q2, p2)
+    (o1 != o2 && o3 != o4) ||
+      (o1 == 0 && onSeg(p1, p2, q1)) || (o2 == 0 && onSeg(p1, p2, q2)) ||
+      (o3 == 0 && onSeg(q1, q2, p1)) || (o4 == 0 && onSeg(q1, q2, p2))
+  }
+
+  private def segments(g: Geom): Array[((Double, Double), (Double, Double))] =
+    g match {
+      case GPoint(_, _) => Array.empty
+      case GLine(p) => p.sliding(2).collect { case Array(a, b) => (a, b) }.toArray
+      case GPoly(rings) =>
+        rings.flatMap(r => r.sliding(2).collect { case Array(a, b) => (a, b) })
+    }
+
+  private def vertices(g: Geom): Array[(Double, Double)] = g match {
+    case GPoint(x, y) => Array((x, y))
+    case GLine(p) => p
+    case GPoly(rings) => rings.flatten
+  }
+
+  /** ST_Intersects semantics for the subset: any shared point — segment
+    * crossings/touches, vertex containment, or full containment either
+    * way (reference spatial/st_intersects.go). */
+  private[functions] def intersects(a: Geom, b: Geom): Boolean = {
+    def pointOn(g: Geom, v: (Double, Double)): Boolean = g match {
+      case GPoint(x, y) => x == v._1 && y == v._2
+      case p: GPoly => pointInPoly(v._1, v._2, p)
+      case _ => segments(g).exists(s => segsIntersect(s._1, s._2, v, v))
+    }
+    val segA = segments(a); val segB = segments(b)
+    segA.exists(sa => segB.exists(sb =>
+      segsIntersect(sa._1, sa._2, sb._1, sb._2))) ||
+      vertices(a).exists(pointOn(b, _)) ||
+      vertices(b).exists(pointOn(a, _))
+  }
+
+  /** ST_Contains(container, g) for the subset: every vertex of `g` inside
+    * the polygon (holes respected) and no boundary crossing. Exact for
+    * points; vertex-based for line/polygon arguments against convex
+    * containers (reference spatial/st_contains.go; full DE-9IM descoped). */
+  private[functions] def contains(container: Geom, g: Geom): Boolean =
+    container match {
+      case p: GPoly =>
+        vertices(g).forall(v => pointInPoly(v._1, v._2, p))
+      case _ => false
+    }
+
+  // ---- geohash (reference spatial/geohash.go; standard base32 cells) --
+
+  private val B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  private[functions] def geohashEncode(lon: Double, lat: Double, len: Int): String = {
+    if (lon < -180 || lon > 180 || lat < -90 || lat > 90 || len <= 0) return null
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    val sb = new StringBuilder
+    var bit = 0; var ch = 0; var even = true
+    while (sb.length < len) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      even = !even; bit += 1
+      if (bit == 5) { sb.append(B32.charAt(ch)); bit = 0; ch = 0 }
+    }
+    sb.result()
+  }
+
+  /** (lat, lon) cell midpoint; null for invalid hashes. */
+  private[functions] def geohashDecode(h: String): (Double, Double) = {
+    if (h == null || h.isEmpty) return null
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var even = true
+    var i = 0
+    while (i < h.length) {
+      val ch = B32.indexOf(h.charAt(i).toLower)
+      if (ch < 0) return null
+      var b = 4
+      while (b >= 0) {
+        val bit = (ch >> b) & 1
+        if (even) { val mid = (lonLo + lonHi) / 2; if (bit == 1) lonLo = mid else lonHi = mid }
+        else { val mid = (latLo + latHi) / 2; if (bit == 1) latLo = mid else latHi = mid }
+        even = !even; b -= 1
+      }
+      i += 1
+    }
+    ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
+  }
+
   // ---- expressions ----------------------------------------------------
 
   /** ST_X(point-wkt). */
@@ -181,6 +347,94 @@ object spatial {
       copy(l, r)
   }
 
+  /** ST_GEOMFROMTEXT(wkt) — validate and canonicalize (uppercase tag,
+    * single-space separators, integral coords without `.0`); malformed
+    * WKT -> NULL (reference geometry.go constructors reject it). */
+  case class StGeomFromText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val g = parseGeom(v.asInstanceOf[UTF8String].toString)
+      if (g == null) null else UTF8String.fromString(toWkt(g))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** ST_INTERSECTS(g1, g2). */
+  case class StIntersects(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val g1 = parseGeom(a.asInstanceOf[UTF8String].toString)
+      val g2 = parseGeom(b.asInstanceOf[UTF8String].toString)
+      if (g1 == null || g2 == null) null else intersects(g1, g2)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** ST_CONTAINS(container, g). */
+  case class StContains(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val g1 = parseGeom(a.asInstanceOf[UTF8String].toString)
+      val g2 = parseGeom(b.asInstanceOf[UTF8String].toString)
+      if (g1 == null || g2 == null) null else contains(g1, g2)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** ST_GEOHASH(lon, lat, maxLen). */
+  case class StGeoHash(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) return null
+      def num(v: Any): Double = v match {
+        case d: Double => d; case f: Float => f.toDouble
+        case i: Int => i.toDouble; case l: Long => l.toDouble
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case o => o.toString.toDouble
+      }
+      val h = geohashEncode(num(vs(0)), num(vs(1)), num(vs(2)).toInt)
+      if (h == null) null else UTF8String.fromString(h)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) =
+      copy(n)
+  }
+
+  /** ST_LATFROMGEOHASH / ST_LONGFROMGEOHASH (axis 0 = lat, 1 = lon). */
+  case class GeoHashCoord(child: Expression, axis: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val d = geohashDecode(v.asInstanceOf[UTF8String].toString)
+      if (d == null) null else if (axis == 0) d._1 else d._2
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** ST_POINTFROMGEOHASH(h) -> WKT point at the cell midpoint. */
+  case class StPointFromGeoHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val d = geohashDecode(v.asInstanceOf[UTF8String].toString)
+      if (d == null) null
+      else UTF8String.fromString(toWkt(GPoint(d._2, d._1)))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   // ---- Column wrappers ------------------------------------------------
 
   import org.apache.spark.sql.GraftBridge
@@ -200,9 +454,17 @@ object spatial {
   def stArea(g: Column): Column = c(StArea(x(g)))
   def stLength(g: Column): Column = c(StLength(x(g)))
   def stWithin(p: Column, poly: Column): Column = c(StWithin(x(p), x(poly)))
-  /** ST_GeomFromText / ST_AsText are identity on the WKT representation. */
-  def stGeomFromText(s: Column): Column = s
+  /** ST_GeomFromText validates + canonicalizes WKT (NULL if malformed);
+    * ST_AsText is identity on the canonical representation. */
+  def stGeomFromText(s: Column): Column = c(StGeomFromText(x(s)))
   def stAsText(g: Column): Column = g
+  def stIntersects(a: Column, b: Column): Column = c(StIntersects(x(a), x(b)))
+  def stContains(a: Column, b: Column): Column = c(StContains(x(a), x(b)))
+  def stGeoHash(lon: Column, lat: Column, len: Column): Column =
+    c(StGeoHash(Seq(lon, lat, len).map(x)))
+  def stLatFromGeoHash(h: Column): Column = c(GeoHashCoord(x(h), 0))
+  def stLongFromGeoHash(h: Column): Column = c(GeoHashCoord(x(h), 1))
+  def stPointFromGeoHash(h: Column): Column = c(StPointFromGeoHash(x(h)))
 
   def register(spark: SparkSession): Unit = {
     val reg = GraftBridge.functionRegistry(spark)
@@ -212,5 +474,13 @@ object spatial {
     reg.createOrReplaceTempFunction("st_area", es => StArea(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("st_length", es => StLength(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("st_within", es => StWithin(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("st_geomfromtext", es => StGeomFromText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("st_astext", es => StGeomFromText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("st_intersects", es => StIntersects(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("st_contains", es => StContains(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("st_geohash", es => StGeoHash(es), "scala_udf")
+    reg.createOrReplaceTempFunction("st_latfromgeohash", es => GeoHashCoord(es.head, 0), "scala_udf")
+    reg.createOrReplaceTempFunction("st_longfromgeohash", es => GeoHashCoord(es.head, 1), "scala_udf")
+    reg.createOrReplaceTempFunction("st_pointfromgeohash", es => StPointFromGeoHash(es.head), "scala_udf")
   }
 }

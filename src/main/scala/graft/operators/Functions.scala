@@ -725,6 +725,73 @@ object Functions {
                 sqrt(x*x + y*y) + 5 AS path_len
               FROM pts ORDER BY c_custkey""")),
 
+    // ---- spatial wave 2 (reference spatial/st_intersects.go,
+    //      st_contains.go, geohash.go, and the validating constructors in
+    //      sql/types/geometry.go): geometry relations + WKT
+    //      validation/normalization + geohash encode/decode. Relations use
+    //      half-offset points so nothing sits exactly on a boundary; the
+    //      oracle re-derives every predicate as planar arithmetic, and the
+    //      geohash columns pin a public test vector plus a decode
+    //      round-trip both engines agree on.
+    QueryDef(
+      "fn_spatial_relations",
+      (s, d) => {
+        import graft.functions.{spatial => sp}
+        val k = col("c_custkey")
+        val sq = (k % 5 + 3).cast("int") // square side 3..7
+        val shift = (k % 9).cast("int")  // second square offset 0..8
+        val px = (k % 10).cast("double") + 0.5
+        val py = (k % 7).cast("double") + 0.5
+        val squareA = concat(
+          lit("POLYGON((0 0, "), sq, lit(" 0, "), sq, lit(" "), sq,
+          lit(", 0 "), sq, lit(", 0 0))"))
+        val squareB = concat(
+          lit("POLYGON(("), shift, lit(" "), shift, lit(", "), shift + 2,
+          lit(" "), shift, lit(", "), shift + 2, lit(" "), shift + 2,
+          lit(", "), shift, lit(" "), shift + 2, lit(", "), shift, lit(" "),
+          shift, lit("))"))
+        val hline = concat(
+          lit("LINESTRING(-1 "), shift, lit(", 10 "), shift, lit(")"))
+        val pt = sp.stPoint(px, py)
+        val messy = concat(lit("  point( "), k % 10, lit("   "), k % 7,
+          lit(" ) "))
+        val lon = (k % 360).cast("double") - 180.0 + 0.25
+        val lat = (k % 180).cast("double") - 90.0 + 0.25
+        val gh = sp.stGeoHash(lon, lat, lit(9))
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            sp.stContains(squareA, pt).as("sq_has_pt"),
+            sp.stIntersects(squareA, squareB).as("squares_meet"),
+            sp.stIntersects(squareA, hline).as("line_crosses"),
+            sp.stContains(squareA,
+              lit("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))")).as("sq_has_unit"),
+            sp.stGeomFromText(messy).as("norm_wkt"),
+            sp.stGeomFromText(lit("POLYGON((0 0, 1 0, 1 1))")).as("bad_ring"),
+            sp.stGeoHash(lit(-5.6), lit(42.6), lit(5)).as("gh_known"),
+            (abs(sp.stLatFromGeoHash(gh) - lat) < 0.001 &&
+              abs(sp.stLongFromGeoHash(gh) - lon) < 0.001).as("gh_roundtrip"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH g AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 5 + 3 AS DOUBLE) AS sq,
+                       CAST(c_custkey % 9 AS DOUBLE) AS shift,
+                       CAST(c_custkey % 10 AS DOUBLE) + 0.5 AS px,
+                       CAST(c_custkey % 7 AS DOUBLE) + 0.5 AS py
+                FROM customer)
+              SELECT c_custkey,
+                px < sq AND py < sq AS sq_has_pt,
+                shift <= sq AS squares_meet,
+                shift <= sq AS line_crosses,
+                sq > 2 AS sq_has_unit,
+                'POINT(' || CAST(c_custkey % 10 AS BIGINT) || ' '
+                  || CAST(c_custkey % 7 AS BIGINT) || ')' AS norm_wkt,
+                CAST(NULL AS VARCHAR) AS bad_ring,
+                'ezs42' AS gh_known,
+                TRUE AS gh_roundtrip
+              FROM g ORDER BY c_custkey""")),
+
     // ---- UUID family (registry.go uuid_to_bin/bin_to_uuid/is_uuid):
     //      deterministic md5-derived uuid text per row, validated and
     //      round-tripped through the binary forms (±swap flag)

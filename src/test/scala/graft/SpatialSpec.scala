@@ -43,6 +43,57 @@ class SpatialSpec extends AnyFunSuite {
     assert(!one[Boolean](sp.stWithin(lit("POINT(5 5)"), concave)))
   }
 
+  test("st_geomfromtext validates and canonicalizes WKT") {
+    assert(one[String](sp.stGeomFromText(lit("  point( 1.0   2.5 ) ")))
+      == "POINT(1 2.5)")
+    assert(one[String](sp.stGeomFromText(lit("linestring(0 0 ,  1 1)")))
+      == "LINESTRING(0 0,1 1)")
+    assert(one[String](sp.stGeomFromText(
+      lit("polygon((0 0, 4 0, 4 4, 0 4, 0 0),(1 1, 2 1, 2 2, 1 2, 1 1))")))
+      == "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))")
+    // malformed: unclosed ring, <4 points, bad tag, arity
+    assert(one[Any](sp.stGeomFromText(lit("POLYGON((0 0, 1 0, 1 1, 0 1))"))) == null)
+    assert(one[Any](sp.stGeomFromText(lit("POLYGON((0 0, 1 0, 0 0))"))) == null)
+    assert(one[Any](sp.stGeomFromText(lit("CIRCLE(0 0, 5)"))) == null)
+    assert(one[Any](sp.stGeomFromText(lit("POINT(1 2, 3 4)"))) == null)
+  }
+
+  test("st_intersects: crossings, touches, containment, disjoint") {
+    val sq = lit("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(one[Boolean](sp.stIntersects(sq, lit("LINESTRING(-1 2, 5 2)"))))
+    assert(one[Boolean](sp.stIntersects(sq, lit("POLYGON((4 4, 6 4, 6 6, 4 6, 4 4))")))) // corner touch
+    assert(one[Boolean](sp.stIntersects(sq, lit("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))")))) // contained
+    assert(one[Boolean](sp.stIntersects(sq, lit("POINT(2 2)"))))
+    assert(!one[Boolean](sp.stIntersects(sq, lit("POINT(9 9)"))))
+    assert(!one[Boolean](sp.stIntersects(sq, lit("POLYGON((5 5, 7 5, 7 7, 5 7, 5 5))"))))
+    assert(one[Boolean](sp.stIntersects(
+      lit("LINESTRING(0 0, 2 2)"), lit("LINESTRING(0 2, 2 0)"))))
+    assert(one[Boolean](sp.stIntersects(lit("POINT(1 1)"), lit("POINT(1 1)"))))
+    assert(!one[Boolean](sp.stIntersects(lit("POINT(1 1)"), lit("POINT(1 2)"))))
+  }
+
+  test("st_contains respects holes") {
+    val donut = lit("POLYGON((0 0, 6 0, 6 6, 0 6, 0 0),(2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert(one[Boolean](sp.stContains(donut, lit("POINT(1 1)"))))
+    assert(!one[Boolean](sp.stContains(donut, lit("POINT(3 3)")))) // in the hole
+    assert(!one[Boolean](sp.stContains(donut, lit("POINT(9 9)"))))
+    assert(one[Boolean](sp.stContains(
+      lit("POLYGON((0 0, 6 0, 6 6, 0 6, 0 0))"),
+      lit("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))"))))
+  }
+
+  test("geohash matches public test vectors and round-trips") {
+    // wikipedia's canonical example: ezs42 ~ (42.6, -5.6)
+    assert(one[String](sp.stGeoHash(lit(-5.6), lit(42.6), lit(5))) == "ezs42")
+    assert(one[String](sp.stGeoHash(lit(-74.0059), lit(40.7128), lit(7))) == "dr5regw")
+    assert(math.abs(one[Double](sp.stLatFromGeoHash(lit("ezs42"))) - 42.60498) < 0.001)
+    assert(math.abs(one[Double](sp.stLongFromGeoHash(lit("ezs42"))) - (-5.60302)) < 0.001)
+    assert(one[String](sp.stPointFromGeoHash(
+      sp.stGeoHash(lit(0.0), lit(0.0), lit(1)))).startsWith("POINT("))
+    assert(one[Any](sp.stGeoHash(lit(500.0), lit(0.0), lit(5))) == null)
+    assert(one[Any](sp.stLatFromGeoHash(lit("ii"))) == null) // i not in base32
+  }
+
   test("SQL registration exposes st_* on the session") {
     val e = new Engine(spark)
     val r = e.query(
