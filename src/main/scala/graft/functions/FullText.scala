@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MATCH ... AGAINST boolean-mode grammar — SURVEY.md §2.8 full-text
+  * (reference sql/fulltext/fulltext.go + sql/expression/matchagainst.go).
+  *
+  * Grammar subset: `+word` required, `-word` excluded, bare `word`
+  * optional (contributes to relevance), `"a phrase"` contiguous-token
+  * match, `word*` prefix wildcard. The query string is a plan-time
+  * literal, so the grammar compiles straight to codegen'd column
+  * predicates over the token array — no extra shuffle, scan-speed at
+  * 100 TB. Boolean-mode relevance is the TF sum of present non-excluded
+  * terms (MySQL's boolean scorer has no IDF / 50% rule).
+  */
+object FullText {
+
+  /** op: '+' required, '-' excluded, ' ' optional. */
+  case class Term(op: Char, text: String, phrase: Boolean, prefix: Boolean)
+
+  /** Parse a boolean-mode query string. Phrase text is lowercased and
+    * inner whitespace collapsed to single spaces (token normalization). */
+  def parse(q: String): Seq[Term] = {
+    val out = Seq.newBuilder[Term]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      while (i < n && q.charAt(i).isWhitespace) i += 1
+      if (i < n) {
+        var op = ' '
+        if (q.charAt(i) == '+' || q.charAt(i) == '-') { op = q.charAt(i); i += 1 }
+        if (i < n && q.charAt(i) == '"') {
+          val end = q.indexOf('"', i + 1)
+          val stop = if (end < 0) n else end
+          val ph = q.substring(i + 1, stop).trim.toLowerCase
+            .replaceAll("\\s+", " ")
+          if (ph.nonEmpty) out += Term(op, ph, phrase = true, prefix = false)
+          i = stop + 1
+        } else {
+          val start = i
+          while (i < n && !q.charAt(i).isWhitespace) i += 1
+          var w = q.substring(start, i).toLowerCase
+          val prefix = w.endsWith("*")
+          if (prefix) w = w.dropRight(1)
+          if (w.nonEmpty) out += Term(op, w, phrase = false, prefix = prefix)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Per-term presence/frequency column: phrase containment is 0/1;
+    * words and prefixes count token occurrences. */
+  private def presence(t: Term, toks: Column, norm: Column): Column =
+    if (t.phrase) (instr(norm, s" ${t.text} ") > 0).cast("int")
+    else if (t.prefix) size(filter(toks, w => w.startsWith(t.text)))
+    else size(filter(toks, w => w === t.text))
+
+  /** (matched, relevance) for a boolean-mode query over `text`. A row
+    * matches when every `+` term is present, no `-` term is present, and
+    * (when there are no `+` terms) at least one optional term hits.
+    * Relevance is 0 for non-matching rows. */
+  def booleanMatch(text: Column, query: String): (Column, Column) = {
+    val terms = parse(query)
+    require(terms.nonEmpty, "empty boolean-mode query")
+    val toks = split(lower(text), "[^a-z0-9]+")
+    val norm = concat(lit(" "),
+      regexp_replace(lower(text), "[^a-z0-9]+", " "), lit(" "))
+    val pres = terms.map(t => t -> presence(t, toks, norm))
+    val req = pres.filter(_._1.op == '+')
+    val exc = pres.filter(_._1.op == '-')
+    val opt = pres.filter(_._1.op == ' ')
+    val reqOk = req.map(_._2 > 0).reduceOption(_ && _).getOrElse(lit(true))
+    val excOk = exc.map(_._2 === 0).reduceOption(_ && _).getOrElse(lit(true))
+    val optOk =
+      if (req.nonEmpty || opt.isEmpty) lit(true)
+      else opt.map(_._2 > 0).reduce(_ || _)
+    val matched = reqOk && excOk && optOk
+    val score = (req ++ opt).map(_._2).reduceOption(_ + _).getOrElse(lit(0))
+    (matched, when(matched, score).otherwise(0))
+  }
+}

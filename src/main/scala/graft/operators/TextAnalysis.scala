@@ -208,6 +208,62 @@ object TextAnalysis {
                         THEN tf_learning * ln(CAST(n_docs AS DOUBLE) / df_learning)
                         ELSE 0.0 END, 6) AS relevance,
                 (tf_data + tf_learning) > 0 AS matched
-              FROM tfs, stats ORDER BY doc_id"""))
+              FROM tfs, stats ORDER BY doc_id""")),
+
+    // ---- MATCH ... AGAINST ('...' IN BOOLEAN MODE) — reference
+    //      sql/fulltext/fulltext.go + sql/expression/matchagainst.go
+    //      boolean-mode grammar: `+word` required, `-word` excluded,
+    //      bare words optional (contribute to relevance), `"phrase"`
+    //      contiguous-token match, `word*` prefix wildcard. The query
+    //      string is a plan-time literal, so the grammar compiles straight
+    //      to codegen'd column predicates over the token array — zero
+    //      extra shuffles, scan-speed at 100 TB. Boolean-mode relevance is
+    //      the TF sum of non-excluded present terms (no IDF / 50% rule,
+    //      matching MySQL's boolean scorer).
+    QueryDef(
+      "text_match_boolean",
+      (s, d) => {
+        import graft.functions.FullText
+        val toks = split(lower(col("text")), "[^a-z0-9]+")
+        val norm = concat(lit(" "),
+          regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), lit(" "))
+        def tf(term: String) = size(filter(toks, w => w === term))
+        val (matched, relevance) = FullText.booleanMatch(col("text"),
+          """+data -quantum "machine learning" learn*""")
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            tf("data").as("tf_data"),
+            tf("quantum").as("tf_quantum"),
+            (instr(norm, " machine learning ") > 0).cast("int")
+              .as("has_phrase"),
+            size(filter(toks, w => w.startsWith("learn")))
+              .as("tf_learn_star"),
+            matched.as("matched"),
+            relevance.as("relevance"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  string_split_regex(lower(text), '[^a-z0-9]+') AS toks,
+                  ' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')
+                    || ' ' AS norm
+                FROM documents),
+              f AS (
+                SELECT doc_id,
+                  CAST(len(list_filter(toks, w -> w = 'data')) AS INT) AS tf_data,
+                  CAST(len(list_filter(toks, w -> w = 'quantum')) AS INT)
+                    AS tf_quantum,
+                  CAST(CASE WHEN instr(norm, ' machine learning ') > 0
+                    THEN 1 ELSE 0 END AS INT) AS has_phrase,
+                  CAST(len(list_filter(toks, w -> w LIKE 'learn%')) AS INT)
+                    AS tf_learn_star
+                FROM t)
+              SELECT doc_id, tf_data, tf_quantum, has_phrase, tf_learn_star,
+                tf_data > 0 AND tf_quantum = 0 AS matched,
+                CASE WHEN tf_data > 0 AND tf_quantum = 0
+                  THEN tf_data + has_phrase + tf_learn_star ELSE 0 END
+                  AS relevance
+              FROM f ORDER BY doc_id"""))
   )
 }
