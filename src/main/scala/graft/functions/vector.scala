@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Sqrt}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -11,9 +11,12 @@ import org.apache.spark.sql.types._
   *
   * Native expressions over `ArrayType(DoubleType)`: one tight primitive
   * loop per pair instead of the interpreted `zip_with`+`aggregate`
-  * higher-order chain (which allocates a lambda frame per element). The
-  * summation order is the same sequential left fold, so results are
-  * bit-identical to the HOF formulation and the DuckDB oracle.
+  * higher-order chain (which allocates a lambda frame per element). Both
+  * expressions implement `doGenCode`, so the loop is inlined into
+  * whole-stage codegen — the 100 TB similarity path never falls back to
+  * interpreted eval. The summation order is the same sequential left
+  * fold, so results are bit-identical to the HOF formulation and the
+  * DuckDB oracle.
   */
 object vector {
 
@@ -28,18 +31,32 @@ object vector {
 
   /** VEC_DOT(a, b): sequential-fold dot product. */
   case class VecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any =
       dots(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |double[] $xs = $a.toDoubleArray();
+           |double[] $ys = $b.toDoubleArray();
+           |int $n = java.lang.Math.min($xs.length, $ys.length);
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { $acc += $xs[$i] * $ys[$i]; }
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(l, r)
   }
 
   /** VEC_DISTANCE_L2_SQUARED(a, b). */
   case class VecL2Sq(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -51,6 +68,23 @@ object vector {
       while (i < n) { val d = x(i) - y(i); acc += d * d; i += 1 }
       acc
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc"); val dv = ctx.freshName("d")
+        s"""
+           |double[] $xs = $a.toDoubleArray();
+           |double[] $ys = $b.toDoubleArray();
+           |int $n = java.lang.Math.min($xs.length, $ys.length);
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $dv = $xs[$i] - $ys[$i];
+           |  $acc += $dv * $dv;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(l, r)
   }
