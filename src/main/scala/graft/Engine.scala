@@ -78,6 +78,7 @@ class Engine(val spark: SparkSession) {
   functions.json.register(spark)
   functions.spatial.register(spark)
   functions.MySqlFormat.register(spark)
+  functions.MiscFns.register(spark)
 
   /** Session user variables (@name — reference sql/types/system_*.go /
     * session state). Rendered as literals into the query text, outside

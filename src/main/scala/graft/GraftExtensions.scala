@@ -75,5 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("date_format", es => graft.functions.MySqlFormat.dateFormatExpr(es)),
       fn("str_to_date", es => graft.functions.MySqlFormat.strToDateExpr(es)))
     fns.foreach(ext.injectFunction)
+    // long-tail scalar surface shares its builder table with Engine
+    graft.functions.MiscFns.builders.foreach { case (name, b) =>
+      ext.injectFunction(fn(name, b))
+    }
   }
 }

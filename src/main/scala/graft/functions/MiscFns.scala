@@ -1,0 +1,288 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Long-tail MySQL scalar functions that are neither Spark builtins nor
+  * covered elsewhere in graft — closing the registry.go surface gap
+  * (reference sql/expression/function/registry.go). Compositions are
+  * SQL-template builders: the template parses to ordinary unresolved
+  * Catalyst nodes (which the analyzer resolves like any SQL text) with
+  * `__argN` placeholders substituted by the call's argument expressions.
+  * Session/lock/replication functions (found_rows, get_lock,
+  * gtid_subtract, load_file, random_bytes ...) stay descoped per
+  * SURVEY §2.12.
+  */
+object MiscFns {
+
+  // ---- native bits ----------------------------------------------------
+
+  /** ORD(s) — code of the leftmost character: for multibyte chars MySQL
+    * returns the UTF-8 bytes big-endian (reference ord in string.go). */
+  case class Ord(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      if (s.isEmpty) 0L
+      else {
+        val first = s.codePointAt(0)
+        val bytes = new String(Character.toChars(first))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        bytes.foldLeft(0L)((acc, b) => acc * 256 + (b & 0xff))
+      }
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** IS_BINARY(e) — true when the argument is a binary type (reference
+    * is_binary.go checks the value class, which is static here). */
+  case class IsBinary(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      child.dataType.isInstanceOf[BinaryType]
+    override def nullSafeEval(v: Any): Any = eval(null)
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** IS_IPV4_COMPAT / IS_IPV4_MAPPED over inet6_aton 16-byte addresses
+    * (reference inetfunctions.go): compat = first 12 bytes zero;
+    * mapped = 10 zero bytes then 0xFFFF. */
+  case class Ipv4Embedded(child: Expression, mapped: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      if (b.length != 16) false
+      else {
+        val prefixZero = (0 until 10).forall(b(_) == 0)
+        if (mapped) prefixZero && b(10) == -1 && b(11) == -1
+        else prefixZero && b(10) == 0 && b(11) == 0
+      }
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  // ---- column API (DataFrame users; same formulas as the templates) ---
+
+  /** MySQL TIME(expr): the time-of-day part as 'HH:MM:SS'. */
+  def timeOf(ts: Column): Column = date_format(ts.cast("timestamp"), "HH:mm:ss")
+
+  /** STRCMP(a, b) -> -1/0/1. */
+  def strCmp(a: Column, b: Column): Column =
+    when(a < b, -1).when(a > b, 1).otherwise(0)
+
+  /** MICROSECOND(ts). */
+  def microsecondOf(ts: Column): Column =
+    date_format(ts.cast("timestamp"), "SSSSSS").cast("int")
+
+  /** VALIDATE_PASSWORD_STRENGTH(s) — documented tier heuristic (plugin
+    * dictionary checks descoped): 0 (<4 chars), 25 (<8), 50 (>=8),
+    * +25 for digit AND mixed case, +25 more when a special char joins. */
+  def passwordStrength(s: Column): Column = {
+    val hasDigit = s.rlike("[0-9]")
+    val hasMixed = s.rlike("[a-z]") && s.rlike("[A-Z]")
+    val hasSpecial = s.rlike("[^a-zA-Z0-9]")
+    when(length(s) < 4, 0)
+      .when(length(s) < 8, 25)
+      .otherwise(
+        lit(50) + when(hasDigit && hasMixed, 25).otherwise(0) +
+          when(hasDigit && hasMixed && hasSpecial, 25).otherwise(0))
+  }
+
+  // ---- registration ---------------------------------------------------
+
+  private type B = Seq[Expression] => Expression
+
+  /** Parse a SQL template and substitute `__argN` with the caller's
+    * argument expressions — the result is ordinary unresolved Catalyst
+    * (NOT Column-bridge nodes, which the analyzer cannot resolve when
+    * nested inside a registry-built expression). */
+  private def tmpl(sqlText: String): B = es =>
+    CatalystSqlParser.parseExpression(sqlText).transformUp {
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 1 && a.nameParts.head.startsWith("__arg") =>
+        es(a.nameParts.head.drop(5).toInt)
+    }
+
+  private def litStr(e: Expression, fn: String): String = e match {
+    case Literal(s: UTF8String, _: StringType) => s.toString
+    case other =>
+      throw new IllegalArgumentException(s"$fn expects a literal string, got $other")
+  }
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(i: Int, _) => i
+    case Literal(l: Long, _) => l.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$fn expects a literal int, got $other")
+  }
+
+  private val SECS =
+    "(unix_timestamp(CAST(__arg0 AS TIMESTAMP)) - unix_timestamp(CAST(__arg1 AS TIMESTAMP)))"
+
+  /** Spark-SQL WEEK(date, mode) formula for one MySQL mode — the engine
+    * twin of the DuckDB oracle generator (Spark dayofweek: Sunday=1). */
+  private def weekSql(mode: Int): String = {
+    require(mode >= 0 && mode <= 7, s"WEEK mode $mode")
+    if (mode == 3) "weekofyear(CAST(__arg0 AS DATE))"
+    else {
+      val monday = mode % 2 == 1
+      val fourDays = Set(1, 4, 6)(mode)
+      val zeroRange = Set(0, 1, 4, 5)(mode)
+      val d = "CAST(__arg0 AS DATE)"
+      def dowOf(j: String) =
+        if (monday) s"(dayofweek($j)+5)%7" else s"(dayofweek($j)+6)%7"
+      def startOf(y: String) = {
+        val j = s"make_date($y,1,1)"
+        if (fourDays)
+          s"date_add($j, CAST(CASE WHEN ${dowOf(j)} <= 3 THEN -(${dowOf(j)}) ELSE 7-(${dowOf(j)}) END AS INT))"
+        else
+          s"date_add($j, CAST((7-(${dowOf(j)}))%7 AS INT))"
+      }
+      def wk(start: String) =
+        s"CAST(floor(datediff($d, $start)/7) AS INT) + 1"
+      val s0 = startOf(s"year($d)")
+      val before = if (zeroRange) "0" else wk(startOf(s"year($d)-1"))
+      val main = s"CASE WHEN $d >= $s0 THEN ${wk(s0)} ELSE $before END"
+      if (fourDays && !zeroRange)
+        s"CASE WHEN $d >= ${startOf(s"year($d)+1")} THEN 1 ELSE $main END"
+      else main
+    }
+  }
+
+  private def yearWeekSql: String = {
+    val d = "CAST(__arg0 AS DATE)"
+    def fs(y: String) = {
+      val j = s"make_date($y,1,1)"
+      s"date_add($j, CAST((8 - dayofweek($j)) % 7 AS INT))"
+    }
+    def yw(y: String) =
+      s"($y)*100 + CAST(floor(datediff($d, ${fs(y)})/7) AS INT) + 1"
+    s"CASE WHEN $d >= ${fs(s"year($d)")} THEN ${yw(s"year($d)")} ELSE ${yw(s"year($d)-1")} END"
+  }
+
+  private val ipv4Rx =
+    "^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$"
+
+  /** Every (name, builder) pair; shared by Engine registration and
+    * GraftExtensions injection. Each entry mirrors the reference function
+    * of the same name in registry.go. */
+  def builders: Seq[(String, B)] = Seq(
+    // date/time tail (reference time.go, dateadd.go)
+    "adddate" -> tmpl("date_add(CAST(__arg0 AS DATE), CAST(__arg1 AS INT))"),
+    "subdate" -> tmpl("date_sub(CAST(__arg0 AS DATE), CAST(__arg1 AS INT))"),
+    "curtime" -> tmpl("date_format(current_timestamp(), 'HH:mm:ss')"),
+    "sysdate" -> tmpl("current_timestamp()"),
+    "localtime" -> tmpl("current_timestamp()"),
+    "time" -> tmpl("date_format(CAST(__arg0 AS TIMESTAMP), 'HH:mm:ss')"),
+    "timediff" -> tmpl(
+      s"""concat(CASE WHEN $SECS < 0 THEN '-' ELSE '' END,
+         |lpad(CAST(CAST(abs($SECS)/3600 AS BIGINT) AS STRING), 2, '0'), ':',
+         |lpad(CAST(CAST((abs($SECS)%3600)/60 AS BIGINT) AS STRING), 2, '0'), ':',
+         |lpad(CAST(abs($SECS)%60 AS STRING), 2, '0'))""".stripMargin),
+    "timestamp" -> tmpl("CAST(__arg0 AS TIMESTAMP)"),
+    "datetime" -> tmpl("CAST(__arg0 AS TIMESTAMP_NTZ)"),
+    "microsecond" -> tmpl(
+      "CAST(date_format(CAST(__arg0 AS TIMESTAMP), 'SSSSSS') AS INT)"),
+    "to_days" -> tmpl(
+      "datediff(CAST(__arg0 AS DATE), DATE '1970-01-01') + 719528"),
+    "from_days" -> tmpl(
+      "date_add(DATE '1970-01-01', CAST(__arg0 - 719528 AS INT))"),
+    "yearweek" -> tmpl(yearWeekSql),
+    "week" -> (es =>
+      tmpl(weekSql(if (es.length > 1) litInt(es(1), "week") else 0))(es)),
+    "weekday" -> tmpl("(dayofweek(CAST(__arg0 AS DATE)) + 5) % 7"),
+    "get_format" -> (es => Literal(
+      UTF8String.fromString(DateTimeExt.getFormat(
+        litStr(es(0), "get_format"), litStr(es(1), "get_format"))),
+      StringType)),
+    "time_format" -> (es => MySqlFormat.dateFormatExpr(Seq(
+      tmpl("to_timestamp(concat('1970-01-01 ', __arg0))")(es), es(1)))),
+    "timestampdiff" -> (es => {
+      val unit = litStr(es(0), "timestampdiff").toUpperCase
+      val months =
+        """(year(CAST(__arg2 AS DATE)) - year(CAST(__arg1 AS DATE)))*12 +
+          |(month(CAST(__arg2 AS DATE)) - month(CAST(__arg1 AS DATE))) -
+          |CASE WHEN day(CAST(__arg2 AS DATE)) < day(CAST(__arg1 AS DATE))
+          |THEN 1 ELSE 0 END""".stripMargin
+      val secs =
+        "(unix_timestamp(CAST(__arg2 AS TIMESTAMP)) - unix_timestamp(CAST(__arg1 AS TIMESTAMP)))"
+      val sql = unit match {
+        case "MONTH" => s"CAST($months AS BIGINT)"
+        case "YEAR" => s"CAST(floor(($months)/12) AS BIGINT)"
+        case "DAY" =>
+          "CAST(datediff(CAST(__arg2 AS DATE), CAST(__arg1 AS DATE)) AS BIGINT)"
+        case "HOUR" => s"CAST(floor($secs/3600) AS BIGINT)"
+        case "MINUTE" => s"CAST(floor($secs/60) AS BIGINT)"
+        case "SECOND" => s"CAST($secs AS BIGINT)"
+        case u => throw new IllegalArgumentException(s"TIMESTAMPDIFF unit $u")
+      }
+      tmpl(sql)(es)
+    }),
+    "convert_tz" -> tmpl(
+      "from_utc_timestamp(to_utc_timestamp(CAST(__arg0 AS TIMESTAMP), __arg1), __arg2)"),
+    // string tail (reference string.go, strcmp.go, ord.go)
+    "mid" -> tmpl("substring(__arg0, CAST(__arg1 AS INT), CAST(__arg2 AS INT))"),
+    "strcmp" -> tmpl(
+      "CASE WHEN __arg0 < __arg1 THEN -1 WHEN __arg0 > __arg1 THEN 1 ELSE 0 END"),
+    "ord" -> (es => Ord(es.head)),
+    "oct" -> tmpl("conv(CAST(CAST(__arg0 AS BIGINT) AS STRING), 10, 8)"),
+    "format" -> (es =>
+      tmpl(s"format_number(__arg0, ${litInt(es(1), "format")})")(es)),
+    "quote" -> (es => graft.functions.expressions.QuoteStr(es.head)),
+    "insert" -> (es => graft.functions.expressions.MySqlInsertStr(es)),
+    "field" -> (es => graft.functions.expressions.MySqlField(es)),
+    // type/inet checks
+    "is_binary" -> (es => IsBinary(es.head)),
+    "is_ipv4_compat" -> (es => Ipv4Embedded(es.head, mapped = false)),
+    "is_ipv4_mapped" -> (es => Ipv4Embedded(es.head, mapped = true)),
+    "inet6_aton" -> (es => graft.functions.expressions.Inet6Aton(es.head)),
+    "inet6_ntoa" -> (es => graft.functions.expressions.Inet6Ntoa(es.head)),
+    "is_ipv4" -> (es => RLike(es.head, Literal(UTF8String.fromString(ipv4Rx), StringType))),
+    "is_ipv6" -> (es => And(
+      IsNotNull(graft.functions.expressions.Inet6Aton(es.head)),
+      Not(RLike(es.head, Literal(UTF8String.fromString(ipv4Rx), StringType))))),
+    // vector text forms (reference vector/distance.go)
+    "vec_fromtext" -> tmpl("from_json(__arg0, 'array<double>')"),
+    "vec_totext" -> tmpl("to_json(__arg0)"),
+    "to_vector" -> tmpl("from_json(__arg0, 'array<double>')"),
+    "from_vector" -> tmpl("to_json(__arg0)"),
+    "string_to_vector" -> tmpl("from_json(__arg0, 'array<double>')"),
+    "vector_to_string" -> tmpl("to_json(__arg0)"),
+    "vec_distance" -> (es => vector.VecL2Sq(es(0), es(1))),
+    "distance" -> (es => vector.VecL2Sq(es(0), es(1))),
+    "vec_distance_cosine" -> (es => Subtract(Literal(1.0),
+      Divide(vector.VecDot(es(0), es(1)),
+        Multiply(Sqrt(vector.VecDot(es(0), es(0))),
+          Sqrt(vector.VecDot(es(1), es(1))))))),
+    // misc
+    "validate_password_strength" -> tmpl(
+      """CASE WHEN length(__arg0) < 4 THEN 0
+        |WHEN length(__arg0) < 8 THEN 25
+        |ELSE 50 +
+        |CASE WHEN __arg0 RLIKE '[0-9]' AND __arg0 RLIKE '[a-z]'
+        |  AND __arg0 RLIKE '[A-Z]' THEN 25 ELSE 0 END +
+        |CASE WHEN __arg0 RLIKE '[0-9]' AND __arg0 RLIKE '[a-z]'
+        |  AND __arg0 RLIKE '[A-Z]' AND __arg0 RLIKE '[^a-zA-Z0-9]'
+        |  THEN 25 ELSE 0 END END""".stripMargin),
+    "database" -> tmpl("current_database()"),
+    "schema" -> tmpl("current_database()"))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = org.apache.spark.sql.GraftBridge.functionRegistry(spark)
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, es => b(es), "scala_udf")
+    }
+  }
+}

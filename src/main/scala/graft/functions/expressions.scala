@@ -105,9 +105,18 @@ object expressions {
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any =
-      try com.google.common.net.InetAddresses
-        .forString(v.asInstanceOf[UTF8String].toString).getAddress
-      catch { case _: IllegalArgumentException => null }
+      try {
+        val text = v.asInstanceOf[UTF8String].toString
+        val bytes = com.google.common.net.InetAddresses.forString(text).getAddress
+        // guava folds IPv4-mapped text (::ffff:a.b.c.d) to 4 bytes; MySQL
+        // INET6_ATON keeps the 16-byte mapped form for ':'-shaped input
+        if (bytes.length == 4 && text.contains(":")) {
+          val out = new Array[Byte](16)
+          out(10) = -1; out(11) = -1
+          System.arraycopy(bytes, 0, out, 12, 4)
+          out
+        } else bytes
+      } catch { case _: IllegalArgumentException => null }
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 

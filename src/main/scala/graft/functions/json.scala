@@ -602,6 +602,9 @@ object json {
   def register(spark: SparkSession): Unit = {
     val reg = GraftBridge.functionRegistry(spark)
     reg.createOrReplaceTempFunction("json_extract_mysql", es => JsonExtractMySql(es), "scala_udf")
+    // plain MySQL names (Spark has no builtins with these names)
+    reg.createOrReplaceTempFunction("json_extract", es => JsonExtractMySql(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_length", es => JsonLengthMySql(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_unquote", es => JsonUnquote(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("json_quote", es => JsonQuoteFn(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("json_set", es => JsonMutate(es, 0), "scala_udf")

@@ -343,6 +343,64 @@ object Functions {
             ORDER BY o_orderkey"""
       }),
 
+    // ---- registry long tail (reference registry.go): the MySQL scalar
+    //      functions Spark lacks natively, registered under their MySQL
+    //      names (functions/MiscFns.scala) and exercised here as SQL TEXT
+    //      so the whole path — name resolution through the session
+    //      registry to codegen'd compositions — is oracle-checked.
+    QueryDef(
+      "fn_longtail",
+      (s, d) => {
+        Tables.register(s, d, "orders")
+        new graft.Engine(s).query(
+          """SELECT o_orderkey,
+               MID(o_orderpriority, 3, 4) AS prio_mid,
+               STRCMP(o_orderstatus, 'O') AS cmp_o,
+               ORD(o_orderpriority) AS prio_ord,
+               OCT(o_orderkey) AS key_oct,
+               ADDDATE(o_orderdate, 5) AS plus5,
+               SUBDATE(o_orderdate, 3) AS minus3,
+               WEEKDAY(o_orderdate) AS wd,
+               VALIDATE_PASSWORD_STRENGTH(SUBSTRING(o_orderpriority, 1, o_orderkey % 12))
+                 AS pw,
+               IS_IPV4_COMPAT(INET6_ATON('::1.2.3.4')) AS compat_t,
+               IS_IPV4_COMPAT(INET6_ATON('fdfe::1')) AS compat_f,
+               IS_IPV4_MAPPED(INET6_ATON('::ffff:1.2.3.4')) AS mapped_t,
+               VEC_TOTEXT(TO_VECTOR('[' || (o_orderkey % 10) || '.5, 2]'))
+                 AS vec_rt
+             FROM orders ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+                substr(o_orderpriority, 3, 4) AS prio_mid,
+                CASE WHEN o_orderstatus < 'O' THEN -1
+                     WHEN o_orderstatus > 'O' THEN 1 ELSE 0 END AS cmp_o,
+                CAST(ord(o_orderpriority) AS BIGINT) AS prio_ord,
+                format('{:o}', o_orderkey) AS key_oct,
+                CAST(o_orderdate AS DATE) + 5 AS plus5,
+                CAST(o_orderdate AS DATE) - 3 AS minus3,
+                CAST((dayofweek(CAST(o_orderdate AS DATE)) + 6) % 7 AS INT) AS wd,
+                CAST((SELECT CASE
+                  WHEN length(ss) < 4 THEN 0
+                  WHEN length(ss) < 8 THEN 25
+                  ELSE 50 +
+                    CASE WHEN regexp_matches(ss, '[0-9]')
+                          AND regexp_matches(ss, '[a-z]')
+                          AND regexp_matches(ss, '[A-Z]')
+                      THEN 25 ELSE 0 END +
+                    CASE WHEN regexp_matches(ss, '[0-9]')
+                          AND regexp_matches(ss, '[a-z]')
+                          AND regexp_matches(ss, '[A-Z]')
+                          AND regexp_matches(ss, '[^a-zA-Z0-9]')
+                      THEN 25 ELSE 0 END
+                  END
+                  FROM (SELECT substr(o_orderpriority, 1,
+                    CAST(o_orderkey % 12 AS INT)) AS ss)) AS INT) AS pw,
+                TRUE AS compat_t,
+                FALSE AS compat_f,
+                TRUE AS mapped_t,
+                '[' || (o_orderkey % 10) || '.5,2.0]' AS vec_rt
+              FROM orders ORDER BY o_orderkey""")),
+
     // ---- control-flow / null-handling bucket (if/ifnull/nullif/coalesce/case)
     QueryDef(
       "fn_conditional",
