@@ -352,6 +352,21 @@ object json {
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
   }
 
+  /** JSON matches of a (possibly wildcard) path as ARRAY<STRING> of
+    * fragments, in document order — the row source for JSON_TABLE
+    * (reference sql/plan/json_table.go rootPath iteration). Empty match
+    * set -> empty array; malformed doc/path -> NULL. */
+  case class JsonMatches(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = ArrayType(StringType)
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0)); val p = parsePath(str(vs(1)))
+      if (d == null || p == null) return null
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        navigateAll(d, p).map(out).toArray[Any])
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
   /** JSON_UNQUOTE(v) — strips quotes from a JSON string value. */
   case class JsonUnquote(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -571,6 +586,7 @@ object json {
 
   def jsonExtract(d: Column, paths: Column*): Column =
     c(JsonExtractMySql((d +: paths).map(x)))
+  def jsonMatches(d: Column, p: Column): Column = c(JsonMatches(Seq(d, p).map(x)))
   def jsonUnquote(v: Column): Column = c(JsonUnquote(x(v)))
   def jsonQuote(s: Column): Column = c(JsonQuoteFn(x(s)))
   def jsonSet(d: Column, p: Column, v: Column): Column =

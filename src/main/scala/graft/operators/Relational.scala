@@ -250,6 +250,51 @@ object Relational {
                 SELECT event_id, 1 AS n, event_type AS v FROM events
                 UNION ALL
                 SELECT event_id, 2 AS n, upper(event_type) AS v FROM events)
-              ORDER BY event_id, n"""))
+              ORDER BY event_id, n""")),
+
+    // ---- JSON_TABLE full form (reference sql/plan/json_table.go
+    //      JSONTableCol tree): COLUMNS with FOR ORDINALITY, typed PATH
+    //      columns, DEFAULT ... ON EMPTY, EXISTS PATH, and NESTED PATH
+    //      (empty nested match set emits one all-NULL nested row, MySQL
+    //      semantics) — driven by the graft.plans.JsonTable operator.
+    QueryDef(
+      "json_table_nested",
+      (s, d) => {
+        import graft.plans.JsonTable
+        val id = col("event_id")
+        val doc = concat(
+          lit("""{"id":"""), id,
+          lit(""","rows":[{"a":"""), id % 7,
+          lit(""","tags":["t"""), id % 3, lit("""","u"""), id % 4,
+          lit(""""]},{"a":"""), id % 5 + 10, lit(""","tags":[]}]}"""))
+        JsonTable(
+          Tables.t(s, d, "events"), doc, "$.rows[*]",
+          Seq(
+            JsonTable.Col("rn", forOrdinality = true),
+            JsonTable.Col("a", path = "$.a", colType = "int"),
+            JsonTable.Col("has_tags", path = "$.tags[0]", exists = true),
+            JsonTable.Col("b", path = "$.b", defaultOnEmpty = Some("none")),
+            JsonTable.Col("tags", nestedPath = "$.tags[*]", nested = Seq(
+              JsonTable.Col("tn", forOrdinality = true),
+              JsonTable.Col("tag", path = "$")))),
+          passThrough = Seq("event_id"))
+          .orderBy(col("event_id"), col("rn"), col("tn").asc_nulls_last)
+      },
+      Some("""WITH e AS (
+                SELECT event_id,
+                       CAST(event_id % 7 AS INT) AS a1,
+                       CAST(event_id % 5 + 10 AS INT) AS a2,
+                       't' || (event_id % 3) AS t1,
+                       'u' || (event_id % 4) AS t2
+                FROM events)
+              SELECT * FROM (
+                SELECT event_id, CAST(1 AS BIGINT) AS rn, a1 AS a,
+                       CAST(1 AS INT) AS has_tags, 'none' AS b,
+                       CAST(1 AS BIGINT) AS tn, t1 AS tag FROM e
+                UNION ALL
+                SELECT event_id, 1, a1, 1, 'none', 2, t2 FROM e
+                UNION ALL
+                SELECT event_id, 2, a2, 0, 'none', NULL, NULL FROM e)
+              ORDER BY event_id, rn, tn NULLS LAST"""))
   )
 }
