@@ -8,9 +8,12 @@ import org.apache.spark.sql.types.DecimalType
   * schema (no partsupp; lineitem carries shipdate only). The reference
   * plan-pins all 22 TPC-H queries (enginetest/queries/tpch_plans.go,
   * 3.6k LoC) — these cover the same plan shapes on the columns available:
-  * scan-filter-agg (Q6), two-role dimension joins (Q7), market share with
-  * nested aggregation (Q8), revenue ranking (Q10), conditional aggregation
-  * (Q14), and group-having-subquery (Q18).
+  * correlated-min supplier (Q2), EXISTS semi-join (Q4), scan-filter-agg
+  * (Q6), two-role dimension joins (Q7), market share with nested
+  * aggregation (Q8), revenue ranking (Q10), left-outer double aggregation
+  * (Q13), conditional aggregation (Q14), decorrelated per-part average
+  * (Q17), group-having-subquery (Q18), OR'd bracket predicates (Q19), and
+  * global-scalar threshold + anti join (Q22).
   *
   * Scale notes: every join declares the dimension side for broadcast;
   * revenue sums are exact DECIMAL (merge-order independent, graft.Det);
@@ -214,6 +217,172 @@ object TpcH {
                  ON o_orderkey = big.l_orderkey
                JOIN customer ON o_custkey = c_custkey
                ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
-      headline = true)
+      headline = true),
+
+    // ---- Q2 (adapted: lineitem bridges part<->supplier since the testdata
+    //      has no partsupp): minimum-cost supplier per part — the
+    //      correlated-min plan shape (reference tpch_plans.go Q2 resolves
+    //      it as an aggregate join, not per-row re-execution)
+    QueryDef(
+      "tpch_q2",
+      (s, d) => {
+        val p = t("part")(s, d)
+          .filter(col("p_size") === 15 && col("p_type").contains("STANDARD"))
+        val link = t("lineitem")(s, d)
+          .join(broadcast(t("supplier")(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_type"), col("s_suppkey"),
+            col("s_name"), col("s_acctbal"))
+          .distinct()
+        val minBal = link.groupBy(col("p_partkey").as("mb_pk"))
+          .agg(min(col("s_acctbal")).as("min_bal"))
+        link.join(minBal,
+            col("p_partkey") === col("mb_pk") &&
+              col("s_acctbal") === col("min_bal"))
+          .select(col("s_suppkey"), col("s_name"), col("p_partkey"),
+            col("p_type"), col("s_acctbal"))
+          .orderBy(col("s_acctbal"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH link AS (
+                SELECT DISTINCT p_partkey, p_type, s_suppkey, s_name, s_acctbal
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_size = 15 AND p_type LIKE '%STANDARD%')
+              SELECT s_suppkey, s_name, p_partkey, p_type, s_acctbal
+              FROM link l
+              WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM link l2
+                                 WHERE l2.p_partkey = l.p_partkey)
+              ORDER BY s_acctbal, s_name, p_partkey LIMIT 100""")),
+
+    // ---- Q4 (adapted: EXISTS marker is l_returnflag='R'; testdata has no
+    //      commit/receipt dates): order-priority checking — EXISTS
+    //      decorrelates to a left-semi join, then a tiny 5-group agg
+    QueryDef(
+      "tpch_q4",
+      (s, d) => {
+        val o = t("orders")(s, d)
+          .filter(col("o_orderdate") >= "1996-07-01" &&
+            col("o_orderdate") < "1996-10-01")
+        val flagged = t("lineitem")(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        o.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Q13: customer order-count distribution — left outer join with an
+    //      ON-clause filter, then a double aggregation (count per customer,
+    //      histogram of counts)
+    QueryDef(
+      "tpch_q13",
+      (s, d) => {
+        val c = t("customer")(s, d)
+        val o = t("orders")(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+        val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey)
+              GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- Q17: small-quantity-order revenue — the correlated
+    //      avg-per-part subquery decorrelates to ONE aggregate of lineitem
+    //      joined back (no per-row re-scan)
+    QueryDef(
+      "tpch_q17",
+      (s, d) => {
+        val li = t("lineitem")(s, d)
+        val p = t("part")(s, d).filter(col("p_brand") === "Brand#13")
+        val avgQty = li.groupBy(col("l_partkey").as("aq_pk"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(avgQty, col("l_partkey") === col("aq_pk"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg((sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+            .cast("double") / 7.0).as("avg_yearly"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       / 7.0 AS avg_yearly
+              FROM lineitem l JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#13'
+                AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                                  WHERE l2.l_partkey = l.l_partkey)""")),
+
+    // ---- Q19 (adapted: brand/size brackets; testdata has no
+    //      container/shipmode): discounted revenue over OR'd bracket
+    //      predicates — the whole disjunction stays inside the scan stage
+    //      after the broadcast part join
+    QueryDef(
+      "tpch_q19",
+      (s, d) => {
+        val li = t("lineitem")(s, d)
+        val p = t("part")(s, d)
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+          .agg(sum(revenue).cast("double").as("revenue"))
+      },
+      Some(s"""SELECT CAST(SUM($REV_SQL) AS DOUBLE) AS revenue
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                      AND l_quantity BETWEEN 1 AND 11)
+                  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                      AND l_quantity BETWEEN 10 AND 20)
+                  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                      AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // ---- Q22 (adapted: country-code bucket from c_nationkey; testdata has
+    //      no c_phone): global-acctbal scalar subquery (computed once,
+    //      broadcast) + anti join against orders
+    QueryDef(
+      "tpch_q22",
+      (s, d) => {
+        val c = t("customer")(s, d)
+        val o = t("orders")(s, d).select(col("o_custkey"))
+        // exact-decimal sum / count -> deterministic double threshold
+        val thresh = c.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast(DecimalType(12, 2))).cast("double") /
+            count(lit(1))).as("avg_bal"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .crossJoin(broadcast(thresh))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .groupBy((col("c_nationkey") % 5).as("cc"))
+          .agg(
+            count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast(DecimalType(12, 2))).cast("double")
+              .as("totacctbal"))
+          .orderBy(col("cc"))
+      },
+      Some("""SELECT c_nationkey % 5 AS cc, COUNT(*) AS numcust,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                  AS totacctbal
+              FROM customer c
+              WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                                   AS DOUBLE) / COUNT(*)
+                                 FROM customer WHERE c_acctbal > 0.0)
+                AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              GROUP BY cc ORDER BY cc"""))
   )
 }
