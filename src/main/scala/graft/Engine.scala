@@ -217,51 +217,119 @@ class Engine(val spark: SparkSession) {
     spark.table(table).schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
 
   /** Synthesize information_schema views from the session catalog
-    * (reference: sql/information_schema/ builds these in-engine). Views
-    * are queryable like any table: `SELECT * FROM information_schema_columns
+    * (reference: sql/information_schema/ — schemata_table.go,
+    * tables_table.go, columns_table.go, statistics, collations,
+    * character_sets, engines, routines). Spark temp views cannot carry a
+    * dot, so the MySQL `information_schema.X` names become
+    * `information_schema_X`: `SELECT * FROM information_schema_columns
     * WHERE table_name = 'lineitem'`. */
   def enableInformationSchema(): Unit = {
     import spark.implicits._
     val tables = spark.catalog.listTables().collect()
-    tables.map(t => (t.name, Option(t.database).getOrElse(""), t.tableType))
-      .toSeq.toDF("table_name", "table_schema", "table_type")
+    val db = "default"
+
+    Seq(("def", db, "utf8mb4", "utf8mb4_0900_ai_ci"))
+      .toDF("catalog_name", "schema_name", "default_character_set_name",
+        "default_collation_name")
+      .createOrReplaceTempView("information_schema_schemata")
+
+    tables.map(t => (
+        "def", Option(t.database).getOrElse(db), t.name,
+        t.tableType match { case "VIEW" => "VIEW"; case _ => "BASE TABLE" },
+        "graft-spark", "utf8mb4_0900_ai_ci"))
+      .toSeq
+      .toDF("table_catalog", "table_schema", "table_name", "table_type",
+        "engine", "table_collation")
       .createOrReplaceTempView("information_schema_tables")
+
     tables.flatMap { t =>
       spark.table(t.name).schema.fields.zipWithIndex.map { case (f, i) =>
-        (t.name, f.name, i + 1, f.dataType.simpleString, f.nullable)
+        ("def", Option(t.database).getOrElse(db), t.name, f.name, i + 1,
+          f.dataType.simpleString, mysqlType(f.dataType),
+          if (f.nullable) "YES" else "NO")
       }
     }.toSeq
-      .toDF("table_name", "column_name", "ordinal_position", "data_type",
-        "is_nullable")
+      .toDF("table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "data_type", "column_type", "is_nullable")
       .createOrReplaceTempView("information_schema_columns")
+
+    // no secondary indexes over parquet/temp views: correct-schema empties
+    Seq.empty[(String, String, String, Int, String)]
+      .toDF("table_schema", "table_name", "index_name", "seq_in_index",
+        "column_name")
+      .createOrReplaceTempView("information_schema_statistics")
+    Seq.empty[(String, String, String, String)]
+      .toDF("constraint_name", "table_name", "column_name",
+        "referenced_table_name")
+      .createOrReplaceTempView("information_schema_key_column_usage")
+
+    Seq(("utf8mb4", "utf8mb4_0900_ai_ci", "UTF-8 Unicode", 4))
+      .toDF("character_set_name", "default_collate_name", "description",
+        "maxlen")
+      .createOrReplaceTempView("information_schema_character_sets")
+
+    Seq(
+      ("utf8mb4_0900_ai_ci", "utf8mb4", true),
+      ("utf8mb4_bin", "utf8mb4", false),
+      ("utf8_lcase", "utf8mb4", false))
+      .toDF("collation_name", "character_set_name", "is_default")
+      .createOrReplaceTempView("information_schema_collations")
+
+    Seq(("graft-spark", "DEFAULT", "Spark-native analytics engine", "NO", "NO", "NO"))
+      .toDF("engine", "support", "comment", "transactions", "xa", "savepoints")
+      .createOrReplaceTempView("information_schema_engines")
+
+    // registered function surface (reference routines_table.go; here the
+    // session FunctionRegistry stands in for stored routines)
+    org.apache.spark.sql.GraftBridge.functionRegistry(spark)
+      .listFunction().map(f => (f.funcName.toLowerCase, "FUNCTION", db))
+      .distinct.sorted
+      .toDF("routine_name", "routine_type", "routine_schema")
+      .createOrReplaceTempView("information_schema_routines")
+  }
+
+  /** SHOW COLUMNS FROM t — MySQL Field/Type/Null/Key/Default/Extra shape
+    * (reference sql/rowexec/show.go showColumns). */
+  def showColumns(table: String): Seq[(String, String, String, String, Option[String], String)] =
+    spark.table(table).schema.fields.toSeq.map { f =>
+      (f.name, mysqlType(f.dataType), if (f.nullable) "YES" else "NO", "",
+        None, "")
+    }
+
+  /** SHOW INDEX FROM t — no secondary indexes over parquet: empty. */
+  def showIndex(table: String): Seq[(String, String, Int, String)] = {
+    spark.table(table) // validates the table exists, like MySQL
+    Seq.empty
+  }
+
+  /** Spark type -> MySQL type name (SURVEY §1.2 mapping, reversed). */
+  private def mysqlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => "tinyint"
+      case ShortType => "smallint"
+      case IntegerType => "int"
+      case LongType => "bigint"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case d: DecimalType if d.precision == 20 && d.scale == 0 =>
+        "bigint unsigned"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case StringType => "text"
+      case BinaryType => "blob"
+      case DateType => "date"
+      case _: TimestampType => "timestamp"
+      case TimestampNTZType => "datetime"
+      case BooleanType => "tinyint(1)"
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => "vector"
+      case other => other.simpleString // honest fallback for nested types
+    }
   }
 
   /** SHOW CREATE TABLE — renders MySQL-style DDL from the Spark schema
     * (reverse of the SURVEY §1.2 type mapping; reference answers this from
     * its catalog in sql/rowexec/show.go). */
   def showCreateTable(table: String): String = {
-    def mysqlType(dt: org.apache.spark.sql.types.DataType): String = {
-      import org.apache.spark.sql.types._
-      dt match {
-        case ByteType => "tinyint"
-        case ShortType => "smallint"
-        case IntegerType => "int"
-        case LongType => "bigint"
-        case FloatType => "float"
-        case DoubleType => "double"
-        case d: DecimalType if d.precision == 20 && d.scale == 0 =>
-          "bigint unsigned"
-        case d: DecimalType => s"decimal(${d.precision},${d.scale})"
-        case StringType => "text"
-        case BinaryType => "blob"
-        case DateType => "date"
-        case _: TimestampType => "timestamp"
-        case TimestampNTZType => "datetime"
-        case BooleanType => "tinyint(1)"
-        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => "vector"
-        case other => other.simpleString // honest fallback for nested types
-      }
-    }
     val fields = spark.table(table).schema.fields.map { f =>
       val nn = if (f.nullable) "" else " NOT NULL"
       s"  `${f.name}` ${mysqlType(f.dataType)}$nn"

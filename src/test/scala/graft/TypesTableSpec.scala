@@ -72,11 +72,59 @@ class TypesTableSpec extends AnyFunSuite {
     e.attachDir(SparkSpec.sfDir)
     e.enableInformationSchema()
     val cols = e.query(
-      """SELECT column_name, data_type FROM information_schema_columns
+      """SELECT column_name, data_type, column_type, is_nullable
+         FROM information_schema_columns
          WHERE table_name = 'region' ORDER BY ordinal_position""")
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    assert(cols.toSeq == Seq(("r_regionkey", "int"), ("r_name", "string")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(cols.toSeq == Seq(
+      ("r_regionkey", "int", "int", "YES"),
+      ("r_name", "string", "text", "YES")))
     assert(e.query(
       "SELECT count(*) FROM information_schema_tables").collect()(0).getLong(0) >= 10)
+    // MySQL-shaped metadata joins: columns per table via tables
+    val joined = e.query(
+      """SELECT t.table_name, count(*) AS n_cols
+         FROM information_schema_tables t
+         JOIN information_schema_columns c ON t.table_name = c.table_name
+         WHERE t.table_name IN ('region', 'nation')
+         GROUP BY t.table_name ORDER BY t.table_name""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(joined.toSeq == Seq(("nation", 3L), ("region", 2L)))
+  }
+
+  test("information_schema breadth: schemata/collations/engines/routines/statistics") {
+    val e = new Engine(spark)
+    e.attachDir(SparkSpec.sfDir)
+    e.enableInformationSchema()
+    assert(e.query("SELECT default_collation_name FROM information_schema_schemata")
+      .collect()(0).getString(0) == "utf8mb4_0900_ai_ci")
+    assert(e.query(
+      """SELECT collation_name FROM information_schema_collations
+         WHERE is_default""").collect()(0).getString(0) == "utf8mb4_0900_ai_ci")
+    assert(e.query("SELECT maxlen FROM information_schema_character_sets")
+      .collect()(0).getInt(0) == 4)
+    assert(e.query("SELECT engine FROM information_schema_engines")
+      .collect()(0).getString(0) == "graft-spark")
+    // registered graft functions appear as routines
+    val routines = e.query(
+      """SELECT routine_name FROM information_schema_routines
+         WHERE routine_name IN ('json_extract', 'st_intersects', 'ai_ci_fold')""")
+      .collect().map(_.getString(0)).toSet
+    assert(routines == Set("json_extract", "st_intersects", "ai_ci_fold"))
+    // index views are present with MySQL shapes (and honestly empty)
+    assert(e.query("SELECT count(*) FROM information_schema_statistics")
+      .collect()(0).getLong(0) == 0)
+    assert(e.query("SELECT count(*) FROM information_schema_key_column_usage")
+      .collect()(0).getLong(0) == 0)
+  }
+
+  test("SHOW COLUMNS / SHOW INDEX shapes") {
+    val e = new Engine(spark)
+    e.attachDir(SparkSpec.sfDir)
+    val cols = e.showColumns("region")
+    assert(cols.map(c => (c._1, c._2, c._3)) ==
+      Seq(("r_regionkey", "int", "YES"), ("r_name", "text", "YES")))
+    assert(e.showIndex("region").isEmpty)
+    intercept[Exception](e.showIndex("no_such_table"))
   }
 }
