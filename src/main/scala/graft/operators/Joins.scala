@@ -299,6 +299,38 @@ object Joins {
                 SELECT count(o_orderkey) AS n_ord,
                        max(o_totalprice) AS max_price
                 FROM orders WHERE o_custkey = c.c_custkey) t ON TRUE
-              ORDER BY c.c_custkey"""))
+              ORDER BY c.c_custkey""")),
+
+    // ---- salted JOIN — the 100 TB skew-join pattern (companion to
+    //      agg_salted). l_returnflag has 3 values, so a plain shuffled join
+    //      funnels a third of the fact table through one reducer; salting
+    //      the fact side 8 ways and replicating the dimension row per salt
+    //      spreads each hot key over 8 partitions. shuffle_hash hint keeps
+    //      the join shuffled (a broadcast would hide the pattern); result
+    //      is identical to the unsalted join, which the oracle verifies.
+    //      (AQE's skewJoin handles this automatically for sort-merge joins;
+    //      the explicit salt is the portable form.)
+    QueryDef(
+      "join_salted",
+      (s, d) => {
+        import s.implicits._
+        val SALT = 8
+        val dim = Seq(("A", "accepted"), ("N", "new"), ("R", "returned"))
+          .toDF("flag", "label")
+          .withColumn("d_salt", explode(sequence(lit(0), lit(SALT - 1))))
+        val fact = Tables.t(s, d, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(SALT)).cast("int"))
+        fact
+          .join(dim.hint("shuffle_hash"), col("l_returnflag") === col("flag") &&
+            col("salt") === col("d_salt"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("label"))
+      },
+      Some(s"""SELECT label, COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+               FROM lineitem
+               JOIN (VALUES ('A', 'accepted'), ('N', 'new'), ('R', 'returned'))
+                 AS t(flag, label) ON l_returnflag = flag
+               GROUP BY label ORDER BY label"""))
   )
 }

@@ -82,6 +82,27 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: pair each event of stream `a` with the
+    * events of stream `b` for the same user within the next `withinMinutes`
+    * minutes (attribution/conversion shape). Both sides carry watermarks,
+    * so join state is bounded: Spark retains only rows inside
+    * watermark ± interval — O(arrival rate × window), not O(history) —
+    * and the join shuffles both streams by user_id once. */
+  def intervalJoin(a: DataFrame, b: DataFrame, withinMinutes: Int = 30): DataFrame = {
+    val left = a.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"),
+        col("event_type").as("a_type"))
+    val right = b.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_id"), col("event_type").as("b_type"))
+    left.join(right,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_type"),
+        col("b_type"), col("a_ts"), col("b_ts"))
+  }
+
   /** Drive a streaming DataFrame synchronously to a memory sink; returns
     * the materialized result (for tests/local smoke — production writes
     * to a real sink with a trigger). */

@@ -101,6 +101,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, user: Long, hhmm: String, typ: String): EventStreams.Ev =
+      EventStreams.Ev(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"),
+        user, typ, 1.0)
+    val views = MemoryStream[EventStreams.Ev]
+    val buys = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.intervalJoin(views.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      views.addData(ev(1, 7, "10:00", "view"), ev(2, 8, "10:05", "view"))
+      buys.addData(
+        ev(10, 7, "10:20", "buy"),  // within 30 min of view 1 -> pairs
+        ev(11, 7, "11:10", "buy"),  // 70 min later -> outside window
+        ev(12, 9, "10:10", "buy"))  // different user -> no pair
+      q.processAllAvailable()
+      val pairs = spark.table("ss_join")
+        .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.toSet == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("multimodal decode emits the declared feature schema") {
     val df = graft.operators.Multimodal.decodeFeatures(spark, sfDir)
     assert(df.schema == graft.operators.Multimodal.featureSchema)
