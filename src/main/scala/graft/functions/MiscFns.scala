@@ -277,7 +277,16 @@ object MiscFns {
         |  AND __arg0 RLIKE '[A-Z]' AND __arg0 RLIKE '[^a-zA-Z0-9]'
         |  THEN 25 ELSE 0 END END""".stripMargin),
     "database" -> tmpl("current_database()"),
-    "schema" -> tmpl("current_database()"))
+    "schema" -> tmpl("current_database()"),
+    // MySQL LEAST/GREATEST return NULL when ANY argument is NULL
+    // (reference function/greatest.go); Spark's builtins skip NULLs, so
+    // the session registry overrides them with the propagating form.
+    "least" -> (es => If(
+      es.map(e => IsNull(e): Expression).reduce(Or(_, _)),
+      Literal.create(null, NullType), Least(es))),
+    "greatest" -> (es => If(
+      es.map(e => IsNull(e): Expression).reduce(Or(_, _)),
+      Literal.create(null, NullType), Greatest(es))))
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.GraftBridge.functionRegistry(spark)

@@ -177,6 +177,55 @@ class CorpusSpec extends AnyFunSuite {
     (1, 0, 20, 21, 22, 23, 24), (1, 1, 30, 31, 32, 33, 34))
     .toDF("pk1", "pk2", "c1", "c2", "c3", "c4", "c5")
 
+  test("GROUP BY / ORDER BY ordinals and SELECT-alias HAVING") {
+    mytable.createOrReplaceTempView("mytable_v")
+    val e = new Engine(spark)
+    val got = e.query(
+      """SELECT substring(s, 1, 1) AS initial, count(*) AS n
+         FROM mytable_v GROUP BY 1 HAVING n >= 1 ORDER BY 2 DESC, 1""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("f", 1L), ("s", 1L), ("t", 1L)))
+    // ORDER BY an expression absent from the SELECT list
+    val ord = e.query(
+      "SELECT s FROM mytable_v ORDER BY length(s) DESC, s")
+      .collect().map(_.getString(0))
+    assert(ord.toSeq == Seq("second row", "first row", "third row"))
+  }
+
+  test("DIV truncates toward zero; % keeps the dividend's sign") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT -7 DIV 2 AS d1, 7 DIV 2 AS d2,
+               -7 % 2 AS m1, 7 % -2 AS m2""").collect()(0)
+    assert(r.getLong(0) == -3 && r.getLong(1) == 3)
+    assert(r.getInt(2) == -1 && r.getInt(3) == 1)
+  }
+
+  test("LEAST/GREATEST propagate NULL (MySQL), unlike Spark's builtins") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT LEAST(1, 2, NULL) AS l, GREATEST(3, NULL, 1) AS g,
+               LEAST(4, 2, 9) AS l2, GREATEST('b', 'a', 'c') AS g2""")
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getInt(2) == 2 && r.getString(3) == "c")
+  }
+
+  test("BETWEEN on string-typed dates coerces to date compare") {
+    assert(datetimeTable.filter(
+      $"date_col".between("2020-01-01", "2020-01-05")).select($"i")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L))
+  }
+
+  test("CASE branches coerce to a common wider type") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT CASE WHEN 1 = 1 THEN 1 ELSE 2.5 END AS a,
+               CASE WHEN 1 = 0 THEN 1 ELSE 2.5 END AS b""").collect()(0)
+    assert(r.getDecimal(0).doubleValue == 1.0)
+    assert(r.getDecimal(1).doubleValue == 2.5)
+  }
+
   test("composite-key join one_pk x two_pk on (pk1, pk2) derivation") {
     // classic reference shape: one_pk.pk = two_pk.pk1 * 2 + two_pk.pk2
     val got = onePk.join(twoPk, $"pk" === $"pk1" * 2 + $"pk2")
