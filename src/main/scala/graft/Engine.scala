@@ -159,8 +159,39 @@ class Engine(val spark: SparkSession) {
     setVar(varName, rows(0).get(0))
   }
 
-  /** Attach every table of a testdata directory as a database. */
+  /** Attach every table of a testdata directory as temp views (the
+    * default, schema-less namespace). */
   def attachDir(dir: String): Unit = Tables.registerAll(spark, dir)
+
+  /** Attach a testdata directory as a NAMED DATABASE — the reference's
+    * multi-database namespace (sql/catalog.go, sql/databases.go):
+    * `db.table`-qualified access, `USE` switching, catalog-persistent
+    * views over the parquet files. Temp views still shadow the current
+    * database, exactly like MySQL's temporary tables. */
+  def attachDirAsDatabase(db: String, dir: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    // events.parquet carries INT64 TIMESTAMP(NANOS); the view re-exposes µs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.names.foreach { n =>
+      val path = s"$dir/$n.parquet"
+      val body =
+        if (n == "events")
+          s"SELECT * EXCEPT (ts), timestamp_micros(ts div 1000) AS ts FROM parquet.`$path`"
+        else s"SELECT * FROM parquet.`$path`"
+      spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$n` AS $body")
+    }
+  }
+
+  /** USE db (reference session database state). */
+  def use(db: String): Unit = spark.sql(s"USE `$db`")
+
+  def currentDatabase: String = spark.catalog.currentDatabase
+
+  def showDatabases(): Seq[String] =
+    spark.catalog.listDatabases().collect().map(_.name).toSeq.sorted
+
+  def dropDatabase(db: String): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
 
   /** CREATE TABLE t AS SELECT ... (TableCopier, sql/plan/table_copier.go). */
   def ctas(name: String, sql: String): Unit =

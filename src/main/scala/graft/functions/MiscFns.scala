@@ -278,6 +278,12 @@ object MiscFns {
         |  THEN 25 ELSE 0 END END""".stripMargin),
     "database" -> tmpl("current_database()"),
     "schema" -> tmpl("current_database()"),
+    // GROUP_CONCAT via Spark 4's listagg aggregate; MySQL's default
+    // separator is ',' (ordering, as in MySQL, needs an explicit
+    // WITHIN GROUP / ORDER BY to be deterministic)
+    "group_concat" -> (es =>
+      if (es.length == 1) tmpl("listagg(__arg0, ',')")(es)
+      else tmpl("listagg(__arg0, __arg1)")(es)),
     // MySQL LEAST/GREATEST return NULL when ANY argument is NULL
     // (reference function/greatest.go); Spark's builtins skip NULLs, so
     // the session registry overrides them with the propagating form.

@@ -191,6 +191,47 @@ class EngineSpec extends AnyFunSuite {
     assert(results(2).collect()(0).getLong(0) == 5)
   }
 
+  test("multi-database namespaces: attach, qualify, USE, cross-db joins") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.attachDirAsDatabase("sales", sfDir)
+    try {
+      assert(e.showDatabases().contains("sales"))
+      // db-qualified access
+      assert(e.query("SELECT count(*) FROM sales.region").collect()(0)
+        .getLong(0) == 5)
+      // USE switches the default namespace
+      e.use("sales")
+      assert(e.currentDatabase == "sales")
+      assert(e.query("SELECT count(*) FROM nation").collect()(0)
+        .getLong(0) == 25)
+      // cross-db qualified join
+      val n = e.query(
+        """SELECT count(*) FROM sales.nation n
+           JOIN sales.region r ON n.n_regionkey = r.r_regionkey""")
+        .collect()(0).getLong(0)
+      assert(n == 25)
+      // the nanos-ts events table reads correctly through the view
+      assert(e.query("SELECT count(*) FROM sales.events WHERE ts IS NOT NULL")
+        .collect()(0).getLong(0) > 0)
+      // temp views shadow the current database, like MySQL temp tables
+      s2.range(1).toDF("n_nationkey").createOrReplaceTempView("nation")
+      assert(e.query("SELECT count(*) FROM nation").collect()(0)
+        .getLong(0) == 1)
+      s2.catalog.dropTempView("nation")
+      // DATABASE() reflects USE
+      assert(e.query("SELECT DATABASE() AS d").collect()(0)
+        .getString(0) == "sales")
+    } finally { e.use("default"); e.dropDatabase("sales") }
+  }
+
+  test("group_concat aggregates through listagg") {
+    assert(engine.query(
+      """SELECT group_concat(r_name, '|') AS gc FROM
+         (SELECT r_name FROM region ORDER BY r_name)""")
+      .collect()(0).getString(0).split("\\|").sorted.length == 5)
+  }
+
   test("WITH RECURSIVE SQL text drives the working-table loop") {
     // UNION ALL form: powers of two
     val pow = engine.query(
