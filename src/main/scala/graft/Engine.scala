@@ -27,6 +27,9 @@ object Dialect {
       .replaceAll("(?i)\\bSQL_CALC_FOUND_ROWS\\b", "")
       // MySQL logical XOR (boolean operands); Spark SQL has no XOR keyword
       .replaceAll("(?i)\\bXOR\\b", "!=")
+      // `t AS OF n` resolves to the Engine.snapshot-pinned view
+      .replaceAll("(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+OF\\s+(\\d+)",
+        "$1__asof_$2")
 
   def rewrite(sql: String): String = {
     val out = new StringBuilder
@@ -196,6 +199,26 @@ class Engine(val spark: SparkSession) {
   /** CREATE TABLE t AS SELECT ... (TableCopier, sql/plan/table_copier.go). */
   def ctas(name: String, sql: String): Unit =
     query(sql).createOrReplaceTempView(name)
+
+  // ---- AS OF time travel ------------------------------------------------
+  // The reference resolves `table AS OF <revision>` against versioned
+  // storage (sql/planbuilder/from.go AS OF; dolt's versioned tables).
+  // Spark-first: `snapshot(t)` pins the table's CURRENT contents
+  // (localCheckpoint — later DML on the view cannot mutate it) under an
+  // integer revision; the dialect layer rewrites `t AS OF n` to the
+  // pinned view. Numeric revisions only (string revisions are a
+  // storage-format concern this engine does not carry).
+
+  private val snapshotCounters = scala.collection.mutable.Map.empty[String, Int]
+
+  /** Pin the current contents of `table`; returns the revision number. */
+  def snapshot(table: String): Int = {
+    val v = snapshotCounters.getOrElse(table, 0) + 1
+    snapshotCounters(table) = v
+    spark.table(table).localCheckpoint(eager = true)
+      .createOrReplaceTempView(s"${table}__asof_$v")
+    v
+  }
 
   /** CREATE [OR REPLACE] VIEW. */
   def createView(name: String, sql: String): Unit =

@@ -225,6 +225,24 @@ class EngineSpec extends AnyFunSuite {
     } finally { e.use("default"); e.dropDatabase("sales") }
   }
 
+  test("AS OF time travel reads pinned snapshots") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.ctas("tt", "SELECT 1 AS v UNION ALL SELECT 2")
+    val v1 = e.snapshot("tt")
+    e.insertIntoSelect("tt", "SELECT 3 AS v")
+    val v2 = e.snapshot("tt")
+    e.insertIntoSelect("tt", "SELECT 4 AS v")
+    assert(v1 == 1 && v2 == 2)
+    assert(e.query("SELECT count(*) FROM tt AS OF 1").collect()(0).getLong(0) == 2)
+    assert(e.query("SELECT count(*) FROM tt AS OF 2").collect()(0).getLong(0) == 3)
+    assert(e.query("SELECT count(*) FROM tt").collect()(0).getLong(0) == 4)
+    // snapshots joinable against the live view
+    assert(e.query(
+      """SELECT count(*) FROM tt LEFT ANTI JOIN tt AS OF 1 ON tt.v = tt__asof_1.v""")
+      .collect()(0).getLong(0) == 2) // rows 3 and 4 are post-snapshot
+  }
+
   test("group_concat aggregates through listagg") {
     assert(engine.query(
       """SELECT group_concat(r_name, '|') AS gc FROM

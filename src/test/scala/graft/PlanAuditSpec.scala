@@ -59,4 +59,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: ["), plan)
     assert(!plan.contains("PushedFilters: []"), plan)
   }
+
+  test("column pruning reaches the scan: q1_agg reads only needed columns") {
+    // 6 of lineitem's 11 columns feed Q1; the ReadSchema must not widen
+    val plan = SparkEntry.queries("q1_agg")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val read = """ReadSchema: struct<([^>]*)>""".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse(fail(s"no ReadSchema in $plan"))
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus", "l_shipdate"), cols)
+  }
 }
