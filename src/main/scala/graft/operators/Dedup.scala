@@ -242,6 +242,57 @@ object Dedup {
             FROM sig, ref ORDER BY doc_id"""
       }),
 
+    // ---- near-duplicate CLUSTERS: connected components over the LSH
+    //      candidate-pair graph (min-label propagation — the "keep one
+    //      per duplicate group" step after pair generation). The driver
+    //      loop is bounded by component diameter (near-dup clusters are
+    //      shallow); each iteration is one distributed join+agg, the
+    //      GraphFrames-style iterative shape. Oracle: DuckDB recursive
+    //      CTE computing the same transitive closure.
+    QueryDef(
+      "dedup_clusters",
+      (s, d) => {
+        import graft.plans.RecursiveCte
+        val b = bands(signatures(s, d).persist())
+        val edges = b.as("a").join(b.as("c"),
+            col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
+              col("a.doc_id") < col("c.doc_id"))
+          .select(col("a.doc_id").as("src"), col("c.doc_id").as("dst"))
+          .distinct().persist()
+        val biEdges = edges.unionAll(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        val seed = edges.select(col("src").as("doc")).unionAll(
+            edges.select(col("dst").as("doc")))
+          .distinct()
+          .select(col("doc"), col("doc").as("lbl"))
+        // reach(doc, lbl): lbl can reach doc through the pair graph
+        val reach = RecursiveCte.unionDistinct(seed, prev =>
+          prev.join(biEdges, prev("doc") === biEdges("src"))
+            .select(biEdges("dst").as("doc"), prev("lbl")))
+        reach.groupBy(col("doc"))
+          .agg(min(col("lbl")).as("cluster_id"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE sig AS ($SIG_SQL),
+               bands AS ($BANDS_SQL),
+               edges AS (
+                 SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id),
+               bi AS (SELECT src, dst FROM edges
+                      UNION ALL SELECT dst, src FROM edges),
+               reach(doc, lbl) AS (
+                 SELECT src, src FROM bi
+                 UNION
+                 SELECT bi.dst, reach.lbl FROM reach
+                 JOIN bi ON bi.src = reach.doc)
+               SELECT cluster_id, COUNT(*) AS n_docs FROM (
+                 SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc)
+               GROUP BY cluster_id ORDER BY cluster_id""")),
+
     // ---- embedding near-dup: cosine > threshold within a blocking key
     //      (label); at scale the blocking key is an LSH bucket, see
     //      Similarity.sim_lsh_bucket

@@ -210,6 +210,40 @@ object TextAnalysis {
                 (tf_data + tf_learning) > 0 AS matched
               FROM tfs, stats ORDER BY doc_id""")),
 
+    // ---- deterministic train/val/test split — a training-data pipeline
+    //      staple (beyond the reference surface): assignment is a pure
+    //      function of (doc_id, salt) via md5 bucketing, so it is stable
+    //      across runs, cluster sizes, and partitionings — no sampling
+    //      state, no shuffle for the assignment itself. The query verifies
+    //      the per-language stratification counts (80/10/10 target).
+    QueryDef(
+      "sample_split",
+      (s, d) => {
+        // bucket in [0, 100): first 7 md5 hex digits are uniform
+        val bucket = (conv(substring(
+          md5(concat(col("doc_id"), lit(":split:v1"))), 1, 7), 16, 10)
+          .cast("long") % 100).cast("int")
+        val split = when(bucket < 80, "train")
+          .when(bucket < 90, "val").otherwise("test")
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), split.as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""SELECT lang, split, COUNT(*) AS n_docs,
+                MIN(doc_id) AS first_doc
+              FROM (
+                SELECT doc_id, lang,
+                  CASE WHEN b < 80 THEN 'train'
+                       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+                FROM (
+                  SELECT doc_id, lang,
+                    CAST('0x' || substr(md5(doc_id || ':split:v1'), 1, 7)
+                      AS BIGINT) % 100 AS b
+                  FROM documents))
+              GROUP BY lang, split ORDER BY lang, split""")),
+
     // ---- MATCH ... AGAINST ('...' IN BOOLEAN MODE) — reference
     //      sql/fulltext/fulltext.go + sql/expression/matchagainst.go
     //      boolean-mode grammar: `+word` required, `-word` excluded,

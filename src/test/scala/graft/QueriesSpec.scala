@@ -12,7 +12,7 @@ class QueriesSpec extends AnyFunSuite {
 
   /** legitimately empty at sf0.001 */
   private val mayBeEmpty = Set("set_except", "dedup_lsh_pairs", "dedup_ngram_jaccard",
-    "dedup_embedding", "tpch_q22")
+    "dedup_embedding", "dedup_clusters", "tpch_q22")
 
   SparkEntry.all.foreach { q =>
     test(s"${q.name} executes" + (if (q.oracle.isDefined) " [oracle]" else "")) {
