@@ -252,7 +252,6 @@ object Dedup {
     QueryDef(
       "dedup_clusters",
       (s, d) => {
-        import graft.plans.RecursiveCte
         val b = bands(signatures(s, d).persist())
         val edges = b.as("a").join(b.as("c"),
             col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
@@ -260,18 +259,33 @@ object Dedup {
           .select(col("a.doc_id").as("src"), col("c.doc_id").as("dst"))
           .distinct().persist()
         val biEdges = edges.unionAll(
-          edges.select(col("dst").as("src"), col("src").as("dst")))
-        val seed = edges.select(col("src").as("doc")).unionAll(
+          edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+        // min-label propagation with O(V) state: labels(doc) shrinks to the
+        // component minimum; iterate until a round changes nothing
+        var labels = edges.select(col("src").as("doc")).unionAll(
             edges.select(col("dst").as("doc")))
           .distinct()
           .select(col("doc"), col("doc").as("lbl"))
-        // reach(doc, lbl): lbl can reach doc through the pair graph
-        val reach = RecursiveCte.unionDistinct(seed, prev =>
-          prev.join(biEdges, prev("doc") === biEdges("src"))
-            .select(biEdges("dst").as("doc"), prev("lbl")))
-        reach.groupBy(col("doc"))
-          .agg(min(col("lbl")).as("cluster_id"))
-          .groupBy(col("cluster_id"))
+          .localCheckpoint(true)
+        // labels only decrease, so the label sum strictly decreases until
+        // the fixpoint — one scalar agg per round is the convergence test
+        def lblSum(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(sum(col("lbl"))).collect()(0).getLong(0)
+        var prevSum = -1L
+        var curSum = lblSum(labels)
+        var guard = 0
+        while (curSum != prevSum && guard < 50) {
+          labels = labels
+            .join(biEdges, labels("doc") === biEdges("src"))
+            .select(col("dst").as("doc"), col("lbl"))
+            .unionAll(labels)
+            .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+            .localCheckpoint(true)
+          prevSum = curSum
+          curSum = lblSum(labels)
+          guard += 1
+        }
+        labels.groupBy(col("lbl").as("cluster_id"))
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("cluster_id"))
       },
