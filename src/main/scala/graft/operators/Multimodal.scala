@@ -94,6 +94,44 @@ object Multimodal {
                           ELSE 'audio/wav' END AS format,
                 COUNT(*) AS n_docs,
                 CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
-              FROM documents GROUP BY 1 ORDER BY format"""))
+              FROM documents GROUP BY 1 ORDER BY format""")),
+
+    // ---- frame sampling: REAL byte-level logic (no media libs needed) —
+    //      the payload is framed at 32 bytes and every 4th frame sampled,
+    //      the batch shape a video/audio frame sampler has: per-partition
+    //      iteration, per-doc frame slicing, lazily emitted rows. The
+    //      oracle re-derives frame counts and the sampled-frame byte
+    //      checksum with list comprehensions over the same bytes.
+    QueryDef(
+      "multimodal_framesample",
+      (s, d) => {
+        val frameLen = 32
+        val stride = 4
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_frames", IntegerType),
+          StructField("n_sampled", IntegerType),
+          StructField("sampled_byte_sum", LongType)))
+        val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+        payloadTable(s, d).select(col("doc_id"), col("payload"))
+          .mapPartitions(_.map { r =>
+            val payload = r.getAs[Array[Byte]](1)
+            val nFrames = (payload.length + frameLen - 1) / frameLen
+            val sampledIdx = 0 until nFrames by stride
+            val byteSum = sampledIdx.map(i =>
+              (payload(i * frameLen) & 0xff).toLong).sum
+            Row(r.getLong(0), nFrames, sampledIdx.length, byteSum)
+          })(enc)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                CAST(ceil(octet_length(encode(text)) / 32.0) AS INT) AS n_frames,
+                CAST(len(range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS INT), 4))
+                  AS INT) AS n_sampled,
+                CAST(list_sum(list_transform(
+                  range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS INT), 4),
+                  i -> ord(substr(text, CAST(i * 32 + 1 AS INT), 1))))
+                  AS BIGINT) AS sampled_byte_sum
+              FROM documents ORDER BY doc_id"""))
   )
 }

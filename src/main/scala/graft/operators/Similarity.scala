@@ -231,6 +231,51 @@ object Similarity {
               1.0 - list_dot_product(v, q) /
                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))) AS cos_dist
             FROM e ORDER BY vec_id"""
-      }))
+      })),
+
+    // ---- int8 embedding quantization — the 100 TB embedding-storage
+    //      pattern (4 bytes/dim -> 1): symmetric per-vector scale
+    //      max|x|/127, q = floor(x/scale + 0.5) (explicit half-up so both
+    //      engines round identically), reconstruction error bounded by
+    //      scale/2. Columnar HOFs only — no UDF, no shuffle.
+    QueryDef(
+      "vec_quantize",
+      (s, d) => {
+        val e = Tables.t(s, d, "embeddings").select(
+          col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("scale",
+            greatest(expr("array_max(transform(v, x -> abs(x)))") / 127.0,
+              lit(1e-12)))
+          .withColumn("q", expr("transform(v, x -> floor(x / scale + 0.5))"))
+        e.select(
+            col("vec_id"),
+            round(col("scale"), 9).as("scale9"),
+            expr("array_max(transform(q, x -> abs(x)))").cast("int")
+              .as("max_q"),
+            expr("array_max(transform(zip_with(v, q, (a, b) -> abs(a - b * scale)), x -> x))")
+              .leq(col("scale") * 0.5 + 1e-9).as("recon_ok"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              sc AS (
+                SELECT vec_id, v,
+                  greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                    1e-12) AS scale
+                FROM e),
+              q AS (
+                SELECT vec_id, v, scale,
+                  list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+                FROM sc)
+              SELECT vec_id,
+                round(scale, 9) AS scale9,
+                CAST(list_max(list_transform(qv, x -> abs(x))) AS INT) AS max_q,
+                list_max(list_transform(list_zip(v, qv),
+                  z -> abs(z[1] - z[2] * scale))) <= scale * 0.5 + 1e-9
+                  AS recon_ok
+              FROM q ORDER BY vec_id"""))
   )
 }
