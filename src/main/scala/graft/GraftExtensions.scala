@@ -42,6 +42,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("json_replace", es => gj.JsonMutate(es, 2)),
       fn("json_remove", es => gj.JsonRemove(es)),
       fn("json_merge_patch", es => gj.JsonMergePatch(es)),
+      fn("json_array", es => gj.JsonArrayFn(es)),
+      fn("json_object", es => gj.JsonObjectFn(es)),
+      fn("json_value", es => gj.JsonValueFn(es)),
+      fn("json_array_append", es => gj.JsonArrayMutate(es, insert = false)),
+      fn("json_array_insert", es => gj.JsonArrayMutate(es, insert = true)),
+      fn("json_merge", es => gj.JsonMergePreserve(es)),
       fn("json_merge_preserve", es => gj.JsonMergePreserve(es)),
       fn("json_keys", es => gj.JsonKeys(es)),
       fn("json_length_mysql", es => gj.JsonLengthMySql(es)),

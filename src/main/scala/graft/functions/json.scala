@@ -413,6 +413,108 @@ object json {
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
   }
 
+  /** JSON_ARRAY(v, ...) — array from SQL scalars (reference
+    * json_array in registry.go). NULL arguments become JSON null. */
+  case class JsonArrayFn(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    override def eval(input: InternalRow): Any = {
+      val arr = F.arrayNode()
+      children.foreach(c => arr.add(toNode(c.eval(input))))
+      out(arr)
+    }
+    protected def evalNotNull(vs: Seq[Any]): Any = null // unused: eval overridden
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_OBJECT(k1, v1, k2, v2, ...) — object from key/value pairs;
+    * NULL keys error in MySQL (here: SQL NULL). */
+  case class JsonObjectFn(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    override def eval(input: InternalRow): Any = {
+      if (children.length % 2 != 0) return null
+      val o = F.objectNode()
+      children.grouped(2).foreach { case Seq(k, v) =>
+        val kv = k.eval(input)
+        if (kv == null) return null
+        o.set[JsonNode](kv.toString, toNode(v.eval(input)))
+      }
+      out(o)
+    }
+    protected def evalNotNull(vs: Seq[Any]): Any = null // unused: eval overridden
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_VALUE(doc, path) — extract + unquote (MySQL default RETURNING
+    * CHAR; casts are applied by the caller). */
+  case class JsonValueFn(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0)); val p = parsePath(str(vs(1)))
+      if (d == null || p == null) return null
+      navigateAll(d, p) match {
+        case Seq(one) =>
+          UTF8String.fromString(if (one.isTextual) one.asText() else one.toString)
+        case _ => null // zero or many matches -> NULL (MySQL default ON EMPTY)
+      }
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_ARRAY_APPEND / JSON_ARRAY_INSERT (mode 0 = append to the array
+    * at path, autowrapping scalars; mode 1 = insert at the path's [N]). */
+  case class JsonArrayMutate(children: Seq[Expression], insert: Boolean)
+      extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0)); val p = parsePath(str(vs(1)))
+      if (d == null || p == null || hasWildcard(p)) return null
+      val value = toNode(vs(2))
+      val copy = d.deepCopy[JsonNode]()
+      if (!insert) {
+        // append: target = node at path; arrays append, scalars autowrap
+        if (p.isEmpty) {
+          if (copy.isArray) { copy.asInstanceOf[ArrayNode].add(value); return out(copy) }
+          val w = F.arrayNode(); w.add(copy); w.add(value); return out(w)
+        }
+        val parent = navigate(copy, p.init)
+        if (parent == null) return out(copy)
+        (p.last, parent) match {
+          case (Key(k), o: ObjectNode) if o.has(k) =>
+            o.get(k) match {
+              case a: ArrayNode => a.add(value)
+              case other =>
+                val w = F.arrayNode(); w.add(other); w.add(value)
+                o.set[JsonNode](k, w)
+            }
+          case (Idx(i), a: ArrayNode) if i < a.size =>
+            a.get(i) match {
+              case inner: ArrayNode => inner.add(value)
+              case other =>
+                val w = F.arrayNode(); w.add(other); w.add(value)
+                a.set(i, w)
+            }
+          case _ => ()
+        }
+        out(copy)
+      } else {
+        // insert: path must end in [N]; shifts elements right
+        p.last match {
+          case Idx(i) =>
+            val parent = navigate(copy, p.init)
+            parent match {
+              case a: ArrayNode =>
+                if (i >= a.size) a.add(value) else a.insert(i, value)
+                out(copy)
+              case _ => out(copy)
+            }
+          case _ => null // MySQL errors unless the path ends in an index
+        }
+      }
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) =
+      copy(children = n)
+  }
+
   /** JSON_MERGE_PATCH(doc, doc). */
   case class JsonMergePatch(children: Seq[Expression]) extends JsonExpr {
     override def dataType: DataType = StringType
@@ -587,6 +689,13 @@ object json {
   def jsonExtract(d: Column, paths: Column*): Column =
     c(JsonExtractMySql((d +: paths).map(x)))
   def jsonMatches(d: Column, p: Column): Column = c(JsonMatches(Seq(d, p).map(x)))
+  def jsonArray(vs: Column*): Column = c(JsonArrayFn(vs.map(x)))
+  def jsonObject(kvs: Column*): Column = c(JsonObjectFn(kvs.map(x)))
+  def jsonValue(d: Column, p: Column): Column = c(JsonValueFn(Seq(d, p).map(x)))
+  def jsonArrayAppend(d: Column, p: Column, v: Column): Column =
+    c(JsonArrayMutate(Seq(d, p, v).map(x), insert = false))
+  def jsonArrayInsert(d: Column, p: Column, v: Column): Column =
+    c(JsonArrayMutate(Seq(d, p, v).map(x), insert = true))
   def jsonUnquote(v: Column): Column = c(JsonUnquote(x(v)))
   def jsonQuote(s: Column): Column = c(JsonQuoteFn(x(s)))
   def jsonSet(d: Column, p: Column, v: Column): Column =
@@ -628,6 +737,14 @@ object json {
     reg.createOrReplaceTempFunction("json_replace", es => JsonMutate(es, 2), "scala_udf")
     reg.createOrReplaceTempFunction("json_remove", es => JsonRemove(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_merge_patch", es => JsonMergePatch(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_array", es => JsonArrayFn(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_object", es => JsonObjectFn(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_value", es => JsonValueFn(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_array_append",
+      es => JsonArrayMutate(es, insert = false), "scala_udf")
+    reg.createOrReplaceTempFunction("json_array_insert",
+      es => JsonArrayMutate(es, insert = true), "scala_udf")
+    reg.createOrReplaceTempFunction("json_merge", es => JsonMergePreserve(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_merge_preserve", es => JsonMergePreserve(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_keys", es => JsonKeys(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_length_mysql", es => JsonLengthMySql(es), "scala_udf")

@@ -1034,6 +1034,35 @@ object Functions {
                 '{"k":[' || k || ',1]}' AS mpres
               FROM docs ORDER BY event_id""")),
 
+    // ---- JSON constructors (reference registry.go json_array/json_object/
+    //      json_value/json_array_append/json_array_insert/json_merge) via
+    //      SQL TEXT — name resolution through the session registry.
+    QueryDef(
+      "fn_json_construct",
+      (s, d) => {
+        Tables.register(s, d, "events")
+        new graft.Engine(s).query(
+          """SELECT event_id,
+               JSON_ARRAY(event_id, event_type) AS arr,
+               JSON_OBJECT('id', event_id, 'type', event_type) AS obj,
+               JSON_VALUE(props, '$.k') AS kval,
+               JSON_ARRAY_APPEND(JSON_ARRAY(event_id), '$', event_type)
+                 AS appended,
+               JSON_ARRAY_INSERT(JSON_ARRAY(event_id, event_id), '$[1]', 0)
+                 AS inserted,
+               JSON_MERGE('[1]', '[2]') AS merged
+             FROM events ORDER BY event_id""")
+      },
+      Some("""SELECT event_id,
+                '[' || event_id || ',"' || event_type || '"]' AS arr,
+                '{"id":' || event_id || ',"type":"' || event_type || '"}'
+                  AS obj,
+                json_extract_string(props, '$.k') AS kval,
+                '[' || event_id || ',"' || event_type || '"]' AS appended,
+                '[' || event_id || ',0,' || event_id || ']' AS inserted,
+                '[1,2]' AS merged
+              FROM events ORDER BY event_id""")),
+
     // ---- JSON path wildcards: `[*]`, `.*`, `**`, `[last]`, `[M to N]`,
     //      multi-path extract, and MySQL's autowrap of scalars at `[0]`
     //      (reference jsonpath dep + sql/expression/function/json/; MySQL

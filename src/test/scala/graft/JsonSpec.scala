@@ -53,6 +53,34 @@ class JsonSpec extends AnyFunSuite {
     assert(one[Any](gj.jsonSet(lit(doc), lit("$.b[*]"), lit(9))) == null)
   }
 
+  test("json_array / json_object constructors and json_value") {
+    assert(one[String](gj.jsonArray(lit(1), lit("a"), lit(2.5)))
+      == """[1,"a",2.5]""")
+    assert(one[String](gj.jsonArray(lit(1), lit(null).cast("int")))
+      == "[1,null]")
+    assert(one[String](gj.jsonObject(lit("k"), lit(1), lit("s"), lit("x")))
+      == """{"k":1,"s":"x"}""")
+    assert(one[Any](gj.jsonObject(lit(null).cast("string"), lit(1))) == null)
+    assert(one[String](gj.jsonValue(lit(doc), lit("$.c.d"))) == "x") // unquoted
+    assert(one[String](gj.jsonValue(lit(doc), lit("$.a"))) == "1")
+    assert(one[Any](gj.jsonValue(lit(doc), lit("$.zz"))) == null)
+  }
+
+  test("json_array_append / json_array_insert follow MySQL examples") {
+    val d = """{"a":[1,2],"b":3}"""
+    assert(one[String](gj.jsonArrayAppend(lit(d), lit("$.a"), lit(9)))
+      == """{"a":[1,2,9],"b":3}""")
+    // appending to a scalar autowraps it
+    assert(one[String](gj.jsonArrayAppend(lit(d), lit("$.b"), lit(9)))
+      == """{"a":[1,2],"b":[3,9]}""")
+    assert(one[String](gj.jsonArrayInsert(lit(d), lit("$.a[1]"), lit(9)))
+      == """{"a":[1,9,2],"b":3}""")
+    // insert past the end appends; non-index path is an error -> NULL
+    assert(one[String](gj.jsonArrayInsert(lit(d), lit("$.a[9]"), lit(7)))
+      == """{"a":[1,2,7],"b":3}""")
+    assert(one[Any](gj.jsonArrayInsert(lit(d), lit("$.a"), lit(7))) == null)
+  }
+
   test("json_contains_path sees wildcard matches") {
     val store = """{"s":{"b":[{"p":1},{"p":2}]}}"""
     assert(one[Boolean](gj.jsonContainsPath(lit(store), lit("one"), lit("$**.p"))))
