@@ -435,11 +435,151 @@ object spatial {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** String-valued geometry accessors (reference spatial/ accessor files):
+    * startpoint/endpoint (linestrings), envelope (bounding box as a
+    * polygon; degenerate inputs keep polygon form), swapxy,
+    * geometrytype (MySQL type names), exteriorring. */
+  case class GeomStrOp(child: Expression, op: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val g = parseGeom(v.asInstanceOf[UTF8String].toString)
+      if (g == null) return null
+      val r: Geom = (op, g) match {
+        case ("startpoint", GLine(p)) => GPoint(p.head._1, p.head._2)
+        case ("endpoint", GLine(p)) => GPoint(p.last._1, p.last._2)
+        case ("envelope", _) =>
+          val vs = vertices(g)
+          val (xs, ys) = (vs.map(_._1), vs.map(_._2))
+          val (x0, x1, y0, y1) = (xs.min, xs.max, ys.min, ys.max)
+          GPoly(Array(Array((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))))
+        case ("swapxy", GPoint(px, py)) => GPoint(py, px)
+        case ("swapxy", GLine(p)) => GLine(p.map(q => (q._2, q._1)))
+        case ("swapxy", GPoly(r0)) => GPoly(r0.map(_.map(q => (q._2, q._1))))
+        case ("exteriorring", GPoly(rings)) => GLine(rings.head)
+        case _ => null
+      }
+      (op, g) match {
+        case ("geometrytype", _) =>
+          UTF8String.fromString(g match {
+            case _: GPoint => "POINT"
+            case _: GLine => "LINESTRING"
+            case _: GPoly => "POLYGON"
+          })
+        case _ => if (r == null) null else UTF8String.fromString(toWkt(r))
+      }
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** Integer-valued accessors: numpoints (linestring), dimension
+    * (0/1/2), srid (always 0: cartesian), numinteriorrings. */
+  case class GeomIntOp(child: Expression, op: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val g = parseGeom(v.asInstanceOf[UTF8String].toString)
+      if (g == null) return null
+      (op, g) match {
+        case ("numpoints", GLine(p)) => p.length
+        case ("numpoints", _) => null
+        case ("dimension", _: GPoint) => 0
+        case ("dimension", _: GLine) => 1
+        case ("dimension", _: GPoly) => 2
+        case ("srid", _) => 0
+        case ("numinteriorrings", GPoly(r)) => r.length - 1
+        case ("numinteriorrings", _) => null
+        case _ => null
+      }
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** ST_ISCLOSED(linestring): first point equals last. */
+  case class StIsClosed(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      parseGeom(v.asInstanceOf[UTF8String].toString) match {
+        case GLine(p) => p.head == p.last
+        case _ => null
+      }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** ST_POINTN(linestring, n) — 1-based; out of range -> NULL. */
+  case class StPointN(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val n = b match {
+        case i: Int => i; case l: Long => l.toInt; case o => o.toString.toInt
+      }
+      parseGeom(a.asInstanceOf[UTF8String].toString) match {
+        case GLine(p) if n >= 1 && n <= p.length =>
+          UTF8String.fromString(toWkt(GPoint(p(n - 1)._1, p(n - 1)._2)))
+        case _ => null
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** ST_DISJOINT = NOT intersects. */
+  case class StDisjoint(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val g1 = parseGeom(a.asInstanceOf[UTF8String].toString)
+      val g2 = parseGeom(b.asInstanceOf[UTF8String].toString)
+      if (g1 == null || g2 == null) null else !intersects(g1, g2)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** Typed WKT constructors (st_pointfromtext etc.): validate the tag
+    * matches, then canonicalize. */
+  case class TypedFromText(child: Expression, tag: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val g = parseGeom(v.asInstanceOf[UTF8String].toString)
+      val ok = (g, tag) match {
+        case (_: GPoint, "POINT") | (_: GLine, "LINESTRING") |
+             (_: GPoly, "POLYGON") => true
+        case _ => false
+      }
+      if (ok) UTF8String.fromString(toWkt(g)) else null
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
   // ---- Column wrappers ------------------------------------------------
 
   import org.apache.spark.sql.GraftBridge
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def x(col: Column): Expression = GraftBridge.expression(col)
+
+  def stStartPoint(g: Column): Column = c(GeomStrOp(x(g), "startpoint"))
+  def stEndPoint(g: Column): Column = c(GeomStrOp(x(g), "endpoint"))
+  def stEnvelope(g: Column): Column = c(GeomStrOp(x(g), "envelope"))
+  def stSwapXY(g: Column): Column = c(GeomStrOp(x(g), "swapxy"))
+  def stGeometryType(g: Column): Column = c(GeomStrOp(x(g), "geometrytype"))
+  def stExteriorRing(g: Column): Column = c(GeomStrOp(x(g), "exteriorring"))
+  def stNumPoints(g: Column): Column = c(GeomIntOp(x(g), "numpoints"))
+  def stDimension(g: Column): Column = c(GeomIntOp(x(g), "dimension"))
+  def stSrid(g: Column): Column = c(GeomIntOp(x(g), "srid"))
+  def stNumInteriorRings(g: Column): Column = c(GeomIntOp(x(g), "numinteriorrings"))
+  def stIsClosed(g: Column): Column = c(StIsClosed(x(g)))
+  def stPointN(g: Column, n: Column): Column = c(StPointN(x(g), x(n)))
+  def stDisjoint(a: Column, b: Column): Column = c(StDisjoint(x(a), x(b)))
 
   /** ST_POINT(x, y) -> WKT (pure Column composition, codegen'd). */
   def stPoint(px: Column, py: Column): Column =
@@ -482,5 +622,25 @@ object spatial {
     reg.createOrReplaceTempFunction("st_latfromgeohash", es => GeoHashCoord(es.head, 0), "scala_udf")
     reg.createOrReplaceTempFunction("st_longfromgeohash", es => GeoHashCoord(es.head, 1), "scala_udf")
     reg.createOrReplaceTempFunction("st_pointfromgeohash", es => StPointFromGeoHash(es.head), "scala_udf")
+    Seq("startpoint", "endpoint", "envelope", "swapxy", "geometrytype",
+      "exteriorring").foreach { op =>
+      reg.createOrReplaceTempFunction(s"st_$op", es => GeomStrOp(es.head, op), "scala_udf")
+    }
+    Seq("numpoints", "dimension", "srid", "numinteriorrings").foreach { op =>
+      reg.createOrReplaceTempFunction(s"st_$op", es => GeomIntOp(es.head, op), "scala_udf")
+    }
+    reg.createOrReplaceTempFunction("st_numinteriorring", es => GeomIntOp(es.head, "numinteriorrings"), "scala_udf")
+    reg.createOrReplaceTempFunction("st_isclosed", es => StIsClosed(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("st_pointn", es => StPointN(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("st_disjoint", es => StDisjoint(es(0), es(1)), "scala_udf")
+    // typed constructors + their aliases (reference registry.go)
+    Seq("st_pointfromtext" -> "POINT",
+        "st_linefromtext" -> "LINESTRING",
+        "st_linestringfromtext" -> "LINESTRING",
+        "st_polyfromtext" -> "POLYGON",
+        "st_polygonfromtext" -> "POLYGON").foreach { case (name, tag) =>
+      reg.createOrReplaceTempFunction(name, es => TypedFromText(es.head, tag), "scala_udf")
+    }
+    reg.createOrReplaceTempFunction("st_geometryfromtext", es => StGeomFromText(es.head), "scala_udf")
   }
 }

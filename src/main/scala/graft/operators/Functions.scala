@@ -850,6 +850,78 @@ object Functions {
                 TRUE AS gh_roundtrip
               FROM g ORDER BY c_custkey""")),
 
+    // ---- spatial accessors wave 3 (reference spatial/ accessor files:
+    //      st_startpoint/endpoint/pointn/numpoints, st_isclosed,
+    //      st_envelope, st_dimension, st_geometrytype, st_swapxy, st_srid,
+    //      st_exteriorring, st_disjoint, typed *fromtext constructors).
+    //      Every expected value re-derives as string arithmetic in DuckDB.
+    QueryDef(
+      "fn_spatial_accessors",
+      (s, d) => {
+        import graft.functions.{spatial => sp}
+        val k = col("c_custkey")
+        val xi = (k % 10).cast("int"); val yi = (k % 7).cast("int")
+        val sq = (k % 5 + 3).cast("int")
+        val shift = (k % 9).cast("int")
+        val line = concat(lit("LINESTRING(0 0, "), xi, lit(" "), yi,
+          lit(", "), xi + 3, lit(" "), yi + 4, lit(")"))
+        val ring = concat(lit("LINESTRING(0 0, "), sq, lit(" 0, "), sq,
+          lit(" "), sq, lit(", 0 0)"))
+        val squareA = concat(lit("POLYGON((0 0, "), sq, lit(" 0, "), sq,
+          lit(" "), sq, lit(", 0 "), sq, lit(", 0 0))"))
+        val squareB = concat(
+          lit("POLYGON(("), shift, lit(" "), shift, lit(", "), shift + 2,
+          lit(" "), shift, lit(", "), shift + 2, lit(" "), shift + 2,
+          lit(", "), shift, lit(" "), shift + 2, lit(", "), shift, lit(" "),
+          shift, lit("))"))
+        val pt = sp.stPoint(xi, yi)
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            sp.stNumPoints(line).as("n_pts"),
+            sp.stStartPoint(line).as("p_start"),
+            sp.stEndPoint(line).as("p_end"),
+            sp.stPointN(line, lit(2)).as("p_mid"),
+            sp.stIsClosed(line).as("open_closed"),
+            sp.stIsClosed(ring).as("ring_closed"),
+            sp.stEnvelope(squareB).as("env"),
+            sp.stGeometryType(squareA).as("gtype"),
+            sp.stDimension(squareA).as("dim"),
+            sp.stSrid(pt).as("srid"),
+            sp.stSwapXY(pt).as("swapped"),
+            sp.stExteriorRing(squareA).as("outer_ring"),
+            sp.stNumInteriorRings(squareA).as("n_holes"),
+            sp.stDisjoint(squareA, squareB).as("disjoint"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH g AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 10 AS BIGINT) AS x,
+                       CAST(c_custkey % 7 AS BIGINT) AS y,
+                       CAST(c_custkey % 5 + 3 AS BIGINT) AS sq,
+                       CAST(c_custkey % 9 AS BIGINT) AS shift
+                FROM customer)
+              SELECT c_custkey,
+                3 AS n_pts,
+                'POINT(0 0)' AS p_start,
+                'POINT(' || (x + 3) || ' ' || (y + 4) || ')' AS p_end,
+                'POINT(' || x || ' ' || y || ')' AS p_mid,
+                FALSE AS open_closed,
+                TRUE AS ring_closed,
+                'POLYGON((' || shift || ' ' || shift || ',' || (shift + 2)
+                  || ' ' || shift || ',' || (shift + 2) || ' ' || (shift + 2)
+                  || ',' || shift || ' ' || (shift + 2) || ',' || shift
+                  || ' ' || shift || '))' AS env,
+                'POLYGON' AS gtype,
+                2 AS dim,
+                0 AS srid,
+                'POINT(' || y || ' ' || x || ')' AS swapped,
+                'LINESTRING(0 0,' || sq || ' 0,' || sq || ' ' || sq
+                  || ',0 ' || sq || ',0 0)' AS outer_ring,
+                0 AS n_holes,
+                NOT (shift <= sq) AS disjoint
+              FROM g ORDER BY c_custkey""")),
+
     // ---- UUID family (registry.go uuid_to_bin/bin_to_uuid/is_uuid):
     //      deterministic md5-derived uuid text per row, validated and
     //      round-tripped through the binary forms (±swap flag)

@@ -94,6 +94,45 @@ class SpatialSpec extends AnyFunSuite {
     assert(one[Any](sp.stLatFromGeoHash(lit("ii"))) == null) // i not in base32
   }
 
+  test("accessors: start/end/pointn/numpoints/isclosed/envelope/type/dim") {
+    val line = lit("LINESTRING(0 0, 3 4, 6 8)")
+    assert(one[String](sp.stStartPoint(line)) == "POINT(0 0)")
+    assert(one[String](sp.stEndPoint(line)) == "POINT(6 8)")
+    assert(one[String](sp.stPointN(line, lit(2))) == "POINT(3 4)")
+    assert(one[Any](sp.stPointN(line, lit(9))) == null)
+    assert(one[Int](sp.stNumPoints(line)) == 3)
+    assert(!one[Boolean](sp.stIsClosed(line)))
+    assert(one[Boolean](sp.stIsClosed(lit("LINESTRING(0 0, 1 0, 0 1, 0 0)"))))
+    assert(one[String](sp.stEnvelope(lit("LINESTRING(1 5, 4 2)")))
+      == "POLYGON((1 2,4 2,4 5,1 5,1 2))")
+    assert(one[String](sp.stGeometryType(lit("POINT(1 1)"))) == "POINT")
+    assert(one[Int](sp.stDimension(lit("POLYGON((0 0,1 0,1 1,0 0))"))) == 2)
+    assert(one[Int](sp.stSrid(lit("POINT(1 1)"))) == 0)
+    assert(one[String](sp.stSwapXY(lit("POINT(1 2)"))) == "POINT(2 1)")
+    assert(one[String](sp.stExteriorRing(
+      lit("POLYGON((0 0,2 0,2 2,0 2,0 0),(1 1,1.5 1,1.5 1.5,1 1.5,1 1))")))
+      == "LINESTRING(0 0,2 0,2 2,0 2,0 0)")
+    assert(one[Int](sp.stNumInteriorRings(
+      lit("POLYGON((0 0,2 0,2 2,0 2,0 0),(1 1,1.5 1,1.5 1.5,1 1.5,1 1))"))) == 1)
+    assert(one[Boolean](sp.stDisjoint(lit("POINT(9 9)"),
+      lit("POLYGON((0 0,2 0,2 2,0 2,0 0))"))))
+  }
+
+  test("typed *fromtext constructors enforce their geometry type") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT st_pointfromtext('point( 1  2 )') AS p,
+               st_linefromtext('POINT(1 2)') AS bad,
+               st_polygonfromtext('polygon((0 0, 1 0, 1 1, 0 0))') AS poly,
+               st_numpoints(st_exteriorring(
+                 st_polyfromtext('POLYGON((0 0,1 0,1 1,0 0))'))) AS nring""")
+      .collect()(0)
+    assert(r.getString(0) == "POINT(1 2)")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "POLYGON((0 0,1 0,1 1,0 0))")
+    assert(r.getInt(3) == 4)
+  }
+
   test("SQL registration exposes st_* on the session") {
     val e = new Engine(spark)
     val r = e.query(
