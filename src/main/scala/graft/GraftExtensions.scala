@@ -61,19 +61,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("json_overlaps", es => gj.JsonOverlaps(es)),
       fn("json_quote", es => gj.JsonQuoteFn(es.head)),
       fn("json_unquote", es => gj.JsonUnquote(es.head)),
-      fn("st_x", es => gs.StX(es.head)),
-      fn("st_y", es => gs.StY(es.head)),
-      fn("st_distance", es => gs.StDistance(es(0), es(1))),
-      fn("st_area", es => gs.StArea(es.head)),
-      fn("st_length", es => gs.StLength(es.head)),
-      fn("st_within", es => gs.StWithin(es(0), es(1))),
-      fn("st_geomfromtext", es => gs.StGeomFromText(es.head)),
-      fn("st_intersects", es => gs.StIntersects(es(0), es(1))),
-      fn("st_contains", es => gs.StContains(es(0), es(1))),
-      fn("st_geohash", es => gs.StGeoHash(es)),
-      fn("st_latfromgeohash", es => gs.GeoHashCoord(es.head, 0)),
-      fn("st_longfromgeohash", es => gs.GeoHashCoord(es.head, 1)),
-      fn("st_pointfromgeohash", es => gs.StPointFromGeoHash(es.head)),
       fn("vec_dot", es => gv.VecDot(es(0), es(1))),
       fn("vec_distance_l2_squared", es => gv.VecL2Sq(es(0), es(1))),
       // MySQL %-pattern date formatting overrides the builtins (dispatch
@@ -81,9 +68,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("date_format", es => graft.functions.MySqlFormat.dateFormatExpr(es)),
       fn("str_to_date", es => graft.functions.MySqlFormat.strToDateExpr(es)))
     fns.foreach(ext.injectFunction)
-    // long-tail scalar surface shares its builder table with Engine
-    graft.functions.MiscFns.builders.foreach { case (name, b) =>
-      ext.injectFunction(fn(name, b))
-    }
+    // shared builder tables (same source as Engine registration; no drift)
+    (graft.functions.MiscFns.builders ++ graft.functions.spatial.builders)
+      .foreach { case (name, b) => ext.injectFunction(fn(name, b)) }
   }
 }

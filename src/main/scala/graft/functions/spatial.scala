@@ -606,41 +606,47 @@ object spatial {
   def stLongFromGeoHash(h: Column): Column = c(GeoHashCoord(x(h), 1))
   def stPointFromGeoHash(h: Column): Column = c(StPointFromGeoHash(x(h)))
 
+  /** Every (name, builder) pair — shared by Engine registration and
+    * GraftExtensions injection (single source of truth, no drift). */
+  def builders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq[(String, Seq[Expression] => Expression)](
+      "st_x" -> (es => StX(es.head)),
+      "st_y" -> (es => StY(es.head)),
+      "st_distance" -> (es => StDistance(es(0), es(1))),
+      "st_area" -> (es => StArea(es.head)),
+      "st_length" -> (es => StLength(es.head)),
+      "st_within" -> (es => StWithin(es(0), es(1))),
+      "st_geomfromtext" -> (es => StGeomFromText(es.head)),
+      "st_geometryfromtext" -> (es => StGeomFromText(es.head)),
+      "st_astext" -> (es => StGeomFromText(es.head)),
+      "st_aswkt" -> (es => StGeomFromText(es.head)),
+      "st_intersects" -> (es => StIntersects(es(0), es(1))),
+      "st_contains" -> (es => StContains(es(0), es(1))),
+      "st_geohash" -> (es => StGeoHash(es)),
+      "st_latfromgeohash" -> (es => GeoHashCoord(es.head, 0)),
+      "st_longfromgeohash" -> (es => GeoHashCoord(es.head, 1)),
+      "st_pointfromgeohash" -> (es => StPointFromGeoHash(es.head)),
+      "st_numinteriorring" -> (es => GeomIntOp(es.head, "numinteriorrings")),
+      "st_isclosed" -> (es => StIsClosed(es.head)),
+      "st_pointn" -> (es => StPointN(es(0), es(1))),
+      "st_disjoint" -> (es => StDisjoint(es(0), es(1)))) ++
+    Seq("startpoint", "endpoint", "envelope", "swapxy", "geometrytype",
+      "exteriorring").map(op =>
+      s"st_$op" -> ((es: Seq[Expression]) => GeomStrOp(es.head, op): Expression)) ++
+    Seq("numpoints", "dimension", "srid", "numinteriorrings").map(op =>
+      s"st_$op" -> ((es: Seq[Expression]) => GeomIntOp(es.head, op): Expression)) ++
+    Seq("st_pointfromtext" -> "POINT",
+      "st_linefromtext" -> "LINESTRING",
+      "st_linestringfromtext" -> "LINESTRING",
+      "st_polyfromtext" -> "POLYGON",
+      "st_polygonfromtext" -> "POLYGON").map { case (name, tag) =>
+      name -> ((es: Seq[Expression]) => TypedFromText(es.head, tag): Expression)
+    }
+
   def register(spark: SparkSession): Unit = {
     val reg = GraftBridge.functionRegistry(spark)
-    reg.createOrReplaceTempFunction("st_x", es => StX(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("st_y", es => StY(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("st_distance", es => StDistance(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("st_area", es => StArea(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("st_length", es => StLength(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("st_within", es => StWithin(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("st_geomfromtext", es => StGeomFromText(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("st_astext", es => StGeomFromText(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("st_intersects", es => StIntersects(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("st_contains", es => StContains(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("st_geohash", es => StGeoHash(es), "scala_udf")
-    reg.createOrReplaceTempFunction("st_latfromgeohash", es => GeoHashCoord(es.head, 0), "scala_udf")
-    reg.createOrReplaceTempFunction("st_longfromgeohash", es => GeoHashCoord(es.head, 1), "scala_udf")
-    reg.createOrReplaceTempFunction("st_pointfromgeohash", es => StPointFromGeoHash(es.head), "scala_udf")
-    Seq("startpoint", "endpoint", "envelope", "swapxy", "geometrytype",
-      "exteriorring").foreach { op =>
-      reg.createOrReplaceTempFunction(s"st_$op", es => GeomStrOp(es.head, op), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, es => b(es), "scala_udf")
     }
-    Seq("numpoints", "dimension", "srid", "numinteriorrings").foreach { op =>
-      reg.createOrReplaceTempFunction(s"st_$op", es => GeomIntOp(es.head, op), "scala_udf")
-    }
-    reg.createOrReplaceTempFunction("st_numinteriorring", es => GeomIntOp(es.head, "numinteriorrings"), "scala_udf")
-    reg.createOrReplaceTempFunction("st_isclosed", es => StIsClosed(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("st_pointn", es => StPointN(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("st_disjoint", es => StDisjoint(es(0), es(1)), "scala_udf")
-    // typed constructors + their aliases (reference registry.go)
-    Seq("st_pointfromtext" -> "POINT",
-        "st_linefromtext" -> "LINESTRING",
-        "st_linestringfromtext" -> "LINESTRING",
-        "st_polyfromtext" -> "POLYGON",
-        "st_polygonfromtext" -> "POLYGON").foreach { case (name, tag) =>
-      reg.createOrReplaceTempFunction(name, es => TypedFromText(es.head, tag), "scala_udf")
-    }
-    reg.createOrReplaceTempFunction("st_geometryfromtext", es => StGeomFromText(es.head), "scala_udf")
   }
 }
