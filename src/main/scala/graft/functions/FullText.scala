@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object FullText {
 
-  /** op: '+' required, '-' excluded, ' ' optional. */
-  case class Term(op: Char, text: String, phrase: Boolean, prefix: Boolean)
+  /** op: '+' required, '-' excluded, ' ' optional. weight: contribution
+    * multiplier — '>' raises (2.0), '<' lowers (0.5), '~' negates (-1.0,
+    * the soft-no operator: presence lowers relevance without excluding). */
+  case class Term(op: Char, text: String, phrase: Boolean, prefix: Boolean,
+      weight: Double = 1.0)
 
   /** Parse a boolean-mode query string. Phrase text is lowercased and
     * inner whitespace collapsed to single spaces (token normalization). */
@@ -29,13 +32,24 @@ object FullText {
       while (i < n && q.charAt(i).isWhitespace) i += 1
       if (i < n) {
         var op = ' '
-        if (q.charAt(i) == '+' || q.charAt(i) == '-') { op = q.charAt(i); i += 1 }
+        var weight = 1.0
+        var readingOps = true
+        while (readingOps && i < n) {
+          q.charAt(i) match {
+            case '+' | '-' => op = q.charAt(i); i += 1
+            case '>' => weight = 2.0; i += 1
+            case '<' => weight = 0.5; i += 1
+            case '~' => weight = -1.0; i += 1
+            case _ => readingOps = false
+          }
+        }
         if (i < n && q.charAt(i) == '"') {
           val end = q.indexOf('"', i + 1)
           val stop = if (end < 0) n else end
           val ph = q.substring(i + 1, stop).trim.toLowerCase
             .replaceAll("\\s+", " ")
-          if (ph.nonEmpty) out += Term(op, ph, phrase = true, prefix = false)
+          if (ph.nonEmpty)
+            out += Term(op, ph, phrase = true, prefix = false, weight)
           i = stop + 1
         } else {
           val start = i
@@ -43,7 +57,8 @@ object FullText {
           var w = q.substring(start, i).toLowerCase
           val prefix = w.endsWith("*")
           if (prefix) w = w.dropRight(1)
-          if (w.nonEmpty) out += Term(op, w, phrase = false, prefix = prefix)
+          if (w.nonEmpty)
+            out += Term(op, w, phrase = false, prefix = prefix, weight)
         }
       }
     }
@@ -77,7 +92,13 @@ object FullText {
       if (req.nonEmpty || opt.isEmpty) lit(true)
       else opt.map(_._2 > 0).reduce(_ || _)
     val matched = reqOk && excOk && optOk
-    val score = (req ++ opt).map(_._2).reduceOption(_ + _).getOrElse(lit(0))
-    (matched, when(matched, score).otherwise(0))
+    val scoring = req ++ opt
+    val weighted = scoring.exists(_._1.weight != 1.0)
+    val score =
+      if (weighted)
+        scoring.map { case (t, p) => p.cast("double") * t.weight }
+          .reduceOption(_ + _).getOrElse(lit(0.0))
+      else scoring.map(_._2).reduceOption(_ + _).getOrElse(lit(0))
+    (matched, when(matched, score).otherwise(if (weighted) lit(0.0) else lit(0)))
   }
 }

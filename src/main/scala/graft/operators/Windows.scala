@@ -193,6 +193,39 @@ object Windows {
                        wf AS (PARTITION BY o_orderpriority
                               ORDER BY o_totalprice, o_orderkey
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // ---- frame EXCLUDE CURRENT ROW (SQL:2011; neither Spark nor MySQL
+    //      implements frame exclusion) — emulated as frame-sum minus the
+    //      current row's value, which is algebraically exact for SUM/COUNT.
+    //      The oracle runs DuckDB's NATIVE `EXCLUDE CURRENT ROW`, proving
+    //      the emulation equals the standard semantics. DECIMAL sums keep
+    //      the subtraction merge-order deterministic.
+    QueryDef(
+      "win_exclude_current",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderkey"))
+          .rowsBetween(-2, 2)
+        val dec = col("o_totalprice").cast(DecimalType(18, 2))
+        Tables.t(s, d, "orders")
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            // empty excluded frame -> NULL (standard SUM-over-empty), not 0
+            when(count(lit(1)).over(w) === 1, lit(null))
+              .otherwise((sum(dec).over(w) - dec).cast("double"))
+              .as("neighbor_sum"),
+            (count(lit(1)).over(w) - 1).as("n_neighbors"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                        EXCLUDE CURRENT ROW) AS DOUBLE) AS neighbor_sum,
+                count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                               EXCLUDE CURRENT ROW) AS n_neighbors
+              FROM orders ORDER BY o_orderkey"""))
   )
 }

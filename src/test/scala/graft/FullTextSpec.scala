@@ -44,6 +44,25 @@ class FullTextSpec extends AnyFunSuite {
     assert(run("alpha here", "alpha beta") == (true, 1))
   }
 
+  test("weight operators > < ~ adjust relevance without gating") {
+    def runD(text: String, query: String): (Boolean, Double) = {
+      val (m, r) = FullText.booleanMatch(lit(text), query)
+      val row = spark.range(1).select(m.as("m"), r.as("r")).collect()(0)
+      (row.getBoolean(0), row.getDouble(1))
+    }
+    assert(FullText.parse(">up <down ~soft") ==
+      Seq(Term(' ', "up", phrase = false, prefix = false, 2.0),
+        Term(' ', "down", phrase = false, prefix = false, 0.5),
+        Term(' ', "soft", phrase = false, prefix = false, -1.0)))
+    // up counts double, down half, soft subtracts but does not exclude
+    assert(runD("up down soft", "+up >down <soft") == (true, 1.0 + 2.0 + 0.5))
+    assert(runD("up up soft", "+up ~soft") == (true, 2.0 - 1.0))
+    // ~term alone never gates the match
+    assert(runD("only soft here", "+only ~soft")._1)
+    // unweighted queries keep integer relevance
+    assert(run("up down", "+up down") == (true, 2))
+  }
+
   test("phrases match contiguous tokens across punctuation") {
     assert(run("big Machine, Learning rig", """+"machine learning"""")._1)
     assert(!run("machine of learning", """+"machine learning"""")._1)
