@@ -561,6 +561,93 @@ object spatial {
     override protected def withNewChildInternal(nc: Expression) = copy(nc)
   }
 
+  // ---- WKB (reference st_aswkb/st_asbinary + *fromwkb constructors) ---
+  // Standard little-endian WKB: byteOrder(1) + geomType(4) + payload;
+  // point = 2 doubles, linestring = count + points, polygon = numRings +
+  // per-ring count + points.
+
+  private[functions] def toWkb(g: Geom): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def sized(n: Int) = {
+      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte) // little-endian marker
+      b
+    }
+    g match {
+      case GPoint(px, py) =>
+        val b = sized(1 + 4 + 16)
+        b.putInt(1).putDouble(px).putDouble(py); b.array()
+      case GLine(pts) =>
+        val b = sized(1 + 4 + 4 + 16 * pts.length)
+        b.putInt(2).putInt(pts.length)
+        pts.foreach(p => b.putDouble(p._1).putDouble(p._2)); b.array()
+      case GPoly(rings) =>
+        val b = sized(1 + 4 + 4 + rings.map(r => 4 + 16 * r.length).sum)
+        b.putInt(3).putInt(rings.length)
+        rings.foreach { r =>
+          b.putInt(r.length)
+          r.foreach(p => b.putDouble(p._1).putDouble(p._2))
+        }
+        b.array()
+    }
+  }
+
+  private[functions] def fromWkb(bytes: Array[Byte]): Geom = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    try {
+      val b = ByteBuffer.wrap(bytes)
+      b.order(if (b.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      b.getInt() match {
+        case 1 => GPoint(b.getDouble(), b.getDouble())
+        case 2 =>
+          val n = b.getInt()
+          if (n < 2) return null
+          GLine(Array.fill(n)((b.getDouble(), b.getDouble())))
+        case 3 =>
+          val nr = b.getInt()
+          if (nr < 1) return null
+          val rings = Array.fill(nr) {
+            val n = b.getInt()
+            Array.fill(n)((b.getDouble(), b.getDouble()))
+          }
+          if (rings.forall(r => r.length >= 4 && r.head == r.last)) GPoly(rings)
+          else null
+        case _ => null
+      }
+    } catch { case _: Exception => null }
+  }
+
+  /** ST_ASWKB / ST_ASBINARY. */
+  case class StAsWkb(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val g = parseGeom(v.asInstanceOf[UTF8String].toString)
+      if (g == null) null else toWkb(g)
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** ST_GEOMFROMWKB (tag = null) and the typed *fromwkb constructors. */
+  case class StFromWkb(child: Expression, tag: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val g = fromWkb(v.asInstanceOf[Array[Byte]])
+      val ok = (g, tag) match {
+        case (null, _) => false
+        case (_, null) => true
+        case (_: GPoint, "POINT") | (_: GLine, "LINESTRING") |
+             (_: GPoly, "POLYGON") => true
+        case _ => false
+      }
+      if (ok) UTF8String.fromString(toWkt(g)) else null
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
   // ---- Column wrappers ------------------------------------------------
 
   import org.apache.spark.sql.GraftBridge
@@ -628,6 +715,15 @@ object spatial {
       "st_pointfromgeohash" -> (es => StPointFromGeoHash(es.head)),
       "st_numinteriorring" -> (es => GeomIntOp(es.head, "numinteriorrings")),
       "st_isclosed" -> (es => StIsClosed(es.head)),
+      "st_aswkb" -> (es => StAsWkb(es.head)),
+      "st_asbinary" -> (es => StAsWkb(es.head)),
+      "st_geomfromwkb" -> (es => StFromWkb(es.head, null)),
+      "st_geometryfromwkb" -> (es => StFromWkb(es.head, null)),
+      "st_pointfromwkb" -> (es => StFromWkb(es.head, "POINT")),
+      "st_linefromwkb" -> (es => StFromWkb(es.head, "LINESTRING")),
+      "st_linestringfromwkb" -> (es => StFromWkb(es.head, "LINESTRING")),
+      "st_polyfromwkb" -> (es => StFromWkb(es.head, "POLYGON")),
+      "st_polygonfromwkb" -> (es => StFromWkb(es.head, "POLYGON")),
       "st_pointn" -> (es => StPointN(es(0), es(1))),
       "st_disjoint" -> (es => StDisjoint(es(0), es(1)))) ++
     Seq("startpoint", "endpoint", "envelope", "swapxy", "geometrytype",

@@ -133,6 +133,27 @@ class SpatialSpec extends AnyFunSuite {
     assert(r.getInt(3) == 4)
   }
 
+  test("WKB round-trips through st_aswkb / st_geomfromwkb") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT st_geomfromwkb(st_aswkb('POINT(1.5 -2)')) AS p,
+               st_geomfromwkb(st_aswkb('LINESTRING(0 0, 3 4, 6 8)')) AS l,
+               st_geomfromwkb(st_aswkb(
+                 'POLYGON((0 0,2 0,2 2,0 2,0 0),(1 1,1.5 1,1.5 1.5,1 1.5,1 1))')) AS poly,
+               st_pointfromwkb(st_aswkb('POINT(7 9)')) AS tp,
+               st_pointfromwkb(st_aswkb('LINESTRING(0 0, 1 1)')) AS bad,
+               octet_length(st_asbinary('POINT(1 2)')) AS n
+        """).collect()(0)
+    assert(r.getString(0) == "POINT(1.5 -2)")
+    assert(r.getString(1) == "LINESTRING(0 0,3 4,6 8)")
+    assert(r.getString(2) ==
+      "POLYGON((0 0,2 0,2 2,0 2,0 0),(1 1,1.5 1,1.5 1.5,1 1.5,1 1))")
+    assert(r.getString(3) == "POINT(7 9)")
+    assert(r.isNullAt(4))
+    assert(r.getInt(5) == 21) // 1 + 4 + 16
+    assert(one[Any](sp.stGeomFromText(lit("POINT(1 2)"))) != null)
+  }
+
   test("SQL registration exposes st_* on the session") {
     val e = new Engine(spark)
     val r = e.query(
