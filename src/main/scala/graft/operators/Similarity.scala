@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over embedding vectors (`ArrayType(FloatType)`) —
   * north-star extension.
@@ -232,6 +233,89 @@ object Similarity {
                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))) AS cos_dist
             FROM e ORDER BY vec_id"""
       })),
+
+    // ---- IVF with REAL k-means centroids (the round-1 verdict's "obvious
+    //      upgrade" over hash-bucket centroids): 2 Lloyd iterations, k=8,
+    //      deterministic everywhere — init = first k vectors by id,
+    //      assignment ties break on centroid id, and centroid means are
+    //      exact-DECIMAL component sums rendered to double BEFORE the
+    //      double division, so both engines produce bit-identical
+    //      centroids. Each iteration is one broadcast(k centroids) +
+    //      row_number + component re-aggregation — the standard
+    //      distributed Lloyd step at any scale. The oracle unrolls the
+    //      same two iterations in SQL.
+    QueryDef(
+      "sim_ivf_kmeans",
+      (s, d) => {
+        val K = 8
+        val DIM = 64
+        val e = emb(s, d).select(col("vec_id"), col("v"))
+        var cent = e.filter(col("vec_id") < K)
+          .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+        def assign(c: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("d"), col("cid"))
+          e.crossJoin(broadcast(c))
+            .withColumn("d", gvec.vecL2Sq(col("v"), col("cv")))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("vec_id"), col("cid"), col("v"), col("d"))
+        }
+        for (_ <- 0 until 2) {
+          val a = assign(cent)
+          cent = a
+            .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+            .groupBy(col("cid"), col("dim"))
+            .agg((sum(col("x").cast(DecimalType(27, 12))).cast("double") /
+              count(lit(1))).as("m"))
+            .groupBy(col("cid"))
+            .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+              .as("cv"))
+        }
+        assign(cent)
+          .groupBy(col("cid"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            round(sum(col("d").cast(DecimalType(27, 12))).cast("double"), 6)
+              .as("inertia"))
+          .orderBy(col("cid"))
+      },
+      Some {
+        val dist =
+          "list_sum(list_transform(list_zip(v, cv), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+        def assign(centCte: String, name: String) =
+          s"""$name AS (
+             |  SELECT vec_id, cid, v, d FROM (
+             |    SELECT e.vec_id, c.cid, e.v, $dist AS d,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY $dist, c.cid) AS rk
+             |    FROM e CROSS JOIN $centCte c) WHERE rk = 1)""".stripMargin
+        def recompute(assignCte: String, name: String) =
+          s"""$name AS (
+             |  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+             |    SELECT cid, dim,
+             |      CAST(SUM(CAST(v[dim] AS DECIMAL(27,12))) AS DOUBLE)
+             |        / COUNT(*) AS m
+             |    FROM $assignCte, unnest(generate_series(1, 64)) t(dim)
+             |    GROUP BY cid, dim)
+             |  GROUP BY cid)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |cent0 AS (
+           |  SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+           |  WHERE vec_id < 8),
+           |${assign("cent0", "a0")},
+           |${recompute("a0", "cent1")},
+           |${assign("cent1", "a1")},
+           |${recompute("a1", "cent2")},
+           |${assign("cent2", "a2")}
+           |SELECT cid, COUNT(*) AS n_members,
+           |  round(CAST(SUM(CAST(d AS DECIMAL(27,12))) AS DOUBLE), 6)
+           |    AS inertia
+           |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+      }),
 
     // ---- int8 embedding quantization — the 100 TB embedding-storage
     //      pattern (4 bytes/dim -> 1): symmetric per-vector scale

@@ -15,6 +15,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_band",           // naive band join (bucketed variant is the scale path)
     "sim_topk_bruteforce", // exact brute force is the baseline by design
     "sim_ivf",             // centroid assignment: corpus × 8 centroids (broadcast)
+    "sim_ivf_kmeans",      // Lloyd assignment: corpus × k centroids (broadcast)
     "text_match",          // single aggregated stats row broadcast to the scan
     "dedup_simhash",       // single reference-signature row broadcast (hamming)
     "tpch_q22",            // single aggregated threshold row broadcast
