@@ -617,6 +617,69 @@ object spatial {
     } catch { case _: Exception => null }
   }
 
+  // ---- GeoJSON (reference st_asgeojson/st_geomfromgeojson) ------------
+
+  private[functions] def toGeoJson(g: Geom): String = {
+    def pt(p: (Double, Double)) = s"[${fmtNum(p._1)},${fmtNum(p._2)}]"
+    g match {
+      case GPoint(px, py) =>
+        s"""{"type":"Point","coordinates":${pt((px, py))}}"""
+      case GLine(pts) =>
+        s"""{"type":"LineString","coordinates":[${pts.map(pt).mkString(",")}]}"""
+      case GPoly(rings) =>
+        val rs = rings.map(r => s"[${r.map(pt).mkString(",")}]").mkString(",")
+        s"""{"type":"Polygon","coordinates":[$rs]}"""
+    }
+  }
+
+  private[functions] def fromGeoJson(s: String): Geom =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(s)
+      def coord(n: com.fasterxml.jackson.databind.JsonNode) =
+        (n.get(0).asDouble(), n.get(1).asDouble())
+      import scala.jdk.CollectionConverters._
+      val coords = root.get("coordinates")
+      root.get("type").asText() match {
+        case "Point" => GPoint(coord(coords)._1, coord(coords)._2)
+        case "LineString" =>
+          val pts = coords.elements().asScala.map(coord).toArray
+          if (pts.length >= 2) GLine(pts) else null
+        case "Polygon" =>
+          val rings = coords.elements().asScala
+            .map(r => r.elements().asScala.map(coord).toArray).toArray
+          if (rings.nonEmpty &&
+              rings.forall(r => r.length >= 4 && r.head == r.last))
+            GPoly(rings)
+          else null
+        case _ => null
+      }
+    } catch { case _: Exception => null }
+
+  /** ST_ASGEOJSON(wkt). */
+  case class StAsGeoJson(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val g = parseGeom(v.asInstanceOf[UTF8String].toString)
+      if (g == null) null else UTF8String.fromString(toGeoJson(g))
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** ST_GEOMFROMGEOJSON(json) -> canonical WKT. */
+  case class StFromGeoJson(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val g = fromGeoJson(v.asInstanceOf[UTF8String].toString)
+      if (g == null) null else UTF8String.fromString(toWkt(g))
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
   /** ST_ASWKB / ST_ASBINARY. */
   case class StAsWkb(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -715,6 +778,8 @@ object spatial {
       "st_pointfromgeohash" -> (es => StPointFromGeoHash(es.head)),
       "st_numinteriorring" -> (es => GeomIntOp(es.head, "numinteriorrings")),
       "st_isclosed" -> (es => StIsClosed(es.head)),
+      "st_asgeojson" -> (es => StAsGeoJson(es.head)),
+      "st_geomfromgeojson" -> (es => StFromGeoJson(es.head)),
       "st_aswkb" -> (es => StAsWkb(es.head)),
       "st_asbinary" -> (es => StAsWkb(es.head)),
       "st_geomfromwkb" -> (es => StFromWkb(es.head, null)),

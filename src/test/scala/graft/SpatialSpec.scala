@@ -154,6 +154,23 @@ class SpatialSpec extends AnyFunSuite {
     assert(one[Any](sp.stGeomFromText(lit("POINT(1 2)"))) != null)
   }
 
+  test("GeoJSON round-trips through st_asgeojson / st_geomfromgeojson") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT st_asgeojson('POINT(1.5 -2)') AS pj,
+               st_geomfromgeojson(st_asgeojson('LINESTRING(0 0, 3 4)')) AS l,
+               st_geomfromgeojson(st_asgeojson(
+                 'POLYGON((0 0,2 0,2 2,0 2,0 0))')) AS poly,
+               st_geomfromgeojson('{"type":"Point","coordinates":[7,9]}') AS p,
+               st_geomfromgeojson('{"type":"Nope","coordinates":[]}') AS bad""")
+      .collect()(0)
+    assert(r.getString(0) == """{"type":"Point","coordinates":[1.5,-2]}""")
+    assert(r.getString(1) == "LINESTRING(0 0,3 4)")
+    assert(r.getString(2) == "POLYGON((0 0,2 0,2 2,0 2,0 0))")
+    assert(r.getString(3) == "POINT(7 9)")
+    assert(r.isNullAt(4))
+  }
+
   test("SQL registration exposes st_* on the session") {
     val e = new Engine(spark)
     val r = e.query(
