@@ -202,6 +202,83 @@ object Similarity {
               SELECT probe, cent, neighbor, rk FROM scored WHERE rk <= 3
               ORDER BY probe, rk""")),
 
+    // ---- IVF search at nprobe=2: the recall dial of a real IVF index.
+    //      Corpus vectors keep their single nearest list; each PROBE
+    //      searches its 2 nearest centroids' lists (rank<=2 over the
+    //      broadcast centroid set), doubling candidates scanned for
+    //      higher recall while still pruning ~k/nprobe of the corpus.
+    //      Plan shape: one extra row per probe, same equi-join on cent.
+    QueryDef(
+      "sim_ivf_nprobe",
+      (s, d) => {
+        import graft.functions.{vector => gvec}
+        val e = emb(s, d)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val dists = e.select(col("vec_id"), col("v"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            gvec.vecL2Sq(col("v"), col("cv")).as("d2"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2"), col("cent_id"))
+        val ranked = dists.withColumn("crk", row_number().over(wAssign))
+        val corpusAssign = ranked.filter(col("crk") === 1)
+          .select(col("vec_id"), col("cent_id").as("cent"))
+        val probeAssign = ranked.filter(col("crk") <= 2)
+          .select(col("vec_id"), col("cent_id").as("cent"))
+        val probes = e.filter(col("vec_id") < 5)
+          .join(probeAssign, Seq("vec_id"))
+          .select(col("vec_id").as("probe"), col("v").as("pv"),
+            col("nrm").as("pn"), col("cent"))
+        val corpus = e.filter(col("vec_id") >= 5)
+          .join(corpusAssign, Seq("vec_id"))
+          .select(col("vec_id").as("neighbor"), col("v").as("nv_v"),
+            col("nrm").as("nn"), col("cent"))
+        val scored = corpus.join(broadcast(probes), Seq("cent"))
+          .select(col("probe"), col("neighbor"),
+            (gvec.vecDot(col("pv"), col("nv_v")) / (col("pn") * col("nn")))
+              .as("cos"))
+          .distinct() // a neighbor reachable via both probed lists counts once
+        val w = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("neighbor"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("probe"), col("neighbor"), col("rk"))
+          .orderBy(col("probe"), col("rk"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              nv AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              cents AS (
+                SELECT vec_id AS cent_id, v AS cv FROM nv WHERE vec_id < 8),
+              ranked AS (
+                SELECT n.vec_id, c.cent_id,
+                  row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                    list_sum(list_transform(list_zip(n.v, c.cv),
+                      z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS crk
+                FROM nv n CROSS JOIN cents c),
+              corpus AS (
+                SELECT nv.vec_id AS neighbor, nv.v, nv.nrm, r.cent_id AS cent
+                FROM nv JOIN ranked r ON nv.vec_id = r.vec_id AND r.crk = 1
+                WHERE nv.vec_id >= 5),
+              probes AS (
+                SELECT nv.vec_id AS probe, nv.v, nv.nrm, r.cent_id AS cent
+                FROM nv JOIN ranked r ON nv.vec_id = r.vec_id AND r.crk <= 2
+                WHERE nv.vec_id < 5),
+              scored AS (
+                SELECT DISTINCT p.probe, c.neighbor,
+                  list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
+                FROM probes p JOIN corpus c ON p.cent = c.cent),
+              top AS (
+                SELECT probe, neighbor,
+                  row_number() OVER (PARTITION BY probe
+                    ORDER BY cos DESC, neighbor) AS rk
+                FROM scored)
+              SELECT probe, neighbor, rk FROM top WHERE rk <= 3
+              ORDER BY probe, rk""")),
+
     // ---- vector distance functions (reference vec_distance family):
     //      euclidean, squared-L2, cosine distance vs a constant query vector
     QueryDef(

@@ -16,6 +16,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_bruteforce", // exact brute force is the baseline by design
     "sim_ivf",             // centroid assignment: corpus × 8 centroids (broadcast)
     "sim_ivf_kmeans",      // Lloyd assignment: corpus × k centroids (broadcast)
+    "sim_ivf_nprobe",      // centroid assignment: corpus × 8 centroids (broadcast)
     "text_match",          // single aggregated stats row broadcast to the scan
     "dedup_simhash",       // single reference-signature row broadcast (hamming)
     "tpch_q22",            // single aggregated threshold row broadcast
