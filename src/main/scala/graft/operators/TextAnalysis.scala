@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines (north-star
@@ -243,6 +244,79 @@ object TextAnalysis {
                       AS BIGINT) % 100 AS b
                   FROM documents))
               GROUP BY lang, split ORDER BY lang, split""")),
+
+    // ---- MATCH ... AGAINST (... WITH QUERY EXPANSION) — reference
+    //      fulltext.go's third mode: blind relevance feedback. Pass 1
+    //      scores the original terms; the top-5 documents' most frequent
+    //      long tokens (minus the originals and stopwords) become
+    //      expansion terms; pass 2 re-scores with the expanded set. The
+    //      expansion vocabulary is DATA (a 3-row broadcast), so pass 2 is
+    //      an equi-join on token, not a re-planned literal — the shape a
+    //      100 TB expansion needs. Every step is deterministically
+    //      tie-broken, so DuckDB re-derives identical expansion terms.
+    QueryDef(
+      "text_query_expansion",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val toks = split(lower(col("text")), "[^a-z0-9]+")
+        def tf(term: String) = size(filter(toks, w => w === term))
+        val scored = docs.select(col("doc_id"), toks.as("tk"),
+          (tf("data") + tf("learning")).as("rel1"))
+        val wTop = Window.orderBy(col("rel1").desc, col("doc_id"))
+        val topDocs = scored.filter(col("rel1") > 0)
+          .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
+        val stop = stopEn ++ Seq("data", "learning")
+        val expansion = topDocs
+          .select(explode(col("tk")).as("tok"))
+          .filter(length(col("tok")) >= 4 && !col("tok").isInCollection(stop))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .withColumn("trk", row_number().over(
+            Window.orderBy(col("n").desc, col("tok"))))
+          .filter(col("trk") <= 3)
+          .select(col("tok"))
+        val expHits = scored
+          .select(col("doc_id"), explode(col("tk")).as("tok"))
+          .join(broadcast(expansion), Seq("tok"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("rel_exp"))
+        scored.join(expHits, Seq("doc_id"), "left")
+          .na.fill(0, Seq("rel_exp"))
+          .select(col("doc_id"), col("rel1"), col("rel_exp"),
+            (col("rel1") + col("rel_exp")).as("rel_total"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  string_split_regex(lower(text), '[^a-z0-9]+') AS tk
+                FROM documents),
+              scored AS (
+                SELECT doc_id, tk,
+                  CAST(len(list_filter(tk, w -> w = 'data')) AS INT) +
+                  CAST(len(list_filter(tk, w -> w = 'learning')) AS INT)
+                    AS rel1
+                FROM t),
+              top_docs AS (
+                SELECT doc_id, tk FROM (
+                  SELECT doc_id, tk,
+                    row_number() OVER (ORDER BY rel1 DESC, doc_id) AS rk
+                  FROM scored WHERE rel1 > 0) WHERE rk <= 5),
+              expansion AS (
+                SELECT tok FROM (
+                  SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok)
+                    AS trk
+                  FROM (SELECT unnest(tk) AS tok FROM top_docs)
+                  WHERE length(tok) >= 4
+                    AND tok NOT IN ('the','a','of','and','to','data','learning')
+                  GROUP BY tok) WHERE trk <= 3),
+              exp_hits AS (
+                SELECT doc_id, COUNT(*) AS rel_exp
+                FROM (SELECT doc_id, unnest(tk) AS tok FROM scored) x
+                JOIN expansion e ON x.tok = e.tok
+                GROUP BY doc_id)
+              SELECT s.doc_id, s.rel1,
+                CAST(COALESCE(h.rel_exp, 0) AS BIGINT) AS rel_exp,
+                CAST(s.rel1 + COALESCE(h.rel_exp, 0) AS BIGINT) AS rel_total
+              FROM scored s LEFT JOIN exp_hits h ON s.doc_id = h.doc_id
+              ORDER BY s.doc_id""")),
 
     // ---- MATCH ... AGAINST ('...' IN BOOLEAN MODE) — reference
     //      sql/fulltext/fulltext.go + sql/expression/matchagainst.go
