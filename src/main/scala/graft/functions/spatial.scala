@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, IsNotNull, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -497,6 +497,93 @@ object spatial {
     override protected def withNewChildInternal(nc: Expression) = copy(nc)
   }
 
+  /** ST_CENTROID: polygon = area-weighted ring centroid (shoelace
+    * moments, outer ring); linestring = length-weighted midpoint;
+    * point = itself (reference spatial/st_centroid). */
+  case class StCentroid(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val g = parseGeom(v.asInstanceOf[UTF8String].toString)
+      if (g == null) return null
+      val c: (Double, Double) = g match {
+        case GPoint(px, py) => (px, py)
+        case GLine(p) =>
+          var len = 0.0; var cx = 0.0; var cy = 0.0
+          p.sliding(2).foreach { case Array(a, b) =>
+            val l = math.hypot(b._1 - a._1, b._2 - a._2)
+            len += l
+            cx += l * (a._1 + b._1) / 2; cy += l * (a._2 + b._2) / 2
+          }
+          if (len == 0) (p.head._1, p.head._2) else (cx / len, cy / len)
+        case GPoly(rings) =>
+          val r = rings.head
+          var a2 = 0.0; var cx = 0.0; var cy = 0.0
+          var i = 0
+          while (i < r.length - 1) {
+            val cross = r(i)._1 * r(i + 1)._2 - r(i + 1)._1 * r(i)._2
+            a2 += cross
+            cx += (r(i)._1 + r(i + 1)._1) * cross
+            cy += (r(i)._2 + r(i + 1)._2) * cross
+            i += 1
+          }
+          if (a2 == 0) (r.head._1, r.head._2) else (cx / (3 * a2), cy / (3 * a2))
+      }
+      UTF8String.fromString(toWkt(GPoint(c._1, c._2)))
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** ST_PERIMETER: sum of all ring lengths (polygon only). */
+  case class StPerimeter(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      parseGeom(v.asInstanceOf[UTF8String].toString) match {
+        case GPoly(rings) =>
+          rings.map(r => r.sliding(2).map { case Array(a, b) =>
+            math.hypot(b._1 - a._1, b._2 - a._2)
+          }.sum).sum
+        case _ => null
+      }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** ST_EQUALS on canonical geometry (exact coordinates). */
+  case class StEquals(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val g1 = parseGeom(a.asInstanceOf[UTF8String].toString)
+      val g2 = parseGeom(b.asInstanceOf[UTF8String].toString)
+      if (g1 == null || g2 == null) null else toWkt(g1) == toWkt(g2)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** ST_INTERIORRINGN(polygon, n) — 1-based hole accessor. */
+  case class StInteriorRingN(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val n = b match {
+        case i: Int => i; case l: Long => l.toInt; case o => o.toString.toInt
+      }
+      parseGeom(a.asInstanceOf[UTF8String].toString) match {
+        case GPoly(rings) if n >= 1 && n < rings.length =>
+          UTF8String.fromString(toWkt(GLine(rings(n))))
+        case _ => null
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
   /** ST_ISCLOSED(linestring): first point equals last. */
   case class StIsClosed(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -778,6 +865,15 @@ object spatial {
       "st_pointfromgeohash" -> (es => StPointFromGeoHash(es.head)),
       "st_numinteriorring" -> (es => GeomIntOp(es.head, "numinteriorrings")),
       "st_isclosed" -> (es => StIsClosed(es.head)),
+      "st_centroid" -> (es => StCentroid(es.head)),
+      "st_perimeter" -> (es => StPerimeter(es.head)),
+      "st_equal" -> (es => StEquals(es(0), es(1))),
+      "st_equals" -> (es => StEquals(es(0), es(1))),
+      "st_interiorringn" -> (es => StInteriorRingN(es(0), es(1))),
+      // validation: NULL for malformed WKT, else canonical form; our
+      // parser only admits simple geometries, so valid => simple
+      "st_validate" -> (es => StGeomFromText(es.head)),
+      "st_issimple" -> (es => IsNotNull(StGeomFromText(es.head))),
       "st_asgeojson" -> (es => StAsGeoJson(es.head)),
       "st_geomfromgeojson" -> (es => StFromGeoJson(es.head)),
       "st_aswkb" -> (es => StAsWkb(es.head)),

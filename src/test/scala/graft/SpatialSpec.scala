@@ -154,6 +154,30 @@ class SpatialSpec extends AnyFunSuite {
     assert(one[Any](sp.stGeomFromText(lit("POINT(1 2)"))) != null)
   }
 
+  test("centroid / perimeter / equals / interiorringn / validate") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT st_centroid('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))') AS c_sq,
+               st_centroid('LINESTRING(0 0, 4 0)') AS c_ln,
+               st_centroid('POINT(2 3)') AS c_pt,
+               st_perimeter('POLYGON((0 0, 3 0, 3 4, 0 4, 0 0))') AS per,
+               st_equals('point( 1 2 )', 'POINT(1 2)') AS eq_t,
+               st_equals('POINT(1 2)', 'POINT(2 1)') AS eq_f,
+               st_interiorringn(
+                 'POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))', 1)
+                 AS hole,
+               st_validate('POLYGON((0 0, 1 0, 1 1))') AS invalid,
+               st_issimple('POINT(1 1)') AS simple""").collect()(0)
+    assert(r.getString(0) == "POINT(2 2)")
+    assert(r.getString(1) == "POINT(2 0)")
+    assert(r.getString(2) == "POINT(2 3)")
+    assert(r.getDouble(3) == 14.0)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getString(6) == "LINESTRING(1 1,2 1,2 2,1 2,1 1)")
+    assert(r.isNullAt(7))
+    assert(r.getBoolean(8))
+  }
+
   test("GeoJSON round-trips through st_asgeojson / st_geomfromgeojson") {
     val e = new Engine(spark)
     val r = e.query(
