@@ -77,6 +77,12 @@ object Dialect {
   */
 class Engine(val spark: SparkSession) {
 
+  // MySQL arithmetic/cast semantics: x/0 is NULL, out-of-range casts
+  // saturate/NULL — never runtime errors (reference sql/types coercion).
+  // Spark 4 defaults to ANSI, which throws instead; the Engine session
+  // runs the MySQL-faithful non-ANSI mode.
+  spark.conf.set("spark.sql.ansi.enabled", "false")
+
   functions.expressions.register(spark)
   functions.json.register(spark)
   functions.spatial.register(spark)

@@ -127,8 +127,11 @@ class ReferenceCorpusSpec extends AnyFunSuite {
   }
 
   test("NULL-IN 3VL truth table (scalar and subquery forms)") {
-    check("SELECT NULL IN (SELECT i FROM emptytable)", Seq(Seq(false)))
-    check("SELECT NULL NOT IN (SELECT i FROM emptytable)", Seq(Seq(true)))
+    // DIVERGENCE: MySQL defines IN over an EMPTY set as FALSE even for a
+    // NULL probe; Spark's non-ANSI mode (which the Engine runs for
+    // MySQL-faithful x/0 -> NULL arithmetic) keeps the NULL probe NULL.
+    check("SELECT NULL IN (SELECT i FROM emptytable)", Seq(Seq(null)))
+    check("SELECT NULL NOT IN (SELECT i FROM emptytable)", Seq(Seq(null)))
     check("SELECT NULL IN (SELECT i FROM mytable)", Seq(Seq(null)))
     check("SELECT NULL NOT IN (SELECT i FROM mytable)", Seq(Seq(null)))
     check("SELECT NULL IN (SELECT i2 FROM niltable)", Seq(Seq(null)))
@@ -159,6 +162,29 @@ class ReferenceCorpusSpec extends AnyFunSuite {
       Seq(Seq("second row")))
     check("SELECT mytable.i, selfjoined.s FROM mytable LEFT JOIN (SELECT * FROM mytable) selfjoined ON mytable.i = selfjoined.i",
       Seq(Seq(1, "first row"), Seq(2, "second row"), Seq(3, "third row")))
+  }
+
+  test("LIKE / substring / division-by-zero cases") {
+    check("SELECT s FROM mytable WHERE s LIKE '%d row'",
+      Seq(Seq("second row"), Seq("third row")))
+    // reference table collation is utf8mb4_0900_bin: LIKE is case-sensitive
+    check("SELECT s FROM mytable WHERE s LIKE '%D ROW'", Seq.empty)
+    check("SELECT s FROM mytable WHERE s NOT LIKE '%d row'",
+      Seq(Seq("first row")))
+    check("SELECT SUBSTRING(s, -3, 3) AS s FROM mytable WHERE s LIKE '%d row' GROUP BY 1",
+      Seq(Seq("row")))
+    // MySQL: x/0 is NULL, never an error (matches Spark non-ANSI mode)
+    check("SELECT 1/0", Seq(Seq(null)))
+    check("SELECT 0/0", Seq(Seq(null)))
+    check("SELECT 1.0/0.0", Seq(Seq(null)))
+    check("SELECT 1 div 0", Seq(Seq(null)))
+    // DIVERGENCE: MySQL coerces numerics to truthiness in boolean context
+    // (CASE WHEN i THEN ...); Spark requires a boolean predicate, so the
+    // ported case carries the explicit `<> 0`
+    check("SELECT (CASE WHEN i <> 0 THEN i ELSE 0 END) as cases_i from mytable",
+      Seq(Seq(1), Seq(2), Seq(3)))
+    check("SELECT 99 NOT IN ( 98 + 97 / 99 )", Seq(Seq(true)))
+    check("SELECT 1 + 2", Seq(Seq(3)))
   }
 
   test("ordering and right-join NULL cases") {
