@@ -14,6 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `# comment`                -> `-- comment`
   *  - `STRAIGHT_JOIN`            -> `JOIN` (ordering is Catalyst's job)
   *  - `SQL_CALC_FOUND_ROWS`      -> dropped (session feature, descoped)
+  *  - `GROUP_CONCAT(DISTINCT x ORDER BY x SEPARATOR s)` -> `listagg`
+  *    (token pass, SqlRewrite.groupConcat)
+  *  - `a XOR b` -> `(((a) <> 0) != ((b) <> 0))` with MySQL numeric
+  *    truthiness (token pass, SqlRewrite.xor)
   *
   * The rewriter is literal-aware: nothing inside '...', "..." or `...`
   * is touched.
@@ -25,13 +29,18 @@ object Dialect {
       .replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
       .replaceAll("(?i)\\bSTRAIGHT_JOIN\\b", "JOIN")
       .replaceAll("(?i)\\bSQL_CALC_FOUND_ROWS\\b", "")
-      // MySQL logical XOR (boolean operands); Spark SQL has no XOR keyword
-      .replaceAll("(?i)\\bXOR\\b", "!=")
       // `t AS OF n` resolves to the Engine.snapshot-pinned view
       .replaceAll("(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+OF\\s+(\\d+)",
         "$1__asof_$2")
 
   def rewrite(sql: String): String = {
+    // token-level passes first (each is literal-aware on its own):
+    // GROUP_CONCAT(...SEPARATOR...) -> listagg, then MySQL XOR truthiness
+    val pre = SqlRewrite.xor(SqlRewrite.groupConcat(sql))
+    rewriteLiteralAware(pre)
+  }
+
+  private def rewriteLiteralAware(sql: String): String = {
     val out = new StringBuilder
     val code = new StringBuilder // non-literal run awaiting regex rewrites
     def flushCode(): Unit = { out.append(rewriteCode(code.result())); code.clear() }
@@ -82,6 +91,10 @@ class Engine(val spark: SparkSession) {
   // Spark 4 defaults to ANSI, which throws instead; the Engine session
   // runs the MySQL-faithful non-ANSI mode.
   spark.conf.set("spark.sql.ansi.enabled", "false")
+  // MySQL JSON_OBJECTAGG keeps the LAST value for a duplicate key
+  // (reference sql/expression/function/aggregation/json_agg.go); Spark's
+  // default duplicate-map-key policy is EXCEPTION.
+  spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
   functions.expressions.register(spark)
   functions.json.register(spark)
@@ -118,7 +131,20 @@ class Engine(val spark: SparkSession) {
     * intercepted and driven through the RecursiveCte working-table loop. */
   def query(sql: String): DataFrame = {
     val rewritten = substituteVars(Dialect.rewrite(sql))
-    plans.RecursiveSql.run(spark, rewritten).getOrElse(spark.sql(rewritten))
+    plans.RecursiveSql.run(spark, rewritten).getOrElse {
+      try spark.sql(rewritten)
+      catch {
+        // MySQL numeric truthiness (reference sql/expression/boolean.go):
+        // WHERE 1, HAVING cnt, CASE WHEN i THEN … — Spark rejects
+        // non-boolean predicates, so retry once with ((atom) <> 0)
+        // wrapping. Retry-only: well-typed queries never pay the rewrite.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("DATATYPE_MISMATCH") &&
+               e.getMessage.toUpperCase.contains("BOOLEAN") =>
+          val wrapped = SqlRewrite.truthy(rewritten)
+          if (wrapped == rewritten) throw e else spark.sql(wrapped)
+      }
+    }
   }
 
   /** Run a multi-statement script (reference ScriptTest shape:

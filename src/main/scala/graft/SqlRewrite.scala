@@ -1,0 +1,355 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Token-level MySQL-dialect rewrites that regexes cannot express safely
+  * (reference: the vitess grammar handles these natively —
+  * sql/planbuilder/aggregates.go GROUP_CONCAT clause,
+  * sql/expression/logic.go XOR truthiness, sql/expression/boolean.go
+  * numeric-as-boolean coercion). Spark-first answer: rewrite the SQL text
+  * into forms Catalyst parses, leaving everything else byte-identical.
+  *
+  * The tokenizer is literal-aware ('…', "…", `…`, -- and # comments) and
+  * every pass splices replacements back by source offset, so untouched
+  * text survives verbatim.
+  */
+object SqlRewrite {
+
+  sealed trait Kind
+  case object Word extends Kind    // identifier / keyword / number / @var
+  case object Lit extends Kind     // quoted literal (any quote style)
+  case object Sym extends Kind     // operator / punctuation
+
+  final case class Tok(kind: Kind, text: String, start: Int, end: Int) {
+    def isWord(s: String): Boolean = kind == Word && text.equalsIgnoreCase(s)
+  }
+
+  def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    def isWordChar(c: Char) =
+      c.isLetterOrDigit || c == '_' || c == '@' || c == '.' || c == '$'
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"' || c == '`') {
+        val start = i; i += 1
+        while (i < n && (sql.charAt(i) != c ||
+               (i + 1 < n && sql.charAt(i + 1) == c && { i += 1; true }))) i += 1
+        i = math.min(i + 1, n)
+        out += Tok(Lit, sql.substring(start, i), start, i)
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1 // comment: not a token
+      } else if (c == '#') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (isWordChar(c)) {
+        val start = i
+        while (i < n && isWordChar(sql.charAt(i))) i += 1
+        out += Tok(Word, sql.substring(start, i), start, i)
+      } else {
+        // greedy multi-char operators so `<=>`, `<>`, `!=`, `>=` stay whole
+        val ops = Seq("<=>", "<<", ">>", "<>", "!=", "<=", ">=", ":=", "||", "&&")
+        val m = ops.find(op => sql.startsWith(op, i))
+        val len = m.map(_.length).getOrElse(1)
+        out += Tok(Sym, sql.substring(i, i + len), i, i + len)
+        i += len
+      }
+    }
+    out.result()
+  }
+
+  /** Apply (start, end, replacement) patches to the original text. */
+  private def splice(sql: String, patches: Seq[(Int, Int, String)]): String = {
+    val sorted = patches.sortBy(_._1)
+    val sb = new StringBuilder
+    var pos = 0
+    sorted.foreach { case (s, e, r) =>
+      sb.append(sql.substring(pos, s)).append(r); pos = e
+    }
+    sb.append(sql.substring(pos)).result()
+  }
+
+  // ---- GROUP_CONCAT( [DISTINCT] expr[, expr…] [ORDER BY …] [SEPARATOR 'x'] )
+  //      -> listagg([DISTINCT] expr, 'x') [WITHIN GROUP (ORDER BY …)]
+  //      (reference sql/expression/function/aggregation/group_concat.go:26)
+
+  def groupConcat(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    var idx = 0
+    while (idx < toks.length) {
+      if (toks(idx).isWord("group_concat") && idx + 1 < toks.length &&
+          toks(idx + 1).text == "(") {
+        val open = idx + 1
+        var depth = 0
+        var close = open
+        var j = open
+        var found = false
+        while (j < toks.length && !found) {
+          toks(j).text match {
+            case "(" => depth += 1
+            case ")" => depth -= 1; if (depth == 0) { close = j; found = true }
+            case _ =>
+          }
+          j += 1
+        }
+        if (found) {
+          val inner = toks.slice(open + 1, close)
+          // top-level keyword positions within the call body
+          var d = 0
+          var orderAt = -1; var sepAt = -1
+          inner.zipWithIndex.foreach { case (t, k) =>
+            t.text match {
+              case "(" => d += 1
+              case ")" => d -= 1
+              case _ if d == 0 =>
+                if (t.isWord("order") && orderAt < 0 && sepAt < 0 &&
+                    k + 1 < inner.length && inner(k + 1).isWord("by")) orderAt = k
+                else if (t.isWord("separator") && sepAt < 0) sepAt = k
+              case _ =>
+            }
+            d = math.max(d, 0)
+          }
+          val exprEnd = if (orderAt >= 0) orderAt else if (sepAt >= 0) sepAt else inner.length
+          val distinct = inner.nonEmpty && inner.head.isWord("distinct")
+          val exprFrom = if (distinct) 1 else 0
+          def span(from: Int, until: Int): String =
+            if (from >= until) ""
+            else sql.substring(inner(from).start, inner(until - 1).end)
+          val exprToks = inner.slice(exprFrom, exprEnd)
+          val hasTopComma = {
+            var dd = 0; var comma = false
+            exprToks.foreach { t =>
+              t.text match {
+                case "(" => dd += 1
+                case ")" => dd -= 1
+                case "," if dd == 0 => comma = true
+                case _ =>
+              }
+            }
+            comma
+          }
+          val exprSql0 = span(exprFrom, exprEnd)
+          val exprSql = if (hasTopComma) s"concat($exprSql0)" else exprSql0
+          val sep =
+            if (sepAt >= 0) span(sepAt + 1, if (orderAt > sepAt) orderAt else inner.length)
+            else "','"
+          val order =
+            if (orderAt >= 0)
+              span(orderAt + 2, if (sepAt > orderAt) sepAt else inner.length)
+            else ""
+          val dkw = if (distinct) "DISTINCT " else ""
+          val within = if (order.nonEmpty) s" WITHIN GROUP (ORDER BY $order)" else ""
+          patches += ((toks(idx).start, toks(close).end,
+            s"listagg($dkw$exprSql, $sep)$within"))
+          idx = close
+        }
+      }
+      idx += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  // ---- a XOR b -> (((a) <> 0) != ((b) <> 0)) with MySQL truthiness
+  //      (reference sql/expression/logic.go — Xor evaluates operand truth
+  //      values; precedence OR < XOR < AND, so operand scans stop only at
+  //      OR/XOR/clause boundaries and unbalanced parens/commas)
+
+  private val clauseStops: Set[String] = Set(
+    "select", "from", "where", "when", "then", "else", "end", "on", "group",
+    "order", "by", "having", "limit", "offset", "union", "intersect",
+    "except", "case", "join", "values", "set", "as", "asc", "desc", "or",
+    "xor", "distinct", "all", "between", "and")
+  // AND binds tighter than XOR so it belongs to the operand — EXCEPT when it
+  // closes a BETWEEN. Tracking BETWEEN..AND pairing token-wise is fragile;
+  // operands containing AND keep working because `bool <> 0` folds back to
+  // the boolean (TypeCoercion BooleanEquality). Stopping at AND/BETWEEN is
+  // the conservative, always-correct-for-truthiness choice: it narrows the
+  // operand but `x AND (a XOR b)` keeps MySQL semantics since AND of
+  // booleans is unchanged.
+
+  def xor(sql: String): String = {
+    var text = sql
+    var guard = 0
+    while (guard < 32) {
+      val toks = tokenize(text)
+      val at = toks.indexWhere(_.isWord("xor"))
+      if (at < 0) return text
+      // left operand: walk back
+      var i = at - 1
+      var depth = 0
+      var leftStart = -1
+      var stop = false
+      while (i >= 0 && !stop) {
+        val t = toks(i)
+        t.text match {
+          case ")" => depth += 1
+          case "(" if depth == 0 => stop = true
+          case "(" => depth -= 1
+          case "," | ";" if depth == 0 => stop = true
+          case w if depth == 0 && t.kind == Word && clauseStops(w.toLowerCase) =>
+            stop = true
+          case _ =>
+        }
+        if (!stop) { leftStart = i; i -= 1 }
+      }
+      // right operand: walk forward
+      var j = at + 1
+      depth = 0
+      var rightEnd = -1
+      stop = false
+      while (j < toks.length && !stop) {
+        val t = toks(j)
+        t.text match {
+          case "(" => depth += 1
+          case ")" if depth == 0 => stop = true
+          case ")" => depth -= 1
+          case "," | ";" if depth == 0 => stop = true
+          case w if depth == 0 && t.kind == Word && clauseStops(w.toLowerCase) =>
+            stop = true
+          case _ =>
+        }
+        if (!stop) { rightEnd = j; j += 1 }
+      }
+      require(leftStart >= 0 && rightEnd >= 0, s"XOR operand scan failed: $text")
+      val l = text.substring(toks(leftStart).start, toks(at - 1).end)
+      val r = text.substring(toks(at + 1).start, toks(rightEnd).end)
+      text = text.substring(0, toks(leftStart).start) +
+        s"((($l) <> 0) != (($r) <> 0))" + text.substring(toks(rightEnd).end)
+      guard += 1
+    }
+    text
+  }
+
+  // ---- truthiness pass (retry-only): wrap non-comparison atoms of
+  //      WHERE / HAVING / searched-CASE WHEN bodies in ((atom) <> 0).
+  //      MySQL treats any numeric as a truth value (reference
+  //      sql/expression/boolean.go); Spark requires BOOLEAN predicates.
+  //      Engine.query retries through this pass when analysis fails with
+  //      DATATYPE_MISMATCH on a boolean context, so green queries never
+  //      pay the extra wrapping.
+
+  private val comparisonWords = Set("is", "like", "rlike", "regexp", "in",
+    "between", "exists", "not")
+  private val boolEnd = Set("then", "group", "order", "having", "limit",
+    "offset", "union", "intersect", "except", "window", "else", "end",
+    "when", "qualify")
+
+  def truthy(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    // CASE kind stack: decide whether a WHEN belongs to a searched CASE
+    val caseStack = scala.collection.mutable.Stack.empty[Boolean] // true = searched
+    var idx = 0
+    while (idx < toks.length) {
+      val t = toks(idx)
+      if (t.isWord("case"))
+        caseStack.push(idx + 1 < toks.length && toks(idx + 1).isWord("when"))
+      else if (t.isWord("end") && caseStack.nonEmpty) caseStack.pop()
+
+      val isBoolCtx =
+        t.isWord("where") || t.isWord("having") ||
+        (t.isWord("when") && caseStack.nonEmpty && caseStack.top)
+      if (isBoolCtx) {
+        // span until next top-level clause keyword / unbalanced ')' / ';'
+        var j = idx + 1
+        var depth = 0
+        var last = idx
+        var stop = false
+        while (j < toks.length && !stop) {
+          val u = toks(j)
+          u.text match {
+            case "(" => depth += 1
+            case ")" if depth == 0 => stop = true
+            case ")" => depth -= 1
+            case ";" if depth == 0 => stop = true
+            case w if depth == 0 && u.kind == Word && boolEnd(w.toLowerCase) =>
+              stop = true
+            case _ =>
+          }
+          if (!stop) { last = j; j += 1 }
+        }
+        if (last > idx) wrapAtoms(sql, toks.slice(idx + 1, last + 1), patches)
+        idx = last
+      }
+      idx += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** Split a boolean-context token span on top-level AND/OR/NOT and wrap
+    * each atom that has no top-level comparison in ((atom) <> 0). */
+  private def wrapAtoms(sql: String, span: Vector[Tok],
+                        patches: ArrayBuffer[(Int, Int, String)]): Unit = {
+    if (span.isEmpty) return
+    // fully parenthesized? strip and recurse
+    if (span.head.text == "(" && span.last.text == ")") {
+      var d = 0
+      val closesEarly = span.init.zipWithIndex.exists { case (t, k) =>
+        t.text match {
+          case "(" => d += 1; false
+          case ")" => d -= 1; d == 0 && k < span.length - 1
+          case _ => false
+        }
+      }
+      if (!closesEarly) return wrapAtoms(sql, span.slice(1, span.length - 1), patches)
+    }
+    var depth = 0
+    var atomStart = 0
+    var betweenDepth = 0 // BETWEEN … AND pairing: that AND is not a split
+    val splits = ArrayBuffer.empty[(Int, Int)] // atom [from, until)
+    span.zipWithIndex.foreach { case (t, k) =>
+      t.text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && t.kind == Word =>
+          t.text.toLowerCase match {
+            case "between" => betweenDepth += 1
+            case "and" if betweenDepth > 0 => betweenDepth -= 1
+            case "and" | "or" =>
+              splits += ((atomStart, k)); atomStart = k + 1
+            case "not" if k == atomStart => atomStart = k + 1 // NOT prefix
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    splits += ((atomStart, span.length))
+    splits.foreach { case (from, until) =>
+      if (from < until) {
+        val atom = span.slice(from, until)
+        val hasComparison = {
+          var d = 0
+          atom.exists { t =>
+            t.text match {
+              case "(" => d += 1; false
+              case ")" => d -= 1; false
+              case _ if d == 0 =>
+                (t.kind == Sym && Set("=", "<", ">", "<>", "!=", "<=", ">=",
+                  "<=>")(t.text)) ||
+                (t.kind == Word && comparisonWords(t.text.toLowerCase))
+              case _ => false
+            }
+          }
+        }
+        // single parenthesized group (e.g. `(a OR b)`): recurse inside
+        val isParenGroup = atom.head.text == "(" && atom.last.text == ")" && {
+          var d = 0
+          !atom.init.zipWithIndex.exists { case (t, k) =>
+            t.text match {
+              case "(" => d += 1; false
+              case ")" => d -= 1; d == 0 && k < atom.length - 1
+              case _ => false
+            }
+          }
+        }
+        if (isParenGroup) wrapAtoms(sql, atom.slice(1, atom.length - 1), patches)
+        else if (!hasComparison) {
+          val s = atom.head.start; val e = atom.last.end
+          patches += ((s, e, s"((${sql.substring(s, e)}) <> 0)"))
+        }
+      }
+    }
+  }
+}

@@ -278,12 +278,41 @@ object MiscFns {
         |  THEN 25 ELSE 0 END END""".stripMargin),
     "database" -> tmpl("current_database()"),
     "schema" -> tmpl("current_database()"),
+    // session-info stubs (reference registry.go: connection_id, user,
+    // current_user, version, found_rows, row_count, last_insert_id,
+    // uuid_short — SURVEY §2.8 "driver-side constants / stub"). An
+    // embedded analytics session has one connection and no DML counters,
+    // so the MySQL-protocol answers are constants; version is pinned to
+    // the compatibility target so client libraries probing
+    // `SELECT version()` keep working.
+    "version" -> tmpl("'8.0.33-graft'"),
+    "connection_id" -> tmpl("CAST(1 AS BIGINT)"),
+    "user" -> tmpl("'root@localhost'"),
+    "current_user" -> tmpl("'root@localhost'"),
+    "session_user" -> tmpl("'root@localhost'"),
+    "system_user" -> tmpl("'root@localhost'"),
+    "found_rows" -> tmpl("CAST(0 AS BIGINT)"),
+    "row_count" -> tmpl("CAST(-1 AS BIGINT)"),
+    "last_insert_id" -> tmpl("CAST(0 AS BIGINT)"),
+    "last_insert_uuid" -> tmpl("CAST(NULL AS STRING)"),
+    // 64-bit pseudo-unique id (MySQL composes server_id + epoch + counter;
+    // an embedded session derives it from a v4 uuid instead)
+    "uuid_short" -> tmpl(
+      "CAST(conv(substring(replace(uuid(), '-', ''), 1, 15), 16, 10) AS BIGINT)"),
     // GROUP_CONCAT via Spark 4's listagg aggregate; MySQL's default
     // separator is ',' (ordering, as in MySQL, needs an explicit
-    // WITHIN GROUP / ORDER BY to be deterministic)
+    // WITHIN GROUP / ORDER BY to be deterministic). The MySQL clause forms
+    // (DISTINCT / ORDER BY / SEPARATOR) arrive pre-rewritten to listagg by
+    // SqlRewrite.groupConcat; this entry covers the bare call.
     "group_concat" -> (es =>
       if (es.length == 1) tmpl("listagg(__arg0, ',')")(es)
       else tmpl("listagg(__arg0, __arg1)")(es)),
+    // JSON aggregates (reference aggregation/unary_aggs.og.go:566 JSON_ARRAYAGG,
+    // json_agg.go JSON_OBJECTAGG — duplicate keys keep the last value, which
+    // the Engine session pins via spark.sql.mapKeyDedupPolicy=LAST_WIN)
+    "json_arrayagg" -> tmpl("to_json(collect_list(__arg0))"),
+    "json_objectagg" -> tmpl(
+      "to_json(map_from_entries(collect_list(struct(__arg0, __arg1))))"),
     // MySQL LEAST/GREATEST return NULL when ANY argument is NULL
     // (reference function/greatest.go); Spark's builtins skip NULLs, so
     // the session registry overrides them with the propagating form.
