@@ -51,8 +51,12 @@ object Dialect {
         case q @ ('\'' | '"' | '`') => // copy quoted literal verbatim
           flushCode()
           val start = i; i += 1
+          // doubled-quote + backslash escapes ('it\'s'), as in SqlRewrite.tokenize
           while (i < n && (sql.charAt(i) != q ||
-                 (i + 1 < n && sql.charAt(i + 1) == q && { i += 1; true }))) i += 1
+                 (i + 1 < n && sql.charAt(i + 1) == q && { i += 1; true }))) {
+            if (sql.charAt(i) == '\\' && q != '`' && i + 1 < n) i += 1
+            i += 1
+          }
           i = math.min(i + 1, n)
           out.append(sql.substring(start, i))
         case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => // -- comment
@@ -163,7 +167,10 @@ class Engine(val spark: SparkSession) {
         case q @ ('\'' | '"' | '`') =>
           val start = i; i += 1
           while (i < n && (script.charAt(i) != q ||
-                 (i + 1 < n && script.charAt(i + 1) == q && { i += 1; true }))) i += 1
+                 (i + 1 < n && script.charAt(i + 1) == q && { i += 1; true }))) {
+            if (script.charAt(i) == '\\' && q != '`' && i + 1 < n) i += 1
+            i += 1
+          }
           i = math.min(i + 1, n)
           cur.append(script.substring(start, i))
         case ';' => out += cur.result(); cur.clear(); i += 1

@@ -35,8 +35,14 @@ object SqlRewrite {
       if (c.isWhitespace) i += 1
       else if (c == '\'' || c == '"' || c == '`') {
         val start = i; i += 1
+        // doubled-quote escapes everywhere; backslash escapes in '…'/"…"
+        // (MySQL default sql_mode and Spark's parser both honor \') —
+        // backticks have no backslash escape in either dialect
         while (i < n && (sql.charAt(i) != c ||
-               (i + 1 < n && sql.charAt(i + 1) == c && { i += 1; true }))) i += 1
+               (i + 1 < n && sql.charAt(i + 1) == c && { i += 1; true }))) {
+          if (sql.charAt(i) == '\\' && c != '`' && i + 1 < n) i += 1
+          i += 1
+        }
         i = math.min(i + 1, n)
         out += Tok(Lit, sql.substring(start, i), start, i)
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
@@ -160,64 +166,84 @@ object SqlRewrite {
     "select", "from", "where", "when", "then", "else", "end", "on", "group",
     "order", "by", "having", "limit", "offset", "union", "intersect",
     "except", "case", "join", "values", "set", "as", "asc", "desc", "or",
-    "xor", "distinct", "all", "between", "and")
-  // AND binds tighter than XOR so it belongs to the operand — EXCEPT when it
-  // closes a BETWEEN. Tracking BETWEEN..AND pairing token-wise is fragile;
-  // operands containing AND keep working because `bool <> 0` folds back to
-  // the boolean (TypeCoercion BooleanEquality). Stopping at AND/BETWEEN is
-  // the conservative, always-correct-for-truthiness choice: it narrows the
-  // operand but `x AND (a XOR b)` keeps MySQL semantics since AND of
-  // booleans is unchanged.
+    "xor", "distinct", "all")
+  // MySQL precedence: OR < XOR < AND < NOT < BETWEEN/comparison — AND (and
+  // any BETWEEN…AND pair, which sits tighter still) binds tighter than XOR,
+  // so AND-connected conjuncts stay INSIDE the operand span:
+  // `a AND b XOR c` is `(a AND b) XOR c`. Operand scans stop only at
+  // OR/XOR/clause keywords, unbalanced parens, and commas. Boolean operands
+  // keep working after the `<> 0` wrap because TypeCoercion BooleanEquality
+  // folds `bool <> 0` back to the boolean.
+
+  /** Keywords that may legitimately follow a value token inside one operand
+    * expression — anything else in Word position right after a value is an
+    * implicit alias (`SELECT a XOR b x`) and ends the operand. */
+  private val valueConnectors: Set[String] = Set(
+    "and", "not", "is", "null", "true", "false", "unknown", "like", "rlike",
+    "regexp", "in", "between", "div", "mod", "escape", "collate", "sounds",
+    "interval", "microsecond", "second", "minute", "hour", "day", "week",
+    "month", "quarter", "year")
 
   def xor(sql: String): String = {
     var text = sql
-    var guard = 0
-    while (guard < 32) {
+    // each pass rewrites the first XOR token into `!=` form, so the token
+    // count of `xor` strictly decreases — loop until none remain (a fixed
+    // guard would silently hand Spark unparseable leftovers)
+    var remaining = true
+    while (remaining) {
       val toks = tokenize(text)
       val at = toks.indexWhere(_.isWord("xor"))
-      if (at < 0) return text
-      // left operand: walk back
-      var i = at - 1
-      var depth = 0
-      var leftStart = -1
-      var stop = false
-      while (i >= 0 && !stop) {
-        val t = toks(i)
-        t.text match {
-          case ")" => depth += 1
-          case "(" if depth == 0 => stop = true
-          case "(" => depth -= 1
-          case "," | ";" if depth == 0 => stop = true
-          case w if depth == 0 && t.kind == Word && clauseStops(w.toLowerCase) =>
-            stop = true
-          case _ =>
+      if (at < 0) remaining = false
+      else {
+        // left operand: walk back
+        var i = at - 1
+        var depth = 0
+        var leftStart = -1
+        var stop = false
+        while (i >= 0 && !stop) {
+          val t = toks(i)
+          t.text match {
+            case ")" => depth += 1
+            case "(" if depth == 0 => stop = true
+            case "(" => depth -= 1
+            case "," | ";" if depth == 0 => stop = true
+            case w if depth == 0 && t.kind == Word && clauseStops(w.toLowerCase) =>
+              stop = true
+            case _ =>
+          }
+          if (!stop) { leftStart = i; i -= 1 }
         }
-        if (!stop) { leftStart = i; i -= 1 }
-      }
-      // right operand: walk forward
-      var j = at + 1
-      depth = 0
-      var rightEnd = -1
-      stop = false
-      while (j < toks.length && !stop) {
-        val t = toks(j)
-        t.text match {
-          case "(" => depth += 1
-          case ")" if depth == 0 => stop = true
-          case ")" => depth -= 1
-          case "," | ";" if depth == 0 => stop = true
-          case w if depth == 0 && t.kind == Word && clauseStops(w.toLowerCase) =>
-            stop = true
-          case _ =>
+        // right operand: walk forward
+        var j = at + 1
+        depth = 0
+        var rightEnd = -1
+        stop = false
+        while (j < toks.length && !stop) {
+          val t = toks(j)
+          val prev = if (rightEnd >= 0) Some(toks(rightEnd)) else None
+          val prevIsValue = prev.exists(p =>
+            p.kind == Lit || p.text == ")" ||
+            (p.kind == Word && !valueConnectors(p.text.toLowerCase)))
+          t.text match {
+            case "(" => depth += 1
+            case ")" if depth == 0 => stop = true
+            case ")" => depth -= 1
+            case "," | ";" if depth == 0 => stop = true
+            case w if depth == 0 && t.kind == Word && clauseStops(w.toLowerCase) =>
+              stop = true
+            case w if depth == 0 && t.kind == Word && prevIsValue &&
+                !valueConnectors(w.toLowerCase) =>
+              stop = true // implicit alias: two adjacent value Words
+            case _ =>
+          }
+          if (!stop) { rightEnd = j; j += 1 }
         }
-        if (!stop) { rightEnd = j; j += 1 }
+        require(leftStart >= 0 && rightEnd >= 0, s"XOR operand scan failed: $text")
+        val l = text.substring(toks(leftStart).start, toks(at - 1).end)
+        val r = text.substring(toks(at + 1).start, toks(rightEnd).end)
+        text = text.substring(0, toks(leftStart).start) +
+          s"((($l) <> 0) != (($r) <> 0))" + text.substring(toks(rightEnd).end)
       }
-      require(leftStart >= 0 && rightEnd >= 0, s"XOR operand scan failed: $text")
-      val l = text.substring(toks(leftStart).start, toks(at - 1).end)
-      val r = text.substring(toks(at + 1).start, toks(rightEnd).end)
-      text = text.substring(0, toks(leftStart).start) +
-        s"((($l) <> 0) != (($r) <> 0))" + text.substring(toks(rightEnd).end)
-      guard += 1
     }
     text
   }

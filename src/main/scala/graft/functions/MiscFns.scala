@@ -310,7 +310,12 @@ object MiscFns {
     // JSON aggregates (reference aggregation/unary_aggs.og.go:566 JSON_ARRAYAGG,
     // json_agg.go JSON_OBJECTAGG — duplicate keys keep the last value, which
     // the Engine session pins via spark.sql.mapKeyDedupPolicy=LAST_WIN)
-    "json_arrayagg" -> tmpl("to_json(collect_list(__arg0))"),
+    // collect_list drops NULL inputs, but MySQL JSON_ARRAYAGG keeps null
+    // elements (reference aggregation/unary_agg_buffers.go:702 appends nil);
+    // wrapping each value in a struct survives collection, then transform
+    // unwraps so the NULLs render as JSON null
+    "json_arrayagg" -> tmpl(
+      "to_json(transform(collect_list(struct(__arg0 AS v)), s -> s.v))"),
     "json_objectagg" -> tmpl(
       "to_json(map_from_entries(collect_list(struct(__arg0, __arg1))))"),
     // MySQL LEAST/GREATEST return NULL when ANY argument is NULL

@@ -27,9 +27,34 @@ class DialectSpec extends AnyFunSuite {
     val q = "SELECT 'it''s' FROM t LIMIT 1, 2"
     assert(Dialect.rewrite(q) == "SELECT 'it''s' FROM t LIMIT 2 OFFSET 1")
   }
-  test("logical XOR becomes != (boolean 3VL preserved)") {
-    assert(Dialect.rewrite("SELECT a XOR b FROM t") == "SELECT a != b FROM t")
+  test("logical XOR becomes truthiness-wrapped != ") {
+    assert(Dialect.rewrite("SELECT a XOR b FROM t")
+      == "SELECT (((a) <> 0) != ((b) <> 0)) FROM t")
     assert(Dialect.rewrite("SELECT 'a XOR b' FROM t") == "SELECT 'a XOR b' FROM t")
+  }
+  test("XOR precedence: AND binds tighter, conjuncts stay in the operand") {
+    // MySQL parses `a AND b XOR c` as `(a AND b) XOR c`
+    assert(Dialect.rewrite("SELECT a AND b XOR c FROM t")
+      == "SELECT (((a AND b) <> 0) != ((c) <> 0)) FROM t")
+    assert(Dialect.rewrite("SELECT a XOR b AND c FROM t")
+      == "SELECT (((a) <> 0) != ((b AND c) <> 0)) FROM t")
+  }
+  test("XOR after BETWEEN keeps the BETWEEN..AND pair whole") {
+    assert(Dialect.rewrite("SELECT a BETWEEN 1 AND 2 XOR b FROM t")
+      == "SELECT (((a BETWEEN 1 AND 2) <> 0) != ((b) <> 0)) FROM t")
+  }
+  test("XOR chain rewrites every occurrence, left-associative") {
+    val out = Dialect.rewrite("SELECT a XOR b XOR c FROM t")
+    assert(!out.toLowerCase.contains("xor"), out)
+    assert(out == "SELECT ((((((a) <> 0) != ((b) <> 0))) <> 0) != ((c) <> 0)) FROM t")
+  }
+  test("XOR right operand stops at an implicit alias") {
+    assert(Dialect.rewrite("SELECT a XOR b x FROM t")
+      == "SELECT (((a) <> 0) != ((b) <> 0)) x FROM t")
+  }
+  test("backslash-escaped quote does not end a literal") {
+    assert(Dialect.rewrite("SELECT 'it\\'s XOR fine' FROM t LIMIT 1, 2")
+      == "SELECT 'it\\'s XOR fine' FROM t LIMIT 2 OFFSET 1")
   }
 }
 
@@ -248,6 +273,21 @@ class EngineSpec extends AnyFunSuite {
       """SELECT group_concat(r_name, '|') AS gc FROM
          (SELECT r_name FROM region ORDER BY r_name)""")
       .collect()(0).getString(0).split("\\|").sorted.length == 5)
+  }
+
+  test("json_arrayagg keeps NULL elements; json_objectagg last-wins dup keys") {
+    // MySQL JSON_ARRAYAGG([1, NULL, 3]) = [1,null,3] — collect_list alone
+    // would drop the NULL (reference unary_agg_buffers.go:702 appends nil)
+    val arr = engine.query(
+      """SELECT json_arrayagg(v) AS a FROM
+         (SELECT 1 AS v UNION ALL SELECT NULL UNION ALL SELECT 3)""")
+      .collect()(0).getString(0)
+    assert(arr.replaceAll("\\s", "") == "[1,null,3]")
+    val obj = engine.query(
+      """SELECT json_objectagg(k, v) AS o FROM
+         (SELECT 'a' AS k, 1 AS v UNION ALL SELECT 'a', 2)""")
+      .collect()(0).getString(0)
+    assert(obj.replaceAll("\\s", "") == """{"a":2}""")
   }
 
   test("WITH RECURSIVE SQL text drives the working-table loop") {
