@@ -145,8 +145,27 @@ class Engine(val spark: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("DATATYPE_MISMATCH") &&
                e.getMessage.toUpperCase.contains("BOOLEAN") =>
-          val wrapped = SqlRewrite.truthy(rewritten)
-          if (wrapped == rewritten) throw e else spark.sql(wrapped)
+          // iterate: nested boolean contexts (WHERE IF(n,…)) surface one
+          // layer per pass; the text reaches a fixpoint in ≤3 rounds
+          var cur = rewritten
+          var result: DataFrame = null
+          var lastErr: Throwable = e
+          var rounds = 0
+          while (result == null && rounds < 3) {
+            val wrapped = SqlRewrite.truthy(cur)
+            if (wrapped == cur) throw lastErr
+            cur = wrapped
+            try result = spark.sql(cur)
+            catch {
+              case e2: org.apache.spark.sql.AnalysisException
+                  if e2.getMessage.contains("DATATYPE_MISMATCH") &&
+                     e2.getMessage.toUpperCase.contains("BOOLEAN") =>
+                lastErr = e2
+            }
+            rounds += 1
+          }
+          if (result == null) throw lastErr
+          result
       }
     }
   }

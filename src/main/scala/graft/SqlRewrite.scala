@@ -274,6 +274,27 @@ object SqlRewrite {
         caseStack.push(idx + 1 < toks.length && toks(idx + 1).isWord("when"))
       else if (t.isWord("end") && caseStack.nonEmpty) caseStack.pop()
 
+      // IF(cond, a, b): cond is a boolean context (MySQL if() truthiness,
+      // reference sql/expression/function/if.go). Wrap the first top-level
+      // argument only; the value arms keep their types.
+      if (t.isWord("if") && idx + 1 < toks.length && toks(idx + 1).text == "(") {
+        var j = idx + 2
+        var depth = 0
+        var last = idx + 1
+        var stop = false
+        while (j < toks.length && !stop) {
+          toks(j).text match {
+            case "(" => depth += 1
+            case ")" if depth == 0 => stop = true
+            case ")" => depth -= 1
+            case "," if depth == 0 => stop = true
+            case _ =>
+          }
+          if (!stop) { last = j; j += 1 }
+        }
+        if (last >= idx + 2) wrapAtoms(sql, toks.slice(idx + 2, last + 1), patches)
+      }
+
       val isBoolCtx =
         t.isWord("where") || t.isWord("having") ||
         (t.isWord("when") && caseStack.nonEmpty && caseStack.top)
@@ -301,7 +322,16 @@ object SqlRewrite {
       }
       idx += 1
     }
-    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+    // a WHERE/WHEN-span atom patch can fully contain an IF-condition patch
+    // (`WHERE IF(n,1,0)`): splice cannot nest, so keep the outer wrap only —
+    // Engine.query retries truthy until the text reaches a fixpoint, and the
+    // inner condition is caught on the next pass (its enclosing atom then
+    // carries a top-level `<>`).
+    val kept = ArrayBuffer.empty[(Int, Int, String)]
+    patches.sortBy(p => (p._1, -p._2)).foreach { p =>
+      if (!kept.exists(k => p._1 >= k._1 && p._2 <= k._2)) kept += p
+    }
+    if (kept.isEmpty) sql else splice(sql, kept.toSeq)
   }
 
   /** Split a boolean-context token span on top-level AND/OR/NOT and wrap

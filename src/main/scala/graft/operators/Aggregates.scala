@@ -319,6 +319,64 @@ object Aggregates {
                FROM lineitem
                GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
                ORDER BY gid, l_returnflag NULLS FIRST,
-                 l_linestatus NULLS FIRST"""))
+                 l_linestatus NULLS FIRST""")),
+
+    // ---- SQL-TEXT GROUP_CONCAT with the full MySQL clause set
+    //      (DISTINCT / ORDER BY / SEPARATOR — reference grammar
+    //      sql/planbuilder/aggregates.go, impl aggregation/group_concat.go:26).
+    //      Exercises the whole front door: SqlRewrite.groupConcat token pass
+    //      -> listagg WITHIN GROUP -> Catalyst aggregation.
+    QueryDef(
+      "fn_group_concat_sql",
+      (s, d) => {
+        Tables.register(s, d, "nation")
+        new graft.Engine(s).query(
+          """SELECT n_regionkey,
+               GROUP_CONCAT(n_name ORDER BY n_name SEPARATOR ', ') AS names,
+               GROUP_CONCAT(DISTINCT SUBSTRING(n_name, 1, 1)
+                 ORDER BY SUBSTRING(n_name, 1, 1) SEPARATOR '|') AS initials
+             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey,
+                string_agg(n_name, ', ' ORDER BY n_name) AS names,
+                string_agg(DISTINCT substr(n_name, 1, 1), '|'
+                  ORDER BY substr(n_name, 1, 1)) AS initials
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- SQL-TEXT JSON_ARRAYAGG (registry entry MiscFns json_arrayagg;
+    //      reference aggregation/unary_aggs.og.go:566). Element values are
+    //      constant within each group so the result is order-independent
+    //      (MySQL guarantees no array order); the NULL column checks that
+    //      null elements survive collection (unary_agg_buffers.go:702).
+    QueryDef(
+      "fn_json_arrayagg_sql",
+      (s, d) => {
+        Tables.register(s, d, "nation")
+        new graft.Engine(s).query(
+          """SELECT n_regionkey,
+               JSON_ARRAYAGG(n_regionkey * 10) AS arr_const,
+               JSON_ARRAYAGG(CASE WHEN n_regionkey = 2 THEN NULL
+                                  ELSE n_regionkey END) AS arr_nulls
+             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey,
+                json_group_array(n_regionkey * 10) AS arr_const,
+                json_group_array(CASE WHEN n_regionkey = 2 THEN NULL
+                                      ELSE n_regionkey END) AS arr_nulls
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- SQL-TEXT JSON_OBJECTAGG (MiscFns json_objectagg; reference
+    //      aggregation/json_agg.go). Single-row groups keep the rendered
+    //      member order engine-independent.
+    QueryDef(
+      "fn_json_objectagg_sql",
+      (s, d) => {
+        Tables.register(s, d, "nation")
+        new graft.Engine(s).query(
+          """SELECT n_nationkey, JSON_OBJECTAGG(n_name, n_regionkey) AS obj
+             FROM nation GROUP BY n_nationkey ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, json_group_object(n_name, n_regionkey) AS obj
+              FROM nation GROUP BY n_nationkey ORDER BY n_nationkey"""))
   )
 }

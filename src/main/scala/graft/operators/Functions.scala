@@ -1181,6 +1181,24 @@ object Functions {
                 '[' || event_id || ',' || (event_id % 13) || ']' AS two_paths,
                 TRUE AS has_all,
                 FALSE AS has_missing
-              FROM events ORDER BY event_id"""))
+              FROM events ORDER BY event_id""")),
+
+    // ---- session-info functions (reference registry.go: version,
+    //      connection_id, user/current_user, found_rows, row_count,
+    //      last_insert_id, database). An embedded analytical session has
+    //      no wire connection, so these are the documented constants a
+    //      client library probing `SELECT version()` expects to resolve.
+    QueryDef(
+      "fn_session",
+      (s, d) => new graft.Engine(s).query(
+        """SELECT VERSION() AS version, CONNECTION_ID() AS conn_id,
+             USER() AS session_usr, CURRENT_USER() AS cur_usr,
+             FOUND_ROWS() AS found_n, ROW_COUNT() AS row_n,
+             LAST_INSERT_ID() AS last_id, DATABASE() AS db"""),
+      Some("""SELECT '8.0.33-graft' AS version, CAST(1 AS BIGINT) AS conn_id,
+                'root@localhost' AS session_usr,
+                'root@localhost' AS cur_usr,
+                CAST(0 AS BIGINT) AS found_n, CAST(-1 AS BIGINT) AS row_n,
+                CAST(0 AS BIGINT) AS last_id, 'default' AS db"""))
   )
 }

@@ -188,6 +188,34 @@ object Relational {
       },
       Some("SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) AS t(id, tag) ORDER BY id")),
 
+    // ---- EmptyTable / dual: no-FROM SELECT (reference resolves a missing
+    //      FROM to the 1-row dual table, sql/planbuilder/from.go; Spark's
+    //      OneRowRelation is the same shape). `IF(1, …)` additionally
+    //      exercises MySQL numeric truthiness through the Engine front door.
+    QueryDef(
+      "select_no_from",
+      (s, _) => new graft.Engine(s).query(
+        """SELECT CAST(1 + 1 AS BIGINT) AS two, CAST(7 DIV 2 AS BIGINT) AS quot,
+             CONCAT('du', 'al') AS src, IF(1, 'y', 'n') AS truthy"""),
+      Some("""SELECT CAST(2 AS BIGINT) AS two, CAST(3 AS BIGINT) AS quot,
+                'dual' AS src, 'y' AS truthy""")),
+
+    // ---- empty relation semantics: aggregates over zero rows (COUNT=0,
+    //      SUM/MAX=NULL — reference sql/plan/emptytable.go feeding GroupBy).
+    //      `WHERE 0` runs through the numeric-truthiness rewrite.
+    QueryDef(
+      "empty_relation",
+      (s, d) => {
+        Tables.register(s, d, "nation")
+        new graft.Engine(s).query(
+          """SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS s,
+               MAX(n_name) AS m
+             FROM nation WHERE 0""")
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS s,
+                MAX(n_name) AS m
+              FROM nation WHERE 1 = 0""")),
+
     // ---- projection with alias chain (later exprs see earlier aliases,
     //      sql.EvalProjections sql/rows.go:69) -> sequential withColumn
     QueryDef(
