@@ -30,18 +30,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // local-iteration filter (comma-separated names); the driver never
+    // sets it, so the full sweep is the default
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     // global JVM warm-up on an unrelated plan, then per-query best-of-2
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.all.map { q =>
+    val results = SparkEntry.all.filter(q => only.forall(_.contains(q.name))).map { q =>
       val a = timeOnce(q.fn)
       val b = timeOnce(q.fn)
       q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: the harness capturing this line keeps only a ~2000-char
+    // tail, so compact rendering roughly doubles how many per-query numbers
+    // survive into the record
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // full copy on disk for post-hoc analysis (stdout stays the contract)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case _: Throwable => }
+    println(line)
     spark.stop()
   }
 }

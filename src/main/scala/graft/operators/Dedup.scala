@@ -92,6 +92,96 @@ object Dedup {
           (mh${2 * b} % $M9) * $M9 + (mh${2 * b + 1} % $M9) AS bkey FROM sig"""
     }.mkString("\n  UNION ALL ")
 
+  /** Connected components over an undirected edge list (`src`, `dst`) via
+    * min-label propagation WITH pointer doubling — the scale-safe shape
+    * for a 1000-executor cluster: plain propagation needs rounds ≈
+    * component diameter (each a global barrier), while also propagating
+    * along the pointer (star) edges v ↔ lbl(v) delivers lbl(lbl(v)) every
+    * round, doubling the reach per round, so convergence is O(log
+    * diameter) rounds (the hash-to-min family — Rastogi et al., "Finding
+    * Connected Components in Map-Reduce in Logarithmic Rounds", ICDE'13).
+    * Both propagations fold into ONE join + ONE aggregation per round.
+    *
+    * Invariants: `lbl(v)` is always the id of a vertex in v's component
+    * and only ever decreases, so the label-sum is a strictly decreasing
+    * convergence scalar — one 8-byte collect per round. Fixpoint forces
+    * neighbor-min stability, i.e. every component labeled by its minimum
+    * id.
+    *
+    * Returns (labels: doc → lbl, rounds).
+    *
+    * Iteration mechanics: the loop body runs on pair-RDDs, not DataFrames
+    * — the one place in this engine where dropping below the DataFrame
+    * API is the right call. A Catalyst round pays full
+    * analysis/optimization plus AQE stage-by-stage scheduling (~1 s of
+    * driver latency per round regardless of data volume, measured at
+    * sf0.1), and the growing self-referential plan must be re-flattened
+    * every round to avoid exponential re-analysis. RDD rounds with one
+    * shared HashPartitioner have none of that: `bi` and `labels` stay
+    * co-partitioned, so the per-round join shuffles only the (small) star
+    * edges, and `reduceByKey` is map-side combined. This is the GraphX
+    * execution shape, which is itself RDD-based for exactly this reason.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50)
+      : (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val part = new HashPartitioner(
+      spark.sparkContext.defaultParallelism.min(256))
+    val e0: RDD[(Long, Long)] = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val bi = e0.flatMap { case (s, d) => Seq((s, d), (d, s)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // init fused with the first neighbor-min: lbl₀(v) = min(v, neighbors)
+    // — bi is already hash-partitioned by v, so this whole step is narrow
+    // (mapPartitions preserves the partitioner; reduceByKey needs no
+    // shuffle), replacing a distinct shuffle + an extra propagation round
+    var labels = bi
+      .mapPartitions(_.map { case (v, n) => (v, math.min(v, n)) },
+        preservesPartitioning = true)
+      .reduceByKey(part, math.min(_: Long, _: Long))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // convergence scalar: labels only decrease, so the label sum strictly
+    // decreases until fixpoint (Long wraparound can only mask a change if
+    // the round's total decrease is an exact multiple of 2^64 — ignorable)
+    def lblSum(r: RDD[(Long, Long)]): Long = r.values.fold(0L)(_ + _)
+    val live = scala.collection.mutable.Queue(labels)
+    var prevSum = -1L
+    var curSum = lblSum(labels)
+    var rounds = 0
+    while (curSum != prevSum && rounds < maxRounds) {
+      // one min-propagation over graph edges ∪ pointer (star) edges: the
+      // star edge (lbl(v) → v) delivers lbl(lbl(v)) to v — the pointer-
+      // doubling shortcut — and (v → lbl(v)) hands the component root the
+      // min of its children, folded into the same reduceByKey as
+      // neighbor-min. One co-partitioned join + one combined reduce.
+      val star = labels.filter { case (v, l) => v != l }
+      val allEdges = bi ++ star ++ star.map(_.swap)
+      val prop = allEdges.join(labels, part)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+      val next = (prop ++ labels).reduceByKey(part, math.min(_: Long, _: Long))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      live.enqueue(next)
+      prevSum = curSum
+      curSum = lblSum(next) // materializes `next`, so older caches are dead
+      labels = next
+      while (live.size > 2) live.dequeue().unpersist(false)
+      rounds += 1
+    }
+    bi.unpersist(false)
+    val out = spark.createDataFrame(
+      labels.map { case (v, l) => org.apache.spark.sql.Row(v, l) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lbl",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    (out, rounds)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: hash-groupBy on content digest, keep lowest doc_id
@@ -243,12 +333,11 @@ object Dedup {
       }),
 
     // ---- near-duplicate CLUSTERS: connected components over the LSH
-    //      candidate-pair graph (min-label propagation — the "keep one
-    //      per duplicate group" step after pair generation). The driver
-    //      loop is bounded by component diameter (near-dup clusters are
-    //      shallow); each iteration is one distributed join+agg, the
-    //      GraphFrames-style iterative shape. Oracle: DuckDB recursive
-    //      CTE computing the same transitive closure.
+    //      candidate-pair graph (the "keep one per duplicate group" step
+    //      after pair generation) via [[connectedComponents]] pointer-
+    //      doubling — O(log diameter) rounds, each a distributed join+agg.
+    //      Oracle: DuckDB recursive CTE computing the same transitive
+    //      closure.
     QueryDef(
       "dedup_clusters",
       (s, d) => {
@@ -258,33 +347,7 @@ object Dedup {
               col("a.doc_id") < col("c.doc_id"))
           .select(col("a.doc_id").as("src"), col("c.doc_id").as("dst"))
           .distinct().persist()
-        val biEdges = edges.unionAll(
-          edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
-        // min-label propagation with O(V) state: labels(doc) shrinks to the
-        // component minimum; iterate until a round changes nothing
-        var labels = edges.select(col("src").as("doc")).unionAll(
-            edges.select(col("dst").as("doc")))
-          .distinct()
-          .select(col("doc"), col("doc").as("lbl"))
-          .localCheckpoint(true)
-        // labels only decrease, so the label sum strictly decreases until
-        // the fixpoint — one scalar agg per round is the convergence test
-        def lblSum(df: org.apache.spark.sql.DataFrame): Long =
-          df.agg(sum(col("lbl"))).collect()(0).getLong(0)
-        var prevSum = -1L
-        var curSum = lblSum(labels)
-        var guard = 0
-        while (curSum != prevSum && guard < 50) {
-          labels = labels
-            .join(biEdges, labels("doc") === biEdges("src"))
-            .select(col("dst").as("doc"), col("lbl"))
-            .unionAll(labels)
-            .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
-            .localCheckpoint(true)
-          prevSum = curSum
-          curSum = lblSum(labels)
-          guard += 1
-        }
+        val (labels, _) = connectedComponents(edges)
         labels.groupBy(col("lbl").as("cluster_id"))
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("cluster_id"))
