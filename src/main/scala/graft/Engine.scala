@@ -29,6 +29,9 @@ object Dialect {
       .replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
       .replaceAll("(?i)\\bSTRAIGHT_JOIN\\b", "JOIN")
       .replaceAll("(?i)\\bSQL_CALC_FOUND_ROWS\\b", "")
+      // MySQL's 1-row dummy table (reference sql/planbuilder/from.go
+      // resolves a missing/dual FROM to it); Spark has no dual
+      .replaceAll("(?i)\\bFROM\\s+DUAL\\b", "FROM (SELECT 1) dual")
       // `t AS OF n` resolves to the Engine.snapshot-pinned view
       .replaceAll("(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+OF\\s+(\\d+)",
         "$1__asof_$2")
@@ -261,20 +264,32 @@ class Engine(val spark: SparkSession) {
   // ---- AS OF time travel ------------------------------------------------
   // The reference resolves `table AS OF <revision>` against versioned
   // storage (sql/planbuilder/from.go AS OF; dolt's versioned tables).
-  // Spark-first: `snapshot(t)` pins the table's CURRENT contents
-  // (localCheckpoint — later DML on the view cannot mutate it) under an
-  // integer revision; the dialect layer rewrites `t AS OF n` to the
-  // pinned view. Numeric revisions only (string revisions are a
+  // Spark-first: `snapshot(t)` pins the table's CURRENT contents as a
+  // parquet warehouse table under an integer revision; the dialect layer
+  // rewrites `t AS OF n` to the pinned name. The warehouse is reliable
+  // storage on a cluster (HDFS/S3), so a pinned revision survives executor
+  // loss and cache eviction — unlike a localCheckpoint, whose blocks live
+  // on executors. Numeric revisions only (string revisions are a
   // storage-format concern this engine does not carry).
 
   private val snapshotCounters = scala.collection.mutable.Map.empty[String, Int]
+
+  /** Warehouse-rooted path for durable engine state (snapshots, insert
+    * materializations). Explicit-path parquet + a view over the files
+    * rather than saveAsTable: mode("overwrite") then owns the directory
+    * lifecycle, so a stale dir from an earlier session can never collide
+    * the way a managed-table location does. */
+  private def durablePath(name: String): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/graft_engine/$name"
 
   /** Pin the current contents of `table`; returns the revision number. */
   def snapshot(table: String): Int = {
     val v = snapshotCounters.getOrElse(table, 0) + 1
     snapshotCounters(table) = v
-    spark.table(table).localCheckpoint(eager = true)
-      .createOrReplaceTempView(s"${table}__asof_$v")
+    val path = durablePath(s"${table}__asof_$v")
+    spark.table(table).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(s"${table}__asof_$v")
     v
   }
 
@@ -282,10 +297,84 @@ class Engine(val spark: SparkSession) {
   def createView(name: String, sql: String): Unit =
     query(sql).createOrReplaceTempView(name)
 
+  // ---- INSERT INTO ... SELECT -------------------------------------------
+  // Append semantics over the memory backend. Chaining a view as
+  // `old UNION new` per insert builds an O(N)-deep plan that re-runs every
+  // prior SELECT on each read, so past a small depth the accumulated union
+  // is materialized to a parquet warehouse table and the view becomes a
+  // single scan — bounded plan depth and O(1) read cost regardless of
+  // insert count. Old generations are retained: dependent DataFrame views
+  // (CTAS/createView) capture the physical plan and may still pin them.
+
+  private val insertDepth =
+    scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+  private val insertGen =
+    scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+  private val MaxUnionDepth = 4
+
   /** INSERT INTO t SELECT ... — append semantics over the memory backend. */
   def insertIntoSelect(table: String, sql: String): Unit = {
-    val cur = spark.table(table)
-    cur.unionByName(query(sql)).createOrReplaceTempView(table)
+    val incoming = query(sql)
+    validateVocab(table, incoming)
+    val unioned = spark.table(table).unionByName(incoming)
+    val d = insertDepth(table) + 1
+    if (d < MaxUnionDepth) {
+      unioned.createOrReplaceTempView(table)
+      insertDepth(table) = d
+    } else {
+      // new generation path each time: the current view reads generation
+      // g-1's files, so the write must not overwrite them mid-scan
+      val g = insertGen(table) + 1
+      val path = durablePath(s"${table}__ins_$g")
+      unioned.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path).createOrReplaceTempView(table)
+      insertGen(table) = g
+      insertDepth(table) = 0
+    }
+  }
+
+  // ---- ENUM / SET write validation --------------------------------------
+  // The reference rejects out-of-vocabulary values at write time
+  // (sql/types/enum.go:52 Convert -> ErrConvertingToEnum, set.go:45).
+  // Parquet has no ENUM physical type, so the vocabulary is declared on
+  // the engine and enforced on the write paths (insertIntoSelect /
+  // loadData) — a distributed filter + LIMIT 1 early-out per declared
+  // column, over the incoming batch only.
+
+  private val columnVocab =
+    scala.collection.mutable.Map.empty[(String, String), (Boolean, Seq[String])]
+
+  /** Declare `table.column` as ENUM(values...): writes reject any value
+    * outside the vocabulary (MySQL error 1265, Data truncated). */
+  def declareEnum(table: String, column: String, values: Seq[String]): Unit =
+    columnVocab((table, column.toLowerCase)) = (false, values)
+
+  /** Declare `table.column` as SET(values...): writes reject any
+    * comma-separated element outside the vocabulary. '' is the empty set. */
+  def declareSet(table: String, column: String, values: Seq[String]): Unit =
+    columnVocab((table, column.toLowerCase)) = (true, values)
+
+  private def validateVocab(table: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    columnVocab.foreach {
+      case ((t, cLower), (isSet, vocab)) if t == table && present.contains(cLower) =>
+        val c = col(present(cLower))
+        val offending =
+          if (isSet)
+            // every csv element must be in the vocabulary ('' = empty set)
+            size(filter(split(c, ","),
+              e => e =!= lit("") && !e.isInCollection(vocab))) > 0
+          else !c.isInCollection(vocab)
+        val bad = df.filter(c.isNotNull && offending)
+          .select(c.cast("string")).limit(1).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"Data truncated for column '${present(cLower)}': value " +
+            s"'${bad(0).getString(0)}' not in ${if (isSet) "SET" else "ENUM"}" +
+            vocab.mkString("('", "','", "')"))
+      case _ =>
+    }
   }
 
   /** DROP TABLE/VIEW. */
@@ -307,6 +396,7 @@ class Engine(val spark: SparkSession) {
       case "parquet" => spark.read.parquet(path)
       case other => throw new IllegalArgumentException(s"LOAD DATA format $other")
     }
+    validateVocab(table, df)
     df.createOrReplaceTempView(table)
   }
 

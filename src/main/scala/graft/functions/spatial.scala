@@ -630,6 +630,63 @@ object spatial {
       copy(l, r)
   }
 
+  /** ST_ISEMPTY — the WKT model carries no empty geometry collections
+    * (reference st_isempty.go:25: only an empty GeomColl is empty), so any
+    * geometry that parses is non-empty; malformed input -> NULL. */
+  case class StIsEmpty(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      if (parseGeom(v.asInstanceOf[UTF8String].toString) == null) null
+      else false
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** ST_CONVEXHULL — Andrew's monotone chain over all vertices (reference
+    * st_convexhull.go convexHull: lexicographic sort, dedup, lower+upper
+    * hull with collinear points dropped). Result shape follows the
+    * reference's arity rule: 1 distinct point -> POINT, 2 -> LINESTRING,
+    * else POLYGON with the hull ring closed. */
+  case class StConvexHull(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val g = parseGeom(v.asInstanceOf[UTF8String].toString)
+      if (g == null) return null
+      val pts = vertices(g).distinct.sortBy(p => (p._1, p._2))
+      def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+        (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+      val hull =
+        if (pts.length <= 2) pts
+        else {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+          for (p <- pts) { // lower hull
+            while (buf.length >= 2 &&
+                   cross(buf(buf.length - 2), buf.last, p) <= 0) buf.remove(buf.length - 1)
+            buf += p
+          }
+          val lower = buf.length + 1
+          for (i <- pts.length - 2 to 0 by -1) { // upper hull
+            val p = pts(i)
+            while (buf.length >= lower &&
+                   cross(buf(buf.length - 2), buf.last, p) <= 0) buf.remove(buf.length - 1)
+            buf += p
+          }
+          buf.toArray // closed: first point repeated at the end
+        }
+      val distinct = if (hull.length > 1 && hull.head == hull.last)
+        hull.length - 1 else hull.length
+      val result: Geom =
+        if (distinct == 1) GPoint(hull(0)._1, hull(0)._2)
+        else if (distinct == 2) GLine(hull.take(2))
+        else GPoly(Array(hull))
+      UTF8String.fromString(toWkt(result))
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
   /** Typed WKT constructors (st_pointfromtext etc.): validate the tag
     * matches, then canonicalize. */
   case class TypedFromText(child: Expression, tag: String)
@@ -815,6 +872,14 @@ object spatial {
   def stSrid(g: Column): Column = c(GeomIntOp(x(g), "srid"))
   def stNumInteriorRings(g: Column): Column = c(GeomIntOp(x(g), "numinteriorrings"))
   def stIsClosed(g: Column): Column = c(StIsClosed(x(g)))
+  def stIsEmpty(g: Column): Column = c(StIsEmpty(x(g)))
+  def stConvexHull(g: Column): Column = c(StConvexHull(x(g)))
+  /** ST_LONGITUDE/ST_LATITUDE — the reference restricts these to
+    * geographic SRIDs (x_y_latitude_longitude.go:242 ErrNonGeographic);
+    * this engine's geometry model is cartesian SRID 0 (SRID catalog
+    * descoped, SURVEY §2.12), so they are point coordinate accessors. */
+  def stLongitude(g: Column): Column = c(StX(x(g)))
+  def stLatitude(g: Column): Column = c(StY(x(g)))
   def stPointN(g: Column, n: Column): Column = c(StPointN(x(g), x(n)))
   def stDisjoint(a: Column, b: Column): Column = c(StDisjoint(x(a), x(b)))
 
@@ -886,6 +951,10 @@ object spatial {
       "st_polyfromwkb" -> (es => StFromWkb(es.head, "POLYGON")),
       "st_polygonfromwkb" -> (es => StFromWkb(es.head, "POLYGON")),
       "st_pointn" -> (es => StPointN(es(0), es(1))),
+      "st_isempty" -> (es => StIsEmpty(es.head)),
+      "st_convexhull" -> (es => StConvexHull(es.head)),
+      "st_longitude" -> (es => StX(es.head)),
+      "st_latitude" -> (es => StY(es.head)),
       "st_disjoint" -> (es => StDisjoint(es(0), es(1)))) ++
     Seq("startpoint", "endpoint", "envelope", "swapxy", "geometrytype",
       "exteriorring").map(op =>

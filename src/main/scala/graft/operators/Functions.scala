@@ -891,7 +891,15 @@ object Functions {
             sp.stSwapXY(pt).as("swapped"),
             sp.stExteriorRing(squareA).as("outer_ring"),
             sp.stNumInteriorRings(squareA).as("n_holes"),
-            sp.stDisjoint(squareA, squareB).as("disjoint"))
+            sp.stDisjoint(squareA, squareB).as("disjoint"),
+            sp.stIsEmpty(squareA).as("is_empty"),
+            // zigzag whose hull drops (2 1) but keeps upper vertex (1 3)
+            sp.stConvexHull(lit("LINESTRING(0 0, 1 3, 2 1, 3 4, 4 0)"))
+              .as("hull"),
+            // hull of a CCW square is the square itself
+            sp.stConvexHull(squareB).as("hull_sq"),
+            sp.stLongitude(pt).as("lon"),
+            sp.stLatitude(pt).as("lat"))
           .orderBy(col("c_custkey"))
       },
       Some("""WITH g AS (
@@ -919,7 +927,15 @@ object Functions {
                 'LINESTRING(0 0,' || sq || ' 0,' || sq || ' ' || sq
                   || ',0 ' || sq || ',0 0)' AS outer_ring,
                 0 AS n_holes,
-                NOT (shift <= sq) AS disjoint
+                NOT (shift <= sq) AS disjoint,
+                FALSE AS is_empty,
+                'POLYGON((0 0,4 0,3 4,1 3,0 0))' AS hull,
+                'POLYGON((' || shift || ' ' || shift || ',' || (shift + 2)
+                  || ' ' || shift || ',' || (shift + 2) || ' ' || (shift + 2)
+                  || ',' || shift || ' ' || (shift + 2) || ',' || shift
+                  || ' ' || shift || '))' AS hull_sq,
+                CAST(x AS DOUBLE) AS lon,
+                CAST(y AS DOUBLE) AS lat
               FROM g ORDER BY c_custkey""")),
 
     // ---- UUID family (registry.go uuid_to_bin/bin_to_uuid/is_uuid):

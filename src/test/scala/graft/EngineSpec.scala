@@ -266,6 +266,52 @@ class EngineSpec extends AnyFunSuite {
     assert(e.query(
       """SELECT count(*) FROM tt LEFT ANTI JOIN tt AS OF 1 ON tt.v = tt__asof_1.v""")
       .collect()(0).getLong(0) == 2) // rows 3 and 4 are post-snapshot
+    // durability: snapshots live in the warehouse, not executor cache —
+    // still readable after every cached block is dropped
+    s2.catalog.clearCache()
+    assert(e.query("SELECT count(*) FROM tt AS OF 1").collect()(0).getLong(0) == 2)
+    assert(e.query("SELECT count(*) FROM tt AS OF 2").collect()(0).getLong(0) == 3)
+  }
+
+  test("insertIntoSelect keeps plan depth bounded across many inserts") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.ctas("ins_t", "SELECT 0 AS v")
+    (1 to 10).foreach(i => e.insertIntoSelect("ins_t", s"SELECT $i AS v"))
+    assert(s2.table("ins_t").count() == 11)
+    assert(e.query("SELECT sum(v) FROM ins_t").collect()(0).getLong(0) == 55)
+    // a union-per-insert chain would carry 10 Union nodes; materialization
+    // past MaxUnionDepth caps what a read ever traverses
+    val unions = s2.table("ins_t").queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.size < 4, s"plan carries ${unions.size} unions after 10 inserts")
+  }
+
+  test("ENUM/SET write validation rejects out-of-vocabulary values") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.ctas("enum_t", "SELECT 'red' AS color, 'read,write' AS perms")
+    e.declareEnum("enum_t", "color", Seq("red", "green", "blue"))
+    e.declareSet("enum_t", "perms", Seq("read", "write", "exec"))
+    // in-vocabulary appends pass
+    e.insertIntoSelect("enum_t", "SELECT 'blue' AS color, '' AS perms")
+    e.insertIntoSelect("enum_t", "SELECT 'green' AS color, 'exec' AS perms")
+    assert(s2.table("enum_t").count() == 3)
+    // out-of-vocabulary ENUM value -> MySQL 1265 shape
+    val ex1 = intercept[IllegalArgumentException] {
+      e.insertIntoSelect("enum_t", "SELECT 'mauve' AS color, 'read' AS perms")
+    }
+    assert(ex1.getMessage.contains("mauve") && ex1.getMessage.contains("ENUM"))
+    // SET element outside the vocabulary -> rejected too
+    val ex2 = intercept[IllegalArgumentException] {
+      e.insertIntoSelect("enum_t", "SELECT 'red' AS color, 'read,admin' AS perms")
+    }
+    assert(ex2.getMessage.contains("SET"))
+    // NULL is not a vocabulary violation (MySQL: NULL passes, '' does not
+    // for ENUM under strict mode — the engine follows the NULL rule only)
+    e.insertIntoSelect("enum_t", "SELECT CAST(NULL AS STRING) AS color, NULL AS perms")
+    assert(s2.table("enum_t").count() == 4)
   }
 
   test("group_concat aggregates through listagg") {

@@ -202,4 +202,27 @@ class SpatialSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 4.0)
   }
+
+  test("st_isempty, st_convexhull, st_longitude/st_latitude") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT st_isempty('POINT(1 2)') AS ne,
+               st_isempty('NOT A GEOM') AS bad,
+               st_convexhull('POINT(5 5)') AS h_pt,
+               st_convexhull('LINESTRING(0 0, 2 2, 1 1)') AS h_line,
+               st_convexhull('LINESTRING(0 0, 1 3, 2 1, 3 4, 4 0)') AS h_poly,
+               st_convexhull('POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))') AS h_sq,
+               st_longitude('POINT(12.5 -3)') AS lon,
+               st_latitude('POINT(12.5 -3)') AS lat""").collect()(0)
+    assert(!r.getBoolean(0))
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "POINT(5 5)")
+    // collinear points collapse to the extreme pair
+    assert(r.getString(3) == "LINESTRING(0 0,2 2)")
+    // interior point (2 1) dropped, upper-hull vertex (1 3) kept
+    assert(r.getString(4) == "POLYGON((0 0,4 0,3 4,1 3,0 0))")
+    // hole vertices are interior: hull is the outer square
+    assert(r.getString(5) == "POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    assert(r.getDouble(6) == 12.5 && r.getDouble(7) == -3.0)
+  }
 }
