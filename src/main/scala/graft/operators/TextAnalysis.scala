@@ -372,6 +372,163 @@ object TextAnalysis {
                 CASE WHEN tf_data > 0 AND tf_quantum = 0
                   THEN tf_data + has_phrase + tf_learn_star ELSE 0 END
                   AS relevance
-              FROM f ORDER BY doc_id"""))
+              FROM f ORDER BY doc_id""")),
+
+    // ---- PII / markup scrubbing: email, URL and phone redaction as
+    //      pure regexp_replace chains — per-row, shuffle-free, codegen'd;
+    //      the standard pre-training cleanup pass. Deterministic synthetic
+    //      PII is injected per doc so the redaction is actually exercised
+    //      (the corpus itself is clean). Patterns avoid lookaround so the
+    //      Java-regex (Spark) and RE2 (oracle) dialects agree.
+    QueryDef(
+      "text_scrub",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val urlRe = "https?://[A-Za-z0-9./_-]+"
+        val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+        val injected = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via http://ex.com/p/"), col("doc_id").cast("string"),
+          lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val scrubbed = regexp_replace(
+          regexp_replace(
+            regexp_replace(injected, emailRe, "<EMAIL>"),
+            urlRe, "<URL>"),
+          phoneRe, "<PHONE>")
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            regexp_count(injected, lit(emailRe)).as("n_emails"),
+            regexp_count(injected, lit(urlRe)).as("n_urls"),
+            regexp_count(injected, lit(phoneRe)).as("n_phones"),
+            length(scrubbed).as("scrub_len"),
+            md5(scrubbed.cast("binary")).as("scrub_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH inj AS (
+                SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com via http://ex.com/p/'
+                    || CAST(doc_id AS VARCHAR) || ' call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+                FROM documents),
+              scrub AS (
+                SELECT doc_id, t,
+                  regexp_replace(regexp_replace(regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    'https?://[A-Za-z0-9./_-]+', '<URL>', 'g'),
+                    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean
+                FROM inj)
+              SELECT doc_id,
+                len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_-]+')) AS n_urls,
+                len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+                length(clean) AS scrub_len,
+                md5(clean) AS scrub_md5
+              FROM scrub ORDER BY doc_id""")),
+
+    // ---- repetition stats (Gopher-style quality filters): duplicate-word
+    //      fraction and most-frequent-bigram fraction. Bigram counting is
+    //      explode -> two-level agg keyed on doc_id — map-side combinable,
+    //      no skew (doc_id is unique-dense); the word stats are per-row
+    //      array ops. One shuffle on doc_id total.
+    QueryDef(
+      "text_repetition",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val wordStats = docs.select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_words"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct_words"))
+        val bigrams = docs.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(split(text, ' ')) >= 2
+               THEN transform(sequence(1, size(split(text, ' ')) - 1),
+                 i -> concat(element_at(split(text, ' '), i), ' ',
+                             element_at(split(text, ' '), i + 1)))
+               ELSE CAST(array() AS array<string>) END""")).as("b"))
+        val perBigram = bigrams.groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("c"))
+        val perDoc = perBigram.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_cnt"))
+        wordStats.join(perDoc, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_words"),
+            (col("n_distinct_words").cast("double") / col("n_words"))
+              .as("distinct_word_frac"),
+            (col("top_cnt").cast("double") / col("n_bigrams"))
+              .as("top_bigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              ws AS (
+                SELECT doc_id, len(ws) AS n_words,
+                  len(list_distinct(ws)) AS n_distinct_words
+                FROM w),
+              bg AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                  i -> ws[i] || ' ' || ws[i+1])) AS b
+                FROM w WHERE len(ws) >= 2),
+              bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+              ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                       MAX(c) AS top_cnt
+                     FROM bc GROUP BY doc_id)
+              SELECT ws.doc_id, n_words,
+                CAST(n_distinct_words AS DOUBLE) / n_words AS distinct_word_frac,
+                CAST(top_cnt AS DOUBLE) / n_bigrams AS top_bigram_frac
+              FROM ws LEFT JOIN ba ON ws.doc_id = ba.doc_id
+              ORDER BY ws.doc_id""")),
+
+    // ---- benchmark-contamination check: fraction of each doc's distinct
+    //      word 5-grams that appear in a "benchmark" set (docs with
+    //      doc_id % 97 = 0 stand in for an eval suite). The benchmark
+    //      n-gram set is small by construction, so the membership probe is
+    //      a BROADCAST semi-join against the corpus n-grams — the corpus
+    //      side never shuffles; per-doc re-agg is partial-agg friendly.
+    QueryDef(
+      "text_contamination",
+      (s, d) => {
+        // per-doc dedup is a per-ROW array_distinct, not a (doc_id, ngram)
+        // distinct — no corpus-wide shuffle just to dedupe within docs
+        val docs = Tables.t(s, d, "documents")
+        def withNgrams(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), expr(
+            """array_distinct(CASE WHEN size(split(text, ' ')) >= 5
+                 THEN transform(sequence(1, size(split(text, ' ')) - 4),
+                   i -> array_join(slice(split(text, ' '), i, 5), ' '))
+                 ELSE CAST(array() AS array<string>) END)""").as("ngs"))
+        val bench = withNgrams(docs.filter(col("doc_id") % 97 === 0))
+          .select(explode(col("ngs")).as("ng")).distinct()
+          .withColumn("hit", lit(1))
+        withNgrams(docs)
+          .select(col("doc_id"), size(col("ngs")).as("n_ngrams"),
+            explode(col("ngs")).as("ng"))
+          .join(broadcast(bench), Seq("ng"), "left")
+          .groupBy(col("doc_id"))
+          .agg(max(col("n_ngrams")).cast("long").as("n_ngrams"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+          .select(col("doc_id"), col("n_ngrams"), col("n_hits"),
+            (col("n_hits").cast("double") / col("n_ngrams"))
+              .as("contamination_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              ng AS (
+                SELECT DISTINCT doc_id, ng FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+                    i -> array_to_string(ws[i:i+4], ' '))) AS ng
+                  FROM w WHERE len(ws) >= 5)),
+              bench AS (
+                SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0)
+              SELECT n.doc_id,
+                COUNT(*) AS n_ngrams,
+                CAST(SUM(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+                CAST(SUM(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) AS contamination_frac
+              FROM ng n LEFT JOIN bench b ON n.ng = b.ng
+              GROUP BY n.doc_id ORDER BY n.doc_id"""))
   )
 }
