@@ -109,6 +109,18 @@ class Engine(val spark: SparkSession) {
   functions.MySqlFormat.register(spark)
   functions.MiscFns.register(spark)
 
+  /** MySQL substring-TRIM semantics (TRIM('bar' FROM s) removes the
+    * string, not Spark's character-set reading). Applied to the ANALYZED
+    * plan, before the optimizer's constant folding can evaluate a literal
+    * trim with the wrong semantics. GraftExtensions installs the same
+    * rule as a resolution rule for extension-built sessions. */
+  private def mysqlTrimSemantics(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    val rewritten = functions.expressions.MySqlTrimRule(plan)
+    if (rewritten eq plan) df
+    else org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
+  }
+
   /** Session user variables (@name — reference sql/types/system_*.go /
     * session state). Rendered as literals into the query text, outside
     * string literals only. */
@@ -136,7 +148,7 @@ class Engine(val spark: SparkSession) {
   /** Run one SQL statement through the dialect shim into Catalyst.
     * `WITH RECURSIVE` statements (which Spark's parser rejects) are
     * intercepted and driven through the RecursiveCte working-table loop. */
-  def query(sql: String): DataFrame = {
+  def query(sql: String): DataFrame = mysqlTrimSemantics {
     val rewritten = substituteVars(Dialect.rewrite(sql))
     plans.RecursiveSql.run(spark, rewritten).getOrElse {
       try spark.sql(rewritten)

@@ -71,5 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // shared builder tables (same source as Engine registration; no drift)
     (graft.functions.MiscFns.builders ++ graft.functions.spatial.builders)
       .foreach { case (name, b) => ext.injectFunction(fn(name, b)) }
+    // MySQL substring-TRIM semantics — resolution-time, ahead of the
+    // optimizer's constant folding (see expressions.MySqlTrimRule)
+    ext.injectResolutionRule(_ => ge.MySqlTrimRule)
   }
 }

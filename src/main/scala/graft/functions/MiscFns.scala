@@ -242,6 +242,8 @@ object MiscFns {
       tmpl(s"format_number(__arg0, ${litInt(es(1), "format")})")(es)),
     "quote" -> (es => graft.functions.expressions.QuoteStr(es.head)),
     "insert" -> (es => graft.functions.expressions.MySqlInsertStr(es)),
+    "truncate" -> (es =>
+      graft.functions.expressions.MySqlTruncate(es(0), es(1))),
     "field" -> (es => graft.functions.expressions.MySqlField(es)),
     // type/inet checks
     "is_binary" -> (es => IsBinary(es.head)),

@@ -57,12 +57,112 @@ object expressions {
       val ins = vs(3).asInstanceOf[UTF8String].toString
       if (pos < 1 || pos > s.length) UTF8String.fromString(s)
       else {
-        val end = math.min(s.length, pos - 1 + math.max(len, 0))
+        // negative len = "to end of string" (MySQL: replacement continues
+        // to the end whenever len exceeds the remaining length)
+        val end = if (len < 0) s.length else math.min(s.length, pos - 1 + len)
         UTF8String.fromString(s.substring(0, pos - 1) + ins + s.substring(end))
       }
     }
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+  }
+
+  /** TRUNCATE(X, D) — MySQL truncation toward zero at D decimal places
+    * (reference function/math.go Truncate; negative D zeroes digits left
+    * of the point). Result type follows the argument: DECIMAL stays
+    * DECIMAL (original scale, value truncated), DOUBLE/string -> DOUBLE,
+    * integer -> BIGINT. Fractional D rounds (MySQL coercion); string D
+    * takes its leading integer part. */
+  case class MySqlTruncate(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = left.dataType match {
+      case d: DecimalType => DecimalType(38, d.scale)
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case _ => DoubleType
+    }
+    override def nullable: Boolean = true
+    private def dOf(v: Any): Int = v match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case d: org.apache.spark.sql.types.Decimal => math.round(d.toDouble).toInt
+      case d: Double => math.round(d).toInt
+      case f: Float => math.round(f)
+      case u: UTF8String =>
+        val m = "^\\s*-?[0-9]+".r.findFirstIn(u.toString)
+        m.map(_.trim.toInt).getOrElse {
+          // '1.5abc' -> leading numeric, integer part (truncated)
+          "^\\s*-?[0-9.]+".r.findFirstIn(u.toString)
+            .flatMap(s => scala.util.Try(s.trim.toDouble.toInt).toOption)
+            .getOrElse(0)
+        }
+      case _ => 0
+    }
+    override def nullSafeEval(x: Any, d: Any): Any = {
+      val dd = dOf(d)
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      x match {
+        case dec: org.apache.spark.sql.types.Decimal =>
+          val bd = dec.toJavaBigDecimal
+          val eff = math.min(dd, bd.scale)
+          val truncated = bd.setScale(eff, RoundingMode.DOWN).setScale(bd.scale)
+          org.apache.spark.sql.types.Decimal(truncated, 38, bd.scale)
+        case n @ (_: Byte | _: Short | _: Int | _: Long) =>
+          val l = n.asInstanceOf[Number].longValue()
+          if (dd >= 0) l
+          else new JBD(l).setScale(dd, RoundingMode.DOWN)
+            .setScale(0).longValueExact()
+        case other =>
+          val dv = other match {
+            case db: Double => db
+            case f: Float => f.toDouble
+            case u: UTF8String =>
+              "^\\s*-?[0-9.]+".r.findFirstIn(u.toString)
+                .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+                .getOrElse(0.0)
+            case o => scala.util.Try(o.toString.toDouble).getOrElse(0.0)
+          }
+          JBD.valueOf(dv).setScale(dd, RoundingMode.DOWN).doubleValue()
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** MySQL TRIM(remstr FROM str): remstr is a SUBSTRING removed
+    * repeatedly from the ends — Spark's trimStr form treats it as a
+    * character SET instead (reference planbuilder trim -> sql/expression
+    * function/string.go Trim). mode: 0 both, 1 leading, 2 trailing.
+    * Installed by the MySqlTrimRule optimizer rewrite. */
+  case class MySqlTrimStr(left: Expression, right: Expression, mode: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(src: Any, pat: Any): Any = {
+      var s = src.asInstanceOf[UTF8String].toString
+      val p = pat.asInstanceOf[UTF8String].toString
+      if (p.isEmpty) return UTF8String.fromString(s)
+      if (mode != 2) while (s.startsWith(p)) s = s.substring(p.length)
+      if (mode != 1) while (s.endsWith(p)) s = s.substring(0, s.length - p.length)
+      UTF8String.fromString(s)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r, mode)
+  }
+
+  /** Optimizer rewrite installing MySQL substring-TRIM semantics over
+    * Spark's char-set StringTrim family whenever an explicit trim string
+    * is present (the whitespace default is identical in both dialects). */
+  object MySqlTrimRule extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{StringTrim, StringTrimLeft, StringTrimRight}
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.transformAllExpressions {
+        case StringTrim(src, Some(t)) => MySqlTrimStr(src, t, 0)
+        case StringTrimLeft(src, Some(t)) => MySqlTrimStr(src, t, 1)
+        case StringTrimRight(src, Some(t)) => MySqlTrimStr(src, t, 2)
+      }
   }
 
   /** INET_ATON('a.b.c.d') -> long, NULL on malformed input (MySQL). */

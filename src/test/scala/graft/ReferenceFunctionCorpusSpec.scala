@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scalar-function Query/Expected pairs ported verbatim from the
+  * reference's enginetest corpus (enginetest/queries/function_queries.go)
+  * over the same mytable fixture. Pins TRUNCATE precision/coercion,
+  * INSERT() position/length edge cases, EXPORT_SET/MAKE_SET bit
+  * rendering, TRIM grammar forms, and TIMESTAMPDIFF unit arithmetic —
+  * the reference behaviors a MySQL user actually leans on. Comparison is
+  * type-loose on numerics (norm), order-sensitive only when ordered.
+  */
+class ReferenceFunctionCorpusSpec extends AnyFunSuite {
+  import SparkSpec.spark
+  import spark.implicits._
+
+  private lazy val engine: Engine = {
+    Seq((1L, "first row"), (2L, "second row"), (3L, "third row"))
+      .toDF("i", "s").createOrReplaceTempView("mytable")
+    new Engine(spark)
+  }
+
+  private def norm(v: Any): Any = v match {
+    case null => null
+    case b: Byte => BigDecimal(b.toInt)
+    case s: Short => BigDecimal(s.toInt)
+    case i: Int => BigDecimal(i)
+    case l: Long => BigDecimal(l)
+    case f: Float => BigDecimal(f.toDouble)
+    case d: Double => BigDecimal(d)
+    case d: java.math.BigDecimal => BigDecimal(d)
+    case s: String => s
+    case other => other
+  }
+
+  private def check(sql: String, expected: Seq[Seq[Any]]): Unit = {
+    val got = engine.query(sql).collect()
+      .map(r => (0 until r.length).map(i => norm(r.get(i))).toSeq).toSeq
+    val want = expected.map(_.map(norm))
+    val ordered = sql.toLowerCase.contains("order by")
+    val (g, w) =
+      if (ordered) (got, want)
+      else (got.sortBy(_.mkString("|")), want.sortBy(_.mkString("|")))
+    assert(g == w, s"\nquery: $sql\ngot:  $g\nwant: $w")
+  }
+
+  private def one(sql: String, expected: Any): Unit =
+    check(sql, Seq(Seq(expected)))
+
+  test("TRUNCATE precision cases (function_queries.go:32-158)") {
+    one("SELECT TRUNCATE(1.223,1)", BigDecimal("1.2"))
+    one("SELECT TRUNCATE(1.999,1)", BigDecimal("1.9"))
+    one("SELECT TRUNCATE(1.999,0)", BigDecimal(1))
+    one("SELECT TRUNCATE(-1.999,1)", BigDecimal("-1.9"))
+    one("SELECT TRUNCATE(122,-2)", BigDecimal(100))
+    one("SELECT TRUNCATE(10.28*100,0)", BigDecimal(1028))
+    one("SELECT TRUNCATE(NULL,1)", null)
+    one("SELECT TRUNCATE(1.223,NULL)", null)
+    one("SELECT TRUNCATE(0.5,0)", BigDecimal(0))
+    one("SELECT TRUNCATE(-0.5,0)", BigDecimal(0))
+    one("SELECT TRUNCATE(1.223,100)", BigDecimal("1.223"))
+    one("SELECT TRUNCATE(1.223,-100)", BigDecimal(0))
+  }
+
+  test("INSERT string function cases (function_queries.go:256-370)") {
+    one("""SELECT INSERT("Quadratic", 3, 4, "What")""", "QuWhattic")
+    one("""SELECT INSERT("hello", 2, 2, "xyz")""", "hxyzlo")
+    one("""SELECT INSERT("hello", 1, 2, "xyz")""", "xyzllo")
+    one("""SELECT INSERT("hello", 5, 1, "xyz")""", "hellxyz")
+    one("""SELECT INSERT("hello", 1, 5, "world")""", "world")
+    one("""SELECT INSERT("hello", 3, 10, "world")""", "heworld")
+    one("""SELECT INSERT("hello", 2, 2, "")""", "hlo")
+    one("""SELECT INSERT("hello", 3, 0, "xyz")""", "hexyzllo")
+    one("""SELECT INSERT("hello", 0, 2, "xyz")""", "hello")
+    one("""SELECT INSERT("hello", -1, 2, "xyz")""", "hello")
+    one("""SELECT INSERT("hello", 1, -1, "xyz")""", "xyz")
+    one("""SELECT INSERT("hello", 3, -1, "xyz")""", "hexyz")
+    one("""SELECT INSERT("hello", 2, 100, "xyz")""", "hxyz")
+    one("""SELECT INSERT("hello", 10, 2, "xyz")""", "hello")
+    one("""SELECT INSERT("", 1, 2, "xyz")""", "")
+    one("""SELECT INSERT(NULL, 1, 2, "xyz")""", null)
+    one("""SELECT INSERT("hello", NULL, 2, "xyz")""", null)
+    one("""SELECT INSERT("hello", 1, NULL, "xyz")""", null)
+    one("""SELECT INSERT("hello", 1, 2, NULL)""", null)
+    check("""SELECT INSERT(s, 1, 5, "new") FROM mytable ORDER BY i""",
+      Seq(Seq("new row"), Seq("newd row"), Seq("new row")))
+    check("""SELECT INSERT(s, i, 2, "XY") FROM mytable ORDER BY i""",
+      Seq(Seq("XYrst row"), Seq("sXYond row"), Seq("thXYd row")))
+    check("""SELECT INSERT(s, i + 1, i, UPPER(s)) FROM mytable ORDER BY i""",
+      Seq(Seq("fFIRST ROWrst row"), Seq("seSECOND ROWnd row"),
+        Seq("thiTHIRD ROWrow")))
+  }
+
+  test("EXPORT_SET bit-rendering cases (function_queries.go:436-520)") {
+    one("""SELECT EXPORT_SET(5, "Y", "N", ",", 4)""", "Y,N,Y,N")
+    one("""SELECT EXPORT_SET(6, "1", "0", ",", 10)""", "0,1,1,0,0,0,0,0,0,0")
+    one("""SELECT EXPORT_SET(0, "1", "0", ",", 4)""", "0,0,0,0")
+    one("""SELECT EXPORT_SET(15, "1", "0", ",", 4)""", "1,1,1,1")
+    one("""SELECT EXPORT_SET(1, "T", "F", ",", 3)""", "T,F,F")
+    one("""SELECT EXPORT_SET(5, "1", "0", "|", 4)""", "1|0|1|0")
+    one("""SELECT EXPORT_SET(5, "1", "0", "", 4)""", "1010")
+    one("""SELECT EXPORT_SET(255, "1", "0", ",", 8)""", "1,1,1,1,1,1,1,1")
+    one("""SELECT EXPORT_SET(1024, "1", "0", ",", 12)""",
+      "0,0,0,0,0,0,0,0,0,0,1,0")
+    one("""SELECT EXPORT_SET(5, "1", "0", ",", 1)""", "1")
+    one("""SELECT EXPORT_SET(-1, "1", "0", ",", 4)""", "1,1,1,1")
+    one("""SELECT EXPORT_SET(NULL, "1", "0", ",", 4)""", null)
+    one("""SELECT EXPORT_SET(5, NULL, "0", ",", 4)""", null)
+    one("""SELECT EXPORT_SET(5, "1", NULL, ",", 4)""", null)
+    one("""SELECT EXPORT_SET(5, "1", "0", NULL, 4)""", null)
+    one("""SELECT EXPORT_SET(5, "1", "0", ",", NULL)""", null)
+    check("""SELECT EXPORT_SET(i, "1", "0", ",", 4) FROM mytable ORDER BY i""",
+      Seq(Seq("1,0,0,0"), Seq("0,1,0,0"), Seq("1,1,0,0")))
+  }
+
+  test("MAKE_SET bit-selection cases (function_queries.go:520-600)") {
+    one("""SELECT MAKE_SET(1, "a", "b", "c")""", "a")
+    one("""SELECT MAKE_SET(1 | 4, "hello", "nice", "world")""", "hello,world")
+    one("""SELECT MAKE_SET(0, "a", "b", "c")""", "")
+    one("""SELECT MAKE_SET(3, "a", "b", "c")""", "a,b")
+    one("""SELECT MAKE_SET(5, "a", "b", "c")""", "a,c")
+    one("""SELECT MAKE_SET(7, "a", "b", "c")""", "a,b,c")
+    one("""SELECT MAKE_SET(1024, "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k")""",
+      "k")
+    one("""SELECT MAKE_SET(1025, "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k")""",
+      "a,k")
+    one("""SELECT MAKE_SET(7, "a", NULL, "c")""", "a,c")
+    one("""SELECT MAKE_SET(7, NULL, "b", "c")""", "b,c")
+    one("""SELECT MAKE_SET(NULL, "a", "b", "c")""", null)
+    one("""SELECT MAKE_SET(-1, "a", "b", "c")""", "a,b,c")
+    one("""SELECT MAKE_SET(16, "a", "b", "c")""", "")
+    one("""SELECT MAKE_SET(3, "", "test", "")""", ",test")
+    check("""SELECT MAKE_SET(i, "first", "second", "third") FROM mytable ORDER BY i""",
+      Seq(Seq("first"), Seq("second"), Seq("first,second")))
+  }
+
+  test("TRIM grammar forms (function_queries.go TRIM block)") {
+    check("SELECT TRIM(mytable.s) AS s FROM mytable",
+      Seq(Seq("first row"), Seq("second row"), Seq("third row")))
+    check("""SELECT TRIM("row" from mytable.s) AS s FROM mytable""",
+      Seq(Seq("first "), Seq("second "), Seq("third ")))
+    one("""SELECT TRIM("   foo   ")""", "foo")
+    one("""SELECT TRIM(" " FROM "   foo   ")""", "foo")
+    one("""SELECT TRIM(LEADING " " FROM "   foo   ")""", "foo   ")
+    one("""SELECT TRIM(TRAILING " " FROM "   foo   ")""", "   foo")
+    one("""SELECT TRIM(BOTH " " FROM "   foo   ")""", "foo")
+    one("""SELECT TRIM("bar" FROM "barfoobar")""", "foo")
+    one("""SELECT TRIM(TRAILING "bar" FROM "barfoobar")""", "barfoo")
+    one("""SELECT TRIM(TRAILING "foo" FROM "foo")""", "")
+    one("""SELECT TRIM(LEADING "ooo" FROM TRIM("oooo"))""", "o")
+    one("""SELECT TRIM(BOTH "foo" FROM TRIM("barfoobar"))""", "barfoobar")
+    one("""SELECT TRIM(LEADING "bar" FROM TRIM("foobar"))""", "foobar")
+  }
+
+  test("TIMESTAMPDIFF unit arithmetic (function_queries.go TIMESTAMPDIFF block)") {
+    one("SELECT TIMESTAMPDIFF(SECOND,'2007-12-31 23:59:58', '2007-12-31 00:00:00')",
+      -86398)
+    one("SELECT TIMESTAMPDIFF(YEAR, DATE '2011-07-05', DATE '2026-07-04')", 14)
+    one("SELECT TIMESTAMPDIFF(YEAR, DATE '2026-07-04', DATE '2011-07-05')", -14)
+    one("SELECT TIMESTAMPDIFF(YEAR, DATE '2026-07-05', DATE '2026-07-04')", 0)
+    one("SELECT TIMESTAMPDIFF(YEAR, DATE '2025-07-04', DATE '2026-07-03')", 0)
+    one("SELECT TIMESTAMPDIFF(month, DATE '2011-07-05', DATE '2026-07-04')", 179)
+    one("SELECT TIMESTAMPDIFF(month, DATE '2026-07-04', DATE '2011-07-05')", -179)
+    one("""select timestampdiff(month, "2000-12-25", "2020-2-20")""", 229)
+    one("SELECT TIMESTAMPDIFF(quarter, DATE '2011-07-05', DATE '2026-07-04')", 59)
+    one("SELECT TIMESTAMPDIFF(quarter, DATE '2026-07-04', DATE '2011-07-05')", -59)
+    one("SELECT TIMESTAMPDIFF(SECOND, null, '2007-12-31 00:00:00')", null)
+  }
+
+  test("COALESCE cases (function_queries.go:376-398)") {
+    one("SELECT COALESCE(NULL, NULL, NULL, 'example', NULL, 1234567890)",
+      "example")
+    one("SELECT COALESCE(NULL, NULL, NULL, COALESCE(NULL, 1234567890))",
+      1234567890)
+    one("SELECT COALESCE (NULL, NULL)", null)
+  }
+}
