@@ -437,6 +437,97 @@ object Similarity {
                 list_max(list_transform(list_zip(v, qv),
                   z -> abs(z[1] - z[2] * scale))) <= scale * 0.5 + 1e-9
                   AS recon_ok
-              FROM q ORDER BY vec_id"""))
+              FROM q ORDER BY vec_id""")),
+
+    // ---- product quantization codebooks — THE billion-vector ANN
+    //      compression (64 dims -> M=4 one-byte codes): each 16-dim
+    //      subspace gets its own K=8 k-means codebook (2 deterministic
+    //      Lloyd iterations, exact-DECIMAL sums so both engines produce
+    //      bit-identical centroids). Training shuffles only (m, cid,
+    //      dim)-keyed partial aggregates; assignment is an equi-join on
+    //      the subspace id against 32 broadcast centroids — the corpus
+    //      never shuffles. Reported per (subspace, code): member count
+    //      and inertia, the codebook-quality stats a PQ index build
+    //      monitors.
+    QueryDef(
+      "vec_pq_codebook",
+      (s, d) => {
+        val K = 8 // codes per subspace
+        val e = emb(s, d).select(col("vec_id"), col("v"))
+        // (vec_id, m, sv): subspace m's 16-dim slice of each vector
+        val sub = e.select(col("vec_id"), posexplode(expr(
+          "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))"))
+          .as(Seq("m", "sv")))
+        var cent = sub.filter(col("vec_id") < K)
+          .select(col("m"), col("vec_id").cast("int").as("cid"),
+            col("sv").as("cv"))
+        def assign(c: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"), col("m"))
+            .orderBy(col("dd"), col("cid"))
+          sub.join(broadcast(c), Seq("m"))
+            .withColumn("dd", gvec.vecL2Sq(col("sv"), col("cv")))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("vec_id"), col("m"), col("cid"), col("sv"), col("dd"))
+        }
+        for (_ <- 0 until 2) {
+          val a = assign(cent)
+          cent = a
+            .select(col("m"), col("cid"),
+              posexplode(col("sv")).as(Seq("dim", "x")))
+            .groupBy(col("m"), col("cid"), col("dim"))
+            .agg((sum(col("x").cast(DecimalType(27, 12))).cast("double") /
+              count(lit(1))).as("c"))
+            .groupBy(col("m"), col("cid"))
+            .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+              .as("cv"))
+        }
+        assign(cent)
+          .groupBy(col("m"), col("cid"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            round(sum(col("dd").cast(DecimalType(27, 12))).cast("double"), 6)
+              .as("inertia"))
+          .orderBy(col("m"), col("cid"))
+      },
+      Some {
+        val dist =
+          "list_sum(list_transform(list_zip(sv, cv), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+        def assign(centCte: String, name: String) =
+          s"""$name AS (
+             |  SELECT vec_id, m, cid, sv, dd FROM (
+             |    SELECT e.vec_id, e.m, c.cid, e.sv, $dist AS dd,
+             |      row_number() OVER (PARTITION BY e.vec_id, e.m
+             |        ORDER BY $dist, c.cid) AS rk
+             |    FROM es e JOIN $centCte c ON e.m = c.m) WHERE rk = 1)""".stripMargin
+        def recompute(assignCte: String, name: String) =
+          s"""$name AS (
+             |  SELECT m, cid, list(c ORDER BY dim) AS cv FROM (
+             |    SELECT m, cid, dim,
+             |      CAST(SUM(CAST(sv[dim] AS DECIMAL(27,12))) AS DOUBLE)
+             |        / COUNT(*) AS c
+             |    FROM $assignCte, unnest(generate_series(1, 16)) t(dim)
+             |    GROUP BY m, cid, dim)
+             |  GROUP BY m, cid)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |es AS (
+           |  SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS sv
+           |  FROM e, unnest(generate_series(0, 3)) t(m)),
+           |cent0 AS (
+           |  SELECT m, CAST(vec_id AS INT) AS cid, sv AS cv FROM es
+           |  WHERE vec_id < 8),
+           |${assign("cent0", "a0")},
+           |${recompute("a0", "cent1")},
+           |${assign("cent1", "a1")},
+           |${recompute("a1", "cent2")},
+           |${assign("cent2", "a2")}
+           |SELECT m, cid, COUNT(*) AS n_members,
+           |  round(CAST(SUM(CAST(dd AS DECIMAL(27,12))) AS DOUBLE), 6)
+           |    AS inertia
+           |FROM a2 GROUP BY m, cid ORDER BY m, cid""".stripMargin
+      })
   )
 }
