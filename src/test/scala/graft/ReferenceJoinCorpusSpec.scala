@@ -46,6 +46,10 @@ class ReferenceJoinCorpusSpec extends AnyFunSuite {
       (2, 20, 21, 22, 23, 24), (3, 30, 31, 32, 33, 34))
       .toDF("pk", "c1", "c2", "c3", "c4", "c5")
       .createOrReplaceTempView("one_pk")
+    Seq((0, 0, 0, 1, 2, 3, 4), (0, 1, 10, 11, 12, 13, 14),
+      (1, 0, 20, 21, 22, 23, 24), (1, 1, 30, 31, 32, 33, 34))
+      .toDF("pk1", "pk2", "c1", "c2", "c3", "c4", "c5")
+      .createOrReplaceTempView("two_pk")
     new Engine(spark)
   }
 
@@ -292,6 +296,66 @@ class ReferenceJoinCorpusSpec extends AnyFunSuite {
       Seq(Seq(0, 1, 1, 1), Seq(1, 1, 1, 1), Seq(2, 2, 2, 2), Seq(3, 2, 2, 2)))
     check("select x from xy join uv on y = v join ab on y = b and u = -1",
       Seq.empty)
+  }
+
+  test("window function cases (queries.go:6741-6935)") {
+    check("select i, row_number() over (order by i desc), row_number() over (order by length(s),i) from mytable order by 1",
+      Seq(Seq(1, 3, 1), Seq(2, 2, 3), Seq(3, 1, 2)))
+    check("select i, row_number() over (order by i desc) from mytable where i = 2 order by 1",
+      Seq(Seq(2, 1)))
+    check("select row_number() over (order by i desc), row_number() over (order by length(s),i) from mytable order by i",
+      Seq(Seq(3, 1), Seq(2, 3), Seq(1, 2)))
+    check("select *, row_number() over (order by i desc), row_number() over (order by length(s),i) from mytable order by i",
+      Seq(Seq(1, "first row", 3, 1), Seq(2, "second row", 2, 3),
+        Seq(3, "third row", 1, 2)))
+    check("""select row_number() over (order by i desc),
+               row_number() over (order by length(s),i)
+             from mytable mt join othertable ot on mt.i = ot.i2
+             order by mt.i""",
+      Seq(Seq(3, 1), Seq(2, 3), Seq(1, 2)))
+    check("select i, row_number() over (order by i desc) as i_num, row_number() over (order by length(s),i) as s_num from mytable order by 1",
+      Seq(Seq(1, 3, 1), Seq(2, 2, 3), Seq(3, 1, 2)))
+    check("""select i, row_number() over (order by i desc) + 3,
+               row_number() over (order by length(s),i) as s_asc,
+               row_number() over (order by length(s) desc,i desc) as s_desc
+             from mytable order by 1""",
+      Seq(Seq(1, 6, 1, 3), Seq(2, 5, 3, 1), Seq(3, 4, 2, 2)))
+    check("select pk1, pk2, row_number() over (partition by pk1 order by c1 desc) from two_pk order by 1,2",
+      Seq(Seq(0, 0, 2), Seq(0, 1, 1), Seq(1, 0, 2), Seq(1, 1, 1)))
+    check("""select pk1, pk2,
+               row_number() over (partition by pk1 order by c1 desc),
+               row_number() over (partition by pk2 order by 10 - c1)
+             from two_pk order by 1,2""",
+      Seq(Seq(0, 0, 2, 2), Seq(0, 1, 1, 2), Seq(1, 0, 2, 1), Seq(1, 1, 1, 1)))
+    check("""select pk1, pk2,
+               row_number() over (partition by pk1 order by c1 desc),
+               row_number() over (partition by pk2 order by 10 - c1),
+               max(c4) over ()
+             from two_pk order by 1,2""",
+      Seq(Seq(0, 0, 2, 2, 33), Seq(0, 1, 1, 2, 33),
+        Seq(1, 0, 2, 1, 33), Seq(1, 1, 1, 1, 33)))
+    check("SELECT pk, row_number() over (partition by v2 order by pk ), max(v3) over (partition by v2 order by pk) FROM one_pk_three_idx ORDER BY pk",
+      Seq(Seq(0, 1, 0), Seq(1, 2, 1), Seq(2, 1, 0), Seq(3, 1, 2),
+        Seq(4, 3, 1), Seq(5, 4, 3), Seq(6, 1, 0), Seq(7, 1, 4)))
+    check("SELECT pk, count(*) over (order by v2) FROM one_pk_three_idx ORDER BY pk",
+      Seq(Seq(0, 4), Seq(1, 4), Seq(2, 5), Seq(3, 6),
+        Seq(4, 4), Seq(5, 4), Seq(6, 7), Seq(7, 8)))
+    check("SELECT pk, count(*) over (partition by v2) FROM one_pk_three_idx ORDER BY pk",
+      Seq(Seq(0, 4), Seq(1, 4), Seq(2, 1), Seq(3, 1),
+        Seq(4, 4), Seq(5, 4), Seq(6, 1), Seq(7, 1)))
+    check("SELECT pk, row_number() over (order by v2, pk), max(pk) over () from one_pk_three_idx ORDER BY pk",
+      Seq(Seq(0, 1, 7), Seq(1, 2, 7), Seq(2, 5, 7), Seq(3, 6, 7),
+        Seq(4, 3, 7), Seq(5, 4, 7), Seq(6, 7, 7), Seq(7, 8, 7)))
+    check("""select i,
+               row_number() over (partition by case when i > 2 then "under two" else "over two" end order by i desc) as s_asc
+             from mytable order by 1""",
+      Seq(Seq(1, 2), Seq(2, 1), Seq(3, 1)))
+    check("SELECT ROW_NUMBER() OVER (ORDER BY s2 ASC) idx, i2, s2 FROM othertable WHERE s2 <> 'second' ORDER BY i2 ASC",
+      Seq(Seq(2, 1, "third"), Seq(1, 3, "first")))
+    check("SELECT * FROM (SELECT ROW_NUMBER() OVER (ORDER BY s2 ASC) idx, i2, s2 FROM othertable ORDER BY i2 ASC) a WHERE s2 <> 'second'",
+      Seq(Seq(3, 1, "third"), Seq(1, 3, "first")))
+    check("WITH mt (s,i) as (select i, row_number() over (order by i desc) FROM mytable) SELECT s,i FROM mt order by 1",
+      Seq(Seq(1, 3), Seq(2, 2), Seq(3, 1)))
   }
 
   test("constant and parenthesized join conditions (join_queries.go:640-690)") {
