@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MySQL DML/DDL text dispatch over the memory backend — the SQL-text
+  * front door for the statements Spark SQL cannot run against temp views
+  * (reference: sql/planbuilder/dml.go routes INSERT/UPDATE/DELETE,
+  * ddl.go routes CREATE/DROP/TRUNCATE, set.go routes SET @var).
+  *
+  * Semantics over the analytic backend:
+  *  - INSERT appends via Engine.insertDf (vocabulary-validated, plan
+  *    depth bounded by warehouse materialization); a column list
+  *    null-fills the unmentioned columns like MySQL defaults.
+  *  - UPDATE/DELETE rewrite the view: UPDATE projects CASE WHEN pred
+  *    THEN expr ELSE col END per assigned column, DELETE keeps the
+  *    rows where the predicate is not TRUE (MySQL 3VL: NULL keeps).
+  *  - Each returns MySQL's ok-packet shape as a 1-row `affected_rows`.
+  *
+  * All statement recognition is anchored, case-insensitive, and falls
+  * through to the SELECT path on no match, so pure queries never pay it.
+  */
+object Dml {
+
+  private val Insert =
+    """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\([^)]*\))?\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
+  private val Update =
+    """(?is)^\s*UPDATE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+(.*)$""".r
+  private val Delete =
+    """(?is)^\s*DELETE\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?(?:\s+WHERE\s+(.*?))?\s*$""".r
+  private val CreateView =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+AS\s+(.*)$""".r
+  private val CreateTableAs =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s+AS\s+(.*)$""".r
+  private val DropTv =
+    """(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+  private val Trunc =
+    """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+  private val SetVar =
+    """(?is)^\s*SET\s+@([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.*?)\s*$""".r
+  private val SetNoop =
+    """(?is)^\s*SET\s+(?:NAMES|SESSION|GLOBAL|CHARACTER\s+SET|sql_mode|autocommit)\b.*$""".r
+
+  def dispatch(e: Engine, sql: String): Option[DataFrame] = sql match {
+    case Insert(table, colList, body) =>
+      val target = e.spark.table(table)
+      val hasList = colList != null && colList.trim.nonEmpty
+      val df0 =
+        if (!hasList) {
+          // MySQL without a column list is POSITIONAL: rename the source
+          // columns to the full target schema
+          val src = e.query(body)
+          require(src.columns.length == target.columns.length,
+            s"Column count doesn't match value count (${src.columns.length} " +
+            s"vs ${target.columns.length})")
+          src.toDF(target.columns.toIndexedSeq: _*)
+        } else if (body.trim.toUpperCase.startsWith("VALUES"))
+          // inline table with explicit column names
+          e.query(s"SELECT * FROM ( ${body.trim} ) AS __ins ${colList.trim}")
+        else {
+          val names = colList.trim.stripPrefix("(").stripSuffix(")")
+            .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+          e.query(body).toDF(names: _*)
+        }
+      val n = df0.count()
+      e.insertDf(table, df0, fillMissing = hasList)
+      Some(ok(e, n))
+
+    case Update(table, rest) =>
+      val (assignText, whereOpt) = splitWhere(rest)
+      val t = e.spark.table(table)
+      val actual = t.columns.map(c => c.toLowerCase -> c).toMap
+      val assigns = topLevelSplit(assignText, ',').map { a =>
+        val eq = topLevelIndexOf(a, "=")
+        require(eq > 0, s"malformed SET clause: $a")
+        val name = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+        val ex = a.substring(eq + 1).trim
+        val resolved = actual.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(
+            s"Unknown column '$name' in 'field list'"))
+        resolved -> ex
+      }.toMap
+      val cols = t.columns.map { c =>
+        assigns.get(c) match {
+          case Some(ex) => whereOpt match {
+            case Some(cond) =>
+              when(coalesce(expr(cond).cast("boolean"), lit(false)), expr(ex))
+                .otherwise(col(s"`$c`")).as(c)
+            case None => expr(ex).as(c)
+          }
+          case None => col(s"`$c`")
+        }
+      }
+      val affected = whereOpt match {
+        case Some(cond) =>
+          t.filter(coalesce(expr(cond).cast("boolean"), lit(false))).count()
+        case None => t.count()
+      }
+      val newDf = t.select(cols.toIndexedSeq: _*)
+      e.validateVocab(table, newDf)
+      e.replaceTable(table, newDf, bumpDepth = true)
+      Some(ok(e, affected))
+
+    case Delete(table, whereOpt) =>
+      val t = e.spark.table(table)
+      Option(whereOpt).filter(_ != null) match {
+        case Some(cond) =>
+          val pred = coalesce(expr(cond).cast("boolean"), lit(false))
+          val affected = t.filter(pred).count()
+          e.replaceTable(table, t.filter(!pred), bumpDepth = true)
+          Some(ok(e, affected))
+        case None =>
+          val affected = t.count()
+          e.replaceTable(table, t.limit(0), bumpDepth = true)
+          Some(ok(e, affected))
+      }
+
+    case CreateView(name, body) =>
+      e.createView(name, body); Some(ok(e, 0L))
+
+    case CreateTableAs(name, body) =>
+      e.ctas(name, body); Some(ok(e, 0L))
+
+    case DropTv(name) =>
+      e.drop(name); Some(ok(e, 0L))
+
+    case Trunc(table) =>
+      val t = e.spark.table(table)
+      e.replaceTable(table, t.limit(0), bumpDepth = true)
+      Some(ok(e, 0L))
+
+    case SetVar(name, ex) =>
+      val v = e.query(s"SELECT $ex").collect()(0).get(0)
+      e.setVar(name, if (v == null) "NULL" else v)
+      Some(ok(e, 0L))
+
+    case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
+
+    case _ => None
+  }
+
+  private def ok(e: Engine, n: Long): DataFrame = {
+    val s = e.spark
+    import s.implicits._
+    Seq(n).toDF("affected_rows")
+  }
+
+  /** Find `WHERE` at paren depth 0 outside literals; split there. */
+  private def splitWhere(s: String): (String, Option[String]) = {
+    val i = topLevelIndexOfWord(s, "WHERE")
+    if (i < 0) (s, None)
+    else (s.substring(0, i), Some(s.substring(i + 5)))
+  }
+
+  private def scan(s: String)(f: (Int, Char, Int) => Int): Int = {
+    var depth = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < n && (s.charAt(i) != q ||
+                 (i + 1 < n && s.charAt(i + 1) == q && { i += 1; true }))) {
+            if (s.charAt(i) == '\\' && q != '`' && i + 1 < n) i += 1
+            i += 1
+          }
+          i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ch =>
+          val r = f(i, ch, depth)
+          if (r >= 0) return r
+          i += 1
+      }
+    }
+    -1
+  }
+
+  private def topLevelIndexOfWord(s: String, word: String): Int =
+    scan(s) { (i, ch, depth) =>
+      if (depth == 0 && ch.toUpper == word.head &&
+          i + word.length <= s.length &&
+          s.substring(i, i + word.length).equalsIgnoreCase(word) &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+          (i + word.length == s.length ||
+            !s.charAt(i + word.length).isLetterOrDigit)) i else -1
+    }
+
+  private def topLevelIndexOf(s: String, tok: String): Int =
+    scan(s) { (i, ch, depth) =>
+      if (depth == 0 && ch == tok.head &&
+          s.regionMatches(i, tok, 0, tok.length)) i else -1
+    }
+
+  private def topLevelSplit(s: String, sep: Char): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    var last = 0
+    var from = 0
+    var continue = true
+    while (continue) {
+      val i = scan(s.substring(from)) { (j, ch, depth) =>
+        if (depth == 0 && ch == sep) j else -1
+      }
+      if (i < 0) { parts += s.substring(last); continue = false }
+      else {
+        parts += s.substring(last, from + i)
+        from = from + i + 1
+        last = from
+      }
+    }
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

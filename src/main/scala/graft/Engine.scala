@@ -147,9 +147,13 @@ class Engine(val spark: SparkSession) {
 
   /** Run one SQL statement through the dialect shim into Catalyst.
     * `WITH RECURSIVE` statements (which Spark's parser rejects) are
-    * intercepted and driven through the RecursiveCte working-table loop. */
+    * intercepted and driven through the RecursiveCte working-table loop;
+    * MySQL DML/DDL text (INSERT/UPDATE/DELETE/CREATE/DROP/TRUNCATE/SET)
+    * dispatches to the memory-backend operations the way the reference's
+    * planbuilder routes non-SELECT statements (sql/planbuilder/dml.go). */
   def query(sql: String): DataFrame = mysqlTrimSemantics {
     val rewritten = substituteVars(Dialect.rewrite(sql))
+    Dml.dispatch(this, rewritten).getOrElse {
     plans.RecursiveSql.run(spark, rewritten).getOrElse {
       try spark.sql(rewritten)
       catch {
@@ -182,6 +186,7 @@ class Engine(val spark: SparkSession) {
           if (result == null) throw lastErr
           result
       }
+    }
     }
   }
 
@@ -325,20 +330,32 @@ class Engine(val spark: SparkSession) {
   private val MaxUnionDepth = 4
 
   /** INSERT INTO t SELECT ... — append semantics over the memory backend. */
-  def insertIntoSelect(table: String, sql: String): Unit = {
-    val incoming = query(sql)
+  def insertIntoSelect(table: String, sql: String): Unit =
+    insertDf(table, query(sql), fillMissing = false)
+
+  private[graft] def insertDf(table: String, incoming: DataFrame,
+                              fillMissing: Boolean): Unit = {
     validateVocab(table, incoming)
-    val unioned = spark.table(table).unionByName(incoming)
-    val d = insertDepth(table) + 1
+    val unioned = spark.table(table)
+      .unionByName(incoming, allowMissingColumns = fillMissing)
+    replaceTable(table, unioned, bumpDepth = true)
+  }
+
+  /** Re-point the table view at a new plan, materializing to a warehouse
+    * parquet generation once the accumulated plan depth crosses
+    * MaxUnionDepth (shared by INSERT appends and UPDATE/DELETE rewrites). */
+  private[graft] def replaceTable(table: String, df: DataFrame,
+                                  bumpDepth: Boolean): Unit = {
+    val d = insertDepth(table) + (if (bumpDepth) 1 else 0)
     if (d < MaxUnionDepth) {
-      unioned.createOrReplaceTempView(table)
+      df.createOrReplaceTempView(table)
       insertDepth(table) = d
     } else {
       // new generation path each time: the current view reads generation
       // g-1's files, so the write must not overwrite them mid-scan
       val g = insertGen(table) + 1
       val path = durablePath(s"${table}__ins_$g")
-      unioned.write.mode("overwrite").parquet(path)
+      df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path).createOrReplaceTempView(table)
       insertGen(table) = g
       insertDepth(table) = 0
@@ -366,7 +383,7 @@ class Engine(val spark: SparkSession) {
   def declareSet(table: String, column: String, values: Seq[String]): Unit =
     columnVocab((table, column.toLowerCase)) = (true, values)
 
-  private def validateVocab(table: String, df: DataFrame): Unit = {
+  private[graft] def validateVocab(table: String, df: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val present = df.columns.map(c => c.toLowerCase -> c).toMap
     columnVocab.foreach {

@@ -314,6 +314,54 @@ class EngineSpec extends AnyFunSuite {
     assert(s2.table("enum_t").count() == 4)
   }
 
+  test("SQL-text DML: INSERT / UPDATE / DELETE / TRUNCATE round-trip") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.runScript(
+      """CREATE TABLE dml_t AS SELECT 1 AS id, 'alpha' AS name, 10 AS qty;
+         INSERT INTO dml_t VALUES (2, 'beta', 20);
+         INSERT INTO dml_t (id, name) VALUES (3, 'gamma');
+         INSERT INTO dml_t SELECT 4, 'delta', 40""")
+    assert(s2.table("dml_t").count() == 4)
+    // column-list insert null-fills qty like a MySQL default
+    assert(e.query("SELECT qty FROM dml_t WHERE id = 3").collect()(0).isNullAt(0))
+    // UPDATE with WHERE touches only matching rows, reports affected count
+    val u = e.query("UPDATE dml_t SET qty = qty * 2, name = upper(name) WHERE id <= 2")
+    assert(u.collect()(0).getLong(0) == 2)
+    assert(e.query("SELECT name, qty FROM dml_t WHERE id = 1").collect()(0)
+      .toSeq == Seq("ALPHA", 20))
+    assert(e.query("SELECT name FROM dml_t WHERE id = 4").collect()(0)
+      .getString(0) == "delta") // untouched
+    // DELETE with 3VL: NULL predicate keeps the row (id=3 has NULL qty)
+    val del = e.query("DELETE FROM dml_t WHERE qty > 20")
+    assert(del.collect()(0).getLong(0) == 2) // ids 2 (40) and 4 (40)
+    assert(s2.table("dml_t").count() == 2)
+    assert(e.query("SELECT count(*) FROM dml_t WHERE id = 3").collect()(0)
+      .getLong(0) == 1)
+    // SET @var via SQL text, then substitution
+    e.runScript("SET @threshold = 5")
+    assert(e.query("SELECT count(*) FROM dml_t WHERE id < @threshold")
+      .collect()(0).getLong(0) == 2)
+    // CREATE VIEW / DROP / TRUNCATE as text
+    e.runScript("CREATE VIEW dml_v AS SELECT id FROM dml_t; TRUNCATE TABLE dml_t")
+    assert(s2.table("dml_t").count() == 0)
+    e.runScript("DROP VIEW dml_v; DROP TABLE dml_t")
+    assert(!e.showTables().contains("dml_t"))
+  }
+
+  test("SQL-text UPDATE respects ENUM vocabulary") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.runScript("CREATE TABLE enum_u AS SELECT 'red' AS color")
+    e.declareEnum("enum_u", "color", Seq("red", "green"))
+    e.query("UPDATE enum_u SET color = 'green'")
+    assert(s2.table("enum_u").collect()(0).getString(0) == "green")
+    val ex = intercept[IllegalArgumentException] {
+      e.query("UPDATE enum_u SET color = 'purple'")
+    }
+    assert(ex.getMessage.contains("purple"))
+  }
+
   test("group_concat aggregates through listagg") {
     assert(engine.query(
       """SELECT group_concat(r_name, '|') AS gc FROM
