@@ -27,7 +27,7 @@ object Dml {
   private val Update =
     """(?is)^\s*UPDATE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+(.*)$""".r
   private val Delete =
-    """(?is)^\s*DELETE\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?(?:\s+WHERE\s+(.*?))?\s*$""".r
+    """(?is)^\s*DELETE\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(.*?)\s*$""".r
   private val CreateView =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+AS\s+(.*)$""".r
   private val CreateTableAs =
@@ -41,7 +41,10 @@ object Dml {
   private val SetNoop =
     """(?is)^\s*SET\s+(?:NAMES|SESSION|GLOBAL|CHARACTER\s+SET|sql_mode|autocommit)\b.*$""".r
 
-  def dispatch(e: Engine, sql: String): Option[DataFrame] = sql match {
+  def dispatch(e: Engine, sql0: String): Option[DataFrame] =
+    dispatchTrimmed(e, sql0.replaceAll("[;\\s]+$", ""))
+
+  private def dispatchTrimmed(e: Engine, sql: String): Option[DataFrame] = sql match {
     case Insert(table, colList, body) =>
       val target = e.spark.table(table)
       val hasList = colList != null && colList.trim.nonEmpty
@@ -67,9 +70,11 @@ object Dml {
       Some(ok(e, n))
 
     case Update(table, rest) =>
-      val (assignText, whereOpt) = splitWhere(rest)
+      val (head, tail) = splitOrderLimit(rest)
+      val (assignText, whereOpt) = splitWhere(head)
       val t = e.spark.table(table)
       val actual = t.columns.map(c => c.toLowerCase -> c).toMap
+      // MySQL applies duplicate assignments left to right: the LAST wins
       val assigns = topLevelSplit(assignText, ',').map { a =>
         val eq = topLevelIndexOf(a, "=")
         require(eq > 0, s"malformed SET clause: $a")
@@ -80,39 +85,72 @@ object Dml {
             s"Unknown column '$name' in 'field list'"))
         resolved -> ex
       }.toMap
-      val cols = t.columns.map { c =>
-        assigns.get(c) match {
-          case Some(ex) => whereOpt match {
-            case Some(cond) =>
-              when(coalesce(expr(cond).cast("boolean"), lit(false)), expr(ex))
-                .otherwise(col(s"`$c`")).as(c)
-            case None => expr(ex).as(c)
-          }
-          case None => col(s"`$c`")
-        }
-      }
-      val affected = whereOpt match {
-        case Some(cond) =>
-          t.filter(coalesce(expr(cond).cast("boolean"), lit(false))).count()
-        case None => t.count()
-      }
-      val newDf = t.select(cols.toIndexedSeq: _*)
-      e.validateVocab(table, newDf)
-      e.replaceTable(table, newDf, bumpDepth = true)
-      Some(ok(e, affected))
-
-    case Delete(table, whereOpt) =>
-      val t = e.spark.table(table)
-      Option(whereOpt).filter(_ != null) match {
-        case Some(cond) =>
-          val pred = coalesce(expr(cond).cast("boolean"), lit(false))
-          val affected = t.filter(pred).count()
-          e.replaceTable(table, t.filter(!pred), bumpDepth = true)
+      def assignedRow(df: DataFrame) = df.select(t.columns.map { c =>
+        assigns.get(c).map(ex => expr(ex).as(c)).getOrElse(col(s"`$c`"))
+      }.toIndexedSeq: _*)
+      tail match {
+        case Some(orderLimit) =>
+          // ORDER BY … LIMIT … — update exactly the limited subset:
+          // multiset-subtract it, transform it, add it back
+          val whereClause = whereOpt.map(w => s" WHERE $w").getOrElse("")
+          val subset = e.query(s"SELECT * FROM `$table`$whereClause $orderLimit")
+          val affected = subset.count()
+          val newDf = t.exceptAll(subset).unionByName(assignedRow(subset))
+          e.validateVocab(table, newDf)
+          e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
         case None =>
-          val affected = t.count()
-          e.replaceTable(table, t.limit(0), bumpDepth = true)
+          val cols = t.columns.map { c =>
+            assigns.get(c) match {
+              case Some(ex) => whereOpt match {
+                case Some(cond) =>
+                  when(coalesce(expr(cond).cast("boolean"), lit(false)), expr(ex))
+                    .otherwise(col(s"`$c`")).as(c)
+                case None => expr(ex).as(c)
+              }
+              case None => col(s"`$c`")
+            }
+          }
+          val affected = whereOpt match {
+            case Some(cond) =>
+              t.filter(coalesce(expr(cond).cast("boolean"), lit(false))).count()
+            case None => t.count()
+          }
+          val newDf = t.select(cols.toIndexedSeq: _*)
+          e.validateVocab(table, newDf)
+          e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
+      }
+
+    case Delete(table, rest0) =>
+      val t = e.spark.table(table)
+      val (head, tail) = splitOrderLimit(Option(rest0).getOrElse(""))
+      val whereOpt =
+        if (head.trim.isEmpty) None
+        else {
+          val h = head.trim
+          require(h.toUpperCase.startsWith("WHERE"),
+            s"malformed DELETE clause: $h")
+          Some(h.substring(5))
+        }
+      tail match {
+        case Some(orderLimit) =>
+          val whereClause = whereOpt.map(w => s" WHERE $w").getOrElse("")
+          val subset = e.query(s"SELECT * FROM `$table`$whereClause $orderLimit")
+          val affected = subset.count()
+          e.replaceTable(table, t.exceptAll(subset), bumpDepth = true)
+          Some(ok(e, affected))
+        case None => whereOpt match {
+          case Some(cond) =>
+            val pred = coalesce(expr(cond).cast("boolean"), lit(false))
+            val affected = t.filter(pred).count()
+            e.replaceTable(table, t.filter(!pred), bumpDepth = true)
+            Some(ok(e, affected))
+          case None =>
+            val affected = t.count()
+            e.replaceTable(table, t.limit(0), bumpDepth = true)
+            Some(ok(e, affected))
+        }
       }
 
     case CreateView(name, body) =>
@@ -150,6 +188,20 @@ object Dml {
     val i = topLevelIndexOfWord(s, "WHERE")
     if (i < 0) (s, None)
     else (s.substring(0, i), Some(s.substring(i + 5)))
+  }
+
+  /** Split a trailing top-level `ORDER BY …` / `LIMIT …` clause pair off
+    * a DML statement tail (MySQL UPDATE/DELETE ordering + row caps). */
+  private def splitOrderLimit(s: String): (String, Option[String]) = {
+    val io = topLevelIndexOfWord(s, "ORDER")
+    val il = topLevelIndexOfWord(s, "LIMIT")
+    val i = (io, il) match {
+      case (-1, -1) => -1
+      case (-1, b) => b
+      case (a, -1) => a
+      case (a, b) => math.min(a, b)
+    }
+    if (i < 0) (s, None) else (s.substring(0, i), Some(s.substring(i)))
   }
 
   private def scan(s: String)(f: (Int, Char, Int) => Int): Int = {

@@ -32,6 +32,9 @@ object Dialect {
       // MySQL's 1-row dummy table (reference sql/planbuilder/from.go
       // resolves a missing/dual FROM to it); Spark has no dual
       .replaceAll("(?i)\\bFROM\\s+DUAL\\b", "FROM (SELECT 1) dual")
+      // _binary introducer: the charset tag has no Spark meaning — the
+      // literal itself carries the bytes
+      .replaceAll("(?i)\\b_binary\\s+", "")
       // `t AS OF n` resolves to the Engine.snapshot-pinned view
       .replaceAll("(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+OF\\s+(\\d+)",
         "$1__asof_$2")
