@@ -24,6 +24,8 @@ object Dml {
 
   private val Insert =
     """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\([^)]*\))?\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
+  private val Replace =
+    """(?is)^\s*REPLACE\s+INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\([^)]*\))?\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
   private val Update =
     """(?is)^\s*UPDATE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+(.*)$""".r
   private val Delete =
@@ -45,29 +47,38 @@ object Dml {
     dispatchTrimmed(e, sql0.replaceAll("[;\\s]+$", ""))
 
   private def dispatchTrimmed(e: Engine, sql: String): Option[DataFrame] = sql match {
-    case Insert(table, colList, body) =>
-      val target = e.spark.table(table)
+    case Insert(table, colList, body0) =>
       val hasList = colList != null && colList.trim.nonEmpty
-      val df0 =
-        if (!hasList) {
-          // MySQL without a column list is POSITIONAL: rename the source
-          // columns to the full target schema
-          val src = e.query(body)
-          require(src.columns.length == target.columns.length,
-            s"Column count doesn't match value count (${src.columns.length} " +
-            s"vs ${target.columns.length})")
-          src.toDF(target.columns.toIndexedSeq: _*)
-        } else if (body.trim.toUpperCase.startsWith("VALUES"))
-          // inline table with explicit column names
-          e.query(s"SELECT * FROM ( ${body.trim} ) AS __ins ${colList.trim}")
-        else {
-          val names = colList.trim.stripPrefix("(").stripSuffix(")")
-            .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
-          e.query(body).toDF(names: _*)
-        }
-      val n = df0.count()
-      e.insertDf(table, df0, fillMissing = hasList)
-      Some(ok(e, n))
+      val (body, odku) = splitOnDuplicate(body0)
+      odku match {
+        case None =>
+          val df0 = insertSource(e, table, colList, hasList, body)
+          val n = df0.count()
+          e.insertDf(table, df0, fillMissing = hasList)
+          Some(ok(e, n))
+        case Some(assignText) =>
+          Some(upsert(e, table,
+            insertSource(e, table, colList, hasList, body), assignText))
+      }
+
+    case Replace(table, colList, body) =>
+      // REPLACE INTO = delete rows sharing the declared key, then insert
+      // (reference plan/insert.go ReplaceInto); affected counts both
+      val hasList = colList != null && colList.trim.nonEmpty
+      val keys = e.tableKeys.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"REPLACE INTO needs a declared key on '$table' (Engine.declareKey)"))
+      val incoming = insertSource(e, table, colList, hasList, body)
+      val t = e.spark.table(table)
+      val keyRows = incoming.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
+      val deleted = t.join(keyRows, keys.toIndexedSeq, "left_semi").count()
+      val inserted = incoming.count()
+      val kept = t.join(keyRows, keys.toIndexedSeq, "left_anti")
+      e.validateVocab(table, incoming)
+      e.replaceTable(table,
+        kept.unionByName(incoming, allowMissingColumns = hasList),
+        bumpDepth = true)
+      Some(ok(e, deleted + inserted))
 
     case Update(table, rest) =>
       val (head, tail) = splitOrderLimit(rest)
@@ -175,6 +186,88 @@ object Dml {
     case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
 
     case _ => None
+  }
+
+  /** Build the row source of an INSERT/REPLACE body: positional rename
+    * without a column list, inline-table alias or rename with one. */
+  private def insertSource(e: Engine, table: String, colList: String,
+                           hasList: Boolean, body: String): DataFrame = {
+    val target = e.spark.table(table)
+    if (!hasList) {
+      // MySQL without a column list is POSITIONAL: rename the source
+      // columns to the full target schema
+      val src = e.query(body)
+      require(src.columns.length == target.columns.length,
+        s"Column count doesn't match value count (${src.columns.length} " +
+        s"vs ${target.columns.length})")
+      src.toDF(target.columns.toIndexedSeq: _*)
+    } else if (body.trim.toUpperCase.startsWith("VALUES"))
+      e.query(s"SELECT * FROM ( ${body.trim} ) AS __ins ${colList.trim}")
+    else {
+      val names = colList.trim.stripPrefix("(").stripSuffix(")")
+        .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+      e.query(body).toDF(names: _*)
+    }
+  }
+
+  /** INSERT ... ON DUPLICATE KEY UPDATE — per-row merge against the
+    * declared key. MySQL affected-rows: 1 per inserted, 2 per updated.
+    * `VALUES(col)` in an assignment refers to the incoming row. */
+  private def upsert(e: Engine, table: String, incoming: DataFrame,
+                     assignText: String): DataFrame = {
+    val keys = e.tableKeys.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"ON DUPLICATE KEY UPDATE needs a declared key on '$table' " +
+        "(Engine.declareKey)"))
+    val t = e.spark.table(table)
+    // incoming columns renamed so assignment text can address both rows:
+    // bare `c` = existing row, VALUES(c) = incoming row (as __i_c)
+    val i2 = incoming.select(incoming.columns.map(c =>
+      col(s"`$c`").as(s"__i_$c")).toIndexedSeq: _*)
+    val joinCond = keys.map(k => t(k) === i2(s"__i_$k")).reduce(_ && _)
+    val assigns = topLevelSplit(assignText, ',').map { a =>
+      val eq = topLevelIndexOf(a, "=")
+      require(eq > 0, s"malformed ON DUPLICATE KEY UPDATE clause: $a")
+      val name = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+      val ex = a.substring(eq + 1).trim
+        .replaceAll("(?i)\\bVALUES\\s*\\(\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*\\)",
+          "__i_$1")
+      name -> ex
+    }.toMap
+    val matched = t.join(i2, joinCond, "inner")
+    val updatedRows = matched.select(t.columns.map { c =>
+      assigns.get(c).map(ex => expr(ex).as(c)).getOrElse(t(c).as(c))
+    }.toIndexedSeq: _*)
+    val untouched = t.join(
+      incoming.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct(),
+      keys.toIndexedSeq, "left_anti")
+    val newRows = incoming.join(
+      t.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct(),
+      keys.toIndexedSeq, "left_anti")
+    val nUpdated = matched.count()
+    val nInserted = newRows.count()
+    val result = untouched
+      .unionByName(updatedRows)
+      .unionByName(newRows, allowMissingColumns = true)
+    e.validateVocab(table, result)
+    e.replaceTable(table, result, bumpDepth = true)
+    ok(e, nInserted + 2 * nUpdated)
+  }
+
+  /** Split `ON DUPLICATE KEY UPDATE …` off an INSERT body at the top
+    * level (literal- and paren-aware). */
+  private def splitOnDuplicate(body: String): (String, Option[String]) = {
+    var from = 0
+    while (from < body.length) {
+      val i = topLevelIndexOfWord(body.substring(from), "ON")
+      if (i < 0) return (body, None)
+      val abs = from + i
+      val rest = body.substring(abs + 2)
+      val m = "(?is)^\\s+DUPLICATE\\s+KEY\\s+UPDATE\\b(.*)$".r.findFirstMatchIn(rest)
+      if (m.isDefined) return (body.substring(0, abs), Some(m.get.group(1)))
+      from = abs + 2
+    }
+    (body, None)
   }
 
   private def ok(e: Engine, n: Long): DataFrame = {

@@ -365,6 +365,20 @@ class Engine(val spark: SparkSession) {
     }
   }
 
+  // ---- declared keys (REPLACE INTO / ON DUPLICATE KEY UPDATE) -----------
+  // Parquet views carry no PK metadata, so upsert targets declare their
+  // key on the engine (reference: the integrator's sql.PrimaryKeyTable;
+  // plan/insert.go routes REPLACE as delete+insert and ON DUPLICATE KEY
+  // UPDATE as a per-row merge).
+
+  private[graft] val tableKeys =
+    scala.collection.mutable.Map.empty[String, Seq[String]]
+
+  /** Declare the primary-key columns used by REPLACE INTO and
+    * INSERT ... ON DUPLICATE KEY UPDATE against `table`. */
+  def declareKey(table: String, cols: Seq[String]): Unit =
+    tableKeys(table) = cols
+
   // ---- ENUM / SET write validation --------------------------------------
   // The reference rejects out-of-vocabulary values at write time
   // (sql/types/enum.go:52 Convert -> ErrConvertingToEnum, set.go:45).

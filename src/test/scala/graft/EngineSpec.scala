@@ -349,6 +349,40 @@ class EngineSpec extends AnyFunSuite {
     assert(!e.showTables().contains("dml_t"))
   }
 
+  test("REPLACE INTO and ON DUPLICATE KEY UPDATE upsert on a declared key") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.runScript(
+      """CREATE TABLE ups AS
+           SELECT 1 AS id, 'a' AS name, 10 AS qty
+           UNION ALL SELECT 2, 'b', 20""")
+    e.declareKey("ups", Seq("id"))
+    // REPLACE: key 2 replaced wholesale, key 3 plain insert;
+    // affected = 1 deleted + 2 inserted
+    val r = e.query("REPLACE INTO ups VALUES (2, 'B', 200), (3, 'c', 30)")
+    assert(r.collect()(0).getLong(0) == 3)
+    assert(e.query("SELECT name, qty FROM ups WHERE id = 2").collect()(0)
+      .toSeq == Seq("B", 200))
+    assert(s2.table("ups").count() == 3)
+    // ODKU: existing key accumulates via VALUES(), new key inserts;
+    // MySQL affected = 1 per insert + 2 per update
+    val u = e.query(
+      """INSERT INTO ups VALUES (1, 'a2', 5), (4, 'd', 40)
+         ON DUPLICATE KEY UPDATE qty = qty + VALUES(qty), name = VALUES(name)""")
+    assert(u.collect()(0).getLong(0) == 3)
+    assert(e.query("SELECT name, qty FROM ups WHERE id = 1").collect()(0)
+      .toSeq == Seq("a2", 15))
+    assert(e.query("SELECT qty FROM ups WHERE id = 4").collect()(0)
+      .getInt(0) == 40)
+    assert(s2.table("ups").count() == 4)
+    // without a declared key the statement refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      e.query("REPLACE INTO ups2_undeclared VALUES (1)")
+    }
+    assert(ex.getMessage.contains("declared key") ||
+      ex.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+
   test("SQL-text UPDATE respects ENUM vocabulary") {
     val s2 = spark.newSession()
     val e = new Engine(s2)
