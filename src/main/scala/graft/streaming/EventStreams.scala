@@ -103,6 +103,28 @@ object EventStreams {
         col("b_type"), col("a_ts"), col("b_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: views that never convert
+    * within the window still emit (with NULL buy columns) once the
+    * watermark passes the join window's end — Spark's state store holds
+    * each left row only until `b_ts <= a_ts + within` can no longer
+    * match (reference has no streaming surface; this is the Spark-native
+    * conversion-funnel shape at 100 TB/day event volumes). */
+  def intervalJoinLeftOuter(a: DataFrame, b: DataFrame,
+                            withinMinutes: Int = 30): DataFrame = {
+    val left = a.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val right = b.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_id"))
+    left.join(right,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts"),
+        col("b_ts"))
+  }
+
   /** Drive a streaming DataFrame synchronously to a memory sink; returns
     * the materialized result (for tests/local smoke — production writes
     * to a real sink with a trigger). */

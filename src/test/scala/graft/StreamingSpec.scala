@@ -126,6 +126,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched after watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, user: Long, hhmm: String): EventStreams.Ev =
+      EventStreams.Ev(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"),
+        user, "e", 1.0)
+    val views = MemoryStream[EventStreams.Ev]
+    val buys = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.intervalJoinLeftOuter(views.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName("ss_left_join")
+      .outputMode("append").start()
+    try {
+      views.addData(ev(1, 7, "10:00"), ev(2, 8, "10:05"))
+      buys.addData(ev(10, 7, "10:20")) // user 7 converts; user 8 never does
+      q.processAllAvailable()
+      // advance BOTH watermarks far past view 2's join window (10:05+30m
+      // + 10m delay); the state store can then emit the unmatched left row
+      views.addData(ev(3, 9, "12:00"))
+      buys.addData(ev(11, 9, "12:00"))
+      q.processAllAvailable()
+      views.addData(ev(4, 9, "12:30"))
+      buys.addData(ev(12, 9, "12:30"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_left_join")
+        .select($"a_id", $"b_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows.contains((1L, 10L)), s"matched pair missing: $rows")
+      assert(rows.contains((2L, -1L)),
+        s"unmatched view should emit NULL after watermark: $rows")
+    } finally q.stop()
+  }
+
   test("multimodal decode emits the declared feature schema") {
     val df = graft.operators.Multimodal.decodeFeatures(spark, sfDir)
     assert(df.schema == graft.operators.Multimodal.featureSchema)
