@@ -42,6 +42,18 @@ object Dml {
     """(?is)^\s*SET\s+@([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.*?)\s*$""".r
   private val SetNoop =
     """(?is)^\s*SET\s+(?:NAMES|SESSION|GLOBAL|CHARACTER\s+SET|sql_mode|autocommit)\b.*$""".r
+  private val ShowVariables =
+    """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val ShowStatus =
+    """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?STATUS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val ShowProcesslist =
+    """(?is)^\s*SHOW\s+(?:FULL\s+)?PROCESSLIST\s*$""".r
+  private val ShowColumns =
+    """(?is)^\s*SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+  private val ShowIndexes =
+    """(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+  private val ShowCreate =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
 
   def dispatch(e: Engine, sql0: String): Option[DataFrame] =
     dispatchTrimmed(e, sql0.replaceAll("[;\\s]+$", ""))
@@ -185,8 +197,64 @@ object Dml {
 
     case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
 
+    // ---- SHOW surface — the statements a MySQL client library probes on
+    // connect (reference sql/rowexec/show.go; information_schema backs the
+    // rest). LIKE filters use MySQL pattern chars (% _).
+    case ShowVariables(like) =>
+      val s = e.spark
+      import s.implicits._
+      val vars = Seq(
+        ("version", "8.0.31"), ("version_comment", "graft-spark"),
+        ("sql_mode", ""), ("autocommit", "ON"),
+        ("character_set_client", "utf8mb4"),
+        ("character_set_connection", "utf8mb4"),
+        ("character_set_results", "utf8mb4"),
+        ("collation_connection", "utf8mb4_0900_ai_ci"),
+        ("max_allowed_packet", "67108864"), ("lower_case_table_names", "0"),
+        ("net_write_timeout", "60"), ("wait_timeout", "28800"))
+      Some(filterLike(vars.toDF("Variable_name", "Value"), "Variable_name", like))
+
+    case ShowStatus(like) =>
+      val s = e.spark
+      import s.implicits._
+      val stats = Seq(("Threads_connected", "1"), ("Uptime", "1"),
+        ("Questions", "1"))
+      Some(filterLike(stats.toDF("Variable_name", "Value"), "Variable_name", like))
+
+    case ShowProcesslist() =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq((1L, "graft", "localhost", e.currentDatabase, "Query", 0L,
+        "executing", "SHOW PROCESSLIST"))
+        .toDF("Id", "User", "Host", "db", "Command", "Time", "State", "Info"))
+
+    case ShowColumns(table) =>
+      val s = e.spark
+      import s.implicits._
+      Some(e.showColumns(table)
+        .map(c => (c._1, c._2, c._3, c._4, c._5.orNull, c._6))
+        .toDF("Field", "Type", "Null", "Key", "Default", "Extra"))
+
+    case ShowIndexes(table) =>
+      val s = e.spark
+      import s.implicits._
+      Some(e.showIndex(table)
+        .toDF("Table", "Key_name", "Seq_in_index", "Column_name"))
+
+    case ShowCreate(table) =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq((table, e.showCreateTable(table)))
+        .toDF("Table", "Create Table"))
+
     case _ => None
   }
+
+  /** MySQL LIKE filter for SHOW output (% and _ wildcards). */
+  private def filterLike(df: DataFrame, column: String,
+                         like: String): DataFrame =
+    if (like == null) df
+    else df.filter(col(column).like(like))
 
   /** Build the row source of an INSERT/REPLACE body: positional rename
     * without a column list, inline-table alias or rename with one. */

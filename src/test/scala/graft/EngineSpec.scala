@@ -396,6 +396,22 @@ class EngineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("purple"))
   }
 
+  test("SHOW surface answers client-probe statements as SQL text") {
+    val r = engine.query("SHOW VARIABLES LIKE 'version%'").collect()
+    assert(r.map(_.getString(0)).toSet == Set("version", "version_comment"))
+    assert(r.find(_.getString(0) == "version").get.getString(1) == "8.0.31")
+    assert(engine.query("SHOW SESSION VARIABLES").count() >= 10)
+    assert(engine.query("SHOW STATUS LIKE 'Threads%'").count() == 1)
+    assert(engine.query("SHOW PROCESSLIST").collect()(0)
+      .getAs[String]("Command") == "Query")
+    val cols = engine.query("SHOW COLUMNS FROM region").collect()
+    assert(cols.map(_.getString(0)).toSeq == Seq("r_regionkey", "r_name"))
+    assert(cols(0).getString(1) == "int")
+    assert(engine.query("SHOW INDEX FROM region").count() == 0)
+    assert(engine.query("SHOW CREATE TABLE region").collect()(0)
+      .getString(1).startsWith("CREATE TABLE `region`"))
+  }
+
   test("group_concat aggregates through listagg") {
     assert(engine.query(
       """SELECT group_concat(r_name, '|') AS gc FROM
