@@ -35,6 +35,14 @@ object Dialect {
       // _binary introducer: the charset tag has no Spark meaning — the
       // literal itself carries the bytes
       .replaceAll("(?i)\\b_binary\\s+", "")
+      // MySQL CAST targets (sql/types coercion names) -> Spark types:
+      // SIGNED=BIGINT, UNSIGNED=DECIMAL(20,0) (full uint64 range),
+      // bare CHAR/NCHAR=STRING (CHAR(n) passes through, Spark has it)
+      .replaceAll("(?i)\\bAS\\s+SIGNED(\\s+INTEGER)?\\b", "AS BIGINT")
+      .replaceAll("(?i)\\bAS\\s+UNSIGNED(\\s+INTEGER)?\\b", "AS DECIMAL(20,0)")
+      .replaceAll("(?i)\\bAS\\s+N?CHAR\\b(?!\\s*\\()", "AS STRING")
+      // MySQL 8 VALUES ROW(...) constructor -> bare tuples
+      .replaceAll("(?i)\\bROW\\s*\\(", "(")
       // `t AS OF n` resolves to the Engine.snapshot-pinned view
       .replaceAll("(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+OF\\s+(\\d+)",
         "$1__asof_$2")

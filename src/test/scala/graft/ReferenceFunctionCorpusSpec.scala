@@ -29,6 +29,7 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
     case f: Float => BigDecimal(f.toDouble)
     case d: Double => BigDecimal(d)
     case d: java.math.BigDecimal => BigDecimal(d)
+    case a: Array[Byte] => a.toSeq
     case s: String => s
     case other => other
   }
@@ -165,6 +166,33 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
     one("SELECT TIMESTAMPDIFF(quarter, DATE '2011-07-05', DATE '2026-07-04')", 59)
     one("SELECT TIMESTAMPDIFF(quarter, DATE '2026-07-04', DATE '2011-07-05')", -59)
     one("SELECT TIMESTAMPDIFF(SECOND, null, '2007-12-31 00:00:00')", null)
+  }
+
+  test("MySQL CAST targets and coercion cases (queries.go:2870-6650)") {
+    one("SELECT 2.0 + CAST(5 AS DECIMAL)", BigDecimal("7.0"))
+    check("SELECT DISTINCT CAST(i AS DECIMAL) from mytable",
+      Seq(Seq(BigDecimal(1)), Seq(BigDecimal(2)), Seq(BigDecimal(3))))
+    one("SELECT SUM( DISTINCT CAST(i AS DECIMAL)) from mytable", BigDecimal(6))
+    one("SELECT MAX(CAST(NULL AS DECIMAL)) * 82", null)
+    check("SELECT * FROM mytable WHERE i in (CAST(NULL AS SIGNED), 2, 3, 4)",
+      Seq(Seq(3, "third row"), Seq(2, "second row")))
+    check("SELECT * FROM mytable WHERE i in (1+2)",
+      Seq(Seq(3, "third row")))
+    one("select 0 in (1/100000)", false)
+    // numeric truthiness in CASE WHEN COUNT(*) (truthy retry path)
+    one("SELECT CASE WHEN COUNT( * ) THEN 10 * CAST(-19 AS SIGNED ) + CAST(82 AS DECIMAL) END",
+      BigDecimal(-108))
+    one("select cast(X'9876543210' as binary)",
+      Seq[Byte](0x98.toByte, 0x76, 0x54, 0x32, 0x10))
+    // MySQL 8 VALUES ROW() + NOT BETWEEN NULL 3VL
+    check("SELECT DISTINCT * FROM (values row(7,31,27), row(79,17,38), row(78,59,26)) a (col0, col1, col2) WHERE ( + col1 + + col2 ) NOT BETWEEN NULL AND col1",
+      Seq(Seq(7, 31, 27), Seq(79, 17, 38), Seq(78, 59, 26)))
+    // DIVERGENCE: MySQL coerces COALESCE(INT, DATE) through its
+    // permissive result-type algorithm (queries.go:888 expects 1);
+    // Spark requires a common type and rejects INT vs DATE. Pinned.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      engine.query("select coalesce(1, CAST('2017-08-29' AS DATE))").collect()
+    }
   }
 
   test("COALESCE cases (function_queries.go:376-398)") {
