@@ -509,13 +509,15 @@ class Engine(val spark: SparkSession) {
         "ordinal_position", "data_type", "column_type", "is_nullable")
       .createOrReplaceTempView("information_schema_columns")
 
-    // no secondary indexes over parquet/temp views: correct-schema empties
-    Seq.empty[(String, String, String, Int, String)]
-      .toDF("table_schema", "table_name", "index_name", "seq_in_index",
+    // declared primary keys surface; no secondary indexes over parquet
+    tableKeys.toSeq.flatMap { case (t, cols) =>
+      cols.zipWithIndex.map { case (c, i) => (db, t, "PRIMARY", i + 1, c) }
+    }.toDF("table_schema", "table_name", "index_name", "seq_in_index",
         "column_name")
       .createOrReplaceTempView("information_schema_statistics")
-    Seq.empty[(String, String, String, String)]
-      .toDF("constraint_name", "table_name", "column_name",
+    tableKeys.toSeq.flatMap { case (t, cols) =>
+      cols.map(c => ("PRIMARY", t, c, null: String))
+    }.toDF("constraint_name", "table_name", "column_name",
         "referenced_table_name")
       .createOrReplaceTempView("information_schema_key_column_usage")
 
@@ -552,10 +554,13 @@ class Engine(val spark: SparkSession) {
         None, "")
     }
 
-  /** SHOW INDEX FROM t — no secondary indexes over parquet: empty. */
+  /** SHOW INDEX FROM t — declared primary keys surface as the PRIMARY
+    * index; there are no secondary indexes over parquet. */
   def showIndex(table: String): Seq[(String, String, Int, String)] = {
     spark.table(table) // validates the table exists, like MySQL
-    Seq.empty
+    tableKeys.get(table).toSeq.flatMap(_.zipWithIndex.map {
+      case (c, i) => (table, "PRIMARY", i + 1, c)
+    })
   }
 
   /** Spark type -> MySQL type name (SURVEY §1.2 mapping, reversed). */

@@ -408,6 +408,11 @@ class EngineSpec extends AnyFunSuite {
     assert(cols.map(_.getString(0)).toSeq == Seq("r_regionkey", "r_name"))
     assert(cols(0).getString(1) == "int")
     assert(engine.query("SHOW INDEX FROM region").count() == 0)
+    // a declared key surfaces as the PRIMARY index
+    engine.declareKey("nation", Seq("n_nationkey"))
+    val idx = engine.query("SHOW INDEX FROM nation").collect()
+    assert(idx.length == 1 && idx(0).getString(1) == "PRIMARY" &&
+      idx(0).getString(3) == "n_nationkey")
     assert(engine.query("SHOW CREATE TABLE region").collect()(0)
       .getString(1).startsWith("CREATE TABLE `region`"))
   }
