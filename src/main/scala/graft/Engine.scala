@@ -41,6 +41,8 @@ object Dialect {
       .replaceAll("(?i)\\bAS\\s+SIGNED(\\s+INTEGER)?\\b", "AS BIGINT")
       .replaceAll("(?i)\\bAS\\s+UNSIGNED(\\s+INTEGER)?\\b", "AS DECIMAL(20,0)")
       .replaceAll("(?i)\\bAS\\s+N?CHAR\\b(?!\\s*\\()", "AS STRING")
+      // MySQL DATETIME is wall-clock (no zone): Spark TIMESTAMP_NTZ
+      .replaceAll("(?i)\\bAS\\s+DATETIME\\b", "AS TIMESTAMP_NTZ")
       // MySQL 8 VALUES ROW(...) constructor -> bare tuples
       .replaceAll("(?i)\\bROW\\s*\\(", "(")
       // `t AS OF n` resolves to the Engine.snapshot-pinned view
@@ -49,8 +51,10 @@ object Dialect {
 
   def rewrite(sql: String): String = {
     // token-level passes first (each is literal-aware on its own):
-    // GROUP_CONCAT(...SEPARATOR...) -> listagg, then MySQL XOR truthiness
-    val pre = SqlRewrite.xor(SqlRewrite.groupConcat(sql))
+    // GROUP_CONCAT(...SEPARATOR...) -> listagg, MySQL XOR truthiness,
+    // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
+    val pre = SqlRewrite.convertFn(
+      SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(sql))))
     rewriteLiteralAware(pre)
   }
 

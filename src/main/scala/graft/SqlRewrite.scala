@@ -248,6 +248,124 @@ object SqlRewrite {
     text
   }
 
+  // ---- DATE_ADD/ADDDATE/DATE_SUB/SUBDATE(x, INTERVAL n unit)
+  //      -> (CAST(x AS TIMESTAMP) ± INTERVAL n unit)
+  //      Spark's date_add/date_sub take (date, days); MySQL's INTERVAL form
+  //      (reference sql/expression/function/date.go DateAdd/DateSub) is
+  //      timestamp arithmetic, which Spark expresses as `ts + INTERVAL`.
+  //      The integer-days form is left alone for the registered
+  //      adddate/subdate templates. Token pass: the first argument may be a
+  //      quoted literal or nested call, which a code-segment regex cannot
+  //      span.
+
+  private val dateAddNames = Set("date_add", "adddate")
+  private val dateSubNames = Set("date_sub", "subdate")
+
+  def dateArith(sql: String): String = {
+    var text = sql
+    // rewrite one call per pass (innermost-last), re-tokenizing after each
+    // splice; every pass removes one `fn(x, INTERVAL …)` occurrence, so the
+    // loop terminates
+    var again = true
+    while (again) {
+      again = false
+      val toks = tokenize(text)
+      var idx = 0
+      while (idx < toks.length && !again) {
+        val t = toks(idx)
+        val isAdd = t.kind == Word && dateAddNames(t.text.toLowerCase)
+        val isSub = t.kind == Word && dateSubNames(t.text.toLowerCase)
+        if ((isAdd || isSub) && idx + 1 < toks.length && toks(idx + 1).text == "(") {
+          var j = idx + 2
+          var depth = 0
+          var comma = -1
+          var close = -1
+          while (j < toks.length && close < 0) {
+            toks(j).text match {
+              case "(" => depth += 1
+              case ")" if depth == 0 => close = j
+              case ")" => depth -= 1
+              case "," if depth == 0 && comma < 0 => comma = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (close > 0 && comma >= idx + 3 && comma + 1 < close &&
+              toks(comma + 1).isWord("interval")) {
+            val arg = text.substring(toks(idx + 2).start, toks(comma - 1).end)
+            val ivl = text.substring(toks(comma + 1).start, toks(close - 1).end)
+            val op = if (isAdd) "+" else "-"
+            text = text.substring(0, t.start) +
+              s"(CAST($arg AS TIMESTAMP) $op $ivl)" +
+              text.substring(toks(close).end)
+            again = true
+          }
+        }
+        idx += 1
+      }
+    }
+    text
+  }
+
+  // ---- CONVERT(x, TYPE) -> CAST(x AS TYPE) and
+  //      CONVERT(x USING charset) -> CAST(x AS STRING)
+  //      (reference sql/expression/convert.go + planbuilder; every charset
+  //      is UTF-8 on the Spark side, so USING reduces to a string cast).
+  //      The produced CAST target then flows through the Dialect's MySQL
+  //      type-name mappings (SIGNED/UNSIGNED/CHAR/DATETIME).
+
+  def convertFn(sql: String): String = {
+    var text = sql
+    // one call per pass (outermost-first); each pass removes one CONVERT
+    // keyword, so the loop terminates
+    var again = true
+    while (again) {
+      again = false
+      val toks = tokenize(text)
+      var idx = 0
+      while (idx < toks.length && !again) {
+        val t = toks(idx)
+        if (t.isWord("convert") && idx + 1 < toks.length &&
+            toks(idx + 1).text == "(") {
+          var j = idx + 2
+          var depth = 0
+          var comma = -1
+          // NB: not named `using` — scala 2.13 parses `toks(using - 1)` as
+          // a Scala-3 context application, i.e. toks(-1)
+          var usingAt = -1
+          var close = -1
+          while (j < toks.length && close < 0) {
+            val u = toks(j)
+            u.text match {
+              case "(" => depth += 1
+              case ")" if depth == 0 => close = j
+              case ")" => depth -= 1
+              case "," if depth == 0 && comma < 0 => comma = j
+              case _ if depth == 0 && u.isWord("using") && usingAt < 0 =>
+                usingAt = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (close > 0 && usingAt >= idx + 3 && usingAt + 1 < close) {
+            val arg = text.substring(toks(idx + 2).start, toks(usingAt - 1).end)
+            text = text.substring(0, t.start) + s"CAST($arg AS STRING)" +
+              text.substring(toks(close).end)
+            again = true
+          } else if (close > 0 && comma >= idx + 3 && comma + 1 < close) {
+            val arg = text.substring(toks(idx + 2).start, toks(comma - 1).end)
+            val tpe = text.substring(toks(comma + 1).start, toks(close - 1).end)
+            text = text.substring(0, t.start) + s"CAST($arg AS $tpe)" +
+              text.substring(toks(close).end)
+            again = true
+          }
+        }
+        idx += 1
+      }
+    }
+    text
+  }
+
   // ---- truthiness pass (retry-only): wrap non-comparison atoms of
   //      WHERE / HAVING / searched-CASE WHEN bodies in ((atom) <> 0).
   //      MySQL treats any numeric as a truth value (reference

@@ -17,6 +17,10 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
   private lazy val engine: Engine = {
     Seq((1L, "first row"), (2L, "second row"), (3L, "third row"))
       .toDF("i", "s").createOrReplaceTempView("mytable")
+    // setup_data.sg.go:3908 typestable (the date/timestamp columns)
+    Seq((1L, java.sql.Timestamp.valueOf("2019-12-31 12:00:00"),
+      java.sql.Date.valueOf("2019-12-31")))
+      .toDF("id", "ti", "da").createOrReplaceTempView("typestable")
     new Engine(spark)
   }
 
@@ -193,6 +197,117 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       engine.query("select coalesce(1, CAST('2017-08-29' AS DATE))").collect()
     }
+  }
+
+  test("NULLIF/IFNULL/IF cases (queries.go:5191-5249)") {
+    one("SELECT nullif('abc', NULL)", "abc")
+    one("SELECT nullif(NULL, NULL)", null)
+    one("SELECT nullif(NULL, 123)", null)
+    one("SELECT nullif(123, 123)", null)
+    one("SELECT nullif(123, 321)", 123)
+    one("SELECT ifnull(123, NULL)", 123)
+    one("SELECT ifnull(NULL, NULL)", null)
+    one("SELECT ifnull(NULL, 123)", 123)
+    one("SELECT ifnull(123, 123)", 123)
+    one("SELECT ifnull(123, 321)", 123)
+    one("""SELECT if(123 = 123, "a", "b")""", "a")
+  }
+
+  test("DATE_ADD/DATE_SUB INTERVAL arithmetic (function_queries.go:1800-1845)") {
+    // DIVERGENCE: MySQL renders string-arg DATE_ADD as a string
+    // ("2018-05-03"); we produce a TIMESTAMP — same instant, so the
+    // corpus values are pinned through CAST(... AS DATE).
+    one("SELECT CAST(DATE_ADD('2018-05-02', INTERVAL 1 day) AS DATE)",
+      java.sql.Date.valueOf("2018-05-03"))
+    one("SELECT CAST(DATE_ADD(DATE('2018-05-02'), INTERVAL 1 day) AS DATE)",
+      java.sql.Date.valueOf("2018-05-03"))
+    one("SELECT CAST(DATE_SUB('2018-05-02', INTERVAL 1 DAY) AS DATE)",
+      java.sql.Date.valueOf("2018-05-01"))
+    one("SELECT CAST(DATE_SUB(DATE('2018-05-02'), INTERVAL 1 DAY) AS DATE)",
+      java.sql.Date.valueOf("2018-05-01"))
+    one("SELECT CAST('2018-05-02' + INTERVAL 1 DAY AS DATE)",
+      java.sql.Date.valueOf("2018-05-03"))
+    one("SELECT CAST('2018-05-02' - INTERVAL 1 DAY AS DATE)",
+      java.sql.Date.valueOf("2018-05-01"))
+  }
+
+  test("typestable interval filters (queries.go:4067-4135)") {
+    check("SELECT id FROM typestable WHERE ti > '2019-12-31'", Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE da = '2019-12-31'", Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE ti < '2019-12-31'", Seq())
+    check("SELECT id FROM typestable WHERE da < '2019-12-31'", Seq())
+    check("SELECT id FROM typestable WHERE ti > date_add('2019-12-30', INTERVAL 1 day)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE da > date_add('2019-12-30', INTERVAL 1 DAY)",
+      Seq())
+    check("SELECT id FROM typestable WHERE da >= date_add('2019-12-30', INTERVAL 1 DAY)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE ti < date_add('2019-12-30', INTERVAL 1 DAY)",
+      Seq())
+    check("SELECT id FROM typestable WHERE da < date_add('2019-12-30', INTERVAL 1 DAY)",
+      Seq())
+    check("SELECT id FROM typestable WHERE da < adddate('2020-01-01', INTERVAL 1 DAY)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE da < adddate('2020-01-01', 1)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE ti > date_sub('2020-01-01', INTERVAL 1 DAY)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE da > date_sub('2020-01-01', INTERVAL 1 DAY)",
+      Seq())
+    check("SELECT id FROM typestable WHERE da >= date_sub('2020-01-01', INTERVAL 1 DAY)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE ti < date_sub('2020-01-01', INTERVAL 1 DAY)",
+      Seq())
+    check("SELECT id FROM typestable WHERE da < date_sub('2020-01-01', INTERVAL 1 DAY)",
+      Seq())
+    check("SELECT id FROM typestable WHERE da >= subdate('2020-01-01', INTERVAL 1 DAY)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE da >= subdate('2020-01-01', 1)",
+      Seq(Seq(1)))
+  }
+
+  test("string search functions (function_queries.go:1908-1960)") {
+    check("SELECT instr(s, 'row') as l FROM mytable ORDER BY i",
+      Seq(Seq(7), Seq(8), Seq(7)))
+    check("SELECT instr(s, 'first') as l FROM mytable ORDER BY i",
+      Seq(Seq(1), Seq(0), Seq(0)))
+    check("SELECT instr(s, 'o') as l FROM mytable ORDER BY i",
+      Seq(Seq(8), Seq(4), Seq(8)))
+    check("SELECT instr(s, NULL) as l FROM mytable ORDER BY l",
+      Seq(Seq(null), Seq(null), Seq(null)))
+    check("""select locate("o", s) from mytable order by i""",
+      Seq(Seq(8), Seq(4), Seq(8)))
+    check("""select locate("o", s, 5) from mytable order by i""",
+      Seq(Seq(8), Seq(9), Seq(8)))
+    check("""select locate(upper("roW"), upper(s), power(10, 0)) from mytable order by i""",
+      Seq(Seq(7), Seq(8), Seq(7)))
+    one("select locate('a', 'abc', 0)", 0)
+    check("select find_in_set('second row', s) from mytable",
+      Seq(Seq(0), Seq(1), Seq(0)))
+    check("select find_in_set(s, 'first row,second row,third row') from mytable",
+      Seq(Seq(1), Seq(2), Seq(3)))
+    // DIVERGENCE (1 ULP): Go's math.Log2(3) = 1.5849625007211563; JVM
+    // StrictMath.log(3)/log(2) = 1.584962500721156
+    check("select log2(i) from mytable order by i",
+      Seq(Seq(0.0), Seq(1.0), Seq(1.584962500721156)))
+  }
+
+  test("CONVERT / UUID / compress cases (function_queries.go:1966-2005)") {
+    one("select uuid() = uuid()", false)
+    one("select instr(REPLACE(CONVERT(UUID() USING utf8mb4), '-', ''), '-')", 0)
+    one("SELECT CONVERT('9999-12-31 23:59:59', DATETIME)",
+      java.time.LocalDateTime.parse("9999-12-31T23:59:59"))
+    one("SELECT DATETIME('9999-12-31 23:59:59')",
+      java.time.LocalDateTime.parse("9999-12-31T23:59:59"))
+    // DIVERGENCE: MySQL DATETIME caps at year 9999 (overflow -> NULL);
+    // Spark TIMESTAMP_NTZ represents year 10000 fine. Pinned.
+    one("SELECT CONVERT('10000-12-31 23:59:59', DATETIME)",
+      java.time.LocalDateTime.parse("+10000-12-31T23:59:59"))
+    one("SELECT CONVERT('123', SIGNED)", 123)
+    // uncompress yields STRING here (MySQL: binary with utf8 payload)
+    one("select uncompress(compress('thisisastring'))", "thisisastring")
+    one("select length(uncompress(compress(repeat('a', 1000))))", 1000)
+    one("select uncompressed_length(compress(repeat('a', 1000)))", 1000)
   }
 
   test("COALESCE cases (function_queries.go:376-398)") {
