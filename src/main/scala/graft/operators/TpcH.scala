@@ -10,10 +10,15 @@ import org.apache.spark.sql.types.DecimalType
   * 3.6k LoC) — these cover the same plan shapes on the columns available:
   * correlated-min supplier (Q2), EXISTS semi-join (Q4), scan-filter-agg
   * (Q6), two-role dimension joins (Q7), market share with nested
-  * aggregation (Q8), revenue ranking (Q10), left-outer double aggregation
-  * (Q13), conditional aggregation (Q14), decorrelated per-part average
-  * (Q17), group-having-subquery (Q18), OR'd bracket predicates (Q19), and
-  * global-scalar threshold + anti join (Q22).
+  * aggregation (Q8), 5-way star profit (Q9), revenue ranking (Q10),
+  * global-fraction HAVING (Q11), fact-fact conditional counts (Q12),
+  * left-outer double aggregation (Q13), conditional aggregation (Q14),
+  * max-revenue view join-back (Q15), distinct-pair NOT IN (Q16),
+  * decorrelated per-part average (Q17), group-having-subquery (Q18),
+  * OR'd bracket predicates (Q19), aggregate-threshold semi join (Q20),
+  * EXISTS/NOT-EXISTS waiting-supplier (Q21), and global-scalar threshold
+  * + anti join (Q22) — with Q1/Q3/Q5 covered by q1_agg /
+  * join_q3_shipping / join_q5_local_supplier, all 22 shapes run.
   *
   * Scale notes: every join declares the dimension side for broadcast;
   * revenue sums are exact DECIMAL (merge-order independent, graft.Det);
@@ -352,6 +357,252 @@ object TpcH {
                       AND l_quantity BETWEEN 10 AND 20)
                   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                       AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // ---- Q9 (adapted: profit = revenue since the testdata has no
+    //      ps_supplycost): product-type profit by supplier nation × order
+    //      year — the 5-way star join; all dimensions broadcast, one
+    //      lineitem scan, year() stays in the scan stage
+    QueryDef(
+      "tpch_q9",
+      (s, d) => {
+        val li = t("lineitem")(s, d)
+        val p = t("part")(s, d).filter(col("p_name").contains("red"))
+        val sp = t("supplier")(s, d)
+        val o = t("orders")(s, d).select(col("o_orderkey"), col("o_orderdate"))
+        val n = t("nation")(s, d)
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(sum(revenue).cast("double").as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""SELECT nation, o_year, CAST(SUM(volume) AS DOUBLE) AS sum_profit
+               FROM (
+                 SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year, $REV_SQL AS volume
+                 FROM lineitem
+                 JOIN part ON l_partkey = p_partkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 WHERE p_name LIKE '%red%')
+               GROUP BY nation, o_year ORDER BY nation, o_year DESC"""),
+      headline = true),
+
+    // ---- Q11 (adapted: part value from lineitem revenue; testdata has no
+    //      partsupp): important-part identification — per-part aggregate
+    //      vs a global-scalar threshold (computed once, broadcast; the
+    //      classic "HAVING > global fraction" shape)
+    QueryDef(
+      "tpch_q11",
+      (s, d) => {
+        val li = t("lineitem")(s, d)
+        val sp = t("supplier")(s, d)
+        val n = t("nation")(s, d).filter(col("n_name") === "NATION_3")
+        val perPart = li
+          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .as("value_dec"))
+        val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("value_dec").cast("double") >
+            col("total_dec").cast("double") * 0.001)
+          .select(col("l_partkey"),
+            col("value_dec").cast("double").as("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      Some("""WITH perpart AS (
+                SELECT l_partkey,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY l_partkey)
+              SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+              FROM perpart
+              WHERE CAST(value_dec AS DOUBLE) >
+                (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM perpart) * 0.001
+              ORDER BY value DESC, l_partkey""")),
+
+    // ---- Q12 (adapted: lateness = shipdate > orderdate + 60 days, classes
+    //      from o_orderpriority; testdata has no shipmode/commit/receipt):
+    //      shipping-mode priority counting — fact-fact join + conditional
+    //      counts, date arithmetic in the scan stage
+    QueryDef(
+      "tpch_q12",
+      (s, d) => {
+        val li = t("lineitem")(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01")
+        val o = t("orders")(s, d)
+        val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+          .groupBy(col("l_linestatus"))
+          .agg(
+            count(when(highPrio, 1)).as("high_line_count"),
+            count(when(!highPrio, 1)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+                COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 END) AS high_line_count,
+                COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                           THEN 1 END) AS low_line_count
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+                AND date_diff('day', o_orderdate, l_shipdate) > 60
+              GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- Q15: top supplier — quarterly revenue view, then the max-revenue
+    //      scalar joined back (exact-decimal equality, no re-execution)
+    QueryDef(
+      "tpch_q15",
+      (s, d) => {
+        val rev = t("lineitem")(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1996-04-01")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(revenue).as("rev_dec"))
+        val maxRev = rev.agg(max(col("rev_dec")).as("max_dec"))
+        rev.crossJoin(broadcast(maxRev))
+          .filter(col("rev_dec") === col("max_dec"))
+          .join(broadcast(t("supplier")(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev_dec").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(s"""WITH rev AS (
+                 SELECT l_suppkey, SUM($REV_SQL) AS rev_dec
+                 FROM lineitem
+                 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+                 GROUP BY l_suppkey)
+               SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+               FROM rev JOIN supplier ON l_suppkey = s_suppkey
+               WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+               ORDER BY s_suppkey""")),
+
+    // ---- Q16 (adapted: supplier-part pairs come from lineitem; exclusion
+    //      by s_name pattern instead of comment text): parts/supplier
+    //      relationship — distinct pairs, NOT IN as broadcast anti join,
+    //      count-distinct per brand/type/size
+    QueryDef(
+      "tpch_q16",
+      (s, d) => {
+        val pairs = t("lineitem")(s, d)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val p = t("part")(s, d)
+          .filter(col("p_brand") =!= "Brand#13" &&
+            !col("p_type").startsWith("PROMO") &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        val excluded = t("supplier")(s, d)
+          .filter(col("s_name").endsWith("7")).select(col("s_suppkey"))
+        pairs.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excluded),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+                COUNT(DISTINCT l_suppkey) AS supplier_cnt
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+              JOIN part ON p_partkey = l_partkey
+              WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+                AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_name LIKE '%7')
+              GROUP BY p_brand, p_type, p_size
+              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // ---- Q20 (adapted: "excess supply" = per-(supplier, part) shipped
+    //      quantity over a year; testdata has no partsupp): potential part
+    //      promotion — IN-subquery chain decorrelated to aggregate + semi
+    //      join
+    QueryDef(
+      "tpch_q20",
+      (s, d) => {
+        val qual = t("lineitem")(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01")
+          .join(broadcast(t("part")(s, d)
+              .filter(col("p_name").startsWith("b"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+          .filter(col("qty") > 30)
+          .select(col("l_suppkey")).distinct()
+        val n = t("nation")(s, d).filter(col("n_name") === "NATION_3")
+        t("supplier")(s, d)
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+                AND s_suppkey IN (
+                  SELECT l_suppkey
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_name LIKE 'b%'
+                    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+                  GROUP BY l_suppkey, l_partkey
+                  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 30)
+              ORDER BY s_suppkey""")),
+
+    // ---- Q21 (adapted: "problem" marker is l_returnflag='R'; testdata has
+    //      no commit/receipt dates): suppliers who kept orders waiting —
+    //      the EXISTS / NOT EXISTS pair decorrelates to one per-order
+    //      distinct-supplier aggregate (nsupp > 1 ∧ exactly one flagged
+    //      supplier), computed only over 'F' orders
+    QueryDef(
+      "tpch_q21",
+      (s, d) => {
+        val fOrders = t("orders")(s, d)
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        val liF = t("lineitem")(s, d)
+          .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        val perOrder = liF.groupBy(col("l_orderkey").as("po_ok"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("nsupp"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("nflag"))
+        val n = t("nation")(s, d).filter(col("n_name") === "NATION_3")
+        liF.filter(col("l_returnflag") === "R")
+          .join(perOrder, col("l_orderkey") === col("po_ok"))
+          .filter(col("nsupp") > 1 && col("nflag") === 1)
+          .join(broadcast(t("supplier")(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+              FROM lineitem l1
+              JOIN orders ON o_orderkey = l1.l_orderkey
+              JOIN supplier ON l1.l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+                AND n_name = 'NATION_3'
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.l_returnflag = 'R')
+              GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
 
     // ---- Q22 (adapted: country-code bucket from c_nationkey; testdata has
     //      no c_phone): global-acctbal scalar subquery (computed once,

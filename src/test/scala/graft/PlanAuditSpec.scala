@@ -20,6 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_match",          // single aggregated stats row broadcast to the scan
     "dedup_simhash",       // single reference-signature row broadcast (hamming)
     "tpch_q22",            // single aggregated threshold row broadcast
+    "tpch_q11",            // single aggregated threshold row broadcast
     "fn_mysql_native", "values_inline", "fn_spatial" // scalar/constant shapes
   )
 
