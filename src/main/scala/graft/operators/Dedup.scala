@@ -401,6 +401,63 @@ object Dedup {
               SELECT a.label, COUNT(*) AS n_near_pairs
               FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
               WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.3
-              GROUP BY a.label ORDER BY a.label"""))
+              GROUP BY a.label ORDER BY a.label""")),
+
+    // ---- passage-level dedup (C4/RefinedWeb-style): fixed 10-word chunks,
+    //      global first-occurrence keep by content hash, in-order
+    //      reassembly. Two plain hash-partitioned shuffles — chunk-hash
+    //      (window) then doc_id (reassembly) — never all-pairs; the window
+    //      partition key is an md5 so skew is content-independent at 100 TB
+    //      (reference has document-level dedup only; passage granularity is
+    //      the training-pipeline extension)
+    QueryDef(
+      "dedup_paragraph",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val nChunks = ceil(size(words) / lit(10.0)).cast("int")
+        val chunks = transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(words, i * 10 + 1, lit(10))))
+        val firstSeen = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("chunk").cast("binary")))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+          .withColumn("rn", row_number().over(firstSeen))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            count(when(col("rn") === 1, 1)).as("n_kept"),
+            array_join(
+              transform(
+                filter(
+                  array_sort(collect_list(struct(col("chunk_idx"),
+                    when(col("rn") === 1, col("chunk")).as("chunk")))),
+                  x => x.getField("chunk").isNotNull),
+                x => x.getField("chunk")),
+              " ").as("kept_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              chunked AS (
+                SELECT doc_id,
+                  list_transform(range(0, CAST(ceil(len(w)/10.0) AS BIGINT)),
+                    i -> array_to_string(w[(i*10+1):(i*10+10)], ' ')) AS cs
+                FROM words),
+              chunks AS (
+                SELECT doc_id, unnest(cs) AS chunk,
+                  generate_subscripts(cs, 1) AS chunk_idx
+                FROM chunked),
+              ranked AS (
+                SELECT doc_id, chunk_idx, chunk,
+                  row_number() OVER (PARTITION BY md5(chunk)
+                                     ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks)
+              SELECT doc_id, COUNT(*) AS n_chunks,
+                COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+                COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                                    ORDER BY chunk_idx), '') AS kept_text
+              FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
