@@ -172,6 +172,15 @@ class Engine(val spark: SparkSession) {
     plans.RecursiveSql.run(spark, rewritten).getOrElse {
       try spark.sql(rewritten)
       catch {
+        // MySQL HAVING-without-GROUP-BY is a row filter over projection
+        // aliases (reference sql/planbuilder/select.go); Spark turns it
+        // into a global aggregate. Retry-only: rewrite HAVING -> WHERE
+        // with alias substitution.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("MISSING_GROUP_BY") =>
+          val viaWhere = SqlRewrite.havingNoGroup(rewritten)
+          if (viaWhere == rewritten) throw e
+          spark.sql(viaWhere)
         // MySQL numeric truthiness (reference sql/expression/boolean.go):
         // WHERE 1, HAVING cnt, CASE WHEN i THEN … — Spark rejects
         // non-boolean predicates, so retry once with ((atom) <> 0)

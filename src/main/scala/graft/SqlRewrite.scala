@@ -366,6 +366,133 @@ object SqlRewrite {
     text
   }
 
+  // ---- HAVING without GROUP BY (retry-only): MySQL treats it as a row
+  //      filter that can see projection aliases (reference
+  //      sql/planbuilder/select.go HAVING binding; column_alias_queries.go
+  //      "Having clause may reference expression aliases"); Spark turns
+  //      the query into a global aggregate and fails with
+  //      MISSING_GROUP_BY. Rewrite `HAVING c` to `WHERE c` (AND-merged
+  //      into an existing WHERE) with projection aliases substituted by
+  //      their select-list expressions, which also implements MySQL's
+  //      alias-over-column precedence in HAVING.
+
+  private val havingCondStops: Set[String] = Set(
+    "order", "limit", "offset", "union", "intersect", "except", "window")
+
+  def havingNoGroup(sql: String): String = {
+    val toks = tokenize(sql)
+    var depth = 0
+    var selectAt = -1
+    var fromAt = -1
+    var whereAt = -1
+    var havingAt = -1
+    var groupSeen = false
+    toks.zipWithIndex.foreach { case (t, k) =>
+      t.text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && t.kind == Word =>
+          t.text.toLowerCase match {
+            case "select" if selectAt < 0 => selectAt = k
+            case "from" if fromAt < 0 => fromAt = k
+            case "where" if whereAt < 0 => whereAt = k
+            case "group" => groupSeen = true
+            case "having" if havingAt < 0 && !groupSeen => havingAt = k
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    if (havingAt < 0 || selectAt < 0 || fromAt <= selectAt) return sql
+
+    // alias -> select-list expression text (top-level comma split;
+    // `expr AS alias` or trailing implicit `expr alias`)
+    val aliases = scala.collection.mutable.Map.empty[String, String]
+    var d = 0
+    var itemStart = selectAt + 1
+    val items = ArrayBuffer.empty[(Int, Int)] // token [from, until)
+    (selectAt + 1 until fromAt).foreach { k =>
+      toks(k).text match {
+        case "(" => d += 1
+        case ")" => d -= 1
+        case "," if d == 0 => items += ((itemStart, k)); itemStart = k + 1
+        case _ =>
+      }
+    }
+    items += ((itemStart, fromAt))
+    items.foreach { case (from0, until) =>
+      val from = // skip a leading DISTINCT/ALL qualifier on the first item
+        if (from0 < until && (toks(from0).isWord("distinct") ||
+            toks(from0).isWord("all"))) from0 + 1 else from0
+      val item = toks.slice(from, until)
+      if (item.length >= 3 && item(item.length - 2).isWord("as") &&
+          item.last.kind == Word) {
+        aliases(item.last.text.toLowerCase) =
+          sql.substring(item.head.start, item(item.length - 3).end)
+      } else if (item.length >= 2 && item.last.kind == Word &&
+          !item.last.text.head.isDigit &&
+          (item(item.length - 2).kind == Lit ||
+           item(item.length - 2).text == ")" ||
+           item(item.length - 2).kind == Word)) {
+        aliases(item.last.text.toLowerCase) =
+          sql.substring(item.head.start, item(item.length - 2).end)
+      }
+    }
+
+    // condition span: havingAt+1 until next top-level clause stop
+    var j = havingAt + 1
+    d = 0
+    var condEnd = havingAt
+    var stop = false
+    while (j < toks.length && !stop) {
+      val u = toks(j)
+      u.text match {
+        case "(" => d += 1
+        case ")" if d == 0 => stop = true
+        case ")" => d -= 1
+        case ";" if d == 0 => stop = true
+        case w if d == 0 && u.kind == Word &&
+            havingCondStops(w.toLowerCase) => stop = true
+        case _ =>
+      }
+      if (!stop) { condEnd = j; j += 1 }
+    }
+    if (condEnd <= havingAt) return sql
+
+    // render the condition with depth-0 alias references substituted;
+    // qualified names (t1.u) are single tokens and never match an alias
+    val cond = new StringBuilder
+    d = 0
+    (havingAt + 1 to condEnd).foreach { k =>
+      val t = toks(k)
+      t.text match {
+        case "(" => d += 1
+        case ")" => d -= 1
+        case _ =>
+      }
+      val isCall = k + 1 <= condEnd && toks(k + 1).text == "("
+      val sub =
+        if (t.kind == Word && !isCall && aliases.contains(t.text.toLowerCase))
+          s"(${aliases(t.text.toLowerCase)})"
+        else t.text
+      if (cond.nonEmpty) cond.append(' ')
+      cond.append(sub)
+    }
+
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    if (whereAt >= 0 && whereAt < havingAt) {
+      // wrap the existing WHERE condition, then AND-merge
+      patches += ((toks(whereAt + 1).start, toks(havingAt - 1).end,
+        s"(${sql.substring(toks(whereAt + 1).start, toks(havingAt - 1).end)})"))
+      patches += ((toks(havingAt).start, toks(condEnd).end,
+        s"AND (${cond.result()})"))
+    } else {
+      patches += ((toks(havingAt).start, toks(condEnd).end,
+        s"WHERE (${cond.result()})"))
+    }
+    splice(sql, patches.toSeq)
+  }
+
   // ---- truthiness pass (retry-only): wrap non-comparison atoms of
   //      WHERE / HAVING / searched-CASE WHEN bodies in ((atom) <> 0).
   //      MySQL treats any numeric as a truth value (reference
