@@ -529,6 +529,47 @@ object TextAnalysis {
                 CAST(SUM(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END)
                   AS DOUBLE) / COUNT(*) AS contamination_frac
               FROM ng n LEFT JOIN bench b ON n.ng = b.ng
-              GROUP BY n.doc_id ORDER BY n.doc_id"""))
+              GROUP BY n.doc_id ORDER BY n.doc_id""")),
+
+    // ---- corpus bigram statistics per document: a count-based language
+    //      -model quality signal (the shape of a KenLM perplexity filter,
+    //      kept in exact integer arithmetic so the score is deterministic
+    //      across engines and merge orders). Model build = one shuffle on
+    //      the bigram; scoring = equi-join back, per-doc aggregate. At
+    //      100 TB the model is a table, not a broadcast — the same join
+    //      shape holds.
+    QueryDef(
+      "text_bigram_stats",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val bi = docs.select(col("doc_id"), posexplode(
+            when(size(col("w")) >= 2, expr(
+              "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+              .otherwise(expr("array()")))
+            .as(Seq("pos", "bg")))
+        val model = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        bi.join(model, "bg")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            (sum(col("c2")).cast("double") / count(lit(1)))
+              .as("avg_bigram_count"),
+            count(when(col("c2") <= 2, 1)).as("n_rare"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              bi AS (
+                SELECT doc_id,
+                  unnest(list_transform(range(0, len(w)-1),
+                    i -> w[i+1] || ' ' || w[i+2])) AS bg
+                FROM words),
+              model AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg)
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                CAST(SUM(c2) AS DOUBLE) / COUNT(*) AS avg_bigram_count,
+                COUNT(CASE WHEN c2 <= 2 THEN 1 END) AS n_rare
+              FROM bi JOIN model USING (bg)
+              GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -34,6 +34,9 @@ class ReferenceCorpusSpec extends AnyFunSuite {
       .createOrReplaceTempView("two_pk")
     Seq.empty[(Long, String)].toDF("i", "s")
       .createOrReplaceTempView("emptytable")
+    Seq[(Int, Option[Int])]((0, Some(0)), (1, Some(1)), (2, Some(2)),
+      (3, None), (4, None))
+      .toDF("x", "y").createOrReplaceTempView("null_ranges")
     new Engine(spark)
   }
 
@@ -195,5 +198,36 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     check("SELECT pk,i,f FROM one_pk RIGHT JOIN niltable ON pk=i and pk > 0 ORDER BY 2,3",
       Seq(Seq(1, 1, null), Seq(2, 2, null), Seq(3, 3, null),
         Seq(null, 4, 4.0), Seq(null, 5, 5.0), Seq(null, 6, 6.0)))
+  }
+
+  test("NULL range predicate cases (null_range_tests.go:20-121)") {
+    check("select * from null_ranges where y IS NULL or y < 1",
+      Seq(Seq(0, 0), Seq(3, null), Seq(4, null)))
+    check("select * from null_ranges where y IS NULL and y < 1", Seq())
+    check("select * from null_ranges where y IS NULL or y IS NOT NULL",
+      Seq(Seq(0, 0), Seq(1, 1), Seq(2, 2), Seq(3, null), Seq(4, null)))
+    check("select * from null_ranges where y IS NOT NULL",
+      Seq(Seq(0, 0), Seq(1, 1), Seq(2, 2)))
+    check("select * from null_ranges where y IS NULL or y = 0 or y = 1",
+      Seq(Seq(0, 0), Seq(1, 1), Seq(3, null), Seq(4, null)))
+    check("select * from null_ranges where y IS NULL or y < 1 or y > 1",
+      Seq(Seq(0, 0), Seq(2, 2), Seq(3, null), Seq(4, null)))
+    check("select * from null_ranges where y IS NOT NULL and x > 1",
+      Seq(Seq(2, 2)))
+    check("select * from null_ranges where y IS NULL and x = 4",
+      Seq(Seq(4, null)))
+    check("select * from null_ranges where y IS NULL and x > 1",
+      Seq(Seq(3, null), Seq(4, null)))
+    check("select * from null_ranges where y IS NULL and y IS NOT NULL", Seq())
+    check("select * from null_ranges where y is NULL and y > -1 and y > -2",
+      Seq())
+    check("select * from null_ranges where y > -1 and y < 7 and y IS NULL",
+      Seq())
+    check("select * from null_ranges where y > -1 and y > -2 and y IS NOT NULL",
+      Seq(Seq(0, 0), Seq(1, 1), Seq(2, 2)))
+    check("select * from null_ranges where y > -1 and y > 1 and y IS NOT NULL",
+      Seq(Seq(2, 2)))
+    check("select * from null_ranges where y < 6 and y > -1 and y IS NOT NULL",
+      Seq(Seq(0, 0), Seq(1, 1), Seq(2, 2)))
   }
 }
