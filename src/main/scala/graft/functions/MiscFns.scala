@@ -268,6 +268,60 @@ object MiscFns {
       Divide(vector.VecDot(es(0), es(1)),
         Multiply(Sqrt(vector.VecDot(es(0), es(0))),
           Sqrt(vector.VecDot(es(1), es(1))))))),
+    "vec_distance_l2_squared" -> (es => vector.VecL2Sq(es(0), es(1))),
+    "vec_distance_euclidean" -> (es => Sqrt(vector.VecL2Sq(es(0), es(1)))),
+    // base64 pair (reference string.go TO_BASE64/FROM_BASE64)
+    "to_base64" -> tmpl("base64(CAST(__arg0 AS BINARY))"),
+    "from_base64" -> tmpl("CAST(unbase64(__arg0) AS STRING)"),
+    // TIME_TO_SEC (reference time.go; inverse of the registered sec_to_time)
+    "time_to_sec" -> tmpl(
+      """(CAST(split(__arg0, ':')[0] AS INT)*3600 +
+        |CAST(split(__arg0, ':')[1] AS INT)*60 +
+        |CAST(split(__arg0, ':')[2] AS INT))""".stripMargin),
+    "utc_timestamp" -> tmpl(
+      "to_utc_timestamp(current_timestamp(), current_timezone())"),
+    // UUID binary forms (reference registry.go uuid_to_bin/bin_to_uuid;
+    // swap=1 follows MySQL 8's time-swap layout — UuidFns is the Column
+    // twin of these templates)
+    "uuid_to_bin" -> (es => {
+      val h = "lower(replace(__arg0, '-', ''))"
+      val sql =
+        if (es.length > 1)
+          s"""CASE WHEN CAST(__arg1 AS INT) = 1
+             |THEN unhex(concat(substring($h,13,4), substring($h,9,4),
+             |  substring($h,1,8), substring($h,17,16)))
+             |ELSE unhex($h) END""".stripMargin
+        else s"unhex($h)"
+      tmpl(sql)(es)
+    }),
+    "bin_to_uuid" -> (es => {
+      val h0 = "lower(hex(__arg0))"
+      def fmt(h: String) =
+        s"""concat_ws('-', substring($h,1,8), substring($h,9,4),
+           |substring($h,13,4), substring($h,17,4), substring($h,21,12))""".stripMargin
+      val swapped =
+        s"concat(substring($h0,9,8), substring($h0,5,4), substring($h0,1,4), substring($h0,17,16))"
+      val sql =
+        if (es.length > 1)
+          s"""CASE WHEN CAST(__arg1 AS INT) = 1 THEN ${fmt(s"($swapped)")}
+             |ELSE ${fmt(h0)} END""".stripMargin
+        else fmt(h0)
+      tmpl(sql)(es)
+    }),
+    "is_uuid" -> tmpl(
+      """CASE WHEN __arg0 IS NULL THEN NULL
+        |WHEN replace(replace(replace(lower(CAST(__arg0 AS STRING)),
+        |  '-', ''), '{', ''), '}', '') RLIKE '^[0-9a-f]{32}$'
+        |THEN 1 ELSE 0 END""".stripMargin),
+    // charset metadata stubs: the engine stores every string as UTF-8
+    // (reference charset.go/coercibility.go carry the full charset model)
+    "charset" -> tmpl("'utf8mb4'"),
+    "coercibility" -> tmpl("CAST(4 AS INT)"),
+    // JSON storage introspection: size of the serialized text form; the
+    // engine has no binary JSON slack, so freed space is always 0
+    // (reference json_storage_size.go / json_storage_free.go)
+    "json_storage_size" -> tmpl("octet_length(CAST(__arg0 AS STRING))"),
+    "json_storage_free" -> tmpl("CAST(0 AS BIGINT)"),
     // misc
     "validate_password_strength" -> tmpl(
       """CASE WHEN length(__arg0) < 4 THEN 0

@@ -908,10 +908,54 @@ object spatial {
   def stLongFromGeoHash(h: Column): Column = c(GeoHashCoord(x(h), 1))
   def stPointFromGeoHash(h: Column): Column = c(StPointFromGeoHash(x(h)))
 
+  // ---- WKT constructors from component geometries (reference
+  //      point.go/linestring.go/polygon.go): POINT(x, y) builds from
+  //      coordinates; LINESTRING(p...) from points; POLYGON(ls...) from
+  //      closed linestring rings. All validate through StGeomFromText.
+  private def wktLit(s: String): Expression =
+    org.apache.spark.sql.catalyst.expressions.Literal(
+      UTF8String.fromString(s), StringType)
+  private def pointCtor(es: Seq[Expression]): Expression =
+    StGeomFromText(org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+      wktLit("POINT("),
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0), StringType),
+      wktLit(" "),
+      org.apache.spark.sql.catalyst.expressions.Cast(es(1), StringType),
+      wktLit(")"))))
+  private def lineCtor(es: Seq[Expression]): Expression = {
+    val inners = es.map(e =>
+      org.apache.spark.sql.catalyst.expressions.RegExpExtract(
+        e, wktLit("^POINT\\((.+)\\)$"),
+        org.apache.spark.sql.catalyst.expressions.Literal(1)): Expression)
+    StGeomFromText(org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+      wktLit("LINESTRING("),
+      org.apache.spark.sql.catalyst.expressions.ConcatWs(
+        wktLit(",") +: inners),
+      wktLit(")"))))
+  }
+  private def polyCtor(es: Seq[Expression]): Expression = {
+    val rings = es.map(e =>
+      org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+        wktLit("("),
+        org.apache.spark.sql.catalyst.expressions.RegExpExtract(
+          e, wktLit("^LINESTRING\\((.+)\\)$"),
+          org.apache.spark.sql.catalyst.expressions.Literal(1)),
+        wktLit(")"))): Expression)
+    StGeomFromText(org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+      wktLit("POLYGON("),
+      org.apache.spark.sql.catalyst.expressions.ConcatWs(
+        wktLit(",") +: rings),
+      wktLit(")"))))
+  }
+
   /** Every (name, builder) pair — shared by Engine registration and
     * GraftExtensions injection (single source of truth, no drift). */
   def builders: Seq[(String, Seq[Expression] => Expression)] =
     Seq[(String, Seq[Expression] => Expression)](
+      "point" -> (es => pointCtor(es)),
+      "st_point" -> (es => pointCtor(es)),
+      "linestring" -> (es => lineCtor(es)),
+      "polygon" -> (es => polyCtor(es)),
       "st_x" -> (es => StX(es.head)),
       "st_y" -> (es => StY(es.head)),
       "st_distance" -> (es => StDistance(es(0), es(1))),

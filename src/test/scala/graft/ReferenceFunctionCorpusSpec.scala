@@ -310,6 +310,28 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
     one("select uncompressed_length(compress(repeat('a', 1000)))", 1000)
   }
 
+  test("encoding / UUID binary / constructor registry tail (function_queries.go:1662, script_queries.go:3225)") {
+    one("SELECT TO_BASE64('foo')", "Zm9v")
+    one("SELECT FROM_BASE64('YmFy')", "bar")
+    one("SELECT IS_UUID(UUID())", 1)
+    one("SELECT IS_UUID('6ccd780c-baba-1026-9564-5b8c656024db')", 1)
+    one("SELECT IS_UUID('abc')", 0)
+    one("SELECT BIN_TO_UUID(UUID_TO_BIN('6ccd780c-baba-1026-9564-5b8c656024db'))",
+      "6ccd780c-baba-1026-9564-5b8c656024db")
+    one("SELECT BIN_TO_UUID(UUID_TO_BIN('6ccd780c-baba-1026-9564-5b8c656024db', 1), 1)",
+      "6ccd780c-baba-1026-9564-5b8c656024db")
+    one("SELECT UUID_TO_BIN(NULL)", null)
+    one("SELECT HEX(UUID_TO_BIN('6ccd780c-baba-1026-9564-5b8c656024db'))",
+      "6CCD780CBABA102695645B8C656024DB")
+    one("SELECT TIME_TO_SEC('13:20:00')", 48000)
+    one("SELECT CHARSET('abc')", "utf8mb4")
+    one("SELECT ST_ASTEXT(POINT(1, 2))", "POINT(1 2)")
+    one("SELECT ST_ASTEXT(LINESTRING(POINT(0,0), POINT(1,2)))",
+      "LINESTRING(0 0,1 2)")
+    one("SELECT ST_ASTEXT(POLYGON(LINESTRING(POINT(0,0), POINT(0,2), POINT(2,2), POINT(0,0))))",
+      "POLYGON((0 0,0 2,2 2,0 0))")
+  }
+
   test("COALESCE cases (function_queries.go:376-398)") {
     one("SELECT COALESCE(NULL, NULL, NULL, 'example', NULL, 1234567890)",
       "example")
