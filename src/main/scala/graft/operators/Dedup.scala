@@ -413,14 +413,16 @@ object Dedup {
     QueryDef(
       "dedup_paragraph",
       (s, d) => {
-        val words = split(col("text"), " ")
-        val nChunks = ceil(size(words) / lit(10.0)).cast("int")
+        // split() projected once — a lambda-body reference would
+        // re-evaluate it per chunk (quadratic in document length)
+        val nChunks = ceil(size(col("w")) / lit(10.0)).cast("int")
         val chunks = transform(sequence(lit(0), nChunks - 1),
-          i => concat_ws(" ", slice(words, i * 10 + 1, lit(10))))
+          i => concat_ws(" ", slice(col("w"), i * 10 + 1, lit(10))))
         val firstSeen = org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("chunk").cast("binary")))
           .orderBy(col("doc_id"), col("chunk_idx"))
         Tables.t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
           .select(col("doc_id"),
             posexplode(chunks).as(Seq("chunk_idx", "chunk")))
           .withColumn("rn", row_number().over(firstSeen))

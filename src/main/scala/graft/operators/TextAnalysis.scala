@@ -441,12 +441,15 @@ object TextAnalysis {
           col("doc_id"),
           size(split(col("text"), " ")).as("n_words"),
           size(array_distinct(split(col("text"), " "))).as("n_distinct_words"))
-        val bigrams = docs.select(col("doc_id"), explode(expr(
-          """CASE WHEN size(split(text, ' ')) >= 2
-               THEN transform(sequence(1, size(split(text, ' ')) - 1),
-                 i -> concat(element_at(split(text, ' '), i), ' ',
-                             element_at(split(text, ' '), i + 1)))
-               ELSE CAST(array() AS array<string>) END""")).as("b"))
+        // split() projected once — a lambda-body reference would
+        // re-evaluate it per bigram (quadratic in document length)
+        val bigrams = docs
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(ws) >= 2
+                 THEN transform(sequence(1, size(ws) - 1),
+                   i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+                 ELSE CAST(array() AS array<string>) END""")).as("b"))
         val perBigram = bigrams.groupBy(col("doc_id"), col("b"))
           .agg(count(lit(1)).as("c"))
         val perDoc = perBigram.groupBy(col("doc_id"))
@@ -492,12 +495,16 @@ object TextAnalysis {
         // per-doc dedup is a per-ROW array_distinct, not a (doc_id, ngram)
         // distinct — no corpus-wide shuffle just to dedupe within docs
         val docs = Tables.t(s, d, "documents")
+        // split() is projected ONCE before the lambda — referencing it
+        // inside the transform body re-evaluates the split per n-gram,
+        // turning extraction quadratic in document length
         def withNgrams(df: org.apache.spark.sql.DataFrame) =
-          df.select(col("doc_id"), expr(
-            """array_distinct(CASE WHEN size(split(text, ' ')) >= 5
-                 THEN transform(sequence(1, size(split(text, ' ')) - 4),
-                   i -> array_join(slice(split(text, ' '), i, 5), ' '))
-                 ELSE CAST(array() AS array<string>) END)""").as("ngs"))
+          df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+            .select(col("doc_id"), expr(
+              """array_distinct(CASE WHEN size(ws) >= 5
+                   THEN transform(sequence(1, size(ws) - 4),
+                     i -> array_join(slice(ws, i, 5), ' '))
+                   ELSE CAST(array() AS array<string>) END)""").as("ngs"))
         val bench = withNgrams(docs.filter(col("doc_id") % 97 === 0))
           .select(explode(col("ngs")).as("ng")).distinct()
           .withColumn("hit", lit(1))
