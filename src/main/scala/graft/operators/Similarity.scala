@@ -40,6 +40,86 @@ object Similarity {
   private def cosine(a: String, b: String): Column =
     dot(a, b) / (gvec.vecNorm(col(a)) * gvec.vecNorm(col(b)))
 
+  // ---- product quantization (shared by vec_pq_codebook / sim_pq_adc):
+  //      M=4 subspaces × 16 dims, K=8 codes, 2 deterministic Lloyd
+  //      iterations with exact-DECIMAL centroid sums
+
+  /** nearest codebook entry per (vector, subspace): equi-join on m
+    * against the broadcast centroids, window-min over K candidates */
+  private def pqAssign(sub: DataFrame, c: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dd"), col("cid"))
+    sub.join(broadcast(c), Seq("m"))
+      .withColumn("dd", gvec.vecL2Sq(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cid"), col("sv"), col("dd"))
+  }
+
+  /** (subspace slices, trained centroids) */
+  private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val K = 8 // codes per subspace
+    val e = emb(s, d).select(col("vec_id"), col("v"))
+    // (vec_id, m, sv): subspace m's 16-dim slice of each vector
+    val sub = e.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))"))
+      .as(Seq("m", "sv")))
+    var cent = sub.filter(col("vec_id") < K)
+      .select(col("m"), col("vec_id").cast("int").as("cid"),
+        col("sv").as("cv"))
+    for (_ <- 0 until 2) {
+      val a = pqAssign(sub, cent)
+      cent = a
+        .select(col("m"), col("cid"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("cid"), col("dim"))
+        .agg((sum(col("x").cast(DecimalType(27, 12))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("m"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+          .as("cv"))
+    }
+    (sub, cent)
+  }
+
+  /** DuckDB twins of pqTrain/pqAssign (shared by both PQ oracles). */
+  private object PqSql {
+    val dist =
+      "list_sum(list_transform(list_zip(sv, cv), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    def assign(centCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, m, cid, sv, dd FROM (
+         |    SELECT e.vec_id, e.m, c.cid, e.sv, $dist AS dd,
+         |      row_number() OVER (PARTITION BY e.vec_id, e.m
+         |        ORDER BY $dist, c.cid) AS rk
+         |    FROM es e JOIN $centCte c ON e.m = c.m) WHERE rk = 1)""".stripMargin
+    def recompute(assignCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT m, cid, list(c ORDER BY dim) AS cv FROM (
+         |    SELECT m, cid, dim,
+         |      CAST(SUM(CAST(sv[dim] AS DECIMAL(27,12))) AS DOUBLE)
+         |        / COUNT(*) AS c
+         |    FROM $assignCte, unnest(generate_series(1, 16)) t(dim)
+         |    GROUP BY m, cid, dim)
+         |  GROUP BY m, cid)""".stripMargin
+    /** WITH-body producing `es` (subspace slices) and `cent2` (trained). */
+    val trained: String =
+      s"""e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |es AS (
+         |  SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS sv
+         |  FROM e, unnest(generate_series(0, 3)) t(m)),
+         |cent0 AS (
+         |  SELECT m, CAST(vec_id AS INT) AS cid, sv AS cv FROM es
+         |  WHERE vec_id < 8),
+         |${assign("cent0", "a0")},
+         |${recompute("a0", "cent1")},
+         |${assign("cent1", "a1")},
+         |${recompute("a1", "cent2")}""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k (exact baseline)
@@ -452,37 +532,8 @@ object Similarity {
     QueryDef(
       "vec_pq_codebook",
       (s, d) => {
-        val K = 8 // codes per subspace
-        val e = emb(s, d).select(col("vec_id"), col("v"))
-        // (vec_id, m, sv): subspace m's 16-dim slice of each vector
-        val sub = e.select(col("vec_id"), posexplode(expr(
-          "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))"))
-          .as(Seq("m", "sv")))
-        var cent = sub.filter(col("vec_id") < K)
-          .select(col("m"), col("vec_id").cast("int").as("cid"),
-            col("sv").as("cv"))
-        def assign(c: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("vec_id"), col("m"))
-            .orderBy(col("dd"), col("cid"))
-          sub.join(broadcast(c), Seq("m"))
-            .withColumn("dd", gvec.vecL2Sq(col("sv"), col("cv")))
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") === 1)
-            .select(col("vec_id"), col("m"), col("cid"), col("sv"), col("dd"))
-        }
-        for (_ <- 0 until 2) {
-          val a = assign(cent)
-          cent = a
-            .select(col("m"), col("cid"),
-              posexplode(col("sv")).as(Seq("dim", "x")))
-            .groupBy(col("m"), col("cid"), col("dim"))
-            .agg((sum(col("x").cast(DecimalType(27, 12))).cast("double") /
-              count(lit(1))).as("c"))
-            .groupBy(col("m"), col("cid"))
-            .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-              .as("cv"))
-        }
-        assign(cent)
+        val (sub, cent) = pqTrain(s, d)
+        pqAssign(sub, cent)
           .groupBy(col("m"), col("cid"))
           .agg(
             count(lit(1)).as("n_members"),
@@ -490,44 +541,69 @@ object Similarity {
               .as("inertia"))
           .orderBy(col("m"), col("cid"))
       },
-      Some {
-        val dist =
-          "list_sum(list_transform(list_zip(sv, cv), z -> (z[1] - z[2]) * (z[1] - z[2])))"
-        def assign(centCte: String, name: String) =
-          s"""$name AS (
-             |  SELECT vec_id, m, cid, sv, dd FROM (
-             |    SELECT e.vec_id, e.m, c.cid, e.sv, $dist AS dd,
-             |      row_number() OVER (PARTITION BY e.vec_id, e.m
-             |        ORDER BY $dist, c.cid) AS rk
-             |    FROM es e JOIN $centCte c ON e.m = c.m) WHERE rk = 1)""".stripMargin
-        def recompute(assignCte: String, name: String) =
-          s"""$name AS (
-             |  SELECT m, cid, list(c ORDER BY dim) AS cv FROM (
-             |    SELECT m, cid, dim,
-             |      CAST(SUM(CAST(sv[dim] AS DECIMAL(27,12))) AS DOUBLE)
-             |        / COUNT(*) AS c
-             |    FROM $assignCte, unnest(generate_series(1, 16)) t(dim)
-             |    GROUP BY m, cid, dim)
-             |  GROUP BY m, cid)""".stripMargin
-        s"""WITH e AS (
-           |  SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |es AS (
-           |  SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS sv
-           |  FROM e, unnest(generate_series(0, 3)) t(m)),
-           |cent0 AS (
-           |  SELECT m, CAST(vec_id AS INT) AS cid, sv AS cv FROM es
-           |  WHERE vec_id < 8),
-           |${assign("cent0", "a0")},
-           |${recompute("a0", "cent1")},
-           |${assign("cent1", "a1")},
-           |${recompute("a1", "cent2")},
-           |${assign("cent2", "a2")}
+      Some(
+        s"""WITH ${PqSql.trained},
+           |${PqSql.assign("cent2", "a2")}
            |SELECT m, cid, COUNT(*) AS n_members,
            |  round(CAST(SUM(CAST(dd AS DECIMAL(27,12))) AS DOUBLE), 6)
            |    AS inertia
-           |FROM a2 GROUP BY m, cid ORDER BY m, cid""".stripMargin
-      })
+           |FROM a2 GROUP BY m, cid ORDER BY m, cid""".stripMargin)),
+
+    // ---- PQ asymmetric distance computation (ADC) — the billion-vector
+    //      query path that pairs with vec_pq_codebook: the probe computes
+    //      a distance TABLE to the 32 codebook entries once (4×8, a
+    //      broadcast constant), and every corpus vector scores as the sum
+    //      of 4 table lookups on its codes — the corpus is touched only
+    //      through its 4-byte code row, never its raw floats. Scoring is
+    //      an equi-join (m, cid) + per-(probe, vec) sum; exact-DECIMAL
+    //      accumulation keeps the ranking bit-identical across engines.
+    QueryDef(
+      "sim_pq_adc",
+      (s, d) => {
+        val (sub, cent) = pqTrain(s, d)
+        val codes = pqAssign(sub, cent)
+          .select(col("vec_id"), col("m"), col("cid"))
+        val probes = sub.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("probe_id"), col("m").as("pm"),
+            col("sv").as("psv"))
+        val dtab = probes.join(broadcast(cent), col("pm") === col("m"))
+          .select(col("probe_id"), col("m"), col("cid"),
+            gvec.vecL2Sq(col("psv"), col("cv")).as("dt"))
+        val rank = Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc_dec"), col("vec_id"))
+        codes.join(broadcast(dtab), Seq("m", "cid"))
+          .groupBy(col("probe_id"), col("vec_id"))
+          .agg(sum(col("dt").cast(DecimalType(27, 12))).as("adc_dec"))
+          .withColumn("rk", row_number().over(rank))
+          .filter(col("rk") <= 5)
+          .select(col("probe_id"), col("rk"), col("vec_id"),
+            round(col("adc_dec").cast("double"), 6).as("adc_dist"))
+          .orderBy(col("probe_id"), col("rk"))
+      },
+      Some(
+        s"""WITH ${PqSql.trained},
+           |${PqSql.assign("cent2", "codes0")},
+           |codes AS (SELECT vec_id, m, cid FROM codes0),
+           |probes AS (
+           |  SELECT vec_id AS probe_id, m AS pm, sv AS psv
+           |  FROM es WHERE vec_id < 3),
+           |dtab AS (
+           |  SELECT probe_id, c.m, c.cid,
+           |    list_sum(list_transform(list_zip(psv, cv),
+           |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dt
+           |  FROM probes p JOIN cent2 c ON p.pm = c.m),
+           |scored AS (
+           |  SELECT probe_id, vec_id,
+           |    SUM(CAST(dt AS DECIMAL(27,12))) AS adc_dec
+           |  FROM codes JOIN dtab USING (m, cid)
+           |  GROUP BY probe_id, vec_id),
+           |ranked AS (
+           |  SELECT probe_id, vec_id, adc_dec,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY adc_dec, vec_id) AS rk
+           |  FROM scored)
+           |SELECT probe_id, rk, vec_id,
+           |  round(CAST(adc_dec AS DOUBLE), 6) AS adc_dist
+           |FROM ranked WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin))
   )
 }
