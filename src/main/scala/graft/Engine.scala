@@ -43,6 +43,11 @@ object Dialect {
       .replaceAll("(?i)\\bAS\\s+N?CHAR\\b(?!\\s*\\()", "AS STRING")
       // MySQL DATETIME is wall-clock (no zone): Spark TIMESTAMP_NTZ
       .replaceAll("(?i)\\bAS\\s+DATETIME\\b", "AS TIMESTAMP_NTZ")
+      // JSON documents are their serialized text in this engine (the
+      // json_* family parses on demand), so CAST(x AS JSON) is the text
+      // rendering of x. The closing-paren anchor keeps `SELECT x AS json`
+      // aliases untouched.
+      .replaceAll("(?i)\\bAS\\s+JSON\\s*\\)", "AS STRING)")
       // MySQL 8 VALUES ROW(...) constructor -> bare tuples
       .replaceAll("(?i)\\bROW\\s*\\(", "(")
       // `t AS OF n` resolves to the Engine.snapshot-pinned view
