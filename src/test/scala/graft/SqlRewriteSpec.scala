@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Token-pass edge cases for the round-5 dialect rewrites: DATE_ADD
+  * INTERVAL arithmetic, CONVERT→CAST, and the retry-only
+  * HAVING-without-GROUP-BY row-filter rewrite. These pins guard the
+  * text-surgery boundaries (nesting, literals, alias capture) that
+  * regex-level rewriters historically got wrong.
+  */
+class SqlRewriteSpec extends AnyFunSuite {
+
+  private def squash(s: String) = s.replaceAll("\\s+", " ").trim
+
+  test("dateArith rewrites string-literal first arguments") {
+    assert(squash(SqlRewrite.dateArith(
+      "SELECT DATE_ADD('2018-05-02', INTERVAL 1 day)")) ==
+      "SELECT (CAST('2018-05-02' AS TIMESTAMP) + INTERVAL 1 day)")
+    assert(squash(SqlRewrite.dateArith(
+      "SELECT date_sub(da, INTERVAL 3 MONTH) FROM t")) ==
+      "SELECT (CAST(da AS TIMESTAMP) - INTERVAL 3 MONTH) FROM t")
+  }
+
+  test("dateArith handles nested calls and leaves integer-days form alone") {
+    assert(squash(SqlRewrite.dateArith(
+      "SELECT DATE_ADD(DATE_SUB(x, INTERVAL 1 DAY), INTERVAL 2 HOUR)")) ==
+      "SELECT (CAST((CAST(x AS TIMESTAMP) - INTERVAL 1 DAY) AS TIMESTAMP) + INTERVAL 2 HOUR)")
+    val intDays = "SELECT adddate('2020-01-01', 1)"
+    assert(SqlRewrite.dateArith(intDays) == intDays)
+    // inside a string literal: untouched
+    val lit = "SELECT 'date_add(x, INTERVAL 1 DAY)'"
+    assert(SqlRewrite.dateArith(lit) == lit)
+  }
+
+  test("convertFn maps both CONVERT forms and nests") {
+    assert(squash(SqlRewrite.convertFn("SELECT CONVERT('1', SIGNED)")) ==
+      "SELECT CAST('1' AS SIGNED)")
+    assert(squash(SqlRewrite.convertFn(
+      "SELECT CONVERT(UUID() USING utf8mb4)")) ==
+      "SELECT CAST(UUID() AS STRING)")
+    assert(squash(SqlRewrite.convertFn(
+      "SELECT CONVERT(CONVERT(x USING binary), CHAR(5))")) ==
+      "SELECT CAST(CAST(x AS STRING) AS CHAR(5))")
+    val lit = "SELECT 'CONVERT(x, SIGNED)'"
+    assert(SqlRewrite.convertFn(lit) == lit)
+  }
+
+  test("havingNoGroup rewrites HAVING to WHERE with alias substitution") {
+    assert(squash(SqlRewrite.havingNoGroup(
+      "select t1.u as a from uv as t1 having a > 0 order by a")) ==
+      "select t1.u as a from uv as t1 WHERE ((t1.u) > 0) order by a")
+    // implicit alias form
+    assert(squash(SqlRewrite.havingNoGroup(
+      "select u a from uv having a = 3")) ==
+      "select u a from uv WHERE ((u) = 3)")
+  }
+
+  test("havingNoGroup AND-merges into an existing WHERE, parenthesized") {
+    assert(squash(SqlRewrite.havingNoGroup(
+      "select u as a from uv where u > 0 or u < -1 having a < 9")) ==
+      "select u as a from uv where (u > 0 or u < -1) AND ((u) < 9)")
+  }
+
+  test("havingNoGroup leaves grouped / having-free queries alone") {
+    val grouped = "select u, count(*) c from uv group by u having c > 1"
+    assert(SqlRewrite.havingNoGroup(grouped) == grouped)
+    val plain = "select u from uv where u > 0"
+    assert(SqlRewrite.havingNoGroup(plain) == plain)
+  }
+}
