@@ -34,6 +34,12 @@ object Dml {
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+AS\s+(.*)$""".r
   private val CreateTableAs =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s+AS\s+(.*)$""".r
+  // CREATE TABLE t (col defs ...) [table options] — the form every MySQL
+  // script opens with (reference sql/planbuilder/ddl.go buildCreateTable)
+  private val CreateTableDef =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\((.*)\)\s*((?:ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|COMMENT|AUTO_INCREMENT)\b[^)]*)?$""".r
+  private val AlterTable =
+    """(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(.*)$""".r
   private val DropTv =
     """(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val Trunc =
@@ -182,6 +188,12 @@ object Dml {
     case CreateTableAs(name, body) =>
       e.ctas(name, body); Some(ok(e, 0L))
 
+    case CreateTableDef(name, body, _) =>
+      createFromDefs(e, name, body); Some(ok(e, 0L))
+
+    case AlterTable(name, actions) =>
+      alterTable(e, name, actions); Some(ok(e, 0L))
+
     case DropTv(name) =>
       e.drop(name); Some(ok(e, 0L))
 
@@ -251,6 +263,208 @@ object Dml {
   }
 
   /** MySQL LIKE filter for SHOW output (% and _ wildcards). */
+  // ---- CREATE TABLE (col defs) / ALTER TABLE ---------------------------
+
+  /** split on top-level commas, aware of parens and '/"/` literals */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < s.length) {
+          cur.append(s.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** MySQL column type text -> Spark type (+ ENUM/SET vocabulary).
+    * (reference sql/types type mapping: number.go, string.go, enum.go) */
+  private def mysqlDataType(t: String)
+      : (org.apache.spark.sql.types.DataType, Option[(Boolean, Seq[String])]) = {
+    import org.apache.spark.sql.types._
+    val lower = t.trim.toLowerCase
+    val base = lower.takeWhile(c => c.isLetter || c == '_')
+    val args = {
+      val o = lower.indexOf('(')
+      if (o < 0) Seq.empty[String]
+      else splitTop(lower.substring(o + 1, lower.lastIndexOf(')')))
+    }
+    val unsigned = lower.contains("unsigned")
+    base match {
+      case "tinyint" => (ByteType, None)
+      case "bool" | "boolean" => (BooleanType, None)
+      case "smallint" => (if (unsigned) IntegerType else ShortType, None)
+      case "mediumint" | "int" | "integer" =>
+        (if (unsigned) LongType else IntegerType, None)
+      case "bigint" =>
+        (if (unsigned) DecimalType(20, 0) else LongType, None)
+      case "serial" => (LongType, None)
+      case "float" => (FloatType, None)
+      case "double" | "real" => (DoubleType, None)
+      case "decimal" | "numeric" | "dec" | "fixed" =>
+        val p = args.headOption.map(_.trim.toInt).getOrElse(10)
+        val s = args.lift(1).map(_.trim.toInt).getOrElse(0)
+        (DecimalType(p, s), None)
+      case "date" => (DateType, None)
+      case "datetime" => (TimestampNTZType, None)
+      case "timestamp" => (TimestampType, None)
+      case "time" | "year" | "json" | "uuid" => (StringType, None)
+      case "char" | "varchar" | "tinytext" | "text" | "mediumtext" |
+           "longtext" | "nchar" | "nvarchar" => (StringType, None)
+      case "binary" | "varbinary" | "tinyblob" | "blob" | "mediumblob" |
+           "longblob" | "bit" => (BinaryType, None)
+      case "enum" =>
+        (StringType, Some((false, args.map(_.trim.stripPrefix("'").stripSuffix("'")))))
+      case "set" =>
+        (StringType, Some((true, args.map(_.trim.stripPrefix("'").stripSuffix("'")))))
+      case "vector" => (ArrayType(FloatType), None)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported column type: $other")
+    }
+  }
+
+  private def stripTick(s: String): String = s.stripPrefix("`").stripSuffix("`")
+
+  private val keyCols = """\(([^)]*)\)""".r
+
+  /** one `name TYPE [flags]` item -> StructField (+ vocab/key bookkeeping) */
+  private def parseColDef(e: Engine, table: String, item: String)
+      : org.apache.spark.sql.types.StructField = {
+    import org.apache.spark.sql.types._
+    val m = """(?s)^\s*(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
+      .findFirstMatchIn(item)
+      .getOrElse(throw new IllegalArgumentException(s"bad column def: $item"))
+    val colName = stripTick(m.group(1))
+    val rest = m.group(2)
+    // the type spans up to the end of its (args), else the first word
+    val typeText = {
+      val o = rest.indexOf('(')
+      val firstWord = rest.takeWhile(!_.isWhitespace)
+      if (o >= 0 && o <= firstWord.length)
+        rest.substring(0, rest.indexOf(')') + 1) +
+          (if (rest.substring(rest.indexOf(')') + 1).toLowerCase
+                .trim.startsWith("unsigned")) " unsigned" else "")
+      else firstWord +
+        (if (rest.drop(firstWord.length).toLowerCase.trim
+              .startsWith("unsigned")) " unsigned" else "")
+    }
+    val up = rest.toUpperCase
+    val (dt, vocab) = mysqlDataType(typeText)
+    vocab.foreach { case (isSet, vs) =>
+      if (isSet) e.declareSet(table, colName, vs)
+      else e.declareEnum(table, colName, vs)
+    }
+    if (up.contains("PRIMARY KEY")) e.declareKey(table, Seq(colName))
+    StructField(colName, dt, nullable = !up.contains("NOT NULL"))
+  }
+
+  private def createFromDefs(e: Engine, table: String, body: String): Unit = {
+    import org.apache.spark.sql.types._
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    splitTop(body).foreach { item =>
+      val up = item.toUpperCase
+      if (up.startsWith("PRIMARY KEY")) {
+        keyCols.findFirstMatchIn(item).foreach(k =>
+          e.declareKey(table, k.group(1).split(",").map(c => stripTick(c.trim)).toSeq))
+      } else if (Seq("UNIQUE", "KEY", "INDEX", "CONSTRAINT", "FOREIGN",
+          "CHECK", "FULLTEXT", "SPATIAL").exists(up.startsWith))
+        () // secondary-index / constraint metadata: no physical effect here
+      else fields += parseColDef(e, table, item)
+    }
+    val df = e.spark.createDataFrame(
+      e.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields.toSeq))
+    e.replaceTable(table, df, bumpDepth = false)
+  }
+
+  /** ALTER TABLE actions (reference sql/planbuilder/ddl.go buildAlterTable):
+    * ADD/DROP/MODIFY/CHANGE/RENAME COLUMN, RENAME TO, ADD PRIMARY KEY;
+    * index DDL is metadata-only here. Applied as one view rewrite. */
+  private def alterTable(e: Engine, table: String, actions: String): Unit = {
+    var df = e.spark.table(table)
+    var renameTo: Option[String] = None
+    val Add =
+      """(?is)^ADD\s+(?:COLUMN\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
+    val DropCol =
+      """(?is)^DROP\s+(?:COLUMN\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$""".r
+    val RenameCol =
+      """(?is)^RENAME\s+COLUMN\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+TO\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$""".r
+    val RenameTo =
+      """(?is)^RENAME\s+(?:TO\s+|AS\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$""".r
+    val Modify =
+      """(?is)^MODIFY\s+(?:COLUMN\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
+    val Change =
+      """(?is)^CHANGE\s+(?:COLUMN\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
+    val AddPk = """(?is)^ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)$""".r
+    val IndexDdl =
+      """(?is)^(?:ADD\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:INDEX|KEY)|DROP\s+(?:INDEX|KEY|PRIMARY\s+KEY)|ALTER\s+INDEX|RENAME\s+(?:INDEX|KEY)|ENGINE|AUTO_INCREMENT|COMMENT|CONVERT\s+TO|CHARACTER\s+SET|COLLATE).*$""".r
+    splitTop(actions).foreach { action =>
+      action match {
+        // index/constraint actions first: they'd otherwise parse as an
+        // ADD COLUMN named PRIMARY/UNIQUE/INDEX
+        case AddPk(cols) =>
+          e.declareKey(table, cols.split(",").map(c => stripTick(c.trim)).toSeq)
+        case IndexDdl() => () // metadata-only
+        case Add(cn, spec) =>
+          val (dt, _) = mysqlDataType(spec)
+          val defaultRe = """(?is).*\bDEFAULT\s+('[^']*'|[\w.+-]+).*""".r
+          val value = spec match {
+            case defaultRe(d) =>
+              expr(d).cast(dt)
+            case _ => lit(null).cast(dt)
+          }
+          // FIRST / AFTER col positioning
+          val afterRe = """(?is).*\bAFTER\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*).*""".r
+          val withCol = df.withColumn(stripTick(cn), value)
+          df = spec match {
+            case _ if spec.toUpperCase.contains("FIRST") =>
+              withCol.select((col(s"`${stripTick(cn)}`") +:
+                df.columns.map(c => col(s"`$c`")).toSeq): _*)
+            case afterRe(a) =>
+              val before = df.columns.takeWhile(_ != stripTick(a)) :+ stripTick(a)
+              val rest = df.columns.drop(before.length)
+              withCol.select((before.map(c => col(s"`$c`")) ++
+                Seq(col(s"`${stripTick(cn)}`")) ++
+                rest.map(c => col(s"`$c`"))).toSeq: _*)
+            case _ => withCol
+          }
+        case DropCol(cn) => df = df.drop(stripTick(cn))
+        case RenameCol(a, b) =>
+          df = df.withColumnRenamed(stripTick(a), stripTick(b))
+        case Modify(cn, spec) =>
+          val (dt, _) = mysqlDataType(spec)
+          df = df.withColumn(stripTick(cn), col(s"`${stripTick(cn)}`").cast(dt))
+        case Change(a, b, spec) =>
+          val (dt, _) = mysqlDataType(spec)
+          df = df.withColumn(stripTick(a), col(s"`${stripTick(a)}`").cast(dt))
+            .withColumnRenamed(stripTick(a), stripTick(b))
+        case RenameTo(n) => renameTo = Some(stripTick(n))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported ALTER action: $other")
+      }
+    }
+    renameTo match {
+      case Some(n) =>
+        e.replaceTable(n, df, bumpDepth = false); e.drop(table)
+      case None => e.replaceTable(table, df, bumpDepth = true)
+    }
+  }
+
   private def filterLike(df: DataFrame, column: String,
                          like: String): DataFrame =
     if (like == null) df

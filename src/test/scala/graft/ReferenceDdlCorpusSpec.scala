@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CREATE TABLE (column defs) + ALTER TABLE front-door coverage, driven
+  * with the reference enginetest setup-script shapes (the statements
+  * every ScriptTest opens with — order_by_group_by_queries.go:27,
+  * alter_table_queries.go). Columns map through the MySQL type table
+  * (sql/types); ENUM/SET vocabularies and PRIMARY KEYs land in the
+  * engine's declared metadata.
+  */
+class ReferenceDdlCorpusSpec extends AnyFunSuite {
+  import SparkSpec.spark
+
+  private lazy val engine = new Engine(spark)
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    engine.query(sql).collect()
+      .map(r => (0 until r.length).map(r.get).toSeq).toSeq
+
+  test("create table + insert + select round-trip (ScriptTest setup shape)") {
+    engine.runScript(
+      """create table members (id bigint primary key, team text);
+        |insert into members values (3,'red'), (4,'red'),(5,'orange'),(6,'orange'),(7,'orange'),(8,'purple');
+        |""".stripMargin)
+    assert(rows("select team, count(*) c from members group by team order by c") ==
+      Seq(Seq("purple", 1L), Seq("red", 2L), Seq("orange", 3L)))
+    // declared primary key surfaces through SHOW INDEX
+    val idx = rows("SHOW INDEX FROM members")
+    assert(idx.exists(r => r.contains("PRIMARY") && r.contains("id")))
+    engine.query("drop table members")
+  }
+
+  test("column types map through the MySQL type table") {
+    engine.runScript(
+      """create table typed (
+        |  a tinyint, b smallint, c int unsigned, d bigint,
+        |  e decimal(10,2), f double, g varchar(20) not null,
+        |  h date, i datetime, j blob, k json);
+        |""".stripMargin)
+    val schema = spark.table("typed").schema
+    import org.apache.spark.sql.types._
+    assert(schema("a").dataType == ByteType)
+    assert(schema("b").dataType == ShortType)
+    assert(schema("c").dataType == LongType)
+    assert(schema("d").dataType == LongType)
+    assert(schema("e").dataType == DecimalType(10, 2))
+    assert(schema("f").dataType == DoubleType)
+    assert(schema("g").dataType == StringType && !schema("g").nullable)
+    assert(schema("h").dataType == DateType)
+    assert(schema("i").dataType == TimestampNTZType)
+    assert(schema("j").dataType == BinaryType)
+    assert(schema("k").dataType == StringType)
+    engine.query("drop table typed")
+  }
+
+  test("enum column rejects out-of-vocabulary writes (sql/types/enum.go:52)") {
+    engine.runScript(
+      "create table shirts (name varchar(40), size enum('x-small','small','medium','large','x-large'));")
+    engine.query("insert into shirts values ('dress shirt','large')")
+    val e = intercept[IllegalArgumentException] {
+      engine.query("insert into shirts values ('bad shirt','huge')")
+    }
+    assert(e.getMessage.contains("Data truncated"))
+    assert(rows("select size from shirts") == Seq(Seq("large")))
+    engine.query("drop table shirts")
+  }
+
+  test("alter table add/drop/rename/modify (alter_table_queries.go shapes)") {
+    engine.runScript(
+      """create table t1 (pk bigint primary key, v1 int);
+        |insert into t1 values (1, 10), (2, 20);
+        |""".stripMargin)
+    engine.query("alter table t1 add column v2 varchar(10)")
+    assert(rows("select * from t1 order by pk") ==
+      Seq(Seq(1L, 10, null), Seq(2L, 20, null)))
+    engine.query("alter table t1 add column v3 int default 7")
+    assert(rows("select v3 from t1 order by pk") == Seq(Seq(7), Seq(7)))
+    engine.query("alter table t1 rename column v1 to score")
+    assert(spark.table("t1").columns.toSeq ==
+      Seq("pk", "score", "v2", "v3"))
+    engine.query("alter table t1 modify column score bigint")
+    assert(spark.table("t1").schema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    engine.query("alter table t1 drop column v2")
+    assert(spark.table("t1").columns.toSeq == Seq("pk", "score", "v3"))
+    // positioned add
+    engine.query("alter table t1 add column z int first")
+    assert(spark.table("t1").columns.head == "z")
+    engine.query("alter table t1 add column m int after pk")
+    assert(spark.table("t1").columns.toSeq ==
+      Seq("z", "pk", "m", "score", "v3"))
+    // index DDL is metadata-only, must not throw
+    engine.query("alter table t1 add index idx_s (score)")
+    engine.query("alter table t1 drop index idx_s")
+    // rename to
+    engine.query("alter table t1 rename to t2")
+    assert(rows("select count(*) n from t2") == Seq(Seq(2L)))
+    engine.query("drop table t2")
+  }
+}
