@@ -370,6 +370,10 @@ object Dml {
       else e.declareEnum(table, colName, vs)
     }
     if (up.contains("PRIMARY KEY")) e.declareKey(table, Seq(colName))
+    // declared DEFAULT: applied to unmentioned columns on insert
+    """(?is)\bDEFAULT\s+('(?:[^'\\]|\\.)*'|\([^)]*\)|[\w.+-]+)""".r
+      .findFirstMatchIn(rest)
+      .foreach(d => e.declareDefault(table, colName, d.group(1)))
     StructField(colName, dt, nullable = !up.contains("NOT NULL"))
   }
 
@@ -425,6 +429,7 @@ object Dml {
           val defaultRe = """(?is).*\bDEFAULT\s+('[^']*'|[\w.+-]+).*""".r
           val value = spec match {
             case defaultRe(d) =>
+              e.declareDefault(table, stripTick(cn), d)
               expr(d).cast(dt)
             case _ => lit(null).cast(dt)
           }

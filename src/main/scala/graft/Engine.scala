@@ -362,11 +362,25 @@ class Engine(val spark: SparkSession) {
   def insertIntoSelect(table: String, sql: String): Unit =
     insertDf(table, query(sql), fillMissing = false)
 
-  private[graft] def insertDf(table: String, incoming: DataFrame,
+  private[graft] def insertDf(table: String, incoming0: DataFrame,
                               fillMissing: Boolean): Unit = {
+    // unmentioned columns take their declared DEFAULT (remaining gaps
+    // null-fill via unionByName)
+    val target = spark.table(table)
+    val present = incoming0.columns.map(_.toLowerCase).toSet
+    val incoming =
+      if (!fillMissing) incoming0
+      else target.schema.fields.foldLeft(incoming0) { (df, f) =>
+        if (present(f.name.toLowerCase)) df
+        else columnDefaults.get((table, f.name.toLowerCase)) match {
+          case Some(d) =>
+            df.withColumn(f.name,
+              org.apache.spark.sql.functions.expr(d).cast(f.dataType))
+          case None => df
+        }
+      }
     validateVocab(table, incoming)
-    val unioned = spark.table(table)
-      .unionByName(incoming, allowMissingColumns = fillMissing)
+    val unioned = target.unionByName(incoming, allowMissingColumns = fillMissing)
     replaceTable(table, unioned, bumpDepth = true)
   }
 
@@ -404,6 +418,18 @@ class Engine(val spark: SparkSession) {
     * INSERT ... ON DUPLICATE KEY UPDATE against `table`. */
   def declareKey(table: String, cols: Seq[String]): Unit =
     tableKeys(table) = cols
+
+  // ---- declared column defaults ----------------------------------------
+  // (reference sql/plan/insert.go applies column defaults to unmentioned
+  // insert columns; sql/expression/wrapped_column_default.go). Stored as
+  // SQL text, evaluated per insert batch.
+
+  private[graft] val columnDefaults =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** Declare `table.column DEFAULT <sqlText>` for column-list inserts. */
+  def declareDefault(table: String, column: String, sqlText: String): Unit =
+    columnDefaults((table, column.toLowerCase)) = sqlText
 
   // ---- ENUM / SET write validation --------------------------------------
   // The reference rejects out-of-vocabulary values at write time

@@ -66,6 +66,17 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table shirts")
   }
 
+  test("column DEFAULTs apply to unmentioned insert columns (column_default_queries.go shape)") {
+    engine.runScript(
+      """create table td (pk bigint primary key, v1 int default 42, v2 varchar(10) default 'x', v3 int);
+        |insert into td (pk) values (1);
+        |insert into td (pk, v1) values (2, 7);
+        |""".stripMargin)
+    assert(rows("select * from td order by pk") ==
+      Seq(Seq(1L, 42, "x", null), Seq(2L, 7, "x", null)))
+    engine.query("drop table td")
+  }
+
   test("alter table add/drop/rename/modify (alter_table_queries.go shapes)") {
     engine.runScript(
       """create table t1 (pk bigint primary key, v1 int);
