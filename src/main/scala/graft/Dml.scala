@@ -370,6 +370,7 @@ object Dml {
       else e.declareEnum(table, colName, vs)
     }
     if (up.contains("PRIMARY KEY")) e.declareKey(table, Seq(colName))
+    if (up.contains("AUTO_INCREMENT")) e.declareAutoInc(table, colName)
     // declared DEFAULT: applied to unmentioned columns on insert
     """(?is)\bDEFAULT\s+('(?:[^'\\]|\\.)*'|\([^)]*\)|[\w.+-]+)""".r
       .findFirstMatchIn(rest)

@@ -376,11 +376,38 @@ class Engine(val spark: SparkSession) {
           case Some(d) =>
             df.withColumn(f.name,
               org.apache.spark.sql.functions.expr(d).cast(f.dataType))
+          case None
+              if autoIncCols.get(table).exists(_.equalsIgnoreCase(f.name)) =>
+            // next-value fill: max(existing)+row_number over the batch.
+            // The scalar max is one aggregated row; the window is over
+            // the (small) insert batch, not the table.
+            import org.apache.spark.sql.functions._
+            val mx = target.agg(coalesce(max(col(f.name)), lit(0L))
+              .cast("long").as("__mx"))
+            df.crossJoin(broadcast(mx))
+              .withColumn(f.name,
+                (col("__mx") + row_number().over(
+                  org.apache.spark.sql.expressions.Window.orderBy(
+                    monotonically_increasing_id())))
+                  .cast(f.dataType))
+              .drop("__mx")
           case None => df
         }
       }
-    validateVocab(table, incoming)
-    val unioned = target.unionByName(incoming, allowMissingColumns = fillMissing)
+    // MySQL coerces incoming values to the column type on write
+    // (reference sql/types Convert on insert); cast matching columns to
+    // the target schema so VALUES ('400') lands in an INT column
+    val targetTypes = target.schema.fields
+      .map(f => f.name.toLowerCase -> (f.name, f.dataType)).toMap
+    val coerced = incoming.columns.foldLeft(incoming) { (df, c) =>
+      targetTypes.get(c.toLowerCase) match {
+        case Some((_, dt)) if df.schema(c).dataType != dt =>
+          df.withColumn(c, df(c).cast(dt))
+        case _ => df
+      }
+    }
+    validateVocab(table, coerced)
+    val unioned = target.unionByName(coerced, allowMissingColumns = fillMissing)
     replaceTable(table, unioned, bumpDepth = true)
   }
 
@@ -430,6 +457,16 @@ class Engine(val spark: SparkSession) {
   /** Declare `table.column DEFAULT <sqlText>` for column-list inserts. */
   def declareDefault(table: String, column: String, sqlText: String): Unit =
     columnDefaults((table, column.toLowerCase)) = sqlText
+
+  private[graft] val autoIncCols =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** Declare `table.column` AUTO_INCREMENT: a column-list insert that
+    * omits it takes max(existing)+1.. per batch row (reference
+    * sql/plan/insert.go auto-increment editor; a distributed engine
+    * assigns the batch monotonically in one pass, not per row). */
+  def declareAutoInc(table: String, column: String): Unit =
+    autoIncCols(table) = column
 
   // ---- ENUM / SET write validation --------------------------------------
   // The reference rejects out-of-vocabulary values at write time

@@ -77,6 +77,19 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table td")
   }
 
+  test("auto_increment fills omitted insert columns (insert_queries.go shape)") {
+    engine.runScript(
+      """CREATE TABLE users (id int NOT NULL AUTO_INCREMENT, username varchar(255) NOT NULL, PRIMARY KEY (id));
+        |INSERT INTO users (username) VALUES ('u2');
+        |INSERT INTO users (username) VALUES ('u3');
+        |INSERT INTO users (id, username) VALUES (10, 'u10');
+        |INSERT INTO users (username) VALUES ('u11');
+        |""".stripMargin)
+    assert(rows("select id, username from users order by id") ==
+      Seq(Seq(1, "u2"), Seq(2, "u3"), Seq(10, "u10"), Seq(11, "u11")))
+    engine.query("drop table users")
+  }
+
   test("alter table add/drop/rename/modify (alter_table_queries.go shapes)") {
     engine.runScript(
       """create table t1 (pk bigint primary key, v1 int);
