@@ -184,6 +184,18 @@ object SqlRewrite {
     "interval", "microsecond", "second", "minute", "hour", "day", "week",
     "month", "quarter", "year")
 
+  /** truth-wrap of one operand text: MySQL parses a string's numeric
+    * PREFIX for its truth value ('3bxu' -> 3 -> true, 'asdf' -> 0 ->
+    * false; reference sql/types/convert_value.go) — a bare string
+    * literal routes through the registered mysql_to_number; everything
+    * else keeps the `<> 0` form (BooleanEquality folds booleans back). */
+  private def truthWrap(operand: String): String = {
+    val ts = tokenize(operand)
+    if (ts.length == 1 && ts.head.kind == Lit && !operand.trim.startsWith("`"))
+      s"(mysql_to_number($operand) <> 0)"
+    else s"(($operand) <> 0)"
+  }
+
   def xor(sql: String): String = {
     var text = sql
     // each pass rewrites the first XOR token into `!=` form, so the token
@@ -242,7 +254,7 @@ object SqlRewrite {
         val l = text.substring(toks(leftStart).start, toks(at - 1).end)
         val r = text.substring(toks(at + 1).start, toks(rightEnd).end)
         text = text.substring(0, toks(leftStart).start) +
-          s"((($l) <> 0) != (($r) <> 0))" + text.substring(toks(rightEnd).end)
+          s"(${truthWrap(l)} != ${truthWrap(r)})" + text.substring(toks(rightEnd).end)
       }
     }
     text
@@ -540,6 +552,62 @@ object SqlRewrite {
         if (last >= idx + 2) wrapAtoms(sql, toks.slice(idx + 2, last + 1), patches)
       }
 
+      // select-list items that ARE boolean expressions (top-level AND/OR):
+      // `select '3bxu' and true` — MySQL evaluates operand truthiness,
+      // Spark rejects the non-boolean operand (reference logic.go)
+      if (t.isWord("select")) {
+        var j = idx + 1
+        var depth = 0
+        var last = idx
+        var stop = false
+        val commas = ArrayBuffer.empty[Int]
+        while (j < toks.length && !stop) {
+          val u = toks(j)
+          u.text match {
+            case "(" => depth += 1
+            case ")" if depth == 0 => stop = true
+            case ")" => depth -= 1
+            case ";" if depth == 0 => stop = true
+            case "," if depth == 0 => commas += j
+            case w if depth == 0 && u.kind == Word && Set("from", "where",
+                "group", "order", "having", "limit", "union", "intersect",
+                "except", "window")(w.toLowerCase) => stop = true
+            case _ =>
+          }
+          if (!stop) { last = j; j += 1 }
+        }
+        val cuts: Seq[Int] = Seq(idx) ++ commas.toSeq ++ Seq(last + 1)
+        cuts.sliding(2).foreach { case Seq(from, until) =>
+          var item = toks.slice(from + 1, until)
+          if (item.nonEmpty && (item.head.isWord("distinct") ||
+              item.head.isWord("all")))
+            item = item.drop(1)
+          // drop a trailing alias (`AS x`, or implicit `expr x`)
+          if (item.length >= 2 && item(item.length - 2).isWord("as") &&
+              item.last.kind == Word)
+            item = item.dropRight(2)
+          else if (item.length >= 2 && item.last.kind == Word &&
+              !valueConnectors(item.last.text.toLowerCase) && {
+                val p = item(item.length - 2)
+                p.kind == Lit || p.text == ")" ||
+                (p.kind == Word && !valueConnectors(p.text.toLowerCase) &&
+                 !comparisonWords(p.text.toLowerCase))
+              })
+            item = item.dropRight(1)
+          var d2 = 0
+          val isBoolExpr = item.exists { u =>
+            u.text match {
+              case "(" => d2 += 1; false
+              case ")" => d2 -= 1; false
+              case w if d2 == 0 && u.kind == Word =>
+                w.toLowerCase == "and" || w.toLowerCase == "or"
+              case _ => false
+            }
+          }
+          if (isBoolExpr) wrapAtoms(sql, item, patches)
+        }
+      }
+
       val isBoolCtx =
         t.isWord("where") || t.isWord("having") ||
         (t.isWord("when") && caseStack.nonEmpty && caseStack.top)
@@ -648,7 +716,7 @@ object SqlRewrite {
         if (isParenGroup) wrapAtoms(sql, atom.slice(1, atom.length - 1), patches)
         else if (!hasComparison) {
           val s = atom.head.start; val e = atom.last.end
-          patches += ((s, e, s"((${sql.substring(s, e)}) <> 0)"))
+          patches += ((s, e, truthWrap(sql.substring(s, e))))
         }
       }
     }

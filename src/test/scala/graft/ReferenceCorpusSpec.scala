@@ -200,6 +200,17 @@ class ReferenceCorpusSpec extends AnyFunSuite {
         Seq(null, 4, 4.0), Seq(null, 5, 5.0), Seq(null, 6, 6.0)))
   }
 
+  test("strings with boolean operators (script_queries.go:1532)") {
+    check("select '3bxu' and true", Seq(Seq(true)))
+    check("select '3bxu' or false", Seq(Seq(true)))
+    check("select '3bxu' xor false", Seq(Seq(true)))
+    check("select '' or false", Seq(Seq(false)))
+    check("select '0' or false", Seq(Seq(false)))
+    check("select '00' or false", Seq(Seq(false)))
+    check("select '00asdf' or false", Seq(Seq(false)))
+    check("select 'asdf' or false", Seq(Seq(false)))
+  }
+
   test("NULL range predicate cases (null_range_tests.go:20-121)") {
     check("select * from null_ranges where y IS NULL or y < 1",
       Seq(Seq(0, 0), Seq(3, null), Seq(4, null)))
