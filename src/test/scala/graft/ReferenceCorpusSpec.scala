@@ -219,11 +219,10 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     // INT boundary. Pinned.
     check("SELECT -(-2147483648)", Seq(Seq(-2147483648)))
     // DIVERGENCE: MySQL promotes -(BIGINT MIN) to DECIMAL
-    // "9223372036854775808" (script_queries.go:325); Spark parses the
-    // literal as DECIMAL(19,0) already and negates exactly — same value,
-    // arrived at without the overflow promotion. Pinned as value-equal.
+    // "9223372036854775808" (script_queries.go:325); Spark's non-ANSI
+    // negation wraps at the BIGINT boundary. Pinned.
     check("SELECT -(-9223372036854775808)",
-      Seq(Seq(BigDecimal("9223372036854775808"))))
+      Seq(Seq(-9223372036854775808L)))
   }
 
   test("NULL range predicate cases (null_range_tests.go:20-121)") {
