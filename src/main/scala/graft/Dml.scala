@@ -28,6 +28,10 @@ object Dml {
     """(?is)^\s*REPLACE\s+INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\([^)]*\))?\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
   private val Update =
     """(?is)^\s*UPDATE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+(.*)$""".r
+  // UPDATE t JOIN <src> [ON cond] SET assigns [WHERE cond] (reference
+  // sql/plan/update_join.go)
+  private val UpdateJoin =
+    """(?is)^\s*UPDATE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(?:INNER\s+)?JOIN\s+(.*)$""".r
   private val Delete =
     """(?is)^\s*DELETE\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(.*?)\s*$""".r
   private val CreateView =
@@ -97,6 +101,9 @@ object Dml {
         kept.unionByName(incoming, allowMissingColumns = hasList),
         bumpDepth = true)
       Some(ok(e, deleted + inserted))
+
+    case UpdateJoin(table, rest) =>
+      Some(updateJoin(e, table, rest))
 
     case Update(table, rest) =>
       val (head, tail) = splitOrderLimit(rest)
@@ -565,6 +572,105 @@ object Dml {
   }
 
   /** Find `WHERE` at paren depth 0 outside literals; split there. */
+  /** UPDATE t JOIN src [ON c] SET a [WHERE w]: MySQL's multi-table update
+    * (reference sql/plan/update_join.go, rowexec update_join). Spark-first
+    * shape: the matched (target-key, new-value) rows come from ONE join,
+    * then merge back on the target's declared key — no per-row execution.
+    * The source may be a table (with alias) or a derived table
+    * `(query) alias (cols)`. ON and WHERE both contribute to the match
+    * condition (MySQL treats them identically here). */
+  private def updateJoin(e: Engine, table: String, rest: String): DataFrame = {
+    val setAt = topLevelIndexOfWord(rest, "SET")
+    require(setAt > 0, s"malformed UPDATE JOIN: $rest")
+    val srcOn = rest.substring(0, setAt).trim
+    val (assignText, whereOpt) = splitWhere(rest.substring(setAt + 3))
+    val onAt = topLevelIndexOfWord(srcOn, "ON")
+    val (srcText, onOpt) =
+      if (onAt < 0) (srcOn, None)
+      else (srcOn.substring(0, onAt).trim, Some(srcOn.substring(onAt + 2)))
+
+    // resolve the join source into an aliased DataFrame
+    val src: DataFrame =
+      if (srcText.startsWith("(")) {
+        // derived table: (query) alias [(col, …)]
+        var depth = 0
+        var close = -1
+        var i = 0
+        while (i < srcText.length && close < 0) {
+          srcText.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        val body = srcText.substring(1, close)
+        val tail = srcText.substring(close + 1).trim
+        val m = """^`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\(([^)]*)\))?$""".r
+          .findFirstMatchIn(tail)
+          .getOrElse(throw new IllegalArgumentException(
+            s"derived update-join source needs an alias: $srcText"))
+        val alias = m.group(1)
+        val colsOpt = Option(m.group(3))
+        val aliasCols = colsOpt.map(c => s" (${c.trim})").getOrElse("")
+        e.query(s"SELECT * FROM ( $body ) AS $alias$aliasCols").as(alias)
+      } else {
+        val m = """^`?([A-Za-z_][A-Za-z0-9_]*)`?(?:\s+(?:AS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?)?$""".r
+          .findFirstMatchIn(srcText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"unsupported update-join source: $srcText"))
+        val alias = Option(m.group(2)).getOrElse(m.group(1))
+        e.spark.table(m.group(1)).as(alias)
+      }
+
+    val t = e.spark.table(table)
+    val tAliased = t.as(table)
+    val cond = (onOpt.toSeq ++ whereOpt.toSeq).map(c => s"($c)")
+    val pairs =
+      if (cond.isEmpty) tAliased.crossJoin(src)
+      else tAliased.join(src, expr(cond.mkString(" AND ")))
+
+    val key = e.tableKeys.getOrElse(table, t.columns.toSeq)
+    val actual = t.columns.map(c => c.toLowerCase -> c).toMap
+    val assigns = topLevelSplit(assignText, ',').map { a =>
+      val eq = topLevelIndexOf(a, "=")
+      require(eq > 0, s"malformed SET clause: $a")
+      val name0 = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+      // strip a target-table qualifier (case-insensitive)
+      val name = name0.split('.') match {
+        case Array(q, c) if q.equalsIgnoreCase(table) => c
+        case Array(c) => c
+        case _ => throw new IllegalArgumentException(
+          s"assignment must target $table: $name0")
+      }
+      val resolved = actual.getOrElse(name.toLowerCase.stripPrefix("`").stripSuffix("`"),
+        throw new IllegalArgumentException(s"Unknown column '$name'"))
+      resolved -> a.substring(eq + 1).trim
+    }.toMap
+
+    // one (key, new values) row per matched target row
+    val updates = pairs.select(
+      (key.map(k => col(s"$table.`$k`").as(k)) ++
+        assigns.toSeq.map { case (c, ex) => expr(ex).as(s"__new_$c") }
+        ).toIndexedSeq: _*)
+      .dropDuplicates(key)
+    val matched = updates.count()
+
+    val merged = t.join(updates.withColumn("__upd", lit(true)),
+        key.toSeq, "left")
+      .select(t.columns.map { c =>
+        assigns.get(c) match {
+          case Some(_) =>
+            when(coalesce(col("__upd"), lit(false)), col(s"`__new_$c`"))
+              .otherwise(col(s"`$c`")).as(c)
+          case None => col(s"`$c`")
+        }
+      }.toIndexedSeq: _*)
+    e.validateVocab(table, merged)
+    e.replaceTable(table, merged, bumpDepth = true)
+    ok(e, matched)
+  }
+
   private def splitWhere(s: String): (String, Option[String]) = {
     val i = topLevelIndexOfWord(s, "WHERE")
     if (i < 0) (s, None)

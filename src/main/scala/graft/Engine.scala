@@ -175,49 +175,55 @@ class Engine(val spark: SparkSession) {
     val rewritten = substituteVars(Dialect.rewrite(sql))
     Dml.dispatch(this, rewritten).getOrElse {
     plans.RecursiveSql.run(spark, rewritten).getOrElse {
-      try spark.sql(rewritten)
+      try runWithTruthyRetry(rewritten)
       catch {
         // MySQL HAVING-without-GROUP-BY is a row filter over projection
         // aliases (reference sql/planbuilder/select.go); Spark turns it
         // into a global aggregate. Retry-only: rewrite HAVING -> WHERE
-        // with alias substitution.
+        // with alias substitution (the result re-enters the truthiness
+        // retry so `HAVING <numeric>` also resolves).
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("MISSING_GROUP_BY") =>
           val viaWhere = SqlRewrite.havingNoGroup(rewritten)
           if (viaWhere == rewritten) throw e
-          spark.sql(viaWhere)
-        // MySQL numeric truthiness (reference sql/expression/boolean.go):
-        // WHERE 1, HAVING cnt, CASE WHEN i THEN … — Spark rejects
-        // non-boolean predicates, so retry once with ((atom) <> 0)
-        // wrapping. Retry-only: well-typed queries never pay the rewrite.
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("DATATYPE_MISMATCH") &&
-               e.getMessage.toUpperCase.contains("BOOLEAN") =>
-          // iterate: nested boolean contexts (WHERE IF(n,…)) surface one
-          // layer per pass; the text reaches a fixpoint in ≤3 rounds
-          var cur = rewritten
-          var result: DataFrame = null
-          var lastErr: Throwable = e
-          var rounds = 0
-          while (result == null && rounds < 3) {
-            val wrapped = SqlRewrite.truthy(cur)
-            if (wrapped == cur) throw lastErr
-            cur = wrapped
-            try result = spark.sql(cur)
-            catch {
-              case e2: org.apache.spark.sql.AnalysisException
-                  if e2.getMessage.contains("DATATYPE_MISMATCH") &&
-                     e2.getMessage.toUpperCase.contains("BOOLEAN") =>
-                lastErr = e2
-            }
-            rounds += 1
-          }
-          if (result == null) throw lastErr
-          result
+          runWithTruthyRetry(viaWhere)
       }
     }
     }
   }
+
+  private def isBooleanMismatch(e: org.apache.spark.sql.AnalysisException) =
+    e.getMessage.contains("DATATYPE_MISMATCH") &&
+      e.getMessage.toUpperCase.contains("BOOLEAN")
+
+  /** spark.sql with the MySQL numeric-truthiness retry (reference
+    * sql/expression/boolean.go): WHERE 1, HAVING cnt, CASE WHEN i THEN …
+    * — Spark rejects non-boolean predicates, so retry with truth-wrapped
+    * atoms. Retry-only: well-typed queries never pay the rewrite. */
+  private def runWithTruthyRetry(sqlText: String): DataFrame =
+    try spark.sql(sqlText)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException if isBooleanMismatch(e) =>
+        // iterate: nested boolean contexts (WHERE IF(n,…)) surface one
+        // layer per pass; the text reaches a fixpoint in ≤3 rounds
+        var cur = sqlText
+        var result: DataFrame = null
+        var lastErr: Throwable = e
+        var rounds = 0
+        while (result == null && rounds < 3) {
+          val wrapped = SqlRewrite.truthy(cur)
+          if (wrapped == cur) throw lastErr
+          cur = wrapped
+          try result = spark.sql(cur)
+          catch {
+            case e2: org.apache.spark.sql.AnalysisException
+                if isBooleanMismatch(e2) => lastErr = e2
+          }
+          rounds += 1
+        }
+        if (result == null) throw lastErr
+        result
+    }
 
   /** Run a multi-statement script (reference ScriptTest shape:
     * `;`-separated statements, literal-aware split). Returns each

@@ -86,6 +86,9 @@ class ReferenceAliasCorpusSpec extends AnyFunSuite {
       Seq(Seq(0), Seq(1), Seq(2), Seq(3)))
     check("select t1.i as a from mytable as t1 having a = t1.i",
       Seq(Seq(1), Seq(2), Seq(3)))
+    // numeric truthiness composes with the row-filter HAVING rewrite
+    check("select t1.i as a from mytable as t1 having a - 1 order by a",
+      Seq(Seq(2), Seq(3)))
   }
 
   test("subquery scoping (column_alias_queries.go:180-240)") {

@@ -81,6 +81,60 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     e.query("drop table test")
   }
 
+  test("update join matched rows (script_queries.go:2166, dolt#7957)") {
+    val e = freshEngine
+    e.runScript(
+      """CREATE TABLE entity_test(id INT PRIMARY KEY, value INT);
+        |INSERT INTO entity_test (id, value) values (1,10), (2,20), (3,30);
+        |""".stripMargin)
+    val res = e.query(
+      """UPDATE entity_test
+        |    JOIN (VALUES ROW(1, 10), ROW(2,20)) joined (id, value)
+        |    ON joined.id = entity_test.id
+        |SET entity_test.value = joined.value;""".stripMargin).collect()
+    assert(res(0).getLong(0) == 2) // Matched: 2
+    check(e, "SELECT * FROM entity_test ORDER BY id",
+      Seq(Seq(1, 10), Seq(2, 20), Seq(3, 30)))
+    e.query("drop table entity_test")
+  }
+
+  test("update join uppercase validation (script_queries.go:1945, dolt#7958)") {
+    val e = freshEngine
+    e.runScript(
+      """CREATE TABLE targetTable_test (source_id int PRIMARY KEY, value int);
+        |CREATE TABLE sourceTable_test (id int PRIMARY KEY, value int);
+        |""".stripMargin)
+    val r1 = e.query(
+      """UPDATE targetTable_test
+        |    JOIN sourceTable_test
+        |    SET targetTable_test.value = sourceTable_test.value
+        |    WHERE sourceTable_test.id = targetTable_test.source_id;""".stripMargin)
+      .collect()
+    assert(r1(0).getLong(0) == 0)
+    val r2 = e.query(
+      """UPDATE targetTable_test
+        |    JOIN sourceTable_test
+        |    ON sourceTAble_test.id = TARGETTABLE_test.source_id
+        |    SET TARGETTABLE_test.value = SourceTable_test.value;""".stripMargin)
+      .collect()
+    assert(r2(0).getLong(0) == 0)
+    // now with data: values flow from source to target through the join
+    e.runScript(
+      """INSERT INTO targetTable_test VALUES (1, 0), (2, 0), (9, 0);
+        |INSERT INTO sourceTable_test VALUES (1, 11), (2, 22);
+        |""".stripMargin)
+    val r3 = e.query(
+      """UPDATE targetTable_test
+        |    JOIN sourceTable_test
+        |    ON sourceTable_test.id = targetTable_test.source_id
+        |    SET targetTable_test.value = sourceTable_test.value;""".stripMargin)
+      .collect()
+    assert(r3(0).getLong(0) == 2)
+    check(e, "SELECT * FROM targetTable_test ORDER BY source_id",
+      Seq(Seq(1, 11), Seq(2, 22), Seq(9, 0)))
+    e.runScript("drop table targetTable_test; drop table sourceTable_test;")
+  }
+
   test("outer join finishes unmatched right side (script_queries.go:1891)") {
     val e = freshEngine
     e.runScript(
