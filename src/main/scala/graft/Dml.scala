@@ -34,6 +34,13 @@ object Dml {
     """(?is)^\s*UPDATE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(?:INNER\s+)?JOIN\s+(.*)$""".r
   private val Delete =
     """(?is)^\s*DELETE\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(.*?)\s*$""".r
+  // INSERT INTO t SET a = x, b = y (MySQL's assignment form)
+  private val InsertSet =
+    """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+(.*)$""".r
+  // DELETE t1[, t2] FROM <joined sources> [WHERE …] (multi-table delete,
+  // reference sql/plan/delete.go multi-target form)
+  private val DeleteJoin =
+    """(?is)^\s*DELETE\s+(?!FROM\b)((?:`?[A-Za-z_][A-Za-z0-9_]*`?\s*,\s*)*`?[A-Za-z_][A-Za-z0-9_]*`?)\s+FROM\s+(.*)$""".r
   private val CreateView =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+AS\s+(.*)$""".r
   private val CreateTableAs =
@@ -102,8 +109,23 @@ object Dml {
         bumpDepth = true)
       Some(ok(e, deleted + inserted))
 
+    case InsertSet(table, assignText) =>
+      // rewrite to the column-list VALUES form and re-dispatch
+      val pairs = topLevelSplit(assignText, ',').map { a =>
+        val eq = topLevelIndexOf(a, "=")
+        require(eq > 0, s"malformed INSERT SET clause: $a")
+        (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
+          a.substring(eq + 1).trim)
+      }
+      dispatchTrimmed(e,
+        s"INSERT INTO `$table` (${pairs.map(_._1).mkString(", ")}) " +
+          s"VALUES (${pairs.map(_._2).mkString(", ")})")
+
     case UpdateJoin(table, rest) =>
       Some(updateJoin(e, table, rest))
+
+    case DeleteJoin(targetsText, rest) =>
+      Some(deleteJoin(e, targetsText, rest))
 
     case Update(table, rest) =>
       val (head, tail) = splitOrderLimit(rest)
@@ -668,6 +690,49 @@ object Dml {
       }.toIndexedSeq: _*)
     e.validateVocab(table, merged)
     e.replaceTable(table, merged, bumpDepth = true)
+    ok(e, matched)
+  }
+
+  /** DELETE t1[, t2] FROM <sources> [WHERE …]: rows of each target that
+    * appear in the joined match are removed (left-anti on the target's
+    * declared key); affected = matched join rows, the reference's count
+    * (delete_queries.go:160-178). */
+  private def deleteJoin(e: Engine, targetsText: String, rest: String): DataFrame = {
+    val (srcText, whereOpt) = splitWhere(rest)
+    val whereSql = whereOpt.map(w => s" WHERE $w").getOrElse("")
+    // alias -> table map from the FROM sources (`name [AS alias]` after
+    // start / JOIN / comma; keywords excluded from the alias slot)
+    val kw = "(?i)JOIN|ON|WHERE|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|USING|AS"
+    val srcRe =
+      (s"""(?i)(?:^|\\bJOIN\\s+|,\\s*)`?([A-Za-z_][A-Za-z0-9_]*)`?""" +
+        s"""(?:\\s+(?:AS\\s+)?(?!(?:$kw)\\b)`?([A-Za-z_][A-Za-z0-9_]*)`?)?""").r
+    val aliasMap = srcRe.findAllMatchIn(srcText).map { m =>
+      val table = m.group(1)
+      val alias = Option(m.group(2)).getOrElse(table)
+      alias.toLowerCase -> table
+    }.toMap
+    val matched = e.query(s"SELECT COUNT(*) FROM $srcText$whereSql")
+      .collect()(0).getLong(0)
+    // two phases: plan every target's surviving rows against the
+    // PRE-delete state, then swap the views — the first replacement must
+    // not empty the join source the second target's match reads
+    val work = targetsText.split(",")
+      .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+      .map { alias =>
+        val table = aliasMap.getOrElse(alias.toLowerCase,
+          throw new IllegalArgumentException(
+            s"Unknown table '$alias' in MULTI DELETE"))
+        val t = e.spark.table(table)
+        val key = e.tableKeys.getOrElse(table, t.columns.toSeq)
+        val sel = key.map(k => s"`$alias`.`$k` AS `$k`").mkString(", ")
+        val hit = e.query(s"SELECT DISTINCT $sel FROM $srcText$whereSql")
+        // the analyzed plans bind the current view subtrees, so the
+        // later view swaps don't leak into these lazy reads
+        (table, t.join(hit, key.toSeq, "left_anti"))
+      }
+    work.foreach { case (table, kept) =>
+      e.replaceTable(table, kept, bumpDepth = true)
+    }
     ok(e, matched)
   }
 

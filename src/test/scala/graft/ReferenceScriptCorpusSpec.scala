@@ -135,6 +135,36 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     e.runScript("drop table targetTable_test; drop table sourceTable_test;")
   }
 
+  test("multi-table DELETE and INSERT SET (delete_queries.go:160, insert_queries.go:71)") {
+    val e = freshEngine
+    e.runScript(
+      """create table mt (i bigint primary key, s varchar(20));
+        |create table tt (i bigint primary key, s2 varchar(20));
+        |insert into mt values (1, 'first'), (2, 'second'), (3, 'third');
+        |insert into tt values (1, 'a'), (2, 'b'), (3, 'c');
+        |""".stripMargin)
+    // INSERT ... SET assignment form
+    val r0 = e.query("INSERT INTO mt SET s = 'x', i = 999").collect()
+    assert(r0(0).getLong(0) == 1)
+    check(e, "SELECT i FROM mt WHERE s = 'x'", Seq(Seq(999)))
+    e.query("delete from mt where i = 999")
+    // DELETE <alias> FROM <join>: only the named target loses rows
+    val r1 = e.query(
+      "DELETE t1 FROM mt as t1 join tt where t1.i = tt.i").collect()
+    assert(r1(0).getLong(0) == 3)
+    check(e, "SELECT (select count(*) FROM mt) a, (SELECT count(*) from tt) b",
+      Seq(Seq(0, 3)))
+    // both targets
+    e.runScript(
+      "insert into mt values (1, 'first'), (2, 'second'), (3, 'third');")
+    val r2 = e.query(
+      "DELETE mt, tt FROM mt join tt where mt.i = tt.i").collect()
+    assert(r2(0).getLong(0) == 3)
+    check(e, "SELECT (select count(*) FROM mt) a, (SELECT count(*) from tt) b",
+      Seq(Seq(0, 0)))
+    e.runScript("drop table mt; drop table tt;")
+  }
+
   test("outer join finishes unmatched right side (script_queries.go:1891)") {
     val e = freshEngine
     e.runScript(
