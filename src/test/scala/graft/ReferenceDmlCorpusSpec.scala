@@ -140,5 +140,13 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
       "SELECT * FROM mytable WHERE i = 9", Seq(Seq(9, "x row")))
     writeCheck("INSERT INTO mytable SELECT i + 10, upper(s) FROM mytable;", 3,
       "SELECT count(*) FROM mytable", Seq(Seq(6)))
+    // SET assignment form (insert_queries.go:71,84)
+    writeCheck("INSERT INTO mytable SET s = 'x', i = 999;", 1,
+      "SELECT i FROM mytable WHERE s = 'x'", Seq(Seq(999)))
+    writeCheck("INSERT INTO mytable SET i = 999, s = 'x';", 1,
+      "SELECT i FROM mytable WHERE s = 'x'", Seq(Seq(999)))
+    // string value coerces to the BIGINT column (Convert-on-write)
+    writeCheck("INSERT INTO mytable (i, s) VALUES ('42', 'coerced');", 1,
+      "SELECT i FROM mytable WHERE s = 'coerced'", Seq(Seq(42)))
   }
 }
