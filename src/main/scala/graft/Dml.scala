@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Dml {
 
+  // NB: body must be separated from the table name by whitespace or a
+  // column list — otherwise the name backtracks ("mytable SET…" would
+  // split into name "my" + body "table SET…" since TABLE is a body form)
   private val Insert =
-    """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\([^)]*\))?\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
+    """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
   private val Replace =
-    """(?is)^\s*REPLACE\s+INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\([^)]*\))?\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
+    """(?is)^\s*REPLACE\s+INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
   private val Update =
     """(?is)^\s*UPDATE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+(.*)$""".r
   // UPDATE t JOIN <src> [ON cond] SET assigns [WHERE cond] (reference
