@@ -459,7 +459,8 @@ object Dml {
         case IndexDdl() => () // metadata-only
         case Add(cn, spec) =>
           val (dt, _) = mysqlDataType(spec)
-          val defaultRe = """(?is).*\bDEFAULT\s+('[^']*'|[\w.+-]+).*""".r
+          val defaultRe =
+            """(?is).*\bDEFAULT\s+('[^']*'|\([^)]*\)|[\w.+-]+).*""".r
           val value = spec match {
             case defaultRe(d) =>
               e.declareDefault(table, stripTick(cn), d)

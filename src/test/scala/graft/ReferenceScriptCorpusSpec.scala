@@ -23,6 +23,7 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     case f: Float => BigDecimal(f.toDouble)
     case d: Double => BigDecimal(d)
     case d: java.math.BigDecimal => BigDecimal(d)
+    case a: Array[Byte] => a.toSeq
     case other => other
   }
 
@@ -163,6 +164,37 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     check(e, "SELECT (select count(*) FROM mt) a, (SELECT count(*) from tt) b",
       Seq(Seq(0, 0)))
     e.runScript("drop table mt; drop table tt;")
+  }
+
+  test("blob column round-trips, ordering, multi-action ALTER (blob_queries.go)") {
+    val e = freshEngine
+    e.runScript(
+      """create table blobt (i bigint primary key, b longblob);
+        |insert into blobt values (1, 'first row'), (2, 'second row'), (3, 'third row');
+        |""".stripMargin)
+    check(e, "select i, hex(b) from blobt",
+      Seq(Seq(1, "666972737420726F77"), Seq(2, "7365636F6E6420726F77"),
+        Seq(3, "746869726420726F77")))
+    check(e, "select * from blobt where i = 1",
+      Seq(Seq(1, "first row".getBytes("UTF-8").toSeq)))
+    check(e, "select * from blobt order by b desc",
+      Seq(Seq(3, "third row".getBytes("UTF-8").toSeq),
+        Seq(2, "second row".getBytes("UTF-8").toSeq),
+        Seq(1, "first row".getBytes("UTF-8").toSeq)))
+    check(e, "select * from blobt where b <= 'second row'",
+      Seq(Seq(2, "second row".getBytes("UTF-8").toSeq),
+        Seq(1, "first row".getBytes("UTF-8").toSeq)))
+    // multi-action ALTER in one statement (blob_queries.go:106)
+    e.query("alter table blobt rename column b to v, add v1 int")
+    check(e, "select * from blobt",
+      Seq(Seq(1, "first row".getBytes("UTF-8").toSeq, null),
+        Seq(2, "second row".getBytes("UTF-8").toSeq, null),
+        Seq(3, "third row".getBytes("UTF-8").toSeq, null)))
+    // computed DEFAULT referencing another column + AFTER positioning
+    e.query("ALTER TABLE blobt ADD COLUMN v2 BIGINT DEFAULT (i + 2) AFTER v")
+    check(e, "select i, v2 from blobt order by i",
+      Seq(Seq(1, 3), Seq(2, 4), Seq(3, 5)))
+    e.query("drop table blobt")
   }
 
   test("outer join finishes unmatched right side (script_queries.go:1891)") {
