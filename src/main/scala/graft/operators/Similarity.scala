@@ -60,10 +60,13 @@ object Similarity {
   private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val K = 8 // codes per subspace
     val e = emb(s, d).select(col("vec_id"), col("v"))
-    // (vec_id, m, sv): subspace m's 16-dim slice of each vector
+    // (vec_id, m, sv): subspace m's 16-dim slice of each vector.
+    // Persisted: every Lloyd iteration plus the final assignment re-reads
+    // the slices — one embeddings scan total instead of one per pass
     val sub = e.select(col("vec_id"), posexplode(expr(
       "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))"))
       .as(Seq("m", "sv")))
+      .persist()
     var cent = sub.filter(col("vec_id") < K)
       .select(col("m"), col("vec_id").cast("int").as("cid"),
         col("sv").as("cv"))

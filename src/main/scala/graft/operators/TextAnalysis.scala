@@ -550,11 +550,15 @@ object TextAnalysis {
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("w"))
+        // persisted: the model build AND the scoring join both read the
+        // exploded bigrams — one corpus scan + tokenization pass total
+        // (at 100 TB: a checkpoint table, same plan shape)
         val bi = docs.select(col("doc_id"), posexplode(
             when(size(col("w")) >= 2, expr(
               "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
               .otherwise(expr("array()")))
             .as(Seq("pos", "bg")))
+          .persist()
         val model = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
         bi.join(model, "bg")
           .groupBy(col("doc_id"))
