@@ -197,6 +197,29 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     e.query("drop table blobt")
   }
 
+  test("outer-scope visibility into derived tables (derived_table_outer_scope_visibility_queries.go)") {
+    val e = freshEngine
+    e.runScript(
+      """create table t1 (a int primary key, b int, c int, d int, e int);
+        |create table t2 (a int primary key, b int, c int, d int, e int);
+        |insert into t1 values (1, 1, 1, 100, 100), (2, 2, 2, 200, 200);
+        |insert into t2 values (2, 2, 2, 2, 2);
+        |""".stripMargin)
+    // DIVERGENCE: MySQL lets a derived table inside a subquery correlate
+    // to the OUTER query's columns (t2.b = t1.b two scopes up,
+    // derived_table_outer_scope_visibility_queries.go:34-62); Spark scopes
+    // derived tables hermetically and requires explicit LATERAL. Pinned
+    // on the family's simplest member...
+    intercept[Exception] {
+      e.query("SELECT (SELECT max(dt.z) FROM (SELECT t2.a AS z FROM t2 WHERE t2.b = t1.b) dt) FROM t1").collect()
+    }
+    // ...and the Spark-first equivalent (LATERAL) computes the same rows
+    check(e,
+      "SELECT t1.a, dt.z FROM t1 LEFT JOIN LATERAL (SELECT max(t2.a) AS z FROM t2 WHERE t2.b = t1.b) dt ORDER BY t1.a",
+      Seq(Seq(1, null), Seq(2, 2)))
+    e.runScript("drop table t1; drop table t2;")
+  }
+
   test("outer join finishes unmatched right side (script_queries.go:1891)") {
     val e = freshEngine
     e.runScript(
