@@ -423,8 +423,10 @@ object Dml {
         () // secondary-index / constraint metadata: no physical effect here
       else fields += parseColDef(e, table, item)
     }
+    // List-based constructor -> LocalRelation leaf (an emptyRDD would be
+    // a LogicalRDD, blocking Engine.replaceTable's local-plan collapse)
     val df = e.spark.createDataFrame(
-      e.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(fields.toSeq))
     e.replaceTable(table, df, bumpDepth = false)
   }

@@ -419,9 +419,33 @@ class Engine(val spark: SparkSession) {
 
   /** Re-point the table view at a new plan, materializing to a warehouse
     * parquet generation once the accumulated plan depth crosses
-    * MaxUnionDepth (shared by INSERT appends and UPDATE/DELETE rewrites). */
+    * MaxUnionDepth (shared by INSERT appends and UPDATE/DELETE rewrites).
+    *
+    * A plan whose leaves are ALL small LocalRelations (the ScriptTest
+    * flow: CREATE TABLE + VALUES inserts + view-rewrite DML) collapses to
+    * ONE LocalRelation instead: plans stay flat across any number of
+    * statements, and union-over-values trees never reach the optimizer
+    * (Spark's PushProjectionThroughUnion mishandles correlated outer
+    * references over such unions — "key not found" at optimization time).
+    * Bulk file-backed inserts keep the union/warehouse path. */
   private[graft] def replaceTable(table: String, df: DataFrame,
                                   bumpDepth: Boolean): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val localRows = leaves.map {
+      case l: LocalRelation => l.data.length
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => 1
+      case _ => -1
+    }
+    if (localRows.nonEmpty && localRows.forall(_ >= 0) &&
+        localRows.sum <= 100000) {
+      import scala.jdk.CollectionConverters._
+      val rows = df.collect().toSeq
+      spark.createDataFrame(rows.asJava, df.schema)
+        .createOrReplaceTempView(table)
+      insertDepth(table) = 0
+      return
+    }
     val d = insertDepth(table) + (if (bumpDepth) 1 else 0)
     if (d < MaxUnionDepth) {
       df.createOrReplaceTempView(table)

@@ -205,15 +205,17 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
         |insert into t1 values (1, 1, 1, 100, 100), (2, 2, 2, 200, 200);
         |insert into t2 values (2, 2, 2, 2, 2);
         |""".stripMargin)
-    // DIVERGENCE: MySQL lets a derived table inside a subquery correlate
-    // to the OUTER query's columns (t2.b = t1.b two scopes up,
-    // derived_table_outer_scope_visibility_queries.go:34-62); Spark scopes
-    // derived tables hermetically and requires explicit LATERAL. Pinned
-    // on the family's simplest member...
-    intercept[Exception] {
-      e.query("SELECT (SELECT max(dt.z) FROM (SELECT t2.a AS z FROM t2 WHERE t2.b = t1.b) dt) FROM t1").collect()
-    }
-    // ...and the Spark-first equivalent (LATERAL) computes the same rows
+    // outer columns are visible inside a subquery's derived table
+    check(e,
+      "SELECT (SELECT max(dt.z) FROM (SELECT t2.a AS z FROM t2 WHERE t2.b = t1.b) dt) FROM t1",
+      Seq(Seq(null), Seq(2)))
+    check(e,
+      "SELECT * FROM t1 WHERE t1.d > (SELECT dt.a FROM (SELECT t2.a AS a FROM t2 WHERE t2.b = t1.b) dt)",
+      Seq(Seq(2, 2, 2, 200, 200)))
+    check(e,
+      "SELECT t1.*, (SELECT max(dt.a) FROM (SELECT t2.a AS a FROM t2 WHERE t2.b = t1.b) dt) m FROM t1",
+      Seq(Seq(1, 1, 1, 100, 100, null), Seq(2, 2, 2, 200, 200, 2)))
+    // the explicit-LATERAL spelling computes the same rows
     check(e,
       "SELECT t1.a, dt.z FROM t1 LEFT JOIN LATERAL (SELECT max(t2.a) AS z FROM t2 WHERE t2.b = t1.b) dt ORDER BY t1.a",
       Seq(Seq(1, null), Seq(2, 2)))
