@@ -219,6 +219,21 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     check(e,
       "SELECT t1.a, dt.z FROM t1 LEFT JOIN LATERAL (SELECT max(t2.a) AS z FROM t2 WHERE t2.b = t1.b) dt ORDER BY t1.a",
       Seq(Seq(1, null), Seq(2, 2)))
+    // row-filter HAVING composes with the correlated derived table
+    check(e,
+      "SELECT * FROM t1 HAVING t1.d > (SELECT dt.a FROM (SELECT t2.a AS a FROM t2 WHERE t2.b = t1.b) dt)",
+      Seq(Seq(2, 2, 2, 200, 200)))
+    // projected derived table sees the enclosing row's val; alias usable
+    // in the row-filter HAVING (derived_table_..._queries.go:66)
+    e.runScript(
+      """create table numbers (val int);
+        |insert into numbers values (1), (1), (2), (3), (3), (3), (4), (5), (6), (6), (6);
+        |""".stripMargin)
+    check(e,
+      "SELECT val, row_number() over (partition by val order by val) as rn, (SELECT two from (SELECT val*2, val*3) as dt(one, two)) as a1 from numbers having a1 > 10 order by val, rn",
+      Seq(Seq(4, 1, 12), Seq(5, 1, 15), Seq(6, 1, 18), Seq(6, 2, 18),
+        Seq(6, 3, 18)))
+    e.query("drop table numbers")
     e.runScript("drop table t1; drop table t2;")
   }
 
