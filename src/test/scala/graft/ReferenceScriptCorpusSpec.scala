@@ -233,6 +233,16 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
       "SELECT val, row_number() over (partition by val order by val) as rn, (SELECT two from (SELECT val*2, val*3) as dt(one, two)) as a1 from numbers having a1 > 10 order by val, rn",
       Seq(Seq(4, 1, 12), Seq(5, 1, 15), Seq(6, 1, 18), Seq(6, 2, 18),
         Seq(6, 3, 18)))
+    // a CTE inside a subquery expression sees the enclosing row
+    check(e,
+      "SELECT DISTINCT numbers.val, (WITH cte1 AS (SELECT val * 2 as val2 from numbers) SELECT count(*) from cte1 where numbers.val = cte1.val2) as cnt from numbers having cnt > 0",
+      Seq(Seq(2, 2), Seq(4, 1), Seq(6, 3)))
+    // DIVERGENCE: MySQL also correlates into a RECURSIVE CTE inside a
+    // subquery (derived_table_..._queries.go:84); Spark rejects outer
+    // references in recursive subquery expressions. Pinned.
+    intercept[Exception] {
+      e.query("select distinct n1.val, (with recursive cte1(n) as (select (n1.val) from dual union all select n + 1 from cte1 where n < 10) select sum(n) from cte1) from numbers n1 where n1.val > 4").collect()
+    }
     e.query("drop table numbers")
     e.runScript("drop table t1; drop table t2;")
   }
