@@ -35,6 +35,16 @@ object Dialect {
       // _binary introducer: the charset tag has no Spark meaning — the
       // literal itself carries the bytes
       .replaceAll("(?i)\\b_binary\\s+", "")
+      // charset introducers (_utf8mb4'x', _latin1 'y'): every string is
+      // UTF-8 here, the introducer drops (reference charset literals in
+      // sql/planbuilder; charset_collation_engine.go corpus)
+      // (the introducer immediately precedes its string literal, i.e. it
+      // sits at the END of a literal-split code segment — hence the $)
+      .replaceAll("(?i)\\b_(?:utf8mb4|utf8mb3|utf8|latin1|ascii|ucs2|utf16le|utf16|utf32)\\s*$", "")
+      // expression-level COLLATE with a MySQL collation name: collation
+      // is fixed utf8mb4-binary-ish on this engine (SURVEY §7.4; the
+      // UTF8_LCASE/AI variants are exposed as functions instead)
+      .replaceAll("(?i)\\s+COLLATE\\s+[a-z0-9]+_[a-z0-9_]+", "")
       // MySQL CAST targets (sql/types coercion names) -> Spark types:
       // SIGNED=BIGINT, UNSIGNED=DECIMAL(20,0) (full uint64 range),
       // bare CHAR/NCHAR=STRING (CHAR(n) passes through, Spark has it)

@@ -324,6 +324,14 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
     one("SELECT HEX(UUID_TO_BIN('6ccd780c-baba-1026-9564-5b8c656024db'))",
       "6CCD780CBABA102695645B8C656024DB")
     one("SELECT TIME_TO_SEC('13:20:00')", 48000)
+    // charset introducers + expression COLLATE drop to the literal
+    // (charset_collation_engine.go:1085)
+    one("SELECT TO_BASE64(_utf8mb4'abc' COLLATE utf8mb4_0900_bin)", "YWJj")
+    one("SELECT _latin1'x'", "x")
+    // DIVERGENCE: stripping the COLLATE leaves the engine's binary
+    // comparison (MySQL ai_ci would give true); the CI/AI behaviors are
+    // exposed as functions instead (fn_collation/fn_collation_ai). Pinned.
+    one("SELECT 'a' = 'A' COLLATE utf8mb4_0900_ai_ci", false)
     one("SELECT CHARSET('abc')", "utf8mb4")
     one("SELECT ST_ASTEXT(POINT(1, 2))", "POINT(1 2)")
     one("SELECT ST_ASTEXT(LINESTRING(POINT(0,0), POINT(1,2)))",
