@@ -60,6 +60,13 @@ object Dialect {
       .replaceAll("(?i)\\bAS\\s+JSON\\s*\\)", "AS STRING)")
       // MySQL 8 VALUES ROW(...) constructor -> bare tuples
       .replaceAll("(?i)\\bROW\\s*\\(", "(")
+      // MySQL logical operators (reference sql/expression/logic.go; no
+      // PIPES_AS_CONCAT mode): || is OR, && is AND, ! is NOT. MySQL's !
+      // binds tighter than NOT, but its idiomatic use is parenthesized —
+      // the textual swap keeps those exact
+      .replaceAll("\\|\\|", " OR ")
+      .replaceAll("&&", " AND ")
+      .replaceAll("!(?!=)", " NOT ")
       // `t AS OF n` resolves to the Engine.snapshot-pinned view
       .replaceAll("(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+OF\\s+(\\d+)",
         "$1__asof_$2")

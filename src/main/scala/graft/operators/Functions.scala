@@ -366,7 +366,7 @@ object Functions {
                IS_IPV4_COMPAT(INET6_ATON('::1.2.3.4')) AS compat_t,
                IS_IPV4_COMPAT(INET6_ATON('fdfe::1')) AS compat_f,
                IS_IPV4_MAPPED(INET6_ATON('::ffff:1.2.3.4')) AS mapped_t,
-               VEC_TOTEXT(TO_VECTOR('[' || (o_orderkey % 10) || '.5, 2]'))
+               VEC_TOTEXT(TO_VECTOR(CONCAT('[', o_orderkey % 10, '.5, 2]')))
                  AS vec_rt
              FROM orders ORDER BY o_orderkey""")
       },

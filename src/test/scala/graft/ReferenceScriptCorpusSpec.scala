@@ -247,6 +247,36 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     e.runScript("drop table t1; drop table t2;")
   }
 
+  test("GROUP BY with LIMIT 0 (script_queries.go:159)") {
+    val e = freshEngine
+    e.runScript(
+      """CREATE TABLE test_table (id INT PRIMARY KEY, value INT, category VARCHAR(50));
+        |INSERT INTO test_table VALUES (1, 100, 'A'), (2, 200, 'B'), (3, 300, 'A');
+        |""".stripMargin)
+    check(e, "SELECT category, SUM(value) FROM test_table GROUP BY category LIMIT 0", Seq())
+    check(e, "SELECT category, COUNT(*) FROM test_table GROUP BY category LIMIT 0", Seq())
+    check(e, "SELECT SUM(value) FROM test_table LIMIT 0", Seq())
+    e.query("drop table test_table")
+  }
+
+  test("MySQL !/||/&& with EXISTS (script_queries.go:184, dolt#9935)") {
+    val e = freshEngine
+    e.runScript(
+      """CREATE TABLE t0(c0 INT);
+        |INSERT INTO t0(c0) VALUES(1);
+        |""".stripMargin)
+    check(e, "SELECT * FROM t0 WHERE (! (1 || (EXISTS (SELECT 1))))", Seq())
+    check(e, "SELECT * FROM t0 WHERE (! (0 || (EXISTS (SELECT 1))))", Seq())
+    check(e, "SELECT * FROM t0 WHERE (! ((EXISTS (SELECT 1)) || 0))", Seq())
+    check(e, "SELECT * FROM t0 WHERE (! ((EXISTS (SELECT 1)) || 1))", Seq())
+    check(e, "SELECT * FROM t0 WHERE (! (1 && (EXISTS (SELECT 1))))", Seq())
+    check(e, "SELECT * FROM t0 WHERE (! (0 && (EXISTS (SELECT 1))))", Seq(Seq(1)))
+    check(e, "SELECT * FROM t0 WHERE (! (0 || (EXISTS (SELECT 1 FROM t0 WHERE c0 = 2))))", Seq(Seq(1)))
+    check(e, "SELECT * FROM t0 WHERE (! (1 || (EXISTS (SELECT 1 FROM t0 WHERE c0 = 1))))", Seq())
+    check(e, "SELECT * FROM t0 WHERE (! (0 || (EXISTS (SELECT 1 FROM t0 WHERE c0 = 1))))", Seq())
+    e.query("drop table t0")
+  }
+
   test("outer join finishes unmatched right side (script_queries.go:1891)") {
     val e = freshEngine
     e.runScript(
