@@ -172,15 +172,38 @@ class Engine(val spark: SparkSession) {
     sessionVars(name) = rendered
   }
 
-  private def substituteVars(sql: String): String =
-    if (sessionVars.isEmpty) sql
-    else sessionVars.foldLeft(sql) { case (acc, (n, v)) =>
+  // @@sysvar reads (reference sql/variables/sysvars.go; `SELECT
+  // @@version_comment` is the first thing the mysql CLI sends). Values
+  // are SQL literals; unknown variables read as NULL.
+  private val systemVars: Map[String, String] = Map(
+    "version" -> "'8.0.31'", "version_comment" -> "'graft-spark'",
+    "sql_mode" -> "''", "autocommit" -> "1",
+    "character_set_client" -> "'utf8mb4'",
+    "character_set_connection" -> "'utf8mb4'",
+    "character_set_results" -> "'utf8mb4'",
+    "collation_connection" -> "'utf8mb4_0900_ai_ci'",
+    "collation_server" -> "'utf8mb4_0900_ai_ci'",
+    "max_allowed_packet" -> "67108864", "lower_case_table_names" -> "0",
+    "net_write_timeout" -> "60", "wait_timeout" -> "28800",
+    "max_connections" -> "151", "timestamp" -> "0")
+
+  private def substituteSysVars(sql: String): String =
+    if (!sql.contains("@@")) sql
+    else """@@(?:[Ss][Ee][Ss][Ss][Ii][Oo][Nn]\.|[Gg][Ll][Oo][Bb][Aa][Ll]\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
+      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+        systemVars.getOrElse(m.group(1).toLowerCase, "NULL")))
+
+  private def substituteVars(sql: String): String = {
+    val s0 = substituteSysVars(sql)
+    if (sessionVars.isEmpty) s0
+    else sessionVars.foldLeft(s0) { case (acc, (n, v)) =>
       // Dialect.rewrite has already run; @name never appears inside
       // engine-generated literals, and user literals keep their @s because
       // substitution is token-bounded.
       acc.replaceAll("@" + java.util.regex.Pattern.quote(n) + "\\b",
         java.util.regex.Matcher.quoteReplacement(v))
     }
+  }
 
   /** Run one SQL statement through the dialect shim into Catalyst.
     * `WITH RECURSIVE` statements (which Spark's parser rejects) are

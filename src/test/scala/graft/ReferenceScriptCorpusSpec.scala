@@ -247,6 +247,15 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     e.runScript("drop table t1; drop table t2;")
   }
 
+  test("system variable reads (script_queries.go:231)") {
+    val e = freshEngine
+    check(e, "SELECT @@version_comment", Seq(Seq("graft-spark")))
+    check(e, "SELECT @@version", Seq(Seq("8.0.31")))
+    check(e, "SELECT @@session.sql_mode", Seq(Seq("")))
+    check(e, "SELECT @@GLOBAL.max_connections", Seq(Seq(151)))
+    check(e, "SELECT @@unknown_sysvar_xyz", Seq(Seq(null)))
+  }
+
   test("GROUP BY with LIMIT 0 (script_queries.go:159)") {
     val e = freshEngine
     e.runScript(
