@@ -61,7 +61,7 @@ object Dml {
   private val SetVar =
     """(?is)^\s*SET\s+@([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.*?)\s*$""".r
   private val SetNoop =
-    """(?is)^\s*SET\s+(?:NAMES|SESSION|GLOBAL|CHARACTER\s+SET|sql_mode|autocommit)\b.*$""".r
+    """(?is)^\s*SET\s+(?:NAMES|SESSION|GLOBAL|CHARACTER\s+SET|sql_mode|autocommit|@@\S+)\b.*$""".r
   private val ShowVariables =
     """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   private val ShowStatus =

@@ -188,7 +188,8 @@ class Engine(val spark: SparkSession) {
     "max_connections" -> "151", "timestamp" -> "0")
 
   private def substituteSysVars(sql: String): String =
-    if (!sql.contains("@@")) sql
+    // SET @@x = … must reach the DML dispatcher intact (assignment, not read)
+    if (!sql.contains("@@") || sql.trim.toUpperCase.startsWith("SET")) sql
     else """@@(?:[Ss][Ee][Ss][Ss][Ii][Oo][Nn]\.|[Gg][Ll][Oo][Bb][Aa][Ll]\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
       .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
         systemVars.getOrElse(m.group(1).toLowerCase, "NULL")))

@@ -254,6 +254,8 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     check(e, "SELECT @@session.sql_mode", Seq(Seq("")))
     check(e, "SELECT @@GLOBAL.max_connections", Seq(Seq(151)))
     check(e, "SELECT @@unknown_sysvar_xyz", Seq(Seq(null)))
+    // assignment form is a session no-op, not a substitution target
+    check(e, "SET @@sql_mode = 'ANSI_QUOTES'", Seq(Seq(0)))
   }
 
   test("GROUP BY with LIMIT 0 (script_queries.go:159)") {
