@@ -52,6 +52,8 @@ object Dml {
   // script opens with (reference sql/planbuilder/ddl.go buildCreateTable)
   private val CreateTableDef =
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\((.*)\)\s*((?:ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|COMMENT|AUTO_INCREMENT)\b[^)]*)?$""".r
+  private val CreateTableLike =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s+LIKE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val AlterTable =
     """(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(.*)$""".r
   private val DropTv =
@@ -219,6 +221,17 @@ object Dml {
 
     case CreateTableAs(name, body) =>
       e.ctas(name, body); Some(ok(e, 0L))
+
+    case CreateTableLike(name, src) =>
+      // same schema, empty; declared metadata carries over (reference
+      // ddl.go buildCreateTableLike copies schema + keys + defaults)
+      e.replaceTable(name, e.spark.table(src).limit(0), bumpDepth = false)
+      e.tableKeys.get(src).foreach(k => e.declareKey(name, k))
+      e.autoIncCols.get(src).foreach(c => e.declareAutoInc(name, c))
+      e.columnDefaults.toSeq.collect {
+        case ((t, c), d) if t == src => e.declareDefault(name, c, d)
+      }
+      Some(ok(e, 0L))
 
     case CreateTableDef(name, body, _) =>
       createFromDefs(e, name, body); Some(ok(e, 0L))

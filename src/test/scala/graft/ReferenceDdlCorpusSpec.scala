@@ -90,6 +90,22 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table users")
   }
 
+  test("create table like copies schema and declared metadata") {
+    engine.runScript(
+      """create table src_t (id int NOT NULL AUTO_INCREMENT, v int default 5, PRIMARY KEY (id));
+        |insert into src_t (v) values (1);
+        |create table dst_t like src_t;
+        |insert into dst_t (v) values (9);
+        |""".stripMargin)
+    assert(rows("select * from dst_t") == Seq(Seq(1, 9)))
+    assert(rows("select count(*) c from src_t") == Seq(Seq(1L)))
+    // auto-inc + default carried over: omitted id filled, omitted v defaults
+    engine.query("insert into dst_t (id) values (10)")
+    assert(rows("select * from dst_t order by id") ==
+      Seq(Seq(1, 9), Seq(10, 5)))
+    engine.runScript("drop table src_t; drop table dst_t;")
+  }
+
   test("alter table add/drop/rename/modify (alter_table_queries.go shapes)") {
     engine.runScript(
       """create table t1 (pk bigint primary key, v1 int);
