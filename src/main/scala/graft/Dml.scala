@@ -22,44 +22,60 @@ import org.apache.spark.sql.functions._
   */
 object Dml {
 
+  // Table-name pattern: optionally schema-qualified (`db`.`t`, db.t),
+  // each part bare or backticked (reference sql/planbuilder/dml.go
+  // resolves qualified DML targets against the catalog). Matches land in
+  // ONE group; normName strips the ticks.
+  private val TblPat =
+    """((?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)(?:\.(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?)"""
+  private def re(pattern: String) = pattern.replace("<T>", TblPat).r
+
+  /** `db`.`t` / db.`t` / t -> canonical db.t / t */
+  private def normName(raw: String): String =
+    raw.split('.').map(_.stripPrefix("`").stripSuffix("`")).mkString(".")
+
+  /** canonical name -> safely quoted SQL (`db`.`t`) */
+  private def tick(name: String): String =
+    name.split('.').map(p => s"`$p`").mkString(".")
+
   // NB: body must be separated from the table name by whitespace or a
   // column list — otherwise the name backtracks ("mytable SET…" would
   // split into name "my" + body "table SET…" since TABLE is a body form)
   private val Insert =
-    """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
+    re("""(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+<T>\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""")
   private val Replace =
-    """(?is)^\s*REPLACE\s+INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""".r
+    re("""(?is)^\s*REPLACE\s+INTO\s+<T>\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""")
   private val Update =
-    """(?is)^\s*UPDATE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+(.*)$""".r
+    re("""(?is)^\s*UPDATE\s+<T>\s+SET\s+(.*)$""")
   // UPDATE t JOIN <src> [ON cond] SET assigns [WHERE cond] (reference
   // sql/plan/update_join.go)
   private val UpdateJoin =
-    """(?is)^\s*UPDATE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(?:INNER\s+)?JOIN\s+(.*)$""".r
+    re("""(?is)^\s*UPDATE\s+<T>\s+(?:INNER\s+)?JOIN\s+(.*)$""")
   private val Delete =
-    """(?is)^\s*DELETE\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(.*?)\s*$""".r
+    re("""(?is)^\s*DELETE\s+FROM\s+<T>\s*(.*?)\s*$""")
   // INSERT INTO t SET a = x, b = y (MySQL's assignment form)
   private val InsertSet =
-    """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+SET\s+(.*)$""".r
+    re("""(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+<T>\s+SET\s+(.*)$""")
   // DELETE t1[, t2] FROM <joined sources> [WHERE …] (multi-table delete,
   // reference sql/plan/delete.go multi-target form)
   private val DeleteJoin =
     """(?is)^\s*DELETE\s+(?!FROM\b)((?:`?[A-Za-z_][A-Za-z0-9_]*`?\s*,\s*)*`?[A-Za-z_][A-Za-z0-9_]*`?)\s+FROM\s+(.*)$""".r
   private val CreateView =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+AS\s+(.*)$""".r
+    re("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+<T>\s+AS\s+(.*)$""")
   private val CreateTableAs =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s+AS\s+(.*)$""".r
+    re("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s+AS\s+(.*)$""")
   // CREATE TABLE t (col defs ...) [table options] — the form every MySQL
   // script opens with (reference sql/planbuilder/ddl.go buildCreateTable)
   private val CreateTableDef =
-    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\((.*)\)\s*((?:ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|COMMENT|AUTO_INCREMENT)\b[^)]*)?$""".r
+    re("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s*\((.*)\)\s*((?:ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|COMMENT|AUTO_INCREMENT)\b[^)]*)?$""")
   private val CreateTableLike =
-    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s+LIKE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+    re("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s+LIKE\s+<T>\s*$""")
   private val AlterTable =
-    """(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(.*)$""".r
+    re("""(?is)^\s*ALTER\s+TABLE\s+<T>\s+(.*)$""")
   private val DropTv =
-    """(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+    re("""(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?<T>\s*$""")
   private val Trunc =
-    """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+    re("""(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?<T>\s*$""")
   private val SetVar =
     """(?is)^\s*SET\s+@([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.*?)\s*$""".r
   private val SetNoop =
@@ -81,7 +97,8 @@ object Dml {
     dispatchTrimmed(e, sql0.replaceAll("[;\\s]+$", ""))
 
   private def dispatchTrimmed(e: Engine, sql: String): Option[DataFrame] = sql match {
-    case Insert(table, colList, body0) =>
+    case Insert(tableRaw, colList, body0) =>
+      val table = normName(tableRaw)
       val hasList = colList != null && colList.trim.nonEmpty
       val (body, odku) = splitOnDuplicate(body0)
       odku match {
@@ -95,14 +112,22 @@ object Dml {
             insertSource(e, table, colList, hasList, body), assignText))
       }
 
-    case Replace(table, colList, body) =>
+    case Replace(tableRaw, colList, body) =>
       // REPLACE INTO = delete rows sharing the declared key, then insert
-      // (reference plan/insert.go ReplaceInto); affected counts both
+      // (reference plan/insert.go ReplaceInto); affected counts both.
+      // The incoming batch takes the same write-time coercion / DEFAULT
+      // fill / auto-inc path as plain INSERT (Engine.coerceAndFill) so a
+      // mistyped literal can't widen the table schema via unionByName,
+      // and later duplicate-key rows inside one statement win (MySQL
+      // processes REPLACE rows in order).
+      val table = normName(tableRaw)
       val hasList = colList != null && colList.trim.nonEmpty
       val keys = e.tableKeys.getOrElse(table,
         throw new IllegalArgumentException(
           s"REPLACE INTO needs a declared key on '$table' (Engine.declareKey)"))
-      val incoming = insertSource(e, table, colList, hasList, body)
+      val incoming0 = e.coerceAndFill(table,
+        insertSource(e, table, colList, hasList, body), fillMissing = hasList)
+      val incoming = lastPerKey(incoming0, keys)
       val t = e.spark.table(table)
       val keyRows = incoming.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
       val deleted = t.join(keyRows, keys.toIndexedSeq, "left_semi").count()
@@ -114,7 +139,8 @@ object Dml {
         bumpDepth = true)
       Some(ok(e, deleted + inserted))
 
-    case InsertSet(table, assignText) =>
+    case InsertSet(tableRaw, assignText) =>
+      val table = normName(tableRaw)
       // rewrite to the column-list VALUES form and re-dispatch
       val pairs = topLevelSplit(assignText, ',').map { a =>
         val eq = topLevelIndexOf(a, "=")
@@ -123,21 +149,28 @@ object Dml {
           a.substring(eq + 1).trim)
       }
       dispatchTrimmed(e,
-        s"INSERT INTO `$table` (${pairs.map(_._1).mkString(", ")}) " +
+        s"INSERT INTO ${tick(table)} (${pairs.map(_._1).mkString(", ")}) " +
           s"VALUES (${pairs.map(_._2).mkString(", ")})")
 
-    case UpdateJoin(table, rest) =>
-      Some(updateJoin(e, table, rest))
+    case UpdateJoin(tableRaw, rest) =>
+      Some(updateJoin(e, normName(tableRaw), rest))
 
     case DeleteJoin(targetsText, rest) =>
       Some(deleteJoin(e, targetsText, rest))
 
-    case Update(table, rest) =>
+    case Update(tableRaw, rest) =>
+      val table = normName(tableRaw)
       val (head, tail) = splitOrderLimit(rest)
       val (assignText, whereOpt) = splitWhere(head)
       val t = e.spark.table(table)
       val actual = t.columns.map(c => c.toLowerCase -> c).toMap
-      // MySQL applies duplicate assignments left to right: the LAST wins
+      val colTypes = t.schema.fields.map(f => f.name -> f.dataType).toMap
+      // MySQL applies assignments LEFT TO RIGHT, each one seeing the
+      // values produced by the assignments before it (reference
+      // update_queries.go:59-63: `SET f32 = f32 + f32, f64 = f32 * f64`
+      // doubles f32 first, then f64 multiplies by the NEW f32). Kept in
+      // statement order; each layer coerces to the column's type the way
+      // MySQL coerces on write.
       val assigns = topLevelSplit(assignText, ',').map { a =>
         val eq = topLevelIndexOf(a, "=")
         require(eq > 0, s"malformed SET clause: $a")
@@ -147,45 +180,43 @@ object Dml {
           throw new IllegalArgumentException(
             s"Unknown column '$name' in 'field list'"))
         resolved -> ex
-      }.toMap
-      def assignedRow(df: DataFrame) = df.select(t.columns.map { c =>
-        assigns.get(c).map(ex => expr(ex).as(c)).getOrElse(col(s"`$c`"))
-      }.toIndexedSeq: _*)
+      }
+      // sequential fold: gate (if any) is materialized from the ORIGINAL
+      // row first so later layers can't perturb the match predicate
+      def assignSequential(df: DataFrame,
+                           gate: Option[org.apache.spark.sql.Column]) = {
+        val g0 = gate.map(g => df.withColumn("__upd__", g)).getOrElse(df)
+        val updated = assigns.foldLeft(g0) { case (d, (c, ex)) =>
+          val v = expr(ex).cast(colTypes(c))
+          d.withColumn(c,
+            if (gate.isDefined) when(col("__upd__"), v).otherwise(col(s"`$c`"))
+            else v)
+        }
+        if (gate.isDefined) updated.drop("__upd__") else updated
+      }
       tail match {
         case Some(orderLimit) =>
           // ORDER BY … LIMIT … — update exactly the limited subset:
           // multiset-subtract it, transform it, add it back
           val whereClause = whereOpt.map(w => s" WHERE $w").getOrElse("")
-          val subset = e.query(s"SELECT * FROM `$table`$whereClause $orderLimit")
+          val subset = e.query(s"SELECT * FROM ${tick(table)}$whereClause $orderLimit")
           val affected = subset.count()
-          val newDf = t.exceptAll(subset).unionByName(assignedRow(subset))
+          val newDf = t.exceptAll(subset).unionByName(assignSequential(subset, None))
           e.validateVocab(table, newDf)
           e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
         case None =>
-          val cols = t.columns.map { c =>
-            assigns.get(c) match {
-              case Some(ex) => whereOpt match {
-                case Some(cond) =>
-                  when(coalesce(expr(cond).cast("boolean"), lit(false)), expr(ex))
-                    .otherwise(col(s"`$c`")).as(c)
-                case None => expr(ex).as(c)
-              }
-              case None => col(s"`$c`")
-            }
-          }
-          val affected = whereOpt match {
-            case Some(cond) =>
-              t.filter(coalesce(expr(cond).cast("boolean"), lit(false))).count()
-            case None => t.count()
-          }
-          val newDf = t.select(cols.toIndexedSeq: _*)
+          val gate = whereOpt.map(cond =>
+            coalesce(expr(cond).cast("boolean"), lit(false)))
+          val affected = gate.map(g => t.filter(g).count()).getOrElse(t.count())
+          val newDf = assignSequential(t, gate)
           e.validateVocab(table, newDf)
           e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
       }
 
-    case Delete(table, rest0) =>
+    case Delete(tableRaw, rest0) =>
+      val table = normName(tableRaw)
       val t = e.spark.table(table)
       val (head, tail) = splitOrderLimit(Option(rest0).getOrElse(""))
       val whereOpt =
@@ -199,7 +230,7 @@ object Dml {
       tail match {
         case Some(orderLimit) =>
           val whereClause = whereOpt.map(w => s" WHERE $w").getOrElse("")
-          val subset = e.query(s"SELECT * FROM `$table`$whereClause $orderLimit")
+          val subset = e.query(s"SELECT * FROM ${tick(table)}$whereClause $orderLimit")
           val affected = subset.count()
           e.replaceTable(table, t.exceptAll(subset), bumpDepth = true)
           Some(ok(e, affected))
@@ -217,14 +248,16 @@ object Dml {
       }
 
     case CreateView(name, body) =>
-      e.createView(name, body); Some(ok(e, 0L))
+      e.createView(normName(name), body); Some(ok(e, 0L))
 
     case CreateTableAs(name, body) =>
-      e.ctas(name, body); Some(ok(e, 0L))
+      e.ctas(normName(name), body); Some(ok(e, 0L))
 
-    case CreateTableLike(name, src) =>
+    case CreateTableLike(nameRaw, srcRaw) =>
       // same schema, empty; declared metadata carries over (reference
       // ddl.go buildCreateTableLike copies schema + keys + defaults)
+      val name = normName(nameRaw)
+      val src = normName(srcRaw)
       e.replaceTable(name, e.spark.table(src).limit(0), bumpDepth = false)
       e.tableKeys.get(src).foreach(k => e.declareKey(name, k))
       e.autoIncCols.get(src).foreach(c => e.declareAutoInc(name, c))
@@ -234,22 +267,23 @@ object Dml {
       Some(ok(e, 0L))
 
     case CreateTableDef(name, body, _) =>
-      createFromDefs(e, name, body); Some(ok(e, 0L))
+      createFromDefs(e, normName(name), body); Some(ok(e, 0L))
 
     case AlterTable(name, actions) =>
-      alterTable(e, name, actions); Some(ok(e, 0L))
+      alterTable(e, normName(name), actions); Some(ok(e, 0L))
 
     case DropTv(name) =>
-      e.drop(name); Some(ok(e, 0L))
+      e.drop(normName(name)); Some(ok(e, 0L))
 
-    case Trunc(table) =>
+    case Trunc(tableRaw) =>
+      val table = normName(tableRaw)
       val t = e.spark.table(table)
       e.replaceTable(table, t.limit(0), bumpDepth = true)
       Some(ok(e, 0L))
 
     case SetVar(name, ex) =>
       val v = e.query(s"SELECT $ex").collect()(0).get(0)
-      e.setVar(name, if (v == null) "NULL" else v)
+      e.setVar(name, v) // null renders as SQL NULL, not the string 'NULL'
       Some(ok(e, 0L))
 
     case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
@@ -546,15 +580,32 @@ object Dml {
     }
   }
 
+  /** Keep the LAST row per key inside one incoming batch (statement
+    * order = monotonically_increasing_id order over the small batch) —
+    * MySQL processes multi-row REPLACE/upsert rows sequentially, so a
+    * later duplicate wins. */
+  private def lastPerKey(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(k => col(s"`$k`")).toIndexedSeq: _*)
+      .orderBy(col("__seq__").desc)
+    df.withColumn("__seq__", monotonically_increasing_id())
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__seq__", "__rn__")
+  }
+
   /** INSERT ... ON DUPLICATE KEY UPDATE — per-row merge against the
     * declared key. MySQL affected-rows: 1 per inserted, 2 per updated.
-    * `VALUES(col)` in an assignment refers to the incoming row. */
-  private def upsert(e: Engine, table: String, incoming: DataFrame,
+    * `VALUES(col)` in an assignment refers to the incoming row. The
+    * batch takes the same write-time coercion as plain INSERT and is
+    * deduped on the key (last wins) before the merge. */
+  private def upsert(e: Engine, table: String, incoming0: DataFrame,
                      assignText: String): DataFrame = {
     val keys = e.tableKeys.getOrElse(table,
       throw new IllegalArgumentException(
         s"ON DUPLICATE KEY UPDATE needs a declared key on '$table' " +
         "(Engine.declareKey)"))
+    val incoming = lastPerKey(
+      e.coerceAndFill(table, incoming0, fillMissing = true), keys)
     val t = e.spark.table(table)
     // incoming columns renamed so assignment text can address both rows:
     // bare `c` = existing row, VALUES(c) = incoming row (as __i_c)

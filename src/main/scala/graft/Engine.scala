@@ -47,12 +47,15 @@ object Dialect {
       .replaceAll("(?i)\\s+COLLATE\\s+[a-z0-9]+_[a-z0-9_]+", "")
       // MySQL CAST targets (sql/types coercion names) -> Spark types:
       // SIGNED=BIGINT, UNSIGNED=DECIMAL(20,0) (full uint64 range),
-      // bare CHAR/NCHAR=STRING (CHAR(n) passes through, Spark has it)
-      .replaceAll("(?i)\\bAS\\s+SIGNED(\\s+INTEGER)?\\b", "AS BIGINT")
-      .replaceAll("(?i)\\bAS\\s+UNSIGNED(\\s+INTEGER)?\\b", "AS DECIMAL(20,0)")
-      .replaceAll("(?i)\\bAS\\s+N?CHAR\\b(?!\\s*\\()", "AS STRING")
+      // bare CHAR/NCHAR=STRING (CHAR(n) passes through, Spark has it).
+      // Every rule is anchored on the CAST/CONVERT closing paren so an
+      // ordinary projection alias (`SELECT x AS signed`) stays an alias.
+      .replaceAll("(?i)\\bAS\\s+SIGNED(\\s+INTEGER)?\\s*\\)", "AS BIGINT)")
+      .replaceAll("(?i)\\bAS\\s+UNSIGNED(\\s+INTEGER)?\\s*\\)", "AS DECIMAL(20,0))")
+      .replaceAll("(?i)\\bAS\\s+N?CHAR\\s*\\)", "AS STRING)")
       // MySQL DATETIME is wall-clock (no zone): Spark TIMESTAMP_NTZ
-      .replaceAll("(?i)\\bAS\\s+DATETIME\\b", "AS TIMESTAMP_NTZ")
+      // (fractional-seconds precision drops — Spark NTZ is fixed micros)
+      .replaceAll("(?i)\\bAS\\s+DATETIME\\s*(\\(\\d+\\))?\\s*\\)", "AS TIMESTAMP_NTZ)")
       // JSON documents are their serialized text in this engine (the
       // json_* family parses on demand), so CAST(x AS JSON) is the text
       // rendering of x. The closing-paren anchor keeps `SELECT x AS json`
@@ -77,13 +80,18 @@ object Dialect {
     // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
     val pre = SqlRewrite.convertFn(
       SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(sql))))
-    rewriteLiteralAware(pre)
+    mapCode(pre)(rewriteCode)
   }
 
-  private def rewriteLiteralAware(sql: String): String = {
+  /** Apply `f` to each non-literal, non-comment run of `sql`, copying
+    * quoted literals ('…', "…", `…`) and comments through verbatim. The
+    * literal-splitting walk every text rewrite in the engine must use —
+    * a plain replaceAll over full statement text corrupts string literals
+    * that happen to contain rewrite-shaped text. */
+  def mapCode(sql: String)(f: String => String): String = {
     val out = new StringBuilder
     val code = new StringBuilder // non-literal run awaiting regex rewrites
-    def flushCode(): Unit = { out.append(rewriteCode(code.result())); code.clear() }
+    def flushCode(): Unit = { out.append(f(code.result())); code.clear() }
     var i = 0
     val n = sql.length
     while (i < n) {
@@ -163,9 +171,11 @@ class Engine(val spark: SparkSession) {
     * string literals only. */
   private val sessionVars = scala.collection.mutable.Map.empty[String, String]
 
-  /** SET @name = value. Strings are quoted; numbers pass through. */
+  /** SET @name = value. Strings are quoted; numbers pass through;
+    * null renders as the SQL NULL token (not the 4-char string). */
   def setVar(name: String, value: Any): Unit = {
     val rendered = value match {
+      case null => "NULL"
       case s: String => "'" + s.replace("'", "''") + "'"
       case other => String.valueOf(other)
     }
@@ -187,22 +197,27 @@ class Engine(val spark: SparkSession) {
     "net_write_timeout" -> "60", "wait_timeout" -> "28800",
     "max_connections" -> "151", "timestamp" -> "0")
 
+  // Both substitutions run through Dialect.mapCode so @@name / @name text
+  // inside string literals stays untouched (SELECT '@@version' returns the
+  // 9-char literal; the reference resolves @@vars post-parse, never inside
+  // strings — sql/planbuilder).
   private def substituteSysVars(sql: String): String =
     // SET @@x = … must reach the DML dispatcher intact (assignment, not read)
     if (!sql.contains("@@") || sql.trim.toUpperCase.startsWith("SET")) sql
-    else """@@(?:[Ss][Ee][Ss][Ss][Ii][Oo][Nn]\.|[Gg][Ll][Oo][Bb][Aa][Ll]\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
-      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
-        systemVars.getOrElse(m.group(1).toLowerCase, "NULL")))
+    else Dialect.mapCode(sql) { code =>
+      """@@(?:[Ss][Ee][Ss][Ss][Ii][Oo][Nn]\.|[Gg][Ll][Oo][Bb][Aa][Ll]\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
+        .replaceAllIn(code, m => java.util.regex.Matcher.quoteReplacement(
+          systemVars.getOrElse(m.group(1).toLowerCase, "NULL")))
+    }
 
   private def substituteVars(sql: String): String = {
     val s0 = substituteSysVars(sql)
-    if (sessionVars.isEmpty) s0
-    else sessionVars.foldLeft(s0) { case (acc, (n, v)) =>
-      // Dialect.rewrite has already run; @name never appears inside
-      // engine-generated literals, and user literals keep their @s because
-      // substitution is token-bounded.
-      acc.replaceAll("@" + java.util.regex.Pattern.quote(n) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(v))
+    if (sessionVars.isEmpty || !s0.contains("@")) s0
+    else Dialect.mapCode(s0) { code =>
+      sessionVars.foldLeft(code) { case (acc, (n, v)) =>
+        acc.replaceAll("@" + java.util.regex.Pattern.quote(n) + "\\b",
+          java.util.regex.Matcher.quoteReplacement(v))
+      }
     }
   }
 
@@ -350,9 +365,11 @@ class Engine(val spark: SparkSession) {
   def dropDatabase(db: String): Unit =
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
 
-  /** CREATE TABLE t AS SELECT ... (TableCopier, sql/plan/table_copier.go). */
+  /** CREATE TABLE t AS SELECT ... (TableCopier, sql/plan/table_copier.go).
+    * A db-qualified target materializes into the catalog namespace. */
   def ctas(name: String, sql: String): Unit =
-    query(sql).createOrReplaceTempView(name)
+    if (name.contains(".")) replaceTable(name, query(sql), bumpDepth = false)
+    else query(sql).createOrReplaceTempView(name)
 
   // ---- AS OF time travel ------------------------------------------------
   // The reference resolves `table AS OF <revision>` against versioned
@@ -386,9 +403,11 @@ class Engine(val spark: SparkSession) {
     v
   }
 
-  /** CREATE [OR REPLACE] VIEW. */
+  /** CREATE [OR REPLACE] VIEW. A db-qualified view lands in the catalog
+    * namespace (materialized — catalog views can't reference temp state). */
   def createView(name: String, sql: String): Unit =
-    query(sql).createOrReplaceTempView(name)
+    if (name.contains(".")) replaceTable(name, query(sql), bumpDepth = false)
+    else query(sql).createOrReplaceTempView(name)
 
   // ---- INSERT INTO ... SELECT -------------------------------------------
   // Append semantics over the memory backend. Chaining a view as
@@ -411,6 +430,21 @@ class Engine(val spark: SparkSession) {
 
   private[graft] def insertDf(table: String, incoming0: DataFrame,
                               fillMissing: Boolean): Unit = {
+    val coerced = coerceAndFill(table, incoming0, fillMissing)
+    validateVocab(table, coerced)
+    val target = spark.table(table)
+    val unioned = target.unionByName(coerced, allowMissingColumns = fillMissing)
+    replaceTable(table, unioned, bumpDepth = true)
+  }
+
+  /** The shared write-time preparation every insert-shaped statement
+    * (INSERT / REPLACE / ON DUPLICATE KEY UPDATE) must take: declared
+    * DEFAULT fill, AUTO_INCREMENT fill, and coercion of incoming values
+    * to the target column types (reference sql/types Convert on insert).
+    * Routing REPLACE/upsert through anything weaker lets a mistyped
+    * literal widen the stored schema via union coercion. */
+  private[graft] def coerceAndFill(table: String, incoming0: DataFrame,
+                                   fillMissing: Boolean): DataFrame = {
     // unmentioned columns take their declared DEFAULT (remaining gaps
     // null-fill via unionByName)
     val target = spark.table(table)
@@ -446,16 +480,13 @@ class Engine(val spark: SparkSession) {
     // the target schema so VALUES ('400') lands in an INT column
     val targetTypes = target.schema.fields
       .map(f => f.name.toLowerCase -> (f.name, f.dataType)).toMap
-    val coerced = incoming.columns.foldLeft(incoming) { (df, c) =>
+    incoming.columns.foldLeft(incoming) { (df, c) =>
       targetTypes.get(c.toLowerCase) match {
         case Some((_, dt)) if df.schema(c).dataType != dt =>
           df.withColumn(c, df(c).cast(dt))
         case _ => df
       }
     }
-    validateVocab(table, coerced)
-    val unioned = target.unionByName(coerced, allowMissingColumns = fillMissing)
-    replaceTable(table, unioned, bumpDepth = true)
   }
 
   /** Re-point the table view at a new plan, materializing to a warehouse
@@ -472,6 +503,21 @@ class Engine(val spark: SparkSession) {
   private[graft] def replaceTable(table: String, df: DataFrame,
                                   bumpDepth: Boolean): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // db-qualified target: temp views can't carry a dot, so the new
+    // contents materialize to a warehouse generation and the CATALOG view
+    // `db`.`t` re-points at the files — `USE db1; UPDATE db2.t …` then a
+    // cross-db SELECT reads the new rows (reference sql/planbuilder/dml.go
+    // resolves qualified DML targets against the catalog)
+    if (table.contains(".")) {
+      val Array(db, t) = table.split("\\.", 2)
+      val g = insertGen(table) + 1
+      insertGen(table) = g
+      val path = durablePath(s"${db}__${t}__dml_$g")
+      df.write.mode("overwrite").parquet(path)
+      spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$t` AS SELECT * FROM parquet.`$path`")
+      insertDepth(table) = 0
+      return
+    }
     val leaves = df.queryExecution.analyzed.collectLeaves()
     val localRows = leaves.map {
       case l: LocalRelation => l.data.length
@@ -583,8 +629,12 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** DROP TABLE/VIEW. */
-  def drop(name: String): Unit = spark.catalog.dropTempView(name)
+  /** DROP TABLE/VIEW (db-qualified names drop the catalog view). */
+  def drop(name: String): Unit =
+    if (name.contains(".")) {
+      val Array(db, t) = name.split("\\.", 2)
+      spark.sql(s"DROP VIEW IF EXISTS `$db`.`$t`")
+    } else spark.catalog.dropTempView(name)
 
   /** LOAD DATA INFILE (reference sql/plan/load_data.go:25): delimited-file
     * ingest. FIELDS TERMINATED BY -> `sep`, optional IGNORE 1 LINES ->

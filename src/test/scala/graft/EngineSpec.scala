@@ -472,4 +472,89 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.query("SELECT winnow_fingerprint('the quick brown fox jumps', 8) AS f")
       .collect()(0).getLong(0) == 970748898268L)
   }
+
+  test("variable substitution is literal-aware") {
+    // '@@version' and '@v' inside string literals stay untouched while the
+    // bare @@version / @v substitute (reference resolves vars post-parse,
+    // never inside strings)
+    engine.setVar("v", "live")
+    val r = engine.query(
+      "SELECT '@@version' AS lit_sys, '@v' AS lit_usr, @@version AS sys, @v AS usr")
+      .collect()(0)
+    assert(r.getString(0) == "@@version")
+    assert(r.getString(1) == "@v")
+    assert(r.getString(2) == "8.0.31")
+    assert(r.getString(3) == "live")
+    // a data literal containing an UNKNOWN @@name must not become NULL
+    assert(engine.query("SELECT 'mail@@nowhere_zz' AS s").collect()(0)
+      .getString(0) == "mail@@nowhere_zz")
+  }
+
+  test("SET @x = NULL reads back as SQL NULL") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.runScript("SET @nx = NULL")
+    val r = e.query("SELECT @nx AS v, @nx IS NULL AS isn").collect()(0)
+    assert(r.isNullAt(0) && r.getBoolean(1))
+  }
+
+  test("projection aliases named like CAST targets survive") {
+    // `AS signed` here is an alias, not a CAST target — the dialect
+    // rewrites are paren-anchored to CAST/CONVERT contexts
+    val df = engine.query(
+      "SELECT 1 AS signed, 'x' AS char, 2 AS unsigned, 3 AS datetime")
+    assert(df.columns.toSeq == Seq("signed", "char", "unsigned", "datetime"))
+    // while real CAST targets still rewrite
+    val c = engine.query(
+      "SELECT CAST('12' AS SIGNED) AS a, CAST(12 AS CHAR) AS b, CAST('2024-01-02 03:04:05' AS DATETIME) AS c")
+    assert(c.schema("a").dataType.typeName == "long")
+    assert(c.schema("b").dataType.typeName == "string")
+    assert(c.schema("c").dataType.typeName == "timestamp_ntz")
+  }
+
+  test("qualified db.table names flow through the DML front door") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.attachDirAsDatabase("dmldb", sfDir)
+    try {
+      e.runScript("CREATE TABLE dmldb.qt AS SELECT 1 AS id, 'a' AS s")
+      e.use("default")
+      // INSERT / UPDATE / DELETE against the qualified name from another db
+      e.runScript("INSERT INTO dmldb.qt VALUES (2, 'b'), (3, 'c')")
+      assert(e.query("SELECT count(*) FROM dmldb.qt").collect()(0).getLong(0) == 3)
+      e.runScript("UPDATE dmldb.qt SET s = 'z' WHERE id = 2")
+      assert(e.query("SELECT s FROM dmldb.qt WHERE id = 2").collect()(0)
+        .getString(0) == "z")
+      e.runScript("DELETE FROM dmldb.qt WHERE id = 1")
+      assert(e.query("SELECT count(*) FROM dmldb.qt").collect()(0).getLong(0) == 2)
+      // backtick-quoted qualified form
+      e.runScript("INSERT INTO `dmldb`.`qt` VALUES (9, 'q')")
+      assert(e.query("SELECT s FROM dmldb.qt WHERE id = 9").collect()(0)
+        .getString(0) == "q")
+      e.runScript("DROP TABLE dmldb.qt")
+    } finally { e.use("default"); e.dropDatabase("dmldb") }
+  }
+
+  test("REPLACE/upsert take the INSERT coercion path — no schema drift") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.runScript("CREATE TABLE coer (id INT PRIMARY KEY, qty INT)")
+    e.runScript("INSERT INTO coer VALUES (1, 10)")
+    // a string literal into the INT column coerces instead of widening
+    e.query("REPLACE INTO coer VALUES ('1', '400')")
+    assert(s2.table("coer").schema("qty").dataType.typeName == "integer")
+    assert(e.query("SELECT qty FROM coer WHERE id = 1").collect()(0)
+      .getInt(0) == 400)
+    // duplicate keys INSIDE one REPLACE: the last row wins (MySQL
+    // processes rows sequentially), no duplicate-PK rows
+    e.query("REPLACE INTO coer VALUES (2, 20), (2, 21)")
+    val r2 = e.query("SELECT qty FROM coer WHERE id = 2").collect()
+    assert(r2.map(_.getInt(0)).toSeq == Seq(21))
+    // same for ON DUPLICATE KEY UPDATE incoming batches
+    e.query(
+      """INSERT INTO coer VALUES (3, 30), (3, 31)
+         ON DUPLICATE KEY UPDATE qty = VALUES(qty)""")
+    val r3 = e.query("SELECT qty FROM coer WHERE id = 3").collect()
+    assert(r3.map(_.getInt(0)).toSeq == Seq(31))
+  }
 }

@@ -72,9 +72,11 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
     writeCheck("UPDATE mytable SET s = 'updated' WHERE i <> 9999;", 3,
       "SELECT * FROM mytable",
       Seq(Seq(1, "updated"), Seq(2, "updated"), Seq(3, "updated")))
+    // sequential assignment: f32 doubles FIRST, then f64 sees the new f32
+    // (reference update_queries.go:59-63 expects f64 = 3.0 * 1.5 = 4.5)
     writeCheck("UPDATE floattable SET f32 = f32 + f32, f64 = f32 * f64 WHERE i = 2;", 1,
       "SELECT * FROM floattable WHERE i = 2",
-      Seq(Seq(2, 3.0, 2.25)))
+      Seq(Seq(2, 3.0, 4.5)))
     writeCheck("UPDATE floattable SET f32 = 5, f32 = 4 WHERE i = 1;", 1,
       "SELECT f32 FROM floattable WHERE i = 1",
       Seq(Seq(4.0)))
