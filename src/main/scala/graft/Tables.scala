@@ -41,4 +41,26 @@ object Tables {
     * file-listing of the other parquet sources). */
   def register(spark: SparkSession, dir: String, tables: String*): Unit =
     tables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Size-gated broadcast hint for dimension sides whose size grows with
+    * scale factor (customer / supplier / part). A forced `broadcast()` on
+    * an sf-linear table is a driver OOM at 100×; an unconditional shuffle
+    * wastes the small-dim case. So: hint only when the optimizer's own
+    * size estimate fits under the session's autoBroadcastJoinThreshold —
+    * the same size-based physical-join choice the reference's coster
+    * makes (/root/reference/sql/memo/coster.go:58-151). Above the
+    * threshold the plan is left unhinted and AQE/CBO picks the join
+    * (including a runtime broadcast demotion/promotion at actual sizes).
+    *
+    * Constant-size dims (nation=25, region=5, single-row scalar frames)
+    * keep their unconditional `broadcast()` hints — those are scale-safe
+    * by construction. */
+  def dim(df: DataFrame): DataFrame = {
+    val threshold =
+      org.apache.spark.sql.GraftBridge.autoBroadcastThreshold(df.sparkSession)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && est <= threshold)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
 }

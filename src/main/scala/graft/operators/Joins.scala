@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Tables.dim
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -10,10 +11,12 @@ import org.apache.spark.sql.types.DecimalType
   * The reference's physical flavors (nested-loop / hash / merge / lookup /
   * range-heap iterators in sql/rowexec/join_iters.go, merge_join.go,
   * range_heap_iter.go) are all strategy choices Catalyst makes automatically:
-  * we declare the logical join and use `broadcast()` hints where a dimension
-  * side is known-small. At 100 TB: dims (region/nation/customer/supplier at
-  * these ratios) broadcast; fact-fact joins shuffle on their equi-keys, which
-  * AQE re-plans at runtime.
+  * we declare the logical join, `broadcast()` constant-size dims
+  * (region=5, nation=25 rows), and size-gate the hint via `Tables.dim` on
+  * sf-linear dims (customer/supplier/part) — hinted while the estimate
+  * fits the autoBroadcastJoinThreshold, unhinted (AQE/CBO chooses) past
+  * it. At 100 TB: fact-fact joins shuffle on their equi-keys, which AQE
+  * re-plans at runtime.
   */
 object Joins {
   import Det._
@@ -29,7 +32,7 @@ object Joins {
       (s, d) => {
         val o = t("orders")(s, d)
         val c = t("customer")(s, d)
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        o.join(dim(c), o("o_custkey") === c("c_custkey"))
           .filter(col("o_totalprice") > 400000)
           .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
           .orderBy(col("o_orderkey"), col("c_name"), col("o_totalprice"))
@@ -148,7 +151,7 @@ object Joins {
       (s, d) => {
         val c = t("customer")(s, d)
         val sp = t("supplier")(s, d)
-        c.join(broadcast(sp),
+        c.join(dim(sp),
             c("c_acctbal").between(sp("s_acctbal") - 100, sp("s_acctbal") + 100))
           .groupBy(col("s_suppkey"))
           .agg(count(lit(1)).as("n_near"))
@@ -214,7 +217,7 @@ object Joins {
         val o = t("orders")(s, d).filter(col("o_orderdate") < lit("1995-03-15"))
         val l = t("lineitem")(s, d).filter(col("l_shipdate") > lit("1995-03-15"))
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(dim(c), o("o_custkey") === c("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
           .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
             (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
@@ -249,7 +252,7 @@ object Joins {
         val sp = t("supplier")(s, d)
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(sp, l("l_suppkey") === sp("s_suppkey"))
-          .join(broadcast(c),
+          .join(dim(c),
             o("o_custkey") === c("c_custkey") &&
               c("c_nationkey") === sp("s_nationkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Tables.dim
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -71,8 +72,8 @@ object TpcH {
         val n2 = t("nation")(s, d)
           .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .join(dim(c), col("o_custkey") === col("c_custkey"))
+          .join(dim(sp), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n1), col("s_nationkey") === col("snk"))
           .join(broadcast(n2), col("c_nationkey") === col("cnk"))
           .filter((col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
@@ -115,12 +116,12 @@ object TpcH {
         val r = t("region")(s, d).filter(col("r_name") === "EUROPE")
         val n2 = t("nation")(s, d)
           .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        li.join(dim(p), col("l_partkey") === col("p_partkey"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(dim(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n1), col("c_nationkey") === col("cnk"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .join(dim(sp), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n2), col("s_nationkey") === col("snk"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg((sum(when(col("supp_nation") === "NATION_11", revenue)
@@ -157,7 +158,7 @@ object TpcH {
         val c = t("customer")(s, d)
         val n = t("nation")(s, d)
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(dim(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
           .agg(sum(revenue).cast("double").as("revenue"))
@@ -184,7 +185,7 @@ object TpcH {
         val li = t("lineitem")(s, d)
           .filter(col("l_shipdate") >= "1996-09-01" && col("l_shipdate") < "1996-10-01")
         val p = t("part")(s, d)
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        li.join(dim(p), col("l_partkey") === col("p_partkey"))
           .agg((sum(when(col("p_type").startsWith("PROMO"), revenue)
               .otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double") * 100 /
             sum(revenue).cast("double")).as("promo_share"))
@@ -207,7 +208,7 @@ object TpcH {
         val o = t("orders")(s, d)
         val c = t("customer")(s, d)
         o.join(big, col("o_orderkey") === big("l_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(dim(c), col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
             col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -234,9 +235,9 @@ object TpcH {
         val p = t("part")(s, d)
           .filter(col("p_size") === 15 && col("p_type").contains("STANDARD"))
         val link = t("lineitem")(s, d)
-          .join(broadcast(t("supplier")(s, d)),
+          .join(dim(t("supplier")(s, d)),
             col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(dim(p), col("l_partkey") === col("p_partkey"))
           .select(col("p_partkey"), col("p_type"), col("s_suppkey"),
             col("s_name"), col("s_acctbal"))
           .distinct()
@@ -317,7 +318,7 @@ object TpcH {
         val p = t("part")(s, d).filter(col("p_brand") === "Brand#13")
         val avgQty = li.groupBy(col("l_partkey").as("aq_pk"))
           .agg(avg(col("l_quantity")).as("avg_qty"))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        li.join(dim(p), col("l_partkey") === col("p_partkey"))
           .join(avgQty, col("l_partkey") === col("aq_pk"))
           .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
           .agg((sum(col("l_extendedprice").cast(DecimalType(12, 2)))
@@ -339,7 +340,7 @@ object TpcH {
       (s, d) => {
         val li = t("lineitem")(s, d)
         val p = t("part")(s, d)
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        li.join(dim(p), col("l_partkey") === col("p_partkey"))
           .filter(
             (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
               col("l_quantity").between(1, 11)) ||
@@ -370,8 +371,8 @@ object TpcH {
         val sp = t("supplier")(s, d)
         val o = t("orders")(s, d).select(col("o_orderkey"), col("o_orderdate"))
         val n = t("nation")(s, d)
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+        li.join(dim(p), col("l_partkey") === col("p_partkey"))
+          .join(dim(sp), col("l_suppkey") === col("s_suppkey"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name").as("nation"),
@@ -403,7 +404,7 @@ object TpcH {
         val sp = t("supplier")(s, d)
         val n = t("nation")(s, d).filter(col("n_name") === "NATION_3")
         val perPart = li
-          .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+          .join(dim(sp), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("l_partkey"))
           .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
@@ -473,7 +474,7 @@ object TpcH {
         val maxRev = rev.agg(max(col("rev_dec")).as("max_dec"))
         rev.crossJoin(broadcast(maxRev))
           .filter(col("rev_dec") === col("max_dec"))
-          .join(broadcast(t("supplier")(s, d)),
+          .join(dim(t("supplier")(s, d)),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
             col("rev_dec").cast("double").as("total_revenue"))
@@ -504,8 +505,8 @@ object TpcH {
             col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
         val excluded = t("supplier")(s, d)
           .filter(col("s_name").endsWith("7")).select(col("s_suppkey"))
-        pairs.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(excluded),
+        pairs.join(dim(p), col("l_partkey") === col("p_partkey"))
+          .join(dim(excluded),
             col("l_suppkey") === col("s_suppkey"), "left_anti")
           .groupBy(col("p_brand"), col("p_type"), col("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -533,7 +534,7 @@ object TpcH {
         val qual = t("lineitem")(s, d)
           .filter(col("l_shipdate") >= "1996-01-01" &&
             col("l_shipdate") < "1997-01-01")
-          .join(broadcast(t("part")(s, d)
+          .join(dim(t("part")(s, d)
               .filter(col("p_name").startsWith("b"))),
             col("l_partkey") === col("p_partkey"))
           .groupBy(col("l_suppkey"), col("l_partkey"))
@@ -580,7 +581,7 @@ object TpcH {
         liF.filter(col("l_returnflag") === "R")
           .join(perOrder, col("l_orderkey") === col("po_ok"))
           .filter(col("nsupp") > 1 && col("nflag") === 1)
-          .join(broadcast(t("supplier")(s, d)),
+          .join(dim(t("supplier")(s, d)),
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("s_name"))

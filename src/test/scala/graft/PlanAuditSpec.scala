@@ -56,6 +56,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("sf-linear dims broadcast only while they fit the threshold") {
+    // the 100×-scale invariant: customer/supplier/part never carry a
+    // FORCED broadcast hint — Tables.dim applies one only when the size
+    // estimate fits under autoBroadcastJoinThreshold, so at cluster scale
+    // the same code degrades to an AQE-chosen shuffle join instead of a
+    // driver OOM
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      val c = Tables.t(spark, sfDir, "customer")
+      // at test scale the estimate fits: the hint is applied...
+      spark.conf.set(key, "10485760")
+      assert(!(Tables.dim(c) eq c), "expected a broadcast hint under threshold")
+      // ...and the q7 physical plan actually broadcasts the dim chains
+      val hinted = SparkEntry.queries("tpch_q7")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"), hinted)
+      // simulated 100×: the same table no longer fits -> NO forced hint,
+      // and the plan falls back to a non-broadcast join for those sides
+      spark.conf.set(key, "1024")
+      assert(Tables.dim(c) eq c, "hint must disappear past the threshold")
+      val unhinted = SparkEntry.queries("tpch_q7")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(unhinted.contains("SortMergeJoin") ||
+        unhinted.contains("ShuffledHashJoin"), unhinted)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("filters reach the parquet scan (pushdown smoke)") {
     val plan = SparkEntry.queries("scan_project_filter")(spark, sfDir)
       .queryExecution.executedPlan.toString
