@@ -61,6 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("json_overlaps", es => gj.JsonOverlaps(es)),
       fn("json_quote", es => gj.JsonQuoteFn(es.head)),
       fn("json_unquote", es => gj.JsonUnquote(es.head)),
+      fn("json_schema_valid", es => gj.JsonSchemaValid(es)),
+      fn("json_schema_validation_report", es => gj.JsonSchemaValidationReport(es)),
       fn("vec_dot", es => gv.VecDot(es(0), es(1))),
       fn("vec_distance_l2_squared", es => gv.VecL2Sq(es(0), es(1))),
       // MySQL %-pattern date formatting overrides the builtins (dispatch

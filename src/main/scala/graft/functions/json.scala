@@ -586,6 +586,206 @@ object json {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  // ---- JSON Schema validation ----------------------------------------
+  // JSON_SCHEMA_VALID / JSON_SCHEMA_VALIDATION_REPORT (MySQL 8.0.17
+  // json-validation functions; draft-4 keyword subset). The reference
+  // registers these names but stubs them unsupported
+  // (sql/expression/function/json/json_unsupported.go:76,108) — here they
+  // are implemented: type, enum, properties, patternProperties,
+  // additionalProperties, required, items, min/maxItems, uniqueItems,
+  // min/maxLength, pattern, minimum/maximum (draft-4 boolean exclusives
+  // AND draft-6 numeric forms), multipleOf, allOf/anyOf/oneOf/not.
+
+  private case class SchemaFailure(keyword: String, schemaLoc: String,
+                                   docLoc: String)
+
+  /** First failure of `doc` against `schema`, or None when valid. */
+  private def schemaCheck(schema: JsonNode, doc: JsonNode,
+                          sLoc: String, dLoc: String): Option[SchemaFailure] = {
+    if (!schema.isObject) return None // a non-object schema accepts all
+    def fail(kw: String) = Some(SchemaFailure(kw, sLoc, dLoc))
+    def jsType(n: JsonNode): String =
+      if (n.isObject) "object" else if (n.isArray) "array"
+      else if (n.isTextual) "string" else if (n.isBoolean) "boolean"
+      else if (n.isNull) "null"
+      else if (n.isIntegralNumber) "integer" else "number"
+
+    // type: string or array of strings ("number" admits integers)
+    val t = schema.get("type")
+    if (t != null) {
+      val wanted =
+        if (t.isArray) t.asScala.map(_.asText).toSeq else Seq(t.asText)
+      val actual = jsType(doc)
+      val okType = wanted.exists(w => w == actual ||
+        (w == "number" && actual == "integer"))
+      if (!okType) return fail("type")
+    }
+    val en = schema.get("enum")
+    if (en != null && en.isArray &&
+        !en.asScala.exists(_ == doc)) return fail("enum")
+
+    if (doc.isNumber) {
+      val v = doc.decimalValue()
+      def num(k: String) = Option(schema.get(k)).filter(_.isNumber)
+      def excl(k: String) =
+        Option(schema.get(k)).exists(e => e.isBoolean && e.asBoolean)
+      num("minimum").foreach { m =>
+        val cmp = v.compareTo(m.decimalValue())
+        if (cmp < 0 || (cmp == 0 && excl("exclusiveMinimum")))
+          return fail("minimum")
+      }
+      num("maximum").foreach { m =>
+        val cmp = v.compareTo(m.decimalValue())
+        if (cmp > 0 || (cmp == 0 && excl("exclusiveMaximum")))
+          return fail("maximum")
+      }
+      // draft-6 numeric exclusives also accepted
+      num("exclusiveMinimum").foreach(m =>
+        if (v.compareTo(m.decimalValue()) <= 0) return fail("exclusiveMinimum"))
+      num("exclusiveMaximum").foreach(m =>
+        if (v.compareTo(m.decimalValue()) >= 0) return fail("exclusiveMaximum"))
+      num("multipleOf").foreach { m =>
+        if (v.remainder(m.decimalValue()).compareTo(java.math.BigDecimal.ZERO) != 0)
+          return fail("multipleOf")
+      }
+    }
+
+    if (doc.isTextual) {
+      val len = doc.asText.codePointCount(0, doc.asText.length)
+      Option(schema.get("minLength")).foreach(m =>
+        if (len < m.asInt) return fail("minLength"))
+      Option(schema.get("maxLength")).foreach(m =>
+        if (len > m.asInt) return fail("maxLength"))
+      Option(schema.get("pattern")).foreach(p =>
+        if (!java.util.regex.Pattern.compile(p.asText).matcher(doc.asText).find())
+          return fail("pattern"))
+    }
+
+    if (doc.isArray) {
+      val n = doc.size
+      Option(schema.get("minItems")).foreach(m =>
+        if (n < m.asInt) return fail("minItems"))
+      Option(schema.get("maxItems")).foreach(m =>
+        if (n > m.asInt) return fail("maxItems"))
+      if (Option(schema.get("uniqueItems")).exists(_.asBoolean) &&
+          doc.asScala.toSeq.distinct.size != n) return fail("uniqueItems")
+      Option(schema.get("items")).foreach { items =>
+        if (items.isObject)
+          doc.asScala.zipWithIndex.foreach { case (el, i) =>
+            val r = schemaCheck(items, el, s"$sLoc/items", s"$dLoc/$i")
+            if (r.isDefined) return r
+          }
+        else if (items.isArray)
+          items.asScala.zipWithIndex.foreach { case (sub, i) =>
+            if (i < n) {
+              val r = schemaCheck(sub, doc.get(i), s"$sLoc/items/$i", s"$dLoc/$i")
+              if (r.isDefined) return r
+            }
+          }
+      }
+    }
+
+    if (doc.isObject) {
+      Option(schema.get("required")).filter(_.isArray).foreach(req =>
+        req.asScala.foreach(k =>
+          if (!doc.has(k.asText)) return fail("required")))
+      Option(schema.get("minProperties")).foreach(m =>
+        if (doc.size < m.asInt) return fail("minProperties"))
+      Option(schema.get("maxProperties")).foreach(m =>
+        if (doc.size > m.asInt) return fail("maxProperties"))
+      val props = Option(schema.get("properties")).filter(_.isObject)
+      val patProps = Option(schema.get("patternProperties")).filter(_.isObject)
+      doc.properties().asScala.foreach { e =>
+        val (k, v) = (e.getKey, e.getValue)
+        var matched = false
+        props.foreach { p =>
+          if (p.has(k)) {
+            matched = true
+            val r = schemaCheck(p.get(k), v, s"$sLoc/properties/$k", s"$dLoc/$k")
+            if (r.isDefined) return r
+          }
+        }
+        patProps.foreach(pp => pp.properties().asScala.foreach { pe =>
+          if (java.util.regex.Pattern.compile(pe.getKey).matcher(k).find()) {
+            matched = true
+            val r = schemaCheck(pe.getValue, v,
+              s"$sLoc/patternProperties/${pe.getKey}", s"$dLoc/$k")
+            if (r.isDefined) return r
+          }
+        })
+        if (!matched) Option(schema.get("additionalProperties")).foreach { ap =>
+          if (ap.isBoolean && !ap.asBoolean) return fail("additionalProperties")
+          if (ap.isObject) {
+            val r = schemaCheck(ap, v, s"$sLoc/additionalProperties", s"$dLoc/$k")
+            if (r.isDefined) return r
+          }
+        }
+      }
+    }
+
+    Option(schema.get("allOf")).filter(_.isArray).foreach(_.asScala.zipWithIndex
+      .foreach { case (sub, i) =>
+        val r = schemaCheck(sub, doc, s"$sLoc/allOf/$i", dLoc)
+        if (r.isDefined) return r
+      })
+    Option(schema.get("anyOf")).filter(_.isArray).foreach { subs =>
+      if (!subs.asScala.zipWithIndex.exists { case (sub, i) =>
+            schemaCheck(sub, doc, s"$sLoc/anyOf/$i", dLoc).isEmpty })
+        return fail("anyOf")
+    }
+    Option(schema.get("oneOf")).filter(_.isArray).foreach { subs =>
+      val hits = subs.asScala.zipWithIndex.count { case (sub, i) =>
+        schemaCheck(sub, doc, s"$sLoc/oneOf/$i", dLoc).isEmpty }
+      if (hits != 1) return fail("oneOf")
+    }
+    Option(schema.get("not")).foreach(sub =>
+      if (schemaCheck(sub, doc, s"$sLoc/not", dLoc).isEmpty) return fail("not"))
+    None
+  }
+
+  private def runSchemaCheck(vs: Seq[Any]): Either[String, Option[SchemaFailure]] = {
+    def s(v: Any): String = v.asInstanceOf[UTF8String].toString
+    val schema = tryParse(s(vs(0)))
+    val d = tryParse(s(vs(1)))
+    if (schema == null || !schema.isObject)
+      Left("Invalid JSON Schema: the schema must be a valid JSON object")
+    else if (d == null) Left("Invalid JSON document")
+    else Right(schemaCheck(schema, d, "#", "#"))
+  }
+
+  /** JSON_SCHEMA_VALID(schema, document) -> boolean. */
+  case class JsonSchemaValid(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = BooleanType
+    protected def evalNotNull(vs: Seq[Any]): Any = runSchemaCheck(vs) match {
+      case Left(msg) => throw new IllegalArgumentException(msg)
+      case Right(r) => r.isEmpty
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
+  /** JSON_SCHEMA_VALIDATION_REPORT(schema, document) -> report object
+    * ({"valid":true} or valid/reason/schema-location/document-location/
+    * schema-failed-keyword, MySQL's report shape). */
+  case class JsonSchemaValidationReport(children: Seq[Expression]) extends JsonExpr {
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = runSchemaCheck(vs) match {
+      case Left(msg) => throw new IllegalArgumentException(msg)
+      case Right(None) =>
+        val o = F.objectNode(); o.put("valid", true); out(o)
+      case Right(Some(f)) =>
+        val o = F.objectNode()
+        o.put("valid", false)
+        o.put("reason",
+          s"The JSON document location '${f.docLoc}' failed requirement " +
+          s"'${f.keyword}' at JSON Schema location '${f.schemaLoc}'")
+        o.put("schema-location", f.schemaLoc)
+        o.put("document-location", f.docLoc)
+        o.put("schema-failed-keyword", f.keyword)
+        out(o)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+  }
+
   /** JSON_CONTAINS(target, candidate) — MySQL containment. */
   case class JsonContainsMySql(children: Seq[Expression]) extends JsonExpr {
     override def dataType: DataType = BooleanType
@@ -722,6 +922,10 @@ object json {
   def jsonPretty(d: Column): Column = c(JsonPretty(Seq(x(d))))
   def jsonOverlaps(a: Column, b: Column): Column =
     c(JsonOverlaps(Seq(a, b).map(x)))
+  def jsonSchemaValid(schema: Column, d: Column): Column =
+    c(JsonSchemaValid(Seq(schema, d).map(x)))
+  def jsonSchemaValidationReport(schema: Column, d: Column): Column =
+    c(JsonSchemaValidationReport(Seq(schema, d).map(x)))
 
   /** SQL registration (FunctionProvider analog, mirrors registry.go names). */
   def register(spark: SparkSession): Unit = {
@@ -756,5 +960,9 @@ object json {
     reg.createOrReplaceTempFunction("json_search", es => JsonSearch(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_pretty", es => JsonPretty(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_overlaps", es => JsonOverlaps(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_schema_valid",
+      es => JsonSchemaValid(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_schema_validation_report",
+      es => JsonSchemaValidationReport(es), "scala_udf")
   }
 }

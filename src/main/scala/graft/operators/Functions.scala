@@ -1199,6 +1199,45 @@ object Functions {
                 FALSE AS has_missing
               FROM events ORDER BY event_id""")),
 
+    // ---- JSON Schema validation (MySQL 8.0.17 json-validation
+    //      functions; the reference registers but stubs them —
+    //      json_unsupported.go:76,108 — implemented here for real).
+    //      Per-row docs derive from event_id so the oracle can decide
+    //      validity arithmetically; the report column pins MySQL's
+    //      reason/location shape including first-failure ordering.
+    QueryDef(
+      "fn_json_schema",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+        val id = col("event_id")
+        val doc = concat(
+          lit("""{"id":"""), id,
+          lit(""","score":"""), id % 100,
+          lit(""","name":"ev"""), id % 10, lit("\"}"))
+        val arr = concat(lit("["), id % 3, lit(","), id % 5, lit("]"))
+        val schemaObj = lit(
+          """{"type":"object","required":["id","score"],"properties":{"score":{"type":"integer","minimum":20},"name":{"type":"string","pattern":"^ev[0-4]$"}}}""")
+        val schemaArr = lit(
+          """{"type":"array","items":{"type":"integer","maximum":3},"uniqueItems":true}""")
+        ev.select(
+            id,
+            gjson.jsonSchemaValid(schemaObj, doc).as("ok_obj"),
+            gjson.jsonSchemaValid(schemaArr, arr).as("ok_arr"),
+            gjson.jsonSchemaValidationReport(schemaObj, doc).as("report"))
+          .orderBy(id)
+      },
+      Some("""SELECT event_id,
+                (event_id % 100 >= 20 AND event_id % 10 <= 4) AS ok_obj,
+                (event_id % 5 <= 3 AND event_id % 3 <> event_id % 5) AS ok_arr,
+                CASE
+                  WHEN event_id % 100 < 20 THEN
+                    '{"valid":false,"reason":"The JSON document location ''#/score'' failed requirement ''minimum'' at JSON Schema location ''#/properties/score''","schema-location":"#/properties/score","document-location":"#/score","schema-failed-keyword":"minimum"}'
+                  WHEN event_id % 10 > 4 THEN
+                    '{"valid":false,"reason":"The JSON document location ''#/name'' failed requirement ''pattern'' at JSON Schema location ''#/properties/name''","schema-location":"#/properties/name","document-location":"#/name","schema-failed-keyword":"pattern"}'
+                  ELSE '{"valid":true}'
+                END AS report
+              FROM events ORDER BY event_id""")),
+
     // ---- session-info functions (reference registry.go: version,
     //      connection_id, user/current_user, found_rows, row_count,
     //      last_insert_id, database). An embedded analytical session has

@@ -193,4 +193,64 @@ class JsonSpec extends AnyFunSuite {
     assert(r.getString(1) == "ARRAY")
     assert(r.getString(2) == """["x","y"]""")
   }
+
+  test("json_schema_valid: draft-4 keyword subset") {
+    def valid(schema: String, doc: String): Boolean =
+      one[Boolean](gj.jsonSchemaValid(lit(schema), lit(doc)))
+    // MySQL doc example: geo point with required + range
+    val geo = """{"id":"http://json-schema.org/geo","type":"object",
+      "properties":{"latitude":{"type":"number","minimum":-90,"maximum":90},
+                    "longitude":{"type":"number","minimum":-180,"maximum":180}},
+      "required":["latitude","longitude"]}"""
+    assert(valid(geo, """{"latitude":63.444697,"longitude":10.445118}"""))
+    assert(!valid(geo, """{"latitude":63.444697,"longitude":310.44}"""))
+    assert(!valid(geo, """{"latitude":63.444697}"""))
+    // type / enum / string facets
+    assert(valid("""{"type":"integer"}""", "7"))
+    assert(!valid("""{"type":"integer"}""", "7.5"))
+    assert(valid("""{"type":"number"}""", "7")) // integer is a number
+    assert(valid("""{"enum":["a","b"]}""", "\"a\""))
+    assert(!valid("""{"enum":["a","b"]}""", "\"c\""))
+    assert(valid("""{"type":"string","minLength":2,"pattern":"^ab"}""", "\"abc\""))
+    assert(!valid("""{"type":"string","maxLength":2}""", "\"abc\""))
+    // arrays: items + uniqueItems + bounds
+    assert(valid("""{"type":"array","items":{"type":"integer"},"minItems":2}""", "[1,2]"))
+    assert(!valid("""{"type":"array","items":{"type":"integer"}}""", """[1,"x"]"""))
+    assert(!valid("""{"type":"array","uniqueItems":true}""", "[1,1]"))
+    // draft-4 boolean exclusives
+    assert(!valid("""{"minimum":5,"exclusiveMinimum":true}""", "5"))
+    assert(valid("""{"minimum":5}""", "5"))
+    assert(!valid("""{"multipleOf":3}""", "7"))
+    // combinators + additionalProperties
+    assert(valid("""{"anyOf":[{"type":"string"},{"type":"integer"}]}""", "3"))
+    assert(!valid("""{"not":{"type":"integer"}}""", "3"))
+    assert(!valid("""{"properties":{"a":{}},"additionalProperties":false}""",
+      """{"a":1,"b":2}"""))
+    // nested property failure
+    assert(!valid("""{"properties":{"o":{"properties":{"n":{"type":"string"}}}}}""",
+      """{"o":{"n":5}}"""))
+  }
+
+  test("json_schema_validation_report pins MySQL's report shape") {
+    def report(schema: String, doc: String): String =
+      one[String](gj.jsonSchemaValidationReport(lit(schema), lit(doc)))
+    assert(report("""{"type":"object"}""", """{"a":1}""") == """{"valid":true}""")
+    val r = report(
+      """{"properties":{"latitude":{"minimum":-90,"maximum":90}}}""",
+      """{"latitude":120}""")
+    assert(r.contains(""""valid":false"""))
+    assert(r.contains(""""schema-location":"#/properties/latitude""""))
+    assert(r.contains(""""document-location":"#/latitude""""))
+    assert(r.contains(""""schema-failed-keyword":"maximum""""))
+    assert(r.contains("failed requirement 'maximum' at JSON Schema location"))
+    // invalid schema errors loudly (MySQL ER_INVALID_JSON_TYPE)
+    val e = new Engine(spark)
+    assertThrows[Exception] {
+      e.query("SELECT json_schema_valid('[1]', '{}')").collect()
+    }
+    // SQL names registered
+    assert(e.query(
+      """SELECT json_schema_valid('{"type":"array"}', '[1]') AS v""")
+      .collect()(0).getBoolean(0))
+  }
 }
