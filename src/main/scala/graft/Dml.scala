@@ -65,9 +65,48 @@ object Dml {
   private val CreateTableAs =
     re("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s+AS\s+(.*)$""")
   // CREATE TABLE t (col defs ...) [table options] — the form every MySQL
-  // script opens with (reference sql/planbuilder/ddl.go buildCreateTable)
-  private val CreateTableDef =
-    re("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s*\((.*)\)\s*((?:ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|COMMENT|AUTO_INCREMENT)\b[^)]*)?$""")
+  // script opens with (reference sql/planbuilder/ddl.go buildCreateTable).
+  // The column list is extracted with a paren-balanced, quote-aware scan
+  // (not a greedy regex) so nested parens in the LAST item — CHECK
+  // (a > (1)), DEFAULT (expr) — can't shift the closing paren.
+  private object CreateTableDef {
+    private val Head = re(
+      """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s*\((.*)$""")
+    private val TailOpts =
+      """(?is)^(?:ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|COMMENT|AUTO_INCREMENT)\b.*$""".r
+    def unapply(sql: String): Option[(String, String)] = sql match {
+      case Head(name, rest) =>
+        val close = closingParen(rest)
+        if (close < 0) None
+        else {
+          val tail = rest.substring(close + 1).trim
+          if (tail.isEmpty || TailOpts.matches(tail))
+            Some((name, rest.substring(0, close)))
+          else None // e.g. CREATE TABLE t (...) AS SELECT — CTAS form
+        }
+      case _ => None
+    }
+  }
+
+  /** Index of the ')' that closes an already-open paren sitting just
+    * before `s` (depth starts at 1); '…'/"…"/`…` literals are opaque. */
+  private def closingParen(s: String): Int = {
+    var depth = 1; var i = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
   private val CreateTableLike =
     re("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s+LIKE\s+<T>\s*$""")
   private val AlterTable =
@@ -92,6 +131,41 @@ object Dml {
     """(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val ShowCreate =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+  // LOAD DATA INFILE 'path' INTO TABLE t [clauses] (reference
+  // sql/plan/load_data.go:25 — FIELDS/LINES/IGNORE clause grammar)
+  private val LoadData =
+    re("""(?is)^\s*LOAD\s+DATA\s+(?:LOW_PRIORITY\s+|CONCURRENT\s+)?(?:LOCAL\s+)?INFILE\s+'((?:[^'\\]|\\.)*)'\s+(?:REPLACE\s+|IGNORE\s+)?INTO\s+TABLE\s+<T>\s*(.*)$""")
+  // clause tail, in MySQL's fixed order: [CHARACTER SET cs]
+  // [FIELDS|COLUMNS [TERMINATED BY 's'] [[OPTIONALLY] ENCLOSED BY 'c']
+  // [ESCAPED BY 'c']] [LINES [STARTING BY 's'] [TERMINATED BY 's']]
+  // [IGNORE n LINES|ROWS] [(col, ...)]
+  private val LoadClauses =
+    ("""(?is)^(?:CHARACTER\s+SET\s+\S+\s*)?""" +
+     """(?:(?:FIELDS|COLUMNS)(?:\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)')?""" +
+     """(?:\s+OPTIONALLY)?(?:\s+ENCLOSED\s+BY\s+'((?:[^'\\]|\\.)*)')?""" +
+     """(?:\s+ESCAPED\s+BY\s+'((?:[^'\\]|\\.)*)')?\s*)?""" +
+     """(?:LINES(?:\s+STARTING\s+BY\s+'((?:[^'\\]|\\.)*)')?""" +
+     """(?:\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)')?\s*)?""" +
+     """(?:IGNORE\s+(\d+)\s+(?:LINES|ROWS)\s*)?(?:\([^)]*\)\s*)?$""").r
+
+  /** MySQL escape sequences inside LOAD DATA clause literals. */
+  private def unescape(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => out.append('\t')
+          case 'n' => out.append('\n')
+          case 'r' => out.append('\r')
+          case other => out.append(other)
+        }
+        i += 2
+      } else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
 
   def dispatch(e: Engine, sql0: String): Option[DataFrame] =
     dispatchTrimmed(e, sql0.replaceAll("[;\\s]+$", ""))
@@ -266,7 +340,7 @@ object Dml {
       }
       Some(ok(e, 0L))
 
-    case CreateTableDef(name, body, _) =>
+    case CreateTableDef(name, body) =>
       createFromDefs(e, normName(name), body); Some(ok(e, 0L))
 
     case AlterTable(name, actions) =>
@@ -287,6 +361,27 @@ object Dml {
       Some(ok(e, 0L))
 
     case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
+
+    case LoadData(path, tableRaw, clauseText) =>
+      val table = normName(tableRaw)
+      LoadClauses.findFirstMatchIn(clauseText.trim) match {
+        case Some(m) =>
+          def s(g: Int, dflt: String) =
+            Option(m.group(g)).map(unescape).getOrElse(dflt)
+          // MySQL clause defaults (load_data.go): FIELDS TERMINATED BY
+          // '\t' ENCLOSED BY '' ESCAPED BY '\\'; LINES TERMINATED BY '\n'
+          // STARTING BY ''; IGNORE 0 LINES
+          val n = e.loadData(table, unescape(path),
+            fieldsTerminatedBy = s(1, "\t"),
+            enclosedBy = s(2, ""),
+            escapedBy = s(3, "\\"),
+            linesStartingBy = s(4, ""),
+            linesTerminatedBy = s(5, "\n"),
+            ignoreLines = Option(m.group(6)).map(_.toInt).getOrElse(0))
+          Some(ok(e, n))
+        case None => throw new IllegalArgumentException(
+          s"LOAD DATA: unrecognized clause text: $clauseText")
+      }
 
     // ---- SHOW surface — the statements a MySQL client library probes on
     // connect (reference sql/rowexec/show.go; information_schema backs the
@@ -419,6 +514,21 @@ object Dml {
 
   private def stripTick(s: String): String = s.stripPrefix("`").stripSuffix("`")
 
+  /** DEFAULT value in a column spec: '(expr)' taken with the balanced
+    * scan (nested parens — DEFAULT ((2 + (3)))), quoted strings with
+    * ''/\' escapes, else the bare token. */
+  private def extractDefault(spec: String): Option[String] =
+    """(?is)\bDEFAULT\s+""".r.findFirstMatchIn(spec).map { m =>
+      val s = spec.substring(m.end)
+      if (s.startsWith("(")) {
+        val close = closingParen(s.substring(1))
+        if (close < 0) s else s.substring(0, close + 2)
+      } else if (s.startsWith("'"))
+        """'(?:[^'\\]|\\.|'')*'""".r.findPrefixOf(s)
+          .getOrElse(s.takeWhile(!_.isWhitespace))
+      else s.takeWhile(c => !c.isWhitespace && c != ',')
+    }
+
   private val keyCols = """\(([^)]*)\)""".r
 
   /** one `name TYPE [flags]` item -> StructField (+ vocab/key bookkeeping) */
@@ -451,9 +561,7 @@ object Dml {
     if (up.contains("PRIMARY KEY")) e.declareKey(table, Seq(colName))
     if (up.contains("AUTO_INCREMENT")) e.declareAutoInc(table, colName)
     // declared DEFAULT: applied to unmentioned columns on insert
-    """(?is)\bDEFAULT\s+('(?:[^'\\]|\\.)*'|\([^)]*\)|[\w.+-]+)""".r
-      .findFirstMatchIn(rest)
-      .foreach(d => e.declareDefault(table, colName, d.group(1)))
+    extractDefault(rest).foreach(d => e.declareDefault(table, colName, d))
     StructField(colName, dt, nullable = !up.contains("NOT NULL"))
   }
 
@@ -508,13 +616,11 @@ object Dml {
         case IndexDdl() => () // metadata-only
         case Add(cn, spec) =>
           val (dt, _) = mysqlDataType(spec)
-          val defaultRe =
-            """(?is).*\bDEFAULT\s+('[^']*'|\([^)]*\)|[\w.+-]+).*""".r
-          val value = spec match {
-            case defaultRe(d) =>
+          val value = extractDefault(spec) match {
+            case Some(d) =>
               e.declareDefault(table, stripTick(cn), d)
               expr(d).cast(dt)
-            case _ => lit(null).cast(dt)
+            case None => lit(null).cast(dt)
           }
           // FIRST / AFTER col positioning
           val afterRe = """(?is).*\bAFTER\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*).*""".r

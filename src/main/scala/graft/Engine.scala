@@ -25,7 +25,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Dialect {
 
   private def rewriteCode(code: String): String =
-    code
+    rewriteCollate(code)
       .replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
       .replaceAll("(?i)\\bSTRAIGHT_JOIN\\b", "JOIN")
       .replaceAll("(?i)\\bSQL_CALC_FOUND_ROWS\\b", "")
@@ -41,10 +41,8 @@ object Dialect {
       // (the introducer immediately precedes its string literal, i.e. it
       // sits at the END of a literal-split code segment — hence the $)
       .replaceAll("(?i)\\b_(?:utf8mb4|utf8mb3|utf8|latin1|ascii|ucs2|utf16le|utf16|utf32)\\s*$", "")
-      // expression-level COLLATE with a MySQL collation name: collation
-      // is fixed utf8mb4-binary-ish on this engine (SURVEY §7.4; the
-      // UTF8_LCASE/AI variants are exposed as functions instead)
-      .replaceAll("(?i)\\s+COLLATE\\s+[a-z0-9]+_[a-z0-9_]+", "")
+      // expression-level COLLATE: MySQL collation names map onto Spark's
+      // native collation support (below, after the chain)
       // MySQL CAST targets (sql/types coercion names) -> Spark types:
       // SIGNED=BIGINT, UNSIGNED=DECIMAL(20,0) (full uint64 range),
       // bare CHAR/NCHAR=STRING (CHAR(n) passes through, Spark has it).
@@ -73,6 +71,80 @@ object Dialect {
       // `t AS OF n` resolves to the Engine.snapshot-pinned view
       .replaceAll("(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+OF\\s+(\\d+)",
         "$1__asof_$2")
+
+  private val CollateRe = """(?i)\bCOLLATE\s+[`']?([A-Za-z0-9_]+)[`']?""".r
+
+  /** Rewrite `expr COLLATE mysql_name` onto Spark's native collation
+    * clause (`expr COLLATE UNICODE_CI_AI` etc. — ICU-backed comparison,
+    * grouping and ordering). MySQL names resolve per the reference's
+    * collation catalog (sql/collations.go); an unrecognized name raises
+    * MySQL error 1273 instead of silently reordering — the strip this
+    * replaces gave explicit-COLLATE queries binary order. */
+  private def rewriteCollate(code: String): String =
+    if (!code.toUpperCase.contains("COLLATE")) code
+    else CollateRe.replaceAllIn(code,
+      m => "COLLATE " + mapCollation(m.group(1)))
+
+  /** Spark collation names this engine passes through unchanged. */
+  private val sparkCollations = Set(
+    "utf8_binary", "utf8_lcase", "unicode", "unicode_ci", "unicode_ai",
+    "unicode_ci_ai")
+
+  private val mysqlCharsets = Set(
+    "utf8mb4", "utf8mb3", "utf8", "latin1", "latin2", "latin5", "latin7",
+    "ascii", "binary", "ucs2", "utf16", "utf16le", "utf32", "gbk",
+    "gb18030", "big5", "cp1250", "cp1251", "cp1256", "cp1257", "cp850",
+    "cp852", "cp866", "cp932", "sjis", "ujis", "euckr", "eucjpms", "greek",
+    "hebrew", "tis620", "koi8r", "koi8u", "macroman", "macce", "armscii8",
+    "geostd8", "keybcs2", "swe7", "dec8", "hp8")
+
+  // MySQL 8 `utf8mb4_<locale>_0900_…` locales with an ICU counterpart
+  // Spark can instantiate (reference sql/collations.go catalog; `la` and
+  // exotic tailorings have no ICU locale -> error 1273).
+  private val icuLocales = Set(
+    "bs", "bg", "cs", "da", "de", "eo", "es", "et", "gl", "hr", "hu",
+    "is", "ja", "lt", "lv", "mn", "nb", "nn", "pl", "ro", "ru", "sk",
+    "sl", "sr_Latn", "sv", "tr", "vi", "zh")
+
+  private val UcaForm =
+    """^(?:([a-z]+(?:_[a-z]+)?)_)?(?:0900|uca1400)_(ai|as)_(ci|cs)(?:_ks)?$""".r
+
+  /** MySQL collation name -> Spark collation name, or MySQL error 1273. */
+  private[graft] def mapCollation(raw: String): String = {
+    val n = raw.toLowerCase
+    def unknown() = throw new IllegalArgumentException(
+      s"Unknown collation: '$raw' (MySQL error 1273)")
+    if (sparkCollations(n)) return n.toUpperCase
+    if (n == "binary") return "UTF8_BINARY"
+    val sep = n.indexOf('_')
+    if (sep < 0 || !mysqlCharsets(n.substring(0, sep))) unknown()
+    val rest = n.substring(sep + 1)
+    if (rest == "bin" || rest.endsWith("_bin")) return "UTF8_BINARY"
+    rest match {
+      case UcaForm(locale, accent, kase) =>
+        val base = Option(locale) match {
+          case None => "UNICODE"
+          case Some(l) =>
+            // multi-part MySQL locale tags -> ICU locale ids
+            val norm = l match {
+              case "de_pb" => "de"
+              case "es_trad" => "es"
+              case "sr_latn" => "sr_Latn"
+              case other => other
+            }
+            if (!icuLocales(norm)) unknown()
+            norm
+        }
+        base + (if (kase == "ci") "_CI" else "") +
+          (if (accent == "ai") "_AI" else "")
+      // legacy pre-8.0 collations: every *_ci (general/unicode/swedish/
+      // danish/…) compares accent-insensitively (a = á in general_ci)
+      case r if r.endsWith("_ci") => "UNICODE_CI_AI"
+      // *_cs legacy (latin1_general_cs): case- and accent-sensitive UCA
+      case r if r.endsWith("_cs") => "UNICODE"
+      case _ => unknown()
+    }
+  }
 
   def rewrite(sql: String): String = {
     // token-level passes first (each is literal-aware on its own):
@@ -637,23 +709,74 @@ class Engine(val spark: SparkSession) {
     } else spark.catalog.dropTempView(name)
 
   /** LOAD DATA INFILE (reference sql/plan/load_data.go:25): delimited-file
-    * ingest. FIELDS TERMINATED BY -> `sep`, optional IGNORE 1 LINES ->
-    * `header`; the scan distributes across executors like any file source. */
+    * ingest with the reference's clause surface mapped onto the csv
+    * reader — FIELDS TERMINATED BY -> `sep`, [OPTIONALLY] ENCLOSED BY ->
+    * `quote`, ESCAPED BY -> `escape`, LINES TERMINATED BY -> `lineSep`,
+    * IGNORE 1 LINES -> `header`. LINES STARTING BY and IGNORE n>1 LINES
+    * have no reader option, so those paths pre-filter a text scan (same
+    * one-pass ingest; the line order of a single infile is preserved by
+    * the zip index). The scan distributes across executors like any file
+    * source. */
   def loadData(table: String, path: String, fieldsTerminatedBy: String = ",",
-               ignoreHeader: Boolean = false, format: String = "csv"): Unit = {
+               ignoreHeader: Boolean = false, format: String = "csv",
+               enclosedBy: String = "\"", escapedBy: String = "\\",
+               linesTerminatedBy: String = "\n", linesStartingBy: String = "",
+               ignoreLines: Int = 0): Long = {
     val df = format match {
       case "csv" =>
-        spark.read
+        val base = spark.read
           .option("sep", fieldsTerminatedBy)
-          .option("header", ignoreHeader)
+          .option("quote", if (enclosedBy.isEmpty) "\u0000" else enclosedBy)
+          .option("escape", if (escapedBy.isEmpty) "\u0000" else escapedBy)
           .option("inferSchema", true)
-          .csv(path)
+        if (linesStartingBy.isEmpty && ignoreLines == 0 &&
+            linesTerminatedBy == "\n")
+          base.option("header", ignoreHeader).csv(path)
+        else {
+          // MySQL semantics (load_data.go): IGNORE n skips the first n
+          // lines; LINES STARTING BY keeps only lines containing the
+          // prefix and drops everything up to and including it.
+          val lines = spark.read.option("lineSep", linesTerminatedBy)
+            .text(path)
+          val skip = ignoreLines + (if (ignoreHeader) 1 else 0)
+          val kept0 = if (skip == 0) lines
+            else {
+              import org.apache.spark.sql.functions.monotonically_increasing_id
+              // single-infile ingest: ids are ordered within the file scan
+              lines.withColumn("__idx", monotonically_increasing_id())
+                .orderBy("__idx").offset(skip).select("value")
+            }
+          import spark.implicits._
+          val kept = if (linesStartingBy.isEmpty) kept0.as[String]
+            else kept0.as[String]
+              .filter(_.contains(linesStartingBy))
+              .map(l => l.substring(
+                l.indexOf(linesStartingBy) + linesStartingBy.length))
+          base.csv(kept)
+        }
       case "json" => spark.read.json(path) // JSON-lines
       case "parquet" => spark.read.parquet(path)
       case other => throw new IllegalArgumentException(s"LOAD DATA format $other")
     }
-    validateVocab(table, df)
-    df.createOrReplaceTempView(table)
+    // an existing declared table keeps its schema: positional cast, like
+    // the reference's column coercion on load
+    val target = scala.util.Try(spark.table(table)).toOption
+    val coerced = target match {
+      case Some(t) if t.schema.length == df.schema.length =>
+        val cols = t.schema.fields.zip(df.columns).map { case (f, c) =>
+          org.apache.spark.sql.functions.col(s"`$c`").cast(f.dataType).as(f.name)
+        }
+        df.select(cols.toSeq: _*)
+      case _ => df
+    }
+    validateVocab(table, coerced)
+    val n = coerced.count()
+    target match {
+      case Some(t) if t.schema.length == coerced.schema.length =>
+        insertDf(table, coerced, fillMissing = false)
+      case _ => coerced.createOrReplaceTempView(table)
+    }
+    n
   }
 
   /** SELECT ... INTO OUTFILE (reference sql/plan/into.go:26): delimited

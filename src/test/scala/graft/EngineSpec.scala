@@ -120,6 +120,29 @@ class EngineSpec extends AnyFunSuite {
     engine.drop("region_rt")
   }
 
+  test("LOAD DATA clause surface: ENCLOSED/ESCAPED BY, STARTING BY, IGNORE n " +
+      "(load_data.go:25 semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ld").toString
+    val pw = new java.io.PrintWriter(s"$dir/data.txt")
+    // line 1 skipped by IGNORE 1; 'noprefix' line dropped by STARTING BY;
+    // quoted field contains the separator; escaped quote inside a field
+    pw.print("header to skip\n" +
+      "junkPRE1|\"al|pha\"|\"a\\\"b\"\n" +
+      "noprefix|9|\"zz\"|\"y\"\n" +
+      "PRE2|\"beta\"|\"c\"\n")
+    pw.close()
+    engine.query("create table ld_t (id int, name text, v text)")
+    val res = engine.query(
+      s"LOAD DATA INFILE '$dir/data.txt' INTO TABLE ld_t " +
+      "FIELDS TERMINATED BY '|' ENCLOSED BY '\"' ESCAPED BY '\\\\' " +
+      "LINES STARTING BY 'PRE' IGNORE 1 LINES").collect()
+    assert(res(0).getLong(0) == 2L) // affected rows
+    val got = spark.table("ld_t").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "al|pha", "a\"b"), (2, "beta", "c")))
+    engine.query("drop table ld_t")
+  }
+
   test("prepared statements: named and positional parameters") {
     val named = engine.queryPrepared(
       "SELECT count(*) AS n FROM orders WHERE o_totalprice > :lo AND o_orderstatus = :st",

@@ -138,4 +138,33 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     assert(rows("select count(*) n from t2") == Seq(Seq(2L)))
     engine.query("drop table t2")
   }
+
+  test("nested parens in the LAST column-list item (balanced-scan extraction)") {
+    // CHECK with nested parens as the final item: the old greedy-regex
+    // extraction only worked by luck; the balanced scan is exact
+    engine.runScript(
+      """create table chk (a int, b varchar(10), check (a > (1)));
+        |insert into chk values (5, 'ok');
+        |""".stripMargin)
+    assert(rows("select a, b from chk") == Seq(Seq(5, "ok")))
+    engine.query("drop table chk")
+    // DEFAULT (expression) with nested parens as the final item
+    engine.runScript(
+      "create table dflt (pk int primary key, v int default ((2 + (3))))")
+    engine.query("insert into dflt (pk) values (1)")
+    assert(rows("select v from dflt") == Seq(Seq(5)))
+    engine.query("drop table dflt")
+    // table options after the balanced close still recognized
+    engine.runScript(
+      """create table opts (a int, check (a in (1, (2))))
+        |ENGINE=InnoDB DEFAULT CHARSET=utf8mb4""".stripMargin)
+    assert(rows("select count(*) n from opts") == Seq(Seq(0L)))
+    engine.query("drop table opts")
+    // a quoted paren inside a DEFAULT string must not unbalance the scan
+    engine.runScript(
+      "create table qt (a int, s varchar(20) default 'a)b(')")
+    engine.query("insert into qt (a) values (9)")
+    assert(rows("select a, s from qt") == Seq(Seq(9, "a)b(")))
+    engine.query("drop table qt")
+  }
 }

@@ -328,10 +328,26 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
     // (charset_collation_engine.go:1085)
     one("SELECT TO_BASE64(_utf8mb4'abc' COLLATE utf8mb4_0900_bin)", "YWJj")
     one("SELECT _latin1'x'", "x")
-    // DIVERGENCE: stripping the COLLATE leaves the engine's binary
-    // comparison (MySQL ai_ci would give true); the CI/AI behaviors are
-    // exposed as functions instead (fn_collation/fn_collation_ai). Pinned.
-    one("SELECT 'a' = 'A' COLLATE utf8mb4_0900_ai_ci", false)
+    // explicit COLLATE maps onto Spark's native collations (reference
+    // sql/collations.go resolution; charset_collation_engine.go corpus)
+    one("SELECT 'a' = 'A' COLLATE utf8mb4_0900_ai_ci", true)
+    one("SELECT 'é' = 'e' COLLATE utf8mb4_0900_ai_ci", true)
+    one("SELECT 'a' = 'A' COLLATE utf8mb4_0900_as_cs", false)
+    one("SELECT 'a' = 'A' COLLATE latin1_swedish_ci", true)
+    one("SELECT 'é' = 'e' COLLATE utf8mb4_unicode_ci", true)
+    one("SELECT 'a' = 'A' COLLATE utf8mb4_ja_0900_as_cs", false)
+    // ORDER BY under an explicit collation: ai_ci groups case/accent
+    // variants together instead of binary order
+    assert(engine.query(
+      "SELECT s FROM (SELECT 'b' AS s UNION ALL SELECT 'A' UNION ALL " +
+      "SELECT 'á' UNION ALL SELECT 'B') v " +
+      "ORDER BY s COLLATE utf8mb4_0900_ai_ci, s")
+      .collect().map(_.getString(0)).toSeq === Seq("A", "á", "B", "b"))
+    // unknown collation is MySQL error 1273, not a silent reorder
+    val err = intercept[IllegalArgumentException] {
+      engine.query("SELECT 'a' COLLATE utf8mb4_la_0900_as_cs")
+    }
+    assert(err.getMessage.contains("Unknown collation"))
     one("SELECT CHARSET('abc')", "utf8mb4")
     one("SELECT ST_ASTEXT(POINT(1, 2))", "POINT(1 2)")
     one("SELECT ST_ASTEXT(LINESTRING(POINT(0,0), POINT(1,2)))",
