@@ -11,10 +11,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * GEOMETRY types in sql/types/geometry.go:34, point.go, polygon.go ...).
   *
   * Geometries are WKT strings (`POINT(x y)`, `LINESTRING(...)`,
-  * `POLYGON((ring))`) — the pure-math subset (constructors, accessors,
-  * distance, area, length, point-in-polygon) re-expressed as interpreted
-  * Catalyst expressions. Remaining ST_* surface (multi-geometries, set
-  * operations, SRID transforms) is catalogued as descoped in SURVEY §2.8.
+  * `POLYGON((ring))`, `MULTIPOINT((..),(..))`, `MULTILINESTRING`,
+  * `MULTIPOLYGON`, `GEOMETRYCOLLECTION`) — the pure-math subset
+  * (constructors, accessors, component access, distance, area, length,
+  * point-in-polygon, WKB/GeoJSON IO) re-expressed as interpreted
+  * Catalyst expressions. Remaining ST_* surface (geometric set
+  * operations, geographic SRID transforms) is catalogued as descoped in
+  * SURVEY §2.8.
   */
 object spatial {
 
@@ -101,16 +104,58 @@ object spatial {
   private[functions] case class GPoint(x: Double, y: Double) extends Geom
   private[functions] case class GLine(pts: Array[(Double, Double)]) extends Geom
   private[functions] case class GPoly(rings: Array[Array[(Double, Double)]]) extends Geom
+  // multi-geometries (reference sql/types/multipoint.go,
+  // multilinestring.go, multipolygon.go, geometrycollection.go)
+  private[functions] case class GMultiPoint(pts: Array[(Double, Double)]) extends Geom
+  private[functions] case class GMultiLine(lines: Array[Array[(Double, Double)]]) extends Geom
+  private[functions] case class GMultiPoly(polys: Array[Array[Array[(Double, Double)]]]) extends Geom
+  private[functions] case class GCollection(geoms: Array[Geom]) extends Geom
 
   /** Canonical number rendering: integral values print without `.0`. */
   private def fmtNum(d: Double): String =
     if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+
+  /** split a WKT body on top-level commas (commas inside parens stay). */
+  private def splitParts(body: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += body.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += body.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toArray
+  }
+
+  private def stripParens(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** one parenthesized ring list `(r1),(r2)` -> polygon rings or null. */
+  private def parsePolyBody(body: String): Array[Array[(Double, Double)]] = {
+    val b = body.trim
+    if (!b.startsWith("(") || !b.endsWith(")")) return null
+    val rings = splitParts(b).map(r => coords(stripParens(r)))
+    val ok = rings.nonEmpty && rings.forall { r =>
+      r.length >= 4 && r.head == r.last
+    }
+    if (ok) rings else null
+  }
 
   /** Parse any supported WKT; null on malformed input (bad tag, unbalanced
     * parens, wrong arity, unclosed polygon ring, <4-point ring). */
   private[functions] def parseGeom(wkt: String): Geom = {
     if (wkt == null) return null
     val s = wkt.trim
+    if (s.toUpperCase.replaceAll("\\s+", " ") == "GEOMETRYCOLLECTION EMPTY")
+      return GCollection(Array.empty)
     val open = s.indexOf('(')
     if (open < 0 || !s.endsWith(")")) return null
     val tag = s.substring(0, open).trim.toUpperCase
@@ -123,26 +168,65 @@ object spatial {
         val c = coords(body)
         if (c.length >= 2) GLine(c) else null
       case "POLYGON" =>
-        // body = (ring1),(ring2)...
-        if (!body.startsWith("(") || !body.endsWith(")")) return null
-        val rings = body.substring(1, body.length - 1)
-          .split("\\)\\s*,\\s*\\(").map(coords)
-        val ok = rings.nonEmpty && rings.forall { r =>
-          r.length >= 4 && r.head == r.last
+        val rings = parsePolyBody(body)
+        if (rings != null) GPoly(rings) else null
+      // MULTIPOINT accepts both MySQL forms: (1 2, 3 4) and ((1 2),(3 4))
+      case "MULTIPOINT" =>
+        val pts = splitParts(body).map(p => coords(stripParens(p)))
+        if (pts.nonEmpty && pts.forall(_.length == 1))
+          GMultiPoint(pts.map(_.head))
+        else null
+      case "MULTILINESTRING" =>
+        val ls = splitParts(body).map { part =>
+          val t = part.trim
+          if (!t.startsWith("(") || !t.endsWith(")")) null
+          else coords(t.substring(1, t.length - 1))
         }
-        if (ok) GPoly(rings) else null
+        if (ls.nonEmpty && ls.forall(l => l != null && l.length >= 2))
+          GMultiLine(ls)
+        else null
+      case "MULTIPOLYGON" =>
+        val polys = splitParts(body).map { part =>
+          val t = part.trim
+          if (!t.startsWith("(") || !t.endsWith(")")) null
+          else parsePolyBody(t.substring(1, t.length - 1))
+        }
+        if (polys.nonEmpty && polys.forall(_ != null)) GMultiPoly(polys)
+        else null
+      case "GEOMETRYCOLLECTION" | "GEOMCOLLECTION" =>
+        if (body.isEmpty) GCollection(Array.empty)
+        else {
+          val gs = splitParts(body).map(parseGeom)
+          if (gs.nonEmpty && gs.forall(_ != null)) GCollection(gs) else null
+        }
       case _ => null
     } catch { case _: Exception => null }
   }
 
+  private def fmtPt(p: (Double, Double)): String =
+    s"${fmtNum(p._1)} ${fmtNum(p._2)}"
+
+  /** Canonical WKT — the reference's AsWKT forms (spatial/wkt.go:90–210):
+    * MULTIPOINT((1 2),(3 4)), MULTILINESTRING((…),(…)),
+    * MULTIPOLYGON(((…)),…), GEOMETRYCOLLECTION(…) / EMPTY. */
   private[functions] def toWkt(g: Geom): String = g match {
     case GPoint(x, y) => s"POINT(${fmtNum(x)} ${fmtNum(y)})"
     case GLine(pts) =>
-      pts.map(p => s"${fmtNum(p._1)} ${fmtNum(p._2)}")
-        .mkString("LINESTRING(", ",", ")")
+      pts.map(fmtPt).mkString("LINESTRING(", ",", ")")
     case GPoly(rings) =>
-      rings.map(_.map(p => s"${fmtNum(p._1)} ${fmtNum(p._2)}")
-        .mkString("(", ",", ")")).mkString("POLYGON(", ",", ")")
+      rings.map(_.map(fmtPt).mkString("(", ",", ")"))
+        .mkString("POLYGON(", ",", ")")
+    case GMultiPoint(pts) =>
+      pts.map(p => "(" + fmtPt(p) + ")").mkString("MULTIPOINT(", ",", ")")
+    case GMultiLine(lines) =>
+      lines.map(_.map(fmtPt).mkString("(", ",", ")"))
+        .mkString("MULTILINESTRING(", ",", ")")
+    case GMultiPoly(polys) =>
+      polys.map(_.map(_.map(fmtPt).mkString("(", ",", ")"))
+        .mkString("(", ",", ")")).mkString("MULTIPOLYGON(", ",", ")")
+    case GCollection(gs) =>
+      if (gs.isEmpty) "GEOMETRYCOLLECTION EMPTY"
+      else gs.map(toWkt).mkString("GEOMETRYCOLLECTION(", ",", ")")
   }
 
   /** Point strictly inside a polygon: inside the outer ring and not
@@ -175,12 +259,20 @@ object spatial {
       case GLine(p) => p.sliding(2).collect { case Array(a, b) => (a, b) }.toArray
       case GPoly(rings) =>
         rings.flatMap(r => r.sliding(2).collect { case Array(a, b) => (a, b) })
+      case GMultiPoint(_) => Array.empty
+      case GMultiLine(lines) => lines.flatMap(l => segments(GLine(l)))
+      case GMultiPoly(polys) => polys.flatMap(p => segments(GPoly(p)))
+      case GCollection(gs) => gs.flatMap(segments)
     }
 
   private def vertices(g: Geom): Array[(Double, Double)] = g match {
     case GPoint(x, y) => Array((x, y))
     case GLine(p) => p
     case GPoly(rings) => rings.flatten
+    case GMultiPoint(pts) => pts
+    case GMultiLine(lines) => lines.flatten
+    case GMultiPoly(polys) => polys.flatten.flatten
+    case GCollection(gs) => gs.flatMap(vertices)
   }
 
   /** ST_Intersects semantics for the subset: any shared point — segment
@@ -457,6 +549,11 @@ object spatial {
         case ("swapxy", GPoint(px, py)) => GPoint(py, px)
         case ("swapxy", GLine(p)) => GLine(p.map(q => (q._2, q._1)))
         case ("swapxy", GPoly(r0)) => GPoly(r0.map(_.map(q => (q._2, q._1))))
+        case ("swapxy", GMultiPoint(p)) => GMultiPoint(p.map(q => (q._2, q._1)))
+        case ("swapxy", GMultiLine(ls)) =>
+          GMultiLine(ls.map(_.map(q => (q._2, q._1))))
+        case ("swapxy", GMultiPoly(ps)) =>
+          GMultiPoly(ps.map(_.map(_.map(q => (q._2, q._1)))))
         case ("exteriorring", GPoly(rings)) => GLine(rings.head)
         case _ => null
       }
@@ -466,6 +563,11 @@ object spatial {
             case _: GPoint => "POINT"
             case _: GLine => "LINESTRING"
             case _: GPoly => "POLYGON"
+            case _: GMultiPoint => "MULTIPOINT"
+            case _: GMultiLine => "MULTILINESTRING"
+            case _: GMultiPoly => "MULTIPOLYGON"
+            // reference st_geometrytype.go:104 returns GEOMCOLLECTION
+            case _: GCollection => "GEOMCOLLECTION"
           })
         case _ => if (r == null) null else UTF8String.fromString(toWkt(r))
       }
@@ -482,15 +584,26 @@ object spatial {
     override def nullSafeEval(v: Any): Any = {
       val g = parseGeom(v.asInstanceOf[UTF8String].toString)
       if (g == null) return null
+      def dim(geom: Geom): Int = geom match {
+        case _: GPoint | _: GMultiPoint => 0
+        case _: GLine | _: GMultiLine => 1
+        case _: GPoly | _: GMultiPoly => 2
+        case GCollection(gs) => if (gs.isEmpty) 0 else gs.map(dim).max
+      }
       (op, g) match {
         case ("numpoints", GLine(p)) => p.length
         case ("numpoints", _) => null
-        case ("dimension", _: GPoint) => 0
-        case ("dimension", _: GLine) => 1
-        case ("dimension", _: GPoly) => 2
+        case ("dimension", _) => dim(g)
         case ("srid", _) => 0
         case ("numinteriorrings", GPoly(r)) => r.length - 1
         case ("numinteriorrings", _) => null
+        // component count; NULL for simple geometries (reference
+        // st_numgeometries.go:93 — MySQL behavior)
+        case ("numgeometries", GMultiPoint(p)) => p.length
+        case ("numgeometries", GMultiLine(ls)) => ls.length
+        case ("numgeometries", GMultiPoly(ps)) => ps.length
+        case ("numgeometries", GCollection(gs)) => gs.length
+        case ("numgeometries", _) => null
         case _ => null
       }
     }
@@ -508,6 +621,9 @@ object spatial {
       val g = parseGeom(v.asInstanceOf[UTF8String].toString)
       if (g == null) return null
       val c: (Double, Double) = g match {
+        case GMultiPoint(pts) =>
+          (pts.map(_._1).sum / pts.length, pts.map(_._2).sum / pts.length)
+        case _: GMultiLine | _: GMultiPoly | _: GCollection => return null
         case GPoint(px, py) => (px, py)
         case GLine(p) =>
           var len = 0.0; var cx = 0.0; var cy = 0.0
@@ -592,6 +708,8 @@ object spatial {
     override def nullSafeEval(v: Any): Any =
       parseGeom(v.asInstanceOf[UTF8String].toString) match {
         case GLine(p) => p.head == p.last
+        // MULTILINESTRING is closed iff every component line is
+        case GMultiLine(ls) => ls.forall(l => l.head == l.last)
         case _ => null
       }
     override protected def withNewChildInternal(nc: Expression) = copy(nc)
@@ -697,12 +815,43 @@ object spatial {
       val g = parseGeom(v.asInstanceOf[UTF8String].toString)
       val ok = (g, tag) match {
         case (_: GPoint, "POINT") | (_: GLine, "LINESTRING") |
-             (_: GPoly, "POLYGON") => true
+             (_: GPoly, "POLYGON") | (_: GMultiPoint, "MULTIPOINT") |
+             (_: GMultiLine, "MULTILINESTRING") |
+             (_: GMultiPoly, "MULTIPOLYGON") |
+             (_: GCollection, "GEOMETRYCOLLECTION") => true
         case _ => false
       }
       if (ok) UTF8String.fromString(toWkt(g)) else null
     }
     override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** ST_GEOMETRYN(geom, n) — 1-based Nth component of a multi-geometry /
+    * collection; out-of-range or simple-geometry input -> NULL
+    * (reference st_geometryn.go:114). */
+  case class StGeometryN(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val idx = b match {
+        case i: Int => i; case l: Long => l.toInt; case o => o.toString.toInt
+      }
+      val g = parseGeom(a.asInstanceOf[UTF8String].toString)
+      if (g == null) return null
+      def at[T](arr: Array[T]): Option[T] =
+        if (idx >= 1 && idx <= arr.length) Some(arr(idx - 1)) else None
+      val comp: Option[Geom] = g match {
+        case GMultiPoint(pts) => at(pts).map(p => GPoint(p._1, p._2))
+        case GMultiLine(ls) => at(ls).map(GLine.apply)
+        case GMultiPoly(ps) => at(ps).map(GPoly.apply)
+        case GCollection(gs) => at(gs)
+        case _ => None
+      }
+      comp.map(c => UTF8String.fromString(toWkt(c))).orNull
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
   }
 
   // ---- WKB (reference st_aswkb/st_asbinary + *fromwkb constructors) ---
@@ -733,32 +882,61 @@ object spatial {
           r.foreach(p => b.putDouble(p._1).putDouble(p._2))
         }
         b.array()
+      // multi types (codes 4-7): each component is a full nested WKB
+      // geometry with its own byte-order marker + type header
+      case GMultiPoint(pts) => nestedWkb(4, pts.map(p => GPoint(p._1, p._2)))
+      case GMultiLine(ls) => nestedWkb(5, ls.map(GLine.apply))
+      case GMultiPoly(ps) => nestedWkb(6, ps.map(GPoly.apply))
+      case GCollection(gs) => nestedWkb(7, gs)
     }
   }
 
-  private[functions] def fromWkb(bytes: Array[Byte]): Geom = {
+  private def nestedWkb(code: Int, comps: Array[_ <: Geom]): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
-    try {
-      val b = ByteBuffer.wrap(bytes)
-      b.order(if (b.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-      b.getInt() match {
-        case 1 => GPoint(b.getDouble(), b.getDouble())
-        case 2 =>
+    val parts = comps.map(toWkb)
+    val b = ByteBuffer.allocate(1 + 4 + 4 + parts.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).putInt(code).putInt(parts.length)
+    parts.foreach(b.put)
+    b.array()
+  }
+
+  private[functions] def fromWkb(bytes: Array[Byte]): Geom =
+    try readWkbGeom(java.nio.ByteBuffer.wrap(bytes))
+    catch { case _: Exception => null }
+
+  /** one WKB geometry off the buffer (each nested component carries its
+    * own byte-order marker, so the order is (re)set per call). */
+  private def readWkbGeom(b: java.nio.ByteBuffer): Geom = {
+    import java.nio.ByteOrder
+    b.order(if (b.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    def comps(n: Int): Array[Geom] = {
+      val arr = Array.fill[Geom](n)(readWkbGeom(b))
+      if (arr.contains(null)) throw new IllegalArgumentException("bad wkb")
+      arr
+    }
+    b.getInt() match {
+      case 1 => GPoint(b.getDouble(), b.getDouble())
+      case 2 =>
+        val n = b.getInt()
+        if (n < 2) return null
+        GLine(Array.fill(n)((b.getDouble(), b.getDouble())))
+      case 3 =>
+        val nr = b.getInt()
+        if (nr < 1) return null
+        val rings = Array.fill(nr) {
           val n = b.getInt()
-          if (n < 2) return null
-          GLine(Array.fill(n)((b.getDouble(), b.getDouble())))
-        case 3 =>
-          val nr = b.getInt()
-          if (nr < 1) return null
-          val rings = Array.fill(nr) {
-            val n = b.getInt()
-            Array.fill(n)((b.getDouble(), b.getDouble()))
-          }
-          if (rings.forall(r => r.length >= 4 && r.head == r.last)) GPoly(rings)
-          else null
-        case _ => null
-      }
-    } catch { case _: Exception => null }
+          Array.fill(n)((b.getDouble(), b.getDouble()))
+        }
+        if (rings.forall(r => r.length >= 4 && r.head == r.last)) GPoly(rings)
+        else null
+      case 4 =>
+        GMultiPoint(comps(b.getInt()).map { case GPoint(px, py) => (px, py) })
+      case 5 => GMultiLine(comps(b.getInt()).map { case GLine(p) => p })
+      case 6 => GMultiPoly(comps(b.getInt()).map { case GPoly(r) => r })
+      case 7 => GCollection(comps(b.getInt()))
+      case _ => null
+    }
   }
 
   // ---- GeoJSON (reference st_asgeojson/st_geomfromgeojson) ------------
@@ -773,6 +951,18 @@ object spatial {
       case GPoly(rings) =>
         val rs = rings.map(r => s"[${r.map(pt).mkString(",")}]").mkString(",")
         s"""{"type":"Polygon","coordinates":[$rs]}"""
+      case GMultiPoint(pts) =>
+        s"""{"type":"MultiPoint","coordinates":[${pts.map(pt).mkString(",")}]}"""
+      case GMultiLine(lines) =>
+        val ls = lines.map(l => s"[${l.map(pt).mkString(",")}]").mkString(",")
+        s"""{"type":"MultiLineString","coordinates":[$ls]}"""
+      case GMultiPoly(polys) =>
+        val ps = polys.map(rings =>
+          s"[${rings.map(r => s"[${r.map(pt).mkString(",")}]").mkString(",")}]")
+          .mkString(",")
+        s"""{"type":"MultiPolygon","coordinates":[$ps]}"""
+      case GCollection(gs) =>
+        s"""{"type":"GeometryCollection","geometries":[${gs.map(toGeoJson).mkString(",")}]}"""
     }
   }
 
@@ -796,6 +986,26 @@ object spatial {
               rings.forall(r => r.length >= 4 && r.head == r.last))
             GPoly(rings)
           else null
+        case "MultiPoint" =>
+          val pts = coords.elements().asScala.map(coord).toArray
+          if (pts.nonEmpty) GMultiPoint(pts) else null
+        case "MultiLineString" =>
+          val ls = coords.elements().asScala
+            .map(l => l.elements().asScala.map(coord).toArray).toArray
+          if (ls.nonEmpty && ls.forall(_.length >= 2)) GMultiLine(ls) else null
+        case "MultiPolygon" =>
+          val ps = coords.elements().asScala.map(p =>
+            p.elements().asScala
+              .map(r => r.elements().asScala.map(coord).toArray).toArray)
+            .toArray
+          if (ps.nonEmpty && ps.forall(rings => rings.nonEmpty &&
+              rings.forall(r => r.length >= 4 && r.head == r.last)))
+            GMultiPoly(ps)
+          else null
+        case "GeometryCollection" =>
+          val gs = root.get("geometries").elements().asScala
+            .map(n => fromGeoJson(n.toString)).toArray
+          if (gs.nonEmpty && gs.forall(_ != null)) GCollection(gs) else null
         case _ => null
       }
     } catch { case _: Exception => null }
@@ -882,6 +1092,16 @@ object spatial {
   def stLatitude(g: Column): Column = c(StY(x(g)))
   def stPointN(g: Column, n: Column): Column = c(StPointN(x(g), x(n)))
   def stDisjoint(a: Column, b: Column): Column = c(StDisjoint(x(a), x(b)))
+  def stNumGeometries(g: Column): Column = c(GeomIntOp(x(g), "numgeometries"))
+  def stAsGeoJson(g: Column): Column = c(StAsGeoJson(x(g)))
+  def stGeometryN(g: Column, n: Column): Column = c(StGeometryN(x(g), x(n)))
+  def stMultiPoint(pts: Column*): Column =
+    c(multiCtor("MULTIPOINT", "POINT", pts.map(x)))
+  def stMultiLineString(ls: Column*): Column =
+    c(multiCtor("MULTILINESTRING", "LINESTRING", ls.map(x)))
+  def stMultiPolygon(ps: Column*): Column =
+    c(multiCtor("MULTIPOLYGON", "POLYGON", ps.map(x)))
+  def stGeometryCollection(gs: Column*): Column = c(geomCollCtor(gs.map(x)))
 
   /** ST_POINT(x, y) -> WKT (pure Column composition, codegen'd). */
   def stPoint(px: Column, py: Column): Column =
@@ -948,6 +1168,34 @@ object spatial {
       wktLit(")"))))
   }
 
+  /** multi-geometry component constructors (reference spatial/
+    * multipoint.go NewMultiPoint etc.): each argument is a component
+    * WKT; the tagged body re-wraps and validates via StGeomFromText. */
+  private def multiCtor(tag: String, innerTag: String,
+                        es: Seq[Expression]): Expression = {
+    val bodies = es.map(e =>
+      org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+        wktLit("("),
+        org.apache.spark.sql.catalyst.expressions.RegExpExtract(
+          e, wktLit(s"^$innerTag\\((.+)\\)$$"),
+          org.apache.spark.sql.catalyst.expressions.Literal(1)),
+        wktLit(")"))): Expression)
+    StGeomFromText(org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+      wktLit(tag + "("),
+      org.apache.spark.sql.catalyst.expressions.ConcatWs(
+        wktLit(",") +: bodies),
+      wktLit(")"))))
+  }
+
+  /** GEOMETRYCOLLECTION(g1, g2, …): components keep their own tags. */
+  private def geomCollCtor(es: Seq[Expression]): Expression =
+    if (es.isEmpty) StGeomFromText(wktLit("GEOMETRYCOLLECTION EMPTY"))
+    else StGeomFromText(org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+      wktLit("GEOMETRYCOLLECTION("),
+      org.apache.spark.sql.catalyst.expressions.ConcatWs(
+        wktLit(",") +: es),
+      wktLit(")"))))
+
   /** Every (name, builder) pair — shared by Engine registration and
     * GraftExtensions injection (single source of truth, no drift). */
   def builders: Seq[(String, Seq[Expression] => Expression)] =
@@ -956,6 +1204,13 @@ object spatial {
       "st_point" -> (es => pointCtor(es)),
       "linestring" -> (es => lineCtor(es)),
       "polygon" -> (es => polyCtor(es)),
+      "multipoint" -> (es => multiCtor("MULTIPOINT", "POINT", es)),
+      "multilinestring" -> (es => multiCtor("MULTILINESTRING", "LINESTRING", es)),
+      "multipolygon" -> (es => multiCtor("MULTIPOLYGON", "POLYGON", es)),
+      "geometrycollection" -> (es => geomCollCtor(es)),
+      "geomcollection" -> (es => geomCollCtor(es)),
+      "st_numgeometries" -> (es => GeomIntOp(es.head, "numgeometries")),
+      "st_geometryn" -> (es => StGeometryN(es(0), es(1))),
       "st_x" -> (es => StX(es.head)),
       "st_y" -> (es => StY(es.head)),
       "st_distance" -> (es => StDistance(es(0), es(1))),
@@ -1009,8 +1264,18 @@ object spatial {
       "st_linefromtext" -> "LINESTRING",
       "st_linestringfromtext" -> "LINESTRING",
       "st_polyfromtext" -> "POLYGON",
-      "st_polygonfromtext" -> "POLYGON").map { case (name, tag) =>
-      name -> ((es: Seq[Expression]) => TypedFromText(es.head, tag): Expression)
+      "st_polygonfromtext" -> "POLYGON",
+      "st_mpointfromtext" -> "MULTIPOINT",
+      "st_multipointfromtext" -> "MULTIPOINT",
+      "st_mlinefromtext" -> "MULTILINESTRING",
+      "st_multilinestringfromtext" -> "MULTILINESTRING",
+      "st_mpolyfromtext" -> "MULTIPOLYGON",
+      "st_multipolygonfromtext" -> "MULTIPOLYGON",
+      "st_geomcollfromtext" -> "GEOMETRYCOLLECTION",
+      "st_geomcollfromtxt" -> "GEOMETRYCOLLECTION",
+      "st_geometrycollectionfromtext" -> "GEOMETRYCOLLECTION").map {
+      case (name, tag) =>
+        name -> ((es: Seq[Expression]) => TypedFromText(es.head, tag): Expression)
     }
 
   def register(spark: SparkSession): Unit = {

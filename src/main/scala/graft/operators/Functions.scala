@@ -938,6 +938,70 @@ object Functions {
                 CAST(y AS DOUBLE) AS lat
               FROM g ORDER BY c_custkey""")),
 
+    // ---- multi-geometry wave 4 (reference sql/types/multipoint.go,
+    //      multilinestring.go, multipolygon.go, geometrycollection.go;
+    //      st_numgeometries.go, st_geometryn.go): constructors,
+    //      component count/access, relations, WKB + GeoJSON round-trips.
+    //      Half-offset coordinates (.5/.25) keep every value off polygon
+    //      boundaries AND fractional, so double->string rendering agrees
+    //      between both engines (an integral double would print '10.0'
+    //      in DuckDB but '10' here).
+    QueryDef(
+      "fn_spatial_multi",
+      (s, d) => {
+        import graft.functions.{spatial => sp}
+        val k = col("c_custkey")
+        val px = (k % 10).cast("double") + 0.5
+        val py = (k % 7).cast("double") + 0.5
+        val mp = concat(lit("MULTIPOINT(("), px, lit(" "), py, lit("),("),
+          px + 10, lit(" "), py + 10, lit("))"))
+        val mpNear = concat(lit("MULTIPOINT(("), px, lit(" "), py,
+          lit("),("), px / 2, lit(" "), py / 2, lit("))"))
+        val box5 = lit("POLYGON((0 0,5 0,5 5,0 5,0 0))")
+        val ml = concat(lit("MULTILINESTRING((0 0,"), px, lit(" "), py,
+          lit("),("), px + 10, lit(" "), py + 10, lit(","), px + 11,
+          lit(" "), py + 11, lit("))"))
+        Tables.t(s, d, "customer")
+          .select(
+            k.as("c_custkey"),
+            sp.stGeomFromText(mp).as("mp_wkt"),
+            sp.stNumGeometries(mp).as("n_mp"),
+            sp.stGeometryN(mp, lit(2)).as("second_pt"),
+            sp.stGeometryType(ml).as("gt"),
+            sp.stNumGeometries(ml).as("n_ml"),
+            sp.stGeomFromText(lit(
+              "GEOMETRYCOLLECTION(POINT(1 1),LINESTRING(0 0,1 1))"))
+              .as("gc_wkt"),
+            sp.stIntersects(mp, box5).as("mi"),
+            sp.stContains(box5, mpNear).as("mc"),
+            (sp.stGeomFromText(sp.stAsText(ml)) === ml).as("wkt_rt"),
+            sp.stAsGeoJson(mp).as("gj"))
+          .orderBy(k)
+      },
+      Some("""WITH g AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 10 AS DOUBLE) + 0.5 AS px,
+                       CAST(c_custkey % 7 AS DOUBLE) + 0.5 AS py
+                FROM customer)
+              SELECT c_custkey,
+                'MULTIPOINT((' || CAST(px AS VARCHAR) || ' '
+                  || CAST(py AS VARCHAR) || '),(' || CAST(px + 10 AS VARCHAR)
+                  || ' ' || CAST(py + 10 AS VARCHAR) || '))' AS mp_wkt,
+                CAST(2 AS INTEGER) AS n_mp,
+                'POINT(' || CAST(px + 10 AS VARCHAR) || ' '
+                  || CAST(py + 10 AS VARCHAR) || ')' AS second_pt,
+                'MULTILINESTRING' AS gt,
+                CAST(2 AS INTEGER) AS n_ml,
+                'GEOMETRYCOLLECTION(POINT(1 1),LINESTRING(0 0,1 1))' AS gc_wkt,
+                px < 5 AND py < 5 AS mi,
+                px < 5 AND py < 5 AS mc,
+                TRUE AS wkt_rt,
+                '{"type":"MultiPoint","coordinates":[[' || CAST(px AS VARCHAR)
+                  || ',' || CAST(py AS VARCHAR) || '],['
+                  || CAST(px + 10 AS VARCHAR) || ','
+                  || CAST(py + 10 AS VARCHAR) || ']]}' AS gj
+              FROM g ORDER BY c_custkey""")),
+
     // ---- UUID family (registry.go uuid_to_bin/bin_to_uuid/is_uuid):
     //      deterministic md5-derived uuid text per row, validated and
     //      round-tripped through the binary forms (±swap flag)

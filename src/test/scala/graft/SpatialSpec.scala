@@ -225,4 +225,78 @@ class SpatialSpec extends AnyFunSuite {
     assert(r.getString(5) == "POLYGON((0 0,4 0,4 4,0 4,0 0))")
     assert(r.getDouble(6) == 12.5 && r.getDouble(7) == -3.0)
   }
+
+  test("multi-geometry WKT round-trip (multipoint.go/multilinestring.go/" +
+      "multipolygon.go/geometrycollection.go canonical forms)") {
+    // both MySQL MULTIPOINT spellings canonicalize to wrapped points
+    assert(one[String](sp.stGeomFromText(lit("MULTIPOINT(1 2, 3 4)")))
+      == "MULTIPOINT((1 2),(3 4))")
+    assert(one[String](sp.stGeomFromText(lit("multipoint((1 2),(3 4))")))
+      == "MULTIPOINT((1 2),(3 4))")
+    assert(one[String](sp.stGeomFromText(
+      lit("MULTILINESTRING((0 0,1 1),(2 2,3 3,4 4))")))
+      == "MULTILINESTRING((0 0,1 1),(2 2,3 3,4 4))")
+    assert(one[String](sp.stGeomFromText(
+      lit("MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((2 2,3 2,3 3,2 2)))")))
+      == "MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((2 2,3 2,3 3,2 2)))")
+    assert(one[String](sp.stGeomFromText(
+      lit("GEOMETRYCOLLECTION(POINT(1 1),LINESTRING(0 0,2 2))")))
+      == "GEOMETRYCOLLECTION(POINT(1 1),LINESTRING(0 0,2 2))")
+    assert(one[String](sp.stGeomFromText(lit("GEOMETRYCOLLECTION EMPTY")))
+      == "GEOMETRYCOLLECTION EMPTY")
+    // malformed multis -> null
+    assert(one[Any](sp.stGeomFromText(lit("MULTIPOINT()"))) == null)
+    assert(one[Any](sp.stGeomFromText(
+      lit("MULTIPOLYGON(((0 0,1 0,1 1)))"))) == null) // unclosed ring
+  }
+
+  test("st_numgeometries / st_geometryn (st_numgeometries.go:93, " +
+      "st_geometryn.go:114)") {
+    val mp = lit("MULTIPOINT((1 2),(3 4),(5 6))")
+    assert(one[Int](sp.stNumGeometries(mp)) == 3)
+    assert(one[String](sp.stGeometryN(mp, lit(2))) == "POINT(3 4)")
+    assert(one[Any](sp.stGeometryN(mp, lit(4))) == null) // out of range
+    assert(one[Any](sp.stGeometryN(mp, lit(0))) == null) // 1-based
+    val gc = lit("GEOMETRYCOLLECTION(POINT(1 1),POLYGON((0 0,2 0,2 2,0 2,0 0)))")
+    assert(one[Int](sp.stNumGeometries(gc)) == 2)
+    assert(one[String](sp.stGeometryN(gc, lit(2)))
+      == "POLYGON((0 0,2 0,2 2,0 2,0 0))")
+    // simple geometries: NULL per MySQL
+    assert(one[Any](sp.stNumGeometries(lit("POINT(1 1)"))) == null)
+    assert(one[Any](sp.stGeometryN(lit("POINT(1 1)"), lit(1))) == null)
+  }
+
+  test("multi-geometry constructors, accessors, relations, WKB/GeoJSON") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT st_astext(multipoint(point(1,2), point(3,4))) AS mp,
+               st_astext(multilinestring(linestring(point(0,0), point(1,1)),
+                                         linestring(point(2,2), point(3,3)))) AS ml,
+               st_astext(geomcollection(point(5,5), linestring(point(0,0), point(9,9)))) AS gc,
+               st_geometrytype('MULTIPOLYGON(((0 0,1 0,1 1,0 0)))') AS gt,
+               st_geometrytype('GEOMETRYCOLLECTION(POINT(1 1))') AS gtc,
+               st_dimension('GEOMETRYCOLLECTION(POINT(1 1),LINESTRING(0 0,1 1))') AS dim,
+               st_numgeometries(st_mpointfromtext('MULTIPOINT(1 1, 2 2)')) AS ng,
+               st_intersects('MULTIPOINT((1 1),(9 9))',
+                             'POLYGON((0 0,2 0,2 2,0 2,0 0))') AS mi,
+               st_astext(st_geomfromwkb(st_aswkb('MULTILINESTRING((0 0,1 1),(2 2,3 3))'))) AS wkb_rt,
+               st_asgeojson('MULTIPOINT((1 2),(3 4))') AS gj,
+               st_astext(st_geomfromgeojson(
+                 '{"type":"MultiPolygon","coordinates":[[[[0,0],[1,0],[1,1],[0,0]]]]}')) AS gj_rt,
+               st_isclosed('MULTILINESTRING((0 0,1 1,0 0),(2 2,3 3,2 2))') AS closed""")
+      .collect()(0)
+    assert(r.getString(0) == "MULTIPOINT((1 2),(3 4))")
+    assert(r.getString(1) == "MULTILINESTRING((0 0,1 1),(2 2,3 3))")
+    assert(r.getString(2) == "GEOMETRYCOLLECTION(POINT(5 5),LINESTRING(0 0,9 9))")
+    assert(r.getString(3) == "MULTIPOLYGON")
+    assert(r.getString(4) == "GEOMCOLLECTION")
+    assert(r.getInt(5) == 1)
+    assert(r.getInt(6) == 2)
+    assert(r.getBoolean(7)) // (1 1) sits in the polygon
+    assert(r.getString(8) == "MULTILINESTRING((0 0,1 1),(2 2,3 3))")
+    assert(r.getString(9) ==
+      """{"type":"MultiPoint","coordinates":[[1,2],[3,4]]}""")
+    assert(r.getString(10) == "MULTIPOLYGON(((0 0,1 0,1 1,0 0)))")
+    assert(r.getBoolean(11))
+  }
 }
