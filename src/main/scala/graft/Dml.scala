@@ -131,6 +131,10 @@ object Dml {
     """(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val ShowCreate =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+  private val ShowCollation =
+    """(?is)^\s*SHOW\s+COLLATION(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val ShowCharset =
+    """(?is)^\s*SHOW\s+(?:CHARACTER\s+SET|CHARSET)(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   // LOAD DATA INFILE 'path' INTO TABLE t [clauses] (reference
   // sql/plan/load_data.go:25 — FIELDS/LINES/IGNORE clause grammar)
   private val LoadData =
@@ -407,6 +411,31 @@ object Dml {
         ("Questions", "1"))
       Some(filterLike(stats.toDF("Variable_name", "Value"), "Variable_name", like))
 
+    // SHOW COLLATION / CHARACTER SET (reference sql/rowexec/show.go over
+    // sql/collations.go): the resolvable catalog with MySQL's columns
+    case ShowCollation(like) =>
+      val s = e.spark
+      import s.implicits._
+      val rows = Dialect.supportedCollations.zipWithIndex.map {
+        case ((n, cs, d), i) =>
+          (n, cs, (i + 1).toLong, if (d) "Yes" else "", "Yes", 1L)
+      }
+      Some(filterLike(
+        rows.toDF("Collation", "Charset", "Id", "Default", "Compiled",
+          "Sortlen"), "Collation", like))
+
+    case ShowCharset(like) =>
+      val s = e.spark
+      import s.implicits._
+      val rows = Seq(
+        ("utf8mb4", "UTF-8 Unicode", "utf8mb4_0900_ai_ci", 4L),
+        ("latin1", "cp1252 West European", "latin1_swedish_ci", 1L),
+        ("ascii", "US ASCII", "ascii_general_ci", 1L),
+        ("binary", "Binary pseudo charset", "binary", 1L))
+      Some(filterLike(
+        rows.toDF("Charset", "Description", "Default collation", "Maxlen"),
+        "Charset", like))
+
     case ShowProcesslist() =>
       val s = e.spark
       import s.implicits._
@@ -514,6 +543,22 @@ object Dml {
 
   private def stripTick(s: String): String = s.stripPrefix("`").stripSuffix("`")
 
+  /** Column-declared collation: `nm VARCHAR(20) COLLATE utf8mb4_0900_ai_ci`
+    * becomes a Spark collated string type, so every later comparison /
+    * ORDER BY / GROUP BY on the column is collation-aware without
+    * per-query COLLATE clauses (reference: column collations resolve at
+    * CREATE time, sql/planbuilder/ddl.go + sql/collations.go). The MySQL
+    * name was already mapped to a Spark collation by Dialect.rewrite. */
+  private def applyCollation(dt: org.apache.spark.sql.types.DataType,
+                             spec: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.StringType
+    """(?i)\bCOLLATE\s+([A-Za-z0-9_]+)""".r.findFirstMatchIn(spec) match {
+      case Some(m) if dt == StringType && !m.group(1).equalsIgnoreCase("UTF8_BINARY") =>
+        StringType(m.group(1))
+      case _ => dt
+    }
+  }
+
   /** DEFAULT value in a column spec: '(expr)' taken with the balanced
     * scan (nested parens — DEFAULT ((2 + (3)))), quoted strings with
     * ''/\' escapes, else the bare token. */
@@ -553,7 +598,8 @@ object Dml {
               .startsWith("unsigned")) " unsigned" else "")
     }
     val up = rest.toUpperCase
-    val (dt, vocab) = mysqlDataType(typeText)
+    val (dt0, vocab) = mysqlDataType(typeText)
+    val dt = applyCollation(dt0, rest)
     vocab.foreach { case (isSet, vs) =>
       if (isSet) e.declareSet(table, colName, vs)
       else e.declareEnum(table, colName, vs)
@@ -641,10 +687,10 @@ object Dml {
         case RenameCol(a, b) =>
           df = df.withColumnRenamed(stripTick(a), stripTick(b))
         case Modify(cn, spec) =>
-          val (dt, _) = mysqlDataType(spec)
+          val dt = applyCollation(mysqlDataType(spec)._1, spec)
           df = df.withColumn(stripTick(cn), col(s"`${stripTick(cn)}`").cast(dt))
         case Change(a, b, spec) =>
-          val (dt, _) = mysqlDataType(spec)
+          val dt = applyCollation(mysqlDataType(spec)._1, spec)
           df = df.withColumn(stripTick(a), col(s"`${stripTick(a)}`").cast(dt))
             .withColumnRenamed(stripTick(a), stripTick(b))
         case RenameTo(n) => renameTo = Some(stripTick(n))

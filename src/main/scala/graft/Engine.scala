@@ -146,6 +146,29 @@ object Dialect {
     }
   }
 
+  /** Collation catalog rows (name, charset, default?) — the resolvable
+    * subset, surfaced by SHOW COLLATION and information_schema.collations
+    * (reference sql/collations.go catalog + show.go). */
+  def supportedCollations: Seq[(String, String, Boolean)] = {
+    val base = Seq(
+      ("utf8mb4_0900_ai_ci", "utf8mb4", true),
+      ("utf8mb4_0900_as_ci", "utf8mb4", false),
+      ("utf8mb4_0900_as_cs", "utf8mb4", false),
+      ("utf8mb4_0900_bin", "utf8mb4", false),
+      ("utf8mb4_bin", "utf8mb4", false),
+      ("utf8mb4_general_ci", "utf8mb4", false),
+      ("utf8mb4_unicode_ci", "utf8mb4", false),
+      ("latin1_swedish_ci", "latin1", false),
+      ("latin1_bin", "latin1", false),
+      ("ascii_general_ci", "ascii", false),
+      ("binary", "binary", false))
+    val locales = icuLocales.toSeq.map(_.toLowerCase).sorted.flatMap { l =>
+      Seq((s"utf8mb4_${l}_0900_ai_ci", "utf8mb4", false),
+        (s"utf8mb4_${l}_0900_as_cs", "utf8mb4", false))
+    }
+    base ++ locales
+  }
+
   def rewrite(sql: String): String = {
     // token-level passes first (each is literal-aware on its own):
     // GROUP_CONCAT(...SEPARATOR...) -> listagg, MySQL XOR truthiness,
@@ -315,6 +338,14 @@ class Engine(val spark: SparkSession) {
           val viaWhere = SqlRewrite.havingNoGroup(rewritten)
           if (viaWhere == rewritten) throw e
           runWithTruthyRetry(viaWhere)
+        // BETWEEN over a collated column: Spark's With-node desugaring
+        // drops the collation (INDETERMINATE_COLLATION). Retry with the
+        // explicit >= AND <= form, which is MySQL's definition anyway.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("INDETERMINATE_COLLATION") =>
+          val expanded = SqlRewrite.betweenExpand(rewritten)
+          if (expanded == rewritten) throw e
+          runWithTruthyRetry(expanded)
       }
     }
     }
@@ -851,10 +882,7 @@ class Engine(val spark: SparkSession) {
         "maxlen")
       .createOrReplaceTempView("information_schema_character_sets")
 
-    Seq(
-      ("utf8mb4_0900_ai_ci", "utf8mb4", true),
-      ("utf8mb4_bin", "utf8mb4", false),
-      ("utf8_lcase", "utf8mb4", false))
+    Dialect.supportedCollations
       .toDF("collation_name", "character_set_name", "is_default")
       .createOrReplaceTempView("information_schema_collations")
 

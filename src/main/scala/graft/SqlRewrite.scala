@@ -260,6 +260,103 @@ object SqlRewrite {
     text
   }
 
+  private val cmpSyms = Set("=", "<", ">", "<=", ">=", "<>", "!=", "<=>")
+
+  /** `x [NOT] BETWEEN lo AND hi` -> explicit range comparisons.
+    * Retry-only (Engine catches INDETERMINATE_COLLATION): Spark 4
+    * desugars BETWEEN through a shared common-expression (`With`) node
+    * whose reference drops the column's collation, so BETWEEN over a
+    * collated column fails analysis. The explicit `>= AND <=` form keeps
+    * collation (MySQL defines BETWEEN as exactly that — reference
+    * sql/expression/comparison.go). */
+  def betweenExpand(sql: String): String = {
+    var text = sql
+    var remaining = true
+    while (remaining) {
+      val toks = tokenize(text)
+      val at = toks.indexWhere(_.isWord("between"))
+      if (at < 0) remaining = false
+      else {
+        val notAt = if (at > 0 && toks(at - 1).isWord("not")) at - 1 else -1
+        val subjEnd = if (notAt >= 0) notAt - 1 else at - 1
+        // subject: walk back; stop at comparison symbols, logical words,
+        // clause keywords, unbalanced parens, commas
+        var i = subjEnd
+        var depth = 0
+        var leftStart = -1
+        var stop = false
+        while (i >= 0 && !stop) {
+          val t = toks(i)
+          t.text match {
+            case ")" => depth += 1
+            case "(" if depth == 0 => stop = true
+            case "(" => depth -= 1
+            case "," | ";" if depth == 0 => stop = true
+            case w if depth == 0 && t.kind == Word &&
+                (clauseStops(w.toLowerCase) || w.equalsIgnoreCase("and") ||
+                 w.equalsIgnoreCase("not")) => stop = true
+            case s if depth == 0 && t.kind == Sym && cmpSyms(s) => stop = true
+            case _ =>
+          }
+          if (!stop) { leftStart = i; i -= 1 }
+        }
+        // lo: up to the FIRST depth-0 AND (lo can't contain bare AND)
+        var j = at + 1
+        depth = 0
+        var andAt = -1
+        while (j < toks.length && andAt < 0) {
+          val t = toks(j)
+          t.text match {
+            case "(" => depth += 1
+            case ")" => depth -= 1
+            case _ if depth == 0 && t.isWord("and") => andAt = j
+            case _ =>
+          }
+          j += 1
+        }
+        require(leftStart >= 0 && andAt > at + 1,
+          s"BETWEEN operand scan failed: $text")
+        // hi: forward value scan (same stops as XOR's right operand,
+        // plus AND — `a BETWEEN 1 AND 2 AND b = 3` ends hi at the 2)
+        j = andAt + 1
+        depth = 0
+        var rightEnd = -1
+        stop = false
+        while (j < toks.length && !stop) {
+          val t = toks(j)
+          val prev = if (rightEnd >= 0) Some(toks(rightEnd)) else None
+          val prevIsValue = prev.exists(p =>
+            p.kind == Lit || p.text == ")" ||
+            (p.kind == Word && !valueConnectors(p.text.toLowerCase)))
+          t.text match {
+            case "(" => depth += 1
+            case ")" if depth == 0 => stop = true
+            case ")" => depth -= 1
+            case "," | ";" if depth == 0 => stop = true
+            case w if depth == 0 && t.kind == Word &&
+                (clauseStops(w.toLowerCase) || w.equalsIgnoreCase("and")) =>
+              stop = true
+            case w if depth == 0 && t.kind == Word && prevIsValue &&
+                !valueConnectors(w.toLowerCase) =>
+              stop = true
+            case _ =>
+          }
+          if (!stop) { rightEnd = j; j += 1 }
+        }
+        require(rightEnd >= andAt + 1, s"BETWEEN operand scan failed: $text")
+        val subj = text.substring(toks(leftStart).start, toks(subjEnd).end)
+        val lo = text.substring(toks(at + 1).start, toks(andAt - 1).end)
+        val hi = text.substring(toks(andAt + 1).start, toks(rightEnd).end)
+        val repl =
+          if (notAt >= 0) s"(($subj) < ($lo) OR ($subj) > ($hi))"
+          else s"(($subj) >= ($lo) AND ($subj) <= ($hi))"
+        text = text.substring(0, toks(leftStart).start) + repl +
+          text.substring(toks(rightEnd).end)
+      }
+    }
+    text
+  }
+
   // ---- DATE_ADD/ADDDATE/DATE_SUB/SUBDATE(x, INTERVAL n unit)
   //      -> (CAST(x AS TIMESTAMP) ± INTERVAL n unit)
   //      Spark's date_add/date_sub take (date, days); MySQL's INTERVAL form

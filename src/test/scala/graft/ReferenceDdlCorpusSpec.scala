@@ -167,4 +167,89 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     assert(rows("select a, s from qt") == Seq(Seq(9, "a)b(")))
     engine.query("drop table qt")
   }
+
+  test("column-declared collations: comparisons/ordering are collation-" +
+      "aware without per-query COLLATE (charset_collation_engine.go shapes)") {
+    engine.runScript(
+      """create table nm_ci (id int, nm varchar(20) collate utf8mb4_0900_ai_ci);
+        |insert into nm_ci values (1,'b'), (2,'A'), (3,'á'), (4,'B'), (5,'a');
+        |""".stripMargin)
+    // ai_ci groups {A, á, a} before {b, B}; ties break on id
+    assert(rows("select nm from nm_ci order by nm, id").map(_.head) ==
+      Seq("A", "á", "a", "b", "B"))
+    // equality merges case and accent variants
+    assert(rows("select count(*) n from nm_ci where nm = 'a'") == Seq(Seq(3L)))
+    assert(rows("select count(distinct nm) n from nm_ci") == Seq(Seq(2L)))
+    // binary column for contrast: 5 distinct
+    engine.runScript(
+      """create table nm_bin (id int, nm varchar(20));
+        |insert into nm_bin select id, nm from nm_ci;
+        |""".stripMargin)
+    assert(rows("select count(distinct nm) n from nm_bin") == Seq(Seq(5L)))
+    // ALTER MODIFY can change the collation after the fact
+    engine.query(
+      "alter table nm_bin modify column nm varchar(20) collate utf8mb4_0900_ai_ci")
+    assert(rows("select count(distinct nm) n from nm_bin") == Seq(Seq(2L)))
+    engine.query("drop table nm_ci")
+    engine.query("drop table nm_bin")
+  }
+
+  test("collation ordering + predicates (charset_collation_engine.go:122-232)") {
+    engine.runScript(
+      """CREATE TABLE ct1 (pk BIGINT PRIMARY KEY, v1 VARCHAR(255) COLLATE utf16_unicode_ci, INDEX(v1));
+        |CREATE TABLE ct2 (pk BIGINT PRIMARY KEY, v1 VARCHAR(255) COLLATE utf8mb4_0900_bin, INDEX(v1));
+        |INSERT INTO ct1 VALUES (1, 'abc'), (2, 'ABC'), (3, 'aBc'), (4, 'AbC');
+        |INSERT INTO ct2 VALUES (1, 'abc'), (2, 'ABC'), (3, 'aBc'), (4, 'AbC');
+        |""".stripMargin)
+    def q(sql: String): Seq[(String, Long)] =
+      engine.query(sql).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ci collation: all four compare equal — ORDER BY v1,pk is pk order
+    assert(q("SELECT v1, pk FROM ct1 ORDER BY v1, pk") ==
+      Seq(("abc", 1L), ("ABC", 2L), ("aBc", 3L), ("AbC", 4L)))
+    // binary collation: byte order ABC < AbC < aBc < abc
+    assert(q("SELECT v1, pk FROM ct2 ORDER BY v1, pk") ==
+      Seq(("ABC", 2L), ("AbC", 4L), ("aBc", 3L), ("abc", 1L)))
+    // predicates against the ci column treat case variants as equal
+    assert(q("SELECT v1, pk FROM ct1 WHERE v1 > 'AbC' ORDER BY v1, pk").isEmpty)
+    assert(q("SELECT v1, pk FROM ct1 WHERE v1 >= 'AbC' ORDER BY v1, pk").size == 4)
+    assert(q("SELECT v1, pk FROM ct1 WHERE v1 = 'ABC' ORDER BY v1, pk").size == 4)
+    assert(q("SELECT v1, pk FROM ct1 WHERE v1 BETWEEN 'ABC' AND 'AbC' ORDER BY v1, pk").size == 4)
+    assert(q("SELECT v1, pk FROM ct1 WHERE v1 IN ('abc') ORDER BY v1, pk").size == 4)
+    // binary column: exact byte comparisons
+    assert(q("SELECT v1, pk FROM ct2 WHERE v1 > 'AbC' ORDER BY v1, pk") ==
+      Seq(("aBc", 3L), ("abc", 1L)))
+    assert(q("SELECT v1, pk FROM ct2 WHERE v1 >= 'AbC' ORDER BY v1, pk") ==
+      Seq(("AbC", 4L), ("aBc", 3L), ("abc", 1L)))
+    assert(q("SELECT v1, pk FROM ct2 WHERE v1 <= 'aBc' ORDER BY v1, pk") ==
+      Seq(("ABC", 2L), ("AbC", 4L), ("aBc", 3L)))
+    assert(q("SELECT v1, pk FROM ct2 WHERE v1 = 'ABC' ORDER BY v1, pk") ==
+      Seq(("ABC", 2L)))
+    assert(q("SELECT v1, pk FROM ct2 WHERE v1 IN ('abc') ORDER BY v1, pk") ==
+      Seq(("abc", 1L)))
+    // MODIFY to a plain VARCHAR drops the declared collation -> binary
+    engine.query("ALTER TABLE ct1 MODIFY COLUMN v1 VARCHAR(100)")
+    assert(q("SELECT v1, pk FROM ct1 WHERE v1 <= 'aBc' ORDER BY v1, pk") ==
+      Seq(("ABC", 2L), ("AbC", 4L), ("aBc", 3L)))
+    engine.query("drop table ct1")
+    engine.query("drop table ct2")
+  }
+
+  test("SHOW COLLATION / SHOW CHARACTER SET (show.go over collations.go)") {
+    val colls = engine.query("SHOW COLLATION").collect()
+    assert(colls.length > 30)
+    assert(colls.exists(r => r.getString(0) == "utf8mb4_0900_ai_ci" &&
+      r.getString(3) == "Yes"))
+    val ja = engine.query("SHOW COLLATION LIKE 'utf8mb4_ja%'").collect()
+    assert(ja.map(_.getString(0)).toSet ==
+      Set("utf8mb4_ja_0900_ai_ci", "utf8mb4_ja_0900_as_cs"))
+    val cs = engine.query("SHOW CHARACTER SET").collect()
+    assert(cs.map(_.getString(0)).toSet ==
+      Set("utf8mb4", "latin1", "ascii", "binary"))
+    assert(engine.query("SHOW CHARSET LIKE 'utf8%'").collect().length == 1)
+    // information_schema view reflects the same catalog
+    engine.enableInformationSchema()
+    assert(engine.query(
+      "SELECT count(*) n FROM information_schema_collations").collect()(0)
+      .getLong(0).toInt == colls.length)
+  }
 }
