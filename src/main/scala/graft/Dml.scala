@@ -133,6 +133,15 @@ object Dml {
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val ShowCollation =
     """(?is)^\s*SHOW\s+COLLATION(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val ShowTableStatus =
+    """(?is)^\s*SHOW\s+TABLE\s+STATUS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  // standalone index DDL (reference sql/planbuilder/ddl.go buildCreateIndex)
+  private val CreateIdxStmt =
+    re("""(?is)^\s*CREATE\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*\(([^)]*)\)\s*$""")
+  private val DropIdxStmt =
+    re("""(?is)^\s*DROP\s+INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*$""")
+  private val AnalyzeStmt =
+    re("""(?is)^\s*ANALYZE\s+(?:NO_WRITE_TO_BINLOG\s+|LOCAL\s+)?TABLE\s+<T>\s*$""")
   private val ShowCharset =
     """(?is)^\s*SHOW\s+(?:CHARACTER\s+SET|CHARSET)(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   // LOAD DATA INFILE 'path' INTO TABLE t [clauses] (reference
@@ -259,6 +268,13 @@ object Dml {
             s"Unknown column '$name' in 'field list'"))
         resolved -> ex
       }
+      // direct assignment to a generated column is MySQL error 3105
+      assigns.foreach { case (c, _) =>
+        if (e.generatedCols.exists(g => g._1 == table && g._2.equalsIgnoreCase(c)))
+          throw new IllegalArgumentException(
+            s"The value specified for generated column '$c' in table " +
+            s"'$table' is not allowed. (MySQL error 3105)")
+      }
       // sequential fold: gate (if any) is materialized from the ORIGINAL
       // row first so later layers can't perturb the match predicate
       def assignSequential(df: DataFrame,
@@ -279,16 +295,19 @@ object Dml {
           val whereClause = whereOpt.map(w => s" WHERE $w").getOrElse("")
           val subset = e.query(s"SELECT * FROM ${tick(table)}$whereClause $orderLimit")
           val affected = subset.count()
-          val newDf = t.exceptAll(subset).unionByName(assignSequential(subset, None))
+          val newDf = e.computeGenerated(table,
+            t.exceptAll(subset).unionByName(assignSequential(subset, None)))
           e.validateVocab(table, newDf)
+          e.validateChecks(table, newDf)
           e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
         case None =>
           val gate = whereOpt.map(cond =>
             coalesce(expr(cond).cast("boolean"), lit(false)))
           val affected = gate.map(g => t.filter(g).count()).getOrElse(t.count())
-          val newDf = assignSequential(t, gate)
+          val newDf = e.computeGenerated(table, assignSequential(t, gate))
           e.validateVocab(table, newDf)
+          e.validateChecks(table, newDf)
           e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
       }
@@ -410,6 +429,39 @@ object Dml {
       val stats = Seq(("Threads_connected", "1"), ("Uptime", "1"),
         ("Questions", "1"))
       Some(filterLike(stats.toDF("Variable_name", "Value"), "Variable_name", like))
+
+    case CreateIdxStmt(name, tableRaw, cols) =>
+      e.declareIndex(normName(tableRaw), name,
+        cols.split(",").map(c => stripTick(c.trim)).toSeq)
+      Some(ok(e, 0L))
+
+    case DropIdxStmt(name, tableRaw) =>
+      e.dropIndex(normName(tableRaw), name)
+      Some(ok(e, 0L))
+
+    // ANALYZE TABLE: stats live in the session (AQE re-plans from runtime
+    // stats); returns MySQL's 4-column status row (rowexec/analyze.go)
+    case AnalyzeStmt(tableRaw) =>
+      val table = normName(tableRaw)
+      e.spark.table(table) // validates existence
+      val s = e.spark
+      import s.implicits._
+      Some(Seq((table, "analyze", "status", "OK"))
+        .toDF("Table", "Op", "Msg_type", "Msg_text"))
+
+    case ShowTableStatus(like) =>
+      val s = e.spark
+      import s.implicits._
+      // Rows is the optimizer's estimate (MySQL's is approximate too);
+      // no per-table scan — SHOW must not read data at any scale
+      val rows = e.spark.catalog.listTables().collect().toSeq.map { t =>
+        val est: java.lang.Long = scala.util.Try(
+          e.spark.table(t.name).queryExecution.optimizedPlan.stats.rowCount
+            .map(_.toLong)).toOption.flatten.map(Long.box).orNull
+        (t.name, "graft-spark", 10L, "Dynamic", est, "utf8mb4_0900_ai_ci")
+      }
+      Some(filterLike(rows.toDF("Name", "Engine", "Version", "Row_format",
+        "Rows", "Collation"), "Name", like))
 
     // SHOW COLLATION / CHARACTER SET (reference sql/rowexec/show.go over
     // sql/collations.go): the resolvable catalog with MySQL's columns
@@ -559,6 +611,27 @@ object Dml {
     }
   }
 
+  /** `GENERATED ALWAYS AS (expr) [VIRTUAL|STORED]` (MySQL also allows the
+    * bare `AS (expr)` shorthand) — balanced-paren expr extraction. */
+  private def extractGenerated(spec: String): Option[String] =
+    """(?is)\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\(""".r.findFirstMatchIn(spec)
+      .map { m =>
+        val s = spec.substring(m.end)
+        val close = closingParen(s)
+        if (close < 0) s else s.substring(0, close)
+      }
+
+  /** `[CONSTRAINT name] CHECK (expr)` — balanced-paren expr extraction;
+    * None when the item carries no CHECK. */
+  private def extractCheck(item: String): Option[(Option[String], String)] =
+    """(?is)(?:\bCONSTRAINT\s+`?([A-Za-z0-9_]+)`?\s+)?\bCHECK\s*\(""".r
+      .findFirstMatchIn(item).flatMap { m =>
+        val s = item.substring(m.end)
+        val close = closingParen(s)
+        if (close < 0) None
+        else Some((Option(m.group(1)), s.substring(0, close)))
+      }
+
   /** DEFAULT value in a column spec: '(expr)' taken with the balanced
     * scan (nested parens — DEFAULT ((2 + (3)))), quoted strings with
     * ''/\' escapes, else the bare token. */
@@ -606,8 +679,17 @@ object Dml {
     }
     if (up.contains("PRIMARY KEY")) e.declareKey(table, Seq(colName))
     if (up.contains("AUTO_INCREMENT")) e.declareAutoInc(table, colName)
-    // declared DEFAULT: applied to unmentioned columns on insert
-    extractDefault(rest).foreach(d => e.declareDefault(table, colName, d))
+    extractGenerated(rest) match {
+      case Some(g) => e.declareGenerated(table, colName, g)
+      case None =>
+        // declared DEFAULT: applied to unmentioned columns on insert
+        extractDefault(rest).foreach(d => e.declareDefault(table, colName, d))
+    }
+    // column-level CHECK (MySQL 8.0.16 enforcement semantics)
+    extractCheck(rest).foreach { case (nm, ex) =>
+      e.declareCheck(table, nm.getOrElse(
+        s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}"), ex)
+    }
     StructField(colName, dt, nullable = !up.contains("NOT NULL"))
   }
 
@@ -619,9 +701,16 @@ object Dml {
       if (up.startsWith("PRIMARY KEY")) {
         keyCols.findFirstMatchIn(item).foreach(k =>
           e.declareKey(table, k.group(1).split(",").map(c => stripTick(c.trim)).toSeq))
+      } else if (up.startsWith("CHECK") ||
+          (up.startsWith("CONSTRAINT") && up.contains("CHECK"))) {
+        // table-level CHECK: enforced on every write (MySQL 8.0.16+)
+        extractCheck(item).foreach { case (nm, ex) =>
+          e.declareCheck(table, nm.getOrElse(
+            s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}"), ex)
+        }
       } else if (Seq("UNIQUE", "KEY", "INDEX", "CONSTRAINT", "FOREIGN",
-          "CHECK", "FULLTEXT", "SPATIAL").exists(up.startsWith))
-        () // secondary-index / constraint metadata: no physical effect here
+          "FULLTEXT", "SPATIAL").exists(up.startsWith))
+        () // secondary-index / FK metadata: no physical effect here
       else fields += parseColDef(e, table, item)
     }
     // List-based constructor -> LocalRelation leaf (an emptyRDD would be
@@ -653,12 +742,38 @@ object Dml {
     val AddPk = """(?is)^ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)$""".r
     val IndexDdl =
       """(?is)^(?:ADD\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:INDEX|KEY)|DROP\s+(?:INDEX|KEY|PRIMARY\s+KEY)|ALTER\s+INDEX|RENAME\s+(?:INDEX|KEY)|ENGINE|AUTO_INCREMENT|COMMENT|CONVERT\s+TO|CHARACTER\s+SET|COLLATE).*$""".r
+    val AddIndex =
+      """(?is)^ADD\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:INDEX|KEY)\s+`?([A-Za-z0-9_]+)`?\s*\(([^)]*)\)$""".r
+    val DropIdx = """(?is)^DROP\s+(?:INDEX|KEY)\s+`?([A-Za-z0-9_]+)`?$""".r
+    val AddCheck =
+      """(?is)^ADD\s+(?:CONSTRAINT\s+`?([A-Za-z0-9_]+)`?\s+)?CHECK\s*\(.*$""".r
+    val DropCheck =
+      """(?is)^DROP\s+(?:CHECK|CONSTRAINT)\s+`?([A-Za-z0-9_]+)`?$""".r
     splitTop(actions).foreach { action =>
       action match {
         // index/constraint actions first: they'd otherwise parse as an
         // ADD COLUMN named PRIMARY/UNIQUE/INDEX
         case AddPk(cols) =>
           e.declareKey(table, cols.split(",").map(c => stripTick(c.trim)).toSeq)
+        case AddIndex(name, cols) =>
+          e.declareIndex(table, name,
+            cols.split(",").map(c => stripTick(c.trim)).toSeq)
+        case DropIdx(name) => e.dropIndex(table, name)
+        case AddCheck(_) =>
+          // validates existing rows BEFORE registering — a failed ADD
+          // must not leave the constraint behind (MySQL semantics)
+          extractCheck(action).foreach { case (nm, ex) =>
+            val name = nm.getOrElse(
+              s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}")
+            val bad = e.spark.table(table)
+              .filter(expr(ex).cast("boolean") === lit(false)).limit(1).count()
+            if (bad > 0) throw new IllegalArgumentException(
+              s"Check constraint '$name' is violated. (MySQL error 3819)")
+            e.declareCheck(table, name, ex)
+          }
+        case DropCheck(name) =>
+          e.checkConstraints.filterInPlace(c =>
+            !(c._1 == table && c._2.equalsIgnoreCase(name)))
         case IndexDdl() => () // metadata-only
         case Add(cn, spec) =>
           val (dt, _) = mysqlDataType(spec)

@@ -533,8 +533,11 @@ class Engine(val spark: SparkSession) {
 
   private[graft] def insertDf(table: String, incoming0: DataFrame,
                               fillMissing: Boolean): Unit = {
-    val coerced = coerceAndFill(table, incoming0, fillMissing)
+    rejectExplicitGenerated(table, incoming0)
+    val coerced = computeGenerated(table,
+      coerceAndFill(table, incoming0, fillMissing))
     validateVocab(table, coerced)
+    validateChecks(table, coerced)
     val target = spark.table(table)
     val unioned = target.unionByName(coerced, allowMissingColumns = fillMissing)
     replaceTable(table, unioned, bumpDepth = true)
@@ -688,6 +691,82 @@ class Engine(val spark: SparkSession) {
   def declareAutoInc(table: String, column: String): Unit =
     autoIncCols(table) = column
 
+  // ---- generated columns + CHECK constraints ----------------------------
+  // (reference: generated columns in sql/plan/ddl.go + enginetest
+  // generated_columns.go; CHECK enforcement in sql/plan/check_constraint.go)
+
+  /** (table, column, exprText) in declaration order — chained generated
+    * columns (one referencing another) compute in sequence. */
+  private[graft] val generatedCols =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+
+  /** Declare `table.column` as GENERATED ALWAYS AS (exprText): writes
+    * recompute it; explicit non-NULL inserts into it are MySQL error 3105. */
+  def declareGenerated(table: String, column: String, exprText: String): Unit =
+    generatedCols += ((table, column, exprText))
+
+  private[graft] val checkConstraints =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+
+  /** Declare CHECK (exprText) on table: any write whose rows evaluate the
+    * predicate to FALSE (NULL passes, MySQL semantics) is error 3819. */
+  def declareCheck(table: String, name: String, exprText: String): Unit =
+    checkConstraints += ((table, name, exprText))
+
+  /** Recompute the table's generated columns over a write batch (insert
+    * coercion output or a post-UPDATE view), in declaration order. */
+  private[graft] def computeGenerated(table: String, df: DataFrame): DataFrame = {
+    val types = scala.util.Try(spark.table(table)).toOption
+      .map(_.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    generatedCols.toSeq.collect { case (t, c, ex) if t == table => (c, ex) }
+      .foldLeft(df) { case (d, (c, ex)) =>
+        val computed = org.apache.spark.sql.functions.expr(ex)
+        d.withColumn(c, types.get(c.toLowerCase)
+          .map(dt => computed.cast(dt)).getOrElse(computed))
+      }
+  }
+
+  /** MySQL error 3105: a generated column in the incoming batch carrying
+    * an explicit (non-NULL) value. */
+  private[graft] def rejectExplicitGenerated(table: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    generatedCols.toSeq.foreach {
+      case (t, c, _) if t == table && present.contains(c.toLowerCase) =>
+        val n = df.filter(col(present(c.toLowerCase)).isNotNull).limit(1).count()
+        if (n > 0) throw new IllegalArgumentException(
+          s"The value specified for generated column '$c' in table " +
+          s"'$table' is not allowed. (MySQL error 3105)")
+      case _ =>
+    }
+  }
+
+  /** MySQL error 3819 on any row where a CHECK evaluates to FALSE. */
+  private[graft] def validateChecks(table: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    checkConstraints.toSeq.foreach {
+      case (t, name, ex) if t == table =>
+        val bad = df.filter(expr(ex).cast("boolean") === lit(false))
+          .limit(1).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"Check constraint '$name' is violated. (MySQL error 3819)")
+      case _ =>
+    }
+  }
+
+  /** Drop per-table declared metadata with the table (otherwise a
+    * re-created table inherits stale constraints). */
+  private[graft] def clearTableMeta(table: String): Unit = {
+    generatedCols.filterInPlace(_._1 != table)
+    checkConstraints.filterInPlace(_._1 != table)
+    secondaryIndexes.filterInPlace(_._1 != table)
+    tableKeys.remove(table)
+    autoIncCols.remove(table)
+    columnDefaults.filterInPlace { case ((t, _), _) => t != table }
+    columnVocab.filterInPlace { case ((t, _), _) => t != table }
+  }
+
   // ---- ENUM / SET write validation --------------------------------------
   // The reference rejects out-of-vocabulary values at write time
   // (sql/types/enum.go:52 Convert -> ErrConvertingToEnum, set.go:45).
@@ -732,12 +811,16 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** DROP TABLE/VIEW (db-qualified names drop the catalog view). */
-  def drop(name: String): Unit =
+  /** DROP TABLE/VIEW (db-qualified names drop the catalog view).
+    * Declared per-table metadata (keys, defaults, vocab, generated
+    * columns, checks) drops with it. */
+  def drop(name: String): Unit = {
+    clearTableMeta(name)
     if (name.contains(".")) {
       val Array(db, t) = name.split("\\.", 2)
       spark.sql(s"DROP VIEW IF EXISTS `$db`.`$t`")
     } else spark.catalog.dropTempView(name)
+  }
 
   /** LOAD DATA INFILE (reference sql/plan/load_data.go:25): delimited-file
     * ingest with the reference's clause surface mapped onto the csv
@@ -909,11 +992,25 @@ class Engine(val spark: SparkSession) {
 
   /** SHOW INDEX FROM t — declared primary keys surface as the PRIMARY
     * index; there are no secondary indexes over parquet. */
+  /** Declared secondary indexes (CREATE INDEX / ALTER ADD INDEX):
+    * metadata only — Catalyst plans scans; the declaration surfaces
+    * through SHOW INDEX like the reference's index catalog. */
+  private[graft] val secondaryIndexes =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, Seq[String])]
+
+  def declareIndex(table: String, name: String, cols: Seq[String]): Unit =
+    secondaryIndexes += ((table, name, cols))
+
+  def dropIndex(table: String, name: String): Unit =
+    secondaryIndexes.filterInPlace(e => !(e._1 == table && e._2 == name))
+
   def showIndex(table: String): Seq[(String, String, Int, String)] = {
     spark.table(table) // validates the table exists, like MySQL
     tableKeys.get(table).toSeq.flatMap(_.zipWithIndex.map {
       case (c, i) => (table, "PRIMARY", i + 1, c)
-    })
+    }) ++ secondaryIndexes.toSeq.collect { case (t, n, cols) if t == table =>
+      cols.zipWithIndex.map { case (c, i) => (table, n, i + 1, c) }
+    }.flatten
   }
 
   /** Spark type -> MySQL type name (SURVEY §1.2 mapping, reversed). */

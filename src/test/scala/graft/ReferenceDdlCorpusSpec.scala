@@ -234,6 +234,108 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table ct2")
   }
 
+  test("stored generated columns (generated_columns.go:25-100)") {
+    engine.runScript(
+      "create table gt1 (a int primary key, b int as (a + 1) stored)")
+    // explicit values into a generated column: MySQL error 3105
+    intercept[IllegalArgumentException] {
+      engine.query("insert into gt1 values (1,2)")
+    }
+    intercept[IllegalArgumentException] {
+      engine.query("insert into gt1(a,b) values (1,2)")
+    }
+    engine.query("insert into gt1(a) values (1), (2), (3)")
+    assert(rows("select * from gt1 order by a") ==
+      Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)))
+    // direct UPDATE of a generated column: error 3105
+    intercept[IllegalArgumentException] {
+      engine.query("update gt1 set b = b + 1")
+    }
+    // updating a source column recomputes the generated one
+    engine.query("update gt1 set a = 10 where a = 1")
+    assert(rows("select * from gt1 order by a") ==
+      Seq(Seq(2, 3), Seq(3, 4), Seq(10, 11)))
+    engine.query("delete from gt1 where b = 11")
+    assert(rows("select count(*) n from gt1") == Seq(Seq(2L)))
+    // chained generated columns compute in declaration order
+    engine.runScript(
+      """create table gt2 (a int, b int generated always as (a * 2) stored,
+        |                  c int generated always as (b + 1) stored);
+        |insert into gt2 (a) values (5);
+        |""".stripMargin)
+    assert(rows("select * from gt2") == Seq(Seq(5, 10, 11)))
+    engine.query("drop table gt1")
+    engine.query("drop table gt2")
+  }
+
+  test("CHECK constraints enforced on writes (check_scripts.go shapes)") {
+    engine.runScript(
+      """create table ck (pk int primary key, v int,
+        |  constraint chk_big check (v > 0), check (v < 100));
+        |""".stripMargin)
+    engine.query("insert into ck values (1, 50)")
+    // violating insert names the constraint (MySQL error 3819)
+    val err = intercept[IllegalArgumentException] {
+      engine.query("insert into ck values (2, -1)")
+    }
+    assert(err.getMessage.contains("chk_big"))
+    intercept[IllegalArgumentException] {
+      engine.query("insert into ck values (2, 200)")
+    }
+    // NULL passes a CHECK (MySQL 3VL)
+    engine.query("insert into ck values (3, null)")
+    assert(rows("select count(*) n from ck") == Seq(Seq(2L)))
+    // UPDATE that would violate fails; valid UPDATE passes
+    intercept[IllegalArgumentException] {
+      engine.query("update ck set v = -5 where pk = 1")
+    }
+    engine.query("update ck set v = 60 where pk = 1")
+    assert(rows("select v from ck where pk = 1") == Seq(Seq(60)))
+    // ALTER ADD CHECK validates existing rows
+    intercept[IllegalArgumentException] {
+      engine.query("alter table ck add constraint chk_even check (v < 10)")
+    }
+    engine.query("alter table ck add constraint chk_room check (v < 1000)")
+    intercept[IllegalArgumentException] {
+      engine.query("insert into ck values (4, 5000)")
+    }
+    // DROP CHECK removes enforcement
+    engine.query("alter table ck drop check chk_big")
+    engine.query("insert into ck values (5, -7)")
+    assert(rows("select count(*) n from ck") == Seq(Seq(3L)))
+    // dropping the table clears its constraints for re-creates
+    engine.query("drop table ck")
+    engine.runScript(
+      """create table ck (pk int primary key, v int);
+        |insert into ck values (1, -999);
+        |""".stripMargin)
+    assert(rows("select v from ck") == Seq(Seq(-999)))
+    engine.query("drop table ck")
+  }
+
+  test("CREATE/DROP INDEX, ANALYZE TABLE, SHOW TABLE STATUS (index_queries.go, " +
+      "show_table_status_queries.go shapes)") {
+    engine.runScript(
+      """create table idx_t (pk int primary key, v1 int, v2 text);
+        |insert into idx_t values (1, 10, 'x'), (2, 20, 'y');
+        |""".stripMargin)
+    engine.query("create index v1_idx on idx_t (v1)")
+    engine.query("create unique index v_pair on idx_t (v1, v2)")
+    val idx = engine.query("show index from idx_t").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getString(3))).toSeq
+    assert(idx.contains(("PRIMARY", 1, "pk")))
+    assert(idx.contains(("v1_idx", 1, "v1")))
+    assert(idx.contains(("v_pair", 2, "v2")))
+    engine.query("drop index v1_idx on idx_t")
+    assert(!engine.query("show index from idx_t").collect()
+      .exists(_.getString(1) == "v1_idx"))
+    val an = engine.query("analyze table idx_t").collect()(0)
+    assert(an.getString(0) == "idx_t" && an.getString(3) == "OK")
+    val st = engine.query("show table status like 'idx_t'").collect()
+    assert(st.length == 1 && st(0).getString(0) == "idx_t")
+    engine.query("drop table idx_t")
+  }
+
   test("SHOW COLLATION / SHOW CHARACTER SET (show.go over collations.go)") {
     val colls = engine.query("SHOW COLLATION").collect()
     assert(colls.length > 30)
