@@ -117,6 +117,10 @@ object Dml {
     re("""(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?<T>\s*$""")
   private val SetVar =
     """(?is)^\s*SET\s+@([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.*?)\s*$""".r
+  // SET time_zone must dispatch before the SET noop (whose @@\S+ arm
+  // would swallow SET @@time_zone = …)
+  private val SetTz =
+    """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?time_zone\s*:?=\s*(.+?)\s*$""".r
   private val SetNoop =
     """(?is)^\s*SET\s+(?:NAMES|SESSION|GLOBAL|CHARACTER\s+SET|sql_mode|autocommit|@@\S+)\b.*$""".r
   private val ShowVariables =
@@ -268,19 +272,29 @@ object Dml {
             s"Unknown column '$name' in 'field list'"))
         resolved -> ex
       }
-      // direct assignment to a generated column is MySQL error 3105
-      assigns.foreach { case (c, _) =>
-        if (e.generatedCols.exists(g => g._1 == table && g._2.equalsIgnoreCase(c)))
+      // direct assignment to a generated column is MySQL error 3105 —
+      // except `SET g = DEFAULT`, which just recomputes (issue #9438
+      // shape in generated_columns.go); DEFAULT on a plain column takes
+      // its declared default (or NULL)
+      val assignsResolved = assigns.flatMap { case (c, ex) =>
+        val isGenerated =
+          e.generatedCols.exists(g => g._1 == table && g._2.equalsIgnoreCase(c))
+        if (ex.trim.equalsIgnoreCase("DEFAULT")) {
+          if (isGenerated) None // computeGenerated below recomputes it
+          else Some(c -> e.columnDefaults
+            .get((table, c.toLowerCase)).getOrElse("NULL"))
+        } else if (isGenerated)
           throw new IllegalArgumentException(
             s"The value specified for generated column '$c' in table " +
             s"'$table' is not allowed. (MySQL error 3105)")
+        else Some(c -> ex)
       }
       // sequential fold: gate (if any) is materialized from the ORIGINAL
       // row first so later layers can't perturb the match predicate
       def assignSequential(df: DataFrame,
                            gate: Option[org.apache.spark.sql.Column]) = {
         val g0 = gate.map(g => df.withColumn("__upd__", g)).getOrElse(df)
-        val updated = assigns.foldLeft(g0) { case (d, (c, ex)) =>
+        val updated = assignsResolved.foldLeft(g0) { case (d, (c, ex)) =>
           val v = expr(ex).cast(colTypes(c))
           d.withColumn(c,
             if (gate.isDefined) when(col("__upd__"), v).otherwise(col(s"`$c`"))
@@ -382,6 +396,8 @@ object Dml {
       val v = e.query(s"SELECT $ex").collect()(0).get(0)
       e.setVar(name, v) // null renders as SQL NULL, not the string 'NULL'
       Some(ok(e, 0L))
+
+    case SetTz(tz) => e.setTimeZone(tz); Some(ok(e, 0L))
 
     case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
 
@@ -827,23 +843,48 @@ object Dml {
 
   /** Build the row source of an INSERT/REPLACE body: positional rename
     * without a column list, inline-table alias or rename with one. */
+  /** Replace bare DEFAULT tokens in a VALUES body with the column's
+    * declared default, or NULL (generated columns recompute on write
+    * anyway) — MySQL's `INSERT … VALUES (1, DEFAULT)` form
+    * (insert_queries.go, generated_columns.go:61). */
+  private def valuesDefaults(e: Engine, table: String, cols: Seq[String],
+                             body: String): String = {
+    val t = body.trim
+    if (!t.toUpperCase.startsWith("VALUES") ||
+        """(?i)\bDEFAULT\b""".r.findFirstIn(t).isEmpty) return body
+    val tuples = splitTop(t.substring("VALUES".length))
+    val rebuilt = tuples.map { tup =>
+      val inner = tup.trim.stripPrefix("(").stripSuffix(")")
+      splitTop(inner).zipWithIndex.map { case (it, i) =>
+        if (it.trim.equalsIgnoreCase("DEFAULT"))
+          cols.lift(i).flatMap(c =>
+            e.columnDefaults.get((table, c.toLowerCase))).getOrElse("NULL")
+        else it
+      }.mkString("(", ", ", ")")
+    }
+    "VALUES " + rebuilt.mkString(", ")
+  }
+
   private def insertSource(e: Engine, table: String, colList: String,
                            hasList: Boolean, body: String): DataFrame = {
     val target = e.spark.table(table)
     if (!hasList) {
       // MySQL without a column list is POSITIONAL: rename the source
       // columns to the full target schema
-      val src = e.query(body)
+      val src = e.query(
+        valuesDefaults(e, table, target.columns.toIndexedSeq, body))
       require(src.columns.length == target.columns.length,
         s"Column count doesn't match value count (${src.columns.length} " +
         s"vs ${target.columns.length})")
       src.toDF(target.columns.toIndexedSeq: _*)
-    } else if (body.trim.toUpperCase.startsWith("VALUES"))
-      e.query(s"SELECT * FROM ( ${body.trim} ) AS __ins ${colList.trim}")
-    else {
+    } else {
       val names = colList.trim.stripPrefix("(").stripSuffix(")")
         .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
-      e.query(body).toDF(names: _*)
+      if (body.trim.toUpperCase.startsWith("VALUES"))
+        e.query(s"SELECT * FROM ( " +
+          s"${valuesDefaults(e, table, names, body.trim)} ) " +
+          s"AS __ins ${colList.trim}")
+      else e.query(body).toDF(names: _*)
     }
   }
 

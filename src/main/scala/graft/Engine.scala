@@ -173,8 +173,8 @@ object Dialect {
     // token-level passes first (each is literal-aware on its own):
     // GROUP_CONCAT(...SEPARATOR...) -> listagg, MySQL XOR truthiness,
     // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
-    val pre = SqlRewrite.convertFn(
-      SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(sql))))
+    val pre = SqlRewrite.tupleCompare(SqlRewrite.convertFn(
+      SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(sql)))))
     mapCode(pre)(rewriteCode)
   }
 
@@ -266,6 +266,29 @@ class Engine(val spark: SparkSession) {
     * string literals only. */
   private val sessionVars = scala.collection.mutable.Map.empty[String, String]
 
+  /** SET time_zone (reference time_queries.go; sysvar time_zone): maps
+    * onto spark.sql.session.timeZone, so now()/from_unixtime/date
+    * rendering follow the session zone like MySQL. MySQL offset forms
+    * normalize to [+-]HH:MM; 'SYSTEM' restores the JVM default; an
+    * unresolvable name is MySQL error 1298. */
+  def setTimeZone(raw: String): Unit = {
+    val v = raw.trim.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")
+    val resolved =
+      if (v.equalsIgnoreCase("SYSTEM")) java.util.TimeZone.getDefault.getID
+      else {
+        val cand = """^([+-])(\d{1,2}):(\d{2})$""".r.findFirstMatchIn(v)
+          .map(m => f"${m.group(1)}${m.group(2).toInt}%02d:${m.group(3)}")
+          .getOrElse(v)
+        try { java.time.ZoneId.of(cand); cand }
+        catch {
+          case _: Exception => throw new IllegalArgumentException(
+            s"Unknown or incorrect time zone: '$v' (MySQL error 1298)")
+        }
+      }
+    spark.conf.set("spark.sql.session.timeZone", resolved)
+  }
+
   /** SET @name = value. Strings are quoted; numbers pass through;
     * null renders as the SQL NULL token (not the 4-char string). */
   def setVar(name: String, value: Any): Unit = {
@@ -344,6 +367,15 @@ class Engine(val spark: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("INDETERMINATE_COLLATION") =>
           val expanded = SqlRewrite.betweenExpand(rewritten)
+          if (expanded == rewritten) throw e
+          runWithTruthyRetry(expanded)
+        // MySQL row-value comparisons — `(a,b) = (c,d)`, `(a,b) IN
+        // ((1,2),(3,4))` — have no Spark parse; expand to pairwise
+        // scalar comparisons (exact 3VL) and retry.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARSE_SYNTAX_ERROR") ||
+               e.getMessage.contains("Syntax error") =>
+          val expanded = SqlRewrite.tupleCompare(rewritten)
           if (expanded == rewritten) throw e
           runWithTruthyRetry(expanded)
       }

@@ -262,6 +262,174 @@ object SqlRewrite {
 
   private val cmpSyms = Set("=", "<", ">", "<=", ">=", "<>", "!=", "<=>")
 
+  /** token index of the '(' matching a ')' at `close` (walk back). */
+  private def openParenFor(toks: Vector[Tok], close: Int): Int = {
+    var depth = 0
+    var i = close
+    while (i >= 0) {
+      toks(i).text match {
+        case ")" => depth += 1
+        case "(" =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i -= 1
+    }
+    -1
+  }
+
+  /** token index of the ')' matching a '(' at `open` (walk forward). */
+  private def closeParenFor(toks: Vector[Tok], open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < toks.length) {
+      toks(i).text match {
+        case "(" => depth += 1
+        case ")" =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** source spans of the depth-1 comma-separated items between the
+    * parens at token indexes `open`..`close`; empty when no top-level
+    * comma (i.e. not a row constructor). */
+  private def tupleItems(toks: Vector[Tok], open: Int, close: Int,
+                         text: String): Seq[String] = {
+    val spans = Vector.newBuilder[(Int, Int)]
+    var depth = 0
+    var itemStart = -1
+    var i = open
+    var commas = 0
+    while (i <= close) {
+      val t = toks(i)
+      t.text match {
+        case "(" =>
+          depth += 1
+          if (depth == 1 && i + 1 <= close) itemStart = toks(i + 1).start
+        case ")" =>
+          depth -= 1
+          if (depth == 0) spans += ((itemStart, t.start))
+        case "," if depth == 1 =>
+          commas += 1
+          spans += ((itemStart, t.start))
+          if (i + 1 <= close) itemStart = toks(i + 1).start
+        case _ =>
+      }
+      i += 1
+    }
+    if (commas == 0) Seq.empty
+    else spans.result().map { case (s, e) => text.substring(s, e).trim }
+  }
+
+  /** pairwise 3VL expansion of a row-value comparison — MySQL's exact
+    * semantics fall out of AND/OR NULL logic: (1,2)=(NULL,3) is FALSE,
+    * (1,2)=(NULL,2) is NULL, (0,NULL)=(0,NULL) is NULL. */
+  private def tupleExpand(op: String, ls: Seq[String], rs: Seq[String]): String =
+    op match {
+      case "=" | "<=>" =>
+        ls.zip(rs).map { case (l, r) => s"($l) $op ($r)" }
+          .mkString("(", " AND ", ")")
+      case "<>" | "!=" => "(NOT " + tupleExpand("=", ls, rs) + ")"
+      case "<" | ">" | "<=" | ">=" =>
+        val strict = op.substring(0, 1)
+        def rec(i: Int): String =
+          if (i == ls.length - 1) s"(${ls(i)}) $op (${rs(i)})"
+          else s"((${ls(i)}) $strict (${rs(i)}) OR " +
+            s"((${ls(i)}) = (${rs(i)}) AND ${rec(i + 1)}))"
+        rec(0)
+    }
+
+  // words that may legitimately precede a row constructor's '(' — a
+  // bare identifier there means a function call, not a tuple
+  private val tuplePreWords = Set("where", "and", "or", "not", "on", "when",
+    "then", "else", "select", "having", "union", "all", "by", "in", "xor")
+
+  private def tupleSubjectOk(toks: Vector[Tok], lOpen: Int): Boolean =
+    lOpen == 0 || toks(lOpen - 1).kind != Word ||
+      tuplePreWords(toks(lOpen - 1).text.toLowerCase)
+
+  private def noSelect(items: Seq[String]): Boolean =
+    !items.exists(_.matches("(?is)^\\s*(?:select|with)\\b.*"))
+
+  /** MySQL row-value comparisons: `(a, b) OP (c, d)` and
+    * `(a, b) [NOT] IN ((1,2),(3,4))` expand to pairwise scalar
+    * comparisons (reference sql/expression/tuple.go + comparison.go).
+    * Spark parses the syntax but compares as struct VALUES (a NULL
+    * field is just a value: (0,NULL)=(0,NULL) is TRUE there, NULL in
+    * MySQL), so the expansion restores MySQL's 3VL. Row-subquery
+    * comparisons and function calls are left untouched. */
+  def tupleCompare(sql: String): String = {
+    var text = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = tokenize(text)
+      var k = 1
+      while (k < toks.length - 1 && !changed) {
+        val t = toks(k)
+        // (…,…) OP (…,…)
+        if (t.kind == Sym && cmpSyms(t.text) &&
+            toks(k - 1).text == ")" && toks(k + 1).text == "(") {
+          val lOpen = openParenFor(toks, k - 1)
+          val rClose = closeParenFor(toks, k + 1)
+          if (lOpen >= 0 && rClose > 0 && tupleSubjectOk(toks, lOpen)) {
+            val ls = tupleItems(toks, lOpen, k - 1, text)
+            val rs = tupleItems(toks, k + 1, rClose, text)
+            if (ls.length >= 2 && ls.length == rs.length &&
+                noSelect(ls) && noSelect(rs)) {
+              text = text.substring(0, toks(lOpen).start) +
+                tupleExpand(t.text, ls, rs) +
+                text.substring(toks(rClose).end)
+              changed = true
+            }
+          }
+        }
+        // (…,…) [NOT] IN ((…),(…))  — value list only (subqueries parse
+        // natively in Spark)
+        if (!changed && t.kind == Word && t.text.equalsIgnoreCase("in") &&
+            k + 1 < toks.length && toks(k + 1).text == "(") {
+          val neg = toks(k - 1).isWord("not")
+          val subjClose = if (neg) k - 2 else k - 1
+          if (subjClose > 0 && toks(subjClose).text == ")") {
+            val lOpen = openParenFor(toks, subjClose)
+            val listClose = closeParenFor(toks, k + 1)
+            if (lOpen >= 0 && listClose > 0 && tupleSubjectOk(toks, lOpen) &&
+                !toks.slice(k + 2, listClose).exists(x =>
+                  x.isWord("select") || x.isWord("with"))) {
+              val ls = tupleItems(toks, lOpen, subjClose, text)
+              // list items: depth-1 groups, each itself a row constructor
+              val listItems = tupleItems(toks, k + 1, listClose, text)
+              if (ls.length >= 2 && listItems.nonEmpty &&
+                  listItems.forall(_.startsWith("("))) {
+                val alts = listItems.map { item =>
+                  val innerToks = tokenize(item)
+                  val rs = tupleItems(innerToks, 0, innerToks.length - 1, item)
+                  if (rs.length != ls.length) null
+                  else tupleExpand("=", ls, rs)
+                }
+                if (!alts.contains(null)) {
+                  val ored = alts.mkString("(", " OR ", ")")
+                  val repl = if (neg) s"(NOT $ored)" else ored
+                  text = text.substring(0, toks(lOpen).start) + repl +
+                    text.substring(toks(listClose).end)
+                  changed = true
+                }
+              }
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    text
+  }
+
   /** `x [NOT] BETWEEN lo AND hi` -> explicit range comparisons.
     * Retry-only (Engine catches INDETERMINATE_COLLATION): Spark 4
     * desugars BETWEEN through a shared common-expression (`With`) node

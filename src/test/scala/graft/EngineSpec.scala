@@ -143,6 +143,25 @@ class EngineSpec extends AnyFunSuite {
     engine.query("drop table ld_t")
   }
 
+  test("SET time_zone drives session time rendering (time_queries.go)") {
+    // isolated session: conf changes must not leak into parallel suites
+    val s2 = spark.newSession()
+    val e2 = new Engine(s2)
+    def hourAtEpoch: Int =
+      e2.query("SELECT hour(from_unixtime(0)) h").collect()(0).getInt(0)
+    e2.query("SET time_zone = 'UTC'")
+    assert(hourAtEpoch == 0)
+    e2.query("SET time_zone = '-5:00'") // MySQL offset form, zero-padded
+    assert(hourAtEpoch == 19)
+    e2.query("SET @@session.time_zone = 'Pacific/Honolulu'")
+    assert(hourAtEpoch == 14)
+    val err = intercept[IllegalArgumentException] {
+      e2.query("SET time_zone = 'invalid time zone'")
+    }
+    assert(err.getMessage.contains("1298"))
+    e2.query("SET time_zone = 'SYSTEM'") // restores the JVM default
+  }
+
   test("prepared statements: named and positional parameters") {
     val named = engine.queryPrepared(
       "SELECT count(*) AS n FROM orders WHERE o_totalprice > :lo AND o_orderstatus = :st",

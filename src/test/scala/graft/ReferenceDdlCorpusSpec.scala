@@ -66,6 +66,20 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table shirts")
   }
 
+  test("DEFAULT keyword in VALUES takes the declared default (column_default_queries.go)") {
+    engine.runScript(
+      """create table dk (pk int primary key, v int default 42, s varchar(10) default 'hi');
+        |insert into dk values (1, DEFAULT, 'x'), (2, 7, DEFAULT);
+        |insert into dk (pk, v) values (3, DEFAULT);
+        |""".stripMargin)
+    assert(rows("select * from dk order by pk") ==
+      Seq(Seq(1, 42, "x"), Seq(2, 7, "hi"), Seq(3, 42, "hi")))
+    // UPDATE ... SET col = DEFAULT restores the declared default
+    engine.query("update dk set v = default where pk = 2")
+    assert(rows("select v from dk where pk = 2") == Seq(Seq(42)))
+    engine.query("drop table dk")
+  }
+
   test("column DEFAULTs apply to unmentioned insert columns (column_default_queries.go shape)") {
     engine.runScript(
       """create table td (pk bigint primary key, v1 int default 42, v2 varchar(10) default 'x', v3 int);
@@ -257,6 +271,13 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
       Seq(Seq(2, 3), Seq(3, 4), Seq(10, 11)))
     engine.query("delete from gt1 where b = 11")
     assert(rows("select count(*) n from gt1") == Seq(Seq(2L)))
+    // the DEFAULT keyword in VALUES / SET (generated_columns.go:61,88)
+    engine.query("insert into gt1(a,b) values (20, DEFAULT)")
+    assert(rows("select * from gt1 where a = 20") == Seq(Seq(20, 21)))
+    engine.query("insert into gt1 values (21, DEFAULT)")
+    assert(rows("select * from gt1 where a = 21") == Seq(Seq(21, 22)))
+    engine.query("update gt1 set b = default") // recompute: values unchanged
+    assert(rows("select * from gt1 where a = 20") == Seq(Seq(20, 21)))
     // chained generated columns compute in declaration order
     engine.runScript(
       """create table gt2 (a int, b int generated always as (a * 2) stored,

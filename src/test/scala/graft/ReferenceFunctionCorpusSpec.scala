@@ -356,6 +356,35 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
       "POLYGON((0 0,0 2,2 2,0 0))")
   }
 
+  test("row-value (tuple) comparisons with MySQL 3VL (tuple_queries.go:31-55)") {
+    // equality short-circuits on a decided FALSE even with a NULL present
+    one("SELECT (1, 2) = (1, 2)", true)
+    one("SELECT (1, 2) = (NULL, 2)", null)
+    one("SELECT (1, 2) = (NULL, 3)", false)
+    one("SELECT (0, NULL) = (0, NULL)", null)
+    one("SELECT (1, 2) <> (NULL, 3)", true)
+    one("SELECT (1, 2) <> (NULL, 2)", null)
+    // lexicographic ordering
+    one("SELECT (1, 2) < (1, 3)", true)
+    one("SELECT (1, 2) < (1, 2)", false)
+    one("SELECT (1, 2) <= (1, 2)", true)
+    one("SELECT (2, 1) > (1, 9)", true)
+    one("SELECT (1, 2) >= (NULL, 2)", null)
+    one("SELECT (1, 2, 3) < (1, 2, 4)", true)
+    // tuple IN value lists (and NOT IN)
+    one("SELECT (1, 2) IN ((3, 4), (1, 2))", true)
+    one("SELECT (1, 2) IN ((3, 4), (5, 6))", false)
+    one("SELECT (1, 2) NOT IN ((3, 4), (5, 6))", true)
+    // over a table, as a filter
+    assert(engine.query(
+      "SELECT i FROM mytable WHERE (i, s) IN ((1, 'first row'), (3, 'third row')) ORDER BY i")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // row-value IN subquery parses natively
+    assert(engine.query(
+      "SELECT count(*) FROM mytable WHERE (i, s) IN (SELECT i, s FROM mytable)")
+      .collect()(0).getLong(0) == 3L)
+  }
+
   test("JSON_TYPE / CAST AS JSON cases (json_scripts.go:50-150)") {
     one("select JSON_TYPE(CAST(1 AS JSON))", "INTEGER")
     one("""select JSON_TYPE("1")""", "INTEGER")
