@@ -313,6 +313,8 @@ object Dml {
             t.exceptAll(subset).unionByName(assignSequential(subset, None)))
           e.validateVocab(table, newDf)
           e.validateChecks(table, newDf)
+          e.validateForeignKeysChild(table, newDf)
+          e.enforceParentUpdate(table, newDf)
           e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
         case None =>
@@ -322,6 +324,8 @@ object Dml {
           val newDf = e.computeGenerated(table, assignSequential(t, gate))
           e.validateVocab(table, newDf)
           e.validateChecks(table, newDf)
+          e.validateForeignKeysChild(table, newDf)
+          e.enforceParentUpdate(table, newDf)
           e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
       }
@@ -338,23 +342,24 @@ object Dml {
             s"malformed DELETE clause: $h")
           Some(h.substring(5))
         }
+      def applyDelete(kept: DataFrame, affected: Long): Option[DataFrame] = {
+        // FK enforcement against the surviving rows: RESTRICT errors,
+        // CASCADE/SET NULL walk the child graph (foreign_key_queries.go)
+        e.enforceParentDelete(table, kept)
+        e.replaceTable(table, kept, bumpDepth = true)
+        Some(ok(e, affected))
+      }
       tail match {
         case Some(orderLimit) =>
           val whereClause = whereOpt.map(w => s" WHERE $w").getOrElse("")
           val subset = e.query(s"SELECT * FROM ${tick(table)}$whereClause $orderLimit")
-          val affected = subset.count()
-          e.replaceTable(table, t.exceptAll(subset), bumpDepth = true)
-          Some(ok(e, affected))
+          applyDelete(t.exceptAll(subset), subset.count())
         case None => whereOpt match {
           case Some(cond) =>
             val pred = coalesce(expr(cond).cast("boolean"), lit(false))
-            val affected = t.filter(pred).count()
-            e.replaceTable(table, t.filter(!pred), bumpDepth = true)
-            Some(ok(e, affected))
+            applyDelete(t.filter(!pred), t.filter(pred).count())
           case None =>
-            val affected = t.count()
-            e.replaceTable(table, t.limit(0), bumpDepth = true)
-            Some(ok(e, affected))
+            applyDelete(t.limit(0), t.count())
         }
       }
 
@@ -389,6 +394,11 @@ object Dml {
     case Trunc(tableRaw) =>
       val table = normName(tableRaw)
       val t = e.spark.table(table)
+      // MySQL errno 1701: cannot truncate a table referenced by a FK
+      if (e.foreignKeys.exists(f => f.parent == table && f.child != table))
+        throw new IllegalArgumentException(
+          s"Cannot truncate a table referenced in a foreign key " +
+          s"constraint (MySQL error 1701)")
       e.replaceTable(table, t.limit(0), bumpDepth = true)
       Some(ok(e, 0L))
 
@@ -637,6 +647,31 @@ object Dml {
         if (close < 0) s else s.substring(0, close)
       }
 
+  // [CONSTRAINT name] FOREIGN KEY (cols) REFERENCES parent (cols)
+  // [ON DELETE action] [ON UPDATE action]  (reference sql/plan/ddl.go +
+  // foreign_key_handler.go)
+  private val FkItem = re(
+    """(?is)^\s*(?:CONSTRAINT\s+`?([A-Za-z0-9_]+)`?\s+)?FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+<T>\s*\(([^)]*)\)(.*)$""")
+
+  private def parseFk(e: Engine, table: String, item: String): Option[Engine.ForeignKey] =
+    item match {
+      case FkItem(name, childCols, parentRaw, parentCols, tail) =>
+        def action(kw: String): String =
+          (s"""(?is)\\bON\\s+$kw\\s+(CASCADE|SET\\s+NULL|RESTRICT|NO\\s+ACTION)""").r
+            .findFirstMatchIn(tail)
+            .map(_.group(1).toUpperCase.replaceAll("\\s+", " "))
+            .getOrElse("RESTRICT")
+        Some(Engine.ForeignKey(
+          Option(name).getOrElse(
+            s"${table}_ibfk_${e.foreignKeys.count(_.child == table) + 1}"),
+          table,
+          childCols.split(",").map(c => stripTick(c.trim)).toSeq,
+          normName(parentRaw),
+          parentCols.split(",").map(c => stripTick(c.trim)).toSeq,
+          action("DELETE"), action("UPDATE")))
+      case _ => None
+    }
+
   /** `[CONSTRAINT name] CHECK (expr)` — balanced-paren expr extraction;
     * None when the item carries no CHECK. */
   private def extractCheck(item: String): Option[(Option[String], String)] =
@@ -717,6 +752,9 @@ object Dml {
       if (up.startsWith("PRIMARY KEY")) {
         keyCols.findFirstMatchIn(item).foreach(k =>
           e.declareKey(table, k.group(1).split(",").map(c => stripTick(c.trim)).toSeq))
+      } else if (up.startsWith("FOREIGN") ||
+          (up.startsWith("CONSTRAINT") && up.contains("FOREIGN"))) {
+        parseFk(e, table, item).foreach(e.declareForeignKey)
       } else if (up.startsWith("CHECK") ||
           (up.startsWith("CONSTRAINT") && up.contains("CHECK"))) {
         // table-level CHECK: enforced on every write (MySQL 8.0.16+)
@@ -775,6 +813,19 @@ object Dml {
           e.declareIndex(table, name,
             cols.split(",").map(c => stripTick(c.trim)).toSeq)
         case DropIdx(name) => e.dropIndex(table, name)
+        case a if a.toUpperCase.matches("(?s)^ADD\\s+(?:CONSTRAINT\\s+\\S+\\s+)?FOREIGN\\s+KEY\\b.*") =>
+          // ADD FOREIGN KEY validates existing rows before registering
+          parseFk(e, table, a.replaceFirst("(?is)^ADD\\s+", "")).foreach { fk =>
+            e.declareForeignKey(fk)
+            try e.validateForeignKeysChild(table, e.spark.table(table))
+            catch {
+              case ex: Throwable =>
+                e.dropForeignKey(table, fk.name); throw ex
+            }
+          }
+        case a if a.toUpperCase.matches("(?s)^DROP\\s+FOREIGN\\s+KEY\\s+\\S+$") =>
+          e.dropForeignKey(table,
+            stripTick(a.trim.split("\\s+").last))
         case AddCheck(_) =>
           // validates existing rows BEFORE registering — a failed ADD
           // must not leave the constraint behind (MySQL semantics)

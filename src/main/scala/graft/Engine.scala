@@ -231,7 +231,16 @@ object Dialect {
   * SURVEY.md §2.12; `INSERT INTO ... SELECT` appends via union, matching
   * the reference's in-memory integrator semantics.
   */
+object Engine {
+  /** Declared FOREIGN KEY (reference sql/plan/ddl.go fk defs +
+    * foreign_key_handler.go enforcement walk). */
+  final case class ForeignKey(name: String, child: String,
+      childCols: Seq[String], parent: String, parentCols: Seq[String],
+      onDelete: String, onUpdate: String)
+}
+
 class Engine(val spark: SparkSession) {
+  import Engine.ForeignKey
 
   // MySQL arithmetic/cast semantics: x/0 is NULL, out-of-range casts
   // saturate/NULL — never runtime errors (reference sql/types coercion).
@@ -570,6 +579,7 @@ class Engine(val spark: SparkSession) {
       coerceAndFill(table, incoming0, fillMissing))
     validateVocab(table, coerced)
     validateChecks(table, coerced)
+    validateForeignKeysChild(table, coerced)
     val target = spark.table(table)
     val unioned = target.unionByName(coerced, allowMissingColumns = fillMissing)
     replaceTable(table, unioned, bumpDepth = true)
@@ -787,12 +797,124 @@ class Engine(val spark: SparkSession) {
     }
   }
 
+  // ---- foreign keys (reference sql/plan/foreign_key_handler.go +
+  // enginetest foreign_key_queries.go; write-side enforcement like the
+  // CHECK/vocab paths — batch joins, no per-row probes) ------------------
+
+  private[graft] val foreignKeys =
+    scala.collection.mutable.ArrayBuffer.empty[ForeignKey]
+
+  def declareForeignKey(fk: ForeignKey): Unit = foreignKeys += fk
+
+  def dropForeignKey(child: String, name: String): Unit =
+    foreignKeys.filterInPlace(f =>
+      !(f.child == child && f.name.equalsIgnoreCase(name)))
+
+  /** Child-side enforcement: every incoming row whose FK columns are all
+    * non-NULL must match a parent row (MySQL error 1452). One anti-join
+    * per declared FK over the batch. */
+  private[graft] def validateForeignKeysChild(table: String,
+                                              df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    foreignKeys.toSeq.filter(_.child == table).foreach { fk =>
+      val parent = spark.table(fk.parent)
+        .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
+        .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
+      val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
+        col(s"`$cc`") === col(s"`__fk_$pc`")
+      }.reduce(_ && _)
+      val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
+        .reduce(_ && _)
+      val bad = df.filter(nonNull).join(parent, cond, "left_anti")
+        .limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"Cannot add or update a child row: a foreign key constraint " +
+        s"fails (`${fk.child}`, CONSTRAINT `${fk.name}`) (MySQL error 1452)")
+    }
+  }
+
+  /** Parent-side enforcement after a DELETE (or key-changing UPDATE):
+    * child rows no longer matched by `remaining` either block the write
+    * (RESTRICT / NO ACTION, error 1451), cascade-delete, or null out
+    * their FK columns (SET NULL) — recursively, the way the reference's
+    * foreign_key_handler walks the graph. */
+  private[graft] def enforceParentDelete(parent: String,
+                                         remaining: DataFrame,
+                                         visited: Set[String] = Set.empty): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (visited.contains(parent)) return // FK cycle: one pass per table
+    foreignKeys.toSeq.filter(_.parent == parent).foreach { fk =>
+      val child = spark.table(fk.child)
+      val keys = remaining
+        .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
+        .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
+      val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
+        col(s"`$cc`") === col(s"`__fk_$pc`")
+      }.reduce(_ && _)
+      val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
+        .reduce(_ && _)
+      val orphans = child.filter(nonNull).join(keys, cond, "left_anti")
+      // rows exempt from the constraint (any NULL FK column) + rows whose
+      // parent survives
+      lazy val keptClean = child.filter(!nonNull).unionByName(
+        child.filter(nonNull).join(keys, cond, "left_semi"))
+      fk.onDelete.toUpperCase match {
+        case "CASCADE" =>
+          enforceParentDelete(fk.child, keptClean, visited + parent)
+          replaceTable(fk.child, keptClean, bumpDepth = true)
+        case "SET NULL" =>
+          val nulledOrphans = fk.childCols.foldLeft(orphans) { (d, c) =>
+            d.withColumn(c, org.apache.spark.sql.functions.lit(null)
+              .cast(child.schema(c).dataType))
+          }
+          replaceTable(fk.child,
+            keptClean.unionByName(nulledOrphans), bumpDepth = true)
+        case _ => // RESTRICT / NO ACTION
+          if (orphans.limit(1).count() > 0)
+            throw new IllegalArgumentException(
+              s"Cannot delete or update a parent row: a foreign key " +
+              s"constraint fails (`${fk.child}`, CONSTRAINT `${fk.name}`) " +
+              s"(MySQL error 1451)")
+      }
+    }
+  }
+
+  /** Parent-side enforcement after an UPDATE: any child row left
+    * unmatched by the new parent contents is error 1451 (RESTRICT
+    * semantics; an update that never touches the referenced key columns
+    * passes trivially). ON UPDATE CASCADE's child rewrite needs an
+    * old-to-new key mapping and is not supported — such updates error
+    * rather than silently diverge. */
+  private[graft] def enforceParentUpdate(parent: String,
+                                         newParent: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    foreignKeys.toSeq.filter(f => f.parent == parent && f.child != parent)
+      .foreach { fk =>
+        val child = spark.table(fk.child)
+        val keys = newParent
+          .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
+          .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
+        val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
+          col(s"`$cc`") === col(s"`__fk_$pc`")
+        }.reduce(_ && _)
+        val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
+          .reduce(_ && _)
+        val bad = child.filter(nonNull).join(keys, cond, "left_anti")
+          .limit(1).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"Cannot delete or update a parent row: a foreign key " +
+          s"constraint fails (`${fk.child}`, CONSTRAINT `${fk.name}`) " +
+          s"(MySQL error 1451)")
+      }
+  }
+
   /** Drop per-table declared metadata with the table (otherwise a
     * re-created table inherits stale constraints). */
   private[graft] def clearTableMeta(table: String): Unit = {
     generatedCols.filterInPlace(_._1 != table)
     checkConstraints.filterInPlace(_._1 != table)
     secondaryIndexes.filterInPlace(_._1 != table)
+    foreignKeys.filterInPlace(_.child != table)
     tableKeys.remove(table)
     autoIncCols.remove(table)
     columnDefaults.filterInPlace { case ((t, _), _) => t != table }
@@ -847,6 +969,11 @@ class Engine(val spark: SparkSession) {
     * Declared per-table metadata (keys, defaults, vocab, generated
     * columns, checks) drops with it. */
   def drop(name: String): Unit = {
+    // MySQL errno 3730: a parent with referencing children cannot drop
+    if (foreignKeys.exists(f => f.parent == name && f.child != name))
+      throw new IllegalArgumentException(
+        s"Cannot drop table '$name': referenced by a foreign key " +
+        s"constraint (MySQL error 3730)")
     clearTableMeta(name)
     if (name.contains(".")) {
       val Array(db, t) = name.split("\\.", 2)
@@ -991,6 +1118,23 @@ class Engine(val spark: SparkSession) {
     }.toDF("constraint_name", "table_name", "column_name",
         "referenced_table_name")
       .createOrReplaceTempView("information_schema_key_column_usage")
+
+    // TABLE_CONSTRAINTS / REFERENTIAL_CONSTRAINTS / CHECK_CONSTRAINTS
+    // (reference information_schema tables over the declared metadata)
+    val pkRows = tableKeys.keys.toSeq.map(t => ("PRIMARY", t, "PRIMARY KEY"))
+    val ckRows = checkConstraints.toSeq.map { case (t, n, _) => (n, t, "CHECK") }
+    val fkRows = foreignKeys.toSeq.map(f => (f.name, f.child, "FOREIGN KEY"))
+    (pkRows ++ ckRows ++ fkRows)
+      .toDF("constraint_name", "table_name", "constraint_type")
+      .createOrReplaceTempView("information_schema_table_constraints")
+    foreignKeys.toSeq
+      .map(f => (f.name, f.child, f.parent, f.onDelete, f.onUpdate))
+      .toDF("constraint_name", "table_name", "referenced_table_name",
+        "delete_rule", "update_rule")
+      .createOrReplaceTempView("information_schema_referential_constraints")
+    checkConstraints.toSeq.map { case (t, n, ex) => (n, t, s"($ex)") }
+      .toDF("constraint_name", "table_name", "check_clause")
+      .createOrReplaceTempView("information_schema_check_constraints")
 
     Seq(("utf8mb4", "utf8mb4_0900_ai_ci", "UTF-8 Unicode", 4))
       .toDF("character_set_name", "default_collate_name", "description",

@@ -334,6 +334,71 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table ck")
   }
 
+  test("foreign keys: 1452/1451, CASCADE, SET NULL, ALTER/DROP guards " +
+      "(foreign_key_queries.go shapes)") {
+    engine.runScript(
+      """create table fk_parent (pk int primary key, v int);
+        |create table fk_child (id int primary key, fk int,
+        |  constraint fk_cp foreign key (fk) references fk_parent (pk) on delete cascade);
+        |insert into fk_parent values (1, 10), (2, 20), (3, 30);
+        |insert into fk_child values (100, 1), (101, 1), (102, 2), (103, null);
+        |""".stripMargin)
+    // child insert with a missing parent key: error 1452
+    val e1452 = intercept[IllegalArgumentException] {
+      engine.query("insert into fk_child values (104, 9)")
+    }
+    assert(e1452.getMessage.contains("1452"))
+    // a NULL FK is exempt from the constraint
+    engine.query("insert into fk_child values (105, null)")
+    // ON DELETE CASCADE removes the referencing children
+    engine.query("delete from fk_parent where pk = 1")
+    assert(rows("select id from fk_child order by id") ==
+      Seq(Seq(102), Seq(103), Seq(105)))
+    // RESTRICT (the default): blocking delete, update, drop, truncate
+    engine.runScript(
+      """create table fk_child_r (id int primary key, fk int,
+        |  foreign key (fk) references fk_parent (pk));
+        |insert into fk_child_r values (1, 2);
+        |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("delete from fk_parent where pk = 2")
+    }.getMessage.contains("1451"))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("update fk_parent set pk = 99 where pk = 2")
+    }.getMessage.contains("1451"))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("update fk_child_r set fk = 42")
+    }.getMessage.contains("1452"))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("drop table fk_parent")
+    }.getMessage.contains("3730"))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("truncate table fk_parent")
+    }.getMessage.contains("1701"))
+    // ON DELETE SET NULL nulls the orphaned FK columns
+    engine.runScript(
+      """create table fk_child_sn (id int primary key, fk int,
+        |  foreign key (fk) references fk_parent (pk) on delete set null);
+        |insert into fk_child_sn values (7, 3);
+        |""".stripMargin)
+    engine.query("delete from fk_parent where pk = 3")
+    assert(rows("select fk from fk_child_sn where id = 7") == Seq(Seq(null)))
+    // ALTER ADD FOREIGN KEY validates existing rows before registering
+    assert(intercept[IllegalArgumentException] {
+      engine.query(
+        "alter table fk_child_r add foreign key (id) references fk_parent (pk)")
+    }.getMessage.contains("1452"))
+    // DROP FOREIGN KEY removes enforcement (auto-named child_ibfk_1)
+    engine.query("alter table fk_child_r drop foreign key fk_child_r_ibfk_1")
+    engine.query("delete from fk_parent where pk = 2") // cascades into fk_child
+    assert(rows("select count(*) n from fk_child where fk is not null") ==
+      Seq(Seq(0L)))
+    engine.query("drop table fk_child")
+    engine.query("drop table fk_child_r")
+    engine.query("drop table fk_child_sn")
+    engine.query("drop table fk_parent")
+  }
+
   test("CREATE/DROP INDEX, ANALYZE TABLE, SHOW TABLE STATUS (index_queries.go, " +
       "show_table_status_queries.go shapes)") {
     engine.runScript(

@@ -118,6 +118,34 @@ class TypesTableSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("information_schema constraint views reflect declared metadata") {
+    val e = new Engine(spark)
+    e.runScript(
+      """create table tc_p (pk int primary key, v int, check (v > 0));
+        |create table tc_c (id int primary key, fk int,
+        |  constraint fk_tc foreign key (fk) references tc_p (pk) on delete cascade);
+        |""".stripMargin)
+    e.enableInformationSchema()
+    val tc = e.query(
+      """SELECT constraint_name, table_name, constraint_type
+         FROM information_schema_table_constraints ORDER BY constraint_type""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(tc.exists(t => t._2 == "tc_p" && t._3 == "PRIMARY KEY"))
+    assert(tc.exists(t => t._2 == "tc_p" && t._3 == "CHECK"))
+    assert(tc.contains(("fk_tc", "tc_c", "FOREIGN KEY")))
+    val rc = e.query(
+      """SELECT constraint_name, table_name, referenced_table_name, delete_rule
+         FROM information_schema_referential_constraints""").collect()
+    assert(rc.length == 1 && rc(0).getString(2) == "tc_p" &&
+      rc(0).getString(3) == "CASCADE")
+    val cc = e.query(
+      """SELECT check_clause FROM information_schema_check_constraints
+         WHERE table_name = 'tc_p'""").collect()
+    assert(cc.length == 1 && cc(0).getString(0).contains("v > 0"))
+    e.query("drop table tc_c")
+    e.query("drop table tc_p")
+  }
+
   test("SHOW COLUMNS / SHOW INDEX shapes") {
     val e = new Engine(spark)
     e.attachDir(SparkSpec.sfDir)
