@@ -42,7 +42,7 @@ object Dml {
   // column list — otherwise the name backtracks ("mytable SET…" would
   // split into name "my" + body "table SET…" since TABLE is a body form)
   private val Insert =
-    re("""(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+<T>\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""")
+    re("""(?is)^\s*INSERT\s+(IGNORE\s+)?INTO\s+<T>\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""")
   private val Replace =
     re("""(?is)^\s*REPLACE\s+INTO\s+<T>\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""")
   private val Update =
@@ -55,7 +55,7 @@ object Dml {
     re("""(?is)^\s*DELETE\s+FROM\s+<T>\s*(.*?)\s*$""")
   // INSERT INTO t SET a = x, b = y (MySQL's assignment form)
   private val InsertSet =
-    re("""(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+<T>\s+SET\s+(.*)$""")
+    re("""(?is)^\s*INSERT\s+(IGNORE\s+)?INTO\s+<T>\s+SET\s+(.*)$""")
   // DELETE t1[, t2] FROM <joined sources> [WHERE …] (multi-table delete,
   // reference sql/plan/delete.go multi-target form)
   private val DeleteJoin =
@@ -188,15 +188,16 @@ object Dml {
     dispatchTrimmed(e, sql0.replaceAll("[;\\s]+$", ""))
 
   private def dispatchTrimmed(e: Engine, sql: String): Option[DataFrame] = sql match {
-    case Insert(tableRaw, colList, body0) =>
+    case Insert(ignoreKw, tableRaw, colList, body0) =>
       val table = normName(tableRaw)
       val hasList = colList != null && colList.trim.nonEmpty
       val (body, odku) = splitOnDuplicate(body0)
       odku match {
         case None =>
           val df0 = insertSource(e, table, colList, hasList, body)
-          val n = df0.count()
-          e.insertDf(table, df0, fillMissing = hasList)
+          // IGNORE: skip (not error on) duplicate-key / constraint rows
+          val n = e.insertDf(table, df0, fillMissing = hasList,
+            ignoreDups = ignoreKw != null)
           Some(ok(e, n))
         case Some(assignText) =>
           Some(upsert(e, table,
@@ -230,7 +231,7 @@ object Dml {
         bumpDepth = true)
       Some(ok(e, deleted + inserted))
 
-    case InsertSet(tableRaw, assignText) =>
+    case InsertSet(ignoreKw, tableRaw, assignText) =>
       val table = normName(tableRaw)
       // rewrite to the column-list VALUES form and re-dispatch
       val pairs = topLevelSplit(assignText, ',').map { a =>
@@ -239,8 +240,9 @@ object Dml {
         (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
           a.substring(eq + 1).trim)
       }
+      val ig = if (ignoreKw != null) "IGNORE " else ""
       dispatchTrimmed(e,
-        s"INSERT INTO ${tick(table)} (${pairs.map(_._1).mkString(", ")}) " +
+        s"INSERT ${ig}INTO ${tick(table)} (${pairs.map(_._1).mkString(", ")}) " +
           s"VALUES (${pairs.map(_._2).mkString(", ")})")
 
     case UpdateJoin(tableRaw, rest) =>

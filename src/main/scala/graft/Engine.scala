@@ -569,20 +569,125 @@ class Engine(val spark: SparkSession) {
   private val MaxUnionDepth = 4
 
   /** INSERT INTO t SELECT ... — append semantics over the memory backend. */
-  def insertIntoSelect(table: String, sql: String): Unit =
+  def insertIntoSelect(table: String, sql: String): Long =
     insertDf(table, query(sql), fillMissing = false)
 
+  /** Write one insert batch: coercion + generated columns, then either
+    * full validation (plain INSERT — duplicate declared keys are MySQL
+    * error 1062) or MySQL IGNORE semantics (bad ENUM values truncate to
+    * '', invalid SET elements drop, CHECK/FK-violating and
+    * duplicate-key rows are skipped with first-in-batch winning).
+    * Returns the number of rows actually written. */
   private[graft] def insertDf(table: String, incoming0: DataFrame,
-                              fillMissing: Boolean): Unit = {
+                              fillMissing: Boolean,
+                              ignoreDups: Boolean = false): Long = {
+    import org.apache.spark.sql.functions._
     rejectExplicitGenerated(table, incoming0)
-    val coerced = computeGenerated(table,
+    var coerced = computeGenerated(table,
       coerceAndFill(table, incoming0, fillMissing))
-    validateVocab(table, coerced)
-    validateChecks(table, coerced)
-    validateForeignKeysChild(table, coerced)
     val target = spark.table(table)
+    if (ignoreDups) {
+      coerced = relaxVocab(table, coerced)
+      // skip CHECK-violating rows (NULL result passes, 3VL)
+      checkConstraints.toSeq.collect { case (t, _, ex) if t == table => ex }
+        .foreach { ex =>
+          coerced = coerced.filter(
+            coalesce(expr(ex).cast("boolean"), lit(true)))
+        }
+      // skip FK-violating rows
+      foreignKeys.toSeq.filter(_.child == table).foreach { fk =>
+        val keys = spark.table(fk.parent)
+          .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
+          .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
+        val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
+          col(s"`$cc`") === col(s"`__fk_$pc`")
+        }.reduce(_ && _)
+        val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
+          .reduce(_ && _)
+        coerced = coerced.filter(!nonNull).unionByName(
+          coerced.filter(nonNull).join(keys, cond, "left_semi"))
+      }
+      // duplicate keys: first row in the batch wins, existing rows win
+      tableKeys.get(table)
+        .filter(_.forall(k => coerced.columns.exists(_.equalsIgnoreCase(k))))
+        .foreach { keys =>
+          import org.apache.spark.sql.expressions.Window
+          val w = Window
+            .partitionBy(keys.map(k => col(s"`$k`")).toIndexedSeq: _*)
+            .orderBy(col("__seq__").asc)
+          coerced = coerced
+            .withColumn("__seq__", monotonically_increasing_id())
+            .withColumn("__rn__", row_number().over(w))
+            .filter(col("__rn__") === 1).drop("__seq__", "__rn__")
+          val existing = target
+            .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
+            .toDF(keys.map(k => s"__pk_$k"): _*)
+          val cond = keys.map(k => col(s"`$k`") === col(s"`__pk_$k`"))
+            .reduce(_ && _)
+          coerced = coerced.join(existing, cond, "left_anti")
+        }
+    } else {
+      validateVocab(table, coerced)
+      validateChecks(table, coerced)
+      validateForeignKeysChild(table, coerced)
+      enforcePkUnique(table, coerced, target)
+    }
+    val n = coerced.count()
     val unioned = target.unionByName(coerced, allowMissingColumns = fillMissing)
     replaceTable(table, unioned, bumpDepth = true)
+    n
+  }
+
+  /** Plain INSERT against a declared key: a duplicate inside the batch
+    * or against existing rows is MySQL error 1062. */
+  private def enforcePkUnique(table: String, batch: DataFrame,
+                              target: DataFrame): Unit =
+    tableKeys.get(table)
+      .filter(_.forall(k => batch.columns.exists(_.equalsIgnoreCase(k))))
+      .foreach { keys =>
+        import org.apache.spark.sql.functions._
+        val kcols = keys.map(k => col(s"`$k`"))
+        val dupIn = batch.groupBy(kcols.toIndexedSeq: _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        val dup =
+          if (dupIn.nonEmpty) dupIn.headOption
+          else {
+            val existing = target.select(kcols.toIndexedSeq: _*).distinct()
+              .toDF(keys.map(k => s"__pk_$k"): _*)
+            val cond = keys.map(k => col(s"`$k`") === col(s"`__pk_$k`"))
+              .reduce(_ && _)
+            batch.join(existing, cond, "left_semi")
+              .select(kcols.toIndexedSeq: _*).limit(1).collect().headOption
+          }
+        dup.foreach { r =>
+          val entry = keys.indices.map(i => String.valueOf(r.get(i)))
+            .mkString("-")
+          throw new IllegalArgumentException(
+            s"Duplicate entry '$entry' for key '$table.PRIMARY' " +
+            s"(MySQL error 1062)")
+        }
+      }
+
+  /** MySQL IGNORE vocabulary handling: invalid ENUM values truncate to
+    * '' (warning in MySQL), invalid SET elements drop
+    * (insert_queries.go:2930 issue 8611 shape). */
+  private[graft] def relaxVocab(table: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    columnVocab.toSeq.foldLeft(df) {
+      case (d, ((t, cLower), (isSet, vocab))) =>
+        if (t != table || !present.contains(cLower)) d
+        else {
+          val c = col(s"`${present(cLower)}`")
+          if (isSet)
+            d.withColumn(present(cLower),
+              when(c.isNull, c).otherwise(array_join(
+                filter(split(c, ","), el => el.isInCollection(vocab)), ",")))
+          else
+            d.withColumn(present(cLower),
+              when(c.isNull || c.isInCollection(vocab), c).otherwise(lit("")))
+        }
+    }
   }
 
   /** The shared write-time preparation every insert-shaped statement
@@ -1043,13 +1148,14 @@ class Engine(val spark: SparkSession) {
       case _ => df
     }
     validateVocab(table, coerced)
-    val n = coerced.count()
     target match {
       case Some(t) if t.schema.length == coerced.schema.length =>
         insertDf(table, coerced, fillMissing = false)
-      case _ => coerced.createOrReplaceTempView(table)
+      case _ =>
+        val n = coerced.count()
+        coerced.createOrReplaceTempView(table)
+        n
     }
-    n
   }
 
   /** SELECT ... INTO OUTFILE (reference sql/plan/into.go:26): delimited

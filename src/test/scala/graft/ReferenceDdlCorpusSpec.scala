@@ -334,6 +334,35 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table ck")
   }
 
+  test("PRIMARY KEY uniqueness: 1062 on plain INSERT; INSERT IGNORE skips " +
+      "(insert_queries.go:1584, issue-8611 shape at :2930)") {
+    engine.runScript(
+      """create table pk_t (pk int primary key, v enum('hello','bye'));
+        |insert into pk_t values (1, 'hello');
+        |""".stripMargin)
+    // duplicate against existing rows
+    assert(intercept[IllegalArgumentException] {
+      engine.query("insert into pk_t values (1, 'bye')")
+    }.getMessage.contains("1062"))
+    // duplicate inside one statement
+    assert(intercept[IllegalArgumentException] {
+      engine.query("insert into pk_t values (2, 'bye'), (2, 'hello')")
+    }.getMessage.contains("1062"))
+    // plain insert still rejects out-of-vocabulary ENUM values
+    intercept[IllegalArgumentException] {
+      engine.query("insert into pk_t values (3, 'invalid')")
+    }
+    // IGNORE: existing-dup and later-in-batch-dup rows skip; invalid
+    // ENUM truncates to '' (MySQL warning semantics)
+    val n = engine.query(
+      "insert ignore into pk_t values (1, 'bye'), (4, 'invalid'), " +
+      "(5, 'bye'), (5, 'hello')").collect()(0).getLong(0)
+    assert(n == 2)
+    assert(rows("select pk, v from pk_t order by pk") ==
+      Seq(Seq(1, "hello"), Seq(4, ""), Seq(5, "bye")))
+    engine.query("drop table pk_t")
+  }
+
   test("foreign keys: 1452/1451, CASCADE, SET NULL, ALTER/DROP guards " +
       "(foreign_key_queries.go shapes)") {
     engine.runScript(
