@@ -61,7 +61,9 @@ object Dml {
   private val DeleteJoin =
     """(?is)^\s*DELETE\s+(?!FROM\b)((?:`?[A-Za-z_][A-Za-z0-9_]*`?\s*,\s*)*`?[A-Za-z_][A-Za-z0-9_]*`?)\s+FROM\s+(.*)$""".r
   private val CreateView =
-    re("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+<T>\s+AS\s+(.*)$""")
+    re("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s*(\([^)]*\))?\s+AS\s+(.*)$""")
+  private val ShowCreateView =
+    """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val CreateTableAs =
     re("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s+AS\s+(.*)$""")
   // CREATE TABLE t (col defs ...) [table options] — the form every MySQL
@@ -141,7 +143,7 @@ object Dml {
     """(?is)^\s*SHOW\s+TABLE\s+STATUS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   // standalone index DDL (reference sql/planbuilder/ddl.go buildCreateIndex)
   private val CreateIdxStmt =
-    re("""(?is)^\s*CREATE\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*\(([^)]*)\)\s*$""")
+    re("""(?is)^\s*CREATE\s+(UNIQUE\s+)?(?:FULLTEXT\s+|SPATIAL\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*\(([^)]*)\)\s*$""")
   private val DropIdxStmt =
     re("""(?is)^\s*DROP\s+INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*$""")
   private val AnalyzeStmt =
@@ -365,8 +367,21 @@ object Dml {
         }
       }
 
-    case CreateView(name, body) =>
-      e.createView(normName(name), body); Some(ok(e, 0L))
+    case CreateView(name, colList, body) =>
+      // optional explicit output column list: CREATE VIEW v (a, b) AS ...
+      val cols = Option(colList).map(_.trim.stripPrefix("(").stripSuffix(")")
+        .split(",").map(c => stripTick(c.trim)).toSeq).getOrElse(Seq.empty)
+      e.createView(normName(name), body, cols); Some(ok(e, 0L))
+
+    case ShowCreateView(name) =>
+      val sqlText = e.viewDefs.getOrElse(name,
+        throw new IllegalArgumentException(s"Table '$name' doesn't exist"))
+      val s = e.spark
+      import s.implicits._
+      Some(Seq((name, s"CREATE VIEW `$name` AS $sqlText",
+        "utf8mb4", "utf8mb4_0900_ai_ci"))
+        .toDF("View", "Create View", "character_set_client",
+          "collation_connection"))
 
     case CreateTableAs(name, body) =>
       e.ctas(normName(name), body); Some(ok(e, 0L))
@@ -458,9 +473,15 @@ object Dml {
         ("Questions", "1"))
       Some(filterLike(stats.toDF("Variable_name", "Value"), "Variable_name", like))
 
-    case CreateIdxStmt(name, tableRaw, cols) =>
-      e.declareIndex(normName(tableRaw), name,
-        cols.split(",").map(c => stripTick(c.trim)).toSeq)
+    case CreateIdxStmt(uniq, name, tableRaw, cols) =>
+      val table = normName(tableRaw)
+      val colSeq = cols.split(",").map(c => stripTick(c.trim)).toSeq
+      e.declareIndex(table, name, colSeq)
+      if (uniq != null) {
+        e.declareUnique(table, name, colSeq)
+        try e.validateNoDuplicates(table, name, colSeq)
+        catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
+      }
       Some(ok(e, 0L))
 
     case DropIdxStmt(name, tableRaw) =>
@@ -731,6 +752,10 @@ object Dml {
       else e.declareEnum(table, colName, vs)
     }
     if (up.contains("PRIMARY KEY")) e.declareKey(table, Seq(colName))
+    else if (up.contains("UNIQUE")) {
+      e.declareUnique(table, colName, Seq(colName))
+      e.declareIndex(table, colName, Seq(colName))
+    }
     if (up.contains("AUTO_INCREMENT")) e.declareAutoInc(table, colName)
     extractGenerated(rest) match {
       case Some(g) => e.declareGenerated(table, colName, g)
@@ -757,6 +782,18 @@ object Dml {
       } else if (up.startsWith("FOREIGN") ||
           (up.startsWith("CONSTRAINT") && up.contains("FOREIGN"))) {
         parseFk(e, table, item).foreach(e.declareForeignKey)
+      } else if (up.startsWith("UNIQUE")) {
+        // UNIQUE [KEY|INDEX] [name] (cols): enforced like the PK but
+        // NULL-exempt (MySQL unique-index semantics)
+        val m = ("(?is)^UNIQUE\\s+(?:KEY\\s+|INDEX\\s+)?" +
+          "(?:`?([A-Za-z0-9_]+)`?\\s*)?\\(([^)]*)\\)").r
+          .findFirstMatchIn(item)
+        m.foreach { mm =>
+          val cols = mm.group(2).split(",").map(c => stripTick(c.trim)).toSeq
+          val name = Option(mm.group(1)).getOrElse(cols.mkString("_"))
+          e.declareUnique(table, name, cols)
+          e.declareIndex(table, name, cols)
+        }
       } else if (up.startsWith("CHECK") ||
           (up.startsWith("CONSTRAINT") && up.contains("CHECK"))) {
         // table-level CHECK: enforced on every write (MySQL 8.0.16+)
@@ -799,7 +836,7 @@ object Dml {
     val IndexDdl =
       """(?is)^(?:ADD\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:INDEX|KEY)|DROP\s+(?:INDEX|KEY|PRIMARY\s+KEY)|ALTER\s+INDEX|RENAME\s+(?:INDEX|KEY)|ENGINE|AUTO_INCREMENT|COMMENT|CONVERT\s+TO|CHARACTER\s+SET|COLLATE).*$""".r
     val AddIndex =
-      """(?is)^ADD\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:INDEX|KEY)\s+`?([A-Za-z0-9_]+)`?\s*\(([^)]*)\)$""".r
+      """(?is)^ADD\s+(UNIQUE\s+)?(?:FULLTEXT\s+|SPATIAL\s+)?(?:INDEX\s+|KEY\s+)?(?:`?([A-Za-z0-9_]+)`?\s*)?\(([^)]*)\)$""".r
     val DropIdx = """(?is)^DROP\s+(?:INDEX|KEY)\s+`?([A-Za-z0-9_]+)`?$""".r
     val AddCheck =
       """(?is)^ADD\s+(?:CONSTRAINT\s+`?([A-Za-z0-9_]+)`?\s+)?CHECK\s*\(.*$""".r
@@ -811,9 +848,16 @@ object Dml {
         // ADD COLUMN named PRIMARY/UNIQUE/INDEX
         case AddPk(cols) =>
           e.declareKey(table, cols.split(",").map(c => stripTick(c.trim)).toSeq)
-        case AddIndex(name, cols) =>
-          e.declareIndex(table, name,
-            cols.split(",").map(c => stripTick(c.trim)).toSeq)
+        case AddIndex(uniq, nameOpt, cols) =>
+          val colSeq = cols.split(",").map(c => stripTick(c.trim)).toSeq
+          val name = Option(nameOpt).getOrElse(colSeq.mkString("_"))
+          e.declareIndex(table, name, colSeq)
+          if (uniq != null) {
+            e.declareUnique(table, name, colSeq)
+            // ADD UNIQUE validates existing rows first (MySQL 1062)
+            try e.validateNoDuplicates(table, name, colSeq)
+            catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
+          }
         case DropIdx(name) => e.dropIndex(table, name)
         case a if a.toUpperCase.matches("(?s)^ADD\\s+(?:CONSTRAINT\\s+\\S+\\s+)?FOREIGN\\s+KEY\\b.*") =>
           // ADD FOREIGN KEY validates existing rows before registering

@@ -549,9 +549,20 @@ class Engine(val spark: SparkSession) {
 
   /** CREATE [OR REPLACE] VIEW. A db-qualified view lands in the catalog
     * namespace (materialized — catalog views can't reference temp state). */
-  def createView(name: String, sql: String): Unit =
-    if (name.contains(".")) replaceTable(name, query(sql), bumpDepth = false)
-    else query(sql).createOrReplaceTempView(name)
+  /** Stored view definitions, for SHOW CREATE VIEW (reference
+    * view_queries.go:584 — the stored text survives underlying-object
+    * changes). */
+  private[graft] val viewDefs =
+    scala.collection.mutable.Map.empty[String, String]
+
+  def createView(name: String, sql: String,
+                 columns: Seq[String] = Seq.empty): Unit = {
+    val df0 = query(sql)
+    val df = if (columns.isEmpty) df0 else df0.toDF(columns: _*)
+    viewDefs(name) = sql
+    if (name.contains(".")) replaceTable(name, df, bumpDepth = false)
+    else df.createOrReplaceTempView(name)
+  }
 
   // ---- INSERT INTO ... SELECT -------------------------------------------
   // Append semantics over the memory backend. Chaining a view as
@@ -607,25 +618,39 @@ class Engine(val spark: SparkSession) {
         coerced = coerced.filter(!nonNull).unionByName(
           coerced.filter(nonNull).join(keys, cond, "left_semi"))
       }
-      // duplicate keys: first row in the batch wins, existing rows win
-      tableKeys.get(table)
-        .filter(_.forall(k => coerced.columns.exists(_.equalsIgnoreCase(k))))
-        .foreach { keys =>
+      // duplicate keys (PRIMARY + UNIQUE): first row in the batch wins,
+      // existing rows win; NULL-keyed rows are exempt under UNIQUE
+      val declaredKeys =
+        tableKeys.get(table).map(k => (k, false)).toSeq ++
+          uniqueKeys.toSeq.collect { case (t, _, cols) if t == table =>
+            (cols, true)
+          }
+      declaredKeys.foreach { case (keys, nullExempt) =>
+        if (keys.forall(k => coerced.columns.exists(_.equalsIgnoreCase(k)))) {
           import org.apache.spark.sql.expressions.Window
+          val kcols = keys.map(k => col(s"`$k`"))
+          val nonNull = kcols.map(_.isNotNull).reduce(_ && _)
+          val gate = if (nullExempt) nonNull else lit(true)
           val w = Window
-            .partitionBy(keys.map(k => col(s"`$k`")).toIndexedSeq: _*)
+            .partitionBy((kcols :+ (col("__nn__"): org.apache.spark.sql.Column))
+              .toIndexedSeq: _*)
             .orderBy(col("__seq__").asc)
           coerced = coerced
             .withColumn("__seq__", monotonically_increasing_id())
+            .withColumn("__nn__", gate)
             .withColumn("__rn__", row_number().over(w))
-            .filter(col("__rn__") === 1).drop("__seq__", "__rn__")
-          val existing = target
-            .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
+            .filter(!col("__nn__") || col("__rn__") === 1)
+            .drop("__seq__", "__nn__", "__rn__")
+          val t0 = if (nullExempt) target.filter(nonNull) else target
+          val existing = t0
+            .select(kcols.toIndexedSeq: _*).distinct()
             .toDF(keys.map(k => s"__pk_$k"): _*)
           val cond = keys.map(k => col(s"`$k`") === col(s"`__pk_$k`"))
             .reduce(_ && _)
-          coerced = coerced.join(existing, cond, "left_anti")
+          coerced = coerced.filter(!gate).unionByName(
+            coerced.filter(gate).join(existing, cond, "left_anti"))
         }
+      }
     } else {
       validateVocab(table, coerced)
       validateChecks(table, coerced)
@@ -638,35 +663,65 @@ class Engine(val spark: SparkSession) {
     n
   }
 
-  /** Plain INSERT against a declared key: a duplicate inside the batch
-    * or against existing rows is MySQL error 1062. */
+  /** Plain INSERT against declared keys: a duplicate inside the batch or
+    * against existing rows is MySQL error 1062 — the PRIMARY key plus
+    * every declared UNIQUE key (whose NULL-keyed rows are exempt). */
   private def enforcePkUnique(table: String, batch: DataFrame,
-                              target: DataFrame): Unit =
-    tableKeys.get(table)
-      .filter(_.forall(k => batch.columns.exists(_.equalsIgnoreCase(k))))
-      .foreach { keys =>
+                              target: DataFrame): Unit = {
+    val declared =
+      tableKeys.get(table).map(k => ("PRIMARY", k, false)).toSeq ++
+        uniqueKeys.toSeq.collect { case (t, n, cols) if t == table =>
+          (n, cols, true)
+        }
+    declared.foreach { case (keyName, keys, nullExempt) =>
+      if (keys.forall(k => batch.columns.exists(_.equalsIgnoreCase(k)))) {
         import org.apache.spark.sql.functions._
         val kcols = keys.map(k => col(s"`$k`"))
-        val dupIn = batch.groupBy(kcols.toIndexedSeq: _*).count()
+        val nonNull = kcols.map(_.isNotNull).reduce(_ && _)
+        val b = if (nullExempt) batch.filter(nonNull) else batch
+        val dupIn = b.groupBy(kcols.toIndexedSeq: _*).count()
           .filter(col("count") > 1).limit(1).collect()
         val dup =
           if (dupIn.nonEmpty) dupIn.headOption
           else {
-            val existing = target.select(kcols.toIndexedSeq: _*).distinct()
+            val t0 = if (nullExempt) target.filter(nonNull) else target
+            val existing = t0.select(kcols.toIndexedSeq: _*).distinct()
               .toDF(keys.map(k => s"__pk_$k"): _*)
             val cond = keys.map(k => col(s"`$k`") === col(s"`__pk_$k`"))
               .reduce(_ && _)
-            batch.join(existing, cond, "left_semi")
+            b.join(existing, cond, "left_semi")
               .select(kcols.toIndexedSeq: _*).limit(1).collect().headOption
           }
         dup.foreach { r =>
           val entry = keys.indices.map(i => String.valueOf(r.get(i)))
             .mkString("-")
           throw new IllegalArgumentException(
-            s"Duplicate entry '$entry' for key '$table.PRIMARY' " +
+            s"Duplicate entry '$entry' for key '$table.$keyName' " +
             s"(MySQL error 1062)")
         }
       }
+    }
+  }
+
+  /** ADD UNIQUE / CREATE UNIQUE INDEX validation: existing rows must
+    * already be unique under the key (NULL-keyed rows exempt) — MySQL
+    * error 1062 otherwise. */
+  private[graft] def validateNoDuplicates(table: String, keyName: String,
+                                          cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val kcols = cols.map(c => col(s"`$c`"))
+    val nonNull = kcols.map(_.isNotNull).reduce(_ && _)
+    val dup = spark.table(table).filter(nonNull)
+      .groupBy(kcols.toIndexedSeq: _*).count().filter(col("count") > 1)
+      .limit(1).collect().headOption
+    dup.foreach { r =>
+      val entry = cols.indices.map(i => String.valueOf(r.get(i)))
+        .mkString("-")
+      throw new IllegalArgumentException(
+        s"Duplicate entry '$entry' for key '$table.$keyName' " +
+        s"(MySQL error 1062)")
+    }
+  }
 
   /** MySQL IGNORE vocabulary handling: invalid ENUM values truncate to
     * '' (warning in MySQL), invalid SET elements drop
@@ -1019,7 +1074,9 @@ class Engine(val spark: SparkSession) {
     generatedCols.filterInPlace(_._1 != table)
     checkConstraints.filterInPlace(_._1 != table)
     secondaryIndexes.filterInPlace(_._1 != table)
+    uniqueKeys.filterInPlace(_._1 != table)
     foreignKeys.filterInPlace(_.child != table)
+    viewDefs.remove(table)
     tableKeys.remove(table)
     autoIncCols.remove(table)
     columnDefaults.filterInPlace { case ((t, _), _) => t != table }
@@ -1283,8 +1340,19 @@ class Engine(val spark: SparkSession) {
   def declareIndex(table: String, name: String, cols: Seq[String]): Unit =
     secondaryIndexes += ((table, name, cols))
 
-  def dropIndex(table: String, name: String): Unit =
+  /** Declared UNIQUE keys (beyond the primary key): enforced on insert
+    * like the PK, except rows with a NULL key column are exempt (MySQL
+    * allows any number of NULLs under a unique index). */
+  private[graft] val uniqueKeys =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, Seq[String])]
+
+  def declareUnique(table: String, name: String, cols: Seq[String]): Unit =
+    uniqueKeys += ((table, name, cols))
+
+  def dropIndex(table: String, name: String): Unit = {
     secondaryIndexes.filterInPlace(e => !(e._1 == table && e._2 == name))
+    uniqueKeys.filterInPlace(e => !(e._1 == table && e._2 == name))
+  }
 
   def showIndex(table: String): Seq[(String, String, Int, String)] = {
     spark.table(table) // validates the table exists, like MySQL
@@ -1323,11 +1391,32 @@ class Engine(val spark: SparkSession) {
     * (reverse of the SURVEY §1.2 type mapping; reference answers this from
     * its catalog in sql/rowexec/show.go). */
   def showCreateTable(table: String): String = {
+    val generated = generatedCols.toSeq
+      .collect { case (t, c, ex) if t == table => c.toLowerCase -> ex }.toMap
     val fields = spark.table(table).schema.fields.map { f =>
       val nn = if (f.nullable) "" else " NOT NULL"
-      s"  `${f.name}` ${mysqlType(f.dataType)}$nn"
+      val gen = generated.get(f.name.toLowerCase)
+        .map(ex => s" GENERATED ALWAYS AS ($ex) STORED").getOrElse("")
+      s"  `${f.name}` ${mysqlType(f.dataType)}$gen$nn"
     }
-    s"CREATE TABLE `$table` (\n${fields.mkString(",\n")}\n)"
+    val pk = tableKeys.get(table).map(k =>
+      s"  PRIMARY KEY (${k.map(c => s"`$c`").mkString(",")})").toSeq
+    val uks = uniqueKeys.toSeq.collect { case (t, n, cols) if t == table =>
+      s"  UNIQUE KEY `$n` (${cols.map(c => s"`$c`").mkString(",")})"
+    }
+    val cks = checkConstraints.toSeq.collect { case (t, n, ex) if t == table =>
+      s"  CONSTRAINT `$n` CHECK ($ex)"
+    }
+    val fks = foreignKeys.toSeq.collect { case fk if fk.child == table =>
+      val onDel = if (fk.onDelete == "RESTRICT") ""
+        else s" ON DELETE ${fk.onDelete}"
+      s"  CONSTRAINT `${fk.name}` FOREIGN KEY " +
+        s"(${fk.childCols.map(c => s"`$c`").mkString(",")}) REFERENCES " +
+        s"`${fk.parent}` (${fk.parentCols.map(c => s"`$c`").mkString(",")})" +
+        onDel
+    }
+    val lines = fields.toSeq ++ pk ++ uks ++ cks ++ fks
+    s"CREATE TABLE `$table` (\n${lines.mkString(",\n")}\n)"
   }
 
   /** EXPLAIN — formatted Catalyst plan. */

@@ -143,6 +143,30 @@ class EngineSpec extends AnyFunSuite {
     engine.query("drop table ld_t")
   }
 
+  test("views: IF NOT EXISTS, explicit column list, SHOW CREATE VIEW " +
+      "(view_queries.go:34,156,584)") {
+    engine.query("create view if not exists v_r6 as select 2 as two")
+    assert(engine.query("select * from v_r6").collect()(0).getInt(0) == 2)
+    // explicit output column list renames the projection
+    engine.query(
+      "create view v_cols (rk, rn) as select r_regionkey, r_name from region")
+    assert(engine.query("select rk, rn from v_cols order by rk limit 1")
+      .collect()(0).getInt(0) == 0)
+    // SHOW CREATE VIEW returns the stored definition
+    val scv = engine.query("show create view v_cols").collect()(0)
+    assert(scv.getString(0) == "v_cols" &&
+      scv.getString(1).contains("select r_regionkey, r_name from region"))
+    // nested views compose
+    engine.query("create view v_nest as select rk * 2 as dbl from v_cols")
+    assert(engine.query("select max(dbl) m from v_nest").collect()(0)
+      .getInt(0) == 8)
+    engine.query("drop view v_nest")
+    engine.query("drop view v_cols")
+    engine.query("drop view v_r6")
+    // dropped view loses its stored definition
+    intercept[Exception](engine.query("show create view v_cols"))
+  }
+
   test("SET time_zone drives session time rendering (time_queries.go)") {
     // isolated session: conf changes must not leak into parallel suites
     val s2 = spark.newSession()

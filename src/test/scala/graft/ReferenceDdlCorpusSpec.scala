@@ -363,6 +363,45 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table pk_t")
   }
 
+  test("UNIQUE keys: 1062 with NULL exemption; IGNORE; ADD UNIQUE validates " +
+      "(index_queries.go unique shapes)") {
+    engine.runScript(
+      """create table uq_t (pk int primary key, email varchar(40) unique,
+        |  a int, b int, unique key ab_key (a, b));
+        |insert into uq_t values (1, 'x@y.z', 1, 1);
+        |""".stripMargin)
+    // single-column unique: duplicate errors with the key name
+    val e1 = intercept[IllegalArgumentException] {
+      engine.query("insert into uq_t values (2, 'x@y.z', 2, 2)")
+    }
+    assert(e1.getMessage.contains("1062") && e1.getMessage.contains("email"))
+    // composite unique
+    assert(intercept[IllegalArgumentException] {
+      engine.query("insert into uq_t values (2, 'a@b.c', 1, 1)")
+    }.getMessage.contains("ab_key"))
+    // NULLs are exempt: several NULL-keyed rows coexist
+    engine.query("insert into uq_t values (2, null, null, 9)")
+    engine.query("insert into uq_t values (3, null, null, 9)")
+    assert(rows("select count(*) n from uq_t") == Seq(Seq(3L)))
+    // INSERT IGNORE skips the unique-violating row only
+    val n = engine.query(
+      "insert ignore into uq_t values (4, 'x@y.z', 5, 5), (5, 'n@w.v', 6, 6)")
+      .collect()(0).getLong(0)
+    assert(n == 1)
+    // ADD UNIQUE validates existing rows (a=null rows exempt; dup on b=9
+    // is two rows -> fails)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("alter table uq_t add unique key b_key (b)")
+    }.getMessage.contains("1062"))
+    // and a clean one passes, then enforces
+    engine.query("create unique index pk2 on uq_t (pk)")
+    // SHOW CREATE TABLE renders the declared constraint surface
+    val ddl = engine.showCreateTable("uq_t")
+    assert(ddl.contains("PRIMARY KEY (`pk`)"))
+    assert(ddl.contains("UNIQUE KEY `ab_key` (`a`,`b`)"))
+    engine.query("drop table uq_t")
+  }
+
   test("foreign keys: 1452/1451, CASCADE, SET NULL, ALTER/DROP guards " +
       "(foreign_key_queries.go shapes)") {
     engine.runScript(
