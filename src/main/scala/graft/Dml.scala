@@ -119,6 +119,11 @@ object Dml {
     re("""(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?<T>\s*$""")
   private val SetVar =
     """(?is)^\s*SET\s+@([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.*?)\s*$""".r
+  private val SetSqlMode =
+    """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*:?=\s*(.+?)\s*$""".r
+  // DESCRIBE t / DESC t — MySQL column shape (rowexec/show.go DESCRIBE)
+  private val DescribeTbl =
+    """(?is)^\s*(?:DESCRIBE|DESC)\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   // SET time_zone must dispatch before the SET noop (whose @@\S+ arm
   // would swallow SET @@time_zone = …)
   private val SetTz =
@@ -425,6 +430,16 @@ object Dml {
       Some(ok(e, 0L))
 
     case SetTz(tz) => e.setTimeZone(tz); Some(ok(e, 0L))
+
+    // sql_mode: ANSI_QUOTES toggles double-quoted identifiers; other
+    // modes are accepted as session chatter (reference sql_mode.go)
+    case SetSqlMode(v) =>
+      e.setSqlMode(v.trim.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\""))
+      Some(ok(e, 0L))
+
+    case DescribeTbl(table) =>
+      dispatchTrimmed(e, s"SHOW COLUMNS FROM `$table`")
 
     case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
 

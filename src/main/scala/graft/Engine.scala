@@ -275,6 +275,53 @@ class Engine(val spark: SparkSession) {
     * string literals only. */
   private val sessionVars = scala.collection.mutable.Map.empty[String, String]
 
+  /** ANSI_QUOTES sql_mode (reference ansi_quotes_queries.go): when on,
+    * double-quoted tokens are identifiers, not strings. The rewrite maps
+    * them onto backtick quoting before the dialect pass ('' stays a
+    * string everywhere; "" inside a quoted identifier escapes). */
+  private var ansiQuotes = false
+
+  def setSqlMode(modes: String): Unit =
+    ansiQuotes = modes.toUpperCase.contains("ANSI_QUOTES") ||
+      modes.toUpperCase.split(",").map(_.trim).contains("ANSI")
+
+  private def applyAnsiQuotes(sql: String): String =
+    if (!ansiQuotes || !sql.contains("\"")) sql
+    else {
+      val out = new StringBuilder
+      var i = 0
+      val n = sql.length
+      while (i < n) {
+        sql.charAt(i) match {
+          case '\'' => // string literal: copy verbatim ('' + \' escapes)
+            val start = i; i += 1
+            while (i < n && (sql.charAt(i) != '\'' ||
+                   (i + 1 < n && sql.charAt(i + 1) == '\'' && { i += 1; true }))) {
+              if (sql.charAt(i) == '\\' && i + 1 < n) i += 1
+              i += 1
+            }
+            i = math.min(i + 1, n)
+            out.append(sql.substring(start, i))
+          case '`' => // already-backticked identifier: copy verbatim
+            val start = i; i += 1
+            while (i < n && sql.charAt(i) != '`') i += 1
+            i = math.min(i + 1, n)
+            out.append(sql.substring(start, i))
+          case '"' => // ANSI identifier -> backticks
+            i += 1
+            val ident = new StringBuilder
+            while (i < n && (sql.charAt(i) != '"' ||
+                   (i + 1 < n && sql.charAt(i + 1) == '"' && { i += 1; true }))) {
+              ident.append(sql.charAt(i)); i += 1
+            }
+            i = math.min(i + 1, n)
+            out.append('`').append(ident.result().replace("`", "``")).append('`')
+          case c => out.append(c); i += 1
+        }
+      }
+      out.result()
+    }
+
   /** SET time_zone (reference time_queries.go; sysvar time_zone): maps
     * onto spark.sql.session.timeZone, so now()/from_unixtime/date
     * rendering follow the session zone like MySQL. MySQL offset forms
@@ -355,7 +402,7 @@ class Engine(val spark: SparkSession) {
     * dispatches to the memory-backend operations the way the reference's
     * planbuilder routes non-SELECT statements (sql/planbuilder/dml.go). */
   def query(sql: String): DataFrame = mysqlTrimSemantics {
-    val rewritten = substituteVars(Dialect.rewrite(sql))
+    val rewritten = substituteVars(Dialect.rewrite(applyAnsiQuotes(sql)))
     Dml.dispatch(this, rewritten).getOrElse {
     plans.RecursiveSql.run(spark, rewritten).getOrElse {
       try runWithTruthyRetry(rewritten)
@@ -1323,11 +1370,28 @@ class Engine(val spark: SparkSession) {
 
   /** SHOW COLUMNS FROM t — MySQL Field/Type/Null/Key/Default/Extra shape
     * (reference sql/rowexec/show.go showColumns). */
-  def showColumns(table: String): Seq[(String, String, String, String, Option[String], String)] =
+  def showColumns(table: String): Seq[(String, String, String, String, Option[String], String)] = {
+    val pk = tableKeys.getOrElse(table, Seq.empty).map(_.toLowerCase).toSet
+    val uni = uniqueKeys.toSeq.collect {
+      case (t, _, Seq(c)) if t == table => c.toLowerCase
+    }.toSet
+    val mul = secondaryIndexes.toSeq.collect {
+      case (t, _, cols) if t == table => cols.head.toLowerCase
+    }.toSet
     spark.table(table).schema.fields.toSeq.map { f =>
-      (f.name, mysqlType(f.dataType), if (f.nullable) "YES" else "NO", "",
-        None, "")
+      val lc = f.name.toLowerCase
+      val key = if (pk(lc)) "PRI" else if (uni(lc)) "UNI"
+        else if (mul(lc)) "MUL" else ""
+      val extra =
+        if (autoIncCols.get(table).exists(_.equalsIgnoreCase(f.name)))
+          "auto_increment"
+        else if (generatedCols.exists(g =>
+          g._1 == table && g._2.equalsIgnoreCase(f.name))) "STORED GENERATED"
+        else ""
+      (f.name, mysqlType(f.dataType), if (f.nullable) "YES" else "NO", key,
+        columnDefaults.get((table, lc)), extra)
     }
+  }
 
   /** SHOW INDEX FROM t — declared primary keys surface as the PRIMARY
     * index; there are no secondary indexes over parquet. */

@@ -167,6 +167,37 @@ class EngineSpec extends AnyFunSuite {
     intercept[Exception](engine.query("show create view v_cols"))
   }
 
+  test("ANSI_QUOTES sql_mode + DESCRIBE (ansi_quotes_queries.go:24-80)") {
+    val s2 = spark.newSession()
+    val e2 = new Engine(s2)
+    e2.runScript(
+      """create table auctions (ai int auto_increment, id varchar(32),
+        |  data varchar(100), primary key (ai));
+        |insert into auctions (id, data) values (42, 'forty-two');
+        |""".stripMargin)
+    e2.query("SET @@sql_mode='ANSI_QUOTES,NO_ENGINE_SUBSTITUTION," +
+      "ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES'")
+    // double quotes are identifier quotes under ANSI_QUOTES
+    assert(e2.query("""select "data" from auctions order by "ai" desc""")
+      .collect()(0).getString(0) == "forty-two")
+    // backticks stay valid; single-quoted strings unaffected, including
+    // ones that CONTAIN a double quote
+    assert(e2.query("select `data` from auctions order by `ai` desc")
+      .collect()(0).getString(0) == "forty-two")
+    val r = e2.query("""select "data", '"' from auctions order by "ai"""")
+      .collect()(0)
+    assert(r.getString(0) == "forty-two" && r.getString(1) == "\"")
+    // disabling the mode restores double-quoted strings
+    e2.query("SET @@sql_mode='NO_ENGINE_SUBSTITUTION,ONLY_FULL_GROUP_BY'")
+    assert(e2.query("""select "data" from auctions order by 1""")
+      .collect()(0).getString(0) == "data")
+    // DESCRIBE returns MySQL's SHOW COLUMNS shape
+    val d = e2.query("describe auctions").collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("ai", "id", "data"))
+    assert(d(0).getString(3) == "PRI")
+    e2.query("drop table auctions")
+  }
+
   test("SET time_zone drives session time rendering (time_queries.go)") {
     // isolated session: conf changes must not leak into parallel suites
     val s2 = spark.newSession()
