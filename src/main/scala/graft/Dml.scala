@@ -119,6 +119,18 @@ object Dml {
     re("""(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?<T>\s*$""")
   private val SetVar =
     """(?is)^\s*SET\s+@([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.*?)\s*$""".r
+  // PREPARE name FROM 'sql' / EXECUTE name [USING @a, ...] / DEALLOCATE
+  // (reference sql/plan/prepare.go:181 — the SQL-text prepared surface;
+  // Engine.queryPrepared is the API twin)
+  private val PrepareStmt =
+    """(?is)^\s*PREPARE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+FROM\s+'((?:[^'\\]|\\.|'')*)'\s*$""".r
+  private val PrepareFromVar =
+    """(?is)^\s*PREPARE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+FROM\s+@([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+  private val ExecuteStmt =
+    """(?is)^\s*EXECUTE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?(?:\s+USING\s+(.+?))?\s*$""".r
+  private val DeallocStmt =
+    """(?is)^\s*(?:DEALLOCATE|DROP)\s+PREPARE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+
   private val SetSqlMode =
     """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*:?=\s*(.+?)\s*$""".r
   // DESCRIBE t / DESC t — MySQL column shape (rowexec/show.go DESCRIBE)
@@ -428,6 +440,46 @@ object Dml {
       val v = e.query(s"SELECT $ex").collect()(0).get(0)
       e.setVar(name, v) // null renders as SQL NULL, not the string 'NULL'
       Some(ok(e, 0L))
+
+    case PrepareStmt(name, body) =>
+      // the statement text is stored verbatim (MySQL keeps the source;
+      // '' and \' unescape to the literal text)
+      e.preparedStmts(name) = body.replace("''", "'").replace("\\'", "'")
+      Some(ok(e, 0L))
+
+    case PrepareFromVar(name, varName) =>
+      val text = e.getVar(varName).getOrElse(throw new IllegalArgumentException(
+        s"Undefined user variable '@$varName' in PREPARE"))
+      e.preparedStmts(name) = text
+      Some(ok(e, 0L))
+
+    case ExecuteStmt(name, usingOpt) =>
+      val body = e.preparedStmts.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"Unknown prepared statement handler ($name) given to EXECUTE " +
+          s"(MySQL error 1243)"))
+      // session @vars are substituted to literals before dispatch, so
+      // USING items arrive as rendered values (or still as @name when
+      // the variable was never set)
+      val params: Seq[Any] = Option(usingOpt).toSeq
+        .flatMap(_.split(",").toSeq).map(_.trim).map { tok =>
+          if (tok.startsWith("@")) e.getVarRaw(tok.stripPrefix("@")).orNull
+          else if (tok.startsWith("'") && tok.endsWith("'"))
+            tok.substring(1, tok.length - 1).replace("''", "'")
+          else if (tok.equalsIgnoreCase("NULL")) null
+          else
+            try java.lang.Long.valueOf(tok)
+            catch {
+              case _: NumberFormatException =>
+                try java.lang.Double.valueOf(tok)
+                catch { case _: NumberFormatException => tok }
+            }
+        }
+      if (params.isEmpty) Some(e.query(body))
+      else Some(e.queryPrepared(body, params))
+
+    case DeallocStmt(name) =>
+      e.preparedStmts.remove(name); Some(ok(e, 0L))
 
     case SetTz(tz) => e.setTimeZone(tz); Some(ok(e, 0L))
 

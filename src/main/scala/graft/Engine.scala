@@ -345,6 +345,35 @@ class Engine(val spark: SparkSession) {
     spark.conf.set("spark.sql.session.timeZone", resolved)
   }
 
+  /** SQL-text prepared statements (PREPARE/EXECUTE/DEALLOCATE —
+    * reference sql/plan/prepare.go; Engine.queryPrepared is the API
+    * twin). Stored verbatim; EXECUTE re-enters the full query path. */
+  private[graft] val preparedStmts =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** session @var as raw text (unquoted literal) — PREPARE FROM @v. */
+  private[graft] def getVar(name: String): Option[String] =
+    sessionVars.get(name).map { v =>
+      if (v.startsWith("'") && v.endsWith("'"))
+        v.substring(1, v.length - 1).replace("''", "'")
+      else v
+    }
+
+  /** session @var as a typed value — EXECUTE ... USING @v. */
+  private[graft] def getVarRaw(name: String): Option[Any] =
+    sessionVars.get(name).map { v =>
+      if (v.startsWith("'") && v.endsWith("'"))
+        v.substring(1, v.length - 1).replace("''", "'")
+      else if (v.equalsIgnoreCase("NULL")) null
+      else
+        try java.lang.Long.valueOf(v)
+        catch {
+          case _: NumberFormatException =>
+            try java.lang.Double.valueOf(v)
+            catch { case _: NumberFormatException => v }
+        }
+    }
+
   /** SET @name = value. Strings are quoted; numbers pass through;
     * null renders as the SQL NULL token (not the 4-char string). */
   def setVar(name: String, value: Any): Unit = {

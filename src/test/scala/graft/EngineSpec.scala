@@ -227,6 +227,27 @@ class EngineSpec extends AnyFunSuite {
     assert(named == positional && named > 0)
   }
 
+  test("SQL-text PREPARE / EXECUTE / DEALLOCATE (prepare.go surface)") {
+    engine.query(
+      "PREPARE q1 FROM 'SELECT count(*) AS n FROM region WHERE r_regionkey < ?'")
+    engine.query("SET @k = 3")
+    assert(engine.query("EXECUTE q1 USING @k").collect()(0).getLong(0) == 3L)
+    // no parameters: runs the stored text as-is
+    engine.query("PREPARE q2 FROM 'SELECT 40 + 2 AS v'")
+    assert(engine.query("EXECUTE q2").collect()(0).getInt(0) == 42)
+    // PREPARE FROM @var (dynamic SQL)
+    engine.query("SET @sqltext = 'SELECT max(r_regionkey) AS m FROM region'")
+    engine.query("PREPARE q3 FROM @sqltext")
+    assert(engine.query("EXECUTE q3").collect()(0).getInt(0) == 4)
+    // DEALLOCATE drops the handler (MySQL error 1243 on reuse)
+    engine.query("DEALLOCATE PREPARE q1")
+    assert(intercept[IllegalArgumentException] {
+      engine.query("EXECUTE q1")
+    }.getMessage.contains("1243"))
+    engine.query("DROP PREPARE q2")
+    engine.query("DEALLOCATE PREPARE q3")
+  }
+
   test("session variables substitute outside literals") {
     engine.setVar("min_price", 400000)
     engine.setVar("status", "O")
