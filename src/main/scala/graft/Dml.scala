@@ -156,6 +156,8 @@ object Dml {
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val ShowCollation =
     """(?is)^\s*SHOW\s+COLLATION(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+  private val ShowGrants =
+    """(?is)^\s*SHOW\s+GRANTS(?:\s+FOR\s+\S+)?\s*$""".r
   private val ShowTableStatus =
     """(?is)^\s*SHOW\s+TABLE\s+STATUS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   // standalone index DDL (reference sql/planbuilder/ddl.go buildCreateIndex)
@@ -564,6 +566,14 @@ object Dml {
       import s.implicits._
       Some(Seq((table, "analyze", "status", "OK"))
         .toDF("Table", "Op", "Msg_type", "Msg_text"))
+
+    // privileges are descoped (§2.12): every session is the superuser,
+    // which SHOW GRANTS reports honestly (mysql_db is not modeled)
+    case ShowGrants() =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq("GRANT ALL PRIVILEGES ON *.* TO `graft`@`%` WITH GRANT OPTION")
+        .toDF("Grants for graft@%"))
 
     case ShowTableStatus(like) =>
       val s = e.spark

@@ -1380,6 +1380,11 @@ class Engine(val spark: SparkSession) {
         "maxlen")
       .createOrReplaceTempView("information_schema_character_sets")
 
+    // VIEWS: the stored CREATE VIEW definitions (views_table.go)
+    viewDefs.toSeq.map { case (n, sql) => ("def", db, n, sql) }
+      .toDF("table_catalog", "table_schema", "table_name", "view_definition")
+      .createOrReplaceTempView("information_schema_views")
+
     Dialect.supportedCollations
       .toDF("collation_name", "character_set_name", "is_default")
       .createOrReplaceTempView("information_schema_collations")

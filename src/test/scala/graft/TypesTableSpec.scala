@@ -146,6 +146,20 @@ class TypesTableSpec extends AnyFunSuite {
     e.query("drop table tc_p")
   }
 
+  test("information_schema.views + SHOW GRANTS") {
+    val e = new Engine(spark)
+    e.attachDir(SparkSpec.sfDir)
+    e.query("create view isv_demo as select r_regionkey from region")
+    e.enableInformationSchema()
+    val v = e.query(
+      """SELECT view_definition FROM information_schema_views
+         WHERE table_name = 'isv_demo'""").collect()
+    assert(v.length == 1 && v(0).getString(0).contains("from region"))
+    val g = e.query("SHOW GRANTS").collect()
+    assert(g.length == 1 && g(0).getString(0).startsWith("GRANT ALL"))
+    e.query("drop view isv_demo")
+  }
+
   test("SHOW COLUMNS / SHOW INDEX shapes") {
     val e = new Engine(spark)
     e.attachDir(SparkSpec.sfDir)
