@@ -208,6 +208,37 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table nm_bin")
   }
 
+  test("NULL-range predicate planning (null_range_tests.go, full set)") {
+    engine.runScript(
+      """create table null_ranges (x int primary key, y int);
+        |create index idx1 on null_ranges (y);
+        |insert into null_ranges values (0,0), (1,1), (2,2), (3,null), (4,null);
+        |""".stripMargin)
+    def q(where: String): Seq[(Int, Any)] =
+      engine.query(s"select * from null_ranges where $where order by x")
+        .collect().map(r => (r.getInt(0), r.get(1))).toSeq
+    assert(q("y IS NULL or y < 1") == Seq((0, 0), (3, null), (4, null)))
+    assert(q("y IS NULL and y < 1").isEmpty)
+    assert(q("y IS NULL or y IS NOT NULL").size == 5)
+    assert(q("y IS NOT NULL") == Seq((0, 0), (1, 1), (2, 2)))
+    assert(q("y IS NULL or y = 0 or y = 1") ==
+      Seq((0, 0), (1, 1), (3, null), (4, null)))
+    assert(q("y IS NULL or y < 1 or y > 1") ==
+      Seq((0, 0), (2, 2), (3, null), (4, null)))
+    assert(q("y IS NOT NULL and x > 1") == Seq((2, 2)))
+    assert(q("y IS NULL and x = 4") == Seq((4, null)))
+    assert(q("y IS NULL and x > 1") == Seq((3, null), (4, null)))
+    assert(q("y IS NULL and y IS NOT NULL").isEmpty)
+    assert(q("y is NULL and y > -1 and y > -2").isEmpty)
+    assert(q("y > -1 and y < 7 and y IS NULL").isEmpty)
+    assert(q("y > -1 and y > -2 and y IS NOT NULL") ==
+      Seq((0, 0), (1, 1), (2, 2)))
+    assert(q("y > -1 and y > 1 and y IS NOT NULL") == Seq((2, 2)))
+    assert(q("y < 6 and y > -1 and y IS NOT NULL") ==
+      Seq((0, 0), (1, 1), (2, 2)))
+    engine.query("drop table null_ranges")
+  }
+
   test("collation ordering + predicates (charset_collation_engine.go:122-232)") {
     engine.runScript(
       """CREATE TABLE ct1 (pk BIGINT PRIMARY KEY, v1 VARCHAR(255) COLLATE utf16_unicode_ci, INDEX(v1));
