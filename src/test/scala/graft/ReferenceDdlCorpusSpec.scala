@@ -208,6 +208,28 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table nm_bin")
   }
 
+  test("blob/text round-trips and binary ordering (blob_queries.go:24-80)") {
+    engine.runScript(
+      """create table blobt (i bigint primary key, b longblob);
+        |insert into blobt values (1, 'first row'), (2, 'second row'), (3, 'third row');
+        |""".stripMargin)
+    assert(engine.query("select i, hex(b) from blobt order by i").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "666972737420726F77"), (2L, "7365636F6E6420726F77"),
+        (3L, "746869726420726F77")))
+    assert(new String(engine.query("select * from blobt where i = 1")
+      .collect()(0).getAs[Array[Byte]](1), "UTF-8") == "first row")
+    assert(engine.query("select i from blobt order by b desc").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    assert(engine.query("select i from blobt where b <= 'second row' order by i")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // write-side: UPDATE a blob column keeps binary type
+    engine.query("update blobt set b = '100000000' where i = 1")
+    assert(new String(engine.query("select b from blobt where i = 1")
+      .collect()(0).getAs[Array[Byte]](0), "UTF-8") == "100000000")
+    engine.query("drop table blobt")
+  }
+
   test("NULL-range predicate planning (null_range_tests.go, full set)") {
     engine.runScript(
       """create table null_ranges (x int primary key, y int);
