@@ -325,6 +325,8 @@ object Dml {
         }
         if (gate.isDefined) updated.drop("__upd__") else updated
       }
+      // `__rid__` aligns each pre-update row with its post-update image
+      // so ON UPDATE CASCADE can map old keys to new keys
       tail match {
         case Some(orderLimit) =>
           // ORDER BY … LIMIT … — update exactly the limited subset:
@@ -332,23 +334,28 @@ object Dml {
           val whereClause = whereOpt.map(w => s" WHERE $w").getOrElse("")
           val subset = e.query(s"SELECT * FROM ${tick(table)}$whereClause $orderLimit")
           val affected = subset.count()
-          val newDf = e.computeGenerated(table,
-            t.exceptAll(subset).unionByName(assignSequential(subset, None)))
+          val subset0 = subset.withColumn("__rid__", monotonically_increasing_id())
+          val transformed0 =
+            e.computeGenerated(table, assignSequential(subset0, None))
+          val newDf =
+            t.exceptAll(subset).unionByName(transformed0.drop("__rid__"))
           e.validateVocab(table, newDf)
           e.validateChecks(table, newDf)
           e.validateForeignKeysChild(table, newDf)
-          e.enforceParentUpdate(table, newDf)
+          e.enforceParentUpdate(table, subset0, transformed0)
           e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
         case None =>
           val gate = whereOpt.map(cond =>
             coalesce(expr(cond).cast("boolean"), lit(false)))
           val affected = gate.map(g => t.filter(g).count()).getOrElse(t.count())
-          val newDf = e.computeGenerated(table, assignSequential(t, gate))
+          val t0 = t.withColumn("__rid__", monotonically_increasing_id())
+          val newDf0 = e.computeGenerated(table, assignSequential(t0, gate))
+          val newDf = newDf0.drop("__rid__")
           e.validateVocab(table, newDf)
           e.validateChecks(table, newDf)
           e.validateForeignKeysChild(table, newDf)
-          e.enforceParentUpdate(table, newDf)
+          e.enforceParentUpdate(table, t0, newDf0)
           e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
       }
@@ -367,9 +374,11 @@ object Dml {
         }
       def applyDelete(kept: DataFrame, affected: Long): Option[DataFrame] = {
         // FK enforcement against the surviving rows: RESTRICT errors,
-        // CASCADE/SET NULL walk the child graph (foreign_key_queries.go)
-        e.enforceParentDelete(table, kept)
-        e.replaceTable(table, kept, bumpDepth = true)
+        // CASCADE/SET NULL walk the child graph (foreign_key_queries.go).
+        // A self-referential FK can shrink the survivor set further, so
+        // the table is replaced with the RETURNED frame.
+        val finalKept = e.enforceParentDelete(table, kept)
+        e.replaceTable(table, finalKept, bumpDepth = true)
         Some(ok(e, affected))
       }
       tail match {
@@ -463,8 +472,10 @@ object Dml {
       // session @vars are substituted to literals before dispatch, so
       // USING items arrive as rendered values (or still as @name when
       // the variable was never set)
+      // quote-aware split: a string parameter containing a comma
+      // ('a,b') is ONE positional binding, not two
       val params: Seq[Any] = Option(usingOpt).toSeq
-        .flatMap(_.split(",").toSeq).map(_.trim).map { tok =>
+        .flatMap(s => topLevelSplit(s, ',')).map(_.trim).map { tok =>
           if (tok.startsWith("@")) e.getVarRaw(tok.stripPrefix("@")).orNull
           else if (tok.startsWith("'") && tok.endsWith("'"))
             tok.substring(1, tok.length - 1).replace("''", "'")
@@ -1230,17 +1241,21 @@ object Dml {
       .dropDuplicates(key)
     val matched = updates.count()
 
-    val merged = t.join(updates.withColumn("__upd", lit(true)),
+    // `__rid__` aligns pre/post rows for ON UPDATE CASCADE key mapping
+    val t0 = t.withColumn("__rid__", monotonically_increasing_id())
+    val merged0 = t0.join(updates.withColumn("__upd", lit(true)),
         key.toSeq, "left")
-      .select(t.columns.map { c =>
+      .select((t.columns.map { c =>
         assigns.get(c) match {
           case Some(_) =>
             when(coalesce(col("__upd"), lit(false)), col(s"`__new_$c`"))
               .otherwise(col(s"`$c`")).as(c)
           case None => col(s"`$c`")
         }
-      }.toIndexedSeq: _*)
+      } :+ col("__rid__")).toIndexedSeq: _*)
+    val merged = merged0.drop("__rid__")
     e.validateVocab(table, merged)
+    e.enforceParentUpdate(table, t0, merged0)
     e.replaceTable(table, merged, bumpDepth = true)
     ok(e, matched)
   }
@@ -1283,7 +1298,8 @@ object Dml {
         (table, t.join(hit, key.toSeq, "left_anti"))
       }
     work.foreach { case (table, kept) =>
-      e.replaceTable(table, kept, bumpDepth = true)
+      val finalKept = e.enforceParentDelete(table, kept)
+      e.replaceTable(table, finalKept, bumpDepth = true)
     }
     ok(e, matched)
   }

@@ -674,6 +674,11 @@ class Engine(val spark: SparkSession) {
       coerceAndFill(table, incoming0, fillMissing))
     val target = spark.table(table)
     if (ignoreDups) {
+      // first-in-batch-wins sequence is pinned BEFORE the CHECK/FK skip
+      // filters: their unionByName branches reorder rows, and a sequence
+      // assigned afterwards would make the surviving duplicate depend on
+      // that reorder instead of MySQL's statement order
+      coerced = coerced.withColumn("__seq__", monotonically_increasing_id())
       coerced = relaxVocab(table, coerced)
       // skip CHECK-violating rows (NULL result passes, 3VL)
       checkConstraints.toSeq.collect { case (t, _, ex) if t == table => ex }
@@ -712,11 +717,10 @@ class Engine(val spark: SparkSession) {
               .toIndexedSeq: _*)
             .orderBy(col("__seq__").asc)
           coerced = coerced
-            .withColumn("__seq__", monotonically_increasing_id())
             .withColumn("__nn__", gate)
             .withColumn("__rn__", row_number().over(w))
             .filter(!col("__nn__") || col("__rn__") === 1)
-            .drop("__seq__", "__nn__", "__rn__")
+            .drop("__nn__", "__rn__")
           val t0 = if (nullExempt) target.filter(nonNull) else target
           val existing = t0
             .select(kcols.toIndexedSeq: _*).distinct()
@@ -727,6 +731,7 @@ class Engine(val spark: SparkSession) {
             coerced.filter(gate).join(existing, cond, "left_anti"))
         }
       }
+      coerced = coerced.drop("__seq__")
     } else {
       validateVocab(table, coerced)
       validateChecks(table, coerced)
@@ -1053,8 +1058,18 @@ class Engine(val spark: SparkSession) {
                                               df: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     foreignKeys.toSeq.filter(_.child == table).foreach { fk =>
-      val parent = spark.table(fk.parent)
-        .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
+      val parentBase = spark.table(fk.parent)
+        .select(fk.parentCols.map(c => col(s"`$c`")): _*)
+      // a SELF-referential FK also sees the incoming batch as parent
+      // rows (MySQL validates row-by-row, so a batch can reference keys
+      // it inserts itself — foreign_key_queries.go self-referential
+      // setup scripts)
+      val parentAll =
+        if (fk.parent == table)
+          parentBase.unionByName(
+            df.select(fk.parentCols.map(c => col(s"`$c`")): _*))
+        else parentBase
+      val parent = parentAll.distinct()
         .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
       val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
         col(s"`$cc`") === col(s"`__fk_$pc`")
@@ -1069,19 +1084,88 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** Parent-side enforcement after a DELETE (or key-changing UPDATE):
-    * child rows no longer matched by `remaining` either block the write
-    * (RESTRICT / NO ACTION, error 1451), cascade-delete, or null out
-    * their FK columns (SET NULL) — recursively, the way the reference's
-    * foreign_key_handler walks the graph. */
+  /** Parent-side enforcement after a DELETE. FK actions are
+    * ROW-TRIGGERED, the reference's semantics (foreign_key_handler;
+    * pinned by foreign_key_queries.go "SQL CASCADE", where `one` still
+    * holds a v1=9 row yet deleting the OTHER v1=9 row cascades anyway):
+    * the DELETED rows' referenced-key values fire the declared action
+    * on every matching child row — RESTRICT blocks (error 1451),
+    * CASCADE deletes recursively, SET NULL nulls the FK columns.
+    *
+    * Returns the final surviving rows for `parent` itself: a
+    * SELF-referential FK resolves against the survivors (a deleted row
+    * is never an orphan), and its CASCADE may knock out further
+    * surviving rows transitively, so the caller must replace the table
+    * with the RETURNED frame, not its original `remaining`. Must be
+    * called BEFORE the table view is replaced (the pre-delete contents
+    * define the deleted set). */
   private[graft] def enforceParentDelete(parent: String,
                                          remaining: DataFrame,
-                                         visited: Set[String] = Set.empty): Unit = {
+                                         visited: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
-    if (visited.contains(parent)) return // FK cycle: one pass per table
-    foreignKeys.toSeq.filter(_.parent == parent).foreach { fk =>
+    if (visited.contains(parent)) return remaining // FK cycle: one pass per table
+    val fks = foreignKeys.toSeq.filter(_.parent == parent)
+    if (fks.isEmpty) return remaining
+    val before = spark.table(parent)
+    var rem = remaining
+    val (selfFks, childFks) = fks.partition(_.child == parent)
+    def err1451(fk: ForeignKey): Nothing = throw new IllegalArgumentException(
+      s"Cannot delete or update a parent row: a foreign key " +
+      s"constraint fails (`${fk.child}`, CONSTRAINT `${fk.name}`) " +
+      s"(MySQL error 1451)")
+    // self-referential FKs first: they shrink (or veto) the survivor set
+    // whose deleted complement then fires every plain child FK
+    selfFks.foreach { fk =>
+      val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
+        .reduce(_ && _)
+      def keysOf(df: DataFrame) = df
+        .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
+        .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
+      val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
+        col(s"`$cc`") === col(s"`__fk_$pc`")
+      }.reduce(_ && _)
+      fk.onDelete.toUpperCase match {
+        case "CASCADE" =>
+          // transitive closure over surviving rows: each round, the keys
+          // of the rows deleted LAST round knock out the survivors that
+          // reference them. Rounds are bounded by the longest reference
+          // chain; each round is one distributed semi/anti join pair (no
+          // driver-side row handling).
+          var trigger = keysOf(before.exceptAll(rem))
+          var done = false
+          while (!done) {
+            val hit = rem.filter(nonNull).join(trigger, cond, "left_semi")
+            if (hit.limit(1).count() == 0) done = true
+            else {
+              rem = rem.filter(!nonNull).unionByName(
+                rem.filter(nonNull).join(trigger, cond, "left_anti"))
+              trigger = keysOf(hit)
+            }
+          }
+        case "SET NULL" =>
+          // one pass: nulling FK columns never deletes a row, so no new
+          // keys fire
+          val trigger = keysOf(before.exceptAll(rem))
+          val nn = rem.filter(nonNull)
+          val orphans = nn.join(trigger, cond, "left_semi")
+          val nulledOrphans = fk.childCols.foldLeft(orphans) { (d, c) =>
+            d.withColumn(c, org.apache.spark.sql.functions.lit(null)
+              .cast(rem.schema(c).dataType))
+          }
+          rem = rem.filter(!nonNull)
+            .unionByName(nn.join(trigger, cond, "left_anti"))
+            .unionByName(nulledOrphans)
+        case _ => // RESTRICT / NO ACTION: a SURVIVOR referencing a
+          // deleted row's key blocks; rows deleted together never do
+          val trigger = keysOf(before.exceptAll(rem))
+          if (rem.filter(nonNull).join(trigger, cond, "left_semi")
+              .limit(1).count() > 0) err1451(fk)
+      }
+    }
+    childFks.foreach { fk =>
       val child = spark.table(fk.child)
-      val keys = remaining
+      // keys of every deleted row (incl. rows a self-FK cascade removed)
+      val trigger = before.exceptAll(rem)
         .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
         .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
       val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
@@ -1089,59 +1173,122 @@ class Engine(val spark: SparkSession) {
       }.reduce(_ && _)
       val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
         .reduce(_ && _)
-      val orphans = child.filter(nonNull).join(keys, cond, "left_anti")
-      // rows exempt from the constraint (any NULL FK column) + rows whose
-      // parent survives
-      lazy val keptClean = child.filter(!nonNull).unionByName(
-        child.filter(nonNull).join(keys, cond, "left_semi"))
+      val nn = child.filter(nonNull)
+      val hit = nn.join(trigger, cond, "left_semi")
+      // rows exempt from the constraint (any NULL FK column) + rows the
+      // deleted keys do not fire on
+      lazy val keptClean = child.filter(!nonNull)
+        .unionByName(nn.join(trigger, cond, "left_anti"))
       fk.onDelete.toUpperCase match {
         case "CASCADE" =>
-          enforceParentDelete(fk.child, keptClean, visited + parent)
-          replaceTable(fk.child, keptClean, bumpDepth = true)
+          val finalChild =
+            enforceParentDelete(fk.child, keptClean, visited + parent)
+          replaceTable(fk.child, finalChild, bumpDepth = true)
         case "SET NULL" =>
-          val nulledOrphans = fk.childCols.foldLeft(orphans) { (d, c) =>
+          val nulledOrphans = fk.childCols.foldLeft(hit) { (d, c) =>
             d.withColumn(c, org.apache.spark.sql.functions.lit(null)
               .cast(child.schema(c).dataType))
           }
           replaceTable(fk.child,
             keptClean.unionByName(nulledOrphans), bumpDepth = true)
         case _ => // RESTRICT / NO ACTION
-          if (orphans.limit(1).count() > 0)
-            throw new IllegalArgumentException(
-              s"Cannot delete or update a parent row: a foreign key " +
-              s"constraint fails (`${fk.child}`, CONSTRAINT `${fk.name}`) " +
-              s"(MySQL error 1451)")
+          if (hit.limit(1).count() > 0) err1451(fk)
       }
     }
+    rem
   }
 
-  /** Parent-side enforcement after an UPDATE: any child row left
-    * unmatched by the new parent contents is error 1451 (RESTRICT
-    * semantics; an update that never touches the referenced key columns
-    * passes trivially). ON UPDATE CASCADE's child rewrite needs an
-    * old-to-new key mapping and is not supported — such updates error
-    * rather than silently diverge. */
+  /** Parent-side enforcement after an UPDATE (reference
+    * sql/rowexec/dml_iters.go:839 cascade machinery +
+    * foreign_key_queries.go ON UPDATE cases). `oldParent` / `newParent`
+    * carry an aligned `__rid__` column (same row = same id), which gives
+    * ON UPDATE CASCADE its old-to-new key mapping: the rows whose
+    * referenced key actually changed become a (old keys, new keys)
+    * mapping table joined against the child.
+    *
+    *  - RESTRICT / NO ACTION: a child row still referencing a vanished
+    *    key is error 1451.
+    *  - SET NULL: such child rows get their FK columns nulled.
+    *  - CASCADE: such child rows get their FK columns rewritten to the
+    *    new key, recursively (the rewritten child columns may themselves
+    *    be keys grandchildren reference).
+    *  - A SELF-referential FK acts like RESTRICT (InnoDB stops an
+    *    ON UPDATE cascade that loops back onto the updated table).
+    */
   private[graft] def enforceParentUpdate(parent: String,
-                                         newParent: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.col
-    foreignKeys.toSeq.filter(f => f.parent == parent && f.child != parent)
-      .foreach { fk =>
-        val child = spark.table(fk.child)
-        val keys = newParent
-          .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
-          .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
-        val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
-          col(s"`$cc`") === col(s"`__fk_$pc`")
-        }.reduce(_ && _)
-        val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
-          .reduce(_ && _)
-        val bad = child.filter(nonNull).join(keys, cond, "left_anti")
-          .limit(1).count()
-        if (bad > 0) throw new IllegalArgumentException(
-          s"Cannot delete or update a parent row: a foreign key " +
-          s"constraint fails (`${fk.child}`, CONSTRAINT `${fk.name}`) " +
-          s"(MySQL error 1451)")
+                                         oldParent: DataFrame,
+                                         newParent: DataFrame,
+                                         visited: Set[String] = Set.empty): Unit = {
+    import org.apache.spark.sql.functions._
+    if (visited.contains(parent)) return
+    foreignKeys.toSeq.filter(_.parent == parent).foreach { fk =>
+      val child = spark.table(fk.child)
+      val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
+        .reduce(_ && _)
+      // (old, new) key pairs for the rows whose referenced key actually
+      // changed (null-safe compare). Like the delete path, actions are
+      // ROW-triggered: only these keys fire. A no-op assignment
+      // (`SET v1 = v1`) therefore passes every action trivially.
+      val oldKeys = oldParent.select(
+        (col("__rid__") +: fk.parentCols.map(c =>
+          col(s"`$c`").as(s"__old_$c"))): _*)
+      val newKeys = newParent.select(
+        (col("__rid__").as("__rid2__") +: fk.parentCols.map(c =>
+          col(s"`$c`").as(s"__new_$c"))): _*)
+      val changed = oldKeys
+        .join(newKeys, col("__rid__") === col("__rid2__"))
+        .filter(fk.parentCols.map(c =>
+          !(col(s"__old_$c") <=> col(s"__new_$c"))).reduce(_ || _))
+        .drop("__rid__", "__rid2__")
+        .dropDuplicates(fk.parentCols.map(c => s"__old_$c"))
+        .withColumn("__hit__", lit(true))
+      val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
+        col(s"`$cc`") === col(s"__old_$pc")
+      }.reduce(_ && _)
+      val action = fk.onUpdate.toUpperCase
+      if (changed.limit(1).count() > 0) {
+        if (fk.child == parent || action == "RESTRICT" ||
+            action == "NO ACTION") {
+          // a self-FK acts like RESTRICT even when declared CASCADE/SET
+          // NULL (InnoDB stops an ON UPDATE cascade that loops back onto
+          // the updated table; reference foreign_key_queries.go
+          // "Self-referential child column follows parent CASCADE").
+          // The children checked are the table's own POST-update rows.
+          val checkee =
+            if (fk.child == parent) newParent.drop("__rid__") else child
+          val bad = checkee.filter(nonNull)
+            .join(changed, cond, "left_semi").limit(1).count()
+          if (bad > 0) throw new IllegalArgumentException(
+            s"Cannot delete or update a parent row: a foreign key " +
+            s"constraint fails (`${fk.child}`, CONSTRAINT `${fk.name}`) " +
+            s"(MySQL error 1451)")
+        } else action match {
+          case "SET NULL" =>
+            val joined = child.join(changed, cond, "left")
+            val nulled = fk.childCols.foldLeft(joined) { (d, c) =>
+              d.withColumn(c, when(coalesce(col("__hit__"), lit(false)),
+                lit(null).cast(child.schema(c).dataType))
+                .otherwise(col(s"`$c`")))
+            }.select(child.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+            replaceTable(fk.child, nulled, bumpDepth = true)
+          case _ => // CASCADE
+            val child0 =
+              child.withColumn("__rid__", monotonically_increasing_id())
+            val joined = child0.join(changed, cond, "left")
+            val rewritten = fk.childCols.zip(fk.parentCols)
+              .foldLeft(joined) { case (d, (cc, pc)) =>
+                d.withColumn(cc, when(coalesce(col("__hit__"), lit(false)),
+                  col(s"__new_$pc").cast(child.schema(cc).dataType))
+                  .otherwise(col(s"`$cc`")))
+              }.select((child.columns.map(c => col(s"`$c`")) :+
+                col("__rid__")).toIndexedSeq: _*)
+            enforceParentUpdate(fk.child, child0, rewritten,
+              visited + parent)
+            replaceTable(fk.child, rewritten.drop("__rid__"),
+              bumpDepth = true)
+        }
       }
+    }
   }
 
   /** Drop per-table declared metadata with the table (otherwise a
@@ -1269,20 +1416,29 @@ class Engine(val spark: SparkSession) {
       case "parquet" => spark.read.parquet(path)
       case other => throw new IllegalArgumentException(s"LOAD DATA format $other")
     }
-    // an existing declared table keeps its schema: positional cast, like
-    // the reference's column coercion on load
+    // an existing declared table keeps its schema and its rows: positional
+    // cast, like the reference's column coercion on load. A file with
+    // FEWER columns than the table NULL-fills the tail (MySQL warning
+    // 1261 "Row N doesn't contain data for all columns"); a file with
+    // MORE columns truncates the extras (warning 1262). The load always
+    // APPENDS through insertDf — it never replaces the table.
     val target = scala.util.Try(spark.table(table)).toOption
     val coerced = target match {
-      case Some(t) if t.schema.length == df.schema.length =>
-        val cols = t.schema.fields.zip(df.columns).map { case (f, c) =>
-          org.apache.spark.sql.functions.col(s"`$c`").cast(f.dataType).as(f.name)
+      case Some(t) =>
+        val srcCols = df.columns
+        val cols = t.schema.fields.zipWithIndex.map { case (f, i) =>
+          if (i < srcCols.length)
+            org.apache.spark.sql.functions.col(s"`${srcCols(i)}`")
+              .cast(f.dataType).as(f.name)
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
         }
         df.select(cols.toSeq: _*)
       case _ => df
     }
     validateVocab(table, coerced)
     target match {
-      case Some(t) if t.schema.length == coerced.schema.length =>
+      case Some(_) =>
         insertDf(table, coerced, fillMissing = false)
       case _ =>
         val n = coerced.count()

@@ -143,6 +143,31 @@ class EngineSpec extends AnyFunSuite {
     engine.query("drop table ld_t")
   }
 
+  test("LOAD DATA into an existing table APPENDS; column-count mismatch " +
+      "NULL-fills the tail / truncates extras (MySQL warnings 1261/1262)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lda").toString
+    engine.runScript(
+      """create table lda_t (id int, name text, v int);
+        |insert into lda_t values (1, 'keep', 10);
+        |""".stripMargin)
+    // fewer file columns than the table: tail NULL-fills, rows APPEND
+    val pw1 = new java.io.PrintWriter(s"$dir/short.txt")
+    pw1.print("2,two\n3,three\n"); pw1.close()
+    engine.query(s"LOAD DATA INFILE '$dir/short.txt' INTO TABLE lda_t " +
+      "FIELDS TERMINATED BY ','")
+    // more file columns: extras truncate, rows APPEND
+    val pw2 = new java.io.PrintWriter(s"$dir/long.txt")
+    pw2.print("4,four,40,EXTRA\n"); pw2.close()
+    engine.query(s"LOAD DATA INFILE '$dir/long.txt' INTO TABLE lda_t " +
+      "FIELDS TERMINATED BY ','")
+    val got = spark.table("lda_t").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, "keep", Some(10)), (2, "two", None), (3, "three", None),
+      (4, "four", Some(40))))
+    engine.query("drop table lda_t")
+  }
+
   test("views: IF NOT EXISTS, explicit column list, SHOW CREATE VIEW " +
       "(view_queries.go:34,156,584)") {
     engine.query("create view if not exists v_r6 as select 2 as two")
@@ -246,6 +271,15 @@ class EngineSpec extends AnyFunSuite {
     }.getMessage.contains("1243"))
     engine.query("DROP PREPARE q2")
     engine.query("DEALLOCATE PREPARE q3")
+  }
+
+  test("EXECUTE ... USING splits parameters quote-aware: a comma inside " +
+      "a string literal is ONE binding") {
+    engine.query(
+      "PREPARE qc FROM 'SELECT ? AS a, ? AS b'")
+    val r = engine.query("EXECUTE qc USING 'a,b', 7").collect()(0)
+    assert(r.getString(0) == "a,b" && r.getLong(1) == 7L)
+    engine.query("DEALLOCATE PREPARE qc")
   }
 
   test("session variables substitute outside literals") {

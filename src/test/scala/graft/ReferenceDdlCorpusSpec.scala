@@ -520,6 +520,151 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table fk_parent")
   }
 
+  test("INSERT IGNORE keeps MySQL's first-row-wins under a combined FK " +
+      "filter + duplicate key (sequence pinned before the skip filters)") {
+    engine.runScript(
+      """create table ii_p (pk int primary key);
+        |create table ii_c (id int primary key, fk int,
+        |  foreign key (fk) references ii_p (pk));
+        |insert into ii_p values (1);
+        |""".stripMargin)
+    // batch has an FK-exempt NULL row AND a duplicate key: the FIRST row
+    // of the statement (id=1, fk=1) must win, not the NULL-fk row the
+    // FK filter's union reorders to the front
+    val n = engine.query(
+      "insert ignore into ii_c values (1, 1), (1, NULL)").collect()(0).getLong(0)
+    assert(n == 1)
+    assert(rows("select id, fk from ii_c") == Seq(Seq(1, 1)))
+    engine.runScript("drop table ii_c; drop table ii_p;")
+  }
+
+  test("ON UPDATE CASCADE walks the FK graph with the old->new key mapping " +
+      "(foreign_key_queries.go 'SQL CASCADE')") {
+    engine.runScript(
+      """CREATE TABLE one (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT);
+        |CREATE TABLE two (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
+        |  CONSTRAINT fk_name_1 FOREIGN KEY (v1) REFERENCES one(v1) ON DELETE CASCADE ON UPDATE CASCADE);
+        |CREATE TABLE three (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
+        |  CONSTRAINT fk_name_2 FOREIGN KEY (v1, v2) REFERENCES two(v1, v2) ON DELETE CASCADE ON UPDATE CASCADE);
+        |INSERT INTO one VALUES (1, 1, 4), (2, 2, 5), (3, 3, 6), (4, 4, 5);
+        |INSERT INTO two VALUES (2, 1, 1), (3, 2, 2), (4, 3, 3), (5, 4, 4);
+        |INSERT INTO three VALUES (3, 1, 1), (4, 2, 2), (5, 3, 3), (6, 4, 4);
+        |UPDATE one SET v1 = v1 + v2;
+        |DELETE one FROM one WHERE pk = 3;
+        |UPDATE two SET v2 = v1 - 2;
+        |""".stripMargin)
+    assert(rows("SELECT * FROM one ORDER BY pk") ==
+      Seq(Seq(1L, 5L, 4L), Seq(2L, 7L, 5L), Seq(4L, 9L, 5L)))
+    // the row-triggered cascade: deleting one's pk=3 (v1=9) also removes
+    // two's v1=9 rows even though one STILL holds a v1=9 row (pk=4)
+    assert(rows("SELECT * FROM two ORDER BY pk") ==
+      Seq(Seq(2L, 5L, 3L), Seq(3L, 7L, 5L)))
+    assert(rows("SELECT * FROM three ORDER BY pk") ==
+      Seq(Seq(3L, 5L, 3L), Seq(4L, 7L, 5L)))
+    engine.runScript(
+      "drop table three; drop table two; drop table one;")
+  }
+
+  test("ON UPDATE SET NULL nulls the children of every changed key " +
+      "(foreign_key_queries.go 'SQL SET NULL')") {
+    engine.runScript(
+      """CREATE TABLE one (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT);
+        |CREATE TABLE two (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
+        |  CONSTRAINT fk_name_1 FOREIGN KEY (v1) REFERENCES one(v1) ON DELETE SET NULL ON UPDATE SET NULL);
+        |INSERT INTO one VALUES (1, 1, 1), (2, 2, 2), (3, 3, 3);
+        |INSERT INTO two VALUES (1, 1, 1), (2, 2, 2), (3, 3, 3);
+        |UPDATE one SET v1 = v1 * v2;
+        |INSERT INTO one VALUES (4, 4, 4);
+        |INSERT INTO two VALUES (4, 4, 4);
+        |UPDATE one SET v2 = v1 * v2;
+        |""".stripMargin)
+    assert(rows("SELECT * FROM one ORDER BY pk") ==
+      Seq(Seq(1L, 1L, 1L), Seq(2L, 4L, 8L), Seq(3L, 9L, 27L), Seq(4L, 4L, 16L)))
+    assert(rows("SELECT * FROM two ORDER BY pk") ==
+      Seq(Seq(1L, 1L, 1L), Seq(2L, null, 2L), Seq(3L, null, 3L), Seq(4L, 4L, 4L)))
+    // multi-table DELETE fires ON DELETE SET NULL too
+    assert(rows("DELETE one FROM one inner join two on one.pk=two.pk") ==
+      Seq(Seq(4L)))
+    assert(rows("select * from two ORDER BY pk") ==
+      Seq(Seq(1L, null, 1L), Seq(2L, null, 2L), Seq(3L, null, 3L), Seq(4L, null, 4L)))
+    engine.runScript("drop table two; drop table one;")
+  }
+
+  test("ON UPDATE RESTRICT blocks only key-changing updates " +
+      "(foreign_key_queries.go 'SQL RESTRICT')") {
+    engine.runScript(
+      """CREATE TABLE one (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT);
+        |CREATE TABLE two (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
+        |  CONSTRAINT fk_name_1 FOREIGN KEY (v1) REFERENCES one(v1) ON DELETE RESTRICT ON UPDATE RESTRICT);
+        |INSERT INTO one VALUES (1, 1, 1), (2, 2, 2), (3, 3, 3);
+        |INSERT INTO two VALUES (1, 1, 1), (2, 2, 2), (3, 3, 3);
+        |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("UPDATE one SET v1 = v1 + v2")
+    }.getMessage.contains("1451"))
+    // a no-op assignment never fires the action
+    engine.query("UPDATE one SET v1 = v1")
+    assert(intercept[IllegalArgumentException] {
+      engine.query("DELETE FROM one")
+    }.getMessage.contains("1451"))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("DELETE one FROM one inner join two on one.pk=two.pk")
+    }.getMessage.contains("1451"))
+    engine.runScript("drop table two; drop table one;")
+  }
+
+  test("self-referential FK: deletes resolve against survivors; ON UPDATE " +
+      "CASCADE acts like RESTRICT (foreign_key_queries.go self-referential blocks)") {
+    // a reference CHAIN deleted together never errors under RESTRICT, and
+    // CASCADE removes the transitive children of the deleted row
+    engine.runScript(
+      """CREATE TABLE selfr (id BIGINT PRIMARY KEY, ref BIGINT,
+        |  CONSTRAINT fk_self FOREIGN KEY (ref) REFERENCES selfr(id) ON DELETE RESTRICT);
+        |INSERT INTO selfr VALUES (1, NULL), (2, 1), (3, 2);
+        |""".stripMargin)
+    // deleting the whole chain together: no survivor references a deleted
+    // key -> no spurious 1451
+    engine.query("DELETE FROM selfr WHERE id >= 1")
+    assert(rows("SELECT count(*) c FROM selfr") == Seq(Seq(0L)))
+    engine.query("drop table selfr")
+    // but a survivor referencing a deleted row blocks
+    engine.runScript(
+      """CREATE TABLE selfr2 (id BIGINT PRIMARY KEY, ref BIGINT,
+        |  CONSTRAINT fk_self2 FOREIGN KEY (ref) REFERENCES selfr2(id) ON DELETE RESTRICT);
+        |INSERT INTO selfr2 VALUES (1, NULL), (2, 1);
+        |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("DELETE FROM selfr2 WHERE id = 1")
+    }.getMessage.contains("1451"))
+    engine.query("drop table selfr2")
+    // self-CASCADE removes the whole transitive chain below the deleted row
+    engine.runScript(
+      """CREATE TABLE selfc (id BIGINT PRIMARY KEY, ref BIGINT,
+        |  CONSTRAINT fk_selfc FOREIGN KEY (ref) REFERENCES selfc(id) ON DELETE CASCADE);
+        |INSERT INTO selfc VALUES (1, NULL), (2, 1), (3, 2), (4, 3), (10, NULL), (11, 10);
+        |""".stripMargin)
+    engine.query("DELETE FROM selfc WHERE id = 2")
+    assert(rows("SELECT id FROM selfc ORDER BY id") ==
+      Seq(Seq(1L), Seq(10L), Seq(11L)))
+    engine.query("drop table selfc")
+    // self-FK ON UPDATE CASCADE stops (InnoDB restrict behavior):
+    // 'Self-referential child column follows parent CASCADE'
+    engine.runScript(
+      """CREATE TABLE selfu (id BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
+        |  CONSTRAINT fk_named FOREIGN KEY (v2) REFERENCES selfu(v1) ON UPDATE CASCADE ON DELETE CASCADE);
+        |INSERT INTO selfu VALUES (1, 1, 1), (2, 2, 1), (3, 3, NULL);
+        |""".stripMargin)
+    engine.query("UPDATE selfu SET v1 = 1 WHERE id = 1") // no-op change: ok
+    engine.query("UPDATE selfu SET v1 = 4 WHERE id = 3") // unreferenced key: ok
+    engine.query("DELETE FROM selfu WHERE id = 3")
+    assert(intercept[IllegalArgumentException] {
+      engine.query("UPDATE selfu SET v1 = 2") // v2=1 rows reference changed key 1
+    }.getMessage.contains("1451"))
+    assert(rows("SELECT * FROM selfu ORDER BY id") ==
+      Seq(Seq(1L, 1L, 1L), Seq(2L, 2L, 1L)))
+    engine.query("drop table selfu")
+  }
+
   test("CREATE/DROP INDEX, ANALYZE TABLE, SHOW TABLE STATUS (index_queries.go, " +
       "show_table_status_queries.go shapes)") {
     engine.runScript(
