@@ -238,8 +238,8 @@ object Dml {
       val keys = e.tableKeys.getOrElse(table,
         throw new IllegalArgumentException(
           s"REPLACE INTO needs a declared key on '$table' (Engine.declareKey)"))
-      val incoming0 = e.coerceAndFill(table,
-        insertSource(e, table, colList, hasList, body), fillMissing = hasList)
+      val incoming0 = e.coerceVocab(table, e.coerceAndFill(table,
+        insertSource(e, table, colList, hasList, body), fillMissing = hasList))
       val incoming = lastPerKey(incoming0, keys)
       val t = e.spark.table(table)
       val keyRows = incoming.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
@@ -335,8 +335,8 @@ object Dml {
           val subset = e.query(s"SELECT * FROM ${tick(table)}$whereClause $orderLimit")
           val affected = subset.count()
           val subset0 = subset.withColumn("__rid__", monotonically_increasing_id())
-          val transformed0 =
-            e.computeGenerated(table, assignSequential(subset0, None))
+          val transformed0 = e.coerceVocab(table,
+            e.computeGenerated(table, assignSequential(subset0, None)))
           val newDf =
             t.exceptAll(subset).unionByName(transformed0.drop("__rid__"))
           e.validateVocab(table, newDf)
@@ -350,7 +350,8 @@ object Dml {
             coalesce(expr(cond).cast("boolean"), lit(false)))
           val affected = gate.map(g => t.filter(g).count()).getOrElse(t.count())
           val t0 = t.withColumn("__rid__", monotonically_increasing_id())
-          val newDf0 = e.computeGenerated(table, assignSequential(t0, gate))
+          val newDf0 = e.coerceVocab(table,
+            e.computeGenerated(table, assignSequential(t0, gate)))
           val newDf = newDf0.drop("__rid__")
           e.validateVocab(table, newDf)
           e.validateChecks(table, newDf)
@@ -607,11 +608,18 @@ object Dml {
       import s.implicits._
       val rows = Dialect.supportedCollations.zipWithIndex.map {
         case ((n, cs, d), i) =>
-          (n, cs, (i + 1).toLong, if (d) "Yes" else "", "Yes", 1L)
+          // PAD attribute is catalog metadata (collations.go): 0900/bin
+          // families are NO PAD, legacy collations PAD SPACE. Comparison
+          // itself is NO PAD for every collation, exactly like the
+          // reference's StringType.Compare (sql/types/strings.go:279 —
+          // shorter strings sort first, no trailing-space trim).
+          val pad = if (n.contains("0900") || n == "binary") "NO PAD"
+            else "PAD SPACE"
+          (n, cs, (i + 1).toLong, if (d) "Yes" else "", "Yes", 1L, pad)
       }
       Some(filterLike(
         rows.toDF("Collation", "Charset", "Id", "Default", "Compiled",
-          "Sortlen"), "Collation", like))
+          "Sortlen", "Pad_attribute"), "Collation", like))
 
     case ShowCharset(like) =>
       val s = e.spark

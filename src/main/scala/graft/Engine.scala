@@ -25,6 +25,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Dialect {
 
   private def rewriteCode(code: String): String =
+    rewriteCode(code, pipesAsConcat = false)
+
+  private def rewriteCode(code: String, pipesAsConcat: Boolean): String =
     rewriteCollate(code)
       .replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
       .replaceAll("(?i)\\bSTRAIGHT_JOIN\\b", "JOIN")
@@ -61,11 +64,13 @@ object Dialect {
       .replaceAll("(?i)\\bAS\\s+JSON\\s*\\)", "AS STRING)")
       // MySQL 8 VALUES ROW(...) constructor -> bare tuples
       .replaceAll("(?i)\\bROW\\s*\\(", "(")
-      // MySQL logical operators (reference sql/expression/logic.go; no
-      // PIPES_AS_CONCAT mode): || is OR, && is AND, ! is NOT. MySQL's !
-      // binds tighter than NOT, but its idiomatic use is parenthesized —
-      // the textual swap keeps those exact
-      .replaceAll("\\|\\|", " OR ")
+      // MySQL logical operators (reference sql/expression/logic.go):
+      // || is OR, && is AND, ! is NOT — except under PIPES_AS_CONCAT
+      // (sql_mode.go:30), where || is string concat, which is exactly
+      // Spark's native ||, so the text passes through untouched. MySQL's
+      // ! binds tighter than NOT, but its idiomatic use is
+      // parenthesized — the textual swap keeps those exact
+      .replaceAll("\\|\\|", if (pipesAsConcat) "||" else " OR ")
       .replaceAll("&&", " AND ")
       .replaceAll("!(?!=)", " NOT ")
       // `t AS OF n` resolves to the Engine.snapshot-pinned view
@@ -178,6 +183,14 @@ object Dialect {
     mapCode(pre)(rewriteCode)
   }
 
+  /** Session-aware variant: PIPES_AS_CONCAT leaves `||` as Spark's
+    * native string concatenation. */
+  def rewrite(sql: String, pipesAsConcat: Boolean): String = {
+    val pre = SqlRewrite.tupleCompare(SqlRewrite.convertFn(
+      SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(sql)))))
+    mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
+  }
+
   /** Apply `f` to each non-literal, non-comment run of `sql`, copying
     * quoted literals ('…', "…", `…`) and comments through verbatim. The
     * literal-splitting walk every text rewrite in the engine must use —
@@ -275,15 +288,25 @@ class Engine(val spark: SparkSession) {
     * string literals only. */
   private val sessionVars = scala.collection.mutable.Map.empty[String, String]
 
-  /** ANSI_QUOTES sql_mode (reference ansi_quotes_queries.go): when on,
-    * double-quoted tokens are identifiers, not strings. The rewrite maps
-    * them onto backtick quoting before the dialect pass ('' stays a
-    * string everywhere; "" inside a quoted identifier escapes). */
+  /** sql_mode session state (reference sql/sql_mode.go). Modeled modes:
+    * ANSI_QUOTES (double-quoted tokens are identifiers), PIPES_AS_CONCAT
+    * (`||` is string concat — Spark's native `||` — instead of MySQL's
+    * logical OR), and the composite ANSI (which includes both,
+    * sql_mode.go:36). STRICT_* / NO_ZERO_* modes are accepted as session
+    * chatter: this engine's write path is already strict (bad writes
+    * error rather than truncate), so strict toggles change nothing it
+    * can express. The full string reads back through @@sql_mode. */
   private var ansiQuotes = false
+  private var pipesAsConcat = false
+  private var sqlModeStr =
+    "ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION"
 
-  def setSqlMode(modes: String): Unit =
-    ansiQuotes = modes.toUpperCase.contains("ANSI_QUOTES") ||
-      modes.toUpperCase.split(",").map(_.trim).contains("ANSI")
+  def setSqlMode(modes: String): Unit = {
+    sqlModeStr = modes
+    val set = modes.toUpperCase.split(",").map(_.trim).toSet
+    ansiQuotes = set.contains("ANSI_QUOTES") || set.contains("ANSI")
+    pipesAsConcat = set.contains("PIPES_AS_CONCAT") || set.contains("ANSI")
+  }
 
   private def applyAnsiQuotes(sql: String): String =
     if (!ansiQuotes || !sql.contains("\"")) sql
@@ -410,7 +433,10 @@ class Engine(val spark: SparkSession) {
     else Dialect.mapCode(sql) { code =>
       """@@(?:[Ss][Ee][Ss][Ss][Ii][Oo][Nn]\.|[Gg][Ll][Oo][Bb][Aa][Ll]\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
         .replaceAllIn(code, m => java.util.regex.Matcher.quoteReplacement(
-          systemVars.getOrElse(m.group(1).toLowerCase, "NULL")))
+          m.group(1).toLowerCase match {
+            case "sql_mode" => s"'$sqlModeStr'" // live session state
+            case other => systemVars.getOrElse(other, "NULL")
+          }))
     }
 
   private def substituteVars(sql: String): String = {
@@ -431,7 +457,13 @@ class Engine(val spark: SparkSession) {
     * dispatches to the memory-backend operations the way the reference's
     * planbuilder routes non-SELECT statements (sql/planbuilder/dml.go). */
   def query(sql: String): DataFrame = mysqlTrimSemantics {
-    val rewritten = substituteVars(Dialect.rewrite(applyAnsiQuotes(sql)))
+    val rewritten0 =
+      substituteVars(Dialect.rewrite(applyAnsiQuotes(sql), pipesAsConcat))
+    // ENUM index / SET bitmask ordering (enum.go / set.go Compare):
+    // only sessions that declared a vocabulary pay the token walk
+    val rewritten =
+      if (columnVocab.isEmpty) rewritten0
+      else SqlRewrite.enumOrdinal(rewritten0, vocabLookup(rewritten0))
     Dml.dispatch(this, rewritten).getOrElse {
     plans.RecursiveSql.run(spark, rewritten).getOrElse {
       try runWithTruthyRetry(rewritten)
@@ -670,8 +702,8 @@ class Engine(val spark: SparkSession) {
                               ignoreDups: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     rejectExplicitGenerated(table, incoming0)
-    var coerced = computeGenerated(table,
-      coerceAndFill(table, incoming0, fillMissing))
+    var coerced = coerceVocab(table, computeGenerated(table,
+      coerceAndFill(table, incoming0, fillMissing)))
     val target = spark.table(table)
     if (ignoreDups) {
       // first-in-batch-wins sequence is pinned BEFORE the CHECK/FK skip
@@ -1318,14 +1350,66 @@ class Engine(val spark: SparkSession) {
     scala.collection.mutable.Map.empty[(String, String), (Boolean, Seq[String])]
 
   /** Declare `table.column` as ENUM(values...): writes reject any value
-    * outside the vocabulary (MySQL error 1265, Data truncated). */
+    * outside the vocabulary (MySQL error 1265, Data truncated). Trailing
+    * spaces are deleted from member values at declaration time
+    * (enum.go:83 — MySQL strips them unless the binary collation is in
+    * use, which parquet-backed string columns never are). */
   def declareEnum(table: String, column: String, values: Seq[String]): Unit =
-    columnVocab((table, column.toLowerCase)) = (false, values)
+    columnVocab((table, column.toLowerCase)) =
+      (false, values.map(_.replaceAll(" +$", "")))
 
   /** Declare `table.column` as SET(values...): writes reject any
-    * comma-separated element outside the vocabulary. '' is the empty set. */
+    * comma-separated element outside the vocabulary. '' is the empty set.
+    * Trailing spaces are deleted from member values (set.go:79). */
   def declareSet(table: String, column: String, values: Seq[String]): Unit =
-    columnVocab((table, column.toLowerCase)) = (true, values)
+    columnVocab((table, column.toLowerCase)) =
+      (true, values.map(_.replaceAll(" +$", "")))
+
+  /** Resolve a bare column name to its declared ENUM/SET vocabulary for
+    * the ordinal rewrite. Conservative: the declaring table must appear
+    * as a word in the statement, every matching declaration must agree,
+    * and a projection alias of the same name disables the rewrite. */
+  private def vocabLookup(sqlText: String)(name: String): Option[(Boolean, Seq[String])] = {
+    val parts = name.split('.')
+    val colName = parts.last
+    val tblQ = if (parts.length >= 2) Some(parts(parts.length - 2)) else None
+    val cands = columnVocab.toSeq.collect {
+      case ((t, c), v) if c == colName &&
+        tblQ.forall(q => t.toLowerCase.split('.').last == q) => (t, v)
+    }
+    val present = cands.filter { case (t, _) =>
+      val bare = java.util.regex.Pattern.quote(t.split('.').last)
+      s"(?i)\\b$bare\\b".r.findFirstIn(sqlText).isDefined
+    }
+    val aliasShadow =
+      s"(?i)\\bAS\\s+`?${java.util.regex.Pattern.quote(colName)}`?\\b".r
+        .findFirstIn(sqlText).isDefined
+    present.map(_._2).distinct match {
+      case Seq(v) if !aliasShadow => Some(v)
+      case _ => None
+    }
+  }
+
+  /** Write-side ENUM numeric-index coercion (enum.go Convert int case):
+    * a numeric value N stores the N-th member (1-based). A value that is
+    * neither a member nor a valid index falls through to validateVocab's
+    * 1265. */
+  private[graft] def coerceVocab(table: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    columnVocab.toSeq.foldLeft(df) {
+      case (d, ((t, cLower), (isSet, vocab)))
+          if t == table && !isSet && present.contains(cLower) =>
+        val c = col(s"`${present(cLower)}`")
+        val idx = c.cast("int")
+        d.withColumn(present(cLower),
+          when(c.isNull || c.isInCollection(vocab), c)
+            .when(c.rlike("^[0-9]+$") && idx >= 1 && idx <= vocab.size,
+              element_at(array(vocab.map(lit): _*), idx))
+            .otherwise(c))
+      case (d, _) => d
+    }
+  }
 
   private[graft] def validateVocab(table: String, df: DataFrame): Unit = {
     import org.apache.spark.sql.functions._

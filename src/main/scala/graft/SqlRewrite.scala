@@ -986,4 +986,137 @@ object SqlRewrite {
       }
     }
   }
+
+  // ---- ENUM / SET ordinal semantics --------------------------------------
+  // The reference compares ENUM values by their 1-based member index and
+  // SET values by their bitmask (sql/types/enum.go Compare, set.go
+  // Compare); this engine stores both as validated strings, so a naked
+  // ORDER BY / range comparison would sort lexically. The rewrite maps
+  // bare column identifiers in those positions onto their ordinal form.
+
+  /** Rewrite ORDER BY items and `<ident> op literal` range comparisons
+    * over declared ENUM/SET columns to ordinal form. `lookup(colName)`
+    * resolves a lower-cased bare column name to `(isSet, members)` —
+    * None leaves the text untouched (undeclared or ambiguous). Only bare
+    * (optionally qualified / backticked) identifiers rewrite; any other
+    * expression passes through verbatim. */
+  def enumOrdinal(sql: String,
+                  lookup: String => Option[(Boolean, Seq[String])]): String = {
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    def q(v: String) = "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    def ordinalExpr(ident: String, isSet: Boolean,
+                    members: Seq[String]): String =
+      if (!isSet)
+        s"array_position(array(${members.map(q).mkString(",")}), $ident)"
+      else {
+        val sum = members.zipWithIndex.map { case (m, i) =>
+          s"IF(array_contains(split($ident, ','), ${q(m)}), ${1L << i}L, 0L)"
+        }.mkString(" + ")
+        s"(CASE WHEN $ident IS NULL THEN CAST(NULL AS BIGINT) ELSE $sum END)"
+      }
+    // a bare identifier at [s, e): Word (qualifier dots are word chars)
+    // or `tick` literal(s) around a dot
+    def identAt(s: Int, e: Int): Option[String] = {
+      def one(j: Int): Option[String] = {
+        val t = toks(j)
+        if (t.kind == Word &&
+            t.text.headOption.exists(c => c.isLetter || c == '_'))
+          Some(t.text)
+        else if (t.kind == Lit && t.text.startsWith("`")) Some(t.text)
+        else None
+      }
+      if (e - s == 1) one(s)
+      else if (e - s == 3 && toks(s + 1).text == ".")
+        for { a <- one(s); b <- one(s + 2) } yield s"$a.$b"
+      else None
+    }
+    def colKey(ident: String): String =
+      ident.split('.').last.stripPrefix("`").stripSuffix("`").toLowerCase
+    def keyword(t: Tok, ws: String*) = ws.exists(t.isWord)
+
+    // ---- ORDER BY item positions
+    var i = 0
+    while (i + 1 < toks.length) {
+      if (toks(i).isWord("ORDER") && toks(i + 1).isWord("BY")) {
+        var j = i + 2
+        var depth = 0
+        var itemStart = j
+        var done = false
+        def handleItem(s: Int, e0: Int): Unit = {
+          var e = e0
+          if (e - 1 >= s && keyword(toks(e - 1), "ASC", "DESC")) e -= 1
+          for {
+            ident <- identAt(s, e)
+            (isSet, members) <- lookup(colKey(ident))
+          } patches += ((toks(s).start, toks(e - 1).end,
+            ordinalExpr(ident, isSet, members)))
+        }
+        while (!done && j < toks.length) {
+          val t = toks(j)
+          if (t.text == "(") { depth += 1; j += 1 }
+          else if (t.text == ")") {
+            if (depth == 0) { handleItem(itemStart, j); done = true }
+            else { depth -= 1; j += 1 }
+          } else if (depth == 0 && t.text == ",") {
+            handleItem(itemStart, j); itemStart = j + 1; j += 1
+          } else if (depth == 0 && keyword(t, "LIMIT", "OFFSET", "INTO",
+              "FOR", "UNION", "EXCEPT", "INTERSECT", "SEPARATOR")) {
+            handleItem(itemStart, j); done = true
+          } else j += 1
+        }
+        if (!done && itemStart < toks.length)
+          handleItem(itemStart, toks.length)
+      }
+      i += 1
+    }
+
+    // ---- `<ident> op 'literal'` range comparisons (and the mirror):
+    // the literal side folds to its ordinal constant at rewrite time
+    def litOrdinal(lit: Tok, isSet: Boolean, members: Seq[String]): Option[String] =
+      if (!lit.text.startsWith("'")) None
+      else {
+        val v = lit.text.substring(1, lit.text.length - 1)
+          .replace("''", "'").replace("\\'", "'")
+        if (!isSet) Some((members.indexOf(v) + 1).toString)
+        else Some(v.split(',').filter(_.nonEmpty).map { m =>
+          val ix = members.indexOf(m)
+          if (ix < 0) 0L else 1L << ix
+        }.sum.toString)
+      }
+    val rangeOps = Set("<", ">", "<=", ">=")
+    i = 1
+    while (i + 1 < toks.length) {
+      val t = toks(i)
+      if (t.kind == Sym && rangeOps(t.text) && !patches.exists(p =>
+          p._1 <= t.start && t.end <= p._2)) {
+        // left ident, right literal
+        (identAt(i - 1, i), toks(i + 1)) match {
+          case (Some(ident), lit) if lit.kind == Lit =>
+            lookup(colKey(ident)).foreach { case (isSet, members) =>
+              litOrdinal(lit, isSet, members).foreach { ord =>
+                patches += ((toks(i - 1).start, toks(i - 1).end,
+                  ordinalExpr(ident, isSet, members)))
+                patches += ((lit.start, lit.end, ord))
+              }
+            }
+          case _ =>
+            // left literal, right ident
+            (toks(i - 1), identAt(i + 1, i + 2)) match {
+              case (lit, Some(ident)) if lit.kind == Lit =>
+                lookup(colKey(ident)).foreach { case (isSet, members) =>
+                  litOrdinal(lit, isSet, members).foreach { ord =>
+                    patches += ((lit.start, lit.end, ord))
+                    patches += ((toks(i + 1).start, toks(i + 1).end,
+                      ordinalExpr(ident, isSet, members)))
+                  }
+                }
+              case _ =>
+            }
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
 }

@@ -29,9 +29,41 @@ object spatial {
       (ps(0).toDouble, ps(1).toDouble)
     }
 
-  /** POINT(x y) -> (x, y) or null. */
-  private[functions] def parsePoint(wkt: String): (Double, Double) = {
+  // ---- SRID tagging (reference sql/types/geometry.go:79 — CartesianSRID
+  // 0, GeoSpatialSRID 4326, SupportedSRIDs catalog; a geometry VALUE
+  // carries its SRID, WKT text output does not). Tagged values use the
+  // EWKT prefix `SRID=n;WKT`; SRID 0 is the untagged form, so every
+  // cartesian path is byte-identical to before.
+
+  private[functions] val SupportedSrids: Set[Int] = Set(0, 4326)
+
+  private[functions] def sridOf(wkt: String): Int = {
+    if (wkt == null) return 0
     val s = wkt.trim
+    if (!s.regionMatches(true, 0, "SRID=", 0, 5)) 0
+    else {
+      val semi = s.indexOf(';')
+      if (semi <= 5) 0
+      else try s.substring(5, semi).trim.toInt catch { case _: Exception => 0 }
+    }
+  }
+
+  private[functions] def stripSrid(wkt: String): String = {
+    if (wkt == null) return null
+    val s = wkt.trim
+    if (!s.regionMatches(true, 0, "SRID=", 0, 5)) s
+    else {
+      val semi = s.indexOf(';')
+      if (semi < 0) s else s.substring(semi + 1).trim
+    }
+  }
+
+  private[functions] def withSrid(wkt: String, srid: Int): String =
+    if (srid == 0) stripSrid(wkt) else s"SRID=$srid;${stripSrid(wkt)}"
+
+  /** POINT(x y) -> (x, y) or null. */
+  private[functions] def parsePoint(wkt0: String): (Double, Double) = {
+    val s = stripSrid(wkt0)
     if (!s.toUpperCase.startsWith("POINT")) return null
     val open = s.indexOf('('); val close = s.lastIndexOf(')')
     if (open < 0 || close < open) return null
@@ -42,8 +74,8 @@ object spatial {
   }
 
   /** LINESTRING(x1 y1, x2 y2, ...) -> points or null. */
-  private[functions] def parseLine(wkt: String): Array[(Double, Double)] = {
-    val s = wkt.trim
+  private[functions] def parseLine(wkt0: String): Array[(Double, Double)] = {
+    val s = stripSrid(wkt0)
     if (!s.toUpperCase.startsWith("LINESTRING")) return null
     val open = s.indexOf('('); val close = s.lastIndexOf(')')
     if (open < 0 || close < open) return null
@@ -53,8 +85,8 @@ object spatial {
 
   /** POLYGON((x1 y1, ...)) -> outer ring or null. Inner rings (holes) are
     * not supported in this subset. */
-  private[functions] def parseRing(wkt: String): Array[(Double, Double)] = {
-    val s = wkt.trim
+  private[functions] def parseRing(wkt0: String): Array[(Double, Double)] = {
+    val s = stripSrid(wkt0)
     if (!s.toUpperCase.startsWith("POLYGON")) return null
     val open = s.indexOf("((")
     val close = s.indexOf("))")
@@ -153,7 +185,7 @@ object spatial {
     * parens, wrong arity, unclosed polygon ring, <4-point ring). */
   private[functions] def parseGeom(wkt: String): Geom = {
     if (wkt == null) return null
-    val s = wkt.trim
+    val s = stripSrid(wkt)
     if (s.toUpperCase.replaceAll("\\s+", " ") == "GEOMETRYCOLLECTION EMPTY")
       return GCollection(Array.empty)
     val open = s.indexOf('(')
@@ -374,15 +406,25 @@ object spatial {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
-  /** ST_DISTANCE(point, point) — planar euclidean (reference
-    * spatial/distance.go ST_Distance for cartesian SRID 0). */
+  /** ST_DISTANCE(point, point) — planar euclidean for cartesian SRID 0.
+    * SRID handling mirrors the reference exactly (st_distance.go:167–175):
+    * mixed SRIDs error, and a geographic SRID errors as unsupported —
+    * the reference computes no geodesic distance either. */
   case class StDistance(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any = {
-      val p1 = parsePoint(a.asInstanceOf[UTF8String].toString)
-      val p2 = parsePoint(b.asInstanceOf[UTF8String].toString)
+      val s1 = a.asInstanceOf[UTF8String].toString
+      val s2 = b.asInstanceOf[UTF8String].toString
+      val (srid1, srid2) = (sridOf(s1), sridOf(s2))
+      if (srid1 != srid2) throw new IllegalArgumentException(
+        s"The SRID of the geometry does not match the SRID of the " +
+        s"function st_distance: $srid1 vs $srid2 (MySQL error 3033)")
+      if (srid1 != 0) throw new IllegalArgumentException(
+        s"unsupported SRID value $srid1 in function st_distance")
+      val p1 = parsePoint(s1)
+      val p2 = parsePoint(s2)
       if (p1 == null || p2 == null) null
       else math.sqrt((p1._1 - p2._1) * (p1._1 - p2._1) +
                      (p1._2 - p2._2) * (p1._2 - p2._2))
@@ -449,6 +491,78 @@ object spatial {
     override def nullSafeEval(v: Any): Any = {
       val g = parseGeom(v.asInstanceOf[UTF8String].toString)
       if (g == null) null else UTF8String.fromString(toWkt(g))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** ST_SRID(g, srid) — re-tag the value WITHOUT transforming
+    * coordinates (st_srid.go:100–119; SetSRID does not re-project). An
+    * SRID outside the supported catalog (geometry.go SupportedSRIDs:
+    * 0 cartesian, 4326 WGS84) is MySQL error 3548. */
+  case class StSridTag(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val wkt = a.asInstanceOf[UTF8String].toString
+      if (parseGeom(wkt) == null) return null
+      val srid = b.asInstanceOf[Number].intValue()
+      if (!SupportedSrids.contains(srid)) throw new IllegalArgumentException(
+        s"There's no spatial reference system with SRID $srid " +
+        s"(MySQL error 3548)")
+      UTF8String.fromString(withSrid(wkt, srid))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** ST_GEOMFROMTEXT(wkt, srid) — tagged construction. The geographic
+    * SRID 4326 validates coordinate ranges at construction: X=longitude
+    * ∈ [-180,180], Y=latitude ∈ [-90,90] (the reference's axis model —
+    * x_y_latitude_longitude.go:321 longitude is X, :462 latitude is Y;
+    * range errors per ErrLatitudeOutOfRange/ErrLongitudeOutOfRange). */
+  case class StGeomFromTextSrid(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val g = parseGeom(a.asInstanceOf[UTF8String].toString)
+      if (g == null) return null
+      val srid = b.asInstanceOf[Number].intValue()
+      if (!SupportedSrids.contains(srid)) throw new IllegalArgumentException(
+        s"There's no spatial reference system with SRID $srid " +
+        s"(MySQL error 3548)")
+      if (srid == 4326) vertices(g).foreach { case (px, py) =>
+        if (py < -90 || py > 90) throw new IllegalArgumentException(
+          s"latitude $py is out of range in function st_geomfromtext. " +
+          s"it must be within [-90.0, 90.0]")
+        if (px < -180 || px > 180) throw new IllegalArgumentException(
+          s"longitude $px is out of range in function st_geomfromtext. " +
+          s"it must be within [-180.0, 180.0]")
+      }
+      UTF8String.fromString(withSrid(toWkt(g), srid))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** ST_LONGITUDE / ST_LATITUDE — defined only for geographic SRIDs
+    * (x_y_latitude_longitude.go:316 ErrNonGeographic); longitude reads
+    * X, latitude reads Y. */
+  case class StLonLat(child: Expression, isLat: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val fn = if (isLat) "st_latitude" else "st_longitude"
+      val srid = sridOf(s)
+      if (srid != 4326) throw new IllegalArgumentException(
+        s"function $fn is only defined for geographic spatial reference " +
+        s"systems, but one of its argument is in SRID $srid, which is " +
+        s"not geographic")
+      val p = parsePoint(s)
+      if (p == null) null else if (isLat) p._2 else p._1
     }
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
@@ -576,14 +690,16 @@ object spatial {
   }
 
   /** Integer-valued accessors: numpoints (linestring), dimension
-    * (0/1/2), srid (always 0: cartesian), numinteriorrings. */
+    * (0/1/2), srid (the value's tag — st_srid.go:96), numinteriorrings. */
   case class GeomIntOp(child: Expression, op: String)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any = {
-      val g = parseGeom(v.asInstanceOf[UTF8String].toString)
+      val raw = v.asInstanceOf[UTF8String].toString
+      val g = parseGeom(raw)
       if (g == null) return null
+      if (op == "srid") return sridOf(raw)
       def dim(geom: Geom): Int = geom match {
         case _: GPoint | _: GMultiPoint => 0
         case _: GLine | _: GMultiLine => 1
@@ -594,7 +710,6 @@ object spatial {
         case ("numpoints", GLine(p)) => p.length
         case ("numpoints", _) => null
         case ("dimension", _) => dim(g)
-        case ("srid", _) => 0
         case ("numinteriorrings", GPoly(r)) => r.length - 1
         case ("numinteriorrings", _) => null
         // component count; NULL for simple geometries (reference
@@ -1080,16 +1195,17 @@ object spatial {
   def stNumPoints(g: Column): Column = c(GeomIntOp(x(g), "numpoints"))
   def stDimension(g: Column): Column = c(GeomIntOp(x(g), "dimension"))
   def stSrid(g: Column): Column = c(GeomIntOp(x(g), "srid"))
+  /** 2-arg form: re-tag without re-projecting (st_srid.go:119). */
+  def stSrid(g: Column, srid: Column): Column = c(StSridTag(x(g), x(srid)))
   def stNumInteriorRings(g: Column): Column = c(GeomIntOp(x(g), "numinteriorrings"))
   def stIsClosed(g: Column): Column = c(StIsClosed(x(g)))
   def stIsEmpty(g: Column): Column = c(StIsEmpty(x(g)))
   def stConvexHull(g: Column): Column = c(StConvexHull(x(g)))
-  /** ST_LONGITUDE/ST_LATITUDE — the reference restricts these to
-    * geographic SRIDs (x_y_latitude_longitude.go:242 ErrNonGeographic);
-    * this engine's geometry model is cartesian SRID 0 (SRID catalog
-    * descoped, SURVEY §2.12), so they are point coordinate accessors. */
-  def stLongitude(g: Column): Column = c(StX(x(g)))
-  def stLatitude(g: Column): Column = c(StY(x(g)))
+  /** ST_LONGITUDE/ST_LATITUDE — geographic (SRID 4326) points only, per
+    * the reference (x_y_latitude_longitude.go:316 ErrNonGeographic);
+    * longitude reads X, latitude reads Y. */
+  def stLongitude(g: Column): Column = c(StLonLat(x(g), isLat = false))
+  def stLatitude(g: Column): Column = c(StLonLat(x(g), isLat = true))
   def stPointN(g: Column, n: Column): Column = c(StPointN(x(g), x(n)))
   def stDisjoint(a: Column, b: Column): Column = c(StDisjoint(x(a), x(b)))
   def stNumGeometries(g: Column): Column = c(GeomIntOp(x(g), "numgeometries"))
@@ -1119,7 +1235,12 @@ object spatial {
   /** ST_GeomFromText validates + canonicalizes WKT (NULL if malformed);
     * ST_AsText is identity on the canonical representation. */
   def stGeomFromText(s: Column): Column = c(StGeomFromText(x(s)))
-  def stAsText(g: Column): Column = g
+  /** 2-arg form: tagged construction with geographic range checks. */
+  def stGeomFromText(s: Column, srid: Column): Column =
+    c(StGeomFromTextSrid(x(s), x(srid)))
+  /** WKT text output never carries the SRID tag (AsWKT renders
+    * coordinates only); malformed input -> NULL, like the SQL form. */
+  def stAsText(g: Column): Column = c(StGeomFromText(x(g)))
   def stIntersects(a: Column, b: Column): Column = c(StIntersects(x(a), x(b)))
   def stContains(a: Column, b: Column): Column = c(StContains(x(a), x(b)))
   def stGeoHash(lon: Column, lat: Column, len: Column): Column =
@@ -1217,8 +1338,15 @@ object spatial {
       "st_area" -> (es => StArea(es.head)),
       "st_length" -> (es => StLength(es.head)),
       "st_within" -> (es => StWithin(es(0), es(1))),
-      "st_geomfromtext" -> (es => StGeomFromText(es.head)),
-      "st_geometryfromtext" -> (es => StGeomFromText(es.head)),
+      "st_geomfromtext" -> (es =>
+        if (es.length >= 2) StGeomFromTextSrid(es(0), es(1))
+        else StGeomFromText(es.head)),
+      "st_geometryfromtext" -> (es =>
+        if (es.length >= 2) StGeomFromTextSrid(es(0), es(1))
+        else StGeomFromText(es.head)),
+      "st_srid" -> (es =>
+        if (es.length >= 2) StSridTag(es(0), es(1))
+        else GeomIntOp(es.head, "srid")),
       "st_astext" -> (es => StGeomFromText(es.head)),
       "st_aswkt" -> (es => StGeomFromText(es.head)),
       "st_intersects" -> (es => StIntersects(es(0), es(1))),
@@ -1252,13 +1380,13 @@ object spatial {
       "st_pointn" -> (es => StPointN(es(0), es(1))),
       "st_isempty" -> (es => StIsEmpty(es.head)),
       "st_convexhull" -> (es => StConvexHull(es.head)),
-      "st_longitude" -> (es => StX(es.head)),
-      "st_latitude" -> (es => StY(es.head)),
+      "st_longitude" -> (es => StLonLat(es.head, isLat = false)),
+      "st_latitude" -> (es => StLonLat(es.head, isLat = true)),
       "st_disjoint" -> (es => StDisjoint(es(0), es(1)))) ++
     Seq("startpoint", "endpoint", "envelope", "swapxy", "geometrytype",
       "exteriorring").map(op =>
       s"st_$op" -> ((es: Seq[Expression]) => GeomStrOp(es.head, op): Expression)) ++
-    Seq("numpoints", "dimension", "srid", "numinteriorrings").map(op =>
+    Seq("numpoints", "dimension", "numinteriorrings").map(op =>
       s"st_$op" -> ((es: Seq[Expression]) => GeomIntOp(es.head, op): Expression)) ++
     Seq("st_pointfromtext" -> "POINT",
       "st_linefromtext" -> "LINESTRING",

@@ -898,8 +898,11 @@ object Functions {
               .as("hull"),
             // hull of a CCW square is the square itself
             sp.stConvexHull(squareB).as("hull_sq"),
-            sp.stLongitude(pt).as("lon"),
-            sp.stLatitude(pt).as("lat"))
+            // lat/lon are geographic-only accessors: tag the point 4326
+            // first (st_srid re-tags without re-projecting, so lon=x,
+            // lat=y pass through)
+            sp.stLongitude(sp.stSrid(pt, lit(4326))).as("lon"),
+            sp.stLatitude(sp.stSrid(pt, lit(4326))).as("lat"))
           .orderBy(col("c_custkey"))
       },
       Some("""WITH g AS (
@@ -1000,6 +1003,48 @@ object Functions {
                   || ',' || CAST(py AS VARCHAR) || '],['
                   || CAST(px + 10 AS VARCHAR) || ','
                   || CAST(py + 10 AS VARCHAR) || ']]}' AS gj
+              FROM g ORDER BY c_custkey""")),
+
+    // ---- SRID wave 1 (reference sql/types/geometry.go:79 SRID catalog,
+    //      st_srid.go read/re-tag, x_y_latitude_longitude.go geographic
+    //      accessors): the value carries its SRID, WKT text output does
+    //      not; st_srid(g, n) re-tags without re-projecting, so lon/lat
+    //      of a re-tagged cartesian point read back its x/y.
+    QueryDef(
+      "fn_spatial_srid",
+      (s, d) => {
+        import graft.functions.{spatial => sp}
+        val k = col("c_custkey")
+        val xi = (k % 10).cast("int"); val yi = (k % 7).cast("int")
+        val pt = sp.stPoint(xi, yi)
+        val geo = sp.stSrid(pt, lit(4326))
+        Tables.t(s, d, "customer")
+          .select(
+            k.as("c_custkey"),
+            sp.stSrid(pt).as("srid0"),
+            sp.stSrid(geo).as("srid1"),
+            sp.stSrid(sp.stGeomFromText(pt, lit(4326))).as("srid2"),
+            sp.stAsText(geo).as("strip"),
+            sp.stX(geo).as("px"),
+            sp.stLongitude(geo).as("lon"),
+            sp.stLatitude(geo).as("lat"),
+            sp.stSrid(sp.stSrid(geo, lit(0))).as("back"))
+          .orderBy(k)
+      },
+      Some("""WITH g AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 10 AS BIGINT) AS x,
+                       CAST(c_custkey % 7 AS BIGINT) AS y
+                FROM customer)
+              SELECT c_custkey,
+                CAST(0 AS INTEGER) AS srid0,
+                CAST(4326 AS INTEGER) AS srid1,
+                CAST(4326 AS INTEGER) AS srid2,
+                'POINT(' || x || ' ' || y || ')' AS strip,
+                CAST(x AS DOUBLE) AS px,
+                CAST(x AS DOUBLE) AS lon,
+                CAST(y AS DOUBLE) AS lat,
+                CAST(0 AS INTEGER) AS back
               FROM g ORDER BY c_custkey""")),
 
     // ---- UUID family (registry.go uuid_to_bin/bin_to_uuid/is_uuid):

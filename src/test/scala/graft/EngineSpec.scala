@@ -223,6 +223,28 @@ class EngineSpec extends AnyFunSuite {
     e2.query("drop table auctions")
   }
 
+  test("sql_mode PIPES_AS_CONCAT flips || from logical OR to string " +
+      "concat; composite ANSI implies it; @@sql_mode reads back " +
+      "(sql_mode.go:30,36)") {
+    val s2 = spark.newSession()
+    val e2 = new Engine(s2)
+    // default mode: || is MySQL's logical OR
+    assert(e2.query("SELECT count(*) AS n FROM (SELECT 1 x) t WHERE 0 || 1")
+      .collect()(0).getLong(0) == 1L)
+    e2.query("SET @@sql_mode = 'PIPES_AS_CONCAT'")
+    assert(e2.query("SELECT 'a' || 'b' AS v").collect()(0).getString(0) == "ab")
+    // ANSI includes PIPES_AS_CONCAT and ANSI_QUOTES
+    e2.query("SET sql_mode = 'ANSI'")
+    assert(e2.query("SELECT 'x' || 'y' AS v").collect()(0).getString(0) == "xy")
+    assert(e2.query("""SELECT "v2" FROM (SELECT 1 AS v2) t""")
+      .collect()(0).getInt(0) == 1)
+    assert(e2.query("SELECT @@sql_mode AS m").collect()(0).getString(0) == "ANSI")
+    // clearing the mode restores the OR mapping
+    e2.query("SET sql_mode = ''")
+    assert(e2.query("SELECT count(*) AS n FROM (SELECT 1 x) t WHERE 0 || 1")
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("SET time_zone drives session time rendering (time_queries.go)") {
     // isolated session: conf changes must not leak into parallel suites
     val s2 = spark.newSession()

@@ -520,6 +520,71 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table fk_parent")
   }
 
+  test("ENUM orders by member index, SET by bitmask; numeric inserts are " +
+      "member indexes; member defs trim trailing spaces (enum.go Compare/" +
+      "Convert:83, set.go Compare:79)") {
+    engine.runScript(
+      """create table shirts2 (id int, size enum('x-small','small','medium','large','x-large'));
+        |insert into shirts2 values (1,'medium'), (2,'x-small'), (3,'x-large'), (4,'small');
+        |""".stripMargin)
+    // index order (x-small=1 … x-large=5), not lexical
+    assert(rows("select size from shirts2 order by size") ==
+      Seq(Seq("x-small"), Seq("small"), Seq("medium"), Seq("x-large")))
+    assert(rows("select size from shirts2 order by size desc limit 2") ==
+      Seq(Seq("x-large"), Seq("medium")))
+    // range comparison by index: medium(3) > small(2), lexically it is not
+    assert(rows("select id from shirts2 where size > 'small' order by id") ==
+      Seq(Seq(1), Seq(3)))
+    // a numeric value is the 1-based member index (enum.go Convert)
+    engine.query("insert into shirts2 values (5, 2)")
+    assert(rows("select size from shirts2 where id = 5") == Seq(Seq("small")))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("insert into shirts2 values (6, 500)")
+    }.getMessage.contains("Data truncated"))
+    engine.query("drop table shirts2")
+    // SET sorts by bitmask: ''=0, a=1, a,b=3, c=4, b,c=6
+    engine.runScript(
+      """create table souq (id int, s set('a','b','c'));
+        |insert into souq values (1,'c'), (2,'a,b'), (3,'a'), (4,'b,c'), (5,'');
+        |""".stripMargin)
+    assert(rows("select id from souq order by s, id") ==
+      Seq(Seq(5), Seq(3), Seq(2), Seq(1), Seq(4)))
+    engine.query("drop table souq")
+    // trailing spaces are deleted from member values at declaration
+    // (script_queries.go enumtest2: enum('x ','X ','y','Y') -> x,X,y,Y)
+    engine.query("create table etrim (pk int, e enum('x ', 'y'))")
+    engine.query("insert into etrim values (1, 'x')")
+    assert(rows("select e from etrim") == Seq(Seq("x")))
+    engine.query("drop table etrim")
+    // PAD attribute surfaces in SHOW COLLATION; comparison itself is
+    // NO PAD for every collation, like the reference's
+    // StringType.Compare (strings.go:279 — no trailing-space trim)
+    assert(rows("SHOW COLLATION LIKE 'utf8mb4_0900_ai_ci'")
+      .head.last == "NO PAD")
+    assert(rows("SHOW COLLATION LIKE 'utf8mb4_general_ci'")
+      .head.last == "PAD SPACE")
+  }
+
+  test("trailing-space comparison is NO PAD, matching the reference's " +
+      "StringType.Compare (sql/types/strings.go:279): 'a' and 'a ' are " +
+      "distinct in equality, GROUP BY and DISTINCT") {
+    engine.runScript(
+      """create table padt (id int, v varchar(10));
+        |insert into padt values (1, 'a'), (2, 'a '), (3, 'a');
+        |""".stripMargin)
+    // MySQL's legacy PAD SPACE collations would compare 'a' = 'a ' TRUE;
+    // the reference (and this engine) compare NO PAD — pinned here as the
+    // agreed behavior, not a divergence from the spec we implement
+    assert(rows("select count(*) c from padt where v = 'a'") == Seq(Seq(2L)))
+    assert(rows("select count(distinct v) c from padt") == Seq(Seq(2L)))
+    assert(rows("select v, count(*) c from padt group by v order by c") ==
+      Seq(Seq("a ", 1L), Seq("a", 2L)))
+    // shorter strings sort before longer on the shared prefix
+    assert(rows("select v from padt order by v, id limit 2") ==
+      Seq(Seq("a"), Seq("a")))
+    engine.query("drop table padt")
+  }
+
   test("INSERT IGNORE keeps MySQL's first-row-wins under a combined FK " +
       "filter + duplicate key (sequence pinned before the skip filters)") {
     engine.runScript(

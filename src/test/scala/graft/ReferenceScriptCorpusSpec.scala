@@ -251,7 +251,9 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     val e = freshEngine
     check(e, "SELECT @@version_comment", Seq(Seq("graft-spark")))
     check(e, "SELECT @@version", Seq(Seq("8.0.31")))
-    check(e, "SELECT @@session.sql_mode", Seq(Seq("")))
+    // live session state (MySQL-style default set), not a static NULL
+    check(e, "SELECT @@session.sql_mode",
+      Seq(Seq("ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION")))
     check(e, "SELECT @@GLOBAL.max_connections", Seq(Seq(151)))
     check(e, "SELECT @@unknown_sysvar_xyz", Seq(Seq(null)))
     // assignment form is a session no-op, not a substitution target

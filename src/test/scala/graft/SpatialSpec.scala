@@ -212,8 +212,8 @@ class SpatialSpec extends AnyFunSuite {
                st_convexhull('LINESTRING(0 0, 2 2, 1 1)') AS h_line,
                st_convexhull('LINESTRING(0 0, 1 3, 2 1, 3 4, 4 0)') AS h_poly,
                st_convexhull('POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))') AS h_sq,
-               st_longitude('POINT(12.5 -3)') AS lon,
-               st_latitude('POINT(12.5 -3)') AS lat""").collect()(0)
+               st_longitude(st_srid('POINT(12.5 -3)', 4326)) AS lon,
+               st_latitude(st_srid('POINT(12.5 -3)', 4326)) AS lat""").collect()(0)
     assert(!r.getBoolean(0))
     assert(r.isNullAt(1))
     assert(r.getString(2) == "POINT(5 5)")
@@ -224,6 +224,54 @@ class SpatialSpec extends AnyFunSuite {
     // hole vertices are interior: hull is the outer square
     assert(r.getString(5) == "POLYGON((0 0,4 0,4 4,0 4,0 0))")
     assert(r.getDouble(6) == 12.5 && r.getDouble(7) == -3.0)
+    // a cartesian point has no latitude (ErrNonGeographic,
+    // x_y_latitude_longitude.go:316)
+    assert(intercept[Exception] {
+      e.query("SELECT st_latitude('POINT(1 2)') AS v").collect()
+    }.getMessage.contains("geographic"))
+  }
+
+  test("SRID wave 1: st_srid read/re-tag, st_geomfromtext(wkt, srid) " +
+      "range checks, st_distance SRID guards (st_srid.go, geometry.go:79, " +
+      "st_distance.go:167-175)") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT st_srid('POINT(1 2)') AS s0,
+               st_srid(st_srid('POINT(1 2)', 4326)) AS s1,
+               st_srid(st_geomfromtext('POINT(10 20)', 4326)) AS s2,
+               st_astext(st_srid('POINT(1 2)', 4326)) AS strip,
+               st_x(st_srid('POINT(1 2)', 4326)) AS px,
+               st_srid(st_srid(st_srid('POINT(1 2)', 4326), 0)) AS back""")
+      .collect()(0)
+    assert(r.getInt(0) == 0 && r.getInt(1) == 4326 && r.getInt(2) == 4326)
+    assert(r.getString(3) == "POINT(1 2)") // WKT output drops the tag
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getInt(5) == 0)
+    // unknown SRID: MySQL error 3548
+    assert(intercept[Exception] {
+      e.query("SELECT st_srid('POINT(1 2)', 999) AS v").collect()
+    }.getMessage.contains("3548"))
+    // geographic construction validates ranges (lat=Y, lon=X)
+    assert(intercept[Exception] {
+      e.query("SELECT st_geomfromtext('POINT(10 91)', 4326) AS v").collect()
+    }.getMessage.contains("latitude"))
+    assert(intercept[Exception] {
+      e.query("SELECT st_geomfromtext('POINT(181 10)', 4326) AS v").collect()
+    }.getMessage.contains("longitude"))
+    // st_srid re-tags WITHOUT validating (SetSRID does not re-project)
+    assert(e.query("SELECT st_srid(st_srid('POINT(500 500)', 4326)) AS v")
+      .collect()(0).getInt(0) == 4326)
+    // distance: mixed SRIDs error; geographic SRID is unsupported, like
+    // the reference (no geodesic path exists there either)
+    assert(intercept[Exception] {
+      e.query("SELECT st_distance(st_srid('POINT(0 0)', 4326), 'POINT(1 1)') AS v")
+        .collect()
+    }.getMessage.contains("3033"))
+    assert(intercept[Exception] {
+      e.query(
+        """SELECT st_distance(st_srid('POINT(0 0)', 4326),
+                              st_srid('POINT(1 1)', 4326)) AS v""").collect()
+    }.getMessage.contains("unsupported SRID"))
   }
 
   test("multi-geometry WKT round-trip (multipoint.go/multilinestring.go/" +
