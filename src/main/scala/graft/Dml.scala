@@ -47,10 +47,12 @@ object Dml {
     re("""(?is)^\s*REPLACE\s+INTO\s+<T>\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""")
   private val Update =
     re("""(?is)^\s*UPDATE\s+<T>\s+SET\s+(.*)$""")
-  // UPDATE t JOIN <src> [ON cond] SET assigns [WHERE cond] (reference
-  // sql/plan/update_join.go)
+  // UPDATE <table-references with a JOIN> SET assigns [WHERE cond]
+  // (reference sql/plan/update_join.go). The references group must
+  // contain a JOIN before the first top-level SET, so a plain
+  // `UPDATE t SET a = (SELECT … JOIN …)` still routes to Update.
   private val UpdateJoin =
-    re("""(?is)^\s*UPDATE\s+<T>\s+(?:INNER\s+)?JOIN\s+(.*)$""")
+    """(?is)^\s*UPDATE\s+((?:(?!\bSET\b).)+?\bJOIN\b(?:(?!\bSET\b).)+?)\s+SET\s+(.*)$""".r
   private val Delete =
     re("""(?is)^\s*DELETE\s+FROM\s+<T>\s*(.*?)\s*$""")
   // INSERT INTO t SET a = x, b = y (MySQL's assignment form)
@@ -266,8 +268,8 @@ object Dml {
         s"INSERT ${ig}INTO ${tick(table)} (${pairs.map(_._1).mkString(", ")}) " +
           s"VALUES (${pairs.map(_._2).mkString(", ")})")
 
-    case UpdateJoin(tableRaw, rest) =>
-      Some(updateJoin(e, normName(tableRaw), rest))
+    case UpdateJoin(refsText, rest) =>
+      Some(updateJoin(e, refsText, rest))
 
     case DeleteJoin(targetsText, rest) =>
       Some(deleteJoin(e, targetsText, rest))
@@ -1164,108 +1166,129 @@ object Dml {
     Seq(n).toDF("affected_rows")
   }
 
-  /** Find `WHERE` at paren depth 0 outside literals; split there. */
-  /** UPDATE t JOIN src [ON c] SET a [WHERE w]: MySQL's multi-table update
-    * (reference sql/plan/update_join.go, rowexec update_join). Spark-first
-    * shape: the matched (target-key, new-value) rows come from ONE join,
-    * then merge back on the target's declared key — no per-row execution.
-    * The source may be a table (with alias) or a derived table
-    * `(query) alias (cols)`. ON and WHERE both contribute to the match
-    * condition (MySQL treats them identically here). */
-  private def updateJoin(e: Engine, table: String, rest: String): DataFrame = {
-    val setAt = topLevelIndexOfWord(rest, "SET")
-    require(setAt > 0, s"malformed UPDATE JOIN: $rest")
-    val srcOn = rest.substring(0, setAt).trim
-    val (assignText, whereOpt) = splitWhere(rest.substring(setAt + 3))
-    val onAt = topLevelIndexOfWord(srcOn, "ON")
-    val (srcText, onOpt) =
-      if (onAt < 0) (srcOn, None)
-      else (srcOn.substring(0, onAt).trim, Some(srcOn.substring(onAt + 2)))
+  /** UPDATE <table-references> SET <assignments> [WHERE …]: MySQL's
+    * multi-table update over an arbitrary join tree (reference
+    * sql/plan/update_join.go + update_queries.go join shapes: INNER /
+    * LEFT / RIGHT / CROSS joins, derived-table sources, aliased
+    * self-joins, assignments to MULTIPLE target tables in one
+    * statement). Spark-first shape: the join tree itself runs as a
+    * plain SELECT through the engine, computing each target's DISTINCT
+    * (key, new values) rows; each target then merges back on its
+    * declared key — no per-row execution, one shuffle per target.
+    * A trailing ORDER BY is accepted and ignored (each matched row is
+    * assigned once, so visit order cannot change the result).
+    * affected = sum over targets of their matched row counts, the
+    * reference's multi-target count. */
+  private def updateJoin(e: Engine, refsText: String, rest: String): DataFrame = {
+    val (head, _) = splitOrderLimit(rest)
+    val (assignText, whereOpt) = splitWhere(head)
+    val whereSql = whereOpt.map(w => s" WHERE $w").getOrElse("")
+    // alias -> table map over the reference list (same scan deleteJoin
+    // uses); stray matches from inside derived-table bodies are culled
+    // by the catalog probe below
+    val kw = "(?i)JOIN|ON|WHERE|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|OUTER|USING|AS|SET"
+    val srcRe =
+      (s"""(?i)(?:^|\\bJOIN\\s+|,\\s*)`?([A-Za-z_][A-Za-z0-9_]*)`?""" +
+        s"""(?:\\s+(?:AS\\s+)?(?!(?:$kw)\\b)`?([A-Za-z_][A-Za-z0-9_]*)`?)?""").r
+    val aliasMap = srcRe.findAllMatchIn(refsText).map { m =>
+      val tbl = m.group(1)
+      (Option(m.group(2)).getOrElse(tbl).toLowerCase, tbl)
+    }.toMap
+    def tableCols(t: String): Option[Seq[String]] =
+      scala.util.Try(e.spark.table(t).columns.toSeq).toOption
 
-    // resolve the join source into an aliased DataFrame
-    val src: DataFrame =
-      if (srcText.startsWith("(")) {
-        // derived table: (query) alias [(col, …)]
-        var depth = 0
-        var close = -1
-        var i = 0
-        while (i < srcText.length && close < 0) {
-          srcText.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) close = i
-            case _ =>
-          }
-          i += 1
-        }
-        val body = srcText.substring(1, close)
-        val tail = srcText.substring(close + 1).trim
-        val m = """^`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(\(([^)]*)\))?$""".r
-          .findFirstMatchIn(tail)
-          .getOrElse(throw new IllegalArgumentException(
-            s"derived update-join source needs an alias: $srcText"))
-        val alias = m.group(1)
-        val colsOpt = Option(m.group(3))
-        val aliasCols = colsOpt.map(c => s" (${c.trim})").getOrElse("")
-        e.query(s"SELECT * FROM ( $body ) AS $alias$aliasCols").as(alias)
-      } else {
-        val m = """^`?([A-Za-z_][A-Za-z0-9_]*)`?(?:\s+(?:AS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?)?$""".r
-          .findFirstMatchIn(srcText)
-          .getOrElse(throw new IllegalArgumentException(
-            s"unsupported update-join source: $srcText"))
-        val alias = Option(m.group(2)).getOrElse(m.group(1))
-        e.spark.table(m.group(1)).as(alias)
-      }
-
-    val t = e.spark.table(table)
-    val tAliased = t.as(table)
-    val cond = (onOpt.toSeq ++ whereOpt.toSeq).map(c => s"($c)")
-    val pairs =
-      if (cond.isEmpty) tAliased.crossJoin(src)
-      else tAliased.join(src, expr(cond.mkString(" AND ")))
-
-    val key = e.tableKeys.getOrElse(table, t.columns.toSeq)
-    val actual = t.columns.map(c => c.toLowerCase -> c).toMap
+    // assignments: [alias.]col = expr; an unqualified column must be
+    // unambiguous among the referenced tables (MySQL resolution)
     val assigns = topLevelSplit(assignText, ',').map { a =>
       val eq = topLevelIndexOf(a, "=")
       require(eq > 0, s"malformed SET clause: $a")
-      val name0 = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
-      // strip a target-table qualifier (case-insensitive)
-      val name = name0.split('.') match {
-        case Array(q, c) if q.equalsIgnoreCase(table) => c
-        case Array(c) => c
+      val lhs = a.substring(0, eq).trim
+      val ex = a.substring(eq + 1).trim
+      val parts = lhs.split('.').map(_.trim.stripPrefix("`").stripSuffix("`"))
+      parts match {
+        case Array(q, c) =>
+          val alias = q.toLowerCase
+          if (!aliasMap.contains(alias) ||
+              tableCols(aliasMap(alias)).isEmpty)
+            throw new IllegalArgumentException(
+              s"The target table $q of the UPDATE is not updatable")
+          (alias, c, ex)
+        case Array(c) =>
+          val owners = aliasMap.toSeq.filter { case (_, t) =>
+            tableCols(t).exists(_.exists(_.equalsIgnoreCase(c)))
+          }
+          owners match {
+            case Seq((alias, _)) => (alias, c, ex)
+            case Seq() => throw new IllegalArgumentException(
+              s"Unknown column '$c' in 'field list'")
+            case _ => throw new IllegalArgumentException(
+              s"Column '$c' in field list is ambiguous")
+          }
         case _ => throw new IllegalArgumentException(
-          s"assignment must target $table: $name0")
+          s"unsupported assignment target: $lhs")
       }
-      val resolved = actual.getOrElse(name.toLowerCase.stripPrefix("`").stripSuffix("`"),
-        throw new IllegalArgumentException(s"Unknown column '$name'"))
-      resolved -> a.substring(eq + 1).trim
-    }.toMap
+    }
 
-    // one (key, new values) row per matched target row
-    val updates = pairs.select(
-      (key.map(k => col(s"$table.`$k`").as(k)) ++
-        assigns.toSeq.map { case (c, ex) => expr(ex).as(s"__new_$c") }
-        ).toIndexedSeq: _*)
-      .dropDuplicates(key)
-    val matched = updates.count()
-
-    // `__rid__` aligns pre/post rows for ON UPDATE CASCADE key mapping
-    val t0 = t.withColumn("__rid__", monotonically_increasing_id())
-    val merged0 = t0.join(updates.withColumn("__upd", lit(true)),
-        key.toSeq, "left")
-      .select((t.columns.map { c =>
-        assigns.get(c) match {
-          case Some(_) =>
+    // phase 1: plan every target's merge against the PRE-update state
+    // (the analyzed plans bind the current view subtrees, so later view
+    // swaps don't leak into them)
+    val work = assigns.groupBy(_._1).toSeq.map { case (alias, as) =>
+      val table = aliasMap(alias)
+      val t = e.spark.table(table)
+      val actual = t.columns.map(c => c.toLowerCase -> c).toMap
+      val asResolved = as.map { case (_, c, ex) =>
+        actual.getOrElse(c.toLowerCase, throw new IllegalArgumentException(
+          s"Unknown column '$c' in 'field list'")) -> ex
+      }
+      val key = e.tableKeys.getOrElse(table, t.columns.toSeq)
+      val keySel = key.map(k => s"`$alias`.`$k` AS `$k`")
+      val newSel = asResolved.map { case (c, ex) => s"($ex) AS `__new_$c`" }
+      // OUTER-join rows where this target side is absent carry NULL
+      // keys: they match no real row and must not count as matched
+      val allNullKey = key.map(k => col(s"`$k`").isNull).reduce(_ && _)
+      // a target row with several join matches is updated ONCE, from the
+      // "first" match (MySQL leaves which one unspecified; the reference
+      // iterates source order — update_queries.go pins an ORDER BY'd
+      // derived source). Deterministic pick: smallest new-value tuple.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key.map(k => col(s"`$k`")).toIndexedSeq: _*)
+        .orderBy(asResolved.map { case (c, _) =>
+          col(s"`__new_$c`").asc_nulls_first }.toIndexedSeq: _*)
+      val updates = e.query(
+        s"SELECT DISTINCT ${(keySel ++ newSel).mkString(", ")} " +
+          s"FROM $refsText$whereSql")
+        .filter(!allNullKey)
+        .withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") === 1).drop("__rn__")
+      val matched = updates.count()
+      // `__rid__` aligns pre/post rows for ON UPDATE CASCADE key mapping
+      val t0 = t.withColumn("__rid__", monotonically_increasing_id())
+      val assignedLower = asResolved.map(_._1.toLowerCase).toSet
+      val merged0 = t0.join(updates.withColumn("__upd", lit(true)),
+          key.toSeq, "left")
+        .select((t.columns.map { c =>
+          if (assignedLower.contains(c.toLowerCase))
             when(coalesce(col("__upd"), lit(false)), col(s"`__new_$c`"))
               .otherwise(col(s"`$c`")).as(c)
-          case None => col(s"`$c`")
-        }
-      } :+ col("__rid__")).toIndexedSeq: _*)
-    val merged = merged0.drop("__rid__")
-    e.validateVocab(table, merged)
-    e.enforceParentUpdate(table, t0, merged0)
-    e.replaceTable(table, merged, bumpDepth = true)
-    ok(e, matched)
+          else col(s"`$c`")
+        } :+ col("__rid__")).toIndexedSeq: _*)
+      (table, t0, merged0, matched)
+    }
+    // phase 2a: all read-only validations BEFORE any table swaps, so a
+    // failing target leaves every table untouched (update_queries.go
+    // "UPDATE join with FK constraint" scripts)
+    work.foreach { case (table, _, merged0, _) =>
+      val merged = merged0.drop("__rid__")
+      e.validateVocab(table, merged)
+      e.validateChecks(table, merged)
+      e.validateForeignKeysChild(table, merged)
+    }
+    // phase 2b: parent-side enforcement + swap
+    work.foreach { case (table, t0, merged0, _) =>
+      e.enforceParentUpdate(table, t0, merged0)
+      e.replaceTable(table, merged0.drop("__rid__"), bumpDepth = true)
+    }
+    ok(e, work.map(_._4).sum)
   }
 
   /** DELETE t1[, t2] FROM <sources> [WHERE …]: rows of each target that

@@ -27,7 +27,15 @@ object Dialect {
   private def rewriteCode(code: String): String =
     rewriteCode(code, pipesAsConcat = false)
 
-  private def rewriteCode(code: String, pipesAsConcat: Boolean): String =
+  private def rewriteCode(code: String, pipesAsConcat: Boolean): String = {
+    val chained = rewriteCode0(code, pipesAsConcat)
+    // MySQL names VALUES table-constructor columns column_0, column_1…
+    // (0-based); Spark names them col1, col2… (1-based). The generated
+    // name pattern is distinctive enough to map directly.
+    ColumnNRe.replaceAllIn(chained, m => "col" + (m.group(1).toInt + 1))
+  }
+
+  private def rewriteCode0(code: String, pipesAsConcat: Boolean): String =
     rewriteCollate(code)
       .replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
       .replaceAll("(?i)\\bSTRAIGHT_JOIN\\b", "JOIN")
@@ -76,6 +84,8 @@ object Dialect {
       // `t AS OF n` resolves to the Engine.snapshot-pinned view
       .replaceAll("(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+OF\\s+(\\d+)",
         "$1__asof_$2")
+
+  private val ColumnNRe = """(?i)\bcolumn_(\d+)\b""".r
 
   private val CollateRe = """(?i)\bCOLLATE\s+[`']?([A-Za-z0-9_]+)[`']?""".r
 
@@ -298,8 +308,8 @@ class Engine(val spark: SparkSession) {
     * can express. The full string reads back through @@sql_mode. */
   private var ansiQuotes = false
   private var pipesAsConcat = false
-  private var sqlModeStr =
-    "ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION"
+  private var sqlModeStr = // the reference's default set, same order
+    "NO_ENGINE_SUBSTITUTION,ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES"
 
   def setSqlMode(modes: String): Unit = {
     sqlModeStr = modes

@@ -89,6 +89,57 @@ class ReferenceCorpusSpec extends AnyFunSuite {
       Seq(Seq(1, "first row"), Seq(2, "second row"), Seq(3, "third row")))
   }
 
+  test("LIMIT / OFFSET shapes: through derived tables, joins, IN " +
+      "subqueries, LIMIT x,y (queries.go:3335-3411,5965-6060)") {
+    check("SELECT i FROM mytable WHERE s = 'first row' ORDER BY i DESC LIMIT 1",
+      Seq(Seq(1L)))
+    check("SELECT i FROM mytable WHERE s = 'first row' ORDER BY i DESC LIMIT 0",
+      Seq.empty)
+    check("SELECT i FROM mytable ORDER BY i LIMIT 1 OFFSET 1", Seq(Seq(2L)))
+    // a LIMIT inside a derived table binds to the inner query
+    check("SELECT i FROM (SELECT i FROM mytable LIMIT 1) sq WHERE i = 3",
+      Seq.empty)
+    check("SELECT i FROM (SELECT i FROM (SELECT i FROM mytable LIMIT 1) sq1) sq2 WHERE i = 3",
+      Seq.empty)
+    check("SELECT i FROM (SELECT i FROM mytable ORDER BY i DESC LIMIT 1) sq WHERE i = 3",
+      Seq(Seq(3L)))
+    check("SELECT i FROM (SELECT i FROM (SELECT i FROM mytable ORDER BY i DESC  LIMIT 1) sq1) sq2 WHERE i = 3",
+      Seq(Seq(3L)))
+    check("SELECT i FROM (SELECT i FROM (SELECT i FROM mytable LIMIT 1) sq1 WHERE i > 1) sq2 LIMIT 10",
+      Seq.empty)
+    check("SELECT * FROM (SELECT a.pk, b.i FROM one_pk a JOIN mytable b ORDER BY a.pk ASC, b.i ASC LIMIT 1) sq WHERE i != 0",
+      Seq(Seq(0, 1L)))
+    check("SELECT * FROM (SELECT a.pk, b.i FROM one_pk a JOIN mytable b ORDER BY a.pk DESC, b.i DESC LIMIT 1) sq WHERE i != 0",
+      Seq(Seq(3, 3L)))
+    check("SELECT * FROM (SELECT pk FROM one_pk WHERE pk < 2 LIMIT 1) a JOIN (SELECT i FROM mytable WHERE i > 1 LIMIT 1) b WHERE pk >= 2",
+      Seq.empty)
+    check("SELECT i FROM (SELECT 1 AS i FROM DUAL UNION SELECT 2 AS i FROM DUAL) some_is WHERE i NOT IN (SELECT i FROM (SELECT 1 as i FROM DUAL) different_is)",
+      Seq(Seq(2)))
+    // MySQL's LIMIT offset,count form
+    check("SELECT i FROM mytable ORDER BY i LIMIT 1,1", Seq(Seq(2L)))
+    check("SELECT i FROM mytable ORDER BY i LIMIT 3,1", Seq.empty)
+    check("SELECT i FROM mytable ORDER BY i LIMIT 2,100", Seq(Seq(3L)))
+    check("SELECT COUNT(*) FROM mytable LIMIT 1", Seq(Seq(3L)))
+    // LIMIT'd IN subqueries
+    check("SELECT i FROM mytable WHERE i IN (SELECT i FROM mytable ORDER BY i ASC LIMIT 2) ORDER BY i",
+      Seq(Seq(1L), Seq(2L)))
+    check("SELECT i FROM mytable WHERE i NOT IN (SELECT i FROM mytable ORDER BY i ASC LIMIT 2)",
+      Seq(Seq(3L)))
+    check("SELECT i FROM mytable WHERE i NOT IN (SELECT i FROM mytable ORDER BY i ASC LIMIT 1) ORDER BY i",
+      Seq(Seq(2L), Seq(3L)))
+    // LIMIT'd scalar subqueries (uncorrelated)
+    check("SELECT (SELECT i FROM mytable ORDER BY i ASC LIMIT 1) AS x",
+      Seq(Seq(1L)))
+    check("SELECT (SELECT s FROM mytable ORDER BY i ASC LIMIT 1) AS x",
+      Seq(Seq("first row")))
+    // DIVERGENCE: the reference's `GROUP BY i` alone admits `s` because
+    // i is mytable's primary key (MySQL functional-dependency grouping);
+    // Spark has no FD analysis, so the dependent column joins the key.
+    // Same rows either way on this data.
+    check("SELECT sum(i) as isum, s FROM mytable GROUP BY i, s ORDER BY isum ASC LIMIT 0, 200",
+      Seq(Seq(1L, "first row"), Seq(2L, "second row"), Seq(3L, "third row")))
+  }
+
   test("aggregate cases") {
     check("select count(*) from mytable", Seq(Seq(3)))
     check("select count(1) from mytable", Seq(Seq(3)))

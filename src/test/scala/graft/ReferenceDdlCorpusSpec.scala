@@ -730,6 +730,54 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table selfu")
   }
 
+  test("UPDATE JOIN respects FK constraints atomically " +
+      "(update_queries.go UpdateScriptTests FK blocks)") {
+    engine.runScript(
+      """CREATE TABLE ujcustomers (id INT PRIMARY KEY, name TEXT);
+        |CREATE TABLE ujorders (id INT PRIMARY KEY, customer_id INT, amount INT,
+        |  FOREIGN KEY (customer_id) REFERENCES ujcustomers(id));
+        |INSERT INTO ujcustomers VALUES (1, 'Alice'), (2, 'Bob');
+        |INSERT INTO ujorders VALUES (101, 1, 50), (102, 2, 75);
+        |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("UPDATE ujorders o JOIN ujcustomers c ON o.customer_id = c.id " +
+        "SET o.customer_id = 123 where o.customer_id != 1")
+    }.getMessage.contains("1452"))
+    assert(rows("SELECT * FROM ujorders ORDER BY id") ==
+      Seq(Seq(101, 1, 50), Seq(102, 2, 75)))
+    // multi-target: EITHER failing target must leave BOTH untouched
+    engine.runScript(
+      """CREATE TABLE ujp1 (id INT PRIMARY KEY);
+        |CREATE TABLE ujp2 (id INT PRIMARY KEY);
+        |CREATE TABLE ujc1 (id INT PRIMARY KEY, p1_id INT,
+        |  FOREIGN KEY (p1_id) REFERENCES ujp1(id));
+        |CREATE TABLE ujc2 (id INT PRIMARY KEY, p2_id INT,
+        |  FOREIGN KEY (p2_id) REFERENCES ujp2(id));
+        |INSERT INTO ujp1 VALUES (1), (3);
+        |INSERT INTO ujp2 VALUES (1), (3);
+        |INSERT INTO ujc1 VALUES (10, 1);
+        |INSERT INTO ujc2 VALUES (20, 1);
+        |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("UPDATE ujc1 c1 JOIN ujc2 c2 ON c1.id = 10 AND c2.id = 20 " +
+        "SET c1.p1_id = 999, c2.p2_id = 3")
+    }.getMessage.contains("1452"))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("UPDATE ujc1 c1 JOIN ujc2 c2 ON c1.id = 10 AND c2.id = 20 " +
+        "SET c1.p1_id = 3, c2.p2_id = 999")
+    }.getMessage.contains("1452"))
+    assert(rows("SELECT * FROM ujc1") == Seq(Seq(10, 1)))
+    assert(rows("SELECT * FROM ujc2") == Seq(Seq(20, 1)))
+    // and a valid multi-target update lands on both
+    engine.query("UPDATE ujc1 c1 JOIN ujc2 c2 ON c1.id = 10 AND c2.id = 20 " +
+      "SET c1.p1_id = 3, c2.p2_id = 3")
+    assert(rows("SELECT * FROM ujc1") == Seq(Seq(10, 3)))
+    assert(rows("SELECT * FROM ujc2") == Seq(Seq(20, 3)))
+    engine.runScript(
+      "drop table ujc1; drop table ujc2; drop table ujp1; drop table ujp2; " +
+      "drop table ujorders; drop table ujcustomers;")
+  }
+
   test("CREATE/DROP INDEX, ANALYZE TABLE, SHOW TABLE STATUS (index_queries.go, " +
       "show_table_status_queries.go shapes)") {
     engine.runScript(

@@ -42,6 +42,38 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
     case other => other
   }
 
+  // setup_data one_pk / two_pk / othertable / tabletest fixtures (the
+  // tables every update_queries.go join case runs over)
+  private def freshJoin(): Unit = {
+    fresh()
+    Seq((0L, 0L, 1L, 2L, 3L, 4L), (1L, 10L, 11L, 12L, 13L, 14L),
+      (2L, 20L, 21L, 22L, 23L, 24L), (3L, 30L, 31L, 32L, 33L, 34L))
+      .toDF("pk", "c1", "c2", "c3", "c4", "c5")
+      .createOrReplaceTempView("one_pk")
+    Seq((0L, 0L, 0L, 1L, 2L, 3L, 4L), (0L, 1L, 10L, 11L, 12L, 13L, 14L),
+      (1L, 0L, 20L, 21L, 22L, 23L, 24L), (1L, 1L, 30L, 31L, 32L, 33L, 34L))
+      .toDF("pk1", "pk2", "c1", "c2", "c3", "c4", "c5")
+      .createOrReplaceTempView("two_pk")
+    Seq(("first", 3L), ("second", 2L), ("third", 1L))
+      .toDF("s2", "i2").createOrReplaceTempView("othertable")
+    Seq((1L, "first row"), (2L, "second row"), (3L, "third row"))
+      .toDF("i", "s").createOrReplaceTempView("tabletest")
+  }
+
+  private def joinCheck(write: String, matched: Long,
+                        select: String, expected: Seq[Seq[Any]]): Unit = {
+    freshJoin()
+    val res = engine.query(write).collect()
+    assert(res(0).getLong(0) == matched,
+      s"\nwrite: $write\naffected: ${res(0).getLong(0)} want $matched")
+    val got = engine.query(select).collect()
+      .map(r => (0 until r.length).map(i => norm(r.get(i))).toSeq).toSeq
+      .sortBy(_.mkString("|"))
+    val want = expected.map(_.map(norm)).sortBy(_.mkString("|"))
+    assert(got == want,
+      s"\nwrite: $write\nselect: $select\ngot:  $got\nwant: $want")
+  }
+
   /** WriteQueryTest: write -> matched count -> select -> expected rows. */
   private def writeCheck(write: String, matched: Long,
                          select: String, expected: Seq[Seq[Any]]): Unit = {
@@ -95,6 +127,117 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
     writeCheck("UPDATE mytable SET s = _binary 'updated' WHERE i = 3;", 1,
       "SELECT * FROM mytable",
       Seq(Seq(1, "first row"), Seq(2, "second row"), Seq(3, "updated")))
+  }
+
+  test("UPDATE JOIN write-query cases (update_queries.go:185-430): inner/" +
+      "left/right/cross joins, derived sources, self-joins, multi-target SET") {
+    joinCheck(
+      "UPDATE one_pk INNER JOIN two_pk on one_pk.pk = two_pk.pk1 SET two_pk.c1 = two_pk.c1 + 1",
+      4, "SELECT * FROM two_pk",
+      Seq(Seq(0, 0, 1, 1, 2, 3, 4), Seq(0, 1, 11, 11, 12, 13, 14),
+        Seq(1, 0, 21, 21, 22, 23, 24), Seq(1, 1, 31, 31, 32, 33, 34)))
+    joinCheck(
+      "UPDATE mytable INNER JOIN one_pk ON mytable.i = one_pk.c5 SET mytable.i = mytable.i * 10",
+      0, "SELECT * FROM mytable",
+      Seq(Seq(1, "first row"), Seq(2, "second row"), Seq(3, "third row")))
+    joinCheck(
+      "UPDATE one_pk INNER JOIN two_pk on one_pk.pk = two_pk.pk1 SET two_pk.c1 = two_pk.c1 + 1 WHERE one_pk.c5 < 10",
+      2, "SELECT * FROM two_pk",
+      Seq(Seq(0, 0, 1, 1, 2, 3, 4), Seq(0, 1, 11, 11, 12, 13, 14),
+        Seq(1, 0, 20, 21, 22, 23, 24), Seq(1, 1, 30, 31, 32, 33, 34)))
+    joinCheck(
+      "UPDATE one_pk INNER JOIN two_pk on one_pk.pk = two_pk.pk1 INNER JOIN othertable on othertable.i2 = two_pk.pk2 SET one_pk.c1 = one_pk.c1 + 1",
+      2, "SELECT * FROM one_pk",
+      Seq(Seq(0, 1, 1, 2, 3, 4), Seq(1, 11, 11, 12, 13, 14),
+        Seq(2, 20, 21, 22, 23, 24), Seq(3, 30, 31, 32, 33, 34)))
+    joinCheck(
+      "UPDATE one_pk INNER JOIN (SELECT * FROM two_pk order by pk1, pk2) as t2 on one_pk.pk = t2.pk1 SET one_pk.c1 = t2.c1 + 1 where one_pk.pk < 1",
+      1, "SELECT * FROM one_pk where pk < 1",
+      Seq(Seq(0, 1, 1, 2, 3, 4)))
+    joinCheck(
+      "UPDATE one_pk INNER JOIN two_pk on one_pk.pk = two_pk.pk1 SET one_pk.c1 = one_pk.c1 + 1",
+      2, "SELECT * FROM one_pk",
+      Seq(Seq(0, 1, 1, 2, 3, 4), Seq(1, 11, 11, 12, 13, 14),
+        Seq(2, 20, 21, 22, 23, 24), Seq(3, 30, 31, 32, 33, 34)))
+    // a trailing ORDER BY is legal and ignored
+    joinCheck(
+      "UPDATE one_pk INNER JOIN two_pk on one_pk.pk = two_pk.pk1 SET one_pk.c1 = one_pk.c1 + 1, one_pk.c2 = one_pk.c2 + 1 ORDER BY one_pk.pk",
+      2, "SELECT * FROM one_pk",
+      Seq(Seq(0, 1, 2, 2, 3, 4), Seq(1, 11, 12, 12, 13, 14),
+        Seq(2, 20, 21, 22, 23, 24), Seq(3, 30, 31, 32, 33, 34)))
+    // BOTH tables assigned in one statement; affected sums the targets
+    joinCheck(
+      "UPDATE one_pk INNER JOIN two_pk on one_pk.pk = two_pk.pk1 SET one_pk.c1 = one_pk.c1 + 1, two_pk.c1 = two_pk.c2 + 1",
+      6, "SELECT * FROM two_pk",
+      Seq(Seq(0, 0, 2, 1, 2, 3, 4), Seq(0, 1, 12, 11, 12, 13, 14),
+        Seq(1, 0, 22, 21, 22, 23, 24), Seq(1, 1, 32, 31, 32, 33, 34)))
+    // aliased self-join with an empty match
+    joinCheck(
+      "update mytable h join mytable on h.i = mytable.i and h.s <> mytable.s set h.i = mytable.i+1",
+      0, "select * from mytable",
+      Seq(Seq(1, "first row"), Seq(2, "second row"), Seq(3, "third row")))
+    // cross joins; targets on either side, including a self-cross alias
+    joinCheck(
+      "UPDATE othertable CROSS JOIN tabletest set othertable.i2 = othertable.i2 * 10",
+      3, "SELECT * FROM othertable order by i2",
+      Seq(Seq("third", 10), Seq("second", 20), Seq("first", 30)))
+    joinCheck(
+      "UPDATE tabletest cross join tabletest as t2 set tabletest.i = tabletest.i * 10",
+      3, "SELECT * FROM tabletest order by i",
+      Seq(Seq(10, "first row"), Seq(20, "second row"), Seq(30, "third row")))
+    joinCheck(
+      "UPDATE tabletest cross join tabletest as t2 set t2.i = t2.i * 10",
+      3, "SELECT * FROM tabletest order by i",
+      Seq(Seq(10, "first row"), Seq(20, "second row"), Seq(30, "third row")))
+    joinCheck(
+      "UPDATE othertable cross join tabletest set tabletest.i = tabletest.i * 10",
+      3, "SELECT * FROM tabletest order by i",
+      Seq(Seq(10, "first row"), Seq(20, "second row"), Seq(30, "third row")))
+    joinCheck(
+      "UPDATE othertable INNER JOIN tabletest on othertable.i2=3 and tabletest.i=3 SET othertable.s2 = 'fourth'",
+      1, "SELECT * FROM othertable order by i2",
+      Seq(Seq("third", 1), Seq("second", 2), Seq("fourth", 3)))
+    // LEFT JOIN: unmatched left rows still update; NULL right keys never
+    // produce phantom target rows
+    joinCheck(
+      "UPDATE othertable LEFT JOIN tabletest on othertable.i2=3 and tabletest.i=3 SET othertable.s2 = 'fourth'",
+      3, "SELECT * FROM othertable order by i2",
+      Seq(Seq("fourth", 1), Seq("fourth", 2), Seq("fourth", 3)))
+    joinCheck(
+      "UPDATE othertable LEFT JOIN tabletest on othertable.i2=3 and tabletest.i=3 SET tabletest.s = 'fourth row', tabletest.i = tabletest.i + 1",
+      1, "SELECT * FROM tabletest order by i",
+      Seq(Seq(1, "first row"), Seq(2, "second row"), Seq(4, "fourth row")))
+    joinCheck(
+      "UPDATE othertable LEFT JOIN tabletest t3 on othertable.i2=3 and t3.i=3 SET t3.s = 'fourth row', t3.i = t3.i + 1",
+      1, "SELECT * FROM tabletest order by i",
+      Seq(Seq(1, "first row"), Seq(2, "second row"), Seq(4, "fourth row")))
+    joinCheck(
+      "UPDATE othertable LEFT JOIN tabletest on othertable.i2=3 and tabletest.i=3 LEFT JOIN one_pk on othertable.i2 = one_pk.pk SET one_pk.c1 = one_pk.c1 + 1",
+      3, "SELECT * FROM one_pk order by pk",
+      Seq(Seq(0, 0, 1, 2, 3, 4), Seq(1, 11, 11, 12, 13, 14),
+        Seq(2, 21, 21, 22, 23, 24), Seq(3, 31, 31, 32, 33, 34)))
+    joinCheck(
+      "UPDATE othertable LEFT JOIN tabletest on othertable.i2=3 and tabletest.i=3 LEFT JOIN one_pk on othertable.i2 = one_pk.pk SET one_pk.c1 = one_pk.c1 + 1 where one_pk.pk > 4",
+      0, "SELECT * FROM one_pk order by pk",
+      Seq(Seq(0, 0, 1, 2, 3, 4), Seq(1, 10, 11, 12, 13, 14),
+        Seq(2, 20, 21, 22, 23, 24), Seq(3, 30, 31, 32, 33, 34)))
+    joinCheck(
+      "UPDATE othertable LEFT JOIN tabletest on othertable.i2=3 and tabletest.i=3 LEFT JOIN one_pk on othertable.i2 = 1 and one_pk.pk = 1 SET one_pk.c1 = one_pk.c1 + 1",
+      1, "SELECT * FROM one_pk order by pk",
+      Seq(Seq(0, 0, 1, 2, 3, 4), Seq(1, 11, 11, 12, 13, 14),
+        Seq(2, 20, 21, 22, 23, 24), Seq(3, 30, 31, 32, 33, 34)))
+    joinCheck(
+      "UPDATE othertable RIGHT JOIN tabletest on othertable.i2=3 and tabletest.i=3 SET othertable.s2 = 'fourth'",
+      1, "SELECT * FROM othertable order by i2",
+      Seq(Seq("third", 1), Seq("second", 2), Seq("fourth", 3)))
+    joinCheck(
+      "UPDATE othertable RIGHT JOIN tabletest on othertable.i2=3 and tabletest.i=3 SET othertable.i2 = othertable.i2 + 1",
+      1, "SELECT * FROM othertable order by i2",
+      Seq(Seq("third", 1), Seq("second", 2), Seq("first", 4)))
+    joinCheck(
+      "UPDATE othertable LEFT JOIN tabletest on othertable.i2=tabletest.i RIGHT JOIN one_pk on othertable.i2 = 1 and one_pk.pk = 1 SET tabletest.s = 'updated'",
+      1, "SELECT * FROM tabletest order by i",
+      Seq(Seq(1, "updated"), Seq(2, "second row"), Seq(3, "third row")))
   }
 
   test("DELETE write-query cases (delete_queries.go:25-90)") {

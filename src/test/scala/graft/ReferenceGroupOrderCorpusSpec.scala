@@ -62,6 +62,45 @@ class ReferenceGroupOrderCorpusSpec extends AnyFunSuite {
     assert(g == w, s"\nquery: $sql\ngot:  $g\nwant: $w")
   }
 
+  test("ORDER BY over union-of-joins derived table; unknown ORDER BY " +
+      "column errors; strict grouping errors (order_by_group_by_queries" +
+      ".go:53-131,180-280)") {
+    // dolt issue 3016 shape: UNION of two inner joins, grouped and
+    // ordered through the derived alias
+    check(
+      """SELECT t1.username, COUNT(t1.id) AS c FROM
+        |  ((SELECT t2.id, t2.content, t3.username FROM tweet AS t2
+        |     INNER JOIN users AS t3 ON (-t2.user_id = -t3.id)
+        |     WHERE (t3.username = 'u3'))
+        |   UNION
+        |   (SELECT t4.id, t4.content, `t5`.`username` FROM `tweet` AS t4
+        |     INNER JOIN users AS t5 ON (-t4.user_id = -t5.id)
+        |     WHERE (t5.username IN ('u2', 'u4')))) AS t1
+        |GROUP BY `t1`.`username` ORDER BY 1, 2 DESC""".stripMargin,
+      Seq(Seq("u2", 2L), Seq("u3", 1L), Seq("u4", 1L)))
+    // unknown ORDER BY column is an analysis error
+    assert(intercept[Exception] {
+      engine.query(
+        "SELECT team, COUNT(*) FROM members GROUP BY team ORDER BY columndoesnotexist")
+        .collect()
+    }.getMessage.toUpperCase.contains("COLUMNDOESNOTEXIST"))
+    // decimal group keys keep their scale through positional grouping
+    check(
+      "SELECT column_0, sum(column_1) AS s FROM (values row(1.00,1), " +
+        "row(1.00,3), row(2,2), row(2,5), row(3,9)) a group by 1 order by 1",
+      Seq(Seq(BigDecimal("1.00"), 4L), Seq(BigDecimal("2.00"), 7L),
+        Seq(BigDecimal("3.00"), 9L)))
+    // ONLY_FULL_GROUP_BY validation (the engine is always strict, like
+    // the reference's default sql_mode): non-aggregated columns without
+    // GROUP BY / outside the group key are errors
+    assert(intercept[Exception] {
+      engine.query("select AVG(j), i from tij").collect()
+    }.getMessage.nonEmpty)
+    assert(intercept[Exception] {
+      engine.query("select id, team from members group by team").collect()
+    }.getMessage.nonEmpty)
+  }
+
   test("ordinal and alias resolution (order_by_group_by_queries.go:32-48)") {
     check("select team as f from members order by id, f",
       Seq(Seq("red"), Seq("red"), Seq("orange"), Seq("orange"),

@@ -251,9 +251,10 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     val e = freshEngine
     check(e, "SELECT @@version_comment", Seq(Seq("graft-spark")))
     check(e, "SELECT @@version", Seq(Seq("8.0.31")))
-    // live session state (MySQL-style default set), not a static NULL
+    // live session state — the reference's default set verbatim
+    // (order_by_group_by_queries.go:232)
     check(e, "SELECT @@session.sql_mode",
-      Seq(Seq("ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION")))
+      Seq(Seq("NO_ENGINE_SUBSTITUTION,ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES")))
     check(e, "SELECT @@GLOBAL.max_connections", Seq(Seq(151)))
     check(e, "SELECT @@unknown_sysvar_xyz", Seq(Seq(null)))
     // assignment form is a session no-op, not a substitution target
