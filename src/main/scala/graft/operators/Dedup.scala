@@ -296,17 +296,32 @@ object Dedup {
       "dedup_simhash",
       (s, d) => {
         val B = 60
+        // bitwise fold: 3 ones-counters packed per 64-bit accumulator
+        // (20-bit fields), so the hash-agg carries 21 longs per doc
+        // instead of 60. Field k of column p_j counts set bits at
+        // position 3j+k; packed sums add field-wise with no carry as
+        // long as every count stays under 2^20 — one field per token,
+        // so the bound is 1,048,575 tokens per document (way past any
+        // real document; the groupBy key is doc_id, so partial map-side
+        // combines only ever accumulate one doc's tokens). The sign
+        // test sum(±1) > 0 is equivalent to 2*ones > n_tokens.
+        val F = 3; val W = 20; val MASK = (1 << W) - 1
         val toks = Tables.t(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .withColumn("h", h60(col("tok")))
-        val bitSums = (0 until B).map(b =>
-          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+        val packed = (0 until B by F).map { base =>
+          sum(expr((0 until F).map(k =>
+            s"(((h >> ${base + k}) & 1) << ${W * k})").mkString(" + ")))
+            .as(s"p${base / F}")
+        }
         val sig = toks.groupBy(col("doc_id"))
-          .agg(bitSums.head, bitSums.tail: _*)
+          .agg(count(lit(1)).as("n"), packed: _*)
           .select(col("doc_id"),
-            (0 until B).map(b =>
-              when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-              .reduce(_ + _).as("simhash"))
+            (0 until B).map { b =>
+              val j = b / F; val k = b % F
+              when(expr(s"((p$j >> ${W * k}) & $MASK) * 2") > col("n"),
+                lit(1L << b)).otherwise(0L)
+            }.reduce(_ + _).as("simhash"))
         val ref = sig.orderBy(col("doc_id")).limit(1)
           .select(col("simhash").as("ref_hash"))
         sig.crossJoin(broadcast(ref))
