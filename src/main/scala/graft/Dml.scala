@@ -62,6 +62,10 @@ object Dml {
   // reference sql/plan/delete.go multi-target form)
   private val DeleteJoin =
     """(?is)^\s*DELETE\s+(?!FROM\b)((?:`?[A-Za-z_][A-Za-z0-9_]*`?\s*,\s*)*`?[A-Za-z_][A-Za-z0-9_]*`?)\s+FROM\s+(.*)$""".r
+  // DELETE FROM t1[, t2] USING <joined sources> [WHERE …] — MySQL's
+  // other multi-table spelling, same semantics (delete_queries.go:198)
+  private val DeleteUsing =
+    """(?is)^\s*DELETE\s+FROM\s+((?:`?[A-Za-z_][A-Za-z0-9_]*`?\s*,\s*)*`?[A-Za-z_][A-Za-z0-9_]*`?)\s+USING\s+(.*)$""".r
   private val CreateView =
     re("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s*(\([^)]*\))?\s+AS\s+(.*)$""")
   private val ShowCreateView =
@@ -207,8 +211,47 @@ object Dml {
     out.result()
   }
 
-  def dispatch(e: Engine, sql0: String): Option[DataFrame] =
-    dispatchTrimmed(e, sql0.replaceAll("[;\\s]+$", ""))
+  def dispatch(e: Engine, sql0: String): Option[DataFrame] = {
+    val sql = sql0.replaceAll("[;\\s]+$", "")
+    cteDml(e, sql).orElse(dispatchTrimmed(e, sql))
+  }
+
+  /** `WITH [RECURSIVE] ctes… DELETE/UPDATE …` — MySQL allows CTEs ahead
+    * of DML (delete_queries.go / update_queries.go `with …` cases). Each
+    * CTE materializes through the engine's own WITH+SELECT path
+    * (recursive ones included) into a statement-scoped temp view that
+    * shadows any same-named table — evaluated against statement-start
+    * state, like MySQL — then the bare DML dispatches normally. Prior
+    * views are restored afterward. A `WITH … SELECT … FOR UPDATE` never
+    * reaches the DML dispatch (its tail fails the DML patterns), so the
+    * orElse falls through to the query path with views restored. */
+  private def cteDml(e: Engine, sql: String): Option[DataFrame] = {
+    if (!sql.trim.toUpperCase.startsWith("WITH")) return None
+    val idxs = Seq("DELETE", "UPDATE")
+      .map(k => topLevelIndexOfWord(sql, k)).filter(_ >= 0)
+    if (idxs.isEmpty) return None
+    val idx = idxs.min
+    val cteText = sql.substring(0, idx).trim
+    val dmlText = sql.substring(idx)
+    val listText =
+      cteText.replaceFirst("(?is)^\\s*WITH\\s+(RECURSIVE\\s+)?", "")
+    val names = topLevelSplit(listText, ',').map { item =>
+      """(?is)^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?""".r.findFirstMatchIn(item)
+        .map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(s"malformed CTE: $item"))
+    }
+    val saved = names.map(n =>
+      n -> scala.util.Try(e.spark.table(n)).toOption)
+    try {
+      names.foreach { n =>
+        e.query(s"$cteText SELECT * FROM `$n`").createOrReplaceTempView(n)
+      }
+      dispatchTrimmed(e, dmlText)
+    } finally saved.foreach {
+      case (n, Some(df)) => df.createOrReplaceTempView(n)
+      case (n, None) => e.spark.catalog.dropTempView(n)
+    }
+  }
 
   private def dispatchTrimmed(e: Engine, sql: String): Option[DataFrame] = sql match {
     case Insert(ignoreKw, tableRaw, colList, body0) =>
@@ -272,6 +315,9 @@ object Dml {
       Some(updateJoin(e, refsText, rest))
 
     case DeleteJoin(targetsText, rest) =>
+      Some(deleteJoin(e, targetsText, rest))
+
+    case DeleteUsing(targetsText, rest) =>
       Some(deleteJoin(e, targetsText, rest))
 
     case Update(tableRaw, rest) =>

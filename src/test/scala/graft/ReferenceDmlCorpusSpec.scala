@@ -272,6 +272,62 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
       Seq(Seq(1, "first row"), Seq(2, "second row")))
   }
 
+  test("DELETE ORDER/LIMIT/OFFSET, row-value WHERE, CTE-prefixed DML, " +
+      "multi-table DELETE spellings (delete_queries.go:98-210, " +
+      "update_queries.go:452-468)") {
+    writeCheck("DELETE FROM mytable ORDER BY i ASC LIMIT 2;", 2,
+      "SELECT * FROM mytable", Seq(Seq(3, "third row")))
+    writeCheck("DELETE FROM mytable ORDER BY i DESC LIMIT 1;", 1,
+      "SELECT * FROM mytable",
+      Seq(Seq(1, "first row"), Seq(2, "second row")))
+    writeCheck("DELETE FROM mytable ORDER BY i DESC LIMIT 1 OFFSET 1;", 1,
+      "SELECT * FROM mytable",
+      Seq(Seq(1, "first row"), Seq(3, "third row")))
+    writeCheck("DELETE FROM mytable WHERE (i,s) = (1, 'first row');", 1,
+      "SELECT * FROM mytable",
+      Seq(Seq(2, "second row"), Seq(3, "third row")))
+    // CTEs ahead of DML: evaluated against statement-start state
+    writeCheck(
+      "with t (n) as (select (1) from dual) delete from mytable where i in (select n from t)",
+      1, "select * from mytable order by i",
+      Seq(Seq(2, "second row"), Seq(3, "third row")))
+    writeCheck(
+      "with recursive t (n) as (select (1) from dual union all select n + 1 from t where n < 2) delete from mytable where i in (select n from t)",
+      2, "select * from mytable order by i", Seq(Seq(3, "third row")))
+    writeCheck(
+      "with t (n) as (select (1) from dual) UPDATE mytable set s = concat('updated ', i) where i in (select n from t)",
+      1, "select * from mytable order by i",
+      Seq(Seq(1, "updated 1"), Seq(2, "second row"), Seq(3, "third row")))
+    writeCheck(
+      "with recursive t (n) as (select (1) from dual union all select n + 1 from t where n < 2) UPDATE mytable set s = concat('updated ', i) where i in (select n from t)",
+      2, "select * from mytable order by i",
+      Seq(Seq(1, "updated 1"), Seq(2, "updated 2"), Seq(3, "third row")))
+    // multi-table DELETE spellings over a join (DeleteJoinTests)
+    joinCheck("DELETE mytable FROM mytable join tabletest where mytable.i=tabletest.i;",
+      3, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(0L, 3L)))
+    joinCheck("DELETE MYTABLE FROM mytAble join tAbletest where mytable.i=tabletest.i;",
+      3, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(0L, 3L)))
+    joinCheck("DELETE tabletest FROM mytable join tabletest where mytable.i=tabletest.i;",
+      3, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(3L, 0L)))
+    joinCheck("DELETE t1 FROM mytable as t1 join tabletest where t1.i=tabletest.i;",
+      3, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(0L, 3L)))
+    joinCheck("DELETE mytable, tabletest FROM mytable join tabletest where mytable.i=tabletest.i;",
+      3, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(0L, 0L)))
+    joinCheck("DELETE mytable FROM mytable;", 3,
+      "SELECT count(*) FROM mytable", Seq(Seq(0L)))
+    joinCheck("DELETE mytable FROM mytable WHERE i > 9999;", 0,
+      "SELECT count(*) FROM mytable", Seq(Seq(3L)))
+    // the USING spelling
+    joinCheck("DELETE FROM mytable USING mytable inner join tabletest on mytable.i=tabletest.i;",
+      3, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(0L, 3L)))
+  }
+
   test("INSERT write-query cases (insert_queries.go shapes)") {
     writeCheck("INSERT INTO mytable VALUES (4, 'fourth row');", 1,
       "SELECT * FROM mytable",
