@@ -266,8 +266,24 @@ object Dml {
             ignoreDups = ignoreKw != null)
           Some(ok(e, n))
         case Some(assignText) =>
+          // MySQL 8.0.19 row alias: VALUES (…) AS alias[(cols)] names
+          // the INCOMING row inside the ODKU assignments
+          val RowAlias =
+            """(?is)^(.*\))\s+AS\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(?:\(([^)]*)\))?\s*$""".r
+          val (bodyStripped, aliasOpt) = body.trim match {
+            case RowAlias(b, name, cols)
+                if body.trim.toUpperCase.startsWith("VALUES") =>
+              (b, Some((name, Option(cols).map(_.split(",")
+                .map(c => stripTick(c.trim)).toSeq))))
+            case _ => (body, None)
+          }
+          val insertCols =
+            if (hasList) colList.trim.stripPrefix("(").stripSuffix(")")
+              .split(",").map(c => stripTick(c.trim)).toSeq
+            else Seq.empty[String]
           Some(upsert(e, table,
-            insertSource(e, table, colList, hasList, body), assignText))
+            insertSource(e, table, colList, hasList, bodyStripped),
+            assignText, aliasOpt, insertCols))
       }
 
     case Replace(tableRaw, colList, body) =>
@@ -1148,7 +1164,9 @@ object Dml {
     * batch takes the same write-time coercion as plain INSERT and is
     * deduped on the key (last wins) before the merge. */
   private def upsert(e: Engine, table: String, incoming0: DataFrame,
-                     assignText: String): DataFrame = {
+                     assignText0: String,
+                     rowAlias: Option[(String, Option[Seq[String]])] = None,
+                     insertCols: Seq[String] = Seq.empty): DataFrame = {
     val keys = e.tableKeys.getOrElse(table,
       throw new IllegalArgumentException(
         s"ON DUPLICATE KEY UPDATE needs a declared key on '$table' " +
@@ -1156,6 +1174,31 @@ object Dml {
     val incoming = lastPerKey(
       e.coerceAndFill(table, incoming0, fillMissing = true), keys)
     val t = e.spark.table(table)
+    // row-alias references rewrite onto the incoming-row (__i_)
+    // namespace first: `alias.c` names incoming column c; with an alias
+    // COLUMN list, its names map positionally onto the INSERT column
+    // list (bare references too, unless they collide with a real table
+    // column, which MySQL resolves to the table)
+    val assignText = rowAlias match {
+      case Some((alias, colsOpt)) =>
+        val q = java.util.regex.Pattern.quote _
+        val cols = if (insertCols.nonEmpty) insertCols else t.columns.toSeq
+        colsOpt match {
+          case Some(aliasCols) =>
+            aliasCols.zip(cols).foldLeft(assignText0) {
+              case (acc, (ac, tc)) =>
+                val qualified = acc.replaceAll(
+                  s"(?i)\\b${q(alias)}\\.`?${q(ac)}`?\\b", s"__i_$tc")
+                if (t.columns.exists(_.equalsIgnoreCase(ac))) qualified
+                else qualified.replaceAll(
+                  s"(?i)(?<![.\\w])`?${q(ac)}`?\\b", s"__i_$tc")
+            }
+          case None =>
+            assignText0.replaceAll(
+              s"(?i)\\b${q(alias)}\\.`?([A-Za-z_][A-Za-z0-9_]*)`?", "__i_$1")
+        }
+      case None => assignText0
+    }
     // incoming columns renamed so assignment text can address both rows:
     // bare `c` = existing row, VALUES(c) = incoming row (as __i_c)
     val i2 = incoming.select(incoming.columns.map(c =>
@@ -1164,7 +1207,13 @@ object Dml {
     val assigns = topLevelSplit(assignText, ',').map { a =>
       val eq = topLevelIndexOf(a, "=")
       require(eq > 0, s"malformed ON DUPLICATE KEY UPDATE clause: $a")
-      val name = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+      // a target-table qualifier on the lhs strips (`mytable.s = …`)
+      val name = a.substring(0, eq).trim.split('.')
+        .map(_.stripPrefix("`").stripSuffix("`")) match {
+        case Array(qual, c) if qual.equalsIgnoreCase(table.split('.').last) => c
+        case Array(c) => c
+        case arr => arr.last
+      }
       val ex = a.substring(eq + 1).trim
         .replaceAll("(?i)\\bVALUES\\s*\\(\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*\\)",
           "__i_$1")

@@ -272,6 +272,56 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
       Seq(Seq(1, "first row"), Seq(2, "second row")))
   }
 
+  test("INSERT .. SELECT source shapes: projections, joins, group/having, " +
+      "order-limit (insert_queries.go INSERT..SELECT block)") {
+    writeCheck("INSERT INTO mytable SELECT i+100,s FROM mytable", 3,
+      "SELECT count(*) c FROM mytable", Seq(Seq(6L)))
+    writeCheck("INSERT INTO mytable (i,s) SELECT i+10, 'new' FROM mytable", 3,
+      "SELECT count(*) c FROM mytable WHERE s = 'new'", Seq(Seq(3L)))
+    writeCheck(
+      "INSERT INTO mytable (i,s) SELECT CHAR_LENGTH(s), concat('numrows: ', count(*)) from mytable group by 1",
+      2, "SELECT * FROM mytable WHERE s like 'numrows%' ORDER BY i",
+      Seq(Seq(9, "numrows: 2"), Seq(10, "numrows: 1")))
+    writeCheck(
+      "INSERT INTO mytable (i,s) SELECT i * 2, concat(s,s) from mytable order by 1 desc limit 1",
+      1, "SELECT * FROM mytable ORDER BY i",
+      Seq(Seq(1, "first row"), Seq(2, "second row"), Seq(3, "third row"),
+        Seq(6, "third rowthird row")))
+  }
+
+  test("ON DUPLICATE KEY UPDATE row alias + qualified targets " +
+      "(insert_queries.go MySQL 8.0.19 AS dt forms)") {
+    engine.runScript(
+      """create table odku_t (i bigint primary key, s text);
+        |insert into odku_t values (1, 'first row'), (2, 'second row'), (3, 'third row');
+        |""".stripMargin)
+    def s1 = engine.query("select s from odku_t where i = 1")
+      .collect()(0).getString(0)
+    assert(engine.query(
+      "INSERT INTO odku_t (i,s) values (1,'hi') ON DUPLICATE KEY UPDATE s=VALUES(s)")
+      .collect()(0).getLong(0) == 2)
+    assert(s1 == "hi")
+    // row alias with a column list: names map positionally
+    assert(engine.query(
+      "INSERT INTO odku_t (i,s) values (1, 'hi2') AS dt(new_i,new_s) ON DUPLICATE KEY UPDATE s=new_s")
+      .collect()(0).getLong(0) == 2)
+    assert(s1 == "hi2")
+    // bare row alias + table-qualified assignment target
+    assert(engine.query(
+      "INSERT INTO odku_t (i,s) values (1, 'hi3') AS dt ON DUPLICATE KEY UPDATE odku_t.s=dt.s")
+      .collect()(0).getLong(0) == 2)
+    assert(s1 == "hi3")
+    // composed VALUES() text over a mixed update/insert batch:
+    // 2 updates (x2) + 1 plain insert = 5
+    assert(engine.query(
+      "INSERT INTO odku_t (i,s) values (1,'mar'), (2,'par'), (9,'new') ON DUPLICATE KEY UPDATE s=CONCAT(VALUES(s), 'tial')")
+      .collect()(0).getLong(0) == 5)
+    assert(engine.query("select s from odku_t where i in (1,2,9) order by i")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("martial", "partial", "new"))
+    engine.query("drop table odku_t")
+  }
+
   test("DELETE ORDER/LIMIT/OFFSET, row-value WHERE, CTE-prefixed DML, " +
       "multi-table DELETE spellings (delete_queries.go:98-210, " +
       "update_queries.go:452-468)") {
