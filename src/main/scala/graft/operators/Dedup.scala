@@ -418,6 +418,67 @@ object Dedup {
               WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.3
               GROUP BY a.label ORDER BY a.label""")),
 
+    // ---- SemDeDup-style semantic dedup: k-means clusters block the
+    //      pairwise work, then each vector whose cosine to a LOWER-id
+    //      vector in the SAME cluster exceeds the threshold is dropped in
+    //      favor of its lowest-id near neighbor. Pairwise cost is
+    //      quadratic only WITHIN a cluster — the 100 TB path raises K so
+    //      clusters stay executor-sized (SemDeDup uses ~10^5 clusters);
+    //      the fixture uses the deterministic first-K-vectors centroids
+    //      (same single-assignment shape as sim_ivf: corpus x K-broadcast
+    //      centroids, one shuffle for the within-cluster self-join).
+    QueryDef(
+      "dedup_semantic",
+      (s, d) => {
+        import graft.functions.{vector => gvec}
+        import org.apache.spark.sql.expressions.Window
+        val K = 8
+        val e = Tables.t(s, d, "embeddings").select(
+            col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm", gvec.vecNorm(col("v")))
+        val cent = e.filter(col("vec_id") < K)
+          .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("d", gvec.vecL2Sq(col("v"), col("cv")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+        val a = assigned.as("a"); val b = assigned.as("b")
+        a.join(b, col("a.cid") === col("b.cid") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .filter((gvec.vecDot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))) > 0.3)
+          .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cid"),
+            col("a.vec_id").as("keeper"))
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(min(col("keeper")).as("kept_as"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              n AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              cent AS (
+                SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+                WHERE vec_id < 8),
+              asg AS (
+                SELECT vec_id, cid, v, nrm FROM (
+                  SELECT n.vec_id, c.cid, n.v, n.nrm,
+                    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                      list_sum(list_transform(list_zip(n.v, c.cv),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rk
+                  FROM n CROSS JOIN cent c) WHERE rk = 1)
+              SELECT b.vec_id AS vec_id, b.cid AS cid,
+                     MIN(a.vec_id) AS kept_as
+              FROM asg a JOIN asg b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.3
+              GROUP BY b.vec_id, b.cid ORDER BY vec_id""")),
+
     // ---- passage-level dedup (C4/RefinedWeb-style): fixed 10-word chunks,
     //      global first-occurrence keep by content hash, in-order
     //      reassembly. Two plain hash-partitioned shuffles — chunk-hash

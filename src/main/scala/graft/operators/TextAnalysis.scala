@@ -581,6 +581,63 @@ object TextAnalysis {
                 CAST(SUM(c2) AS DOUBLE) / COUNT(*) AS avg_bigram_count,
                 COUNT(CASE WHEN c2 <= 2 THEN 1 END) AS n_rare
               FROM bi JOIN model USING (bg)
-              GROUP BY doc_id ORDER BY doc_id"""))
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- sequence packing: greedily fill documents into fixed-size
+    //      token windows (the "pack training examples into context
+    //      length" step of an LLM data pipeline). Documents hash into
+    //      BUCKETS — the unit of parallelism — and pack sequentially in
+    //      doc_id order inside each bucket via flatMapGroups (genuine
+    //      per-partition imperative state; each bucket's packer is O(1)
+    //      memory beyond its own docs). An oversized document occupies a
+    //      window of its own. 100 TB path: bucket count scales with the
+    //      corpus (shard key), so each group stays executor-sized; the
+    //      single shuffle is the groupByKey on bucket. Oracle: the same
+    //      greedy fill as a per-bucket recursive CTE.
+    QueryDef(
+      "text_pack_sequences",
+      (s, d) => {
+        import s.implicits._
+        val C = 2048
+        val NB = 8
+        val toks = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") % NB).cast("int").as("bucket"),
+            size(split(col("text"), " ")).as("tokens"))
+          .as[(Long, Int, Int)]
+        toks.groupByKey(_._2)
+          .flatMapGroups { (bucket: Int, it: Iterator[(Long, Int, Int)]) =>
+            val docs = it.toArray.sortBy(_._1)
+            var acc = 0; var pack = 0; var first = true
+            docs.iterator.map { case (id, _, t) =>
+              if (first) { acc = t; first = false }
+              else if (acc + t > C) { pack += 1; acc = t }
+              else acc += t
+              (id, bucket, pack, t)
+            }
+          }
+          .toDF("doc_id", "bucket", "pack_id", "tokens")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE ordered AS (
+                SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS bucket,
+                       CAST(len(string_split(text, ' ')) AS INTEGER) AS tokens,
+                       row_number() OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+              rec AS (
+                SELECT bucket, rn, doc_id, tokens,
+                       tokens AS acc, 0 AS pack
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.bucket, o.rn, o.doc_id, o.tokens,
+                  CASE WHEN r.acc + o.tokens > 2048 THEN o.tokens
+                       ELSE r.acc + o.tokens END,
+                  CASE WHEN r.acc + o.tokens > 2048 THEN r.pack + 1
+                       ELSE r.pack END
+                FROM rec r JOIN ordered o
+                  ON o.bucket = r.bucket AND o.rn = r.rn + 1)
+              SELECT doc_id, bucket, CAST(pack AS INTEGER) AS pack_id, tokens
+              FROM rec ORDER BY doc_id"""))
   )
 }
