@@ -46,13 +46,13 @@ object Dml {
   private val Replace =
     re("""(?is)^\s*REPLACE\s+INTO\s+<T>\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""")
   private val Update =
-    re("""(?is)^\s*UPDATE\s+<T>\s+SET\s+(.*)$""")
+    re("""(?is)^\s*UPDATE\s+(IGNORE\s+)?<T>\s+SET\s+(.*)$""")
   // UPDATE <table-references with a JOIN> SET assigns [WHERE cond]
   // (reference sql/plan/update_join.go). The references group must
   // contain a JOIN before the first top-level SET, so a plain
   // `UPDATE t SET a = (SELECT … JOIN …)` still routes to Update.
   private val UpdateJoin =
-    """(?is)^\s*UPDATE\s+((?:(?!\bSET\b).)+?\bJOIN\b(?:(?!\bSET\b).)+?)\s+SET\s+(.*)$""".r
+    """(?is)^\s*UPDATE\s+(?:IGNORE\s+)?((?:(?!\bSET\b).)+?\bJOIN\b(?:(?!\bSET\b).)+?)\s+SET\s+(.*)$""".r
   private val Delete =
     re("""(?is)^\s*DELETE\s+FROM\s+<T>\s*(.*?)\s*$""")
   // INSERT INTO t SET a = x, b = y (MySQL's assignment form)
@@ -240,6 +240,16 @@ object Dml {
         .map(_.group(1))
         .getOrElse(throw new IllegalArgumentException(s"malformed CTE: $item"))
     }
+    // MySQL forbids targeting a CTE (the write would otherwise vanish
+    // with the statement-scoped view)
+    """(?is)^(?:DELETE\s+FROM|UPDATE)\s+`?([A-Za-z_][A-Za-z0-9_]*)`?""".r
+      .findFirstMatchIn(dmlText).foreach { m =>
+        val target = m.group(1)
+        if (names.exists(_.equalsIgnoreCase(target)))
+          throw new IllegalArgumentException(
+            s"The target table $target of the " +
+            s"${dmlText.trim.split("\\s+")(0).toUpperCase} is not updatable")
+      }
     val saved = names.map(n =>
       n -> scala.util.Try(e.spark.table(n)).toOption)
     try {
@@ -336,7 +346,8 @@ object Dml {
     case DeleteUsing(targetsText, rest) =>
       Some(deleteJoin(e, targetsText, rest))
 
-    case Update(tableRaw, rest) =>
+    case Update(ignoreKw, tableRaw, rest) =>
+      val ignore = ignoreKw != null
       val table = normName(tableRaw)
       val (head, tail) = splitOrderLimit(rest)
       val (assignText, whereOpt) = splitWhere(head)
@@ -414,12 +425,18 @@ object Dml {
             coalesce(expr(cond).cast("boolean"), lit(false)))
           val affected = gate.map(g => t.filter(g).count()).getOrElse(t.count())
           val t0 = t.withColumn("__rid__", monotonically_increasing_id())
-          val newDf0 = e.coerceVocab(table,
+          val newDfRaw = e.coerceVocab(table,
             e.computeGenerated(table, assignSequential(t0, gate)))
+          // IGNORE: key-colliding rows keep their old values (sequential
+          // MySQL visit order); plain UPDATE errors 1062 on a collision
+          val (newDf0, _) =
+            if (ignore) e.applyUpdateIgnore(table, t0, newDfRaw)
+            else (newDfRaw, 0L)
           val newDf = newDf0.drop("__rid__")
           e.validateVocab(table, newDf)
           e.validateChecks(table, newDf)
           e.validateForeignKeysChild(table, newDf)
+          if (!ignore) e.enforcePkUniquePost(table, newDf)
           e.enforceParentUpdate(table, t0, newDf0)
           e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))

@@ -826,6 +826,117 @@ class Engine(val spark: SparkSession) {
     }
   }
 
+  /** Post-UPDATE key enforcement: the updated table must stay unique
+    * under the PRIMARY key and every declared UNIQUE key (NULL-keyed
+    * rows exempt under uniques) — a key-colliding UPDATE is MySQL error
+    * 1062. One group-by-count probe per declared key over the rewritten
+    * frame. */
+  private[graft] def enforcePkUniquePost(table: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val declared =
+      tableKeys.get(table).map(k => ("PRIMARY", k, false)).toSeq ++
+        uniqueKeys.toSeq.collect { case (t, n, cols) if t == table =>
+          (n, cols, true)
+        }
+    declared.foreach { case (keyName, keys, nullExempt) =>
+      val kcols = keys.map(k => col(s"`$k`"))
+      val nonNull = kcols.map(_.isNotNull).reduce(_ && _)
+      val base = if (nullExempt) df.filter(nonNull) else df
+      val dup = base.groupBy(kcols.toIndexedSeq: _*).count()
+        .filter(col("count") > 1).limit(1).collect().headOption
+      dup.foreach { r =>
+        val entry = keys.indices.map(i => String.valueOf(r.get(i)))
+          .mkString("-")
+        throw new IllegalArgumentException(
+          s"Duplicate entry '$entry' for key '$table.$keyName' " +
+          s"(MySQL error 1062)")
+      }
+    }
+  }
+
+  /** UPDATE IGNORE key-conflict resolution (reference update_queries.go
+    * UpdateIgnoreScripts): rows are visited in PRIMARY-key order and a
+    * row whose NEW key collides with any OTHER row's key AT THAT MOMENT
+    * — later rows still hold their old keys, earlier surviving rows
+    * their new ones — keeps its old values instead of erroring. The
+    * scan is inherently sequential (each decision feeds the next), so
+    * it runs on the driver behind the same bounded-size gate as the
+    * write path's LocalRelation compaction; UPDATE IGNORE is an OLTP
+    * shape, not a 100 TB one. Both frames carry `__rid__`. Returns the
+    * adjusted post-update frame and the number of skipped rows. */
+  private[graft] def applyUpdateIgnore(table: String, oldDf: DataFrame,
+                                       newDf: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.col
+    val declared =
+      tableKeys.get(table).map(k => ("PRIMARY", k, false)).toSeq ++
+        uniqueKeys.toSeq.collect { case (t, n, cols) if t == table =>
+          (n, cols, true)
+        }
+    if (declared.isEmpty) return (newDf, 0L)
+    val total = oldDf.count()
+    require(total <= 100000,
+      s"UPDATE IGNORE sequential window exceeds the driver gate " +
+      s"($total rows): not a supported batch-analytics shape")
+    val keyCols = declared.flatMap(_._2).distinct
+    def rows(df: DataFrame): Map[Long, Seq[Any]] =
+      df.select((col("__rid__") +: keyCols.map(c => col(s"`$c`"))).toIndexedSeq: _*)
+        .collect()
+        .map(r => r.getLong(0) -> (1 until r.length).map(r.get).toSeq)
+        .toMap
+    val olds = rows(oldDf)
+    val news = rows(newDf)
+    val colIdx = keyCols.zipWithIndex.toMap
+    def tuple(vals: Seq[Any], keys: Seq[String]): Seq[Any] =
+      keys.map(k => vals(colIdx(k)))
+    def cmpAny(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: Number, y: Number) =>
+        BigDecimal(x.toString).compare(BigDecimal(y.toString))
+      case (x, y) => x.toString.compareTo(y.toString)
+    }
+    // MySQL visits rows in storage (primary-key) order
+    val order = declared.head._2
+    val visit = olds.keys.toSeq.sortWith { (r1, r2) =>
+      val t1 = tuple(olds(r1), order); val t2 = tuple(olds(r2), order)
+      val c = t1.zip(t2).iterator.map { case (a, b) => cmpAny(a, b) }
+        .find(_ != 0).getOrElse(0)
+      if (c != 0) c < 0 else r1 < r2
+    }
+    val current = declared.map { case (_, keys, _) =>
+      val m = scala.collection.mutable.Map.empty[Seq[Any], Int]
+        .withDefaultValue(0)
+      olds.values.foreach(v => m(tuple(v, keys)) += 1)
+      m
+    }
+    val skipped = scala.collection.mutable.Set.empty[Long]
+    visit.foreach { rid =>
+      val o = olds(rid); val n = news(rid)
+      val conflict = declared.zip(current).exists {
+        case ((_, keys, nullExempt), m) =>
+          val nt = tuple(n, keys); val ot = tuple(o, keys)
+          if (nt == ot) false
+          else if (nullExempt && nt.contains(null)) false
+          else m(nt) > 0
+      }
+      if (conflict) skipped += rid
+      else declared.zip(current).foreach { case ((_, keys, _), m) =>
+        val nt = tuple(n, keys); val ot = tuple(o, keys)
+        if (nt != ot) { m(ot) -= 1; m(nt) += 1 }
+      }
+    }
+    if (skipped.isEmpty) (newDf, 0L)
+    else {
+      val s = spark
+      import s.implicits._
+      val skipDf = skipped.toSeq.toDF("__rid__")
+      val adjusted = newDf.join(skipDf, Seq("__rid__"), "left_anti")
+        .unionByName(oldDf.join(skipDf, Seq("__rid__"), "left_semi"))
+      (adjusted, skipped.size.toLong)
+    }
+  }
+
   /** ADD UNIQUE / CREATE UNIQUE INDEX validation: existing rows must
     * already be unique under the key (NULL-keyed rows exempt) — MySQL
     * error 1062 otherwise. */

@@ -730,6 +730,56 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table selfu")
   }
 
+  test("UPDATE IGNORE skips key-colliding rows in visit order; plain " +
+      "UPDATE errors 1062 on a collision (update_queries.go " +
+      "UpdateIgnoreTests/UpdateIgnoreScripts)") {
+    engine.runScript(
+      """create table uig (i bigint primary key, s text);
+        |insert into uig values (1, 'first row'), (2, 'second row'), (3, 'third row');
+        |""".stripMargin)
+    // a plain UPDATE that collides is error 1062
+    assert(intercept[IllegalArgumentException] {
+      engine.query("UPDATE uig SET i = 2 where i = 1")
+    }.getMessage.contains("1062"))
+    // IGNORE: the colliding row keeps its old values, affected = matched
+    assert(rows("UPDATE IGNORE uig SET i = 2 where i = 1") == Seq(Seq(1L)))
+    assert(rows("SELECT * FROM uig order by i") ==
+      Seq(Seq(1L, "first row"), Seq(2L, "second row"), Seq(3L, "third row")))
+    assert(rows("UPDATE IGNORE uig SET i = i+1 where i = 1") == Seq(Seq(1L)))
+    assert(rows("SELECT * FROM uig order by i") ==
+      Seq(Seq(1L, "first row"), Seq(2L, "second row"), Seq(3L, "third row")))
+    engine.query("drop table uig")
+    // composite primary key: rows visit in key order, so 1->2 and 2->3
+    // collide with the NEXT row's still-old key, 3->4 applies
+    engine.runScript(
+      """create table pkt (pk int, val int, primary key(pk, val));
+        |insert into pkt values (1, 1), (2, 2), (3, 3);
+        |""".stripMargin)
+    assert(rows("UPDATE IGNORE pkt set pk = pk + 1, val = val + 1") ==
+      Seq(Seq(3L)))
+    assert(rows("SELECT * FROM pkt order by pk") ==
+      Seq(Seq(1, 1), Seq(2, 2), Seq(4, 4)))
+    assert(rows("UPDATE IGNORE pkt set val = val + 1 where pk = 2") ==
+      Seq(Seq(1L)))
+    assert(rows("SELECT * FROM pkt order by pk") ==
+      Seq(Seq(1, 1), Seq(2, 3), Seq(4, 4)))
+    engine.query("drop table pkt")
+    // UNIQUE key: same skip discipline
+    engine.runScript(
+      """create table idxt (pk int primary key, val int unique);
+        |insert into idxt values (1, 1), (2, 2), (3, 3);
+        |""".stripMargin)
+    assert(rows("UPDATE IGNORE idxt set val = val + 1") == Seq(Seq(3L)))
+    assert(rows("SELECT * FROM idxt order by pk") ==
+      Seq(Seq(1, 1), Seq(2, 2), Seq(3, 4)))
+    // two constraints at once: pk AND unique val both checked
+    assert(rows("UPDATE IGNORE idxt set pk = pk + 1, val = val + 1") ==
+      Seq(Seq(3L)))
+    assert(rows("SELECT * FROM idxt order by pk") ==
+      Seq(Seq(1, 1), Seq(2, 2), Seq(4, 5)))
+    engine.query("drop table idxt")
+  }
+
   test("UPDATE JOIN respects FK constraints atomically " +
       "(update_queries.go UpdateScriptTests FK blocks)") {
     engine.runScript(
