@@ -1698,8 +1698,15 @@ class Engine(val spark: SparkSession) {
 
     tables.flatMap { t =>
       spark.table(t.name).schema.fields.zipWithIndex.map { case (f, i) =>
+        // a declared vocabulary surfaces as data_type enum/set with the
+        // full member list in column_type (reference columns_table.go)
+        val dataType = columnVocab.get((t.name, f.name.toLowerCase)) match {
+          case Some((true, _)) => "set"
+          case Some((false, _)) => "enum"
+          case None => f.dataType.simpleString
+        }
         ("def", Option(t.database).getOrElse(db), t.name, f.name, i + 1,
-          f.dataType.simpleString, mysqlType(f.dataType),
+          dataType, renderColumnType(t.name, f),
           if (f.nullable) "YES" else "NO")
       }
     }.toSeq
@@ -1783,7 +1790,7 @@ class Engine(val spark: SparkSession) {
         else if (generatedCols.exists(g =>
           g._1 == table && g._2.equalsIgnoreCase(f.name))) "STORED GENERATED"
         else ""
-      (f.name, mysqlType(f.dataType), if (f.nullable) "YES" else "NO", key,
+      (f.name, renderColumnType(table, f), if (f.nullable) "YES" else "NO", key,
         columnDefaults.get((table, lc)), extra)
     }
   }
@@ -1856,7 +1863,7 @@ class Engine(val spark: SparkSession) {
       val nn = if (f.nullable) "" else " NOT NULL"
       val gen = generated.get(f.name.toLowerCase)
         .map(ex => s" GENERATED ALWAYS AS ($ex) STORED").getOrElse("")
-      s"  `${f.name}` ${mysqlType(f.dataType)}$gen$nn"
+      s"  `${f.name}` ${renderColumnType(table, f)}$gen$nn"
     }
     val pk = tableKeys.get(table).map(k =>
       s"  PRIMARY KEY (${k.map(c => s"`$c`").mkString(",")})").toSeq
@@ -1869,14 +1876,29 @@ class Engine(val spark: SparkSession) {
     val fks = foreignKeys.toSeq.collect { case fk if fk.child == table =>
       val onDel = if (fk.onDelete == "RESTRICT") ""
         else s" ON DELETE ${fk.onDelete}"
+      val onUpd = if (fk.onUpdate == "RESTRICT") ""
+        else s" ON UPDATE ${fk.onUpdate}"
       s"  CONSTRAINT `${fk.name}` FOREIGN KEY " +
         s"(${fk.childCols.map(c => s"`$c`").mkString(",")}) REFERENCES " +
         s"`${fk.parent}` (${fk.parentCols.map(c => s"`$c`").mkString(",")})" +
-        onDel
+        onDel + onUpd
     }
     val lines = fields.toSeq ++ pk ++ uks ++ cks ++ fks
     s"CREATE TABLE `$table` (\n${lines.mkString(",\n")}\n)"
   }
+
+  /** MySQL column-type text for metadata surfaces: a declared ENUM/SET
+    * vocabulary renders as enum('a','b') / set('a','b') (the reference's
+    * SHOW CREATE TABLE / DESCRIBE shape — script_queries.go enum
+    * blocks); everything else maps through the type table. */
+  private[graft] def renderColumnType(table: String,
+      f: org.apache.spark.sql.types.StructField): String =
+    columnVocab.get((table, f.name.toLowerCase)) match {
+      case Some((isSet, vs)) =>
+        (if (isSet) "set" else "enum") +
+          vs.map(v => s"'${v.replace("'", "''")}'").mkString("(", ",", ")")
+      case None => mysqlType(f.dataType)
+    }
 
   /** EXPLAIN — formatted Catalyst plan. */
   def explain(sql: String): String =

@@ -555,6 +555,11 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("create table etrim (pk int, e enum('x ', 'y'))")
     engine.query("insert into etrim values (1, 'x')")
     assert(rows("select e from etrim") == Seq(Seq("x")))
+    // metadata surfaces render the declared (trimmed) vocabulary
+    // (script_queries.go enum SHOW CREATE TABLE / DESCRIBE expectations)
+    assert(engine.showCreateTable("etrim").contains("`e` enum('x','y')"))
+    assert(rows("describe etrim").map(r => (r(0), r(1))) ==
+      Seq(("pk", "int"), ("e", "enum('x','y')")))
     engine.query("drop table etrim")
     // PAD attribute surfaces in SHOW COLLATION; comparison itself is
     // NO PAD for every collation, like the reference's
