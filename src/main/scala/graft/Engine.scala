@@ -189,7 +189,8 @@ object Dialect {
     // GROUP_CONCAT(...SEPARATOR...) -> listagg, MySQL XOR truthiness,
     // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
     val pre = SqlRewrite.tupleCompare(SqlRewrite.convertFn(
-      SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(sql)))))
+      SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
+        SqlRewrite.matchAgainst(sql))))))
     mapCode(pre)(rewriteCode)
   }
 
@@ -197,7 +198,8 @@ object Dialect {
     * native string concatenation. */
   def rewrite(sql: String, pipesAsConcat: Boolean): String = {
     val pre = SqlRewrite.tupleCompare(SqlRewrite.convertFn(
-      SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(sql)))))
+      SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
+        SqlRewrite.matchAgainst(sql))))))
     mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
   }
 

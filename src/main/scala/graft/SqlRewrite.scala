@@ -987,6 +987,50 @@ object SqlRewrite {
     }
   }
 
+  // ---- MATCH(col, …) AGAINST ('query' [mode]) ---------------------------
+  // (reference sql/expression/matchagainst.go). The query string is a
+  // plan-time literal, so the full-text grammar compiles HERE into a
+  // plain SQL relevance expression over the concatenated columns
+  // (FullText.relevanceSql — the boolean-mode TF scorer). Natural-mode /
+  // query-expansion queries strip operators first: the MATCHING set
+  // (relevance > 0) agrees with MySQL's natural mode, absolute relevance
+  // differs from InnoDB's IDF ranking (documented divergence).
+  // WHERE-context truthiness flows through the numeric-truthiness retry.
+  def matchAgainst(sql: String): String = {
+    if (!sql.toUpperCase.contains("AGAINST")) return sql
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i + 3 < toks.length) {
+      if (toks(i).isWord("MATCH") && toks(i + 1).text == "(") {
+        val close = closeParenFor(toks, i + 1)
+        if (close > 0 && close + 2 < toks.length &&
+            toks(close + 1).isWord("AGAINST") &&
+            toks(close + 2).text == "(") {
+          val aClose = closeParenFor(toks, close + 2)
+          val qTok = toks(close + 3)
+          if (aClose > close + 3 && qTok.kind == Lit &&
+              qTok.text.startsWith("'")) {
+            val modeText = toks.slice(close + 4, aClose)
+              .map(_.text.toUpperCase).mkString(" ")
+            val boolean = modeText.contains("BOOLEAN")
+            val raw = qTok.text.substring(1, qTok.text.length - 1)
+              .replace("''", "'").replace("\\'", "'")
+            val query =
+              if (boolean) raw
+              else raw.replaceAll("""[+\-~<>"*()]""", " ").trim
+            val colsText = sql.substring(toks(i + 1).end, toks(close).start)
+            patches += ((toks(i).start, toks(aClose).end,
+              graft.functions.FullText.relevanceSql(
+                s"concat_ws(' ', $colsText)", query)))
+          }
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   // ---- ENUM / SET ordinal semantics --------------------------------------
   // The reference compares ENUM values by their 1-based member index and
   // SET values by their bitmask (sql/types/enum.go Compare, set.go

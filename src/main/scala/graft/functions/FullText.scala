@@ -72,6 +72,48 @@ object FullText {
     else if (t.prefix) size(filter(toks, w => w.startsWith(t.text)))
     else size(filter(toks, w => w === t.text))
 
+  /** SQL-text rendering of [[booleanMatch]]'s relevance for the
+    * MATCH...AGAINST front door: the same grammar compiled to a Spark
+    * SQL expression string over `textSql` (0 for non-matching rows), so
+    * the rewrite emits plain parseable SQL instead of bridging Column
+    * trees into a half-resolved plan. */
+  def relevanceSql(textSql: String, query: String): String = {
+    val terms = parse(query)
+    require(terms.nonEmpty, "empty MATCH...AGAINST query")
+    def q(s: String) =
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    val toks = s"split(lower($textSql), '[^a-z0-9]+')"
+    val norm =
+      s"concat(' ', regexp_replace(lower($textSql), '[^a-z0-9]+', ' '), ' ')"
+    def pres(t: Term): String =
+      if (t.phrase) s"CAST(instr($norm, ${q(" " + t.text + " ")}) > 0 AS INT)"
+      else if (t.prefix)
+        s"size(filter($toks, w -> startswith(w, ${q(t.text)})))"
+      else s"size(filter($toks, w -> w = ${q(t.text)}))"
+    val req = terms.filter(_.op == '+')
+    val exc = terms.filter(_.op == '-')
+    val opt = terms.filter(_.op == ' ')
+    val reqOk = if (req.isEmpty) "TRUE"
+      else req.map(t => s"(${pres(t)} > 0)").mkString(" AND ")
+    val excOk = if (exc.isEmpty) "TRUE"
+      else exc.map(t => s"(${pres(t)} = 0)").mkString(" AND ")
+    val optOk = if (req.nonEmpty || opt.isEmpty) "TRUE"
+      else opt.map(t => s"(${pres(t)} > 0)").mkString(" OR ")
+    val scoring = req ++ opt
+    val weighted = scoring.exists(_.weight != 1.0)
+    val zero = if (weighted) "CAST(0.0 AS DOUBLE)" else "0"
+    val score =
+      if (scoring.isEmpty) zero
+      else if (weighted) scoring.map(t =>
+        s"(CAST(${pres(t)} AS DOUBLE) * ${t.weight})").mkString(" + ")
+      else scoring.map(pres).mkString(" + ")
+    // the WHEN condition stays ONE parenthesized group so the engine's
+    // numeric-truthiness retry treats the whole CASE as a single atom
+    // (it splits a WHERE at top-level AND/OR)
+    s"(CASE WHEN (($reqOk) AND ($excOk) AND ($optOk)) " +
+      s"THEN $score ELSE $zero END)"
+  }
+
   /** (matched, relevance) for a boolean-mode query over `text`. A row
     * matches when every `+` term is present, no `-` term is present, and
     * (when there are no `+` terms) at least one optional term hits.

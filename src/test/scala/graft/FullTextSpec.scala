@@ -15,6 +15,39 @@ class FullTextSpec extends AnyFunSuite {
     (row.getBoolean(0), row.getInt(1))
   }
 
+  test("SQL-text MATCH(cols) AGAINST ('query' [mode]) front door " +
+      "(fulltext_queries.go 'Basic matching 1 PK')") {
+    val e = new Engine(spark)
+    e.runScript(
+      """CREATE TABLE fts (pk BIGINT PRIMARY KEY, v1 VARCHAR(200), v2 VARCHAR(200), FULLTEXT idx (v1, v2));
+        |INSERT INTO fts VALUES (1, 'abc', 'def pqr'), (2, 'ghi', 'jkl'), (3, 'mno', 'mno'), (4, 'stu vwx', 'xyz zyx yzx'), (5, 'ghs', 'mno shg');
+        |""".stripMargin)
+    def ids(sql: String): Seq[Long] =
+      e.query(sql).collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids("SELECT pk FROM fts WHERE MATCH(v1, v2) AGAINST ('ghi')") ==
+      Seq(2L))
+    assert(ids("SELECT pk FROM fts WHERE MATCH(v2, v1) AGAINST ('jkl')") ==
+      Seq(2L))
+    // relevance comparisons
+    assert(ids("SELECT pk FROM fts WHERE MATCH(v2, v1) AGAINST ('jkl') = 0") ==
+      Seq(1L, 3L, 4L, 5L))
+    assert(ids("SELECT pk FROM fts WHERE MATCH(v2, v1) AGAINST ('jkl') > 0") ==
+      Seq(2L))
+    // multi-term natural mode: any term hits
+    assert(ids("SELECT pk FROM fts WHERE MATCH(v2, v1) AGAINST ('jkl mno')") ==
+      Seq(2L, 3L, 5L))
+    assert(ids("SELECT pk FROM fts WHERE MATCH(v2, v1) AGAINST ('jkl mno') AND pk = 3") ==
+      Seq(3L))
+    assert(ids("SELECT pk FROM fts WHERE MATCH(v2, v1) AGAINST ('jkl mno') OR pk = 1") ==
+      Seq(1L, 2L, 3L, 5L))
+    // boolean mode: +required / -excluded gate the match
+    assert(ids("SELECT pk FROM fts WHERE MATCH(v1, v2) AGAINST ('+mno -shg' IN BOOLEAN MODE)") ==
+      Seq(3L))
+    assert(ids("SELECT pk FROM fts WHERE MATCH(v1, v2) AGAINST ('mno' IN NATURAL LANGUAGE MODE)") ==
+      Seq(3L, 5L))
+    e.query("drop table fts")
+  }
+
   test("parse handles ops, phrases, and prefix wildcards") {
     assert(FullText.parse("""+data -quantum "Machine  Learning" learn*""") ==
       Seq(Term('+', "data", phrase = false, prefix = false),
