@@ -154,6 +154,13 @@ object Dml {
     """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?STATUS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   private val ShowProcesslist =
     """(?is)^\s*SHOW\s+(?:FULL\s+)?PROCESSLIST\s*$""".r
+  // SHOW WARNINGS/ERRORS (queries.go:5181 `SHOW WARNINGS LIMIT 0`):
+  // the engine raises errors instead of accumulating warnings, so the
+  // diagnostics area is honestly empty
+  private val ShowWarnings =
+    """(?is)^\s*SHOW\s+(?:WARNINGS|ERRORS)(?:\s+LIMIT\s+\d+(?:\s*,\s*\d+)?)?\s*$""".r
+  private val ShowCountWarnings =
+    """(?is)^\s*SHOW\s+COUNT\(\*\)\s+(?:WARNINGS|ERRORS)\s*$""".r
   private val ShowColumns =
     """(?is)^\s*SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val ShowIndexes =
@@ -619,7 +626,7 @@ object Dml {
       import s.implicits._
       val vars = Seq(
         ("version", "8.0.31"), ("version_comment", "graft-spark"),
-        ("sql_mode", ""), ("autocommit", "ON"),
+        ("sql_mode", e.sqlModeString), ("autocommit", "ON"),
         ("character_set_client", "utf8mb4"),
         ("character_set_connection", "utf8mb4"),
         ("character_set_results", "utf8mb4"),
@@ -634,6 +641,17 @@ object Dml {
       val stats = Seq(("Threads_connected", "1"), ("Uptime", "1"),
         ("Questions", "1"))
       Some(filterLike(stats.toDF("Variable_name", "Value"), "Variable_name", like))
+
+    case ShowWarnings() =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq.empty[(String, Int, String)]
+        .toDF("Level", "Code", "Message"))
+
+    case ShowCountWarnings() =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq(0).toDF("@@session.warning_count"))
 
     case CreateIdxStmt(uniq, name, tableRaw, cols) =>
       val table = normName(tableRaw)

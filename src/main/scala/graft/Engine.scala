@@ -313,6 +313,8 @@ class Engine(val spark: SparkSession) {
   private var sqlModeStr = // the reference's default set, same order
     "NO_ENGINE_SUBSTITUTION,ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES"
 
+  private[graft] def sqlModeString: String = sqlModeStr
+
   def setSqlMode(modes: String): Unit = {
     sqlModeStr = modes
     val set = modes.toUpperCase.split(",").map(_.trim).toSet

@@ -578,6 +578,14 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.query("SHOW STATUS LIKE 'Threads%'").count() == 1)
     assert(engine.query("SHOW PROCESSLIST").collect()(0)
       .getAs[String]("Command") == "Query")
+    // diagnostics area: honestly empty (queries.go:5181 SHOW WARNINGS)
+    assert(engine.query("SHOW WARNINGS").count() == 0)
+    assert(engine.query("SHOW WARNINGS LIMIT 0").count() == 0)
+    assert(engine.query("SHOW ERRORS").count() == 0)
+    assert(engine.query("SHOW COUNT(*) WARNINGS").collect()(0).getInt(0) == 0)
+    // sql_mode reads back live session state
+    assert(engine.query("SHOW VARIABLES LIKE 'sql_mode'").collect()(0)
+      .getString(1).contains("STRICT_TRANS_TABLES"))
     val cols = engine.query("SHOW COLUMNS FROM region").collect()
     assert(cols.map(_.getString(0)).toSeq == Seq("r_regionkey", "r_name"))
     assert(cols(0).getString(1) == "int")
