@@ -325,8 +325,16 @@ object Dml {
       val inserted = incoming.count()
       val kept = t.join(keyRows, keys.toIndexedSeq, "left_anti")
       e.validateVocab(table, incoming)
+      // REPLACE = delete-by-key + insert, and the DELETE phase fires FK
+      // actions row-triggered like any delete (foreign_key_queries.go
+      // self-referential scripts: a replaced row whose key a survivor
+      // references RESTRICTs with 1451 even though the key is about to
+      // be re-inserted; CASCADE walks children — InnoDB's documented
+      // REPLACE behavior). The incoming batch child-validates too.
+      e.validateForeignKeysChild(table, incoming)
+      val finalKept = e.enforceParentDelete(table, kept)
       e.replaceTable(table,
-        kept.unionByName(incoming, allowMissingColumns = hasList),
+        finalKept.unionByName(incoming, allowMissingColumns = hasList),
         bumpDepth = true)
       Some(ok(e, deleted + inserted))
 

@@ -732,7 +732,25 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     }.getMessage.contains("1451"))
     assert(rows("SELECT * FROM selfu ORDER BY id") ==
       Seq(Seq(1L, 1L, 1L), Seq(2L, 2L, 1L)))
+    // REPLACE's delete phase fires the self-CASCADE: replacing BOTH
+    // rows leaves no survivor to cascade, the batch re-references its
+    // own keys ('Self-referential child column follows parent CASCADE')
+    engine.query("REPLACE INTO selfu VALUES (1, 1, 1), (2, 2, 2)")
+    assert(rows("SELECT * FROM selfu ORDER BY id") ==
+      Seq(Seq(1L, 1L, 1L), Seq(2L, 2L, 2L)))
     engine.query("drop table selfu")
+    // ...and under RESTRICT a replaced key a survivor references is 1451
+    // even though the key is about to be re-inserted
+    // ('Self-referential child column follows parent RESTRICT')
+    engine.runScript(
+      """CREATE TABLE selfrr (id BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
+        |  CONSTRAINT fk_r FOREIGN KEY (v2) REFERENCES selfrr(v1));
+        |INSERT INTO selfrr VALUES (1, 1, 1), (2, 2, 1);
+        |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("REPLACE INTO selfrr VALUES (1, 1, 1)")
+    }.getMessage.contains("1451"))
+    engine.query("drop table selfrr")
   }
 
   test("UPDATE IGNORE skips key-colliding rows in visit order; plain " +
