@@ -53,9 +53,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // full copy on disk for post-hoc analysis (stdout stays the contract)
+    // full copy on disk for post-hoc analysis (stdout stays the contract);
+    // a GRAFT_BENCH_ONLY-filtered iteration must never clobber the full
+    // sweep, so filtered runs land in BENCH_PARTIAL.json instead
+    val outName = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      java.nio.file.Paths.get(outName), line + "\n")
     catch { case _: Throwable => }
     println(line)
     spark.stop()
