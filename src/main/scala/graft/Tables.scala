@@ -25,11 +25,22 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      // integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds double's
-      // 53-bit mantissa, so floating division would corrupt the low digits
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // the generator has shipped two schemas for ts: INT64
+      // TIMESTAMP(NANOS) (read as raw nanos under nanosAsLong) and plain
+      // timestamp[us] (read as TIMESTAMP_NTZ); normalize both to a µs
+      // TimestampType column carrying the same instants
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds
+          // double's 53-bit mantissa, so floating division would corrupt
+          // the low digits
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` queries resolve
