@@ -154,13 +154,14 @@ object Dml {
     """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?STATUS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   private val ShowProcesslist =
     """(?is)^\s*SHOW\s+(?:FULL\s+)?PROCESSLIST\s*$""".r
-  // SHOW WARNINGS/ERRORS (queries.go:5181 `SHOW WARNINGS LIMIT 0`):
-  // the engine raises errors instead of accumulating warnings, so the
-  // diagnostics area is honestly empty
+  // SHOW WARNINGS/ERRORS (queries.go:5181 `SHOW WARNINGS LIMIT 0`;
+  // session.go:680 Warn): reads the session diagnostics area the write
+  // paths feed. SHOW WARNINGS lists every level; SHOW ERRORS only
+  // Error-level entries. LIMIT [off,]n applies to the listed rows.
   private val ShowWarnings =
-    """(?is)^\s*SHOW\s+(?:WARNINGS|ERRORS)(?:\s+LIMIT\s+\d+(?:\s*,\s*\d+)?)?\s*$""".r
+    """(?is)^\s*SHOW\s+(WARNINGS|ERRORS)(?:\s+LIMIT\s+(?:(\d+)\s*,\s*)?(\d+))?\s*$""".r
   private val ShowCountWarnings =
-    """(?is)^\s*SHOW\s+COUNT\(\*\)\s+(?:WARNINGS|ERRORS)\s*$""".r
+    """(?is)^\s*SHOW\s+COUNT\(\*\)\s+(WARNINGS|ERRORS)\s*$""".r
   private val ShowColumns =
     """(?is)^\s*SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val ShowIndexes =
@@ -415,6 +416,32 @@ object Dml {
         }
         if (gate.isDefined) updated.drop("__upd__") else updated
       }
+      // IGNORE-mode assignment: a failed cast (non-NULL in, NULL out)
+      // stores the type zero value and plants a gated `__cvt_*__` flag
+      // that ignoreWriteCoercions turns into a 1366 warning (reference
+      // sql/rowexec/update.go:98 convertDataAndWarn). Keeps `__upd__`
+      // so downstream coercions stay gated to matched rows.
+      def assignSequentialIgnore(df: DataFrame,
+          gate: Option[org.apache.spark.sql.Column]): DataFrame = {
+        val g0 = df.withColumn("__upd__", gate.getOrElse(lit(true)))
+        assignsResolved.foldLeft(g0) { case (d, (c, ex)) =>
+          val raw = expr(ex)
+          val casted = raw.cast(colTypes(c))
+          e.zeroValueLit(colTypes(c)) match {
+            case Some(z) =>
+              val flag = s"__cvt_${c}__"
+              d.withColumn(flag,
+                  col("__upd__") && raw.isNotNull && casted.isNull)
+                .withColumn(c,
+                  when(!col("__upd__"), col(s"`$c`"))
+                    .when(col(s"`$flag`"), z)
+                    .otherwise(casted))
+            case None =>
+              d.withColumn(c,
+                when(col("__upd__"), casted).otherwise(col(s"`$c`")))
+          }
+        }
+      }
       // `__rid__` aligns each pre-update row with its post-update image
       // so ON UPDATE CASCADE can map old keys to new keys
       tail match {
@@ -440,21 +467,71 @@ object Dml {
             coalesce(expr(cond).cast("boolean"), lit(false)))
           val affected = gate.map(g => t.filter(g).count()).getOrElse(t.count())
           val t0 = t.withColumn("__rid__", monotonically_increasing_id())
-          val newDfRaw = e.coerceVocab(table,
-            e.computeGenerated(table, assignSequential(t0, gate)))
-          // IGNORE: key-colliding rows keep their old values (sequential
-          // MySQL visit order); plain UPDATE errors 1062 on a collision
-          val (newDf0, _) =
-            if (ignore) e.applyUpdateIgnore(table, t0, newDfRaw)
-            else (newDfRaw, 0L)
-          val newDf = newDf0.drop("__rid__")
-          e.validateVocab(table, newDf)
-          e.validateChecks(table, newDf)
-          e.validateForeignKeysChild(table, newDf)
-          if (!ignore) e.enforcePkUniquePost(table, newDf)
-          e.enforceParentUpdate(table, t0, newDf0)
-          e.replaceTable(table, newDf, bumpDepth = true)
-          Some(ok(e, affected))
+          if (!ignore) {
+            val newDfRaw = e.coerceVocab(table,
+              e.computeGenerated(table, assignSequential(t0, gate)))
+            val newDf = newDfRaw.drop("__rid__")
+            e.validateVocab(table, newDf)
+            e.validateChecks(table, newDf)
+            e.validateForeignKeysChild(table, newDf)
+            e.enforcePkUniquePost(table, newDf)
+            e.enforceParentUpdate(table, t0, newDfRaw)
+            e.replaceTable(table, newDf, bumpDepth = true)
+            Some(ok(e, affected))
+          } else {
+            // UPDATE IGNORE (reference sql/rowexec/update.go:98,150
+            // convertDataAndWarn + ignore paths): instead of erroring,
+            //   - a failed value conversion stores the type zero (1366)
+            //   - NULL into NOT NULL stores the type zero (1048)
+            //   - a CHECK- or FK-violating row keeps its OLD values
+            //     (1105 / 1452)
+            //   - a key-colliding row keeps its OLD values (1062)
+            // all surfaced through SHOW WARNINGS.
+            val assigned = assignSequentialIgnore(t0, gate)
+            val afterGen = e.coerceVocab(table,
+              e.computeGenerated(table, assigned))
+            val (coerced, flagWarns) =
+              e.ignoreWriteCoercions(table, afterGen, gateCol = Some("__upd__"))
+            var cur = e.emitFlagWarnings(coerced, flagWarns)
+            val updGate = col("__upd__")
+            def revert(viol: DataFrame, code: Int, msg: String): Unit = {
+              val rids = viol.select("__rid__")
+              val n = rids.count()
+              if (n > 0) {
+                e.warnN(n, code, msg)
+                cur = cur.join(rids, Seq("__rid__"), "left_anti").unionByName(
+                  t0.withColumn("__upd__", lit(false))
+                    .join(rids, Seq("__rid__"), "left_semi"))
+              }
+            }
+            e.checkConstraints.toSeq
+              .collect { case (t2, _, ex) if t2 == table => ex }
+              .foreach { ex =>
+                revert(cur.filter(updGate &&
+                    !coalesce(expr(ex).cast("boolean"), lit(true))),
+                  1105, "check constraint violated (row kept old values)")
+              }
+            e.foreignKeys.toSeq.filter(_.child == table).foreach { fk =>
+              val keys = e.spark.table(fk.parent)
+                .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
+                .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
+              val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
+                col(s"`$cc`") === col(s"`__fk_$pc`")
+              }.reduce(_ && _)
+              val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
+                .reduce(_ && _)
+              revert(cur.filter(updGate && nonNull)
+                  .join(keys, cond, "left_anti"),
+                1452, "Cannot add or update a child row: a foreign key " +
+                  s"constraint fails (`$table`, CONSTRAINT `${fk.name}`)")
+            }
+            val (newDf0, _) = e.applyUpdateIgnore(table,
+              t0.withColumn("__upd__", lit(false)), cur)
+            val newDf = newDf0.drop("__rid__", "__upd__")
+            e.enforceParentUpdate(table, t0, newDf0.drop("__upd__"))
+            e.replaceTable(table, newDf, bumpDepth = true)
+            Some(ok(e, affected))
+          }
       }
 
     case Delete(tableRaw, rest0) =>
@@ -650,16 +727,27 @@ object Dml {
         ("Questions", "1"))
       Some(filterLike(stats.toDF("Variable_name", "Value"), "Variable_name", like))
 
-    case ShowWarnings() =>
+    case ShowWarnings(kind, off, lim) =>
       val s = e.spark
       import s.implicits._
-      Some(Seq.empty[(String, Int, String)]
+      val all =
+        if (kind.equalsIgnoreCase("ERRORS"))
+          e.warnings.filter(_.level == "Error")
+        else e.warnings
+      val offset = Option(off).map(_.toInt).getOrElse(0)
+      val listed = Option(lim) match {
+        case Some(n) => all.slice(offset, offset + n.toInt)
+        case None => all
+      }
+      Some(listed.map(w => (w.level, w.code, w.message))
         .toDF("Level", "Code", "Message"))
 
-    case ShowCountWarnings() =>
+    case ShowCountWarnings(kind) =>
       val s = e.spark
       import s.implicits._
-      Some(Seq(0).toDF("@@session.warning_count"))
+      if (kind.equalsIgnoreCase("ERRORS"))
+        Some(Seq(e.errorCount).toDF("@@session.error_count"))
+      else Some(Seq(e.warningCount).toDF("@@session.warning_count"))
 
     case CreateIdxStmt(uniq, name, tableRaw, cols) =>
       val table = normName(tableRaw)
@@ -950,6 +1038,12 @@ object Dml {
     val up = rest.toUpperCase
     val (dt0, vocab) = mysqlDataType(typeText)
     val dt = applyCollation(dt0, rest)
+    // declared CHAR/VARCHAR length: parquet strings are unbounded, so the
+    // limit lives on the engine and the write paths enforce it
+    // (reference sql/types/strings.go:465 ErrLengthBeyondLimit)
+    """(?i)^(?:n?(?:var)?char)\s*\(\s*(\d+)\s*\)""".r
+      .findFirstMatchIn(typeText.trim)
+      .foreach(mm => e.declareCharLimit(table, colName, mm.group(1).toInt))
     vocab.foreach { case (isSet, vs) =>
       if (isSet) e.declareSet(table, colName, vs)
       else e.declareEnum(table, colName, vs)

@@ -262,6 +262,14 @@ object Engine {
   final case class ForeignKey(name: String, child: String,
       childCols: Seq[String], parent: String, parentCols: Seq[String],
       onDelete: String, onUpdate: String)
+
+  /** One diagnostics-area entry (reference sql/session.go Warning:
+    * Level/Code/Message, fed by Context.Warn at session.go:680). */
+  final case class Warning(level: String, code: Int, message: String)
+
+  /** MySQL keeps at most max_error_count (default 64) warning ROWS while
+    * warning_count still reports the true total. */
+  private val MaxStoredWarnings = 64
 }
 
 class Engine(val spark: SparkSession) {
@@ -294,6 +302,50 @@ class Engine(val spark: SparkSession) {
     if (rewritten eq plan) df
     else org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
   }
+
+  // ---- diagnostics area (reference sql/session.go:680 Context.Warn /
+  // Session.Warn). Every statement clears it at dispatch except the
+  // reads — SHOW WARNINGS/ERRORS and @@warning_count — so a client can
+  // inspect the previous statement's diagnostics (MySQL's documented
+  // lifecycle). The stored list caps at 64 rows (max_error_count
+  // default) while the count keeps the true total.
+  private val warningBuf =
+    scala.collection.mutable.ArrayBuffer.empty[Engine.Warning]
+  private var warningTotal = 0
+  private[graft] def clearDiagnostics(): Unit = {
+    warningBuf.clear(); warningTotal = 0
+  }
+  private[graft] def warn(code: Int, message: String): Unit =
+    addDiag("Warning", code, message)
+  private[graft] def warnError(code: Int, message: String): Unit =
+    addDiag("Error", code, message)
+  private def addDiag(level: String, code: Int, message: String): Unit = {
+    warningTotal += 1
+    if (warningBuf.size < Engine.MaxStoredWarnings)
+      warningBuf += Engine.Warning(level, code, message)
+  }
+  /** Bulk feed for distributed write paths: one aggregate count becomes
+    * n identical warnings (stored rows still cap at 64). */
+  private[graft] def warnN(n: Long, code: Int, message: String): Unit = {
+    warningTotal += n.toInt
+    var stored = 0L
+    while (stored < n && warningBuf.size < Engine.MaxStoredWarnings) {
+      warningBuf += Engine.Warning("Warning", code, message); stored += 1
+    }
+  }
+  /** Row-numbered bulk feed (LOAD DATA's per-row 1261/1262): stores the
+    * first rows' numbered messages up to the cap, counts all of them. */
+  private[graft] def warnRows(n: Long, code: Int,
+      msgForRow: Long => String): Unit = {
+    warningTotal += n.toInt
+    var i = 1L
+    while (i <= n && warningBuf.size < Engine.MaxStoredWarnings) {
+      warningBuf += Engine.Warning("Warning", code, msgForRow(i)); i += 1
+    }
+  }
+  private[graft] def warnings: Seq[Engine.Warning] = warningBuf.toList
+  private[graft] def warningCount: Int = warningTotal
+  private[graft] def errorCount: Int = warningBuf.count(_.level == "Error")
 
   /** Session user variables (@name — reference sql/types/system_*.go /
     * session state). Rendered as literals into the query text, outside
@@ -449,6 +501,8 @@ class Engine(val spark: SparkSession) {
         .replaceAllIn(code, m => java.util.regex.Matcher.quoteReplacement(
           m.group(1).toLowerCase match {
             case "sql_mode" => s"'$sqlModeStr'" // live session state
+            case "warning_count" => warningCount.toString // live diagnostics
+            case "error_count" => errorCount.toString
             case other => systemVars.getOrElse(other, "NULL")
           }))
     }
@@ -470,7 +524,23 @@ class Engine(val spark: SparkSession) {
     * MySQL DML/DDL text (INSERT/UPDATE/DELETE/CREATE/DROP/TRUNCATE/SET)
     * dispatches to the memory-backend operations the way the reference's
     * planbuilder routes non-SELECT statements (sql/planbuilder/dml.go). */
+  // SHOW WARNINGS/ERRORS and @@warning_count reads must see the PREVIOUS
+  // statement's diagnostics; everything else resets the area. Depth-
+  // guarded: statements run nested query() calls (INSERT..SELECT, UPDATE
+  // subsets) and those must not wipe warnings the outer statement emits.
+  private val DiagnosticsRead =
+    ("""(?is)^\s*(?:SHOW\s+(?:COUNT\(\*\)\s+)?(?:WARNINGS|ERRORS)\b""" +
+     """|SELECT\s+@@(?:session\.)?(?:warning_count|error_count)\b).*""").r
+  private var queryDepth = 0
+
   def query(sql: String): DataFrame = mysqlTrimSemantics {
+    if (queryDepth == 0 && !DiagnosticsRead.pattern.matcher(sql).matches())
+      clearDiagnostics()
+    queryDepth += 1
+    try queryInner(sql) finally queryDepth -= 1
+  }
+
+  private def queryInner(sql: String): DataFrame = {
     val rewritten0 =
       substituteVars(Dialect.rewrite(applyAnsiQuotes(sql), pipesAsConcat))
     // ENUM index / SET bitmask ordering (enum.go / set.go Compare):
@@ -608,14 +678,21 @@ class Engine(val spark: SparkSession) {
     * database, exactly like MySQL's temporary tables. */
   def attachDirAsDatabase(db: String, dir: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
-    // events.parquet carries INT64 TIMESTAMP(NANOS); the view re-exposes µs
+    // events.parquet has shipped ts as INT64 TIMESTAMP(NANOS) or plain
+    // timestamp[us]; the view re-exposes µs TimestampType either way
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.names.foreach { n =>
       val path = s"$dir/$n.parquet"
       val body =
-        if (n == "events")
-          s"SELECT * EXCEPT (ts), timestamp_micros(ts div 1000) AS ts FROM parquet.`$path`"
-        else s"SELECT * FROM parquet.`$path`"
+        if (n == "events") {
+          val isNanoLong =
+            spark.read.parquet(path).schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType
+          if (isNanoLong)
+            s"SELECT * EXCEPT (ts), timestamp_micros(ts div 1000) AS ts FROM parquet.`$path`"
+          else
+            s"SELECT * EXCEPT (ts), CAST(ts AS TIMESTAMP) AS ts FROM parquet.`$path`"
+        } else s"SELECT * FROM parquet.`$path`"
       spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$n` AS $body")
     }
   }
@@ -717,7 +794,7 @@ class Engine(val spark: SparkSession) {
     import org.apache.spark.sql.functions._
     rejectExplicitGenerated(table, incoming0)
     var coerced = coerceVocab(table, computeGenerated(table,
-      coerceAndFill(table, incoming0, fillMissing)))
+      coerceAndFill(table, incoming0, fillMissing, ignoreMode = ignoreDups)))
     val target = spark.table(table)
     if (ignoreDups) {
       // first-in-batch-wins sequence is pinned BEFORE the CHECK/FK skip
@@ -725,36 +802,60 @@ class Engine(val spark: SparkSession) {
       // assigned afterwards would make the surviving duplicate depend on
       // that reorder instead of MySQL's statement order
       coerced = coerced.withColumn("__seq__", monotonically_increasing_id())
-      coerced = relaxVocab(table, coerced)
+      // value coercions (ENUM->''/SET drop/NOT NULL zero/char truncate/
+      // conversion-failure zero) — flags counted in one aggregate and
+      // fed to the diagnostics area
+      val (coerced1, flagWarns) = ignoreWriteCoercions(table, coerced)
+      coerced = emitFlagWarnings(coerced1, flagWarns)
+      var prevCount = -1L // lazily counted only when a skip stage exists
+      def countNow(): Long = { if (prevCount < 0) prevCount = coerced.count(); prevCount }
       // skip CHECK-violating rows (NULL result passes, 3VL)
-      checkConstraints.toSeq.collect { case (t, _, ex) if t == table => ex }
-        .foreach { ex =>
+      val checks =
+        checkConstraints.toSeq.collect { case (t, _, ex) if t == table => ex }
+      if (checks.nonEmpty) {
+        val before = countNow()
+        checks.foreach { ex =>
           coerced = coerced.filter(
             coalesce(expr(ex).cast("boolean"), lit(true)))
         }
+        val after = coerced.count()
+        if (before > after)
+          warnN(before - after, 1105, "check constraint violated (row skipped)")
+        prevCount = after
+      }
       // skip FK-violating rows
-      foreignKeys.toSeq.filter(_.child == table).foreach { fk =>
-        val keys = spark.table(fk.parent)
-          .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
-          .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
-        val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
-          col(s"`$cc`") === col(s"`__fk_$pc`")
-        }.reduce(_ && _)
-        val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
-          .reduce(_ && _)
-        coerced = coerced.filter(!nonNull).unionByName(
-          coerced.filter(nonNull).join(keys, cond, "left_semi"))
+      val fks = foreignKeys.toSeq.filter(_.child == table)
+      if (fks.nonEmpty) {
+        val before = countNow()
+        fks.foreach { fk =>
+          val keys = spark.table(fk.parent)
+            .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
+            .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
+          val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
+            col(s"`$cc`") === col(s"`__fk_$pc`")
+          }.reduce(_ && _)
+          val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
+            .reduce(_ && _)
+          coerced = coerced.filter(!nonNull).unionByName(
+            coerced.filter(nonNull).join(keys, cond, "left_semi"))
+        }
+        val after = coerced.count()
+        if (before > after)
+          warnN(before - after, 1452,
+            "Cannot add or update a child row: a foreign key constraint fails")
+        prevCount = after
       }
       // duplicate keys (PRIMARY + UNIQUE): first row in the batch wins,
       // existing rows win; NULL-keyed rows are exempt under UNIQUE
       val declaredKeys =
-        tableKeys.get(table).map(k => (k, false)).toSeq ++
-          uniqueKeys.toSeq.collect { case (t, _, cols) if t == table =>
-            (cols, true)
+        tableKeys.get(table).map(k => ("PRIMARY", k, false)).toSeq ++
+          uniqueKeys.toSeq.collect { case (t, n, cols) if t == table =>
+            (n, cols, true)
           }
-      declaredKeys.foreach { case (keys, nullExempt) =>
+      declaredKeys.foreach { case (keyName, keys, nullExempt) =>
         if (keys.forall(k => coerced.columns.exists(_.equalsIgnoreCase(k)))) {
           import org.apache.spark.sql.expressions.Window
+          val before = countNow()
           val kcols = keys.map(k => col(s"`$k`"))
           val nonNull = kcols.map(_.isNotNull).reduce(_ && _)
           val gate = if (nullExempt) nonNull else lit(true)
@@ -775,11 +876,17 @@ class Engine(val spark: SparkSession) {
             .reduce(_ && _)
           coerced = coerced.filter(!gate).unionByName(
             coerced.filter(gate).join(existing, cond, "left_anti"))
+          val after = coerced.count()
+          if (before > after)
+            warnN(before - after, 1062,
+              s"Duplicate entry for key '$table.$keyName'")
+          prevCount = after
         }
       }
       coerced = coerced.drop("__seq__")
     } else {
       validateVocab(table, coerced)
+      validateCharLimits(table, coerced)
       validateChecks(table, coerced)
       validateForeignKeysChild(table, coerced)
       enforcePkUnique(table, coerced, target)
@@ -917,17 +1024,26 @@ class Engine(val spark: SparkSession) {
     val skipped = scala.collection.mutable.Set.empty[Long]
     visit.foreach { rid =>
       val o = olds(rid); val n = news(rid)
-      val conflict = declared.zip(current).exists {
-        case ((_, keys, nullExempt), m) =>
-          val nt = tuple(n, keys); val ot = tuple(o, keys)
-          if (nt == ot) false
-          else if (nullExempt && nt.contains(null)) false
-          else m(nt) > 0
+      val conflictKey = declared.zip(current).collectFirst {
+        case ((kname, keys, nullExempt), m)
+            if {
+              val nt = tuple(n, keys); val ot = tuple(o, keys)
+              nt != ot && !(nullExempt && nt.contains(null)) && m(nt) > 0
+            } => (kname, tuple(n, keys))
       }
-      if (conflict) skipped += rid
-      else declared.zip(current).foreach { case ((_, keys, _), m) =>
-        val nt = tuple(n, keys); val ot = tuple(o, keys)
-        if (nt != ot) { m(ot) -= 1; m(nt) += 1 }
+      conflictKey match {
+        case Some((kname, nt)) =>
+          skipped += rid
+          // diagnostics-area feed (reference rowexec/update.go ignore
+          // path converts the duplicate-key error into a warning)
+          warn(1062, s"Duplicate entry " +
+            s"'${nt.map(String.valueOf).mkString("-")}' for key " +
+            s"'$table.$kname'")
+        case None =>
+          declared.zip(current).foreach { case ((_, keys, _), m) =>
+            val nt = tuple(n, keys); val ot = tuple(o, keys)
+            if (nt != ot) { m(ot) -= 1; m(nt) += 1 }
+          }
       }
     }
     if (skipped.isEmpty) (newDf, 0L)
@@ -990,7 +1106,8 @@ class Engine(val spark: SparkSession) {
     * Routing REPLACE/upsert through anything weaker lets a mistyped
     * literal widen the stored schema via union coercion. */
   private[graft] def coerceAndFill(table: String, incoming0: DataFrame,
-                                   fillMissing: Boolean): DataFrame = {
+                                   fillMissing: Boolean,
+                                   ignoreMode: Boolean = false): DataFrame = {
     // unmentioned columns take their declared DEFAULT (remaining gaps
     // null-fill via unionByName)
     val target = spark.table(table)
@@ -1023,13 +1140,27 @@ class Engine(val spark: SparkSession) {
       }
     // MySQL coerces incoming values to the column type on write
     // (reference sql/types Convert on insert); cast matching columns to
-    // the target schema so VALUES ('400') lands in an INT column
+    // the target schema so VALUES ('400') lands in an INT column.
+    // ignoreMode: a failed conversion (non-NULL in, NULL out) stores the
+    // type's zero value instead and plants a `__cvt_*__` flag that
+    // ignoreWriteCoercions turns into a 1366 warning
+    // (insert_queries.go "INSERT IGNORE properly addresses data
+    // conversion": VALUES (1, 'dasd') into INT -> (1, 0) + warning).
     val targetTypes = target.schema.fields
       .map(f => f.name.toLowerCase -> (f.name, f.dataType)).toMap
     incoming.columns.foldLeft(incoming) { (df, c) =>
       targetTypes.get(c.toLowerCase) match {
         case Some((_, dt)) if df.schema(c).dataType != dt =>
-          df.withColumn(c, df(c).cast(dt))
+          val casted = df(c).cast(dt)
+          zeroValueLit(dt) match {
+            case Some(z) if ignoreMode =>
+              import org.apache.spark.sql.functions.when
+              df.withColumn(s"__cvt_${c}__", df(c).isNotNull && casted.isNull)
+                .withColumn(c,
+                  when(org.apache.spark.sql.functions.col(s"`__cvt_${c}__`"),
+                    z).otherwise(casted))
+            case _ => df.withColumn(c, casted)
+          }
         case _ => df
       }
     }
@@ -1461,6 +1592,7 @@ class Engine(val spark: SparkSession) {
     autoIncCols.remove(table)
     columnDefaults.filterInPlace { case ((t, _), _) => t != table }
     columnVocab.filterInPlace { case ((t, _), _) => t != table }
+    charLimits.filterInPlace { case ((t, _), _) => t != table }
   }
 
   // ---- ENUM / SET write validation --------------------------------------
@@ -1473,6 +1605,160 @@ class Engine(val spark: SparkSession) {
 
   private val columnVocab =
     scala.collection.mutable.Map.empty[(String, String), (Boolean, Seq[String])]
+
+  // ---- CHAR/VARCHAR declared lengths ------------------------------------
+  // Parquet strings are unbounded, so declared lengths live on the engine
+  // like the vocabularies. Writes enforce them the reference's way
+  // (sql/types/strings.go:465 ErrLengthBeyondLimit): plain INSERT errors,
+  // IGNORE truncates to the limit with a warning.
+  private val charLimits =
+    scala.collection.mutable.Map.empty[(String, String), Int]
+
+  def declareCharLimit(table: String, column: String, n: Int): Unit =
+    charLimits((table, column.toLowerCase)) = n
+
+  /** Plain-INSERT length enforcement: any value longer than the declared
+    * CHAR/VARCHAR limit is the reference's ErrLengthBeyondLimit
+    * (strings.go:465; MySQL strict 1406 Data too long). */
+  private[graft] def validateCharLimits(table: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    charLimits.foreach {
+      case ((t, cLower), n) if t == table && present.contains(cLower) =>
+        val c = col(s"`${present(cLower)}`")
+        val bad = df.filter(c.isNotNull && length(c.cast("string")) > n)
+          .select(c.cast("string")).limit(1).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"string '${bad(0).getString(0)}' is too large for column " +
+            s"'${present(cLower)}' (MySQL error 1406)")
+      case _ =>
+    }
+  }
+
+  /** The MySQL zero value a column falls back to under IGNORE when a
+    * conversion fails or NULL lands in a NOT NULL column
+    * (sql/rowexec/update.go:98 convertDataAndWarn -> Type.Zero()).
+    * DATE/TIME types have no Spark-representable zero date, so they keep
+    * NULL (documented divergence — analytics reads treat both as
+    * missing). */
+  private[graft] def zeroValueLit(dt: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => Some(lit(0).cast(dt))
+      case d: DecimalType => Some(lit(0).cast(d))
+      case StringType => Some(lit(""))
+      case BooleanType => Some(lit(false))
+      case BinaryType => Some(lit(Array.emptyByteArray))
+      case _ => None
+    }
+  }
+
+  /** IGNORE-mode write coercions (reference sql/rowexec/insert.go /
+    * update.go ignore paths): instead of erroring, the row stores a
+    * coerced value and the statement accumulates a warning —
+    *   - ENUM value outside the vocabulary -> '' (1265 Data truncated)
+    *   - SET elements outside the vocabulary -> dropped (1265)
+    *   - NULL into a NOT NULL / primary-key column -> type zero (1048)
+    *   - CHAR/VARCHAR over the declared limit -> truncated (1105, the
+    *     reference surfaces ErrLengthBeyondLimit as ERUnknownError)
+    * plus pickup of `__cvt_*__` conversion-failure flags planted by the
+    * cast step (1366 ERTruncatedWrongValueForField). Each coercion adds
+    * a boolean flag column; `emitFlagWarnings` turns the flags into
+    * counted warnings in ONE aggregate pass. `gateCol`: restrict
+    * coercion and counting to rows the statement actually touches
+    * (UPDATE ... WHERE). */
+  private[graft] def ignoreWriteCoercions(table: String, df0: DataFrame,
+      gateCol: Option[String] = None)
+      : (DataFrame, Seq[(String, Int, String)]) = {
+    import org.apache.spark.sql.functions._
+    val gate = gateCol.map(g => col(s"`$g`")).getOrElse(lit(true))
+    var df = df0
+    val warns = Seq.newBuilder[(String, Int, String)]
+    // conversion-failure flags already planted by the cast step
+    df0.columns.filter(c => c.startsWith("__cvt_") && c.endsWith("__"))
+      .foreach { f =>
+        val c = f.stripPrefix("__cvt_").stripSuffix("__")
+        warns += ((f, 1366,
+          s"Incorrect value for column '$c': stored the type zero value"))
+      }
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    // ENUM truncate-to-'' / SET element drop, flagged
+    columnVocab.toSeq.foreach {
+      case ((t, cLower), (isSet, vocab)) if t == table &&
+          present.contains(cLower) =>
+        val name = present(cLower)
+        val c = col(s"`$name`")
+        val flag = s"__vt_${name}__"
+        if (isSet) {
+          val badElems = size(filter(split(c, ","),
+            e => e =!= lit("") && !e.isInCollection(vocab))) > 0
+          df = df.withColumn(flag, gate && c.isNotNull && badElems)
+            .withColumn(name, when(col(s"`$flag`"), array_join(
+              filter(split(c, ","), e => e.isInCollection(vocab)), ","))
+              .otherwise(c))
+        } else {
+          df = df.withColumn(flag,
+              gate && c.isNotNull && !c.isInCollection(vocab))
+            .withColumn(name,
+              when(col(s"`$flag`"), lit("")).otherwise(c))
+        }
+        warns += ((flag, 1265, s"Data truncated for column '$name'"))
+      case _ =>
+    }
+    // NULL into NOT NULL: declared NOT NULL plus implicit PK NOT NULL
+    val target = spark.table(table)
+    val pkCols = tableKeys.getOrElse(table, Seq.empty)
+      .map(_.toLowerCase).toSet
+    target.schema.fields
+      .filter(f => !f.nullable || pkCols.contains(f.name.toLowerCase))
+      .foreach { f =>
+        present.get(f.name.toLowerCase).foreach { name =>
+          zeroValueLit(f.dataType).foreach { z =>
+            val c = col(s"`$name`")
+            val flag = s"__nn_${name}__"
+            df = df.withColumn(flag, gate && c.isNull)
+              .withColumn(name, when(col(s"`$flag`"), z).otherwise(c))
+            warns += ((flag, 1048, s"Column '$name' cannot be null"))
+          }
+        }
+      }
+    // CHAR/VARCHAR over-length truncation
+    charLimits.toSeq.foreach {
+      case ((t, cLower), n) if t == table && present.contains(cLower) =>
+        val name = present(cLower)
+        val c = col(s"`$name`")
+        val flag = s"__cl_${name}__"
+        df = df.withColumn(flag,
+            gate && c.isNotNull && length(c.cast("string")) > n)
+          .withColumn(name,
+            when(col(s"`$flag`"), substring(c.cast("string"), 1, n))
+              .otherwise(c))
+        warns += ((flag, 1105, s"string is too large for column '$name'"))
+      case _ =>
+    }
+    (df, warns.result())
+  }
+
+  /** Count every flag column in one aggregate, emit the warnings, drop
+    * the flags. One Spark job regardless of how many coercions fired. */
+  private[graft] def emitFlagWarnings(df: DataFrame,
+      warns: Seq[(String, Int, String)]): DataFrame = {
+    if (warns.isEmpty) return df
+    import org.apache.spark.sql.functions._
+    val aggs = warns.map { case (f, _, _) =>
+      sum(col(s"`$f`").cast("long")).as(f)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    warns.zipWithIndex.foreach { case ((_, code, msg), i) =>
+      val n = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (n > 0) warnN(n, code, msg)
+    }
+    df.drop(warns.map(_._1): _*)
+  }
 
   /** Declare `table.column` as ENUM(values...): writes reject any value
     * outside the vocabulary (MySQL error 1265, Data truncated). Trailing
@@ -1642,6 +1928,16 @@ class Engine(val spark: SparkSession) {
           else org.apache.spark.sql.functions.lit(null)
             .cast(f.dataType).as(f.name)
         }
+        // column-count mismatch warnings (MySQL 1261 short rows /
+        // 1262 truncated extras; reference sql/rowexec/load_data.go) —
+        // every row of a uniform delimited file triggers one
+        if (srcCols.length < t.schema.fields.length)
+          warnRows(df.count(), 1261,
+            i => s"Row $i doesn't contain data for all columns")
+        else if (srcCols.length > t.schema.fields.length)
+          warnRows(df.count(), 1262,
+            i => s"Row $i was truncated; it contained more data than " +
+              "there were input columns")
         df.select(cols.toSeq: _*)
       case _ => df
     }

@@ -1,0 +1,206 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Diagnostics-area corpus, ported from the reference's enginetest
+  * warning assertions (ExpectedWarning / ExpectedWarningsCount):
+  * insert_queries.go "Try INSERT IGNORE with primary key, non null, and
+  * single row violations" / "Test that INSERT IGNORE properly addresses
+  * data conversion", update_queries.go UpdateIgnoreScripts, and the
+  * SHOW WARNINGS lifecycle from queries.go:5181. The session feed is
+  * reference sql/session.go:680 (Context.Warn).
+  */
+class WarningsSpec extends AnyFunSuite {
+  import SparkSpec.spark
+
+  private lazy val engine = new Engine(spark)
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    engine.query(sql).collect().toSeq.map(_.toSeq)
+
+  /** (code, level) pairs currently in the diagnostics area. */
+  private def warnRows(): Seq[(Int, String)] =
+    engine.query("SHOW WARNINGS").collect().toSeq
+      .map(r => (r.getInt(1), r.getString(0)))
+
+  private def warningCount(): Int =
+    engine.query("SHOW COUNT(*) WARNINGS").collect()(0).getInt(0)
+
+  test("SHOW WARNINGS lifecycle: empty by default, LIMIT 0, cleared by " +
+      "the next statement, preserved across SHOW WARNINGS reads " +
+      "(queries.go:5181)") {
+    engine.query("create table wlife (pk int primary key)")
+    engine.query("insert into wlife values (1)")
+    assert(rows("SHOW WARNINGS") == Seq.empty)
+    assert(rows("SHOW WARNINGS LIMIT 0") == Seq.empty)
+    assert(warningCount() == 0)
+    // IGNORE dup produces one 1062 warning...
+    engine.query("insert ignore into wlife values (1)")
+    assert(warnRows() == Seq((1062, "Warning")))
+    // ...which survives repeated SHOW WARNINGS / count reads...
+    assert(warnRows() == Seq((1062, "Warning")))
+    assert(warningCount() == 1)
+    assert(rows("SELECT @@warning_count") == Seq(Seq(1)))
+    // ...honors LIMIT...
+    assert(rows("SHOW WARNINGS LIMIT 1").size == 1)
+    // ...and is cleared by the next ordinary statement
+    engine.query("select * from wlife")
+    assert(warnRows() == Seq.empty)
+    assert(warningCount() == 0)
+    engine.query("drop table wlife")
+  }
+
+  test("INSERT IGNORE: duplicate-key skip warns 1062; NULL into NOT " +
+      "NULL stores the zero value and warns 1048 (insert_queries.go " +
+      "'Try INSERT IGNORE with primary key, non null, and single row " +
+      "violations')") {
+    engine.runScript(
+      """CREATE TABLE y (pk int primary key, c1 int NOT NULL);
+        |INSERT IGNORE INTO y VALUES (1, 1), (1,2), (2, 2), (3, 3);
+        |""".stripMargin)
+    assert(rows("SELECT * FROM y order by pk") ==
+      Seq(Seq(1, 1), Seq(2, 2), Seq(3, 3)))
+    assert(rows("INSERT IGNORE INTO y VALUES (1, 2), (4,4)") == Seq(Seq(1L)))
+    assert(warnRows() == Seq((1062, "Warning")))
+    assert(rows("INSERT IGNORE INTO y VALUES (5, NULL)") == Seq(Seq(1L)))
+    assert(warnRows() == Seq((1048, "Warning")))
+    assert(rows("SELECT * FROM y where pk = 5") == Seq(Seq(5, 0)))
+    assert(rows("INSERT IGNORE INTO y VALUES (3, 8)") == Seq(Seq(0L)))
+    assert(warnRows() == Seq((1062, "Warning")))
+    engine.query("drop table y")
+  }
+
+  test("INSERT IGNORE data conversion: failed cast stores the type zero " +
+      "value (1366); over-length VARCHAR truncates (1105) " +
+      "(insert_queries.go 'Test that INSERT IGNORE properly addresses " +
+      "data conversion')") {
+    engine.runScript(
+      """CREATE TABLE ict1 (pk int primary key, v1 int);
+        |CREATE TABLE ict2 (pk int primary key, v2 varchar(1));
+        |""".stripMargin)
+    assert(rows("INSERT IGNORE INTO ict1 VALUES (1, 'dasd')") == Seq(Seq(1L)))
+    assert(warnRows() == Seq((1366, "Warning")))
+    assert(rows("SELECT * FROM ict1") == Seq(Seq(1, 0)))
+    assert(rows("INSERT IGNORE INTO ict2 values (1, 'adsda')") == Seq(Seq(1L)))
+    assert(warnRows() == Seq((1105, "Warning")))
+    assert(rows("SELECT * FROM ict2") == Seq(Seq(1, "a")))
+    // plain INSERT errors on over-length instead (strings.go:465)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO ict2 values (2, 'toolong')")
+    }.getMessage.contains("too large"))
+    engine.runScript("drop table ict1; drop table ict2;")
+  }
+
+  test("INSERT IGNORE vocabulary: bad ENUM value truncates to '' with a " +
+      "1265 warning; unique-key skip warns once per skipped row " +
+      "(insert_queries.go issue-8611 shape + unique-key block)") {
+    engine.runScript(
+      """CREATE TABLE xw (pk int primary key, v enum('a','b'));
+        |CREATE TABLE one_uniqw (pk int PRIMARY KEY, col1 int UNIQUE);
+        |INSERT INTO one_uniqw values (1, 1);
+        |""".stripMargin)
+    assert(rows("INSERT IGNORE INTO xw VALUES (1, 'c')") == Seq(Seq(1L)))
+    assert(warnRows() == Seq((1265, "Warning")))
+    assert(rows("SELECT * FROM xw") == Seq(Seq(1, "")))
+    assert(rows(
+      "INSERT IGNORE INTO one_uniqw VALUES (3, 2), (2, 1), (4, null), (5, null)")
+      == Seq(Seq(3L)))
+    assert(warnRows() == Seq((1062, "Warning")))
+    assert(rows("SELECT * from one_uniqw order by pk") ==
+      Seq(Seq(1, 1), Seq(3, 2), Seq(4, null), Seq(5, null)))
+    engine.runScript("drop table xw; drop table one_uniqw;")
+  }
+
+  test("UPDATE IGNORE: key collisions warn 1062 per skipped row; NULL " +
+      "into a key column zero-fills with 1048 per row " +
+      "(update_queries.go UpdateIgnoreScripts)") {
+    engine.runScript(
+      """CREATE TABLE pkw (pk int, val int, primary key(pk, val));
+        |CREATE TABLE idxw (pk int primary key, val int UNIQUE);
+        |INSERT INTO pkw VALUES (1, 1), (2, 2), (3, 3);
+        |INSERT INTO idxw VALUES (1, 1), (2, 2), (3, 3);
+        |""".stripMargin)
+    assert(rows("UPDATE IGNORE pkw set pk = pk + 1, val = val + 1") ==
+      Seq(Seq(3L)))
+    assert(warnRows() == Seq((1062, "Warning"), (1062, "Warning")))
+    assert(rows("SELECT * FROM pkw order by pk") ==
+      Seq(Seq(1, 1), Seq(2, 2), Seq(4, 4)))
+    assert(rows("UPDATE IGNORE idxw set val = val + 1") == Seq(Seq(3L)))
+    assert(warnRows() == Seq((1062, "Warning"), (1062, "Warning")))
+    assert(rows("SELECT * FROM idxw order by pk") ==
+      Seq(Seq(1, 1), Seq(2, 2), Seq(3, 4)))
+    // NULL into the composite-PK column: zero value + 1048 per row
+    engine.query("UPDATE IGNORE pkw set val = val + 1 where pk = 2")
+    assert(rows("SELECT * FROM pkw order by pk") ==
+      Seq(Seq(1, 1), Seq(2, 3), Seq(4, 4)))
+    assert(rows("UPDATE IGNORE pkw SET pk = NULL") == Seq(Seq(3L)))
+    assert(warnRows().forall(_ == ((1048, "Warning"))))
+    assert(warningCount() == 3)
+    assert(rows("SELECT * FROM pkw order by pk, val") ==
+      Seq(Seq(0, 1), Seq(0, 3), Seq(0, 4)))
+    engine.runScript("drop table pkw; drop table idxw;")
+  }
+
+  test("UPDATE IGNORE type conversion: failed cast stores the zero " +
+      "value and warns 1366, not a row skip (update_queries.go 'UPDATE " +
+      "IGNORE with type conversions')") {
+    engine.runScript(
+      """CREATE TABLE uct1 (pk int primary key, v1 int, v2 int);
+        |INSERT INTO uct1 VALUES (1, 1, 1);
+        |""".stripMargin)
+    assert(rows("UPDATE IGNORE uct1 SET v1 = 'dsddads'") == Seq(Seq(1L)))
+    assert(warnRows() == Seq((1366, "Warning")))
+    assert(rows("SELECT * FROM uct1") == Seq(Seq(1, 0, 1)))
+    assert(rows("UPDATE IGNORE uct1 SET pk = 'dasda', v2 = 'dsddads'") ==
+      Seq(Seq(1L)))
+    assert(warnRows() == Seq((1366, "Warning"), (1366, "Warning")))
+    assert(rows("SELECT * FROM uct1") == Seq(Seq(0, 0, 0)))
+    engine.query("drop table uct1")
+  }
+
+  test("UPDATE IGNORE FK / CHECK violations keep the old row and warn " +
+      "1452 / 1105 (update_queries.go 'UPDATE IGNORE with foreign " +
+      "keys' / 'with check constraints')") {
+    engine.runScript(
+      """CREATE TABLE colorsw (id INT NOT NULL, color VARCHAR(32) NOT NULL, PRIMARY KEY (id), INDEX color_index(color));
+        |CREATE TABLE objectsw (id INT NOT NULL, name VARCHAR(64) NOT NULL, color VARCHAR(32), PRIMARY KEY(id), FOREIGN KEY (color) REFERENCES colorsw(color));
+        |INSERT INTO colorsw (id,color) VALUES (1,'red'),(2,'green'),(3,'blue'),(4,'purple');
+        |INSERT INTO objectsw (id,name,color) VALUES (1,'truck','red'),(2,'ball','green'),(3,'shoe','blue');
+        |""".stripMargin)
+    assert(rows("UPDATE IGNORE objectsw SET color = 'orange' where id = 2") ==
+      Seq(Seq(1L)))
+    assert(warnRows() == Seq((1452, "Warning")))
+    assert(rows("SELECT * FROM objectsw ORDER BY id") ==
+      Seq(Seq(1, "truck", "red"), Seq(2, "ball", "green"),
+        Seq(3, "shoe", "blue")))
+    engine.runScript("drop table objectsw; drop table colorsw;")
+
+    engine.runScript(
+      """CREATE TABLE checksw (pk int primary key);
+        |ALTER TABLE checksw ADD CONSTRAINT mycx CHECK (pk < 5);
+        |INSERT INTO checksw VALUES (1),(2),(3),(4);
+        |""".stripMargin)
+    assert(rows("UPDATE IGNORE checksw SET pk = pk + 1 where pk = 4") ==
+      Seq(Seq(1L)))
+    assert(warnRows() == Seq((1105, "Warning")))
+    assert(rows("SELECT * from checksw ORDER BY pk") ==
+      Seq(Seq(1), Seq(2), Seq(3), Seq(4)))
+    engine.query("drop table checksw")
+  }
+
+  test("LOAD DATA column-count mismatch warns 1261 per short row " +
+      "(load_data.go; r6 ADVICE fixture shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ld").toFile
+    val f = new java.io.File(dir, "rows.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("1"); w.println("2"); w.close()
+    engine.query("CREATE TABLE ldw (a int, b int)")
+    engine.query(s"LOAD DATA INFILE '${f.getAbsolutePath}' INTO TABLE ldw " +
+      "FIELDS TERMINATED BY ','")
+    assert(warnRows() == Seq((1261, "Warning"), (1261, "Warning")))
+    assert(warnRows().size == 2)
+    assert(rows("SELECT * FROM ldw ORDER BY a") ==
+      Seq(Seq(1, null), Seq(2, null)))
+    engine.query("drop table ldw")
+  }
+}
