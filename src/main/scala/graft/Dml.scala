@@ -892,12 +892,15 @@ object Dml {
   private def mysqlDataType(t: String)
       : (org.apache.spark.sql.types.DataType, Option[(Boolean, Seq[String])]) = {
     import org.apache.spark.sql.types._
-    val lower = t.trim.toLowerCase
+    val trimmed = t.trim
+    val lower = trimmed.toLowerCase
     val base = lower.takeWhile(c => c.isLetter || c == '_')
+    // args keep their ORIGINAL case: ENUM('a','B') members are
+    // case-significant catalog data (enum.go keeps declared spelling)
     val args = {
       val o = lower.indexOf('(')
       if (o < 0) Seq.empty[String]
-      else splitTop(lower.substring(o + 1, lower.lastIndexOf(')')))
+      else splitTop(trimmed.substring(o + 1, trimmed.lastIndexOf(')')))
     }
     val unsigned = lower.contains("unsigned")
     base match {
@@ -1045,8 +1048,19 @@ object Dml {
       .findFirstMatchIn(typeText.trim)
       .foreach(mm => e.declareCharLimit(table, colName, mm.group(1).toInt))
     vocab.foreach { case (isSet, vs) =>
-      if (isSet) e.declareSet(table, colName, vs)
-      else e.declareEnum(table, colName, vs)
+      // *_ci collations hash member lookup case-insensitively
+      // (reference sql/types/enum.go:86 collation.HashToUint). The
+      // dialect layer may have already mapped the MySQL name to a Spark
+      // collation (utf8mb4_0900_ai_ci -> UNICODE_CI_AI), so both
+      // spellings are recognized.
+      val ci = """(?i)\bCOLLATE\s+[`']?([A-Za-z0-9_]+)""".r
+        .findFirstMatchIn(rest)
+        .exists { m =>
+          val n = m.group(1).toLowerCase
+          n.endsWith("_ci") || n.contains("_ci_") || n == "utf8_lcase"
+        }
+      if (isSet) e.declareSet(table, colName, vs, ci)
+      else e.declareEnum(table, colName, vs, ci)
     }
     if (up.contains("PRIMARY KEY")) e.declareKey(table, Seq(colName))
     else if (up.contains("UNIQUE")) {

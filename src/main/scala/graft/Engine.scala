@@ -1077,28 +1077,6 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** MySQL IGNORE vocabulary handling: invalid ENUM values truncate to
-    * '' (warning in MySQL), invalid SET elements drop
-    * (insert_queries.go:2930 issue 8611 shape). */
-  private[graft] def relaxVocab(table: String, df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val present = df.columns.map(c => c.toLowerCase -> c).toMap
-    columnVocab.toSeq.foldLeft(df) {
-      case (d, ((t, cLower), (isSet, vocab))) =>
-        if (t != table || !present.contains(cLower)) d
-        else {
-          val c = col(s"`${present(cLower)}`")
-          if (isSet)
-            d.withColumn(present(cLower),
-              when(c.isNull, c).otherwise(array_join(
-                filter(split(c, ","), el => el.isInCollection(vocab)), ",")))
-          else
-            d.withColumn(present(cLower),
-              when(c.isNull || c.isInCollection(vocab), c).otherwise(lit("")))
-        }
-    }
-  }
-
   /** The shared write-time preparation every insert-shaped statement
     * (INSERT / REPLACE / ON DUPLICATE KEY UPDATE) must take: declared
     * DEFAULT fill, AUTO_INCREMENT fill, and coercion of incoming values
@@ -1592,6 +1570,7 @@ class Engine(val spark: SparkSession) {
     autoIncCols.remove(table)
     columnDefaults.filterInPlace { case ((t, _), _) => t != table }
     columnVocab.filterInPlace { case ((t, _), _) => t != table }
+    vocabCi.filterInPlace { case (t, _) => t != table }
     charLimits.filterInPlace { case ((t, _), _) => t != table }
   }
 
@@ -1690,19 +1669,22 @@ class Engine(val spark: SparkSession) {
     columnVocab.toSeq.foreach {
       case ((t, cLower), (isSet, vocab)) if t == table &&
           present.contains(cLower) =>
+        val ci = vocabCi((t, cLower))
         val name = present(cLower)
+        val dtv = df.schema(name).dataType
         val c = col(s"`$name`")
+        val cp = c.cast(org.apache.spark.sql.types.StringType)
         val flag = s"__vt_${name}__"
         if (isSet) {
-          val badElems = size(filter(split(c, ","),
-            e => e =!= lit("") && !e.isInCollection(vocab))) > 0
+          val badElems = size(filter(split(cp, ","),
+            e => e =!= lit("") && !vocabMember(e, vocab, ci))) > 0
           df = df.withColumn(flag, gate && c.isNotNull && badElems)
             .withColumn(name, when(col(s"`$flag`"), array_join(
-              filter(split(c, ","), e => e.isInCollection(vocab)), ","))
-              .otherwise(c))
+              filter(split(cp, ","), e => vocabMember(e, vocab, ci)), ","))
+              .otherwise(c).cast(dtv))
         } else {
           df = df.withColumn(flag,
-              gate && c.isNotNull && !c.isInCollection(vocab))
+              gate && c.isNotNull && !vocabMember(c, vocab, ci))
             .withColumn(name,
               when(col(s"`$flag`"), lit("")).otherwise(c))
         }
@@ -1760,21 +1742,61 @@ class Engine(val spark: SparkSession) {
     df.drop(warns.map(_._1): _*)
   }
 
+  // columns whose declared collation is case-insensitive (*_ci): member
+  // lookup hashes through the collation in the reference
+  // (sql/types/enum.go:86 collation.HashToUint), so 'ABC' matches member
+  // 'abc' and stores the DECLARED spelling. The reference's default
+  // collation is utf8mb4_0900_bin, so sensitivity stays the default here.
+  private val vocabCi = scala.collection.mutable.Set.empty[(String, String)]
+
   /** Declare `table.column` as ENUM(values...): writes reject any value
     * outside the vocabulary (MySQL error 1265, Data truncated). Trailing
     * spaces are deleted from member values at declaration time
     * (enum.go:83 — MySQL strips them unless the binary collation is in
-    * use, which parquet-backed string columns never are). */
-  def declareEnum(table: String, column: String, values: Seq[String]): Unit =
+    * use, which parquet-backed string columns never are). `ci`: the
+    * column collation is case-insensitive, so member matching is too. */
+  def declareEnum(table: String, column: String, values: Seq[String],
+                  ci: Boolean = false): Unit = {
     columnVocab((table, column.toLowerCase)) =
       (false, values.map(_.replaceAll(" +$", "")))
+    if (ci) vocabCi += ((table, column.toLowerCase))
+    else vocabCi -= ((table, column.toLowerCase))
+  }
 
   /** Declare `table.column` as SET(values...): writes reject any
     * comma-separated element outside the vocabulary. '' is the empty set.
     * Trailing spaces are deleted from member values (set.go:79). */
-  def declareSet(table: String, column: String, values: Seq[String]): Unit =
+  def declareSet(table: String, column: String, values: Seq[String],
+                 ci: Boolean = false): Unit = {
     columnVocab((table, column.toLowerCase)) =
       (true, values.map(_.replaceAll(" +$", "")))
+    if (ci) vocabCi += ((table, column.toLowerCase))
+    else vocabCi -= ((table, column.toLowerCase))
+  }
+
+  /** Collation-aware membership test for one scalar value column.
+    * Comparisons run over PLAIN strings (a declared COLLATE becomes a
+    * Spark collated string type whose equality would impose its own
+    * case rules; the vocab layer owns the semantics here). */
+  private def vocabMember(c: org.apache.spark.sql.Column, vocab: Seq[String],
+      ci: Boolean): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val cp = c.cast(org.apache.spark.sql.types.StringType)
+    if (ci) lower(cp).isInCollection(vocab.map(_.toLowerCase).distinct)
+    else cp.isInCollection(vocab)
+  }
+
+  /** Map a case-variant member to its DECLARED spelling (ci columns);
+    * non-members pass through unchanged. */
+  private def vocabCanonical(c: org.apache.spark.sql.Column,
+      vocab: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val cp = c.cast(org.apache.spark.sql.types.StringType)
+    val declared = array(vocab.map(lit): _*)
+    val lowered = array(vocab.map(v => lit(v.toLowerCase)): _*)
+    val pos = array_position(lowered, lower(cp))
+    when(pos > 0, element_at(declared, pos.cast("int"))).otherwise(cp)
+  }
 
   /** Resolve a bare column name to its declared ENUM/SET vocabulary for
     * the ordinal rewrite. Conservative: the declaring table must appear
@@ -1811,13 +1833,30 @@ class Engine(val spark: SparkSession) {
     columnVocab.toSeq.foldLeft(df) {
       case (d, ((t, cLower), (isSet, vocab)))
           if t == table && !isSet && present.contains(cLower) =>
-        val c = col(s"`${present(cLower)}`")
-        val idx = c.cast("int")
-        d.withColumn(present(cLower),
-          when(c.isNull || c.isInCollection(vocab), c)
-            .when(c.rlike("^[0-9]+$") && idx >= 1 && idx <= vocab.size,
+        val ci = vocabCi((t, cLower))
+        val name = present(cLower)
+        val dt = d.schema(name).dataType
+        val c = col(s"`$name`")
+        val cp = c.cast(org.apache.spark.sql.types.StringType)
+        val idx = cp.cast("int")
+        d.withColumn(name,
+          when(c.isNull || cp.isInCollection(vocab), c)
+            .when(cp.rlike("^[0-9]+$") && idx >= 1 && idx <= vocab.size,
               element_at(array(vocab.map(lit): _*), idx))
-            .otherwise(c))
+            .otherwise(if (ci) vocabCanonical(c, vocab) else c)
+            .cast(dt))
+      case (d, ((t, cLower), (isSet, vocab)))
+          if t == table && isSet && present.contains(cLower) &&
+            vocabCi((t, cLower)) =>
+        // ci SET: each element maps to its declared member spelling
+        val name = present(cLower)
+        val dt = d.schema(name).dataType
+        val c = col(s"`$name`")
+        val cp = c.cast(org.apache.spark.sql.types.StringType)
+        d.withColumn(name, when(c.isNull || cp === lit(""), c)
+          .otherwise(array_join(
+            transform(split(cp, ","), el => vocabCanonical(el, vocab)), ","))
+          .cast(dt))
       case (d, _) => d
     }
   }
@@ -1827,13 +1866,15 @@ class Engine(val spark: SparkSession) {
     val present = df.columns.map(c => c.toLowerCase -> c).toMap
     columnVocab.foreach {
       case ((t, cLower), (isSet, vocab)) if t == table && present.contains(cLower) =>
+        val ci = vocabCi((t, cLower))
         val c = col(present(cLower))
+        val cp = c.cast(org.apache.spark.sql.types.StringType)
         val offending =
           if (isSet)
             // every csv element must be in the vocabulary ('' = empty set)
-            size(filter(split(c, ","),
-              e => e =!= lit("") && !e.isInCollection(vocab))) > 0
-          else !c.isInCollection(vocab)
+            size(filter(split(cp, ","),
+              e => e =!= lit("") && !vocabMember(e, vocab, ci))) > 0
+          else !vocabMember(c, vocab, ci)
         val bad = df.filter(c.isNotNull && offending)
           .select(c.cast("string")).limit(1).collect()
         if (bad.nonEmpty)

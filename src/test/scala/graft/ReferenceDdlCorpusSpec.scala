@@ -892,4 +892,34 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
       "SELECT count(*) n FROM information_schema_collations").collect()(0)
       .getLong(0).toInt == colls.length)
   }
+
+  test("ai_ci ENUM/SET columns match members case-insensitively and " +
+      "store the DECLARED spelling; bin-collated columns stay " +
+      "case-sensitive (enum.go:86 collation.HashToUint)") {
+    engine.runScript(
+      """create table cienum (pk int primary key,
+        |  v enum('abc','XYZ') collate utf8mb4_0900_ai_ci,
+        |  s set('a','B') collate utf8mb4_0900_ai_ci);
+        |insert into cienum values (1, 'ABC', 'A,b');
+        |insert into cienum values (2, 'xyz', 'b');
+        |""".stripMargin)
+    assert(rows("select * from cienum order by pk") ==
+      Seq(Seq(1, "abc", "a,B"), Seq(2, "XYZ", "B")))
+    // UPDATE maps through the same member lookup
+    engine.query("update cienum set v = 'Abc' where pk = 2")
+    assert(rows("select v from cienum where pk = 2") == Seq(Seq("abc")))
+    // non-member still rejects with 1265 even case-insensitively
+    assert(intercept[Exception] {
+      engine.query("insert into cienum values (3, 'nope', 'a')")
+    }.getMessage.contains("truncated"))
+    engine.query("drop table cienum")
+    // default collation (reference utf8mb4_0900_bin) stays sensitive
+    engine.runScript(
+      """create table csenum (pk int primary key, v enum('abc'));
+        |""".stripMargin)
+    assert(intercept[Exception] {
+      engine.query("insert into csenum values (1, 'ABC')")
+    }.getMessage.contains("truncated"))
+    engine.query("drop table csenum")
+  }
 }
