@@ -467,7 +467,7 @@ object Dml {
             coalesce(expr(cond).cast("boolean"), lit(false)))
           val affected = gate.map(g => t.filter(g).count()).getOrElse(t.count())
           val t0 = t.withColumn("__rid__", monotonically_increasing_id())
-          if (!ignore) {
+          if (!ignore && e.strictWriteMode) {
             val newDfRaw = e.coerceVocab(table,
               e.computeGenerated(table, assignSequential(t0, gate)))
             val newDf = newDfRaw.drop("__rid__")
@@ -476,6 +476,22 @@ object Dml {
             e.validateForeignKeysChild(table, newDf)
             e.enforcePkUniquePost(table, newDf)
             e.enforceParentUpdate(table, t0, newDfRaw)
+            e.replaceTable(table, newDf, bumpDepth = true)
+            Some(ok(e, affected))
+          } else if (!ignore) {
+            // non-strict plain UPDATE (SET sql_mode=''): values coerce
+            // with warnings like IGNORE, constraints still error
+            val assigned = assignSequentialIgnore(t0, gate)
+            val afterGen = e.coerceVocab(table,
+              e.computeGenerated(table, assigned))
+            val (coerced, flagWarns) =
+              e.ignoreWriteCoercions(table, afterGen, gateCol = Some("__upd__"))
+            val cur = e.emitFlagWarnings(coerced, flagWarns).drop("__upd__")
+            val newDf = cur.drop("__rid__")
+            e.validateChecks(table, newDf)
+            e.validateForeignKeysChild(table, newDf)
+            e.enforcePkUniquePost(table, newDf)
+            e.enforceParentUpdate(table, t0, cur)
             e.replaceTable(table, newDf, bumpDepth = true)
             Some(ok(e, affected))
           } else {

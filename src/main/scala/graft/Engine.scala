@@ -46,6 +46,16 @@ object Dialect {
       // _binary introducer: the charset tag has no Spark meaning — the
       // literal itself carries the bytes
       .replaceAll("(?i)\\b_binary\\s+", "")
+      // unary BINARY operator (MySQL shorthand for CAST(x AS BINARY);
+      // order_by_group_by_queries.go:89 "Group by BINARY" issue 6179).
+      // Identifier operand only: `BINARY(3)` type uses and `AS BINARY)`
+      // cast targets don't match (no identifier follows), and DDL
+      // attribute keywords after a bare BINARY column type are excluded.
+      .replaceAll("(?i)\\bBINARY\\s+(?!(?:NOT|NULL|DEFAULT|PRIMARY|" +
+        "UNIQUE|KEY|COMMENT|CHECK|REFERENCES|GENERATED|AS|COLLATE|" +
+        "CHARACTER|AUTO_INCREMENT|LOGS)\\b)" +
+        "(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*\\b)(?!\\s*\\()",
+        "CAST($1 AS BINARY)")
       // charset introducers (_utf8mb4'x', _latin1 'y'): every string is
       // UTF-8 here, the introducer drops (reference charset literals in
       // sql/planbuilder; charset_collation_engine.go corpus)
@@ -367,11 +377,37 @@ class Engine(val spark: SparkSession) {
 
   private[graft] def sqlModeString: String = sqlModeStr
 
+  // the reference's recognized mode vocabulary (sql/sql_mode.go:28-53);
+  // an unknown token is MySQL error 1231
+  private val recognizedSqlModes = Set(
+    "REAL_AS_FLOAT", "PIPES_AS_CONCAT", "ANSI_QUOTES", "IGNORE_SPACE",
+    "ONLY_FULL_GROUP_BY", "NO_UNSIGNED_SUBTRACTION", "NO_DIR_IN_CREATE",
+    "ANSI", "NO_AUTO_VALUE_ON_ZERO", "NO_BACKSLASH_ESCAPES",
+    "STRICT_TRANS_TABLES", "STRICT_ALL_TABLES", "NO_ZERO_IN_DATE",
+    "NO_ZERO_DATE", "ALLOW_INVALID_DATES", "ERROR_FOR_DIVISION_BY_ZERO",
+    "TRADITIONAL", "HIGH_NOT_PRECEDENCE", "NO_ENGINE_SUBSTITUTION",
+    "PAD_CHAR_TO_FULL_LENGTH", "TIME_TRUNCATE_FRACTIONAL")
+
+  // STRICT_* / TRADITIONAL gate the write path: strict errors on bad
+  // values, non-strict coerces them with a warning (script_queries.go
+  // "charset validation strict vs non-strict mode" shape). Default set
+  // includes STRICT_TRANS_TABLES, matching the reference.
+  private var strictWrites = true
+  private[graft] def strictWriteMode: Boolean = strictWrites
+
   def setSqlMode(modes: String): Unit = {
+    val set = modes.toUpperCase.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSet
+    val unknown = set -- recognizedSqlModes
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Variable 'sql_mode' can't be set to the value of " +
+        s"'${unknown.head}' (MySQL error 1231)")
     sqlModeStr = modes
-    val set = modes.toUpperCase.split(",").map(_.trim).toSet
     ansiQuotes = set.contains("ANSI_QUOTES") || set.contains("ANSI")
     pipesAsConcat = set.contains("PIPES_AS_CONCAT") || set.contains("ANSI")
+    strictWrites = set.contains("STRICT_TRANS_TABLES") ||
+      set.contains("STRICT_ALL_TABLES") || set.contains("TRADITIONAL")
   }
 
   private def applyAnsiQuotes(sql: String): String =
@@ -545,9 +581,12 @@ class Engine(val spark: SparkSession) {
       substituteVars(Dialect.rewrite(applyAnsiQuotes(sql), pipesAsConcat))
     // ENUM index / SET bitmask ordering (enum.go / set.go Compare):
     // only sessions that declared a vocabulary pay the token walk
-    val rewritten =
+    val rewritten1 =
       if (columnVocab.isEmpty) rewritten0
       else SqlRewrite.enumOrdinal(rewritten0, vocabLookup(rewritten0))
+    // dolt's any_value-without-GROUP-BY keeps per-row semantics
+    // (queries.go:9332) — strip the aggregate wrapper in that shape
+    val rewritten = SqlRewrite.anyValueNoGroup(rewritten1)
     Dml.dispatch(this, rewritten).getOrElse {
     plans.RecursiveSql.run(spark, rewritten).getOrElse {
       try runWithTruthyRetry(rewritten)
@@ -794,7 +833,8 @@ class Engine(val spark: SparkSession) {
     import org.apache.spark.sql.functions._
     rejectExplicitGenerated(table, incoming0)
     var coerced = coerceVocab(table, computeGenerated(table,
-      coerceAndFill(table, incoming0, fillMissing, ignoreMode = ignoreDups)))
+      coerceAndFill(table, incoming0, fillMissing,
+        ignoreMode = ignoreDups || !strictWrites)))
     val target = spark.table(table)
     if (ignoreDups) {
       // first-in-batch-wins sequence is pinned BEFORE the CHECK/FK skip
@@ -884,6 +924,16 @@ class Engine(val spark: SparkSession) {
         }
       }
       coerced = coerced.drop("__seq__")
+    } else if (!strictWrites) {
+      // non-strict mode (SET sql_mode=''): value problems coerce with a
+      // warning exactly like IGNORE (sql_mode.go strict gating;
+      // script_queries.go strict-vs-non-strict block), while constraint
+      // violations — keys, CHECK, FK — still error
+      val (coerced1, flagWarns) = ignoreWriteCoercions(table, coerced)
+      coerced = emitFlagWarnings(coerced1, flagWarns)
+      validateChecks(table, coerced)
+      validateForeignKeysChild(table, coerced)
+      enforcePkUnique(table, coerced, target)
     } else {
       validateVocab(table, coerced)
       validateCharLimits(table, coerced)

@@ -1163,4 +1163,36 @@ object SqlRewrite {
     }
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
+
+  // ---- any_value() without GROUP BY (reference queries.go:9332, dolt
+  //      issue 9699): the reference keeps PER-ROW semantics — the query
+  //      returns every row and any_value(x) just evaluates x. Spark's
+  //      any_value is always an aggregate (one global group), so the
+  //      wrapper is stripped textually when the statement has no GROUP
+  //      BY anywhere. Statements WITH a GROUP BY keep the aggregate.
+
+  def anyValueNoGroup(sql: String): String = {
+    val lower = sql.toLowerCase
+    if (!lower.contains("any_value")) return sql
+    val toks = tokenize(sql)
+    val hasGroupBy = toks.indices.exists(i =>
+      toks(i).isWord("group") && i + 1 < toks.length &&
+        toks(i + 1).isWord("by"))
+    if (hasGroupBy) return sql
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 1) {
+      if (toks(i).isWord("any_value") && toks(i + 1).kind == Sym &&
+          toks(i + 1).text == "(") {
+        val close = closeParenFor(toks, i + 1)
+        if (close > 0) {
+          patches += ((toks(i).start, toks(i + 1).end, ""))
+          patches += ((toks(close).start, toks(close).end, ""))
+          i = close
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
 }

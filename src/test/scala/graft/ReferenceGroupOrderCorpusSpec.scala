@@ -170,4 +170,33 @@ class ReferenceGroupOrderCorpusSpec extends AnyFunSuite {
       engine.query("select c1 from t0quad group by c0 order by c2").collect()
     }
   }
+
+  test("any_value without GROUP BY keeps per-row semantics " +
+      "(queries.go:9332, dolt issue 9699)") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    Seq(0, 1, 2, 3).toDF("pk").createOrReplaceTempView("one_pkav")
+    val got = engine.query(
+      "select any_value(pk), (select max(pk) from one_pkav where pk < opk.pk) as x " +
+      "from one_pkav opk order by 1").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getInt(1)))
+      .toSeq
+    assert(got == Seq((0, null), (1, 0), (2, 1), (3, 2)))
+    // WITH a group by, any_value stays an aggregate
+    val agg = engine.query(
+      "select any_value(pk) a from one_pkav group by pk % 2 order by a")
+      .collect().map(_.getInt(0)).toSeq
+    assert(agg.size == 2)
+  }
+
+  test("unary BINARY in GROUP BY / ORDER BY " +
+      "(order_by_group_by_queries.go:89, dolt issue 6179)") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    Seq("abc", "def", "abc").toDF("s").createOrReplaceTempView("tbin")
+    val got = engine.query(
+      "select binary s from tbin group by binary s order by binary s")
+      .collect().map(r => new String(r.getAs[Array[Byte]](0))).toSeq
+    assert(got == Seq("abc", "def"))
+  }
 }

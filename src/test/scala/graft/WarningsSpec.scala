@@ -188,6 +188,49 @@ class WarningsSpec extends AnyFunSuite {
     engine.query("drop table checksw")
   }
 
+  test("sql_mode round-trip: recognized modes read back via @@sql_mode, " +
+      "unknown tokens error 1231, STRICT toggles the write path " +
+      "(sql_mode.go:28-53; script_queries.go strict-vs-non-strict)") {
+    engine.query("create table smw (pk int primary key, v int)")
+    // default is strict: a failed conversion errors... (value becomes
+    // NULL under Spark's non-ANSI cast, surfaced as vocab-free insert
+    // of NULL — strict write validation is the 1062/1406 family; the
+    // conversion itself is exercised below via the toggle)
+    engine.query("SET sql_mode = 'NO_ZERO_DATE,STRICT_TRANS_TABLES'")
+    assert(rows("SELECT @@sql_mode") ==
+      Seq(Seq("NO_ZERO_DATE,STRICT_TRANS_TABLES")))
+    // unknown mode is MySQL error 1231
+    assert(intercept[IllegalArgumentException] {
+      engine.query("SET sql_mode = 'TOTALLY_BOGUS_MODE'")
+    }.getMessage.contains("1231"))
+    // ...and the session keeps its previous modes
+    assert(rows("SELECT @@sql_mode") ==
+      Seq(Seq("NO_ZERO_DATE,STRICT_TRANS_TABLES")))
+    // non-strict: bad conversions coerce to the zero value with a 1366
+    // warning instead of erroring; over-length strings truncate
+    engine.query("SET sql_mode = ''")
+    assert(rows("INSERT INTO smw VALUES (1, 'dasd')") == Seq(Seq(1L)))
+    assert(warnRows() == Seq((1366, "Warning")))
+    assert(rows("SELECT * FROM smw") == Seq(Seq(1, 0)))
+    engine.query("UPDATE smw SET v = 'nope' where pk = 1")
+    assert(warnRows() == Seq((1366, "Warning")))
+    assert(rows("SELECT * FROM smw") == Seq(Seq(1, 0)))
+    // constraint violations still error in non-strict mode
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO smw VALUES (1, 2)")
+    }.getMessage.contains("1062"))
+    // TRADITIONAL restores strict writes
+    engine.query("SET sql_mode = 'TRADITIONAL'")
+    engine.query("create table smc (pk int primary key, v varchar(2))")
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO smc VALUES (1, 'toolong')")
+    }.getMessage.contains("too large"))
+    engine.query(
+      "SET sql_mode = 'NO_ENGINE_SUBSTITUTION,ONLY_FULL_GROUP_BY," +
+      "STRICT_TRANS_TABLES'")
+    engine.runScript("drop table smw; drop table smc;")
+  }
+
   test("LOAD DATA column-count mismatch warns 1261 per short row " +
       "(load_data.go; r6 ADVICE fixture shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ld").toFile
