@@ -301,7 +301,7 @@ object Dml {
             else Seq.empty[String]
           Some(upsert(e, table,
             insertSource(e, table, colList, hasList, bodyStripped),
-            assignText, aliasOpt, insertCols))
+            assignText, aliasOpt, insertCols, ignore = ignoreKw != null))
       }
 
     case Replace(tableRaw, colList, body) =>
@@ -1333,7 +1333,8 @@ object Dml {
   private def upsert(e: Engine, table: String, incoming0: DataFrame,
                      assignText0: String,
                      rowAlias: Option[(String, Option[Seq[String]])] = None,
-                     insertCols: Seq[String] = Seq.empty): DataFrame = {
+                     insertCols: Seq[String] = Seq.empty,
+                     ignore: Boolean = false): DataFrame = {
     val keys = e.tableKeys.getOrElse(table,
       throw new IllegalArgumentException(
         s"ON DUPLICATE KEY UPDATE needs a declared key on '$table' " +
@@ -1387,16 +1388,91 @@ object Dml {
       name -> ex
     }.toMap
     val matched = t.join(i2, joinCond, "inner")
-    val updatedRows = matched.select(t.columns.map { c =>
-      assigns.get(c).map(ex => expr(ex).as(c)).getOrElse(t(c).as(c))
-    }.toIndexedSeq: _*)
+    // ODKU assignments coerce to the target column type like every other
+    // write (reference sql/types Convert): a failed conversion errors in
+    // strict mode (1366), zero-fills with a 1366 warning under IGNORE or
+    // non-strict sql_mode (insert_queries.go "Insert Ignore works
+    // correctly with ON DUPLICATE UPDATE"). Without the cast a mistyped
+    // literal would silently widen the stored schema via union coercion.
+    val colTypes = t.schema.fields.map(f => f.name -> f.dataType).toMap
+    val relaxed = ignore || !e.strictWriteMode
+    val cvtAggs = assigns.toSeq.flatMap { case (c, ex) =>
+      colTypes.get(c).flatMap { dt =>
+        if (e.zeroValueLit(dt).isEmpty) None
+        else Some(org.apache.spark.sql.functions.sum(
+          (expr(ex).isNotNull && expr(ex).cast(dt).isNull).cast("long"))
+          .as(c))
+      }
+    }
+    if (cvtAggs.nonEmpty) {
+      val row = matched.agg(cvtAggs.head, cvtAggs.tail: _*).collect()(0)
+      cvtAggs.indices.foreach { i =>
+        val n = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (n > 0) {
+          val cname = row.schema(i).name
+          if (relaxed)
+            e.warnN(n, 1366, s"Incorrect value for column '$cname': " +
+              "stored the type zero value")
+          else throw new IllegalArgumentException(
+            s"Incorrect value for column '$cname' (MySQL error 1366)")
+        }
+      }
+    }
+    // new images under the original names, old images under __old_* so a
+    // CHECK-violating update can keep its old row under IGNORE
+    val updatedBoth = matched.select((t.columns.map { c =>
+      assigns.get(c).map { ex =>
+        val raw = expr(ex)
+        colTypes.get(c) match {
+          case Some(dt) =>
+            val casted = raw.cast(dt)
+            e.zeroValueLit(dt) match {
+              case Some(z) if relaxed =>
+                when(raw.isNotNull && casted.isNull, z)
+                  .otherwise(casted).as(c)
+              case _ => casted.as(c)
+            }
+          case None => raw.as(c)
+        }
+      }.getOrElse(t(c).as(c))
+    } ++ t.columns.map(c => t(c).as(s"__old_$c"))).toIndexedSeq: _*)
+    val checks = e.checkConstraints.toSeq
+      .collect { case (t2, _, ex) if t2 == table => ex }
+    var updatedRows = updatedBoth
+    var nReverted = 0L
+    if (checks.nonEmpty) {
+      val violFlag = checks
+        .map(ex => !coalesce(expr(ex).cast("boolean"), lit(true)))
+        .reduce(_ || _)
+      if (ignore) {
+        // violating updates keep their OLD row (insert_queries.go
+        // "Insert Ignore works correctly with ON DUPLICATE UPDATE":
+        // ODKU pk=1000 against CHECK pk<100 -> RowsAffected 0)
+        nReverted = updatedBoth.filter(violFlag).count()
+        if (nReverted > 0) {
+          e.warnN(nReverted, 1105,
+            "check constraint violated (row kept old values)")
+          updatedRows = updatedBoth.filter(!violFlag).unionByName(
+            updatedBoth.filter(violFlag).select((
+              t.columns.map(c => col(s"`__old_$c`").as(c)) ++
+              t.columns.map(c => col(s"`__old_$c`"))).toIndexedSeq: _*))
+        }
+      } else {
+        val bad = updatedBoth.filter(violFlag).limit(1).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"Check constraint violated on '$table' " +
+          "(MySQL error 3819)")
+      }
+    }
+    updatedRows = updatedRows
+      .select(t.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
     val untouched = t.join(
       incoming.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct(),
       keys.toIndexedSeq, "left_anti")
     val newRows = incoming.join(
       t.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct(),
       keys.toIndexedSeq, "left_anti")
-    val nUpdated = matched.count()
+    val nUpdated = matched.count() - nReverted
     val nInserted = newRows.count()
     val result = untouched
       .unionByName(updatedRows)

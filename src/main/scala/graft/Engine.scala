@@ -577,8 +577,12 @@ class Engine(val spark: SparkSession) {
   }
 
   private def queryInner(sql: String): DataFrame = {
+    // MySQL lenient literal casts run BEFORE the dialect pass (the
+    // DATETIME(p) precision is still visible here) and feed 1292s into
+    // the diagnostics area
+    val pre = SqlRewrite.lenientCastLiterals(applyAnsiQuotes(sql), warn)
     val rewritten0 =
-      substituteVars(Dialect.rewrite(applyAnsiQuotes(sql), pipesAsConcat))
+      substituteVars(Dialect.rewrite(pre, pipesAsConcat))
     // ENUM index / SET bitmask ordering (enum.go / set.go Compare):
     // only sessions that declared a vocabulary pay the token walk
     val rewritten1 =

@@ -1164,6 +1164,101 @@ object SqlRewrite {
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
+  // ---- MySQL lenient CAST of string LITERALS (reference
+  //      sql/types/datetime.go / number.go Convert; corpus
+  //      queries.go:4207+ "cast('2020-01-01 a' as datetime)" block):
+  //      MySQL parses the longest valid prefix, returns it, and warns
+  //      1292 Truncated incorrect value. Spark's cast returns NULL for
+  //      the whole thing. For literal operands the prefix parse happens
+  //      here at rewrite time and the diagnostics area gets the 1292;
+  //      column-valued casts keep Spark's distributed semantics (a
+  //      per-row warning count would serialize the scan).
+
+  private val NumFull = """^\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\s*$""".r
+  private val NumPrefix = """^\s*([+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?)""".r
+  private val DtFull =
+    """^\s*\d{4}-\d{1,2}-\d{1,2}([ T]\d{1,2}(:\d{1,2}(:\d{1,2}(\.\d+)?)?)?)?\s*$""".r
+  private val DtPrefix =
+    ("""^\s*(\d{4})-(\d{1,2})-(\d{1,2})""" +
+     """(?:[ T](\d{1,2})(?::(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?)?""").r
+
+  /** Rewrite CAST('<literal>' AS <numeric|datetime|date>) the MySQL way:
+    * clean parses pass through; truncatable ones are replaced by their
+    * parsed prefix with a 1292 warning; unparseable ones become NULL
+    * with a 1292 warning. `warn(code, msg)` feeds the session
+    * diagnostics area. */
+  def lenientCastLiterals(sql: String, warn: (Int, String) => Unit): String = {
+    if (!sql.toLowerCase.contains("cast")) return sql
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i + 4 < toks.length) {
+      if (toks(i).isWord("cast") && toks(i + 1).text == "(" &&
+          toks(i + 2).kind == Lit && toks(i + 2).text.startsWith("'") &&
+          toks(i + 3).isWord("as")) {
+        val close = closeParenFor(toks, i + 1)
+        if (close > i + 4) {
+          val lit = toks(i + 2).text.stripPrefix("'").stripSuffix("'")
+            .replace("''", "'")
+          val target = sql.substring(toks(i + 4).start, toks(close).start)
+            .trim.toUpperCase
+          val tHead = target.takeWhile(c => c.isLetter || c == '_')
+          def patchLit(v: Option[String]): Unit =
+            patches += ((toks(i + 2).start, toks(i + 2).end,
+              v.map(s => "'" + s.replace("'", "''") + "'").getOrElse("NULL")))
+          tHead match {
+            case "DATETIME" | "TIMESTAMP" | "DATE" if DtFull.findFirstIn(lit).isEmpty =>
+              DtPrefix.findFirstMatchIn(lit) match {
+                case Some(m) =>
+                  val frac0 = Option(m.group(7)).getOrElse("")
+                  // DATETIME(p): fractional digits truncate to p
+                  val p = """\((\d+)\)""".r.findFirstMatchIn(target)
+                    .map(_.group(1).toInt).getOrElse(6)
+                  val frac =
+                    if (frac0.isEmpty || p == 0) ""
+                    else "." + frac0.drop(1).take(p)
+                  val date = f"${m.group(1)}-${m.group(2).toInt}%02d-${m.group(3).toInt}%02d"
+                  val cleaned =
+                    if (tHead == "DATE") date
+                    else {
+                      val hh = Option(m.group(4)).map(_.toInt).getOrElse(0)
+                      val mi = Option(m.group(5)).map(_.toInt).getOrElse(0)
+                      val ss = Option(m.group(6)).map(_.toInt).getOrElse(0)
+                      f"$date $hh%02d:$mi%02d:$ss%02d$frac"
+                    }
+                  patchLit(Some(cleaned))
+                  warn(1292,
+                    s"Truncated incorrect ${tHead.toLowerCase} value: '$lit'")
+                case None =>
+                  patchLit(None)
+                  warn(1292,
+                    s"Incorrect ${tHead.toLowerCase} value: '$lit'")
+              }
+            case "SIGNED" | "UNSIGNED" | "DOUBLE" | "FLOAT" | "REAL" |
+                 "DECIMAL" | "BIGINT" | "INT" | "INTEGER"
+                if NumFull.findFirstIn(lit).isEmpty =>
+              val tn = tHead match {
+                case "DOUBLE" | "FLOAT" | "REAL" => "double"
+                case "DECIMAL" => "decimal"
+                case _ => "integer"
+              }
+              NumPrefix.findFirstMatchIn(lit) match {
+                case Some(m) =>
+                  patchLit(Some(m.group(1).trim))
+                  warn(1292, s"Truncated incorrect $tn value: '$lit'")
+                case None =>
+                  patchLit(Some("0"))
+                  warn(1292, s"Truncated incorrect $tn value: '$lit'")
+              }
+            case _ =>
+          }
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   // ---- any_value() without GROUP BY (reference queries.go:9332, dolt
   //      issue 9699): the reference keeps PER-ROW semantics — the query
   //      returns every row and any_value(x) just evaluates x. Spark's

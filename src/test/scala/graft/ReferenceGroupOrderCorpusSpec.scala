@@ -189,6 +189,71 @@ class ReferenceGroupOrderCorpusSpec extends AnyFunSuite {
     assert(agg.size == 2)
   }
 
+  test("group-by null handling: NULL is one group, count(col) skips " +
+      "nulls (order_by_group_by_queries.go:279, issue 1503)") {
+    engine.runScript(
+      """create table gbn (pk int primary key, c1 varchar(10));
+        |insert into gbn values (1, 'foo'), (2, 'foo'), (3, NULL);
+        |""".stripMargin)
+    def rows(sql: String): Set[Seq[Any]] =
+      engine.query(sql).collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+    assert(rows("select c1, count(pk) n from gbn group by c1") ==
+      Set(Seq("foo", 2L), Seq(null, 1L)))
+    assert(rows("select c1, count(c1) n from gbn group by c1") ==
+      Set(Seq("foo", 2L), Seq(null, 0L)))
+    engine.query("drop table gbn")
+  }
+
+  test("group by a 3VL comparison: NULL results form one group " +
+      "(order_by_group_by_queries.go:318, issue 9035)") {
+    engine.runScript(
+      """create table gb3 (id int primary key, c0 int, c1 int);
+        |insert into gb3 values (1,NULL,NULL),(2,1,1),(3,1,NULL),(4,2,1),(5,NULL,1);
+        |""".stripMargin)
+    val got = engine.query(
+      "select gb3.c0 = gb3.c1 as ref0, sum(1) as ref1 from gb3 group by ref0")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getBoolean(0),
+        r.getLong(1))).toSet
+    assert(got == Set((null, 3L), (true, 1L), (false, 1L)))
+    engine.query("drop table gb3")
+  }
+
+  test("ORDER BY wrapped in parentheses (order_by_group_by_queries.go" +
+      ":345, issue 9605)") {
+    engine.runScript(
+      """create table obp (i int, j int);
+        |insert into obp values (2,4),(0,7),(9,10),(4,3);
+        |""".stripMargin)
+    def col0(sql: String): Seq[Int] =
+      engine.query(sql).collect().map(_.getInt(0)).toSeq
+    assert(col0("with cte(i) as (select i from obp) select * from cte order by (i)") ==
+      Seq(0, 2, 4, 9))
+    assert(col0("with cte(i) as (select i from obp) select * from cte order by (((i)))") ==
+      Seq(0, 2, 4, 9))
+    assert(col0("select * from obp order by (i * 10 + j)") ==
+      Seq(0, 2, 4, 9))
+    engine.query("drop table obp")
+  }
+
+  test("any_value over every projection without GROUP BY returns all " +
+      "rows (order_by_group_by_queries.go:220 'group by with " +
+      "any_value()')") {
+    engine.runScript(
+      """create table membersav (id bigint primary key, team text);
+        |insert into membersav values (3,'red'), (4,'red'),(5,'orange'),(6,'orange'),(7,'orange'),(8,'purple');
+        |""".stripMargin)
+    val got = engine.query(
+      "select any_value(id), any_value(team) from membersav order by id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((3L, "red"), (4L, "red"), (5L, "orange"),
+      (6L, "orange"), (7L, "orange"), (8L, "purple")))
+    // strict ONLY_FULL_GROUP_BY error shape stays an error without it
+    intercept[Exception] {
+      engine.query("select id, team from membersav group by team").collect()
+    }
+    engine.query("drop table membersav")
+  }
+
   test("unary BINARY in GROUP BY / ORDER BY " +
       "(order_by_group_by_queries.go:89, dolt issue 6179)") {
     val s = SparkSpec.spark

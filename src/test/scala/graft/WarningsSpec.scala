@@ -188,6 +188,35 @@ class WarningsSpec extends AnyFunSuite {
     engine.query("drop table checksw")
   }
 
+  test("INSERT IGNORE + ON DUPLICATE KEY UPDATE: failed assignment " +
+      "conversion zero-fills with 1366; CHECK-violating ODKU keeps the " +
+      "old row (insert_queries.go 'Insert Ignore works correctly with " +
+      "ON DUPLICATE UPDATE')") {
+    engine.runScript(
+      """CREATE TABLE odt1 (id INT PRIMARY KEY, v int);
+        |INSERT INTO odt1 VALUES (1,1);
+        |CREATE TABLE odt2 (pk int primary key, v2 varchar(1));
+        |ALTER TABLE odt2 ADD CONSTRAINT cx CHECK (pk < 100);
+        |""".stripMargin)
+    assert(rows(
+      "INSERT IGNORE INTO odt1 VALUES (1,2) ON DUPLICATE KEY UPDATE v='dsd'")
+      == Seq(Seq(2L)))
+    assert(warnRows() == Seq((1366, "Warning")))
+    assert(rows("SELECT * FROM odt1") == Seq(Seq(1, 0)))
+    assert(rows("INSERT IGNORE INTO odt2 values (1, 'adsda')") == Seq(Seq(1L)))
+    assert(rows("SELECT * FROM odt2") == Seq(Seq(1, "a")))
+    // CHECK-violating ODKU under IGNORE: row keeps old values, 0 affected
+    assert(rows(
+      "INSERT IGNORE INTO odt2 VALUES (1, 's') ON DUPLICATE KEY UPDATE pk = 1000")
+      == Seq(Seq(0L)))
+    assert(rows("SELECT * FROM odt2") == Seq(Seq(1, "a")))
+    // strict (non-IGNORE) ODKU conversion failure errors 1366
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO odt1 VALUES (1,2) ON DUPLICATE KEY UPDATE v='xx'")
+    }.getMessage.contains("1366"))
+    engine.runScript("drop table odt1; drop table odt2;")
+  }
+
   test("sql_mode round-trip: recognized modes read back via @@sql_mode, " +
       "unknown tokens error 1231, STRICT toggles the write path " +
       "(sql_mode.go:28-53; script_queries.go strict-vs-non-strict)") {
@@ -229,6 +258,53 @@ class WarningsSpec extends AnyFunSuite {
       "SET sql_mode = 'NO_ENGINE_SUBSTITUTION,ONLY_FULL_GROUP_BY," +
       "STRICT_TRANS_TABLES'")
     engine.runScript("drop table smw; drop table smc;")
+  }
+
+  test("lenient literal CAST: truncated datetime/number parses the " +
+      "prefix and warns 1292 (queries.go:4207+ cast block; " +
+      "sql/errors.go ErrTruncatedIncorrect)") {
+    def one(sql: String): Any = {
+      val r = engine.query(sql).collect()(0)
+      if (r.isNullAt(0)) null else r.get(0)
+    }
+    def ntz(s: String) = java.time.LocalDateTime.parse(s)
+    assert(one("select cast('2020-01-01 a' as datetime)") ==
+      ntz("2020-01-01T00:00:00"))
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(engine.query("SHOW WARNINGS").collect()(0).getString(2)
+      .contains("Truncated incorrect datetime value: '2020-01-01 a'"))
+    assert(one("select cast('2020-01-01 abc123' as datetime)") ==
+      ntz("2020-01-01T00:00:00"))
+    assert(one("select cast('2020-01-01 12:30asdf123' as datetime)") ==
+      ntz("2020-01-01T12:30:00"))
+    assert(one("select cast('2020-01-01 12:34:56abc' as datetime)") ==
+      ntz("2020-01-01T12:34:56"))
+    assert(one("select cast('2020-01-01 12:34:56 abc' as datetime)") ==
+      ntz("2020-01-01T12:34:56"))
+    assert(one("select cast('2020-01-01 12:34:56:123456 abc' as datetime)") ==
+      ntz("2020-01-01T12:34:56"))
+    assert(one("select cast('2020-01-01 12:34:56...123456 abc' as datetime)") ==
+      ntz("2020-01-01T12:34:56"))
+    assert(one("select cast('2020-01-01 12:34:56-123456 abc' as datetime)") ==
+      ntz("2020-01-01T12:34:56"))
+    assert(one("select cast('2020-01-01 12:34:56.123456abc' as datetime(0))") ==
+      ntz("2020-01-01T12:34:56"))
+    assert(one("select cast('2020-01-01 12:34:56.123456abc' as datetime(1))") ==
+      ntz("2020-01-01T12:34:56.1"))
+    assert(one("select cast('2020-01-01 12:34:56.123456abc' as datetime(2))") ==
+      ntz("2020-01-01T12:34:56.12"))
+    assert(warnRows() == Seq((1292, "Warning")))
+    // numeric prefix casts
+    assert(one("select cast('123abc' as double)") == 123.0)
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(one("select cast('1.5abc' as double)") == 1.5)
+    assert(one("select cast('abc' as signed)") == 0L)
+    // a CLEAN literal cast warns nothing
+    assert(one("select cast('2020-01-01 12:34:56' as datetime)") ==
+      ntz("2020-01-01T12:34:56"))
+    assert(warnRows() == Seq.empty)
+    assert(one("select cast('42' as signed)") == 42L)
+    assert(warnRows() == Seq.empty)
   }
 
   test("LOAD DATA column-count mismatch warns 1261 per short row " +
