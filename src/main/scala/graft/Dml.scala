@@ -279,9 +279,24 @@ object Dml {
       odku match {
         case None =>
           val df0 = insertSource(e, table, colList, hasList, body)
-          // IGNORE: skip (not error on) duplicate-key / constraint rows
-          val n = e.insertDf(table, df0, fillMissing = hasList,
-            ignoreDups = ignoreKw != null)
+          // IGNORE: skip (not error on) duplicate-key / constraint rows.
+          // A scalar subquery returning >1 row under IGNORE inserts
+          // nothing and warns 1242 instead of erroring
+          // (insert_queries.go ERSubqueryNo1Row block; MySQL converts
+          // the error per evaluated row — this engine evaluates the
+          // source as one distributed plan, so one statement-level
+          // warning stands in for the per-row count).
+          val n =
+            try e.insertDf(table, df0, fillMissing = hasList,
+              ignoreDups = ignoreKw != null)
+            catch {
+              case ex: Throwable if ignoreKw != null &&
+                  (ex.getMessage != null &&
+                    (ex.getMessage.contains("SCALAR_SUBQUERY_TOO_MANY_ROWS") ||
+                     ex.getMessage.contains("more than one row"))) =>
+                e.warn(1242, "Subquery returns more than 1 row")
+                0L
+            }
           Some(ok(e, n))
         case Some(assignText) =>
           // MySQL 8.0.19 row alias: VALUES (…) AS alias[(cols)] names

@@ -638,6 +638,51 @@ object TextAnalysis {
                 FROM rec r JOIN ordered o
                   ON o.bucket = r.bucket AND o.rn = r.rn + 1)
               SELECT doc_id, bucket, CAST(pack AS INTEGER) AS pack_id, tokens
-              FROM rec ORDER BY doc_id"""))
+              FROM rec ORDER BY doc_id""")),
+
+    // ---- overlapping document chunking (the RAG / context-window prep
+    // step every training-data pipeline runs before embedding):
+    // fixed-size character windows with overlap, plus a per-chunk md5
+    // for downstream exact dedup. Pure per-row explode — NO shuffle
+    // anywhere in the plan (the ORDER BY is presentation-only for the
+    // oracle compare); the explode factor is bounded by
+    // ceil(doc_len/stride), so executor memory stays flat at 100 TB and
+    // parallelism follows the parquet splits.
+    QueryDef(
+      "text_chunk",
+      (s, d) => {
+        // K=500-char chunks, 100-char overlap -> stride 400
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            length(col("text")).as("len"))
+          .withColumn("n_chunks",
+            expr("greatest(1, (len - 100 + 399) div 400)"))
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+          .select(
+            col("doc_id"),
+            col("chunk_id").cast("int").as("chunk_id"),
+            (col("chunk_id") * 400 + 1).cast("int").as("chunk_start"),
+            expr("substring(text, cast(chunk_id*400+1 as int), 500)")
+              .as("chunk"),
+            md5(expr("substring(text, cast(chunk_id*400+1 as int), 500)"))
+              .as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, text, length(text) AS len FROM documents),
+              n AS (
+                SELECT doc_id, text,
+                       greatest(1, (len - 100 + 399) // 400) AS n_chunks
+                FROM d),
+              c AS (
+                SELECT doc_id, text,
+                       CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id
+                FROM n)
+              SELECT doc_id, chunk_id,
+                     CAST(chunk_id*400 + 1 AS INTEGER) AS chunk_start,
+                     substring(text, chunk_id*400 + 1, 500) AS chunk,
+                     md5(substring(text, chunk_id*400 + 1, 500)) AS chunk_md5
+              FROM c ORDER BY doc_id, chunk_id"""))
   )
 }

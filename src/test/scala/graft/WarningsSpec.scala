@@ -307,6 +307,27 @@ class WarningsSpec extends AnyFunSuite {
     assert(warnRows() == Seq.empty)
   }
 
+  test("INSERT IGNORE with a >1-row scalar subquery inserts nothing " +
+      "and warns 1242 (insert_queries.go ERSubqueryNo1Row block; " +
+      "statement-level warning, not per-row)") {
+    engine.runScript(
+      """CREATE TABLE sqw (pk int primary key, c1 int NOT NULL);
+        |INSERT INTO sqw VALUES (1, 1), (2, 2), (3, 3);
+        |""".stripMargin)
+    // plain INSERT: error
+    intercept[Exception] {
+      engine.query(
+        "INSERT INTO sqw SELECT 10, 0 WHERE 1=(SELECT 1 UNION SELECT 2)")
+    }
+    // IGNORE: 0 rows + 1242 warning
+    assert(rows(
+      "INSERT IGNORE INTO sqw SELECT 10, 0 WHERE 1=(SELECT 1 UNION SELECT 2)")
+      == Seq(Seq(0L)))
+    assert(warnRows() == Seq((1242, "Warning")))
+    assert(rows("SELECT count(*) n FROM sqw") == Seq(Seq(3L)))
+    engine.query("drop table sqw")
+  }
+
   test("LOAD DATA column-count mismatch warns 1261 per short row " +
       "(load_data.go; r6 ADVICE fixture shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ld").toFile
