@@ -590,7 +590,20 @@ class Engine(val spark: SparkSession) {
       else SqlRewrite.enumOrdinal(rewritten0, vocabLookup(rewritten0))
     // dolt's any_value-without-GROUP-BY keeps per-row semantics
     // (queries.go:9332) — strip the aggregate wrapper in that shape
-    val rewritten = SqlRewrite.anyValueNoGroup(rewritten1)
+    val rewritten2 = SqlRewrite.anyValueNoGroup(rewritten1)
+    // numeric-column vs non-numeric-string comparisons coerce the
+    // literal to 0 with a 1292 (reference TestConvert 'string' block).
+    // SELECT-only: UPDATE/ODKU assignments use `=` too and their strict
+    // conversion errors must stay errors.
+    val firstWord = rewritten2.trim.takeWhile(!_.isWhitespace).toUpperCase
+    val rewritten =
+      if (!rewritten2.contains("'") ||
+          (firstWord != "SELECT" && firstWord != "WITH" &&
+           firstWord != "(")) rewritten2
+      else {
+        lazy val numCols = numericColsFor(rewritten2)
+        SqlRewrite.numericLiteralCompare(rewritten2, numCols.contains, warn)
+      }
     Dml.dispatch(this, rewritten).getOrElse {
     plans.RecursiveSql.run(spark, rewritten).getOrElse {
       try runWithTruthyRetry(rewritten)
@@ -605,6 +618,15 @@ class Engine(val spark: SparkSession) {
           val viaWhere = SqlRewrite.havingNoGroup(rewritten)
           if (viaWhere == rewritten) throw e
           runWithTruthyRetry(viaWhere)
+        // DATE-vs-numeric comparison (TestConvert STR_TO_DATE block):
+        // MySQL compares the DATE as yyyymmdd; Spark's analyzer rejects
+        // the type pair. Retry with the date side rendered numeric.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("BINARY_OP_DIFF_TYPES") &&
+               e.getMessage.contains("\"DATE\"") =>
+          val expanded = SqlRewrite.dateNumericCompare(rewritten)
+          if (expanded == rewritten) throw e
+          runWithTruthyRetry(expanded)
         // BETWEEN over a collated column: Spark's With-node desugaring
         // drops the collation (INDETERMINATE_COLLATION). Retry with the
         // explicit >= AND <= form, which is MySQL's definition anyway.
@@ -625,6 +647,20 @@ class Engine(val spark: SparkSession) {
       }
     }
     }
+  }
+
+  /** Numeric-typed column names across every table the statement
+    * mentions (FROM/JOIN targets resolvable in the session catalog). */
+  private def numericColsFor(sqlText: String): Set[String] = {
+    val tbls = """(?i)\b(?:FROM|JOIN)\s+`?([A-Za-z_][A-Za-z0-9_]*)`?""".r
+      .findAllMatchIn(sqlText).map(_.group(1)).toList.distinct
+    tbls.flatMap { t =>
+      scala.util.Try(spark.table(t).schema.fields).toOption.toSeq.flatten
+        .collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+            f.name.toLowerCase
+        }
+    }.toSet
   }
 
   private def isBooleanMismatch(e: org.apache.spark.sql.AnalysisException) =

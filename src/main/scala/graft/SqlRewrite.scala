@@ -1259,6 +1259,88 @@ object SqlRewrite {
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
+  // ---- numeric column vs non-numeric string literal (reference
+  //      TestConvert, convert_queries.go 'string' block): MySQL coerces
+  //      the literal to the column's numeric type — 'string' -> 0 with a
+  //      1292 warning — so `i8 >= 'string'` is TRUE. Spark casts both
+  //      sides to DOUBLE and the NULL literal makes the predicate
+  //      UNKNOWN. The literal is replaced by its numeric prefix when the
+  //      other side resolves to a numeric column of a mentioned table.
+
+  def numericLiteralCompare(sql: String, isNumericCol: String => Boolean,
+      warn: (Int, String) => Unit): String = {
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    def tryPatch(identIdx: Int, litIdx: Int): Unit = {
+      val ident = toks(identIdx); val lit = toks(litIdx)
+      if (ident.kind == Word && lit.kind == Lit &&
+          lit.text.startsWith("'")) {
+        val content = lit.text.stripPrefix("'").stripSuffix("'")
+          .replace("''", "'")
+        if (NumFull.findFirstIn(content).isEmpty &&
+            isNumericCol(ident.text.split('.').last.toLowerCase)) {
+          val replacement = NumPrefix.findFirstMatchIn(content)
+            .map(_.group(1).trim).getOrElse("0")
+          patches += ((lit.start, lit.end, replacement))
+          warn(1292, s"Truncated incorrect DOUBLE value: '$content'")
+        }
+      }
+    }
+    var i = 1
+    while (i < toks.length - 1) {
+      if (toks(i).kind == Sym && cmpSyms.contains(toks(i).text)) {
+        tryPatch(i - 1, i + 1)
+        tryPatch(i + 1, i - 1)
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  // ---- DATE-producing call vs numeric operand (TestConvert
+  //      STR_TO_DATE block): MySQL compares a DATE against a number as
+  //      yyyymmdd. Retry-only — applied when Spark's analyzer rejects
+  //      the comparison with BINARY_OP_DIFF_TYPES on a DATE operand.
+
+  private val dateFns = Set("to_date", "str_to_date", "date", "makedate",
+    "from_days", "last_day", "curdate", "current_date")
+
+  def dateNumericCompare(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    def callSpan(startIdx: Int): Option[Int] =
+      if (startIdx + 1 < toks.length &&
+          dateFns.contains(toks(startIdx).text.toLowerCase) &&
+          toks(startIdx + 1).kind == Sym && toks(startIdx + 1).text == "(")
+        Some(closeParenFor(toks, startIdx + 1)).filter(_ > 0)
+      else None
+    var i = 1
+    while (i < toks.length - 1) {
+      if (toks(i).kind == Sym && cmpSyms.contains(toks(i).text)) {
+        // date call on the right of the comparison
+        callSpan(i + 1).foreach { close =>
+          val span = sql.substring(toks(i + 1).start, toks(close).end)
+          patches += ((toks(i + 1).start, toks(close).end,
+            s"cast(date_format($span, 'yyyyMMdd') as bigint)"))
+          i = close
+        }
+        // date call ending right before the comparison
+        if (i - 1 >= 1 && toks(i - 1).kind == Sym &&
+            toks(i - 1).text == ")") {
+          val open = openParenFor(toks, i - 1)
+          if (open > 0 &&
+              dateFns.contains(toks(open - 1).text.toLowerCase)) {
+            val span = sql.substring(toks(open - 1).start, toks(i - 1).end)
+            patches += ((toks(open - 1).start, toks(i - 1).end,
+              s"cast(date_format($span, 'yyyyMMdd') as bigint)"))
+          }
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   // ---- any_value() without GROUP BY (reference queries.go:9332, dolt
   //      issue 9699): the reference keeps PER-ROW semantics — the query
   //      returns every row and any_value(x) just evaluates x. Spark's

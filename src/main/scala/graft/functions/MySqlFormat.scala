@@ -26,9 +26,19 @@ object MySqlFormat {
     'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a",
     '%' -> "%")
 
+  /** Parse-mode overrides: MySQL numeric specifiers accept 1-2 digits
+    * ('5' or '05' for %m), which Java models as the single-letter
+    * pattern; the padded two-letter form is for FORMATTING only. */
+  private val parseTable: Map[Char, String] = Map(
+    'd' -> "d", 'm' -> "M", 'H' -> "H", 'h' -> "h", 'I' -> "h",
+    'i' -> "m", 'S' -> "s", 's' -> "s")
+
   /** Translate a MySQL format string into a Java pattern. Literal text is
-    * single-quoted so pattern letters in the input stay literal. */
-  def toJavaPattern(mysqlFmt: String): String = {
+    * single-quoted so pattern letters in the input stay literal.
+    * `parse`: lenient numeric widths for STR_TO_DATE. */
+  def toJavaPattern(mysqlFmt: String): String = toJavaPattern(mysqlFmt, parse = false)
+
+  def toJavaPattern(mysqlFmt: String, parse: Boolean): String = {
     val out = new StringBuilder
     var i = 0
     def literal(s: String): Unit =
@@ -38,7 +48,10 @@ object MySqlFormat {
       val c = mysqlFmt.charAt(i)
       if (c == '%' && i + 1 < mysqlFmt.length) {
         val spec = mysqlFmt.charAt(i + 1)
-        table.get(spec) match {
+        val mapped =
+          if (parse) parseTable.get(spec).orElse(table.get(spec))
+          else table.get(spec)
+        mapped match {
           case Some(p) =>
             literal(lit.result()); lit.clear()
             if (p == "%") lit.append('%') else out.append(p)
@@ -59,7 +72,8 @@ object MySqlFormat {
   /** MySQL STR_TO_DATE(str, '%d/%m/%Y ...') — timestamp if the pattern has
     * time parts; callers cast to date for date-only patterns. */
   def strToDate(c: Column, mysqlFmt: String): Column =
-    org.apache.spark.sql.functions.to_timestamp(c, toJavaPattern(mysqlFmt))
+    org.apache.spark.sql.functions.to_timestamp(c,
+      toJavaPattern(mysqlFmt, parse = true))
 
   // --- SQL-text registration -----------------------------------------
   // Overrides Spark's builtin `date_format`/`str_to_date` in the session
@@ -77,11 +91,12 @@ object MySqlFormat {
   import org.apache.spark.unsafe.types.UTF8String
 
   /** (possibly-translated format expr, original MySQL format if literal) */
-  private def translated(e: Expression): (Expression, Option[String]) =
+  private def translated(e: Expression, parse: Boolean = false)
+      : (Expression, Option[String]) =
     e match {
       case Literal(s: UTF8String, _: StringType) if s.toString.contains("%") =>
         val fmt = s.toString
-        (Literal(UTF8String.fromString(toJavaPattern(fmt)), StringType),
+        (Literal(UTF8String.fromString(toJavaPattern(fmt, parse)), StringType),
           Some(fmt))
       case other => (other, None)
     }
@@ -98,7 +113,7 @@ object MySqlFormat {
 
   def strToDateExpr(es: Seq[Expression]): Expression = {
     require(es.length == 2, "str_to_date(str, format)")
-    val (fmt, orig) = translated(es(1))
+    val (fmt, orig) = translated(es(1), parse = true)
     val hasTime = orig.exists(_.sliding(2).exists(p =>
       p.length == 2 && p.charAt(0) == '%' && timeSpecs(p.charAt(1))))
     if (orig.isDefined && !hasTime) new ParseToDate(es(0), fmt)
