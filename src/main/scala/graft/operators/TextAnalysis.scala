@@ -683,6 +683,39 @@ object TextAnalysis {
                      CAST(chunk_id*400 + 1 AS INTEGER) AS chunk_start,
                      substring(text, chunk_id*400 + 1, 500) AS chunk,
                      md5(substring(text, chunk_id*400 + 1, 500)) AS chunk_md5
-              FROM c ORDER BY doc_id, chunk_id"""))
+              FROM c ORDER BY doc_id, chunk_id""")),
+
+    // ---- balanced per-group sampling (the data-mixing step that caps
+    // each language/source at a quota so one domain can't dominate a
+    // training mix): deterministic md5 order inside each group, keep the
+    // first N. One hash exchange on the group key; the window is
+    // bounded per group, and at 100 TB a skew-heavy group bounds at the
+    // same quota — the shuffle carries only (doc_id, lang, md5), not
+    // the document text (projection pruned before the exchange).
+    QueryDef(
+      "sample_balanced",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(concat(col("doc_id"), lit(":bal:v1"))))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("lang"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 200)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_kept,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+              FROM (
+                SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(doc_id || ':bal:v1')) AS rn
+                FROM documents)
+              WHERE rn <= 200
+              GROUP BY lang ORDER BY lang"""))
   )
 }
