@@ -400,4 +400,44 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
     writeCheck("INSERT INTO mytable (i, s) VALUES ('42', 'coerced');", 1,
       "SELECT i FROM mytable WHERE s = 'coerced'", Seq(Seq(42)))
   }
+
+  test("numeric boundary values round-trip through INSERT then DELETE " +
+      "WHERE on the exact literal (numeric_error_queries.go; " +
+      "DECIMAL(65,30) is pinned DIVERGENCE: Spark caps precision at 38, " +
+      "so the fixture runs at (38,10))") {
+    def one(sql: String): Seq[Seq[Any]] =
+      engine.query(sql).collect().toSeq.map(_.toSeq)
+    engine.runScript(
+      """create table nbf (a int primary key, b double);
+        |insert into nbf values (1, -4e+212);
+        |create table nbd (a int, b decimal(38,10), primary key(a));
+        |insert into nbd values (1, 9999999999999999999999999.9999999999);
+        |create table nbi8 (i tinyint primary key);
+        |create table nbi16 (i smallint primary key);
+        |create table nbi32 (i int primary key);
+        |create table nbi64 (i bigint primary key);
+        |create table nbu64 (i bigint unsigned primary key);
+        |insert into nbi8 values (127);
+        |insert into nbi16 values (32767);
+        |insert into nbi32 values (2147483647);
+        |insert into nbi64 values (9223372036854775807);
+        |insert into nbu64 values (18446744073709551615);
+        |""".stripMargin)
+    assert(one("delete from nbf where a = 1 and b = -4e+212") == Seq(Seq(1L)))
+    assert(one(
+      "delete from nbd where a = 1 and b = 9999999999999999999999999.9999999999")
+      == Seq(Seq(1L)))
+    assert(one("delete from nbi8 where i = 127") == Seq(Seq(1L)))
+    assert(one("delete from nbi16 where i = 32767") == Seq(Seq(1L)))
+    assert(one("delete from nbi32 where i = 2147483647") == Seq(Seq(1L)))
+    assert(one("delete from nbi64 where i = 9223372036854775807") ==
+      Seq(Seq(1L)))
+    assert(one("delete from nbu64 where i = 18446744073709551615") ==
+      Seq(Seq(1L)))
+    Seq("nbf", "nbd", "nbi8", "nbi16", "nbi32", "nbi64", "nbu64")
+      .foreach { t =>
+        assert(one(s"select count(*) from $t") == Seq(Seq(0L)), t)
+        engine.query(s"drop table $t")
+      }
+  }
 }
