@@ -162,6 +162,24 @@ object Dml {
     """(?is)^\s*SHOW\s+(WARNINGS|ERRORS)(?:\s+LIMIT\s+(?:(\d+)\s*,\s*)?(\d+))?\s*$""".r
   private val ShowCountWarnings =
     """(?is)^\s*SHOW\s+COUNT\(\*\)\s+(WARNINGS|ERRORS)\s*$""".r
+  // client-probe SHOW surface for descoped features (triggers, events,
+  // stored routines, binlogs — SURVEY §2.12): honest empties with
+  // MySQL's column shapes, so `mysql` CLI / driver handshakes that
+  // enumerate them see a clean catalog instead of a parse error.
+  private val ShowTriggers =
+    """(?is)^\s*SHOW\s+TRIGGERS(?:\s+(?:FROM|IN)\s+\S+)?(?:\s+LIKE\s+'[^']*'|\s+WHERE\s+.*)?\s*$""".r
+  private val ShowEvents =
+    """(?is)^\s*SHOW\s+EVENTS(?:\s+(?:FROM|IN)\s+\S+)?(?:\s+LIKE\s+'[^']*')?\s*$""".r
+  private val ShowRoutineStatus =
+    """(?is)^\s*SHOW\s+(?:PROCEDURE|FUNCTION)\s+STATUS(?:\s+LIKE\s+'[^']*')?(?:\s+WHERE\s+.*)?\s*$""".r
+  private val ShowEngines =
+    """(?is)^\s*SHOW\s+(?:STORAGE\s+)?ENGINES\s*$""".r
+  private val ShowOpenTables =
+    """(?is)^\s*SHOW\s+OPEN\s+TABLES(?:\s+(?:FROM|IN)\s+\S+)?(?:\s+LIKE\s+'[^']*')?\s*$""".r
+  private val ShowBinaryLogs =
+    """(?is)^\s*SHOW\s+(?:BINARY|MASTER)\s+LOGS\s*$""".r
+  private val ShowPlugins =
+    """(?is)^\s*SHOW\s+PLUGINS\s*$""".r
   private val ShowColumns =
     """(?is)^\s*SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val ShowIndexes =
@@ -757,6 +775,60 @@ object Dml {
       val stats = Seq(("Threads_connected", "1"), ("Uptime", "1"),
         ("Questions", "1"))
       Some(filterLike(stats.toDF("Variable_name", "Value"), "Variable_name", like))
+
+    case ShowTriggers() =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq.empty[(String, String, String, String, String, String,
+          String, String, String, String, String)]
+        .toDF("Trigger", "Event", "Table", "Statement", "Timing",
+          "Created", "sql_mode", "Definer", "character_set_client",
+          "collation_connection", "Database Collation"))
+
+    case ShowEvents() =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq.empty[(String, String, String, String, String, String,
+          String, String, String, String)]
+        .toDF("Db", "Name", "Definer", "Time zone", "Type", "Starts",
+          "Ends", "Status", "Originator", "character_set_client"))
+
+    case ShowRoutineStatus() =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq.empty[(String, String, String, String, String, String,
+          String, String)]
+        .toDF("Db", "Name", "Type", "Definer", "Modified", "Created",
+          "Security_type", "Comment"))
+
+    case ShowEngines() =>
+      val s = e.spark
+      import s.implicits._
+      // the reference surfaces information_schema.engines (planbuilder/
+      // show.go:942); same single default-engine row
+      Some(Seq(("InnoDB", "DEFAULT",
+        "Supports transactions, row-level locking, and foreign keys",
+        "YES", "YES", "YES"))
+        .toDF("Engine", "Support", "Comment", "Transactions", "XA",
+          "Savepoints"))
+
+    case ShowOpenTables() =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq.empty[(String, String, Int, Int)]
+        .toDF("Database", "Table", "In_use", "Name_locked"))
+
+    case ShowBinaryLogs() =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq.empty[(String, Long, String)]
+        .toDF("Log_name", "File_size", "Encrypted"))
+
+    case ShowPlugins() =>
+      val s = e.spark
+      import s.implicits._
+      Some(Seq.empty[(String, String, String, String, String)]
+        .toDF("Name", "Status", "Type", "Library", "License"))
 
     case ShowWarnings(kind, off, lim) =>
       val s = e.spark

@@ -328,6 +328,26 @@ class WarningsSpec extends AnyFunSuite {
     engine.query("drop table sqw")
   }
 
+  test("client-probe SHOW surface: TRIGGERS/EVENTS/ROUTINE STATUS/OPEN " +
+      "TABLES/BINARY LOGS/PLUGINS answer with MySQL column shapes " +
+      "(honest empties for §2.12 descopes); SHOW ENGINES lists the " +
+      "default engine (planbuilder/show.go:942)") {
+    def cols(sql: String): Seq[String] =
+      engine.query(sql).columns.toSeq
+    assert(cols("SHOW TRIGGERS").take(4) ==
+      Seq("Trigger", "Event", "Table", "Statement"))
+    assert(engine.query("SHOW TRIGGERS LIKE 'x%'").count() == 0)
+    assert(cols("SHOW EVENTS").take(2) == Seq("Db", "Name"))
+    assert(engine.query("SHOW PROCEDURE STATUS").count() == 0)
+    assert(engine.query("SHOW FUNCTION STATUS LIKE 'f%'").count() == 0)
+    assert(engine.query("SHOW OPEN TABLES").count() == 0)
+    assert(engine.query("SHOW BINARY LOGS").count() == 0)
+    assert(engine.query("SHOW PLUGINS").count() == 0)
+    val eng = engine.query("SHOW ENGINES").collect()
+    assert(eng.length == 1 && eng(0).getString(0) == "InnoDB" &&
+      eng(0).getString(1) == "DEFAULT")
+  }
+
   test("LOAD DATA column-count mismatch warns 1261 per short row " +
       "(load_data.go; r6 ADVICE fixture shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ld").toFile
