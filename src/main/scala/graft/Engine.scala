@@ -581,6 +581,7 @@ class Engine(val spark: SparkSession) {
     // DATETIME(p) precision is still visible here) and feed 1292s into
     // the diagnostics area
     val pre = SqlRewrite.lenientCastLiterals(applyAnsiQuotes(sql), warn)
+    SqlRewrite.truncateLiteralWarnings(pre, warn)
     val rewritten0 =
       substituteVars(Dialect.rewrite(pre, pipesAsConcat))
     // ENUM index / SET bitmask ordering (enum.go / set.go Compare):

@@ -1259,6 +1259,42 @@ object SqlRewrite {
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
+  // ---- TRUNCATE(x, d) string-literal warnings (reference
+  //      function_queries.go:165-235): a non-numeric string INPUT warns
+  //      once ("double"); a string PRECISION warns twice ("int") — the
+  //      reference converts it in two phases and warns in each. Values
+  //      are already MySQL-coerced by MySqlTruncate; only the
+  //      diagnostics feed happens here, for literal args.
+
+  def truncateLiteralWarnings(sql: String, warn: (Int, String) => Unit): Unit = {
+    if (!sql.toLowerCase.contains("truncate")) return
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length - 2) {
+      if (toks(i).isWord("truncate") && toks(i + 1).kind == Sym &&
+          toks(i + 1).text == "(") {
+        def lit(t: Tok): Option[String] =
+          if (t.kind == Lit && t.text.startsWith("'"))
+            Some(t.text.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+          else None
+        // literal input arg: truncate('<lit>', ...)
+        if (i + 3 < toks.length && toks(i + 3).text == ",")
+          lit(toks(i + 2)).foreach { c =>
+            if (NumFull.findFirstIn(c).isEmpty)
+              warn(1292, s"Truncated incorrect double value: '$c'")
+          }
+        // literal precision arg: truncate(..., '<lit>')
+        val close = closeParenFor(toks, i + 1)
+        if (close > i + 3 && toks(close - 2).text == ",")
+          lit(toks(close - 1)).foreach { c =>
+            warn(1292, s"Truncated incorrect int value: '$c'")
+            warn(1292, s"Truncated incorrect int value: '$c'")
+          }
+      }
+      i += 1
+    }
+  }
+
   // ---- numeric column vs non-numeric string literal (reference
   //      TestConvert, convert_queries.go 'string' block): MySQL coerces
   //      the literal to the column's numeric type — 'string' -> 0 with a

@@ -76,7 +76,16 @@ object expressions {
   case class MySqlTruncate(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = left.dataType match {
-      case d: DecimalType => DecimalType(38, d.scale)
+      case d: DecimalType =>
+        // MySQL's result scale follows the (constant) precision arg:
+        // TRUNCATE(1.223, 1) is 1.2, not 1.200 (function_queries.go:195+)
+        val scale =
+          if (right.foldable)
+            scala.util.Try(dOf(right.eval())).toOption
+              .map(dd => math.max(0, math.min(dd, d.scale)))
+              .getOrElse(d.scale)
+          else d.scale
+        DecimalType(38, scale)
       case ByteType | ShortType | IntegerType | LongType => LongType
       case _ => DoubleType
     }
@@ -105,9 +114,10 @@ object expressions {
       x match {
         case dec: org.apache.spark.sql.types.Decimal =>
           val bd = dec.toJavaBigDecimal
+          val outScale = dataType.asInstanceOf[DecimalType].scale
           val eff = math.min(dd, bd.scale)
-          val truncated = bd.setScale(eff, RoundingMode.DOWN).setScale(bd.scale)
-          org.apache.spark.sql.types.Decimal(truncated, 38, bd.scale)
+          val truncated = bd.setScale(eff, RoundingMode.DOWN).setScale(outScale)
+          org.apache.spark.sql.types.Decimal(truncated, 38, outScale)
         case n @ (_: Byte | _: Short | _: Int | _: Long) =>
           val l = n.asInstanceOf[Number].longValue()
           if (dd >= 0) l

@@ -328,6 +328,31 @@ class WarningsSpec extends AnyFunSuite {
     engine.query("drop table sqw")
   }
 
+  test("TRUNCATE() string-arg warnings: non-numeric input warns once " +
+      "as double, string precision warns twice as int " +
+      "(function_queries.go:165-235)") {
+    def one(sql: String): Any = engine.query(sql).collect()(0).get(0)
+    assert(one("SELECT TRUNCATE('123abc',1)") == 123.0)
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(engine.query("SHOW WARNINGS").collect()(0).getString(2)
+      .contains("Truncated incorrect double value: '123abc'"))
+    assert(one("SELECT TRUNCATE('1.5abc',1)") == 1.5)
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(one("SELECT TRUNCATE('999xyz',2)") == 999.0)
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(one("SELECT TRUNCATE(1.223,'1.5abc')").toString == "1.2")
+    assert(warningCount() == 2)
+    assert(engine.query("SHOW WARNINGS").collect()(0).getString(2)
+      .contains("Truncated incorrect int value: '1.5abc'"))
+    assert(one("SELECT TRUNCATE(1.223,'0.5')").toString == "1")
+    assert(warningCount() == 2)
+    assert(one("SELECT TRUNCATE(1.223,'2.7')").toString == "1.22")
+    assert(warningCount() == 2)
+    // clean numeric literals warn nothing
+    assert(one("SELECT TRUNCATE(1.223, 1)").toString == "1.2")
+    assert(warningCount() == 0)
+  }
+
   test("client-probe SHOW surface: TRIGGERS/EVENTS/ROUTINE STATUS/OPEN " +
       "TABLES/BINARY LOGS/PLUGINS answer with MySQL column shapes " +
       "(honest empties for §2.12 descopes); SHOW ENGINES lists the " +
