@@ -580,8 +580,10 @@ class Engine(val spark: SparkSession) {
     // MySQL lenient literal casts run BEFORE the dialect pass (the
     // DATETIME(p) precision is still visible here) and feed 1292s into
     // the diagnostics area
-    val pre = SqlRewrite.lenientCastLiterals(applyAnsiQuotes(sql), warn)
-    SqlRewrite.truncateLiteralWarnings(pre, warn)
+    val pre0 = SqlRewrite.lenientCastLiterals(applyAnsiQuotes(sql), warn)
+    SqlRewrite.truncateLiteralWarnings(pre0, warn)
+    // zero-date literals in date arithmetic -> NULL + 1292
+    val pre = SqlRewrite.zeroDateCallNull(pre0, warn)
     val rewritten0 =
       substituteVars(Dialect.rewrite(pre, pipesAsConcat))
     // ENUM index / SET bitmask ordering (enum.go / set.go Compare):

@@ -1295,6 +1295,64 @@ object SqlRewrite {
     }
   }
 
+  // ---- zero-date literal args to date arithmetic (reference
+  //      function_queries.go:1788+): MySQL's zero date '0000-00-00' (or
+  //      numeric 0, or a boolean for DAYNAME) has no Spark
+  //      representation; the reference evaluates the call to NULL with a
+  //      1292 warning. Literal-only, call replaced by NULL.
+
+  private val zeroDateFns = Set("date_add", "date_sub", "adddate",
+    "subdate", "timestampadd", "datediff", "dayname")
+
+  def zeroDateCallNull(sql: String, warn: (Int, String) => Unit): String = {
+    val lower = sql.toLowerCase
+    if (!zeroDateFns.exists(f => lower.contains(f))) return sql
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 1) {
+      if (toks(i).kind == Word &&
+          zeroDateFns.contains(toks(i).text.toLowerCase) &&
+          toks(i + 1).kind == Sym && toks(i + 1).text == "(") {
+        val close = closeParenFor(toks, i + 1)
+        if (close > 0) {
+          // top-level arg tokens of this call
+          var depth = 0
+          var j = i + 1
+          var zero: Option[String] = None
+          while (j < close && zero.isEmpty) {
+            val t = toks(j)
+            if (t.kind == Sym && t.text == "(") depth += 1
+            else if (t.kind == Sym && t.text == ")") depth -= 1
+            else if (depth == 1) {
+              if (t.kind == Lit && t.text.startsWith("'") &&
+                  t.text.stripPrefix("'").startsWith("0000-00-00"))
+                zero = Some(t.text.stripPrefix("'").stripSuffix("'"))
+              else if (t.kind == Word && t.text == "0" &&
+                  // a bare literal zero arg, not part of an expression
+                  (toks(j - 1).text == "(" || toks(j - 1).text == ",") &&
+                  (toks(j + 1).text == ")" || toks(j + 1).text == ","))
+                zero = Some("0")
+              else if (t.kind == Word &&
+                  toks(i).text.equalsIgnoreCase("dayname") &&
+                  (t.text.equalsIgnoreCase("true") ||
+                   t.text.equalsIgnoreCase("false")))
+                zero = Some(t.text.toLowerCase)
+            }
+            j += 1
+          }
+          zero.foreach { z =>
+            patches += ((toks(i).start, toks(close).end, "NULL"))
+            warn(1292, s"Truncated incorrect datetime value: '$z'")
+          }
+          i = close
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   // ---- numeric column vs non-numeric string literal (reference
   //      TestConvert, convert_queries.go 'string' block): MySQL coerces
   //      the literal to the column's numeric type — 'string' -> 0 with a

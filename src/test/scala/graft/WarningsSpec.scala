@@ -353,6 +353,29 @@ class WarningsSpec extends AnyFunSuite {
     assert(warningCount() == 0)
   }
 
+  test("zero-date literals in date arithmetic evaluate NULL with a 1292 " +
+      "warning (function_queries.go:1788+ timestampadd/date_add/" +
+      "datediff/dayname blocks)") {
+    def isNull(sql: String): Boolean = engine.query(sql).collect()(0).isNullAt(0)
+    assert(isNull("select timestampadd(day, 1, '0000-00-00')"))
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(isNull("select timestampadd(day, 1, 0)"))
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(isNull("select date_add(0, interval 1 day)"))
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(isNull("select date_sub(0, interval 1 day)"))
+    assert(isNull("select datediff(0, '2020-10-10')"))
+    assert(isNull("select datediff('2020-10-10', 0)"))
+    assert(isNull("select datediff('0000-00-00', '2020-10-10')"))
+    assert(isNull("select dayname(0)"))
+    assert(isNull("select dayname(false)"))
+    assert(warnRows() == Seq((1292, "Warning")))
+    // clean args stay untouched and warn nothing
+    assert(engine.query("SELECT DATE_ADD('2018-05-02', INTERVAL 1 day)")
+      .collect()(0).get(0).toString.startsWith("2018-05-03"))
+    assert(warnRows() == Seq.empty)
+  }
+
   test("client-probe SHOW surface: TRIGGERS/EVENTS/ROUTINE STATUS/OPEN " +
       "TABLES/BINARY LOGS/PLUGINS answer with MySQL column shapes " +
       "(honest empties for §2.12 descopes); SHOW ENGINES lists the " +
