@@ -1288,8 +1288,13 @@ object Dml {
             stripTick(a.trim.split("\\s+").last))
         case AddCheck(_) =>
           // validates existing rows BEFORE registering — a failed ADD
-          // must not leave the constraint behind (MySQL semantics)
-          extractCheck(action).foreach { case (nm, ex) =>
+          // must not leave the constraint behind (MySQL semantics).
+          // NOT ENFORCED constraints are recorded nowhere and enforced
+          // never (check_scripts.go "basic drop check constraints":
+          // chk2 NOT ENFORCED admits violating writes).
+          val notEnforced = action.toUpperCase.replaceAll("\\s+", " ")
+            .trim.endsWith("NOT ENFORCED")
+          if (!notEnforced) extractCheck(action).foreach { case (nm, ex) =>
             val name = nm.getOrElse(
               s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}")
             val bad = e.spark.table(table)

@@ -893,6 +893,42 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
       .getLong(0).toInt == colls.length)
   }
 
+  test("CHECK corpus edge shapes: keyword-named column, violating ADD " +
+      "throws and registers nothing, NOT ENFORCED admits violations " +
+      "(check_scripts.go:296,330,363)") {
+    // keyword column through backticks
+    engine.query(
+      "create table ckw (`order` int primary key, constraint chk check (`order` > 0))")
+    assert(intercept[Exception] {
+      engine.query("insert into ckw values (0)")
+    }.getMessage.toLowerCase.contains("check"))
+    engine.query("insert into ckw values (100)")
+    assert(engine.query("select * from ckw").collect()(0).getInt(0) == 100)
+    engine.query("drop table ckw")
+    // ADD CONSTRAINT that existing rows violate: error, nothing kept
+    engine.runScript(
+      """create table cbad (pk int);
+        |insert into cbad values (1),(2),(300);
+        |""".stripMargin)
+    assert(intercept[Exception] {
+      engine.query("ALTER TABLE cbad ADD CONSTRAINT bad_check CHECK (pk < 5)")
+    }.getMessage.contains("3819"))
+    engine.query("insert into cbad values (400)") // not enforced: add failed
+    engine.query("drop table cbad")
+    // NOT ENFORCED checks never validate writes
+    engine.runScript(
+      """create table cne (a int primary key, b int);
+        |ALTER TABLE cne ADD CONSTRAINT chk1 CHECK (a > 0);
+        |ALTER TABLE cne ADD CONSTRAINT chk2 CHECK (b > 0) NOT ENFORCED;
+        |""".stripMargin)
+    engine.query("insert into cne values (1, -5)") // violates chk2 only
+    assert(engine.query("select * from cne").collect().length == 1)
+    assert(intercept[Exception] {
+      engine.query("insert into cne values (-1, 5)")
+    }.getMessage.toLowerCase.contains("check"))
+    engine.query("drop table cne")
+  }
+
   test("ai_ci ENUM/SET columns match members case-insensitively and " +
       "store the DECLARED spelling; bin-collated columns stay " +
       "case-sensitive (enum.go:86 collation.HashToUint)") {
