@@ -401,6 +401,27 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
       "SELECT i FROM mytable WHERE s = 'coerced'", Seq(Seq(42)))
   }
 
+  test("UPDATE with a subquery over a keyless table; UPDATE JOIN with " +
+      "capitalized table names (update_queries.go:682,697)") {
+    engine.runScript(
+      """create table ukl (i int);
+        |insert into ukl values (1);
+        |update ukl set i = 10 where i in (select 1);
+        |""".stripMargin)
+    assert(engine.query("select * from ukl").collect()(0).getInt(0) == 10)
+    engine.query("drop table ukl")
+    engine.runScript(
+      """create table Items (ItemID char(38) NOT NULL primary key, Version int);
+        |insert into Items values ('1234', 1);
+        |create table Items2 (ItemID char(38) NOT NULL primary key, Version int);
+        |insert into Items2 values ('1234', 2);
+        |UPDATE Items INNER JOIN Items2 ON (Items.ItemID = Items2.ItemID) SET Items.Version = Items2.Version WHERE Items.Version != Items2.Version;
+        |""".stripMargin)
+    val r = engine.query("select * from Items").collect()(0)
+    assert(r.getString(0) == "1234" && r.getInt(1) == 2)
+    engine.runScript("drop table Items; drop table Items2;")
+  }
+
   test("numeric boundary values round-trip through INSERT then DELETE " +
       "WHERE on the exact literal (numeric_error_queries.go; " +
       "DECIMAL(65,30) is pinned DIVERGENCE: Spark caps precision at 38, " +
