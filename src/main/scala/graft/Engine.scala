@@ -2331,7 +2331,14 @@ class Engine(val spark: SparkSession) {
       case Some((isSet, vs)) =>
         (if (isSet) "set" else "enum") +
           vs.map(v => s"'${v.replace("'", "''")}'").mkString("(", ",", ")")
-      case None => mysqlType(f.dataType)
+      case None =>
+        // declared CHAR/VARCHAR length survives into the catalog render
+        charLimits.get((table, f.name.toLowerCase)) match {
+          case Some(n)
+              if f.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] =>
+            s"varchar($n)"
+          case _ => mysqlType(f.dataType)
+        }
     }
 
   /** EXPLAIN — formatted Catalyst plan. */
