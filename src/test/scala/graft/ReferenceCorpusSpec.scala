@@ -306,4 +306,26 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     check("select * from null_ranges where y < 6 and y > -1 and y IS NOT NULL",
       Seq(Seq(0, 0), Seq(1, 1), Seq(2, 2)))
   }
+
+  test("window filter placement: WHERE below the window function, " +
+      "derived-table WHERE above it (queries.go:2077-2106)") {
+    // filter below: the window numbers only the filtered rows
+    check("SELECT ROW_NUMBER() OVER (ORDER BY s2 ASC) idx, i2, s2 " +
+      "FROM othertable WHERE s2 <> 'second' ORDER BY i2 ASC",
+      Seq(Seq(2, 1, "third"), Seq(1, 3, "first")))
+    // filter above a derived table: the window numbered ALL rows first
+    check("SELECT * FROM (SELECT ROW_NUMBER() OVER (ORDER BY s2 ASC) idx, " +
+      "i2, s2 FROM othertable ORDER BY i2 ASC) a WHERE s2 <> 'second'",
+      Seq(Seq(3, 1, "third"), Seq(1, 3, "first")))
+    check("SELECT ROW_NUMBER() OVER (ORDER BY s2 ASC) idx, i2, s2 " +
+      "FROM othertable WHERE i2 < 2 OR i2 > 2 ORDER BY i2 ASC",
+      Seq(Seq(2, 1, "third"), Seq(1, 3, "first")))
+    check("SELECT * FROM (SELECT ROW_NUMBER() OVER (ORDER BY s2 ASC) idx, " +
+      "i2, s2 FROM othertable ORDER BY i2 ASC) a WHERE i2 < 2 OR i2 > 2",
+      Seq(Seq(3, 1, "third"), Seq(1, 3, "first")))
+    // window inside a CTE, consumed with renamed columns
+    check("WITH mt (s,i) as (select i, row_number() over (order by i desc) " +
+      "FROM mytable) SELECT s,i FROM mt order by 1",
+      Seq(Seq(1, 3), Seq(2, 2), Seq(3, 1)))
+  }
 }
