@@ -327,5 +327,21 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     check("WITH mt (s,i) as (select i, row_number() over (order by i desc) " +
       "FROM mytable) SELECT s,i FROM mt order by 1",
       Seq(Seq(1, 3), Seq(2, 2), Seq(3, 1)))
+    // window over a join; filtered join; double windows; correlated
+    // scalar-subquery window (queries.go:4493, 6741+)
+    check("select row_number() over (order by i desc), mytable.i as i2 " +
+      "from mytable join othertable on i = i2 order by 1",
+      Seq(Seq(1, 3), Seq(2, 2), Seq(3, 1)))
+    check("select row_number() over (order by i desc), mytable.i as i2 " +
+      "from mytable join othertable on i = i2 where mytable.i = 3 order by 1",
+      Seq(Seq(1, 3)))
+    check("select i, row_number() over (order by i desc), " +
+      "row_number() over (order by length(s),i) from mytable order by 1",
+      Seq(Seq(1, 3, 1), Seq(2, 2, 3), Seq(3, 1, 2)))
+    check("select i, row_number() over (order by i desc) from mytable " +
+      "where i = 2 order by 1", Seq(Seq(2, 1)))
+    check("SELECT i, (SELECT row_number() over (order by ot.i2 desc) " +
+      "FROM othertable ot where ot.i2 = mt.i) from mytable mt order by 1",
+      Seq(Seq(1, 1), Seq(2, 1), Seq(3, 1)))
   }
 }
