@@ -1303,15 +1303,53 @@ object SqlRewrite {
 
   private val zeroDateFns = Set("date_add", "date_sub", "adddate",
     "subdate", "timestampadd", "datediff", "dayname")
+  // DAY()/DAYOFMONTH() over the zero date return 0, not NULL — the day
+  // NUMBER of the zero date is 0; only a non-date (true) nulls + warns
+  private val zeroDayFns = Set("day", "dayofmonth")
 
   def zeroDateCallNull(sql: String, warn: (Int, String) => Unit): String = {
     val lower = sql.toLowerCase
-    if (!zeroDateFns.exists(f => lower.contains(f))) return sql
+    if (!zeroDateFns.exists(f => lower.contains(f)) &&
+        !zeroDayFns.exists(f => lower.contains(f)) &&
+        !lower.contains("interval")) return sql
     val toks = tokenize(sql)
     val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
     var i = 0
     while (i < toks.length - 1) {
-      if (toks(i).kind == Word &&
+      // bare `0 + INTERVAL n unit` / `0 - INTERVAL n unit` arithmetic:
+      // the zero date has no Spark value -> NULL + 1292
+      // (function_queries.go:1868)
+      if (toks(i).kind == Word && toks(i).text == "0" &&
+          i + 4 < toks.length && toks(i + 1).kind == Sym &&
+          (toks(i + 1).text == "+" || toks(i + 1).text == "-") &&
+          toks(i + 2).isWord("interval") &&
+          (i == 0 || toks(i - 1).kind == Sym ||
+            Set("select", "where", "when", "then", "else", "and", "or",
+              "not", "on", "having", "by")
+              .contains(toks(i - 1).text.toLowerCase))) {
+        patches += ((toks(i).start, toks(i + 4).end, "NULL"))
+        warn(1292, "Truncated incorrect datetime value: '0'")
+        i += 4
+      }
+      else if (toks(i).kind == Word &&
+          zeroDayFns.contains(toks(i).text.toLowerCase) &&
+          i + 3 < toks.length &&
+          toks(i + 1).kind == Sym && toks(i + 1).text == "(" &&
+          toks(i + 3).kind == Sym && toks(i + 3).text == ")") {
+        val arg = toks(i + 2)
+        val argText = arg.text.toLowerCase
+        val isZeroDate = arg.kind == Lit &&
+          arg.text.stripPrefix("'").startsWith("0000-00-00")
+        if (argText == "0" || argText == "false" || isZeroDate)
+          patches += ((toks(i).start, toks(i + 3).end, "0"))
+        else if (argText == "true") {
+          patches += ((toks(i).start, toks(i + 3).end, "NULL"))
+          warn(1292, "Truncated incorrect datetime value: 'true'")
+        }
+        if (argText == "0" || argText == "false" || argText == "true" ||
+            isZeroDate) i += 3
+      }
+      else if (toks(i).kind == Word &&
           zeroDateFns.contains(toks(i).text.toLowerCase) &&
           toks(i + 1).kind == Sym && toks(i + 1).text == "(") {
         val close = closeParenFor(toks, i + 1)

@@ -370,6 +370,22 @@ class WarningsSpec extends AnyFunSuite {
     assert(isNull("select dayname(0)"))
     assert(isNull("select dayname(false)"))
     assert(warnRows() == Seq((1292, "Warning")))
+    // bare 0 +/- INTERVAL arithmetic (function_queries.go:1868)
+    assert(isNull("select 0 + interval 1 day"))
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(isNull("select 0 - interval 1 day"))
+    assert(warnRows() == Seq((1292, "Warning")))
+    // day/dayofmonth of the zero date is the day NUMBER 0, no warning;
+    // a non-date boolean nulls + warns (function_queries.go:2010-2081)
+    assert(engine.query("select day(false)").collect()(0).getInt(0) == 0)
+    assert(warnRows() == Seq.empty)
+    assert(engine.query("select day('0000-00-00')").collect()(0).getInt(0) == 0)
+    assert(isNull("select day(true)"))
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(isNull("select dayofmonth(true)"))
+    assert(engine.query("select dayofmonth(false)").collect()(0).getInt(0) == 0)
+    assert(isNull("select dayname('0000-00-00')"))
+    assert(warnRows() == Seq((1292, "Warning")))
     // clean args stay untouched and warn nothing
     assert(engine.query("SELECT DATE_ADD('2018-05-02', INTERVAL 1 day)")
       .collect()(0).get(0).toString.startsWith("2018-05-03"))
