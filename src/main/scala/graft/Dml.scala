@@ -67,7 +67,7 @@ object Dml {
   private val DeleteUsing =
     """(?is)^\s*DELETE\s+FROM\s+((?:`?[A-Za-z_][A-Za-z0-9_]*`?\s*,\s*)*`?[A-Za-z_][A-Za-z0-9_]*`?)\s+USING\s+(.*)$""".r
   private val CreateView =
-    re("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s*(\([^)]*\))?\s+AS\s+(.*)$""")
+    re("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s*(\([^)]*\))?\s+AS\s+(.*)$""")
   private val ShowCreateView =
     """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val CreateTableAs =
@@ -618,19 +618,31 @@ object Dml {
         }
       }
 
-    case CreateView(name, colList, body) =>
+    case CreateView(orReplace, ifNotExists, name, colList, body) =>
       // optional explicit output column list: CREATE VIEW v (a, b) AS ...
       val cols = Option(colList).map(_.trim.stripPrefix("(").stripSuffix(")")
         .split(",").map(c => stripTick(c.trim)).toSeq).getOrElse(Seq.empty)
-      e.createView(normName(name), body, cols); Some(ok(e, 0L))
+      val n = normName(name)
+      // MySQL existence semantics (view_queries.go:26 "existing views"):
+      // IF NOT EXISTS over an existing view OR table is a silent no-op;
+      // a plain CREATE VIEW over an existing object is error 1050.
+      val exists = e.viewDefs.contains(n) || e.createdRelations.contains(n)
+      if (exists && orReplace == null) {
+        if (ifNotExists != null) Some(ok(e, 0L))
+        else throw new IllegalArgumentException(s"Table '$n' already exists (MySQL 1050)")
+      } else {
+        e.createView(n, body, cols); Some(ok(e, 0L))
+      }
 
     case ShowCreateView(name) =>
       val sqlText = e.viewDefs.getOrElse(name,
         throw new IllegalArgumentException(s"Table '$name' doesn't exist"))
       val s = e.spark
       import s.implicits._
+      // charset/collation columns match the reference's fixed rendering
+      // (view_queries.go:584 expects utf8mb4 / utf8mb4_0900_bin)
       Some(Seq((name, s"CREATE VIEW `$name` AS $sqlText",
-        "utf8mb4", "utf8mb4_0900_ai_ci"))
+        "utf8mb4", "utf8mb4_0900_bin"))
         .toDF("View", "Create View", "character_set_client",
           "collation_connection"))
 
@@ -643,6 +655,7 @@ object Dml {
       val name = normName(nameRaw)
       val src = normName(srcRaw)
       e.replaceTable(name, e.spark.table(src).limit(0), bumpDepth = false)
+      e.noteRelation(name)
       e.tableKeys.get(src).foreach(k => e.declareKey(name, k))
       e.autoIncCols.get(src).foreach(c => e.declareAutoInc(name, c))
       e.columnDefaults.toSeq.collect {
@@ -1226,6 +1239,7 @@ object Dml {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(fields.toSeq))
     e.replaceTable(table, df, bumpDepth = false)
+    e.noteRelation(table)
   }
 
   /** ALTER TABLE actions (reference sql/planbuilder/ddl.go buildAlterTable):

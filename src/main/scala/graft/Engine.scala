@@ -300,6 +300,7 @@ class Engine(val spark: SparkSession) {
   functions.spatial.register(spark)
   functions.MySqlFormat.register(spark)
   functions.MiscFns.register(spark)
+  functions.RegexpFns.register(spark)
 
   /** MySQL substring-TRIM semantics (TRIM('bar' FROM s) removes the
     * string, not Spark's character-set reading). Applied to the ANALYZED
@@ -792,9 +793,11 @@ class Engine(val spark: SparkSession) {
 
   /** CREATE TABLE t AS SELECT ... (TableCopier, sql/plan/table_copier.go).
     * A db-qualified target materializes into the catalog namespace. */
-  def ctas(name: String, sql: String): Unit =
+  def ctas(name: String, sql: String): Unit = {
+    createdRelations += name
     if (name.contains(".")) replaceTable(name, query(sql), bumpDepth = false)
     else query(sql).createOrReplaceTempView(name)
+  }
 
   // ---- AS OF time travel ------------------------------------------------
   // The reference resolves `table AS OF <revision>` against versioned
@@ -836,11 +839,21 @@ class Engine(val spark: SparkSession) {
   private[graft] val viewDefs =
     scala.collection.mutable.Map.empty[String, String]
 
+  /** Relations THIS engine created (tables + views), for MySQL existence
+    * semantics (1050 on duplicate CREATE VIEW, IF NOT EXISTS no-op).
+    * Deliberately per-engine, not the shared session catalog: sibling
+    * engines on the same SparkSession must not leak existence. */
+  private[graft] val createdRelations =
+    scala.collection.mutable.Set.empty[String]
+  private[graft] def noteRelation(name: String): Unit =
+    createdRelations += name
+
   def createView(name: String, sql: String,
                  columns: Seq[String] = Seq.empty): Unit = {
     val df0 = query(sql)
     val df = if (columns.isEmpty) df0 else df0.toDF(columns: _*)
     viewDefs(name) = sql
+    createdRelations += name
     if (name.contains(".")) replaceTable(name, df, bumpDepth = false)
     else df.createOrReplaceTempView(name)
   }
@@ -1659,6 +1672,7 @@ class Engine(val spark: SparkSession) {
     uniqueKeys.filterInPlace(_._1 != table)
     foreignKeys.filterInPlace(_.child != table)
     viewDefs.remove(table)
+    createdRelations.remove(table)
     tableKeys.remove(table)
     autoIncCols.remove(table)
     columnDefaults.filterInPlace { case ((t, _), _) => t != table }

@@ -71,7 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("str_to_date", es => graft.functions.MySqlFormat.strToDateExpr(es)))
     fns.foreach(ext.injectFunction)
     // shared builder tables (same source as Engine registration; no drift)
-    (graft.functions.MiscFns.builders ++ graft.functions.spatial.builders)
+    (graft.functions.MiscFns.builders ++ graft.functions.spatial.builders ++
+      graft.functions.RegexpFns.builders)
       .foreach { case (name, b) => ext.injectFunction(fn(name, b)) }
     // MySQL substring-TRIM semantics — resolution-time, ahead of the
     // optimizer's constant folding (see expressions.MySqlTrimRule)
