@@ -1187,8 +1187,37 @@ object Dml {
     extractGenerated(rest) match {
       case Some(g) => e.declareGenerated(table, colName, g)
       case None =>
-        // declared DEFAULT: applied to unmentioned columns on insert
-        extractDefault(rest).foreach(d => e.declareDefault(table, colName, d))
+        // declared DEFAULT: applied to unmentioned columns on insert.
+        // MySQL validates the declaration itself (column_default_queries
+        // .go:505-530): bare column references need parens (syntax
+        // error), and literal defaults must convert to the column type
+        // (ErrIncompatibleDefaultType, MySQL 1067).
+        extractDefault(rest).foreach { d =>
+          val t = d.trim
+          val bareIdent = """^[A-Za-z_][A-Za-z0-9_]*$""".r.matches(t) &&
+            !Set("null", "true", "false", "current_timestamp", "now",
+              "current_date", "localtime", "localtimestamp", "uuid")
+              .contains(t.toLowerCase)
+          if (bareIdent) throw new IllegalArgumentException(
+            s"Column reference in DEFAULT must be enclosed in parentheses: " +
+            s"'$t' (MySQL syntax error)")
+          val numLit = """^-?\d+(\.\d+)?$""".r.matches(t)
+          val strLit = t.startsWith("'")
+          if (numLit && t.startsWith("-") &&
+              rest.toUpperCase.contains("UNSIGNED"))
+            throw new IllegalArgumentException(
+              s"Incompatible DEFAULT $t for unsigned column '$colName' " +
+              s"(MySQL 1067)")
+          if (strLit && !numLit) {
+            val body = t.stripPrefix("'").stripSuffix("'")
+            val numericTarget = dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+            if (numericTarget && scala.util.Try(BigDecimal(body)).isFailure)
+              throw new IllegalArgumentException(
+                s"Incompatible DEFAULT $t for numeric column '$colName' " +
+                s"(MySQL 1067)")
+          }
+          e.declareDefault(table, colName, d)
+        }
     }
     // column-level CHECK (MySQL 8.0.16 enforcement semantics)
     extractCheck(rest).foreach { case (nm, ex) =>
@@ -1344,12 +1373,32 @@ object Dml {
                 rest.map(c => col(s"`$c`"))).toSeq: _*)
             case _ => withCol
           }
-        case DropCol(cn) => df = df.drop(stripTick(cn))
+        case DropCol(cn) =>
+          df = df.drop(stripTick(cn))
+          e.columnDefaults.remove((table, stripTick(cn).toLowerCase))
         case RenameCol(a, b) =>
           df = df.withColumnRenamed(stripTick(a), stripTick(b))
         case Modify(cn, spec) =>
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
-          df = df.withColumn(stripTick(cn), col(s"`${stripTick(cn)}`").cast(dt))
+          val name = stripTick(cn)
+          // MODIFY may re-declare the DEFAULT and reposition the column
+          // (column_default_queries.go t22/t23: MODIFY ... DEFAULT (x) FIRST)
+          extractDefault(spec).foreach(d => e.declareDefault(table, name, d))
+          df = df.withColumn(name, col(s"`$name`").cast(dt))
+          val afterRe =
+            """(?is).*\bAFTER\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+          df = spec match {
+            case _ if spec.toUpperCase.trim.endsWith("FIRST") =>
+              df.select((col(s"`$name`") +: df.columns.filter(_ != name)
+                .map(c => col(s"`$c`")).toSeq): _*)
+            case afterRe(a) =>
+              val rest = df.columns.filter(_ != name)
+              val before = rest.takeWhile(_ != stripTick(a)) :+ stripTick(a)
+              val tail = rest.drop(before.length)
+              df.select((before.map(c => col(s"`$c`")) ++
+                Seq(col(s"`$name`")) ++ tail.map(c => col(s"`$c`"))).toSeq: _*)
+            case _ => df
+          }
         case Change(a, b, spec) =>
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           df = df.withColumn(stripTick(a), col(s"`${stripTick(a)}`").cast(dt))

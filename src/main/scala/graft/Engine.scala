@@ -1196,10 +1196,55 @@ class Engine(val spark: SparkSession) {
     // null-fill via unionByName)
     val target = spark.table(table)
     val present = incoming0.columns.map(_.toLowerCase).toSet
-    val incoming =
+    // Declared-DEFAULT fill runs to a fixpoint so expression defaults may
+    // reference sibling columns in either direction — back references to
+    // supplied values (t8: DEFAULT (v2 + 1)) and references to other
+    // DEFAULTs (t5/t6: DEFAULT (v2), v2 DEFAULT 7) — matching
+    // column_default_queries.go:100-180. A default is applied once every
+    // column it mentions is present; literal defaults resolve first pass.
+    val defaultFilled =
       if (!fillMissing) incoming0
-      else target.schema.fields.foldLeft(incoming0) { (df, f) =>
-        if (present(f.name.toLowerCase)) df
+      else {
+        var df = incoming0
+        var pending = target.schema.fields.filter(f =>
+          !present(f.name.toLowerCase) &&
+            columnDefaults.contains((table, f.name.toLowerCase))).toList
+        var progress = true
+        while (progress && pending.nonEmpty) {
+          progress = false
+          val (ready, notReady) = pending.partition { f =>
+            val d = columnDefaults((table, f.name.toLowerCase))
+            val refs =
+              try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parseExpression(d).collect {
+                  case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                    a.name
+                }
+              catch { case _: Exception => Seq.empty[String] }
+            refs.forall(r => df.columns.exists(_.equalsIgnoreCase(r)))
+          }
+          ready.foreach { f =>
+            val d = columnDefaults((table, f.name.toLowerCase))
+            df = df.withColumn(f.name,
+              org.apache.spark.sql.functions.expr(d).cast(f.dataType))
+            progress = true
+          }
+          pending = notReady
+        }
+        // unresolvable references fall through as before (analysis error
+        // at write, like a bad default in MySQL)
+        pending.foreach { f =>
+          val d = columnDefaults((table, f.name.toLowerCase))
+          df = df.withColumn(f.name,
+            org.apache.spark.sql.functions.expr(d).cast(f.dataType))
+        }
+        df
+      }
+    val nowPresent = defaultFilled.columns.map(_.toLowerCase).toSet
+    val incoming =
+      if (!fillMissing) defaultFilled
+      else target.schema.fields.foldLeft(defaultFilled) { (df, f) =>
+        if (nowPresent(f.name.toLowerCase)) df
         else columnDefaults.get((table, f.name.toLowerCase)) match {
           case Some(d) =>
             df.withColumn(f.name,
