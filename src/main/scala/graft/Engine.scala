@@ -585,8 +585,11 @@ class Engine(val spark: SparkSession) {
     SqlRewrite.truncateLiteralWarnings(pre0, warn)
     // zero-date literals in date arithmetic -> NULL + 1292
     val pre = SqlRewrite.zeroDateCallNull(pre0, warn)
+    // JSON_TABLE table functions compile to (LATERAL) derived tables
+    // before any further token work (plans/JsonTableSql)
     val rewritten0 =
-      substituteVars(Dialect.rewrite(pre, pipesAsConcat))
+      plans.JsonTableSql.rewrite(
+        substituteVars(Dialect.rewrite(pre, pipesAsConcat)))
     // ENUM index / SET bitmask ordering (enum.go / set.go Compare):
     // only sessions that declared a vocabulary pay the token walk
     val rewritten1 =

@@ -964,5 +964,8 @@ object json {
       es => JsonSchemaValid(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_schema_validation_report",
       es => JsonSchemaValidationReport(es), "scala_udf")
+    // path-match array (JSON_TABLE's row source; plans/JsonTableSql)
+    reg.createOrReplaceTempFunction("json_matches",
+      es => JsonMatches(es), "scala_udf")
   }
 }
