@@ -101,6 +101,80 @@ object Events {
               SELECT day, event_type, user_id, n FROM (
                 SELECT *, row_number() OVER (PARTITION BY day, event_type
                   ORDER BY n DESC, user_id) AS rk FROM daily)
-              WHERE rk = 1 ORDER BY day, event_type"""))
+              WHERE rk = 1 ORDER BY day, event_type""")),
+
+    // ---- sequential funnel: view -> click -> purchase, strictly ordered
+    //      per user. Each stage is one hash aggregation on user_id plus a
+    //      user_id equi-join against the previous stage's (user, min_ts)
+    //      frame — stage frames are distinct-user-sized, never
+    //      event-sized, and every join shares the user_id key, so at
+    //      100 TB the stages co-partition instead of reshuffling events.
+    QueryDef(
+      "events_funnel",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+        def stage(df: org.apache.spark.sql.DataFrame, n: Int, nm: String) =
+          df.agg(count(lit(1)).as("users"))
+            .select(lit(n).as("stage"), lit(nm).as("stage_name"),
+              col("users"))
+        stage(v, 1, "view").union(stage(c, 2, "click"))
+          .union(stage(p, 3, "purchase")).orderBy(col("stage"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+                         WHERE event_type = 'view' GROUP BY 1),
+                   c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                         JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+                         WHERE e.event_type = 'click' GROUP BY 1),
+                   p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                         JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+                         WHERE e.event_type = 'purchase' GROUP BY 1)
+              SELECT * FROM (
+                SELECT 1 AS stage, 'view' AS stage_name,
+                       (SELECT COUNT(*) FROM v) AS users
+                UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+                UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p))
+              ORDER BY stage""")),
+
+    // ---- cohort retention: users grouped by first-seen day; how many
+    //      are active again N days later (N in 0..7). Two exchanges —
+    //      first-seen min per user, then (cohort, offset) count over the
+    //      distinct (user, day) activity frame joined back on user_id.
+    QueryDef(
+      "events_retention",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+        val firstSeen = ev.groupBy("user_id")
+          .agg(min(col("day")).as("cohort"))
+        val active = ev.distinct()
+        active.join(firstSeen, "user_id")
+          .withColumn("day_offset",
+            datediff(col("day"), col("cohort")).cast("long"))
+          .filter(col("day_offset").between(0, 7))
+          .groupBy(col("cohort"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy(col("cohort"), col("day_offset"))
+      },
+      Some("""WITH f AS (SELECT user_id,
+                     MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+                   FROM events GROUP BY 1),
+                   a AS (SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+              SELECT f.cohort,
+                     datediff('day', f.cohort, a.day) AS day_offset,
+                     COUNT(DISTINCT a.user_id) AS active_users
+              FROM a JOIN f ON a.user_id = f.user_id
+              WHERE datediff('day', f.cohort, a.day) BETWEEN 0 AND 7
+              GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
