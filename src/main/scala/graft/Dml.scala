@@ -181,7 +181,7 @@ object Dml {
   private val ShowPlugins =
     """(?is)^\s*SHOW\s+PLUGINS\s*$""".r
   private val ShowColumns =
-    """(?is)^\s*SHOW\s+(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+    """(?is)^\s*SHOW\s+(FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val ShowIndexes =
     """(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val ShowCreate =
@@ -730,7 +730,15 @@ object Dml {
     case DeallocStmt(name) =>
       e.preparedStmts.remove(name); Some(ok(e, 0L))
 
-    case SetTz(tz) => e.setTimeZone(tz); Some(ok(e, 0L))
+    case SetTz(tz) =>
+      // the value may be a scalar subquery (time_queries.go "set time
+      // zone from table value") — evaluate it first, then validate
+      val v =
+        if (tz.trim.startsWith("(")) {
+          val r = e.query(tz.trim.stripPrefix("(").stripSuffix(")")).collect()
+          if (r.isEmpty || r(0).get(0) == null) "SYSTEM" else r(0).get(0).toString
+        } else tz
+      e.setTimeZone(v); Some(ok(e, 0L))
 
     // sql_mode: ANSI_QUOTES toggles double-quoted identifiers; other
     // modes are accepted as session chatter (reference sql_mode.go)
@@ -951,12 +959,24 @@ object Dml {
         "executing", "SHOW PROCESSLIST"))
         .toDF("Id", "User", "Host", "db", "Command", "Time", "State", "Info"))
 
-    case ShowColumns(table) =>
+    case ShowColumns(full, table) =>
       val s = e.spark
       import s.implicits._
-      Some(e.showColumns(table)
-        .map(c => (c._1, c._2, c._3, c._4, c._5.orNull, c._6))
-        .toDF("Field", "Type", "Null", "Key", "Default", "Extra"))
+      if (full == null)
+        Some(e.showColumns(table)
+          .map(c => (c._1, c._2, c._3, c._4, c._5.orNull, c._6))
+          .toDF("Field", "Type", "Null", "Key", "Default", "Extra"))
+      else
+        // FULL adds Collation / Privileges / Comment (show.go; string
+        // columns carry the reference's default utf8mb4_0900_bin)
+        Some(e.showColumns(table)
+          .map(c => (c._1, c._2,
+            if (c._2.startsWith("varchar") || c._2.startsWith("char") ||
+                c._2.contains("text") || c._2.startsWith("enum") ||
+                c._2.startsWith("set")) "utf8mb4_0900_bin" else null,
+            c._3, c._4, c._5.orNull, c._6, "", ""))
+          .toDF("Field", "Type", "Collation", "Null", "Key", "Default",
+            "Extra", "Privileges", "Comment"))
 
     case ShowIndexes(table) =>
       val s = e.spark
@@ -1277,6 +1297,16 @@ object Dml {
   private def alterTable(e: Engine, table: String, actions: String): Unit = {
     var df = e.spark.table(table)
     var renameTo: Option[String] = None
+    // MySQL resolves every action of a multi-action ALTER against the
+    // schema at statement START (alter_table_queries.go "variety of
+    // alter column statements": add vnew + drop vnew in one statement is
+    // ErrTableColumnNotFound, as is dropping a renamed-away column)
+    val originalCols = df.columns.map(_.toLowerCase).toSet
+    val renamedAway = scala.collection.mutable.Set.empty[String]
+    val AlterColDefault =
+      """(?is)^ALTER\s+(?:COLUMN\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+SET\s+DEFAULT\s+(.+)$""".r
+    val AlterColDropDefault =
+      """(?is)^ALTER\s+(?:COLUMN\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+DEFAULT$""".r
     val Add =
       """(?is)^ADD\s+(?:COLUMN\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
     val DropCol =
@@ -1373,10 +1403,41 @@ object Dml {
                 rest.map(c => col(s"`$c`"))).toSeq: _*)
             case _ => withCol
           }
-        case DropCol(cn) =>
-          df = df.drop(stripTick(cn))
+        case AlterColDefault(cn, d) =>
+          e.declareDefault(table, stripTick(cn), d.trim)
+        case AlterColDropDefault(cn) =>
           e.columnDefaults.remove((table, stripTick(cn).toLowerCase))
+        case DropCol(cn) =>
+          val lc = stripTick(cn).toLowerCase
+          if (!originalCols(lc) || renamedAway(lc))
+            throw new IllegalArgumentException(
+              s"table '$table' does not have column '${stripTick(cn)}' " +
+              s"(MySQL 1054: multi-ALTER actions resolve against the " +
+              s"statement-start schema)")
+          // CHECK constraints referencing ONLY this column drop with it;
+          // a multi-column check referencing it blocks the drop
+          // (alter_table_queries.go:209-330, MySQL 3959)
+          val refsOf = (ex: String) =>
+            try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(ex).collect {
+                case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                  a.name.toLowerCase
+              }.toSet
+            catch { case _: Exception => Set.empty[String] }
+          e.checkConstraints.find(c => c._1 == table && {
+            val r = refsOf(c._3); r.contains(lc) && r.exists(_ != lc)
+          }).foreach { c =>
+            throw new IllegalArgumentException(
+              s"check constraint '${c._2}' references column " +
+              s"'${stripTick(cn)}' and others; drop the constraint first " +
+              s"(MySQL 3959)")
+          }
+          e.checkConstraints.filterInPlace(c =>
+            !(c._1 == table && refsOf(c._3) == Set(lc)))
+          df = df.drop(stripTick(cn))
+          e.columnDefaults.remove((table, lc))
         case RenameCol(a, b) =>
+          renamedAway += stripTick(a).toLowerCase
           df = df.withColumnRenamed(stripTick(a), stripTick(b))
         case Modify(cn, spec) =>
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
@@ -1400,6 +1461,8 @@ object Dml {
             case _ => df
           }
         case Change(a, b, spec) =>
+          if (!stripTick(a).equalsIgnoreCase(stripTick(b)))
+            renamedAway += stripTick(a).toLowerCase
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           df = df.withColumn(stripTick(a), col(s"`${stripTick(a)}`").cast(dt))
             .withColumnRenamed(stripTick(a), stripTick(b))

@@ -261,6 +261,17 @@ class EngineSpec extends AnyFunSuite {
       e2.query("SET time_zone = 'invalid time zone'")
     }
     assert(err.getMessage.contains("1298"))
+    // subquery-valued SET (time_queries.go "set time zone from table
+    // value"): evaluates first, then validates like a literal
+    e2.query("create table tz_src (pk int, tz varchar(20))")
+    e2.query("insert into tz_src values (1, 'invalid time zone'), (2, '-5:00')")
+    val err2 = intercept[IllegalArgumentException] {
+      e2.query("set time_zone=(select tz from tz_src where pk = 1)")
+    }
+    assert(err2.getMessage.contains("1298"))
+    e2.query("set time_zone=(select tz from tz_src where pk = 2)")
+    assert(hourAtEpoch == 19)
+    e2.query("drop table tz_src")
     e2.query("SET time_zone = 'SYSTEM'") // restores the JVM default
   }
 

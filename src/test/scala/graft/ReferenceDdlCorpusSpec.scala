@@ -958,4 +958,94 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     }.getMessage.contains("truncated"))
     engine.query("drop table csenum")
   }
+
+  test("multi-action ALTER in one statement (alter_table_queries.go:76)") {
+    engine.runScript(
+      """CREATE TABLE t32 (pk BIGINT PRIMARY KEY, v1 int, v2 int, v3 int default (v1), toRename int);
+        |alter table t32 add column v4 int after pk, drop column v2, modify v1 varchar(100) not null, alter column v3 set default 100, rename column toRename to newName;
+        |CREATE TABLE t32_2 (pk BIGINT PRIMARY KEY, v1 int, v2 int, v3 int);
+        |alter table t32_2 drop v1, add v1 int;
+        |CREATE TABLE t32_3 (pk BIGINT PRIMARY KEY, v1 int, v2 int, v3 int);
+        |alter table t32_3 rename column v1 to v5, add v1 int;""".stripMargin)
+    val cols = rows("SHOW FULL COLUMNS FROM t32")
+    assert(cols.map(_.head) == Seq("pk", "v4", "v1", "v3", "newName"))
+    // SET DEFAULT landed: the v3 row carries '100'
+    assert(cols.find(_.head == "v3").get(5) == "100")
+    // varchar column reports its collation in the FULL form
+    assert(cols.find(_.head == "v1").get(2) == "utf8mb4_0900_bin")
+    assert(cols.find(_.head == "pk").get(2) == null)
+    assert(rows("SHOW FULL COLUMNS FROM t32_2").map(_.head) ==
+      Seq("pk", "v2", "v3", "v1"))
+    assert(rows("SHOW FULL COLUMNS FROM t32_3").map(_.head) ==
+      Seq("pk", "v5", "v2", "v3", "v1"))
+    // the new default applies on insert
+    engine.query("insert into t32 (pk, v1) values (1, 'x')")
+    assert(rows("select v3 from t32") == Seq(Seq(100)))
+    // actions resolve against the statement-start schema
+    assert(intercept[Exception] {
+      engine.query("alter table t32 add column vnew int, drop column vnew")
+    }.getMessage.contains("1054"))
+    assert(intercept[Exception] {
+      engine.query("alter table t32 rename column v3 to v9, drop column v9")
+    }.getMessage.contains("1054"))
+    assert(intercept[Exception] {
+      engine.query("alter table t32 rename column v3 to v9, drop column v3")
+    }.getMessage.contains("1054"))
+    engine.runScript("drop table t32; drop table t32_2; drop table t32_3")
+  }
+
+  test("DROP COLUMN vs CHECK constraints (alter_table_queries.go:209-330)") {
+    // single-column checks drop with the column
+    engine.runScript(
+      """create table t42c (i bigint primary key, s varchar(20));
+        |ALTER TABLE t42c ADD COLUMN j int;
+        |ALTER TABLE t42c ADD CONSTRAINT check1 CHECK (j < 12345);
+        |ALTER TABLE t42c ADD CONSTRAINT check2 CHECK (j > 0);
+        |ALTER TABLE t42c DROP COLUMN j;""".stripMargin)
+    assert(!engine.checkConstraints.exists(_._1 == "t42c"))
+    // only the dropped column's checks go; siblings stay
+    engine.runScript(
+      """create table t41c (i bigint primary key, s varchar(20));
+        |ALTER TABLE t41c ADD COLUMN j int;
+        |ALTER TABLE t41c ADD COLUMN k int;
+        |ALTER TABLE t41c ADD CONSTRAINT j_check CHECK (j < 12345);
+        |ALTER TABLE t41c ADD CONSTRAINT k_check CHECK (k < 123);
+        |ALTER TABLE t41c DROP COLUMN j;""".stripMargin)
+    assert(engine.checkConstraints.collect {
+      case (t, n, _) if t == "t41c" => n
+    } == Seq("k_check"))
+    // a multi-column check blocks the drop (MySQL 3959)
+    engine.runScript(
+      """create table t43c (i bigint primary key, j int, k int);
+        |ALTER TABLE t43c ADD CONSTRAINT test_check CHECK (j < k);""".stripMargin)
+    assert(intercept[Exception] {
+      engine.query("alter table t43c drop column j")
+    }.getMessage.contains("3959"))
+    // the constraint and the column both survive the failed drop
+    assert(engine.checkConstraints.exists(c =>
+      c._1 == "t43c" && c._2 == "test_check"))
+    assert(engine.query("select * from t43c").columns.contains("j"))
+    // drop check as part of an alter block
+    engine.runScript(
+      """create table t42d (i bigint primary key, j int, CONSTRAINT check1 CHECK (j < 12345), CONSTRAINT check2 CHECK (j > 0));
+        |ALTER TABLE t42d ADD COLUMN s varchar(20), drop check check1;""".stripMargin)
+    assert(engine.checkConstraints.collect {
+      case (t, n, _) if t == "t42d" => n
+    } == Seq("check2"))
+    engine.runScript(
+      "drop table t42c; drop table t41c; drop table t43c; drop table t42d")
+  }
+
+  test("ALTER COLUMN SET/DROP DEFAULT lifecycle (alter_table_queries.go:181)") {
+    engine.runScript(
+      """CREATE TABLE tad (pk int primary key, v1 int default 5);
+        |INSERT INTO tad (pk) VALUES (1);
+        |ALTER TABLE tad ALTER COLUMN v1 SET DEFAULT 9;
+        |INSERT INTO tad (pk) VALUES (2);
+        |ALTER TABLE tad ALTER v1 DROP DEFAULT;
+        |INSERT INTO tad (pk) VALUES (3);""".stripMargin)
+    assert(rows("select pk, v1 from tad order by pk") ==
+      Seq(Seq(1, 5), Seq(2, 9), Seq(3, null)))
+    engine.query("drop table tad")
+  }
 }
