@@ -180,8 +180,12 @@ object Dml {
     """(?is)^\s*SHOW\s+(?:BINARY|MASTER)\s+LOGS\s*$""".r
   private val ShowPlugins =
     """(?is)^\s*SHOW\s+PLUGINS\s*$""".r
+  // SHOW [FULL] TABLES [FROM|IN db] [LIKE 'pat' | WHERE expr] — MySQL's
+  // single-column Tables_in_<db> shape (information_schema_queries.go:182)
+  private val ShowTbls =
+    """(?is)^\s*SHOW\s+(FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+`?([A-Za-z_][A-Za-z0-9_]*)`?)?(?:\s+LIKE\s+'([^']*)')?(?:\s+WHERE\s+(.+?))?\s*$""".r
   private val ShowColumns =
-    """(?is)^\s*SHOW\s+(FULL\s+)?(?:COLUMNS|FIELDS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+    """(?is)^\s*SHOW\s+(FULL\s+)?(?:COLUMNS|FIELDS)\s+(?:FROM|IN)\s+(`?[A-Za-z_][A-Za-z0-9_]*`?(?:\.`?[A-Za-z_][A-Za-z0-9_]*`?)?)(?:\s+(?:FROM|IN)\s+`?([A-Za-z_][A-Za-z0-9_]*)`?)?(?:\s+LIKE\s+'([^']*)')?(?:\s+WHERE\s+(.+?))?\s*$""".r
   private val ShowIndexes =
     """(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val ShowCreate =
@@ -681,6 +685,7 @@ object Dml {
           s"Cannot truncate a table referenced in a foreign key " +
           s"constraint (MySQL error 1701)")
       e.replaceTable(table, t.limit(0), bumpDepth = true)
+      e.autoIncCounter.remove(table) // TRUNCATE resets AUTO_INCREMENT
       Some(ok(e, 0L))
 
     case SetVar(name, ex) =>
@@ -959,24 +964,54 @@ object Dml {
         "executing", "SHOW PROCESSLIST"))
         .toDF("Id", "User", "Host", "db", "Command", "Time", "State", "Info"))
 
-    case ShowColumns(full, table) =>
+    case ShowTbls(full, db, like, where) =>
       val s = e.spark
       import s.implicits._
-      if (full == null)
-        Some(e.showColumns(table)
-          .map(c => (c._1, c._2, c._3, c._4, c._5.orNull, c._6))
-          .toDF("Field", "Type", "Null", "Key", "Default", "Extra"))
-      else
-        // FULL adds Collation / Privileges / Comment (show.go; string
-        // columns carry the reference's default utf8mb4_0900_bin)
-        Some(e.showColumns(table)
-          .map(c => (c._1, c._2,
-            if (c._2.startsWith("varchar") || c._2.startsWith("char") ||
-                c._2.contains("text") || c._2.startsWith("enum") ||
-                c._2.startsWith("set")) "utf8mb4_0900_bin" else null,
-            c._3, c._4, c._5.orNull, c._6, "", ""))
-          .toDF("Field", "Type", "Collation", "Null", "Key", "Default",
-            "Extra", "Privileges", "Comment"))
+      val dbName = Option(db).getOrElse {
+        val cur = e.currentDatabase
+        if (cur == null || cur.isEmpty) "default" else cur
+      }
+      val listed = s.catalog.listTables(
+        if (db == null) s.catalog.currentDatabase else db)
+        .collect().toSeq
+        .filter(t => db == null || t.tableType != "TEMPORARY" ||
+          t.database == db)
+        .map(t => (t.name,
+          if (e.viewDefs.contains(t.name) || t.tableType == "VIEW") "VIEW"
+          else "BASE TABLE"))
+        .sortBy(_._1)
+      val colName = s"Tables_in_$dbName"
+      val base =
+        if (full == null) listed.map(_._1).toDF(colName)
+        else listed.toDF(colName, "Table_type")
+      val filtered = filterLike(base, colName, like)
+      Some(Option(where).map(w => filtered.filter(expr(w))).getOrElse(filtered))
+
+    case ShowColumns(full, tableRaw, dbOpt, like, where) =>
+      val s = e.spark
+      import s.implicits._
+      val table = Option(dbOpt) match {
+        case Some(db) => s"$db.${normName(tableRaw)}"
+        case None => normName(tableRaw)
+      }
+      val base =
+        if (full == null)
+          e.showColumns(table)
+            .map(c => (c._1, c._2, c._3, c._4, c._5.orNull, c._6))
+            .toDF("Field", "Type", "Null", "Key", "Default", "Extra")
+        else
+          // FULL adds Collation / Privileges / Comment (show.go; string
+          // columns carry the reference's default utf8mb4_0900_bin)
+          e.showColumns(table)
+            .map(c => (c._1, c._2,
+              if (c._2.startsWith("varchar") || c._2.startsWith("char") ||
+                  c._2.contains("text") || c._2.startsWith("enum") ||
+                  c._2.startsWith("set")) "utf8mb4_0900_bin" else null,
+              c._3, c._4, c._5.orNull, c._6, "", ""))
+            .toDF("Field", "Type", "Collation", "Null", "Key", "Default",
+              "Extra", "Privileges", "Comment")
+      val filtered = filterLike(base, "Field", like)
+      Some(Option(where).map(w => filtered.filter(expr(w))).getOrElse(filtered))
 
     case ShowIndexes(table) =>
       val s = e.spark
@@ -1379,6 +1414,16 @@ object Dml {
         case DropCheck(name) =>
           e.checkConstraints.filterInPlace(c =>
             !(c._1 == table && c._2.equalsIgnoreCase(name)))
+        case a if a.toUpperCase.matches("(?s)^AUTO_INCREMENT\\s*=?\\s*\\d+(\\.\\d+)?$") =>
+          // ALTER TABLE t AUTO_INCREMENT [=] n: sets the counter, never
+          // below the current next value; a no-op on tables without an
+          // AUTO_INCREMENT key (insert_queries.go:1075,1107;
+          // alter_table_queries.go:738)
+          if (e.autoIncCols.contains(table)) {
+            val v = BigDecimal(a.replaceAll("(?i)AUTO_INCREMENT|=", "").trim)
+              .toLong
+            e.autoIncCounter(table) = math.max(e.autoIncNext(table), v)
+          }
         case IndexDdl() => () // metadata-only
         case Add(cn, spec) =>
           val (dt, _) = mysqlDataType(spec)

@@ -1003,6 +1003,15 @@ class Engine(val spark: SparkSession) {
     val n = coerced.count()
     val unioned = target.unionByName(coerced, allowMissingColumns = fillMissing)
     replaceTable(table, unioned, bumpDepth = true)
+    // advance the auto-increment counter past the batch (one scalar agg
+    // on the insert batch, not the table)
+    autoIncCols.get(table)
+      .filter(c => coerced.columns.exists(_.equalsIgnoreCase(c)))
+      .foreach { c =>
+        val r = coerced.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(s"`$c`").cast("long"))).collect()(0)
+        if (!r.isNullAt(0)) autoIncObserve(table, r.getLong(0))
+      }
     n
   }
 
@@ -1254,22 +1263,53 @@ class Engine(val spark: SparkSession) {
               org.apache.spark.sql.functions.expr(d).cast(f.dataType))
           case None
               if autoIncCols.get(table).exists(_.equalsIgnoreCase(f.name)) =>
-            // next-value fill: max(existing)+row_number over the batch.
-            // The scalar max is one aggregated row; the window is over
-            // the (small) insert batch, not the table.
+            // next-value fill from the monotonic per-table counter (the
+            // reference's auto-increment editor; survives deletes). The
+            // window is over the (small) insert batch, not the table.
             import org.apache.spark.sql.functions._
-            val mx = target.agg(coalesce(max(col(f.name)), lit(0L))
-              .cast("long").as("__mx"))
-            df.crossJoin(broadcast(mx))
-              .withColumn(f.name,
-                (col("__mx") + row_number().over(
-                  org.apache.spark.sql.expressions.Window.orderBy(
-                    monotonically_increasing_id())))
-                  .cast(f.dataType))
-              .drop("__mx")
+            val next = autoIncNext(table)
+            df.withColumn(f.name,
+              (lit(next - 1) + row_number().over(
+                org.apache.spark.sql.expressions.Window.orderBy(
+                  monotonically_increasing_id())))
+                .cast(f.dataType))
           case None => df
         }
       }
+    // an auto-increment column PRESENT in the batch still generates for
+    // NULL (and 0, unless NO_AUTO_VALUE_ON_ZERO) values — MySQL's
+    // explicit-NULL form `INSERT INTO auto VALUES (NULL, 10)`
+    // (insert_queries.go:1055; sql_mode.go NO_AUTO_VALUE_ON_ZERO)
+    val incomingAi = autoIncCols.get(table) match {
+      case Some(c) if incoming.columns.exists(_.equalsIgnoreCase(c)) &&
+          present(c.toLowerCase) =>
+        import org.apache.spark.sql.functions._
+        val zeroGenerates = !sqlModeString.toUpperCase
+          .contains("NO_AUTO_VALUE_ON_ZERO")
+        val flag =
+          if (zeroGenerates) col(s"`$c`").isNull || col(s"`$c`") === 0
+          else col(s"`$c`").isNull
+        val anyGen = incoming.filter(flag).limit(1).count() > 0
+        if (!anyGen) incoming
+        else {
+          val next = autoIncNext(table)
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(monotonically_increasing_id())
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          val dt = target.schema.fields
+            .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.LongType)
+          incoming
+            .withColumn("__ai_flag__", flag)
+            .withColumn(c,
+              when(col("__ai_flag__"),
+                (lit(next - 1) +
+                  sum(col("__ai_flag__").cast("long")).over(w)).cast(dt))
+                .otherwise(col(s"`$c`")))
+            .drop("__ai_flag__")
+        }
+      case _ => incoming
+    }
     // MySQL coerces incoming values to the column type on write
     // (reference sql/types Convert on insert); cast matching columns to
     // the target schema so VALUES ('400') lands in an INT column.
@@ -1280,7 +1320,7 @@ class Engine(val spark: SparkSession) {
     // conversion": VALUES (1, 'dasd') into INT -> (1, 0) + warning).
     val targetTypes = target.schema.fields
       .map(f => f.name.toLowerCase -> (f.name, f.dataType)).toMap
-    incoming.columns.foldLeft(incoming) { (df, c) =>
+    incomingAi.columns.foldLeft(incomingAi) { (df, c) =>
       targetTypes.get(c.toLowerCase) match {
         case Some((_, dt)) if df.schema(c).dataType != dt =>
           val casted = df(c).cast(dt)
@@ -1393,6 +1433,35 @@ class Engine(val spark: SparkSession) {
     * assigns the batch monotonically in one pass, not per row). */
   def declareAutoInc(table: String, column: String): Unit =
     autoIncCols(table) = column
+
+  /** Monotonic AUTO_INCREMENT counter per table (reference
+    * sql/plan/insert.go autoIncrementEditor + memory/table.go): survives
+    * deletes (insert_queries.go "auto increment table handles deletes" —
+    * delete max, insert NULL => old max + 1), settable via
+    * ALTER TABLE ... AUTO_INCREMENT = n. */
+  private[graft] val autoIncCounter =
+    scala.collection.mutable.Map.empty[String, Long]
+
+  /** Current next-value, initializing from the table's max on first use
+    * (how the reference seeds the editor from storage). */
+  private[graft] def autoIncNext(table: String): Long =
+    autoIncCounter.getOrElseUpdate(table, {
+      val c = autoIncCols(table)
+      try {
+        val r = spark.table(table)
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col(s"`$c`").cast("long")))
+          .collect()(0)
+        if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
+      } catch { case _: Exception => 1L }
+    })
+
+  /** Advance the counter past an observed inserted value. */
+  private[graft] def autoIncObserve(table: String, maxSeen: Long): Unit =
+    if (autoIncCols.contains(table)) {
+      val cur = autoIncCounter.getOrElse(table, 1L)
+      if (maxSeen + 1 > cur) autoIncCounter(table) = maxSeen + 1
+    }
 
   // ---- generated columns + CHECK constraints ----------------------------
   // (reference: generated columns in sql/plan/ddl.go + enginetest
@@ -1723,6 +1792,7 @@ class Engine(val spark: SparkSession) {
     createdRelations.remove(table)
     tableKeys.remove(table)
     autoIncCols.remove(table)
+    autoIncCounter.remove(table)
     columnDefaults.filterInPlace { case ((t, _), _) => t != table }
     columnVocab.filterInPlace { case ((t, _), _) => t != table }
     vocabCi.filterInPlace { case (t, _) => t != table }

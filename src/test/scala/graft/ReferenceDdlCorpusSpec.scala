@@ -1036,6 +1036,55 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
       "drop table t42c; drop table t41c; drop table t43c; drop table t42d")
   }
 
+  test("auto_increment counter semantics (insert_queries.go:1037-1130)") {
+    // explicit NULL generates; counter survives deletes
+    engine.runScript(
+      """create table auto_d (pk int primary key auto_increment);
+        |insert into auto_d values (10);
+        |delete from auto_d where pk = 10;
+        |insert into auto_d values (NULL);""".stripMargin)
+    assert(rows("select * from auto_d order by 1") == Seq(Seq(11)))
+    // out-of-line PK def + NULL placeholders assign 1,2,3
+    engine.runScript(
+      """create table auto_o (pk int auto_increment, c0 int, primary key(pk));
+        |insert into auto_o values (NULL,10), (NULL,20), (NULL,30);""".stripMargin)
+    assert(rows("select * from auto_o order by 1") ==
+      Seq(Seq(1, 10), Seq(2, 20), Seq(3, 30)))
+    // ALTER ... AUTO_INCREMENT = n moves the counter forward (never back)
+    engine.query("alter table auto_o auto_increment 9")
+    engine.query("insert into auto_o values (NULL,90)")
+    assert(rows("select * from auto_o order by 1") ==
+      Seq(Seq(1, 10), Seq(2, 20), Seq(3, 30), Seq(9, 90)))
+    engine.query("alter table auto_o auto_increment = 2") // below max: no-op
+    engine.query("insert into auto_o values (NULL,100)")
+    assert(rows("select pk from auto_o order by 1 desc limit 1") == Seq(Seq(10)))
+    // float values truncate (insert_queries.go:1107)
+    engine.query("alter table auto_o auto_increment = 19.9")
+    engine.query("insert into auto_o values (NULL,190)")
+    assert(rows("select pk from auto_o order by 1 desc limit 1") == Seq(Seq(19)))
+    // zero triggers generation by default...
+    engine.runScript(
+      """create table auto_z (pk int primary key auto_increment, v int);
+        |insert into auto_z values (0, 1);""".stripMargin)
+    assert(rows("select * from auto_z") == Seq(Seq(1, 1)))
+    // ...but NOT under NO_AUTO_VALUE_ON_ZERO (sql_mode.go)
+    val s2 = spark.newSession()
+    val e2 = new Engine(s2)
+    e2.runScript(
+      """set sql_mode = 'NO_AUTO_VALUE_ON_ZERO';
+        |create table auto_nz (pk int primary key auto_increment, v int);
+        |insert into auto_nz values (0, 1);
+        |insert into auto_nz values (NULL, 2);""".stripMargin)
+    assert(e2.query("select * from auto_nz order by pk").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((0, 1), (1, 2)))
+    e2.query("drop table auto_nz")
+    // TRUNCATE resets the counter
+    engine.query("truncate table auto_z")
+    engine.query("insert into auto_z values (NULL, 5)")
+    assert(rows("select * from auto_z") == Seq(Seq(1, 5)))
+    engine.runScript("drop table auto_d; drop table auto_o; drop table auto_z")
+  }
+
   test("ALTER COLUMN SET/DROP DEFAULT lifecycle (alter_table_queries.go:181)") {
     engine.runScript(
       """CREATE TABLE tad (pk int primary key, v1 int default 5);

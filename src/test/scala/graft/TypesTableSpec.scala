@@ -169,4 +169,31 @@ class TypesTableSpec extends AnyFunSuite {
     assert(e.showIndex("region").isEmpty)
     intercept[Exception](e.showIndex("no_such_table"))
   }
+
+  test("SHOW TABLES / SHOW COLUMNS filters (information_schema_queries.go:182-264)") {
+    val e = new Engine(spark)
+    e.runScript(
+      """create table show_t1 (i bigint primary key, s varchar(20));
+        |create view show_v1 as select i from show_t1;""".stripMargin)
+    // MySQL single-column shape, LIKE and WHERE filters
+    val st = e.query("SHOW TABLES").collect()
+    assert(st.head.schema.fieldNames.head.startsWith("Tables_in_"))
+    val names = st.map(_.getString(0)).toSeq
+    assert(names.contains("show_t1") && names.contains("show_v1"))
+    assert(e.query("SHOW TABLES LIKE 'show_%'").collect()
+      .map(_.getString(0)).toSeq.sorted == Seq("show_t1", "show_v1"))
+    val colName = st.head.schema.fieldNames.head
+    assert(e.query(s"SHOW TABLES WHERE `$colName` = 'show_t1'").collect()
+      .map(_.getString(0)).toSeq == Seq("show_t1"))
+    // FULL adds Table_type with views marked
+    val ft = e.query("SHOW FULL TABLES").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ft("show_t1") == "BASE TABLE" && ft("show_v1") == "VIEW")
+    // SHOW COLUMNS LIKE / WHERE narrow to one field row
+    assert(e.query("SHOW COLUMNS FROM show_t1 LIKE 'i'").collect()
+      .map(_.getString(0)).toSeq == Seq("i"))
+    assert(e.query("SHOW COLUMNS FROM show_t1 WHERE Field = 's'").collect()
+      .map(_.getString(0)).toSeq == Seq("s"))
+    e.runScript("drop view show_v1; drop table show_t1")
+  }
 }
