@@ -1540,16 +1540,51 @@ object Dml {
     if (!t.toUpperCase.startsWith("VALUES") ||
         """(?i)\bDEFAULT\b""".r.findFirstIn(t).isEmpty) return body
     val tuples = splitTop(t.substring("VALUES".length))
+    // a DEFAULT whose declared expression references sibling columns
+    // (insert_queries.go "Explicit default with column reference":
+    // b int default (a+1); INSERT .. VALUES (1, DEFAULT)) cannot be
+    // substituted as text inside VALUES — those positions become NULL +
+    // a marker column, and a wrapping SELECT applies the expression over
+    // the tuple's final values
+    def refsOf(d: String): Set[String] =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(d).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name.toLowerCase
+        }.toSet
+      catch { case _: Exception => Set.empty }
+    val refPositions = cols.zipWithIndex.collect {
+      case (c, i) if e.columnDefaults.get((table, c.toLowerCase))
+        .exists(d => refsOf(d).nonEmpty) => i
+    }
     val rebuilt = tuples.map { tup =>
       val inner = tup.trim.stripPrefix("(").stripSuffix(")")
-      splitTop(inner).zipWithIndex.map { case (it, i) =>
-        if (it.trim.equalsIgnoreCase("DEFAULT"))
-          cols.lift(i).flatMap(c =>
+      val items = splitTop(inner)
+      val subbed = items.zipWithIndex.map { case (it, i) =>
+        if (it.trim.equalsIgnoreCase("DEFAULT")) {
+          if (refPositions.contains(i)) "NULL"
+          else cols.lift(i).flatMap(c =>
             e.columnDefaults.get((table, c.toLowerCase))).getOrElse("NULL")
-        else it
-      }.mkString("(", ", ", ")")
+        } else it
+      }
+      val markers = refPositions.map(i =>
+        if (items.lift(i).exists(_.trim.equalsIgnoreCase("DEFAULT"))) "TRUE"
+        else "FALSE")
+      (subbed ++ markers).mkString("(", ", ", ")")
     }
-    "VALUES " + rebuilt.mkString(", ")
+    val values = "VALUES " + rebuilt.mkString(", ")
+    if (refPositions.isEmpty) values
+    else {
+      val innerNames = cols ++ refPositions.map(i => s"__d_$i")
+      val projs = cols.zipWithIndex.map { case (c, i) =>
+        if (refPositions.contains(i)) {
+          val d = e.columnDefaults((table, c.toLowerCase))
+          s"CASE WHEN `__d_$i` THEN ($d) ELSE `$c` END AS `$c`"
+        } else s"`$c`"
+      }
+      s"SELECT ${projs.mkString(", ")} FROM ( $values ) AS " +
+        s"__vd(${innerNames.map(n => s"`$n`").mkString(", ")})"
+    }
   }
 
   private def insertSource(e: Engine, table: String, colList: String,
@@ -1762,6 +1797,7 @@ object Dml {
   }
 
   private def ok(e: Engine, n: Long): DataFrame = {
+    e.rowCountVal = n // ROW_COUNT() reports the last DML statement
     val s = e.spark
     import s.implicits._
     Seq(n).toDF("affected_rows")

@@ -301,6 +301,28 @@ class Engine(val spark: SparkSession) {
   functions.MySqlFormat.register(spark)
   functions.MiscFns.register(spark)
   functions.RegexpFns.register(spark)
+  // session-bound overrides: the builder closure reads THIS engine's
+  // DML counters at analysis time (reference session.go lastQueryInfo)
+  locally {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val reg = org.apache.spark.sql.GraftBridge.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("last_insert_id",
+      es =>
+        if (es.isEmpty) Literal(lastInsertIdVal)
+        else {
+          // LAST_INSERT_ID(expr) returns expr and seeds the session
+          // value; a literal seed is honored at analysis time
+          es.head match {
+            case Literal(v: Long, _) => lastInsertIdVal = v
+            case Literal(v: Int, _) => lastInsertIdVal = v.toLong
+            case _ =>
+          }
+          es.head
+        },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("row_count",
+      _ => Literal(rowCountVal), "scala_udf")
+  }
 
   /** MySQL substring-TRIM semantics (TRIM('bar' FROM s) removes the
     * string, not Spark's character-set reading). Applied to the ANALYZED
@@ -1268,6 +1290,7 @@ class Engine(val spark: SparkSession) {
             // window is over the (small) insert batch, not the table.
             import org.apache.spark.sql.functions._
             val next = autoIncNext(table)
+            lastInsertIdVal = next // first generated id of this statement
             df.withColumn(f.name,
               (lit(next - 1) + row_number().over(
                 org.apache.spark.sql.expressions.Window.orderBy(
@@ -1293,6 +1316,7 @@ class Engine(val spark: SparkSession) {
         if (!anyGen) incoming
         else {
           val next = autoIncNext(table)
+          lastInsertIdVal = next
           val w = org.apache.spark.sql.expressions.Window
             .orderBy(monotonically_increasing_id())
             .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1441,6 +1465,12 @@ class Engine(val spark: SparkSession) {
     * ALTER TABLE ... AUTO_INCREMENT = n. */
   private[graft] val autoIncCounter =
     scala.collection.mutable.Map.empty[String, Long]
+
+  /** LAST_INSERT_ID() / ROW_COUNT() session state (reference
+    * sql/session.go lastQueryInfo): first auto-generated id of the most
+    * recent generating INSERT; rows affected by the last DML. */
+  private[graft] var lastInsertIdVal: Long = 0L
+  private[graft] var rowCountVal: Long = -1L
 
   /** Current next-value, initializing from the table's max on first use
     * (how the reference seeds the editor from storage). */

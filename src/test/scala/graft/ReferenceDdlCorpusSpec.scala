@@ -1085,6 +1085,26 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.runScript("drop table auto_d; drop table auto_o; drop table auto_z")
   }
 
+  test("LAST_INSERT_ID / ROW_COUNT session state (session.go lastQueryInfo)") {
+    val s2 = spark.newSession()
+    val e2 = new Engine(s2)
+    def one(sql: String): Long =
+      e2.query(sql).collect()(0).getLong(0)
+    e2.runScript(
+      """create table lii (pk int primary key auto_increment, v int);
+        |insert into lii (v) values (10), (20);""".stripMargin)
+    assert(one("select last_insert_id()") == 1L) // first id of the batch
+    e2.query("insert into lii (v) values (30)")
+    assert(one("select last_insert_id()") == 3L)
+    // a non-generating insert leaves the value untouched
+    e2.query("insert into lii values (100, 40)")
+    assert(one("select last_insert_id()") == 3L)
+    // ROW_COUNT reflects the last DML's affected rows
+    e2.query("update lii set v = v + 1 where pk <= 3")
+    assert(one("select row_count()") == 3L)
+    e2.query("drop table lii")
+  }
+
   test("ALTER COLUMN SET/DROP DEFAULT lifecycle (alter_table_queries.go:181)") {
     engine.runScript(
       """CREATE TABLE tad (pk int primary key, v1 int default 5);

@@ -461,4 +461,28 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
         engine.query(s"drop table $t")
       }
   }
+
+  test("explicit DEFAULT tokens in VALUES (insert_queries.go:1373,1471)") {
+    engine.runScript(
+      """CREATE TABLE ed3 (a int DEFAULT '1', b int default (2 * a));
+        |INSERT INTO ed3 (a) values (DEFAULT), ('2'), (DEFAULT);""".stripMargin)
+    assert(engine.query("SELECT b from ed3 order by b asc").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 2, 4))
+    // DEFAULT means default, NULL means null, in the same tuple
+    engine.runScript(
+      """CREATE TABLE ed4 (c0 varchar(10) null default 'c0', c1 varchar(10) null default 'c1');
+        |INSERT INTO ed4 (c1, c0) values (DEFAULT, NULL);""".stripMargin)
+    assert(engine.query("select * from ed4").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq((null, "c1")))
+    // column-referencing default applied over the tuple's final values
+    engine.runScript(
+      """CREATE TABLE ed1 (a int default 1, b int default (a+1));
+        |INSERT INTO ed1 (a,b) values (1, DEFAULT);
+        |INSERT INTO ed1 values (2, DEFAULT);
+        |INSERT INTO ed1 (b,a) values (DEFAULT, 3);""".stripMargin)
+    assert(engine.query("select * from ed1 order by a").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 2), (2, 3), (3, 4)))
+    engine.runScript("drop table ed1; drop table ed3; drop table ed4")
+  }
 }
