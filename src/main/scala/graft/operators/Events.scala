@@ -175,6 +175,65 @@ object Events {
                      COUNT(DISTINCT a.user_id) AS active_users
               FROM a JOIN f ON a.user_id = f.user_id
               WHERE datediff('day', f.cohort, a.day) BETWEEN 0 AND 7
-              GROUP BY 1, 2 ORDER BY 1, 2"""))
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- trailing z-score anomaly detection over hourly rates. The
+    //      trailing mean/variance derive from EXACT integer window sums
+    //      (sum, sum-of-squares of counts) so both engines compute
+    //      bit-identical doubles — never stddev_samp over floats, whose
+    //      accumulation order is engine-dependent. One exchange on
+    //      event_type for the hourly agg + ordered window; at 100 TB the
+    //      window state is 24 longs per partition.
+    QueryDef(
+      "events_anomaly",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.t(s, d, "events")
+          .groupBy(
+            date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+          .rowsBetween(-24, -1)
+        hourly
+          .withColumn("k", count(col("n")).over(w))
+          .withColumn("s", sum(col("n")).over(w))
+          .withColumn("ss", sum(col("n") * col("n")).over(w))
+          .filter(col("k") >= 12)
+          .withColumn("mean", col("s").cast("double") / col("k"))
+          .withColumn("variance",
+            (col("ss").cast("double") -
+              col("s").cast("double") * col("s") / col("k")) / (col("k") - 1))
+          .withColumn("z",
+            when(col("variance") > 0,
+              (col("n") - col("mean")) / sqrt(col("variance"))))
+          .select(col("hour"), col("event_type"), col("n"),
+            col("mean"), col("z"))
+          .filter(abs(col("z")) > lit(2.0))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS hour, event_type,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2),
+              win AS (
+                SELECT hour, event_type, n,
+                  COUNT(n) OVER w AS k,
+                  SUM(n) OVER w AS s,
+                  SUM(n * n) OVER w AS ss
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+              scored AS (
+                SELECT hour, event_type, n,
+                  CAST(s AS DOUBLE) / k AS mean,
+                  CASE WHEN (CAST(ss AS DOUBLE) -
+                             CAST(s AS DOUBLE) * s / k) / (k - 1) > 0
+                       THEN (n - CAST(s AS DOUBLE) / k) /
+                            sqrt((CAST(ss AS DOUBLE) -
+                                  CAST(s AS DOUBLE) * s / k) / (k - 1))
+                  END AS z
+                FROM win WHERE k >= 12)
+              SELECT hour, event_type, n, mean, z FROM scored
+              WHERE abs(z) > 2.0 ORDER BY hour, event_type"""))
   )
 }
