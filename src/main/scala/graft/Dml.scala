@@ -1587,14 +1587,34 @@ object Dml {
     }
   }
 
+  /** Spark inline tables only accept foldable expressions; a VALUES
+    * tuple calling a non-foldable function (JSON_OBJECT over the custom
+    * expressions, uuid(), ...) re-renders as SELECT ... UNION ALL
+    * (json_scripts.go:724 setup inserts JSON_OBJECT/JSON_ARRAY rows). */
+  private def valuesToUnionAll(text: String): String = {
+    val t = text.trim
+    if (!t.toUpperCase.startsWith("VALUES")) return text
+    splitTop(t.substring("VALUES".length))
+      .map(tup => "SELECT " + tup.trim.stripPrefix("(").stripSuffix(")"))
+      .mkString(" UNION ALL ")
+  }
+
   private def insertSource(e: Engine, table: String, colList: String,
                            hasList: Boolean, body: String): DataFrame = {
     val target = e.spark.table(table)
+    def run(values: String, wrap: String => String): DataFrame =
+      try e.query(wrap(values))
+      catch {
+        case ex: Exception if ex.getMessage != null &&
+            ex.getMessage.contains("INVALID_INLINE_TABLE") =>
+          e.query(wrap(valuesToUnionAll(values)))
+      }
     if (!hasList) {
       // MySQL without a column list is POSITIONAL: rename the source
       // columns to the full target schema
-      val src = e.query(
-        valuesDefaults(e, table, target.columns.toIndexedSeq, body))
+      val src = run(
+        valuesDefaults(e, table, target.columns.toIndexedSeq, body),
+        identity)
       require(src.columns.length == target.columns.length,
         s"Column count doesn't match value count (${src.columns.length} " +
         s"vs ${target.columns.length})")
@@ -1603,9 +1623,8 @@ object Dml {
       val names = colList.trim.stripPrefix("(").stripSuffix(")")
         .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
       if (body.trim.toUpperCase.startsWith("VALUES"))
-        e.query(s"SELECT * FROM ( " +
-          s"${valuesDefaults(e, table, names, body.trim)} ) " +
-          s"AS __ins ${colList.trim}")
+        run(valuesDefaults(e, table, names, body.trim),
+          v => s"SELECT * FROM ( $v ) AS __ins ${colList.trim}")
       else e.query(body).toDF(names: _*)
     }
   }

@@ -200,7 +200,7 @@ object Dialect {
     // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
     val pre = SqlRewrite.tupleCompare(SqlRewrite.convertFn(
       SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
-        SqlRewrite.matchAgainst(sql))))))
+        SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql)))))))
     mapCode(pre)(rewriteCode)
   }
 
@@ -209,7 +209,7 @@ object Dialect {
   def rewrite(sql: String, pipesAsConcat: Boolean): String = {
     val pre = SqlRewrite.tupleCompare(SqlRewrite.convertFn(
       SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
-        SqlRewrite.matchAgainst(sql))))))
+        SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql)))))))
     mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
   }
 

@@ -996,6 +996,79 @@ object SqlRewrite {
   // (relevance > 0) agrees with MySQL's natural mode, absolute relevance
   // differs from InnoDB's IDF ranking (documented divergence).
   // WHERE-context truthiness flows through the numeric-truthiness retry.
+  /** MySQL JSON column-path operators (json_scripts.go:724 "JSON -> and
+    * ->> operator support"): `a->'$.p'` is JSON_EXTRACT(a, '$.p') and
+    * `a->>'$.p'` is JSON_UNQUOTE(JSON_EXTRACT(a, '$.p')). Quote-aware
+    * single pass; the left operand is a (possibly backticked/qualified)
+    * identifier chain, the right a quoted path literal. */
+  def jsonArrows(sql: String): String = {
+    if (!sql.contains("->")) return sql
+    val out = new StringBuilder
+    var i = 0
+    val n = sql.length
+    var quote: Char = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < n) {
+          out.append(sql.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '>') {
+        val unquoting = i + 2 < n && sql.charAt(i + 2) == '>'
+        // left operand: walk back over the emitted text
+        var e = out.length
+        while (e > 0 && out.charAt(e - 1).isWhitespace) e -= 1
+        var s = e
+        var ok = s > 0
+        def walkIdent(): Boolean = {
+          if (s > 0 && out.charAt(s - 1) == '`') {
+            var j = s - 2
+            while (j >= 0 && out.charAt(j) != '`') j -= 1
+            if (j < 0) return false
+            s = j
+            true
+          } else {
+            val start = s
+            while (s > 0 && (out.charAt(s - 1).isLetterOrDigit ||
+              out.charAt(s - 1) == '_' || out.charAt(s - 1) == '$')) s -= 1
+            s < start
+          }
+        }
+        ok = ok && walkIdent()
+        while (ok && s > 0 && out.charAt(s - 1) == '.') {
+          s -= 1
+          ok = walkIdent()
+        }
+        // right operand: a quoted path literal
+        var j = i + (if (unquoting) 3 else 2)
+        while (j < n && sql.charAt(j).isWhitespace) j += 1
+        val pq = if (j < n) sql.charAt(j) else ' '
+        if (ok && (pq == '\'' || pq == '"')) {
+          val pStart = j + 1
+          var k = pStart
+          while (k < n && sql.charAt(k) != pq) {
+            if (sql.charAt(k) == '\\' && k + 1 < n) k += 1
+            k += 1
+          }
+          if (k < n) {
+            val path = sql.substring(pStart, k).replace("'", "''")
+            val lhs = out.substring(s, e)
+            out.setLength(s)
+            val extracted = s"json_extract($lhs, '$path')"
+            out.append(
+              if (unquoting) s"json_unquote($extracted)" else extracted)
+            i = k + 1
+          } else { out.append(c); i += 1 }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
+
   def matchAgainst(sql: String): String = {
     if (!sql.toUpperCase.contains("AGAINST")) return sql
     val toks = tokenize(sql)

@@ -253,4 +253,32 @@ class JsonSpec extends AnyFunSuite {
       """SELECT json_schema_valid('{"type":"array"}', '[1]') AS v""")
       .collect()(0).getBoolean(0))
   }
+
+  test("-> and ->> JSON path operators (json_scripts.go:724)") {
+    val e = new Engine(spark)
+    e.runScript(
+      """create table jarr (pk int primary key, col1 JSON, col2 JSON);
+        |insert into jarr values (1, JSON_OBJECT('key1', 1, 'key2', '"abc"'), JSON_ARRAY(3,10,5,17,"z"));
+        |insert into jarr values (2, JSON_OBJECT('key1', 100, 'key2', 'ghi'), JSON_ARRAY(3,10,5,17,JSON_ARRAY(22,"y",66)));
+        |CREATE TABLE jarr2 (i INT PRIMARY KEY, j JSON);
+        |INSERT INTO jarr2 VALUES (0, '{"a": "123", "outer": {"inner": 456}}');""".stripMargin)
+    def col0(sql: String): Seq[Any] =
+      e.query(sql).collect().map(_.get(0)).toSeq
+    assert(col0("select col1->'$.key1' from jarr order by pk") ==
+      Seq("1", "100"))
+    assert(col0("select col1->>'$.key2' from jarr order by pk") ==
+      Seq("\"abc\"", "ghi"))
+    assert(col0("select pk from jarr where col1->'$.key1' = 1") == Seq(1))
+    assert(col0("""select pk from jarr where col1->>'$.key2' = '"abc"'""") ==
+      Seq(1))
+    assert(col0("select pk from jarr where col1->>'$.key2' = 'def'").isEmpty)
+    // double-quoted paths and array indices
+    assert(col0("""SELECT col2->"$[3]" FROM jarr order by pk""") ==
+      Seq("17", "17"))
+    assert(col0("""SELECT col2->>"$[4]" FROM jarr where pk=1""") == Seq("z"))
+    // operator over a derived-table alias
+    assert(col0("""SELECT k->"$.inner" from (SELECT j->"$.outer" AS k FROM jarr2) sq""") ==
+      Seq("456"))
+    e.runScript("drop table jarr; drop table jarr2")
+  }
 }
