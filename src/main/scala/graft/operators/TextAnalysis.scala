@@ -716,6 +716,60 @@ object TextAnalysis {
                     ORDER BY md5(doc_id || ':bal:v1')) AS rn
                 FROM documents)
               WHERE rn <= 200
-              GROUP BY lang ORDER BY lang"""))
+              GROUP BY lang ORDER BY lang""")),
+
+    // ---- keyword extraction: top-3 TF-IDF terms per document (the
+    //      tagging / routing step of a corpus pipeline). Two token-keyed
+    //      exchanges: per-doc TF, corpus DF; the corpus size is ONE
+    //      aggregated row broadcast over the scored frame; top-k per doc
+    //      plans as WindowGroupLimit so per-group state is bounded at k.
+    //      Scores stay exact across engines: integer tf/df/n feed
+    //      identical double expressions (tf * ln(n/df)).
+    QueryDef(
+      "text_keywords",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.t(s, d, "documents")
+        val toks = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf") * log(col("n_docs").cast("double") / col("df")))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("tok"),
+            round(col("score"), 6).as("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, tok FROM (
+                  SELECT doc_id, unnest(string_split_regex(lower(text),
+                    '[^a-z0-9]+')) AS tok FROM documents)
+                WHERE length(tok) > 0),
+              tf AS (
+                SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+              dfreq AS (
+                SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              scored AS (
+                SELECT tf.doc_id, tf.tok,
+                  tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score
+                FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+              SELECT doc_id, rk, tok, round(score, 6) AS score FROM (
+                SELECT doc_id, tok, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, tok) AS rk
+                FROM scored)
+              WHERE rk <= 3 ORDER BY doc_id, rk"""))
   )
 }
