@@ -2310,16 +2310,45 @@ class Engine(val spark: SparkSession) {
         "ordinal_position", "data_type", "column_type", "is_nullable")
       .createOrReplaceTempView("information_schema_columns")
 
-    // declared primary keys surface; no secondary indexes over parquet
-    tableKeys.toSeq.flatMap { case (t, cols) =>
-      cols.zipWithIndex.map { case (c, i) => (db, t, "PRIMARY", i + 1, c) }
-    }.toDF("table_schema", "table_name", "index_name", "seq_in_index",
-        "column_name")
+    // declared keys AND secondary/unique index declarations surface
+    // (reference statistics_table.go; non_unique = 0 for PK/UNIQUE)
+    val statRows =
+      tableKeys.toSeq.flatMap { case (t, cols) =>
+        cols.zipWithIndex.map { case (c, i) =>
+          (db, t, 0, "PRIMARY", i + 1, c) }
+      } ++
+      uniqueKeys.toSeq.flatMap { case (t, n, cols) =>
+        cols.zipWithIndex.map { case (c, i) => (db, t, 0, n, i + 1, c) }
+      } ++
+      secondaryIndexes.toSeq
+        .filter(si => !uniqueKeys.exists(u => u._1 == si._1 && u._2 == si._2))
+        .flatMap { case (t, n, cols) =>
+          cols.zipWithIndex.map { case (c, i) => (db, t, 1, n, i + 1, c) }
+        }
+    statRows
+      .toDF("table_schema", "table_name", "non_unique", "index_name",
+        "seq_in_index", "column_name")
       .createOrReplaceTempView("information_schema_statistics")
-    tableKeys.toSeq.flatMap { case (t, cols) =>
-      cols.map(c => ("PRIMARY", t, c, null: String))
-    }.toDF("constraint_name", "table_name", "column_name",
-        "referenced_table_name")
+    // key_column_usage: PK + UNIQUE + FK child columns with their
+    // referenced parent (reference key_column_usage_table.go)
+    val kcuRows =
+      tableKeys.toSeq.flatMap { case (t, cols) =>
+        cols.zipWithIndex.map { case (c, i) =>
+          ("PRIMARY", t, c, i + 1, null: String, null: String) }
+      } ++
+      uniqueKeys.toSeq.flatMap { case (t, n, cols) =>
+        cols.zipWithIndex.map { case (c, i) =>
+          (n, t, c, i + 1, null: String, null: String) }
+      } ++
+      foreignKeys.toSeq.flatMap { f =>
+        f.childCols.zip(f.parentCols).zipWithIndex.map {
+          case ((cc, pc), i) => (f.name, f.child, cc, i + 1, f.parent, pc)
+        }
+      }
+    kcuRows
+      .toDF("constraint_name", "table_name", "column_name",
+        "ordinal_position", "referenced_table_name",
+        "referenced_column_name")
       .createOrReplaceTempView("information_schema_key_column_usage")
 
     // TABLE_CONSTRAINTS / REFERENTIAL_CONSTRAINTS / CHECK_CONSTRAINTS

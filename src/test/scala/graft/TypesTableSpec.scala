@@ -111,11 +111,41 @@ class TypesTableSpec extends AnyFunSuite {
          WHERE routine_name IN ('json_extract', 'st_intersects', 'ai_ci_fold')""")
       .collect().map(_.getString(0)).toSet
     assert(routines == Set("json_extract", "st_intersects", "ai_ci_fold"))
-    // index views are present with MySQL shapes (and honestly empty)
+    // index views are present with MySQL shapes (and honestly empty
+    // when nothing is declared)
     assert(e.query("SELECT count(*) FROM information_schema_statistics")
       .collect()(0).getLong(0) == 0)
     assert(e.query("SELECT count(*) FROM information_schema_key_column_usage")
       .collect()(0).getLong(0) == 0)
+  }
+
+  test("statistics / key_column_usage reflect declared keys, indexes, FKs") {
+    val e = new Engine(spark)
+    e.runScript(
+      """create table kcu_p (pk int primary key, v int unique);
+        |create table kcu_c (id int primary key, fk int,
+        |  constraint fk_kcu foreign key (fk) references kcu_p (pk));
+        |alter table kcu_c add index idx_fk (fk);""".stripMargin)
+    e.enableInformationSchema()
+    val stats = e.query(
+      """SELECT table_name, non_unique, index_name, column_name
+         FROM information_schema_statistics
+         WHERE table_name LIKE 'kcu_%' ORDER BY table_name, index_name""")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(stats.contains(("kcu_p", 0, "PRIMARY", "pk")))
+    assert(stats.contains(("kcu_p", 0, "v", "v")))
+    assert(stats.contains(("kcu_c", 1, "idx_fk", "fk")))
+    val kcu = e.query(
+      """SELECT constraint_name, table_name, column_name,
+           referenced_table_name, referenced_column_name
+         FROM information_schema_key_column_usage
+         WHERE table_name LIKE 'kcu_%'""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(kcu.contains(("PRIMARY", "kcu_p", "pk", null, null)))
+    assert(kcu.contains(("fk_kcu", "kcu_c", "fk", "kcu_p", "pk")))
+    e.runScript("drop table kcu_c; drop table kcu_p")
   }
 
   test("information_schema constraint views reflect declared metadata") {
