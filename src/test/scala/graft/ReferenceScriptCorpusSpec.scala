@@ -308,4 +308,43 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
       Seq(Seq("sam", null), Seq("janos", 400), Seq(null, 500)))
     e.runScript("drop table teams; drop table traces;")
   }
+
+  test("auto_increment with (self-referencing) foreign key (script_queries.go:2019,2054)") {
+    val e = freshEngine
+    e.runScript(
+      """CREATE TABLE sfk1 (
+        |  id int NOT NULL AUTO_INCREMENT,
+        |  name text,
+        |  parentId int DEFAULT NULL,
+        |  PRIMARY KEY (id),
+        |  CONSTRAINT myConstraint FOREIGN KEY (parentId) REFERENCES sfk1 (id) ON DELETE CASCADE
+        |);
+        |INSERT INTO sfk1 (name, parentId) VALUES ('tbl1 row 1', NULL);
+        |INSERT INTO sfk1 (name, parentId) VALUES ('tbl1 row 2', 1);
+        |INSERT INTO sfk1 (name, parentId) VALUES ('tbl1 row 3', NULL);""".stripMargin)
+    check(e, "select * from sfk1",
+      Seq(Seq(1, "tbl1 row 1", null), Seq(2, "tbl1 row 2", 1),
+        Seq(3, "tbl1 row 3", null)))
+    // plain FK parent + generated ids stay referenceable
+    e.runScript(
+      """CREATE TABLE fk1p (id int NOT NULL AUTO_INCREMENT primary key, name text);
+        |CREATE TABLE fk1c (id int NOT NULL AUTO_INCREMENT, name text, fk int,
+        |  PRIMARY KEY (id), CONSTRAINT c2 FOREIGN KEY (fk) REFERENCES fk1p (id));
+        |INSERT INTO fk1p (name) VALUES ('tbl1 row 1');
+        |INSERT INTO fk1p (name) VALUES ('tbl1 row 2');
+        |INSERT INTO fk1c (name, fk) VALUES ('child', 2);""".stripMargin)
+    check(e, "select id, name, fk from fk1c", Seq(Seq(1, "child", 2)))
+    e.runScript("drop table fk1c; drop table fk1p; drop table sfk1")
+  }
+
+  test("update exponential parsing (script_queries.go:2370)") {
+    val e = freshEngine
+    e.runScript(
+      """create table expt (a int primary key, b double);
+        |insert into expt values (0, 0.0),(1, 1.0);
+        |update expt set b = 5.0E-5 where a = 0;
+        |update expt set b = 5.0e-5 where a = 1;""".stripMargin)
+    check(e, "select * from expt", Seq(Seq(0, 0.00005), Seq(1, 0.00005)))
+    e.query("drop table expt")
+  }
 }
