@@ -125,6 +125,46 @@ object EventStreams {
         col("b_ts"))
   }
 
+  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  case class FunnelUpdate(user_id: Long, stage: Int)
+
+  /** Streaming funnel: per-user view -> click -> purchase progression as
+    * mapGroupsWithState (the streaming face of the batch `events_funnel`
+    * operator). State is three epoch-millis per user — O(users), not
+    * O(events) — and each micro-batch advances the stage machine with the
+    * same strictly-increasing-timestamp rule the batch operator enforces
+    * with per-stage min-ts joins. Emits the user's highest reached stage
+    * in Update mode. */
+  def funnelStages(events: Dataset[Ev]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if st.tView < 0 =>
+                st = st.copy(tView = t)
+              case "click" if st.tView >= 0 && st.tClick < 0 && t > st.tView =>
+                st = st.copy(tClick = t)
+              case "purchase"
+                  if st.tClick >= 0 && st.tPurchase < 0 && t > st.tClick =>
+                st = st.copy(tPurchase = t)
+              case _ =>
+            }
+          }
+          state.update(st)
+          FunnelUpdate(user,
+            if (st.tPurchase >= 0) 3
+            else if (st.tClick >= 0) 2
+            else if (st.tView >= 0) 1
+            else 0)
+      }
+  }
+
   /** Drive a streaming DataFrame synchronously to a memory sink; returns
     * the materialized result (for tests/local smoke — production writes
     * to a real sink with a trigger). */

@@ -337,6 +337,18 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
     e.runScript("drop table fk1c; drop table fk1p; drop table sfk1")
   }
 
+  test("INSERT INTO ... SELECT with AUTO_INCREMENT (script_queries.go:4200)") {
+    val e = freshEngine
+    e.runScript(
+      """create table ai_s (pk int primary key auto_increment, c0 int);
+        |create table other_s (pk int primary key);
+        |insert into other_s values (1), (2), (3);
+        |insert into ai_s (c0) select * from other_s order by other_s.pk;""".stripMargin)
+    check(e, "select * from ai_s",
+      Seq(Seq(1, 1), Seq(2, 2), Seq(3, 3)))
+    e.runScript("drop table ai_s; drop table other_s")
+  }
+
   test("update exponential parsing (script_queries.go:2370)") {
     val e = freshEngine
     e.runScript(

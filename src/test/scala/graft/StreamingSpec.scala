@@ -101,6 +101,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel advances per-user stage state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, user: Long, typ: String, hhmm: String): EventStreams.Ev =
+      EventStreams.Ev(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"),
+        user, typ, 1.0)
+    val src = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.funnelStages(src.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 views; user 2 clicks WITHOUT a view (stage 0)
+      src.addData(ev(1, 1, "view", "09:00"), ev(2, 2, "click", "09:05"))
+      q.processAllAvailable()
+      val b1 = spark.table("funnel_stream")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(b1 == Map(1L -> 1, 2L -> 0), b1)
+      // batch 2: user 1 clicks then purchases (state carried across
+      // batches); user 2 finally views (stage 1)
+      src.addData(ev(3, 1, "click", "09:10"), ev(4, 1, "purchase", "09:20"),
+        ev(5, 2, "view", "09:15"))
+      q.processAllAvailable()
+      val b2 = spark.table("funnel_stream")
+        .collect().groupBy(_.getLong(0))
+        .map { case (u, rs) => u -> rs.map(_.getInt(1)).max }
+      assert(b2 == Map(1L -> 3, 2L -> 1), b2)
+      // a purchase before any click does NOT advance (strict ordering)
+      src.addData(ev(6, 2, "purchase", "09:30"))
+      q.processAllAvailable()
+      val b3 = spark.table("funnel_stream")
+        .collect().groupBy(_.getLong(0))
+        .map { case (u, rs) => u -> rs.map(_.getInt(1)).max }
+      assert(b3(2L) == 1, b3)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the window") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
