@@ -58,6 +58,9 @@ object Dml {
   // INSERT INTO t SET a = x, b = y (MySQL's assignment form)
   private val InsertSet =
     re("""(?is)^\s*INSERT\s+(IGNORE\s+)?INTO\s+<T>\s+SET\s+(.*)$""")
+  // REPLACE INTO t SET a = x, b = y (replace_queries.go SET forms)
+  private val ReplaceSet =
+    re("""(?is)^\s*REPLACE\s+INTO\s+<T>\s+SET\s+(.*)$""")
   // DELETE t1[, t2] FROM <joined sources> [WHERE …] (multi-table delete,
   // reference sql/plan/delete.go multi-target form)
   private val DeleteJoin =
@@ -354,9 +357,12 @@ object Dml {
       val keys = e.tableKeys.getOrElse(table,
         throw new IllegalArgumentException(
           s"REPLACE INTO needs a declared key on '$table' (Engine.declareKey)"))
-      val incoming0 = e.coerceVocab(table, e.coerceAndFill(table,
-        insertSource(e, table, colList, hasList, body), fillMissing = hasList))
+      val src = insertSource(e, table, colList, hasList, body)
+      val provided = src.columns.map(_.toLowerCase).toSet
+      val incoming0 = e.coerceVocab(table,
+        e.coerceAndFill(table, src, fillMissing = hasList))
       val incoming = lastPerKey(incoming0, keys)
+      e.validateNotNull(table, incoming, provided)
       val t = e.spark.table(table)
       val keyRows = incoming.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
       val deleted = t.join(keyRows, keys.toIndexedSeq, "left_semi").count()
@@ -388,6 +394,21 @@ object Dml {
       val ig = if (ignoreKw != null) "IGNORE " else ""
       dispatchTrimmed(e,
         s"INSERT ${ig}INTO ${tick(table)} (${pairs.map(_._1).mkString(", ")}) " +
+          s"VALUES (${pairs.map(_._2).mkString(", ")})")
+
+    case ReplaceSet(tableRaw, assignText) =>
+      // same rewrite as InsertSet: REPLACE's assignment form is sugar for
+      // the column-list VALUES form (replace_queries.go SET cases; a
+      // duplicate column in the list errors like MySQL 1110)
+      val table = normName(tableRaw)
+      val pairs = topLevelSplit(assignText, ',').map { a =>
+        val eq = topLevelIndexOf(a, "=")
+        require(eq > 0, s"malformed REPLACE SET clause: $a")
+        (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
+          a.substring(eq + 1).trim)
+      }
+      dispatchTrimmed(e,
+        s"REPLACE INTO ${tick(table)} (${pairs.map(_._1).mkString(", ")}) " +
           s"VALUES (${pairs.map(_._2).mkString(", ")})")
 
     case UpdateJoin(refsText, rest) =>
@@ -668,6 +689,11 @@ object Dml {
       Some(ok(e, 0L))
 
     case CreateTableDef(name, body) =>
+      // table options tail: [DEFAULT] CHARACTER SET / CHARSET [=] cs
+      // drives the bytes-per-char of the row-size limit
+      """(?is)\)\s*[^)]*?(?:CHARACTER\s+SET|CHARSET)\s*=?\s*`?([A-Za-z0-9_]+)`?[^)]*$""".r
+        .findFirstMatchIn(sql)
+        .foreach(m => e.tableCharsets(normName(name)) = m.group(1))
       createFromDefs(e, normName(name), body); Some(ok(e, 0L))
 
     case AlterTable(name, actions) =>
@@ -1075,7 +1101,7 @@ object Dml {
     }
     val unsigned = lower.contains("unsigned")
     base match {
-      case "tinyint" => (ByteType, None)
+      case "tinyint" => (if (unsigned) ShortType else ByteType, None)
       case "bool" | "boolean" => (BooleanType, None)
       case "smallint" => (if (unsigned) IntegerType else ShortType, None)
       case "mediumint" | "int" | "integer" =>
@@ -1279,10 +1305,21 @@ object Dml {
       e.declareCheck(table, nm.getOrElse(
         s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}"), ex)
     }
+    if (up.contains("NOT NULL")) e.declareNotNull(table, colName)
     StructField(colName, dt, nullable = !up.contains("NOT NULL"))
   }
 
-  private def createFromDefs(e: Engine, table: String, body: String): Unit = {
+  private def createFromDefs(e: Engine, table: String, body: String): Unit =
+    try createFromDefsInner(e, table, body)
+    catch { case ex: Throwable =>
+      // a failed CREATE must not leave declared metadata behind
+      // (row_limit_queries.go re-runs CREATE with the same name)
+      e.clearTableMeta(table)
+      throw ex
+    }
+
+  private def createFromDefsInner(e: Engine, table: String,
+                                  body: String): Unit = {
     import org.apache.spark.sql.types._
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
     splitTop(body).foreach { item =>
@@ -1317,6 +1354,9 @@ object Dml {
         () // secondary-index / FK metadata: no physical effect here
       else fields += parseColDef(e, table, item)
     }
+    // the declared row must fit InnoDB's 65535-byte cap
+    // (memory/table.go:1316 validateMaxRowLength)
+    e.validateRowLength(table, StructType(fields.toSeq))
     // List-based constructor -> LocalRelation leaf (an emptyRDD would be
     // a LogicalRDD, blocking Engine.replaceTable's local-plan collapse)
     val df = e.spark.createDataFrame(
@@ -1329,7 +1369,27 @@ object Dml {
   /** ALTER TABLE actions (reference sql/planbuilder/ddl.go buildAlterTable):
     * ADD/DROP/MODIFY/CHANGE/RENAME COLUMN, RENAME TO, ADD PRIMARY KEY;
     * index DDL is metadata-only here. Applied as one view rewrite. */
+  /** declared CHAR/VARCHAR length of an ALTER column spec (same rule as
+    * parseColDef — the row-size limit needs it for ADD/MODIFY too) */
+  private def declareCharLimitFromSpec(e: Engine, table: String,
+                                       colName: String, spec: String): Unit =
+    """(?i)^(?:n?(?:var)?char)\s*\(\s*(\d+)\s*\)""".r
+      .findFirstMatchIn(spec.trim)
+      .foreach(mm => e.declareCharLimit(table, colName, mm.group(1).toInt))
+
   private def alterTable(e: Engine, table: String, actions: String): Unit = {
+    // a failed ALTER must not keep half-applied declared lengths (the
+    // data change rolls back with the un-replaced DataFrame already)
+    val charLimitsBefore = e.charLimitsSnapshot(table)
+    try alterTableInner(e, table, actions)
+    catch { case ex: Throwable =>
+      e.restoreCharLimits(table, charLimitsBefore)
+      throw ex
+    }
+  }
+
+  private def alterTableInner(e: Engine, table: String,
+                              actions: String): Unit = {
     var df = e.spark.table(table)
     var renameTo: Option[String] = None
     // MySQL resolves every action of a multi-action ALTER against the
@@ -1380,6 +1440,10 @@ object Dml {
             try e.validateNoDuplicates(table, name, colSeq)
             catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
           }
+        case a if a.toUpperCase.matches("(?s)^DROP\\s+PRIMARY\\s+KEY$") =>
+          // ordinal_ddl_queries.go: the PK declaration goes away; the
+          // columns stay (MySQL drops the index, not the data)
+          e.tableKeys.remove(table)
         case DropIdx(name) => e.dropIndex(table, name)
         case a if a.toUpperCase.matches("(?s)^ADD\\s+(?:CONSTRAINT\\s+\\S+\\s+)?FOREIGN\\s+KEY\\b.*") =>
           // ADD FOREIGN KEY validates existing rows before registering
@@ -1427,6 +1491,7 @@ object Dml {
         case IndexDdl() => () // metadata-only
         case Add(cn, spec) =>
           val (dt, _) = mysqlDataType(spec)
+          declareCharLimitFromSpec(e, table, stripTick(cn), spec)
           val value = extractDefault(spec) match {
             case Some(d) =>
               e.declareDefault(table, stripTick(cn), d)
@@ -1483,10 +1548,12 @@ object Dml {
           e.columnDefaults.remove((table, lc))
         case RenameCol(a, b) =>
           renamedAway += stripTick(a).toLowerCase
+          e.renameColumnMeta(table, stripTick(a), stripTick(b))
           df = df.withColumnRenamed(stripTick(a), stripTick(b))
         case Modify(cn, spec) =>
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           val name = stripTick(cn)
+          declareCharLimitFromSpec(e, table, name, spec)
           // MODIFY may re-declare the DEFAULT and reposition the column
           // (column_default_queries.go t22/t23: MODIFY ... DEFAULT (x) FIRST)
           extractDefault(spec).foreach(d => e.declareDefault(table, name, d))
@@ -1506,8 +1573,10 @@ object Dml {
             case _ => df
           }
         case Change(a, b, spec) =>
-          if (!stripTick(a).equalsIgnoreCase(stripTick(b)))
+          if (!stripTick(a).equalsIgnoreCase(stripTick(b))) {
             renamedAway += stripTick(a).toLowerCase
+            e.renameColumnMeta(table, stripTick(a), stripTick(b))
+          }
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           df = df.withColumn(stripTick(a), col(s"`${stripTick(a)}`").cast(dt))
             .withColumnRenamed(stripTick(a), stripTick(b))
@@ -1516,6 +1585,9 @@ object Dml {
           throw new IllegalArgumentException(s"unsupported ALTER action: $other")
       }
     }
+    // the post-ALTER spec must still fit the 65535-byte row cap
+    // (row_limit_queries.go "alter table t add column d VARCHAR(5000)")
+    e.validateRowLength(table, df.schema)
     renameTo match {
       case Some(n) =>
         e.replaceTable(n, df, bumpDepth = false); e.drop(table)
@@ -1622,6 +1694,13 @@ object Dml {
     } else {
       val names = colList.trim.stripPrefix("(").stripSuffix(")")
         .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+      // every listed column must exist on the target (MySQL 1054;
+      // replace_queries.go ReplaceErrorTests "non-existent column")
+      val known = target.columns.map(_.toLowerCase).toSet
+      names.find(n => !known.contains(n.toLowerCase)).foreach { bad =>
+        throw new IllegalArgumentException(
+          s"Unknown column '$bad' in 'field list' (MySQL error 1054)")
+      }
       if (body.trim.toUpperCase.startsWith("VALUES"))
         run(valuesDefaults(e, table, names, body.trim),
           v => s"SELECT * FROM ( $v ) AS __ins ${colList.trim}")

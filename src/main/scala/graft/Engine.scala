@@ -592,7 +592,9 @@ class Engine(val spark: SparkSession) {
      """|SELECT\s+@@(?:session\.)?(?:warning_count|error_count)\b).*""").r
   private var queryDepth = 0
 
-  def query(sql: String): DataFrame = mysqlTrimSemantics {
+  def query(sql0: String): DataFrame = mysqlTrimSemantics {
+    // a MySQL client accepts one trailing statement terminator
+    val sql = sql0.replaceAll("(?s);\\s*$", "")
     if (queryDepth == 0 && !DiagnosticsRead.pattern.matcher(sql).matches())
       clearDiagnostics()
     queryDepth += 1
@@ -611,7 +613,8 @@ class Engine(val spark: SparkSession) {
     // before any further token work (plans/JsonTableSql)
     val rewritten0 =
       plans.JsonTableSql.rewrite(
-        substituteVars(Dialect.rewrite(pre, pipesAsConcat)))
+        substituteVars(Dialect.rewrite(
+          SqlRewrite.infoSchemaNames(pre), pipesAsConcat)))
     // ENUM index / SET bitmask ordering (enum.go / set.go Compare):
     // only sessions that declared a vocabulary pay the token walk
     val rewritten1 =
@@ -1016,6 +1019,8 @@ class Engine(val spark: SparkSession) {
       validateForeignKeysChild(table, coerced)
       enforcePkUnique(table, coerced, target)
     } else {
+      validateNotNull(table, coerced,
+        incoming0.columns.map(_.toLowerCase).toSet)
       validateVocab(table, coerced)
       validateCharLimits(table, coerced)
       validateChecks(table, coerced)
@@ -1035,6 +1040,46 @@ class Engine(val spark: SparkSession) {
         if (!r.isNullAt(0)) autoIncObserve(table, r.getLong(0))
       }
     n
+  }
+
+  /** Columns DECLARED `NOT NULL` through DDL — Spark's inferred
+    * nullability is unreliable here (a CTAS from literals infers
+    * nullable = false, but MySQL CTAS columns accept NULL), so the
+    * strict 1048 check keys off explicit declarations only. */
+  private[graft] val notNullCols =
+    scala.collection.mutable.Set.empty[(String, String)]
+
+  def declareNotNull(table: String, column: String): Unit =
+    notNullCols += ((table, column.toLowerCase))
+
+  /** Strict-mode explicit NULL into a declared NOT NULL / PK column is
+    * MySQL error 1048 (replace_queries.go "null given to non-nullable").
+    * Only columns the STATEMENT provided are checked — omitted columns
+    * take their declared defaults — and auto-increment columns are
+    * exempt (NULL there means "generate", insert_queries.go). All
+    * provided NOT NULL columns check in ONE filter + limit(1) job. */
+  private[graft] def validateNotNull(table: String, batch: DataFrame,
+                                     providedLower: Set[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val target = spark.table(table)
+    val pk = tableKeys.getOrElse(table, Seq.empty).map(_.toLowerCase).toSet
+    val ai = autoIncCols.get(table).map(_.toLowerCase).toSet
+    val present = batch.columns.map(c => c.toLowerCase -> c).toMap
+    val checkCols = target.schema.fields.filter { f =>
+      val lo = f.name.toLowerCase
+      (notNullCols.contains((table, lo)) || pk.contains(lo)) &&
+        providedLower.contains(lo) && !ai.contains(lo)
+    }.flatMap(f => present.get(f.name.toLowerCase)).toSeq
+    if (checkCols.isEmpty) return
+    val cond = checkCols.map(c => col(s"`$c`").isNull).reduce(_ || _)
+    val bad = batch.filter(cond)
+      .select(checkCols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      val name = checkCols(checkCols.indices.find(r.isNullAt).getOrElse(0))
+      throw new IllegalArgumentException(
+        s"Column '$name' cannot be null (MySQL error 1048)")
+    }
   }
 
   /** Plain INSERT against declared keys: a duplicate inside the batch or
@@ -1827,6 +1872,8 @@ class Engine(val spark: SparkSession) {
     columnVocab.filterInPlace { case ((t, _), _) => t != table }
     vocabCi.filterInPlace { case (t, _) => t != table }
     charLimits.filterInPlace { case ((t, _), _) => t != table }
+    tableCharsets.remove(table)
+    notNullCols.filterInPlace { case (t, _) => t != table }
   }
 
   // ---- ENUM / SET write validation --------------------------------------
@@ -1848,8 +1895,94 @@ class Engine(val spark: SparkSession) {
   private val charLimits =
     scala.collection.mutable.Map.empty[(String, String), Int]
 
-  def declareCharLimit(table: String, column: String, n: Int): Unit =
+  /** RENAME/CHANGE COLUMN carries every declared-metadata reference to
+    * the new name (ordinal_ddl_queries.go: a renamed PK column still
+    * shows in SHOW KEYS under its new name). */
+  private[graft] def renameColumnMeta(table: String, from: String,
+                                      to: String): Unit = {
+    val fl = from.toLowerCase
+    def ren(c: String): String = if (c.equalsIgnoreCase(from)) to else c
+    tableKeys.get(table).foreach(ks => tableKeys(table) = ks.map(ren))
+    uniqueKeys.mapInPlace { case (t, n, cols) =>
+      if (t == table) (t, n, cols.map(ren)) else (t, n, cols)
+    }
+    secondaryIndexes.mapInPlace { case (t, n, cols) =>
+      if (t == table) (t, n, cols.map(ren)) else (t, n, cols)
+    }
+    autoIncCols.get(table).filter(_.equalsIgnoreCase(from))
+      .foreach(_ => autoIncCols(table) = to)
+    charLimits.get((table, fl)).foreach { n =>
+      charLimits.remove((table, fl)); charLimits((table, to.toLowerCase)) = n
+    }
+    columnVocab.get((table, fl)).foreach { v =>
+      columnVocab.remove((table, fl)); columnVocab((table, to.toLowerCase)) = v
+    }
+    if (vocabCi.remove((table, fl))) vocabCi += ((table, to.toLowerCase))
+    if (notNullCols.remove((table, fl)))
+      notNullCols += ((table, to.toLowerCase))
+    columnDefaults.get((table, fl)).foreach { d =>
+      columnDefaults.remove((table, fl))
+      columnDefaults((table, to.toLowerCase)) = d
+    }
+  }
+
+  private[graft] def charLimitsSnapshot(table: String): Map[String, Int] =
+    charLimits.collect { case ((t, c), n) if t == table => c -> n }.toMap
+
+  private[graft] def restoreCharLimits(table: String,
+                                       snap: Map[String, Int]): Unit = {
+    charLimits.filterInPlace { case ((t, _), _) => t != table }
+    snap.foreach { case (c, n) => charLimits((table, c)) = n }
+  }
+
+  def declareCharLimit(table: String, column: String, n: Int): Unit = {
+    // a single column can never exceed 65535 CHARACTERS regardless of
+    // charset (reference sql/types/strings.go ErrLengthTooLarge;
+    // row_limit_queries.go "create table t1 (c1 VARCHAR(65536))")
+    if (n > 65535)
+      throw new IllegalArgumentException(
+        s"length is $n but max allowed is 65535 (MySQL error 1074)")
     charLimits((table, column.toLowerCase)) = n
+  }
+
+  // ---- InnoDB row-size limit --------------------------------------------
+  // MySQL caps the declared row at 65535 BYTES: fixed types store 8,
+  // TEXT/BLOB/JSON store a 16-byte pointer, CHAR/VARCHAR(n) stores
+  // n × bytes-per-char of the table charset (reference
+  // memory/table.go:1316 validateMaxRowLength / maxRowStorageSize;
+  // row_limit_queries.go). Parquet has no such physical limit, so the
+  // check is declaration-time only — faithful to the reference, which
+  // also validates the SPEC, not the stored bytes.
+
+  private[graft] val tableCharsets =
+    scala.collection.mutable.Map.empty[String, String]
+
+  private def bytesPerChar(charset: String): Int =
+    charset.toLowerCase match {
+      case "latin1" | "ascii" | "binary" => 1
+      case "ucs2" | "utf16" => 2
+      case "utf8" | "utf8mb3" => 3
+      case _ => 4 // utf8mb4, the MySQL 8 default
+    }
+
+  private[graft] def validateRowLength(table: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    val bpc = bytesPerChar(tableCharsets.getOrElse(table, "utf8mb4"))
+    val rowLen = schema.fields.map { f =>
+      f.dataType match {
+        case _: StringType => // incl. collated strings (Spark 4)
+          charLimits.get((table, f.name.toLowerCase))
+            .map(_.toLong * bpc).getOrElse(16L) // TEXT = pointer
+        case BinaryType => 16L
+        case _ => 8L
+      }
+    }.sum
+    if (rowLen > 65535L)
+      throw new IllegalArgumentException(
+        s"invalid table spec: expected size < 65535, found $rowLen " +
+        s"(MySQL error 1118: Row size too large)")
+  }
 
   /** Plain-INSERT length enforcement: any value longer than the declared
     * CHAR/VARCHAR limit is the reference's ErrLengthBeyondLimit
@@ -2293,6 +2426,15 @@ class Engine(val spark: SparkSession) {
       .createOrReplaceTempView("information_schema_tables")
 
     tables.flatMap { t =>
+      // column_key renders like DESCRIBE's Key column (PRI/UNI/MUL;
+      // ordinal_ddl_queries.go filters on column_key = 'PRI')
+      val pk = tableKeys.getOrElse(t.name, Seq.empty).map(_.toLowerCase).toSet
+      val uni = uniqueKeys.toSeq.collect {
+        case (tt, _, Seq(c)) if tt == t.name => c.toLowerCase
+      }.toSet
+      val mul = secondaryIndexes.toSeq.collect {
+        case (tt, _, cols) if tt == t.name => cols.head.toLowerCase
+      }.toSet
       spark.table(t.name).schema.fields.zipWithIndex.map { case (f, i) =>
         // a declared vocabulary surfaces as data_type enum/set with the
         // full member list in column_type (reference columns_table.go)
@@ -2301,13 +2443,17 @@ class Engine(val spark: SparkSession) {
           case Some((false, _)) => "enum"
           case None => f.dataType.simpleString
         }
+        val lc = f.name.toLowerCase
+        val key = if (pk(lc)) "PRI" else if (uni(lc)) "UNI"
+          else if (mul(lc)) "MUL" else ""
         ("def", Option(t.database).getOrElse(db), t.name, f.name, i + 1,
           dataType, renderColumnType(t.name, f),
-          if (f.nullable) "YES" else "NO")
+          if (f.nullable) "YES" else "NO", key)
       }
     }.toSeq
       .toDF("table_catalog", "table_schema", "table_name", "column_name",
-        "ordinal_position", "data_type", "column_type", "is_nullable")
+        "ordinal_position", "data_type", "column_type", "is_nullable",
+        "column_key")
       .createOrReplaceTempView("information_schema_columns")
 
     // declared keys AND secondary/unique index declarations surface

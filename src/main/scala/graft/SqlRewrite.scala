@@ -76,6 +76,21 @@ object SqlRewrite {
     sb.append(sql.substring(pos)).result()
   }
 
+  /** MySQL `information_schema.X` → the session's `information_schema_X`
+    * temp view (Spark temp-view names cannot contain a dot; the
+    * tokenizer folds dotted identifiers into one Word, so the whole
+    * qualified name is a single token here). */
+  def infoSchemaNames(sql: String): String = {
+    val prefix = "information_schema."
+    val patches = tokenize(sql).collect {
+      case t if t.kind == Word &&
+          t.text.toLowerCase.startsWith(prefix) =>
+        (t.start, t.end,
+          "information_schema_" + t.text.substring(prefix.length))
+    }
+    if (patches.isEmpty) sql else splice(sql, patches)
+  }
+
   // ---- GROUP_CONCAT( [DISTINCT] expr[, expr…] [ORDER BY …] [SEPARATOR 'x'] )
   //      -> listagg([DISTINCT] expr, 'x') [WITHIN GROUP (ORDER BY …)]
   //      (reference sql/expression/function/aggregation/group_concat.go:26)

@@ -536,6 +536,50 @@ object Dedup {
                 COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
                 COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
                                     ORDER BY chunk_idx), '') AS kept_text
-              FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+              FROM ranked GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- incremental (cross-snapshot) dedup: dedupe a NEW crawl batch
+    //      against an already-deduped corpus without re-processing the
+    //      corpus. Sources src0–src4 stand in for the existing corpus;
+    //      the rest are the new batch. Two content-hash-keyed joins:
+    //      (1) LEFT ANTI against the corpus digest set (at 100 TB the
+    //      corpus side is a digest-only table — 16 bytes/doc, not the
+    //      text), (2) first-occurrence-wins inside the batch (groupBy
+    //      min on the digest). The new batch is the only side that
+    //      carries text, and both shuffles key on the digest, so a
+    //      re-crawl of N docs costs O(N) regardless of corpus size.
+    QueryDef(
+      "dedup_incremental",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        val corpusSrc = Seq("src0", "src1", "src2", "src3", "src4")
+        val corpus = docs.filter(col("source").isin(corpusSrc: _*))
+          .select(col("h")).distinct()
+        val batch = docs.filter(!col("source").isin(corpusSrc: _*))
+        val fresh = batch.join(corpus, Seq("h"), "left_anti")
+        val keep = fresh.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+        fresh.join(keep, "h")
+          .select(col("doc_id"), col("source"), col("h"),
+            (col("doc_id") === col("keep_id")).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, source, md5(text) AS h FROM documents),
+              corpus AS (
+                SELECT DISTINCT h FROM docs
+                WHERE source IN ('src0','src1','src2','src3','src4')),
+              batch AS (
+                SELECT * FROM docs
+                WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+              fresh AS (
+                SELECT b.* FROM batch b
+                WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)),
+              keep AS (
+                SELECT h, MIN(doc_id) AS keep_id FROM fresh GROUP BY h)
+              SELECT f.doc_id, f.source, f.h,
+                     f.doc_id = k.keep_id AS kept
+              FROM fresh f JOIN keep k USING (h)
+              ORDER BY f.doc_id"""))
   )
 }

@@ -160,6 +160,67 @@ object Similarity {
               ORDER BY probe, rk"""),
       headline = true),
 
+    // ---- kNN majority-vote classification (the "label new data with
+    //      the nearest labeled examples" step — weak labeling / quality
+    //      routing in a training pipeline, and the evaluation harness for
+    //      every ANN index above, since it consumes exact top-k). The
+    //      probe set broadcasts over one corpus scan (probes are the
+    //      small side by construction); the vote is a (probe, label)
+    //      count + window max, both keyed on probe — bounded state, no
+    //      second corpus pass.
+    QueryDef(
+      "sim_knn_classify",
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe"), col("label").as("true_label"),
+            col("v").as("pv"), col("nrm").as("pn"))
+        val corpus = e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("neighbor"), col("label").as("nl"),
+            col("v").as("nv"), col("nrm").as("nn"))
+        val wk = Window.partitionBy(col("probe"))
+          .orderBy(col("cos").desc, col("neighbor"))
+        val topk = corpus.crossJoin(broadcast(probes))
+          .select(col("probe"), col("true_label"), col("neighbor"), col("nl"),
+            (dot("pv", "nv") / (col("pn") * col("nn"))).as("cos"))
+          .withColumn("rk", row_number().over(wk))
+          .filter(col("rk") <= 5)
+        val wv = Window.partitionBy(col("probe"))
+          .orderBy(col("votes").desc, col("pred_label"))
+        topk.groupBy(col("probe"), col("true_label"),
+            col("nl").as("pred_label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wv))
+          .filter(col("vr") === 1)
+          .select(col("probe"), col("true_label"), col("pred_label"),
+            col("votes"))
+          .orderBy(col("probe"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              nv AS (
+                SELECT vec_id, label, v,
+                  sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              topk AS (
+                SELECT * FROM (
+                  SELECT p.vec_id AS probe, p.label AS true_label,
+                    n.vec_id AS neighbor, n.label AS nl,
+                    row_number() OVER (PARTITION BY p.vec_id
+                      ORDER BY list_dot_product(p.v, n.v) / (p.nrm * n.nrm)
+                        DESC, n.vec_id) AS rk
+                  FROM nv p JOIN nv n ON p.vec_id < 10 AND n.vec_id >= 10)
+                WHERE rk <= 5),
+              votes AS (
+                SELECT probe, true_label, nl AS pred_label,
+                  COUNT(*) AS votes,
+                  row_number() OVER (PARTITION BY probe
+                    ORDER BY COUNT(*) DESC, nl) AS vr
+                FROM topk GROUP BY probe, true_label, nl)
+              SELECT probe, true_label, pred_label, votes
+              FROM votes WHERE vr = 1 ORDER BY probe""")),
+
     // ---- LSH-bucketed ANN: axis-aligned hyperplane signs (first 8 dims)
     //      as bucket key; search joins probe->bucket only
     QueryDef(

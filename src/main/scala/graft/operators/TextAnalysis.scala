@@ -770,6 +770,105 @@ object TextAnalysis {
                   row_number() OVER (PARTITION BY doc_id
                     ORDER BY score DESC, tok) AS rk
                 FROM scored)
-              WHERE rk <= 3 ORDER BY doc_id, rk"""))
+              WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // ---- exact distribution quantiles at scale (the "pick the length
+    //      filter threshold" step of corpus curation). Naive exact
+    //      quantiles sort every row of a language into one window
+    //      partition — unusable at 100 TB. This is the histogram shape:
+    //      groupBy (lang, length) collapses billions of rows into at
+    //      most |distinct lengths| histogram buckets per language
+    //      (map-side combinable), and the cumulative pass + nearest-rank
+    //      pick run over the tiny histogram, not the corpus. Thresholds
+    //      use pure integer arithmetic (ceil(q*n) = (n*q+99) div 100) so
+    //      both engines agree bit-for-bit.
+    QueryDef(
+      "text_length_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.t(s, d, "documents")
+          .select(col("lang"), size(split(col("text"), " ")).as("n"))
+        val hist = docs.groupBy(col("lang"), col("n"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = hist.withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("n"))))
+        val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("total"))
+        cum.join(tot, "lang")
+          .groupBy(col("lang"), col("total"))
+          .agg(
+            min(when(col("cum") >= expr("(total*50+99) div 100"), col("n"))).as("p50"),
+            min(when(col("cum") >= expr("(total*90+99) div 100"), col("n"))).as("p90"),
+            min(when(col("cum") >= expr("(total*99+99) div 100"), col("n"))).as("p99"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH lens AS (
+                SELECT lang, len(string_split(text, ' ')) AS n FROM documents),
+              hist AS (
+                SELECT lang, n, COUNT(*) AS cnt FROM lens GROUP BY 1, 2),
+              cum AS (
+                SELECT lang, n, cnt,
+                       SUM(cnt) OVER (PARTITION BY lang ORDER BY n) AS cum
+                FROM hist),
+              tot AS (SELECT lang, SUM(cnt) AS total FROM hist GROUP BY 1)
+              SELECT lang, total,
+                MIN(CASE WHEN cum >= (total*50+99)//100 THEN n END) AS p50,
+                MIN(CASE WHEN cum >= (total*90+99)//100 THEN n END) AS p90,
+                MIN(CASE WHEN cum >= (total*99+99)//100 THEN n END) AS p99
+              FROM cum JOIN tot USING (lang)
+              GROUP BY lang, total ORDER BY lang""")),
+
+    // ---- corpus-level n-gram counting (the classic "count every
+    //      5-gram over the crawl" job, here trigrams): explode per doc,
+    //      one ngram-keyed exchange with partial aggregation doing the
+    //      heavy lifting map-side, then a global top-k that plans as
+    //      TakeOrdered (no second full sort). The only data that crosses
+    //      the wire is (ngram, partial count) pairs.
+    QueryDef(
+      "text_ngram_topk",
+      (s, d) => {
+        val tg = Tables.t(s, d, "documents")
+          .select(split(col("text"), " ").as("w"))
+          .select(explode(
+            when(size(col("w")) >= 3, expr(
+              "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+              .otherwise(expr("array()"))).as("ng"))
+        tg.groupBy(col("ng")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("ng"))
+          .limit(20)
+      },
+      Some("""WITH words AS (
+                SELECT string_split(text, ' ') AS w FROM documents),
+              tg AS (
+                SELECT unnest(list_transform(range(0, len(w)-2),
+                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS ng
+                FROM words WHERE len(w) >= 3)
+              SELECT ng, COUNT(*) AS c FROM tg
+              GROUP BY 1 ORDER BY c DESC, ng LIMIT 20""")),
+
+    // ---- deterministic global training order (the "shuffle the mix
+    //      before sharding into training files" step): every document
+    //      gets a salted-md5 shuffle key, the corpus range-partitions on
+    //      that key (Spark's distributed sort), and zipWithIndex assigns
+    //      the global position with one count-per-partition pass — no
+    //      single-partition window, no driver collect. Re-running with
+    //      the same salt reproduces the exact order (resumable sharding).
+    QueryDef(
+      "sample_shuffle",
+      (s, d) => {
+        import s.implicits._
+        val sorted = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(concat(col("doc_id"), lit(":shuf:v1"))).as("skey"))
+          .orderBy(col("skey"))
+          .as[(Long, String)]
+        sorted.rdd.zipWithIndex()
+          .map { case ((id, k), i) => (id, k, i + 1L) }
+          .toDF("doc_id", "skey", "shuffle_pos")
+          .orderBy(col("shuffle_pos"))
+      },
+      Some("""SELECT doc_id, md5(doc_id || ':shuf:v1') AS skey,
+                     row_number() OVER (ORDER BY md5(doc_id || ':shuf:v1'))
+                       AS shuffle_pos
+              FROM documents ORDER BY shuffle_pos"""))
   )
 }

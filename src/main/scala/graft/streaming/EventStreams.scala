@@ -165,6 +165,47 @@ object EventStreams {
       }
   }
 
+  case class TrendUpdate(window_start: java.sql.Timestamp,
+      event_type: String, n: Long, rank: Int)
+
+  /** Streaming per-window top-k "trending" (windowed rank is not
+    * expressible over a streaming aggregate, so this is the canonical
+    * stateful shape): key by the hour bucket, hold ONE count map per
+    * window — state is O(distinct event types), not O(events) — and
+    * re-emit that window's top-k whenever a micro-batch touches it
+    * (Update mode). The event-time timeout purges a window's state once
+    * the watermark passes its close, so total state is
+    * O(active windows × type cardinality) at any event volume. */
+  def trendingTopK(events: Dataset[Ev], k: Int = 3): Dataset[TrendUpdate] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => e.ts.getTime / hourMs * hourMs)
+      .flatMapGroupsWithState[Map[String, Long], TrendUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (hour: Long, rows: Iterator[Ev], state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var counts = state.getOption.getOrElse(Map.empty[String, Long])
+            rows.foreach { e =>
+              counts = counts.updated(e.event_type,
+                counts.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(counts)
+            // hold the window one extra hour past its close for late data,
+            // then drop it
+            state.setTimeoutTimestamp(hour + 2 * hourMs)
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .zipWithIndex.iterator.map { case ((t, n), i) =>
+                TrendUpdate(new java.sql.Timestamp(hour), t, n, i + 1)
+              }
+          }
+      }
+  }
+
   /** Drive a streaming DataFrame synchronously to a memory sink; returns
     * the materialized result (for tests/local smoke — production writes
     * to a real sink with a trigger). */

@@ -14,6 +14,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_cross",          // CROSS JOIN is the operator under test
     "join_band",           // naive band join (bucketed variant is the scale path)
     "sim_topk_bruteforce", // exact brute force is the baseline by design
+    "sim_knn_classify",    // exact kNN vote: probes broadcast over one scan
     "sim_ivf",             // centroid assignment: corpus × 8 centroids (broadcast)
     "sim_ivf_kmeans",      // Lloyd assignment: corpus × k centroids (broadcast)
     "sim_ivf_nprobe",      // centroid assignment: corpus × 8 centroids (broadcast)

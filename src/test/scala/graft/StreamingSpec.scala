@@ -138,6 +138,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming trending top-k re-ranks a window across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, typ: String, hhmm: String): EventStreams.Ev =
+      EventStreams.Ev(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"),
+        id, typ, 1.0)
+    val src = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.trendingTopK(src.toDS(), k = 2)
+      .writeStream.format("memory").queryName("trend_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: view×2, click×1 in the 09:00 window → top-2 = view, click
+      src.addData(ev(1, "view", "09:00"), ev(2, "view", "09:10"),
+        ev(3, "click", "09:20"))
+      q.processAllAvailable()
+      val b1 = spark.table("trend_stream")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+      assert(b1.toSet == Set(("view", 2L, 1), ("click", 1L, 2)), b1.toSeq)
+      // batch 2: click×2 more — same window re-ranks, click overtakes view
+      src.addData(ev(4, "click", "09:30"), ev(5, "click", "09:40"))
+      q.processAllAvailable()
+      val all = spark.table("trend_stream")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      // the re-ranked emission: click (3 total) is now rank 1, view rank 2
+      assert(all.contains(("click", 3L, 1)), all)
+      assert(all.contains(("view", 2L, 2)), all)
+      // a different hour opens its own window without disturbing 09:00
+      src.addData(ev(6, "purchase", "10:05"))
+      q.processAllAvailable()
+      val hours = spark.table("trend_stream")
+        .collect().map(_.getTimestamp(0).toString).distinct.sorted
+      assert(hours.length == 2, hours.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the window") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
