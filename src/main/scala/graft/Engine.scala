@@ -2303,13 +2303,16 @@ class Engine(val spark: SparkSession) {
                ignoreHeader: Boolean = false, format: String = "csv",
                enclosedBy: String = "\"", escapedBy: String = "\\",
                linesTerminatedBy: String = "\n", linesStartingBy: String = "",
-               ignoreLines: Int = 0): Long = {
+               ignoreLines: Int = 0, mode: String = "",
+               items: Seq[String] = Seq.empty,
+               sets: Seq[(String, String)] = Seq.empty): Long = {
     val df = format match {
       case "csv" =>
         val base = spark.read
           .option("sep", fieldsTerminatedBy)
           .option("quote", if (enclosedBy.isEmpty) "\u0000" else enclosedBy)
           .option("escape", if (escapedBy.isEmpty) "\u0000" else escapedBy)
+          .option("nullValue", "\\N") // MySQL \N = SQL NULL (load_data.go)
           .option("inferSchema", true)
         if (linesStartingBy.isEmpty && ignoreLines == 0 &&
             linesTerminatedBy == "\n")

@@ -869,6 +869,92 @@ object TextAnalysis {
       Some("""SELECT doc_id, md5(doc_id || ':shuf:v1') AS skey,
                      row_number() OVER (ORDER BY md5(doc_id || ':shuf:v1'))
                        AS shuffle_pos
-              FROM documents ORDER BY shuffle_pos"""))
+              FROM documents ORDER BY shuffle_pos""")),
+
+    // ---- the end-to-end curation funnel: length filter -> vocabulary
+    //      diversity filter -> exact dedup -> normalized (case/punct)
+    //      near-dup drop, each stage operating on the previous stage's
+    //      survivors, reported as per-stage in/kept counts. This is the
+    //      composition a real corpus pipeline runs nightly; the whole
+    //      funnel is ONE scan + two content-hash window exchanges + one
+    //      aggregate — survivor-scoped dedup uses min-over-partition of
+    //      the surviving doc_id instead of a second pass, so adding a
+    //      stage never re-reads the corpus.
+    QueryDef(
+      "pipeline_curate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val staged = Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            size(split(col("text"), " ")).as("n"))
+          .withColumn("keep1", col("n").between(5, 5000))
+          .withColumn("keep2", col("keep1") &&
+            (size(array_distinct(split(col("text"), " "))).cast("double") /
+              col("n") >= 0.3))
+          .withColumn("first2",
+            min(when(col("keep2"), col("doc_id")))
+              .over(Window.partitionBy(md5(col("text")))))
+          .withColumn("keep3", col("keep2") && col("doc_id") === col("first2"))
+          .withColumn("first3",
+            min(when(col("keep3"), col("doc_id")))
+              .over(Window.partitionBy(
+                md5(regexp_replace(lower(col("text")), "[^a-z ]", "")))))
+          .withColumn("keep4", col("keep3") && col("doc_id") === col("first3"))
+        val agg = staged.agg(
+          count(lit(1)).as("total"),
+          count(when(col("keep1"), 1)).as("k1"),
+          count(when(col("keep2"), 1)).as("k2"),
+          count(when(col("keep3"), 1)).as("k3"),
+          count(when(col("keep4"), 1)).as("k4"))
+        agg.select(explode(array(
+            struct(lit(1).as("stage"), lit("length").as("name"),
+              col("total").as("docs_in"), col("k1").as("docs_kept")),
+            struct(lit(2).as("stage"), lit("diversity").as("name"),
+              col("k1").as("docs_in"), col("k2").as("docs_kept")),
+            struct(lit(3).as("stage"), lit("exact_dedup").as("name"),
+              col("k2").as("docs_in"), col("k3").as("docs_kept")),
+            struct(lit(4).as("stage"), lit("normalized_dedup").as("name"),
+              col("k3").as("docs_in"), col("k4").as("docs_kept"))))
+            .as("s"))
+          .select(col("s.stage").as("stage"), col("s.name").as("name"),
+            col("s.docs_in").as("docs_in"), col("s.docs_kept").as("docs_kept"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH base AS (
+                SELECT doc_id, text,
+                       len(string_split(text, ' ')) AS n
+                FROM documents),
+              f AS (
+                SELECT doc_id, text, n,
+                  (n BETWEEN 5 AND 5000) AS keep1,
+                  (n BETWEEN 5 AND 5000) AND
+                    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / n >= 0.3) AS keep2
+                FROM base),
+              d3 AS (
+                SELECT *,
+                  keep2 AND doc_id = MIN(CASE WHEN keep2 THEN doc_id END)
+                    OVER (PARTITION BY md5(text)) AS keep3
+                FROM f),
+              d4 AS (
+                SELECT *,
+                  keep3 AND doc_id = MIN(CASE WHEN keep3 THEN doc_id END)
+                    OVER (PARTITION BY
+                      md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')))
+                    AS keep4
+                FROM d3),
+              agg AS (
+                SELECT COUNT(*) AS total,
+                  COUNT(CASE WHEN keep1 THEN 1 END) AS k1,
+                  COUNT(CASE WHEN keep2 THEN 1 END) AS k2,
+                  COUNT(CASE WHEN keep3 THEN 1 END) AS k3,
+                  COUNT(CASE WHEN keep4 THEN 1 END) AS k4
+                FROM d4)
+              SELECT 1 AS stage, 'length' AS name,
+                     total AS docs_in, k1 AS docs_kept FROM agg
+              UNION ALL SELECT 2, 'diversity', k1, k2 FROM agg
+              UNION ALL SELECT 3, 'exact_dedup', k2, k3 FROM agg
+              UNION ALL SELECT 4, 'normalized_dedup', k3, k4 FROM agg
+              ORDER BY stage"""))
   )
 }
