@@ -74,7 +74,7 @@ object Dml {
   private val ShowCreateView =
     """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val CreateTableAs =
-    re("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s+AS\s+(.*)$""")
+    re("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s+AS\s+(.*)$""")
   // CREATE TABLE t (col defs ...) [table options] — the form every MySQL
   // script opens with (reference sql/planbuilder/ddl.go buildCreateTable).
   // The column list is extracted with a paren-balanced, quote-aware scan
@@ -82,17 +82,17 @@ object Dml {
   // (a > (1)), DEFAULT (expr) — can't shift the closing paren.
   private object CreateTableDef {
     private val Head = re(
-      """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s*\((.*)$""")
+      """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s*\((.*)$""")
     private val TailOpts =
       """(?is)^(?:ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|COMMENT|AUTO_INCREMENT)\b.*$""".r
-    def unapply(sql: String): Option[(String, String)] = sql match {
-      case Head(name, rest) =>
+    def unapply(sql: String): Option[(String, String, Boolean)] = sql match {
+      case Head(ine, name, rest) =>
         val close = closingParen(rest)
         if (close < 0) None
         else {
           val tail = rest.substring(close + 1).trim
           if (tail.isEmpty || TailOpts.matches(tail))
-            Some((name, rest.substring(0, close)))
+            Some((name, rest.substring(0, close), ine != null))
           else None // e.g. CREATE TABLE t (...) AS SELECT — CTAS form
         }
       case _ => None
@@ -119,7 +119,7 @@ object Dml {
     -1
   }
   private val CreateTableLike =
-    re("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?<T>\s+LIKE\s+<T>\s*$""")
+    re("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s+LIKE\s+<T>\s*$""")
   private val AlterTable =
     re("""(?is)^\s*ALTER\s+TABLE\s+<T>\s+(.*)$""")
   private val DropTv =
@@ -360,9 +360,17 @@ object Dml {
       val src = insertSource(e, table, colList, hasList, body)
       val provided = src.columns.map(_.toLowerCase).toSet
       val incoming0 = e.coerceVocab(table,
-        e.coerceAndFill(table, src, fillMissing = hasList))
-      val incoming = lastPerKey(incoming0, keys)
-      e.validateNotNull(table, incoming, provided)
+        e.coerceAndFill(table, src, fillMissing = hasList,
+          ignoreMode = !e.strictWriteMode))
+      var incoming = lastPerKey(incoming0, keys)
+      // strict: explicit NULL into NOT NULL errors 1048; non-strict
+      // (SET sql_mode='') coerces to the implicit default with a
+      // warning, mirroring insertIntoSelect's strict/non-strict split
+      if (e.strictWriteMode) e.validateNotNull(table, incoming, provided)
+      else {
+        val (coerced, flagWarns) = e.ignoreWriteCoercions(table, incoming)
+        incoming = e.emitFlagWarnings(coerced, flagWarns)
+      }
       val t = e.spark.table(table)
       val keyRows = incoming.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
       val deleted = t.join(keyRows, keys.toIndexedSeq, "left_semi").count()
@@ -488,12 +496,33 @@ object Dml {
           e.zeroValueLit(colTypes(c)) match {
             case Some(z) =>
               val flag = s"__cvt_${c}__"
-              d.withColumn(flag,
-                  col("__upd__") && raw.isNotNull && casted.isNull)
-                .withColumn(c,
-                  when(!col("__upd__"), col(s"`$c`"))
-                    .when(col(s"`$flag`"), z)
-                    .otherwise(casted))
+              // integral targets additionally clamp out-of-range values
+              // to the type bound with a 1264 (update.go convert +
+              // ErrValueOutOfRange on non-strict writes)
+              e.integralBounds(colTypes(c)) match {
+                case Some((lo, hi)) =>
+                  val asDec = raw.cast(
+                    org.apache.spark.sql.types.DecimalType(38, 0))
+                  val oorF = s"__oor_${c}__"
+                  d.withColumn(oorF, col("__upd__") && raw.isNotNull &&
+                      asDec.isNotNull && (asDec < lit(lo) || asDec > lit(hi)))
+                    .withColumn(flag, col("__upd__") && raw.isNotNull &&
+                      asDec.isNull && casted.isNull)
+                    .withColumn(c,
+                      when(!col("__upd__"), col(s"`$c`"))
+                        .when(col(s"`$oorF`"),
+                          when(asDec > lit(hi), lit(hi)).otherwise(lit(lo))
+                            .cast(colTypes(c)))
+                        .when(col(s"`$flag`"), z)
+                        .otherwise(casted))
+                case None =>
+                  d.withColumn(flag,
+                      col("__upd__") && raw.isNotNull && casted.isNull)
+                    .withColumn(c,
+                      when(!col("__upd__"), col(s"`$c`"))
+                        .when(col(s"`$flag`"), z)
+                        .otherwise(casted))
+              }
             case None =>
               d.withColumn(c,
                 when(col("__upd__"), casted).otherwise(col(s"`$c`")))
@@ -671,30 +700,36 @@ object Dml {
         .toDF("View", "Create View", "character_set_client",
           "collation_connection"))
 
-    case CreateTableAs(name, body) =>
-      e.ctas(normName(name), body); Some(ok(e, 0L))
+    case CreateTableAs(ine, name, body) =>
+      if (createPrecheck(e, normName(name), ine != null)) Some(ok(e, 0L))
+      else { e.ctas(normName(name), body); Some(ok(e, 0L)) }
 
-    case CreateTableLike(nameRaw, srcRaw) =>
+    case CreateTableLike(ine, nameRaw, srcRaw) =>
       // same schema, empty; declared metadata carries over (reference
       // ddl.go buildCreateTableLike copies schema + keys + defaults)
       val name = normName(nameRaw)
       val src = normName(srcRaw)
-      e.replaceTable(name, e.spark.table(src).limit(0), bumpDepth = false)
-      e.noteRelation(name)
-      e.tableKeys.get(src).foreach(k => e.declareKey(name, k))
-      e.autoIncCols.get(src).foreach(c => e.declareAutoInc(name, c))
-      e.columnDefaults.toSeq.collect {
-        case ((t, c), d) if t == src => e.declareDefault(name, c, d)
+      if (!createPrecheck(e, name, ine != null)) {
+        e.replaceTable(name, e.spark.table(src).limit(0), bumpDepth = false)
+        e.noteRelation(name)
+        e.tableKeys.get(src).foreach(k => e.declareKey(name, k))
+        e.autoIncCols.get(src).foreach(c => e.declareAutoInc(name, c))
+        e.columnDefaults.toSeq.collect {
+          case ((t, c), d) if t == src => e.declareDefault(name, c, d)
+        }
       }
       Some(ok(e, 0L))
 
-    case CreateTableDef(name, body) =>
-      // table options tail: [DEFAULT] CHARACTER SET / CHARSET [=] cs
-      // drives the bytes-per-char of the row-size limit
-      """(?is)\)\s*[^)]*?(?:CHARACTER\s+SET|CHARSET)\s*=?\s*`?([A-Za-z0-9_]+)`?[^)]*$""".r
-        .findFirstMatchIn(sql)
-        .foreach(m => e.tableCharsets(normName(name)) = m.group(1))
-      createFromDefs(e, normName(name), body); Some(ok(e, 0L))
+    case CreateTableDef(name, body, ine) =>
+      if (createPrecheck(e, normName(name), ine)) Some(ok(e, 0L))
+      else {
+        // table options tail: [DEFAULT] CHARACTER SET / CHARSET [=] cs
+        // drives the bytes-per-char of the row-size limit
+        """(?is)\)\s*[^)]*?(?:CHARACTER\s+SET|CHARSET)\s*=?\s*`?([A-Za-z0-9_]+)`?[^)]*$""".r
+          .findFirstMatchIn(sql)
+          .foreach(m => e.tableCharsets(normName(name)) = m.group(1))
+        createFromDefs(e, normName(name), body); Some(ok(e, 0L))
+      }
 
     case AlterTable(name, actions) =>
       alterTable(e, normName(name), actions); Some(ok(e, 0L))
@@ -1309,11 +1344,30 @@ object Dml {
     StructField(colName, dt, nullable = !up.contains("NOT NULL"))
   }
 
+  /** Existence gate for every CREATE TABLE form: an existing table or
+    * view under the name is MySQL error 1050 — or a silent no-op under
+    * IF NOT EXISTS (reference ddl.go buildCreateTable ErrTableAlreadyExists,
+    * matching the CreateView path). Returns true when the statement
+    * should no-op. Running BEFORE any metadata mutation also protects a
+    * live table's declared keys/defaults from the failed-CREATE cleanup
+    * below. */
+  private def createPrecheck(e: Engine, table: String,
+                             ifNotExists: Boolean): Boolean = {
+    val exists = e.createdRelations.contains(table) ||
+      e.viewDefs.contains(table)
+    if (exists && !ifNotExists)
+      throw new IllegalArgumentException(
+        s"Table '$table' already exists (MySQL 1050)")
+    exists
+  }
+
   private def createFromDefs(e: Engine, table: String, body: String): Unit =
     try createFromDefsInner(e, table, body)
     catch { case ex: Throwable =>
       // a failed CREATE must not leave declared metadata behind
-      // (row_limit_queries.go re-runs CREATE with the same name)
+      // (row_limit_queries.go re-runs CREATE with the same name).
+      // Safe against live tables: createPrecheck rejected any CREATE
+      // over an existing name before this path can run.
       e.clearTableMeta(table)
       throw ex
     }
@@ -1378,12 +1432,15 @@ object Dml {
       .foreach(mm => e.declareCharLimit(table, colName, mm.group(1).toInt))
 
   private def alterTable(e: Engine, table: String, actions: String): Unit = {
-    // a failed ALTER must not keep half-applied declared lengths (the
-    // data change rolls back with the un-replaced DataFrame already)
-    val charLimitsBefore = e.charLimitsSnapshot(table)
+    // a failed ALTER must not keep ANY half-applied declared metadata:
+    // an early action may have renamed columns (renameColumnMeta),
+    // dropped keys, or declared defaults before a later action or the
+    // final validateRowLength threw — the data change rolls back with
+    // the un-replaced DataFrame already, so the declarations must too
+    val metaBefore = e.tableMetaSnapshot(table)
     try alterTableInner(e, table, actions)
     catch { case ex: Throwable =>
-      e.restoreCharLimits(table, charLimitsBefore)
+      e.restoreTableMeta(table, metaBefore)
       throw ex
     }
   }

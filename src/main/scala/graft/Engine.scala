@@ -607,6 +607,7 @@ class Engine(val spark: SparkSession) {
     // the diagnostics area
     val pre0 = SqlRewrite.lenientCastLiterals(applyAnsiQuotes(sql), warn)
     SqlRewrite.truncateLiteralWarnings(pre0, warn)
+    SqlRewrite.strToDateLiteralWarnings(pre0, warn)
     // zero-date literals in date arithmetic -> NULL + 1292
     val pre = SqlRewrite.zeroDateCallNull(pre0, warn)
     // JSON_TABLE table functions compile to (LATERAL) derived tables
@@ -1395,15 +1396,60 @@ class Engine(val spark: SparkSession) {
           val casted = df(c).cast(dt)
           zeroValueLit(dt) match {
             case Some(z) if ignoreMode =>
-              import org.apache.spark.sql.functions.when
-              df.withColumn(s"__cvt_${c}__", df(c).isNotNull && casted.isNull)
-                .withColumn(c,
-                  when(org.apache.spark.sql.functions.col(s"`__cvt_${c}__`"),
-                    z).otherwise(casted))
+              import org.apache.spark.sql.functions.{col, lit, when}
+              // non-strict out-of-range numeric: MySQL clamps to the
+              // type bound and warns 1264 (reference rowexec/insert.go
+              // ConvertRound + ErrValueOutOfRange -> Session.Warn);
+              // Spark's non-ANSI cast would silently wrap instead
+              integralBounds(dt) match {
+                case Some((lo, hi)) if isNumericSource(df.schema(c).dataType) =>
+                  val asDec = df(c).cast(
+                    org.apache.spark.sql.types.DecimalType(38, 0))
+                  val oorF = s"__oor_${c}__"
+                  val cvtF = s"__cvt_${c}__"
+                  df.withColumn(oorF, df(c).isNotNull && asDec.isNotNull &&
+                      (asDec < lit(lo) || asDec > lit(hi)))
+                    .withColumn(cvtF,
+                      df(c).isNotNull && asDec.isNull && casted.isNull)
+                    .withColumn(c,
+                      when(col(s"`$oorF`"),
+                        when(asDec > lit(hi), lit(hi)).otherwise(lit(lo))
+                          .cast(dt))
+                        .when(col(s"`$cvtF`"), z)
+                        .otherwise(casted))
+                case _ =>
+                  df.withColumn(s"__cvt_${c}__",
+                      df(c).isNotNull && casted.isNull)
+                    .withColumn(c,
+                      when(col(s"`__cvt_${c}__`"), z).otherwise(casted))
+              }
             case _ => df.withColumn(c, casted)
           }
         case _ => df
       }
+    }
+  }
+
+  /** Clamp bounds for the integral column types (reference
+    * sql/types/number.go range table). */
+  private[graft] def integralBounds(dt: org.apache.spark.sql.types.DataType)
+      : Option[(Long, Long)] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
+      case ShortType => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
+      case IntegerType => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
+      case LongType => Some((Long.MinValue, Long.MaxValue))
+      case _ => None
+    }
+  }
+
+  private def isNumericSource(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => true
+      case _: StringType => true
+      case _ => false
     }
   }
 
@@ -1924,15 +1970,113 @@ class Engine(val spark: SparkSession) {
       columnDefaults.remove((table, fl))
       columnDefaults((table, to.toLowerCase)) = d
     }
+    // expression-carried references follow the rename too: CHECK
+    // expressions, generated-column expressions, and FK column lists in
+    // BOTH the child and parent role (MySQL carries all of these
+    // through RENAME/CHANGE COLUMN)
+    checkConstraints.mapInPlace { case (t, n, ex) =>
+      if (t == table) (t, n, renameIdent(ex, from, to)) else (t, n, ex)
+    }
+    generatedCols.mapInPlace { case (t, c, ex) =>
+      if (t == table) (t, ren(c), renameIdent(ex, from, to)) else (t, c, ex)
+    }
+    foreignKeys.mapInPlace { fk =>
+      var f = fk
+      if (f.child == table) f = f.copy(childCols = f.childCols.map(ren))
+      if (f.parent == table) f = f.copy(parentCols = f.parentCols.map(ren))
+      f
+    }
   }
 
-  private[graft] def charLimitsSnapshot(table: String): Map[String, Int] =
-    charLimits.collect { case ((t, c), n) if t == table => c -> n }.toMap
+  /** Token-level identifier rename inside an expression text: bare or
+    * backticked occurrences of `from` become `to`; string literals and
+    * longer identifiers are untouched. */
+  private def renameIdent(ex: String, from: String, to: String): String = {
+    val toks = SqlRewrite.tokenize(ex)
+    val sb = new StringBuilder
+    var pos = 0
+    toks.foreach { t =>
+      sb.append(ex.substring(pos, t.start))
+      val text = t.text
+      val bare = t.kind == SqlRewrite.Word && text.equalsIgnoreCase(from)
+      val ticked = text.length > 2 && text.startsWith("`") &&
+        text.endsWith("`") &&
+        text.substring(1, text.length - 1).equalsIgnoreCase(from)
+      sb.append(
+        if (bare) to
+        else if (ticked) s"`$to`"
+        else text)
+      pos = t.end
+    }
+    sb.append(ex.substring(pos))
+    sb.toString
+  }
 
-  private[graft] def restoreCharLimits(table: String,
-                                       snap: Map[String, Int]): Unit = {
+  /** Full copy of one table's declared metadata, for ALTER rollback: a
+    * multi-action ALTER whose early actions renamed columns / dropped
+    * keys / declared defaults must restore ALL of it when a later action
+    * or validateRowLength throws — not just the char limits — or SHOW
+    * KEYS / REPLACE would reference columns that no longer exist. */
+  private[graft] final case class TableMetaSnapshot(
+      keys: Option[Seq[String]], uniques: Seq[(String, String, Seq[String])],
+      indexes: Seq[(String, String, Seq[String])],
+      autoInc: Option[String], autoIncCtr: Option[Long],
+      notNull: Set[(String, String)], defaults: Map[(String, String), String],
+      vocab: Map[(String, String), (Boolean, Seq[String])],
+      vocabCiSnap: Set[(String, String)], chars: Map[(String, String), Int],
+      checks: Seq[(String, String, String)],
+      generated: Seq[(String, String, String)],
+      fks: Seq[Engine.ForeignKey], charset: Option[String])
+
+  private[graft] def tableMetaSnapshot(table: String): TableMetaSnapshot =
+    TableMetaSnapshot(
+      tableKeys.get(table),
+      uniqueKeys.filter(_._1 == table).toList,
+      secondaryIndexes.filter(_._1 == table).toList,
+      autoIncCols.get(table), autoIncCounter.get(table),
+      notNullCols.filter(_._1 == table).toSet,
+      columnDefaults.filter(_._1._1 == table).toMap,
+      columnVocab.filter(_._1._1 == table).toMap,
+      vocabCi.filter(_._1 == table).toSet,
+      charLimits.filter(_._1._1 == table).toMap,
+      checkConstraints.filter(_._1 == table).toList,
+      generatedCols.filter(_._1 == table).toList,
+      foreignKeys.filter(_.child == table).toList,
+      tableCharsets.get(table))
+
+  private[graft] def restoreTableMeta(table: String,
+                                      s: TableMetaSnapshot): Unit = {
+    s.keys match {
+      case Some(k) => tableKeys(table) = k
+      case None => tableKeys.remove(table)
+    }
+    uniqueKeys.filterInPlace(_._1 != table); uniqueKeys ++= s.uniques
+    secondaryIndexes.filterInPlace(_._1 != table)
+    secondaryIndexes ++= s.indexes
+    s.autoInc match {
+      case Some(c) => autoIncCols(table) = c
+      case None => autoIncCols.remove(table)
+    }
+    s.autoIncCtr match {
+      case Some(n) => autoIncCounter(table) = n
+      case None => autoIncCounter.remove(table)
+    }
+    notNullCols.filterInPlace(_._1 != table); notNullCols ++= s.notNull
+    columnDefaults.filterInPlace { case ((t, _), _) => t != table }
+    columnDefaults ++= s.defaults
+    columnVocab.filterInPlace { case ((t, _), _) => t != table }
+    columnVocab ++= s.vocab
+    vocabCi.filterInPlace(_._1 != table); vocabCi ++= s.vocabCiSnap
     charLimits.filterInPlace { case ((t, _), _) => t != table }
-    snap.foreach { case (c, n) => charLimits((table, c)) = n }
+    charLimits ++= s.chars
+    checkConstraints.filterInPlace(_._1 != table)
+    checkConstraints ++= s.checks
+    generatedCols.filterInPlace(_._1 != table); generatedCols ++= s.generated
+    foreignKeys.filterInPlace(_.child != table); foreignKeys ++= s.fks
+    s.charset match {
+      case Some(cs) => tableCharsets(table) = cs
+      case None => tableCharsets.remove(table)
+    }
   }
 
   def declareCharLimit(table: String, column: String, n: Int): Unit = {
@@ -1969,12 +2113,23 @@ class Engine(val spark: SparkSession) {
       schema: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.spark.sql.types._
     val bpc = bytesPerChar(tableCharsets.getOrElse(table, "utf8mb4"))
+    // per-type byte model from the reference's InnoDB simulation
+    // (memory/table.go maxRowStorageSize): numbers/datetimes 8,
+    // non-blob strings MaxByteLength, blobs 16, DECIMAL counts its
+    // MaximumScale = min(precision, 30), ENUM/SET 2. Remaining
+    // approximations: JSON (ref 20)
+    // and TIME (ref 16) columns map to StringType here and land on the
+    // 16-byte TEXT pointer; YEAR (ref 8) likewise 16 — near-cap specs
+    // using those types diverge by a few bytes per column.
     val rowLen = schema.fields.map { f =>
+      val isEnumSet = columnVocab.contains((table, f.name.toLowerCase))
       f.dataType match {
+        case _ if isEnumSet => 2L
         case _: StringType => // incl. collated strings (Spark 4)
           charLimits.get((table, f.name.toLowerCase))
             .map(_.toLong * bpc).getOrElse(16L) // TEXT = pointer
         case BinaryType => 16L
+        case d: DecimalType => math.min(d.precision, 30).toLong
         case _ => 8L
       }
     }.sum
@@ -2051,6 +2206,13 @@ class Engine(val spark: SparkSession) {
         val c = f.stripPrefix("__cvt_").stripSuffix("__")
         warns += ((f, 1366,
           s"Incorrect value for column '$c': stored the type zero value"))
+      }
+    // out-of-range clamp flags planted by the cast step (reference
+    // ErrValueOutOfRange -> MySQL 1264 on non-strict numeric writes)
+    df0.columns.filter(c => c.startsWith("__oor_") && c.endsWith("__"))
+      .foreach { f =>
+        val c = f.stripPrefix("__oor_").stripSuffix("__")
+        warns += ((f, 1264, s"Out of range value for column '$c'"))
       }
     val present = df.columns.map(c => c.toLowerCase -> c).toMap
     // ENUM truncate-to-'' / SET element drop, flagged

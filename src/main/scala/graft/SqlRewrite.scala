@@ -1383,6 +1383,48 @@ object SqlRewrite {
     }
   }
 
+  // ---- STR_TO_DATE literal parse-failure warnings (reference
+  //      sql/expression/function/str_to_date.go:128: a failed parse
+  //      evaluates to NULL and warns 1411). Literal-args only — the
+  //      driver-visible mirror of the reference's per-eval ctx.Warn;
+  //      the NULL value itself falls out of MySqlFormat's translated
+  //      ParseToDate/ParseToTimestamp (non-ANSI parse -> NULL).
+
+  def strToDateLiteralWarnings(sql: String, warn: (Int, String) => Unit): Unit = {
+    if (!sql.toLowerCase.contains("str_to_date")) return
+    val toks = tokenize(sql)
+    var i = 0
+    while (i + 5 < toks.length) {
+      if (toks(i).isWord("str_to_date") && toks(i + 1).text == "(" &&
+          toks(i + 2).kind == Lit && toks(i + 2).text.startsWith("'") &&
+          toks(i + 3).text == "," &&
+          toks(i + 4).kind == Lit && toks(i + 4).text.startsWith("'") &&
+          toks(i + 5).text == ")") {
+        def unq(t: Tok) =
+          t.text.stripPrefix("'").stripSuffix("'").replace("''", "'")
+        val str = unq(toks(i + 2))
+        if (strToDateParseFails(str, unq(toks(i + 4))))
+          warn(1411, s"Incorrect value: '$str' for function str_to_date")
+        i += 5
+      }
+      i += 1
+    }
+  }
+
+  /** Driver-side parse probe sharing MySqlFormat's specifier
+    * translation. Only a definite text mismatch is a failure; an
+    * untranslatable pattern stays silent (no false 1411s). */
+  private def strToDateParseFails(str: String, mysqlFmt: String): Boolean =
+    try {
+      val pattern = functions.MySqlFormat.toJavaPattern(mysqlFmt, parse = true)
+      java.time.format.DateTimeFormatter
+        .ofPattern(pattern, java.util.Locale.US).parse(str)
+      false
+    } catch {
+      case _: java.time.format.DateTimeParseException => true
+      case _: Exception => false
+    }
+
   // ---- zero-date literal args to date arithmetic (reference
   //      function_queries.go:1788+): MySQL's zero date '0000-00-00' (or
   //      numeric 0, or a boolean for DAYNAME) has no Spark

@@ -1172,7 +1172,10 @@ object spatial {
         case (null, _) => false
         case (_, null) => true
         case (_: GPoint, "POINT") | (_: GLine, "LINESTRING") |
-             (_: GPoly, "POLYGON") => true
+             (_: GPoly, "POLYGON") | (_: GMultiPoint, "MULTIPOINT") |
+             (_: GMultiLine, "MULTILINESTRING") |
+             (_: GMultiPoly, "MULTIPOLYGON") |
+             (_: GCollection, "GEOMETRYCOLLECTION") => true
         case _ => false
       }
       if (ok) UTF8String.fromString(toWkt(g)) else null
@@ -1377,6 +1380,14 @@ object spatial {
       "st_linestringfromwkb" -> (es => StFromWkb(es.head, "LINESTRING")),
       "st_polyfromwkb" -> (es => StFromWkb(es.head, "POLYGON")),
       "st_polygonfromwkb" -> (es => StFromWkb(es.head, "POLYGON")),
+      "st_mpointfromwkb" -> (es => StFromWkb(es.head, "MULTIPOINT")),
+      "st_multipointfromwkb" -> (es => StFromWkb(es.head, "MULTIPOINT")),
+      "st_mlinefromwkb" -> (es => StFromWkb(es.head, "MULTILINESTRING")),
+      "st_multilinestringfromwkb" -> (es => StFromWkb(es.head, "MULTILINESTRING")),
+      "st_mpolyfromwkb" -> (es => StFromWkb(es.head, "MULTIPOLYGON")),
+      "st_multipolygonfromwkb" -> (es => StFromWkb(es.head, "MULTIPOLYGON")),
+      "st_geomcollfromwkb" -> (es => StFromWkb(es.head, "GEOMETRYCOLLECTION")),
+      "st_geometrycollectionfromwkb" -> (es => StFromWkb(es.head, "GEOMETRYCOLLECTION")),
       "st_pointn" -> (es => StPointN(es(0), es(1))),
       "st_isempty" -> (es => StIsEmpty(es.head)),
       "st_convexhull" -> (es => StConvexHull(es.head)),

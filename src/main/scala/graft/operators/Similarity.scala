@@ -668,6 +668,163 @@ object Similarity {
            |  FROM scored)
            |SELECT probe_id, rk, vec_id,
            |  round(CAST(adc_dec AS DOUBLE), 6) AS adc_dist
-           |FROM ranked WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin))
+           |FROM ranked WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)),
+
+    // ---- ANN quality evaluation: recall@3 of the LSH-bucket and
+    //      IVF(nprobe=2) indexes against the exact brute-force top-3,
+    //      per probe — the missing quality metric for the ANN family.
+    //      One (probes × corpus) exact pass (broadcast probes, persisted
+    //      — both index comparisons read it), each index's candidates
+    //      via its usual pruned equi-join, hit counting as a semi-join
+    //      on (probe, neighbor). At 100 TB this is exactly how recall is
+    //      audited: sample probes, one exact scan, all indexes scored
+    //      off it.
+    QueryDef(
+      "ann_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe"), col("v").as("pv"),
+            col("nrm").as("pn"))
+        val corpus = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor"), col("v").as("nv"),
+            col("nrm").as("nn"))
+        def top3(scored: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("probe"))
+            .orderBy(col("cos").desc, col("neighbor"))
+          scored.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3).select(col("probe"), col("neighbor"))
+        }
+        val exact = top3(corpus.crossJoin(broadcast(probes))
+          .select(col("probe"), col("neighbor"),
+            (dot("pv", "nv") / (col("pn") * col("nn"))).as("cos")))
+          .persist()
+        // LSH index candidates (8 sign-bit bucket, sim_lsh_bucket's key)
+        val bucketed = e.withColumn("bucket",
+          expr("aggregate(sequence(0, 7), 0L, (acc, j) -> acc + CASE WHEN element_at(v, j + 1) > 0 THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"))
+        val lsh = top3(
+          bucketed.filter(col("vec_id") >= 5)
+            .select(col("vec_id").as("neighbor"), col("v").as("nv"),
+              col("nrm").as("nn"), col("bucket"))
+            .join(broadcast(bucketed.filter(col("vec_id") < 5)
+              .select(col("vec_id").as("probe"), col("v").as("pv"),
+                col("nrm").as("pn"), col("bucket"))), Seq("bucket"))
+            .select(col("probe"), col("neighbor"),
+              (dot("pv", "nv") / (col("pn") * col("nn"))).as("cos")))
+        // IVF(nprobe=2) candidates (sim_ivf_nprobe's assignment)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2"), col("cent_id"))
+        val ranked = e.select(col("vec_id"), col("v"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            gvec.vecL2Sq(col("v"), col("cv")).as("d2"))
+          .withColumn("crk", row_number().over(wAssign))
+        val ivf = top3(
+          e.filter(col("vec_id") >= 5)
+            .join(ranked.filter(col("crk") === 1)
+              .select(col("vec_id"), col("cent_id").as("cent")), Seq("vec_id"))
+            .select(col("vec_id").as("neighbor"), col("v").as("nv_v"),
+              col("nrm").as("nn"), col("cent"))
+            .join(broadcast(e.filter(col("vec_id") < 5)
+              .join(ranked.filter(col("crk") <= 2)
+                .select(col("vec_id"), col("cent_id").as("cent")),
+                Seq("vec_id"))
+              .select(col("vec_id").as("probe"), col("v").as("pv"),
+                col("nrm").as("pn"), col("cent"))), Seq("cent"))
+            .select(col("probe"), col("neighbor"),
+              (dot("pv", "nv_v") / (col("pn") * col("nn"))).as("cos"))
+            .distinct())
+        def recallOf(ann: DataFrame, name: String): DataFrame = {
+          val hits = ann.join(exact, Seq("probe", "neighbor"), "left_semi")
+            .groupBy(col("probe")).agg(count(lit(1)).as("h"))
+          probes.select(col("probe")).join(hits, Seq("probe"), "left")
+            .select(lit(name).as("idx"), col("probe"),
+              coalesce(col("h"), lit(0L)).as("hits"),
+              (coalesce(col("h"), lit(0L)).cast("double") / 3.0).as("recall"))
+        }
+        recallOf(ivf, "ivf_nprobe").unionByName(recallOf(lsh, "lsh"))
+          .orderBy(col("idx"), col("probe"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              nv AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              exact AS (
+                SELECT probe, neighbor FROM (
+                  SELECT p.vec_id AS probe, n.vec_id AS neighbor,
+                    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                      list_dot_product(p.v, n.v) / (p.nrm * n.nrm) DESC,
+                      n.vec_id) AS rk
+                  FROM nv p JOIN nv n ON p.vec_id < 5 AND n.vec_id >= 5)
+                WHERE rk <= 3),
+              b AS (
+                SELECT vec_id, v, nrm,
+                  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END) +
+                  (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) +
+                  (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) +
+                  (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) +
+                  (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) +
+                  (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) +
+                  (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+                FROM nv),
+              lsh AS (
+                SELECT probe, neighbor FROM (
+                  SELECT p.vec_id AS probe, n.vec_id AS neighbor,
+                    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                      list_dot_product(p.v, n.v) / (p.nrm * n.nrm) DESC,
+                      n.vec_id) AS rk
+                  FROM b p JOIN b n ON p.bucket = n.bucket
+                    AND p.vec_id < 5 AND n.vec_id >= 5)
+                WHERE rk <= 3),
+              cents AS (
+                SELECT vec_id AS cent_id, v AS cv FROM nv WHERE vec_id < 8),
+              ranked AS (
+                SELECT n.vec_id, c.cent_id,
+                  row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                    list_sum(list_transform(list_zip(n.v, c.cv),
+                      z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS crk
+                FROM nv n CROSS JOIN cents c),
+              icorpus AS (
+                SELECT nv.vec_id AS neighbor, nv.v, nv.nrm, r.cent_id AS cent
+                FROM nv JOIN ranked r ON nv.vec_id = r.vec_id AND r.crk = 1
+                WHERE nv.vec_id >= 5),
+              iprobes AS (
+                SELECT nv.vec_id AS probe, nv.v, nv.nrm, r.cent_id AS cent
+                FROM nv JOIN ranked r ON nv.vec_id = r.vec_id AND r.crk <= 2
+                WHERE nv.vec_id < 5),
+              iscored AS (
+                SELECT DISTINCT p.probe, c.neighbor,
+                  list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
+                FROM iprobes p JOIN icorpus c ON p.cent = c.cent),
+              ivf AS (
+                SELECT probe, neighbor FROM (
+                  SELECT probe, neighbor,
+                    row_number() OVER (PARTITION BY probe
+                      ORDER BY cos DESC, neighbor) AS rk
+                  FROM iscored) WHERE rk <= 3),
+              plist AS (SELECT vec_id AS probe FROM nv WHERE vec_id < 5),
+              lr AS (
+                SELECT a.probe, COUNT(*) AS h FROM lsh a
+                JOIN exact x ON a.probe = x.probe AND a.neighbor = x.neighbor
+                GROUP BY a.probe),
+              ir AS (
+                SELECT a.probe, COUNT(*) AS h FROM ivf a
+                JOIN exact x ON a.probe = x.probe AND a.neighbor = x.neighbor
+                GROUP BY a.probe)
+              SELECT * FROM (
+                SELECT 'ivf_nprobe' AS idx, p.probe,
+                  COALESCE(ir.h, 0) AS hits,
+                  CAST(COALESCE(ir.h, 0) AS DOUBLE) / 3.0 AS recall
+                FROM plist p LEFT JOIN ir ON p.probe = ir.probe
+                UNION ALL
+                SELECT 'lsh' AS idx, p.probe,
+                  COALESCE(lr.h, 0) AS hits,
+                  CAST(COALESCE(lr.h, 0) AS DOUBLE) / 3.0 AS recall
+                FROM plist p LEFT JOIN lr ON p.probe = lr.probe)
+              ORDER BY idx, probe"""))
   )
 }

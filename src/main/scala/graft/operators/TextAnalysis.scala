@@ -787,7 +787,7 @@ object TextAnalysis {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.t(s, d, "documents")
-          .select(col("lang"), size(split(col("text"), " ")).as("n"))
+          .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
         val hist = docs.groupBy(col("lang"), col("n"))
           .agg(count(lit(1)).as("cnt"))
         val cum = hist.withColumn("cum",

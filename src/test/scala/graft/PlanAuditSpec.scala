@@ -18,6 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf",             // centroid assignment: corpus × 8 centroids (broadcast)
     "sim_ivf_kmeans",      // Lloyd assignment: corpus × k centroids (broadcast)
     "sim_ivf_nprobe",      // centroid assignment: corpus × 8 centroids (broadcast)
+    "ann_recall",          // exact-baseline pass + centroid assignment (broadcast)
     "dedup_semantic",      // cluster assignment: corpus × K centroids (broadcast);
                            // the pairwise stage itself is a cid equi-join
     "text_match",          // single aggregated stats row broadcast to the scan

@@ -1117,4 +1117,145 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
       Seq(Seq(1, 5), Seq(2, 9), Seq(3, null)))
     engine.query("drop table tad")
   }
+
+  test("CREATE over an existing name is MySQL 1050; IF NOT EXISTS " +
+      "no-ops; a live table's declared metadata survives the rejected " +
+      "statement (ddl.go ErrTableAlreadyExists)") {
+    engine.runScript(
+      """CREATE TABLE dup1050 (pk int primary key, v varchar(5));
+        |INSERT INTO dup1050 VALUES (1, 'a');
+        |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("CREATE TABLE dup1050 (x int)")
+    }.getMessage.contains("1050"))
+    // the failed CREATE must NOT have wiped the live table's metadata:
+    // the PK still dups 1062, the varchar limit still enforces 1406
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO dup1050 VALUES (1, 'b')")
+    }.getMessage.contains("1062"))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO dup1050 VALUES (2, 'toolong')")
+    }.getMessage.contains("1406"))
+    // IF NOT EXISTS: silent no-op, data intact
+    engine.query("CREATE TABLE IF NOT EXISTS dup1050 (x int)")
+    assert(rows("SELECT * FROM dup1050") == Seq(Seq(1, "a")))
+    engine.query("CREATE TABLE IF NOT EXISTS dup1050 LIKE dup1050")
+    assert(rows("SELECT * FROM dup1050") == Seq(Seq(1, "a")))
+    // CTAS over an existing name rejects too
+    assert(intercept[IllegalArgumentException] {
+      engine.query("CREATE TABLE dup1050 AS SELECT 1 AS a")
+    }.getMessage.contains("1050"))
+    // a view under the name blocks CREATE TABLE as well
+    engine.query("CREATE VIEW dupv1050 AS SELECT 1 AS a")
+    assert(intercept[IllegalArgumentException] {
+      engine.query("CREATE TABLE dupv1050 (x int)")
+    }.getMessage.contains("1050"))
+    engine.runScript("drop view dupv1050; drop table dup1050;")
+  }
+
+  test("failed multi-action ALTER rolls back ALL declared metadata, " +
+      "not just char limits (advice: rename/key/default state must " +
+      "match the rolled-back data)") {
+    engine.runScript(
+      """CREATE TABLE arb (pk int primary key, v1 varchar(5), v2 int not null default 7);
+        |INSERT INTO arb VALUES (1, 'a', 2);
+        |""".stripMargin)
+    // RENAME COLUMN succeeds as action 1, then DROP of a never-existing
+    // column fails the statement -> everything must roll back
+    assert(intercept[Exception] {
+      engine.query("ALTER TABLE arb RENAME COLUMN v1 TO vnew, DROP COLUMN nope")
+    }.getMessage.nonEmpty)
+    // data side kept the old name
+    assert(rows("SELECT pk, v1, v2 FROM arb") == Seq(Seq(1, "a", 2)))
+    // declared side did too: the char limit still lives under v1
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO arb VALUES (2, 'toolong', 3)")
+    }.getMessage.contains("1406"))
+    // the PK and the v2 default survived
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO arb VALUES (1, 'b', 3)")
+    }.getMessage.contains("1062"))
+    engine.query("INSERT INTO arb (pk, v1) VALUES (3, 'c')")
+    assert(rows("SELECT v2 FROM arb WHERE pk = 3") == Seq(Seq(7)))
+    engine.query("drop table arb")
+  }
+
+  test("RENAME COLUMN carries CHECK expressions, FK column lists, and " +
+      "generated columns to the new name (MySQL rename semantics)") {
+    engine.runScript(
+      """CREATE TABLE rparent (id int primary key);
+        |INSERT INTO rparent VALUES (1), (2);
+        |CREATE TABLE rchild (pk int primary key, ref int,
+        |  amt int, CHECK (amt > 0),
+        |  FOREIGN KEY (ref) REFERENCES rparent (id));
+        |INSERT INTO rchild VALUES (1, 1, 5);
+        |""".stripMargin)
+    // rename the CHECKed column: the constraint follows
+    engine.query("ALTER TABLE rchild RENAME COLUMN amt TO amount")
+    assert(intercept[Exception] {
+      engine.query("INSERT INTO rchild VALUES (2, 2, -1)")
+    }.getMessage.toLowerCase.contains("check"))
+    engine.query("INSERT INTO rchild VALUES (2, 2, 9)")
+    // rename the FK child column: enforcement still resolves
+    engine.query("ALTER TABLE rchild RENAME COLUMN ref TO parent_id")
+    assert(intercept[Exception] {
+      engine.query("INSERT INTO rchild VALUES (3, 99, 1)")
+    }.getMessage.contains("1452"))
+    // rename the FK PARENT column: the parent role follows too
+    engine.query("ALTER TABLE rparent RENAME COLUMN id TO pid")
+    assert(intercept[Exception] {
+      engine.query("INSERT INTO rchild VALUES (4, 98, 1)")
+    }.getMessage.contains("1452"))
+    engine.query("INSERT INTO rchild VALUES (5, 2, 3)")
+    // generated column expression follows a source-column rename
+    engine.runScript(
+      """CREATE TABLE rgen (pk int primary key, a int, b int GENERATED ALWAYS AS (a * 2) STORED);
+        |INSERT INTO rgen (pk, a) VALUES (1, 4);
+        |""".stripMargin)
+    engine.query("ALTER TABLE rgen RENAME COLUMN a TO base")
+    engine.query("INSERT INTO rgen (pk, base) VALUES (2, 6)")
+    assert(rows("SELECT pk, base, b FROM rgen ORDER BY pk") ==
+      Seq(Seq(1, 4, 8), Seq(2, 6, 12)))
+    engine.runScript("drop table rgen; drop table rchild; drop table rparent;")
+  }
+
+  test("REPLACE under non-strict sql_mode coerces NULL-into-NOT-NULL " +
+      "to the implicit default with 1048, like INSERT (sql_mode strict " +
+      "gating, rowexec ignore paths)") {
+    engine.runScript(
+      """CREATE TABLE rns (pk int primary key, v int NOT NULL);
+        |INSERT INTO rns VALUES (1, 5);
+        |""".stripMargin)
+    // strict: REPLACE with NULL errors 1048
+    assert(intercept[IllegalArgumentException] {
+      engine.query("REPLACE INTO rns VALUES (1, NULL)")
+    }.getMessage.contains("1048"))
+    // non-strict: coerces to the type zero with a warning
+    engine.query("SET sql_mode = ''")
+    engine.query("REPLACE INTO rns VALUES (1, NULL)")
+    val w = engine.query("SHOW WARNINGS").collect()
+    assert(w.exists(_.getInt(1) == 1048))
+    assert(rows("SELECT * FROM rns") == Seq(Seq(1, 0)))
+    engine.query("SET sql_mode = 'STRICT_TRANS_TABLES'")
+    engine.query("drop table rns")
+  }
+
+  test("row-size limit counts DECIMAL as min(precision,30) and ENUM as " +
+      "2 bytes (memory/table.go maxRowStorageSize)") {
+    // 16350 * 4-byte chars = 65400; a DECIMAL(30,5) adds 30 -> 65430 ok;
+    // with a second one at 65460 ok; VARCHAR(16384)*4 = 65536 alone busts
+    engine.query(
+      "CREATE TABLE rsz1 (a varchar(16350), d decimal(30,5), e enum('x','y'))")
+    engine.query("drop table rsz1")
+    assert(intercept[IllegalArgumentException] {
+      engine.query("CREATE TABLE rsz2 (a varchar(16350), b varchar(50))")
+    }.getMessage.contains("1118"))
+    // DECIMAL near the cap: 46 DECIMAL(30,0) columns = 1380 bytes; the
+    // varchar budget shrinks accordingly
+    assert(intercept[IllegalArgumentException] {
+      engine.query("CREATE TABLE rsz3 (a varchar(16350), " +
+        (1 to 46).map(i => s"d$i decimal(30,0)").mkString(", ") + ")")
+    }.getMessage.contains("1118"))
+    engine.query("SELECT 1")
+  }
 }

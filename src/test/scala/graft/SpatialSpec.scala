@@ -154,6 +154,34 @@ class SpatialSpec extends AnyFunSuite {
     assert(one[Any](sp.stGeomFromText(lit("POINT(1 2)"))) != null)
   }
 
+  test("typed multi-geometry WKB constructors (registry.go st_m*fromwkb)") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT st_mpointfromwkb(st_aswkb('MULTIPOINT(1 2, 3 4)')) AS mp,
+               st_multipointfromwkb(st_aswkb('MULTIPOINT(1 2)')) AS mp2,
+               st_mlinefromwkb(st_aswkb('MULTILINESTRING((0 0,1 1),(2 2,3 3))')) AS ml,
+               st_multilinestringfromwkb(st_aswkb('MULTILINESTRING((0 0,1 1))')) AS ml2,
+               st_mpolyfromwkb(st_aswkb(
+                 'MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((2 2,3 2,3 3,2 2)))')) AS mpoly,
+               st_multipolygonfromwkb(st_aswkb('MULTIPOLYGON(((0 0,1 0,1 1,0 0)))')) AS mpoly2,
+               st_geomcollfromwkb(st_aswkb(
+                 'GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))')) AS gc,
+               st_geometrycollectionfromwkb(st_aswkb('GEOMETRYCOLLECTION(POINT(1 2))')) AS gc2,
+               st_mpointfromwkb(st_aswkb('POINT(1 2)')) AS bad_type,
+               st_mlinefromwkb(st_aswkb('MULTIPOINT(1 2)')) AS bad_type2
+        """).collect()(0)
+    assert(r.getString(0) == "MULTIPOINT((1 2),(3 4))")
+    assert(r.getString(1) == "MULTIPOINT((1 2))")
+    assert(r.getString(2) == "MULTILINESTRING((0 0,1 1),(2 2,3 3))")
+    assert(r.getString(3) == "MULTILINESTRING((0 0,1 1))")
+    assert(r.getString(4) == "MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((2 2,3 2,3 3,2 2)))")
+    assert(r.getString(5) == "MULTIPOLYGON(((0 0,1 0,1 1,0 0)))")
+    assert(r.getString(6) == "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))")
+    assert(r.getString(7) == "GEOMETRYCOLLECTION(POINT(1 2))")
+    assert(r.isNullAt(8))
+    assert(r.isNullAt(9))
+  }
+
   test("centroid / perimeter / equals / interiorringn / validate") {
     val e = new Engine(spark)
     val r = e.query(

@@ -217,6 +217,62 @@ class WarningsSpec extends AnyFunSuite {
     engine.runScript("drop table odt1; drop table odt2;")
   }
 
+  test("out-of-range numeric writes clamp to the type bound and warn " +
+      "1264 under IGNORE / non-strict mode (rowexec/insert.go " +
+      "ConvertRound + ErrValueOutOfRange; update.go convert)") {
+    engine.runScript(
+      """CREATE TABLE oorw (pk int primary key, t tinyint, s smallint, i int);
+        |INSERT INTO oorw VALUES (1, 1, 1, 1);
+        |""".stripMargin)
+    // INSERT IGNORE: 300 into TINYINT clamps to 127 (not Spark's
+    // wrapped 44), -300 clamps to -128; 40000 into SMALLINT -> 32767
+    assert(rows("INSERT IGNORE INTO oorw VALUES (2, 300, 40000, 5)") ==
+      Seq(Seq(1L)))
+    assert(warnRows().sorted == Seq((1264, "Warning"), (1264, "Warning")))
+    assert(rows("SELECT t, s, i FROM oorw WHERE pk = 2") ==
+      Seq(Seq(127, 32767, 5)))
+    assert(rows("INSERT IGNORE INTO oorw VALUES (3, -300, -40000, 6)") ==
+      Seq(Seq(1L)))
+    assert(rows("SELECT t, s FROM oorw WHERE pk = 3") ==
+      Seq(Seq(-128, -32768)))
+    // string numeric over the range clamps too (ConvertRound parses
+    // then range-checks), not the 1366 zero-value path
+    assert(rows("INSERT IGNORE INTO oorw VALUES (4, '200', 7, 7)") ==
+      Seq(Seq(1L)))
+    assert(warnRows() == Seq((1264, "Warning")))
+    assert(rows("SELECT t FROM oorw WHERE pk = 4") == Seq(Seq(127)))
+    // non-strict plain INSERT takes the same path
+    engine.query("SET sql_mode = ''")
+    assert(rows("INSERT INTO oorw VALUES (5, 999, 8, 8)") == Seq(Seq(1L)))
+    assert(warnRows() == Seq((1264, "Warning")))
+    assert(rows("SELECT t FROM oorw WHERE pk = 5") == Seq(Seq(127)))
+    // UPDATE (non-strict) clamps through the assignment cast
+    assert(rows("UPDATE oorw SET t = 1000 WHERE pk = 1") == Seq(Seq(1L)))
+    assert(warnRows() == Seq((1264, "Warning")))
+    assert(rows("SELECT t FROM oorw WHERE pk = 1") == Seq(Seq(127)))
+    engine.query("SET sql_mode = 'STRICT_TRANS_TABLES'")
+    // in-range values stay silent
+    engine.query("INSERT IGNORE INTO oorw VALUES (6, 99, 9, 9)")
+    assert(warnRows() == Seq.empty)
+    engine.query("drop table oorw")
+  }
+
+  test("STR_TO_DATE parse failure evaluates NULL and warns 1411 " +
+      "(str_to_date.go:128 ctx.Warn)") {
+    val r = rows("SELECT STR_TO_DATE('invalid', '%d-%m-%Y') AS v")
+    assert(r == Seq(Seq(null)))
+    assert(warnRows() == Seq((1411, "Warning")))
+    // two failing calls, two warnings
+    rows("SELECT STR_TO_DATE('x', '%d,%m,%Y') AS a, " +
+      "STR_TO_DATE('y', '%d,%m,%Y') AS b")
+    assert(warnRows() == Seq((1411, "Warning"), (1411, "Warning")))
+    // a successful parse stays silent
+    assert(rows("SELECT STR_TO_DATE('01,5,2013','%d,%m,%Y') AS v") ==
+      Seq(Seq(java.sql.Date.valueOf("2013-05-01"))))
+    assert(warnRows() == Seq.empty)
+    engine.query("SELECT 1")
+  }
+
   test("sql_mode round-trip: recognized modes read back via @@sql_mode, " +
       "unknown tokens error 1231, STRICT toggles the write path " +
       "(sql_mode.go:28-53; script_queries.go strict-vs-non-strict)") {
