@@ -52,7 +52,7 @@ object Dml {
   // contain a JOIN before the first top-level SET, so a plain
   // `UPDATE t SET a = (SELECT … JOIN …)` still routes to Update.
   private val UpdateJoin =
-    """(?is)^\s*UPDATE\s+(?:IGNORE\s+)?((?:(?!\bSET\b).)+?\bJOIN\b(?:(?!\bSET\b).)+?)\s+SET\s+(.*)$""".r
+    """(?is)^\s*UPDATE\s+(IGNORE\s+)?((?:(?!\bSET\b).)+?\bJOIN\b(?:(?!\bSET\b).)+?)\s+SET\s+(.*)$""".r
   private val Delete =
     re("""(?is)^\s*DELETE\s+FROM\s+<T>\s*(.*?)\s*$""")
   // INSERT INTO t SET a = x, b = y (MySQL's assignment form)
@@ -419,8 +419,8 @@ object Dml {
         s"REPLACE INTO ${tick(table)} (${pairs.map(_._1).mkString(", ")}) " +
           s"VALUES (${pairs.map(_._2).mkString(", ")})")
 
-    case UpdateJoin(refsText, rest) =>
-      Some(updateJoin(e, refsText, rest))
+    case UpdateJoin(ignoreKw, refsText, rest) =>
+      Some(updateJoin(e, refsText, rest, ignoreKw != null))
 
     case DeleteJoin(targetsText, rest) =>
       Some(deleteJoin(e, targetsText, rest))
@@ -1971,7 +1971,8 @@ object Dml {
     * assigned once, so visit order cannot change the result).
     * affected = sum over targets of their matched row counts, the
     * reference's multi-target count. */
-  private def updateJoin(e: Engine, refsText: String, rest: String): DataFrame = {
+  private def updateJoin(e: Engine, refsText: String, rest: String,
+                         ignore: Boolean = false): DataFrame = {
     val (head, _) = splitOrderLimit(rest)
     val (assignText, whereOpt) = splitWhere(head)
     val whereSql = whereOpt.map(w => s" WHERE $w").getOrElse("")
@@ -2046,12 +2047,41 @@ object Dml {
         .partitionBy(key.map(k => col(s"`$k`")).toIndexedSeq: _*)
         .orderBy(asResolved.map { case (c, _) =>
           col(s"`__new_$c`").asc_nulls_first }.toIndexedSeq: _*)
-      val updates = e.query(
+      val updates0 = e.query(
         s"SELECT DISTINCT ${(keySel ++ newSel).mkString(", ")} " +
           s"FROM $refsText$whereSql")
         .filter(!allNullKey)
         .withColumn("__rn__", row_number().over(w))
         .filter(col("__rn__") === 1).drop("__rn__")
+      // UPDATE IGNORE assigning a declared-key column: a row whose new
+      // key would collide is skipped, first (by old key order) winner
+      // kept — matched 4 / updated 1 on the self-join SET pk case
+      // (update_queries.go:441 UpdateInfo{Matched:4, Updated:1}).
+      // Two collision classes: against another updated row's new key
+      // (window first-wins) and against an untouched existing row's key
+      // (anti-join); chained collisions through skipped rows are
+      // row-order-unspecified in MySQL and left unmodeled.
+      val keyAssigned = ignore && e.tableKeys.contains(table) &&
+        key.exists(k => asResolved.exists(_._1.equalsIgnoreCase(k)))
+      val updates = if (!keyAssigned) updates0 else {
+        val assignedK = asResolved.map(_._1.toLowerCase).toSet
+        val nkCols = key.map { k =>
+          (if (assignedK.contains(k.toLowerCase)) col(s"`__new_$k`")
+           else col(s"`$k`")).as(s"__nk_$k")
+        }
+        val u2 = updates0.select(col("*") +: nkCols: _*)
+        val wDup = org.apache.spark.sql.expressions.Window
+          .partitionBy(key.map(k => col(s"`__nk_$k`")).toIndexedSeq: _*)
+          .orderBy(key.map(k => col(s"`$k`").asc).toIndexedSeq: _*)
+        val firstPer = u2.withColumn("__dr__", row_number().over(wDup))
+          .filter(col("__dr__") === 1).drop("__dr__")
+        val untouched = t
+          .join(updates0.select(key.map(k => col(s"`$k`")).toIndexedSeq: _*),
+            key.toSeq, "left_anti")
+          .select(key.map(k => col(s"`$k`").as(s"__nk_$k")).toIndexedSeq: _*)
+        firstPer.join(untouched, key.map(k => s"__nk_$k").toSeq, "left_anti")
+          .drop(key.map(k => s"__nk_$k"): _*)
+      }
       val matched = updates.count()
       // `__rid__` aligns pre/post rows for ON UPDATE CASCADE key mapping
       val t0 = t.withColumn("__rid__", monotonically_increasing_id())

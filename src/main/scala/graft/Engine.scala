@@ -1022,6 +1022,7 @@ class Engine(val spark: SparkSession) {
     } else {
       validateNotNull(table, coerced,
         incoming0.columns.map(_.toLowerCase).toSet)
+      validateIntRange(table, incoming0)
       validateVocab(table, coerced)
       validateCharLimits(table, coerced)
       validateChecks(table, coerced)
@@ -2137,6 +2138,42 @@ class Engine(val spark: SparkSession) {
       throw new IllegalArgumentException(
         s"invalid table spec: expected size < 65535, found $rowLen " +
         s"(MySQL error 1118: Row size too large)")
+  }
+
+  /** Strict-mode range enforcement on the PRE-cast batch: a numeric
+    * value outside an integral column's range is MySQL error 1264
+    * (reference rowexec/insert.go ErrValueOutOfRange on the non-IGNORE
+    * path) — checked before coerceAndFill's cast can silently wrap it.
+    * All integral columns check in ONE filter + limit(1) job. */
+  private[graft] def validateIntRange(table: String, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val target = spark.table(table)
+    val present = batch.columns.map(c => c.toLowerCase -> c).toMap
+    val checks = target.schema.fields.toSeq.flatMap { f =>
+      integralBounds(f.dataType).flatMap { case (lo, hi) =>
+        present.get(f.name.toLowerCase).flatMap { name =>
+          val src = batch.schema(name).dataType
+          if (src == f.dataType || !isNumericSource(src)) None
+          else {
+            val asDec = col(s"`$name`").cast(DecimalType(38, 0))
+            Some(name ->
+              (asDec.isNotNull && (asDec < lit(lo) || asDec > lit(hi))))
+          }
+        }
+      }
+    }
+    if (checks.isEmpty) return
+    val bad = batch.filter(checks.map(_._2).reduce(_ || _))
+      .select(checks.map { case (n, c) => c.as(n) }.toIndexedSeq: _*)
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      val i = checks.indices.find(i => !r.isNullAt(i) && r.getBoolean(i))
+        .getOrElse(0)
+      throw new IllegalArgumentException(
+        s"Out of range value for column '${checks(i)._1}' " +
+        s"(MySQL error 1264)")
+    }
   }
 
   /** Plain-INSERT length enforcement: any value longer than the declared

@@ -493,22 +493,32 @@ object TextAnalysis {
       "text_contamination",
       (s, d) => {
         // per-doc dedup is a per-ROW array_distinct, not a (doc_id, ngram)
-        // distinct — no corpus-wide shuffle just to dedupe within docs
+        // distinct — no corpus-wide shuffle just to dedupe within docs.
+        // N-grams are represented as xxhash64 of the 5-word slice, never
+        // materialized as strings: extraction skips the per-window concat
+        // alloc, the per-row distinct and the bench membership probe run
+        // over 8-byte longs, and the broadcast set is ~8× smaller. A
+        // 64-bit collision would merge two distinct n-grams (birthday
+        // bound ~n²/2⁶⁵ — immaterial at any corpus size that fits an
+        // engine). split() is projected ONCE before the lambda —
+        // referencing it inside the transform body re-evaluates the
+        // split per n-gram, turning extraction quadratic in doc length.
         val docs = Tables.t(s, d, "documents")
-        // split() is projected ONCE before the lambda — referencing it
-        // inside the transform body re-evaluates the split per n-gram,
-        // turning extraction quadratic in document length
-        def withNgrams(df: org.apache.spark.sql.DataFrame) =
-          df.select(col("doc_id"), split(col("text"), " ").as("ws"))
-            .select(col("doc_id"), expr(
-              """array_distinct(CASE WHEN size(ws) >= 5
-                   THEN transform(sequence(1, size(ws) - 4),
-                     i -> array_join(slice(ws, i, 5), ' '))
-                   ELSE CAST(array() AS array<string>) END)""").as("ngs"))
-        val bench = withNgrams(docs.filter(col("doc_id") % 97 === 0))
+        // ONE corpus text scan: the hashed n-gram frame persists and
+        // both the bench set and the corpus probe derive from it
+        // (PlanAuditSpec pins the single-scan shape)
+        val ngs = docs
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), expr(
+            """array_distinct(CASE WHEN size(ws) >= 5
+                 THEN transform(sequence(1, size(ws) - 4),
+                   i -> xxhash64(slice(ws, i, 5)))
+                 ELSE CAST(array() AS array<bigint>) END)""").as("ngs"))
+          .persist()
+        val bench = ngs.filter(col("doc_id") % 97 === 0)
           .select(explode(col("ngs")).as("ng")).distinct()
           .withColumn("hit", lit(1))
-        withNgrams(docs)
+        ngs
           .select(col("doc_id"), size(col("ngs")).as("n_ngrams"),
             explode(col("ngs")).as("ng"))
           .join(broadcast(bench), Seq("ng"), "left")

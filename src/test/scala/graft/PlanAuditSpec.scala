@@ -50,7 +50,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // most this many DISTINCT parquet scan nodes (cache-shared scans
     // reuse one node id): lsh_pairs 1 (sig cache), ngram_jaccard 2
     // (shingle cache + the sig cache's captured build plan).
-    val maxScans = Map("dedup_lsh_pairs" -> 1, "dedup_ngram_jaccard" -> 2)
+    val maxScans = Map("dedup_lsh_pairs" -> 1, "dedup_ngram_jaccard" -> 2,
+      "text_contamination" -> 1)
     val scanId = """Scan parquet\s+\((\d+)\)""".r
     maxScans.foreach { case (name, maxN) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution

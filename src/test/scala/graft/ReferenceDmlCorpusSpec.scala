@@ -240,6 +240,26 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
       Seq(Seq(1, "updated"), Seq(2, "second row"), Seq(3, "third row")))
   }
 
+  test("UPDATE IGNORE with JOIN (update_queries.go:430-450): no-conflict " +
+      "join behaves like plain; a key-assigning self-join keeps the " +
+      "first row and skips colliding updates") {
+    // the reference fixture declares pk as one_pk's PRIMARY KEY — the
+    // IGNORE dup-skip keys off the declared key
+    engine.declareKey("one_pk", Seq("pk"))
+    joinCheck(
+      "UPDATE IGNORE one_pk INNER JOIN two_pk on one_pk.pk = two_pk.pk1 SET two_pk.c1 = two_pk.c1 + 1",
+      4, "SELECT * FROM two_pk",
+      Seq(Seq(0, 0, 1, 1, 2, 3, 4), Seq(0, 1, 11, 11, 12, 13, 14),
+        Seq(1, 0, 21, 21, 22, 23, 24), Seq(1, 1, 31, 31, 32, 33, 34)))
+    // all four rows match and try pk = 10; only the first (pk=0) applies
+    joinCheck(
+      "UPDATE IGNORE one_pk JOIN one_pk one_pk2 on one_pk.pk = one_pk2.pk SET one_pk.pk = 10",
+      1, "SELECT * FROM one_pk",
+      Seq(Seq(1, 10, 11, 12, 13, 14), Seq(2, 20, 21, 22, 23, 24),
+        Seq(3, 30, 31, 32, 33, 34), Seq(10, 0, 1, 2, 3, 4)))
+    engine.tableKeys.remove("one_pk")
+  }
+
   test("DELETE write-query cases (delete_queries.go:25-90)") {
     writeCheck("DELETE FROM mytable;", 3, "SELECT * FROM mytable", Seq.empty)
     writeCheck("DELETE FROM mytable WHERE i = 2;", 1,
@@ -376,6 +396,38 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
     joinCheck("DELETE FROM mytable USING mytable inner join tabletest on mytable.i=tabletest.i;",
       3, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
       Seq(Seq(0L, 3L)))
+  }
+
+  test("multi-table DELETE long tail (delete_queries.go:210-265): " +
+      "multi-target USING, filtered reversed targets, derived-table " +
+      "and JSON_TABLE sources, CTE-prefixed join deletes") {
+    joinCheck("DELETE FROM mytable, tabletest USING mytable inner join tabletest on mytable.i=tabletest.i;",
+      3, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(0L, 0L)))
+    joinCheck("DELETE mytable FROM mytable join tabletest where mytable.i=tabletest.i and mytable.i = 2;",
+      1, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(2L, 3L)))
+    joinCheck("DELETE mytable, tabletest FROM mytable join tabletest where mytable.i=tabletest.i and mytable.i = 2;",
+      1, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(2L, 2L)))
+    joinCheck("DELETE tabletest, mytable FROM mytable join tabletest where mytable.i=tabletest.i and mytable.i = 2;",
+      1, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(2L, 2L)))
+    joinCheck("DELETE mytable FROM mytable join (select 1 as i union all select 2 as i) dt where mytable.i=dt.i;",
+      2, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(1L, 3L)))
+    joinCheck("with t (n) as (select (1) from dual) delete mytable from mytable join tabletest where mytable.i=tabletest.i and mytable.i in (select n from t)",
+      1, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(2L, 3L)))
+    joinCheck("with t (n) as (select (1) from dual) delete mytable, tabletest from mytable join tabletest where mytable.i=tabletest.i and mytable.i in (select n from t)",
+      1, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(2L, 2L)))
+    joinCheck("DELETE mytable FROM mytable join tabletest on mytable.i=tabletest.i join JSON_TABLE('[{\"x\": 1},{\"x\": 2}]', '$[*]' COLUMNS (x INT PATH '$.x')) as jt on jt.x=mytable.i;",
+      2, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(1L, 3L)))
+    joinCheck("DELETE mytable, tabletest FROM mytable join tabletest on mytable.i=tabletest.i join JSON_TABLE('[{\"x\": 1},{\"x\": 2}]', '$[*]' COLUMNS (x INT PATH '$.x')) as jt on jt.x=mytable.i;",
+      2, "SELECT (select count(*) FROM mytable) a, (SELECT count(*) from tabletest) b",
+      Seq(Seq(1L, 1L)))
   }
 
   test("INSERT write-query cases (insert_queries.go shapes)") {

@@ -254,6 +254,12 @@ class WarningsSpec extends AnyFunSuite {
     // in-range values stay silent
     engine.query("INSERT IGNORE INTO oorw VALUES (6, 99, 9, 9)")
     assert(warnRows() == Seq.empty)
+    // strict plain INSERT errors 1264 instead of wrapping (insert.go
+    // non-IGNORE ErrValueOutOfRange path)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO oorw VALUES (7, 300, 1, 1)")
+    }.getMessage.contains("1264"))
+    assert(rows("SELECT count(*) c FROM oorw WHERE pk = 7") == Seq(Seq(0L)))
     engine.query("drop table oorw")
   }
 
