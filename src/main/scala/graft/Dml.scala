@@ -260,7 +260,7 @@ object Dml {
     * orElse falls through to the query path with views restored. */
   private def cteDml(e: Engine, sql: String): Option[DataFrame] = {
     if (!sql.trim.toUpperCase.startsWith("WITH")) return None
-    val idxs = Seq("DELETE", "UPDATE")
+    val idxs = Seq("DELETE", "UPDATE", "INSERT", "REPLACE")
       .map(k => topLevelIndexOfWord(sql, k)).filter(_ >= 0)
     if (idxs.isEmpty) return None
     val idx = idxs.min
@@ -275,7 +275,7 @@ object Dml {
     }
     // MySQL forbids targeting a CTE (the write would otherwise vanish
     // with the statement-scoped view)
-    """(?is)^(?:DELETE\s+FROM|UPDATE)\s+`?([A-Za-z_][A-Za-z0-9_]*)`?""".r
+    """(?is)^(?:DELETE\s+FROM|UPDATE|INSERT\s+(?:IGNORE\s+)?INTO|REPLACE\s+INTO)\s+`?([A-Za-z_][A-Za-z0-9_]*)`?""".r
       .findFirstMatchIn(dmlText).foreach { m =>
         val target = m.group(1)
         if (names.exists(_.equalsIgnoreCase(target)))

@@ -623,7 +623,9 @@ class Engine(val spark: SparkSession) {
       else SqlRewrite.enumOrdinal(rewritten0, vocabLookup(rewritten0))
     // dolt's any_value-without-GROUP-BY keeps per-row semantics
     // (queries.go:9332) — strip the aggregate wrapper in that shape
-    val rewritten2 = SqlRewrite.anyValueNoGroup(rewritten1)
+    val rewritten2 = SqlRewrite.ifBooleanBranches(
+      SqlRewrite.fromlessHavingSubquery(
+        SqlRewrite.anyValueNoGroup(rewritten1)))
     // numeric-column vs non-numeric-string comparisons coerce the
     // literal to 0 with a 1292 (reference TestConvert 'string' block).
     // SELECT-only: UPDATE/ODKU assignments use `=` too and their strict

@@ -1383,6 +1383,136 @@ object SqlRewrite {
     }
   }
 
+  // ---- FROM-less scalar subquery with HAVING (reference
+  //      order_by_group_by_queries.go:70-84, dolt issue 4723): MySQL
+  //      evaluates `(SELECT <expr> [AS a] [GROUP BY …] HAVING <cond>)`
+  //      once per outer row — outer aliases and columns are in scope,
+  //      the inner alias shadows them in the HAVING, and a false HAVING
+  //      yields NULL. Spark rejects the outer reference in the subquery
+  //      SELECT list, so the whole form compiles to
+  //      `CASE WHEN <cond'> THEN <expr> END` (cond' = cond with the
+  //      inner alias substituted), which Spark's lateral column alias
+  //      resolution then binds exactly like MySQL's scoping.
+
+  def fromlessHavingSubquery(sql: String): String = {
+    val up = sql.toUpperCase
+    if (!up.contains("HAVING") || !up.contains("SELECT")) return sql
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 1) {
+      if (toks(i).kind == Sym && toks(i).text == "(" &&
+          toks(i + 1).isWord("select")) {
+        val close = closeParenFor(toks, i)
+        if (close > i + 2) {
+          var depth = 0
+          var fromIdx = -1; var havingIdx = -1; var groupIdx = -1
+          var j = i + 2
+          while (j < close) {
+            val t = toks(j)
+            if (t.kind == Sym && t.text == "(") depth += 1
+            else if (t.kind == Sym && t.text == ")") depth -= 1
+            else if (depth == 0 && t.isWord("from") && fromIdx < 0) fromIdx = j
+            else if (depth == 0 && t.isWord("having") && havingIdx < 0)
+              havingIdx = j
+            else if (depth == 0 && t.isWord("group") && groupIdx < 0)
+              groupIdx = j
+            j += 1
+          }
+          if (fromIdx < 0 && havingIdx >= 0 && havingIdx < close - 1) {
+            val exprEnd =
+              if (groupIdx >= 0 && groupIdx < havingIdx) groupIdx
+              else havingIdx
+            var lastExpr = exprEnd - 1
+            var alias: Option[String] = None
+            if (exprEnd - (i + 2) >= 3 && toks(exprEnd - 2).isWord("as") &&
+                toks(exprEnd - 1).kind == Word) {
+              alias = Some(toks(exprEnd - 1).text)
+              lastExpr = exprEnd - 3
+            }
+            if (lastExpr >= i + 2) {
+              val exprText =
+                sql.substring(toks(i + 2).start, toks(lastExpr).end)
+              val havingText0 =
+                sql.substring(toks(havingIdx + 1).start, toks(close - 1).end)
+              val havingText = alias match {
+                case Some(a) => substIdent(havingText0, a, s"($exprText)")
+                case None => havingText0
+              }
+              patches += ((toks(i).start, toks(close).end,
+                s"(CASE WHEN $havingText THEN ($exprText) END)"))
+              i = close
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  // ---- boolean literals in IF() branches (reference
+  //      order_by_group_by_queries.go:312): MySQL's TRUE/FALSE are the
+  //      integers 1/0, so `IF(cond, TRUE, intcol)` is an int expression;
+  //      Spark's If insists on same-typed branches and rejects the
+  //      boolean/int mix. Rewrite standalone TRUE/FALSE in the 2nd/3rd
+  //      IF args to 1/0 — value-identical in MySQL, type-compatible in
+  //      Spark.
+
+  def ifBooleanBranches(sql: String): String = {
+    val lower = sql.toLowerCase
+    if (!lower.contains("if") ||
+        (!lower.contains("true") && !lower.contains("false"))) return sql
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 1) {
+      if (toks(i).isWord("if") && toks(i + 1).kind == Sym &&
+          toks(i + 1).text == "(") {
+        val close = closeParenFor(toks, i + 1)
+        if (close > 0) {
+          var depth = 0; var arg = 0
+          var j = i + 2
+          while (j < close) {
+            val t = toks(j)
+            if (t.kind == Sym && t.text == "(") depth += 1
+            else if (t.kind == Sym && t.text == ")") depth -= 1
+            else if (depth == 0 && t.kind == Sym && t.text == ",") arg += 1
+            else if (depth == 0 && arg >= 1 && t.kind == Word) {
+              if (t.text.equalsIgnoreCase("true"))
+                patches += ((t.start, t.end, "1"))
+              else if (t.text.equalsIgnoreCase("false"))
+                patches += ((t.start, t.end, "0"))
+            }
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** Token-level identifier substitution: bare or backticked `name`
+    * becomes `replacement` text; literals and longer words untouched. */
+  private def substIdent(ex: String, name: String,
+                         replacement: String): String = {
+    val toks = tokenize(ex)
+    val sb = new StringBuilder
+    var pos = 0
+    toks.foreach { t =>
+      sb.append(ex.substring(pos, t.start))
+      val ticked = t.kind == Lit && t.text.length > 2 &&
+        t.text.startsWith("`") && t.text.endsWith("`") &&
+        t.text.substring(1, t.text.length - 1).equalsIgnoreCase(name)
+      sb.append(
+        if (t.isWord(name) || ticked) replacement else t.text)
+      pos = t.end
+    }
+    sb.append(ex.substring(pos))
+    sb.toString
+  }
+
   // ---- STR_TO_DATE literal parse-failure warnings (reference
   //      sql/expression/function/str_to_date.go:128: a failed parse
   //      evaluates to NULL and warns 1411). Literal-args only — the

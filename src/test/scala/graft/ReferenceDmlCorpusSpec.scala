@@ -398,6 +398,27 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
       Seq(Seq(0L, 3L)))
   }
 
+  test("CTE-prefixed INSERT ... SELECT with nested CTEs " +
+      "(insert_queries.go issue 4857)") {
+    engine.runScript(
+      """create table cxy (x int primary key, y int);
+        |insert into cxy values (0,0), (1,1), (2,2);
+        |""".stripMargin)
+    val n = engine.query(
+      """With a as (
+        |  With b as (
+        |    Select sum(x) as x, y from cxy where x < 2 group by y
+        |  )
+        |  Select * from b d
+        |) insert into cxy (x,y) select x+9,y+9 from a""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == 2L)
+    assert(engine.query("select * from cxy order by x").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 0), (1, 1), (2, 2), (9, 9), (10, 10)))
+    engine.query("drop table cxy")
+  }
+
   test("multi-table DELETE long tail (delete_queries.go:210-265): " +
       "multi-target USING, filtered reversed targets, derived-table " +
       "and JSON_TABLE sources, CTE-prefixed join deletes") {

@@ -264,4 +264,74 @@ class ReferenceGroupOrderCorpusSpec extends AnyFunSuite {
       .collect().map(r => new String(r.getAs[Array[Byte]](0))).toSeq
     assert(got == Seq("abc", "def"))
   }
+
+  test("outer-scope aliases and columns in a FROM-less subquery's " +
+      "HAVING; inner alias shadows (order_by_group_by_queries.go:70-84, " +
+      "dolt issue 4723)") {
+    engine.runScript(
+      """create table memhav (id bigint primary key, team text);
+        |insert into memhav values (3,'red'), (4,'red'),(5,'orange');
+        |""".stripMargin)
+    def rows(sql: String): Seq[Seq[Any]] =
+      engine.query(sql).collect()
+        .map(r => (0 until r.length).map(r.get).toSeq).toSeq
+    // outer ALIAS visible in the subquery's having
+    assert(rows("SELECT id as alias1, (SELECT alias1+1 group by alias1 " +
+        "having alias1 > 0) FROM memhav where id < 6") ==
+      Seq(Seq(3L, 4L), Seq(4L, 5L), Seq(5L, 6L)))
+    // outer COLUMN visible; false HAVING yields NULL
+    assert(rows("SELECT id, (SELECT UPPER(team) having id > 3) as " +
+        "upper_team FROM memhav where id < 6") ==
+      Seq(Seq(3L, null), Seq(4L, "RED"), Seq(5L, "ORANGE")))
+    // inner alias shadows the outer column in the having
+    assert(rows("SELECT id, (SELECT -1 as id having id < 10) as " +
+        "upper_team FROM memhav where id < 6") ==
+      Seq(Seq(3L, -1), Seq(4L, -1), Seq(5L, -1)))
+    engine.query("drop table memhav")
+  }
+
+  test("group by decimal VALUES columns; IF(cond, TRUE, intcol) alias " +
+      "grouping; 3VL comparison group keys (order_by_group_by_queries" +
+      ".go:173,312,320-340)") {
+    def rows(sql: String): Seq[Seq[Any]] =
+      engine.query(sql).collect()
+        .map(r => (0 until r.length).map(r.get).toSeq).toSeq
+    // decimal unification across VALUES rows: 2 -> 2.00
+    val dec = rows("SELECT column_0, sum(column_1) AS s FROM (values " +
+      "row(1.00,1), row(1.00,3), row(2,2), row(2,5), row(3,9)) a " +
+      "group by 1 order by 1")
+    assert(dec.map(r => (r(0).toString, r(1))) ==
+      Seq(("1.00", 4L), ("2.00", 7L), ("3.00", 9L)))
+    // MySQL TRUE in an IF branch is the integer 1: both rows land in
+    // group ref0 = 1
+    engine.runScript(
+      """create table tgb0(c0 int);
+        |insert into tgb0(c0) values(1),(123);
+        |""".stripMargin)
+    assert(rows("select if(tgb0.c0 = 123, TRUE, tgb0.c0) AS ref0, " +
+        "min(tgb0.c0) as ref1 from tgb0 group by ref0") ==
+      Seq(Seq(1, 1)))
+    // NULL-valued comparison keys form one group (dolt issue 9035)
+    engine.runScript(
+      """create table tgb1(c0 int, c1 int);
+        |insert into tgb1(c0, c1) values(NULL,1),(1,NULL);
+        |create table tgb2(id int primary key, c0 int, c1 int);
+        |insert into tgb2(id, c0, c1) values(1,NULL,NULL),(2,1,1),(3,1,NULL),(4,2,1),(5,NULL,1);
+        |""".stripMargin)
+    assert(rows("select tgb1.c0 = tgb1.c1 as ref0, sum(1) as ref1 " +
+        "from tgb1 group by ref0") == Seq(Seq(null, 2L)))
+    assert(rows("select tgb2.c0 = tgb2.c1 as ref0, sum(1) as ref1 " +
+        "from tgb2 group by ref0 order by ref0").map(_.toList) ==
+      Seq(List(null, 3L), List(false, 1L), List(true, 1L)))
+    // binary-typed group keys count and order bytewise (dolt 6179)
+    engine.runScript(
+      """create table tgbb (b binary(3));
+        |insert into tgbb values ('abc'), ('abc'), ('def'), ('abc'), ('def');
+        |""".stripMargin)
+    assert(rows("select count(b) c, b from tgbb group by b order by b")
+      .map { r => (r(0), new String(r(1).asInstanceOf[Array[Byte]])) } ==
+      Seq((3L, "abc"), (2L, "def")))
+    engine.runScript(
+      "drop table tgb0; drop table tgb1; drop table tgb2; drop table tgbb;")
+  }
 }
