@@ -299,8 +299,10 @@ object Dml {
   private def dispatchTrimmed(e: Engine, sql: String): Option[DataFrame] = sql match {
     case Insert(ignoreKw, tableRaw, colList, body0) =>
       val table = normName(tableRaw)
-      val hasList = colList != null && colList.trim.nonEmpty
-      val (body, odku) = splitOnDuplicate(body0)
+      val hasList = colList != null && colList.trim
+        .stripPrefix("(").stripSuffix(")").trim.nonEmpty
+      val (bodyRaw, odku) = splitOnDuplicate(body0)
+      val body = expandEmptyTuples(e, table, colList, hasList, bodyRaw)
       odku match {
         case None =>
           val df0 = insertSource(e, table, colList, hasList, body)
@@ -353,7 +355,8 @@ object Dml {
       // and later duplicate-key rows inside one statement win (MySQL
       // processes REPLACE rows in order).
       val table = normName(tableRaw)
-      val hasList = colList != null && colList.trim.nonEmpty
+      val hasList = colList != null && colList.trim
+        .stripPrefix("(").stripSuffix(")").trim.nonEmpty
       val keys = e.tableKeys.getOrElse(table,
         throw new IllegalArgumentException(
           s"REPLACE INTO needs a declared key on '$table' (Engine.declareKey)"))
@@ -1342,6 +1345,48 @@ object Dml {
     }
     if (up.contains("NOT NULL")) e.declareNotNull(table, colName)
     StructField(colName, dt, nullable = !up.contains("NOT NULL"))
+  }
+
+  /** `()` as a VALUES row tuple — `INSERT INTO t () VALUES ()`, or mixed
+    * `VALUES (0), (1), (NULL), ()` (insert_queries.go auto-inc scripts) —
+    * means "all columns take their defaults". Expanded token-wise into a
+    * full DEFAULT tuple so the ordinary VALUES path (which already
+    * understands DEFAULT tokens) handles it; only a depth-0 `()`
+    * directly after VALUES or a row comma qualifies, so `now()` and
+    * friends are untouched. */
+  private def expandEmptyTuples(e: Engine, table: String, colList: String,
+                                hasList: Boolean, body: String): String = {
+    if ("""(?is)^\s*VALUES?\b""".r.findFirstIn(body).isEmpty ||
+        !body.replaceAll("\\s", "").contains("()")) return body
+    val arity =
+      if (hasList) splitTop(colList).length
+      else e.spark.table(table).columns.length
+    val defTuple = Seq.fill(math.max(arity, 1))("DEFAULT")
+      .mkString("(", ", ", ")")
+    val toks = SqlRewrite.tokenize(body)
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var depth = 0
+    var i = 0
+    var prev: Option[SqlRewrite.Tok] = None
+    while (i < toks.length) {
+      val t = toks(i)
+      val isEmptyTuple = depth == 0 && t.kind == SqlRewrite.Sym &&
+        t.text == "(" && i + 1 < toks.length &&
+        toks(i + 1).kind == SqlRewrite.Sym && toks(i + 1).text == ")" &&
+        prev.exists(p => p.isWord("values") || p.isWord("value") ||
+          (p.kind == SqlRewrite.Sym && p.text == ","))
+      if (isEmptyTuple) {
+        patches += ((t.start, toks(i + 1).end, defTuple))
+        prev = Some(toks(i + 1))
+        i += 2
+      } else {
+        if (t.kind == SqlRewrite.Sym && t.text == "(") depth += 1
+        else if (t.kind == SqlRewrite.Sym && t.text == ")") depth -= 1
+        prev = Some(t)
+        i += 1
+      }
+    }
+    if (patches.isEmpty) body else SqlRewrite.splicePublic(body, patches.toSeq)
   }
 
   /** Existence gate for every CREATE TABLE form: an existing table or

@@ -1372,14 +1372,28 @@ class Engine(val spark: SparkSession) {
           val dt = target.schema.fields
             .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
             .getOrElse(org.apache.spark.sql.types.LongType)
+          // MySQL iterates the batch in row order: an EXPLICIT value
+          // advances the counter, so later generated rows continue past
+          // it (`(NULL),(10),(0)` -> 1, 10, 11 — insert_queries.go
+          // "auto increment on tinyint"). Closed form: with F = running
+          // count of generated rows and v the explicit values, row i
+          // gets F(i) + max(next-1, max over preceding explicit rows of
+          // (v - F)) — each explicit max carries forward bumped by the
+          // generated rows after it.
           incoming
             .withColumn("__ai_flag__", flag)
+            .withColumn("__ai_f__",
+              sum(col("__ai_flag__").cast("long")).over(w))
+            .withColumn("__ai_adj__",
+              when(!col("__ai_flag__"),
+                col(s"`$c`").cast("long") - col("__ai_f__")))
             .withColumn(c,
               when(col("__ai_flag__"),
-                (lit(next - 1) +
-                  sum(col("__ai_flag__").cast("long")).over(w)).cast(dt))
+                (greatest(lit(next - 1),
+                  coalesce(max(col("__ai_adj__")).over(w),
+                    lit(Long.MinValue))) + col("__ai_f__")).cast(dt))
                 .otherwise(col(s"`$c`")))
-            .drop("__ai_flag__")
+            .drop("__ai_flag__", "__ai_f__", "__ai_adj__")
         }
       case _ => incoming
     }
@@ -2623,10 +2637,15 @@ class Engine(val spark: SparkSession) {
     tables.map(t => (
         "def", Option(t.database).getOrElse(db), t.name,
         t.tableType match { case "VIEW" => "VIEW"; case _ => "BASE TABLE" },
-        "graft-spark", "utf8mb4_0900_ai_ci"))
+        "graft-spark", "utf8mb4_0900_ai_ci",
+        // AUTO_INCREMENT: the NEXT counter value once one has been
+        // allocated or ALTERed, NULL before (insert_queries.go
+        // "alter auto_increment value" / NO_AUTO_VALUE_ON_ZERO
+        // info-schema assertions)
+        autoIncCounter.get(t.name)))
       .toSeq
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
-        "engine", "table_collation")
+        "engine", "table_collation", "auto_increment")
       .createOrReplaceTempView("information_schema_tables")
 
     tables.flatMap { t =>

@@ -66,6 +66,9 @@ object SqlRewrite {
   }
 
   /** Apply (start, end, replacement) patches to the original text. */
+  private[graft] def splicePublic(sql: String,
+      patches: Seq[(Int, Int, String)]): String = splice(sql, patches)
+
   private def splice(sql: String, patches: Seq[(Int, Int, String)]): String = {
     val sorted = patches.sortBy(_._1)
     val sb = new StringBuilder

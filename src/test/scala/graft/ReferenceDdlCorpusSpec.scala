@@ -1118,6 +1118,101 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table tad")
   }
 
+  test("auto-increment corner scripts (insert_queries.go:937-1310): " +
+      "sparse seeds, negatives don't advance, empty-tuple inserts, " +
+      "UNIQUE/index counters, ALTER AUTO_INCREMENT, typed counters, " +
+      "NO_AUTO_VALUE_ON_ZERO with mixed tuples") {
+    def rs(sql: String): Seq[Seq[Any]] =
+      engine.query(sql).collect()
+        .map(r => (0 until r.length).map(r.get).toSeq).toSeq
+    // sparse: counter follows the max seen
+    engine.runScript(
+      """create table aic (pk int primary key auto_increment);
+        |insert into aic values (10), (20), (30);
+        |insert into aic values (NULL);
+        |insert into aic values (40);
+        |insert into aic values (0);
+        |""".stripMargin)
+    assert(rs("select * from aic order by 1") ==
+      Seq(Seq(10), Seq(20), Seq(30), Seq(31), Seq(40), Seq(41)))
+    engine.query("drop table aic")
+    // negative values never advance the counter; `()` rows generate
+    engine.runScript(
+      """create table aic (pk int primary key auto_increment);
+        |insert into aic values (10), (20), (30);
+        |insert into aic values (-1), (-2), (-3);
+        |insert into aic () values ();
+        |insert into aic values (0), (0), (0);
+        |""".stripMargin)
+    assert(rs("select * from aic order by 1") ==
+      Seq(Seq(-3), Seq(-2), Seq(-1), Seq(10), Seq(20), Seq(30),
+        Seq(31), Seq(32), Seq(33), Seq(34)))
+    engine.query("drop table aic")
+    // auto-inc on a UNIQUE non-PK column / an indexed column
+    engine.runScript(
+      """create table aic (pk int primary key, npk int unique auto_increment);
+        |insert into aic (pk) values (10), (20), (30);
+        |""".stripMargin)
+    assert(rs("select * from aic order by 1") ==
+      Seq(Seq(10, 1), Seq(20, 2), Seq(30, 3)))
+    engine.query("drop table aic")
+    engine.runScript(
+      """create table aicnp (i int auto_increment, index(i));
+        |insert into aicnp (i) values (0), (0), (0);
+        |""".stripMargin)
+    assert(rs("select * from aicnp order by 1") ==
+      Seq(Seq(1), Seq(2), Seq(3)))
+    engine.query("drop table aicnp")
+    // ALTER TABLE ... AUTO_INCREMENT n (and a float value truncating);
+    // the counter surfaces through information_schema.tables
+    engine.runScript(
+      """create table aic (pk int auto_increment, c0 int, primary key(pk));
+        |insert into aic values (NULL,10), (NULL,20), (NULL,30);
+        |alter table aic auto_increment 9;
+        |""".stripMargin)
+    engine.enableInformationSchema()
+    assert(rs("SELECT AUTO_INCREMENT FROM information_schema.tables " +
+        "WHERE table_name = 'aic'") == Seq(Seq(9L)))
+    engine.query("insert into aic values (NULL,90)")
+    assert(rs("select * from aic order by 1") ==
+      Seq(Seq(1, 10), Seq(2, 20), Seq(3, 30), Seq(9, 90)))
+    engine.query("drop table aic")
+    engine.runScript(
+      """create table aic (pk int auto_increment, c0 int, primary key(pk));
+        |insert into aic values (NULL,10), (NULL,20), (NULL,30);
+        |alter table aic auto_increment = 19.9;
+        |insert into aic values (NULL,190);
+        |""".stripMargin)
+    assert(rs("select * from aic order by 1") ==
+      Seq(Seq(1, 10), Seq(2, 20), Seq(3, 30), Seq(19, 190)))
+    engine.query("drop table aic")
+    // typed counter: tinyint
+    engine.runScript(
+      """create table aict (pk tinyint primary key auto_increment);
+        |insert into aict values (NULL),(10),(0);
+        |""".stripMargin)
+    assert(rs("select * from aict order by 1") ==
+      Seq(Seq(1.toByte), Seq(10.toByte), Seq(11.toByte)))
+    engine.query("drop table aict")
+    // NO_AUTO_VALUE_ON_ZERO: zeros store as zeros; NULL and `()` rows
+    // still generate (mixed-tuple statement)
+    engine.query("SET sql_mode = 'NO_AUTO_VALUE_ON_ZERO'")
+    engine.runScript(
+      """create table aicz (i int auto_increment, index (i));
+        |create table aicz_pk (i int auto_increment primary key);
+        |insert into aicz values (0), (0), (1-1);
+        |""".stripMargin)
+    assert(rs("select * from aicz order by i") ==
+      Seq(Seq(0), Seq(0), Seq(0)))
+    engine.query("insert into aicz values (1)")
+    engine.query("insert into aicz_pk values (0), (1), (NULL), ()")
+    assert(rs("select * from aicz_pk order by i") ==
+      Seq(Seq(0), Seq(1), Seq(2), Seq(3)))
+    engine.query(
+      "SET sql_mode = 'NO_ENGINE_SUBSTITUTION,ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES'")
+    engine.runScript("drop table aicz; drop table aicz_pk;")
+  }
+
   test("CREATE over an existing name is MySQL 1050; IF NOT EXISTS " +
       "no-ops; a live table's declared metadata survives the rejected " +
       "statement (ddl.go ErrTableAlreadyExists)") {
