@@ -128,6 +128,12 @@ object Dml {
     re("""(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?<T>\s*$""")
   private val SetVar =
     """(?is)^\s*SET\s+@([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.*?)\s*$""".r
+  // general SET assignment list (not NAMES / CHARACTER SET); items are
+  // user (@x) or system ([SESSION|GLOBAL] [@@[scope.]]name) assignments
+  private val SetList =
+    """(?is)^\s*SET\s+(?!NAMES\b|CHARACTER\s+SET\b)(.+?)\s*$""".r
+  private val SetItem =
+    """(?is)^\s*((?:(?:SESSION|GLOBAL)\s+)?@?@?[A-Za-z_][A-Za-z0-9_.]*)\s*:?=\s*(.+?)\s*$""".r
   // PREPARE name FROM 'sql' / EXECUTE name [USING @a, ...] / DEALLOCATE
   // (reference sql/plan/prepare.go:181 — the SQL-text prepared surface;
   // Engine.queryPrepared is the API twin)
@@ -198,7 +204,7 @@ object Dml {
   private val ShowGrants =
     """(?is)^\s*SHOW\s+GRANTS(?:\s+FOR\s+\S+)?\s*$""".r
   private val ShowTableStatus =
-    """(?is)^\s*SHOW\s+TABLE\s+STATUS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+    """(?is)^\s*SHOW\s+TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+`?([A-Za-z0-9_]+)`?)?(?:\s+LIKE\s+'([^']*)'|\s+WHERE\s+(.+?))?\s*$""".r
   // standalone index DDL (reference sql/planbuilder/ddl.go buildCreateIndex)
   private val CreateIdxStmt =
     re("""(?is)^\s*CREATE\s+(UNIQUE\s+)?(?:FULLTEXT\s+|SPATIAL\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*\(([^)]*)\)\s*$""")
@@ -752,9 +758,59 @@ object Dml {
       e.autoIncCounter.remove(table) // TRUNCATE resets AUTO_INCREMENT
       Some(ok(e, 0L))
 
-    case SetVar(name, ex) =>
-      val v = e.query(s"SELECT $ex").collect()(0).get(0)
-      e.setVar(name, v) // null renders as SQL NULL, not the string 'NULL'
+    // comma-separated SET list over user AND system variables
+    // (variable_queries.go "set system variables and user variables":
+    // `SET @myvar = 5, @@autocommit = 0, ...`). Every item must parse
+    // as an assignment or the whole statement falls through. Dispatches
+    // BEFORE SetVar: its greedy tail would swallow a whole list as one
+    // user-var expression.
+    case SetList(listText) if {
+      topLevelSplit(listText, ',').forall(SetItem.matches)
+    } =>
+      topLevelSplit(listText, ',').foreach { item =>
+        val SetItem(target, value) = item: @unchecked
+        val bare = target.trim
+          .replaceAll("(?i)^(?:SESSION|GLOBAL)\\s+", "")
+        if (bare.startsWith("@") && !bare.startsWith("@@")) {
+          val v = e.query(s"SELECT $value").collect()(0).get(0)
+          e.setVar(bare.stripPrefix("@"), v)
+        } else {
+          val name = bare.replaceAll("(?i)^@@(?:session\\.|global\\.)?", "")
+            .toLowerCase
+          name match {
+            case "sql_mode" =>
+              val v =
+                if (value.trim.startsWith("'") || value.trim.startsWith("\""))
+                  value.trim.stripPrefix("'").stripSuffix("'")
+                    .stripPrefix("\"").stripSuffix("\"")
+                else String.valueOf(
+                  e.query(s"SELECT ($value)").collect()(0).get(0))
+              e.setSqlMode(v)
+            case "time_zone" =>
+              val v =
+                if (value.trim.startsWith("("))
+                  String.valueOf(e.query(value.trim.stripPrefix("(")
+                    .stripSuffix(")")).collect()(0).get(0))
+                else value
+              e.setTimeZone(v)
+            case "names" | "character" => // unreachable (SetList guard)
+            case _ =>
+              val vt = value.trim
+              val simple = vt.equalsIgnoreCase("DEFAULT") ||
+                vt.matches("(?is)^-?\\d+(\\.\\d+)?$") ||
+                vt.matches("(?is)^'[^']*'$") || vt.matches("(?is)^\"[^\"]*\"$") ||
+                vt.matches("(?is)^[A-Za-z_][A-Za-z0-9_]*$")
+              val rendered =
+                if (simple) vt
+                else e.query(s"SELECT ($vt)").collect()(0).get(0) match {
+                  case null => "NULL"
+                  case s: String => "'" + s.replace("'", "''") + "'"
+                  case other => other.toString
+                }
+              e.setSystemVar(name, rendered)
+          }
+        }
+      }
       Some(ok(e, 0L))
 
     case PrepareStmt(name, body) =>
@@ -848,16 +904,9 @@ object Dml {
     case ShowVariables(like) =>
       val s = e.spark
       import s.implicits._
-      val vars = Seq(
-        ("version", "8.0.31"), ("version_comment", "graft-spark"),
-        ("sql_mode", e.sqlModeString), ("autocommit", "ON"),
-        ("character_set_client", "utf8mb4"),
-        ("character_set_connection", "utf8mb4"),
-        ("character_set_results", "utf8mb4"),
-        ("collation_connection", "utf8mb4_0900_ai_ci"),
-        ("max_allowed_packet", "67108864"), ("lower_case_table_names", "0"),
-        ("net_write_timeout", "60"), ("wait_timeout", "28800"))
-      Some(filterLike(vars.toDF("Variable_name", "Value"), "Variable_name", like))
+      // live view over the session catalog: overrides from SET win
+      Some(filterLike(e.allSystemVars.toDF("Variable_name", "Value"),
+        "Variable_name", like))
 
     case ShowStatus(like) =>
       val s = e.spark
@@ -975,19 +1024,36 @@ object Dml {
       Some(Seq("GRANT ALL PRIVILEGES ON *.* TO `graft`@`%` WITH GRANT OPTION")
         .toDF("Grants for graft@%"))
 
-    case ShowTableStatus(like) =>
+    case ShowTableStatus(db, like, where) =>
       val s = e.spark
       import s.implicits._
       // Rows is the optimizer's estimate (MySQL's is approximate too);
-      // no per-table scan — SHOW must not read data at any scale
-      val rows = e.spark.catalog.listTables().collect().toSeq.map { t =>
+      // no per-table scan — SHOW must not read data at any scale.
+      // FROM db scopes the listing; WHERE filters over the result
+      // columns (show_table_status_queries.go full clause surface)
+      val listed =
+        Option(db).map(d => scala.util.Try(
+            e.spark.catalog.listTables(d).collect().toSeq)
+          .getOrElse(Seq.empty))
+          .getOrElse(e.spark.catalog.listTables().collect().toSeq)
+      val rows = listed.map { t =>
+        val qualified =
+          if (db != null && t.database != null && t.database.nonEmpty &&
+              t.database != "default") s"`${t.database}`.`${t.name}`"
+          else t.name
         val est: java.lang.Long = scala.util.Try(
-          e.spark.table(t.name).queryExecution.optimizedPlan.stats.rowCount
+          e.spark.table(qualified).queryExecution.optimizedPlan.stats.rowCount
             .map(_.toLong)).toOption.flatten.map(Long.box).orNull
-        (t.name, "graft-spark", 10L, "Dynamic", est, "utf8mb4_0900_ai_ci")
+        val ai: java.lang.Long =
+          e.autoIncCounter.get(t.name).map(Long.box).orNull
+        (t.name, "graft-spark", 10L, "Dynamic", est,
+          ai, "utf8mb4_0900_ai_ci", "")
       }
-      Some(filterLike(rows.toDF("Name", "Engine", "Version", "Row_format",
-        "Rows", "Collation"), "Name", like))
+      val df = rows.toDF("Name", "Engine", "Version", "Row_format",
+        "Rows", "Auto_increment", "Collation", "Comment")
+      Some(
+        if (where != null) df.where(expr(where))
+        else filterLike(df, "Name", like))
 
     // SHOW COLLATION / CHARACTER SET (reference sql/rowexec/show.go over
     // sql/collations.go): the resolvable catalog with MySQL's columns

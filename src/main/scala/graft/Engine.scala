@@ -546,7 +546,52 @@ class Engine(val spark: SparkSession) {
     "collation_server" -> "'utf8mb4_0900_ai_ci'",
     "max_allowed_packet" -> "67108864", "lower_case_table_names" -> "0",
     "net_write_timeout" -> "60", "wait_timeout" -> "28800",
-    "max_connections" -> "151", "timestamp" -> "0")
+    "max_connections" -> "151", "timestamp" -> "0",
+    "auto_increment_increment" -> "1", "sql_select_limit" -> "2147483647",
+    "server_id" -> "1", "foreign_key_checks" -> "1",
+    "default_table_encryption" -> "0", "lc_messages" -> "'en_US'",
+    "tmpdir" -> "'/tmp'", "long_query_time" -> "10",
+    "innodb_buffer_pool_size" -> "134217728", "max_user_connections" -> "0",
+    "transaction_isolation" -> "'REPEATABLE-READ'",
+    "secure_file_priv" -> "NULL")
+
+  /** Session overrides from SET @@x = v (reference
+    * sql/variables/sysvars.go mutable session scope). Values are SQL
+    * literals; `SET ... = DEFAULT` clears back to the builtin. */
+  private val sysVarOverrides =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** (name, display value) for SHOW VARIABLES — session overrides win,
+    * sql_mode reads live state, quotes stripped for display. */
+  private[graft] def allSystemVars: Seq[(String, String)] =
+    (systemVars.keySet ++ sysVarOverrides.keySet).toSeq.sorted.map { k =>
+      val raw = k match {
+        case "sql_mode" => sqlModeStr
+        case _ => sysVarOverrides.getOrElse(k, systemVars(k))
+      }
+      k -> raw.stripPrefix("'").stripSuffix("'")
+    }
+
+  private[graft] def setSystemVar(name0: String, rawValue: String): Unit = {
+    val name = name0.toLowerCase
+    val v = rawValue.trim
+    if (v.equalsIgnoreCase("DEFAULT")) { sysVarOverrides.remove(name); return }
+    val unq = v.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")
+    // boolean spellings normalize to 1/0 (variable_queries.go "set
+    // system variable ON / OFF" and the quoted true/false block)
+    val norm = unq.toLowerCase match {
+      case "on" | "true" => "1"
+      case "off" | "false" => "0"
+      case _ =>
+        if (v.startsWith("'") || v.startsWith("\""))
+          "'" + unq.replace("'", "''") + "'"
+        else if (v.matches("^-?\\d+(\\.\\d+)?$") ||
+            v.equalsIgnoreCase("NULL")) v
+        else "'" + v.replace("'", "''") + "'" // bareword string value
+    }
+    sysVarOverrides(name) = norm
+  }
 
   // Both substitutions run through Dialect.mapCode so @@name / @name text
   // inside string literals stays untouched (SELECT '@@version' returns the
@@ -562,7 +607,8 @@ class Engine(val spark: SparkSession) {
             case "sql_mode" => s"'$sqlModeStr'" // live session state
             case "warning_count" => warningCount.toString // live diagnostics
             case "error_count" => errorCount.toString
-            case other => systemVars.getOrElse(other, "NULL")
+            case other => sysVarOverrides.getOrElse(other,
+              systemVars.getOrElse(other, "NULL"))
           }))
     }
 
@@ -615,7 +661,8 @@ class Engine(val spark: SparkSession) {
     val rewritten0 =
       plans.JsonTableSql.rewrite(
         substituteVars(Dialect.rewrite(
-          SqlRewrite.infoSchemaNames(pre), pipesAsConcat)))
+          SqlRewrite.infoSchemaNames(SqlRewrite.sysVarAliases(pre)),
+          pipesAsConcat)))
     // ENUM index / SET bitmask ordering (enum.go / set.go Compare):
     // only sessions that declared a vocabulary pay the token walk
     val rewritten1 =

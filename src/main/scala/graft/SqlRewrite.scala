@@ -1454,6 +1454,45 @@ object SqlRewrite {
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
+  // ---- @@sysvar select-list column names (reference
+  //      variable_queries.go "variable scope is included in returned
+  //      column name when explicitly provided"): `SELECT
+  //      @@GLoBAL.max_allowed_packet` returns a column named exactly
+  //      `@@GLoBAL.max_allowed_packet` (original case, scope kept).
+  //      The engine substitutes @@vars to literals, which would leave
+  //      the literal as the column name — so a BARE select-list @@var
+  //      first gains an explicit alias carrying its spelling.
+
+  def sysVarAliases(sql: String): String = {
+    if (!sql.contains("@@")) return sql
+    val toks = tokenize(sql)
+    if (toks.isEmpty || !toks.head.isWord("select")) return sql
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    val listEnd = Set("from", "where", "group", "order", "having",
+      "limit", "union", "intersect", "except")
+    var depth = 0
+    var inList = true
+    var i = 1
+    while (i < toks.length && inList) {
+      val t = toks(i)
+      if (t.kind == Sym && t.text == "(") depth += 1
+      else if (t.kind == Sym && t.text == ")") depth -= 1
+      else if (depth == 0 && t.kind == Word &&
+          listEnd(t.text.toLowerCase)) inList = false
+      else if (depth == 0 && t.kind == Word && t.text.startsWith("@@")) {
+        val prevOk = toks(i - 1).isWord("select") ||
+          (toks(i - 1).kind == Sym && toks(i - 1).text == ",")
+        val nextOk = i + 1 >= toks.length ||
+          (toks(i + 1).kind == Sym && toks(i + 1).text == ",") ||
+          (toks(i + 1).kind == Word && listEnd(toks(i + 1).text.toLowerCase))
+        if (prevOk && nextOk)
+          patches += ((t.start, t.end, s"${t.text} AS `${t.text}`"))
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   // ---- boolean literals in IF() branches (reference
   //      order_by_group_by_queries.go:312): MySQL's TRUE/FALSE are the
   //      integers 1/0, so `IF(cond, TRUE, intcol)` is an int expression;

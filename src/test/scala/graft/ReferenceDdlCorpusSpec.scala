@@ -1335,6 +1335,24 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("drop table rns")
   }
 
+  test("SHOW TABLE STATUS clause surface: LIKE, WHERE, FROM db " +
+      "(show_table_status_queries.go)") {
+    engine.runScript(
+      """create table stat_t1 (pk int primary key auto_increment);
+        |insert into stat_t1 values (NULL), (NULL);
+        |""".stripMargin)
+    val like = engine.query("SHOW TABLE STATUS LIKE 'stat_%'").collect()
+    assert(like.map(_.getString(0)).toSeq == Seq("stat_t1"))
+    val where = engine.query("SHOW TABLE STATUS WHERE Name = 'stat_t1'")
+      .collect()
+    assert(where.length == 1 && where(0).getString(0) == "stat_t1")
+    // Auto_increment surfaces the counter
+    assert(where(0).getAs[Long]("Auto_increment") == 3L)
+    assert(engine.query("SHOW TABLE STATUS WHERE Name = 'nope'")
+      .collect().isEmpty)
+    engine.query("drop table stat_t1")
+  }
+
   test("row-size limit counts DECIMAL as min(precision,30) and ENUM as " +
       "2 bytes (memory/table.go maxRowStorageSize)") {
     // 16350 * 4-byte chars = 65400; a DECIMAL(30,5) adds 30 -> 65430 ok;
