@@ -881,6 +881,96 @@ object TextAnalysis {
                        AS shuffle_pos
               FROM documents ORDER BY shuffle_pos""")),
 
+    // ---- temperature-weighted multi-source mixture sampling (the
+    //      "mix corpora with T≈2 ⇒ alpha=0.5 before training" step):
+    //      per-source weights n^0.5 flatten the source distribution,
+    //      the per-source keep probability p = B·w/(Σw·n) is a
+    //      broadcast-sized table, and the keep decision is a
+    //      deterministic per-row md5 threshold — stable across runs,
+    //      partitionings, and cluster sizes. ONE corpus aggregate for
+    //      the counts + one filtered scan; nothing corpus-sized
+    //      shuffles. IEEE sqrt/× /÷ are correctly rounded, so the
+    //      identical formula text yields bit-identical thresholds in
+    //      both engines.
+    QueryDef(
+      "sample_mixture",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val src = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+        val tot = src.agg(sum(sqrt(col("n"))).as("sumw"))
+        val probs = src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n"),
+            least(lit(1.0),
+              lit(2000.0) * sqrt(col("n")) / (col("sumw") * col("n")))
+              .as("p"))
+        val keep = docs.select(col("source"), col("doc_id"))
+          .join(broadcast(probs), Seq("source"))
+          .filter((conv(substring(
+            md5(concat(col("doc_id"), lit(":mix:v1"))), 1, 7), 16, 10)
+            .cast("long") % 1000000).cast("double") < col("p") * 1000000)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_kept"))
+        probs.join(keep, Seq("source"), "left")
+          .select(col("source"), col("n").as("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            col("first_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH src AS (
+                SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+              tot AS (SELECT SUM(sqrt(n)) AS sumw FROM src),
+              probs AS (
+                SELECT source, n,
+                  LEAST(1.0, 2000.0 * sqrt(n) / (tot.sumw * n)) AS p
+                FROM src, tot),
+              keep AS (
+                SELECT d.source, COUNT(*) AS n_kept,
+                  MIN(d.doc_id) AS first_kept
+                FROM documents d JOIN probs p USING (source)
+                WHERE CAST(CAST('0x' || substr(
+                    md5(d.doc_id || ':mix:v1'), 1, 7) AS BIGINT) % 1000000
+                  AS DOUBLE) < p.p * 1000000
+                GROUP BY d.source)
+              SELECT p.source, p.n AS n_docs,
+                COALESCE(k.n_kept, 0) AS n_kept, k.first_kept
+              FROM probs p LEFT JOIN keep k ON p.source = k.source
+              ORDER BY p.source""")),
+
+    // ---- hashed-feature linear quality classifier (the fasttext-style
+    //      "score every document with a tiny linear model" gate): each
+    //      token hashes into one of 64 buckets (md5 — cross-engine
+    //      deterministic), each bucket carries a fixed pseudo-random
+    //      integer weight, and the document score is the token-weight
+    //      sum — computed per row with transform+aggregate in EXACT
+    //      integer arithmetic: zero shuffles, zero UDFs, embarrassingly
+    //      parallel. Real model weights would arrive as a 64-row
+    //      broadcast instead of a formula; the plan shape is identical.
+    QueryDef(
+      "text_classifier",
+      (s, d) => {
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+            expr("""aggregate(transform(w, t ->
+                   (CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)
+                      % 64 * 2654435761 % 1009) - 504),
+                 0L, (acc, x) -> acc + x)""").as("score"))
+          .withColumn("label",
+            when(col("score") > 0, "keep").otherwise("drop"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                CAST(list_sum(list_transform(string_split(text, ' '), t ->
+                  (CAST('0x' || substr(md5(t), 1, 7) AS BIGINT)
+                     % 64 * 2654435761 % 1009) - 504)) AS BIGINT) AS score,
+                CASE WHEN list_sum(list_transform(string_split(text, ' '),
+                  t -> (CAST('0x' || substr(md5(t), 1, 7) AS BIGINT)
+                     % 64 * 2654435761 % 1009) - 504)) > 0
+                  THEN 'keep' ELSE 'drop' END AS label
+              FROM documents ORDER BY doc_id""")),
+
     // ---- the end-to-end curation funnel: length filter -> vocabulary
     //      diversity filter -> exact dedup -> normalized (case/punct)
     //      near-dup drop, each stage operating on the previous stage's

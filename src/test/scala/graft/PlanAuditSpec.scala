@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
                            // the pairwise stage itself is a cid equi-join
     "text_match",          // single aggregated stats row broadcast to the scan
     "text_keywords",       // single corpus-count row broadcast to the scores
+    "sample_mixture",      // single sum-of-weights row broadcast to the probs
     "dedup_simhash",       // single reference-signature row broadcast (hamming)
     "tpch_q22",            // single aggregated threshold row broadcast
     "tpch_q11",            // single aggregated threshold row broadcast
