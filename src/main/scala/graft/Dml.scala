@@ -564,6 +564,38 @@ object Dml {
           val affected = gate.map(g => t.filter(g).count()).getOrElse(t.count())
           val t0 = t.withColumn("__rid__", monotonically_increasing_id())
           if (!ignore && e.strictWriteMode) {
+            // strict out-of-range assignment into an integral column is
+            // MySQL error 1264 BEFORE the write cast can wrap it
+            // (rowexec/update.go convert, non-IGNORE) — one combined
+            // filter + limit(1) probe over the affected rows
+            val oobChecks = assigns.flatMap { case (c, ex) =>
+              // `SET c = DEFAULT` resolves through the declared-default
+              // machinery, not as an expression over the row
+              if (ex.trim.equalsIgnoreCase("DEFAULT")) None
+              else actual.get(c.toLowerCase).flatMap { cn =>
+                e.integralBounds(colTypes(cn)).map { case (lo, hi) =>
+                  val asDec = expr(ex).cast(
+                    org.apache.spark.sql.types.DecimalType(38, 0))
+                  (cn, asDec.isNotNull &&
+                    (asDec < lit(lo) || asDec > lit(hi)))
+                }
+              }
+            }
+            if (oobChecks.nonEmpty) {
+              val gated = gate.map(t0.filter).getOrElse(t0)
+              val bad = gated
+                .filter(oobChecks.map(_._2).reduce(_ || _))
+                .select(oobChecks.map { case (n, cnd) => cnd.as(n) }
+                  .toIndexedSeq: _*)
+                .limit(1).collect()
+              bad.headOption.foreach { r =>
+                val i = oobChecks.indices
+                  .find(i => !r.isNullAt(i) && r.getBoolean(i)).getOrElse(0)
+                throw new IllegalArgumentException(
+                  s"Out of range value for column '${oobChecks(i)._1}' " +
+                  s"(MySQL error 1264)")
+              }
+            }
             val newDfRaw = e.coerceVocab(table,
               e.computeGenerated(table, assignSequential(t0, gate)))
             val newDf = newDfRaw.drop("__rid__")

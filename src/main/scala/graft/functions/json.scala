@@ -444,20 +444,25 @@ object json {
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
   }
 
-  /** JSON_VALUE(doc, path) — extract + unquote (MySQL default RETURNING
-    * CHAR; casts are applied by the caller). */
-  case class JsonValueFn(children: Seq[Expression]) extends JsonExpr {
+  /** JSON_VALUE(doc, path[, RETURNING type]) — extract + unquote (MySQL
+    * default RETURNING CHAR; typed RETURNING casts apply at
+    * registration). `asJson`: RETURNING JSON keeps the raw JSON text
+    * (quoted strings, subtrees) instead of unquoting. */
+  case class JsonValueFn(children: Seq[Expression], asJson: Boolean = false)
+      extends JsonExpr {
     override def dataType: DataType = StringType
     protected def evalNotNull(vs: Seq[Any]): Any = {
       val d = doc(vs(0)); val p = parsePath(str(vs(1)))
       if (d == null || p == null) return null
       navigateAll(d, p) match {
         case Seq(one) =>
-          UTF8String.fromString(if (one.isTextual) one.asText() else one.toString)
+          UTF8String.fromString(
+            if (!asJson && one.isTextual) one.asText() else one.toString)
         case _ => null // zero or many matches -> NULL (MySQL default ON EMPTY)
       }
     }
-    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) =
+      copy(children = n)
   }
 
   /** JSON_ARRAY_APPEND / JSON_ARRAY_INSERT (mode 0 = append to the array
@@ -548,12 +553,25 @@ object json {
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
   }
 
-  /** JSON_LENGTH(doc): scalars 1, arrays size, objects #keys. */
+  /** JSON_LENGTH(doc[, path]): scalars 1, arrays size, objects #keys;
+    * the optional path measures the sub-document it selects
+    * (json_scripts.go:312 `json_length(y, "$.a.b")`). */
   case class JsonLengthMySql(children: Seq[Expression]) extends JsonExpr {
     override def dataType: DataType = IntegerType
     protected def evalNotNull(vs: Seq[Any]): Any = {
-      val d = doc(vs(0))
-      if (d == null) null else if (d.isContainerNode) d.size() else 1
+      val d0 = doc(vs(0))
+      if (d0 == null) return null
+      val d =
+        if (vs.length < 2) d0
+        else {
+          val p = parsePath(str(vs(1)))
+          if (p == null) return null
+          navigateAll(d0, p) match {
+            case Seq(one) => one
+            case _ => return null
+          }
+        }
+      if (d.isContainerNode) d.size() else 1
     }
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
   }
@@ -943,7 +961,30 @@ object json {
     reg.createOrReplaceTempFunction("json_merge_patch", es => JsonMergePatch(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_array", es => JsonArrayFn(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_object", es => JsonObjectFn(es), "scala_udf")
-    reg.createOrReplaceTempFunction("json_value", es => JsonValueFn(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_value", es => {
+      // 3-arg form carries the RETURNING type (json_scripts.go:274:
+      // 'signed' -> BIGINT, 'json' -> raw JSON text)
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+      import org.apache.spark.unsafe.types.UTF8String
+      val ret = es.lift(2).collect {
+        case Literal(s: UTF8String, _) => s.toString.toLowerCase
+      }
+      val base = JsonValueFn(es.take(2), asJson = ret.contains("json"))
+      ret match {
+        case Some("signed") => Cast(base, org.apache.spark.sql.types.LongType)
+        case Some("unsigned") =>
+          Cast(base, org.apache.spark.sql.types.DecimalType(20, 0))
+        case Some("double") | Some("float") =>
+          Cast(base, org.apache.spark.sql.types.DoubleType)
+        case Some(t) if t.startsWith("decimal") =>
+          val args = """\((\d+)\s*,?\s*(\d*)\)""".r.findFirstMatchIn(t)
+          val p = args.map(_.group(1).toInt).getOrElse(10)
+          val sc = args.flatMap(m => Option(m.group(2)).filter(_.nonEmpty))
+            .map(_.toInt).getOrElse(0)
+          Cast(base, org.apache.spark.sql.types.DecimalType(p, sc))
+        case _ => base
+      }
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("json_array_append",
       es => JsonArrayMutate(es, insert = false), "scala_udf")
     reg.createOrReplaceTempFunction("json_array_insert",

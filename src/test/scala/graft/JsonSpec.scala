@@ -281,4 +281,39 @@ class JsonSpec extends AnyFunSuite {
       Seq("456"))
     e.runScript("drop table jarr; drop table jarr2")
   }
+
+  test("json_value return types and json_length over table JSON " +
+      "(json_scripts.go:274-390)") {
+    val e = new Engine(SparkSpec.spark)
+    def col0(sql: String): Seq[Any] =
+      e.query(sql).collect().map(_.get(0)).toSeq
+    e.runScript(
+      """CREATE TABLE jxy (x bigint primary key, y JSON);
+        |INSERT INTO jxy VALUES (0, CAST('["a", "b"]' AS JSON)), (1, CAST('["a", "b", "c", "d"]' AS JSON));
+        |INSERT INTO jxy VALUES (2, CAST('{"a": [{"b": 1}, {"c": 2}]}' AS JSON)), (3, CAST('{"a": {"b": ["c","d"]}}' AS JSON)), (4,NULL);
+        |""".stripMargin)
+    assert(col0("select json_value(y, '$.a[0].b', 'signed') from jxy where x = 2")
+      == Seq(1L))
+    assert(col0("select json_value(y, '$.a[0].b') from jxy where x = 2")
+      == Seq("1"))
+    // RETURNING JSON keeps the raw subtree
+    assert(col0("select json_value(y, '$.a', 'json') from jxy where x = 2")
+      .map(_.toString.replaceAll("\\s", "")) == Seq("""[{"b":1},{"c":2}]"""))
+    assert(col0("select json_length(y) from jxy order by x") ==
+      Seq(2, 4, 1, 1, null))
+    assert(col0("select json_length(json_extract(y, '$.a')) from jxy order by x")
+      == Seq(null, null, 2, 1, null))
+    assert(col0("select json_length(json_extract(y, '$.a.b')) from jxy where x = 3")
+      == Seq(2))
+    assert(col0("select json_length(y, '$.a.b') from jxy where x = 3") ==
+      Seq(2))
+    assert(col0("select json_length(y, '$.a[0].b') from jxy where x = 2") ==
+      Seq(1))
+    assert(col0("select json_length(cast('[]' as json))") == Seq(0))
+    assert(col0("select json_length(cast('{}' as json))") == Seq(0))
+    assert(col0("select json_length(cast('null' as json))") == Seq(1))
+    assert(col0("select json_length(cast('{\"a\": []}' as json), '$.a')") ==
+      Seq(0))
+    e.query("drop table jxy")
+  }
 }

@@ -260,6 +260,14 @@ class WarningsSpec extends AnyFunSuite {
       engine.query("INSERT INTO oorw VALUES (7, 300, 1, 1)")
     }.getMessage.contains("1264"))
     assert(rows("SELECT count(*) c FROM oorw WHERE pk = 7") == Seq(Seq(0L)))
+    // strict UPDATE errors 1264 too, leaving the row untouched
+    assert(intercept[IllegalArgumentException] {
+      engine.query("UPDATE oorw SET t = 999 WHERE pk = 2")
+    }.getMessage.contains("1264"))
+    assert(rows("SELECT t FROM oorw WHERE pk = 2") == Seq(Seq(127)))
+    // in-range strict UPDATE still flows
+    engine.query("UPDATE oorw SET t = 99 WHERE pk = 2")
+    assert(rows("SELECT t FROM oorw WHERE pk = 2") == Seq(Seq(99)))
     engine.query("drop table oorw")
   }
 
