@@ -82,6 +82,25 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of the batch `dedup_incremental` operator: the
+    * incoming document stream drops rows whose content digest already
+    * exists in the STATIC corpus digest table (stream-static left_anti
+    * join — the static side is storage-resident and re-read per
+    * micro-batch, never executor state), then
+    * dropDuplicatesWithinWatermark removes within-stream re-crawls.
+    * Total state = digests inside the watermark window only, so a year
+    * of crawl history costs nothing at runtime — exactly how continuous
+    * crawl-dedup should be shaped at 100 TB. Expects (doc_id, text, ts)
+    * on the stream and a `digest` column on the static side. */
+  def incrementalDedupStream(docs: DataFrame,
+      corpusDigests: DataFrame): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .join(corpusDigests, Seq("digest"), "left_anti")
+      .dropDuplicatesWithinWatermark("digest")
+      .select(col("doc_id"), col("digest"), col("ts"))
+
   /** Stream-stream interval join: pair each event of stream `a` with the
     * events of stream `b` for the same user within the next `withinMinutes`
     * minutes (attribution/conversion shape). Both sides carry watermarks,

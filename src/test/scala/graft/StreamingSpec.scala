@@ -101,6 +101,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental crawl dedup: stream-static anti-join vs corpus " +
+      "digests + within-stream dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+    def doc(id: Long, text: String, hhmm: String) =
+      (id, text, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"))
+    // static corpus side: digest-only (the batch dedup_incremental shape)
+    Seq("existing doc one", "existing doc two")
+      .toDF("text").selectExpr("md5(text) AS digest")
+      .createOrReplaceTempView("corpus_digests_v")
+    val src = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStreams.incrementalDedupStream(
+        src.toDF().toDF("doc_id", "text", "ts"),
+        spark.table("corpus_digests_v"))
+      .writeStream.format("memory").queryName("incr_dedup_stream")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        doc(1, "existing doc one", "10:00"), // already in corpus -> drop
+        doc(2, "fresh doc", "10:01"),
+        doc(3, "fresh doc", "10:02")) // within-stream dup -> drop
+      q.processAllAvailable()
+      src.addData(
+        doc(4, "fresh doc", "10:20"), // still inside watermark state -> drop
+        doc(5, "another fresh", "10:21"),
+        doc(6, "existing doc two", "10:22")) // corpus dup -> drop
+      q.processAllAvailable()
+      val ids = spark.table("incr_dedup_stream")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(2L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per-user stage state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
