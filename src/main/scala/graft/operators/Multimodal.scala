@@ -96,6 +96,49 @@ object Multimodal {
                 CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
               FROM documents GROUP BY 1 ORDER BY format""")),
 
+    // ---- resize/downsample: REAL byte-level logic — every 8-byte block
+    //      of the payload averages (integer floor) into one output byte,
+    //      the batch shape an image resize / audio downsample has: a
+    //      per-partition transform producing a smaller binary per row,
+    //      lazily emitted. A real resizer swaps the block-average for
+    //      the codec's kernel; schema, partitioning, and per-doc output
+    //      sizing are the production shape. Oracle re-derives the
+    //      downsampled byte sums with nested list comprehensions.
+    QueryDef(
+      "multimodal_resize",
+      (s, d) => {
+        val block = 8
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_bytes", IntegerType),
+          StructField("n_resized", IntegerType),
+          StructField("resized_sum", LongType)))
+        val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+        payloadTable(s, d).select(col("doc_id"), col("payload"))
+          .mapPartitions(_.map { r =>
+            val payload = r.getAs[Array[Byte]](1)
+            val resized = payload.grouped(block).map { b =>
+              (b.map(_ & 0xff).sum / b.length).toByte
+            }.toArray
+            Row(r.getLong(0), payload.length, resized.length,
+              resized.map(_ & 0xff).sum.toLong)
+          })(enc)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                CAST(ceil(octet_length(encode(text)) / 8.0) AS INT) AS n_resized,
+                CAST(list_sum(list_transform(
+                  range(0, CAST(ceil(octet_length(encode(text)) / 8.0) AS INT)),
+                  b -> list_sum(list_transform(
+                         range(b * 8, least((b + 1) * 8,
+                               octet_length(encode(text)))),
+                         j -> ord(substr(text, CAST(j + 1 AS INT), 1))))
+                       // (least((b + 1) * 8, octet_length(encode(text)))
+                          - b * 8)))
+                  AS BIGINT) AS resized_sum
+              FROM documents ORDER BY doc_id""")),
+
     // ---- frame sampling: REAL byte-level logic (no media libs needed) —
     //      the payload is framed at 32 bytes and every 4th frame sampled,
     //      the batch shape a video/audio frame sampler has: per-partition
