@@ -42,7 +42,7 @@ object Dml {
   // column list — otherwise the name backtracks ("mytable SET…" would
   // split into name "my" + body "table SET…" since TABLE is a body form)
   private val Insert =
-    re("""(?is)^\s*INSERT\s+(IGNORE\s+)?INTO\s+<T>\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""")
+    re("""(?is)^\s*INSERT\s+(IGNORE\s+)?INTO\s+<T>\s*(\((?!\s*(?:SELECT|WITH)\b)[^)]*\))?(?:\s+|(?<=\)))\s*((?:\(\s*)?(?:SELECT|VALUES|WITH|TABLE)\b.*)$""")
   private val Replace =
     re("""(?is)^\s*REPLACE\s+INTO\s+<T>\s*(\([^)]*\))?(?:\s+|(?<=\)))\s*((?:SELECT|VALUES|WITH|TABLE)\b.*)$""")
   private val Update =
@@ -336,17 +336,72 @@ object Dml {
           // the INCOMING row inside the ODKU assignments
           val RowAlias =
             """(?is)^(.*\))\s+AS\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(?:\(([^)]*)\))?\s*$""".r
+          // SELECT sources: a trailing derived-table alias names the
+          // incoming row inside the assignments too (insert_queries.go
+          // issue 6675: `select * from (...) dt(a,b) ... ON DUPLICATE
+          // KEY UPDATE x=dt.b+1`); its columns map positionally onto
+          // the INSERT column list like a VALUES row alias
+          val TrailAlias =
+            """(?is)^.*\)\s*(?:AS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(?:\(([^)]*)\))?\s*$""".r
+          val aliasStopWords = Set("desc", "asc", "where", "limit", "by",
+            "from", "dual", "on", "using", "join")
           val (bodyStripped, aliasOpt) = body.trim match {
             case RowAlias(b, name, cols)
                 if body.trim.toUpperCase.startsWith("VALUES") =>
               (b, Some((name, Option(cols).map(_.split(",")
                 .map(c => stripTick(c.trim)).toSeq))))
+            case bt if """(?is)^\s*\(?\s*(?:SELECT|WITH)\b""".r
+                .findFirstIn(bt).isDefined =>
+              bt match {
+                case TrailAlias(name, cols)
+                    if !aliasStopWords.contains(name.toLowerCase) =>
+                  val colNames = Option(cols)
+                    .map(_.split(",").map(c => stripTick(c.trim)).toSeq)
+                    .orElse(scala.util.Try(e.query(bt).columns.toSeq).toOption)
+                  (bt, Some((name, colNames)))
+                case _ =>
+                  // plain `select ... from <table|cte>` source: the
+                  // trailing source name qualifies incoming columns in
+                  // the ODKU (`insert into a (select * from b) ...
+                  // update a.i = b.j + 100`); a join source with no
+                  // single tail maps ANY non-target qualifier over the
+                  // source's output columns positionally (`... from b
+                  // join c ... update a.j = b.x + c.y + 100`)
+                  val colNames =
+                    scala.util.Try(e.query(bt).columns.toSeq).toOption
+                  """(?is)\bFROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\)?\s*$""".r
+                    .findFirstMatchIn(bt) match {
+                    case Some(m)
+                        // a self-referencing source would rewrite the
+                        // target-table qualifiers on the lhs too
+                        if !m.group(1).equalsIgnoreCase(
+                          table.split('.').last) =>
+                      (bt, Some((m.group(1), colNames)))
+                    case Some(_) => (bt, None)
+                    case None if colNames.isDefined =>
+                      (bt, Some((null, colNames)))
+                    case None => (bt, None)
+                  }
+              }
             case _ => (body, None)
           }
           val insertCols =
             if (hasList) colList.trim.stripPrefix("(").stripSuffix(")")
               .split(",").map(c => stripTick(c.trim)).toSeq
             else Seq.empty[String]
+          // a VALUES row alias column list must match the value count
+          // (insert_queries.go "incorrect row alias":
+          // `values (1) as new(c, d)` is ErrColumnCountMismatch)
+          if (body.trim.toUpperCase.startsWith("VALUES"))
+            aliasOpt.flatMap(_._2).foreach { cs =>
+              val expect =
+                if (hasList) insertCols.length
+                else e.spark.table(table).columns.length
+              if (cs.length != expect)
+                throw new IllegalArgumentException(
+                  s"The used row alias column list does not match the " +
+                  s"column count (MySQL error 1136)")
+            }
           Some(upsert(e, table,
             insertSource(e, table, colList, hasList, bodyStripped),
             assignText, aliasOpt, insertCols, ignore = ignoreKw != null))
@@ -1947,7 +2002,18 @@ object Dml {
       case Some((alias, colsOpt)) =>
         val q = java.util.regex.Pattern.quote _
         val cols = if (insertCols.nonEmpty) insertCols else t.columns.toSeq
+        val tLast = table.split('.').last
         colsOpt match {
+          case Some(aliasCols) if alias == null =>
+            // qualifier-agnostic positional mapping (join sources):
+            // any non-target qualifier over a source output column
+            aliasCols.zip(cols).foldLeft(assignText0) {
+              case (acc, (ac, tc)) =>
+                acc.replaceAll(
+                  s"(?i)(?<![.\\w])(?!${q(tLast)}\\.)" +
+                    s"[A-Za-z_][A-Za-z0-9_]*\\.`?${q(ac)}`?\\b",
+                  s"__i_$tc")
+            }
           case Some(aliasCols) =>
             aliasCols.zip(cols).foldLeft(assignText0) {
               case (acc, (ac, tc)) =>

@@ -241,6 +241,21 @@ object MiscFns {
     "format" -> (es =>
       tmpl(s"format_number(__arg0, ${litInt(es(1), "format")})")(es)),
     "quote" -> (es => graft.functions.expressions.QuoteStr(es.head)),
+    // MySQL CHAR(n, ...): each arg renders as its code point's char,
+    // NULL args are SKIPPED (string_functions.go Char) — Spark's char()
+    // is single-arg, so the multi-arg form concatenates per-arg chr()
+    // with NULLs coalesced away. >255 code points stay single-byte
+    // (mod 256), the documented approximation.
+    "char" -> (es =>
+      CatalystSqlParser.parseExpression(
+        // chr(): same builtin under its alias — spelling it `char` here
+        // would re-enter this registration and loop the analyzer
+        es.indices.map(i => s"coalesce(chr(CAST(__arg$i AS BIGINT)), '')")
+          .mkString("concat(", ", ", ")")).transformUp {
+        case a: UnresolvedAttribute
+            if a.nameParts.length == 1 && a.nameParts.head.startsWith("__arg") =>
+          es(a.nameParts.head.drop(5).toInt)
+      }),
     "insert" -> (es => graft.functions.expressions.MySqlInsertStr(es)),
     "truncate" -> (es =>
       graft.functions.expressions.MySqlTruncate(es(0), es(1))),

@@ -73,4 +73,12 @@ class MiscFnsSpec extends AnyFunSuite {
     assert(one("IS_BINARY('x')") == false)
     assert(one("DATABASE()") != null)
   }
+
+  test("multi-arg CHAR() concatenates code points, skipping NULLs " +
+      "(string_functions.go Char)") {
+    assert(one("CHAR(77, 121, 83, 81, 76)") == "MySQL")
+    assert(one("CHAR(65)") == "A")
+    assert(one("CHAR(77, NULL, 121)") == "My")
+    assert(one("CHAR(77.3, 121.5)") == "My") // numeric args round/truncate
+  }
 }

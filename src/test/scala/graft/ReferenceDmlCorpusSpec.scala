@@ -398,6 +398,95 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
       Seq(Seq(0L, 3L)))
   }
 
+  test("ODKU referencing a SELECT source's derived-table alias " +
+      "(insert_queries.go issue 6675)") {
+    engine.runScript(
+      """create table oxy (x int primary key, y date);
+        |insert into oxy values (0,'2023-09-16');
+        |""".stripMargin)
+    assert(engine.query(
+      "INSERT INTO oxy (y,x) select * from (select cast('2019-12-31' as date), 0) dt(a,b) " +
+      "ON DUPLICATE KEY UPDATE x=dt.b+1, y=dt.a").collect()(0).getLong(0) == 2L)
+    assert(engine.query("select * from oxy").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString)).toSeq ==
+      Seq((1, "2019-12-31")))
+    engine.query("drop table oxy")
+  }
+
+  test("ODKU row alias with wrong column count errors 1136 " +
+      "(insert_queries.go 'incorrect row alias')") {
+    engine.query("create table ra1136 (i int primary key)")
+    assert(intercept[IllegalArgumentException] {
+      engine.query(
+        "insert into ra1136 values (1) as new(c, d) on duplicate key update i = c")
+    }.getMessage.contains("1136"))
+    engine.query("drop table ra1136")
+  }
+
+  test("ODKU referencing source tables in the SELECT subquery " +
+      "(insert_queries.go 'references table in subquery' family)") {
+    // plain table source
+    engine.runScript(
+      """create table oda (i int primary key);
+        |insert into oda values (1);
+        |create table odb (j int primary key);
+        |insert into odb values (1), (2), (3);
+        |""".stripMargin)
+    assert(engine.query(
+      "insert into oda (select * from odb) on duplicate key update oda.i = odb.j + 100")
+      .collect()(0).getLong(0) == 4L)
+    assert(engine.query("select * from oda order by i").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 3, 101))
+    engine.runScript("drop table oda; drop table odb;")
+    // derived-table alias with different schema lengths
+    engine.runScript(
+      """create table oda (i int primary key, j int, k int);
+        |insert into oda values (1, 2, 3);
+        |create table odb (i int primary key);
+        |insert into odb values (1);
+        |""".stripMargin)
+    assert(intercept[Exception] {
+      engine.query(
+        "insert into oda select * from (select i from odb) as bb on duplicate key update oda.i = bb.i + 100")
+    }.getMessage.nonEmpty)
+    assert(engine.query(
+      "insert into oda (i) select * from (select i from odb) as bb on duplicate key update oda.i = bb.i + 100")
+      .collect()(0).getLong(0) == 2L)
+    assert(engine.query("select * from oda").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((101, 2, 3)))
+    engine.runScript("drop table oda; drop table odb;")
+    // join source: two qualifiers map positionally over output columns
+    engine.runScript(
+      """create table oda (i int primary key, j int);
+        |insert into oda values (1,1);
+        |create table odb (x int primary key);
+        |insert into odb values (1), (2), (3);
+        |create table odc (y int primary key);
+        |insert into odc values (1), (2), (3);
+        |""".stripMargin)
+    assert(engine.query(
+      "insert into oda (select * from odb join odc where odb.x = odc.y) on duplicate key update oda.j = odb.x + odc.y + 100")
+      .collect()(0).getLong(0) == 4L)
+    assert(engine.query("select * from oda order by i").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 102), (2, 2), (3, 3)))
+    engine.runScript("drop table oda; drop table odb; drop table odc;")
+    // CTE source: the cte name qualifies incoming columns
+    engine.runScript(
+      """create table oda (i int primary key);
+        |insert into oda values (1);
+        |create table odb (j int primary key);
+        |insert into odb values (1), (2), (3);
+        |""".stripMargin)
+    assert(engine.query(
+      "insert into oda with cte as (select * from odb) select * from cte on duplicate key update oda.i = cte.j + 100")
+      .collect()(0).getLong(0) == 4L)
+    assert(engine.query("select * from oda order by i").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 3, 101))
+    engine.runScript("drop table oda; drop table odb;")
+  }
+
   test("CTE-prefixed INSERT ... SELECT with nested CTEs " +
       "(insert_queries.go issue 4857)") {
     engine.runScript(
