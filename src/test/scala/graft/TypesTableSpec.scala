@@ -226,4 +226,40 @@ class TypesTableSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("s"))
     e.runScript("drop view show_v1; drop table show_t1")
   }
+
+  test("JDBC driver metadata shapes over information_schema " +
+      "(information_schema_queries.go:34-77)") {
+    val e = new Engine(spark)
+    e.runScript(
+      """create table jmeta (i int primary key, s varchar(20));
+        |create index idx_si on jmeta (s, i);
+        |create index jmeta_i_s on jmeta (i, s);
+        |""".stripMargin)
+    e.enableInformationSchema()
+    // the DatabaseMetaData.getTables CASE shape
+    val t = e.query(
+      """SELECT table_schema AS TABLE_CAT,
+           NULL AS TABLE_SCHEM,
+           table_name,
+           CASE WHEN table_type = 'BASE TABLE' THEN
+               CASE WHEN table_schema = 'mysql' OR table_schema = 'performance_schema' THEN 'SYSTEM TABLE'
+               ELSE 'TABLE' END
+           WHEN table_type = 'TEMPORARY' THEN 'LOCAL_TEMPORARY'
+           ELSE table_type END AS TABLE_TYPE
+         FROM information_schema.tables WHERE table_name = 'jmeta'""")
+      .collect()
+    assert(t.length == 1 && t(0).getString(2) == "jmeta" &&
+      t(0).getString(3) == "TABLE")
+    // the getIndexInfo GROUP_CONCAT shape over statistics
+    val idx = e.query(
+      """SELECT table_name, index_name, non_unique,
+           GROUP_CONCAT(column_name ORDER BY seq_in_index) AS cols
+         FROM information_schema.statistics
+         WHERE table_name = 'jmeta' AND index_name != 'PRIMARY'
+         GROUP BY table_name, index_name, non_unique
+         ORDER BY index_name""")
+      .collect().map(r => (r.getString(1), r.getString(3)))
+    assert(idx.toSeq == Seq(("idx_si", "s,i"), ("jmeta_i_s", "i,s")))
+    e.query("drop table jmeta")
+  }
 }
