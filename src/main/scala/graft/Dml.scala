@@ -146,6 +146,13 @@ object Dml {
   private val DeallocStmt =
     """(?is)^\s*(?:DEALLOCATE|DROP)\s+PREPARE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
 
+  // EXPLAIN [ANALYZE] [FORMAT=TREE|JSON] <select> — the reference's
+  // plan display (sql/rowexec/show.go DESCRIBE QUERY / EXPLAIN
+  // FORMAT=TREE); here the displayed plan is Spark's, the honest answer
+  // for an engine whose physical planning IS Catalyst (SURVEY §4.4)
+  private val ExplainStmt =
+    """(?is)^\s*(?:EXPLAIN|DESCRIBE|DESC)\s+(ANALYZE\s+)?(?:FORMAT\s*=\s*(?:TREE|JSON)\s+)?((?:SELECT|WITH|TABLE)\b.*)$""".r
+
   private val SetSqlMode =
     """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*:?=\s*(.+?)\s*$""".r
   // DESCRIBE t / DESC t — MySQL column shape (rowexec/show.go DESCRIBE)
@@ -961,6 +968,18 @@ object Dml {
 
     case DescribeTbl(table) =>
       dispatchTrimmed(e, s"SHOW COLUMNS FROM `$table`")
+
+    case ExplainStmt(analyze, inner) =>
+      val df = e.query(inner)
+      // ANALYZE adds the optimizer's cost/stats annotations; plain
+      // EXPLAIN shows the formatted physical plan (codegen spans,
+      // pushed filters, exchanges — what a Spark operator reads)
+      val mode = if (analyze != null) "cost" else "formatted"
+      val text = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+      val s = e.spark
+      import s.implicits._
+      Some(Seq(text).toDF("EXPLAIN"))
 
     case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
 

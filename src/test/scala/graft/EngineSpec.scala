@@ -750,4 +750,25 @@ class EngineSpec extends AnyFunSuite {
     val r3 = e.query("SELECT qty FROM coer WHERE id = 3").collect()
     assert(r3.map(_.getInt(0)).toSeq == Seq(31))
   }
+
+  test("EXPLAIN front door returns the formatted plan (SURVEY §4.4)") {
+    val e = new Engine(spark)
+    e.query("create table expl_t (i int primary key, s varchar(10))")
+    e.query("insert into expl_t values (1, 'a'), (2, 'b')")
+    val plan = e.query("EXPLAIN SELECT i FROM expl_t WHERE i > 1")
+      .collect()(0).getString(0)
+    assert(plan.contains("Physical Plan"))
+    // FORMAT=TREE and DESCRIBE spellings route the same way
+    assert(e.query("EXPLAIN FORMAT=TREE SELECT 1").collect()(0)
+      .getString(0).contains("Physical Plan"))
+    assert(e.query("DESCRIBE SELECT 1").collect()(0)
+      .getString(0).contains("Physical Plan"))
+    // ANALYZE adds cost annotations
+    assert(e.query("EXPLAIN ANALYZE SELECT i FROM expl_t").collect()(0)
+      .getString(0).nonEmpty)
+    // plain DESCRIBE <table> still describes the table
+    assert(e.query("DESCRIBE expl_t").collect().map(_.getString(0)).toSeq ==
+      Seq("i", "s"))
+    e.query("drop table expl_t")
+  }
 }
