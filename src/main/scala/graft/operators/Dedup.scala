@@ -440,6 +440,10 @@ object Dedup {
         val cent = e.filter(col("vec_id") < K)
           .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        // NOT persisted (measured): both self-join sides re-derive the
+        // assignment, but caching the wide 64-double vector column costs
+        // more than the recompute at this shape (1.04 s -> 1.41 s with
+        // persist) — the centroid side is broadcast either way
         val assigned = e.crossJoin(broadcast(cent))
           .withColumn("d", gvec.vecL2Sq(col("v"), col("cv")))
           .withColumn("rk", row_number().over(w))

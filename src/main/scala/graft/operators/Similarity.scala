@@ -82,7 +82,10 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
           .as("cv"))
     }
-    (sub, cent)
+    // trained centroids persist too: both consumers (code assignment
+    // and the probe distance table) would otherwise re-run the 2-pass
+    // Lloyd lineage — 32 rows cached vs two full re-trainings
+    (sub, cent.persist())
   }
 
   /** DuckDB twins of pqTrain/pqAssign (shared by both PQ oracles). */
@@ -470,7 +473,9 @@ object Similarity {
       (s, d) => {
         val K = 8
         val DIM = 64
-        val e = emb(s, d).select(col("vec_id"), col("v"))
+        // persisted: 3 assignment passes (2 Lloyd + the final) each
+        // re-read the vectors otherwise
+        val e = emb(s, d).select(col("vec_id"), col("v")).persist()
         var cent = e.filter(col("vec_id") < K)
           .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
         def assign(c: DataFrame): DataFrame = {
@@ -484,6 +489,8 @@ object Similarity {
         }
         for (_ <- 0 until 2) {
           val a = assign(cent)
+          // each iteration's centroids persist (K rows): the next
+          // assignment would otherwise re-execute every prior pass
           cent = a
             .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
             .groupBy(col("cid"), col("dim"))
@@ -492,6 +499,7 @@ object Similarity {
             .groupBy(col("cid"))
             .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
               .as("cv"))
+            .persist()
         }
         assign(cent)
           .groupBy(col("cid"))
