@@ -344,4 +344,44 @@ class ReferenceCorpusSpec extends AnyFunSuite {
       "FROM othertable ot where ot.i2 = mt.i) from mytable mt order by 1",
       Seq(Seq(1, 1), Seq(2, 1), Seq(3, 1)))
   }
+
+  test("correlated scalar subqueries with ORDER BY/LIMIT, backtick " +
+      "aggregate aliases, int truthiness (queries.go:5808-6100)") {
+    // aggregate alias containing parens, referenced in ORDER BY
+    check("SELECT i, COUNT(i) AS `COUNT(i)` FROM (SELECT i FROM mytable) t " +
+      "GROUP BY i ORDER BY i, `COUNT(i)` DESC",
+      Seq(Seq(1, 1), Seq(2, 1), Seq(3, 1)))
+    // double-negated integer truthiness
+    check("SELECT i FROM mytable WHERE NOT(NOT i) ORDER BY 1 DESC",
+      Seq(Seq(3), Seq(2), Seq(1)))
+    // doubly-correlated IS NOT NULL filters
+    check("SELECT i FROM mytable mt WHERE (SELECT i FROM mytable where " +
+      "i = mt.i) IS NOT NULL AND (SELECT i2 FROM othertable where i2 = i) " +
+      "IS NOT NULL ORDER BY i",
+      Seq(Seq(1), Seq(2), Seq(3)))
+    // correlated window inside a scalar subquery used as a filter
+    check("SELECT i FROM mytable mt WHERE (SELECT row_number() over " +
+      "(order by ot.i2 desc) FROM othertable ot where ot.i2 = mt.i) = 1 " +
+      "ORDER BY i",
+      Seq(Seq(1), Seq(2), Seq(3)))
+    check("SELECT (SELECT i FROM mytable ORDER BY i ASC LIMIT 1) AS x",
+      Seq(Seq(1)))
+    // correlated ORDER BY ... LIMIT 1 subquery in projection + HAVING
+    // over its alias
+    check("SELECT pk, (SELECT concat(pk, pk) FROM one_pk WHERE pk < opk.pk " +
+      "ORDER BY 1 DESC LIMIT 1) as strpk FROM one_pk opk having " +
+      "strpk > \"0\" ORDER BY 2",
+      Seq(Seq(1, "00"), Seq(2, "11"), Seq(3, "22")))
+    check("SELECT pk, (SELECT c3 FROM one_pk WHERE pk < opk.pk " +
+      "ORDER BY 1 DESC LIMIT 1) AS v FROM one_pk opk ORDER BY 1",
+      Seq(Seq(0, null), Seq(1, 2), Seq(2, 12), Seq(3, 22)))
+    // GREATEST over DATETIME casts keeps the temporal type
+    assert(engine.query("SELECT GREATEST(CAST(\"1920-02-03 07:41:11\" AS " +
+      "DATETIME), CAST(\"1980-06-22 14:32:56\" AS DATETIME)) AS g")
+      .collect()(0).get(0).toString.startsWith("1980-06-22T14:32:56"))
+    // documented divergences (not ported): string truthiness under NOT
+    // (`WHERE NOT s`), datetime-in-numeric-context (`NOW() div NOW()`),
+    // and functional-dependency grouping (`sum(i), s GROUP BY i` — Spark
+    // enforces ONLY_FULL_GROUP_BY without PK dependency analysis)
+  }
 }
