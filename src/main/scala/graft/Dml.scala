@@ -1338,6 +1338,13 @@ object Dml {
       case "set" =>
         (StringType, Some((true, args.map(_.trim.stripPrefix("'").stripSuffix("'")))))
       case "vector" => (ArrayType(FloatType), None)
+      // geometry column types carry WKT text (the engine's canonical
+      // geometry representation — functions/spatial.scala); constructors
+      // and st_* accessors read/write it directly (spatial_queries.go
+      // CREATE TABLE ... p point DEFAULT (point(...)))
+      case "point" | "linestring" | "polygon" | "multipoint" |
+           "multilinestring" | "multipolygon" | "geometrycollection" |
+           "geomcollection" | "geometry" => (StringType, None)
       case other =>
         throw new IllegalArgumentException(s"unsupported column type: $other")
     }

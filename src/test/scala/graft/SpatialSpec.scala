@@ -154,6 +154,35 @@ class SpatialSpec extends AnyFunSuite {
     assert(one[Any](sp.stGeomFromText(lit("POINT(1 2)"))) != null)
   }
 
+  test("geometry column types in DDL with expression defaults " +
+      "(spatial_queries.go SpatialScriptTests)") {
+    val e = new Engine(spark)
+    e.runScript(
+      """CREATE TABLE spddl1 (i int primary key, p point default (point(123.456, 7.89)));
+        |insert into spddl1 (i) values (0);
+        |""".stripMargin)
+    assert(e.query("select st_aswkt(p) from spddl1").collect()(0)
+      .getString(0) == "POINT(123.456 7.89)")
+    e.query("drop table spddl1")
+    e.runScript(
+      """CREATE TABLE spddl2 (i int primary key, l linestring default (linestring(point(1,2), point(3,4))));
+        |insert into spddl2 (i) values (0);
+        |""".stripMargin)
+    assert(e.query("select st_aswkt(l) from spddl2").collect()(0)
+      .getString(0) == "LINESTRING(1 2,3 4)")
+    e.query("drop table spddl2")
+    // a bare GEOMETRY column accepts any constructed geometry
+    e.runScript(
+      """CREATE TABLE spddl3 (i int primary key, g geometry);
+        |INSERT INTO spddl3 VALUES (1, ST_GEOMFROMTEXT(ST_ASWKT(POINT(1,2))));
+        |INSERT INTO spddl3 VALUES (2, LINESTRING(POINT(0, 0),POINT(2, 2)));
+        |""".stripMargin)
+    assert(e.query("select i, ST_ASWKT(g) from spddl3 order by i").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "POINT(1 2)"), (2, "LINESTRING(0 0,2 2)")))
+    e.query("drop table spddl3")
+  }
+
   test("typed multi-geometry WKB constructors (registry.go st_m*fromwkb)") {
     val e = new Engine(spark)
     val r = e.query(
