@@ -384,4 +384,31 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     // and functional-dependency grouping (`sum(i), s GROUP BY i` — Spark
     // enforces ONLY_FULL_GROUP_BY without PK dependency analysis)
   }
+
+  test("EXISTS / NOT EXISTS shapes: dual, FROM-less, correlated, " +
+      "projected (queries.go:7074-7140)") {
+    check("SELECT 1 from dual WHERE EXISTS (SELECT 1 from dual)",
+      Seq(Seq(1)))
+    check("SELECT 1 from dual WHERE EXISTS (SELECT NULL from dual)",
+      Seq(Seq(1)))
+    check("SELECT i FROM mytable WHERE EXISTS (SELECT 1 from mytable) " +
+      "AND i IS NOT NULL",
+      Seq(Seq(1), Seq(2), Seq(3)))
+    check("SELECT * FROM two_pk WHERE EXISTS (SELECT pk FROM one_pk WHERE pk > 4)",
+      Seq.empty)
+    check("SELECT 2 + 2 WHERE NOT EXISTS (SELECT pk FROM one_pk WHERE pk > 4)",
+      Seq(Seq(4)))
+    check("SELECT 2 + 2 WHERE NOT EXISTS (SELECT * FROM one_pk WHERE pk > 4)",
+      Seq(Seq(4)))
+    check("SELECT 2 + 2 WHERE EXISTS (SELECT * FROM one_pk WHERE pk < 4)",
+      Seq(Seq(4)))
+    check("SELECT distinct pk1 FROM two_pk WHERE EXISTS " +
+      "(SELECT pk from one_pk where pk <= two_pk.pk1)",
+      Seq(Seq(0), Seq(1)))
+    check("select pk from one_pk where exists (SELECT pk1 FROM two_pk)",
+      Seq(Seq(0), Seq(1), Seq(2), Seq(3)))
+    check("SELECT EXISTS (SELECT NULL from dual) AS e", Seq(Seq(true)))
+    check("SELECT NOT EXISTS (SELECT NULL FROM dual) AS e", Seq(Seq(false)))
+    check("select exists (SELECT pk1 FROM two_pk) AS e", Seq(Seq(true)))
+  }
 }
