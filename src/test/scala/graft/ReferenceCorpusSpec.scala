@@ -385,6 +385,39 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     // enforces ONLY_FULL_GROUP_BY without PK dependency analysis)
   }
 
+  test("BETWEEN NULL-bound 3VL and CASE branch type unification " +
+      "(queries.go:4026-4070, 5372-5930)") {
+    check("SELECT i FROM mytable WHERE i BETWEEN 1 AND 2",
+      Seq(Seq(1), Seq(2)))
+    check("SELECT i FROM mytable WHERE i NOT BETWEEN 1 AND 2",
+      Seq(Seq(3)))
+    check("SELECT 2 BETWEEN NULL AND 2 AS b", Seq(Seq(null)))
+    check("SELECT NOT 2 BETWEEN NULL AND 2 AS b", Seq(Seq(null)))
+    // NOT BETWEEN with a NULL bound over a VALUES derived table: the
+    // range half that CAN decide decides (x > col1 -> TRUE regardless
+    // of the NULL low bound)
+    check("SELECT DISTINCT * FROM (values row(7,31,27), row(79,17,38), " +
+      "row(78,59,26)) a (col0, col1, col2) WHERE ( + col1 + + col2 ) " +
+      "NOT BETWEEN NULL AND col1",
+      Seq(Seq(7, 31, 27), Seq(79, 17, 38), Seq(78, 59, 26)))
+    // CASE with mixed int/string branches unifies to string
+    check("SELECT CASE WHEN i > 2 THEN i WHEN i < 2 THEN i ELSE 'two' " +
+      "END AS c FROM mytable",
+      Seq(Seq("1"), Seq("two"), Seq("3")))
+    check("SELECT CASE WHEN i > 2 THEN 'more than two' WHEN i < 2 THEN " +
+      "'less than two' ELSE 2 END AS c FROM mytable",
+      Seq(Seq("less than two"), Seq("2"), Seq("more than two")))
+    check("SELECT CASE i WHEN 1 THEN 'one' WHEN 2 THEN 'two' END AS c " +
+      "FROM mytable",
+      Seq(Seq("one"), Seq("two"), Seq(null)))
+    // scalar subquery in the WHEN condition
+    check("SELECT CASE WHEN i > (select 1) THEN 'one' ELSE 'two' END " +
+      "AS c FROM mytable",
+      Seq(Seq("two"), Seq("one"), Seq("one")))
+    check("SELECT CASE WHEN NULL THEN \"yes\" ELSE \"no\" END AS test",
+      Seq(Seq("no")))
+  }
+
   test("EXISTS / NOT EXISTS shapes: dual, FROM-less, correlated, " +
       "projected (queries.go:7074-7140)") {
     check("SELECT 1 from dual WHERE EXISTS (SELECT 1 from dual)",
