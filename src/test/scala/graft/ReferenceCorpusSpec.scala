@@ -385,6 +385,38 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     // enforces ONLY_FULL_GROUP_BY without PK dependency analysis)
   }
 
+  test("UNION associativity, mixed-type unions, nested-CTE unions, " +
+      "recursive-CTE self-join (queries.go:2189-2345, 4878-4930)") {
+    // ALL-then-DISTINCT dedups everything; DISTINCT-then-ALL keeps the
+    // trailing branch's duplicates (MySQL's left-assoc set-op chain)
+    check("SELECT i FROM mytable UNION ALL SELECT i FROM mytable " +
+      "UNION DISTINCT SELECT i FROM mytable",
+      Seq(Seq(1), Seq(2), Seq(3)))
+    check("SELECT i FROM mytable UNION SELECT i FROM mytable " +
+      "UNION ALL SELECT i FROM mytable",
+      Seq(Seq(1), Seq(2), Seq(3), Seq(1), Seq(2), Seq(3)))
+    // int/string union branches unify to string
+    check("SELECT i FROM mytable UNION SELECT s FROM mytable",
+      Seq(Seq("1"), Seq("2"), Seq("3"),
+        Seq("first row"), Seq("second row"), Seq("third row")))
+    // deeply nested CTE unions (incl. a recursive innermost)
+    check("WITH a AS ( WITH b AS ( WITH recursive c AS ( SELECT 1 UNION " +
+      "SELECT 2 ) SELECT * from c UNION SELECT 3 ) SELECT * from b UNION " +
+      "SELECT 4) SELECT * from a UNION SELECT 10",
+      Seq(Seq(1), Seq(2), Seq(3), Seq(4), Seq(10)))
+    check("WITH a AS ( WITH b AS ( SELECT 1 UNION SELECT 2 ), c AS " +
+      "( SELECT 3 UNION SELECT 4 ) SELECT * from b UNION SELECT * from c), " +
+      "x AS ( WITH y AS ( SELECT 5 UNION SELECT 6 ), z AS ( SELECT 7 " +
+      "UNION SELECT 8 ) SELECT * from y UNION SELECT * from z) " +
+      "SELECT * from a UNION SELECT * from x",
+      Seq(Seq(1), Seq(2), Seq(3), Seq(4), Seq(5), Seq(6), Seq(7), Seq(8)))
+    // recursive CTE joined to itself by name
+    check("with recursive t (n) as (select (1) from dual union all " +
+      "select n + 1 from t where n < 10) select count(*) from t as t1 " +
+      "join t as t2 on t1.n = t2.n",
+      Seq(Seq(10)))
+  }
+
   test("BETWEEN NULL-bound 3VL and CASE branch type unification " +
       "(queries.go:4026-4070, 5372-5930)") {
     check("SELECT i FROM mytable WHERE i BETWEEN 1 AND 2",
