@@ -37,6 +37,10 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     Seq[(Int, Option[Int])]((0, Some(0)), (1, Some(1)), (2, Some(2)),
       (3, None), (4, None))
       .toDF("x", "y").createOrReplaceTempView("null_ranges")
+    // setup_data.sg.go:3908 typestable (temporal columns only)
+    Seq((1L, java.sql.Timestamp.valueOf("2019-12-31 12:00:00"),
+        java.sql.Date.valueOf("2019-12-31")))
+      .toDF("id", "ti", "da").createOrReplaceTempView("typestable")
     new Engine(spark)
   }
 
@@ -383,6 +387,34 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     // (`WHERE NOT s`), datetime-in-numeric-context (`NOW() div NOW()`),
     // and functional-dependency grouping (`sum(i), s GROUP BY i` — Spark
     // enforces ONLY_FULL_GROUP_BY without PK dependency analysis)
+  }
+
+  test("temporal comparisons against date_add/date_sub/adddate/subdate " +
+      "(queries.go:4083-4140, typestable fixture)") {
+    check("SELECT id FROM typestable WHERE ti > date_add('2019-12-30', INTERVAL 1 day)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE da > date_add('2019-12-30', INTERVAL 1 DAY)",
+      Seq.empty)
+    check("SELECT id FROM typestable WHERE da >= date_add('2019-12-30', INTERVAL 1 DAY)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE ti < date_add('2019-12-30', INTERVAL 1 DAY)",
+      Seq.empty)
+    check("SELECT id FROM typestable WHERE da < adddate('2020-01-01', INTERVAL 1 DAY)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE da < adddate('2020-01-01', 1)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE ti > date_sub('2020-01-01', INTERVAL 1 DAY)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE da > date_sub('2020-01-01', INTERVAL 1 DAY)",
+      Seq.empty)
+    check("SELECT id FROM typestable WHERE da >= date_sub('2020-01-01', INTERVAL 1 DAY)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE da < date_sub('2020-01-01', INTERVAL 1 DAY)",
+      Seq.empty)
+    check("SELECT id FROM typestable WHERE da >= subdate('2020-01-01', INTERVAL 1 DAY)",
+      Seq(Seq(1)))
+    check("SELECT id FROM typestable WHERE ti > '2019-12-31'",
+      Seq(Seq(1)))
   }
 
   test("UNION associativity, mixed-type unions, nested-CTE unions, " +
