@@ -1304,7 +1304,10 @@ object SqlRewrite {
                   val frac0 = Option(m.group(7)).getOrElse("")
                   // DATETIME(p): fractional digits truncate to p
                   val p = """\((\d+)\)""".r.findFirstMatchIn(target)
-                    .map(_.group(1).toInt).getOrElse(6)
+                    // bare CAST AS DATETIME is datetime(0) — the
+                    // fraction truncates away (queries.go:4240
+                    // '12:34:56.1 abc' -> 12:34:56)
+                    .map(_.group(1).toInt).getOrElse(0)
                   val frac =
                     if (frac0.isEmpty || p == 0) ""
                     else "." + frac0.drop(1).take(p)

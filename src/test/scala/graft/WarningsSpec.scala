@@ -271,6 +271,29 @@ class WarningsSpec extends AnyFunSuite {
     engine.query("drop table oorw")
   }
 
+  test("malformed datetime casts truncate at the junk boundary with " +
+      "1292; bare CAST AS DATETIME is datetime(0) (queries.go:4206-4245, " +
+      "dolt issue 9917)") {
+    def one(sql: String): String =
+      engine.query(sql).collect()(0).get(0).toString
+    assert(one("select cast('2020-01-01 a' as datetime)")
+      .startsWith("2020-01-01T00:00"))
+    assert(warnRows() == Seq((1292, "Warning")))
+    assert(one("select cast('2020-01-01 abc123' as datetime)")
+      .startsWith("2020-01-01T00:00"))
+    assert(one("select cast('2020-01-01 12:30asdf123' as datetime)")
+      .startsWith("2020-01-01T12:30"))
+    assert(one("select cast('2020-01-01 12:34:56abc' as datetime)")
+      == "2020-01-01T12:34:56")
+    assert(one("select cast('2020-01-01 12:34:56 abc' as datetime)")
+      == "2020-01-01T12:34:56")
+    // the fraction truncates: bare CAST AS DATETIME is datetime(0)
+    assert(one("select cast('2020-01-01 12:34:56.1 abc' as datetime)")
+      == "2020-01-01T12:34:56")
+    assert(warnRows() == Seq((1292, "Warning")))
+    engine.query("SELECT 1")
+  }
+
   test("STR_TO_DATE parse failure evaluates NULL and warns 1411 " +
       "(str_to_date.go:128 ctx.Warn)") {
     val r = rows("SELECT STR_TO_DATE('invalid', '%d-%m-%Y') AS v")
