@@ -819,7 +819,7 @@ object TextAnalysis {
                 SELECT lang, n, cnt,
                        SUM(cnt) OVER (PARTITION BY lang ORDER BY n) AS cum
                 FROM hist),
-              tot AS (SELECT lang, SUM(cnt) AS total FROM hist GROUP BY 1)
+              tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total FROM hist GROUP BY 1)
               SELECT lang, total,
                 MIN(CASE WHEN cum >= (total*50+99)//100 THEN n END) AS p50,
                 MIN(CASE WHEN cum >= (total*90+99)//100 THEN n END) AS p90,
