@@ -260,6 +260,24 @@ class SpatialSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 4.0)
   }
 
+  // Reference registry rows: sql/expression/function/registry.go:252
+  // (st_endpoint), :295-297 (st_numinteriorrings, st_numpoints), :308
+  // (st_startpoint) — these must resolve from SQL text, not just the DSL.
+  test("SQL text resolves st_startpoint/st_endpoint/st_numpoints/st_numinteriorrings") {
+    val e = new Engine(spark)
+    val r = e.query(
+      """SELECT ST_STARTPOINT(ST_GEOMFROMTEXT('LINESTRING(0 0,1 1)')) AS sp,
+               ST_ENDPOINT(ST_GEOMFROMTEXT('LINESTRING(0 0,1 1)')) AS ep,
+               ST_NUMPOINTS(ST_GEOMFROMTEXT('LINESTRING(0 0,1 1,2 2)')) AS np,
+               ST_NUMINTERIORRINGS(ST_GEOMFROMTEXT(
+                 'POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))')) AS nir""")
+      .collect()(0)
+    assert(r.getString(0) == "POINT(0 0)")
+    assert(r.getString(1) == "POINT(1 1)")
+    assert(r.getInt(2) == 3)
+    assert(r.getInt(3) == 1)
+  }
+
   test("st_isempty, st_convexhull, st_longitude/st_latitude") {
     val e = new Engine(spark)
     val r = e.query(
