@@ -74,7 +74,11 @@ object Dml {
   private val ShowCreateView =
     """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
   private val CreateTableAs =
-    re("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s+AS\s+(.*)$""")
+    re("""(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s+AS\s+(.*)$""")
+  // MySQL also allows CTAS without the AS keyword: CREATE TABLE t
+  // SELECT ... (create_table_queries.go "create table with select")
+  private val CreateTableSelect =
+    re("""(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s+(\(?\s*SELECT\b.*)$""")
   // CREATE TABLE t (col defs ...) [table options] — the form every MySQL
   // script opens with (reference sql/planbuilder/ddl.go buildCreateTable).
   // The column list is extracted with a paren-balanced, quote-aware scan
@@ -82,21 +86,28 @@ object Dml {
   // (a > (1)), DEFAULT (expr) — can't shift the closing paren.
   private object CreateTableDef {
     private val Head = re(
-      """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s*\((.*)$""")
+      """(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s*\((.*)$""")
     private val TailOpts =
       """(?is)^(?:ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|COMMENT|AUTO_INCREMENT)\b.*$""".r
-    def unapply(sql: String): Option[(String, String, Boolean)] = sql match {
-      case Head(ine, name, rest) =>
-        val close = closingParen(rest)
-        if (close < 0) None
-        else {
-          val tail = rest.substring(close + 1).trim
-          if (tail.isEmpty || TailOpts.matches(tail))
-            Some((name, rest.substring(0, close), ine != null))
-          else None // e.g. CREATE TABLE t (...) AS SELECT — CTAS form
-        }
-      case _ => None
-    }
+    def unapply(sql: String)
+        : Option[(String, String, Boolean, Boolean, String)] =
+      sql match {
+        case Head(temp, ine, name, rest) =>
+          val close = closingParen(rest)
+          if (close < 0) None
+          else {
+            val tail = rest.substring(close + 1).trim
+            // empty, pure options, or options/[AS]-SELECT tails all
+            // belong to this form (the SELECT variant merges defs with
+            // a CTAS — see createDefsWithSelect)
+            if (tail.isEmpty || TailOpts.matches(tail) ||
+                """(?is)^(?:AS\s+)?\(?\s*SELECT\b.*$""".r.matches(tail))
+              Some((name, rest.substring(0, close), ine != null,
+                temp != null, tail))
+            else None
+          }
+        case _ => None
+      }
   }
 
   /** Index of the ')' that closes an already-open paren sitting just
@@ -119,7 +130,7 @@ object Dml {
     -1
   }
   private val CreateTableLike =
-    re("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s+LIKE\s+<T>\s*$""")
+    re("""(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s+LIKE\s+<T>\s*$""")
   private val AlterTable =
     re("""(?is)^\s*ALTER\s+TABLE\s+<T>\s+(.*)$""")
   private val DropTv =
@@ -315,7 +326,7 @@ object Dml {
       val hasList = colList != null && colList.trim
         .stripPrefix("(").stripSuffix(")").trim.nonEmpty
       val (bodyRaw, odku) = splitOnDuplicate(body0)
-      val body = expandEmptyTuples(e, table, colList, hasList, bodyRaw)
+      val body = expandEmptyTuples(e, table, hasList, bodyRaw)
       odku match {
         case None =>
           val df0 = insertSource(e, table, colList, hasList, body)
@@ -628,33 +639,39 @@ object Dml {
           if (!ignore && e.strictWriteMode) {
             // strict out-of-range assignment into an integral column is
             // MySQL error 1264 BEFORE the write cast can wrap it
-            // (rowexec/update.go convert, non-IGNORE) — one combined
-            // filter + limit(1) probe over the affected rows
-            val oobChecks = assigns.flatMap { case (c, ex) =>
-              // `SET c = DEFAULT` resolves through the declared-default
-              // machinery, not as an expression over the row
-              if (ex.trim.equalsIgnoreCase("DEFAULT")) None
-              else actual.get(c.toLowerCase).flatMap { cn =>
-                e.integralBounds(colTypes(cn)).map { case (lo, hi) =>
-                  val asDec = expr(ex).cast(
-                    org.apache.spark.sql.types.DecimalType(38, 0))
-                  (cn, asDec.isNotNull &&
-                    (asDec < lit(lo) || asDec > lit(hi)))
-                }
+            // (rowexec/update.go convert, non-IGNORE). Assignments apply
+            // LEFT TO RIGHT, each RHS seeing the values the earlier
+            // assignments produced (update_queries.go:59-63), so each
+            // bound check evaluates against the row AFTER the preceding
+            // assignments — the probe folds them into its projection the
+            // same way assignSequential does, then runs ONE combined
+            // filter + limit(1) over the affected rows (the projection
+            // chain collapses to a single scan).
+            var probe = gate.map(t0.filter).getOrElse(t0)
+            val oobFlags =
+              scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+            assignsResolved.foreach { case (cn, ex) =>
+              e.integralBounds(colTypes(cn)).foreach { case (lo, hi) =>
+                val asDec = expr(ex).cast(
+                  org.apache.spark.sql.types.DecimalType(38, 0))
+                val f = s"__oob${oobFlags.size}__"
+                probe = probe.withColumn(f,
+                  asDec.isNotNull && (asDec < lit(lo) || asDec > lit(hi)))
+                oobFlags += ((cn, f))
               }
+              probe = probe.withColumn(cn, expr(ex).cast(colTypes(cn)))
             }
-            if (oobChecks.nonEmpty) {
-              val gated = gate.map(t0.filter).getOrElse(t0)
-              val bad = gated
-                .filter(oobChecks.map(_._2).reduce(_ || _))
-                .select(oobChecks.map { case (n, cnd) => cnd.as(n) }
+            if (oobFlags.nonEmpty) {
+              val bad = probe
+                .filter(oobFlags.map(t => col(s"`${t._2}`")).reduce(_ || _))
+                .select(oobFlags.map { case (n, f) => col(s"`$f`").as(n) }
                   .toIndexedSeq: _*)
                 .limit(1).collect()
               bad.headOption.foreach { r =>
-                val i = oobChecks.indices
+                val i = oobFlags.indices
                   .find(i => !r.isNullAt(i) && r.getBoolean(i)).getOrElse(0)
                 throw new IllegalArgumentException(
-                  s"Out of range value for column '${oobChecks(i)._1}' " +
+                  s"Out of range value for column '${oobFlags(i)._1}' " +
                   s"(MySQL error 1264)")
               }
             }
@@ -803,16 +820,22 @@ object Dml {
         .toDF("View", "Create View", "character_set_client",
           "collation_connection"))
 
-    case CreateTableAs(ine, name, body) =>
-      if (createPrecheck(e, normName(name), ine != null)) Some(ok(e, 0L))
+    case CreateTableAs(temp, ine, name, body) =>
+      if (createPrecheck(e, normName(name), ine != null, temp != null))
+        Some(ok(e, 0L))
       else { e.ctas(normName(name), body); Some(ok(e, 0L)) }
 
-    case CreateTableLike(ine, nameRaw, srcRaw) =>
+    case CreateTableSelect(temp, ine, name, body) =>
+      if (createPrecheck(e, normName(name), ine != null, temp != null))
+        Some(ok(e, 0L))
+      else { e.ctas(normName(name), body); Some(ok(e, 0L)) }
+
+    case CreateTableLike(temp, ine, nameRaw, srcRaw) =>
       // same schema, empty; declared metadata carries over (reference
       // ddl.go buildCreateTableLike copies schema + keys + defaults)
       val name = normName(nameRaw)
       val src = normName(srcRaw)
-      if (!createPrecheck(e, name, ine != null)) {
+      if (!createPrecheck(e, name, ine != null, temp != null)) {
         e.replaceTable(name, e.spark.table(src).limit(0), bumpDepth = false)
         e.noteRelation(name)
         e.tableKeys.get(src).foreach(k => e.declareKey(name, k))
@@ -820,18 +843,35 @@ object Dml {
         e.columnDefaults.toSeq.collect {
           case ((t, c), d) if t == src => e.declareDefault(name, c, d)
         }
+        // LIKE copies the full column/constraint surface: CHECKs (the
+        // "Validate that CREATE LIKE preserves checks" corpus), declared
+        // lengths, NOT NULL, vocab, comments, precision markers — but
+        // NOT foreign keys (MySQL LIKE never copies FKs)
+        e.copyColumnMeta(src, name)
       }
       Some(ok(e, 0L))
 
-    case CreateTableDef(name, body, ine) =>
-      if (createPrecheck(e, normName(name), ine)) Some(ok(e, 0L))
+    case CreateTableDef(name, body, ine, temp, tail) =>
+      if (createPrecheck(e, normName(name), ine, temp)) Some(ok(e, 0L))
       else {
-        // table options tail: [DEFAULT] CHARACTER SET / CHARSET [=] cs
-        // drives the bytes-per-char of the row-size limit
-        """(?is)\)\s*[^)]*?(?:CHARACTER\s+SET|CHARSET)\s*=?\s*`?([A-Za-z0-9_]+)`?[^)]*$""".r
-          .findFirstMatchIn(sql)
-          .foreach(m => e.tableCharsets(normName(name)) = m.group(1))
-        createFromDefs(e, normName(name), body); Some(ok(e, 0L))
+        val t = normName(name)
+        val (optsText, selOpt) = splitSelectTail(tail)
+        // options first: charset drives bytes-per-char in the row-size
+        // limit that createFromDefs validates (a failed create clears
+        // them again via clearTableMeta)
+        val aiStart = parseTableOptions(e, t, optsText)
+        selOpt match {
+          case Some(sel) =>
+            try createDefsWithSelect(e, t, body, sel)
+            catch { case ex: Throwable => e.clearTableMeta(t); throw ex }
+          case None => createFromDefs(e, t, body)
+        }
+        // AUTO_INCREMENT=n option seeds the counter — ignored when the
+        // table has no auto-inc column (create_table_queries.go "table
+        // with auto_increment table option")
+        aiStart.filter(_ => e.autoIncCols.contains(t))
+          .foreach(n => e.autoIncCounter(t) = n)
+        Some(ok(e, 0L))
       }
 
     case AlterTable(name, actions) =>
@@ -1387,6 +1427,7 @@ object Dml {
   private def parseFk(e: Engine, table: String, item: String): Option[Engine.ForeignKey] =
     item match {
       case FkItem(name, childCols, parentRaw, parentCols, tail) =>
+        Option(name).foreach(checkIdent)
         def action(kw: String): String =
           (s"""(?is)\\bON\\s+$kw\\s+(CASCADE|SET\\s+NULL|RESTRICT|NO\\s+ACTION)""").r
             .findFirstMatchIn(tail)
@@ -1439,6 +1480,7 @@ object Dml {
       .findFirstMatchIn(item)
       .getOrElse(throw new IllegalArgumentException(s"bad column def: $item"))
     val colName = stripTick(m.group(1))
+    checkIdent(colName)
     val rest = m.group(2)
     // the type spans up to the end of its (args), else the first word
     val typeText = {
@@ -1453,14 +1495,69 @@ object Dml {
               .startsWith("unsigned")) " unsigned" else "")
     }
     val up = rest.toUpperCase
+    val baseLower = typeText.trim.toLowerCase
+      .takeWhile(c => c.isLetter || c == '_')
+    // integer display widths parse but drop — EXCEPT tinyint(1), the one
+    // width MySQL preserves; negative widths are syntax errors
+    // (create_table_queries.go "display width for numeric types")
+    """(?i)^(tinyint|smallint|mediumint|int|integer|bigint)\s*\(\s*(-?\d+)\s*\)""".r
+      .findFirstMatchIn(typeText.trim).foreach { mm =>
+        val w = mm.group(2).toInt
+        if (w < 0) throw new IllegalArgumentException(
+          s"syntax error near '${mm.group(1).toLowerCase}'")
+        if (mm.group(1).equalsIgnoreCase("tinyint") && w == 1)
+          e.tinyint1Cols += ((table, colName.toLowerCase))
+      }
+    // DATETIME/TIMESTAMP/TIME fractional precision is 0-6
+    // (create_table_queries.go "datetime precision" / "timestamp
+    // precision": p>6 errors, negative p is a syntax error)
+    """(?i)^(datetime|timestamp|time)\s*\(\s*(-?\d+)\s*\)""".r
+      .findFirstMatchIn(typeText.trim).foreach { mm =>
+        val p = mm.group(2).toInt
+        if (p < 0) throw new IllegalArgumentException(
+          s"syntax error near '${mm.group(1).toLowerCase}'")
+        if (p > 6) throw new IllegalArgumentException(
+          s"${mm.group(1).toUpperCase} supports precision from 0 to 6")
+        if (p > 0 && !mm.group(1).equalsIgnoreCase("time"))
+          e.timePrecisions((table, colName.toLowerCase)) = p
+      }
+    // charset/collation attach only to character types: a COLLATE on the
+    // binary family is ErrBinaryCollation, a CHARACTER SET on any
+    // non-character type is ErrCharacterSetOnInvalidType
+    // (create_table_queries.go "valid character set and collation options")
+    val binaryFamily = Set("binary", "varbinary", "tinyblob", "blob",
+      "mediumblob", "longblob", "bit")
+    val charFamily = Set("char", "varchar", "tinytext", "text",
+      "mediumtext", "longtext", "nchar", "nvarchar", "enum", "set")
+    if (binaryFamily(baseLower) &&
+        """(?i)\bCOLLATE\s""".r.findFirstIn(rest).isDefined)
+      throw new IllegalArgumentException(
+        s"binary types cannot have a collation: column '$colName' " +
+        s"(MySQL ErrBinaryCollation)")
+    if (!charFamily(baseLower) &&
+        """(?i)\b(?:CHARACTER\s+SET|CHARSET)\s""".r.findFirstIn(rest).isDefined)
+      throw new IllegalArgumentException(
+        s"character set may only be declared on character-typed columns: " +
+        s"column '$colName' (MySQL ErrCharacterSetOnInvalidType)")
+    // column COMMENT survives into SHOW CREATE TABLE
+    """(?is)\bCOMMENT\s+('(?:\\.|''|[^'\\])*'|"(?:\\.|""|[^"\\])*")""".r
+      .findFirstMatchIn(rest).foreach { mm =>
+        e.columnComments((table, colName.toLowerCase)) =
+          unquoteSqlString(mm.group(1))
+      }
     val (dt0, vocab) = mysqlDataType(typeText)
     val dt = applyCollation(dt0, rest)
     // declared CHAR/VARCHAR length: parquet strings are unbounded, so the
     // limit lives on the engine and the write paths enforce it
     // (reference sql/types/strings.go:465 ErrLengthBeyondLimit)
-    """(?i)^(?:n?(?:var)?char)\s*\(\s*(\d+)\s*\)""".r
+    """(?i)^(n?(?:var)?char)\s*\(\s*(\d+)\s*\)""".r
       .findFirstMatchIn(typeText.trim)
-      .foreach(mm => e.declareCharLimit(table, colName, mm.group(1).toInt))
+      .foreach { mm =>
+        e.declareCharLimit(table, colName, mm.group(2).toInt)
+        // CHAR(n) vs VARCHAR(n) keyword survives into the catalog render
+        if (!mm.group(1).toLowerCase.contains("var"))
+          e.charKindCols += ((table, colName.toLowerCase))
+      }
     vocab.foreach { case (isSet, vs) =>
       // *_ci collations hash member lookup case-insensitively
       // (reference sql/types/enum.go:86 collation.HashToUint). The
@@ -1506,6 +1603,23 @@ object Dml {
             throw new IllegalArgumentException(
               s"Incompatible DEFAULT $t for unsigned column '$colName' " +
               s"(MySQL 1067)")
+          // a CURRENT_TIMESTAMP(p) default must match the column's own
+          // fractional precision exactly (create_table_queries.go
+          // "datetime precision" → ErrInvalidColumnDefaultValue)
+          """(?i)^(?:CURRENT_TIMESTAMP|NOW|LOCALTIME(?:STAMP)?)\s*(?:\(\s*(\d*)\s*\))?$""".r
+            .findFirstMatchIn(t).foreach { mm =>
+              val defP = Option(mm.group(1)).filter(_.nonEmpty)
+                .map(_.toInt).getOrElse(0)
+              val colP = e.timePrecisions
+                .getOrElse((table, colName.toLowerCase), 0)
+              val isTime = dt == org.apache.spark.sql.types.TimestampNTZType ||
+                dt == org.apache.spark.sql.types.TimestampType
+              if (isTime && defP != colP)
+                throw new IllegalArgumentException(
+                  s"Invalid default value for '$colName': " +
+                  s"CURRENT_TIMESTAMP($defP) does not match the column's " +
+                  s"precision $colP (MySQL 1067)")
+            }
           if (strLit && !numLit) {
             val body = t.stripPrefix("'").stripSuffix("'")
             val numericTarget = dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -1523,7 +1637,9 @@ object Dml {
         s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}"), ex)
     }
     if (up.contains("NOT NULL")) e.declareNotNull(table, colName)
-    StructField(colName, dt, nullable = !up.contains("NOT NULL"))
+    // PRIMARY KEY / AUTO_INCREMENT columns are implicitly NOT NULL
+    StructField(colName, dt, nullable = !up.contains("NOT NULL") &&
+      !up.contains("PRIMARY KEY") && !up.contains("AUTO_INCREMENT"))
   }
 
   /** `()` as a VALUES row tuple — `INSERT INTO t () VALUES ()`, or mixed
@@ -1533,13 +1649,11 @@ object Dml {
     * understands DEFAULT tokens) handles it; only a depth-0 `()`
     * directly after VALUES or a row comma qualifies, so `now()` and
     * friends are untouched. */
-  private def expandEmptyTuples(e: Engine, table: String, colList: String,
+  private def expandEmptyTuples(e: Engine, table: String,
                                 hasList: Boolean, body: String): String = {
     if ("""(?is)^\s*VALUES?\b""".r.findFirstIn(body).isEmpty ||
         !body.replaceAll("\\s", "").contains("()")) return body
-    val arity =
-      if (hasList) splitTop(colList).length
-      else e.spark.table(table).columns.length
+    val arity = e.spark.table(table).columns.length
     val defTuple = Seq.fill(math.max(arity, 1))("DEFAULT")
       .mkString("(", ", ", ")")
     val toks = SqlRewrite.tokenize(body)
@@ -1565,6 +1679,12 @@ object Dml {
         i += 1
       }
     }
+    // an empty row tuple is only legal against an empty (or absent)
+    // column list — MySQL raises 1136 otherwise (insert_queries.go:
+    // "INSERT INTO t (a) VALUES ()" is ErrInsertIntoMismatchedColumns)
+    if (patches.nonEmpty && hasList)
+      throw new IllegalArgumentException(
+        s"Column count doesn't match value count at row 1 (MySQL 1136)")
     if (patches.isEmpty) body else SqlRewrite.splicePublic(body, patches.toSeq)
   }
 
@@ -1575,10 +1695,117 @@ object Dml {
     * should no-op. Running BEFORE any metadata mutation also protects a
     * live table's declared keys/defaults from the failed-CREATE cleanup
     * below. */
-  private def createPrecheck(e: Engine, table: String,
-                             ifNotExists: Boolean): Boolean = {
+  /** Split a CREATE TABLE options tail at its trailing `[AS] SELECT`,
+    * quote-aware: returns (optionsText, Some(selectText)) or
+    * (tail, None). */
+  private def splitSelectTail(tail: String): (String, Option[String]) = {
+    var i = 0; var quote: Char = 0
+    while (i < tail.length) {
+      val c = tail.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if ((c == 'S' || c == 's') &&
+          tail.regionMatches(true, i, "SELECT", 0, 6) &&
+          (i == 0 || (!Character.isLetterOrDigit(tail.charAt(i - 1)) &&
+            tail.charAt(i - 1) != '_')) &&
+          (i + 6 >= tail.length ||
+            (!Character.isLetterOrDigit(tail.charAt(i + 6)) &&
+              tail.charAt(i + 6) != '_'))) {
+        val head = tail.substring(0, i).replaceAll("(?is)\\bAS\\s*$", "")
+          .replaceAll("\\(\\s*$", "") // strip an opening paren of (SELECT…)
+        return (head.trim, Some(tail.substring(i,
+          if (tail.substring(0, i).trim.endsWith("(")) tail.lastIndexOf(')')
+          else tail.length)))
+      }
+      i += 1
+    }
+    (tail, None)
+  }
+
+  /** MySQL identifiers are limited to 64 characters (reference
+    * sql/planbuilder ValidateIdentifier; create_table_queries.go
+    * "Identifier lengths"). */
+  private def checkIdent(name: String): Unit = {
+    val bare = name.split("\\.").last.stripPrefix("`").stripSuffix("`")
+    if (bare.length > 64)
+      throw new IllegalArgumentException(
+        s"Invalid identifier: '$bare' is longer than 64 characters " +
+        s"(MySQL ErrInvalidIdentifier)")
+  }
+
+  /** Unquote a '…'/"…" SQL string literal: doubled quotes and the MySQL
+    * backslash escapes (\n \r \t \0 \Z \' \" \\) resolve to their
+    * characters. */
+  private def unquoteSqlString(q: String): String = {
+    val quote = q.charAt(0)
+    val body = q.substring(1, q.length - 1)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+          case 't' => sb.append('\t'); case '0' => sb.append('\u0000')
+          case 'Z' => sb.append('\u001a')
+          case o => sb.append(o)
+        }
+        i += 2
+      } else if (c == quote && i + 1 < body.length &&
+          body.charAt(i + 1) == quote) {
+        sb.append(quote); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
+  /** CREATE TABLE options tail: [DEFAULT] CHARSET/CHARACTER SET,
+    * COLLATE, COMMENT, AUTO_INCREMENT (ENGINE is accepted and ignored).
+    * Declares charset/collation/comment on the engine, validates the
+    * charset-collation pair, and returns the AUTO_INCREMENT start if
+    * present. */
+  private def parseTableOptions(e: Engine, table: String,
+                                tail: String): Option[Long] = {
+    if (tail.isEmpty) return None
+    val cs = """(?is)\b(?:CHARACTER\s+SET|CHARSET)\s*=?\s*`?([A-Za-z0-9_]+)`?""".r
+      .findFirstMatchIn(tail).map(_.group(1))
+    val coll = """(?is)\bCOLLATE\s*=?\s*`?([A-Za-z0-9_]+)`?""".r
+      .findFirstMatchIn(tail).map(_.group(1))
+    for (c <- cs; l <- coll)
+      // the collation's charset prefix must agree with the declared
+      // charset ("utf8mb4 is not a valid character set for
+      // utf8mb3_esperanto_ci" — create_table_queries.go)
+      if (!(l.equalsIgnoreCase(c) ||
+            l.toLowerCase.startsWith(c.toLowerCase + "_")))
+        throw new IllegalArgumentException(
+          s"$c is not a valid character set for $l")
+    cs.foreach(c => e.tableCharsets(table) = c)
+    coll.foreach(l => e.tableCollations(table) = l)
+    """(?is)\bCOMMENT\s*=?\s*('(?:\\.|''|[^'\\])*'|"(?:\\.|""|[^"\\])*")""".r
+      .findFirstMatchIn(tail)
+      .foreach(m => e.tableComments(table) = unquoteSqlString(m.group(1)))
+    """(?is)\bAUTO_INCREMENT\s*=?\s*(\d+)""".r
+      .findFirstMatchIn(tail).map(_.group(1).toLong)
+  }
+
+  private def createPrecheck(e: Engine, table: String, ifNotExists: Boolean,
+                             temporary: Boolean = false): Boolean = {
+    checkIdent(table)
     val exists = e.createdRelations.contains(table) ||
       e.viewDefs.contains(table)
+    if (temporary) {
+      // CREATE TEMPORARY TABLE shadows an existing base table instead of
+      // raising 1050 (reference buildCreateTable skips the existence
+      // check for temp tables); snapshot the base frame so DROP reveals
+      // it again. DataFrames analyze eagerly, so the snapshot binds the
+      // base's plan before the temp view replaces it.
+      if (exists && !e.tempShadow.contains(table))
+        scala.util.Try(e.spark.table(table))
+          .foreach(df => e.tempShadow(table) = df)
+      return false
+    }
     if (exists && !ifNotExists)
       throw new IllegalArgumentException(
         s"Table '$table' already exists (MySQL 1050)")
@@ -1599,6 +1826,27 @@ object Dml {
   private def createFromDefsInner(e: Engine, table: String,
                                   body: String): Unit = {
     import org.apache.spark.sql.types._
+    val fields = parseDefItems(e, table, body)
+    // the declared row must fit InnoDB's 65535-byte cap
+    // (memory/table.go:1316 validateMaxRowLength)
+    e.validateRowLength(table, StructType(fields))
+    // List-based constructor -> LocalRelation leaf (an emptyRDD would be
+    // a LogicalRDD, blocking Engine.replaceTable's local-plan collapse)
+    val df = e.spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(fields))
+    e.replaceTable(table, df, bumpDepth = false)
+    e.noteRelation(table)
+  }
+
+  /** Parse the parenthesized def list: declares all key/constraint
+    * metadata on the engine and returns the column StructFields (with
+    * the post-checks both CREATE forms share — duplicate columns,
+    * PK-implied NOT NULL, auto-inc-must-be-keyed). */
+  private def parseDefItems(e: Engine, table: String,
+                            body: String)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
     splitTop(body).foreach { item =>
       val up = item.toUpperCase
@@ -1617,6 +1865,7 @@ object Dml {
         m.foreach { mm =>
           val cols = mm.group(2).split(",").map(c => stripTick(c.trim)).toSeq
           val name = Option(mm.group(1)).getOrElse(cols.mkString("_"))
+          checkIdent(name)
           e.declareUnique(table, name, cols)
           e.declareIndex(table, name, cols)
         }
@@ -1624,22 +1873,98 @@ object Dml {
           (up.startsWith("CONSTRAINT") && up.contains("CHECK"))) {
         // table-level CHECK: enforced on every write (MySQL 8.0.16+)
         extractCheck(item).foreach { case (nm, ex) =>
+          nm.foreach(checkIdent)
           e.declareCheck(table, nm.getOrElse(
             s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}"), ex)
         }
-      } else if (Seq("UNIQUE", "KEY", "INDEX", "CONSTRAINT", "FOREIGN",
+      } else if (up.startsWith("KEY") || up.startsWith("INDEX")) {
+        // plain secondary index: declared so SHOW CREATE TABLE / SHOW
+        // KEYS render it; an unnamed index takes its first column's
+        // name, deduped with _2/_3 like MySQL
+        val m = ("(?is)^(?:KEY|INDEX)\\s*" +
+          "(?:`?([A-Za-z0-9_]+)`?\\s*)?\\(([^)]*)\\)").r
+          .findFirstMatchIn(item)
+        m.foreach { mm =>
+          val cols = mm.group(2).split(",")
+            .map(c => stripTick(c.trim.split("\\(")(0).trim)).toSeq
+          val base = Option(mm.group(1)).getOrElse(cols.head)
+          checkIdent(base)
+          val taken = e.secondaryIndexes.collect {
+            case (t, n, _) if t == table => n.toLowerCase }.toSet
+          val name = if (!taken(base.toLowerCase)) base
+            else Iterator.from(2).map(i => s"${base}_$i")
+              .find(n => !taken(n.toLowerCase)).get
+          e.declareIndex(table, name, cols)
+        }
+      } else if (Seq("UNIQUE", "CONSTRAINT", "FOREIGN",
           "FULLTEXT", "SPATIAL").exists(up.startsWith))
-        () // secondary-index / FK metadata: no physical effect here
+        () // FULLTEXT/SPATIAL index + FK metadata: no physical effect here
       else fields += parseColDef(e, table, item)
     }
-    // the declared row must fit InnoDB's 65535-byte cap
-    // (memory/table.go:1316 validateMaxRowLength)
-    e.validateRowLength(table, StructType(fields.toSeq))
-    // List-based constructor -> LocalRelation leaf (an emptyRDD would be
-    // a LogicalRDD, blocking Engine.replaceTable's local-plan collapse)
-    val df = e.spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      StructType(fields.toSeq))
+    // column names are unique case-insensitively (MySQL 1060;
+    // create_table_queries.go "case insensitive column name uniqueness")
+    fields.groupBy(_.name.toLowerCase).collectFirst {
+      case (_, fs) if fs.length > 1 => fs.head.name
+    }.foreach(d => throw new IllegalArgumentException(
+      s"Duplicate column name '$d' (MySQL 1060)"))
+    // table-level PRIMARY KEY columns become NOT NULL like inline ones
+    val pkSet = e.tableKeys.getOrElse(table, Seq.empty)
+      .map(_.toLowerCase).toSet
+    if (pkSet.nonEmpty) fields.mapInPlace(f =>
+      if (pkSet(f.name.toLowerCase)) f.copy(nullable = false) else f)
+    // an AUTO_INCREMENT column must be the leftmost column of SOME key
+    // (reference ErrInvalidAutoIncCols; create_table_queries.go "missing
+    // unique key" block)
+    e.autoIncCols.get(table).foreach { c =>
+      val keyed =
+        e.tableKeys.get(table).exists(_.exists(_.equalsIgnoreCase(c))) ||
+        e.uniqueKeys.exists(u => u._1 == table &&
+          u._3.headOption.exists(_.equalsIgnoreCase(c))) ||
+        e.secondaryIndexes.exists(s => s._1 == table &&
+          s._3.headOption.exists(_.equalsIgnoreCase(c)))
+      if (!keyed) throw new IllegalArgumentException(
+        "there can be only one auto_increment column and it must be " +
+        "defined as a key (MySQL ErrInvalidAutoIncCols)")
+    }
+    fields.toSeq
+  }
+
+  /** `CREATE TABLE t (mixed defs) [AS] SELECT …` — MySQL merges the two:
+    * pure key/index items declare on the result set's columns, a column
+    * def naming a SELECT output column overrides its type/nullability,
+    * and a column def absent from the SELECT prepends as a new leading
+    * column (reference create_table_queries.go "CREATE TABLE with
+    * constraints AS SELECT", dolt issue 9316). */
+  private def createDefsWithSelect(e: Engine, table: String, body: String,
+                                   select: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    val df0 = e.query(select)
+    val defs = parseDefItems(e, table, body)
+    val existing = df0.columns.map(c => c.toLowerCase -> c).toMap
+    val overrides = defs.filter(f => existing.contains(f.name.toLowerCase))
+      .map(f => f.name.toLowerCase -> f).toMap
+    val fresh = defs.filterNot(f => existing.contains(f.name.toLowerCase))
+    // defined-but-unselected columns lead (MySQL column order), filled
+    // with NULL; selected columns keep their data, cast when overridden
+    val selCols = df0.columns.map { c =>
+      overrides.get(c.toLowerCase) match {
+        case Some(f) => col(s"`$c`").cast(f.dataType).as(c)
+        case None => col(s"`$c`")
+      }
+    }
+    val merged = df0.select(
+      fresh.map(f => lit(null).cast(f.dataType).as(f.name)) ++ selCols: _*)
+    val pkSet = e.tableKeys.getOrElse(table, Seq.empty)
+      .map(_.toLowerCase).toSet
+    val schema = StructType(merged.schema.fields.map { f =>
+      val want = overrides.get(f.name.toLowerCase)
+      f.copy(nullable = want.map(_.nullable).getOrElse(f.nullable) &&
+        !pkSet(f.name.toLowerCase))
+    })
+    e.validateRowLength(table, schema)
+    // rdd + explicit schema: the only way to pin nullability on the result
+    val df = e.spark.createDataFrame(merged.rdd, schema)
     e.replaceTable(table, df, bumpDepth = false)
     e.noteRelation(table)
   }

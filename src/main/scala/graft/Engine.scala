@@ -574,6 +574,13 @@ class Engine(val spark: SparkSession) {
 
   private[graft] def setSystemVar(name0: String, rawValue: String): Unit = {
     val name = name0.toLowerCase
+    // MySQL error 1193 (ER_UNKNOWN_SYSTEM_VARIABLE): assigning a name
+    // outside the catalog must not mint a phantom variable that would
+    // then surface in SHOW VARIABLES (variable_queries.go unknown-var
+    // cases). sql_mode/time_zone/names take earlier dispatch branches.
+    if (!systemVars.contains(name))
+      throw new IllegalArgumentException(
+        s"Unknown system variable '$name' (MySQL error 1193)")
     val v = rawValue.trim
     if (v.equalsIgnoreCase("DEFAULT")) { sysVarOverrides.remove(name); return }
     val unq = v.stripPrefix("'").stripSuffix("'")
@@ -926,6 +933,14 @@ class Engine(val spark: SparkSession) {
   private[graft] def noteRelation(name: String): Unit =
     createdRelations += name
 
+  /** Base-table frames shadowed by `CREATE TEMPORARY TABLE` of the same
+    * name (the reference's buildCreateTable skips the 1050 existence
+    * check for temp tables — sql/planbuilder/ddl.go). DROP restores the
+    * snapshot. Data only: declared metadata (keys/defaults/checks) of
+    * the shadowed base is not snapshotted — documented divergence. */
+  private[graft] val tempShadow =
+    scala.collection.mutable.Map.empty[String, DataFrame]
+
   def createView(name: String, sql: String,
                  columns: Seq[String] = Seq.empty): Unit = {
     val df0 = query(sql)
@@ -967,8 +982,9 @@ class Engine(val spark: SparkSession) {
     import org.apache.spark.sql.functions._
     rejectExplicitGenerated(table, incoming0)
     var coerced = coerceVocab(table, computeGenerated(table,
-      coerceAndFill(table, incoming0, fillMissing,
-        ignoreMode = ignoreDups || !strictWrites)))
+      truncateTimePrecision(table,
+        coerceAndFill(table, incoming0, fillMissing,
+          ignoreMode = ignoreDups || !strictWrites))))
     val target = spark.table(table)
     if (ignoreDups) {
       // first-in-batch-wins sequence is pinned BEFORE the CHECK/FK skip
@@ -1494,6 +1510,44 @@ class Engine(val spark: SparkSession) {
     }
   }
 
+  /** Declared DATETIME(p)/TIMESTAMP(p) truncates the stored fractional
+    * seconds to p digits on write (bare datetime is datetime(0) — the
+    * reference stores the converted value; create_table_queries.go
+    * "datetime precision" inserts '…00.123456' into datetime(3) and
+    * reads back .123). Applied after type alignment so the input is
+    * already a timestamp. */
+  private[graft] def truncateTimePrecision(table: String,
+                                           incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    // only tables this engine created carry MySQL datetime(p) semantics;
+    // parquet-backed relations keep their native microseconds
+    if (!createdRelations.contains(table)) return incoming
+    val target = scala.util.Try(spark.table(table)).toOption
+      .getOrElse(return incoming)
+    target.schema.fields.foldLeft(incoming) { (df, f) =>
+      val isTs =
+        f.dataType == TimestampType || f.dataType == TimestampNTZType
+      val cOpt = df.columns.find(_.equalsIgnoreCase(f.name))
+      if (!isTs || cOpt.isEmpty ||
+          generatedCols.exists(g => g._1 == table &&
+            g._2.equalsIgnoreCase(f.name))) df
+      else {
+        val p = timePrecisions.getOrElse((table, f.name.toLowerCase), 0)
+        if (p >= 6) df
+        else {
+          val fdiv = math.pow(10, 6 - p).toLong
+          val c = cOpt.get
+          val back =
+            if (f.dataType == TimestampNTZType) "timestamp_ntz"
+            else "timestamp"
+          df.withColumn(c, org.apache.spark.sql.functions.expr(
+            s"cast(timestamp_micros((unix_micros(cast(`$c` as timestamp))" +
+              s" div $fdiv) * $fdiv) as $back)"))
+        }
+      }
+    }
+  }
+
   /** Clamp bounds for the integral column types (reference
     * sql/types/number.go range table). */
   private[graft] def integralBounds(dt: org.apache.spark.sql.types.DataType)
@@ -1984,6 +2038,12 @@ class Engine(val spark: SparkSession) {
     charLimits.filterInPlace { case ((t, _), _) => t != table }
     tableCharsets.remove(table)
     notNullCols.filterInPlace { case (t, _) => t != table }
+    tableComments.remove(table)
+    tableCollations.remove(table)
+    columnComments.filterInPlace { case ((t, _), _) => t != table }
+    tinyint1Cols.filterInPlace { case (t, _) => t != table }
+    timePrecisions.filterInPlace { case ((t, _), _) => t != table }
+    charKindCols.filterInPlace { case (t, _) => t != table }
   }
 
   // ---- ENUM / SET write validation --------------------------------------
@@ -2164,6 +2224,72 @@ class Engine(val spark: SparkSession) {
 
   private[graft] val tableCharsets =
     scala.collection.mutable.Map.empty[String, String]
+
+  // ---- SHOW CREATE TABLE catalog surface --------------------------------
+  // Table/column COMMENTs, an explicit table COLLATE, and the
+  // tinyint(1) display-width marker (the ONE width MySQL preserves)
+  // all survive into the catalog render (reference stores them on the
+  // schema — create_table_queries.go COMMENT / display-width corpus).
+  private[graft] val tableComments =
+    scala.collection.mutable.Map.empty[String, String]
+  private[graft] val tableCollations =
+    scala.collection.mutable.Map.empty[String, String]
+  private[graft] val columnComments =
+    scala.collection.mutable.Map.empty[(String, String), String]
+  private[graft] val tinyint1Cols =
+    scala.collection.mutable.Set.empty[(String, String)]
+  /** Declared DATETIME(p)/TIMESTAMP(p) fractional precision (1-6; bare
+    * datetime is 0 and renders bare). Catalog render + write-path
+    * truncation both read it. */
+  private[graft] val timePrecisions =
+    scala.collection.mutable.Map.empty[(String, String), Int]
+  /** Columns declared CHAR(n) (vs VARCHAR(n)) — the declared length in
+    * charLimits is shared, this marks which keyword to render back. */
+  private[graft] val charKindCols =
+    scala.collection.mutable.Set.empty[(String, String)]
+
+  /** Copy the per-column declared surface from `src` to `dst` — CREATE
+    * TABLE ... LIKE semantics (reference ddl.go buildCreateTableLike
+    * copies the whole schema; "Validate that CREATE LIKE preserves
+    * checks" corpus). Foreign keys deliberately excluded: MySQL LIKE
+    * never copies them. */
+  private[graft] def copyColumnMeta(src: String, dst: String): Unit = {
+    checkConstraints ++= checkConstraints.toSeq.collect {
+      case (t, n, ex) if t == src => (dst, n, ex) }
+    charLimits ++= charLimits.toSeq.collect {
+      case ((t, c), n) if t == src => ((dst, c), n) }
+    notNullCols ++= notNullCols.toSeq.collect {
+      case (t, c) if t == src => (dst, c) }
+    columnVocab ++= columnVocab.toSeq.collect {
+      case ((t, c), v) if t == src => ((dst, c), v) }
+    vocabCi ++= vocabCi.toSeq.collect {
+      case (t, c) if t == src => (dst, c) }
+    columnComments ++= columnComments.toSeq.collect {
+      case ((t, c), v) if t == src => ((dst, c), v) }
+    tinyint1Cols ++= tinyint1Cols.toSeq.collect {
+      case (t, c) if t == src => (dst, c) }
+    charKindCols ++= charKindCols.toSeq.collect {
+      case (t, c) if t == src => (dst, c) }
+    timePrecisions ++= timePrecisions.toSeq.collect {
+      case ((t, c), p) if t == src => ((dst, c), p) }
+    secondaryIndexes ++= secondaryIndexes.toSeq.collect {
+      case (t, n, cols) if t == src => (dst, n, cols) }
+    uniqueKeys ++= uniqueKeys.toSeq.collect {
+      case (t, n, cols) if t == src => (dst, n, cols) }
+  }
+
+  /** Default collation per charset, as the reference renders it
+    * (create_table_queries.go "table charset options": latin1 →
+    * latin1_swedish_ci, binary → binary; the server default is the
+    * _0900_bin family). */
+  private[graft] def defaultCollation(charset: String): String =
+    charset.toLowerCase match {
+      case "binary" => "binary"
+      case "latin1" => "latin1_swedish_ci"
+      case "ascii" => "ascii_general_ci"
+      case "utf8" | "utf8mb3" => "utf8mb3_general_ci"
+      case cs => s"${cs}_0900_bin"
+    }
 
   private def bytesPerChar(charset: String): Int =
     charset.toLowerCase match {
@@ -2546,10 +2672,16 @@ class Engine(val spark: SparkSession) {
         s"Cannot drop table '$name': referenced by a foreign key " +
         s"constraint (MySQL error 3730)")
     clearTableMeta(name)
-    if (name.contains(".")) {
-      val Array(db, t) = name.split("\\.", 2)
-      spark.sql(s"DROP VIEW IF EXISTS `$db`.`$t`")
-    } else spark.catalog.dropTempView(name)
+    tempShadow.remove(name) match {
+      case Some(df) => // un-shadow: the base table becomes visible again
+        df.createOrReplaceTempView(name)
+        createdRelations += name
+      case None =>
+        if (name.contains(".")) {
+          val Array(db, t) = name.split("\\.", 2)
+          spark.sql(s"DROP VIEW IF EXISTS `$db`.`$t`")
+        } else spark.catalog.dropTempView(name)
+    }
   }
 
   /** LOAD DATA INFILE (reference sql/plan/load_data.go:25): delimited-file
@@ -2900,16 +3032,36 @@ class Engine(val spark: SparkSession) {
   def showCreateTable(table: String): String = {
     val generated = generatedCols.toSeq
       .collect { case (t, c, ex) if t == table => c.toLowerCase -> ex }.toMap
+    val pkCols = tableKeys.getOrElse(table, Seq.empty)
+      .map(_.toLowerCase).toSet
+    val aiCol = autoIncCols.get(table).map(_.toLowerCase)
     val fields = spark.table(table).schema.fields.map { f =>
-      val nn = if (f.nullable) "" else " NOT NULL"
-      val gen = generated.get(f.name.toLowerCase)
+      val lc = f.name.toLowerCase
+      // PRIMARY KEY / AUTO_INCREMENT columns are implicitly NOT NULL
+      // (MySQL and rowexec/show.go both render them so)
+      val nn = if (f.nullable && !pkCols(lc) && !aiCol.contains(lc)) ""
+        else " NOT NULL"
+      val gen = generated.get(lc)
         .map(ex => s" GENERATED ALWAYS AS ($ex) STORED").getOrElse("")
-      s"  `${f.name}` ${renderColumnType(table, f)}$gen$nn"
+      val dflt = if (gen.nonEmpty) "" else
+        columnDefaults.get((table, lc)).map(renderDefault)
+          .map(d => s" DEFAULT $d").getOrElse("")
+      val ai = if (aiCol.contains(lc)) " AUTO_INCREMENT" else ""
+      val cmt = columnComments.get((table, lc))
+        .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
+      s"  `${f.name}` ${renderColumnType(table, f)}$gen$nn$dflt$ai$cmt"
     }
     val pk = tableKeys.get(table).map(k =>
       s"  PRIMARY KEY (${k.map(c => s"`$c`").mkString(",")})").toSeq
     val uks = uniqueKeys.toSeq.collect { case (t, n, cols) if t == table =>
       s"  UNIQUE KEY `$n` (${cols.map(c => s"`$c`").mkString(",")})"
+    }
+    val uniqueNames = uniqueKeys.collect {
+      case (t, n, _) if t == table => n.toLowerCase }.toSet
+    val keys = secondaryIndexes.toSeq.collect {
+      case (t, n, cols) if t == table && !uniqueNames(n.toLowerCase) &&
+          !n.equalsIgnoreCase("PRIMARY") =>
+        s"  KEY `$n` (${cols.map(c => s"`$c`").mkString(",")})"
     }
     val cks = checkConstraints.toSeq.collect { case (t, n, ex) if t == table =>
       s"  CONSTRAINT `$n` CHECK ($ex)"
@@ -2924,8 +3076,36 @@ class Engine(val spark: SparkSession) {
         s"`${fk.parent}` (${fk.parentCols.map(c => s"`$c`").mkString(",")})" +
         onDel + onUpd
     }
-    val lines = fields.toSeq ++ pk ++ uks ++ cks ++ fks
-    s"CREATE TABLE `$table` (\n${lines.mkString(",\n")}\n)"
+    val lines = fields.toSeq ++ pk ++ uks ++ keys ++ cks ++ fks
+    // options tail, rendered the way the reference's catalog does
+    // (rowexec/show.go): AUTO_INCREMENT only once the counter moved,
+    // charset defaults to the server's utf8mb4/_0900_bin pair
+    val aiOpt = autoIncCols.get(table)
+      .flatMap(_ => autoIncCounter.get(table)).filter(_ > 1L)
+      .map(n => s" AUTO_INCREMENT=$n").getOrElse("")
+    val cs = tableCharsets.getOrElse(table, "utf8mb4")
+    val coll = tableCollations.getOrElse(table, defaultCollation(cs))
+    val cmt = tableComments.get(table)
+      .map(c => s" COMMENT='${c.replace("'", "''")}'").getOrElse("")
+    s"CREATE TABLE `$table` (\n${lines.mkString(",\n")}\n)" +
+      s" ENGINE=InnoDB$aiOpt DEFAULT CHARSET=$cs COLLATE=$coll$cmt"
+  }
+
+  /** DEFAULT clause catalog rendering: literals quote ('100', 'abc'),
+    * NULL stays bare, CURRENT_TIMESTAMP keeps its keyword form, any
+    * other expression parenthesizes — matching the reference's
+    * column-default display (create_table_queries.go "create table with
+    * select preserves default": `j` int DEFAULT '100'). */
+  private def renderDefault(d: String): String = {
+    val t = d.trim
+    if (t.equalsIgnoreCase("NULL")) "NULL"
+    else if (t.matches("^-?\\d+(\\.\\d+)?$")) s"'$t'"
+    else if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      s"'${t.substring(1, t.length - 1).replace("''", "'").replace("'", "''")}'"
+    else if (t.matches("(?i)^(?:CURRENT_TIMESTAMP|NOW)\\s*(\\(\\s*\\d*\\s*\\))?$"))
+      "CURRENT_TIMESTAMP"
+    else if (t.startsWith("(") && t.endsWith(")")) s"($t)"
+    else s"($t)"
   }
 
   /** MySQL column-type text for metadata surfaces: a declared ENUM/SET
@@ -2943,8 +3123,16 @@ class Engine(val spark: SparkSession) {
         charLimits.get((table, f.name.toLowerCase)) match {
           case Some(n)
               if f.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] =>
-            s"varchar($n)"
-          case _ => mysqlType(f.dataType)
+            if (charKindCols((table, f.name.toLowerCase))) s"char($n)"
+            else s"varchar($n)"
+          // tinyint(1) is the ONE display width MySQL preserves
+          // (create_table_queries.go "display width for numeric types")
+          case _ if tinyint1Cols((table, f.name.toLowerCase)) => "tinyint(1)"
+          case _ =>
+            timePrecisions.get((table, f.name.toLowerCase)) match {
+              case Some(p) if p > 0 => s"${mysqlType(f.dataType)}($p)"
+              case _ => mysqlType(f.dataType)
+            }
         }
     }
 

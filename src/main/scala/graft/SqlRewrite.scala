@@ -1413,6 +1413,7 @@ object SqlRewrite {
         if (close > i + 2) {
           var depth = 0
           var fromIdx = -1; var havingIdx = -1; var groupIdx = -1
+          var commaIdx = -1
           var j = i + 2
           while (j < close) {
             val t = toks(j)
@@ -1423,9 +1424,18 @@ object SqlRewrite {
               havingIdx = j
             else if (depth == 0 && t.isWord("group") && groupIdx < 0)
               groupIdx = j
+            else if (depth == 0 && t.kind == Sym && t.text == "," &&
+                havingIdx < 0 && commaIdx < 0) commaIdx = j
             j += 1
           }
-          if (fromIdx < 0 && havingIdx >= 0 && havingIdx < close - 1) {
+          // only the scalar-position single-item form qualifies: after
+          // EXISTS/IN/ANY/ALL/SOME the subquery is relational (a CASE
+          // there is wrong), and a multi-item select list would splice
+          // into a malformed CASE — leave both for normal planning
+          val relationalCtx = i > 0 && Seq("exists", "in", "any", "all",
+            "some").exists(toks(i - 1).isWord)
+          if (fromIdx < 0 && havingIdx >= 0 && havingIdx < close - 1 &&
+              !relationalCtx && commaIdx < 0) {
             val exprEnd =
               if (groupIdx >= 0 && groupIdx < havingIdx) groupIdx
               else havingIdx

@@ -1248,6 +1248,34 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.runScript("drop view dupv1050; drop table dup1050;")
   }
 
+  test("CREATE TEMPORARY TABLE shadows an existing base table instead " +
+      "of 1050; DROP reveals the base again (ddl.go buildCreateTable " +
+      "temp-table path)") {
+    engine.runScript(
+      """CREATE TABLE shad (pk int primary key, v varchar(10));
+        |INSERT INTO shad VALUES (1, 'base');
+        |""".stripMargin)
+    // same name, different schema — no 1050 for TEMPORARY
+    engine.query("CREATE TEMPORARY TABLE shad (x int)")
+    engine.query("INSERT INTO shad VALUES (42)")
+    assert(rows("SELECT * FROM shad") == Seq(Seq(42)))
+    // DROP removes the temp table and un-shadows the base
+    engine.query("DROP TABLE shad")
+    assert(rows("SELECT * FROM shad") == Seq(Seq(1, "base")))
+    // temp CTAS over an existing name also shadows
+    engine.query("CREATE TEMPORARY TABLE shad AS SELECT 9 AS n")
+    assert(rows("SELECT * FROM shad") == Seq(Seq(9)))
+    engine.query("DROP TABLE shad")
+    assert(rows("SELECT * FROM shad") == Seq(Seq(1, "base")))
+    // plain temp create/drop over a fresh name leaves nothing behind
+    engine.query("CREATE TEMPORARY TABLE tmponly (a int)")
+    engine.query("DROP TABLE tmponly")
+    assert(intercept[Exception] {
+      engine.query("SELECT * FROM tmponly").collect()
+    }.getMessage.toLowerCase.contains("tmponly"))
+    engine.query("DROP TABLE shad")
+  }
+
   test("failed multi-action ALTER rolls back ALL declared metadata, " +
       "not just char limits (advice: rename/key/default state must " +
       "match the rolled-back data)") {

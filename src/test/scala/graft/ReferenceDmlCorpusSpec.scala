@@ -413,6 +413,28 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
     engine.query("drop table oxy")
   }
 
+  test("empty VALUES tuple against a non-empty column list errors 1136; " +
+      "listless forms still expand to DEFAULT rows (insert_queries.go)") {
+    engine.runScript(
+      """create table et1136 (a int primary key auto_increment, b int default 7);
+        |insert into et1136 () values ();
+        |insert into et1136 values (), ();
+        |""".stripMargin)
+    assert(engine.query("select a, b from et1136 order by a").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 7), (2, 7), (3, 7)))
+    // MySQL: "Column count doesn't match value count at row 1"
+    assert(intercept[IllegalArgumentException] {
+      engine.query("insert into et1136 (b) values ()")
+    }.getMessage.contains("1136"))
+    // arity comes from the table, not a miscounted column list: a mixed
+    // listless batch keeps working after the error
+    engine.query("insert into et1136 values (10, 1), ()")
+    assert(engine.query("select count(*) c from et1136").collect()(0)
+      .getLong(0) == 5L)
+    engine.query("drop table et1136")
+  }
+
   test("ODKU row alias with wrong column count errors 1136 " +
       "(insert_queries.go 'incorrect row alias')") {
     engine.query("create table ra1136 (i int primary key)")

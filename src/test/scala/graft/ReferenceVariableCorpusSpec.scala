@@ -103,6 +103,24 @@ class ReferenceVariableCorpusSpec extends AnyFunSuite {
     assert(row("SHOW VARIABLES LIKE 'version'") == Seq("version", "8.0.31"))
   }
 
+  test("assigning an unknown system variable is MySQL 1193, and no " +
+      "phantom variable leaks into SHOW VARIABLES " +
+      "(variable_queries.go ErrUnknownSystemVariable)") {
+    assert(intercept[IllegalArgumentException] {
+      engine.query("SET @@no_such_var = 1")
+    }.getMessage.contains("1193"))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("SET no_such_var = 1")
+    }.getMessage.contains("1193"))
+    assert(engine.query("SHOW VARIABLES LIKE 'no_such_var'")
+      .collect().isEmpty)
+    // a known variable still assigns through the same dispatch
+    engine.query("SET @@max_connections = 200")
+    assert(row("SHOW VARIABLES LIKE 'max_connections'") ==
+      Seq("max_connections", "200"))
+    engine.query("SET @@max_connections = default")
+  }
+
   test("sql_mode and time_zone keep their dedicated setters inside a " +
       "SET list") {
     engine.query("set @@sql_mode = 'ANSI_QUOTES', @@autocommit = 0")

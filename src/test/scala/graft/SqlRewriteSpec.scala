@@ -68,6 +68,23 @@ class SqlRewriteSpec extends AnyFunSuite {
     assert(SqlRewrite.havingNoGroup(plain) == plain)
   }
 
+  test("fromlessHavingSubquery rewrites only scalar-position single-item " +
+      "subqueries — EXISTS/IN and multi-item select lists pass through") {
+    // positive control: scalar position, single item, alias substituted
+    assert(squash(SqlRewrite.fromlessHavingSubquery(
+      "select (select x + 1 as a having a > 2) from t")).contains("CASE WHEN"))
+    // relational contexts must NOT become CASE expressions
+    val ex = "select exists (select 1 having 1 = 0) from t"
+    assert(SqlRewrite.fromlessHavingSubquery(ex) == ex)
+    val in = "select * from t where v in (select 1 having 1 = 1)"
+    assert(SqlRewrite.fromlessHavingSubquery(in) == in)
+    val any = "select * from t where v > any (select 1 having 1 = 1)"
+    assert(SqlRewrite.fromlessHavingSubquery(any) == any)
+    // a multi-item select list would splice into a malformed CASE
+    val multi = "select (select 1, 2 having 1 = 1)"
+    assert(SqlRewrite.fromlessHavingSubquery(multi) == multi)
+  }
+
   test("betweenExpand rewrites [NOT] BETWEEN into explicit comparisons") {
     assert(squash(SqlRewrite.betweenExpand(
       "select * from t where v between 'a' and 'b'")) ==

@@ -271,6 +271,25 @@ class WarningsSpec extends AnyFunSuite {
     engine.query("drop table oorw")
   }
 
+  test("strict UPDATE 1264 probe applies assignments left to right, " +
+      "like the write itself (rowexec/update.go sequential SET)") {
+    engine.runScript(
+      """create table seq1264 (pk int primary key, a smallint, b tinyint);
+        |insert into seq1264 values (1, 1000, 1);
+        |""".stripMargin)
+    // b = a must see the NEW a (=1), not the stale 1000 — a stale probe
+    // would raise a spurious 1264 here
+    engine.query("UPDATE seq1264 SET a = 1, b = a WHERE pk = 1")
+    assert(rows("SELECT a, b FROM seq1264") == Seq(Seq(1, 1)))
+    // and the converse: the new a (=1000) overflows tinyint b even
+    // though the pre-update a (=1) would not — a stale probe would miss
+    assert(intercept[IllegalArgumentException] {
+      engine.query("UPDATE seq1264 SET a = 1000, b = a WHERE pk = 1")
+    }.getMessage.contains("1264"))
+    assert(rows("SELECT a, b FROM seq1264") == Seq(Seq(1, 1)))
+    engine.query("drop table seq1264")
+  }
+
   test("malformed datetime casts truncate at the junk boundary with " +
       "1292; bare CAST AS DATETIME is datetime(0) (queries.go:4206-4245, " +
       "dolt issue 9917)") {
