@@ -235,7 +235,7 @@ object Dml {
   // LOAD DATA INFILE 'path' INTO TABLE t [clauses] (reference
   // sql/plan/load_data.go:25 — FIELDS/LINES/IGNORE clause grammar)
   private val LoadData =
-    re("""(?is)^\s*LOAD\s+DATA\s+(?:LOW_PRIORITY\s+|CONCURRENT\s+)?(?:LOCAL\s+)?INFILE\s+'((?:[^'\\]|\\.)*)'\s+(?:REPLACE\s+|IGNORE\s+)?INTO\s+TABLE\s+<T>\s*(.*)$""")
+    re("""(?is)^\s*LOAD\s+DATA\s+(?:LOW_PRIORITY\s+|CONCURRENT\s+)?(?:LOCAL\s+)?INFILE\s+'((?:[^'\\]|\\.)*)'\s+(REPLACE\s+|IGNORE\s+)?INTO\s+TABLE\s+<T>\s*(.*)$""")
   // clause tail, in MySQL's fixed order: [CHARACTER SET cs]
   // [FIELDS|COLUMNS [TERMINATED BY 's'] [[OPTIONALLY] ENCLOSED BY 'c']
   // [ESCAPED BY 'c']] [LINES [STARTING BY 's'] [TERMINATED BY 's']]
@@ -247,7 +247,8 @@ object Dml {
      """(?:\s+ESCAPED\s+BY\s+'((?:[^'\\]|\\.)*)')?\s*)?""" +
      """(?:LINES(?:\s+STARTING\s+BY\s+'((?:[^'\\]|\\.)*)')?""" +
      """(?:\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)')?\s*)?""" +
-     """(?:IGNORE\s+(\d+)\s+(?:LINES|ROWS)\s*)?(?:\([^)]*\)\s*)?$""").r
+     """(?:IGNORE\s+(\d+)\s+(?:LINES|ROWS)\s*)?""" +
+     """(?:\(([^)]*)\)\s*)?(?:SET\s+(.+?)\s*)?$""").r
 
   /** MySQL escape sequences inside LOAD DATA clause literals. */
   private def unescape(s: String): String = {
@@ -1023,8 +1024,13 @@ object Dml {
 
     case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
 
-    case LoadData(path, tableRaw, clauseText) =>
+    case LoadData(path, modeKw, tableRaw, clauseText) =>
       val table = normName(tableRaw)
+      // the SQL front door is faithful to MySQL: the target must exist
+      // (load_queries.go ErrTableNotFound). The DSL method keeps its
+      // create-from-file convenience.
+      if (scala.util.Try(e.spark.table(table)).isFailure)
+        throw new IllegalArgumentException(s"Table '$table' doesn't exist")
       LoadClauses.findFirstMatchIn(clauseText.trim) match {
         case Some(m) =>
           def s(g: Int, dflt: String) =
@@ -1032,13 +1038,26 @@ object Dml {
           // MySQL clause defaults (load_data.go): FIELDS TERMINATED BY
           // '\t' ENCLOSED BY '' ESCAPED BY '\\'; LINES TERMINATED BY '\n'
           // STARTING BY ''; IGNORE 0 LINES
+          // [(col | @var, …)] positional item list + [SET col = expr, …]
+          val items = Option(m.group(7)).toSeq
+            .flatMap(_.split(",")).map(_.trim.stripPrefix("`")
+              .stripSuffix("`")).filter(_.nonEmpty)
+          val sets = Option(m.group(8)).toSeq
+            .flatMap(t => topLevelSplit(t, ',')).map { a =>
+              val eq = topLevelIndexOf(a, "=")
+              require(eq > 0, s"malformed LOAD DATA SET clause: $a")
+              (a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`"),
+                a.substring(eq + 1).trim)
+            }
           val n = e.loadData(table, unescape(path),
             fieldsTerminatedBy = s(1, "\t"),
             enclosedBy = s(2, ""),
             escapedBy = s(3, "\\"),
             linesStartingBy = s(4, ""),
             linesTerminatedBy = s(5, "\n"),
-            ignoreLines = Option(m.group(6)).map(_.toInt).getOrElse(0))
+            ignoreLines = Option(m.group(6)).map(_.toInt).getOrElse(0),
+            mode = Option(modeKw).map(_.trim.toUpperCase).getOrElse(""),
+            items = items, sets = sets)
           Some(ok(e, n))
         case None => throw new IllegalArgumentException(
           s"LOAD DATA: unrecognized clause text: $clauseText")

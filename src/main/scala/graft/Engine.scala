@@ -605,8 +605,11 @@ class Engine(val spark: SparkSession) {
   // 9-char literal; the reference resolves @@vars post-parse, never inside
   // strings — sql/planbuilder).
   private def substituteSysVars(sql: String): String =
-    // SET @@x = … must reach the DML dispatcher intact (assignment, not read)
-    if (!sql.contains("@@") || sql.trim.toUpperCase.startsWith("SET")) sql
+    // SET @@x = … must reach the DML dispatcher intact (assignment, not
+    // read); LOAD DATA item lists reject @@vars with their own syntax
+    // error (load_queries.go "user var alias edge case")
+    if (!sql.contains("@@") || sql.trim.toUpperCase.startsWith("SET") ||
+        sql.trim.toUpperCase.startsWith("LOAD")) sql
     else Dialect.mapCode(sql) { code =>
       """@@(?:[Ss][Ee][Ss][Ss][Ii][Oo][Nn]\.|[Gg][Ll][Oo][Bb][Aa][Ll]\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
         .replaceAllIn(code, m => java.util.regex.Matcher.quoteReplacement(
@@ -2700,6 +2703,18 @@ class Engine(val spark: SparkSession) {
                ignoreLines: Int = 0, mode: String = "",
                items: Seq[String] = Seq.empty,
                sets: Seq[(String, String)] = Seq.empty): Long = {
+    // multi-character ENCLOSED BY / ESCAPED BY terms are MySQL errors
+    // (load_queries.go ErrUnexpectedSeparator)
+    if (enclosedBy.length > 1 || escapedBy.length > 1)
+      throw new IllegalArgumentException(
+        "LOAD DATA field terms must be a single character " +
+        "(MySQL ErrUnexpectedSeparator)")
+    // missing infile is MySQL ErrLoadDataCannotOpen, surfaced eagerly
+    // (the distributed read is lazy and would error mid-insert)
+    if (!new java.io.File(path).exists())
+      throw new IllegalArgumentException(
+        s"LOAD DATA is unable to open file: '$path' " +
+        s"(MySQL ErrLoadDataCannotOpen)")
     val df = format match {
       case "csv" =>
         val base = spark.read
@@ -2744,7 +2759,89 @@ class Engine(val spark: SparkSession) {
     // MORE columns truncates the extras (warning 1262). The load always
     // APPENDS through insertDf — it never replaces the table.
     val target = scala.util.Try(spark.table(table)).toOption
-    val coerced = target match {
+    // explicit (col | @var, …) item list: fields bind POSITIONALLY to
+    // the items; @vars capture their field for the SET clause
+    // (statement-scoped — they never leak into the session), columns
+    // absent from the list take their declared DEFAULT, and extra file
+    // fields beyond the list drop (load_queries.go "extra fields, user
+    // variables, and missing fields").
+    val shaped: Option[DataFrame] = if (items.isEmpty && sets.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.{col, lit}
+        val t = target.getOrElse(throw new IllegalArgumentException(
+          s"Table '$table' doesn't exist"))
+        val tcols = t.columns.map(c => c.toLowerCase -> c).toMap
+        val srcCols = df.columns
+        val effItems =
+          if (items.nonEmpty) items
+          else t.columns.take(srcCols.length).toSeq
+        val bound = effItems.zipWithIndex.map { case (it, i) =>
+          val src = if (i < srcCols.length) col(s"`${srcCols(i)}`")
+            else lit(null)
+          if (it.startsWith("@@"))
+            throw new IllegalArgumentException(s"syntax error near '$it'")
+          if (it.startsWith("@"))
+            // position-unique alias: the same @var may appear twice in
+            // one list ("(@trash2, j, @trash2)") — the LAST wins below
+            src.as(s"__ldvar_${i}_${it.stripPrefix("@").toLowerCase}__")
+          else {
+            val cn = tcols.getOrElse(it.toLowerCase,
+              throw new IllegalArgumentException(
+                s"Unknown column '$it' in 'field list' (MySQL 1054)"))
+            src.cast(t.schema(cn).dataType).as(cn)
+          }
+        }
+        var cur = df.select(bound.toIndexedSeq: _*)
+        // var name -> its LAST bound column (MySQL: later binding wins)
+        val VarCol = """__ldvar_\d+_(.+)__""".r
+        val boundVars: Map[String, String] = cur.columns.collect {
+          case c @ VarCol(nm) => nm -> c
+        }.toMap
+        sets.foreach { case (cn0, ex0) =>
+          // @@sysvars are not assignable through LOAD DATA SET
+          // (load_queries.go "user var alias edge case")
+          if (ex0.contains("@@") || cn0.startsWith("@"))
+            throw new IllegalArgumentException(
+              s"syntax error near '${if (cn0.startsWith("@")) cn0 else "@@"}'")
+          val cn = tcols.getOrElse(cn0.toLowerCase,
+            throw new IllegalArgumentException(
+              s"Unknown column '$cn0' in 'field list' (MySQL 1054)"))
+          // item-bound @vars resolve per row; other @vars read the
+          // static session value at statement start
+          val ex = Dialect.mapCode(ex0) { code =>
+            """@([A-Za-z_][A-Za-z0-9_]*)""".r.replaceAllIn(code, m => {
+              val nm = m.group(1).toLowerCase
+              java.util.regex.Matcher.quoteReplacement(
+                if (boundVars.contains(nm)) s"`${boundVars(nm)}`"
+                else getVarRaw(nm) match {
+                  case Some(s: String) => "'" + s.replace("'", "''") + "'"
+                  case Some(v) => String.valueOf(v)
+                  case None => "NULL"
+                })
+            })
+          }
+          cur = cur.withColumn(cn,
+            org.apache.spark.sql.functions.expr(ex)
+              .cast(t.schema(cn).dataType))
+        }
+        val varCols = cur.columns.filter(_.startsWith("__ldvar_"))
+        if (varCols.nonEmpty) {
+          // user vars assigned by the item list PERSIST with the last
+          // row's captured value (load_queries.go "assign to User
+          // Variables": select @i,@j,@k after the load reads the final
+          // row; a missing final field leaves NULL)
+          val col_ = org.apache.spark.sql.functions.col _
+          val ordered = boundVars.toSeq
+          cur.select(ordered.map(v => col_(s"`${v._2}`")).toIndexedSeq: _*)
+            .tail(1).headOption.foreach { r =>
+              ordered.zipWithIndex.foreach { case ((nm, _), i) =>
+                setVar(nm, r.get(i))
+              }
+            }
+        }
+        Some(cur.drop(varCols.toIndexedSeq: _*))
+      }
+    val coerced = shaped.getOrElse(target match {
       case Some(t) =>
         val srcCols = df.columns
         val cols = t.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -2766,11 +2863,37 @@ class Engine(val spark: SparkSession) {
               "there were input columns")
         df.select(cols.toSeq: _*)
       case _ => df
-    }
+    })
     validateVocab(table, coerced)
     target match {
       case Some(_) =>
-        insertDf(table, coerced, fillMissing = false)
+        mode match {
+          case "REPLACE" =>
+            // REPLACE semantics: rows sharing the declared key drop
+            // first, then the batch inserts (load_queries.go "Load data
+            // can replace row with existing primary key"); affected
+            // counts both, like REPLACE INTO
+            val keys = tableKeys.getOrElse(table, Seq.empty)
+            var deleted = 0L
+            if (keys.nonEmpty) {
+              import org.apache.spark.sql.functions.col
+              val t = spark.table(table)
+              val keyRows = coerced
+                .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*)
+                .distinct()
+              deleted = t.join(keyRows, keys.toIndexedSeq, "left_semi").count()
+              replaceTable(table,
+                t.join(keyRows, keys.toIndexedSeq, "left_anti"),
+                bumpDepth = true)
+            }
+            deleted + insertDf(table, coerced,
+              fillMissing = shaped.nonEmpty)
+          case "IGNORE" =>
+            insertDf(table, coerced, fillMissing = shaped.nonEmpty,
+              ignoreDups = true)
+          case _ =>
+            insertDf(table, coerced, fillMissing = shaped.nonEmpty)
+        }
       case _ =>
         val n = coerced.count()
         coerced.createOrReplaceTempView(table)
