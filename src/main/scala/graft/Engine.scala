@@ -669,10 +669,10 @@ class Engine(val spark: SparkSession) {
     // JSON_TABLE table functions compile to (LATERAL) derived tables
     // before any further token work (plans/JsonTableSql)
     val rewritten0 =
-      plans.JsonTableSql.rewrite(
+      plans.TableFuncSql.rewrite(plans.JsonTableSql.rewrite(
         substituteVars(Dialect.rewrite(
           SqlRewrite.infoSchemaNames(SqlRewrite.sysVarAliases(pre)),
-          pipesAsConcat)))
+          pipesAsConcat))))
     // ENUM index / SET bitmask ordering (enum.go / set.go Compare):
     // only sessions that declared a vocabulary pay the token walk
     val rewritten1 =

@@ -323,6 +323,68 @@ object spatial {
       vertices(b).exists(pointOn(a, _))
   }
 
+  /** point-to-segment euclidean distance */
+  private def ptSegDist(p: (Double, Double), a: (Double, Double),
+                        b: (Double, Double)): Double = {
+    val (dx, dy) = (b._1 - a._1, b._2 - a._2)
+    val len2 = dx * dx + dy * dy
+    val t =
+      if (len2 == 0) 0.0
+      else math.max(0.0, math.min(1.0,
+        ((p._1 - a._1) * dx + (p._2 - a._2) * dy) / len2))
+    math.hypot(p._1 - (a._1 + t * dx), p._2 - (a._2 + t * dy))
+  }
+
+  /** General planar ST_Distance between any two geometries (reference
+    * spatial/st_distance.go): 0 when they intersect, else the closest
+    * approach — which, for non-crossing segment sets, is always realized
+    * at a vertex of one side against a vertex or segment of the other.
+    * O(n·m) exact sweep; a bounding-box pre-check skips the intersection
+    * test for disjoint boxes (the common far-apart case). */
+  private[functions] def geomDistance(g1: Geom, g2: Geom): Double = {
+    val v1 = vertices(g1); val v2 = vertices(g2)
+    def bbox(v: Array[(Double, Double)]) =
+      (v.map(_._1).min, v.map(_._2).min, v.map(_._1).max, v.map(_._2).max)
+    val (ax0, ay0, ax1, ay1) = bbox(v1)
+    val (bx0, by0, bx1, by1) = bbox(v2)
+    val boxesOverlap = ax0 <= bx1 && bx0 <= ax1 && ay0 <= by1 && by0 <= ay1
+    if (boxesOverlap && intersects(g1, g2)) return 0.0
+    val s1 = segments(g1); val s2 = segments(g2)
+    var min = Double.MaxValue
+    var i = 0
+    while (i < v1.length) {
+      val p = v1(i)
+      if (s2.isEmpty) {
+        var j = 0
+        while (j < v2.length) {
+          val d = math.hypot(p._1 - v2(j)._1, p._2 - v2(j)._2)
+          if (d < min) min = d
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < s2.length) {
+          val d = ptSegDist(p, s2(j)._1, s2(j)._2)
+          if (d < min) min = d
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < v2.length) {
+      val p = v2(j)
+      var i2 = 0
+      while (i2 < s1.length) {
+        val d = ptSegDist(p, s1(i2)._1, s1(i2)._2)
+        if (d < min) min = d
+        i2 += 1
+      }
+      j += 1
+    }
+    if (min == Double.MaxValue) 0.0 else min
+  }
+
   /** ST_Contains(container, g) for the subset: every vertex of `g` inside
     * the polygon (holes respected) and no boundary crossing. Exact for
     * points; vertex-based for line/polygon arguments against convex
@@ -423,11 +485,11 @@ object spatial {
         s"function st_distance: $srid1 vs $srid2 (MySQL error 3033)")
       if (srid1 != 0) throw new IllegalArgumentException(
         s"unsupported SRID value $srid1 in function st_distance")
-      val p1 = parsePoint(s1)
-      val p2 = parsePoint(s2)
-      if (p1 == null || p2 == null) null
-      else math.sqrt((p1._1 - p2._1) * (p1._1 - p2._1) +
-                     (p1._2 - p2._2) * (p1._2 - p2._2))
+      // any geometry pair (reference st_distance.go), not just points
+      val g1 = parseGeom(s1)
+      val g2 = parseGeom(s2)
+      if (g1 == null || g2 == null) null
+      else geomDistance(g1, g2)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(l, r)
