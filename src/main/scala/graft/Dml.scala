@@ -225,7 +225,7 @@ object Dml {
     """(?is)^\s*SHOW\s+TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+`?([A-Za-z0-9_]+)`?)?(?:\s+LIKE\s+'([^']*)'|\s+WHERE\s+(.+?))?\s*$""".r
   // standalone index DDL (reference sql/planbuilder/ddl.go buildCreateIndex)
   private val CreateIdxStmt =
-    re("""(?is)^\s*CREATE\s+(UNIQUE\s+)?(?:FULLTEXT\s+|SPATIAL\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*\(([^)]*)\)\s*$""")
+    re("""(?is)^\s*CREATE\s+(UNIQUE\s+)?(FULLTEXT\s+|SPATIAL\s+|VECTOR\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*\(([^)]*)\)\s*$""")
   private val DropIdxStmt =
     re("""(?is)^\s*DROP\s+INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*$""")
   private val AnalyzeStmt =
@@ -519,6 +519,18 @@ object Dml {
       val t = e.spark.table(table)
       val actual = t.columns.map(c => c.toLowerCase -> c).toMap
       val colTypes = t.schema.fields.map(f => f.name -> f.dataType).toMap
+      // declared VECTOR columns coerce binary/text payloads through the
+      // packed-float32 decoder instead of a (disallowed) direct cast
+      def castTo(c: String, raw: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column = colTypes(c) match {
+        case at @ org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, _)
+            if e.vecDims.contains((table, c.toLowerCase)) =>
+          org.apache.spark.sql.GraftBridge.column(
+            graft.functions.vector.VecCoerce(
+              org.apache.spark.sql.GraftBridge.expression(raw))).cast(at)
+        case dt => raw.cast(dt)
+      }
       // MySQL applies assignments LEFT TO RIGHT, each one seeing the
       // values produced by the assignments before it (reference
       // update_queries.go:59-63: `SET f32 = f32 + f32, f64 = f32 * f64`
@@ -558,7 +570,7 @@ object Dml {
                            gate: Option[org.apache.spark.sql.Column]) = {
         val g0 = gate.map(g => df.withColumn("__upd__", g)).getOrElse(df)
         val updated = assignsResolved.foldLeft(g0) { case (d, (c, ex)) =>
-          val v = expr(ex).cast(colTypes(c))
+          val v = castTo(c, expr(ex))
           d.withColumn(c,
             if (gate.isDefined) when(col("__upd__"), v).otherwise(col(s"`$c`"))
             else v)
@@ -575,7 +587,7 @@ object Dml {
         val g0 = df.withColumn("__upd__", gate.getOrElse(lit(true)))
         assignsResolved.foldLeft(g0) { case (d, (c, ex)) =>
           val raw = expr(ex)
-          val casted = raw.cast(colTypes(c))
+          val casted = castTo(c, raw)
           e.zeroValueLit(colTypes(c)) match {
             case Some(z) =>
               val flag = s"__cvt_${c}__"
@@ -660,7 +672,7 @@ object Dml {
                   asDec.isNotNull && (asDec < lit(lo) || asDec > lit(hi)))
                 oobFlags += ((cn, f))
               }
-              probe = probe.withColumn(cn, expr(ex).cast(colTypes(cn)))
+              probe = probe.withColumn(cn, castTo(cn, expr(ex)))
             }
             if (oobFlags.nonEmpty) {
               val bad = probe
@@ -1156,9 +1168,30 @@ object Dml {
         Some(Seq(e.errorCount).toDF("@@session.error_count"))
       else Some(Seq(e.warningCount).toDF("@@session.warning_count"))
 
-    case CreateIdxStmt(uniq, name, tableRaw, cols) =>
+    case CreateIdxStmt(uniq, kind, name, tableRaw, cols) =>
       val table = normName(tableRaw)
       val colSeq = cols.split(",").map(c => stripTick(c.trim)).toSeq
+      // vector index constraints (vector_index_queries.go): exactly one
+      // column, and it must hold vectors (a vector/json column), never
+      // a scalar
+      if (kind != null && kind.trim.equalsIgnoreCase("VECTOR")) {
+        if (colSeq.length != 1)
+          throw new IllegalArgumentException(
+            "a vector index must have exactly one column")
+        val t = e.spark.table(table)
+        val dt = t.schema.fields
+          .find(_.name.equalsIgnoreCase(colSeq.head)).map(_.dataType)
+        import org.apache.spark.sql.types._
+        val ok = dt.exists {
+          case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+          case _: StringType => true // json column carrying vector text
+          case BinaryType => true
+          case _ => false
+        }
+        if (!ok) throw new IllegalArgumentException(
+          s"invalid column type for vector index on '${colSeq.head}' " +
+          s"(MySQL ErrVectorInvalidColumnType)")
+      }
       e.declareIndex(table, name, colSeq)
       if (uniq != null) {
         e.declareUnique(table, name, colSeq)
@@ -1540,6 +1573,21 @@ object Dml {
         if (p > 0 && !mm.group(1).equalsIgnoreCase("time"))
           e.timePrecisions((table, colName.toLowerCase)) = p
       }
+    // VECTOR(n): n > 0 required, the dimension validates on write
+    // (vector_ddl_queries.go); a declared vector column also gates the
+    // binary/text write coercions
+    if (baseLower == "vector") {
+      """(?i)^vector\s*\(\s*(-?\d+)\s*\)""".r
+        .findFirstMatchIn(typeText.trim) match {
+          case Some(mm) =>
+            val n = mm.group(1).toInt
+            if (n <= 0) throw new IllegalArgumentException(
+              s"syntax error near 'vector': dimension must be positive")
+            e.vecDims((table, colName.toLowerCase)) = n
+          case None =>
+            e.vecDims((table, colName.toLowerCase)) = -1
+        }
+    }
     // charset/collation attach only to character types: a COLLATE on the
     // binary family is ErrBinaryCollation, a CHARACTER SET on any
     // non-character type is ErrCharacterSetOnInvalidType

@@ -39,6 +39,9 @@ object Dialect {
     rewriteCollate(code)
       .replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
       .replaceAll("(?i)\\bSTRAIGHT_JOIN\\b", "JOIN")
+      // MySQL hex literals: 0xABCD is a binary string (vector_ddl_
+      // queries.go inserts packed vectors as 0x…); Spark spells it X'…'
+      .replaceAll("\\b0x([0-9A-Fa-f]+)\\b", "X'$1'")
       .replaceAll("(?i)\\bSQL_CALC_FOUND_ROWS\\b", "")
       // MySQL's 1-row dummy table (reference sql/planbuilder/from.go
       // resolves a missing/dual FROM to it); Spark has no dual
@@ -988,6 +991,7 @@ class Engine(val spark: SparkSession) {
       truncateTimePrecision(table,
         coerceAndFill(table, incoming0, fillMissing,
           ignoreMode = ignoreDups || !strictWrites))))
+    validateVecDims(table, coerced)
     val target = spark.table(table)
     if (ignoreDups) {
       // first-in-batch-wins sequence is pinned BEFORE the CHECK/FK skip
@@ -1475,6 +1479,26 @@ class Engine(val spark: SparkSession) {
       .map(f => f.name.toLowerCase -> (f.name, f.dataType)).toMap
     incomingAi.columns.foldLeft(incomingAi) { (df, c) =>
       targetTypes.get(c.toLowerCase) match {
+        // declared VECTOR column: binary payloads (STRING_TO_VECTOR,
+        // 0x… hex literals) decode as packed little-endian float32; a
+        // bare string is a MySQL type error — dolt requires the
+        // explicit conversion (vector_ddl_queries.go error rows)
+        case Some((_, dt @ org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, _)))
+            if vecDims.contains((table, c.toLowerCase)) &&
+              df.schema(c).dataType != dt =>
+          df.schema(c).dataType match {
+            case org.apache.spark.sql.types.BinaryType =>
+              df.withColumn(c, org.apache.spark.sql.GraftBridge.column(
+                graft.functions.vector.VecCoerce(
+                  org.apache.spark.sql.GraftBridge.expression(df(c))))
+                .cast(dt))
+            case _: org.apache.spark.sql.types.StringType =>
+              throw new IllegalArgumentException(
+                "value of type string cannot be converted to 'vector' " +
+                "type (use STRING_TO_VECTOR)")
+            case _ => df.withColumn(c, df(c).cast(dt))
+          }
         case Some((_, dt)) if df.schema(c).dataType != dt =>
           val casted = df(c).cast(dt)
           zeroValueLit(dt) match {
@@ -2047,6 +2071,7 @@ class Engine(val spark: SparkSession) {
     tinyint1Cols.filterInPlace { case (t, _) => t != table }
     timePrecisions.filterInPlace { case ((t, _), _) => t != table }
     charKindCols.filterInPlace { case (t, _) => t != table }
+    vecDims.filterInPlace { case ((t, _), _) => t != table }
   }
 
   // ---- ENUM / SET write validation --------------------------------------
@@ -2250,6 +2275,11 @@ class Engine(val spark: SparkSession) {
     * charLimits is shared, this marks which keyword to render back. */
   private[graft] val charKindCols =
     scala.collection.mutable.Set.empty[(String, String)]
+  /** Declared VECTOR(n) dimension per column (vector_ddl_queries.go:
+    * writes validate the dimension; SHOW CREATE renders it). -1 marks a
+    * declared vector column without a fixed dimension. */
+  private[graft] val vecDims =
+    scala.collection.mutable.Map.empty[(String, String), Int]
 
   /** Copy the per-column declared surface from `src` to `dst` — CREATE
     * TABLE ... LIKE semantics (reference ddl.go buildCreateTableLike
@@ -2273,6 +2303,8 @@ class Engine(val spark: SparkSession) {
       case (t, c) if t == src => (dst, c) }
     charKindCols ++= charKindCols.toSeq.collect {
       case (t, c) if t == src => (dst, c) }
+    vecDims ++= vecDims.toSeq.collect {
+      case ((t, c), n) if t == src => ((dst, c), n) }
     timePrecisions ++= timePrecisions.toSeq.collect {
       case ((t, c), p) if t == src => ((dst, c), p) }
     secondaryIndexes ++= secondaryIndexes.toSeq.collect {
@@ -2637,6 +2669,22 @@ class Engine(val spark: SparkSession) {
             transform(split(cp, ","), el => vocabCanonical(el, vocab)), ","))
           .cast(dt))
       case (d, _) => d
+    }
+  }
+
+  /** Declared VECTOR(n) dimension check on the incoming batch — one
+    * distributed filter + limit(1) per declared column
+    * (vector_ddl_queries.go "VECTOR dimension mismatch"). */
+  private[graft] def validateVecDims(table: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, size}
+    vecDims.toSeq.collect { case ((t, c), n) if t == table && n > 0 =>
+      df.columns.find(_.equalsIgnoreCase(c)).foreach { cn =>
+        val bad = df.filter(col(s"`$cn`").isNotNull &&
+            size(col(s"`$cn`")) =!= n)
+          .select(size(col(s"`$cn`"))).limit(1).collect()
+        bad.headOption.foreach(r => throw new IllegalArgumentException(
+          s"VECTOR dimension mismatch: expected $n, got ${r.getInt(0)}"))
+      }
     }
   }
 
@@ -3252,9 +3300,13 @@ class Engine(val spark: SparkSession) {
           // (create_table_queries.go "display width for numeric types")
           case _ if tinyint1Cols((table, f.name.toLowerCase)) => "tinyint(1)"
           case _ =>
-            timePrecisions.get((table, f.name.toLowerCase)) match {
-              case Some(p) if p > 0 => s"${mysqlType(f.dataType)}($p)"
-              case _ => mysqlType(f.dataType)
+            vecDims.get((table, f.name.toLowerCase)) match {
+              case Some(n) if n > 0 => s"vector($n)"
+              case _ =>
+                timePrecisions.get((table, f.name.toLowerCase)) match {
+                  case Some(p) if p > 0 => s"${mysqlType(f.dataType)}($p)"
+                  case _ => mysqlType(f.dataType)
+                }
             }
         }
     }

@@ -270,21 +270,43 @@ object MiscFns {
     "is_ipv6" -> (es => And(
       IsNotNull(graft.functions.expressions.Inet6Aton(es.head)),
       Not(RLike(es.head, Literal(UTF8String.fromString(ipv4Rx), StringType))))),
-    // vector text forms (reference vector/distance.go)
-    "vec_fromtext" -> tmpl("from_json(__arg0, 'array<double>')"),
-    "vec_totext" -> tmpl("to_json(__arg0)"),
-    "to_vector" -> tmpl("from_json(__arg0, 'array<double>')"),
-    "from_vector" -> tmpl("to_json(__arg0)"),
-    "string_to_vector" -> tmpl("from_json(__arg0, 'array<double>')"),
-    "vector_to_string" -> tmpl("to_json(__arg0)"),
-    "vec_distance" -> (es => vector.VecL2Sq(es(0), es(1))),
-    "distance" -> (es => vector.VecL2Sq(es(0), es(1))),
-    "vec_distance_cosine" -> (es => Subtract(Literal(1.0),
-      Divide(vector.VecDot(es(0), es(1)),
-        Multiply(Sqrt(vector.VecDot(es(0), es(0))),
-          Sqrt(vector.VecDot(es(1), es(1))))))),
-    "vec_distance_l2_squared" -> (es => vector.VecL2Sq(es(0), es(1))),
-    "vec_distance_euclidean" -> (es => Sqrt(vector.VecL2Sq(es(0), es(1)))),
+    // vector forms (reference sql/types/vector.go: a VECTOR is packed
+    // little-endian float32 bytes — HEX/MD5/TO_BASE64 over
+    // STRING_TO_VECTOR see the serialized bytes; the distance family
+    // coerces any spelling: binary vector, '[…]' text, or array)
+    "vec_fromtext" -> (es => vector.VecPack(es.head)),
+    "vec_totext" -> (es => vector.VecUnpackText(es.head)),
+    "to_vector" -> (es => vector.VecPack(es.head)),
+    "from_vector" -> (es => vector.VecUnpackText(es.head)),
+    "string_to_vector" -> (es => vector.VecPack(es.head)),
+    "vector_to_string" -> (es => vector.VecUnpackText(es.head)),
+    "vec_distance" -> (es =>
+      vector.VecL2Sq(vector.VecCoerce(es(0)), vector.VecCoerce(es(1)))),
+    // 3-arg DISTANCE(a, b, 'EUCLIDEAN'|'COSINE'|'L2_SQUARED') — the
+    // metric must be a literal (vector_function_queries.go DISTANCE rows)
+    "distance" -> (es => {
+      val a = vector.VecCoerce(es(0)); val b = vector.VecCoerce(es(1))
+      val metric = es.lift(2).collect {
+        case Literal(s: UTF8String, _) => s.toString.toUpperCase
+      }.getOrElse("L2_SQUARED")
+      metric match {
+        case "EUCLIDEAN" => Sqrt(vector.VecL2Sq(a, b))
+        case "COSINE" => Subtract(Literal(1.0),
+          Divide(vector.VecDot(a, b),
+            Multiply(Sqrt(vector.VecDot(a, a)), Sqrt(vector.VecDot(b, b)))))
+        case _ => vector.VecL2Sq(a, b)
+      }
+    }),
+    "vec_distance_cosine" -> (es => {
+      val a = vector.VecCoerce(es(0)); val b = vector.VecCoerce(es(1))
+      Subtract(Literal(1.0),
+        Divide(vector.VecDot(a, b),
+          Multiply(Sqrt(vector.VecDot(a, a)), Sqrt(vector.VecDot(b, b)))))
+    }),
+    "vec_distance_l2_squared" -> (es =>
+      vector.VecL2Sq(vector.VecCoerce(es(0)), vector.VecCoerce(es(1)))),
+    "vec_distance_euclidean" -> (es =>
+      Sqrt(vector.VecL2Sq(vector.VecCoerce(es(0)), vector.VecCoerce(es(1))))),
     // base64 pair (reference string.go TO_BASE64/FROM_BASE64)
     "to_base64" -> tmpl("base64(CAST(__arg0 AS BINARY))"),
     "from_base64" -> tmpl("CAST(unbase64(__arg0) AS STRING)"),

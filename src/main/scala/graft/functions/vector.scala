@@ -89,6 +89,148 @@ object vector {
       copy(l, r)
   }
 
+  // ---- VECTOR binary form (reference sql/types/vector.go: packed
+  // little-endian float32; STRING_TO_VECTOR / VECTOR_TO_STRING in
+  // vector_function_queries.go operate on those bytes, so HEX/MD5/
+  // TO_BASE64/BIT_LENGTH over a vector see the serialized form) -------
+
+  private[functions] def parseVecText(s: String): Array[Double] = {
+    val t = s.trim
+    if (!t.startsWith("[") || !t.endsWith("]")) return null
+    val body = t.substring(1, t.length - 1).trim
+    if (body.isEmpty) return Array.empty
+    try body.split(",").map(_.trim.toDouble)
+    catch { case _: NumberFormatException => null }
+  }
+
+  private def anyToDoubles(v: Any, dt: DataType): Array[Double] = dt match {
+    case BinaryType =>
+      val bytes = v.asInstanceOf[Array[Byte]]
+      if (bytes.length % 4 != 0) return null
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Array.fill(bytes.length / 4)(bb.getFloat.toDouble)
+    case _: StringType =>
+      parseVecText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString)
+    case ArrayType(DoubleType, _) =>
+      v.asInstanceOf[ArrayData].toDoubleArray()
+    case ArrayType(FloatType, _) =>
+      v.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble)
+    case _ => null
+  }
+
+  /** Normalize any vector spelling — packed float32 binary, '[…]' text,
+    * array<float|double> — to array<double> for the distance loops. */
+  case class VecCoerce(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val ds = anyToDoubles(v, child.dataType)
+      if (ds == null) null
+      else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ds)
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** Go %v float rendering for the strict-conversion error messages. */
+  private def goNum(d: Double): String =
+    if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString
+    else {
+      val s = java.lang.Double.toString(d)
+      val e = s.indexOf('E')
+      if (e < 0) s
+      else {
+        val m0 = s.substring(0, e)
+        val m = if (m0.endsWith(".0")) m0.dropRight(2) else m0
+        val ei = s.substring(e + 1).toInt
+        m + "e" + (if (ei >= 0) "+" else "") + ei
+      }
+    }
+
+  /** Strict JSON-text -> float32s (reference types/vector.go
+    * ConvertToVector error taxonomy, vector_ddl_queries.go error rows). */
+  private[functions] def parseVecStrict(s0: String): Array[Double] = {
+    val s = s0.trim
+    if (s.startsWith("\""))
+      throw new IllegalArgumentException(
+        "can't convert JSON to vector; expected array, got string")
+    if (!s.startsWith("[") || !s.endsWith("]"))
+      throw new IllegalArgumentException(
+        s"can't convert JSON to vector: invalid character " +
+        s"'${s.headOption.getOrElse(' ')}' looking for beginning of value")
+    val body = s.substring(1, s.length - 1).trim
+    if (body.isEmpty) return Array.empty
+    body.split(",").map(_.trim).map { tok =>
+      if (tok.startsWith("\""))
+        throw new IllegalArgumentException("can't convert JSON to vector; " +
+          "expected array of floats, but array contained string")
+      val d =
+        try tok.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"can't convert JSON to vector: invalid character " +
+            s"'${tok.headOption.getOrElse(' ')}' looking for beginning " +
+            s"of value")
+        }
+      // float32 range check: finite double overflowing float32
+      if (!d.isInfinite && d.toFloat.isInfinite)
+        throw new IllegalArgumentException(
+          s"data cannot be converted to a valid vector: ${goNum(d)}")
+      d
+    }
+  }
+
+  /** STRING_TO_VECTOR / TO_VECTOR / VEC_FROMTEXT: '…' JSON text (or an
+    * array) -> packed little-endian float32 bytes; malformed text is a
+    * strict conversion ERROR, not NULL. */
+  case class VecPack(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val ds = child.dataType match {
+        case _: StringType => parseVecStrict(
+          v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        case dt => anyToDoubles(v, dt)
+      }
+      if (ds == null) return null
+      val bb = java.nio.ByteBuffer.allocate(ds.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ds.foreach(d => bb.putFloat(d.toFloat))
+      bb.array()
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
+  /** VECTOR_TO_STRING / FROM_VECTOR / VEC_TOTEXT: any vector spelling
+    * -> '[1, 2]' (integral float32 values render bare, like the
+    * reference's Go %v formatting). */
+  case class VecUnpackText(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val ds = anyToDoubles(v, child.dataType)
+      if (ds == null) return null
+      def fmt(d: Double): String = {
+        val f = d.toFloat
+        if (f == f.toLong && math.abs(f) < 1e15) f.toLong.toString
+        else {
+          val s = f.toString
+          if (s.endsWith(".0")) s.dropRight(2) else s
+        }
+      }
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString(ds.map(fmt).mkString("[", ", ", "]"))
+    }
+    override protected def withNewChildInternal(nc: Expression) = copy(nc)
+  }
+
   import org.apache.spark.sql.GraftBridge
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def x(col: Column): Expression = GraftBridge.expression(col)

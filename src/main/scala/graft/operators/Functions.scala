@@ -398,7 +398,7 @@ object Functions {
                 TRUE AS compat_t,
                 FALSE AS compat_f,
                 TRUE AS mapped_t,
-                '[' || (o_orderkey % 10) || '.5,2.0]' AS vec_rt
+                '[' || (o_orderkey % 10) || '.5, 2]' AS vec_rt
               FROM orders ORDER BY o_orderkey""")),
 
     // ---- control-flow / null-handling bucket (if/ifnull/nullif/coalesce/case)

@@ -58,7 +58,9 @@ class MiscFnsSpec extends AnyFunSuite {
   }
 
   test("vector text forms and distances") {
-    assert(one("VEC_TOTEXT(VEC_FROMTEXT('[1.5, 2.0]'))") == "[1.5,2.0]")
+    // reference rendering (types/vector.go): integral float32 values
+    // print bare — "[1.5, 2]", not the old to_json "[1.5,2.0]"
+    assert(one("VEC_TOTEXT(VEC_FROMTEXT('[1.5, 2.0]'))") == "[1.5, 2]")
     assert(one("VEC_DISTANCE(TO_VECTOR('[0,0]'), TO_VECTOR('[3,4]'))") == 25.0)
     assert(one("VEC_DISTANCE_COSINE(TO_VECTOR('[1,0]'), TO_VECTOR('[0,1]'))") == 1.0)
   }
