@@ -225,7 +225,7 @@ object Dml {
     """(?is)^\s*SHOW\s+TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+`?([A-Za-z0-9_]+)`?)?(?:\s+LIKE\s+'([^']*)'|\s+WHERE\s+(.+?))?\s*$""".r
   // standalone index DDL (reference sql/planbuilder/ddl.go buildCreateIndex)
   private val CreateIdxStmt =
-    re("""(?is)^\s*CREATE\s+(UNIQUE\s+)?(FULLTEXT\s+|SPATIAL\s+|VECTOR\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*\(([^)]*)\)\s*$""")
+    re("""(?is)^\s*CREATE\s+(UNIQUE\s+)?(FULLTEXT\s+|SPATIAL\s+|VECTOR\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*\((.*)\)\s*$""")
   private val DropIdxStmt =
     re("""(?is)^\s*DROP\s+INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*$""")
   private val AnalyzeStmt =
@@ -695,6 +695,7 @@ object Dml {
             e.validateChecks(table, newDf)
             e.validateForeignKeysChild(table, newDf)
             e.enforcePkUniquePost(table, newDf)
+            e.enforceUniqueExprsPost(table, newDf)
             e.enforceParentUpdate(table, t0, newDfRaw)
             e.replaceTable(table, newDf, bumpDepth = true)
             Some(ok(e, affected))
@@ -711,6 +712,7 @@ object Dml {
             e.validateChecks(table, newDf)
             e.validateForeignKeysChild(table, newDf)
             e.enforcePkUniquePost(table, newDf)
+            e.enforceUniqueExprsPost(table, newDf)
             e.enforceParentUpdate(table, t0, cur)
             e.replaceTable(table, newDf, bumpDepth = true)
             Some(ok(e, affected))
@@ -996,11 +998,71 @@ object Dml {
                 catch { case _: NumberFormatException => tok }
             }
         }
+      // bind-arity check (prepared_statement_queries.go): every `?`
+      // needs a USING value, and extra values are an error
+      val markers = {
+        var n = 0; var quote: Char = 0; var i = 0
+        while (i < body.length) {
+          val c = body.charAt(i)
+          if (quote != 0) {
+            if (c == '\\' && quote != '`') i += 1
+            else if (c == quote) quote = 0
+          } else c match {
+            case '\'' | '"' | '`' => quote = c
+            case '?' => n += 1
+            case _ =>
+          }
+          i += 1
+        }
+        n
+      }
+      if (params.length < markers)
+        throw new IllegalArgumentException(
+          s"bind variable not provided: 'v${params.length + 1}'")
+      if (params.length > markers)
+        throw new IllegalArgumentException(
+          s"invalid arguments. expected: $markers, found: ${params.length}")
       if (params.isEmpty) Some(e.query(body))
-      else Some(e.queryPrepared(body, params))
+      else {
+        // literal substitution (quote-aware) instead of Spark's
+        // parameterized sql: EXECUTE must route INSERT/UPDATE/DELETE
+        // bodies through the full DML dispatcher, which Spark's
+        // parameter binding can't reach
+        def lit(v: Any): String = v match {
+          case null => "NULL"
+          case s: String => "'" + s.replace("\\", "\\\\")
+            .replace("'", "''") + "'"
+          case d: java.sql.Date => s"'$d'"
+          case t: java.sql.Timestamp => s"'$t'"
+          case other => String.valueOf(other)
+        }
+        val sb = new StringBuilder
+        var quote: Char = 0; var i = 0; var p = 0
+        while (i < body.length) {
+          val c = body.charAt(i)
+          if (quote != 0) {
+            sb.append(c)
+            if (c == '\\' && quote != '`' && i + 1 < body.length) {
+              sb.append(body.charAt(i + 1)); i += 1
+            } else if (c == quote) quote = 0
+          } else c match {
+            case '\'' | '"' | '`' => quote = c; sb.append(c)
+            case '?' => sb.append(lit(params(p))); p += 1
+            case _ => sb.append(c)
+          }
+          i += 1
+        }
+        Some(e.query(sb.result()))
+      }
 
     case DeallocStmt(name) =>
-      e.preparedStmts.remove(name); Some(ok(e, 0L))
+      // MySQL 1243 for an unknown handler (prepared_statement_queries.go
+      // "deallocate prepare idontexist")
+      if (e.preparedStmts.remove(name).isEmpty)
+        throw new IllegalArgumentException(
+          s"Unknown prepared statement handler ($name) given to " +
+          s"DEALLOCATE PREPARE (MySQL error 1243)")
+      Some(ok(e, 0L))
 
     case SetTz(tz) =>
       // the value may be a scalar subquery (time_queries.go "set time
@@ -1170,7 +1232,15 @@ object Dml {
 
     case CreateIdxStmt(uniq, kind, name, tableRaw, cols) =>
       val table = normName(tableRaw)
-      val colSeq = cols.split(",").map(c => stripTick(c.trim)).toSeq
+      checkIdent(name)
+      // items are plain columns or parenthesized FUNCTIONAL expressions
+      // — CREATE INDEX idx ON t ((LOWER(name))), reference
+      // indexed_expressions_queries.go
+      val items = splitTop(cols).map(_.trim).filter(_.nonEmpty)
+      val (exprItems0, colItems) = items.partition(_.startsWith("("))
+      val exprItems = exprItems0
+        .map(s => s.stripPrefix("(").stripSuffix(")").trim)
+      val colSeq = colItems.map(c => stripTick(c.trim))
       // vector index constraints (vector_index_queries.go): exactly one
       // column, and it must hold vectors (a vector/json column), never
       // a scalar
@@ -1192,11 +1262,19 @@ object Dml {
           s"invalid column type for vector index on '${colSeq.head}' " +
           s"(MySQL ErrVectorInvalidColumnType)")
       }
-      e.declareIndex(table, name, colSeq)
+      e.declareIndex(table, name, colSeq ++ exprItems.map(ex => s"($ex)"))
       if (uniq != null) {
-        e.declareUnique(table, name, colSeq)
-        try e.validateNoDuplicates(table, name, colSeq)
-        catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
+        if (colSeq.nonEmpty) {
+          e.declareUnique(table, name, colSeq)
+          try e.validateNoDuplicates(table, name, colSeq)
+          catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
+        }
+        // functional UNIQUE: enforce the EXPRESSION result's uniqueness,
+        // validating existing rows first like a column unique index
+        exprItems.foreach(ex => e.uniqueExprIdx += ((table, name, ex)))
+        if (exprItems.nonEmpty)
+          try e.enforceUniqueExprsPost(table, e.spark.table(table))
+          catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
       }
       Some(ok(e, 0L))
 

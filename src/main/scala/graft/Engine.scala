@@ -1091,6 +1091,7 @@ class Engine(val spark: SparkSession) {
       validateChecks(table, coerced)
       validateForeignKeysChild(table, coerced)
       enforcePkUnique(table, coerced, target)
+      enforceUniqueExprs(table, coerced, target)
     } else {
       validateNotNull(table, coerced,
         incoming0.columns.map(_.toLowerCase).toSet)
@@ -1100,6 +1101,7 @@ class Engine(val spark: SparkSession) {
       validateChecks(table, coerced)
       validateForeignKeysChild(table, coerced)
       enforcePkUnique(table, coerced, target)
+      enforceUniqueExprs(table, coerced, target)
     }
     val n = coerced.count()
     val unioned = target.unionByName(coerced, allowMissingColumns = fillMissing)
@@ -2072,6 +2074,7 @@ class Engine(val spark: SparkSession) {
     timePrecisions.filterInPlace { case ((t, _), _) => t != table }
     charKindCols.filterInPlace { case (t, _) => t != table }
     vecDims.filterInPlace { case ((t, _), _) => t != table }
+    uniqueExprIdx.filterInPlace(_._1 != table)
   }
 
   // ---- ENUM / SET write validation --------------------------------------
@@ -3162,6 +3165,59 @@ class Engine(val spark: SparkSession) {
   def dropIndex(table: String, name: String): Unit = {
     secondaryIndexes.filterInPlace(e => !(e._1 == table && e._2 == name))
     uniqueKeys.filterInPlace(e => !(e._1 == table && e._2 == name))
+    uniqueExprIdx.filterInPlace(e => !(e._1 == table && e._2 == name))
+  }
+
+  /** Functional UNIQUE indexes — CREATE UNIQUE INDEX idx ON t ((c1*10))
+    * (reference indexed_expressions_queries.go): the EXPRESSION result
+    * must be unique across rows; NULL results are exempt (MySQL
+    * NULL != NULL). Stored as (table, name, exprText). */
+  private[graft] val uniqueExprIdx =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+
+  /** 1062-style probe for functional unique indexes: duplicates inside
+    * the batch, then batch-vs-existing. Error text matches the
+    * reference's "duplicate unique key given: [v]". */
+  private[graft] def enforceUniqueExprs(table: String, batch: DataFrame,
+                                        target: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    uniqueExprIdx.toSeq.collect { case (t, _, ex) if t == table =>
+      try {
+        val b = batch.filter(expr(ex).isNotNull)
+          .select(expr(ex).as("__ux"))
+        val dupIn = b.groupBy(col("__ux")).count()
+          .filter(col("count") > 1).select(col("__ux"))
+          .limit(1).collect()
+        val dup =
+          if (dupIn.nonEmpty) dupIn.headOption
+          else {
+            val existing = target.filter(expr(ex).isNotNull)
+              .select(expr(ex).as("__ux")).distinct()
+            b.join(existing, Seq("__ux"), "left_semi")
+              .limit(1).collect().headOption
+          }
+        dup.foreach(r => throw new IllegalArgumentException(
+          s"duplicate unique key given: [${r.get(0)}]"))
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case _: org.apache.spark.sql.AnalysisException =>
+          // the batch doesn't carry the referenced columns — not a
+          // write that can violate this index
+      }
+    }
+  }
+
+  /** Whole-table variant for the post-UPDATE image. */
+  private[graft] def enforceUniqueExprsPost(table: String,
+                                            df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    uniqueExprIdx.toSeq.collect { case (t, _, ex) if t == table =>
+      val dup = df.filter(expr(ex).isNotNull)
+        .groupBy(expr(ex).as("__ux")).count()
+        .filter(col("count") > 1).select(col("__ux")).limit(1).collect()
+      dup.headOption.foreach(r => throw new IllegalArgumentException(
+        s"duplicate unique key given: [${r.get(0)}]"))
+    }
   }
 
   def showIndex(table: String): Seq[(String, String, Int, String)] = {
