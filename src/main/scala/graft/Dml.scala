@@ -230,6 +230,10 @@ object Dml {
     re("""(?is)^\s*DROP\s+INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*$""")
   private val AnalyzeStmt =
     re("""(?is)^\s*ANALYZE\s+(?:NO_WRITE_TO_BINLOG\s+|LOCAL\s+)?TABLE\s+<T>\s*$""")
+  // ANALYZE TABLE t UPDATE HISTOGRAM ON (cols) [USING DATA 'json'] /
+  // DROP HISTOGRAM ON (cols) — reference stats_queries.go
+  private val AnalyzeHistStmt =
+    re("""(?is)^\s*ANALYZE\s+TABLE\s+<T>\s+(UPDATE|DROP)\s+HISTOGRAM\s+ON\s+\(?\s*([A-Za-z0-9_,\s`]+?)\s*\)?\s*(?:USING\s+DATA\s+'((?:[^'\\]|\\.|'')*)')?\s*$""")
   private val ShowCharset =
     """(?is)^\s*SHOW\s+(?:CHARACTER\s+SET|CHARSET)(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   // LOAD DATA INFILE 'path' INTO TABLE t [clauses] (reference
@@ -1287,9 +1291,35 @@ object Dml {
     case AnalyzeStmt(tableRaw) =>
       val table = normName(tableRaw)
       e.spark.table(table) // validates existence
+      // collect stats for the declared key columns, like the reference's
+      // analyze pass over index leaves (stats_queries.go)
+      e.analyzedColumns(table).foreach { c =>
+        e.columnStats((table, c.toLowerCase)) =
+          e.computeColumnStats(table, c)
+      }
       val s = e.spark
       import s.implicits._
       Some(Seq((table, "analyze", "status", "OK"))
+        .toDF("Table", "Op", "Msg_type", "Msg_text"))
+
+    case AnalyzeHistStmt(tableRaw, op, colsRaw, dataOpt) =>
+      val table = normName(tableRaw)
+      e.spark.table(table) // validates existence
+      val cols = colsRaw.split(",").map(c => stripTick(c.trim))
+        .filter(_.nonEmpty)
+      op.trim.toUpperCase match {
+        case "DROP" =>
+          cols.foreach(c => e.columnStats.remove((table, c.toLowerCase)))
+        case _ =>
+          cols.foreach { c =>
+            e.columnStats((table, c.toLowerCase)) = Option(dataOpt)
+              .map(_.replace("\\\"", "\"").replace("''", "'"))
+              .getOrElse(e.computeColumnStats(table, c))
+          }
+      }
+      val s = e.spark
+      import s.implicits._
+      Some(Seq((table, "histogram", "status", "OK"))
         .toDF("Table", "Op", "Msg_type", "Msg_text"))
 
     // privileges are descoped (§2.12): every session is the superuser,

@@ -2075,6 +2075,7 @@ class Engine(val spark: SparkSession) {
     charKindCols.filterInPlace { case (t, _) => t != table }
     vecDims.filterInPlace { case ((t, _), _) => t != table }
     uniqueExprIdx.filterInPlace(_._1 != table)
+    columnStats.filterInPlace { case ((t, _), _) => t != table }
   }
 
   // ---- ENUM / SET write validation --------------------------------------
@@ -2977,6 +2978,69 @@ class Engine(val spark: SparkSession) {
     * dot, so the MySQL `information_schema.X` names become
     * `information_schema_X`: `SELECT * FROM information_schema_columns
     * WHERE table_name = 'lineitem'`. */
+  // ---- column statistics / histograms -----------------------------------
+  // ANALYZE TABLE fills per-key-column stats; ANALYZE ... UPDATE/DROP
+  // HISTOGRAM manages them explicitly (reference stats_queries.go;
+  // MySQL information_schema.column_statistics). The JSON shape follows
+  // MySQL's USING DATA grammar: row_count / distinct_count / null_count
+  // / buckets[{row_count, distinct_count, upper_bound, bound_count}].
+
+  private[graft] val columnStats =
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
+
+  /** One distributed pass per column: total/null/distinct counts plus an
+    * equi-height histogram capped at 20 buckets — at scale the groupBy
+    * is a map-side-combined exchange on the column, the same shape the
+    * reference's stats collector takes over index leaves. */
+  private[graft] def computeColumnStats(table: String, col0: String): String = {
+    import org.apache.spark.sql.functions._
+    val t = spark.table(table)
+    val c = t.columns.find(_.equalsIgnoreCase(col0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"Unknown column '$col0' in '$table'"))
+    val groups = t.groupBy(col(s"`$c`").as("v"))
+      .agg(count(lit(1)).as("n")).orderBy(col("v")).collect()
+    val (nullRows, valRows) = groups.partition(_.isNullAt(0))
+    val nulls = nullRows.map(_.getLong(1)).sum
+    val rowCount = nulls + valRows.map(_.getLong(1)).sum
+    val distinct = valRows.length.toLong
+    def jsonVal(v: Any): String = v match {
+      case null => "null"
+      case s: String => "\"" + s.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\""
+      case d: java.sql.Date => "\"" + d + "\""
+      case ts: java.sql.Timestamp => "\"" + ts + "\""
+      case other => String.valueOf(other)
+    }
+    // equi-height merge to <= 20 buckets (small tables get one bucket
+    // per distinct value, like the reference's exact histograms)
+    val maxBuckets = 20
+    val per = math.max(1, math.ceil(valRows.length / maxBuckets.toDouble).toInt)
+    val buckets = valRows.grouped(per).map { g =>
+      val n = g.map(_.getLong(1)).sum
+      val ub = g.last.get(0)
+      s"""{"row_count": $n, "distinct_count": ${g.length}, """ +
+        s""""upper_bound": [${jsonVal(ub)}], """ +
+        s""""bound_count": ${g.last.getLong(1)}}"""
+    }.mkString("[", ", ", "]")
+    s"""{"row_count": $rowCount, "distinct_count": $distinct, """ +
+      s""""null_count": $nulls, "buckets": $buckets}"""
+  }
+
+  /** The key columns plain ANALYZE TABLE collects stats for: the
+    * primary key plus every declared secondary/unique index column. */
+  private[graft] def analyzedColumns(table: String): Seq[String] = {
+    val t = scala.util.Try(spark.table(table)).toOption
+    val declared =
+      tableKeys.getOrElse(table, Seq.empty) ++
+        secondaryIndexes.toSeq.collect { case (tt, _, cols) if tt == table =>
+          cols }.flatten ++
+        uniqueKeys.toSeq.collect { case (tt, _, cols) if tt == table =>
+          cols }.flatten
+    declared.distinct.filter(c =>
+      t.exists(_.columns.exists(_.equalsIgnoreCase(c))))
+  }
+
   def enableInformationSchema(): Unit = {
     import spark.implicits._
     val tables = spark.catalog.listTables().collect()
@@ -3103,6 +3167,13 @@ class Engine(val spark: SparkSession) {
     Dialect.supportedCollations
       .toDF("collation_name", "character_set_name", "is_default")
       .createOrReplaceTempView("information_schema_collations")
+
+    // COLUMN_STATISTICS: MySQL's 4-column shape (schema, table, column,
+    // histogram JSON) — dolt renders its Go statistic struct instead;
+    // the JSON here follows the USING DATA grammar (stats_queries.go)
+    columnStats.toSeq.map { case ((t, c), h) => (db, t, c, h) }
+      .toDF("schema_name", "table_name", "column_name", "histogram")
+      .createOrReplaceTempView("information_schema_column_statistics")
 
     Seq(("graft-spark", "DEFAULT", "Spark-native analytics engine", "NO", "NO", "NO"))
       .toDF("engine", "support", "comment", "transactions", "xa", "savepoints")

@@ -101,6 +101,77 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("digest")
       .select(col("doc_id"), col("digest"), col("ts"))
 
+  /** near-dup candidate emitted by the streaming LSH twin. */
+  case class NearDup(doc_id: Long, rep_id: Long, band: Int)
+  case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class BandHit(band: Int, bkey: Long, doc_id: Long,
+                     ts: java.sql.Timestamp)
+
+  /** Streaming twin of the batch MinHash-LSH near-dup pipeline
+    * (operators/Dedup.scala): each arriving document computes its K=8
+    * minhash values PER ROW — shingle array → one md5-derived 28-bit
+    * hash per shingle → 8 universal-hash `aggregate` folds, all inside
+    * expressions, zero shuffles — then folds them into 4 band keys.
+    * One `flatMapGroupsWithState` keyed by (band, bkey) keeps the FIRST
+    * document seen per bucket; later arrivals sharing the bucket emit
+    * as (doc_id, representative, band) candidates, exactly the pairs
+    * the batch `dedup_lsh_pairs` join would produce. State is ONE row
+    * per active bucket with an event-time timeout, so a continuous
+    * crawl holds arrival-rate × window state, never corpus-size state —
+    * the incremental form of the bucketed-LSH shape at 100 TB. */
+  def lshNearDupStream(docs: DataFrame): Dataset[NearDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P61 = 2305843009213693951L
+    val M9 = 1000000007L
+    def seedA(j: Int): Long = 2654435761L + 2 * j
+    def seedB(j: Int): Long = 1013904223L * (j + 1)
+    val K = 8
+    // per-row signature: no explode, no shuffle — the same math as the
+    // batch signatures, folded with higher-order functions
+    val hs = expr(
+      """transform(
+           transform(sequence(1, greatest(size(split(text, ' '))-2, 0)),
+                     i -> array_join(slice(split(text, ' '), i, 3), ' ')),
+           s -> CAST(conv(substr(md5(CAST(s AS BINARY)), 1, 7), 16, 10)
+                     AS BIGINT))""")
+    val withSig = (0 until K).foldLeft(
+        docs.withColumn("__hs", hs)) { (d, j) =>
+      d.withColumn(s"mh$j", expr(
+        s"aggregate(__hs, CAST(${P61} AS BIGINT), " +
+          s"(acc, h) -> least(acc, (h * ${seedA(j)}L + ${seedB(j)}L) % ${P61}L))"))
+    }
+    val banded = withSig.select(col("doc_id"), col("ts"),
+        posexplode(array((0 until K / 2).map(b =>
+          (col(s"mh${2 * b}") % M9) * M9 + (col(s"mh${2 * b + 1}") % M9)): _*)))
+      .toDF("doc_id", "ts", "band", "bkey")
+      .withWatermark("ts", "1 hour")
+      .select(col("band").cast("int").as("band"), col("bkey"),
+        col("doc_id"), col("ts")).as[BandHit]
+    banded
+      .groupByKey(h => (h.band, h.bkey))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandHit],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
+            sorted.foreach { h =>
+              if (!state.exists) state.update(h.doc_id)
+              else if (state.get != h.doc_id)
+                out += NearDup(h.doc_id, state.get, h.band)
+            }
+            // bucket representative lives until the watermark passes its
+            // last activity + 1h — bounded state, late re-crawls still match
+            state.setTimeoutTimestamp(
+              sorted.map(_.ts.getTime).max, "1 hour")
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: pair each event of stream `a` with the
     * events of stream `b` for the same user within the next `withinMinutes`
     * minutes (attribution/conversion shape). Both sides carry watermarks,

@@ -136,6 +136,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup: per-row minhash + banded stateful " +
+      "buckets flag candidates against the first-seen representative") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def doc(id: Long, text: String, hhmm: String) =
+      (id, text, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"))
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the rain falls softly on the green hills of the valley"
+    val nearDup = base + " tonight" // shares most shingles with base
+    val distinct = "completely different content about database engines " +
+      "and distributed query processing at petabyte scale with spark"
+    val src = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStreams.lshNearDupStream(
+        src.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("lsh_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1 registers representatives
+      src.addData(doc(1, base, "10:00"), doc(2, distinct, "10:01"))
+      q.processAllAvailable()
+      // batch 2: 3 is an exact dup of 1 (every band collides), 4 is a
+      // near dup (>=1 band), 5 is unrelated (no candidate)
+      src.addData(doc(3, base, "10:10"), doc(4, nearDup, "10:11"),
+        doc(5, "yet another unrelated corpus entry about biology and " +
+          "chemistry experiments in the laboratory today", "10:12"))
+      q.processAllAvailable()
+      val hits = spark.table("lsh_stream")
+        .select($"doc_id", $"rep_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((3L, 1L)), hits)
+      assert(hits.contains((4L, 1L)), hits)
+      assert(!hits.exists(_._1 == 5L), hits)
+      assert(!hits.exists(_._1 == 2L), hits)
+      // a representative never flags against itself
+      assert(!hits.exists(p => p._1 == p._2), hits)
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per-user stage state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
