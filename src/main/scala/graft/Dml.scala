@@ -1496,6 +1496,14 @@ object Dml {
 
   /** MySQL column type text -> Spark type (+ ENUM/SET vocabulary).
     * (reference sql/types type mapping: number.go, string.go, enum.go) */
+  /** ENUM/SET member literals accept both quote styles. */
+  private def unq(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && (t.head == '\'' || t.head == '"') &&
+        t.last == t.head) t.substring(1, t.length - 1)
+    else t
+  }
+
   private def mysqlDataType(t: String)
       : (org.apache.spark.sql.types.DataType, Option[(Boolean, Seq[String])]) = {
     import org.apache.spark.sql.types._
@@ -1534,9 +1542,9 @@ object Dml {
       case "binary" | "varbinary" | "tinyblob" | "blob" | "mediumblob" |
            "longblob" | "bit" => (BinaryType, None)
       case "enum" =>
-        (StringType, Some((false, args.map(_.trim.stripPrefix("'").stripSuffix("'")))))
+        (StringType, Some((false, args.map(unq))))
       case "set" =>
-        (StringType, Some((true, args.map(_.trim.stripPrefix("'").stripSuffix("'")))))
+        (StringType, Some((true, args.map(unq))))
       case "vector" => (ArrayType(FloatType), None)
       // geometry column types carry WKT text (the engine's canonical
       // geometry representation — functions/spatial.scala); constructors

@@ -1502,7 +1502,19 @@ class Engine(val spark: SparkSession) {
             case _ => df.withColumn(c, df(c).cast(dt))
           }
         case Some((_, dt)) if df.schema(c).dataType != dt =>
-          val casted = df(c).cast(dt)
+          // MySQL ROUNDS fractional values into integral columns
+          // (types/number.go Convert; type_wire_queries.go inserts 107.5
+          // into TINYINT and reads back 108) — Spark's cast truncates
+          val fracSrc = df.schema(c).dataType match {
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType |
+                 _: org.apache.spark.sql.types.DecimalType => true
+            case _ => false
+          }
+          val casted =
+            if (fracSrc && integralBounds(dt).isDefined)
+              org.apache.spark.sql.functions.round(df(c)).cast(dt)
+            else df(c).cast(dt)
           zeroValueLit(dt) match {
             case Some(z) if ignoreMode =>
               import org.apache.spark.sql.functions.{col, lit, when}

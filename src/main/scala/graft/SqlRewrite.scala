@@ -1220,14 +1220,30 @@ object SqlRewrite {
         }.sum.toString)
       }
     val rangeOps = Set("<", ">", "<=", ">=")
+    // `<enum-ident> op <number>` compares the member's INDEX (enum.go
+    // Compare int case — type_wire_queries.go `WHERE pk = 2` /
+    // `pk > 2` over ENUM pks). Equality included, but ONLY in predicate
+    // context (the preceding token gates out UPDATE/INSERT `SET c = 1`
+    // assignments, which must keep assignment semantics).
+    val eqOps = Set("=", "!=", "<>")
+    def numLit(t: Tok): Boolean =
+      t.kind == Word && t.text.matches("\\d+")
+    def predicateCtx(identIdx: Int): Boolean =
+      identIdx == 0 || {
+        val p = toks(identIdx - 1)
+        (p.kind == Sym && (p.text == "(" )) ||
+          Seq("where", "and", "or", "on", "not", "having", "when",
+            "then", "else").exists(p.isWord)
+      }
     i = 1
     while (i + 1 < toks.length) {
       val t = toks(i)
-      if (t.kind == Sym && rangeOps(t.text) && !patches.exists(p =>
-          p._1 <= t.start && t.end <= p._2)) {
+      if (t.kind == Sym && (rangeOps(t.text) || eqOps(t.text)) &&
+          !patches.exists(p => p._1 <= t.start && t.end <= p._2)) {
+        val isRange = rangeOps(t.text)
         // left ident, right literal
         (identAt(i - 1, i), toks(i + 1)) match {
-          case (Some(ident), lit) if lit.kind == Lit =>
+          case (Some(ident), lit) if lit.kind == Lit && isRange =>
             lookup(colKey(ident)).foreach { case (isSet, members) =>
               litOrdinal(lit, isSet, members).foreach { ord =>
                 patches += ((toks(i - 1).start, toks(i - 1).end,
@@ -1235,16 +1251,27 @@ object SqlRewrite {
                 patches += ((lit.start, lit.end, ord))
               }
             }
+          case (Some(ident), lit) if numLit(lit) &&
+              (isRange || predicateCtx(i - 1)) =>
+            lookup(colKey(ident)).foreach { case (isSet, members) =>
+              patches += ((toks(i - 1).start, toks(i - 1).end,
+                ordinalExpr(ident, isSet, members)))
+            }
           case _ =>
             // left literal, right ident
             (toks(i - 1), identAt(i + 1, i + 2)) match {
-              case (lit, Some(ident)) if lit.kind == Lit =>
+              case (lit, Some(ident)) if lit.kind == Lit && isRange =>
                 lookup(colKey(ident)).foreach { case (isSet, members) =>
                   litOrdinal(lit, isSet, members).foreach { ord =>
                     patches += ((lit.start, lit.end, ord))
                     patches += ((toks(i + 1).start, toks(i + 1).end,
                       ordinalExpr(ident, isSet, members)))
                   }
+                }
+              case (lit, Some(ident)) if numLit(lit) =>
+                lookup(colKey(ident)).foreach { case (isSet, members) =>
+                  patches += ((toks(i + 1).start, toks(i + 1).end,
+                    ordinalExpr(ident, isSet, members)))
                 }
               case _ =>
             }
