@@ -42,6 +42,12 @@ object Dialect {
       // MySQL hex literals: 0xABCD is a binary string (vector_ddl_
       // queries.go inserts packed vectors as 0x…); Spark spells it X'…'
       .replaceAll("\\b0x([0-9A-Fa-f]+)\\b", "X'$1'")
+      // COERCIBILITY of a system-constant function is 3; the constant
+      // itself substitutes to a literal before the builder could see
+      // the shape, so the level folds here (collation_coercion.go)
+      .replaceAll("(?i)\\bCOERCIBILITY\\s*\\(\\s*(?:CURRENT_USER|USER|" +
+        "SESSION_USER|SYSTEM_USER|VERSION|DATABASE|SCHEMA)\\s*(?:\\(\\s*\\))?" +
+        "\\s*\\)", "CAST(3 AS INT)")
       .replaceAll("(?i)\\bSQL_CALC_FOUND_ROWS\\b", "")
       // MySQL's 1-row dummy table (reference sql/planbuilder/from.go
       // resolves a missing/dual FROM to it); Spark has no dual

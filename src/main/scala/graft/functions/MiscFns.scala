@@ -109,6 +109,39 @@ object MiscFns {
     * argument expressions — the result is ordinary unresolved Catalyst
     * (NOT Column-bridge nodes, which the analyzer cannot resolve when
     * nested inside a registry-built expression). */
+  /** COERCIBILITY taxonomy from the argument's unresolved shape
+    * (reference coercibility.go; collation_coercion.go expectations). */
+  private def coercibilityOf(e: Expression): Int = e match {
+    case Literal(null, _) => 6
+    case Literal(_: org.apache.spark.unsafe.types.UTF8String, _) => 4
+    case Literal(_, _) => 5 // numeric / boolean / temporal literals
+    case _: UnresolvedAttribute => 2 // column value
+    case _: AttributeReference => 2 // already-resolved column value
+    case c: Cast => c.dataType match {
+      case _: StringType | BinaryType => 2 // CONVERT(x, BINARY/JSON/CHAR)
+      case _ => 5 // CONVERT to numeric / temporal
+    }
+    // already-resolved temporal/numeric builtins (the registry resolves
+    // bottom-up, so CURDATE() may arrive as CurrentDate)
+    case other if Set("CurrentDate", "CurrentTimestamp", "Now",
+        "CurrentTime", "CurTimeWithFraction", "Rand", "Pi")
+        .contains(other.getClass.getSimpleName) => 5
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+      val nm = f.nameParts.last.toLowerCase
+      if (nm == "collate") 0
+      else if (Set("user", "current_user", "session_user", "system_user",
+          "version", "database", "schema").contains(nm)) 3 // system constant
+      else if (Set("curdate", "current_date", "now", "current_timestamp",
+          "curtime", "sysdate", "rand", "pi", "connection_id",
+          "last_insert_id", "row_count", "found_rows", "abs", "floor",
+          "ceil", "ceiling", "round", "unix_timestamp", "to_days",
+          "datediff", "length", "char_length", "ascii", "ord",
+          "crc32").contains(nm)) 5 // numeric/temporal result
+      else 4
+    case other if other.getClass.getSimpleName.startsWith("Collate") => 0
+    case _ => 4
+  }
+
   private def tmpl(sqlText: String): B = es =>
     CatalystSqlParser.parseExpression(sqlText).transformUp {
       case a: UnresolvedAttribute
@@ -351,9 +384,14 @@ object MiscFns {
         |  '-', ''), '{', ''), '}', '') RLIKE '^[0-9a-f]{32}$'
         |THEN 1 ELSE 0 END""".stripMargin),
     // charset metadata stubs: the engine stores every string as UTF-8
-    // (reference charset.go/coercibility.go carry the full charset model)
+    // (reference charset.go carries the full charset model)
     "charset" -> tmpl("'utf8mb4'"),
-    "coercibility" -> tmpl("CAST(4 AS INT)"),
+    // COERCIBILITY(expr): MySQL's syntactic taxonomy (reference
+    // coercibility.go; collation_coercion.go corpus) — 0 explicit
+    // COLLATE, 2 column/binary-convert, 3 system constant, 4 string
+    // literal, 5 numeric/temporal, 6 NULL. Resolved from the argument's
+    // SHAPE at build time, like the reference's coercibility walk.
+    "coercibility" -> (es => Literal(coercibilityOf(es.head))),
     // JSON storage introspection: size of the serialized text form; the
     // engine has no binary JSON slack, so freed space is always 0
     // (reference json_storage_size.go / json_storage_free.go)
