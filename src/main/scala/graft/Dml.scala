@@ -133,6 +133,12 @@ object Dml {
     re("""(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s+LIKE\s+<T>\s*$""")
   private val AlterTable =
     re("""(?is)^\s*ALTER\s+TABLE\s+<T>\s+(.*)$""")
+  // RENAME TABLE old TO new [, old2 TO new2 …] — processed LEFT TO
+  // RIGHT like MySQL, so swap chains (a→tmp, b→a, tmp→b) work
+  private val RenameTables =
+    """(?is)^\s*RENAME\s+TABLES?\s+(.+?)\s*$""".r
+  private val RenamePair =
+    """(?is)^\s*(`?[A-Za-z_][A-Za-z0-9_]*`?)\s+TO\s+(`?[A-Za-z_][A-Za-z0-9_]*`?)\s*$""".r
   private val DropTv =
     re("""(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?<T>\s*$""")
   private val Trunc =
@@ -895,6 +901,25 @@ object Dml {
 
     case AlterTable(name, actions) =>
       alterTable(e, normName(name), actions); Some(ok(e, 0L))
+
+    case RenameTables(listText)
+        if topLevelSplit(listText, ',').forall(RenamePair.matches) =>
+      topLevelSplit(listText, ',').foreach { item =>
+        val RenamePair(oldRaw, newRaw) = item: @unchecked
+        val oldN = stripTick(oldRaw.trim)
+        val newN = stripTick(newRaw.trim)
+        checkIdent(newN)
+        val df = scala.util.Try(e.spark.table(oldN)).getOrElse(
+          throw new IllegalArgumentException(
+            s"Table '$oldN' doesn't exist"))
+        if (e.createdRelations.contains(newN) || e.viewDefs.contains(newN))
+          throw new IllegalArgumentException(
+            s"Table '$newN' already exists (MySQL 1050)")
+        e.replaceTable(newN, df, bumpDepth = false)
+        e.renameTableMeta(oldN, newN)
+        e.spark.catalog.dropTempView(oldN)
+      }
+      Some(ok(e, 0L))
 
     case DropTv(name) =>
       e.drop(normName(name)); Some(ok(e, 0L))
@@ -2277,10 +2302,32 @@ object Dml {
               .toLong
             e.autoIncCounter(table) = math.max(e.autoIncNext(table), v)
           }
+        case a if """(?is)^COMMENT\s*=?\s*['"].*$""".r.matches(a.trim) =>
+          // ALTER TABLE t COMMENT [=] '…' replaces the table comment
+          // (alter_table_queries.go "alter table comment")
+          """(?is)^COMMENT\s*=?\s*('(?:\\.|''|[^'\\])*'|"(?:\\.|""|[^"\\])*")""".r
+            .findFirstMatchIn(a.trim)
+            .foreach(m => e.tableComments(table) = unquoteSqlString(m.group(1)))
+        case a if a.trim.toUpperCase.matches("(?s)^(?:DISABLE|ENABLE)\\s+KEYS$") =>
+          () // index maintenance toggles: declared keys always enforce here
         case IndexDdl() => () // metadata-only
         case Add(cn, spec) =>
           val (dt, _) = mysqlDataType(spec)
           declareCharLimitFromSpec(e, table, stripTick(cn), spec)
+          // inline attributes on ADD COLUMN declare like CREATE's column
+          // defs (alter_table_queries.go "add column unique index" /
+          // "add column with inline check constraint definition")
+          if ("""(?i)\bUNIQUE\b""".r.findFirstIn(spec).isDefined) {
+            e.declareUnique(table, stripTick(cn), Seq(stripTick(cn)))
+            e.declareIndex(table, stripTick(cn), Seq(stripTick(cn)))
+          }
+          extractCheck(spec).foreach { case (nm, ex) =>
+            e.declareCheck(table, nm.getOrElse(
+              s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}"),
+              ex)
+          }
+          if ("""(?i)\bNOT\s+NULL\b""".r.findFirstIn(spec).isDefined)
+            e.declareNotNull(table, stripTick(cn))
           val value = extractDefault(spec) match {
             case Some(d) =>
               e.declareDefault(table, stripTick(cn), d)
@@ -2343,6 +2390,13 @@ object Dml {
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           val name = stripTick(cn)
           declareCharLimitFromSpec(e, table, name, spec)
+          // MODIFY without the AUTO_INCREMENT attribute REMOVES it
+          // (alter_table_queries.go "ALTER TABLE remove AUTO_INCREMENT")
+          if (e.autoIncCols.get(table).exists(_.equalsIgnoreCase(name)) &&
+              """(?i)\bAUTO_INCREMENT\b""".r.findFirstIn(spec).isEmpty) {
+            e.autoIncCols.remove(table)
+            e.autoIncCounter.remove(table)
+          }
           // MODIFY may re-declare the DEFAULT and reposition the column
           // (column_default_queries.go t22/t23: MODIFY ... DEFAULT (x) FIRST)
           extractDefault(spec).foreach(d => e.declareDefault(table, name, d))
@@ -2379,7 +2433,12 @@ object Dml {
     e.validateRowLength(table, df.schema)
     renameTo match {
       case Some(n) =>
-        e.replaceTable(n, df, bumpDepth = false); e.drop(table)
+        // table rename MOVES the declared metadata (constraints, keys,
+        // defaults, comments, stats) — it must not drop it with the
+        // old name (alter_table_queries.go rename blocks)
+        e.replaceTable(n, df, bumpDepth = false)
+        e.renameTableMeta(table, n)
+        e.spark.catalog.dropTempView(table)
       case None => e.replaceTable(table, df, bumpDepth = true)
     }
   }

@@ -2303,6 +2303,61 @@ class Engine(val spark: SparkSession) {
   private[graft] val vecDims =
     scala.collection.mutable.Map.empty[(String, String), Int]
 
+  /** Move EVERY piece of per-table declared metadata from `oldName` to
+    * `newName` — table rename semantics (ALTER ... RENAME TO and
+    * RENAME TABLE; alter_table_queries.go rename blocks). Constraints,
+    * keys, defaults, comments, stats all follow the table, and foreign
+    * keys elsewhere that referenced the old PARENT name re-point. */
+  private[graft] def renameTableMeta(oldName: String,
+                                     newName: String): Unit = {
+    // name-keyed maps move directly
+    def moveMap[V](m: scala.collection.mutable.Map[String, V]): Unit =
+      m.remove(oldName).foreach(v => m(newName) = v)
+    moveMap(tableKeys); moveMap(autoIncCols)
+    moveMap(autoIncCounter); moveMap(tableCharsets)
+    moveMap(tableComments); moveMap(tableCollations)
+    // (table, column)-keyed maps re-key
+    def moveColMap[V](
+        m: scala.collection.mutable.Map[(String, String), V]): Unit = {
+      val moved = m.toSeq.collect { case ((t, c), v) if t == oldName =>
+        (c, v) }
+      m.filterInPlace { case ((t, _), _) => t != oldName }
+      moved.foreach { case (c, v) => m((newName, c)) = v }
+    }
+    moveColMap(columnDefaults); moveColMap(columnVocab)
+    moveColMap(charLimits); moveColMap(timePrecisions)
+    moveColMap(vecDims); moveColMap(columnComments); moveColMap(columnStats)
+    // (table, column) sets re-key
+    def moveSet(s: scala.collection.mutable.Set[(String, String)]): Unit = {
+      val moved = s.toSeq.collect { case (t, c) if t == oldName => c }
+      s.filterInPlace(_._1 != oldName)
+      moved.foreach(c => s += ((newName, c)))
+    }
+    moveSet(notNullCols); moveSet(vocabCi)
+    moveSet(tinyint1Cols); moveSet(charKindCols)
+    // name-carrying triples rewrite in place
+    def moveTriples(
+        b: scala.collection.mutable.ArrayBuffer[(String, String, String)])
+        : Unit =
+      b.mapInPlace { case (t, n, v) =>
+        if (t == oldName) (newName, n, v) else (t, n, v) }
+    moveTriples(checkConstraints); moveTriples(generatedCols)
+    moveTriples(uniqueExprIdx)
+    secondaryIndexes.mapInPlace { case (t, n, c) =>
+      if (t == oldName) (newName, n, c) else (t, n, c) }
+    uniqueKeys.mapInPlace { case (t, n, c) =>
+      if (t == oldName) (newName, n, c) else (t, n, c) }
+    // FKs follow on BOTH roles: this table as child, and any other
+    // table's FK referencing it as parent
+    foreignKeys.mapInPlace { fk =>
+      val c = if (fk.child == oldName) fk.copy(child = newName) else fk
+      if (c.parent == oldName) c.copy(parent = newName) else c
+    }
+    createdRelations.remove(oldName)
+    createdRelations += newName
+    viewDefs.remove(oldName).foreach(v => viewDefs(newName) = v)
+  }
+
   /** Copy the per-column declared surface from `src` to `dst` — CREATE
     * TABLE ... LIKE semantics (reference ddl.go buildCreateTableLike
     * copies the whole schema; "Validate that CREATE LIKE preserves
