@@ -2328,7 +2328,33 @@ object Dml {
           }
           if ("""(?i)\bNOT\s+NULL\b""".r.findFirstIn(spec).isDefined)
             e.declareNotNull(table, stripTick(cn))
+          // ADD COLUMN … PRIMARY KEY [AUTO_INCREMENT]: the new pk column
+          // must be generated for existing rows (1..n); without
+          // AUTO_INCREMENT a non-empty table would hold duplicate NULL
+          // keys — MySQL rejects (alter_table_queries.go "Add primary
+          // key column with auto increment" blocks)
+          val upSpec = spec.toUpperCase
+          val hasAI = upSpec.contains("AUTO_INCREMENT")
+          val hasPK = upSpec.contains("PRIMARY KEY")
+          if (hasPK) e.declareKey(table, Seq(stripTick(cn)))
+          if (hasAI) {
+            if (!hasPK && !upSpec.contains("UNIQUE"))
+              throw new IllegalArgumentException(
+                "there can be only one auto_increment column and it must " +
+                "be defined as a key (MySQL ErrInvalidAutoIncCols)")
+            e.declareAutoInc(table, stripTick(cn))
+          }
+          if (hasPK && !hasAI && !df.isEmpty)
+            throw new IllegalArgumentException(
+              s"Duplicate entry for key 'PRIMARY' (MySQL error 1062): " +
+              s"adding a PRIMARY KEY column to a non-empty table needs " +
+              s"AUTO_INCREMENT")
           val value = extractDefault(spec) match {
+            case _ if hasAI =>
+              // backfill 1..n in current row order, like the reference's
+              // rebuild; the counter advances past the table below
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy(monotonically_increasing_id())).cast(dt)
             case Some(d) =>
               e.declareDefault(table, stripTick(cn), d)
               expr(d).cast(dt)
@@ -2349,6 +2375,9 @@ object Dml {
                 rest.map(c => col(s"`$c`"))).toSeq: _*)
             case _ => withCol
           }
+          // an auto-inc backfill advances the counter past the table so
+          // SHOW CREATE renders AUTO_INCREMENT=n+1 immediately
+          if (hasAI) e.autoIncCounter(table) = df.count() + 1
         case AlterColDefault(cn, d) =>
           e.declareDefault(table, stripTick(cn), d.trim)
         case AlterColDropDefault(cn) =>

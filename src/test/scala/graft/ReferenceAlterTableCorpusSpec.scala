@@ -140,6 +140,47 @@ class ReferenceAlterTableCorpusSpec extends AnyFunSuite {
     engine.query("drop table rmai")
   }
 
+  test("ADD COLUMN pk PRIMARY KEY AUTO_INCREMENT backfills 1..n and " +
+      "renders the counter; plain pk on non-empty data errors " +
+      "('Add primary key column with auto increment' blocks)") {
+    engine.runScript(
+      """drop table if exists apk;
+        |CREATE TABLE apk (i int, j int);
+        |insert into apk values (1,1), (2,2), (3,3);
+        |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("alter table apk add column pk int primary key")
+    }.getMessage.contains("1062"))
+    engine.query(
+      "alter table apk add column pk int primary key auto_increment first")
+    val d = engine.showCreateTable("apk")
+    assert(d.contains("`pk` int NOT NULL AUTO_INCREMENT,"))
+    assert(d.contains("PRIMARY KEY (`pk`)"))
+    assert(d.contains("ENGINE=InnoDB AUTO_INCREMENT=4 DEFAULT CHARSET"))
+    // FIRST positions the new column leftmost; backfill is 1..n
+    assert(engine.query("select * from apk order by pk").columns.head == "pk")
+    assert(rows("select pk from apk order by pk") ==
+      Seq(Seq(1), Seq(2), Seq(3)))
+    engine.query("insert into apk (i, j) values (4, 4)")
+    assert(rows("select pk from apk order by pk") ==
+      Seq(Seq(1), Seq(2), Seq(3), Seq(4)))
+    // non-primary auto-inc needs a key: UNIQUE works, bare errors
+    engine.runScript(
+      """drop table if exists apk2;
+        |CREATE TABLE apk2 (i bigint primary key, s varchar(20));
+        |INSERT INTO apk2 VALUES (1, 'a'), (2, 'b'), (3, 'c');
+        |alter table apk2 add column j int auto_increment unique;
+        |""".stripMargin)
+    assert(rows("select i, j from apk2 order by i") ==
+      Seq(Seq(1L, 1), Seq(2L, 2), Seq(3L, 3)))
+    assert(engine.showCreateTable("apk2")
+      .contains("`j` int NOT NULL AUTO_INCREMENT,"))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("alter table apk2 add column k int auto_increment")
+    }.getMessage.toLowerCase.contains("auto_increment"))
+    engine.runScript("drop table apk; drop table apk2;")
+  }
+
   test("add column with inline UNIQUE / CHECK; duplicate add is " +
       "case-insensitive 1060") {
     engine.runScript(
