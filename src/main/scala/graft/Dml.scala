@@ -1475,10 +1475,45 @@ object Dml {
       Some(Option(where).map(w => filtered.filter(expr(w))).getOrElse(filtered))
 
     case ShowIndexes(table) =>
+      // MySQL's full 15-column shape (create_table_queries.go SHOW KEYS
+      // expectations: {t, 0, PRIMARY, 1, col, nil, 0, nil, nil, "",
+      // BTREE, "", "", YES, nil}); the 4-column Engine.showIndex stays
+      // the compact DSL surface
       val s = e.spark
       import s.implicits._
-      Some(e.showIndex(table)
-        .toDF("Table", "Key_name", "Seq_in_index", "Column_name"))
+      val t = e.spark.table(table) // validates existence
+      val nullable = t.schema.fields.map(f =>
+        f.name.toLowerCase -> f.nullable).toMap
+      val uniqueNames = e.uniqueKeys.collect {
+        case (tt, n, _) if tt == table => n.toLowerCase }.toSet
+      def rows(keyName: String, nonUnique: Int, cols: Seq[String],
+               expr: Option[String]) =
+        cols.zipWithIndex.map { case (c, i) =>
+          val nn = if (expr.isEmpty &&
+              nullable.getOrElse(c.toLowerCase, true)) "YES" else ""
+          (table, nonUnique, keyName, i + 1,
+            if (expr.isDefined) null else c,
+            null: String, 0L, null: String, null: String, nn, "BTREE",
+            "", "", "YES", expr.orNull)
+        }
+      val pk = e.tableKeys.get(table).toSeq
+        .flatMap(k => rows("PRIMARY", 0, k, None))
+      val uk = e.uniqueKeys.toSeq.collect {
+        case (tt, n, cols) if tt == table => rows(n, 0, cols, None)
+      }.flatten
+      val sec = e.secondaryIndexes.toSeq.collect {
+        case (tt, n, cols) if tt == table &&
+            !uniqueNames(n.toLowerCase) && !n.equalsIgnoreCase("PRIMARY") =>
+          cols.zipWithIndex.flatMap { case (c, i) =>
+            if (c.startsWith("(")) rows(n, 1, Seq(c), Some(c)).map(r =>
+              r.copy(_4 = i + 1))
+            else rows(n, 1, Seq(c), None).map(r => r.copy(_4 = i + 1))
+          }
+      }.flatten
+      Some((pk ++ uk ++ sec).toDF("Table", "Non_unique", "Key_name",
+        "Seq_in_index", "Column_name", "Collation", "Cardinality",
+        "Sub_part", "Packed", "Null", "Index_type", "Comment",
+        "Index_comment", "Visible", "Expression"))
 
     case ShowCreate(table) =>
       val s = e.spark

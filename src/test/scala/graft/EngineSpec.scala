@@ -606,8 +606,9 @@ class EngineSpec extends AnyFunSuite {
     // a declared key surfaces as the PRIMARY index
     engine.declareKey("nation", Seq("n_nationkey"))
     val idx = engine.query("SHOW INDEX FROM nation").collect()
-    assert(idx.length == 1 && idx(0).getString(1) == "PRIMARY" &&
-      idx(0).getString(3) == "n_nationkey")
+    assert(idx.length == 1 && idx(0).getString(2) == "PRIMARY" &&
+      idx(0).getString(4) == "n_nationkey" &&
+      idx(0).getInt(1) == 0 && idx(0).getString(10) == "BTREE")
     assert(engine.query("SHOW CREATE TABLE region").collect()(0)
       .getString(1).startsWith("CREATE TABLE `region`"))
   }

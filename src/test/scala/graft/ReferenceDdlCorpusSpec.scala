@@ -860,13 +860,13 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     engine.query("create index v1_idx on idx_t (v1)")
     engine.query("create unique index v_pair on idx_t (v1, v2)")
     val idx = engine.query("show index from idx_t").collect()
-      .map(r => (r.getString(1), r.getInt(2), r.getString(3))).toSeq
+      .map(r => (r.getString(2), r.getInt(3), r.getString(4))).toSeq
     assert(idx.contains(("PRIMARY", 1, "pk")))
     assert(idx.contains(("v1_idx", 1, "v1")))
     assert(idx.contains(("v_pair", 2, "v2")))
     engine.query("drop index v1_idx on idx_t")
     assert(!engine.query("show index from idx_t").collect()
-      .exists(_.getString(1) == "v1_idx"))
+      .exists(_.getString(2) == "v1_idx"))
     val an = engine.query("analyze table idx_t").collect()(0)
     assert(an.getString(0) == "idx_t" && an.getString(3) == "OK")
     val st = engine.query("show table status like 'idx_t'").collect()

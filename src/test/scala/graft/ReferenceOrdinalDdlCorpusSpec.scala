@@ -25,7 +25,7 @@ class ReferenceOrdinalDdlCorpusSpec extends AnyFunSuite {
 
   private def keys(e: Engine, t: String): Seq[(Int, String)] =
     e.query(s"show keys from $t").collect()
-      .map(r => (r.getInt(2), r.getString(3))).toSeq.sortBy(_._1)
+      .map(r => (r.getInt(3), r.getString(4))).toSeq.sortBy(_._1)
 
   private def ordinals(e: Engine, t: String, pkOnly: Boolean): Seq[(String, Int)] = {
     e.enableInformationSchema()
