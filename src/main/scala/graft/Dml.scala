@@ -2347,6 +2347,21 @@ object Dml {
           () // index maintenance toggles: declared keys always enforce here
         case IndexDdl() => () // metadata-only
         case Add(cn, spec) =>
+          // adding an existing (or just-added) column name is 1060
+          if (df.columns.exists(_.equalsIgnoreCase(stripTick(cn))))
+            throw new IllegalArgumentException(
+              s"Duplicate column name '${stripTick(cn)}' (MySQL 1060)")
+          // literal-default compatibility (the CREATE path's 1067 rule)
+          extractDefault(spec).map(_.trim).foreach { d =>
+            val numericTarget = mysqlDataType(spec)._1
+              .isInstanceOf[org.apache.spark.sql.types.NumericType]
+            if (numericTarget && d.startsWith("'") &&
+                scala.util.Try(BigDecimal(
+                  d.stripPrefix("'").stripSuffix("'"))).isFailure)
+              throw new IllegalArgumentException(
+                s"Incompatible DEFAULT $d for numeric column " +
+                s"'${stripTick(cn)}' (MySQL 1067)")
+          }
           val (dt, _) = mysqlDataType(spec)
           declareCharLimitFromSpec(e, table, stripTick(cn), spec)
           // inline attributes on ADD COLUMN declare like CREATE's column
@@ -2424,6 +2439,10 @@ object Dml {
               s"table '$table' does not have column '${stripTick(cn)}' " +
               s"(MySQL 1054: multi-ALTER actions resolve against the " +
               s"statement-start schema)")
+          // a dropped column is unavailable to LATER actions in the
+          // same statement ("drop column j, rename column j to k" is
+          // ErrTableColumnNotFound — multi-alter ddl column errors)
+          renamedAway += lc
           // CHECK constraints referencing ONLY this column drop with it;
           // a multi-column check referencing it blocks the drop
           // (alter_table_queries.go:209-330, MySQL 3959)
@@ -2447,12 +2466,24 @@ object Dml {
           df = df.drop(stripTick(cn))
           e.columnDefaults.remove((table, lc))
         case RenameCol(a, b) =>
-          renamedAway += stripTick(a).toLowerCase
+          val lcA = stripTick(a).toLowerCase
+          if (!originalCols(lcA) || renamedAway(lcA))
+            throw new IllegalArgumentException(
+              s"table '$table' does not have column '${stripTick(a)}' " +
+              s"(MySQL 1054: multi-ALTER actions resolve against the " +
+              s"statement-start schema)")
+          renamedAway += lcA
           e.renameColumnMeta(table, stripTick(a), stripTick(b))
           df = df.withColumnRenamed(stripTick(a), stripTick(b))
         case Modify(cn, spec) =>
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           val name = stripTick(cn)
+          if (!originalCols(name.toLowerCase) ||
+              renamedAway(name.toLowerCase))
+            throw new IllegalArgumentException(
+              s"table '$table' does not have column '$name' " +
+              s"(MySQL 1054: multi-ALTER actions resolve against the " +
+              s"statement-start schema)")
           declareCharLimitFromSpec(e, table, name, spec)
           // MODIFY without the AUTO_INCREMENT attribute REMOVES it
           // (alter_table_queries.go "ALTER TABLE remove AUTO_INCREMENT")

@@ -181,6 +181,60 @@ class ReferenceAlterTableCorpusSpec extends AnyFunSuite {
     engine.runScript("drop table apk; drop table apk2;")
   }
 
+  test("multi-action ALTER resolves every action against the START " +
+      "schema; error surface ('Error queries' / 'multi-alter ddl " +
+      "column errors' / RenameColumnScripts error cases)") {
+    engine.runScript(
+      """drop table if exists erri; drop table if exists errij;
+        |create table erri (i int primary key);
+        |create table errij (i int primary key, j int);
+        |""".stripMargin)
+    // a column added in THIS statement is not visible to later actions
+    assert(intercept[Exception] {
+      engine.query("alter table erri add column j int, drop column j")
+    }.getMessage.nonEmpty)
+    assert(intercept[Exception] {
+      engine.query("alter table erri add column j int, rename column j to k")
+    }.getMessage.nonEmpty)
+    assert(intercept[Exception] {
+      engine.query(
+        "alter table erri add column j int, modify column j varchar(10)")
+    }.getMessage.nonEmpty)
+    // a column dropped in THIS statement can't be renamed after
+    assert(intercept[Exception] {
+      engine.query("alter table errij drop column j, rename column j to k")
+    }.getMessage.nonEmpty)
+    assert(intercept[Exception] {
+      engine.query("alter table errij drop column k, rename column j to k")
+    }.getMessage.nonEmpty)
+    // the statement failed whole: schemas unchanged
+    assert(engine.query("select * from erri").columns.toSeq == Seq("i"))
+    assert(engine.query("select * from errij").columns.toSeq ==
+      Seq("i", "j"))
+    // table / column resolution errors
+    assert(intercept[Exception] {
+      engine.query("ALTER TABLE err_not_exist ADD COLUMN i2 INT")
+    }.getMessage.nonEmpty)
+    assert(intercept[Exception] {
+      engine.query(
+        "ALTER TABLE errij ADD COLUMN b BIGINT AFTER err_no_such_col")
+    }.getMessage.nonEmpty)
+    // adding an existing (case-insensitive) column is 1060
+    assert(intercept[IllegalArgumentException] {
+      engine.query("ALTER TABLE errij ADD COLUMN I BIGINT")
+    }.getMessage.contains("1060"))
+    // duplicate adds inside one statement collide too
+    assert(intercept[IllegalArgumentException] {
+      engine.query("ALTER TABLE erri ADD COLUMN c int, add c int")
+    }.getMessage.contains("1060"))
+    // incompatible literal default for a numeric column is 1067
+    assert(intercept[IllegalArgumentException] {
+      engine.query(
+        "ALTER TABLE erri ADD COLUMN b INT NOT NULL DEFAULT 'yes'")
+    }.getMessage.contains("1067"))
+    engine.runScript("drop table erri; drop table errij;")
+  }
+
   test("add column with inline UNIQUE / CHECK; duplicate add is " +
       "case-insensitive 1060") {
     engine.runScript(
