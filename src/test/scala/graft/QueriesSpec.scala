@@ -17,7 +17,7 @@ class QueriesSpec extends AnyFunSuite {
   SparkEntry.all.foreach { q =>
     test(s"${q.name} executes" + (if (q.oracle.isDefined) " [oracle]" else "")) {
       val df = q.fn(spark, sfDir)
-      val n = df.count()
+      val n = try df.count() finally CacheScope.drain()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
     }
   }
