@@ -1293,17 +1293,30 @@ object Dml {
       }
       e.declareIndex(table, name, colSeq ++ exprItems.map(ex => s"($ex)"))
       if (uniq != null) {
-        if (colSeq.nonEmpty) {
+        if (exprItems.isEmpty) {
           e.declareUnique(table, name, colSeq)
           try e.validateNoDuplicates(table, name, colSeq)
           catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
-        }
-        // functional UNIQUE: enforce the EXPRESSION result's uniqueness,
-        // validating existing rows first like a column unique index
-        exprItems.foreach(ex => e.uniqueExprIdx += ((table, name, ex)))
-        if (exprItems.nonEmpty)
+        } else {
+          // functional UNIQUE: uniqueness is over the TUPLE of all parts
+          // — a composite like (a, (b+1)) must reject only rows equal on
+          // BOTH parts, so columns and expressions fold into one combined
+          // probe (per-part checks would reject rows MySQL accepts).
+          // MySQL's NULL exemption applies when ANY part is NULL, which
+          // the CASE collapse to NULL reproduces under the probe's
+          // `isNotNull` gate.
+          val parts = items.map { it =>
+            if (it.startsWith("(")) it.stripPrefix("(").stripSuffix(")").trim
+            else s"`${stripTick(it.trim)}`"
+          }
+          val combined =
+            if (parts.length == 1) parts.head
+            else s"CASE WHEN ${parts.map(p => s"($p) IS NULL").mkString(" OR ")} " +
+              s"THEN NULL ELSE struct(${parts.mkString(", ")}) END"
+          e.uniqueExprIdx += ((table, name, combined))
           try e.enforceUniqueExprsPost(table, e.spark.table(table))
           catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
+        }
       }
       Some(ok(e, 0L))
 

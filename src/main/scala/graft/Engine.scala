@@ -2835,8 +2835,16 @@ class Engine(val spark: SparkSession) {
         "LOAD DATA field terms must be a single character " +
         "(MySQL ErrUnexpectedSeparator)")
     // missing infile is MySQL ErrLoadDataCannotOpen, surfaced eagerly
-    // (the distributed read is lazy and would error mid-insert)
-    if (!new java.io.File(path).exists())
+    // (the distributed read is lazy and would error mid-insert). Probe
+    // through the Hadoop FileSystem so scheme'd paths (hdfs://, s3a://,
+    // file: URIs) a cluster deployment feeds resolve the same way the
+    // actual spark.read will — a bare java.io.File check would reject
+    // every non-local path Spark could open.
+    val canOpen = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case _: Throwable => false }
+    if (!canOpen)
       throw new IllegalArgumentException(
         s"LOAD DATA is unable to open file: '$path' " +
         s"(MySQL ErrLoadDataCannotOpen)")
@@ -2997,22 +3005,34 @@ class Engine(val spark: SparkSession) {
             // REPLACE semantics: rows sharing the declared key drop
             // first, then the batch inserts (load_queries.go "Load data
             // can replace row with existing primary key"); affected
-            // counts both, like REPLACE INTO
+            // counts both, like REPLACE INTO. The delete is committed
+            // before insertDf so its uniqueness probes see the post-
+            // delete table, but the statement must stay atomic: if any
+            // insert-phase validation (CHECK/FK/NOT NULL/vector-dim)
+            // throws, the pre-statement snapshot is restored — `t`
+            // captures the view's plan before the re-point, so the
+            // rollback is a cheap view re-point, not a data copy.
             val keys = tableKeys.getOrElse(table, Seq.empty)
             var deleted = 0L
+            val snapshot = spark.table(table)
             if (keys.nonEmpty) {
               import org.apache.spark.sql.functions.col
-              val t = spark.table(table)
               val keyRows = coerced
                 .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*)
                 .distinct()
-              deleted = t.join(keyRows, keys.toIndexedSeq, "left_semi").count()
+              deleted = snapshot.join(keyRows, keys.toIndexedSeq, "left_semi").count()
               replaceTable(table,
-                t.join(keyRows, keys.toIndexedSeq, "left_anti"),
+                snapshot.join(keyRows, keys.toIndexedSeq, "left_anti"),
                 bumpDepth = true)
             }
-            deleted + insertDf(table, coerced,
+            try deleted + insertDf(table, coerced,
               fillMissing = shaped.nonEmpty)
+            catch {
+              case ex: Throwable =>
+                if (keys.nonEmpty)
+                  replaceTable(table, snapshot, bumpDepth = false)
+                throw ex
+            }
           case "IGNORE" =>
             insertDf(table, coerced, fillMissing = shaped.nonEmpty,
               ignoreDups = true)
@@ -3071,12 +3091,6 @@ class Engine(val spark: SparkSession) {
     val c = t.columns.find(_.equalsIgnoreCase(col0)).getOrElse(
       throw new IllegalArgumentException(
         s"Unknown column '$col0' in '$table'"))
-    val groups = t.groupBy(col(s"`$c`").as("v"))
-      .agg(count(lit(1)).as("n")).orderBy(col("v")).collect()
-    val (nullRows, valRows) = groups.partition(_.isNullAt(0))
-    val nulls = nullRows.map(_.getLong(1)).sum
-    val rowCount = nulls + valRows.map(_.getLong(1)).sum
-    val distinct = valRows.length.toLong
     def jsonVal(v: Any): String = v match {
       case null => "null"
       case s: String => "\"" + s.replace("\\", "\\\\")
@@ -3085,19 +3099,64 @@ class Engine(val spark: SparkSession) {
       case ts: java.sql.Timestamp => "\"" + ts + "\""
       case other => String.valueOf(other)
     }
-    // equi-height merge to <= 20 buckets (small tables get one bucket
-    // per distinct value, like the reference's exact histograms)
     val maxBuckets = 20
-    val per = math.max(1, math.ceil(valRows.length / maxBuckets.toDouble).toInt)
-    val buckets = valRows.grouped(per).map { g =>
-      val n = g.map(_.getLong(1)).sum
-      val ub = g.last.get(0)
-      s"""{"row_count": $n, "distinct_count": ${g.length}, """ +
-        s""""upper_bound": [${jsonVal(ub)}], """ +
-        s""""bound_count": ${g.last.getLong(1)}}"""
-    }.mkString("[", ", ", "]")
-    s"""{"row_count": $rowCount, "distinct_count": $distinct, """ +
-      s""""null_count": $nulls, "buckets": $buckets}"""
+    val grouped = t.groupBy(col(s"`$c`").as("v"))
+      .agg(count(lit(1)).as("n"))
+    // cardinality gate: plain ANALYZE runs this over key columns, whose
+    // distinct set IS the table — collecting it driver-side is an OOM at
+    // scale. Low-cardinality columns keep the exact in-driver histogram;
+    // past the cap the identical bucket layout is computed distributed
+    // (executor-side sort window, spillable) and only <= maxBuckets
+    // summary rows ever reach the driver.
+    val distinctCap = 10000L
+    val probe = grouped.limit((distinctCap + 1).toInt).count()
+    if (probe <= distinctCap) {
+      val groups = grouped.orderBy(col("v")).collect()
+      val (nullRows, valRows) = groups.partition(_.isNullAt(0))
+      val nulls = nullRows.map(_.getLong(1)).sum
+      val rowCount = nulls + valRows.map(_.getLong(1)).sum
+      val distinct = valRows.length.toLong
+      // equi-height merge to <= 20 buckets (small tables get one bucket
+      // per distinct value, like the reference's exact histograms)
+      val per = math.max(1, math.ceil(valRows.length / maxBuckets.toDouble).toInt)
+      val buckets = valRows.grouped(per).map { g =>
+        val n = g.map(_.getLong(1)).sum
+        val ub = g.last.get(0)
+        s"""{"row_count": $n, "distinct_count": ${g.length}, """ +
+          s""""upper_bound": [${jsonVal(ub)}], """ +
+          s""""bound_count": ${g.last.getLong(1)}}"""
+      }.mkString("[", ", ", "]")
+      s"""{"row_count": $rowCount, "distinct_count": $distinct, """ +
+        s""""null_count": $nulls, "buckets": $buckets}"""
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val totals = t.agg(count(lit(1)).as("rc"),
+        count(col(s"`$c`")).as("nn")).head()
+      val rowCount = totals.getLong(0)
+      val nulls = rowCount - totals.getLong(1)
+      val nonNull = grouped.filter(col("v").isNotNull)
+      val distinct = nonNull.count()
+      val per = math.max(1L, math.ceil(distinct / maxBuckets.toDouble).toLong)
+      // same layout rule as the exact path: rank distinct values by v,
+      // bucket i = ranks [i*per, (i+1)*per). The global window sorts on
+      // one executor task (disk-spillable), never on the driver.
+      val w = Window.orderBy(col("v"))
+      val rows = nonNull
+        .withColumn("rk", row_number().over(w))
+        .withColumn("b", ((col("rk") - 1) / per).cast("long"))
+        .groupBy(col("b"))
+        .agg(sum(col("n")).as("bn"), count(lit(1)).as("bd"),
+          max(struct(col("rk"), col("v"), col("n"))).as("last"))
+        .orderBy(col("b")).collect()
+      val buckets = rows.map { r =>
+        val last = r.getStruct(3)
+        s"""{"row_count": ${r.getLong(1)}, "distinct_count": ${r.getLong(2)}, """ +
+          s""""upper_bound": [${jsonVal(last.get(1))}], """ +
+          s""""bound_count": ${last.getLong(2)}}"""
+      }.mkString("[", ", ", "]")
+      s"""{"row_count": $rowCount, "distinct_count": $distinct, """ +
+        s""""null_count": $nulls, "buckets": $buckets}"""
+    }
   }
 
   /** The key columns plain ANALYZE TABLE collects stats for: the

@@ -56,7 +56,7 @@ object TableFuncSql {
     val seen = scala.collection.mutable.Set.empty[(String, (Int, Int))]
     Call.findAllMatchIn(sql).foreach { m =>
       val nm = m.group(2).toLowerCase
-      if (knownFuncs(nm)) {
+      if (knownFuncs(nm) && tablePosition(sql, m)) {
         val open = sql.indexOf('(', m.start + m.group(1).length)
         val close = closingParen(sql, open + 1)
         if (close >= 0 &&
@@ -77,11 +77,13 @@ object TableFuncSql {
       guard += 1
       val m0 = Call.findAllMatchIn(out).find { m =>
         val nm = m.group(2).toLowerCase
-        // known fixtures rewrite in ANY table position; unknown names
-        // only error when directly FROM/JOIN-adjacent at clause level
-        // (comma positions and the FROM inside TRIM/SUBSTRING/EXTRACT
-        // are too ambiguous with scalar calls)
-        knownFuncs(nm) ||
+        // known fixtures rewrite in any TABLE position (FROM/JOIN
+        // adjacency, or a comma that continues a FROM list — never a
+        // SELECT-list comma or a match inside a string literal); unknown
+        // names only error when directly FROM/JOIN-adjacent at clause
+        // level (comma positions and the FROM inside TRIM/SUBSTRING/
+        // EXTRACT are too ambiguous with scalar calls)
+        (knownFuncs(nm) && tablePosition(out, m)) ||
           (!passThrough(nm) && !m.group(1).startsWith(",") &&
             clauseLevel(out, m.start) && notAQuote(out, m.start))
       }
@@ -136,6 +138,50 @@ object TableFuncSql {
       !passThrough(nm) && !m.group(1).startsWith(",") &&
         clauseLevel(sql, m.start) && notAQuote(sql, m.start)
     }
+
+  /** A matched call is in TABLE position when it's outside string
+    * literals and either FROM/JOIN-adjacent or reached via a comma that
+    * continues a FROM list (the clause keyword governing the position is
+    * FROM, or an ON/USING trailing a join in the same list) — a
+    * SELECT-list comma (`SELECT a, sequence_table('x', 2)`) is a scalar
+    * call and must not rewrite. */
+  private def tablePosition(sql: String, m: scala.util.matching.Regex.Match)
+      : Boolean =
+    notAQuote(sql, m.start) &&
+      (!m.group(1).startsWith(",") || inFromList(sql, m.start))
+
+  /** Which clause keyword governs position `at` (same paren depth,
+    * quotes skipped): true when it's FROM, or ON/USING after a join in
+    * the FROM list. */
+  private def inFromList(sql: String, at: Int): Boolean = {
+    val kws = Seq("select", "from", "where", "group", "order", "having",
+      "limit", "union", "intersect", "except", "on", "using", "set",
+      "values")
+    val stack = scala.collection.mutable.ArrayDeque.empty[String]
+    var cur = ""; var quote: Char = 0; var i = 0
+    while (i < at) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`') i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => stack.append(cur); cur = ""
+        case ')' => cur = if (stack.nonEmpty) stack.removeLast() else ""
+        case _ if Character.isLetter(c) &&
+            (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+              sql.charAt(i - 1) != '_' && sql.charAt(i - 1) != '.')) =>
+          kws.find(k => sql.regionMatches(true, i, k, 0, k.length) &&
+              (i + k.length >= sql.length ||
+                (!Character.isLetterOrDigit(sql.charAt(i + k.length)) &&
+                  sql.charAt(i + k.length) != '_')))
+            .foreach(cur = _)
+        case _ =>
+      }
+      i += 1
+    }
+    cur == "from" || cur == "on" || cur == "using"
+  }
 
   /** True when the FROM/JOIN at `at` is a clause keyword, not the FROM
     * of TRIM/SUBSTRING/EXTRACT/POSITION: either no enclosing unclosed

@@ -146,4 +146,47 @@ class ReferenceIndexedExprCorpusSpec extends AnyFunSuite {
     assert(rows("SELECT count(*) FROM fu WHERE c1 = 100") == Seq(Seq(2L)))
     engine.runScript("drop table fu; drop table fv;")
   }
+  test("composite UNIQUE over mixed column + expression parts enforces " +
+      "the TUPLE, not each part independently") {
+    engine.runScript(
+      """drop table if exists fm;
+        |CREATE TABLE fm (pk INT PRIMARY KEY, a INT, b INT);
+        |INSERT INTO fm VALUES (1, 1, 10), (2, 1, 20), (3, 2, 10);
+        |""".stripMargin)
+    // (a, (b+1)): rows 1-3 collide on one part each but never on both
+    engine.query("CREATE UNIQUE INDEX idxm ON fm (a, (b+1))")
+    // still acceptable: same a, different b+1 / same b+1, different a
+    engine.query("INSERT INTO fm VALUES (4, 1, 30), (5, 3, 10)")
+    // full-tuple duplicate rejects
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO fm VALUES (6, 1, 10)")
+    }.getMessage.contains("duplicate unique key"))
+    // NULL in ANY part exempts the row (MySQL unique-index NULL rule)
+    engine.query("INSERT INTO fm VALUES (7, NULL, 10), (8, NULL, 10), " +
+      "(9, 1, NULL), (10, 1, NULL)")
+    assert(rows("SELECT count(*) FROM fm") == Seq(Seq(9L)))
+    // multiple expression parts: tuple semantics there too
+    engine.runScript(
+      """drop table if exists fm2;
+        |CREATE TABLE fm2 (pk INT PRIMARY KEY, a INT, b INT);
+        |INSERT INTO fm2 VALUES (1, 1, 10), (2, 1, 20);
+        |CREATE UNIQUE INDEX idxm2 ON fm2 ((a*2), (b*2));
+        |INSERT INTO fm2 VALUES (3, 2, 10);
+        |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("INSERT INTO fm2 VALUES (4, 1, 10)")
+    }.getMessage.contains("duplicate unique key"))
+    // declaring over a violating table fails and leaves no constraint
+    engine.runScript(
+      """drop table if exists fm3;
+        |CREATE TABLE fm3 (pk INT PRIMARY KEY, a INT, b INT);
+        |INSERT INTO fm3 VALUES (1, 1, 10), (2, 1, 10);
+        |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      engine.query("CREATE UNIQUE INDEX idxm3 ON fm3 (a, (b+1))")
+    }.getMessage.contains("duplicate unique key"))
+    engine.query("INSERT INTO fm3 VALUES (3, 1, 10)")
+    engine.runScript("drop table fm; drop table fm2; drop table fm3;")
+  }
+
 }

@@ -223,4 +223,36 @@ class ReferenceLoadDataCorpusSpec extends AnyFunSuite {
     }.getMessage.contains("@@k"))
     engine.query("drop table lte")
   }
+  test("REPLACE mode is statement-atomic: a failed insert-phase " +
+      "validation leaves the pre-statement rows intact") {
+    engine.query("drop table if exists lra")
+    engine.query("create table lra (i text, j text, k text, " +
+      "CHECK (j <> 'mno'))")
+    engine.query("alter table lra add primary key (i)")
+    engine.query("insert into lra values ('jkl', 'old', 'old')")
+    // test9's second row (jkl, mno, pqr) matches the existing key AND
+    // violates the CHECK: the statement must fail as a unit — the
+    // key-matching delete phase must not survive the failed insert
+    assert(intercept[Exception] {
+      engine.query(s"LOAD DATA INFILE '$test9' REPLACE INTO TABLE lra " +
+        "FIELDS TERMINATED BY '\\t'")
+    }.getMessage.toLowerCase.contains("check"))
+    assert(rows("select * from lra") == Seq(Seq("jkl", "old", "old")))
+    engine.query("drop table lra")
+  }
+
+  test("scheme'd infile paths resolve through the Hadoop FileSystem " +
+      "(file: URI loads; a missing scheme'd path still errors eagerly)") {
+    engine.query("drop table if exists lsp")
+    engine.query("create table lsp (i text, j text, k text)")
+    engine.query(s"LOAD DATA INFILE 'file:$test9' INTO TABLE lsp " +
+      "FIELDS TERMINATED BY '\\t'")
+    assert(rows("select count(*) from lsp") == Seq(Seq(2L)))
+    assert(intercept[IllegalArgumentException] {
+      engine.query("LOAD DATA INFILE 'file:/nope/missing.txt' " +
+        "INTO TABLE lsp")
+    }.getMessage.toLowerCase.contains("unable to open"))
+    engine.query("drop table lsp")
+  }
+
 }

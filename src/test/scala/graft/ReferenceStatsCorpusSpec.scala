@@ -117,4 +117,29 @@ class ReferenceStatsCorpusSpec extends AnyFunSuite {
     assert(stats().filterNot(x => x._1 == "st4" || x._1 == "st5") ==
       stats())
   }
+  test("high-cardinality ANALYZE stays distributed: exact counts, " +
+      "<= 20 equi-height buckets, no full distinct-set collect") {
+    engine.query("drop table if exists stbig")
+    // 30k distinct keys — past the 10k driver-collect cap, so the
+    // histogram must come from the distributed bucket path
+    engine.spark.range(0, 30000).selectExpr("id AS i")
+      .createOrReplaceTempView("stbig")
+    engine.declareKey("stbig", Seq("i"))
+    engine.query("ANALYZE TABLE stbig")
+    engine.enableInformationSchema()
+    val h = engine.query("SELECT histogram FROM " +
+      "information_schema.column_statistics WHERE table_name = 'stbig'")
+      .collect().head.getString(0)
+    assert(h.contains("\"row_count\": 30000"))
+    assert(h.contains("\"distinct_count\": 30000"))
+    assert(h.contains("\"null_count\": 0"))
+    val buckets = "\\{\"row_count\"".r.findAllIn(h).size - 1
+    assert(buckets == 20, s"expected 20 buckets, got $buckets")
+    // equi-height layout: first bucket covers ranks 1..1500, upper bound 1499
+    assert(h.contains("\"upper_bound\": [1499]"))
+    assert(h.contains("\"upper_bound\": [29999]"))
+    engine.columnStats.remove(("stbig", "i"))
+    engine.query("drop table if exists stbig")
+  }
+
 }

@@ -141,4 +141,24 @@ class ReferenceTableFuncCorpusSpec extends AnyFunSuite {
         "sequence_table('y', 5) on x = y").collect()
     }.getMessage.contains("1066"))
   }
+  test("fixture names in scalar positions or string literals are not " +
+      "rewritten; FROM-list commas still are") {
+    // SELECT-list comma: not a table position — the name resolves (and
+    // fails) as a scalar function, never as mangled derived-table text
+    val e1 = intercept[Exception] {
+      engine.query("SELECT 1, sequence_table('x', 2)").collect()
+    }.getMessage.toLowerCase
+    assert(e1.contains("sequence_table"))
+    assert(!e1.contains("explode"), s"rewrite leaked into scalar position: $e1")
+    // string literal carrying a call-shaped fixture name: untouched
+    assert(rows("SELECT ' from sequence_table(1, 2) ' AS s") ==
+      Seq(Seq(" from sequence_table(1, 2) ")))
+    assert(rows("SELECT 'a, sequence_table(1, 2)' AS s") ==
+      Seq(Seq("a, sequence_table(1, 2)")))
+    // comma continuing a FROM list: still a table position
+    assert(rows("SELECT t.a, s.x FROM (SELECT 7 AS a) t, " +
+      "sequence_table('x', 2) s ORDER BY s.x") ==
+      Seq(Seq(7, 0), Seq(7, 1)))
+  }
+
 }
