@@ -1269,7 +1269,14 @@ object Dml {
       val (exprItems0, colItems) = items.partition(_.startsWith("("))
       val exprItems = exprItems0
         .map(s => s.stripPrefix("(").stripSuffix(")").trim)
-      val colSeq = colItems.map(c => stripTick(c.trim))
+      val liveType = (c: String) => scala.util.Try(e.spark.table(table))
+        .toOption.flatMap(_.schema.fields.find(_.name.equalsIgnoreCase(c)))
+        .map(_.dataType)
+      // column items may carry prefix lengths — "v1(3)" — validated the
+      // same way CREATE TABLE / ALTER key parts are
+      val colParts = colItems.flatMap(ci =>
+        parseKeyParts(e, table, ci, isPk = false, liveType))
+      val colSeq = colParts.map(_._1)
       // vector index constraints (vector_index_queries.go): exactly one
       // column, and it must hold vectors (a vector/json column), never
       // a scalar
@@ -1292,8 +1299,13 @@ object Dml {
           s"(MySQL ErrVectorInvalidColumnType)")
       }
       e.declareIndex(table, name, colSeq ++ exprItems.map(ex => s"($ex)"))
+      colParts.foreach {
+        case (c, Some(n)) => e.declareIndexPrefix(table, name, c, n)
+        case _ => ()
+      }
+      val hasPrefix = colParts.exists(_._2.nonEmpty)
       if (uniq != null) {
-        if (exprItems.isEmpty) {
+        if (exprItems.isEmpty && !hasPrefix) {
           e.declareUnique(table, name, colSeq)
           try e.validateNoDuplicates(table, name, colSeq)
           catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
@@ -1307,12 +1319,18 @@ object Dml {
           // `isNotNull` gate.
           val parts = items.map { it =>
             if (it.startsWith("(")) it.stripPrefix("(").stripSuffix(")").trim
-            else s"`${stripTick(it.trim)}`"
+            else {
+              val (c, l) =
+                parseKeyParts(e, table, it, isPk = false, liveType).head
+              l.map(n => s"substring(`$c`, 1, $n)").getOrElse(s"`$c`")
+            }
           }
           val combined =
             if (parts.length == 1) parts.head
             else s"CASE WHEN ${parts.map(p => s"($p) IS NULL").mkString(" OR ")} " +
               s"THEN NULL ELSE struct(${parts.mkString(", ")}) END"
+          // prefix-only composites still render as a plain UNIQUE KEY
+          if (exprItems.isEmpty) e.declareUnique(table, name, colSeq)
           e.uniqueExprIdx += ((table, name, combined))
           try e.enforceUniqueExprsPost(table, e.spark.table(table))
           catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
@@ -1711,7 +1729,85 @@ object Dml {
       else s.takeWhile(c => !c.isWhitespace && c != ',')
     }
 
-  private val keyCols = """\(([^)]*)\)""".r
+  // one nesting level: key-part lists may carry prefix lengths —
+  // "PRIMARY KEY (i(10))", "unique index (v1(3),v2(5))"
+  private val keyCols = """\(((?:[^()]|\([^()]*\))*)\)""".r
+
+  /** "v1(3), v2" → (column, prefix-length) parts with the reference's
+    * prefix-index validation (enginetest/queries/index_queries.go
+    * IndexPrefixQueries; sql/errors.go): zero length → 1391; prefix on a
+    * non-string/binary column or past the declared char length → 1089;
+    * any prefix inside a PRIMARY KEY → ErrUnsupportedIndexPrefix (the
+    * reference's storage cannot prefix its clustered key — matched for
+    * error-shape parity). */
+  private def parseKeyParts(e: Engine, table: String, colsRaw: String,
+      isPk: Boolean,
+      typeOf: String => Option[org.apache.spark.sql.types.DataType])
+      : Seq[(String, Option[Int])] = {
+    import org.apache.spark.sql.types._
+    val Part =
+      """(?is)^\s*(`[^`]+`|[A-Za-z_][A-Za-z0-9_$]*)\s*(?:\(\s*(\d+)\s*\))?\s*(?:ASC|DESC)?\s*$""".r
+    val invalid = (c: String) => new IllegalArgumentException(
+      s"incorrect prefix key '$c'; the used key part isn't a string, " +
+      "the used length is longer than the key part, or the storage " +
+      "engine doesn't support unique prefix keys (MySQL 1089)")
+    splitTop(colsRaw).map(_.trim).filter(_.nonEmpty).map { p =>
+      p match {
+        case Part(c0, len0) =>
+          val c = stripTick(c0)
+          Option(len0).map(_.toInt) match {
+            case Some(0) =>
+              throw new IllegalArgumentException(
+                s"key part '$c' length cannot be 0 (MySQL 1391)")
+            case Some(n) =>
+              val dt = typeOf(c)
+              val stringy = dt.exists(d =>
+                d.isInstanceOf[StringType] || d == BinaryType)
+              if (dt.isDefined && !stringy) throw invalid(c)
+              // over-limit beats the PK-unsupported error (reference
+              // IndexPrefixQueries "string index prefix errors": v(11)
+              // on varchar(10) is 1089 even inside a PRIMARY KEY)
+              if (e.charLimitOf(table, c).exists(n > _)) throw invalid(c)
+              if (isPk) throw new IllegalArgumentException(
+                s"prefix index on string column '$c' unsupported")
+              (c, Some(n))
+            case None => (c, None)
+          }
+        case other => (stripTick(other), None)
+      }
+    }
+  }
+
+  /** Substring-tuple uniqueness probe for a prefix-bearing UNIQUE key:
+    * NULL in any part exempts the row (the CASE collapse), matching the
+    * MySQL unique-index NULL rule the plain path follows. */
+  private def prefixProbe(parts: Seq[(String, Option[Int])]): String = {
+    val exprs = parts.map { case (c, l) =>
+      l.map(n => s"substring(`$c`, 1, $n)").getOrElse(s"`$c`") }
+    if (exprs.length == 1) exprs.head
+    else s"CASE WHEN ${exprs.map(p => s"($p) IS NULL").mkString(" OR ")} " +
+      s"THEN NULL ELSE struct(${exprs.mkString(", ")}) END"
+  }
+
+  /** Declare index metadata (+ prefix lengths) and, for UNIQUE, the
+    * matching enforcement: full-tuple via declareUnique plus — when any
+    * part carries a prefix — a substring-tuple probe through
+    * uniqueExprIdx (prefix uniqueness is strictly tighter than
+    * whole-column uniqueness, so both can coexist). */
+  private def declareParsedKey(e: Engine, table: String, name: String,
+      parts: Seq[(String, Option[Int])], unique: Boolean): Unit = {
+    val cols = parts.map(_._1)
+    e.declareIndex(table, name, cols)
+    parts.foreach {
+      case (c, Some(n)) => e.declareIndexPrefix(table, name, c, n)
+      case _ => ()
+    }
+    if (unique) {
+      e.declareUnique(table, name, cols)
+      if (parts.exists(_._2.nonEmpty))
+        e.uniqueExprIdx += ((table, name, prefixProbe(parts)))
+    }
+  }
 
   /** one `name TYPE [flags]` item -> StructField (+ vocab/key bookkeeping) */
   private def parseColDef(e: Engine, table: String, item: String)
@@ -2107,8 +2203,11 @@ object Dml {
     splitTop(body).foreach { item =>
       val up = item.toUpperCase
       if (up.startsWith("PRIMARY KEY")) {
-        keyCols.findFirstMatchIn(item).foreach(k =>
-          e.declareKey(table, k.group(1).split(",").map(c => stripTick(c.trim)).toSeq))
+        keyCols.findFirstMatchIn(item).foreach { k =>
+          val parts = parseKeyParts(e, table, k.group(1), isPk = true,
+            c => fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+          e.declareKey(table, parts.map(_._1))
+        }
       } else if (up.startsWith("FOREIGN") ||
           (up.startsWith("CONSTRAINT") && up.contains("FOREIGN"))) {
         parseFk(e, table, item).foreach(e.declareForeignKey)
@@ -2116,14 +2215,22 @@ object Dml {
         // UNIQUE [KEY|INDEX] [name] (cols): enforced like the PK but
         // NULL-exempt (MySQL unique-index semantics)
         val m = ("(?is)^UNIQUE\\s+(?:KEY\\s+|INDEX\\s+)?" +
-          "(?:`?([A-Za-z0-9_]+)`?\\s*)?\\(([^)]*)\\)").r
+          "(?:`?([A-Za-z0-9_]+)`?\\s*)?\\(((?:[^()]|\\([^()]*\\))*)\\)").r
           .findFirstMatchIn(item)
         m.foreach { mm =>
-          val cols = mm.group(2).split(",").map(c => stripTick(c.trim)).toSeq
-          val name = Option(mm.group(1)).getOrElse(cols.mkString("_"))
+          val parts = parseKeyParts(e, table, mm.group(2), isPk = false,
+            c => fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+          // MySQL's default index name: the first key column, deduped
+          // with _2/_3 against already-declared indexes
+          val taken = e.secondaryIndexes.collect {
+            case (t, n, _) if t == table => n.toLowerCase }.toSet
+          val base = parts.head._1
+          val name = Option(mm.group(1)).getOrElse(
+            if (!taken(base.toLowerCase)) base
+            else Iterator.from(2).map(i => s"${base}_$i")
+              .find(n => !taken(n.toLowerCase)).get)
           checkIdent(name)
-          e.declareUnique(table, name, cols)
-          e.declareIndex(table, name, cols)
+          declareParsedKey(e, table, name, parts, unique = true)
         }
       } else if (up.startsWith("CHECK") ||
           (up.startsWith("CONSTRAINT") && up.contains("CHECK"))) {
@@ -2138,19 +2245,19 @@ object Dml {
         // KEYS render it; an unnamed index takes its first column's
         // name, deduped with _2/_3 like MySQL
         val m = ("(?is)^(?:KEY|INDEX)\\s*" +
-          "(?:`?([A-Za-z0-9_]+)`?\\s*)?\\(([^)]*)\\)").r
+          "(?:`?([A-Za-z0-9_]+)`?\\s*)?\\(((?:[^()]|\\([^()]*\\))*)\\)").r
           .findFirstMatchIn(item)
         m.foreach { mm =>
-          val cols = mm.group(2).split(",")
-            .map(c => stripTick(c.trim.split("\\(")(0).trim)).toSeq
-          val base = Option(mm.group(1)).getOrElse(cols.head)
+          val parts = parseKeyParts(e, table, mm.group(2), isPk = false,
+            c => fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+          val base = Option(mm.group(1)).getOrElse(parts.head._1)
           checkIdent(base)
           val taken = e.secondaryIndexes.collect {
             case (t, n, _) if t == table => n.toLowerCase }.toSet
           val name = if (!taken(base.toLowerCase)) base
             else Iterator.from(2).map(i => s"${base}_$i")
               .find(n => !taken(n.toLowerCase)).get
-          e.declareIndex(table, name, cols)
+          declareParsedKey(e, table, name, parts, unique = false)
         }
       } else if (Seq("UNIQUE", "CONSTRAINT", "FOREIGN",
           "FULLTEXT", "SPATIAL").exists(up.startsWith))
@@ -2276,11 +2383,12 @@ object Dml {
       """(?is)^MODIFY\s+(?:COLUMN\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
     val Change =
       """(?is)^CHANGE\s+(?:COLUMN\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
-    val AddPk = """(?is)^ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)$""".r
+    val AddPk =
+      """(?is)^ADD\s+PRIMARY\s+KEY\s*\(((?:[^()]|\([^()]*\))*)\)$""".r
     val IndexDdl =
       """(?is)^(?:ADD\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:INDEX|KEY)|DROP\s+(?:INDEX|KEY|PRIMARY\s+KEY)|ALTER\s+INDEX|RENAME\s+(?:INDEX|KEY)|ENGINE|AUTO_INCREMENT|COMMENT|CONVERT\s+TO|CHARACTER\s+SET|COLLATE).*$""".r
     val AddIndex =
-      """(?is)^ADD\s+(UNIQUE\s+)?(?:FULLTEXT\s+|SPATIAL\s+)?(?:INDEX\s+|KEY\s+)?(?:`?([A-Za-z0-9_]+)`?\s*)?\(([^)]*)\)$""".r
+      """(?is)^ADD\s+(UNIQUE\s+)?(?:FULLTEXT\s+|SPATIAL\s+)?(?:INDEX\s+|KEY\s+)?(?:`?([A-Za-z0-9_]+)`?\s*)?\(((?:[^()]|\([^()]*\))*)\)$""".r
     val DropIdx = """(?is)^DROP\s+(?:INDEX|KEY)\s+`?([A-Za-z0-9_]+)`?$""".r
     val AddCheck =
       """(?is)^ADD\s+(?:CONSTRAINT\s+`?([A-Za-z0-9_]+)`?\s+)?CHECK\s*\(.*$""".r
@@ -2291,15 +2399,33 @@ object Dml {
         // index/constraint actions first: they'd otherwise parse as an
         // ADD COLUMN named PRIMARY/UNIQUE/INDEX
         case AddPk(cols) =>
-          e.declareKey(table, cols.split(",").map(c => stripTick(c.trim)).toSeq)
+          val liveType = (c: String) =>
+            df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+          e.declareKey(table,
+            parseKeyParts(e, table, cols, isPk = true, liveType).map(_._1))
         case AddIndex(uniq, nameOpt, cols) =>
-          val colSeq = cols.split(",").map(c => stripTick(c.trim)).toSeq
-          val name = Option(nameOpt).getOrElse(colSeq.mkString("_"))
-          e.declareIndex(table, name, colSeq)
+          val liveType = (c: String) =>
+            df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+          val parts = parseKeyParts(e, table, cols, isPk = false, liveType)
+          val colSeq = parts.map(_._1)
+          // default name: first key column, deduped _2/_3 (MySQL rule)
+          val takenIdx = e.secondaryIndexes.collect {
+            case (t, n, _) if t == table => n.toLowerCase }.toSet
+          val name = Option(nameOpt).getOrElse {
+            val base = colSeq.head
+            if (!takenIdx(base.toLowerCase)) base
+            else Iterator.from(2).map(i => s"${base}_$i")
+              .find(n => !takenIdx(n.toLowerCase)).get
+          }
+          declareParsedKey(e, table, name, parts, unique = uniq != null)
           if (uniq != null) {
-            e.declareUnique(table, name, colSeq)
-            // ADD UNIQUE validates existing rows first (MySQL 1062)
-            try e.validateNoDuplicates(table, name, colSeq)
+            // ADD UNIQUE validates existing rows first (MySQL 1062);
+            // prefix parts probe the substring tuple
+            try {
+              e.validateNoDuplicates(table, name, colSeq)
+              if (parts.exists(_._2.nonEmpty))
+                e.enforceUniqueExprsPost(table, e.spark.table(table))
+            }
             catch { case ex: Throwable => e.dropIndex(table, name); throw ex }
           }
         case a if a.toUpperCase.matches("(?s)^DROP\\s+PRIMARY\\s+KEY$") =>

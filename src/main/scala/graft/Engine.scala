@@ -2093,6 +2093,7 @@ class Engine(val spark: SparkSession) {
     charKindCols.filterInPlace { case (t, _) => t != table }
     vecDims.filterInPlace { case ((t, _), _) => t != table }
     uniqueExprIdx.filterInPlace(_._1 != table)
+    indexPrefixes.filterInPlace { case ((t, _, _), _) => t != table }
     columnStats.filterInPlace { case ((t, _), _) => t != table }
   }
 
@@ -2253,6 +2254,9 @@ class Engine(val spark: SparkSession) {
     }
   }
 
+  private[graft] def charLimitOf(table: String, column: String): Option[Int] =
+    charLimits.get((table, column.toLowerCase))
+
   def declareCharLimit(table: String, column: String, n: Int): Unit = {
     // a single column can never exceed 65535 CHARACTERS regardless of
     // charset (reference sql/types/strings.go ErrLengthTooLarge;
@@ -2343,6 +2347,11 @@ class Engine(val spark: SparkSession) {
         if (t == oldName) (newName, n, v) else (t, n, v) }
     moveTriples(checkConstraints); moveTriples(generatedCols)
     moveTriples(uniqueExprIdx)
+    indexPrefixes.toSeq.foreach { case ((t, n, c), v) =>
+      if (t == oldName) {
+        indexPrefixes.remove((t, n, c)); indexPrefixes((newName, n, c)) = v
+      }
+    }
     secondaryIndexes.mapInPlace { case (t, n, c) =>
       if (t == oldName) (newName, n, c) else (t, n, c) }
     uniqueKeys.mapInPlace { case (t, n, c) =>
@@ -3356,6 +3365,17 @@ class Engine(val spark: SparkSession) {
   def declareIndex(table: String, name: String, cols: Seq[String]): Unit =
     secondaryIndexes += ((table, name, cols))
 
+  /** Declared prefix lengths for index key parts — (table, indexName,
+    * columnLower) → length, from `KEY k (col(10))` (reference
+    * IndexPrefixQueries). Drives SHOW CREATE rendering; prefix UNIQUE
+    * enforcement goes through uniqueExprIdx substring probes. */
+  private[graft] val indexPrefixes =
+    scala.collection.mutable.Map.empty[(String, String, String), Int]
+
+  def declareIndexPrefix(table: String, name: String, col: String,
+                         len: Int): Unit =
+    indexPrefixes((table, name, col.toLowerCase)) = len
+
   /** Declared UNIQUE keys (beyond the primary key): enforced on insert
     * like the PK, except rows with a NULL key column are exempt (MySQL
     * allows any number of NULLs under a unique index). */
@@ -3369,6 +3389,8 @@ class Engine(val spark: SparkSession) {
     secondaryIndexes.filterInPlace(e => !(e._1 == table && e._2 == name))
     uniqueKeys.filterInPlace(e => !(e._1 == table && e._2 == name))
     uniqueExprIdx.filterInPlace(e => !(e._1 == table && e._2 == name))
+    indexPrefixes.filterInPlace { case ((t, n, _), _) =>
+      !(t == table && n == name) }
   }
 
   /** Functional UNIQUE indexes — CREATE UNIQUE INDEX idx ON t ((c1*10))
@@ -3483,15 +3505,19 @@ class Engine(val spark: SparkSession) {
     }
     val pk = tableKeys.get(table).map(k =>
       s"  PRIMARY KEY (${k.map(c => s"`$c`").mkString(",")})").toSeq
+    // prefix key parts render MySQL's `col`(n) form
+    def keyPart(n: String, c: String): String =
+      s"`$c`" + indexPrefixes.get((table, n, c.toLowerCase))
+        .map(l => s"($l)").getOrElse("")
     val uks = uniqueKeys.toSeq.collect { case (t, n, cols) if t == table =>
-      s"  UNIQUE KEY `$n` (${cols.map(c => s"`$c`").mkString(",")})"
+      s"  UNIQUE KEY `$n` (${cols.map(keyPart(n, _)).mkString(",")})"
     }
     val uniqueNames = uniqueKeys.collect {
       case (t, n, _) if t == table => n.toLowerCase }.toSet
     val keys = secondaryIndexes.toSeq.collect {
       case (t, n, cols) if t == table && !uniqueNames(n.toLowerCase) &&
           !n.equalsIgnoreCase("PRIMARY") =>
-        s"  KEY `$n` (${cols.map(c => s"`$c`").mkString(",")})"
+        s"  KEY `$n` (${cols.map(keyPart(n, _)).mkString(",")})"
     }
     val cks = checkConstraints.toSeq.collect { case (t, n, ex) if t == table =>
       s"  CONSTRAINT `$n` CHECK ($ex)"
