@@ -1275,7 +1275,8 @@ object Dml {
       // column items may carry prefix lengths — "v1(3)" — validated the
       // same way CREATE TABLE / ALTER key parts are
       val colParts = colItems.flatMap(ci =>
-        parseKeyParts(e, table, ci, isPk = false, liveType))
+        parseKeyParts(e, table, ci,
+          kind = if (uniq != null) "unique" else "index", liveType))
       val colSeq = colParts.map(_._1)
       // vector index constraints (vector_index_queries.go): exactly one
       // column, and it must hold vectors (a vector/json column), never
@@ -1321,7 +1322,7 @@ object Dml {
             if (it.startsWith("(")) it.stripPrefix("(").stripSuffix(")").trim
             else {
               val (c, l) =
-                parseKeyParts(e, table, it, isPk = false, liveType).head
+                parseKeyParts(e, table, it, kind = "unique", liveType).head
               l.map(n => s"substring(`$c`, 1, $n)").getOrElse(s"`$c`")
             }
           }
@@ -1741,10 +1742,11 @@ object Dml {
     * reference's storage cannot prefix its clustered key — matched for
     * error-shape parity). */
   private def parseKeyParts(e: Engine, table: String, colsRaw: String,
-      isPk: Boolean,
+      kind: String, // "pk" | "unique" | "index"
       typeOf: String => Option[org.apache.spark.sql.types.DataType])
       : Seq[(String, Option[Int])] = {
     import org.apache.spark.sql.types._
+    val isPk = kind == "pk"
     val Part =
       """(?is)^\s*(`[^`]+`|[A-Za-z_][A-Za-z0-9_$]*)\s*(?:\(\s*(\d+)\s*\))?\s*(?:ASC|DESC)?\s*$""".r
     val invalid = (c: String) => new IllegalArgumentException(
@@ -1768,10 +1770,27 @@ object Dml {
               // IndexPrefixQueries "string index prefix errors": v(11)
               // on varchar(10) is 1089 even inside a PRIMARY KEY)
               if (e.charLimitOf(table, c).exists(n > _)) throw invalid(c)
+              // InnoDB's 3072-byte key cap: text chars weigh 4 bytes
+              // (utf8mb4), blob bytes weigh 1 (blob_queries.go
+              // BlobErrors: b(3073) and t(769) are both 1071)
+              val bytes =
+                if (dt.exists(_.isInstanceOf[StringType])) 4L * n else n.toLong
+              if (bytes > 3072L) throw new IllegalArgumentException(
+                "specified key was too long; max key length is 3072 " +
+                "bytes (MySQL 1071)")
               if (isPk) throw new IllegalArgumentException(
                 s"prefix index on string column '$c' unsupported")
               (c, Some(n))
-            case None => (c, None)
+            case None =>
+              // BLOB/TEXT parts need a prefix length (MySQL 1170) —
+              // except the MariaDB-compat no-prefix UNIQUE the
+              // reference allows (index_queries.go "unique indexes on
+              // TEXT/BLOB columns with no prefix length")
+              if (kind != "unique" && e.isBlobText(table, c))
+                throw new IllegalArgumentException(
+                  s"blob/text column '$c' used in key specification " +
+                  "without a key length (MySQL 1170)")
+              (c, None)
           }
         case other => (stripTick(other), None)
       }
@@ -1925,7 +1944,17 @@ object Dml {
       if (isSet) e.declareSet(table, colName, vs, ci)
       else e.declareEnum(table, colName, vs, ci)
     }
-    if (up.contains("PRIMARY KEY")) e.declareKey(table, Seq(colName))
+    // BLOB/TEXT family columns key only with a prefix length (1170)
+    if (Set("tinytext", "text", "mediumtext", "longtext", "tinyblob",
+        "blob", "mediumblob", "longblob")(baseLower))
+      e.declareBlobText(table, colName)
+    if (up.contains("PRIMARY KEY")) {
+      if (e.isBlobText(table, colName))
+        throw new IllegalArgumentException(
+          s"blob/text column '$colName' used in key specification " +
+          "without a key length (MySQL 1170)")
+      e.declareKey(table, Seq(colName))
+    }
     else if (up.contains("UNIQUE")) {
       e.declareUnique(table, colName, Seq(colName))
       e.declareIndex(table, colName, Seq(colName))
@@ -2204,7 +2233,7 @@ object Dml {
       val up = item.toUpperCase
       if (up.startsWith("PRIMARY KEY")) {
         keyCols.findFirstMatchIn(item).foreach { k =>
-          val parts = parseKeyParts(e, table, k.group(1), isPk = true,
+          val parts = parseKeyParts(e, table, k.group(1), kind = "pk",
             c => fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
           e.declareKey(table, parts.map(_._1))
         }
@@ -2218,7 +2247,7 @@ object Dml {
           "(?:`?([A-Za-z0-9_]+)`?\\s*)?\\(((?:[^()]|\\([^()]*\\))*)\\)").r
           .findFirstMatchIn(item)
         m.foreach { mm =>
-          val parts = parseKeyParts(e, table, mm.group(2), isPk = false,
+          val parts = parseKeyParts(e, table, mm.group(2), kind = "unique",
             c => fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
           // MySQL's default index name: the first key column, deduped
           // with _2/_3 against already-declared indexes
@@ -2248,7 +2277,7 @@ object Dml {
           "(?:`?([A-Za-z0-9_]+)`?\\s*)?\\(((?:[^()]|\\([^()]*\\))*)\\)").r
           .findFirstMatchIn(item)
         m.foreach { mm =>
-          val parts = parseKeyParts(e, table, mm.group(2), isPk = false,
+          val parts = parseKeyParts(e, table, mm.group(2), kind = "index",
             c => fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
           val base = Option(mm.group(1)).getOrElse(parts.head._1)
           checkIdent(base)
@@ -2402,11 +2431,12 @@ object Dml {
           val liveType = (c: String) =>
             df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
           e.declareKey(table,
-            parseKeyParts(e, table, cols, isPk = true, liveType).map(_._1))
+            parseKeyParts(e, table, cols, kind = "pk", liveType).map(_._1))
         case AddIndex(uniq, nameOpt, cols) =>
           val liveType = (c: String) =>
             df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-          val parts = parseKeyParts(e, table, cols, isPk = false, liveType)
+          val parts = parseKeyParts(e, table, cols,
+            kind = if (uniq != null) "unique" else "index", liveType)
           val colSeq = parts.map(_._1)
           // default name: first key column, deduped _2/_3 (MySQL rule)
           val takenIdx = e.secondaryIndexes.collect {
@@ -2503,6 +2533,10 @@ object Dml {
           }
           val (dt, _) = mysqlDataType(spec)
           declareCharLimitFromSpec(e, table, stripTick(cn), spec)
+          if (Set("tinytext", "text", "mediumtext", "longtext", "tinyblob",
+              "blob", "mediumblob", "longblob")(
+              spec.trim.toLowerCase.takeWhile(c => c.isLetter || c == '_')))
+            e.declareBlobText(table, stripTick(cn))
           // inline attributes on ADD COLUMN declare like CREATE's column
           // defs (alter_table_queries.go "add column unique index" /
           // "add column with inline check constraint definition")
@@ -2624,6 +2658,28 @@ object Dml {
               s"(MySQL 1054: multi-ALTER actions resolve against the " +
               s"statement-start schema)")
           declareCharLimitFromSpec(e, table, name, spec)
+          // MODIFY to a BLOB/TEXT family type while the column sits in
+          // any prefix-less key is 1170 (blob_queries.go BlobErrors
+          // "alter table mytable modify s blob")
+          val specBase = spec.trim.toLowerCase
+            .takeWhile(c => c.isLetter || c == '_')
+          val toBlobText = Set("tinytext", "text", "mediumtext",
+            "longtext", "tinyblob", "blob", "mediumblob",
+            "longblob")(specBase)
+          if (toBlobText) {
+            val nl = name.toLowerCase
+            val keyed =
+              e.tableKeys.getOrElse(table, Seq.empty)
+                .exists(_.equalsIgnoreCase(name)) ||
+              (e.uniqueKeys ++ e.secondaryIndexes).exists { case (t, n, cs) =>
+                t == table && cs.exists(_.equalsIgnoreCase(name)) &&
+                  !e.indexPrefixes.contains((table, n, nl))
+              }
+            if (keyed) throw new IllegalArgumentException(
+              s"blob/text column '$name' used in key specification " +
+              "without a key length (MySQL 1170)")
+            e.declareBlobText(table, name)
+          } else e.blobTextCols.remove((table, name.toLowerCase))
           // MODIFY without the AUTO_INCREMENT attribute REMOVES it
           // (alter_table_queries.go "ALTER TABLE remove AUTO_INCREMENT")
           if (e.autoIncCols.get(table).exists(_.equalsIgnoreCase(name)) &&

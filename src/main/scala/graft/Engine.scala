@@ -303,6 +303,12 @@ class Engine(val spark: SparkSession) {
   // (reference sql/expression/function/aggregation/json_agg.go); Spark's
   // default duplicate-map-key policy is EXCEPTION.
   spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+  // Spark's implicit lateral column aliases stay ON: MySQL would reject
+  // a sibling projection alias reference (ErrMisusedAlias), but the
+  // engine's FROM-less-subquery HAVING rewrite flattens legal MySQL
+  // outer-alias references into exactly that lateral form, so disabling
+  // LCA trades one error-shape parity for a working resolution feature
+  // (divergence pinned in ReferenceAliasCorpusSpec).
 
   functions.expressions.register(spark)
   functions.json.register(spark)
@@ -2091,6 +2097,7 @@ class Engine(val spark: SparkSession) {
     tinyint1Cols.filterInPlace { case (t, _) => t != table }
     timePrecisions.filterInPlace { case ((t, _), _) => t != table }
     charKindCols.filterInPlace { case (t, _) => t != table }
+    blobTextCols.filterInPlace { case (t, _) => t != table }
     vecDims.filterInPlace { case ((t, _), _) => t != table }
     uniqueExprIdx.filterInPlace(_._1 != table)
     indexPrefixes.filterInPlace { case ((t, _, _), _) => t != table }
@@ -2139,6 +2146,8 @@ class Engine(val spark: SparkSession) {
       columnVocab.remove((table, fl)); columnVocab((table, to.toLowerCase)) = v
     }
     if (vocabCi.remove((table, fl))) vocabCi += ((table, to.toLowerCase))
+    if (blobTextCols.remove((table, fl)))
+      blobTextCols += ((table, to.toLowerCase))
     if (notNullCols.remove((table, fl)))
       notNullCols += ((table, to.toLowerCase))
     columnDefaults.get((table, fl)).foreach { d =>
@@ -2257,6 +2266,19 @@ class Engine(val spark: SparkSession) {
   private[graft] def charLimitOf(table: String, column: String): Option[Int] =
     charLimits.get((table, column.toLowerCase))
 
+  /** Columns declared with an unbounded BLOB/TEXT family type: keyed
+    * only with a prefix length (MySQL 1170), except the MariaDB-compat
+    * no-prefix UNIQUE the reference allows (blob_queries.go BlobErrors
+    * vs index_queries.go "unique indexes on TEXT/BLOB columns"). */
+  private[graft] val blobTextCols =
+    scala.collection.mutable.Set.empty[(String, String)]
+
+  private[graft] def declareBlobText(table: String, column: String): Unit =
+    blobTextCols += ((table, column.toLowerCase))
+
+  private[graft] def isBlobText(table: String, column: String): Boolean =
+    blobTextCols((table, column.toLowerCase))
+
   def declareCharLimit(table: String, column: String, n: Int): Unit = {
     // a single column can never exceed 65535 CHARACTERS regardless of
     // charset (reference sql/types/strings.go ErrLengthTooLarge;
@@ -2338,7 +2360,7 @@ class Engine(val spark: SparkSession) {
       moved.foreach(c => s += ((newName, c)))
     }
     moveSet(notNullCols); moveSet(vocabCi)
-    moveSet(tinyint1Cols); moveSet(charKindCols)
+    moveSet(tinyint1Cols); moveSet(charKindCols); moveSet(blobTextCols)
     // name-carrying triples rewrite in place
     def moveTriples(
         b: scala.collection.mutable.ArrayBuffer[(String, String, String)])

@@ -103,4 +103,51 @@ class ReferenceAliasCorpusSpec extends AnyFunSuite {
       engine.query("""select "foo" as dummy, (select dummy)""").collect()
     }
   }
+  test("sibling projection alias reference " +
+      "(column_alias_queries.go ErrMisusedAlias) [DIVERGENCE pinned]") {
+    // DIVERGENCE: MySQL raises ErrMisusedAlias for a sibling projection
+    // alias reference; Spark's lateral column aliases resolve it (and
+    // the engine's FROM-less-subquery HAVING rewrite depends on that
+    // resolution for legal MySQL outer-alias references). Pinned: the
+    // lateral reference resolves to the alias value.
+    val got = engine
+      .query("SELECT i AS new1, new1 as new2 FROM mytable order by new1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    // aliases stay invisible to WHERE in the same scope (both engines)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      engine.query(
+        "SELECT i AS cOl, s as COL FROM mytable where cOl = 1").collect()
+    }
+  }
+
+  test("ambiguous duplicate aliases in ORDER BY " +
+      "(column_alias_queries.go ErrAmbiguousColumnOrAliasName) " +
+      "[DIVERGENCE pinned]") {
+    // DIVERGENCE: MySQL raises ErrAmbiguousColumnOrAliasName for two
+    // same-named aliases referenced in ORDER BY; Spark resolves `u` to
+    // the underlying table column and sorts by it. Pinned: the result
+    // is u-sorted rows, deterministic, not an error.
+    val got = engine.query("select u as u, v as u from uv order by u")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((0, 3), (1, 2), (2, 1), (3, 0)))
+  }
+
+  test("three-scope alias resolution " +
+      "(column_alias_queries.go 'three scopes') [DIVERGENCE pinned]") {
+    // DIVERGENCE: MySQL correlates `y` through two nested scalar
+    // subqueries ((select (select y as q))); Spark's subquery
+    // correlation reaches only one scope up, so the inner reference is
+    // unresolved. Pinned on the corpus member; the single-nesting form
+    // resolves identically to MySQL.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      engine.query("select x, (select 1) as y, " +
+        "(select (select y as q)) as z from (select * from xy) as xy")
+        .collect()
+    }
+    check("select x, (select 1) as y, (select y as q) as z " +
+      "from (select * from xy) as xy order by x",
+      Seq(Seq(0, 1, 0), Seq(1, 1, 1), Seq(2, 1, 2), Seq(3, 1, 3)))
+  }
+
 }

@@ -226,8 +226,8 @@ class ReferenceLoadDataCorpusSpec extends AnyFunSuite {
   test("REPLACE mode is statement-atomic: a failed insert-phase " +
       "validation leaves the pre-statement rows intact") {
     engine.query("drop table if exists lra")
-    engine.query("create table lra (i text, j text, k text, " +
-      "CHECK (j <> 'mno'))")
+    engine.query("create table lra (i varchar(30), j varchar(30), " +
+      "k varchar(30), CHECK (j <> 'mno'))")
     engine.query("alter table lra add primary key (i)")
     engine.query("insert into lra values ('jkl', 'old', 'old')")
     // test9's second row (jkl, mno, pqr) matches the existing key AND
