@@ -207,18 +207,20 @@ object Dialect {
     // token-level passes first (each is literal-aware on its own):
     // GROUP_CONCAT(...SEPARATOR...) -> listagg, MySQL XOR truthiness,
     // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
-    val pre = SqlRewrite.tupleCompare(SqlRewrite.convertFn(
-      SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
-        SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql)))))))
+    val pre = SqlRewrite.orderlessRankWindow(
+      SqlRewrite.tupleCompare(SqlRewrite.convertFn(
+        SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
+          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql))))))))
     mapCode(pre)(rewriteCode)
   }
 
   /** Session-aware variant: PIPES_AS_CONCAT leaves `||` as Spark's
     * native string concatenation. */
   def rewrite(sql: String, pipesAsConcat: Boolean): String = {
-    val pre = SqlRewrite.tupleCompare(SqlRewrite.convertFn(
-      SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
-        SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql)))))))
+    val pre = SqlRewrite.orderlessRankWindow(
+      SqlRewrite.tupleCompare(SqlRewrite.convertFn(
+        SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
+          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql))))))))
     mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
   }
 

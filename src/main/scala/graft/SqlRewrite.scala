@@ -214,6 +214,63 @@ object SqlRewrite {
     else s"(($operand) <> 0)"
   }
 
+  /** MySQL permits ranking windows without ORDER BY (they number rows in
+    * arrival order — logic_test_scripts.go LATERAL row_number() OVER ()
+    * blocks); Spark rejects an orderless ranking window. Inject the
+    * constant ordering `ORDER BY 1` (literal, not ordinal, inside a
+    * window spec) into ranking-function windows that lack one. */
+  def orderlessRankWindow(sql: String): String = {
+    val re =
+      """(?is)\b(?:row_number|rank|dense_rank|percent_rank|cume_dist|ntile)\s*\([^()]*\)\s*over\s*\(""".r
+    def quoteFree(upTo: Int): Boolean = {
+      var q: Char = 0; var i = 0
+      while (i < upTo) {
+        val c = sql.charAt(i)
+        if (q != 0) { if (c == '\\' && q != '`') i += 1 else if (c == q) q = 0 }
+        else if (c == '\'' || c == '"' || c == '`') q = c
+        i += 1
+      }
+      q == 0
+    }
+    def closing(text: String, from: Int): Int = {
+      var depth = 1; var i = from; var q: Char = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (q != 0) { if (c == '\\' && q != '`') i += 1 else if (c == q) q = 0 }
+        else c match {
+          case '\'' | '"' | '`' => q = c
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    var text = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      re.findAllMatchIn(text).find { m =>
+        quoteFree(m.start) && {
+          val close = closing(text, m.end)
+          close > 0 &&
+            !"""(?is)\border\s+by\b""".r.findFirstIn(
+              text.substring(m.end, close)).isDefined
+        }
+      }.foreach { m =>
+        val close = closing(text, m.end)
+        val spec = text.substring(m.end, close).trim
+        val filled = if (spec.isEmpty) "order by 1" else s"$spec order by 1"
+        text = text.substring(0, m.end) + filled + text.substring(close)
+        changed = true
+      }
+    }
+    text
+  }
+
   def xor(sql: String): String = {
     var text = sql
     // each pass rewrites the first XOR token into `!=` form, so the token
