@@ -141,6 +141,8 @@ object Dml {
     """(?is)^\s*(`?[A-Za-z_][A-Za-z0-9_]*`?)\s+TO\s+(`?[A-Za-z_][A-Za-z0-9_]*`?)\s*$""".r
   private val DropTv =
     re("""(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?<T>\s*$""")
+  private val DropMulti =
+    """(?is)^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?((?:`?[A-Za-z0-9_.]+`?\s*,\s*)+`?[A-Za-z0-9_.]+`?)\s*$""".r
   private val Trunc =
     re("""(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?<T>\s*$""")
   private val SetVar =
@@ -456,6 +458,10 @@ object Dml {
         e.coerceAndFill(table, src, fillMissing = hasList,
           ignoreMode = !e.strictWriteMode))
       var incoming = lastPerKey(incoming0, keys)
+      // generated columns recompute for the incoming batch like INSERT
+      // (generated_columns.go "REPLACE INTO with an index over a
+      // virtual generated column")
+      incoming = e.computeGenerated(table, incoming)
       // strict: explicit NULL into NOT NULL errors 1048; non-strict
       // (SET sql_mode='') coerces to the implicit default with a
       // warning, mirroring insertIntoSelect's strict/non-strict split
@@ -650,7 +656,7 @@ object Dml {
             t.exceptAll(subset).unionByName(transformed0.drop("__rid__"))
           e.validateVocab(table, newDf)
           e.validateChecks(table, newDf)
-          e.validateForeignKeysChild(table, newDf)
+          e.validateForeignKeysChildChanged(table, subset0, transformed0)
           e.enforceParentUpdate(table, subset0, transformed0)
           e.replaceTable(table, newDf, bumpDepth = true)
           Some(ok(e, affected))
@@ -703,7 +709,7 @@ object Dml {
             val newDf = newDfRaw.drop("__rid__")
             e.validateVocab(table, newDf)
             e.validateChecks(table, newDf)
-            e.validateForeignKeysChild(table, newDf)
+            e.validateForeignKeysChildChanged(table, t0, newDfRaw)
             e.enforcePkUniquePost(table, newDf)
             e.enforceUniqueExprsPost(table, newDf)
             e.enforceParentUpdate(table, t0, newDfRaw)
@@ -720,7 +726,7 @@ object Dml {
             val cur = e.emitFlagWarnings(coerced, flagWarns).drop("__upd__")
             val newDf = cur.drop("__rid__")
             e.validateChecks(table, newDf)
-            e.validateForeignKeysChild(table, newDf)
+            e.validateForeignKeysChildChanged(table, t0, cur)
             e.enforcePkUniquePost(table, newDf)
             e.enforceUniqueExprsPost(table, newDf)
             e.enforceParentUpdate(table, t0, cur)
@@ -753,7 +759,7 @@ object Dml {
               }
             }
             e.checkConstraints.toSeq
-              .collect { case (t2, _, ex) if t2 == table => ex }
+              .collect { case (t2, _, ex, true) if t2 == table => ex }
               .foreach { ex =>
                 revert(cur.filter(updGate &&
                     !coalesce(expr(ex).cast("boolean"), lit(true))),
@@ -921,6 +927,23 @@ object Dml {
       }
       Some(ok(e, 0L))
 
+    case DropMulti(_, _, listText) =>
+      // multi-table DROP resolves FK dependency order itself: children
+      // drop before the parents they reference (foreign_key_queries.go
+      // "DROP TABLE, with multiple tables, sorts by foreign key
+      // dependencies"). A cycle falls back to listing order (and drop()
+      // raises 3730 exactly like MySQL would).
+      var remaining = topLevelSplit(listText, ',')
+        .map(n => normName(stripTick(n.trim))).toList
+      while (remaining.nonEmpty) {
+        val next = remaining.find(t =>
+          !e.foreignKeys.exists(f => f.parent == t && f.child != t &&
+            remaining.contains(f.child))).getOrElse(remaining.head)
+        e.drop(next)
+        remaining = remaining.filterNot(_ == next)
+      }
+      Some(ok(e, 0L))
+
     case DropTv(name) =>
       e.drop(normName(name)); Some(ok(e, 0L))
 
@@ -928,7 +951,9 @@ object Dml {
       val table = normName(tableRaw)
       val t = e.spark.table(table)
       // MySQL errno 1701: cannot truncate a table referenced by a FK
-      if (e.foreignKeys.exists(f => f.parent == table && f.child != table))
+      // (suspended while FOREIGN_KEY_CHECKS=0)
+      if (e.fkChecksEnabled &&
+          e.foreignKeys.exists(f => f.parent == table && f.child != table))
         throw new IllegalArgumentException(
           s"Cannot truncate a table referenced in a foreign key " +
           s"constraint (MySQL error 1701)")
@@ -1547,6 +1572,11 @@ object Dml {
         "Sub_part", "Packed", "Null", "Index_type", "Comment",
         "Index_comment", "Visible", "Expression"))
 
+    case ShowCreate(table) if e.viewDefs.contains(table) =>
+      // MySQL's SHOW CREATE TABLE on a view answers in the view form
+      // (ansi_quotes_queries.go "show create table view1")
+      dispatchTrimmed(e, s"SHOW CREATE VIEW `$table`")
+
     case ShowCreate(table) =>
       val s = e.spark
       import s.implicits._
@@ -1689,7 +1719,7 @@ object Dml {
       case FkItem(name, childCols, parentRaw, parentCols, tail) =>
         Option(name).foreach(checkIdent)
         def action(kw: String): String =
-          (s"""(?is)\\bON\\s+$kw\\s+(CASCADE|SET\\s+NULL|RESTRICT|NO\\s+ACTION)""").r
+          (s"""(?is)\\bON\\s+$kw\\s+(CASCADE|SET\\s+NULL|SET\\s+DEFAULT|RESTRICT|NO\\s+ACTION)""").r
             .findFirstMatchIn(tail)
             .map(_.group(1).toUpperCase.replaceAll("\\s+", " "))
             .getOrElse("RESTRICT")
@@ -1719,7 +1749,9 @@ object Dml {
     * scan (nested parens — DEFAULT ((2 + (3)))), quoted strings with
     * ''/\' escapes, else the bare token. */
   private def extractDefault(spec: String): Option[String] =
-    """(?is)\bDEFAULT\s+""".r.findFirstMatchIn(spec).map { m =>
+    // `DEFAULT(expr)` is legal with no space (ansi_quotes_queries.go
+    // column-defaults block), so the gap is optional before '('
+    """(?is)\bDEFAULT(?:\s+|\s*(?=\())""".r.findFirstMatchIn(spec).map { m =>
       val s = spec.substring(m.end)
       if (s.startsWith("(")) {
         val close = closingParen(s.substring(1))
@@ -1961,7 +1993,11 @@ object Dml {
     }
     if (up.contains("AUTO_INCREMENT")) e.declareAutoInc(table, colName)
     extractGenerated(rest) match {
-      case Some(g) => e.declareGenerated(table, colName, g)
+      case Some(g) =>
+        // STORED only with the explicit keyword; MySQL's default is
+        // VIRTUAL (generated_columns.go SHOW CREATE renders no suffix)
+        val stored = """(?i)\bSTORED\b""".r.findFirstIn(rest).isDefined
+        e.declareGenerated(table, colName, g, stored)
       case None =>
         // declared DEFAULT: applied to unmentioned columns on insert.
         // MySQL validates the declaration itself (column_default_queries
@@ -2208,6 +2244,7 @@ object Dml {
                                   body: String): Unit = {
     import org.apache.spark.sql.types._
     val fields = parseDefItems(e, table, body)
+    validateCheckRefs(e, table, fields.map(_.name.toLowerCase).toSet)
     // the declared row must fit InnoDB's 65535-byte cap
     // (memory/table.go:1316 validateMaxRowLength)
     e.validateRowLength(table, StructType(fields))
@@ -2229,6 +2266,10 @@ object Dml {
       : Seq[org.apache.spark.sql.types.StructField] = {
     import org.apache.spark.sql.types._
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    // FK items defer until every column is parsed: the declaration
+    // validates child column types, and a FOREIGN KEY item may precede
+    // the columns it names
+    val fkItems = scala.collection.mutable.ArrayBuffer.empty[String]
     splitTop(body).foreach { item =>
       val up = item.toUpperCase
       if (up.startsWith("PRIMARY KEY")) {
@@ -2239,7 +2280,7 @@ object Dml {
         }
       } else if (up.startsWith("FOREIGN") ||
           (up.startsWith("CONSTRAINT") && up.contains("FOREIGN"))) {
-        parseFk(e, table, item).foreach(e.declareForeignKey)
+        fkItems += item
       } else if (up.startsWith("UNIQUE")) {
         // UNIQUE [KEY|INDEX] [name] (cols): enforced like the PK but
         // NULL-exempt (MySQL unique-index semantics)
@@ -2264,10 +2305,13 @@ object Dml {
       } else if (up.startsWith("CHECK") ||
           (up.startsWith("CONSTRAINT") && up.contains("CHECK"))) {
         // table-level CHECK: enforced on every write (MySQL 8.0.16+)
+        // unless declared NOT ENFORCED (catalog-visible, never validated)
+        val enforced = !up.replaceAll("\\s+", " ").endsWith("NOT ENFORCED")
         extractCheck(item).foreach { case (nm, ex) =>
           nm.foreach(checkIdent)
           e.declareCheck(table, nm.getOrElse(
-            s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}"), ex)
+            s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}"), ex,
+            enforced)
         }
       } else if (up.startsWith("KEY") || up.startsWith("INDEX")) {
         // plain secondary index: declared so SHOW CREATE TABLE / SHOW
@@ -2291,7 +2335,18 @@ object Dml {
       } else if (Seq("UNIQUE", "CONSTRAINT", "FOREIGN",
           "FULLTEXT", "SPATIAL").exists(up.startsWith))
         () // FULLTEXT/SPATIAL index + FK metadata: no physical effect here
-      else fields += parseColDef(e, table, item)
+      else {
+        fields += parseColDef(e, table, item)
+        // inline `col TYPE REFERENCES parent(col)` creates an enforced,
+        // auto-named FK (foreign_key_queries.go "Inline column
+        // REFERENCES"; MySQL itself ignores the inline form, the
+        // reference enforces it)
+        """(?is)\bREFERENCES\s+(`?[A-Za-z0-9_]+`?)\s*\(([^)]*)\)"""
+          .r.findFirstMatchIn(item).foreach { m =>
+            val colName = stripTick(item.trim.split("\\s+").head)
+            fkItems += s"FOREIGN KEY (`$colName`) REFERENCES ${m.group(1)} (${m.group(2)})"
+          }
+      }
     }
     // column names are unique case-insensitively (MySQL 1060;
     // create_table_queries.go "case insensitive column name uniqueness")
@@ -2302,6 +2357,17 @@ object Dml {
     // table-level PRIMARY KEY columns become NOT NULL like inline ones
     val pkSet = e.tableKeys.getOrElse(table, Seq.empty)
       .map(_.toLowerCase).toSet
+    // a VIRTUAL generated column cannot join the primary key
+    // (generated_columns.go "illegal table definitions"; MySQL 3106)
+    e.generatedCols.toSeq.foreach { case (t, c, _) =>
+      if (t == table && pkSet(c.toLowerCase) &&
+          !e.storedGeneratedCols((table, c.toLowerCase))) {
+        e.clearTableMeta(table)
+        throw new IllegalArgumentException(
+          "Defining a virtual generated column as part of the primary " +
+          "key is not supported (MySQL 3106)")
+      }
+    }
     if (pkSet.nonEmpty) fields.mapInPlace(f =>
       if (pkSet(f.name.toLowerCase)) f.copy(nullable = false) else f)
     // an AUTO_INCREMENT column must be the leftmost column of SOME key
@@ -2318,8 +2384,35 @@ object Dml {
         "there can be only one auto_increment column and it must be " +
         "defined as a key (MySQL ErrInvalidAutoIncCols)")
     }
+    fkItems.foreach(item =>
+      parseFk(e, table, item).foreach(fk =>
+        e.declareForeignKey(fk, Some(fields.toSeq))))
     fields.toSeq
   }
+
+  /** CHECK expressions may only reference the table's own columns
+    * (check_scripts.go "error cases": CREATE TABLE t4 ... CHECK (c1 > c3)
+    * with no c3 → ErrColumnNotFound, MySQL 1054). Runs on the plain
+    * CREATE path only — the defs+SELECT form adds query-derived columns
+    * parseDefItems cannot see. */
+  private def validateCheckRefs(e: Engine, table: String,
+      colSet: Set[String]): Unit =
+    e.checkConstraints.toSeq.foreach { case (t, n, ex, _) =>
+      if (t == table) {
+        val refs =
+          try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(ex).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.name.toLowerCase
+            }
+          catch { case _: Exception => Seq.empty[String] }
+        refs.find(r => !colSet(r)).foreach { missing =>
+          e.checkConstraints.filterInPlace(_._1 != table)
+          throw new IllegalArgumentException(
+            s"Unknown column '$missing' in check constraint '$n' (MySQL 1054)")
+        }
+      }
+    }
 
   /** `CREATE TABLE t (mixed defs) [AS] SELECT …` — MySQL merges the two:
     * pure key/index items declare on the result set's columns, a column
@@ -2419,14 +2512,24 @@ object Dml {
     val AddIndex =
       """(?is)^ADD\s+(UNIQUE\s+)?(?:FULLTEXT\s+|SPATIAL\s+)?(?:INDEX\s+|KEY\s+)?(?:`?([A-Za-z0-9_]+)`?\s*)?\(((?:[^()]|\([^()]*\))*)\)$""".r
     val DropIdx = """(?is)^DROP\s+(?:INDEX|KEY)\s+`?([A-Za-z0-9_]+)`?$""".r
+    // `ADD CONSTRAINT CHECK (...)` (no name — check_scripts.go "unnamed
+    // constraint") is legal: MySQL autogenerates <table>_chk_N
     val AddCheck =
-      """(?is)^ADD\s+(?:CONSTRAINT\s+`?([A-Za-z0-9_]+)`?\s+)?CHECK\s*\(.*$""".r
+      """(?is)^ADD\s+(?:CONSTRAINT\s+(?:`?([A-Za-z0-9_]+)`?\s+)?)?CHECK\s*\(.*$""".r
     val DropCheck =
       """(?is)^DROP\s+(?:CHECK|CONSTRAINT)\s+`?([A-Za-z0-9_]+)`?$""".r
     splitTop(actions).foreach { action =>
       action match {
         // index/constraint actions first: they'd otherwise parse as an
         // ADD COLUMN named PRIMARY/UNIQUE/INDEX
+        case AddPk(cols) if e.generatedCols.exists(g => g._1 == table &&
+            !e.storedGeneratedCols((table, g._2.toLowerCase)) &&
+            cols.toLowerCase.matches(
+              "(?s).*\\b" + java.util.regex.Pattern.quote(g._2.toLowerCase) +
+              "\\b.*")) =>
+          throw new IllegalArgumentException(
+            "Defining a virtual generated column as part of the primary " +
+            "key is not supported (MySQL 3106)")
         case AddPk(cols) =>
           val liveType = (c: String) =>
             df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
@@ -2462,7 +2565,12 @@ object Dml {
           // ordinal_ddl_queries.go: the PK declaration goes away; the
           // columns stay (MySQL drops the index, not the data)
           e.tableKeys.remove(table)
-        case DropIdx(name) => e.dropIndex(table, name)
+        case DropIdx(name) =>
+          if (e.fkChecksEnabled && e.indexNeededByFk(table, stripTick(name)))
+            throw new IllegalArgumentException(
+              s"Cannot drop index '${stripTick(name)}': needed in a " +
+              "foreign key constraint (MySQL ErrForeignKeyDropIndex)")
+          e.dropIndex(table, name)
         case a if a.toUpperCase.matches("(?s)^ADD\\s+(?:CONSTRAINT\\s+\\S+\\s+)?FOREIGN\\s+KEY\\b.*") =>
           // ADD FOREIGN KEY validates existing rows before registering
           parseFk(e, table, a.replaceFirst("(?is)^ADD\\s+", "")).foreach { fk =>
@@ -2479,23 +2587,40 @@ object Dml {
         case AddCheck(_) =>
           // validates existing rows BEFORE registering — a failed ADD
           // must not leave the constraint behind (MySQL semantics).
-          // NOT ENFORCED constraints are recorded nowhere and enforced
-          // never (check_scripts.go "basic drop check constraints":
-          // chk2 NOT ENFORCED admits violating writes).
+          // NOT ENFORCED constraints register catalog-only (SHOW CREATE /
+          // information_schema show ENFORCED='NO') and admit violating
+          // writes (check_scripts.go "basic drop check constraints").
           val notEnforced = action.toUpperCase.replaceAll("\\s+", " ")
             .trim.endsWith("NOT ENFORCED")
-          if (!notEnforced) extractCheck(action).foreach { case (nm, ex) =>
+          extractCheck(action).foreach { case (nm, ex) =>
             val name = nm.getOrElse(
               s"${table}_chk_${e.checkConstraints.count(_._1 == table) + 1}")
-            val bad = e.spark.table(table)
-              .filter(expr(ex).cast("boolean") === lit(false)).limit(1).count()
-            if (bad > 0) throw new IllegalArgumentException(
-              s"Check constraint '$name' is violated. (MySQL error 3819)")
-            e.declareCheck(table, name, ex)
+            if (!notEnforced) {
+              val bad = e.spark.table(table)
+                .filter(expr(ex).cast("boolean") === lit(false)).limit(1).count()
+              if (bad > 0) throw new IllegalArgumentException(
+                s"Check constraint '$name' is violated. (MySQL error 3819)")
+            }
+            e.declareCheck(table, name, ex, !notEnforced)
           }
         case DropCheck(name) =>
-          e.checkConstraints.filterInPlace(c =>
-            !(c._1 == table && c._2.equalsIgnoreCase(name)))
+          // DROP CHECK/CONSTRAINT by name: checks first, then FK/unique
+          // (MySQL's generic DROP CONSTRAINT form); an unknown name is
+          // error 3940 (check_scripts.go Drop "error cases")
+          val hadCheck = e.checkConstraints.exists(c =>
+            c._1 == table && c._2.equalsIgnoreCase(name))
+          if (hadCheck)
+            e.checkConstraints.filterInPlace(c =>
+              !(c._1 == table && c._2.equalsIgnoreCase(name)))
+          else if (e.foreignKeys.exists(f =>
+              f.child == table && f.name.equalsIgnoreCase(name)))
+            e.dropForeignKey(table, name)
+          else if (e.uniqueKeys.exists(u =>
+              u._1 == table && u._2.equalsIgnoreCase(name)))
+            e.uniqueKeys.filterInPlace(u =>
+              !(u._1 == table && u._2.equalsIgnoreCase(name)))
+          else throw new IllegalArgumentException(
+            s"Constraint '$name' does not exist (MySQL error 3940)")
         case a if a.toUpperCase.matches("(?s)^AUTO_INCREMENT\\s*=?\\s*\\d+(\\.\\d+)?$") =>
           // ALTER TABLE t AUTO_INCREMENT [=] n: sets the counter, never
           // below the current next value; a no-op on tables without an
@@ -2572,7 +2697,16 @@ object Dml {
               s"Duplicate entry for key 'PRIMARY' (MySQL error 1062): " +
               s"adding a PRIMARY KEY column to a non-empty table needs " +
               s"AUTO_INCREMENT")
+          // GENERATED ALWAYS AS: declare and compute for existing rows
+          // (generated_columns.go "Add stored column first with
+          // literal/expression")
+          val genOpt = extractGenerated(spec)
+          genOpt.foreach { g =>
+            e.declareGenerated(table, stripTick(cn), g,
+              """(?i)\bSTORED\b""".r.findFirstIn(spec).isDefined)
+          }
           val value = extractDefault(spec) match {
+            case _ if genOpt.isDefined => expr(genOpt.get).cast(dt)
             case _ if hasAI =>
               // backfill 1..n in current row order, like the reference's
               // rebuild; the counter advances past the table below
@@ -2612,6 +2746,14 @@ object Dml {
               s"table '$table' does not have column '${stripTick(cn)}' " +
               s"(MySQL 1054: multi-ALTER actions resolve against the " +
               s"statement-start schema)")
+          // a column carrying (or referenced by) an FK cannot drop
+          // (foreign_key_queries.go "DROP COLUMN parent/child")
+          if (e.fkChecksEnabled && e.foreignKeys.exists(f =>
+              (f.child == table && f.childCols.exists(_.equalsIgnoreCase(lc))) ||
+              (f.parent == table && f.parentCols.exists(_.equalsIgnoreCase(lc)))))
+            throw new IllegalArgumentException(
+              s"Cannot drop column '${stripTick(cn)}': used in a foreign " +
+              "key constraint (MySQL ErrForeignKeyDropColumn)")
           // a dropped column is unavailable to LATER actions in the
           // same statement ("drop column j, rename column j to k" is
           // ErrTableColumnNotFound — multi-alter ddl column errors)
@@ -2657,6 +2799,31 @@ object Dml {
               s"table '$table' does not have column '$name' " +
               s"(MySQL 1054: multi-ALTER actions resolve against the " +
               s"statement-start schema)")
+          // FK-involved columns may only lengthen within the same base
+          // type (foreign_key_queries.go "MODIFY COLUMN type change"
+          // blocks: INT→MEDIUMINT rejected, VARCHAR(20)→(30) allowed)
+          if (e.fkChecksEnabled && e.foreignKeys.exists(f =>
+              (f.child == table &&
+                f.childCols.exists(_.equalsIgnoreCase(name))) ||
+              (f.parent == table &&
+                f.parentCols.exists(_.equalsIgnoreCase(name))))) {
+            val oldField = df.schema.fields
+              .find(_.name.equalsIgnoreCase(name)).get
+            val oldBase = e.renderColumnType(table, oldField)
+              .takeWhile(c => c.isLetter || c == '_').toLowerCase
+            val newBase = spec.trim.toLowerCase
+              .takeWhile(c => c.isLetter || c == '_')
+            val oldLimit = e.charLimitOf(table, name)
+            val newLimit = """^[A-Za-z_]+\s*\(\s*(\d+)\s*\)""".r
+              .findFirstMatchIn(spec.trim).map(_.group(1).toInt)
+            val stringish =
+              Set("char", "varchar", "binary", "varbinary")(newBase)
+            val ok = oldBase == newBase && (!stringish ||
+              (oldLimit.isEmpty || newLimit.exists(_ >= oldLimit.get)))
+            if (!ok) throw new IllegalArgumentException(
+              s"Cannot change column '$name': used in a foreign key " +
+              "constraint (MySQL ErrForeignKeyTypeChange)")
+          }
           declareCharLimitFromSpec(e, table, name, spec)
           // MODIFY to a BLOB/TEXT family type while the column sits in
           // any prefix-less key is 1170 (blob_queries.go BlobErrors
@@ -2690,6 +2857,19 @@ object Dml {
           // MODIFY may re-declare the DEFAULT and reposition the column
           // (column_default_queries.go t22/t23: MODIFY ... DEFAULT (x) FIRST)
           extractDefault(spec).foreach(d => e.declareDefault(table, name, d))
+          // the full column spec re-declares nullability; an FK with a
+          // SET NULL action pins the column nullable
+          // (ErrForeignKeyTypeChangeSetNull)
+          if ("""(?i)\bNOT\s+NULL\b""".r.findFirstIn(spec).isDefined) {
+            if (e.fkChecksEnabled && e.foreignKeys.exists(f =>
+                f.child == table &&
+                f.childCols.exists(_.equalsIgnoreCase(name)) &&
+                (f.onDelete == "SET NULL" || f.onUpdate == "SET NULL")))
+              throw new IllegalArgumentException(
+                s"Column '$name' backs a SET NULL foreign key action and " +
+                "cannot become NOT NULL (MySQL ErrForeignKeyTypeChangeSetNull)")
+            e.declareNotNull(table, name)
+          } else e.notNullCols.remove((table, name.toLowerCase))
           df = df.withColumn(name, col(s"`$name`").cast(dt))
           val afterRe =
             """(?is).*\bAFTER\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r
@@ -2706,10 +2886,26 @@ object Dml {
             case _ => df
           }
         case Change(a, b, spec) =>
+          // CHANGE = rename + MODIFY: the FK guards apply to the spec
+          // half too (foreign_key_queries.go "Disallow change column to
+          // nullable with ON UPDATE/DELETE SET NULL")
+          if ("""(?i)\bNOT\s+NULL\b""".r.findFirstIn(spec).isDefined) {
+            if (e.fkChecksEnabled && e.foreignKeys.exists(f =>
+                f.child == table &&
+                f.childCols.exists(_.equalsIgnoreCase(stripTick(a))) &&
+                (f.onDelete == "SET NULL" || f.onUpdate == "SET NULL")))
+              throw new IllegalArgumentException(
+                s"Column '${stripTick(a)}' backs a SET NULL foreign key " +
+                "action and cannot become NOT NULL " +
+                "(MySQL ErrForeignKeyTypeChangeSetNull)")
+          }
           if (!stripTick(a).equalsIgnoreCase(stripTick(b))) {
             renamedAway += stripTick(a).toLowerCase
             e.renameColumnMeta(table, stripTick(a), stripTick(b))
           }
+          if ("""(?i)\bNOT\s+NULL\b""".r.findFirstIn(spec).isDefined)
+            e.declareNotNull(table, stripTick(b))
+          else e.notNullCols.remove((table, stripTick(b).toLowerCase))
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           df = df.withColumn(stripTick(a), col(s"`${stripTick(a)}`").cast(dt))
             .withColumnRenamed(stripTick(a), stripTick(b))
@@ -2982,7 +3178,7 @@ object Dml {
       }.getOrElse(t(c).as(c))
     } ++ t.columns.map(c => t(c).as(s"__old_$c"))).toIndexedSeq: _*)
     val checks = e.checkConstraints.toSeq
-      .collect { case (t2, _, ex) if t2 == table => ex }
+      .collect { case (t2, _, ex, true) if t2 == table => ex }
     var updatedRows = updatedBoth
     var nReverted = 0L
     if (checks.nonEmpty) {
@@ -3011,6 +3207,10 @@ object Dml {
     }
     updatedRows = updatedRows
       .select(t.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+    // assignments may change a generated column's inputs — recompute
+    // (generated_columns.go "INSERT ON DUPLICATE KEY UPDATE with an
+    // index over a virtual generated column")
+    updatedRows = e.computeGenerated(table, updatedRows)
     val untouched = t.join(
       incoming.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct(),
       keys.toIndexedSeq, "left_anti")

@@ -507,8 +507,15 @@ class Engine(val spark: SparkSession) {
             s"Unknown or incorrect time zone: '$v' (MySQL error 1298)")
         }
       }
+    // @@time_zone reads back what was set — MySQL stores the setting
+    // (offsets normalized), not the resolved zone (time_queries.go
+    // "set timezone to SYSTEM" round-trips SYSTEM through a @var)
+    tzDisplay = if (v.equalsIgnoreCase("SYSTEM")) "SYSTEM" else resolved
     spark.conf.set("spark.sql.session.timeZone", resolved)
   }
+
+  /** Live @@time_zone display value (sysvar time_zone; default SYSTEM). */
+  private var tzDisplay: String = "SYSTEM"
 
   /** SQL-text prepared statements (PREPARE/EXECUTE/DEALLOCATE —
     * reference sql/plan/prepare.go; Engine.queryPrepared is the API
@@ -570,6 +577,7 @@ class Engine(val spark: SparkSession) {
     "tmpdir" -> "'/tmp'", "long_query_time" -> "10",
     "innodb_buffer_pool_size" -> "134217728", "max_user_connections" -> "0",
     "transaction_isolation" -> "'REPEATABLE-READ'",
+    "time_zone" -> "'SYSTEM'", // reads live via tzDisplay
     "secure_file_priv" -> "NULL")
 
   /** Session overrides from SET @@x = v (reference
@@ -584,6 +592,7 @@ class Engine(val spark: SparkSession) {
     (systemVars.keySet ++ sysVarOverrides.keySet).toSeq.sorted.map { k =>
       val raw = k match {
         case "sql_mode" => sqlModeStr
+        case "time_zone" => tzDisplay
         case _ => sysVarOverrides.getOrElse(k, systemVars(k))
       }
       k -> raw.stripPrefix("'").stripSuffix("'")
@@ -632,6 +641,7 @@ class Engine(val spark: SparkSession) {
         .replaceAllIn(code, m => java.util.regex.Matcher.quoteReplacement(
           m.group(1).toLowerCase match {
             case "sql_mode" => s"'$sqlModeStr'" // live session state
+            case "time_zone" => s"'$tzDisplay'"
             case "warning_count" => warningCount.toString // live diagnostics
             case "error_count" => errorCount.toString
             case other => sysVarOverrides.getOrElse(other,
@@ -675,6 +685,11 @@ class Engine(val spark: SparkSession) {
   }
 
   private def queryInner(sql: String): DataFrame = {
+    // information_schema views are snapshots of the session catalog +
+    // declared metadata, so (re)materialize them whenever a statement
+    // reads them — the MySQL front door needs no explicit enable call
+    if (sql.toLowerCase.contains("information_schema"))
+      enableInformationSchema()
     // MySQL lenient literal casts run BEFORE the dialect pass (the
     // DATETIME(p) precision is still visible here) and feed 1292s into
     // the diagnostics area
@@ -1022,7 +1037,8 @@ class Engine(val spark: SparkSession) {
       def countNow(): Long = { if (prevCount < 0) prevCount = coerced.count(); prevCount }
       // skip CHECK-violating rows (NULL result passes, 3VL)
       val checks =
-        checkConstraints.toSeq.collect { case (t, _, ex) if t == table => ex }
+        checkConstraints.toSeq.collect {
+          case (t, _, ex, true) if t == table => ex }
       if (checks.nonEmpty) {
         val before = countNow()
         checks.foreach { ex =>
@@ -1768,16 +1784,61 @@ class Engine(val spark: SparkSession) {
 
   /** Declare `table.column` as GENERATED ALWAYS AS (exprText): writes
     * recompute it; explicit non-NULL inserts into it are MySQL error 3105. */
-  def declareGenerated(table: String, column: String, exprText: String): Unit =
+  def declareGenerated(table: String, column: String, exprText: String,
+                       stored: Boolean = true): Unit = {
     generatedCols += ((table, column, exprText))
+    if (stored) storedGeneratedCols += ((table, column.toLowerCase))
+    else storedGeneratedCols -= ((table, column.toLowerCase))
+  }
 
+  /** Columns declared GENERATED ... STORED (vs the VIRTUAL default) —
+    * SHOW CREATE appends the STORED keyword only for these. */
+  private[graft] val storedGeneratedCols =
+    scala.collection.mutable.Set.empty[(String, String)]
+
+  /** (table, name, exprText, enforced). NOT ENFORCED constraints stay in
+    * the catalog (SHOW CREATE / information_schema render them with
+    * ENFORCED='NO') but admit violating writes. */
   private[graft] val checkConstraints =
-    scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Boolean)]
+
+  // MySQL rejects non-deterministic / session-dependent functions inside
+  // CHECK expressions (check_scripts.go DisallowedCheckConstraintsScripts;
+  // MySQL error 3814) and any subquery (error 3815)
+  private val checkDisallowedFns = Set(
+    "user", "current_user", "session_user", "system_user", "now",
+    "current_timestamp", "curdate", "current_date", "curtime",
+    "current_time", "localtime", "localtimestamp", "unix_timestamp",
+    "utc_date", "utc_time", "utc_timestamp", "sysdate", "uuid",
+    "uuid_short", "rand", "random_bytes", "database", "schema", "version",
+    "connection_id", "last_insert_id", "row_count", "found_rows",
+    "get_lock", "release_lock", "is_free_lock", "is_used_lock", "sleep",
+    "benchmark", "load_file", "master_pos_wait", "name_const")
 
   /** Declare CHECK (exprText) on table: any write whose rows evaluate the
     * predicate to FALSE (NULL passes, MySQL semantics) is error 3819. */
-  def declareCheck(table: String, name: String, exprText: String): Unit =
-    checkConstraints += ((table, name, exprText))
+  def declareCheck(table: String, name: String, exprText: String,
+                   enforced: Boolean = true): Unit = {
+    if ("(?is)\\(\\s*SELECT\\b".r.findFirstIn(exprText).isDefined)
+      throw new IllegalArgumentException(
+        s"An expression of a check constraint '$name' contains disallowed " +
+        "function: subqueries are not allowed (MySQL error 3815)")
+    "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r.findAllMatchIn(exprText)
+      .map(_.group(1).toLowerCase).find(checkDisallowedFns).foreach { fn =>
+        throw new IllegalArgumentException(
+          s"An expression of a check constraint '$name' contains " +
+          s"disallowed function: $fn (MySQL error 3814)")
+      }
+    // keyword-style niladic forms reject without parentheses too
+    ("(?i)\\b(current_user|session_user|system_user|current_date|" +
+      "current_time|current_timestamp|localtime|localtimestamp|utc_date|" +
+      "utc_time|utc_timestamp)\\b").r.findFirstMatchIn(exprText).foreach { m =>
+        throw new IllegalArgumentException(
+          s"An expression of a check constraint '$name' contains " +
+          s"disallowed function: ${m.group(1).toLowerCase} (MySQL error 3814)")
+      }
+    checkConstraints += ((table, name, exprText, enforced))
+  }
 
   /** Recompute the table's generated columns over a write batch (insert
     * coercion output or a post-UPDATE view), in declaration order. */
@@ -1811,13 +1872,26 @@ class Engine(val spark: SparkSession) {
   /** MySQL error 3819 on any row where a CHECK evaluates to FALSE. */
   private[graft] def validateChecks(table: String, df: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{expr, lit}
-    checkConstraints.toSeq.foreach {
-      case (t, name, ex) if t == table =>
-        val bad = df.filter(expr(ex).cast("boolean") === lit(false))
-          .limit(1).count()
-        if (bad > 0) throw new IllegalArgumentException(
-          s"Check constraint '$name' is violated. (MySQL error 3819)")
-      case _ =>
+    val relevant = checkConstraints.toSeq.collect {
+      case (t, name, ex, true) if t == table => (name, ex) }
+    if (relevant.isEmpty) return
+    // the batch may omit columns that only fill to NULL at the final
+    // unionByName — a CHECK over such a column sees NULL (passes, 3VL),
+    // so type them in before resolution (check_scripts.go
+    // "INSERT INTO t1 (a,b)" with chk4 over c)
+    val present = df.columns.map(_.toLowerCase).toSet
+    val probe = scala.util.Try(spark.table(table)).toOption match {
+      case Some(t0) => t0.schema.fields.filterNot(f =>
+          present(f.name.toLowerCase))
+        .foldLeft(df)((d, f) => d.withColumn(f.name,
+          lit(null).cast(f.dataType)))
+      case None => df
+    }
+    relevant.foreach { case (name, ex) =>
+      val bad = probe.filter(expr(ex).cast("boolean") === lit(false))
+        .limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"Check constraint '$name' is violated. (MySQL error 3819)")
     }
   }
 
@@ -1828,11 +1902,182 @@ class Engine(val spark: SparkSession) {
   private[graft] val foreignKeys =
     scala.collection.mutable.ArrayBuffer.empty[ForeignKey]
 
-  def declareForeignKey(fk: ForeignKey): Unit = foreignKeys += fk
+  /** Is FOREIGN_KEY_CHECKS on for this session? Off defers ALL FK DDL
+    * resolution and write-side enforcement (foreign_key_queries.go
+    * "Delayed foreign key resolution" blocks). */
+  private[graft] def fkChecksEnabled: Boolean =
+    sysVarOverrides.getOrElse("foreign_key_checks", "1").trim != "0"
 
-  def dropForeignKey(child: String, name: String): Unit =
+  /** Declare an FK after MySQL's full DDL validation taxonomy
+    * (reference sql/plan/alter_foreign_key.go ResolveForeignKey +
+    * foreign_key_queries.go error blocks). `childSchema` carries the
+    * mid-CREATE column types when the child table doesn't exist yet;
+    * None resolves it from the catalog. */
+  def declareForeignKey(fk: ForeignKey,
+      childSchema: Option[Seq[org.apache.spark.sql.types.StructField]] = None)
+      : Unit = {
+    import org.apache.spark.sql.types._
+    // validated regardless of FOREIGN_KEY_CHECKS: shape + name errors
+    if (fk.childCols.size != fk.parentCols.size)
+      throw new IllegalArgumentException(
+        s"Foreign key '${fk.name}' column count mismatch: " +
+        s"${fk.childCols.size} child vs ${fk.parentCols.size} parent " +
+        "(MySQL ErrForeignKeyColumnCountMismatch)")
+    if (fk.onDelete == "SET DEFAULT" || fk.onUpdate == "SET DEFAULT")
+      throw new IllegalArgumentException(
+        s"Foreign key '${fk.name}': SET DEFAULT is not supported " +
+        "(MySQL ErrForeignKeySetDefault)")
+    if (foreignKeys.exists(f =>
+        f.child == fk.child && f.name.equalsIgnoreCase(fk.name)))
+      throw new IllegalArgumentException(
+        s"Duplicate foreign key constraint name '${fk.name}' " +
+        "(MySQL ErrForeignKeyDuplicateName)")
+    if (fkChecksEnabled) {
+      val childFields = childSchema.getOrElse(
+        spark.table(fk.child).schema.fields.toSeq)
+      def childField(c: String): StructField =
+        childFields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"Table '${fk.child}' does not have column '$c' " +
+            "(MySQL ErrTableColumnNotFound)"))
+      // parent resolution throws TABLE_OR_VIEW_NOT_FOUND when absent;
+      // a self-referential FK in mid-CREATE resolves against the same
+      // in-flight column list
+      val parentFields =
+        if (fk.parent.equalsIgnoreCase(fk.child)) childFields
+        else spark.table(fk.parent).schema.fields.toSeq
+      def parentField(c: String): StructField =
+        parentFields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"Table '${fk.parent}' does not have column '$c' " +
+            "(MySQL ErrTableColumnNotFound)"))
+      fk.childCols.zip(fk.parentCols).foreach { case (cc, pc) =>
+        val cf = childField(cc); val pf = parentField(pc)
+        // TEXT/BLOB columns cannot carry FKs (InnoDB; ErrForeignKeyTextBlob)
+        if (isBlobText(fk.child, cc) || isBlobText(fk.parent, pc))
+          throw new IllegalArgumentException(
+            s"Foreign key '${fk.name}': TEXT/BLOB columns are not " +
+            "supported (MySQL ErrForeignKeyTextBlob)")
+        // types must match; string/binary families compare length-blind
+        // ("Type Mismatch special case for strings"), integer widths mix
+        // freely ("mixed int type foreign key tests")
+        val ok = cf.dataType == pf.dataType ||
+          (cf.dataType.isInstanceOf[StringType] &&
+            pf.dataType.isInstanceOf[StringType]) ||
+          (cf.dataType == BinaryType && pf.dataType == BinaryType)
+        if (!ok) throw new IllegalArgumentException(
+          s"Foreign key '${fk.name}': column '$cc' type " +
+          s"${cf.dataType.simpleString} does not match referenced column " +
+          s"'$pc' ${pf.dataType.simpleString} " +
+          "(MySQL ErrForeignKeyColumnTypeMismatch)")
+        // SET NULL actions need nullable child columns
+        if ((fk.onDelete == "SET NULL" || fk.onUpdate == "SET NULL") &&
+            (!cf.nullable || notNullCols((fk.child, cc.toLowerCase))))
+          throw new IllegalArgumentException(
+            s"Foreign key '${fk.name}': SET NULL on non-nullable column " +
+            s"'$cc' (MySQL ErrForeignKeySetNullNonNullable)")
+      }
+      // the referenced columns must lead an index on the parent —
+      // the PK, or a declared unique/secondary index (prefix-length
+      // index parts disqualify; a secondary index implicitly extends
+      // with the PK columns — "Referenced index includes implicit
+      // primary key columns")
+      val want = fk.parentCols.map(_.toLowerCase)
+      val pkCols = tableKeys.getOrElse(fk.parent, Seq.empty)
+        .map(_.toLowerCase)
+      val declared =
+        uniqueKeys.toSeq.collect { case (t, n, cols) if t == fk.parent =>
+          (n, cols.map(_.toLowerCase)) } ++
+        secondaryIndexes.toSeq.collect { case (t, n, cols) if t == fk.parent =>
+          (n, cols.map(_.toLowerCase)) }
+      val candidates = Seq(("PRIMARY", pkCols)) ++ declared ++
+        declared.map { case (n, cols) =>
+          (n, cols ++ pkCols.filterNot(cols.contains)) }
+      val covered = candidates.exists { case (n, cols) =>
+        cols.size >= want.size && cols.take(want.size) == want &&
+          want.forall(c => !indexPrefixes.contains((fk.parent, n, c)))
+      }
+      if (!covered) throw new IllegalArgumentException(
+        s"Foreign key '${fk.name}': missing index over the referenced " +
+        s"columns (${fk.parentCols.mkString(", ")}) on '${fk.parent}' " +
+        "(MySQL ErrForeignKeyMissingReferenceIndex)")
+    }
+    // canonicalize column case to the tables' declared field names —
+    // FK specs are case-insensitive but the catalog renders the declared
+    // spelling ("Self-referential foreign key is not case sensitive")
+    val fkCanon =
+      if (!fkChecksEnabled) fk
+      else {
+        val cf = childSchema.getOrElse(
+          spark.table(fk.child).schema.fields.toSeq)
+        val pf = if (fk.parent.equalsIgnoreCase(fk.child)) cf
+          else spark.table(fk.parent).schema.fields.toSeq
+        fk.copy(
+          childCols = fk.childCols.map(c =>
+            cf.find(_.name.equalsIgnoreCase(c)).map(_.name).getOrElse(c)),
+          parentCols = fk.parentCols.map(c =>
+            pf.find(_.name.equalsIgnoreCase(c)).map(_.name).getOrElse(c)))
+      }
+    foreignKeys += fkCanon
+    // MySQL auto-creates a child-side index named after the constraint
+    // when none already leads with the FK columns (SHOW CREATE TABLE
+    // renders `KEY fk_name (cols)`; "Naming automatically created FK
+    // indexes")
+    val wantChild = fkCanon.childCols.map(_.toLowerCase)
+    val childPk = tableKeys.getOrElse(fk.child, Seq.empty).map(_.toLowerCase)
+    val hasIdx =
+      (childPk.size >= wantChild.size &&
+        childPk.take(wantChild.size) == wantChild) ||
+      uniqueKeys.exists(u => u._1 == fk.child &&
+        u._3.map(_.toLowerCase).take(wantChild.size) == wantChild) ||
+      secondaryIndexes.exists(s => s._1 == fk.child &&
+        s._3.map(_.toLowerCase).take(wantChild.size) == wantChild)
+    if (!hasIdx) {
+      // auto-named constraints (<t>_ibfk_N) index under the first FK
+      // column's name, like MySQL; explicit constraint names carry over
+      val idxName =
+        if (fk.name.matches("(?i)^" +
+            java.util.regex.Pattern.quote(fk.child) + "_ibfk_\\d+$"))
+          fkCanon.childCols.head
+        else fk.name
+      declareIndex(fk.child, idxName, fkCanon.childCols)
+    }
+  }
+
+  /** Is `idxName` the ONLY index satisfying some FK on `table` (either
+    * side)? Such an index cannot drop (MySQL ErrForeignKeyDropIndex;
+    * foreign_key_queries.go "Indexes used by foreign keys can't be
+    * dropped"). */
+  private[graft] def indexNeededByFk(table: String, idxName: String): Boolean = {
+    val all = (uniqueKeys ++ secondaryIndexes).toSeq
+      .filter(_._1 == table).distinctBy(_._2.toLowerCase)
+    val target = all.find(_._2.equalsIgnoreCase(idxName))
+      .map(_._3.map(_.toLowerCase)).getOrElse(return false)
+    val others = all.filterNot(_._2.equalsIgnoreCase(idxName))
+      .map(_._3.map(_.toLowerCase))
+    val pk = tableKeys.getOrElse(table, Seq.empty).map(_.toLowerCase)
+    def covers(cols: Seq[String], want: Seq[String]) =
+      cols.size >= want.size && cols.take(want.size) == want
+    foreignKeys.exists { f =>
+      val wants =
+        (if (f.child == table) Seq(f.childCols.map(_.toLowerCase)) else Nil) ++
+        (if (f.parent == table) Seq(f.parentCols.map(_.toLowerCase)) else Nil)
+      wants.exists { want =>
+        covers(target, want) && !covers(pk, want) &&
+          !others.exists(covers(_, want))
+      }
+    }
+  }
+
+  def dropForeignKey(child: String, name: String): Unit = {
+    if (!foreignKeys.exists(f =>
+        f.child == child && f.name.equalsIgnoreCase(name)))
+      throw new IllegalArgumentException(
+        s"Foreign key '$name' does not exist on table '$child' " +
+        "(MySQL ErrForeignKeyNotFound)")
     foreignKeys.filterInPlace(f =>
       !(f.child == child && f.name.equalsIgnoreCase(name)))
+  }
 
   /** Child-side enforcement: every incoming row whose FK columns are all
     * non-NULL must match a parent row (MySQL error 1452). One anti-join
@@ -1840,6 +2085,7 @@ class Engine(val spark: SparkSession) {
   private[graft] def validateForeignKeysChild(table: String,
                                               df: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
+    if (!fkChecksEnabled) return
     foreignKeys.toSeq.filter(_.child == table).foreach { fk =>
       val parentBase = spark.table(fk.parent)
         .select(fk.parentCols.map(c => col(s"`$c`")): _*)
@@ -1867,6 +2113,28 @@ class Engine(val spark: SparkSession) {
     }
   }
 
+  /** Row-triggered child-side FK validation for UPDATE: only rows whose
+    * FK columns actually CHANGED re-validate — rows that violated while
+    * FOREIGN_KEY_CHECKS=0 stay untouched by no-op updates
+    * (foreign_key_queries.go "Delayed foreign key resolution: update").
+    * Both frames carry an aligned `__rid__`. */
+  private[graft] def validateForeignKeysChildChanged(table: String,
+      oldDf: DataFrame, newDf: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!fkChecksEnabled) return
+    if (!foreignKeys.exists(_.child == table)) return
+    val fkCols = foreignKeys.toSeq.filter(_.child == table)
+      .flatMap(_.childCols).map(_.toLowerCase).distinct
+    val oldKeyed = oldDf.select(
+      (col("__rid__").as("__rid2__") +:
+        fkCols.map(c => col(s"`$c`").as(s"__old_$c"))): _*)
+    val changed = newDf.join(oldKeyed, col("__rid__") === col("__rid2__"))
+      .filter(fkCols.map(c =>
+        !(col(s"`$c`") <=> col(s"`__old_$c`"))).reduce(_ || _))
+      .select(newDf.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+    validateForeignKeysChild(table, changed)
+  }
+
   /** Parent-side enforcement after a DELETE. FK actions are
     * ROW-TRIGGERED, the reference's semantics (foreign_key_handler;
     * pinned by foreign_key_queries.go "SQL CASCADE", where `one` still
@@ -1882,103 +2150,112 @@ class Engine(val spark: SparkSession) {
     * with the RETURNED frame, not its original `remaining`. Must be
     * called BEFORE the table view is replaced (the pre-delete contents
     * define the deleted set). */
+  /** MySQL's cascade nesting cap (InnoDB: "Cascading operations may not
+    * be nested more than 15 levels deep"). The reference replicates a
+    * MySQL quirk (foreign_key_editor.go:227): CYCLIC foreign-key graphs
+    * error at depth 15, acyclic ones at depth 16 — pinned by the
+    * "delete/update cascade depth limit" corpus blocks. */
+  private val FkCascadeDepthLimit = 15
+
+  /** Is any FK cycle reachable from `root` along parent→child edges? */
+  private[graft] def fkGraphCyclic(root: String): Boolean = {
+    val edges = foreignKeys.toSeq.map(f => f.parent -> f.child)
+    def childrenOf(t: String) = edges.collect { case (p, c) if p == t => c }
+    var seen = Set.empty[String]
+    def dfs(t: String, path: Set[String]): Boolean = {
+      if (path(t)) return true
+      if (seen(t)) return false
+      seen += t
+      childrenOf(t).exists(dfs(_, path + t))
+    }
+    dfs(root, Set.empty)
+  }
+
+  private def fkDepthExceeded(depth: Int, cyclic: Boolean): Boolean =
+    (cyclic && depth >= FkCascadeDepthLimit) || depth > FkCascadeDepthLimit
+
   private[graft] def enforceParentDelete(parent: String,
-                                         remaining: DataFrame,
-                                         visited: Set[String] = Set.empty): DataFrame = {
+                                         remaining: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    if (visited.contains(parent)) return remaining // FK cycle: one pass per table
-    val fks = foreignKeys.toSeq.filter(_.parent == parent)
-    if (fks.isEmpty) return remaining
-    val before = spark.table(parent)
-    var rem = remaining
-    val (selfFks, childFks) = fks.partition(_.child == parent)
+    if (!fkChecksEnabled) return remaining
+    if (!foreignKeys.exists(_.parent == parent)) return remaining
     def err1451(fk: ForeignKey): Nothing = throw new IllegalArgumentException(
       s"Cannot delete or update a parent row: a foreign key " +
       s"constraint fails (`${fk.child}`, CONSTRAINT `${fk.name}`) " +
       s"(MySQL error 1451)")
-    // self-referential FKs first: they shrink (or veto) the survivor set
-    // whose deleted complement then fires every plain child FK
-    selfFks.foreach { fk =>
-      val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
-        .reduce(_ && _)
-      def keysOf(df: DataFrame) = df
-        .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
-        .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
-      val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
-        col(s"`$cc`") === col(s"`__fk_$pc`")
-      }.reduce(_ && _)
-      fk.onDelete.toUpperCase match {
-        case "CASCADE" =>
-          // transitive closure over surviving rows: each round, the keys
-          // of the rows deleted LAST round knock out the survivors that
-          // reference them. Rounds are bounded by the longest reference
-          // chain; each round is one distributed semi/anti join pair (no
-          // driver-side row handling).
-          var trigger = keysOf(before.exceptAll(rem))
-          var done = false
-          while (!done) {
-            val hit = rem.filter(nonNull).join(trigger, cond, "left_semi")
-            if (hit.limit(1).count() == 0) done = true
-            else {
-              rem = rem.filter(!nonNull).unionByName(
-                rem.filter(nonNull).join(trigger, cond, "left_anti"))
-              trigger = keysOf(hit)
+    // Worklist of delete waves: wave N's deleted rows fire the FK
+    // actions that produce wave N+1. Cyclic and self-referential
+    // cascades terminate either by running out of matching rows or at
+    // MySQL's depth cap. Each wave is a handful of distributed
+    // semi/anti joins — no per-row driver work — and every mutated
+    // table's state is localCheckpoint'd so lineage stays O(1) deep
+    // across waves instead of O(waves).
+    val state = scala.collection.mutable.Map[String, DataFrame](
+      parent -> remaining)
+    def stateOf(t: String): DataFrame =
+      state.getOrElseUpdate(t, spark.table(t))
+    // wave 1 = the statement's own deletions
+    var wave: Map[String, DataFrame] =
+      Map(parent -> spark.table(parent).exceptAll(remaining))
+    var depth = 1
+    val cyclic = fkGraphCyclic(parent)
+    while (wave.nonEmpty) {
+      if (fkDepthExceeded(depth, cyclic))
+        throw new IllegalArgumentException(
+          s"Foreign key cascade deletes exceed max depth of " +
+          s"$FkCascadeDepthLimit (MySQL ErrForeignKeyDepthLimit)")
+      val next = scala.collection.mutable.Map.empty[String, DataFrame]
+      for ((tbl, deleted) <- wave;
+           fk <- foreignKeys.toSeq.filter(_.parent == tbl)) {
+        val trigger = deleted
+          .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
+          .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
+        val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
+          col(s"`$cc`") === col(s"`__fk_$pc`")
+        }.reduce(_ && _)
+        val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
+          .reduce(_ && _)
+        // actions fire on the child's CURRENT surviving rows — rows
+        // deleted in an earlier wave are never orphans (pinned by
+        // "SQL CASCADE" / "Self-referential child column follows parent")
+        val child = stateOf(fk.child)
+        val nn = child.filter(nonNull)
+        val hit = nn.join(trigger, cond, "left_semi")
+        fk.onDelete.toUpperCase match {
+          case "CASCADE" =>
+            if (hit.limit(1).count() > 0) {
+              val kept = child.filter(!nonNull)
+                .unionByName(nn.join(trigger, cond, "left_anti"))
+                .localCheckpoint()
+              val hitCk = hit.localCheckpoint()
+              state(fk.child) = kept
+              next(fk.child) = next.get(fk.child)
+                .map(_.unionByName(hitCk)).getOrElse(hitCk)
             }
-          }
-        case "SET NULL" =>
-          // one pass: nulling FK columns never deletes a row, so no new
-          // keys fire
-          val trigger = keysOf(before.exceptAll(rem))
-          val nn = rem.filter(nonNull)
-          val orphans = nn.join(trigger, cond, "left_semi")
-          val nulledOrphans = fk.childCols.foldLeft(orphans) { (d, c) =>
-            d.withColumn(c, org.apache.spark.sql.functions.lit(null)
-              .cast(rem.schema(c).dataType))
-          }
-          rem = rem.filter(!nonNull)
-            .unionByName(nn.join(trigger, cond, "left_anti"))
-            .unionByName(nulledOrphans)
-        case _ => // RESTRICT / NO ACTION: a SURVIVOR referencing a
-          // deleted row's key blocks; rows deleted together never do
-          val trigger = keysOf(before.exceptAll(rem))
-          if (rem.filter(nonNull).join(trigger, cond, "left_semi")
-              .limit(1).count() > 0) err1451(fk)
+          case "SET NULL" =>
+            if (hit.limit(1).count() > 0) {
+              val nulledOrphans = fk.childCols.foldLeft(hit) { (d, c) =>
+                d.withColumn(c, org.apache.spark.sql.functions.lit(null)
+                  .cast(child.schema(c).dataType))
+              }
+              state(fk.child) = child.filter(!nonNull)
+                .unionByName(nn.join(trigger, cond, "left_anti"))
+                .unionByName(nulledOrphans)
+                .localCheckpoint()
+            }
+          case _ => // RESTRICT / NO ACTION
+            if (hit.limit(1).count() > 0) err1451(fk)
+        }
       }
+      wave = next.toMap
+      depth += 1
     }
-    childFks.foreach { fk =>
-      val child = spark.table(fk.child)
-      // keys of every deleted row (incl. rows a self-FK cascade removed)
-      val trigger = before.exceptAll(rem)
-        .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
-        .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
-      val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
-        col(s"`$cc`") === col(s"`__fk_$pc`")
-      }.reduce(_ && _)
-      val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
-        .reduce(_ && _)
-      val nn = child.filter(nonNull)
-      val hit = nn.join(trigger, cond, "left_semi")
-      // rows exempt from the constraint (any NULL FK column) + rows the
-      // deleted keys do not fire on
-      lazy val keptClean = child.filter(!nonNull)
-        .unionByName(nn.join(trigger, cond, "left_anti"))
-      fk.onDelete.toUpperCase match {
-        case "CASCADE" =>
-          val finalChild =
-            enforceParentDelete(fk.child, keptClean, visited + parent)
-          replaceTable(fk.child, finalChild, bumpDepth = true)
-        case "SET NULL" =>
-          val nulledOrphans = fk.childCols.foldLeft(hit) { (d, c) =>
-            d.withColumn(c, org.apache.spark.sql.functions.lit(null)
-              .cast(child.schema(c).dataType))
-          }
-          replaceTable(fk.child,
-            keptClean.unionByName(nulledOrphans), bumpDepth = true)
-        case _ => // RESTRICT / NO ACTION
-          if (hit.limit(1).count() > 0) err1451(fk)
-      }
-    }
-    rem
+    // write back every mutated child; the caller replaces `parent` with
+    // the returned frame. Deferred to success so a RESTRICT veto (or the
+    // depth cap) leaves no partial cascade behind.
+    for ((t, df) <- state if t != parent)
+      replaceTable(t, df, bumpDepth = true)
+    state(parent)
   }
 
   /** Parent-side enforcement after an UPDATE (reference
@@ -2001,9 +2278,15 @@ class Engine(val spark: SparkSession) {
   private[graft] def enforceParentUpdate(parent: String,
                                          oldParent: DataFrame,
                                          newParent: DataFrame,
-                                         visited: Set[String] = Set.empty): Unit = {
+                                         depth: Int = 1): Unit = {
     import org.apache.spark.sql.functions._
-    if (visited.contains(parent)) return
+    if (!fkChecksEnabled) return
+    // cyclic ON UPDATE cascades terminate either on an empty changed set
+    // or at MySQL's nesting cap ("Acyclic update cascade depth limit");
+    // like the reference, the cap only fires when a child row actually
+    // exists at the next level (foreign_key_editor.go checks inside the
+    // row loop)
+    lazy val cyclicGraph = fkGraphCyclic(parent)
     foreignKeys.toSeq.filter(_.parent == parent).foreach { fk =>
       val child = spark.table(fk.child)
       val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
@@ -2045,7 +2328,14 @@ class Engine(val spark: SparkSession) {
             s"Cannot delete or update a parent row: a foreign key " +
             s"constraint fails (`${fk.child}`, CONSTRAINT `${fk.name}`) " +
             s"(MySQL error 1451)")
-        } else action match {
+        } else {
+          val hasHit = child.filter(nonNull)
+            .join(changed, cond, "left_semi").limit(1).count() > 0
+          if (hasHit && fkDepthExceeded(depth + 1, cyclicGraph))
+            throw new IllegalArgumentException(
+              s"Foreign key cascade updates exceed max depth of " +
+              s"$FkCascadeDepthLimit (MySQL ErrForeignKeyDepthLimit)")
+          action match {
           case "SET NULL" =>
             val joined = child.join(changed, cond, "left")
             val nulled = fk.childCols.foldLeft(joined) { (d, c) =>
@@ -2065,10 +2355,10 @@ class Engine(val spark: SparkSession) {
                   .otherwise(col(s"`$cc`")))
               }.select((child.columns.map(c => col(s"`$c`")) :+
                 col("__rid__")).toIndexedSeq: _*)
-            enforceParentUpdate(fk.child, child0, rewritten,
-              visited + parent)
+            enforceParentUpdate(fk.child, child0, rewritten, depth + 1)
             replaceTable(fk.child, rewritten.drop("__rid__"),
               bumpDepth = true)
+          }
         }
       }
     }
@@ -2078,6 +2368,7 @@ class Engine(val spark: SparkSession) {
     * re-created table inherits stale constraints). */
   private[graft] def clearTableMeta(table: String): Unit = {
     generatedCols.filterInPlace(_._1 != table)
+    storedGeneratedCols.filterInPlace(_._1 != table)
     checkConstraints.filterInPlace(_._1 != table)
     secondaryIndexes.filterInPlace(_._1 != table)
     uniqueKeys.filterInPlace(_._1 != table)
@@ -2160,8 +2451,8 @@ class Engine(val spark: SparkSession) {
     // expressions, generated-column expressions, and FK column lists in
     // BOTH the child and parent role (MySQL carries all of these
     // through RENAME/CHANGE COLUMN)
-    checkConstraints.mapInPlace { case (t, n, ex) =>
-      if (t == table) (t, n, renameIdent(ex, from, to)) else (t, n, ex)
+    checkConstraints.mapInPlace { case (t, n, ex, en) =>
+      if (t == table) (t, n, renameIdent(ex, from, to), en) else (t, n, ex, en)
     }
     generatedCols.mapInPlace { case (t, c, ex) =>
       if (t == table) (t, ren(c), renameIdent(ex, from, to)) else (t, c, ex)
@@ -2210,7 +2501,7 @@ class Engine(val spark: SparkSession) {
       notNull: Set[(String, String)], defaults: Map[(String, String), String],
       vocab: Map[(String, String), (Boolean, Seq[String])],
       vocabCiSnap: Set[(String, String)], chars: Map[(String, String), Int],
-      checks: Seq[(String, String, String)],
+      checks: Seq[(String, String, String, Boolean)],
       generated: Seq[(String, String, String)],
       fks: Seq[Engine.ForeignKey], charset: Option[String])
 
@@ -2363,14 +2654,17 @@ class Engine(val spark: SparkSession) {
     }
     moveSet(notNullCols); moveSet(vocabCi)
     moveSet(tinyint1Cols); moveSet(charKindCols); moveSet(blobTextCols)
+    moveSet(storedGeneratedCols)
     // name-carrying triples rewrite in place
     def moveTriples(
         b: scala.collection.mutable.ArrayBuffer[(String, String, String)])
         : Unit =
       b.mapInPlace { case (t, n, v) =>
         if (t == oldName) (newName, n, v) else (t, n, v) }
-    moveTriples(checkConstraints); moveTriples(generatedCols)
+    moveTriples(generatedCols)
     moveTriples(uniqueExprIdx)
+    checkConstraints.mapInPlace { case (t, n, v, en) =>
+      if (t == oldName) (newName, n, v, en) else (t, n, v, en) }
     indexPrefixes.toSeq.foreach { case ((t, n, c), v) =>
       if (t == oldName) {
         indexPrefixes.remove((t, n, c)); indexPrefixes((newName, n, c)) = v
@@ -2381,10 +2675,19 @@ class Engine(val spark: SparkSession) {
     uniqueKeys.mapInPlace { case (t, n, c) =>
       if (t == oldName) (newName, n, c) else (t, n, c) }
     // FKs follow on BOTH roles: this table as child, and any other
-    // table's FK referencing it as parent
+    // table's FK referencing it as parent. Auto-generated constraint
+    // names (<old>_ibfk_N) renumber onto the new table name
+    // (foreign_key_queries.go "RENAME TABLE with autogenerated FK name")
+    val autoRe = ("(?i)^" + java.util.regex.Pattern.quote(oldName) +
+      "_ibfk_(\\d+)$").r
     foreignKeys.mapInPlace { fk =>
-      val c = if (fk.child == oldName) fk.copy(child = newName) else fk
-      if (c.parent == oldName) c.copy(parent = newName) else c
+      var c = if (fk.child == oldName) fk.copy(child = newName) else fk
+      if (c.parent == oldName) c = c.copy(parent = newName)
+      c.name match {
+        case autoRe(n) if c.child == newName =>
+          c.copy(name = s"${newName}_ibfk_$n")
+        case _ => c
+      }
     }
     createdRelations.remove(oldName)
     createdRelations += newName
@@ -2398,7 +2701,7 @@ class Engine(val spark: SparkSession) {
     * never copies them. */
   private[graft] def copyColumnMeta(src: String, dst: String): Unit = {
     checkConstraints ++= checkConstraints.toSeq.collect {
-      case (t, n, ex) if t == src => (dst, n, ex) }
+      case (t, n, ex, en) if t == src => (dst, n, ex, en) }
     charLimits ++= charLimits.toSeq.collect {
       case ((t, c), n) if t == src => ((dst, c), n) }
     notNullCols ++= notNullCols.toSeq.collect {
@@ -2411,6 +2714,10 @@ class Engine(val spark: SparkSession) {
       case ((t, c), v) if t == src => ((dst, c), v) }
     tinyint1Cols ++= tinyint1Cols.toSeq.collect {
       case (t, c) if t == src => (dst, c) }
+    storedGeneratedCols ++= storedGeneratedCols.toSeq.collect {
+      case (t, c) if t == src => (dst, c) }
+    generatedCols ++= generatedCols.toSeq.collect {
+      case (t, c, ex) if t == src => (dst, c, ex) }
     charKindCols ++= charKindCols.toSeq.collect {
       case (t, c) if t == src => (dst, c) }
     vecDims ++= vecDims.toSeq.collect {
@@ -2828,7 +3135,9 @@ class Engine(val spark: SparkSession) {
     * columns, checks) drops with it. */
   def drop(name: String): Unit = {
     // MySQL errno 3730: a parent with referencing children cannot drop
-    if (foreignKeys.exists(f => f.parent == name && f.child != name))
+    // (suspended while FOREIGN_KEY_CHECKS=0, like InnoDB)
+    if (fkChecksEnabled &&
+        foreignKeys.exists(f => f.parent == name && f.child != name))
       throw new IllegalArgumentException(
         s"Cannot drop table '$name': referenced by a foreign key " +
         s"constraint (MySQL error 3730)")
@@ -3206,10 +3515,15 @@ class Engine(val spark: SparkSession) {
       t.exists(_.columns.exists(_.equalsIgnoreCase(c))))
   }
 
+  /** The session's MySQL-visible schema name. The reference harness's
+    * default database is `mydb` and its corpora filter on it; Spark-side
+    * temp views carry no database, so this is a display name only. */
+  private[graft] var sessionDb: String = "mydb"
+
   def enableInformationSchema(): Unit = {
     import spark.implicits._
     val tables = spark.catalog.listTables().collect()
-    val db = "default"
+    val db = sessionDb
 
     Seq(("def", db, "utf8mb4", "utf8mb4_0900_ai_ci"))
       .toDF("catalog_name", "schema_name", "default_character_set_name",
@@ -3297,26 +3611,45 @@ class Engine(val spark: SparkSession) {
         }
       }
     kcuRows
-      .toDF("constraint_name", "table_name", "column_name",
-        "ordinal_position", "referenced_table_name",
+      .map { case (n, t, c, i, rt, rc) =>
+        ("def", db, n, db, t.toLowerCase, c, i,
+          if (rt == null) null else db, rt, rc) }
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "table_schema", "table_name", "column_name", "ordinal_position",
+        "referenced_table_schema", "referenced_table_name",
         "referenced_column_name")
       .createOrReplaceTempView("information_schema_key_column_usage")
 
-    // TABLE_CONSTRAINTS / REFERENTIAL_CONSTRAINTS / CHECK_CONSTRAINTS
-    // (reference information_schema tables over the declared metadata)
-    val pkRows = tableKeys.keys.toSeq.map(t => ("PRIMARY", t, "PRIMARY KEY"))
-    val ckRows = checkConstraints.toSeq.map { case (t, n, _) => (n, t, "CHECK") }
-    val fkRows = foreignKeys.toSeq.map(f => (f.name, f.child, "FOREIGN KEY"))
-    (pkRows ++ ckRows ++ fkRows)
-      .toDF("constraint_name", "table_name", "constraint_type")
+    // TABLE_CONSTRAINTS / REFERENTIAL_CONSTRAINTS / CHECK_CONSTRAINTS —
+    // MySQL's full column shapes (table_constraints_table.go,
+    // check_constraints_table.go; check_scripts.go asserts the 7/4-column
+    // forms with ENFORCED and the backticked clause rendering)
+    // table names render lowercase — Spark's catalog (like the
+    // reference's) folds relation names, so `CREATE TABLE T2` lists as
+    // t2 and the corpus filters on the folded form
+    val pkRows = tableKeys.keys.toSeq.map(t =>
+      ("def", db, "PRIMARY", db, t.toLowerCase, "PRIMARY KEY", "YES"))
+    val ckRows = checkConstraints.toSeq.map { case (t, n, _, en) =>
+      ("def", db, n, db, t.toLowerCase, "CHECK", if (en) "YES" else "NO") }
+    val ukRows = uniqueKeys.toSeq.map { case (t, n, _) =>
+      ("def", db, n, db, t.toLowerCase, "UNIQUE", "YES") }
+    val fkRows = foreignKeys.toSeq.map(f =>
+      ("def", db, f.name, db, f.child.toLowerCase, "FOREIGN KEY", "YES"))
+    (pkRows ++ ckRows ++ ukRows ++ fkRows)
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "table_schema", "table_name", "constraint_type", "enforced")
       .createOrReplaceTempView("information_schema_table_constraints")
     foreignKeys.toSeq
-      .map(f => (f.name, f.child, f.parent, f.onDelete, f.onUpdate))
-      .toDF("constraint_name", "table_name", "referenced_table_name",
+      .map(f => ("def", db, f.name, db, f.parent, f.child,
+        f.onDelete, f.onUpdate))
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "unique_constraint_schema", "referenced_table_name", "table_name",
         "delete_rule", "update_rule")
       .createOrReplaceTempView("information_schema_referential_constraints")
-    checkConstraints.toSeq.map { case (t, n, ex) => (n, t, s"($ex)") }
-      .toDF("constraint_name", "table_name", "check_clause")
+    checkConstraints.toSeq.map { case (t, n, ex, _) =>
+      ("def", db, n, graft.functions.CheckExprRender.render(ex)) }
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "check_clause")
       .createOrReplaceTempView("information_schema_check_constraints")
 
     Seq(("utf8mb4", "utf8mb4_0900_ai_ci", "UTF-8 Unicode", 4))
@@ -3518,7 +3851,13 @@ class Engine(val spark: SparkSession) {
       val nn = if (f.nullable && !pkCols(lc) && !aiCol.contains(lc)) ""
         else " NOT NULL"
       val gen = generated.get(lc)
-        .map(ex => s" GENERATED ALWAYS AS ($ex) STORED").getOrElse("")
+        .map { ex =>
+          val suffix =
+            if (storedGeneratedCols((table, lc))) " STORED" else ""
+          s" GENERATED ALWAYS AS " +
+            s"(${graft.functions.CheckExprRender.render(ex)})$suffix"
+        }
+        .getOrElse("")
       val dflt = if (gen.nonEmpty) "" else
         columnDefaults.get((table, lc)).map(renderDefault)
           .map(d => s" DEFAULT $d").getOrElse("")
@@ -3543,8 +3882,10 @@ class Engine(val spark: SparkSession) {
           !n.equalsIgnoreCase("PRIMARY") =>
         s"  KEY `$n` (${cols.map(keyPart(n, _)).mkString(",")})"
     }
-    val cks = checkConstraints.toSeq.collect { case (t, n, ex) if t == table =>
-      s"  CONSTRAINT `$n` CHECK ($ex)"
+    val cks = checkConstraints.toSeq.collect {
+      case (t, n, ex, en) if t == table =>
+        val suffix = if (en) "" else " /*!80016 NOT ENFORCED */"
+        s"  CONSTRAINT `$n` CHECK (${graft.functions.CheckExprRender.render(ex)})$suffix"
     }
     val fks = foreignKeys.toSeq.collect { case fk if fk.child == table =>
       val onDel = if (fk.onDelete == "RESTRICT") ""

@@ -123,7 +123,19 @@ object GoCorpus {
       case "true" => true
       case "false" => false
       case t if t.startsWith("\"") || t.startsWith("`") =>
-        new Cursor(t, 0).readString()
+        // Go string concatenation: "a" + "b" + `c` (multi-line SHOW
+        // CREATE TABLE expectations are written this way)
+        val c = new Cursor(t, 0)
+        val sb = new StringBuilder(c.readString())
+        var more = true
+        while (more) {
+          c.skipWsAndComments()
+          if (!c.eof && c.ch == '+') {
+            c.i += 1
+            sb.append(c.readString())
+          } else more = false
+        }
+        sb.toString
       case t if t.matches("-?\\d+") => BigDecimal(t)
       case t if t.matches("-?\\d*\\.\\d+(e-?\\d+)?") => BigDecimal(t)
       case t if t.startsWith("int64(") || t.startsWith("int32(") ||
@@ -132,7 +144,8 @@ object GoCorpus {
           t.startsWith("uint8(") || t.startsWith("uint16(") ||
           t.startsWith("float64(") || t.startsWith("float32(") =>
         goValue(tok.substring(tok.indexOf('(') + 1, tok.length - 1))
-      case t if t.startsWith("[]byte(") || t.startsWith("[]uint8(") =>
+      case t if t.startsWith("[]byte(") || t.startsWith("[]uint8(") ||
+          t.startsWith("types.MustJSON(") =>
         goValue(tok.substring(tok.indexOf('(') + 1, tok.length - 1))
       case t => t // unknown marker: compared as its source text
     }

@@ -611,8 +611,8 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
   test("ON UPDATE CASCADE walks the FK graph with the old->new key mapping " +
       "(foreign_key_queries.go 'SQL CASCADE')") {
     engine.runScript(
-      """CREATE TABLE one (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT);
-        |CREATE TABLE two (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
+      """CREATE TABLE one (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT, INDEX v1 (v1));
+        |CREATE TABLE two (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT, INDEX v1v2 (v1, v2),
         |  CONSTRAINT fk_name_1 FOREIGN KEY (v1) REFERENCES one(v1) ON DELETE CASCADE ON UPDATE CASCADE);
         |CREATE TABLE three (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
         |  CONSTRAINT fk_name_2 FOREIGN KEY (v1, v2) REFERENCES two(v1, v2) ON DELETE CASCADE ON UPDATE CASCADE);
@@ -638,7 +638,7 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
   test("ON UPDATE SET NULL nulls the children of every changed key " +
       "(foreign_key_queries.go 'SQL SET NULL')") {
     engine.runScript(
-      """CREATE TABLE one (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT);
+      """CREATE TABLE one (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT, INDEX v1 (v1));
         |CREATE TABLE two (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
         |  CONSTRAINT fk_name_1 FOREIGN KEY (v1) REFERENCES one(v1) ON DELETE SET NULL ON UPDATE SET NULL);
         |INSERT INTO one VALUES (1, 1, 1), (2, 2, 2), (3, 3, 3);
@@ -663,7 +663,7 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
   test("ON UPDATE RESTRICT blocks only key-changing updates " +
       "(foreign_key_queries.go 'SQL RESTRICT')") {
     engine.runScript(
-      """CREATE TABLE one (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT);
+      """CREATE TABLE one (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT, INDEX v1 (v1));
         |CREATE TABLE two (pk BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
         |  CONSTRAINT fk_name_1 FOREIGN KEY (v1) REFERENCES one(v1) ON DELETE RESTRICT ON UPDATE RESTRICT);
         |INSERT INTO one VALUES (1, 1, 1), (2, 2, 2), (3, 3, 3);
@@ -720,7 +720,7 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     // self-FK ON UPDATE CASCADE stops (InnoDB restrict behavior):
     // 'Self-referential child column follows parent CASCADE'
     engine.runScript(
-      """CREATE TABLE selfu (id BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
+      """CREATE TABLE selfu (id BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT, INDEX v1 (v1),
         |  CONSTRAINT fk_named FOREIGN KEY (v2) REFERENCES selfu(v1) ON UPDATE CASCADE ON DELETE CASCADE);
         |INSERT INTO selfu VALUES (1, 1, 1), (2, 2, 1), (3, 3, NULL);
         |""".stripMargin)
@@ -743,7 +743,7 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     // even though the key is about to be re-inserted
     // ('Self-referential child column follows parent RESTRICT')
     engine.runScript(
-      """CREATE TABLE selfrr (id BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT,
+      """CREATE TABLE selfrr (id BIGINT PRIMARY KEY, v1 BIGINT, v2 BIGINT, INDEX v1 (v1),
         |  CONSTRAINT fk_r FOREIGN KEY (v2) REFERENCES selfrr(v1));
         |INSERT INTO selfrr VALUES (1, 1, 1), (2, 2, 1);
         |""".stripMargin)
@@ -1012,7 +1012,7 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
         |ALTER TABLE t41c ADD CONSTRAINT k_check CHECK (k < 123);
         |ALTER TABLE t41c DROP COLUMN j;""".stripMargin)
     assert(engine.checkConstraints.collect {
-      case (t, n, _) if t == "t41c" => n
+      case (t, n, _, _) if t == "t41c" => n
     } == Seq("k_check"))
     // a multi-column check blocks the drop (MySQL 3959)
     engine.runScript(
@@ -1030,7 +1030,7 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
       """create table t42d (i bigint primary key, j int, CONSTRAINT check1 CHECK (j < 12345), CONSTRAINT check2 CHECK (j > 0));
         |ALTER TABLE t42d ADD COLUMN s varchar(20), drop check check1;""".stripMargin)
     assert(engine.checkConstraints.collect {
-      case (t, n, _) if t == "t42d" => n
+      case (t, n, _, _) if t == "t42d" => n
     } == Seq("check2"))
     engine.runScript(
       "drop table t42c; drop table t41c; drop table t43c; drop table t42d")

@@ -168,10 +168,12 @@ class TypesTableSpec extends AnyFunSuite {
          FROM information_schema_referential_constraints""").collect()
     assert(rc.length == 1 && rc(0).getString(2) == "tc_p" &&
       rc(0).getString(3) == "CASCADE")
+    // MySQL's check_constraints has no table_name column; the clause
+    // renders fully parenthesized with backticked identifiers
     val cc = e.query(
       """SELECT check_clause FROM information_schema_check_constraints
-         WHERE table_name = 'tc_p'""").collect()
-    assert(cc.length == 1 && cc(0).getString(0).contains("v > 0"))
+         WHERE constraint_name LIKE 'tc_p_chk%'""").collect()
+    assert(cc.length == 1 && cc(0).getString(0) == "(`v` > 0)")
     e.query("drop table tc_c")
     e.query("drop table tc_p")
   }
