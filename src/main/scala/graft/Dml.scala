@@ -1712,20 +1712,39 @@ object Dml {
   // [ON DELETE action] [ON UPDATE action]  (reference sql/plan/ddl.go +
   // foreign_key_handler.go)
   private val FkItem = re(
-    """(?is)^\s*(?:CONSTRAINT\s+`?([A-Za-z0-9_]+)`?\s+)?FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+<T>\s*\(([^)]*)\)(.*)$""")
+    """(?is)^\s*(?:CONSTRAINT\s+(?:`([^`]*)`|([A-Za-z0-9_]+))\s+)?FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+<T>\s*\(([^)]*)\)(.*)$""")
 
   private def parseFk(e: Engine, table: String, item: String): Option[Engine.ForeignKey] =
     item match {
-      case FkItem(name, childCols, parentRaw, parentCols, tail) =>
-        Option(name).foreach(checkIdent)
+      case FkItem(nameTick, nameBare, childCols, parentRaw, parentCols, tail) =>
+        // backticked names admit any characters (`child5_ibfk_-2`);
+        // an explicit empty name (``) falls back to auto-naming
+        val name = Option(nameTick).filter(_.nonEmpty)
+          .orElse(Option(nameBare)).orNull
+        Option(nameBare).foreach(checkIdent)
         def action(kw: String): String =
           (s"""(?is)\\bON\\s+$kw\\s+(CASCADE|SET\\s+NULL|SET\\s+DEFAULT|RESTRICT|NO\\s+ACTION)""").r
             .findFirstMatchIn(tail)
             .map(_.group(1).toUpperCase.replaceAll("\\s+", " "))
-            .getOrElse("RESTRICT")
+            .getOrElse("NO ACTION") // MySQL's displayed default action
+        // auto-name: highest existing <t>_ibfk_N + 1, case-sensitively
+        // (foreign_key_queries.go "foreign key naming": an explicit
+        // child3_ibfk_100 pushes the next auto name to _101)
+        def autoName: String = {
+          val re = ("^" + java.util.regex.Pattern.quote(table) +
+            "_ibfk_(-?\\d+)$").r
+          val maxN = e.foreignKeys.toSeq.filter(_.child == table)
+            .flatMap(f => re.findFirstMatchIn(f.name)
+              .flatMap(m => scala.util.Try(m.group(1).toLong).toOption))
+          // MySQL stores the counter as uint32: _ibfk_-2 is followed by
+          // _ibfk_4294967295, then wraps to _ibfk_0 ("foreign key
+          // naming" wrap-around cases)
+          val m = if (maxN.isEmpty) 0L else maxN.max // a lone -2 counts
+          val next = (m + 1L) & 0xFFFFFFFFL
+          s"${table}_ibfk_$next"
+        }
         Some(Engine.ForeignKey(
-          Option(name).getOrElse(
-            s"${table}_ibfk_${e.foreignKeys.count(_.child == table) + 1}"),
+          Option(name).getOrElse(autoName),
           table,
           childCols.split(",").map(c => stripTick(c.trim)).toSeq,
           normName(parentRaw),
@@ -2566,7 +2585,9 @@ object Dml {
           // columns stay (MySQL drops the index, not the data)
           e.tableKeys.remove(table)
         case DropIdx(name) =>
-          if (e.fkChecksEnabled && e.indexNeededByFk(table, stripTick(name)))
+          // guards even with FOREIGN_KEY_CHECKS=0 ("Delayed foreign key
+          // still does some validation")
+          if (e.indexNeededByFk(table, stripTick(name)))
             throw new IllegalArgumentException(
               s"Cannot drop index '${stripTick(name)}': needed in a " +
               "foreign key constraint (MySQL ErrForeignKeyDropIndex)")
@@ -2574,8 +2595,12 @@ object Dml {
         case a if a.toUpperCase.matches("(?s)^ADD\\s+(?:CONSTRAINT\\s+\\S+\\s+)?FOREIGN\\s+KEY\\b.*") =>
           // ADD FOREIGN KEY validates existing rows before registering
           parseFk(e, table, a.replaceFirst("(?is)^ADD\\s+", "")).foreach { fk =>
-            e.declareForeignKey(fk)
-            try e.validateForeignKeysChild(table, e.spark.table(table))
+            // resolve child columns against the statement's WORKING frame
+            // so `ADD COLUMN v1 ..., ADD CONSTRAINT fk (v1) ...` sees the
+            // new column (CreateForeignKeyTests "Add a column then
+            // immediately add a foreign key")
+            e.declareForeignKey(fk, Some(df.schema.fields.toSeq))
+            try e.validateForeignKeysChild(table, df)
             catch {
               case ex: Throwable =>
                 e.dropForeignKey(table, fk.name); throw ex
@@ -2818,7 +2843,13 @@ object Dml {
               .findFirstMatchIn(spec.trim).map(_.group(1).toInt)
             val stringish =
               Set("char", "varchar", "binary", "varbinary")(newBase)
-            val ok = oldBase == newBase && (!stringish ||
+            // BinaryType renders as blob-family text, so BINARY/VARBINARY
+            // re-declarations compare family-wise
+            val binFam = Set("binary", "varbinary", "blob", "tinyblob",
+              "mediumblob", "longblob")
+            val baseOk = oldBase == newBase ||
+              (binFam(oldBase) && binFam(newBase))
+            val ok = baseOk && (!stringish ||
               (oldLimit.isEmpty || newLimit.exists(_ >= oldLimit.get)))
             if (!ok) throw new IllegalArgumentException(
               s"Cannot change column '$name': used in a foreign key " +
@@ -2909,6 +2940,28 @@ object Dml {
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           df = df.withColumn(stripTick(a), col(s"`${stripTick(a)}`").cast(dt))
             .withColumnRenamed(stripTick(a), stripTick(b))
+        case a if """(?is)^RENAME\s+CONSTRAINT\s+(?:FOREIGN\s+KEY\s+)?\S+\s+TO\s+\S+$""".r
+            .matches(a.trim) =>
+          // ALTER TABLE t RENAME CONSTRAINT [FOREIGN KEY] old TO new
+          // (foreign_key_queries.go "rename foreign key constraints")
+          val parts = a.trim.split("\\s+")
+          val oldN = stripTick(parts(parts.length - 3))
+          val newN = stripTick(parts.last)
+          val hadFk = e.foreignKeys.exists(f =>
+            f.child == table && f.name.equalsIgnoreCase(oldN))
+          if (hadFk)
+            e.foreignKeys.mapInPlace(f =>
+              if (f.child == table && f.name.equalsIgnoreCase(oldN))
+                f.copy(name = newN) else f)
+          else if (e.checkConstraints.exists(c =>
+              c._1 == table && c._2.equalsIgnoreCase(oldN)))
+            // the reference supports renaming FOREIGN KEY constraints
+            // only ("rename check constraints" -> ErrUnsupportedFeature)
+            throw new IllegalArgumentException(
+              "renaming a CHECK constraint is not supported " +
+              "(ErrUnsupportedFeature)")
+          else throw new IllegalArgumentException(
+            s"Constraint '$oldN' does not exist (MySQL error 3940)")
         case RenameTo(n) => renameTo = Some(stripTick(n))
         case other =>
           throw new IllegalArgumentException(s"unsupported ALTER action: $other")
@@ -3205,6 +3258,17 @@ object Dml {
           "(MySQL error 3819)")
       }
     }
+    // FK enforcement on the update phase, exactly like UPDATE: changed
+    // child columns re-validate; changed referenced keys fire the
+    // declared actions ("INSERT on DUPLICATE correctly works with FKs")
+    val ridBoth = updatedBoth.withColumn("__rid__",
+      monotonically_increasing_id()).localCheckpoint()
+    val oldFrame = ridBoth.select((t.columns.map(c =>
+      col(s"`__old_$c`").as(c)) :+ col("__rid__")).toIndexedSeq: _*)
+    val newFrame = ridBoth.select((t.columns.map(c =>
+      col(s"`$c`")) :+ col("__rid__")).toIndexedSeq: _*)
+    e.validateForeignKeysChildChanged(table, oldFrame, newFrame)
+    e.enforceParentUpdate(table, oldFrame, newFrame)
     updatedRows = updatedRows
       .select(t.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
     // assignments may change a generated column's inputs — recompute

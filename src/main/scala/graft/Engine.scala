@@ -1927,19 +1927,31 @@ class Engine(val spark: SparkSession) {
       throw new IllegalArgumentException(
         s"Foreign key '${fk.name}': SET DEFAULT is not supported " +
         "(MySQL ErrForeignKeySetDefault)")
-    if (foreignKeys.exists(f =>
-        f.child == fk.child && f.name.equalsIgnoreCase(fk.name)))
+    // FK names are unique across the whole schema, not per table
+    // (InnoDB; "foreign key naming": child7_ibfk_1 on child1 blocks
+    // child7's auto-name)
+    if (foreignKeys.exists(_.name.equalsIgnoreCase(fk.name)))
       throw new IllegalArgumentException(
         s"Duplicate foreign key constraint name '${fk.name}' " +
         "(MySQL ErrForeignKeyDuplicateName)")
+    // a column may appear once per FK (ErrAddForeignKeyDuplicateColumn)
+    fk.childCols.map(_.toLowerCase).groupBy(identity).collectFirst {
+      case (c, cs) if cs.size > 1 => c
+    }.foreach(c => throw new IllegalArgumentException(
+      s"Column '$c' appears twice in foreign key '${fk.name}' " +
+      "(MySQL ErrAddForeignKeyDuplicateColumn)"))
+    // child-side column existence validates even with
+    // FOREIGN_KEY_CHECKS=0 — only the PARENT side defers
+    // ("Delayed foreign key still does some validation")
+    val childFields = childSchema.getOrElse(
+      spark.table(fk.child).schema.fields.toSeq)
+    def childField(c: String): StructField =
+      childFields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"Table '${fk.child}' does not have column '$c' " +
+          "(MySQL ErrTableColumnNotFound)"))
+    fk.childCols.foreach(childField)
     if (fkChecksEnabled) {
-      val childFields = childSchema.getOrElse(
-        spark.table(fk.child).schema.fields.toSeq)
-      def childField(c: String): StructField =
-        childFields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalArgumentException(
-            s"Table '${fk.child}' does not have column '$c' " +
-            "(MySQL ErrTableColumnNotFound)"))
       // parent resolution throws TABLE_OR_VIEW_NOT_FOUND when absent;
       // a self-referential FK in mid-CREATE resolves against the same
       // in-flight column list
@@ -1976,6 +1988,25 @@ class Engine(val spark: SparkSession) {
           throw new IllegalArgumentException(
             s"Foreign key '${fk.name}': SET NULL on non-nullable column " +
             s"'$cc' (MySQL ErrForeignKeySetNullNonNullable)")
+        // CASCADE/SET NULL cannot rewrite the base column of a STORED
+        // generated column (CreateForeignKeyTests "stored generated
+        // column foreign keys"; InnoDB restriction)
+        val actsOnChild = Seq(fk.onDelete, fk.onUpdate)
+          .exists(a => a == "CASCADE" || a == "SET NULL")
+        if (actsOnChild && generatedCols.exists { case (t, gc, ex) =>
+            t == fk.child && storedGeneratedCols((t, gc.toLowerCase)) && {
+              val refs = try org.apache.spark.sql.catalyst.parser
+                .CatalystSqlParser.parseExpression(ex).collect {
+                  case a2: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                    a2.name.toLowerCase
+                } catch { case _: Exception => Seq.empty[String] }
+              refs.contains(cc.toLowerCase)
+            }
+          })
+          throw new IllegalArgumentException(
+            s"Foreign key '${fk.name}': cascading action on base column " +
+            s"'$cc' of a stored generated column is not allowed " +
+            "(MySQL ErrForeignKeyTypeChange)")
       }
       // the referenced columns must lead an index on the parent —
       // the PK, or a declared unique/secondary index (prefix-length
@@ -2033,13 +2064,32 @@ class Engine(val spark: SparkSession) {
       secondaryIndexes.exists(s => s._1 == fk.child &&
         s._3.map(_.toLowerCase).take(wantChild.size) == wantChild)
     if (!hasIdx) {
+      // an explicitly-named FK that needs an auto index under a name an
+      // existing index already uses is ErrDuplicateKey ("Naming
+      // automatically created FK indexes")
+      val isAutoNamed = fk.name.matches("(?i)^" +
+        java.util.regex.Pattern.quote(fk.child) + "_ibfk_-?\\d+$")
+      if (!isAutoNamed && (uniqueKeys ++ secondaryIndexes).exists(x =>
+          x._1 == fk.child && x._2.equalsIgnoreCase(fk.name))) {
+        foreignKeys.filterInPlace(_ ne fkCanon)
+        throw new IllegalArgumentException(
+          s"Duplicate key name '${fk.name}' (MySQL ErrDuplicateKey)")
+      }
       // auto-named constraints (<t>_ibfk_N) index under the first FK
-      // column's name, like MySQL; explicit constraint names carry over
-      val idxName =
+      // column's name, like MySQL; explicit constraint names carry over.
+      // A taken name dedupes with _2/_3 ("Naming automatically created
+      // FK indexes": index v2 exists -> the new one is v2_2)
+      val base =
         if (fk.name.matches("(?i)^" +
-            java.util.regex.Pattern.quote(fk.child) + "_ibfk_\\d+$"))
+            java.util.regex.Pattern.quote(fk.child) + "_ibfk_-?\\d+$"))
           fkCanon.childCols.head
         else fk.name
+      def taken(n: String) =
+        (uniqueKeys ++ secondaryIndexes).exists(x =>
+          x._1 == fk.child && x._2.equalsIgnoreCase(n))
+      val idxName =
+        if (!taken(base)) base
+        else Iterator.from(2).map(i => s"${base}_$i").find(!taken(_)).get
       declareIndex(fk.child, idxName, fkCanon.childCols)
     }
   }
@@ -2122,17 +2172,38 @@ class Engine(val spark: SparkSession) {
       oldDf: DataFrame, newDf: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     if (!fkChecksEnabled) return
-    if (!foreignKeys.exists(_.child == table)) return
-    val fkCols = foreignKeys.toSeq.filter(_.child == table)
-      .flatMap(_.childCols).map(_.toLowerCase).distinct
-    val oldKeyed = oldDf.select(
-      (col("__rid__").as("__rid2__") +:
-        fkCols.map(c => col(s"`$c`").as(s"__old_$c"))): _*)
-    val changed = newDf.join(oldKeyed, col("__rid__") === col("__rid2__"))
-      .filter(fkCols.map(c =>
-        !(col(s"`$c`") <=> col(s"`__old_$c`"))).reduce(_ || _))
-      .select(newDf.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
-    validateForeignKeysChild(table, changed)
+    // per-FK: only rows whose columns OF THAT FK changed re-validate
+    // against it — an unrelated column's update must not resurface a
+    // pre-existing violation on another FK ("partial foreign key update")
+    foreignKeys.toSeq.filter(_.child == table).foreach { fk =>
+      val fkCols = fk.childCols.map(_.toLowerCase).distinct
+      val oldKeyed = oldDf.select(
+        (col("__rid__").as("__rid2__") +:
+          fkCols.map(c => col(s"`$c`").as(s"__old_$c"))): _*)
+      val changed = newDf.join(oldKeyed, col("__rid__") === col("__rid2__"))
+        .filter(fkCols.map(c =>
+          !(col(s"`$c`") <=> col(s"`__old_$c`"))).reduce(_ || _))
+        .select(newDf.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      val parentBase = spark.table(fk.parent)
+        .select(fk.parentCols.map(c => col(s"`$c`")): _*)
+      val parentAll =
+        if (fk.parent == table)
+          parentBase.unionByName(
+            newDf.select(fk.parentCols.map(c => col(s"`$c`")): _*))
+        else parentBase
+      val parent = parentAll.distinct()
+        .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
+      val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
+        col(s"`$cc`") === col(s"`__fk_$pc`")
+      }.reduce(_ && _)
+      val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
+        .reduce(_ && _)
+      val bad = changed.filter(nonNull).join(parent, cond, "left_anti")
+        .limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"Cannot add or update a child row: a foreign key constraint " +
+        s"fails (`${fk.child}`, CONSTRAINT `${fk.name}`) (MySQL error 1452)")
+    }
   }
 
   /** Parent-side enforcement after a DELETE. FK actions are
@@ -2234,14 +2305,25 @@ class Engine(val spark: SparkSession) {
             }
           case "SET NULL" =>
             if (hit.limit(1).count() > 0) {
-              val nulledOrphans = fk.childCols.foldLeft(hit) { (d, c) =>
+              // the nulling is an UPDATE of fk.child, so FKs referencing
+              // fk.child fire their ON UPDATE actions on it ("Cascaded
+              // DELETE becomes cascading UPDATE after first child")
+              val child0 = child.withColumn("__rid__",
+                org.apache.spark.sql.functions
+                  .monotonically_increasing_id()).localCheckpoint()
+              val nn0 = child0.filter(nonNull)
+              val hit0 = nn0.join(trigger, cond, "left_semi")
+              val nulledOrphans = fk.childCols.foldLeft(hit0) { (d, c) =>
                 d.withColumn(c, org.apache.spark.sql.functions.lit(null)
                   .cast(child.schema(c).dataType))
               }
-              state(fk.child) = child.filter(!nonNull)
-                .unionByName(nn.join(trigger, cond, "left_anti"))
-                .unionByName(nulledOrphans)
+              val newState0 = computeGenerated(fk.child,
+                child0.filter(!nonNull)
+                  .unionByName(nn0.join(trigger, cond, "left_anti"))
+                  .unionByName(nulledOrphans))
                 .localCheckpoint()
+              enforceParentUpdate(fk.child, child0, newState0)
+              state(fk.child) = newState0.drop("__rid__")
             }
           case _ => // RESTRICT / NO ACTION
             if (hit.limit(1).count() > 0) err1451(fk)
@@ -2343,7 +2425,9 @@ class Engine(val spark: SparkSession) {
                 lit(null).cast(child.schema(c).dataType))
                 .otherwise(col(s"`$c`")))
             }.select(child.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
-            replaceTable(fk.child, nulled, bumpDepth = true)
+            // generated columns over the nulled FK columns recompute
+            replaceTable(fk.child, computeGenerated(fk.child, nulled),
+              bumpDepth = true)
           case _ => // CASCADE
             val child0 =
               child.withColumn("__rid__", monotonically_increasing_id())
@@ -2355,8 +2439,12 @@ class Engine(val spark: SparkSession) {
                   .otherwise(col(s"`$cc`")))
               }.select((child.columns.map(c => col(s"`$c`")) :+
                 col("__rid__")).toIndexedSeq: _*)
-            enforceParentUpdate(fk.child, child0, rewritten, depth + 1)
-            replaceTable(fk.child, rewritten.drop("__rid__"),
+            // cascaded key rewrites feed any generated column over them
+            // ("ON UPDATE CASCADE maintains an index over a virtual
+            // column" / "recomputes chained virtual columns")
+            val recomputed = computeGenerated(fk.child, rewritten)
+            enforceParentUpdate(fk.child, child0, recomputed, depth + 1)
+            replaceTable(fk.child, recomputed.drop("__rid__"),
               bumpDepth = true)
           }
         }
@@ -3872,25 +3960,35 @@ class Engine(val spark: SparkSession) {
     def keyPart(n: String, c: String): String =
       s"`$c`" + indexPrefixes.get((table, n, c.toLowerCase))
         .map(l => s"($l)").getOrElse("")
-    val uks = uniqueKeys.toSeq.collect { case (t, n, cols) if t == table =>
-      s"  UNIQUE KEY `$n` (${cols.map(keyPart(n, _)).mkString(",")})"
-    }
+    // all non-PRIMARY indexes render sorted by name, UNIQUE and plain
+    // interleaved (foreign_key_queries.go "Referenced index includes
+    // implicit primary key columns": KEY `fk4` before KEY `idx4`;
+    // "Reordered foreign key columns do match": KEY `fk` before
+    // UNIQUE KEY `id`)
     val uniqueNames = uniqueKeys.collect {
       case (t, n, _) if t == table => n.toLowerCase }.toSet
-    val keys = secondaryIndexes.toSeq.collect {
-      case (t, n, cols) if t == table && !uniqueNames(n.toLowerCase) &&
-          !n.equalsIgnoreCase("PRIMARY") =>
-        s"  KEY `$n` (${cols.map(keyPart(n, _)).mkString(",")})"
-    }
+    val namedIdx =
+      uniqueKeys.toSeq.collect { case (t, n, cols) if t == table =>
+        (n, s"  UNIQUE KEY `$n` (${cols.map(keyPart(n, _)).mkString(",")})")
+      } ++
+      secondaryIndexes.toSeq.collect {
+        case (t, n, cols) if t == table && !uniqueNames(n.toLowerCase) &&
+            !n.equalsIgnoreCase("PRIMARY") =>
+          (n, s"  KEY `$n` (${cols.map(keyPart(n, _)).mkString(",")})")
+      }
+    val uks = namedIdx.sortBy(_._1.toLowerCase).map(_._2)
+    val keys = Seq.empty[String]
     val cks = checkConstraints.toSeq.collect {
       case (t, n, ex, en) if t == table =>
         val suffix = if (en) "" else " /*!80016 NOT ENFORCED */"
         s"  CONSTRAINT `$n` CHECK (${graft.functions.CheckExprRender.render(ex)})$suffix"
     }
-    val fks = foreignKeys.toSeq.collect { case fk if fk.child == table =>
-      val onDel = if (fk.onDelete == "RESTRICT") ""
+    val fks = foreignKeys.toSeq.filter(_.child == table)
+      .sortBy(_.name).map { fk =>
+      // MySQL omits the default actions (both spellings) in SHOW CREATE
+      val onDel = if (fk.onDelete == "RESTRICT" || fk.onDelete == "NO ACTION") ""
         else s" ON DELETE ${fk.onDelete}"
-      val onUpd = if (fk.onUpdate == "RESTRICT") ""
+      val onUpd = if (fk.onUpdate == "RESTRICT" || fk.onUpdate == "NO ACTION") ""
         else s" ON UPDATE ${fk.onUpdate}"
       s"  CONSTRAINT `${fk.name}` FOREIGN KEY " +
         s"(${fk.childCols.map(c => s"`$c`").mkString(",")}) REFERENCES " +

@@ -211,7 +211,7 @@ object GoCorpus {
     val setup = field(body, "SetUpScript").map { at =>
       val c = new Cursor(body, body.indexOf('{', at))
       splitTopLevel(c.readBraceGroup()).map(_.trim).filter(_.nonEmpty)
-        .map(s => new Cursor(s, 0).readString())
+        .map(s => goValue(s).toString) // handles "a" + "b" concatenation
     }.getOrElse(Seq.empty)
     val asserts = field(body, "Assertions").map { at =>
       val c = new Cursor(body, body.indexOf('{', at))
@@ -224,7 +224,16 @@ object GoCorpus {
   private def parseAssert(entry: String): Assert = {
     val body = entry.stripPrefix("{").stripSuffix("}")
     val query = field(body, "Query").map { at =>
-      new Cursor(body, at + "Query:".length).readString()
+      // concat-aware: Query strings are sometimes built with "+"
+      val c = new Cursor(body, at + "Query:".length)
+      val sb = new StringBuilder(c.readString())
+      var more = true
+      while (more) {
+        c.skipWsAndComments()
+        if (!c.eof && c.ch == '+') { c.i += 1; sb.append(c.readString()) }
+        else more = false
+      }
+      sb.toString
     }.getOrElse("")
     val skip = field(body, "Skip").exists { at =>
       body.substring(at + "Skip:".length).trim.startsWith("true")

@@ -122,7 +122,13 @@ abstract class GoScriptCorpusSpec extends AnyFunSuite {
     sc.setup.foreach(engine.query)
     sc.asserts.flatMap { a =>
       val pinned = divergences.keys.find(a.query.contains)
-      if (a.skip || pinned.nonEmpty) None
+      if (a.skip) None
+      else if (pinned.nonEmpty) {
+        // pinned divergence: still EXECUTE (later asserts may depend on
+        // the statement's side effects) but compare nothing
+        try engine.query(a.query).collect() catch { case _: Throwable => () }
+        None
+      }
       else if (a.expectErr) {
         try {
           engine.query(a.query).collect()
