@@ -334,8 +334,33 @@ object Dml {
   }
 
   private def dispatchTrimmed(e: Engine, sql: String): Option[DataFrame] = sql match {
+    // INSERT ... RETURNING <exprs> (MariaDB-style, supported by the
+    // reference — insert_queries.go "insert...returning... statements"):
+    // run the insert, then project the expressions over the rows this
+    // statement added (post defaults / auto-increment / coercion).
+    case s0 if """(?is)^\s*INSERT\b""".r.findFirstIn(s0).isDefined &&
+        topLevelIndexOfWord(s0, "RETURNING") >= 0 =>
+      val at = topLevelIndexOfWord(s0, "RETURNING")
+      val stmt = s0.substring(0, at).trim
+      val exprsTxt = s0.substring(at + "RETURNING".length).trim
+      val table = stmt match {
+        case Insert(_, tr, _, _) => e.canonicalTable(normName(tr))
+        case InsertSet(_, tr, _) => e.canonicalTable(normName(tr))
+        case _ => throw new IllegalArgumentException(
+          s"malformed INSERT ... RETURNING: $s0")
+      }
+      val before = e.spark.table(table).localCheckpoint()
+      dispatchTrimmed(e, stmt)
+      // multiset difference = exactly the inserted rows, even when they
+      // equal pre-existing rows
+      val inserted = e.spark.table(table).exceptAll(before)
+      val tmp = s"__returning_${math.abs(s0.hashCode)}"
+      inserted.createOrReplaceTempView(tmp)
+      try Some(e.query(s"SELECT $exprsTxt FROM `$tmp`").localCheckpoint())
+      finally e.spark.catalog.dropTempView(tmp)
+
     case Insert(ignoreKw, tableRaw, colList, body0) =>
-      val table = normName(tableRaw)
+      val table = e.canonicalTable(normName(tableRaw))
       val hasList = colList != null && colList.trim
         .stripPrefix("(").stripSuffix(")").trim.nonEmpty
       val (bodyRaw, odku) = splitOnDuplicate(body0)
@@ -433,9 +458,34 @@ object Dml {
                   s"The used row alias column list does not match the " +
                   s"column count (MySQL error 1136)")
             }
+          val isSelectSrc = """(?is)^\s*\(?\s*(?:SELECT|WITH)\b""".r
+            .findFirstIn(body.trim).isDefined
+          // visible FROM-clause relation names of the source select: an
+          // alias hides its base name (`from b as t` exposes only t) —
+          // the ODKU rewriter may map only these, so `b.j` stays put and
+          // errors (insert_queries.go "aliased subquery")
+          val srcNames: Seq[String] =
+            if (!isSelectSrc) Seq.empty
+            else try {
+              import org.apache.spark.sql.catalyst.plans.logical._
+              import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              def visible(p: LogicalPlan): Seq[String] = p match {
+                case a: SubqueryAlias => Seq(a.alias)
+                case r: UnresolvedRelation => Seq(r.multipartIdentifier.last)
+                case other => other.children.flatMap(visible)
+              }
+              val bt = body.trim
+              val inner =
+                if (bt.startsWith("(") && bt.endsWith(")"))
+                  bt.substring(1, bt.length - 1)
+                else bt
+              visible(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parsePlan(inner))
+            } catch { case _: Exception => Seq.empty }
           Some(upsert(e, table,
             insertSource(e, table, colList, hasList, bodyStripped),
-            assignText, aliasOpt, insertCols, ignore = ignoreKw != null))
+            assignText, aliasOpt, insertCols, ignore = ignoreKw != null,
+            selectSource = isSelectSrc, sourceNames = srcNames))
       }
 
     case Replace(tableRaw, colList, body) =>
@@ -640,6 +690,34 @@ object Dml {
           }
         }
       }
+      // ON UPDATE CURRENT_TIMESTAMP: unassigned on-update columns take
+      // the statement clock on rows whose assigned values actually
+      // CHANGE (update_queries.go OnUpdateExprScripts; a same-value
+      // assignment updates nothing, dolt issue 10657). The original
+      // assigned values ride along as __orig_* so change detection is a
+      // row-local comparison, no extra join.
+      val assignedNames = assignsResolved.map(_._1)
+      val onUpdCols = e.onUpdateCols.toSeq.collect {
+        case ((t2, cl), p) if t2 == table &&
+            !assignedNames.exists(_.toLowerCase == cl) &&
+            actual.contains(cl) =>
+          (actual(cl), p)
+      }
+      def snapOrig(df: DataFrame): DataFrame =
+        if (onUpdCols.isEmpty) df
+        else assignedNames.foldLeft(df)((d, c) =>
+          d.withColumn(s"__orig_$c", col(s"`$c`")))
+      def applyOnUpdate(updated: DataFrame): DataFrame =
+        if (onUpdCols.isEmpty) updated
+        else {
+          val changed = assignedNames.map(c =>
+            !(col(s"`$c`") <=> col(s"`__orig_$c`"))).reduce(_ || _)
+          onUpdCols.foldLeft(updated) { case (d, (c, p)) =>
+            d.withColumn(c, when(changed,
+              e.nowColumn(p).cast(d.schema(c).dataType))
+              .otherwise(col(s"`$c`")))
+          }.drop(assignedNames.map(c => s"__orig_$c"): _*)
+        }
       // `__rid__` aligns each pre-update row with its post-update image
       // so ON UPDATE CASCADE can map old keys to new keys
       tail match {
@@ -649,13 +727,27 @@ object Dml {
           val whereClause = whereOpt.map(w => s" WHERE $w").getOrElse("")
           val subset = e.query(s"SELECT * FROM ${tick(table)}$whereClause $orderLimit")
           val affected = subset.count()
-          val subset0 = subset.withColumn("__rid__", monotonically_increasing_id())
-          val transformed0 = e.coerceVocab(table,
-            e.computeGenerated(table, assignSequential(subset0, None)))
+          // checkpoint pins the row ids: monotonically_increasing_id is
+          // re-evaluated per action, and the IGNORE resolution collects
+          // old and new images in separate jobs that must agree on rids
+          val subset0 = subset.withColumn("__rid__",
+            monotonically_increasing_id()).localCheckpoint()
+          var transformed0 = e.coerceVocab(table,
+            e.computeGenerated(table,
+              applyOnUpdate(assignSequential(snapOrig(subset0), None))))
+          if (ignore)
+            // row-ordered key-conflict resolution, exactly like the
+            // no-ORDER-BY IGNORE path (insert_queries.go "UPDATE IGNORE
+            // keyless tables": UPDATE IGNORE ... ORDER BY pk)
+            transformed0 = e.applyUpdateIgnore(table, subset0, transformed0)._1
           val newDf =
             t.exceptAll(subset).unionByName(transformed0.drop("__rid__"))
           e.validateVocab(table, newDf)
           e.validateChecks(table, newDf)
+          if (!ignore) {
+            e.enforcePkUniquePost(table, newDf)
+            e.enforcePkUniqueTransient(table, subset0, transformed0)
+          }
           e.validateForeignKeysChildChanged(table, subset0, transformed0)
           e.enforceParentUpdate(table, subset0, transformed0)
           e.replaceTable(table, newDf, bumpDepth = true)
@@ -705,12 +797,14 @@ object Dml {
               }
             }
             val newDfRaw = e.coerceVocab(table,
-              e.computeGenerated(table, assignSequential(t0, gate)))
+              e.computeGenerated(table,
+                applyOnUpdate(assignSequential(snapOrig(t0), gate))))
             val newDf = newDfRaw.drop("__rid__")
             e.validateVocab(table, newDf)
             e.validateChecks(table, newDf)
             e.validateForeignKeysChildChanged(table, t0, newDfRaw)
             e.enforcePkUniquePost(table, newDf)
+            e.enforcePkUniqueTransient(table, t0, newDfRaw)
             e.enforceUniqueExprsPost(table, newDf)
             e.enforceParentUpdate(table, t0, newDfRaw)
             e.replaceTable(table, newDf, bumpDepth = true)
@@ -718,7 +812,8 @@ object Dml {
           } else if (!ignore) {
             // non-strict plain UPDATE (SET sql_mode=''): values coerce
             // with warnings like IGNORE, constraints still error
-            val assigned = assignSequentialIgnore(t0, gate)
+            val assigned = applyOnUpdate(
+              assignSequentialIgnore(snapOrig(t0), gate))
             val afterGen = e.coerceVocab(table,
               e.computeGenerated(table, assigned))
             val (coerced, flagWarns) =
@@ -1151,6 +1246,14 @@ object Dml {
       Some(Seq(text).toDF("EXPLAIN"))
 
     case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
+    // transaction chatter: this engine is autocommit-only (transactions
+    // are agreed-descoped, SURVEY §2.12), so BEGIN/COMMIT/ROLLBACK and
+    // savepoints accept as no-ops — every write is already durable
+    // (insert_queries.go "autocommit off" blocks run COMMIT explicitly)
+    case s if s.matches(
+        "(?is)^\\s*(?:COMMIT|ROLLBACK|BEGIN|START\\s+TRANSACTION|" +
+        "(?:RELEASE\\s+)?SAVEPOINT\\s+\\S+|ROLLBACK\\s+TO\\s+\\S+)\\s*$") =>
+      Some(ok(e, 0L))
 
     case LoadData(path, modeKw, tableRaw, clauseText) =>
       val table = normName(tableRaw)
@@ -1476,10 +1579,12 @@ object Dml {
         "Charset", like))
 
     case ShowProcesslist() =>
+      // the reference's embedded engine reports NO live processes
+      // (queries.go `show full processlist` expects zero rows) — match
+      // it: an embedded analytics session has no server connection list
       val s = e.spark
       import s.implicits._
-      Some(Seq((1L, "graft", "localhost", e.currentDatabase, "Query", 0L,
-        "executing", "SHOW PROCESSLIST"))
+      Some(Seq.empty[(Long, String, String, String, String, Long, String, String)]
         .toDF("Id", "User", "Host", "db", "Command", "Time", "State", "Info"))
 
     case ShowTbls(full, db, like, where) =>
@@ -1778,8 +1883,18 @@ object Dml {
       } else if (s.startsWith("'"))
         """'(?:[^'\\]|\\.|'')*'""".r.findPrefixOf(s)
           .getOrElse(s.takeWhile(!_.isWhitespace))
+      else if (s.startsWith("\""))
+        // MySQL double-quoted string defaults ("joe\'s bar",
+        // "quote""bazzar" — insert_queries.go "Defaults with escaped
+        // strings")
+        ("\"(?:[^\"\\\\]|\\\\.|\"\")*\"").r.findPrefixOf(s)
+          .getOrElse(s.takeWhile(!_.isWhitespace))
       else s.takeWhile(c => !c.isWhitespace && c != ',')
     }
+
+  /** Canonical Spark-SQL string literal for a raw value. */
+  private def sqlStringLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   // one nesting level: key-part lists may carry prefix lengths —
   // "PRIMARY KEY (i(10))", "unique index (v1(3),v2(5))"
@@ -1880,6 +1995,44 @@ object Dml {
   }
 
   /** one `name TYPE [flags]` item -> StructField (+ vocab/key bookkeeping) */
+  /** ON UPDATE CURRENT_TIMESTAMP[(p)] column option (update_queries.go
+    * OnUpdateExprScripts; reference sql/planbuilder column options):
+    * only the now-family is legal, only on TIMESTAMP/DATETIME columns,
+    * and the fractional precision must match the column's exactly.
+    * Guards against FK inline-REFERENCES actions (ON UPDATE CASCADE…). */
+  private def parseOnUpdateClause(e: Engine, table: String, colName: String,
+      rest: String, dt: org.apache.spark.sql.types.DataType): Unit =
+    """(?is)\bON\s+UPDATE\s+(?!CASCADE|SET\s|RESTRICT|NO\s)(\S+(?:\s*\([^)]*\))?)"""
+      .r.findFirstMatchIn(rest).foreach { mm =>
+        val exprText = mm.group(1).trim
+        val NowForm =
+          """(?i)^(CURRENT_TIMESTAMP|NOW|LOCALTIME|LOCALTIMESTAMP)(?:\s*\(\s*(\d*)\s*\))?[,)]?$""".r
+        exprText match {
+          case NowForm(_, prec) =>
+            val isTime = dt == org.apache.spark.sql.types.TimestampNTZType ||
+              dt == org.apache.spark.sql.types.TimestampType
+            if (!isTime) throw new IllegalArgumentException(
+              s"Invalid ON UPDATE clause for '$colName': only TIMESTAMP/" +
+              "DATETIME columns take ON UPDATE CURRENT_TIMESTAMP " +
+              "(MySQL ErrInvalidOnUpdate)")
+            val declP = Option(prec).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+            val colP = e.timePrecisions.getOrElse((table, colName.toLowerCase), 0)
+            if (declP != colP) throw new IllegalArgumentException(
+              s"Invalid ON UPDATE clause for '$colName': " +
+              s"CURRENT_TIMESTAMP($declP) does not match the column's " +
+              s"precision $colP (MySQL ErrInvalidOnUpdate)")
+            e.declareOnUpdate(table, colName, declP)
+          case other if other.startsWith("(") =>
+            throw new IllegalArgumentException(
+              s"syntax error near 'update' (general expressions are not " +
+              s"valid in ON UPDATE): $other")
+          case other =>
+            throw new IllegalArgumentException(
+              s"Invalid ON UPDATE clause for '$colName': $other " +
+              "(MySQL ErrInvalidOnUpdate)")
+        }
+      }
+
   private def parseColDef(e: Engine, table: String, item: String)
       : org.apache.spark.sql.types.StructField = {
     import org.apache.spark.sql.types._
@@ -1999,6 +2152,7 @@ object Dml {
     if (Set("tinytext", "text", "mediumtext", "longtext", "tinyblob",
         "blob", "mediumblob", "longblob")(baseLower))
       e.declareBlobText(table, colName)
+    if (baseLower == "json") e.declareJsonCol(table, colName)
     if (up.contains("PRIMARY KEY")) {
       if (e.isBlobText(table, colName))
         throw new IllegalArgumentException(
@@ -2064,9 +2218,18 @@ object Dml {
                 s"Incompatible DEFAULT $t for numeric column '$colName' " +
                 s"(MySQL 1067)")
           }
-          e.declareDefault(table, colName, d)
+          // quoted literals re-escape into canonical Spark form — MySQL
+          // admits '' / "" doubling and double-quoted strings, Spark
+          // only backslash escapes in single quotes
+          val dStored =
+            if ((t.length >= 2 && t.startsWith("'") && t.endsWith("'")) ||
+                (t.length >= 2 && t.startsWith("\"") && t.endsWith("\"")))
+              sqlStringLit(unquoteSqlString(t))
+            else d
+          e.declareDefault(table, colName, dStored)
         }
     }
+    parseOnUpdateClause(e, table, colName, rest, dt)
     // column-level CHECK (MySQL 8.0.16 enforcement semantics)
     extractCheck(rest).foreach { case (nm, ex) =>
       e.declareCheck(table, nm.getOrElse(
@@ -2289,7 +2452,8 @@ object Dml {
     // validates child column types, and a FOREIGN KEY item may precede
     // the columns it names
     val fkItems = scala.collection.mutable.ArrayBuffer.empty[String]
-    splitTop(body).foreach { item =>
+    splitTop(body).foreach { item0 =>
+      val item = canonicalKeyItem(item0)
       val up = item.toUpperCase
       if (up.startsWith("PRIMARY KEY")) {
         keyCols.findFirstMatchIn(item).foreach { k =>
@@ -2303,7 +2467,7 @@ object Dml {
       } else if (up.startsWith("UNIQUE")) {
         // UNIQUE [KEY|INDEX] [name] (cols): enforced like the PK but
         // NULL-exempt (MySQL unique-index semantics)
-        val m = ("(?is)^UNIQUE\\s+(?:KEY\\s+|INDEX\\s+)?" +
+        val m = ("(?is)^UNIQUE\\s*(?:KEY\\s+|INDEX\\s+)?" +
           "(?:`?([A-Za-z0-9_]+)`?\\s*)?\\(((?:[^()]|\\([^()]*\\))*)\\)").r
           .findFirstMatchIn(item)
         m.foreach { mm =>
@@ -2537,7 +2701,14 @@ object Dml {
       """(?is)^ADD\s+(?:CONSTRAINT\s+(?:`?([A-Za-z0-9_]+)`?\s+)?)?CHECK\s*\(.*$""".r
     val DropCheck =
       """(?is)^DROP\s+(?:CHECK|CONSTRAINT)\s+`?([A-Za-z0-9_]+)`?$""".r
-    splitTop(actions).foreach { action =>
+    splitTop(actions).foreach { action0 =>
+      // `ADD CONSTRAINT name UNIQUE (cols)` → canonical ADD UNIQUE form
+      val action =
+        if (action0.toUpperCase.matches(
+            "(?s)^\\s*ADD\\s+CONSTRAINT\\s+.*\\bUNIQUE\\b.*"))
+          "ADD " + canonicalKeyItem(
+            action0.trim.replaceFirst("(?is)^ADD\\s+", ""))
+        else action0
       action match {
         // index/constraint actions first: they'd otherwise parse as an
         // ADD COLUMN named PRIMARY/UNIQUE/INDEX
@@ -2818,6 +2989,13 @@ object Dml {
         case Modify(cn, spec) =>
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           val name = stripTick(cn)
+          // MODIFY re-validates/declares an ON UPDATE clause exactly
+          // like a CREATE column def (OnUpdateExprScripts error cases);
+          // the new declared precision applies first
+          """(?i)^(?:timestamp|datetime)\s*\(\s*(\d+)\s*\)""".r
+            .findFirstMatchIn(spec.trim).foreach(p =>
+              e.timePrecisions((table, name.toLowerCase)) = p.group(1).toInt)
+          parseOnUpdateClause(e, table, name, spec, dt)
           if (!originalCols(name.toLowerCase) ||
               renamedAway(name.toLowerCase))
             throw new IllegalArgumentException(
@@ -3065,7 +3243,11 @@ object Dml {
       try e.query(wrap(values))
       catch {
         case ex: Exception if ex.getMessage != null &&
-            ex.getMessage.contains("INVALID_INLINE_TABLE") =>
+            (ex.getMessage.contains("INVALID_INLINE_TABLE") ||
+             // Spark disallows scalar subqueries in an inline VALUES
+             // table; MySQL allows them (insert_queries.go issue 7322) —
+             // the UNION ALL form lifts each row to a SELECT
+             ex.getMessage.contains("SCALAR_SUBQUERY_IN_VALUES")) =>
           e.query(wrap(valuesToUnionAll(values)))
       }
     if (!hasList) {
@@ -3117,70 +3299,148 @@ object Dml {
                      assignText0: String,
                      rowAlias: Option[(String, Option[Seq[String]])] = None,
                      insertCols: Seq[String] = Seq.empty,
-                     ignore: Boolean = false): DataFrame = {
-    val keys = e.tableKeys.getOrElse(table,
-      throw new IllegalArgumentException(
-        s"ON DUPLICATE KEY UPDATE needs a declared key on '$table' " +
-        "(Engine.declareKey)"))
-    val incoming = lastPerKey(
-      e.coerceAndFill(table, incoming0, fillMissing = true), keys)
+                     ignore: Boolean = false,
+                     selectSource: Boolean = false,
+                     sourceNames: Seq[String] = Seq.empty): DataFrame = {
+    // MySQL matches "duplicate key" against the PRIMARY key AND every
+    // declared UNIQUE key (insert_queries.go InsertDuplicateKeyKeyless:
+    // keyless tables upsert through their unique indexes). With no keys
+    // at all the update clause can never fire — plain INSERT.
+    val keysList: Seq[Seq[String]] =
+      (e.tableKeys.get(table).toSeq ++
+        e.uniqueKeys.toSeq.collect { case (t2, _, cols) if t2 == table =>
+          cols }).distinct
+    if (keysList.isEmpty)
+      return ok(e, e.insertDf(table,
+        e.coerceAndFill(table, incoming0, fillMissing = true),
+        fillMissing = true, ignoreDups = ignore))
+    val keys = keysList.head
+    // last-in-batch wins per key — but only among rows whose key tuple
+    // is fully non-null (a NULL unique tuple never collides in MySQL,
+    // so such rows pass through row-for-row)
+    // generated columns materialize on the incoming batch too — a
+    // UNIQUE key over a virtual generated column participates in the
+    // duplicate-key match (generated_columns.go ODKU uk_v block)
+    val coerced = e.computeGenerated(table,
+      e.coerceAndFill(table, incoming0, fillMissing = true))
+    val keyNonNull = keys.map(k => col(s"`$k`").isNotNull).reduce(_ && _)
+    val keyHasNull = keys.map(k => col(s"`$k`").isNull).reduce(_ || _)
+    val incoming = lastPerKey(coerced.filter(keyNonNull), keys)
+      .unionByName(coerced.filter(keyHasNull))
     val t = e.spark.table(table)
     // row-alias references rewrite onto the incoming-row (__i_)
     // namespace first: `alias.c` names incoming column c; with an alias
     // COLUMN list, its names map positionally onto the INSERT column
     // list (bare references too, unless they collide with a real table
     // column, which MySQL resolves to the table)
-    val assignText = rowAlias match {
+    val qq = java.util.regex.Pattern.quote _
+    val tLast = table.split('.').last
+    // per-assignment RHS alias rewrite: row-alias / source-alias /
+    // join-source references become incoming-row (__i_) names
+    def rewriteRhs(rhs0: String): String = rowAlias match {
       case Some((alias, colsOpt)) =>
-        val q = java.util.regex.Pattern.quote _
         val cols = if (insertCols.nonEmpty) insertCols else t.columns.toSeq
-        val tLast = table.split('.').last
         colsOpt match {
           case Some(aliasCols) if alias == null =>
-            // qualifier-agnostic positional mapping (join sources):
-            // any non-target qualifier over a source output column
-            aliasCols.zip(cols).foldLeft(assignText0) {
+            // positional mapping for join sources: any VISIBLE source
+            // qualifier over a source output column; unknown qualifiers
+            // stay put for the validation below
+            val vis =
+              if (sourceNames.nonEmpty)
+                sourceNames.map(qq).mkString("(?:", "|", ")")
+              else s"(?!${qq(tLast)}\\.)[A-Za-z_][A-Za-z0-9_]*"
+            aliasCols.zip(cols).foldLeft(rhs0) {
               case (acc, (ac, tc)) =>
                 acc.replaceAll(
-                  s"(?i)(?<![.\\w])(?!${q(tLast)}\\.)" +
-                    s"[A-Za-z_][A-Za-z0-9_]*\\.`?${q(ac)}`?\\b",
-                  s"__i_$tc")
+                  s"(?i)(?<![.\\w])$vis\\.`?${qq(ac)}`?\\b", s"__i_$tc")
             }
           case Some(aliasCols) =>
-            aliasCols.zip(cols).foldLeft(assignText0) {
+            aliasCols.zip(cols).foldLeft(rhs0) {
               case (acc, (ac, tc)) =>
                 val qualified = acc.replaceAll(
-                  s"(?i)\\b${q(alias)}\\.`?${q(ac)}`?\\b", s"__i_$tc")
+                  s"(?i)\\b${qq(alias)}\\.`?${qq(ac)}`?\\b", s"__i_$tc")
                 if (t.columns.exists(_.equalsIgnoreCase(ac))) qualified
                 else qualified.replaceAll(
-                  s"(?i)(?<![.\\w])`?${q(ac)}`?\\b", s"__i_$tc")
+                  s"(?i)(?<![.\\w])`?${qq(ac)}`?\\b", s"__i_$tc")
             }
           case None =>
-            assignText0.replaceAll(
-              s"(?i)\\b${q(alias)}\\.`?([A-Za-z_][A-Za-z0-9_]*)`?", "__i_$1")
+            rhs0.replaceAll(
+              s"(?i)\\b${qq(alias)}\\.`?([A-Za-z_][A-Za-z0-9_]*)`?", "__i_$1")
         }
-      case None => assignText0
+      case None => rhs0
     }
+    def stripQuoted(s: String): String =
+      s.replaceAll("'(?:[^'\\\\]|\\\\.)*'", " ")
+        .replaceAll("\"(?:[^\"\\\\]|\\\\.)*\"", " ")
+    val srcColsLower = rowAlias.flatMap(_._2).getOrElse(Seq.empty)
+      .map(_.toLowerCase).toSet
+    val tcolsLower = t.columns.map(_.toLowerCase).toSet
+    val assigns = topLevelSplit(assignText0, ',').map { a =>
+      val eq = topLevelIndexOf(a, "=")
+      require(eq > 0, s"malformed ON DUPLICATE KEY UPDATE clause: $a")
+      // the assignment target is always a TARGET-TABLE column: a foreign
+      // qualifier on the lhs is MySQL's table-not-found (ODKU cannot
+      // assign into the source — "update b.i = a.i")
+      val name = a.substring(0, eq).trim.split('.')
+        .map(_.stripPrefix("`").stripSuffix("`")) match {
+        case Array(qual, c) =>
+          if (!qual.equalsIgnoreCase(tLast))
+            throw new IllegalArgumentException(
+              s"table not found: $qual (MySQL ErrTableNotFound)")
+          c
+        case Array(c) => c
+        case arr if arr.length == 3 &&
+            s"${arr(0)}.${arr(1)}".equalsIgnoreCase(table) => arr(2)
+        case arr => arr.last
+      }
+      val rhs1 = rewriteRhs(a.substring(eq + 1).trim)
+        // a target-table qualifier names the EXISTING row (a.i = current
+        // value) — strip it so expr() resolves on the merge frame
+        .replaceAll(
+          s"(?i)(?<![.\\w])`?${qq(tLast)}`?\\.`?([A-Za-z_][A-Za-z0-9_]*)`?",
+          "`$1`")
+        .replaceAll("(?i)\\bVALUES\\s*\\(\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*\\)",
+          "__i_$1")
+      // SELECT-source resolution errors (insert_queries.go "insert on
+      // duplicate key update errors" / "aliased subquery"): a leftover
+      // qualifier is an unknown table; a bare column visible in BOTH the
+      // target and the source is ambiguous.
+      if (selectSource) {
+        val scan = stripQuoted(rhs1)
+        "(?<![.\\w`])([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*`?[A-Za-z_]".r
+          .findAllMatchIn(scan).foreach { m =>
+            val q0 = m.group(1).toLowerCase
+            if (!q0.startsWith("__i_"))
+              throw new IllegalArgumentException(
+                s"table not found: ${m.group(1)} (MySQL ErrTableNotFound)")
+          }
+        "(?<![.\\w`])([A-Za-z_][A-Za-z0-9_]*)(?![\\w`]*\\s*[.(])".r
+          .findAllMatchIn(scan).foreach { m =>
+            val c0 = m.group(1).toLowerCase
+            if (!c0.startsWith("__i_") && srcColsLower.contains(c0) &&
+                tcolsLower.contains(c0))
+              throw new IllegalArgumentException(
+                s"ambiguous column name \"${m.group(1)}\" " +
+                "(MySQL ErrAmbiguousColumnName)")
+          }
+      }
+      // `col = DEFAULT` takes the column's declared default (NULL when
+      // none) — insert_queries.go "ODKU works with DEFAULT update value"
+      val ex =
+        if (rhs1.trim.equalsIgnoreCase("DEFAULT"))
+          e.columnDefaults.getOrElse((table, name.toLowerCase), "NULL")
+        else rhs1
+      name -> ex
+    }.toMap
     // incoming columns renamed so assignment text can address both rows:
     // bare `c` = existing row, VALUES(c) = incoming row (as __i_c)
     val i2 = incoming.select(incoming.columns.map(c =>
       col(s"`$c`").as(s"__i_$c")).toIndexedSeq: _*)
-    val joinCond = keys.map(k => t(k) === i2(s"__i_$k")).reduce(_ && _)
-    val assigns = topLevelSplit(assignText, ',').map { a =>
-      val eq = topLevelIndexOf(a, "=")
-      require(eq > 0, s"malformed ON DUPLICATE KEY UPDATE clause: $a")
-      // a target-table qualifier on the lhs strips (`mytable.s = …`)
-      val name = a.substring(0, eq).trim.split('.')
-        .map(_.stripPrefix("`").stripSuffix("`")) match {
-        case Array(qual, c) if qual.equalsIgnoreCase(table.split('.').last) => c
-        case Array(c) => c
-        case arr => arr.last
-      }
-      val ex = a.substring(eq + 1).trim
-        .replaceAll("(?i)\\bVALUES\\s*\\(\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*\\)",
-          "__i_$1")
-      name -> ex
-    }.toMap
+    // a row is "duplicate" when it matches an existing row on ANY
+    // declared key (=== is null-rejecting, so NULL unique tuples are
+    // exempt, matching MySQL)
+    val joinCond = keysList.map(ks =>
+      ks.map(k => t(k) === i2(s"__i_$k")).reduce(_ && _)).reduce(_ || _)
     val matched = t.join(i2, joinCond, "inner")
     // ODKU assignments coerce to the target column type like every other
     // write (reference sql/types Convert): a failed conversion errors in
@@ -3230,9 +3490,29 @@ object Dml {
         }
       }.getOrElse(t(c).as(c))
     } ++ t.columns.map(c => t(c).as(s"__old_$c"))).toIndexedSeq: _*)
+    // ON UPDATE CURRENT_TIMESTAMP on the update phase: unassigned
+    // on-update columns take the statement clock when the row changes
+    val odkuOnUpd = e.onUpdateCols.toSeq.collect {
+      case ((t2, cl), p) if t2 == table &&
+          !assigns.keys.exists(_.toLowerCase == cl) &&
+          t.columns.exists(_.toLowerCase == cl) =>
+        (t.columns.find(_.toLowerCase == cl).get, p)
+    }
+    val updatedBothTs =
+      if (odkuOnUpd.isEmpty) updatedBoth
+      else {
+        val changed = assigns.keys.toSeq.flatMap(c =>
+          t.columns.find(_.equalsIgnoreCase(c))).map(c =>
+            !(col(s"`$c`") <=> col(s"`__old_$c`"))).reduce(_ || _)
+        odkuOnUpd.foldLeft(updatedBoth) { case (d, (c, p)) =>
+          d.withColumn(c, when(changed,
+            e.nowColumn(p).cast(d.schema(c).dataType))
+            .otherwise(col(s"`$c`")))
+        }
+      }
     val checks = e.checkConstraints.toSeq
       .collect { case (t2, _, ex, true) if t2 == table => ex }
-    var updatedRows = updatedBoth
+    var updatedRows = updatedBothTs
     var nReverted = 0L
     if (checks.nonEmpty) {
       val violFlag = checks
@@ -3242,17 +3522,17 @@ object Dml {
         // violating updates keep their OLD row (insert_queries.go
         // "Insert Ignore works correctly with ON DUPLICATE UPDATE":
         // ODKU pk=1000 against CHECK pk<100 -> RowsAffected 0)
-        nReverted = updatedBoth.filter(violFlag).count()
+        nReverted = updatedBothTs.filter(violFlag).count()
         if (nReverted > 0) {
           e.warnN(nReverted, 1105,
             "check constraint violated (row kept old values)")
-          updatedRows = updatedBoth.filter(!violFlag).unionByName(
-            updatedBoth.filter(violFlag).select((
+          updatedRows = updatedBothTs.filter(!violFlag).unionByName(
+            updatedBothTs.filter(violFlag).select((
               t.columns.map(c => col(s"`__old_$c`").as(c)) ++
               t.columns.map(c => col(s"`__old_$c`"))).toIndexedSeq: _*))
         }
       } else {
-        val bad = updatedBoth.filter(violFlag).limit(1).count()
+        val bad = updatedBothTs.filter(violFlag).limit(1).count()
         if (bad > 0) throw new IllegalArgumentException(
           s"Check constraint violated on '$table' " +
           "(MySQL error 3819)")
@@ -3261,7 +3541,7 @@ object Dml {
     // FK enforcement on the update phase, exactly like UPDATE: changed
     // child columns re-validate; changed referenced keys fire the
     // declared actions ("INSERT on DUPLICATE correctly works with FKs")
-    val ridBoth = updatedBoth.withColumn("__rid__",
+    val ridBoth = updatedBothTs.withColumn("__rid__",
       monotonically_increasing_id()).localCheckpoint()
     val oldFrame = ridBoth.select((t.columns.map(c =>
       col(s"`__old_$c`").as(c)) :+ col("__rid__")).toIndexedSeq: _*)
@@ -3275,12 +3555,16 @@ object Dml {
     // (generated_columns.go "INSERT ON DUPLICATE KEY UPDATE with an
     // index over a virtual generated column")
     updatedRows = e.computeGenerated(table, updatedRows)
-    val untouched = t.join(
-      incoming.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct(),
-      keys.toIndexedSeq, "left_anti")
-    val newRows = incoming.join(
-      t.select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct(),
-      keys.toIndexedSeq, "left_anti")
+    val allKeyCols = keysList.flatten.distinct
+    val anyKeyMatch = (l: DataFrame, r: DataFrame) => keysList.map(ks =>
+      ks.map(k => col(s"`$k`") === col(s"`__k_$k`")).reduce(_ && _))
+      .reduce(_ || _)
+    val incK = incoming.select(allKeyCols.map(k =>
+      col(s"`$k`").as(s"__k_$k")).toIndexedSeq: _*).distinct()
+    val untouched = t.join(incK, anyKeyMatch(t, incK), "left_anti")
+    val tK = t.select(allKeyCols.map(k =>
+      col(s"`$k`").as(s"__k_$k")).toIndexedSeq: _*).distinct()
+    val newRows = incoming.join(tK, anyKeyMatch(incoming, tK), "left_anti")
     val nUpdated = matched.count() - nReverted
     val nInserted = newRows.count()
     val result = untouched
@@ -3289,6 +3573,33 @@ object Dml {
     e.validateVocab(table, result)
     e.replaceTable(table, result, bumpDepth = true)
     ok(e, nInserted + 2 * nUpdated)
+  }
+
+  /** `CONSTRAINT name UNIQUE|PRIMARY KEY …` → the canonical key-item
+    * form the table/ALTER parsers already handle. MySQL drops the
+    * constraint name on a PK and uses it as the index name on a UNIQUE
+    * when no explicit index name follows (insert_queries.go "Insert
+    * throws unique key violations": CONSTRAINT col1_col2 UNIQUE KEY). */
+  private[graft] def canonicalKeyItem(item: String): String = {
+    val M =
+      """(?is)^\s*CONSTRAINT\s+(?:`([^`]+)`|([A-Za-z0-9_]+))\s+(UNIQUE\b|PRIMARY\s+KEY\b)(.*)$""".r
+    item match {
+      case M(tick, bare, kw, rest) =>
+        val cn = Option(tick).getOrElse(bare)
+        if (kw.toUpperCase.startsWith("PRIMARY")) s"PRIMARY KEY$rest"
+        else {
+          val R =
+            """(?is)^\s*(?:(?:KEY|INDEX)\s+)?(?:(`[^`]+`|[A-Za-z0-9_]+)\s*)?(\(.*)$""".r
+          rest match {
+            case R(iname, tail) =>
+              val nm = Option(iname)
+                .map(_.stripPrefix("`").stripSuffix("`")).getOrElse(cn)
+              s"UNIQUE KEY `$nm` $tail"
+            case _ => item
+          }
+        }
+      case _ => item
+    }
   }
 
   /** Split `ON DUPLICATE KEY UPDATE …` off an INSERT body at the top
@@ -3492,8 +3803,17 @@ object Dml {
     // two phases: plan every target's surviving rows against the
     // PRE-delete state, then swap the views — the first replacement must
     // not empty the join source the second target's match reads
-    val work = targetsText.split(",")
+    val targetNames = targetsText.split(",")
       .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+    // a table named twice in the target list is MySQL error 1066
+    // (delete_queries.go "DELETE FROM JOIN error cases")
+    targetNames.map(_.toLowerCase).groupBy(identity).collectFirst {
+      case (n, occ) if occ.size > 1 => n
+    }.foreach { dup =>
+      throw new IllegalArgumentException(
+        s"Not unique table/alias: '$dup' (MySQL error 1066)")
+    }
+    val work = targetNames
       .map { alias =>
         val table = aliasMap.getOrElse(alias.toLowerCase,
           throw new IllegalArgumentException(

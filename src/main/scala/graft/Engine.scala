@@ -278,6 +278,12 @@ object Dialect {
   * the reference's in-memory integrator semantics.
   */
 object Engine {
+  /** Monotonic per-JVM engine id: durable-state paths (snapshots, DML
+    * materializations) are scoped per Engine instance so two engines on
+    * one SparkSession never overwrite each other's warehouse files (an
+    * earlier engine's catalog views may still pin the old generation). */
+  private val idCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def nextId(): Long = idCounter.incrementAndGet()
   /** Declared FOREIGN KEY (reference sql/plan/ddl.go fk defs +
     * foreign_key_handler.go enforcement walk). */
   final case class ForeignKey(name: String, child: String,
@@ -295,6 +301,8 @@ object Engine {
 
 class Engine(val spark: SparkSession) {
   import Engine.ForeignKey
+
+  private val engineId: Long = Engine.nextId()
 
   // MySQL arithmetic/cast semantics: x/0 is NULL, out-of-range casts
   // saturate/NULL — never runtime errors (reference sql/types coercion).
@@ -339,7 +347,44 @@ class Engine(val spark: SparkSession) {
       "scala_udf")
     reg.createOrReplaceTempFunction("row_count",
       _ => Literal(rowCountVal), "scala_udf")
+    // Named user locks (reference sql/function/registry.go get_lock
+    // family): a single-session engine resolves them against an
+    // in-memory registry at ANALYSIS time — literal lock names only,
+    // which is the whole observed surface (queries.go lock blocks).
+    def litName(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[String] = e match {
+      case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(u.toString)
+      case _ => None
+    }
+    reg.createOrReplaceTempFunction("get_lock", es => {
+      litName(es.head).foreach(n =>
+        namedLocks(n) = namedLocks.getOrElse(n, 0) + 1)
+      Literal(1)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("is_free_lock", es =>
+      Literal(if (litName(es.head).exists(namedLocks.contains)) 0 else 1),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("is_used_lock", es =>
+      if (litName(es.head).exists(namedLocks.contains)) Literal(1L)
+      else Literal.create(null, org.apache.spark.sql.types.LongType),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("release_lock", es =>
+      litName(es.head) match {
+        case Some(n) if namedLocks.contains(n) =>
+          namedLocks.remove(n); Literal(1)
+        case _ => Literal.create(null, org.apache.spark.sql.types.IntegerType)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("release_all_locks", _ => {
+      val n = namedLocks.size
+      namedLocks.clear()
+      Literal(n)
+    }, "scala_udf")
+    // SLEEP(n) returns 0; an embedded analytics session does not block
+    reg.createOrReplaceTempFunction("sleep", _ => Literal(0), "scala_udf")
   }
+
+  private val namedLocks = scala.collection.mutable.Map.empty[String, Int]
 
   /** MySQL substring-TRIM semantics (TRIM('bar' FROM s) removes the
     * string, not Spark's character-set reading). Applied to the ANALYZED
@@ -348,7 +393,8 @@ class Engine(val spark: SparkSession) {
     * rule as a resolution rule for extension-built sessions. */
   private def mysqlTrimSemantics(df: DataFrame): DataFrame = {
     val plan = df.queryExecution.analyzed
-    val rewritten = functions.expressions.MySqlTrimRule(plan)
+    val rewritten = functions.expressions.JsonNumericCompareRule(
+      functions.expressions.MySqlTrimRule(plan))
     if (rewritten eq plan) df
     else org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
   }
@@ -740,8 +786,42 @@ class Engine(val spark: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("MISSING_GROUP_BY") =>
           val viaWhere = SqlRewrite.havingNoGroup(rewritten)
-          if (viaWhere == rewritten) throw e
-          runWithTruthyRetry(viaWhere)
+          if (viaWhere != rewritten) runWithTruthyRetry(viaWhere)
+          else {
+            // aggregate + bare column without GROUP BY: legal under
+            // ONLY_FULL_GROUP_BY only when WHERE pins the column to a
+            // constant (queries.go `SELECT pk1, SUM(c1) FROM two_pk
+            // WHERE pk1 = 0`); otherwise it stays an error
+            // (order_by_group_by_queries.go `select AVG(j), i from tij`)
+            def constPinned(c: String): Boolean =
+              ("(?is)\\b" + java.util.regex.Pattern.quote(c) +
+                "\\s*=\\s*(?:'[^']*'|-?\\d+(?:\\.\\d+)?)").r
+                .findFirstIn(rewritten).isDefined
+            val wrapped = SqlRewrite.anyValueWrap(rewritten, constPinned)
+            if (wrapped == rewritten) throw e
+            runWithTruthyRetry(wrapped)
+          }
+        // non-aggregated column in a grouped select: ONLY_FULL_GROUP_BY
+        // admits it only when the group key functionally determines it —
+        // here, when the single FROM table's PRIMARY KEY is grouped
+        // (order_by_group_by_queries.go: `group by team` + bare id stays
+        // an error; queries.go `GROUP BY i` on mytable's pk passes)
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("MISSING_AGGREGATION") =>
+          val fromTbl = """(?i)\bFROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?"""
+            .r.findFirstMatchIn(rewritten).map(_.group(1))
+          val groupTxt =
+            """(?is)\bGROUP\s+BY\s+(.*?)(?:\bHAVING\b|\bORDER\b|\bLIMIT\b|$)"""
+              .r.findFirstMatchIn(rewritten).map(_.group(1)).getOrElse("")
+          val groupWords = """[A-Za-z_][A-Za-z0-9_]*""".r
+            .findAllIn(groupTxt).map(_.toLowerCase).toSet
+          val pkGrouped = fromTbl.flatMap(t =>
+            tableKeys.get(canonicalTable(t))).exists(pk =>
+            pk.nonEmpty && pk.forall(c => groupWords(c.toLowerCase)))
+          if (!pkGrouped) throw e
+          val wrapped = SqlRewrite.anyValueWrap(rewritten)
+          if (wrapped == rewritten) throw e
+          runWithTruthyRetry(wrapped)
         // DATE-vs-numeric comparison (TestConvert STR_TO_DATE block):
         // MySQL compares the DATE as yyyymmdd; Spark's analyzer rejects
         // the type pair. Retry with the date side rendered numeric.
@@ -749,6 +829,13 @@ class Engine(val spark: SparkSession) {
             if e.getMessage.contains("BINARY_OP_DIFF_TYPES") &&
                e.getMessage.contains("\"DATE\"") =>
           val expanded = SqlRewrite.dateNumericCompare(rewritten)
+          if (expanded == rewritten) throw e
+          runWithTruthyRetry(expanded)
+        // inline VALUES derived table with mixed literal types: MySQL
+        // unifies numerically; rewrite to UNION ALL selects and retry
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("INVALID_INLINE_TABLE") =>
+          val expanded = SqlRewrite.inlineTableUnion(rewritten)
           if (expanded == rewritten) throw e
           runWithTruthyRetry(expanded)
         // BETWEEN over a collated column: Spark's With-node desugaring
@@ -764,7 +851,11 @@ class Engine(val spark: SparkSession) {
         // scalar comparisons (exact 3VL) and retry.
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("PARSE_SYNTAX_ERROR") ||
-               e.getMessage.contains("Syntax error") =>
+               e.getMessage.contains("Syntax error") ||
+               // row-subquery comparisons: `(select a, b …) IN ((1,2))`
+               // compile to struct comparisons on retry
+               e.getMessage.contains(
+                 "SCALAR_SUBQUERY_RETURN_MORE_THAN_ONE_OUTPUT_COLUMN") =>
           val expanded = SqlRewrite.tupleCompare(rewritten)
           if (expanded == rewritten) throw e
           runWithTruthyRetry(expanded)
@@ -900,8 +991,9 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** USE db (reference session database state). */
-  def use(db: String): Unit = spark.sql(s"USE `$db`")
+  /** USE db (reference session database state) — keeps the
+    * information_schema default schema and DATABASE() in agreement. */
+  def use(db: String): Unit = { spark.sql(s"USE `$db`"); sessionDb = db }
 
   def currentDatabase: String = spark.catalog.currentDatabase
 
@@ -939,7 +1031,7 @@ class Engine(val spark: SparkSession) {
     * the way a managed-table location does. */
   private def durablePath(name: String): String =
     spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-      s"/graft_engine/$name"
+      s"/graft_engine/e$engineId/$name"
 
   /** Pin the current contents of `table`; returns the revision number. */
   def snapshot(table: String): Int = {
@@ -967,6 +1059,15 @@ class Engine(val spark: SparkSession) {
     scala.collection.mutable.Set.empty[String]
   private[graft] def noteRelation(name: String): Unit =
     createdRelations += name
+
+  /** Statement-level table references are case-insensitive against the
+    * created name (the reference's memory catalog lowercases lookups,
+    * sql/catalog.go), but this engine's declared-metadata maps key on
+    * the exact created spelling — resolve to it (insert_queries.go
+    * "explicit DEFAULT": INSERT INTO T4 over CREATE TABLE t4). */
+  private[graft] def canonicalTable(name: String): String =
+    if (createdRelations.contains(name)) name
+    else createdRelations.find(_.equalsIgnoreCase(name)).getOrElse(name)
 
   /** Base-table frames shadowed by `CREATE TEMPORARY TABLE` of the same
     * name (the reference's buildCreateTable skips the 1050 existence
@@ -1016,10 +1117,50 @@ class Engine(val spark: SparkSession) {
                               ignoreDups: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     rejectExplicitGenerated(table, incoming0)
+    // strict-mode temporal conversion: a string that does not parse as
+    // the target DATE/DATETIME/TIMESTAMP type is an error, not a silent
+    // NULL (insert_queries.go "INSERT INTO ... SELECT with TEXT types":
+    // "Incorrect datetime value: 'badtime'"). Checked pre-cast so the
+    // offending source value is still visible for the message.
+    if (strictWrites && !ignoreDups) {
+      import org.apache.spark.sql.types._
+      val tgt = spark.table(table).schema.fields
+        .map(f => f.name.toLowerCase -> f.dataType).toMap
+      incoming0.schema.fields.foreach { f =>
+        tgt.get(f.name.toLowerCase) match {
+          case Some(dt @ (DateType | TimestampType | TimestampNTZType))
+              if f.dataType.isInstanceOf[StringType] =>
+            val c = col(s"`${f.name}`")
+            // zero dates ('0000-00-00'…) are valid MySQL writes (stored
+            // as NULL here — documented divergence), not 1292 errors
+            val zeroDate = c.rlike("^[0\\-:./ ]+$")
+            val bad = incoming0
+              .filter(c.isNotNull && c.cast(dt).isNull && !zeroDate)
+              .select(c).limit(1).collect()
+            bad.headOption.foreach { r =>
+              val kind = if (dt == DateType) "date" else "datetime"
+              throw new IllegalArgumentException(
+                s"Incorrect $kind value: '${r.get(0)}' (MySQL 1292)")
+            }
+          case _ => ()
+        }
+      }
+    }
     var coerced = coerceVocab(table, computeGenerated(table,
       truncateTimePrecision(table,
         coerceAndFill(table, incoming0, fillMissing,
           ignoreMode = ignoreDups || !strictWrites))))
+    // declared JSON columns store MySQL's sorted-key canonical form
+    jsonCols.toSeq.collect { case (t2, cl) if t2 == table => cl }
+      .foreach { cl =>
+        coerced.columns.find(_.toLowerCase == cl).foreach { c =>
+          coerced = coerced.withColumn(c,
+            org.apache.spark.sql.GraftBridge.column(
+              graft.functions.json.JsonCanon(
+                org.apache.spark.sql.GraftBridge.expression(
+                  coerced(c).cast("string")))))
+        }
+      }
     validateVecDims(table, coerced)
     val target = spark.table(table)
     if (ignoreDups) {
@@ -1256,6 +1397,59 @@ class Engine(val spark: SparkSession) {
     }
   }
 
+  /** Row-ordered transient key collisions: MySQL applies UPDATE row by
+    * row in primary-key order, so a row's NEW key tuple colliding with a
+    * LATER row's not-yet-updated OLD tuple is error 1062 even when the
+    * final state would be unique (insert_queries.go "Insert into unique
+    * key that overlaps with primary key": UPDATE t SET col = col + 1).
+    * Batch formulation: changed rows only, new(i) == old(j) with
+    * pk(i) < pk(j) and row j itself changing — one self-join per
+    * declared key over the changed subset (bounded by the statement's
+    * write set, not the table). */
+  private[graft] def enforcePkUniqueTransient(table: String, oldDf: DataFrame,
+                                              newDf: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val pk = tableKeys.getOrElse(table, Seq.empty)
+    if (pk.isEmpty) return
+    val declared =
+      (("PRIMARY", pk, false)) +:
+        uniqueKeys.toSeq.collect { case (t, n, cols) if t == table =>
+          (n, cols, true)
+        }
+    val cols = spark.table(table).columns.toSeq
+    val o = oldDf.select((col("`__rid__`").as("__orid__") +:
+      cols.map(c => col(s"`$c`").as(s"__o_$c"))).toIndexedSeq: _*)
+    val n = newDf.select((col("`__rid__`").as("__nrid__") +:
+      cols.map(c => col(s"`$c`").as(s"__n_$c"))).toIndexedSeq: _*)
+    val changedCond = cols.map(c =>
+      !(col(s"`__o_$c`") <=> col(s"`__n_$c`"))).reduce(_ || _)
+    val ch = o.join(n, col("__orid__") === col("__nrid__"))
+      .filter(changedCond)
+      .withColumn("__pkord__",
+        struct(pk.map(k => col(s"`__o_$k`")).toIndexedSeq: _*))
+      .localCheckpoint() // tiny (changed rows' keys); reused per key
+    declared.foreach { case (keyName, keys, nullExempt) =>
+      val newSide = ch.select(col("__pkord__").as("__pi__"),
+        struct(keys.map(k => col(s"`__n_$k`")).toIndexedSeq: _*).as("__nt__"))
+      val newF = if (nullExempt)
+        newSide.filter(keys.indices.map(i =>
+          col("__nt__").getField(s"__n_${keys(i)}").isNotNull)
+          .reduce(_ && _))
+        else newSide
+      val oldSide = ch.select(col("__pkord__").as("__pj__"),
+        struct(keys.map(k => col(s"`__o_$k`")).toIndexedSeq: _*).as("__ot__"))
+      val hit = newF.join(oldSide,
+        col("__nt__") === col("__ot__") && col("__pj__") > col("__pi__"))
+        .limit(1).collect()
+      hit.headOption.foreach { r =>
+        val entry = r.getStruct(1).toSeq.map(String.valueOf).mkString("-")
+        throw new IllegalArgumentException(
+          s"Duplicate entry '$entry' for key '$table.$keyName' " +
+          s"(MySQL error 1062)")
+      }
+    }
+  }
+
   /** UPDATE IGNORE key-conflict resolution (reference update_queries.go
     * UpdateIgnoreScripts): rows are visited in PRIMARY-key order and a
     * row whose NEW key collides with any OTHER row's key AT THAT MOMENT
@@ -1374,6 +1568,26 @@ class Engine(val spark: SparkSession) {
     * to the target column types (reference sql/types Convert on insert).
     * Routing REPLACE/upsert through anything weaker lets a mistyped
     * literal widen the stored schema via union coercion. */
+  /** Declared-DEFAULT expression as a Column — under a frozen statement
+    * clock (OnUpdateExpr harness), now-family defaults take the frozen
+    * value instead of the wall clock. */
+  private def defaultColumn(d: String,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    val nowish =
+      """(?i)^\(?\s*(?:CURRENT_TIMESTAMP|NOW|LOCALTIME(?:STAMP)?)\s*(?:\(\s*\d*\s*\))?\s*\)?$""".r
+    val isTemporal = dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType ||
+      dt == org.apache.spark.sql.types.DateType
+    if (queryNow.isDefined && nowish.findFirstIn(d.trim).isDefined)
+      nowColumn(0).cast(dt)
+    // numeric zero-date defaults (`dt datetime DEFAULT 0`) are MySQL
+    // zero dates — stored NULL here (no representable zero date), and a
+    // numeric→timestamp cast wouldn't even resolve
+    else if (isTemporal && d.trim.matches("^-?\\d+(\\.\\d+)?$"))
+      org.apache.spark.sql.functions.lit(null).cast(dt)
+    else org.apache.spark.sql.functions.expr(d).cast(dt)
+  }
+
   private[graft] def coerceAndFill(table: String, incoming0: DataFrame,
                                    fillMissing: Boolean,
                                    ignoreMode: Boolean = false): DataFrame = {
@@ -1410,8 +1624,7 @@ class Engine(val spark: SparkSession) {
           }
           ready.foreach { f =>
             val d = columnDefaults((table, f.name.toLowerCase))
-            df = df.withColumn(f.name,
-              org.apache.spark.sql.functions.expr(d).cast(f.dataType))
+            df = df.withColumn(f.name, defaultColumn(d, f.dataType))
             progress = true
           }
           pending = notReady
@@ -1420,8 +1633,7 @@ class Engine(val spark: SparkSession) {
         // at write, like a bad default in MySQL)
         pending.foreach { f =>
           val d = columnDefaults((table, f.name.toLowerCase))
-          df = df.withColumn(f.name,
-            org.apache.spark.sql.functions.expr(d).cast(f.dataType))
+          df = df.withColumn(f.name, defaultColumn(d, f.dataType))
         }
         df
       }
@@ -1432,8 +1644,7 @@ class Engine(val spark: SparkSession) {
         if (nowPresent(f.name.toLowerCase)) df
         else columnDefaults.get((table, f.name.toLowerCase)) match {
           case Some(d) =>
-            df.withColumn(f.name,
-              org.apache.spark.sql.functions.expr(d).cast(f.dataType))
+            df.withColumn(f.name, defaultColumn(d, f.dataType))
           case None
               if autoIncCols.get(table).exists(_.equalsIgnoreCase(f.name)) =>
             // next-value fill from the monotonic per-table counter (the
@@ -1812,7 +2023,8 @@ class Engine(val spark: SparkSession) {
     "utc_date", "utc_time", "utc_timestamp", "sysdate", "uuid",
     "uuid_short", "rand", "random_bytes", "database", "schema", "version",
     "connection_id", "last_insert_id", "row_count", "found_rows",
-    "get_lock", "release_lock", "is_free_lock", "is_used_lock", "sleep",
+    "get_lock", "release_lock", "release_all_locks", "is_free_lock",
+    "is_used_lock", "sleep",
     "benchmark", "load_file", "master_pos_wait", "name_const")
 
   /** Declare CHECK (exprText) on table: any write whose rows evaluate the
@@ -2659,6 +2871,38 @@ class Engine(val spark: SparkSession) {
 
   private[graft] def isBlobText(table: String, column: String): Boolean =
     blobTextCols((table, column.toLowerCase))
+
+  /** Declared JSON columns: writes canonicalize into MySQL's
+    * sorted-key binary-JSON display form (functions.json.JsonCanon). */
+  private[graft] val jsonCols =
+    scala.collection.mutable.Set.empty[(String, String)]
+
+  private[graft] def declareJsonCol(table: String, column: String): Unit =
+    jsonCols += ((table, column.toLowerCase))
+
+  // ---- ON UPDATE CURRENT_TIMESTAMP --------------------------------------
+  // (table, colLower) -> declared precision (update_queries.go
+  // OnUpdateExprScripts; reference sql/planbuilder parses the on-update
+  // expression, rowexec/update.go applies it to rows that CHANGE).
+
+  private[graft] val onUpdateCols =
+    scala.collection.mutable.Map.empty[(String, String), Int]
+
+  private[graft] def declareOnUpdate(table: String, column: String,
+                                     precision: Int): Unit =
+    onUpdateCols((table, column.toLowerCase)) = precision
+
+  /** Frozen statement clock (the reference harness runs OnUpdateExpr
+    * scripts under sql.RunWithNowFunc). None = wall clock. */
+  private[graft] var queryNow: Option[java.sql.Timestamp] = None
+
+  /** CURRENT_TIMESTAMP(p) as a Column, honoring the frozen clock. */
+  private[graft] def nowColumn(precision: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val base = queryNow.map(lit(_).cast("timestamp"))
+      .getOrElse(current_timestamp())
+    if (precision == 0) date_trunc("SECOND", base) else base
+  }
 
   def declareCharLimit(table: String, column: String, n: Int): Unit = {
     // a single column can never exceed 65535 CHARACTERS regardless of
@@ -3613,23 +3857,47 @@ class Engine(val spark: SparkSession) {
     val tables = spark.catalog.listTables().collect()
     val db = sessionDb
 
-    Seq(("def", db, "utf8mb4", "utf8mb4_0900_ai_ci"))
+    Seq(("def", db, "utf8mb4", "utf8mb4_0900_ai_ci", null: String, "NO"))
       .toDF("catalog_name", "schema_name", "default_character_set_name",
-        "default_collation_name")
+        "default_collation_name", "sql_path", "default_encryption")
       .createOrReplaceTempView("information_schema_schemata")
 
-    tables.map(t => (
-        "def", Option(t.database).getOrElse(db), t.name,
-        t.tableType match { case "VIEW" => "VIEW"; case _ => "BASE TABLE" },
-        "graft-spark", "utf8mb4_0900_ai_ci",
+    // MySQL's full 21-column TABLES shape (tables_table.go; the
+    // information_schema_queries.go "column specific tests" blocks pin
+    // version=10, row_format=Dynamic, empty create_options/comment)
+    tables.map { t =>
+      val isView = t.tableType == "VIEW"
+      (("def", Option(t.database).getOrElse(db), t.name,
+        if (isView) "VIEW" else "BASE TABLE",
+        if (isView) null else "InnoDB",
+        if (isView) null else Integer.valueOf(10),
+        if (isView) null else "Dynamic",
+        if (isView) null else java.lang.Long.valueOf(0L)),
+       (if (isView) null else java.lang.Long.valueOf(0L),
+        if (isView) null else java.lang.Long.valueOf(0L),
+        if (isView) null else java.lang.Long.valueOf(0L),
+        if (isView) null else java.lang.Long.valueOf(0L),
+        if (isView) null else java.lang.Long.valueOf(0L),
         // AUTO_INCREMENT: the NEXT counter value once one has been
-        // allocated or ALTERed, NULL before (insert_queries.go
-        // "alter auto_increment value" / NO_AUTO_VALUE_ON_ZERO
-        // info-schema assertions)
-        autoIncCounter.get(t.name)))
-      .toSeq
+        // allocated or ALTERed, NULL before (insert_queries.go)
+        autoIncCounter.get(t.name).map(java.lang.Long.valueOf).orNull,
+        if (isView) null
+          else tableCollations.getOrElse(t.name,
+            defaultCollation(tableCharsets.getOrElse(t.name, "utf8mb4"))),
+        null: java.lang.Long,
+        if (isView) null else "",
+        if (isView) "VIEW" else tableComments.getOrElse(t.name, "")))
+    }.toSeq
+      .map { case ((a1, a2, a3, a4, a5, a6, a7, a8),
+                   (b1, b2, b3, b4, b5, b6, b7, b8, b9, b10)) =>
+        (a1, a2, a3, a4, a5, a6, a7, a8, b1, b2, b3, b4, b5, b6, b7, b8,
+          b9, b10)
+      }
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
-        "engine", "table_collation", "auto_increment")
+        "engine", "version", "row_format", "table_rows", "avg_row_length",
+        "data_length", "max_data_length", "index_length", "data_free",
+        "auto_increment", "table_collation", "checksum", "create_options",
+        "table_comment")
       .createOrReplaceTempView("information_schema_tables")
 
     tables.flatMap { t =>
@@ -3653,14 +3921,79 @@ class Engine(val spark: SparkSession) {
         val lc = f.name.toLowerCase
         val key = if (pk(lc)) "PRI" else if (uni(lc)) "UNI"
           else if (mul(lc)) "MUL" else ""
-        ("def", Option(t.database).getOrElse(db), t.name, f.name, i + 1,
-          dataType, renderColumnType(t.name, f),
-          if (f.nullable) "YES" else "NO", key)
+        val colType = renderColumnType(t.name, f)
+        import org.apache.spark.sql.types._
+        // COLUMN_DEFAULT displays unquoted literals / bare expressions
+        val dflt = columnDefaults.get((t.name, lc)).map { d =>
+          val tr = d.trim
+          if (tr.length >= 2 && tr.startsWith("'") && tr.endsWith("'"))
+            tr.substring(1, tr.length - 1).replace("\\'", "'")
+          else if (tr.startsWith("(") && tr.endsWith(")"))
+            tr.substring(1, tr.length - 1)
+          else tr
+        }.orNull
+        val (numPrec, numScale): (Integer, Integer) = f.dataType match {
+          case ByteType => (3, 0); case ShortType => (5, 0)
+          case IntegerType => (10, 0)
+          case LongType => (19, 0)
+          case FloatType => (12, null)
+          case DoubleType => (22, null)
+          case d: DecimalType => (d.precision, d.scale)
+          case _ => (null, null)
+        }
+        val charMax: Integer = f.dataType match {
+          case _: StringType if dataType != "enum" && dataType != "set" =>
+            charLimits.get((t.name, lc)).map(Integer.valueOf)
+              .getOrElse(Integer.valueOf(65535))
+          case _ => null
+        }
+        val charOctet: Integer =
+          if (charMax == null) null else Integer.valueOf(charMax * 4)
+        val dtPrec: Integer = f.dataType match {
+          case TimestampType | TimestampNTZType =>
+            Integer.valueOf(timePrecisions.getOrElse((t.name, lc), 0))
+          case DateType => null
+          case _ => null
+        }
+        val (csName, collName) = f.dataType match {
+          case _: StringType =>
+            ("utf8mb4", tableCollations.getOrElse(t.name, "utf8mb4_0900_bin"))
+          case _ => (null, null)
+        }
+        val isGen = generatedCols.exists(g =>
+          g._1 == t.name && g._2.toLowerCase == lc)
+        val genExpr = generatedCols.collectFirst {
+          case (tt, c, ex) if tt == t.name && c.toLowerCase == lc =>
+            graft.functions.CheckExprRender.render(ex)
+        }.getOrElse("")
+        val extra =
+          if (autoIncCols.get(t.name).exists(_.toLowerCase == lc))
+            "auto_increment"
+          else if (isGen)
+            if (storedGeneratedCols((t.name, lc))) "STORED GENERATED"
+            else "VIRTUAL GENERATED"
+          else if (dflt != null && columnDefaults.get((t.name, lc))
+              .exists(_.trim.startsWith("("))) "DEFAULT_GENERATED"
+          else ""
+        (("def", Option(t.database).getOrElse(db), t.name, f.name, i + 1,
+          dflt, if (f.nullable) "YES" else "NO", dataType),
+         (charMax, charOctet, numPrec, numScale, dtPrec, csName, collName,
+          colType, key, extra, "insert,references,select,update", "",
+          genExpr, null: Integer))
       }
     }.toSeq
+      .map { case ((a1, a2, a3, a4, a5, a6, a7, a8),
+                   (b1, b2, b3, b4, b5, b6, b7, b8, b9, b10, b11, b12, b13, b14)) =>
+        (a1, a2, a3, a4, a5, a6, a7, a8, b1, b2, b3, b4, b5, b6, b7, b8,
+          b9, b10, b11, b12, b13, b14)
+      }
       .toDF("table_catalog", "table_schema", "table_name", "column_name",
-        "ordinal_position", "data_type", "column_type", "is_nullable",
-        "column_key")
+        "ordinal_position", "column_default", "is_nullable", "data_type",
+        "character_maximum_length", "character_octet_length",
+        "numeric_precision", "numeric_scale", "datetime_precision",
+        "character_set_name", "collation_name", "column_type",
+        "column_key", "extra", "privileges", "column_comment",
+        "generation_expression", "srs_id")
       .createOrReplaceTempView("information_schema_columns")
 
     // declared keys AND secondary/unique index declarations surface
@@ -3679,8 +4012,19 @@ class Engine(val spark: SparkSession) {
           cols.zipWithIndex.map { case (c, i) => (db, t, 1, n, i + 1, c) }
         }
     statRows
-      .toDF("table_schema", "table_name", "non_unique", "index_name",
-        "seq_in_index", "column_name")
+      .map { case (sch, t, nu, idx, seq, c) =>
+        val sub: Integer = indexPrefixes.get((t, idx, c.toLowerCase))
+          .map(Integer.valueOf).orNull
+        val nullable = scala.util.Try(spark.table(t).schema
+          .fields.find(_.name.equalsIgnoreCase(c)).exists(_.nullable))
+          .getOrElse(true)
+        ("def", sch, t, nu, sch, idx, seq, c, "A", 0L, sub, null: String,
+          if (nullable) "YES" else "", "BTREE", "", "", "YES", null: String)
+      }
+      .toDF("table_catalog", "table_schema", "table_name", "non_unique",
+        "index_schema", "index_name", "seq_in_index", "column_name",
+        "collation", "cardinality", "sub_part", "packed", "nullable",
+        "index_type", "comment", "index_comment", "is_visible", "expression")
       .createOrReplaceTempView("information_schema_statistics")
     // key_column_usage: PK + UNIQUE + FK child columns with their
     // referenced parent (reference key_column_usage_table.go)
@@ -3700,10 +4044,14 @@ class Engine(val spark: SparkSession) {
       }
     kcuRows
       .map { case (n, t, c, i, rt, rc) =>
-        ("def", db, n, db, t.toLowerCase, c, i,
+        ("def", db, n, "def", db, t.toLowerCase, c, i,
+          // POSITION_IN_UNIQUE_CONSTRAINT: FK columns carry their
+          // ordinal; key columns are NULL (key_column_usage_table.go)
+          if (rt == null) null else Integer.valueOf(i),
           if (rt == null) null else db, rt, rc) }
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
-        "table_schema", "table_name", "column_name", "ordinal_position",
+        "table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "position_in_unique_constraint",
         "referenced_table_schema", "referenced_table_name",
         "referenced_column_name")
       .createOrReplaceTempView("information_schema_key_column_usage")
@@ -3728,11 +4076,25 @@ class Engine(val spark: SparkSession) {
         "table_schema", "table_name", "constraint_type", "enforced")
       .createOrReplaceTempView("information_schema_table_constraints")
     foreignKeys.toSeq
-      .map(f => ("def", db, f.name, db, f.parent, f.child,
-        f.onDelete, f.onUpdate))
+      .map { f =>
+        // UNIQUE_CONSTRAINT_NAME: the parent-side key the FK targets —
+        // PRIMARY when it is the parent PK, else the matching declared
+        // UNIQUE key's name (referential_constraints_table.go)
+        val pCols = f.parentCols.map(_.toLowerCase)
+        val ucn =
+          if (tableKeys.get(f.parent).exists(_.map(_.toLowerCase) == pCols))
+            "PRIMARY"
+          else uniqueKeys.collectFirst {
+            case (t, n, cols) if t == f.parent &&
+              cols.map(_.toLowerCase) == pCols => n
+          }.orNull
+        ("def", db, f.name, "def", db, ucn, "NONE", f.onUpdate, f.onDelete,
+          f.child, f.parent)
+      }
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
-        "unique_constraint_schema", "referenced_table_name", "table_name",
-        "delete_rule", "update_rule")
+        "unique_constraint_catalog", "unique_constraint_schema",
+        "unique_constraint_name", "match_option", "update_rule",
+        "delete_rule", "table_name", "referenced_table_name")
       .createOrReplaceTempView("information_schema_referential_constraints")
     checkConstraints.toSeq.map { case (t, n, ex, _) =>
       ("def", db, n, graft.functions.CheckExprRender.render(ex)) }
@@ -3947,12 +4309,22 @@ class Engine(val spark: SparkSession) {
         }
         .getOrElse("")
       val dflt = if (gen.nonEmpty) "" else
-        columnDefaults.get((table, lc)).map(renderDefault)
-          .map(d => s" DEFAULT $d").getOrElse("")
+        columnDefaults.get((table, lc)).map { d =>
+          // numeric defaults on temporal columns render BARE (MySQL:
+          // `ts` timestamp DEFAULT 0 — OnUpdateExprScripts SHOW CREATE)
+          val isTs = f.dataType == org.apache.spark.sql.types.TimestampType ||
+            f.dataType == org.apache.spark.sql.types.TimestampNTZType
+          if (isTs && d.trim.matches("^-?\\d+(\\.\\d+)?$")) d.trim
+          else renderDefault(d)
+        }.map(d => s" DEFAULT $d").getOrElse("")
       val ai = if (aiCol.contains(lc)) " AUTO_INCREMENT" else ""
+      val onUpd = onUpdateCols.get((table, lc)).map { p =>
+        if (p == 0) " ON UPDATE CURRENT_TIMESTAMP"
+        else s" ON UPDATE CURRENT_TIMESTAMP($p)"
+      }.getOrElse("")
       val cmt = columnComments.get((table, lc))
         .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
-      s"  `${f.name}` ${renderColumnType(table, f)}$gen$nn$dflt$ai$cmt"
+      s"  `${f.name}` ${renderColumnType(table, f)}$gen$nn$dflt$onUpd$ai$cmt"
     }
     val pk = tableKeys.get(table).map(k =>
       s"  PRIMARY KEY (${k.map(c => s"`$c`").mkString(",")})").toSeq

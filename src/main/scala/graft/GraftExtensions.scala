@@ -77,5 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MySQL substring-TRIM semantics — resolution-time, ahead of the
     // optimizer's constant folding (see expressions.MySqlTrimRule)
     ext.injectResolutionRule(_ => ge.MySqlTrimRule)
+    // optimizer-stage: the json-vs-number repair must see the FINAL
+    // coerced comparison (TypeCoercion's int cast), not the raw parse
+    ext.injectOptimizerRule(_ => ge.JsonNumericCompareRule)
   }
 }

@@ -207,12 +207,12 @@ object SqlRewrite {
     * false; reference sql/types/convert_value.go) — a bare string
     * literal routes through the registered mysql_to_number; everything
     * else keeps the `<> 0` form (BooleanEquality folds booleans back). */
-  private def truthWrap(operand: String): String = {
-    val ts = tokenize(operand)
-    if (ts.length == 1 && ts.head.kind == Lit && !operand.trim.startsWith("`"))
-      s"(mysql_to_number($operand) <> 0)"
-    else s"(($operand) <> 0)"
-  }
+  private def truthWrap(operand: String): String =
+    // MySQL truthiness is numeric on EVERY type: non-numeric strings
+    // coerce to 0 (stringandtable `WHERE NOT v` keeps 'true'/'false'/''
+    // rows), so the prefix-number reader wraps columns too — a bare
+    // `(v) <> 0` would go through Spark's null-producing string cast
+    s"(mysql_to_number($operand) <> 0)"
 
   /** MySQL permits ranking windows without ORDER BY (they number rows in
     * arrival order — logic_test_scripts.go LATERAL row_number() OVER ()
@@ -439,6 +439,29 @@ object SqlRewrite {
     * field is just a value: (0,NULL)=(0,NULL) is TRUE there, NULL in
     * MySQL), so the expansion restores MySQL's 3VL. Row-subquery
     * comparisons and function calls are left untouched. */
+  /** `(select a, b …)` → `(SELECT struct(a, b) …)` — row-subquery
+    * comparisons compile to struct comparisons (queries.go `(select 3,
+    * 4 from dual) in ((1, 2), (3, 4))`). */
+  private def toStructSelect(tup: String): Option[String] = {
+    val inner = tup.trim.stripPrefix("(").stripSuffix(")").trim
+    if (!inner.toLowerCase.startsWith("select")) return None
+    val ts = tokenize(inner)
+    var depth = 0; var fromAt = -1; var i = 1
+    while (i < ts.length && fromAt < 0) {
+      ts(i).text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && ts(i).isWord("from") => fromAt = i
+        case _ =>
+      }
+      i += 1
+    }
+    val selEnd = if (fromAt < 0) inner.length else ts(fromAt).start
+    val selList = inner.substring(ts(0).end, selEnd)
+    val rest = if (fromAt < 0) "" else " " + inner.substring(ts(fromAt).start)
+    Some(s"(SELECT struct($selList)$rest)")
+  }
+
   def tupleCompare(sql: String): String = {
     var text = sql
     var changed = true
@@ -462,6 +485,21 @@ object SqlRewrite {
                 tupleExpand(t.text, ls, rs) +
                 text.substring(toks(rClose).end)
               changed = true
+            } else if (ls.length >= 2 && ls.length == rs.length) {
+              // a row SUBQUERY side compiles to a struct select; the
+              // plain side to a struct constructor
+              val lRaw = text.substring(toks(lOpen).start, toks(k - 1).end)
+              val rRaw = text.substring(toks(k + 1).start, toks(rClose).end)
+              def side(items: Seq[String], raw: String): Option[String] =
+                if (!noSelect(items)) toStructSelect(raw)
+                else Some("struct(" + items.mkString(", ") + ")")
+              (side(ls, lRaw), side(rs, rRaw)) match {
+                case (Some(l2), Some(r2)) =>
+                  text = text.substring(0, toks(lOpen).start) +
+                    s"$l2 ${t.text} $r2" + text.substring(toks(rClose).end)
+                  changed = true
+                case _ =>
+              }
             }
           }
         }
@@ -478,10 +516,21 @@ object SqlRewrite {
                 !toks.slice(k + 2, listClose).exists(x =>
                   x.isWord("select") || x.isWord("with"))) {
               val ls = tupleItems(toks, lOpen, subjClose, text)
-              // list items: depth-1 groups, each itself a row constructor
-              val listItems = tupleItems(toks, k + 1, listClose, text)
+              // list items: depth-1 groups, each itself a row
+              // constructor; a SINGLE-tuple list `IN ((1,2))` has no
+              // depth-1 comma, so the whole body is the one item
+              val listItems0 = tupleItems(toks, k + 1, listClose, text)
+              val listItems =
+                if (listItems0.nonEmpty) listItems0
+                else {
+                  val inner = text.substring(toks(k + 1).end,
+                    toks(listClose).start).trim
+                  if (inner.startsWith("(") && inner.endsWith(")"))
+                    Seq(inner)
+                  else Seq.empty
+                }
               if (ls.length >= 2 && listItems.nonEmpty &&
-                  listItems.forall(_.startsWith("("))) {
+                  listItems.forall(_.startsWith("(")) && noSelect(ls)) {
                 val alts = listItems.map { item =>
                   val innerToks = tokenize(item)
                   val rs = tupleItems(innerToks, 0, innerToks.length - 1, item)
@@ -491,6 +540,19 @@ object SqlRewrite {
                 if (!alts.contains(null)) {
                   val ored = alts.mkString("(", " OR ", ")")
                   val repl = if (neg) s"(NOT $ored)" else ored
+                  text = text.substring(0, toks(lOpen).start) + repl +
+                    text.substring(toks(listClose).end)
+                  changed = true
+                }
+              } else if (ls.length >= 2 && listItems.nonEmpty &&
+                  listItems.forall(_.startsWith("(")) && !noSelect(ls)) {
+                // row-SUBQUERY subject: struct select IN (struct(…), …)
+                val subjRaw = text.substring(toks(lOpen).start,
+                  toks(subjClose).end)
+                toStructSelect(subjRaw).foreach { l2 =>
+                  val rhs = listItems.map("struct" + _).mkString(", ")
+                  val repl =
+                    if (neg) s"($l2 NOT IN ($rhs))" else s"($l2 IN ($rhs))"
                   text = text.substring(0, toks(lOpen).start) + repl +
                     text.substring(toks(listClose).end)
                   changed = true
@@ -730,6 +792,220 @@ object SqlRewrite {
 
   private val havingCondStops: Set[String] = Set(
     "order", "limit", "offset", "union", "intersect", "except", "window")
+
+  // ---- aggregate + bare column without GROUP BY (retry-only): MySQL's
+  //      implicit single group lets a non-aggregated column through and
+  //      returns "any" value for it (queries.go `SELECT pk1, SUM(c1)
+  //      FROM two_pk WHERE pk1 = 0`); Spark errors MISSING_GROUP_BY.
+  //      Bare column items in the outer select list wrap in any_value()
+  //      keeping their display name.
+
+  private val aggFnRe =
+    ("(?i)\\b(sum|count|avg|min|max|group_concat|listagg|any_value|" +
+     "bit_and|bit_or|bit_xor|std|stddev|stddev_pop|stddev_samp|var_pop|" +
+     "var_samp|variance|json_arrayagg|json_objectagg|" +
+     "approx_count_distinct)\\s*\\(").r
+
+  def anyValueWrap(sql: String, allowCol: String => Boolean = _ => true)
+      : String = {
+    val toks = tokenize(sql)
+    var depth = 0
+    var selectAt = -1
+    var fromEnd = -1 // token index where the select list ends
+    var i = 0
+    while (i < toks.length && fromEnd < 0) {
+      val t = toks(i)
+      t.text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && t.isWord("select") && selectAt < 0 =>
+          selectAt = i
+        case _ if depth == 0 && selectAt >= 0 &&
+            (t.isWord("from") || t.isWord("group")) =>
+          fromEnd = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (selectAt < 0) return sql
+    // with a top-level GROUP BY, only bare columns OUTSIDE the group
+    // list wrap (MISSING_AGGREGATION shape: `SELECT sum(i) isum, s FROM
+    // mytable GROUP BY i`); without one, MySQL's implicit single group
+    val groupCols: Set[String] =
+      if (fromEnd >= 0 && toks(fromEnd).isWord("group")) {
+        var k = fromEnd + 1
+        var depth = 0
+        val b = Set.newBuilder[String]
+        var stop = false
+        while (k < toks.length && !stop) {
+          val t = toks(k)
+          t.text match {
+            case "(" => depth += 1
+            case ")" => if (depth == 0) stop = true else depth -= 1
+            case _ if depth == 0 && t.kind == Word &&
+                Set("having", "order", "limit", "offset", "union",
+                  "intersect", "except", "window")(t.text.toLowerCase) =>
+              stop = true
+            case _ if t.kind == Word && !t.isWord("by") =>
+              b += t.text.toLowerCase
+            case _ =>
+          }
+          k += 1
+        }
+        b.result()
+      } else Set.empty
+    val hadGroupBy = fromEnd >= 0 && toks(fromEnd).isWord("group")
+    // find the select list end: FROM even when GROUP was hit first —
+    // re-scan for the FROM before fromEnd
+    val listStart = toks(selectAt).end
+    val listEnd =
+      if (hadGroupBy) {
+        // locate the top-level FROM between select and group
+        var k = selectAt + 1; var depth = 0; var at = -1
+        while (k < fromEnd && at < 0) {
+          toks(k).text match {
+            case "(" => depth += 1
+            case ")" => depth -= 1
+            case _ if depth == 0 && toks(k).isWord("from") => at = k
+            case _ =>
+          }
+          k += 1
+        }
+        if (at < 0) return sql
+        toks(at).start
+      } else if (fromEnd < 0) sql.length
+      else toks(fromEnd).start
+    val listTxt = sql.substring(listStart, listEnd)
+    if (listTxt.trim.toUpperCase.startsWith("DISTINCT")) return sql
+    val items = topLevelSplitText(listTxt)
+    val hasAgg = (s: String) => aggFnRe.findFirstIn(s).isDefined
+    if (!hadGroupBy && !items.exists(hasAgg)) return sql
+    val BareCol =
+      """^\s*((?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)(?:\.(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?)\s*(?:(?:AS\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
+    var changed = false
+    val rebuilt = items.map { it =>
+      if (hasAgg(it)) it
+      else it match {
+        case BareCol(col0, alias) =>
+          val colLast = col0.split('.').last
+            .stripPrefix("`").stripSuffix("`").toLowerCase
+          if (hadGroupBy && groupCols.contains(colLast)) it
+          else if (!allowCol(colLast)) return sql
+          else {
+            val display = Option(alias).getOrElse(
+              col0.split('.').last).stripPrefix("`").stripSuffix("`")
+            changed = true
+            s" any_value($col0) AS `$display`"
+          }
+        case _ => it
+      }
+    }
+    if (!changed) sql
+    else sql.substring(0, listStart) + rebuilt.mkString(",") +
+      sql.substring(listEnd)
+  }
+
+  /** Top-level comma split of raw text (string/paren aware). */
+  private def topLevelSplitText(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var quote = ' '; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != ' ') {
+        cur.append(c)
+        if (c == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
+        else if (c == quote) quote = ' '
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  // ---- inline VALUES tables with mixed literal types (retry-only):
+  //      Spark's inline table requires compatible types; MySQL unifies
+  //      int/decimal/numeric-string positions numerically (queries.go
+  //      `SELECT DISTINCT val FROM (values row(1), row(1.00), row('2'))`
+  //      → 1.00, 2.00). Rewrite the VALUES body to UNION ALL selects,
+  //      unquoting positions where every literal is numeric so Spark's
+  //      union coercion lands on DECIMAL like MySQL.
+
+  private val NumLit = """^\s*-?\d+(\.\d+)?\s*$""".r
+
+  def inlineTableUnion(sql: String): String = {
+    // iterate: each pass rewrites the first VALUES group; loop until no
+    // change so joins with several inline tables all convert
+    var cur = sql
+    var last = ""
+    var rounds = 0
+    while (cur != last && rounds < 8) {
+      last = cur
+      cur = inlineTableUnionOnce(cur)
+      rounds += 1
+    }
+    cur
+  }
+
+  private def inlineTableUnionOnce(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("values") && i > 0 && toks(i - 1).text == "(") {
+        // scan to the ')' closing the paren BEFORE values
+        var depth = 0
+        var j = i + 1
+        var close = -1
+        while (j < toks.length && close < 0) {
+          toks(j).text match {
+            case "(" => depth += 1
+            case ")" if depth == 0 => close = j
+            case ")" => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        if (close > 0) {
+          val body = sql.substring(toks(i).end, toks(close).start)
+          val tuples = topLevelSplitText(body).map(_.trim).filter(_.nonEmpty)
+            .map { t0 =>
+              val t = """(?is)^ROW\s*""".r.replaceFirstIn(t0, "")
+              topLevelSplitText(t.stripPrefix("(").stripSuffix(")"))
+                .map(_.trim)
+            }
+          if (tuples.nonEmpty && tuples.forall(_.length == tuples.head.length)) {
+            val width = tuples.head.length
+            val lifted = (0 until width).map { cI =>
+              val col = tuples.map(_(cI))
+              val allNumeric = col.forall { v =>
+                NumLit.findFirstIn(v).isDefined ||
+                  (v.length > 2 && v.head == '\'' && v.last == '\'' &&
+                    NumLit.findFirstIn(v.substring(1, v.length - 1)).isDefined)
+              }
+              (cI, allNumeric)
+            }.toMap
+            val selects = tuples.map { tup =>
+              "SELECT " + tup.zipWithIndex.map { case (v, cI) =>
+                if (lifted(cI) && v.startsWith("'"))
+                  v.substring(1, v.length - 1)
+                else v
+              }.mkString(", ")
+            }
+            return sql.substring(0, toks(i).start) +
+              selects.mkString(" UNION ALL ") + sql.substring(toks(close).start)
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
 
   def havingNoGroup(sql: String): String = {
     val toks = tokenize(sql)
@@ -1394,7 +1670,22 @@ object SqlRewrite {
                     .map(_.group(1).toInt).getOrElse(0)
                   val frac =
                     if (frac0.isEmpty || p == 0) ""
-                    else "." + frac0.drop(1).take(p)
+                    else {
+                      // MySQL ROUNDS the fraction to p digits
+                      // (queries.go cast('...12:34:56.123456abc' as
+                      // datetime(4)) -> .1235), carrying into the
+                      // seconds when it overflows is ignored here (the
+                      // reference rounds within the fraction)
+                      val digits = frac0.drop(1)
+                      if (digits.length <= p) "." + digits
+                      else {
+                        val scaled = BigDecimal("0." + digits)
+                          .setScale(p, BigDecimal.RoundingMode.HALF_UP)
+                        val s = scaled.bigDecimal.toPlainString
+                        if (s.startsWith("1")) "." + "9" * p // .99999+ clamp
+                        else s.substring(1) // drop leading 0
+                      }
+                    }
                   val date = f"${m.group(1)}-${m.group(2).toInt}%02d-${m.group(3).toInt}%02d"
                   val cleaned =
                     if (tHead == "DATE") date

@@ -423,6 +423,15 @@ object MiscFns {
     "session_user" -> tmpl("'root@localhost'"),
     "system_user" -> tmpl("'root@localhost'"),
     "found_rows" -> tmpl("CAST(0 AS BIGINT)"),
+    // ICU library version pin (queries.go `select icu_version()`)
+    "icu_version" -> tmpl("'73.1'"),
+    // deterministic stand-in: n bytes of 0x4a (length-correct; true
+    // randomness is a server concern this engine doesn't carry)
+    "random_bytes" -> tmpl("unhex(repeat('4a', CAST(__arg0 AS INT)))"),
+    // VALUES(col) outside INSERT..ODKU is NULL in MySQL (the ODKU
+    // rewriter consumes the in-context form before Spark sees it)
+    "values" -> (_ => Literal.create(null,
+      org.apache.spark.sql.types.NullType)),
     "row_count" -> tmpl("CAST(-1 AS BIGINT)"),
     "last_insert_id" -> tmpl("CAST(0 AS BIGINT)"),
     "last_insert_uuid" -> tmpl("CAST(NULL AS STRING)"),
@@ -447,8 +456,11 @@ object MiscFns {
     // unwraps so the NULLs render as JSON null
     "json_arrayagg" -> tmpl(
       "to_json(transform(collect_list(struct(__arg0 AS v)), s -> s.v))"),
+    // zero aggregated rows -> SQL NULL, not '{}' (json_scripts.go
+    // "JSON_OBJECTAGG correctly returns null when no rows are present")
     "json_objectagg" -> tmpl(
-      "to_json(map_from_entries(collect_list(struct(__arg0, __arg1))))"),
+      "CASE WHEN size(collect_list(struct(__arg0, __arg1))) = 0 THEN NULL " +
+      "ELSE to_json(map_from_entries(collect_list(struct(__arg0, __arg1)))) END"),
     // MySQL LEAST/GREATEST return NULL when ANY argument is NULL
     // (reference function/greatest.go); Spark's builtins skip NULLs, so
     // the session registry overrides them with the propagating form.

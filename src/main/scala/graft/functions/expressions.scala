@@ -161,6 +161,42 @@ object expressions {
       copy(l, r, mode)
   }
 
+  /** MySQL compares a JSON scalar against a number NUMERICALLY
+    * (json_scripts.go "json type value compared with number type value":
+    * JSON_EXTRACT('0.4', '$') > 0 is true); Spark's string-vs-int
+    * coercion truncates '0.4' to 0. Wherever a JSON-producing expression
+    * meets a numeric operand in a comparison, both sides go to double. */
+  object JsonNumericCompareRule extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Cast}
+    private def isJson(e: Expression): Boolean = e match {
+      case _: graft.functions.json.JsonExtractMySql => true
+      case _: graft.functions.json.JsonValueFn => true
+      case c: Cast => isJson(c.child)
+      case _ => false
+    }
+    private def isNum(e: Expression): Boolean =
+      e.resolved && e.dataType.isInstanceOf[NumericType]
+    private def stripCasts(e: Expression): Expression = e match {
+      case c: Cast => stripCasts(c.child)
+      case o => o
+    }
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.transformAllExpressions {
+        // Spark's coercion may already have wrapped the json side in a
+        // truncating integral cast — strip it and re-cast both sides to
+        // double. The double-double guard stops reapplication.
+        case b: BinaryComparison if b.left.resolved && b.right.resolved &&
+            !(b.left.dataType == DoubleType && b.right.dataType == DoubleType) &&
+            ((isJson(b.left) && isNum(stripCasts(b.right))) ||
+             (isJson(b.right) && isNum(stripCasts(b.left)))) =>
+          b.withNewChildren(Seq(
+            Cast(stripCasts(b.left), DoubleType),
+            Cast(stripCasts(b.right), DoubleType)))
+            .asInstanceOf[Expression]
+      }
+  }
+
   /** Optimizer rewrite installing MySQL substring-TRIM semantics over
     * Spark's char-set StringTrim family whenever an explicit trim string
     * is present (the whitespace default is identical in both dialects). */
@@ -313,7 +349,11 @@ object expressions {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[UTF8String].toString
+      // non-string inputs (QUOTE(42)) stringify first, like MySQL
+      val s = v match {
+        case u: UTF8String => u.toString
+        case o => String.valueOf(o)
+      }
       val b = new StringBuilder("'")
       s.foreach {
         case '\'' => b.append("\\'")
@@ -441,10 +481,17 @@ object expressions {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = child.nullable
-    override def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[UTF8String].toString
-      val m = MySqlToNumber.Prefix.matcher(s)
-      if (m.find() && m.group(1).nonEmpty) m.group(1).toDouble else 0.0
+    override def nullSafeEval(v: Any): Any = v match {
+      case u: UTF8String =>
+        val m = MySqlToNumber.Prefix.matcher(u.toString)
+        if (m.find() && m.group(1).nonEmpty) m.group(1).toDouble else 0.0
+      case b: Boolean => if (b) 1.0 else 0.0
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue
+      case b: Array[Byte] =>
+        val m = MySqlToNumber.Prefix.matcher(new String(b, "UTF-8"))
+        if (m.find() && m.group(1).nonEmpty) m.group(1).toDouble else 0.0
+      case _ => 0.0
     }
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }

@@ -179,6 +179,50 @@ object json {
 
   private def out(n: JsonNode): UTF8String = UTF8String.fromString(n.toString)
 
+  /** MySQL's binary-JSON object layout sorts keys by LENGTH, then by
+    * code point; display reflects it (json_scripts.go "json is formatted
+    * correctly": '{"b":2,"a":1}' reads back '{"a": 1, "b": 2}').
+    * Recursive over nested objects/arrays. */
+  private def canonicalNode(n: JsonNode): JsonNode = n match {
+    case o: ObjectNode =>
+      val names = {
+        val it = o.fieldNames()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result().sortBy(k => (k.length, k))
+      }
+      val r = F.objectNode()
+      names.foreach(k => r.set[JsonNode](k, canonicalNode(o.get(k))))
+      r
+    case a: ArrayNode =>
+      val r = F.arrayNode()
+      (0 until a.size).foreach(i => r.add(canonicalNode(a.get(i))))
+      r
+    case other => other
+  }
+
+  /** Canonical storage text for a JSON column write; null when the text
+    * is not valid JSON. */
+  def canonicalText(s: String): String = {
+    val d = tryParse(s)
+    if (d == null) null else canonicalNode(d).toString
+  }
+
+  /** Column-level canonicalizer for JSON-typed writes (declared JSON
+    * columns only — the write path applies it). Invalid JSON passes
+    * through unchanged (the strict-mode probe errors separately). */
+  case class JsonCanon(child: Expression) extends JsonExpr {
+    override def children: Seq[Expression] = Seq(child)
+    override def dataType: DataType = StringType
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val raw = str(vs(0))
+      val c = canonicalText(raw)
+      UTF8String.fromString(if (c == null) raw else c)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) =
+      copy(n.head)
+  }
+
   /** SQL scalar → Jackson node (the value argument of set/insert/replace).
     * Strings become JSON strings (NOT parsed), mirroring MySQL. */
   private def toNode(v: Any): JsonNode = v match {
@@ -324,8 +368,22 @@ object json {
       if (vs.contains(null)) null else evalNotNull(vs)
     }
     protected def evalNotNull(vs: Seq[Any]): Any
-    protected def str(v: Any): String = v.asInstanceOf[UTF8String].toString
-    protected def doc(v: Any): JsonNode = tryParse(str(v))
+    protected def str(v: Any): String = v match {
+      case u: UTF8String => u.toString
+      // non-string inputs (CAST(decimal AS JSON) reaching the fn
+      // unchanged, numeric literals) render as their JSON text
+      case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal.bigDecimal.toPlainString
+      case b: Array[Byte] => new String(b, "UTF-8")
+      case other => String.valueOf(other)
+    }
+    /** The DOCUMENT argument must be a JSON/text value — a numeric
+      * column is MySQL's "Invalid data type for JSON data"
+      * (json_scripts.go json_length over json_extract(int_col, …)). */
+    protected def doc(v: Any): JsonNode = v match {
+      case _: UTF8String | _: Array[Byte] => tryParse(str(v))
+      case _ => throw new IllegalArgumentException(
+        "Invalid data type for JSON data in argument 1 (MySQL 3144)")
+    }
   }
 
   /** JSON_EXTRACT(doc, path, ...) — the JSON fragment(s) at the path(s).
@@ -820,7 +878,14 @@ object json {
     protected def evalNotNull(vs: Seq[Any]): Any = {
       val d = doc(vs(0))
       if (d == null) return null
-      val all = str(vs(1)).equalsIgnoreCase("all")
+      val mode = str(vs(1))
+      // MySQL rejects any one_or_all argument besides 'one'/'all'
+      // (json_scripts.go "json_contains_path": 'other' errors)
+      if (!mode.equalsIgnoreCase("all") && !mode.equalsIgnoreCase("one"))
+        throw new IllegalArgumentException(
+          s"The oneOrAll argument to json_contains_path may take these " +
+          s"values: 'one' or 'all' (got '$mode')")
+      val all = mode.equalsIgnoreCase("all")
       val hits = vs.drop(2).map { pv =>
         val p = parsePath(str(pv)); p != null && navigateAll(d, p).nonEmpty
       }
