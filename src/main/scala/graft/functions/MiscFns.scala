@@ -425,6 +425,20 @@ object MiscFns {
     "found_rows" -> tmpl("CAST(0 AS BIGINT)"),
     // ICU library version pin (queries.go `select icu_version()`)
     "icu_version" -> tmpl("'73.1'"),
+    // out-of-domain inverse trig is NULL in MySQL (queries.go
+    // `select acos(-2)`), NaN in Spark
+    "acos" -> (es => {
+      val a = Cast(es.head, org.apache.spark.sql.types.DoubleType)
+      If(Or(LessThan(a, Literal(-1.0)), GreaterThan(a, Literal(1.0))),
+        Literal.create(null, org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Acos(a))
+    }),
+    "asin" -> (es => {
+      val a = Cast(es.head, org.apache.spark.sql.types.DoubleType)
+      If(Or(LessThan(a, Literal(-1.0)), GreaterThan(a, Literal(1.0))),
+        Literal.create(null, org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Asin(a))
+    }),
     // deterministic stand-in: n bytes of 0x4a (length-correct; true
     // randomness is a server concern this engine doesn't carry)
     "random_bytes" -> tmpl("unhex(repeat('4a', CAST(__arg0 AS INT)))"),
