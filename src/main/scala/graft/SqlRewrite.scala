@@ -1627,6 +1627,14 @@ object SqlRewrite {
 
   private val NumFull = """^\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\s*$""".r
   private val NumPrefix = """^\s*([+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?)""".r
+  // MySQL's string→INTEGER parse (my_strtoll10; reference expectation
+  // queries.go:8968-9006) skips leading SPACE and TAB only — a leading
+  // newline/CR/NUL stops the parse immediately, so cast('\n123\n' as
+  // signed) is 0 while cast(' \t 123 \t ' as signed) is 123. The
+  // double/decimal parse (my_strtod) skips all isspace, so NumFull
+  // above keeps \s and only the integer targets use these.
+  private val IntNumFull = """^[ \t]*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?[ \t]*$""".r
+  private val IntNumPrefix = """^[ \t]*([+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?)""".r
   private val DtFull =
     """^\s*\d{4}-\d{1,2}-\d{1,2}([ T]\d{1,2}(:\d{1,2}(:\d{1,2}(\.\d+)?)?)?)?\s*$""".r
   private val DtPrefix =
@@ -1703,14 +1711,19 @@ object SqlRewrite {
                   warn(1292,
                     s"Incorrect ${tHead.toLowerCase} value: '$lit'")
               }
-            case "SIGNED" | "UNSIGNED" | "DOUBLE" | "FLOAT" | "REAL" |
-                 "DECIMAL" | "BIGINT" | "INT" | "INTEGER"
-                if NumFull.findFirstIn(lit).isEmpty =>
-              val tn = tHead match {
-                case "DOUBLE" | "FLOAT" | "REAL" => "double"
-                case "DECIMAL" => "decimal"
-                case _ => "integer"
+            case "SIGNED" | "UNSIGNED" | "BIGINT" | "INT" | "INTEGER"
+                if IntNumFull.findFirstIn(lit).isEmpty =>
+              IntNumPrefix.findFirstMatchIn(lit) match {
+                case Some(m) =>
+                  patchLit(Some(m.group(1).trim))
+                  warn(1292, s"Truncated incorrect integer value: '$lit'")
+                case None =>
+                  patchLit(Some("0"))
+                  warn(1292, s"Truncated incorrect integer value: '$lit'")
               }
+            case "DOUBLE" | "FLOAT" | "REAL" | "DECIMAL"
+                if NumFull.findFirstIn(lit).isEmpty =>
+              val tn = if (tHead == "DECIMAL") "decimal" else "double"
               NumPrefix.findFirstMatchIn(lit) match {
                 case Some(m) =>
                   patchLit(Some(m.group(1).trim))

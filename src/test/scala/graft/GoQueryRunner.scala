@@ -29,8 +29,55 @@ abstract class GoQueryCorpusSpec extends AnyFunSuite {
     * skips; the inventory is meant to SHRINK as fixes land — entries
     * that now pass are reported via info() so they can be pruned. */
   def divergenceFile: Option[String] = None
-  protected def normQ(q: String): String =
-    q.replaceAll("\\s+", " ").trim
+  /** Literal-preserving normalization: whitespace runs collapse to one
+    * space OUTSIDE quoted literals only; inside '…'/"…"/`…` the content
+    * is kept, with control whitespace escaped (\n \t \r \0) so every
+    * key stays one line in the inventory file. (MySQL's string-literal
+    * escapes mean '\n' and a real newline are the same query, so the
+    * two forms keying identically is correct, not a collision.) */
+  protected def normQ(q: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    var pendingWs = false
+    while (i < q.length) {
+      val ch = q.charAt(i)
+      if (quote == 0) {
+        if (ch.isWhitespace) pendingWs = true
+        else {
+          if (pendingWs && sb.nonEmpty) sb.append(' ')
+          pendingWs = false
+          if (ch == '\'' || ch == '"' || ch == '`') quote = ch
+          sb.append(ch)
+        }
+      } else {
+        ch match {
+          case '\n' => sb.append("\\n")
+          case '\t' => sb.append("\\t")
+          case '\r' => sb.append("\\r")
+          case '\u0000' => sb.append("\\0")
+          case '\\' if i + 1 < q.length =>
+            // backslash escape: copy both chars so \' can't end the
+            // literal early (the escaped char re-normalizes if it is
+            // itself control whitespace)
+            sb.append('\\')
+            q.charAt(i + 1) match {
+              case '\n' => sb.append("\\n")
+              case '\t' => sb.append("\\t")
+              case '\r' => sb.append("\\r")
+              case '\u0000' => sb.append("\\0")
+              case c => sb.append(c)
+            }
+            i += 1
+          case c =>
+            if (c == quote) quote = 0
+            sb.append(c)
+        }
+      }
+      i += 1
+    }
+    sb.result()
+  }
   private lazy val pinnedQueries: Set[String] = divergenceFile.map { p =>
     val src = scala.io.Source.fromFile(p, "UTF-8")
     try src.getLines().map(_.trim)
@@ -75,7 +122,7 @@ abstract class GoQueryCorpusSpec extends AnyFunSuite {
             val (g, w) =
               if (ordered) (got, want)
               else (got.sortBy(_.mkString("|")), want.sortBy(_.mkString("|")))
-            if (g == w) None
+            if (GoNorm.eqRows(g, w)) None
             else Some(s"${a.query}\n  got:  ${g.take(8)}\n  want: ${w.take(8)}")
         }
       } catch {
@@ -114,10 +161,13 @@ abstract class GoQueryCorpusSpec extends AnyFunSuite {
               case None => None
             }
           }
-          if (fixedPins.nonEmpty)
+          if (fixedPins.nonEmpty) {
             info(s"${fixedPins.size} inventoried divergences now PASS " +
-              s"(prune from ${divergenceFile.getOrElse("?")}): " +
-              fixedPins.take(3).map(normQ).mkString(" | "))
+              s"(prune from ${divergenceFile.getOrElse("?")}):")
+            // one PRUNE marker per line — tools/gen_divergences.py and
+            // manual pruning both need the full list, not a sample
+            fixedPins.foreach(q => info("PRUNE\t" + normQ(q)))
+          }
           assert(failures.isEmpty,
             s"${failures.size} mismatches (of ${batch.size}); first 5:\n" +
               failures.take(5).mkString("\n") +
