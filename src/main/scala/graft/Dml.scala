@@ -3314,19 +3314,20 @@ object Dml {
       return ok(e, e.insertDf(table,
         e.coerceAndFill(table, incoming0, fillMissing = true),
         fillMissing = true, ignoreDups = ignore))
-    val keys = keysList.head
-    // last-in-batch wins per key — but only among rows whose key tuple
-    // is fully non-null (a NULL unique tuple never collides in MySQL,
-    // so such rows pass through row-for-row)
+    // last-in-batch wins per EVERY declared key (not just the PK — two
+    // batch rows sharing only a secondary unique key would otherwise
+    // both insert), but only among rows whose key tuple is fully
+    // non-null (a NULL unique tuple never collides in MySQL, so such
+    // rows pass through row-for-row)
     // generated columns materialize on the incoming batch too — a
     // UNIQUE key over a virtual generated column participates in the
     // duplicate-key match (generated_columns.go ODKU uk_v block)
     val coerced = e.computeGenerated(table,
       e.coerceAndFill(table, incoming0, fillMissing = true))
-    val keyNonNull = keys.map(k => col(s"`$k`").isNotNull).reduce(_ && _)
-    val keyHasNull = keys.map(k => col(s"`$k`").isNull).reduce(_ || _)
-    val incoming = lastPerKey(coerced.filter(keyNonNull), keys)
-      .unionByName(coerced.filter(keyHasNull))
+    val incoming = keysList.foldLeft(coerced) { (df, ks) =>
+      val nonNull = ks.map(k => col(s"`$k`").isNotNull).reduce(_ && _)
+      lastPerKey(df.filter(nonNull), ks).unionByName(df.filter(!nonNull))
+    }
     val t = e.spark.table(table)
     // row-alias references rewrite onto the incoming-row (__i_)
     // namespace first: `alias.c` names incoming column c; with an alias
@@ -3433,15 +3434,38 @@ object Dml {
       name -> ex
     }.toMap
     // incoming columns renamed so assignment text can address both rows:
-    // bare `c` = existing row, VALUES(c) = incoming row (as __i_c)
-    val i2 = incoming.select(incoming.columns.map(c =>
-      col(s"`$c`").as(s"__i_$c")).toIndexedSeq: _*)
-    // a row is "duplicate" when it matches an existing row on ANY
-    // declared key (=== is null-rejecting, so NULL unique tuples are
-    // exempt, matching MySQL)
-    val joinCond = keysList.map(ks =>
-      ks.map(k => t(k) === i2(s"__i_$k")).reduce(_ && _)).reduce(_ || _)
-    val matched = t.join(i2, joinCond, "inner")
+    // bare `c` = existing row, VALUES(c) = incoming row (as __i_c).
+    // __iseq__ pins batch order; the localCheckpoints pin the generated
+    // ids so every re-evaluation of the merge frames sees the same rows
+    // (mono ids regenerate per evaluation otherwise).
+    val i2all = incoming.select((incoming.columns.map(c =>
+      col(s"`$c`").as(s"__i_$c")) :+
+      monotonically_increasing_id().as("__iseq__")).toIndexedSeq: _*)
+      .localCheckpoint()
+    val tR = t.withColumn("__tid__", monotonically_increasing_id())
+      .localCheckpoint()
+    // MySQL finds the duplicate via the FIRST matching index — PK, then
+    // unique keys in declaration order — so keys match with precedence:
+    // each pass consumes the incoming rows it matched, and later keys
+    // only see the remainder (an OR-join would update EVERY row an
+    // incoming row collides with). === is null-rejecting, so NULL
+    // unique tuples never collide, matching MySQL.
+    var pool = i2all
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    keysList.foreach { ks =>
+      def cond = ks.map(k => tR(s"`$k`") === pool(s"`__i_$k`")).reduce(_ && _)
+      parts += tR.join(pool, cond, "inner")
+      pool = pool.join(tR, cond, "left_anti")
+    }
+    // one update per existing row: if several incoming rows (via
+    // different keys) hit the same row, the LAST in batch order wins —
+    // the same policy as the per-key batch dedup above
+    val wTid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("`__tid__`")).orderBy(col("`__iseq__`").desc)
+    val matched = parts.reduce(_ unionByName _)
+      .withColumn("__mrn__", row_number().over(wTid))
+      .filter(col("`__mrn__`") === 1)
+      .drop("__mrn__", "__iseq__")
     // ODKU assignments coerce to the target column type like every other
     // write (reference sql/types Convert): a failed conversion errors in
     // strict mode (1366), zero-fills with a 1366 warning under IGNORE or
@@ -3555,16 +3579,13 @@ object Dml {
     // (generated_columns.go "INSERT ON DUPLICATE KEY UPDATE with an
     // index over a virtual generated column")
     updatedRows = e.computeGenerated(table, updatedRows)
-    val allKeyCols = keysList.flatten.distinct
-    val anyKeyMatch = (l: DataFrame, r: DataFrame) => keysList.map(ks =>
-      ks.map(k => col(s"`$k`") === col(s"`__k_$k`")).reduce(_ && _))
-      .reduce(_ || _)
-    val incK = incoming.select(allKeyCols.map(k =>
-      col(s"`$k`").as(s"__k_$k")).toIndexedSeq: _*).distinct()
-    val untouched = t.join(incK, anyKeyMatch(t, incK), "left_anti")
-    val tK = t.select(allKeyCols.map(k =>
-      col(s"`$k`").as(s"__k_$k")).toIndexedSeq: _*).distinct()
-    val newRows = incoming.join(tK, anyKeyMatch(incoming, tK), "left_anti")
+    // untouched = existing rows the precedence match did not update;
+    // new rows = the incoming pool left after every key pass
+    val matchedTids = matched.select(col("`__tid__`"))
+    val untouched = tR.join(matchedTids, Seq("__tid__"), "left_anti")
+      .drop("__tid__")
+    val newRows = pool.select(incoming.columns.map(c =>
+      col(s"`__i_$c`").as(c)).toIndexedSeq: _*)
     val nUpdated = matched.count() - nReverted
     val nInserted = newRows.count()
     val result = untouched

@@ -359,7 +359,9 @@ class Engine(val spark: SparkSession) {
     }
     reg.createOrReplaceTempFunction("get_lock", es => {
       litName(es.head).foreach(n =>
-        namedLocks(n) = namedLocks.getOrElse(n, 0) + 1)
+        lockOpOncePerStatement("get", n) {
+          namedLocks(n) = namedLocks.getOrElse(n, 0) + 1
+        })
       Literal(1)
     }, "scala_udf")
     reg.createOrReplaceTempFunction("is_free_lock", es =>
@@ -371,20 +373,46 @@ class Engine(val spark: SparkSession) {
       "scala_udf")
     reg.createOrReplaceTempFunction("release_lock", es =>
       litName(es.head) match {
-        case Some(n) if namedLocks.contains(n) =>
-          namedLocks.remove(n); Literal(1)
+        // releasedThisStatement keeps the result stable when the same
+        // statement is analyzed again after the side effect applied
+        case Some(n) if namedLocks.contains(n) ||
+            releasedThisStatement(n) =>
+          lockOpOncePerStatement("release", n) { namedLocks.remove(n) }
+          Literal(1)
         case _ => Literal.create(null, org.apache.spark.sql.types.IntegerType)
       }, "scala_udf")
     reg.createOrReplaceTempFunction("release_all_locks", _ => {
-      val n = namedLocks.size
-      namedLocks.clear()
-      Literal(n)
+      // count captured before the (once-per-statement) clear so a
+      // re-analysis of the same statement reports the same number
+      lockOpOncePerStatement("release_all", "*") {
+        releaseAllCount = namedLocks.size
+        namedLocks.clear()
+      }
+      Literal(releaseAllCount)
     }, "scala_udf")
     // SLEEP(n) returns 0; an embedded analytics session does not block
     reg.createOrReplaceTempFunction("sleep", _ => Literal(0), "scala_udf")
   }
 
   private val namedLocks = scala.collection.mutable.Map.empty[String, Int]
+  // The lock functions run their side effects during expression
+  // RESOLUTION (single-session engine, literal lock names). Any path
+  // that analyzes a statement more than once — EXPLAIN, error-retry
+  // re-entry, view re-resolution — would double-acquire or
+  // double-release, so each (op, name) applies at most once per
+  // top-level statement. Known residual divergences vs MySQL, both
+  // outside the observed corpus surface: two get_lock('x') calls in ONE
+  // statement count once, and a statement that fails after analysis
+  // still acquires.
+  private var lockStmtSeq = -1L
+  private val lockOpsApplied = scala.collection.mutable.Set.empty[(String, String)]
+  private def lockOpOncePerStatement(op: String, name: String)(body: => Unit): Unit = {
+    if (lockStmtSeq != stmtSeq) { lockOpsApplied.clear(); lockStmtSeq = stmtSeq }
+    if (lockOpsApplied.add((op, name))) body
+  }
+  private def releasedThisStatement(name: String): Boolean =
+    lockStmtSeq == stmtSeq && lockOpsApplied.contains(("release", name))
+  private var releaseAllCount = 0
 
   /** MySQL substring-TRIM semantics (TRIM('bar' FROM s) removes the
     * string, not Spark's character-set reading). Applied to the ANALYZED
@@ -720,10 +748,14 @@ class Engine(val spark: SparkSession) {
     ("""(?is)^\s*(?:SHOW\s+(?:COUNT\(\*\)\s+)?(?:WARNINGS|ERRORS)\b""" +
      """|SELECT\s+@@(?:session\.)?(?:warning_count|error_count)\b).*""").r
   private var queryDepth = 0
+  /** Monotone top-level statement counter — the boundary for
+    * once-per-statement side effects (named locks). */
+  private var stmtSeq = 0L
 
   def query(sql0: String): DataFrame = mysqlTrimSemantics {
     // a MySQL client accepts one trailing statement terminator
     val sql = sql0.replaceAll("(?s);\\s*$", "")
+    if (queryDepth == 0) stmtSeq += 1
     if (queryDepth == 0 && !DiagnosticsRead.pattern.matcher(sql).matches())
       clearDiagnostics()
     queryDepth += 1
@@ -1131,11 +1163,17 @@ class Engine(val spark: SparkSession) {
           case Some(dt @ (DateType | TimestampType | TimestampNTZType))
               if f.dataType.isInstanceOf[StringType] =>
             val c = col(s"`${f.name}`")
+            // MySQL-legal shapes Spark's cast rejects ('2009.02.09',
+            // '20090209', 2-digit years) canonicalize first — only a
+            // string NO MySQL parse accepts is a 1292 error
+            val cn = org.apache.spark.sql.GraftBridge.column(
+              graft.functions.expressions.MySqlDateStrNorm(
+                org.apache.spark.sql.GraftBridge.expression(c)))
             // zero dates ('0000-00-00'…) are valid MySQL writes (stored
             // as NULL here — documented divergence), not 1292 errors
             val zeroDate = c.rlike("^[0\\-:./ ]+$")
             val bad = incoming0
-              .filter(c.isNotNull && c.cast(dt).isNull && !zeroDate)
+              .filter(c.isNotNull && cn.cast(dt).isNull && !zeroDate)
               .select(c).limit(1).collect()
             bad.headOption.foreach { r =>
               val kind = if (dt == DateType) "date" else "datetime"
@@ -1752,9 +1790,25 @@ class Engine(val spark: SparkSession) {
                  _: org.apache.spark.sql.types.DecimalType => true
             case _ => false
           }
+          // string → temporal routes through the MySQL-lenient
+          // canonicalizer so '2009.02.09' / '20090209' / 2-digit years
+          // store the date MySQL stores, not NULL
+          val temporalSrc = dt match {
+            case org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType =>
+              df.schema(c).dataType
+                .isInstanceOf[org.apache.spark.sql.types.StringType]
+            case _ => false
+          }
           val casted =
             if (fracSrc && integralBounds(dt).isDefined)
               org.apache.spark.sql.functions.round(df(c)).cast(dt)
+            else if (temporalSrc)
+              org.apache.spark.sql.GraftBridge.column(
+                graft.functions.expressions.MySqlDateStrNorm(
+                  org.apache.spark.sql.GraftBridge.expression(df(c))))
+                .cast(dt)
             else df(c).cast(dt)
           zeroValueLit(dt) match {
             case Some(z) if ignoreMode =>

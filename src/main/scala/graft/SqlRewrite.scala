@@ -222,10 +222,13 @@ object SqlRewrite {
   def orderlessRankWindow(sql: String): String = {
     val re =
       """(?is)\b(?:row_number|rank|dense_rank|percent_rank|cume_dist|ntile)\s*\([^()]*\)\s*over\s*\(""".r
-    def quoteFree(upTo: Int): Boolean = {
+    // scans the CURRENT text (match offsets come from the mutated
+    // string — scanning the original would drift after the first
+    // insertion and can index past its end)
+    def quoteFree(text: String, upTo: Int): Boolean = {
       var q: Char = 0; var i = 0
       while (i < upTo) {
-        val c = sql.charAt(i)
+        val c = text.charAt(i)
         if (q != 0) { if (c == '\\' && q != '`') i += 1 else if (c == q) q = 0 }
         else if (c == '\'' || c == '"' || c == '`') q = c
         i += 1
@@ -254,7 +257,7 @@ object SqlRewrite {
       changed = false
       guard += 1
       re.findAllMatchIn(text).find { m =>
-        quoteFree(m.start) && {
+        quoteFree(text, m.start) && {
           val close = closing(text, m.end)
           close > 0 &&
             !"""(?is)\border\s+by\b""".r.findFirstIn(

@@ -126,4 +126,59 @@ object DateTimeExt {
       case ("DATETIME", _) => "%Y-%m-%d %H:%i:%s"
       case (t, st) => throw new IllegalArgumentException(s"GET_FORMAT($t, $st)")
     }
+
+  // ---- MySQL-lenient datetime string canonicalization ------------------
+  // MySQL's str_to_datetime (reference sql/types/datetime.go
+  // ConvertWithoutRangeCheck) accepts ANY punctuation as a date
+  // delimiter ('2009.02.09', '2009/02/09'), delimiter-free digit runs
+  // (20090209, 090209, 20090209123456), and 2-digit years (00-69 →
+  // 20xx, 70-99 → 19xx). Spark's cast accepts none of these, so write
+  // paths canonicalize strings to Spark-castable ISO form first;
+  // strings that don't match any MySQL shape pass through unchanged
+  // (the subsequent cast yields NULL and strict mode raises 1292).
+
+  private val DelimDt =
+    ("""^(\d{1,4})[^\dT ](\d{1,2})[^\dT ](\d{1,2})""" +
+     """(?:[ T](\d{1,2})(?:[^\d](\d{1,2})(?:[^\d.](\d{1,2})(\.\d+)?)?)?)?$""").r
+  private val PackedDt = """^(\d{6}|\d{8}|\d{12}|\d{14})(\.\d+)?$""".r
+
+  private def expandYear(y: String): Int = {
+    val n = y.toInt
+    if (y.length > 2) n else if (n <= 69) 2000 + n else 1900 + n
+  }
+
+  /** Canonicalize one MySQL-legal datetime string to ISO
+    * "yyyy-MM-dd[ HH:mm:ss[.f]]"; anything else returns unchanged. */
+  def mysqlDateStrNorm(s0: String): String = {
+    val s = s0.trim
+    def render(y: Int, mo: String, d: String, h: String, mi: String,
+               se: String, fr: String): String = {
+      val date = f"$y%04d-${mo.toInt}%02d-${d.toInt}%02d"
+      if (h == null) date
+      else {
+        val hh = h.toInt
+        val mm = if (mi == null) 0 else mi.toInt
+        val ss = if (se == null) 0 else se.toInt
+        f"$date $hh%02d:$mm%02d:$ss%02d" + (if (fr == null) "" else fr)
+      }
+    }
+    s match {
+      case DelimDt(y, mo, d, h, mi, se, fr) =>
+        // 4-digit-year ISO with '-' is already Spark-castable; leave it
+        // alone so valid fast-path strings never round-trip a rebuild
+        if (y.length == 4 && s.length >= 8 && s.charAt(4) == '-' &&
+            !s.contains('T')) s
+        else render(expandYear(y), mo, d, h, mi, se, fr)
+      case PackedDt(digits, fr) =>
+        val yLen = if (digits.length == 8 || digits.length == 14) 4 else 2
+        val y = expandYear(digits.substring(0, yLen))
+        val mo = digits.substring(yLen, yLen + 2)
+        val d = digits.substring(yLen + 2, yLen + 4)
+        if (digits.length <= 8) render(y, mo, d, null, null, null, null)
+        else render(y, mo, d, digits.substring(yLen + 4, yLen + 6),
+          digits.substring(yLen + 6, yLen + 8),
+          digits.substring(yLen + 8, yLen + 10), fr)
+      case _ => s0
+    }
+  }
 }

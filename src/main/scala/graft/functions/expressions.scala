@@ -501,6 +501,23 @@ object expressions {
     private val Prefix = java.util.regex.Pattern.compile(PrefixRegex)
   }
 
+  /** MySQL-lenient datetime canonicalization for write paths: maps
+    * MySQL-legal shapes Spark's cast rejects ('2009.02.09',
+    * '2009/02/09', '20090209', 2-digit years) to ISO form; anything
+    * else passes through unchanged so the following cast's NULL still
+    * signals a genuinely bad value (strict-mode 1292). Logic in
+    * [[DateTimeExt.mysqlDateStrNorm]]. */
+  case class MySqlDateStrNorm(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = child.dataType
+    override def nullSafeEval(v: Any): Any = v match {
+      case u: UTF8String =>
+        UTF8String.fromString(DateTimeExt.mysqlDateStrNorm(u.toString))
+      case o => o
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   // ---- Column wrappers -----------------------------------------------
 
   import org.apache.spark.sql.GraftBridge

@@ -85,4 +85,29 @@ class DateTimeExtSpec extends AnyFunSuite {
     assert(one[java.sql.Date](functions.MySqlFormat
       .strToDate(lit("04/10/1997"), "%d/%m/%Y").cast("date")).toString == "1997-10-04")
   }
+
+  test("mysqlDateStrNorm canonicalizes every MySQL-legal write shape") {
+    import functions.DateTimeExt.mysqlDateStrNorm
+    // arbitrary punctuation delimiters
+    assert(mysqlDateStrNorm("2009.02.09") == "2009-02-09")
+    assert(mysqlDateStrNorm("2009/02/09") == "2009-02-09")
+    assert(mysqlDateStrNorm("2009!2!9") == "2009-02-09")
+    // delimiter-free digit runs
+    assert(mysqlDateStrNorm("20090209") == "2009-02-09")
+    assert(mysqlDateStrNorm("090209") == "2009-02-09")
+    assert(mysqlDateStrNorm("20090209123456") == "2009-02-09 12:34:56")
+    assert(mysqlDateStrNorm("090209123456.5") == "2009-02-09 12:34:56.5")
+    // 2-digit years: 00-69 -> 20xx, 70-99 -> 19xx
+    assert(mysqlDateStrNorm("69.1.2") == "2069-01-02")
+    assert(mysqlDateStrNorm("70.1.2") == "1970-01-02")
+    // delimited with time part
+    assert(mysqlDateStrNorm("2009.02.09 12:34:56") == "2009-02-09 12:34:56")
+    assert(mysqlDateStrNorm("09.02.09 1:2:3.25") == "2009-02-09 01:02:03.25")
+    // already-ISO fast path stays byte-identical
+    assert(mysqlDateStrNorm("2009-02-09") == "2009-02-09")
+    assert(mysqlDateStrNorm("2009-02-09 12:34:56.123") == "2009-02-09 12:34:56.123")
+    // garbage passes through unchanged (downstream cast -> NULL -> 1292)
+    assert(mysqlDateStrNorm("badtime") == "badtime")
+    assert(mysqlDateStrNorm("2009-02") == "2009-02")
+  }
 }

@@ -755,6 +755,44 @@ class EngineSpec extends AnyFunSuite {
     assert(r3.map(_.getInt(0)).toSeq == Seq(31))
   }
 
+  test("ODKU matches keys with precedence — one row updated per collision") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.runScript(
+      "CREATE TABLE odku_mk (id INT PRIMARY KEY, u VARCHAR(10) UNIQUE, qty INT)")
+    e.query("INSERT INTO odku_mk VALUES (1, 'a', 10), (2, 'b', 20)")
+    // the incoming row collides with row 1 via the PK and row 2 via the
+    // unique key; MySQL resolves via the FIRST index (PK) and updates
+    // only row 1 — row 2 must keep qty=20
+    e.query(
+      "INSERT INTO odku_mk VALUES (1, 'b', 99) " +
+        "ON DUPLICATE KEY UPDATE qty = VALUES(qty)")
+    val rows = e.query("SELECT id, u, qty FROM odku_mk ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((1, "a", 99), (2, "b", 20)))
+  }
+
+  test("MySQL-legal datetime shapes write through strict mode") {
+    val s2 = spark.newSession()
+    val e = new Engine(s2)
+    e.runScript("CREATE TABLE dtw (id INT PRIMARY KEY, d DATE, ts DATETIME)")
+    // shapes Spark's cast rejects but MySQL accepts — none may 1292,
+    // and the STORED value must be the MySQL parse, not NULL
+    e.query("INSERT INTO dtw VALUES (1, '2009.02.09', '2009/02/09 12:34:56')")
+    e.query("INSERT INTO dtw VALUES (2, '20090209', '20090209123456')")
+    e.query("INSERT INTO dtw VALUES (3, '69.1.2', '70-1-2 1:2:3')")
+    val rows = e.query(
+      "SELECT id, CAST(d AS CHAR) d, CAST(ts AS CHAR) ts FROM dtw ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(rows(0) == ((1, "2009-02-09", "2009-02-09 12:34:56")))
+    assert(rows(1) == ((2, "2009-02-09", "2009-02-09 12:34:56")))
+    assert(rows(2) == ((3, "2069-01-02", "1970-01-02 01:02:03")))
+    // a genuinely bad value still raises 1292 in strict mode
+    val ex = intercept[Exception](
+      e.query("INSERT INTO dtw VALUES (4, 'badtime', NULL)"))
+    assert(ex.getMessage.contains("Incorrect date"))
+  }
+
   test("EXPLAIN front door returns the formatted plan (SURVEY §4.4)") {
     val e = new Engine(spark)
     e.query("create table expl_t (i int primary key, s varchar(10))")

@@ -110,4 +110,23 @@ class SqlRewriteSpec extends AnyFunSuite {
     val plain = "select * from t where x = 'between'"
     assert(SqlRewrite.betweenExpand(plain) == plain)
   }
+
+  test("orderlessRankWindow: multiple windows, offsets past first insertion") {
+    // three orderless ranking windows — the 2nd/3rd matches sit at
+    // offsets that only exist in the MUTATED text; quote scanning must
+    // track it (scanning the original threw StringIndexOutOfBounds)
+    val three =
+      "select 1,row_number()over(),rank()over(),dense_rank()over()"
+    val out = SqlRewrite.orderlessRankWindow(three)
+    assert(out ==
+      "select 1,row_number()over(order by 1),rank()over(order by 1)," +
+        "dense_rank()over(order by 1)")
+    // a window-function NAME inside a string literal is not a window
+    val lit = "select 'rank()over()' as s, row_number() over () from t"
+    assert(SqlRewrite.orderlessRankWindow(lit) ==
+      "select 'rank()over()' as s, row_number() over (order by 1) from t")
+    // existing ORDER BY: untouched
+    val ordered = "select rank() over (order by x) from t"
+    assert(SqlRewrite.orderlessRankWindow(ordered) == ordered)
+  }
 }
