@@ -184,9 +184,13 @@ object Dml {
   private val SetNoop =
     """(?is)^\s*SET\s+(?:NAMES|SESSION|GLOBAL|CHARACTER\s+SET|sql_mode|autocommit|@@\S+)\b.*$""".r
   private val ShowVariables =
-    """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+    """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)'|\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val ShowStatus =
-    """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?STATUS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+    """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?STATUS(?:\s+LIKE\s+'([^']*)'|\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val ShowDatabases =
+    """(?is)^\s*SHOW\s+(?:DATABASES|SCHEMAS)(?:\s+LIKE\s+'([^']*)'|\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val FlushStmt =
+    """(?is)^\s*FLUSH\s+(?:NO_WRITE_TO_BINLOG\s+|LOCAL\s+)?(?:BINARY\s+LOGS|ENGINE\s+LOGS|LOGS|STATUS|PRIVILEGES|TABLES)\s*;?\s*$""".r
   private val ShowProcesslist =
     """(?is)^\s*SHOW\s+(?:FULL\s+)?PROCESSLIST\s*$""".r
   // SHOW WARNINGS/ERRORS (queries.go:5181 `SHOW WARNINGS LIMIT 0`;
@@ -221,12 +225,18 @@ object Dml {
     """(?is)^\s*SHOW\s+(FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+`?([A-Za-z_][A-Za-z0-9_]*)`?)?(?:\s+LIKE\s+'([^']*)')?(?:\s+WHERE\s+(.+?))?\s*$""".r
   private val ShowColumns =
     """(?is)^\s*SHOW\s+(FULL\s+)?(?:COLUMNS|FIELDS)\s+(?:FROM|IN)\s+(`?[A-Za-z_][A-Za-z0-9_]*`?(?:\.`?[A-Za-z_][A-Za-z0-9_]*`?)?)(?:\s+(?:FROM|IN)\s+`?([A-Za-z_][A-Za-z0-9_]*)`?)?(?:\s+LIKE\s+'([^']*)')?(?:\s+WHERE\s+(.+?))?\s*$""".r
+  // `SHOW INDEX FROM t`, `FROM db.t`, and MySQL's two-FROM form
+  // `FROM t FROM db` (information_schema_queries.go:376-384)
   private val ShowIndexes =
-    """(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+    ("""(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+""" +
+     """`?([A-Za-z_][A-Za-z0-9_]*)`?(?:\s*\.\s*`?([A-Za-z_][A-Za-z0-9_]*)`?)?""" +
+     """(?:\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?)?\s*;?\s*$""").r
   private val ShowCreate =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+  private val ShowCreateDb =
+    """(?is)^\s*SHOW\s+CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*;?\s*$""".r
   private val ShowCollation =
-    """(?is)^\s*SHOW\s+COLLATION(?:\s+LIKE\s+'([^']*)')?\s*$""".r
+    """(?is)^\s*SHOW\s+COLLATION(?:\s+LIKE\s+'([^']*)'|\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val ShowGrants =
     """(?is)^\s*SHOW\s+GRANTS(?:\s+FOR\s+\S+)?\s*$""".r
   private val ShowTableStatus =
@@ -1297,19 +1307,45 @@ object Dml {
     // ---- SHOW surface — the statements a MySQL client library probes on
     // connect (reference sql/rowexec/show.go; information_schema backs the
     // rest). LIKE filters use MySQL pattern chars (% _).
-    case ShowVariables(like) =>
+    case ShowVariables(like, where) =>
       val s = e.spark
       import s.implicits._
       // live view over the session catalog: overrides from SET win
-      Some(filterLike(e.allSystemVars.toDF("Variable_name", "Value"),
-        "Variable_name", like))
+      Some(filterWhere(e, filterLike(
+        e.allSystemVars.toDF("Variable_name", "Value"),
+        "Variable_name", like), where))
 
-    case ShowStatus(like) =>
+    case ShowStatus(like, where) =>
       val s = e.spark
       import s.implicits._
-      val stats = Seq(("Threads_connected", "1"), ("Uptime", "1"),
-        ("Questions", "1"))
-      Some(filterLike(stats.toDF("Variable_name", "Value"), "Variable_name", like))
+      // the zero-valued server counters the reference reports
+      // (queries.go:7143-7205); an embedded engine has no wire traffic
+      val stats = Seq(
+        ("Aborted_clients", "0"), ("Bytes_sent", "0"),
+        ("Com_stmt_close", "0"), ("Com_stmt_execute", "0"),
+        ("Com_stmt_fetch", "0"), ("Com_stmt_prepare", "0"),
+        ("Com_stmt_reprepare", "0"), ("Com_stmt_reset", "0"),
+        ("Com_stmt_send_long_data", "0"), ("Questions", "1"),
+        ("Ssl_cipher", ""), ("Threads_connected", "1"), ("Uptime", "1"))
+      Some(filterWhere(e, filterLike(
+        stats.toDF("Variable_name", "Value"), "Variable_name", like), where))
+
+    case ShowDatabases(like, where) =>
+      val s = e.spark
+      import s.implicits._
+      // the engine's schema list plus MySQL's two built-ins; Spark's
+      // `default` namespace is an implementation detail, not a schema
+      val dbs = (e.showDatabases().filterNot(_ == "default") ++
+        Seq("information_schema", "mysql")).distinct.sorted
+      Some(filterWhere(e, filterLike(
+        dbs.toDF("Database"), "Database", like), where))
+
+    case FlushStmt() =>
+      // FLUSH [BINARY|ENGINE] LOGS/STATUS/… — stateless engine no-op
+      // (queries.go:8419 expects an empty result)
+      val s = e.spark
+      import s.implicits._
+      Some(Seq.empty[String].toDF("Info"))
 
     case ShowTriggers() =>
       val s = e.spark
@@ -1548,23 +1584,20 @@ object Dml {
 
     // SHOW COLLATION / CHARACTER SET (reference sql/rowexec/show.go over
     // sql/collations.go): the resolvable catalog with MySQL's columns
-    case ShowCollation(like) =>
+    case ShowCollation(like, where) =>
       val s = e.spark
       import s.implicits._
-      val rows = Dialect.supportedCollations.zipWithIndex.map {
-        case ((n, cs, d), i) =>
-          // PAD attribute is catalog metadata (collations.go): 0900/bin
-          // families are NO PAD, legacy collations PAD SPACE. Comparison
-          // itself is NO PAD for every collation, exactly like the
-          // reference's StringType.Compare (sql/types/strings.go:279 —
-          // shorter strings sort first, no trailing-space trim).
-          val pad = if (n.contains("0900") || n == "binary") "NO PAD"
-            else "PAD SPACE"
-          (n, cs, (i + 1).toLong, if (d) "Yes" else "", "Yes", 1L, pad)
+      // the full 286-row MySQL catalog (sql/collations.go collationArray;
+      // queries.go:5437 pins name/charset/id/default/compiled/sortlen/
+      // pad per collation). COLLATE resolution stays on the curated
+      // Dialect.supportedCollations subset — SHOW lists the catalog.
+      val rows = Engine.collationCatalog.map {
+        case (id, n, cs, d, c, sl, pad) =>
+          (n, cs, id, if (d) "Yes" else "", if (c) "Yes" else "", sl, pad)
       }
-      Some(filterLike(
+      Some(filterWhere(e, filterLike(
         rows.toDF("Collation", "Charset", "Id", "Default", "Compiled",
-          "Sortlen", "Pad_attribute"), "Collation", like))
+          "Sortlen", "Pad_attribute"), "Collation", like), where))
 
     case ShowCharset(like) =>
       val s = e.spark
@@ -1599,6 +1632,8 @@ object Dml {
         .collect().toSeq
         .filter(t => db == null || t.tableType != "TEMPORARY" ||
           t.database == db)
+        // info-schema scaffolding views are not user tables
+        .filterNot(_.name.startsWith("information_schema_"))
         .map(t => (t.name,
           if (e.viewDefs.contains(t.name) || t.tableType == "VIEW") "VIEW"
           else "BASE TABLE"))
@@ -1636,24 +1671,42 @@ object Dml {
       val filtered = filterLike(base, "Field", like)
       Some(Option(where).map(w => filtered.filter(expr(w))).getOrElse(filtered))
 
-    case ShowIndexes(table) =>
+    case ShowIndexes(p1, p2, p3) =>
       // MySQL's full 15-column shape (create_table_queries.go SHOW KEYS
       // expectations: {t, 0, PRIMARY, 1, col, nil, 0, nil, nil, "",
       // BTREE, "", "", YES, nil}); the 4-column Engine.showIndex stays
       // the compact DSL surface
       val s = e.spark
       import s.implicits._
-      val t = e.spark.table(table) // validates existence
-      val nullable = t.schema.fields.map(f =>
-        f.name.toLowerCase -> f.nullable).toMap
+      // db.t → (db=p1, t=p2); `t FROM db` → (t=p1, db=p3); bare → p1
+      val (dbOpt, bare) =
+        if (p2 != null) (Some(p1), p2)
+        else (Option(p3), p1)
+      val infoSchemaDb =
+        dbOpt.exists(_.equalsIgnoreCase("information_schema"))
+      // metadata maps key db-qualified tables by their qualified name
+      val table =
+        if (infoSchemaDb) bare
+        else dbOpt.map(d => e.canonicalTable(s"$d.$bare"))
+          .filter(q => e.tableKeys.contains(q) ||
+            scala.util.Try(e.spark.table(q)).isSuccess)
+          .getOrElse(e.canonicalTable(bare))
+      // info-schema tables carry no SHOW-able indexes (ref
+      // information_schema_queries.go:30 expects zero rows)
+      val t = if (infoSchemaDb) null
+        else e.spark.table(table) // validates existence
+      val nullable = if (t == null) Map.empty[String, Boolean]
+        else t.schema.fields.map(f =>
+          f.name.toLowerCase -> f.nullable).toMap
       val uniqueNames = e.uniqueKeys.collect {
         case (tt, n, _) if tt == table => n.toLowerCase }.toSet
       def rows(keyName: String, nonUnique: Int, cols: Seq[String],
                expr: Option[String]) =
-        cols.zipWithIndex.map { case (c, i) =>
+        if (infoSchemaDb) Seq.empty
+        else cols.zipWithIndex.map { case (c, i) =>
           val nn = if (expr.isEmpty &&
               nullable.getOrElse(c.toLowerCase, true)) "YES" else ""
-          (table, nonUnique, keyName, i + 1,
+          (bare, nonUnique, keyName, i + 1,
             if (expr.isDefined) null else c,
             null: String, 0L, null: String, null: String, nn, "BTREE",
             "", "", "YES", expr.orNull)
@@ -1676,6 +1729,15 @@ object Dml {
         "Seq_in_index", "Column_name", "Collation", "Cardinality",
         "Sub_part", "Packed", "Null", "Index_type", "Comment",
         "Index_comment", "Visible", "Expression"))
+
+    case ShowCreateDb(db) =>
+      // MySQL's version-comment form (queries.go:5129)
+      val s = e.spark
+      import s.implicits._
+      Some(Seq((db,
+        s"CREATE DATABASE `$db` /*!40100 DEFAULT CHARACTER SET utf8mb4 " +
+          "COLLATE utf8mb4_0900_bin */"))
+        .toDF("Database", "Create Database"))
 
     case ShowCreate(table) if e.viewDefs.contains(table) =>
       // MySQL's SHOW CREATE TABLE on a view answers in the view form
@@ -3163,7 +3225,21 @@ object Dml {
   private def filterLike(df: DataFrame, column: String,
                          like: String): DataFrame =
     if (like == null) df
-    else df.filter(col(column).like(like))
+    // MySQL SHOW … LIKE is case-insensitive ('aborted\_clients'
+    // matches Aborted_clients; backslash escapes literal _/%)
+    else df.filter(col(column).ilike(like))
+
+  /** MySQL `SHOW … WHERE <cond>`: the condition runs through the full
+    * engine pipeline (truthiness, ||-as-OR, collation) over the SHOW
+    * frame registered as a scratch view. */
+  private def filterWhere(e: Engine, df: DataFrame,
+                          where: String): DataFrame =
+    if (where == null) df
+    else {
+      df.createOrReplaceTempView("__graft_show__")
+      try e.query(s"SELECT * FROM __graft_show__ WHERE $where")
+      finally e.spark.catalog.dropTempView("__graft_show__")
+    }
 
   /** Build the row source of an INSERT/REPLACE body: positional rename
     * without a column list, inline-table alias or rename with one. */

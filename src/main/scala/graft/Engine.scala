@@ -38,6 +38,10 @@ object Dialect {
   private def rewriteCode0(code: String, pipesAsConcat: Boolean): String =
     rewriteCollate(code)
       .replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
+      // CHAR(… USING charset) — the charset clause is a no-op here
+      // (queries.go:8642 `char(97, 98, 99 using utf8mb4)` -> 'abc')
+      .replaceAll("(?i)(\\bCHAR\\s*\\([^()]*?)\\s+USING\\s+[A-Za-z0-9_]+\\s*\\)",
+        "$1)")
       .replaceAll("(?i)\\bSTRAIGHT_JOIN\\b", "JOIN")
       // MySQL hex literals: 0xABCD is a binary string (vector_ddl_
       // queries.go inserts packed vectors as 0x…); Spark spells it X'…'
@@ -297,6 +301,50 @@ object Engine {
   /** MySQL keeps at most max_error_count (default 64) warning ROWS while
     * warning_count still reports the true total. */
   private val MaxStoredWarnings = 64
+
+  private def tsvResource(name: String): Seq[Array[String]] = {
+    val in = getClass.getResourceAsStream("/" + name)
+    if (in == null) Seq.empty
+    else {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try src.getLines().filterNot(_.startsWith("#"))
+        .map(_.split("\t", -1)).toList
+      finally src.close()
+    }
+  }
+
+  /** MySQL's 286-row collation catalog (factual MySQL 8.0 data; shape
+    * follows reference sql/collations.go:395 collationArray):
+    * (id, name, charset, isDefault, isCompiled, sortlen, pad). */
+  lazy val collationCatalog: Seq[(Long, String, String, Boolean, Boolean, Long, String)] =
+    tsvResource("mysql_collations.tsv").map(f =>
+      (f(0).toLong, f(1), f(2), f(3) == "true", f(4) == "true",
+        f(5).toLong, f(6)))
+
+  /** information_schema.keywords: MySQL's 747-entry keyword list
+    * (reference sql/information_schema/constants.go keywordsArray —
+    * including its one zero-value slot, which the reference emits). */
+  lazy val keywordCatalog: Seq[(String, Int)] =
+    tsvResource("mysql_keywords.tsv").map(f => (f(0), f(1).toInt))
+
+  /** information_schema.st_units_of_measure (EPSG unit facts). */
+  lazy val unitsCatalog: Seq[(String, String, String, Double)] =
+    tsvResource("mysql_units_of_measure.tsv").map(f =>
+      (f(0), f(1), f(2), f(3).toDouble))
+
+  /** information_schema.st_spatial_reference_systems — the EPSG entries
+    * MySQL ships that the corpus reads (top srs_ids + SRID 0). */
+  lazy val srsCatalog: Seq[(String, Long, String, Long, String, String)] =
+    tsvResource("mysql_srs.tsv").map(f =>
+      (f(0), f(1).toLong, f(2), f(3).toLong, f(4),
+        if (f.length > 5) f(5) else ""))
+
+  /** System tables rendered empty-but-present with MySQL column shapes
+    * (innodb_* family, plugins, partitions, role_*, …): JDBC/BI metadata
+    * probes SELECT * these and only need the table to resolve. */
+  lazy val infoSchemaEmptyTables: Seq[(String, Seq[String])] =
+    tsvResource("mysql_infoschema_empty.tsv").map(f =>
+      (f(0), f(1).split(",").toSeq))
 }
 
 class Engine(val spark: SparkSession) {
@@ -421,8 +469,9 @@ class Engine(val spark: SparkSession) {
     * rule as a resolution rule for extension-built sessions. */
   private def mysqlTrimSemantics(df: DataFrame): DataFrame = {
     val plan = df.queryExecution.analyzed
-    val rewritten = functions.expressions.JsonNumericCompareRule(
-      functions.expressions.MySqlTrimRule(plan))
+    val rewritten = functions.MySqlArithRewrite.stripIdentity(
+      functions.expressions.JsonNumericCompareRule(
+        functions.expressions.MySqlTrimRule(plan)))
     if (rewritten eq plan) df
     else org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
   }
@@ -918,8 +967,20 @@ class Engine(val spark: SparkSession) {
     * sql/expression/boolean.go): WHERE 1, HAVING cnt, CASE WHEN i THEN …
     * — Spark rejects non-boolean predicates, so retry with truth-wrapped
     * atoms. Retry-only: well-typed queries never pay the rewrite. */
+  /** spark.sql with the MySQL arithmetic rewrite on the parsed plan
+    * (division scale chains, uint64 bit ops, temporal/bool/string
+    * operand coercion — functions/MySqlArith.scala). Falls back to the
+    * plain path if parsing the text directly is impossible. */
+  private def sqlMySqlArith(sqlText: String): DataFrame = {
+    val parsed =
+      try org.apache.spark.sql.GraftBridge.parsePlan(spark, sqlText)
+      catch { case _: Exception => return spark.sql(sqlText) }
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      functions.MySqlArithRewrite(parsed))
+  }
+
   private def runWithTruthyRetry(sqlText: String): DataFrame =
-    try spark.sql(sqlText)
+    try sqlMySqlArith(sqlText)
     catch {
       case e: org.apache.spark.sql.AnalysisException if isBooleanMismatch(e) =>
         // iterate: nested boolean contexts (WHERE IF(n,…)) surface one
@@ -932,7 +993,7 @@ class Engine(val spark: SparkSession) {
           val wrapped = SqlRewrite.truthy(cur)
           if (wrapped == cur) throw lastErr
           cur = wrapped
-          try result = spark.sql(cur)
+          try result = sqlMySqlArith(cur)
           catch {
             case e2: org.apache.spark.sql.AnalysisException
                 if isBooleanMismatch(e2) => lastErr = e2
@@ -3784,9 +3845,10 @@ class Engine(val spark: SparkSession) {
       .write.mode("overwrite").option("sep", fieldsTerminatedBy).csv(path)
   }
 
-  /** SHOW TABLES (catalog read). */
+  /** SHOW TABLES (catalog read; info-schema scaffolding excluded). */
   def showTables(): Seq[String] =
-    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+    spark.catalog.listTables().collect().map(_.name).toSeq
+      .filterNot(_.startsWith("information_schema_")).sorted
 
   /** DESCRIBE t (catalog read). */
   def describe(table: String): Seq[(String, String)] =
@@ -3908,7 +3970,10 @@ class Engine(val spark: SparkSession) {
 
   def enableInformationSchema(): Unit = {
     import spark.implicits._
+    // the information_schema_* views themselves are catalog
+    // infrastructure, not user tables — never enumerate them
     val tables = spark.catalog.listTables().collect()
+      .filterNot(_.name.startsWith("information_schema_"))
     val db = sessionDb
 
     Seq(("def", db, "utf8mb4", "utf8mb4_0900_ai_ci", null: String, "NO"))
@@ -4166,9 +4231,7 @@ class Engine(val spark: SparkSession) {
       .toDF("table_catalog", "table_schema", "table_name", "view_definition")
       .createOrReplaceTempView("information_schema_views")
 
-    Dialect.supportedCollations
-      .toDF("collation_name", "character_set_name", "is_default")
-      .createOrReplaceTempView("information_schema_collations")
+    registerStaticInfoSchema()
 
     // COLUMN_STATISTICS: MySQL's 4-column shape (schema, table, column,
     // histogram JSON) — dolt renders its Go statistic struct instead;
@@ -4177,7 +4240,12 @@ class Engine(val spark: SparkSession) {
       .toDF("schema_name", "table_name", "column_name", "histogram")
       .createOrReplaceTempView("information_schema_column_statistics")
 
-    Seq(("graft-spark", "DEFAULT", "Spark-native analytics engine", "NO", "NO", "NO"))
+    // MySQL-client parity: report the InnoDB engine row exactly as the
+    // reference does (information_schema_queries.go ENGINES block) —
+    // JDBC drivers key capability probes off this
+    Seq(("InnoDB", "DEFAULT",
+      "Supports transactions, row-level locking, and foreign keys",
+      "YES", "YES", "YES"))
       .toDF("engine", "support", "comment", "transactions", "xa", "savepoints")
       .createOrReplaceTempView("information_schema_engines")
 
@@ -4188,6 +4256,57 @@ class Engine(val spark: SparkSession) {
       .distinct.sorted
       .toDF("routine_name", "routine_type", "routine_schema")
       .createOrReplaceTempView("information_schema_routines")
+  }
+
+  /** Static MySQL catalogs + empty-but-present system tables — contents
+    * never change, so one registration per engine (the dynamic views
+    * above re-materialize per info-schema statement). */
+  private var staticInfoSchemaDone = false
+  private def registerStaticInfoSchema(): Unit = {
+    if (staticInfoSchemaDone) return
+    staticInfoSchemaDone = true
+    import spark.implicits._
+
+    // full 286-collation catalog with MySQL's 7-column shape
+    // (collations_table in reference information_schema.go; catalog
+    // facts from sql/collations.go collationArray)
+    Engine.collationCatalog.map { case (id, n, cs, d, c, sl, pad) =>
+      (n, cs, id, if (d) "Yes" else "", if (c) "Yes" else "", sl, pad) }
+      .toDF("collation_name", "character_set_name", "id", "is_default",
+        "is_compiled", "sortlen", "pad_attribute")
+      .createOrReplaceTempView("information_schema_collations")
+
+    Engine.collationCatalog.map { case (_, n, cs, _, _, _, _) => (n, cs) }
+      .toDF("collation_name", "character_set_name")
+      .createOrReplaceTempView(
+        "information_schema_collation_character_set_applicability")
+
+    Engine.keywordCatalog
+      .toDF("word", "reserved")
+      .createOrReplaceTempView("information_schema_keywords")
+
+    Engine.unitsCatalog
+      .toDF("unit_name", "unit_type", "description", "conversion_factor")
+      .createOrReplaceTempView("information_schema_st_units_of_measure")
+
+    Engine.srsCatalog.map { case (n, id, org, ocs, defn, desc) =>
+      (n, id, org, ocs, defn, if (desc.isEmpty) null else desc) }
+      .toDF("srs_name", "srs_id", "organization",
+        "organization_coordsys_id", "definition", "description")
+      .createOrReplaceTempView(
+        "information_schema_st_spatial_reference_systems")
+
+    // system tables a JDBC/BI metadata probe expects to resolve —
+    // MySQL column shapes, zero rows (reference information_schema.go +
+    // innodb_tables.go schemas)
+    Engine.infoSchemaEmptyTables.foreach { case (t, cols) =>
+      val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c.toLowerCase,
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .createOrReplaceTempView("information_schema_" + t)
+    }
   }
 
   /** SHOW COLUMNS FROM t — MySQL Field/Type/Null/Key/Default/Extra shape

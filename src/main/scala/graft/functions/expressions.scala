@@ -313,7 +313,14 @@ object expressions {
     override def eval(input: InternalRow): Any = {
       val bitsV = children.head.eval(input)
       if (bitsV == null) return null
-      val bits = bitsV.asInstanceOf[Number].longValue()
+      val bits = bitsV match {
+        // bit-op results arrive as DECIMAL(20,0) (MySqlBitOp uint64)
+        case d: org.apache.spark.sql.types.Decimal => d.toLong
+        case n: Number => n.longValue()
+        case u: UTF8String =>
+          scala.util.Try(u.toString.trim.toDouble.toLong).getOrElse(0L)
+        case _ => 0L
+      }
       val parts = children.tail.zipWithIndex.collect {
         case (e, i) if ((bits >> i) & 1L) == 1L && e.eval(input) != null =>
           e.eval(input).toString

@@ -23,6 +23,13 @@ object GraftBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Parse SQL text to an unresolved logical plan (the sql() front half,
+    * exposed so a pre-analysis rewrite can run before resolution). */
+  def parsePlan(spark: SparkSession, text: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(text)
+
   /** The session's autoBroadcastJoinThreshold in bytes (-1 = disabled). */
   def autoBroadcastThreshold(spark: SparkSession): Long =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

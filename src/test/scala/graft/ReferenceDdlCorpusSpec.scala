@@ -879,9 +879,11 @@ class ReferenceDdlCorpusSpec extends AnyFunSuite {
     assert(colls.length > 30)
     assert(colls.exists(r => r.getString(0) == "utf8mb4_0900_ai_ci" &&
       r.getString(3) == "Yes"))
+    // full MySQL catalog: the ja collations are as_cs and as_cs_ks
+    // (collations.go — there is no utf8mb4_ja_0900_ai_ci in MySQL)
     val ja = engine.query("SHOW COLLATION LIKE 'utf8mb4_ja%'").collect()
     assert(ja.map(_.getString(0)).toSet ==
-      Set("utf8mb4_ja_0900_ai_ci", "utf8mb4_ja_0900_as_cs"))
+      Set("utf8mb4_ja_0900_as_cs", "utf8mb4_ja_0900_as_cs_ks"))
     val cs = engine.query("SHOW CHARACTER SET").collect()
     assert(cs.map(_.getString(0)).toSet ==
       Set("utf8mb4", "latin1", "ascii", "binary"))

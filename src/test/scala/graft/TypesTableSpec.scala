@@ -100,11 +100,12 @@ class TypesTableSpec extends AnyFunSuite {
       .collect()(0).getString(0) == "utf8mb4_0900_ai_ci")
     assert(e.query(
       """SELECT collation_name FROM information_schema_collations
-         WHERE is_default""").collect()(0).getString(0) == "utf8mb4_0900_ai_ci")
+         WHERE is_default = 'Yes' AND character_set_name = 'utf8mb4'""")
+      .collect()(0).getString(0) == "utf8mb4_0900_ai_ci")
     assert(e.query("SELECT maxlen FROM information_schema_character_sets")
       .collect()(0).getInt(0) == 4)
     assert(e.query("SELECT engine FROM information_schema_engines")
-      .collect()(0).getString(0) == "graft-spark")
+      .collect()(0).getString(0) == "InnoDB")
     // registered graft functions appear as routines
     val routines = e.query(
       """SELECT routine_name FROM information_schema_routines
