@@ -137,6 +137,24 @@ abstract class GoScriptCorpusSpec extends AnyFunSuite {
   /** block name → reason: skip the whole script (e.g. setup needs an
     * unsupported feature). */
   def blockDivergences: Map[String, String] = Map.empty
+
+  /** Optional block-divergence inventory file for mechanical runs over
+    * large ScriptTest vars: one "<test label>\t<reason>" per line,
+    * keyed by the ScalaTest label ("Var: name [#n]") so duplicate block
+    * names pin independently. Meant to SHRINK as fixes land. */
+  def blockDivergenceFile: Option[String] = None
+  private lazy val pinnedBlocks: Map[String, String] =
+    blockDivergenceFile.map { p =>
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try src.getLines().map(_.trim)
+        .filterNot(l => l.isEmpty || l.startsWith("#"))
+        .map { l =>
+          val i = l.indexOf('\t')
+          if (i < 0) (l, "inventoried divergence")
+          else (l.substring(0, i), l.substring(i + 1))
+        }.toMap
+      finally src.close()
+    }.getOrElse(Map.empty)
   /** Vars the reference runs with ONE engine for the whole var
     * (TestScriptWithEngine): blocks see prior blocks' tables and session
     * state, so the runner shares an Engine and only cleans the catalog
@@ -228,7 +246,7 @@ abstract class GoScriptCorpusSpec extends AnyFunSuite {
                 if (ordered) (got, want)
                 else (got.sortBy(_.mkString("|")),
                   want.sortBy(_.mkString("|")))
-              if (g == w) None
+              if (GoNorm.eqRows(g, w)) None
               else Some(s"${a.query}\n  got:  $g\n  want: $w")
           }
         } catch {
@@ -252,12 +270,19 @@ abstract class GoScriptCorpusSpec extends AnyFunSuite {
         val label =
           if (n == 1) s"$varName: ${sc.name}"
           else s"$varName: ${sc.name} #$n"
-        blockDivergences.get(sc.name) match {
+        blockDivergences.get(sc.name).orElse(pinnedBlocks.get(label)) match {
           case Some(reason) =>
             ignore(s"$label [pinned: $reason]") {}
           case None =>
             test(label) {
               val failures = runBlock(varName, sc, isFirst)
+              if (failures.nonEmpty)
+                // machine-readable marker for (re)building the
+                // block-divergence inventory (tools/gen_divergences.py
+                // greps DIVERGE markers the same way)
+                info("BLOCKDIVERGE\t" + label + "\t" +
+                  failures.head.linesIterator.drop(1)
+                    .mkString(" ").trim.take(80))
               assert(failures.isEmpty,
                 s"${failures.size} mismatches; first:\n" +
                   failures.take(3).mkString("\n"))
