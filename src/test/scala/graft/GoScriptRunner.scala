@@ -275,7 +275,16 @@ abstract class GoScriptCorpusSpec extends AnyFunSuite {
             ignore(s"$label [pinned: $reason]") {}
           case None =>
             test(label) {
-              val failures = runBlock(varName, sc, isFirst)
+              // a setup-phase crash must still produce an inventory
+              // marker, or the block can never be pinned mechanically
+              val failures =
+                try runBlock(varName, sc, isFirst)
+                catch {
+                  case e: Throwable =>
+                    Seq("(setup)\n  setup threw " +
+                      String.valueOf(e.getMessage)
+                        .linesIterator.mkString(" ").take(200))
+                }
               if (failures.nonEmpty)
                 // machine-readable marker for (re)building the
                 // block-divergence inventory (tools/gen_divergences.py
