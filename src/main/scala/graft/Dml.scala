@@ -2226,7 +2226,17 @@ object Dml {
       e.declareUnique(table, colName, Seq(colName))
       e.declareIndex(table, colName, Seq(colName))
     }
-    if (up.contains("AUTO_INCREMENT")) e.declareAutoInc(table, colName)
+    if (up.contains("AUTO_INCREMENT")) {
+      // AUTO_INCREMENT is integer-only — MySQL 1063 on every other
+      // type (script_queries.go "char/float/date/… with auto_increment"
+      // blocks; bit is rejected too)
+      val autoIncOk = Set("tinyint", "smallint", "mediumint", "int",
+        "integer", "bigint", "bool", "boolean", "serial")
+      if (!autoIncOk(baseLower))
+        throw new IllegalArgumentException(
+          s"Incorrect column specifier for column '$colName' (MySQL 1063)")
+      e.declareAutoInc(table, colName)
+    }
     extractGenerated(rest) match {
       case Some(g) =>
         // STORED only with the explicit keyword; MySQL's default is

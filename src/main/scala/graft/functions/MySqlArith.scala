@@ -118,6 +118,7 @@ object MySqlArith {
       case m: Remainder => math.max(finalScale(m.left), finalScale(m.right))
       case _: IntegralDivide => 0
       case u: UnaryMinus => finalScale(u.child)
+      case n: MySqlNeg => finalScale(n.child)
       case c: Cast => finalScale(c.child)
       // the analyzer wraps decimal arithmetic in CheckOverflow — look
       // through it or the Multiply/Add cases above never match
@@ -247,6 +248,36 @@ object MySqlArith {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Unary minus with MySQL's widening: negating an integral value
+    * yields BIGINT (so -(-2147483648) is 2147483648, not an INT wrap),
+    * and negating BIGINT MIN yields DECIMAL "9223372036854775808"
+    * (script_queries.go:292-330 double-negation block). Non-integral
+    * operands keep their type. */
+  case class MySqlNeg(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = child.dataType match {
+      case ByteType | ShortType | IntegerType | BooleanType => LongType
+      case LongType => DecimalType(20, 0)
+      case d: DecimalType => d
+      case NullType => NullType
+      case other => other
+    }
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = v match {
+      case b: Boolean => if (b) -1L else 0L
+      case b: Byte => -b.toLong
+      case s: Short => -s.toLong
+      case i: Int => -i.toLong
+      case l: Long => Decimal(new JBD(l).negate(), 20, 0)
+      case d: Decimal =>
+        Decimal(d.toJavaBigDecimal.negate(), d.precision, d.scale)
+      case f: Float => -f
+      case d: Double => -d
+      case other => other
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** Adaptive arithmetic-operand coercion: identity on numeric/null
     * operands (stripped from the analyzed plan — zero cost), MySQL
     * numeric form otherwise: temporal → yyyymmdd[hhmmss] DECIMAL,
@@ -322,6 +353,7 @@ object MySqlArithRewrite {
       // temporal ± interval: native Spark semantics; interiors still
       // get their own rewrites
       a.withNewChildren(a.children.map(inner))
+    case u: UnaryMinus => MySqlNeg(mapOperand(u.child))
     case a if isArith(a) => a.withNewChildren(a.children.map(mapOperand))
     case other => inner(other)
   }

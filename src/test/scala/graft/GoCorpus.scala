@@ -334,8 +334,14 @@ object GoCorpus {
     } || field(body, "Bindings").nonEmpty // prepared-stmt placeholders
     val expectErr = field(body, "ExpectedErr").nonEmpty ||
       field(body, "ExpectedErrStr").nonEmpty
+    // SkipResultsCheck: execute the statement but compare nothing
+    // (dynamic values — @@version, timestamps)
+    val skipResults = field(body, "SkipResultsCheck").exists { at =>
+      body.substring(at + "SkipResultsCheck:".length).trim
+        .startsWith("true")
+    }
     val expected =
-      if (expectErr) None
+      if (expectErr || skipResults) None
       else field(body, "Expected").flatMap { at =>
         val open = body.indexOf('{', at)
         if (open < 0) None // `Expected: nil` / named-var expectation

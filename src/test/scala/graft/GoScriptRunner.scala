@@ -196,6 +196,26 @@ abstract class GoScriptCorpusSpec extends AnyFunSuite {
     val engine =
       if (shared) sharedEngines.getOrElseUpdate(varName, newEngine())
       else newEngine()
+    // databases a block creates must not leak into later suites
+    // (SHOW DATABASES expectations enumerate the catalog); drop them
+    // when the block is done, restoring the default namespace first
+    val createdDbs = (sc.setup ++ sc.asserts.map(_.query)).flatMap(s =>
+      "(?i)CREATE\\s+(?:DATABASE|SCHEMA)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?`?([A-Za-z0-9_]+)`?"
+        .r.findFirstMatchIn(s).map(_.group(1))).distinct
+    def dropCreatedDbs(): Unit = if (!shared && createdDbs.nonEmpty) {
+      try spark.catalog.setCurrentDatabase("default")
+      catch { case _: Throwable => () }
+      createdDbs.foreach(d =>
+        try spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+        catch { case _: Throwable => () })
+    }
+    try runBlockInner(varName, sc, firstOfVar, shared, engine)
+    finally dropCreatedDbs()
+  }
+
+  private def runBlockInner(varName: String, sc: GoCorpus.Script,
+                            firstOfVar: Boolean, shared: Boolean,
+                            engine: Engine): Seq[String] = {
     val fix = if (!shared || firstOfVar) fixturesFor(varName) else Seq.empty
     if (!shared || firstOfVar) {
       // Full isolation, mirroring the reference's fresh-session-per-script
