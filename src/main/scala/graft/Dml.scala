@@ -2184,6 +2184,12 @@ object Dml {
       }
     val (dt0, vocab) = mysqlDataType(typeText)
     val dt = applyCollation(dt0, rest)
+    // UNSIGNED integer columns keep their MySQL bound for strict-mode
+    // range checks (no unsigned types in Spark — storage widens)
+    if (typeText.toLowerCase.contains("unsigned") &&
+        Set("tinyint", "smallint", "mediumint", "int", "integer",
+          "bigint")(baseLower))
+      e.declareUnsigned(table, colName, baseLower)
     // declared CHAR/VARCHAR length: parquet strings are unbounded, so the
     // limit lives on the engine and the write paths enforce it
     // (reference sql/types/strings.go:465 ErrLengthBeyondLimit)
@@ -2265,6 +2271,12 @@ object Dml {
             throw new IllegalArgumentException(
               s"Incompatible DEFAULT $t for unsigned column '$colName' " +
               s"(MySQL 1067)")
+          // ENUM/SET defaults must be member STRING literals — MySQL
+          // rejects numeric defaults (script_queries.go "enums with
+          // zero": enum(...) default 0 → ErrInvalidColumnDefaultValue)
+          if (numLit && vocab.isDefined)
+            throw new IllegalArgumentException(
+              s"Invalid default value for '$colName' (MySQL 1067)")
           // a CURRENT_TIMESTAMP(p) default must match the column's own
           // fractional precision exactly (create_table_queries.go
           // "datetime precision" → ErrInvalidColumnDefaultValue)
@@ -3061,6 +3073,17 @@ object Dml {
         case Modify(cn, spec) =>
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           val name = stripTick(cn)
+          // AUTO_INCREMENT stays integer-only through MODIFY too
+          // (script_queries.go "set with auto increment" ALTER asserts)
+          if ("""(?i)\bAUTO_INCREMENT\b""".r.findFirstIn(spec).isDefined) {
+            val mBase = spec.trim.toLowerCase
+              .takeWhile(c => c.isLetter || c == '_')
+            val autoIncOk = Set("tinyint", "smallint", "mediumint", "int",
+              "integer", "bigint", "bool", "boolean", "serial")
+            if (!autoIncOk(mBase))
+              throw new IllegalArgumentException(
+                s"Incorrect column specifier for column '$name' (MySQL 1063)")
+          }
           // MODIFY re-validates/declares an ON UPDATE clause exactly
           // like a CREATE column def (OnUpdateExprScripts error cases);
           // the new declared precision applies first
@@ -3170,6 +3193,15 @@ object Dml {
           // CHANGE = rename + MODIFY: the FK guards apply to the spec
           // half too (foreign_key_queries.go "Disallow change column to
           // nullable with ON UPDATE/DELETE SET NULL")
+          if ("""(?i)\bAUTO_INCREMENT\b""".r.findFirstIn(spec).isDefined) {
+            val cBase = spec.trim.toLowerCase
+              .takeWhile(c => c.isLetter || c == '_')
+            if (!Set("tinyint", "smallint", "mediumint", "int", "integer",
+                "bigint", "bool", "boolean", "serial")(cBase))
+              throw new IllegalArgumentException(
+                s"Incorrect column specifier for column " +
+                s"'${stripTick(b)}' (MySQL 1063)")
+          }
           if ("""(?i)\bNOT\s+NULL\b""".r.findFirstIn(spec).isDefined) {
             if (e.fkChecksEnabled && e.foreignKeys.exists(f =>
                 f.child == table &&

@@ -2806,6 +2806,7 @@ class Engine(val spark: SparkSession) {
     timePrecisions.filterInPlace { case ((t, _), _) => t != table }
     charKindCols.filterInPlace { case (t, _) => t != table }
     blobTextCols.filterInPlace { case (t, _) => t != table }
+    unsignedBounds.filterInPlace { case ((t, _), _) => t != table }
     vecDims.filterInPlace { case ((t, _), _) => t != table }
     uniqueExprIdx.filterInPlace(_._1 != table)
     indexPrefixes.filterInPlace { case ((t, _, _), _) => t != table }
@@ -2856,6 +2857,10 @@ class Engine(val spark: SparkSession) {
     if (vocabCi.remove((table, fl))) vocabCi += ((table, to.toLowerCase))
     if (blobTextCols.remove((table, fl)))
       blobTextCols += ((table, to.toLowerCase))
+    unsignedBounds.get((table, fl)).foreach { b =>
+      unsignedBounds.remove((table, fl))
+      unsignedBounds((table, to.toLowerCase)) = b
+    }
     if (notNullCols.remove((table, fl)))
       notNullCols += ((table, to.toLowerCase))
     columnDefaults.get((table, fl)).foreach { d =>
@@ -2978,6 +2983,26 @@ class Engine(val spark: SparkSession) {
     * only with a prefix length (MySQL 1170), except the MariaDB-compat
     * no-prefix UNIQUE the reference allows (blob_queries.go BlobErrors
     * vs index_queries.go "unique indexes on TEXT/BLOB columns"). */
+  /** Declared UNSIGNED integer columns → their MySQL bounds. Spark has
+    * no unsigned types (the column stores in the next-wider signed
+    * type), so strict-mode range enforcement needs the declared bound
+    * (reference types/number.go; script_queries.go "unsigned int with
+    * auto_increment" expects 1264 on tinyint-unsigned 999). */
+  private[graft] val unsignedBounds =
+    scala.collection.mutable.Map.empty[(String, String), (BigDecimal, BigDecimal)]
+
+  private[graft] def declareUnsigned(table: String, column: String,
+                                     base: String): Unit = {
+    val hi: BigDecimal = base match {
+      case "tinyint" => BigDecimal(255)
+      case "smallint" => BigDecimal(65535)
+      case "mediumint" => BigDecimal(16777215)
+      case "int" | "integer" => BigDecimal(4294967295L)
+      case _ => BigDecimal("18446744073709551615") // bigint unsigned
+    }
+    unsignedBounds((table, column.toLowerCase)) = (BigDecimal(0), hi)
+  }
+
   private[graft] val blobTextCols =
     scala.collection.mutable.Set.empty[(String, String)]
 
@@ -3093,6 +3118,7 @@ class Engine(val spark: SparkSession) {
     moveColMap(columnDefaults); moveColMap(columnVocab)
     moveColMap(charLimits); moveColMap(timePrecisions)
     moveColMap(vecDims); moveColMap(columnComments); moveColMap(columnStats)
+    moveColMap(unsignedBounds)
     // (table, column) sets re-key
     def moveSet(s: scala.collection.mutable.Set[(String, String)]): Unit = {
       val moved = s.toSeq.collect { case (t, c) if t == oldName => c }
@@ -3239,14 +3265,22 @@ class Engine(val spark: SparkSession) {
     val target = spark.table(table)
     val present = batch.columns.map(c => c.toLowerCase -> c).toMap
     val checks = target.schema.fields.toSeq.flatMap { f =>
-      integralBounds(f.dataType).flatMap { case (lo, hi) =>
+      // a declared UNSIGNED column overrides the storage type's signed
+      // bounds (tinyint unsigned stores as ShortType but caps at 255)
+      val bounds = unsignedBounds.get((table, f.name.toLowerCase))
+        .map { case (lo, hi) => (lo, hi) }
+        .orElse(integralBounds(f.dataType).map { case (lo, hi) =>
+          (BigDecimal(lo), BigDecimal(hi)) })
+      bounds.flatMap { case (lo, hi) =>
         present.get(f.name.toLowerCase).flatMap { name =>
           val src = batch.schema(name).dataType
-          if (src == f.dataType || !isNumericSource(src)) None
+          val declared = unsignedBounds.contains((table, f.name.toLowerCase))
+          if ((src == f.dataType && !declared) || !isNumericSource(src)) None
           else {
             val asDec = col(s"`$name`").cast(DecimalType(38, 0))
             Some(name ->
-              (asDec.isNotNull && (asDec < lit(lo) || asDec > lit(hi))))
+              (asDec.isNotNull &&
+                (asDec < lit(lo.underlying) || asDec > lit(hi.underlying))))
           }
         }
       }
@@ -4545,8 +4579,23 @@ class Engine(val spark: SparkSession) {
     // (rowexec/show.go): AUTO_INCREMENT only once the counter moved,
     // charset defaults to the server's utf8mb4/_0900_bin pair
     val aiOpt = autoIncCols.get(table)
-      .flatMap(_ => autoIncCounter.get(table)).filter(_ > 1L)
-      .map(n => s" AUTO_INCREMENT=$n").getOrElse("")
+      .flatMap(c => autoIncCounter.get(table).map(n => (c, n)))
+      .filter(_._2 > 1L)
+      .map { case (c, n) =>
+        // the displayed next value caps at the column type's max
+        // (script_queries.go "int with auto_increment": tinyint at 127
+        // stays AUTO_INCREMENT=127, not 128)
+        val cl = c.toLowerCase
+        val cap: Option[BigDecimal] =
+          unsignedBounds.get((table, cl)).map(_._2).orElse(
+            spark.table(table).schema.fields
+              .find(_.name.equalsIgnoreCase(c))
+              .flatMap(f => integralBounds(f.dataType))
+              .map(b => BigDecimal(b._2)))
+        val shown = cap.filter(_ < BigDecimal(n))
+          .map(_.toBigInt.toString).getOrElse(n.toString)
+        s" AUTO_INCREMENT=$shown"
+      }.getOrElse("")
     val cs = tableCharsets.getOrElse(table, "utf8mb4")
     val coll = tableCollations.getOrElse(table, defaultCollation(cs))
     val cmt = tableComments.get(table)
@@ -4592,6 +4641,17 @@ class Engine(val spark: SparkSession) {
           // tinyint(1) is the ONE display width MySQL preserves
           // (create_table_queries.go "display width for numeric types")
           case _ if tinyint1Cols((table, f.name.toLowerCase)) => "tinyint(1)"
+          // declared UNSIGNED renders its MySQL type, not the widened
+          // storage type (tinyint unsigned stores as smallint)
+          case _ if unsignedBounds.contains((table, f.name.toLowerCase)) =>
+            val hi = unsignedBounds((table, f.name.toLowerCase))._2
+            (hi.toString match {
+              case "255" => "tinyint"
+              case "65535" => "smallint"
+              case "16777215" => "mediumint"
+              case "4294967295" => "int"
+              case _ => "bigint"
+            }) + " unsigned"
           case _ =>
             vecDims.get((table, f.name.toLowerCase)) match {
               case Some(n) if n > 0 => s"vector($n)"
