@@ -1757,6 +1757,18 @@ class Engine(val spark: SparkSession) {
                 org.apache.spark.sql.expressions.Window.orderBy(
                   monotonically_increasing_id())))
                 .cast(f.dataType))
+          case None
+              if notNullCols((table, f.name.toLowerCase)) &&
+                columnVocab.get((table, f.name.toLowerCase))
+                  .exists(!_._1) =>
+            // MySQL's NOT NULL ENUM special case: no declared default →
+            // the FIRST member fills omitted inserts (script_queries.go
+            // "special case for not null default enum"; nullable enums
+            // stay NULL)
+            import org.apache.spark.sql.functions.lit
+            df.withColumn(f.name,
+              lit(columnVocab((table, f.name.toLowerCase))._2.head)
+                .cast(f.dataType))
           case None => df
         }
       }
@@ -3555,17 +3567,36 @@ class Engine(val spark: SparkSession) {
             .otherwise(if (ci) vocabCanonical(c, vocab) else c)
             .cast(dt))
       case (d, ((t, cLower), (isSet, vocab)))
-          if t == table && isSet && present.contains(cLower) &&
-            vocabCi((t, cLower)) =>
-        // ci SET: each element maps to its declared member spelling
+          if t == table && isSet && present.contains(cLower) =>
+        val ci = vocabCi((t, cLower))
         val name = present(cLower)
         val dt = d.schema(name).dataType
         val c = col(s"`$name`")
         val cp = c.cast(org.apache.spark.sql.types.StringType)
-        d.withColumn(name, when(c.isNull || cp === lit(""), c)
-          .otherwise(array_join(
-            transform(split(cp, ","), el => vocabCanonical(el, vocab)), ","))
-          .cast(dt))
+        // numeric value = BITMASK over the member list (set.go Convert
+        // uint case): SET('a','b','c') stores 5 as 'a,c', 0 as ''.
+        // Out-of-range masks fall through to validateVocab's 1265.
+        val n = vocab.size
+        val asNum = cp.cast("bigint")
+        val vocabArr = array(vocab.map(lit): _*)
+        val isMask = cp.rlike("^[0-9]+$") && !cp.isInCollection(vocab) &&
+          asNum >= 0 && asNum < lit(math.pow(2, n.min(52)).toLong)
+        val decoded = array_join(
+          filter(
+            transform(sequence(lit(0), lit(n - 1)), i =>
+              when(((asNum.cast("double") /
+                  pow(lit(2.0), i.cast("double"))).cast("bigint") % 2) === 1,
+                element_at(vocabArr, i + 1))),
+            x => x.isNotNull), ",")
+        val canonical =
+          if (ci) array_join(
+            transform(split(cp, ","), el => vocabCanonical(el, vocab)), ",")
+          else cp
+        d.withColumn(name,
+          when(c.isNull || cp === lit(""), c)
+            .when(isMask, decoded)
+            .otherwise(canonical)
+            .cast(dt))
       case (d, _) => d
     }
   }

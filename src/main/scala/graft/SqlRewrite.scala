@@ -1506,6 +1506,33 @@ object SqlRewrite {
       ident.split('.').last.stripPrefix("`").stripSuffix("`").toLowerCase
     def keyword(t: Tok, ws: String*) = ws.exists(t.isWord)
 
+    // ---- CAST(enum_col AS <numeric>) → member ordinal; SET → bitmask
+    //      (reference enum.go/set.go Convert: 'abc' in enum(a,b,c)
+    //      casts to 1, script_queries.go "enum conversions")
+    locally {
+      val numericTargets = Set("bigint", "int", "integer", "decimal",
+        "float", "double", "real", "signed", "unsigned", "numeric")
+      var k = 0
+      while (k + 4 < toks.length) {
+        if (toks(k).isWord("CAST") && toks(k + 1).text == "(") {
+          val identEnd =
+            if (k + 3 < toks.length && toks(k + 3).isWord("AS")) Some(k + 3)
+            else if (k + 5 < toks.length && toks(k + 3).text == "." &&
+              toks(k + 5).isWord("AS")) Some(k + 5)
+            else None
+          identEnd.foreach { ae =>
+            for {
+              ident <- identAt(k + 2, ae)
+              (isSet, members) <- lookup(colKey(ident))
+              if numericTargets(toks(ae + 1).text.toLowerCase)
+            } patches += ((toks(k + 2).start, toks(ae - 1).end,
+              ordinalExpr(ident, isSet, members)))
+          }
+        }
+        k += 1
+      }
+    }
+
     // ---- ORDER BY item positions
     var i = 0
     while (i + 1 < toks.length) {

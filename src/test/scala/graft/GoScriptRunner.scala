@@ -100,16 +100,14 @@ object GoNorm {
   }
 
   /** Cell equality after norm. The one leniency beyond ==: the
-    * reference marshals DECIMAL results as display strings
-    * ("123.456", "0.000"), while Spark hands back java BigDecimal —
-    * compare scale-EXACT via toPlainString, and only for scale>0 so a
-    * string "123" expectation still catches an integer-typed result
-    * (genuine type divergence). */
+    * reference marshals DECIMAL (and SHOW counter) results as display
+    * strings ("123.456", "0"), while Spark hands back numerics —
+    * compare scale-EXACT via toPlainString. norm() folds every numeric
+    * type into BigDecimal, so no type-fidelity signal is lost here
+    * that norm hadn't already erased. */
   def eqCell(g: Any, w: Any): Boolean = (g == w) || ((g, w) match {
-    case (b: BigDecimal, s: String) if b.scale > 0 =>
-      b.underlying.toPlainString == s
-    case (s: String, b: BigDecimal) if b.scale > 0 =>
-      b.underlying.toPlainString == s
+    case (b: BigDecimal, s: String) => b.underlying.toPlainString == s
+    case (s: String, b: BigDecimal) => b.underlying.toPlainString == s
     case _ => false
   })
 
