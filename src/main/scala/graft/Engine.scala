@@ -134,7 +134,8 @@ object Dialect {
     "gb18030", "big5", "cp1250", "cp1251", "cp1256", "cp1257", "cp850",
     "cp852", "cp866", "cp932", "sjis", "ujis", "euckr", "eucjpms", "greek",
     "hebrew", "tis620", "koi8r", "koi8u", "macroman", "macce", "armscii8",
-    "geostd8", "keybcs2", "swe7", "dec8", "hp8")
+    "geostd8", "keybcs2", "swe7", "dec8", "hp8", "gb2312", "cp1255",
+    "latin7")
 
   // MySQL 8 `utf8mb4_<locale>_0900_…` locales with an ICU counterpart
   // Spark can instantiate (reference sql/collations.go catalog; `la` and
@@ -168,8 +169,15 @@ object Dialect {
               case "de_pb" => "de"
               case "es_trad" => "es"
               case "sr_latn" => "sr_Latn"
+              case "mn_cyrl" => "mn"
+              // Classical Latin has no ICU tailoring — root UCA is the
+              // closest order (documented approximation, not 1273)
+              case "la" => ""
               case other => other
             }
+            if (norm.isEmpty) return "UNICODE" +
+              (if (kase == "ci") "_CI" else "") +
+              (if (accent == "ai") "_AI" else "")
             if (!icuLocales(norm)) unknown()
             norm
         }

@@ -47,4 +47,18 @@ class ReferenceCharsetCorpusSpec extends AnyFunSuite {
     assert(engine.query("SELECT * FROM csci2").collect().length == 1)
     engine.runScript("drop table csci1; drop table csci2;")
   }
+
+  test("every catalog collation name resolves (sql/collations.go: the " +
+      "full 286-name MySQL 8.0 catalog maps onto Spark/ICU collations)") {
+    val unresolved = Engine.collationCatalog.collect {
+      case (_, n, _, _, _, _, _)
+          if scala.util.Try(Dialect.mapCollation(n)).isFailure => n
+    }
+    assert(unresolved.isEmpty,
+      s"unresolvable collations: ${unresolved.mkString(", ")}")
+    // an unknown name still raises MySQL 1273
+    val ex = intercept[IllegalArgumentException](
+      Dialect.mapCollation("utf8mb4_nonexistent_ci_xx"))
+    assert(ex.getMessage.contains("1273"))
+  }
 }
