@@ -269,15 +269,12 @@ class ReferenceCorpusSpec extends AnyFunSuite {
   test("double negation of integer minimums (script_queries.go:292)") {
     check("SELECT -(-128)", Seq(Seq(128)))
     check("SELECT -(-32768)", Seq(Seq(32768)))
-    // DIVERGENCE: MySQL widens -(INT MIN) to BIGINT 2147483648
-    // (script_queries.go:318); Spark's non-ANSI negation wraps at the
-    // INT boundary. Pinned.
-    check("SELECT -(-2147483648)", Seq(Seq(-2147483648)))
-    // DIVERGENCE: MySQL promotes -(BIGINT MIN) to DECIMAL
-    // "9223372036854775808" (script_queries.go:325); Spark's non-ANSI
-    // negation wraps at the BIGINT boundary. Pinned.
+    // Round 12: MySqlNeg widens like MySQL — -(INT MIN) is BIGINT
+    // 2147483648 and -(BIGINT MIN) is DECIMAL 9223372036854775808
+    // (script_queries.go:318-325); previously pinned at Spark's wraps.
+    check("SELECT -(-2147483648)", Seq(Seq(2147483648L)))
     check("SELECT -(-9223372036854775808)",
-      Seq(Seq(-9223372036854775808L)))
+      Seq(Seq(BigDecimal("9223372036854775808"))))
   }
 
   test("NULL range predicate cases (null_range_tests.go:20-121)") {

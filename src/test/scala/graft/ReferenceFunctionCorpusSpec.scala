@@ -343,9 +343,12 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
       "SELECT 'á' UNION ALL SELECT 'B') v " +
       "ORDER BY s COLLATE utf8mb4_0900_ai_ci, s")
       .collect().map(_.getString(0)).toSeq === Seq("A", "á", "B", "b"))
-    // unknown collation is MySQL error 1273, not a silent reorder
+    // Classical Latin now approximates with root UCA (round 12) —
+    // it resolves instead of raising 1273
+    one("SELECT 'a' = 'A' COLLATE utf8mb4_la_0900_as_cs", false)
+    // a genuinely unknown collation is MySQL error 1273, not a reorder
     val err = intercept[IllegalArgumentException] {
-      engine.query("SELECT 'a' COLLATE utf8mb4_la_0900_as_cs")
+      engine.query("SELECT 'a' COLLATE utf8mb4_zz_0900_as_cs")
     }
     assert(err.getMessage.contains("Unknown collation"))
     one("SELECT CHARSET('abc')", "utf8mb4")
