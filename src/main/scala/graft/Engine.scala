@@ -477,8 +477,10 @@ class Engine(val spark: SparkSession) {
     * rule as a resolution rule for extension-built sessions. */
   private def mysqlTrimSemantics(df: DataFrame): DataFrame = {
     val plan = df.queryExecution.analyzed
-    val rewritten = functions.MySqlArithRewrite.stripIdentity(
-      functions.expressions.JsonNumericCompareRule(
+    // strip BEFORE the JSON rule: native comparisons only exist for it
+    // to match once the adaptive MySqlCompare nodes have been reverted
+    val rewritten = functions.expressions.JsonNumericCompareRule(
+      functions.MySqlArithRewrite.stripIdentity(
         functions.expressions.MySqlTrimRule(plan)))
     if (rewritten eq plan) df
     else org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)

@@ -278,6 +278,246 @@ object MySqlArith {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  private[functions] def isStringish(dt: DataType): Boolean = dt match {
+    case _: StringType | BinaryType => true
+    case _ => false
+  }
+  private[functions] def isNumericish(dt: DataType): Boolean = dt match {
+    case _: NumericType | BooleanType => true
+    case _ => false
+  }
+
+  /** MySQL truthiness of any value (reference sql/types/convert_value.go
+    * ConvertToBool, used by logic.go AND/OR/XOR and boolean contexts):
+    * numbers ≠ 0, strings by numeric prefix ('3bxu' → true, 'asdf' →
+    * false), temporals by their packed numeric form. Identity (and
+    * stripped post-analysis) on already-boolean operands. */
+  case class MySqlBool(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    def isIdentity: Boolean = child.dataType == BooleanType
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = v match {
+      case b: Boolean => b
+      case d: Decimal => d.toJavaBigDecimal.signum != 0
+      case n: Number => n.doubleValue() != 0.0
+      case u: UTF8String => strToDouble(u.toString) != 0.0
+      case b: Array[Byte] => strToDouble(new String(b, "UTF-8")) != 0.0
+      case other if isTemporal(child.dataType) =>
+        temporalToJbd(other, child.dataType).signum != 0
+      case _ => true
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** MySQL string form of a value for string-typed argument positions
+    * (LIKE operands, MD5/SHA inputs): booleans are '1'/'0' (tinyint
+    * display), numbers their decimal form, temporals their display
+    * form. Identity (stripped) on string/binary operands. */
+  case class MySqlStrOperand(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    def isIdentity: Boolean = child.dataType match {
+      case _: StringType | BinaryType | NullType => true
+      case _ => false
+    }
+    override def dataType: DataType =
+      if (isIdentity) child.dataType else StringType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(v: Any): Any = v match {
+      case b: Boolean => UTF8String.fromString(if (b) "1" else "0")
+      case d: Decimal =>
+        UTF8String.fromString(d.toJavaBigDecimal.toPlainString)
+      case i: Int if child.dataType == DateType =>
+        UTF8String.fromString(
+          java.time.LocalDate.ofEpochDay(i.toLong).toString)
+      case l: Long if isTemporal(child.dataType) =>
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(l, 1000000L), (Math.floorMod(l, 1000000L) * 1000).toInt,
+          java.time.ZoneOffset.UTC)
+        UTF8String.fromString(ldt.toString.replace('T', ' '))
+      case n: Number => UTF8String.fromString(n.toString)
+      case other => other
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** MySQL date-argument coercion for temporal functions over numeric
+    * operands (DAYNAME(20190101) reads the packed-digit date;
+    * DAYNAME(123) is NULL + warning). Renders the number as its digit
+    * string and canonicalizes MySQL-legal shapes — the downstream
+    * implicit string→date cast yields NULL for the rest. Identity on
+    * string/temporal operands. */
+  case class MySqlDateOperand(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    def isIdentity: Boolean = child.dataType match {
+      case _: StringType | NullType => true
+      case dt if isTemporal(dt) => true
+      case _ => false
+    }
+    override def dataType: DataType =
+      if (isIdentity) child.dataType else StringType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(v: Any): Any = {
+      val digits = v match {
+        case d: Decimal => d.toJavaBigDecimal.stripTrailingZeros.toPlainString
+        case b: Boolean => if (b) "1" else "0"
+        case n: Number => n.toString
+        case other => return other
+      }
+      UTF8String.fromString(DateTimeExt.mysqlDateStrNorm(digits))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** Parse a string to comparison micros (datetime form) after MySQL
+    * shape canonicalization; None when unparseable. */
+  private[functions] def parseTemporalMicros(s: String): Option[Long] = {
+    val n = DateTimeExt.mysqlDateStrNorm(s.trim).replace('T', ' ')
+    val dt =
+      try {
+        if (n.length <= 10) Some(java.time.LocalDate.parse(n).atStartOfDay)
+        else Some(java.time.LocalDateTime.parse(n.replace(' ', 'T')))
+      } catch { case _: Exception => None }
+    dt.map(d => d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      d.getNano / 1000L)
+  }
+
+  /** Value → comparison micros for a temporal-typed operand. */
+  private[functions] def temporalMicros(v: Any, dt: DataType): Long = dt match {
+    case DateType => v.asInstanceOf[Int].toLong * 86400000000L
+    case _ => v.asInstanceOf[Long]
+  }
+
+  /** Pair-domain MySQL comparison (reference sql/types Compare via
+    * promotion, expression/comparison.go): string-vs-number compares
+    * numerically through the string's double prefix ('foo' = 0 is TRUE),
+    * temporal-vs-string parses the string as a datetime (lenient MySQL
+    * shapes), boolean-vs-number numerically. Pairs Spark already
+    * compares identically are stripped back to the native operator
+    * post-analysis ([[MySqlArithRewrite.stripIdentity]]). */
+  case class MySqlCompare(left: Expression, right: Expression, op: String)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = op != "<=>"
+
+    private def isBoolText(x: Any): Boolean = {
+      val s = x match {
+        case u: UTF8String => u.toString
+        case b: Array[Byte] => new String(b, "UTF-8")
+        case _ => return false
+      }
+      val t = s.trim
+      t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false")
+    }
+
+    /** Some(sign) or None for incomparable (NULL result). */
+    private[functions] def cmp(l: Any, r: Any): Option[Int] = {
+      val lt = left.dataType; val rt = right.dataType
+      if ((isTemporal(lt) && isStringish(rt)) ||
+          (isStringish(lt) && isTemporal(rt))) {
+        val (tm, sv, flip) =
+          if (isTemporal(lt)) (temporalMicros(l, lt), r, false)
+          else (temporalMicros(r, rt), l, true)
+        val s = sv match {
+          case u: UTF8String => u.toString
+          case b: Array[Byte] => new String(b, "UTF-8")
+          case o => String.valueOf(o)
+        }
+        parseTemporalMicros(s).map { sm =>
+          if (flip) java.lang.Long.compare(sm, tm)
+          else java.lang.Long.compare(tm, sm)
+        }
+      } else if ((isStringish(lt) && rt == BooleanType &&
+                  isBoolText(l)) ||
+                 (lt == BooleanType && isStringish(rt) &&
+                  isBoolText(r))) {
+        // JSON boolean documents ('true'/'false' text — CAST(x AS JSON)
+        // renders to text in this engine) compare with a boolean operand
+        // as booleans (queries.go:8821)
+        def b(x: Any, dt: DataType): Int = x match {
+          case bo: Boolean => if (bo) 1 else 0
+          case u: UTF8String => if (u.toString.trim.equalsIgnoreCase("true")) 1 else 0
+          case bs: Array[Byte] =>
+            if (new String(bs, "UTF-8").trim.equalsIgnoreCase("true")) 1 else 0
+          case _ => 0
+        }
+        Some(Integer.compare(b(l, lt), b(r, rt)))
+      } else if (isStringish(lt) && isStringish(rt)) {
+        // reached only through mixed-type IN lists (plain same-type
+        // comparisons strip to the native operator); MySQL's default
+        // collation is case-insensitive
+        def str(x: Any) = x match {
+          case u: UTF8String => u.toString
+          case b: Array[Byte] => new String(b, "UTF-8")
+          case o => String.valueOf(o)
+        }
+        Some(str(l).compareToIgnoreCase(str(r)))
+      } else if (isStringish(lt) || isStringish(rt) ||
+                 lt == DoubleType || rt == DoubleType ||
+                 lt == FloatType || rt == FloatType) {
+        Some(java.lang.Double.compare(toDoubleVal(l, lt), toDoubleVal(r, rt)))
+      } else if ((isNumericish(lt) || isTemporal(lt)) &&
+                 (isNumericish(rt) || isTemporal(rt))) {
+        Some(toJbd(l, lt).compareTo(toJbd(r, rt)))
+      } else None // arrays/structs/… — incomparable here → NULL
+    }
+
+    private def applyOp(sign: Int): Boolean = op match {
+      case "=" | "<=>" => sign == 0
+      case "<" => sign < 0
+      case "<=" => sign <= 0
+      case ">" => sign > 0
+      case ">=" => sign >= 0
+      case "!=" => sign != 0
+    }
+
+    override def eval(input: InternalRow): Any = {
+      val l = left.eval(input)
+      val r = right.eval(input)
+      if (op == "<=>") {
+        if (l == null && r == null) true
+        else if (l == null || r == null) false
+        else cmp(l, r).exists(applyOp)
+      } else if (l == null || r == null) null
+      else cmp(l, r) match {
+        case Some(sign) => applyOp(sign)
+        case None => null
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r, op)
+  }
+
+  /** IN over mixed-type operands with per-pair MySQL comparison domains
+    * and 3VL (`1 IN (NULL >= 1)` is NULL; `0 IN ('hi','bye')` is TRUE —
+    * 'hi' reads as 0). Stripped to native In when every pair is
+    * Spark-compatible. */
+  case class MySqlIn(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    def value: Expression = children.head
+    def elems: Seq[Expression] = children.tail
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def foldable: Boolean = children.forall(_.foldable)
+    override def eval(input: InternalRow): Any = {
+      val v = value.eval(input)
+      if (v == null) return null
+      var sawNull = false
+      elems.foreach { el =>
+        val e = el.eval(input)
+        if (e == null) sawNull = true
+        else MySqlCompare(value, el, "=").cmp(v, e) match {
+          case Some(0) => return true
+          case None => sawNull = true
+          case _ =>
+        }
+      }
+      if (sawNull) null else false
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]) = copy(newChildren)
+  }
+
   /** Adaptive arithmetic-operand coercion: identity on numeric/null
     * operands (stripped from the analyzed plan — zero cost), MySQL
     * numeric form otherwise: temporal → yyyymmdd[hhmmss] DECIMAL,
@@ -372,12 +612,59 @@ object MySqlArithRewrite {
   private def noRound(e: Expression): Expression =
     if (isArith(e)) mapSpine(e) else rewriteExpr(e)
 
+  private def cmpOp(cmp: BinaryComparison): String = cmp match {
+    case _: EqualNullSafe => "<=>"
+    case _: EqualTo => "="
+    case _: LessThan => "<"
+    case _: LessThanOrEqual => "<="
+    case _: GreaterThan => ">"
+    case _: GreaterThanOrEqual => ">="
+  }
+  /** Truthiness wrap for a boolean-context operand (AND/OR/NOT, WHERE,
+    * IF cond, searched-CASE conditions). */
+  private def boolWrap(e: Expression): Expression = MySqlBool(rewriteExpr(e))
+
+  private val strArgFns = Set("md5", "sha1", "sha", "sha2")
+
   private def rewriteExpr(e: Expression): Expression = e match {
     case cmp: BinaryComparison =>
-      cmp.withNewChildren(Seq(noRound(cmp.left), noRound(cmp.right)))
-    case i: In => i.withNewChildren((i.value +: i.list).map(noRound))
+      MySqlCompare(noRound(cmp.left), noRound(cmp.right), cmpOp(cmp))
+    case i: In => MySqlIn((i.value +: i.list).map(noRound))
     case i: InSubquery =>
       i.withNewChildren(i.values.map(noRound) :+ rewriteExpr(i.query))
+    case a: And => And(boolWrap(a.left), boolWrap(a.right))
+    case o: Or => Or(boolWrap(o.left), boolWrap(o.right))
+    case n: Not => Not(boolWrap(n.child))
+    case cw: CaseWhen =>
+      CaseWhen(
+        cw.branches.map { case (c, v) => (boolWrap(c), rewriteExpr(v)) },
+        cw.elseValue.map(rewriteExpr))
+    case i: If =>
+      If(boolWrap(i.predicate), rewriteExpr(i.trueValue),
+        rewriteExpr(i.falseValue))
+    case l: Like =>
+      Like(MySqlStrOperand(rewriteExpr(l.left)),
+        MySqlStrOperand(rewriteExpr(l.right)), l.escapeChar)
+    case b: Between =>
+      // MySQL BETWEEN is (a >= lo AND a <= hi) with per-pair comparison
+      // coercion; Spark's RuntimeReplaceable desugar would use native
+      // comparisons that reject mixed operand types
+      val in = noRound(b.input)
+      And(MySqlCompare(in, noRound(b.lower), ">="),
+        MySqlCompare(in, noRound(b.upper), "<="))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.size == 3 && f.nameParts.last.equalsIgnoreCase("if") =>
+      f.copy(arguments = Seq(boolWrap(f.arguments(0)),
+        rewriteExpr(f.arguments(1)), rewriteExpr(f.arguments(2))))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.nonEmpty &&
+          strArgFns(f.nameParts.last.toLowerCase) =>
+      f.copy(arguments = MySqlStrOperand(rewriteExpr(f.arguments.head)) +:
+        f.arguments.tail.map(rewriteExpr))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.size == 1 &&
+          f.nameParts.last.equalsIgnoreCase("dayname") =>
+      f.copy(arguments = Seq(MySqlDateOperand(rewriteExpr(f.arguments.head))))
     case a if isArith(a) =>
       val mapped = mapSpine(a)
       if (containsDiv(a)) MySqlDivRound(mapped) else mapped
@@ -396,7 +683,15 @@ object MySqlArithRewrite {
   /** Apply to a parsed (unresolved) plan, descending into subquery
     * expressions and inner CTE definitions. */
   def apply(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val withExprs = plan.transformDown {
+      // boolean-context plan conditions take MySQL truthiness (WHERE i,
+      // HAVING cnt, ON 1) — identity-stripped when already boolean
+      case f: Filter => f.copy(condition = boolWrap(f.condition))
+      case j: Join if j.condition.isDefined =>
+        j.copy(condition = j.condition.map(boolWrap))
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+        h.copy(havingCondition = boolWrap(h.havingCondition))
       case p => p.mapExpressions(rewriteExpr)
     }
     // UnresolvedWith keeps CTE definitions in innerChildren, which
@@ -410,12 +705,118 @@ object MySqlArithRewrite {
     }
   }
 
-  /** Post-analysis cleanup: identity wrappers disappear so well-typed
-    * expressions keep whole-stage codegen. Same-type replacement only. */
-  def stripIdentity(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
-      case n: MySqlNumOperand if n.isIdentity => n.child
-      case r: MySqlDivRound if !r.child.dataType.isInstanceOf[DecimalType] =>
-        r.child
+  /** Does this comparison pair need MySQL semantics, or does Spark's
+    * native coercion already match? Mixed string/number, temporal/string
+    * and boolean/number pairs stay custom; everything else (and any
+    * JSON-producing side — JsonNumericCompareRule owns those) reverts to
+    * the native operator so codegen/pushdown/equi-join extraction see
+    * standard Catalyst nodes. */
+  private def needsMySqlCmp(l: Expression, r: Expression): Boolean = {
+    val (lt, rt) = (l.dataType, r.dataType)
+    if (isJsonSide(l) || isJsonSide(r))
+      // JSON-vs-number double-compares natively (JsonNumericCompareRule
+      // semantics, applied by nativeCmp); JSON-vs-boolean needs the
+      // custom bool-text comparison ('true' doc = TRUE is 1, not NULL)
+      lt == BooleanType || rt == BooleanType
+    else if (isStringish(lt) && isNumericish(rt)) true
+    else if (isNumericish(lt) && isStringish(rt)) true
+    else if (isTemporal(lt) && isStringish(rt)) true
+    else if (isStringish(lt) && isTemporal(rt)) true
+    else if ((lt == BooleanType) != (rt == BooleanType) &&
+      isNumericish(lt) && isNumericish(rt)) true
+    else false
+  }
+  private def isJsonSide(e: Expression): Boolean = e match {
+    case _: graft.functions.json.JsonExtractMySql => true
+    case _: graft.functions.json.JsonValueFn => true
+    case c: Cast => isJsonSide(c.child)
+    case s: MySqlStrOperand => isJsonSide(s.child)
+    case n: MySqlNumOperand => isJsonSide(n.child)
+    case _ => false
+  }
+  private def mkCmp(op: String, l: Expression, r: Expression): Expression =
+    op match {
+      case "=" => EqualTo(l, r)
+      case "<=>" => EqualNullSafe(l, r)
+      case "<" => LessThan(l, r)
+      case "<=" => LessThanOrEqual(l, r)
+      case ">" => GreaterThan(l, r)
+      case ">=" => GreaterThanOrEqual(l, r)
     }
+
+  /** Native comparison with the implicit casts the analyzer would have
+    * inserted had it seen the pair (the custom node hid the types from
+    * type coercion, so the strip re-derives them): null side casts to
+    * the other, JSON-vs-numeric goes to double (JsonNumericCompareRule
+    * semantics), string pairs prefer the collated side, the rest use
+    * the standard widest type. Returns the original node when no sound
+    * native form exists. */
+  private def nativeCmp(c: MySqlCompare): Expression = {
+    val (lt, rt) = (c.left.dataType, c.right.dataType)
+    if (lt == rt) mkCmp(c.op, c.left, c.right)
+    else if (lt == NullType) mkCmp(c.op, Cast(c.left, rt), c.right)
+    else if (rt == NullType) mkCmp(c.op, c.left, Cast(c.right, lt))
+    else if ((isJsonSide(c.left) || isJsonSide(c.right)) &&
+             ((isNumericish(lt) && lt != BooleanType) ||
+              (isNumericish(rt) && rt != BooleanType)))
+      mkCmp(c.op, Cast(c.left, DoubleType), Cast(c.right, DoubleType))
+    else (lt, rt) match {
+      case (a: StringType, b: StringType) =>
+        // collation coercion: the non-default-collated side wins
+        val t = if (a == StringType) b else a
+        mkCmp(c.op,
+          if (lt == t) c.left else Cast(c.left, t),
+          if (rt == t) c.right else Cast(c.right, t))
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCoercion
+          .findWiderTypeForTwo(lt, rt) match {
+          case Some(t) => mkCmp(c.op,
+            if (lt == t) c.left else Cast(c.left, t),
+            if (rt == t) c.right else Cast(c.right, t))
+          case None => c
+        }
+    }
+  }
+
+  private def nativeIn(i: MySqlIn): Expression = {
+    val types = i.children.map(_.dataType)
+    if (types.distinct.size == 1) In(i.value, i.elems)
+    else {
+      val common = types.tail.foldLeft(Option(types.head)) { (acc, t) =>
+        acc.flatMap(a =>
+          if (a == t) Some(a)
+          else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findWiderTypeForTwo(a, t))
+      }
+      common match {
+        case Some(t) =>
+          def co(e: Expression) = if (e.dataType == t) e else Cast(e, t)
+          In(co(i.value), i.elems.map(co))
+        case None => i // custom eval is exact for the leftover mixes
+      }
+    }
+  }
+
+  private val stripRules: PartialFunction[Expression, Expression] = {
+    case sub: SubqueryExpression => sub.withNewPlan(stripIdentity(sub.plan))
+    case n: MySqlNumOperand if n.isIdentity => n.child
+    case b: MySqlBool if b.isIdentity => b.child
+    case b: MySqlBool if b.child.dataType == NullType =>
+      Literal(null, BooleanType)
+    case s: MySqlStrOperand if s.isIdentity => s.child
+    case d: MySqlDateOperand if d.isIdentity => d.child
+    case c: MySqlCompare if !needsMySqlCmp(c.left, c.right) => nativeCmp(c)
+    case i: MySqlIn if !i.elems.exists(el => needsMySqlCmp(i.value, el)) =>
+      nativeIn(i)
+    case r: MySqlDivRound if !r.child.dataType.isInstanceOf[DecimalType] =>
+      r.child
+  }
+
+  /** Post-analysis cleanup: identity wrappers disappear so well-typed
+    * expressions keep whole-stage codegen; adaptive comparison nodes on
+    * Spark-compatible pairs revert to native operators (with re-derived
+    * implicit casts) so codegen/pushdown/equi-join extraction are
+    * unaffected. Bottom-up so a wrapper sees its already-stripped child. */
+  def stripIdentity(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp { case p => p.transformExpressionsUp(stripRules) }
 }

@@ -74,6 +74,10 @@ object GoNorm {
       tsForm(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
     case d: java.sql.Date => tsForm(d.toLocalDate.atStartOfDay)
     case d: java.time.LocalDate => tsForm(d.atStartOfDay)
+    // MySQL marshals booleans as tinyint 1/0; BOTH sides pass through
+    // norm, so a Go `true` expectation and a Spark boolean result meet
+    // at the same numeric form (and int expectations match too)
+    case b: Boolean => BigDecimal(if (b) 1 else 0)
     case b: Byte => BigDecimal(b.toInt)
     case s: Short => BigDecimal(s.toInt)
     case i: Int => BigDecimal(i)
