@@ -170,7 +170,7 @@ object Dml {
   // FORMAT=TREE); here the displayed plan is Spark's, the honest answer
   // for an engine whose physical planning IS Catalyst (SURVEY §4.4)
   private val ExplainStmt =
-    """(?is)^\s*(?:EXPLAIN|DESCRIBE|DESC)\s+(ANALYZE\s+)?(?:FORMAT\s*=\s*(?:TREE|JSON)\s+)?((?:SELECT|WITH|TABLE)\b.*)$""".r
+    """(?is)^\s*(?:EXPLAIN|DESCRIBE|DESC)\s+(?:PLAN\s+)?(ANALYZE\s+)?(?:FORMAT\s*=\s*(?:TREE|JSON)\s+)?((?:SELECT|WITH|TABLE)\b.*)$""".r
 
   private val SetSqlMode =
     """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*:?=\s*(.+?)\s*$""".r

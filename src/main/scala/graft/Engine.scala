@@ -711,7 +711,17 @@ class Engine(val spark: SparkSession) {
     "innodb_buffer_pool_size" -> "134217728", "max_user_connections" -> "0",
     "transaction_isolation" -> "'REPEATABLE-READ'",
     "time_zone" -> "'SYSTEM'", // reads live via tzDisplay
-    "secure_file_priv" -> "NULL")
+    "secure_file_priv" -> "NULL",
+    // replication/encryption catalog entries a client may probe
+    // (queries.go SHOW VARIABLES LIKE 'gtid%' / '%mode' blocks)
+    "gtid_executed" -> "''", "gtid_executed_compression_period" -> "0",
+    "gtid_mode" -> "'OFF'", "gtid_next" -> "'AUTOMATIC'",
+    "gtid_owned" -> "''", "gtid_purged" -> "''",
+    "gtid_domain_id" -> "0", "gtid_seq_no" -> "0",
+    "block_encryption_mode" -> "'aes-128-ecb'",
+    "innodb_autoinc_lock_mode" -> "2", "offline_mode" -> "'OFF'",
+    "pseudo_slave_mode" -> "'OFF'", "rbr_exec_mode" -> "'STRICT'",
+    "ssl_fips_mode" -> "'OFF'")
 
   /** Session overrides from SET @@x = v (reference
     * sql/variables/sysvars.go mutable session scope). Values are SQL
@@ -728,7 +738,14 @@ class Engine(val spark: SparkSession) {
         case "time_zone" => tzDisplay
         case _ => sysVarOverrides.getOrElse(k, systemVars(k))
       }
-      k -> raw.stripPrefix("'").stripSuffix("'")
+      val v = raw.stripPrefix("'").stripSuffix("'")
+      // boolean-typed vars display ON/OFF in SHOW VARIABLES while
+      // @@autocommit reads stay numeric (MySQL's dual rendering)
+      val shown =
+        if (k == "autocommit" || k == "foreign_key_checks")
+          (if (v == "1") "ON" else if (v == "0") "OFF" else v)
+        else v
+      k -> shown
     }
 
   private[graft] def setSystemVar(name0: String, rawValue: String): Unit = {
@@ -857,14 +874,19 @@ class Engine(val spark: SparkSession) {
     // SELECT-only: UPDATE/ODKU assignments use `=` too and their strict
     // conversion errors must stay errors.
     val firstWord = rewritten2.trim.takeWhile(!_.isWhitespace).toUpperCase
-    val rewritten =
-      if (!rewritten2.contains("'") ||
-          (firstWord != "SELECT" && firstWord != "WITH" &&
-           firstWord != "(")) rewritten2
+    val isSelect =
+      firstWord == "SELECT" || firstWord == "WITH" || firstWord == "("
+    val rewritten3 =
+      if (!rewritten2.contains("'") || !isSelect) rewritten2
       else {
         lazy val numCols = numericColsFor(rewritten2)
         SqlRewrite.numericLiteralCompare(rewritten2, numCols.contains, warn)
       }
+    // `BINARY x` prefix + GET_FORMAT bare keyword: SELECT-only (the
+    // binary token in DDL is a column type)
+    val rewritten =
+      if (!isSelect) rewritten3
+      else SqlRewrite.getFormatKeyword(SqlRewrite.binaryPrefix(rewritten3))
     Dml.dispatch(this, rewritten).getOrElse {
     plans.RecursiveSql.run(spark, rewritten).getOrElse {
       try runWithTruthyRetry(rewritten)

@@ -338,6 +338,73 @@ object SqlRewrite {
     text
   }
 
+  // ---- `BINARY x` prefix operator (reference sql/expression/convert.go
+  //      via planbuilder: BINARY expr is CAST(expr AS BINARY) over the
+  //      value's STRING form — MySQL renders the number first, so
+  //      BINARY 1 is the byte string '1', not an int encoding). The
+  //      SELECT-path gate keeps DDL type uses (`b binary(16)`) out;
+  //      cast targets (`AS BINARY`) and CONVERT(x, BINARY) are excluded
+  //      by the surrounding-token checks.
+  def binaryPrefix(sql: String): String = {
+    if (!"""(?i)\bbinary\b""".r.findFirstIn(sql).isDefined) return sql
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.isWord("binary") && i + 1 < toks.length) {
+        val prevOk = i == 0 || {
+          val p = toks(i - 1)
+          !p.isWord("as") && p.text != "," && p.text != "." &&
+            !p.isWord("binary")
+        }
+        val nxt = toks(i + 1)
+        if (prevOk) {
+          val span: Option[(Int, Int)] = nxt match {
+            case n if n.kind == Lit => Some((n.start, n.end))
+            case n if n.kind == Word && i + 2 < toks.length &&
+                n.text.equalsIgnoreCase("x") &&
+                toks(i + 2).kind == Lit && toks(i + 2).start == n.end =>
+              Some((n.start, toks(i + 2).end)) // hex literal X'0a'
+            case n if n.kind == Word =>
+              // identifier / number; include a call's argument list
+              if (i + 2 < toks.length && toks(i + 2).text == "(")
+                Some(closeParenFor(toks, i + 2)).filter(_ > 0)
+                  .map(c => (n.start, toks(c).end))
+              else Some((n.start, n.end))
+            case n if n.text == "(" =>
+              Some(closeParenFor(toks, i + 1)).filter(_ > 0)
+                .map(c => (n.start, toks(c).end))
+            case _ => None
+          }
+          span.foreach { case (s, epos) =>
+            patches += ((t.start, epos,
+              s"CAST(CAST(${sql.substring(s, epos)} AS STRING) AS BINARY)"))
+          }
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** GET_FORMAT(DATE, 'usa') — the first argument is a bare keyword in
+    * MySQL's grammar; quote it for the registered string-arg function. */
+  def getFormatKeyword(sql: String): String = {
+    if (!"""(?i)\bget_format\b""".r.findFirstIn(sql).isDefined) return sql
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    for (i <- toks.indices) {
+      if (toks(i).isWord("get_format") && i + 2 < toks.length &&
+          toks(i + 1).text == "(" && toks(i + 2).kind == Word &&
+          Set("date", "time", "datetime", "timestamp")(
+            toks(i + 2).text.toLowerCase))
+        patches += ((toks(i + 2).start, toks(i + 2).end,
+          s"'${toks(i + 2).text.toLowerCase}'"))
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   private val cmpSyms = Set("=", "<", ">", "<=", ">=", "<>", "!=", "<=>")
 
   /** token index of the '(' matching a ')' at `close` (walk back). */

@@ -270,7 +270,10 @@ object MiscFns {
     "strcmp" -> tmpl(
       "CASE WHEN __arg0 < __arg1 THEN -1 WHEN __arg0 > __arg1 THEN 1 ELSE 0 END"),
     "ord" -> (es => Ord(es.head)),
-    "oct" -> tmpl("conv(CAST(CAST(__arg0 AS BIGINT) AS STRING), 10, 8)"),
+    // non-numeric strings read their numeric prefix (OCT('abc') is '0');
+    // the NULL propagation rides on __arg0 reappearing in the IF guard
+    "oct" -> tmpl("IF(__arg0 IS NULL, NULL, " +
+      "conv(CAST(CAST(mysql_to_number(__arg0) AS BIGINT) AS STRING), 10, 8))"),
     "format" -> (es =>
       tmpl(s"format_number(__arg0, ${litInt(es(1), "format")})")(es)),
     "quote" -> (es => graft.functions.expressions.QuoteStr(es.head)),
@@ -383,9 +386,9 @@ object MiscFns {
         |WHEN replace(replace(replace(lower(CAST(__arg0 AS STRING)),
         |  '-', ''), '{', ''), '}', '') RLIKE '^[0-9a-f]{32}$'
         |THEN 1 ELSE 0 END""".stripMargin),
-    // charset metadata stubs: the engine stores every string as UTF-8
-    // (reference charset.go carries the full charset model)
-    "charset" -> tmpl("'utf8mb4'"),
+    // charset metadata: strings are UTF-8 here; non-string operands
+    // report 'binary' (reference charset.go via CollationCoercibility)
+    "charset" -> (es => graft.functions.expressions.CharsetOf(es.head)),
     // COERCIBILITY(expr): MySQL's syntactic taxonomy (reference
     // coercibility.go; collation_coercion.go corpus) — 0 explicit
     // COLLATE, 2 column/binary-convert, 3 system constant, 4 string

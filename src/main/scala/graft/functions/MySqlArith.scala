@@ -86,8 +86,14 @@ object MySqlArith {
     case i: Int => new JBD(i)
     case l: Long if isTemporal(dt) => temporalToJbd(l, dt)
     case l: Long => new JBD(l)
-    case f: Float => new JBD(f.toString)
-    case d: Double => JBD.valueOf(d)
+    case f: Float =>
+      if (java.lang.Float.isFinite(f)) new JBD(f.toString)
+      else throw new ArithmeticException(
+        s"BIGINT value is out of range: $f (MySQL error 1690)")
+    case d: Double =>
+      if (java.lang.Double.isFinite(d)) JBD.valueOf(d)
+      else throw new ArithmeticException(
+        s"BIGINT value is out of range: $d (MySQL error 1690)")
     case u: UTF8String => JBD.valueOf(strToDouble(u.toString))
     case b: Array[Byte] => JBD.valueOf(strToDouble(new String(b, "UTF-8")))
     case _ => JBD.ZERO
@@ -155,9 +161,31 @@ object MySqlArith {
         (isExactNumeric(right.dataType) || isTemporal(right.dataType))
     private def childScale(e: Expression): Int =
       if (isTemporal(e.dataType)) 0 else scaleOf(e.dataType)
+    /** Static integer-digit bound of an operand (MySQL result int digits
+      * are ≤ (p1−s1)+s2). Declaring the tight precision — rather than a
+      * blanket 38 — keeps downstream decimal arithmetic inside Spark's
+      * 38-digit cap without scale-losing precision reduction
+      * ((1/3)*(1/3) must keep 8 fractional digits). */
+    private def intDigitsOf(dt: DataType): Int = dt match {
+      case d: DecimalType => d.precision - d.scale
+      case ByteType | BooleanType => 3
+      case ShortType => 5
+      case IntegerType => 10
+      case LongType => 19
+      case DateType => 8
+      case TimestampType | TimestampNTZType => 14
+      case _ => 10
+    }
+    private def resultScale: Int =
+      internalScale(childScale(left), childScale(right))
+    private def resultPrecision: Int = {
+      val s = resultScale
+      val ints = intDigitsOf(left.dataType) + childScale(right)
+      math.min(38, math.max(s + 1, ints + s))
+    }
     override def dataType: DataType =
       if (!exactMode) DoubleType
-      else DecimalType(38, internalScale(childScale(left), childScale(right)))
+      else DecimalType(resultPrecision, resultScale)
     override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any =
       if (!exactMode) {
@@ -174,8 +202,9 @@ object MySqlArith {
           val lt = if (lb.scale > scale) lb.setScale(scale, RoundingMode.DOWN) else lb
           val rt = if (rb.scale > scale) rb.setScale(scale, RoundingMode.DOWN) else rb
           val q = lt.divide(rt, scale, RoundingMode.DOWN)
-          if (q.precision - q.scale > 38 - scale) null // overflow → NULL
-          else Decimal(q, 38, scale)
+          val prec = resultPrecision
+          if (q.precision - q.scale > prec - scale) null // overflow → NULL
+          else Decimal(q, prec, scale)
         }
       }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -212,7 +241,15 @@ object MySqlArith {
     private def toLongMySql(v: Any, dt: DataType): Long = {
       val b = toJbd(v, dt)
       if (b == null) 0L
-      else b.setScale(0, RoundingMode.HALF_UP).longValue()
+      else {
+        val r = b.setScale(0, RoundingMode.HALF_UP)
+        // uint64 domain check (bit_ops.go via types.Uint64): a magnitude
+        // past 2^64 is MySQL 1690, not a silent Java wrap
+        if (r.abs.compareTo(TwoTo64) >= 0)
+          throw new ArithmeticException(
+            s"BIGINT UNSIGNED value is out of range: $r (MySQL error 1690)")
+        r.longValue()
+      }
     }
     private val TwoTo64 = new JBD(java.math.BigInteger.ONE.shiftLeft(64))
     override def nullSafeEval(l: Any, r: Any): Any = {
@@ -222,8 +259,10 @@ object MySqlArith {
         case "&" => lv & rv
         case "|" => lv | rv
         case "^" => lv ^ rv
-        case "<<" => lv << rv
-        case ">>" => lv >>> rv
+        // MySQL shifts are uint64 with a true count (bit_ops.go): any
+        // count outside [0,63] yields 0, never Java's mod-64 wrap
+        case "<<" => if (rv < 0 || rv > 63) 0L else lv << rv
+        case ">>" => if (rv < 0 || rv > 63) 0L else lv >>> rv
       }
       val jb = new JBD(res)
       Decimal(if (res < 0) jb.add(TwoTo64) else jb, 20, 0)
@@ -518,6 +557,62 @@ object MySqlArith {
         newChildren: IndexedSeq[Expression]) = copy(newChildren)
   }
 
+  /** CAST(x AS UNSIGNED) — uint64 semantics over DECIMAL(20,0) storage:
+    * negative values wrap mod 2^64 (CONVERT(-3, UNSIGNED) is
+    * 18446744073709551613), strings read their numeric prefix
+    * (reference sql/types/number.go convertToUint64). */
+  case class MySqlUnsigned(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DecimalType(20, 0)
+    override def nullable: Boolean = true
+    private val TwoTo64 = new JBD(java.math.BigInteger.ONE.shiftLeft(64))
+    // full-string numerics parse exactly (the 20-digit uint64 max must
+    // not round-trip through double); only garbage falls to prefix read
+    private def strToJbdExact(s: String): JBD = {
+      val t = s.trim
+      try new JBD(t)
+      catch { case _: NumberFormatException => JBD.valueOf(strToDouble(t)) }
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val jb = v match {
+        case u: UTF8String => strToJbdExact(u.toString)
+        case b: Array[Byte] => strToJbdExact(new String(b, "UTF-8"))
+        case other => toJbd(other, child.dataType)
+      }
+      if (jb == null) return null
+      var r = jb.setScale(0, RoundingMode.HALF_UP)
+      while (r.signum() < 0) r = r.add(TwoTo64)
+      while (r.compareTo(TwoTo64) >= 0) r = r.subtract(TwoTo64)
+      Decimal(r, 20, 0)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** BIT_COUNT with MySQL's operand domains (reference bit_ops.go /
+    * function registry): a BINARY operand counts the set bits of the
+    * byte string (bit_count(binary '…21 bytes…') = 73), numbers count
+    * bits of their uint64 form (bit_count(-1) = 64), strings read their
+    * numeric prefix. */
+  case class MySqlBitCount(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = v match {
+      case b: Array[Byte] =>
+        var n = 0; var i = 0
+        while (i < b.length) { n += Integer.bitCount(b(i) & 0xff); i += 1 }
+        n
+      case u: UTF8String =>
+        java.lang.Long.bitCount(strToDouble(u.toString).round)
+      case other =>
+        val jb = toJbd(other, child.dataType)
+        if (jb == null) null
+        else java.lang.Long.bitCount(
+          jb.setScale(0, RoundingMode.HALF_UP).longValue())
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** Adaptive arithmetic-operand coercion: identity on numeric/null
     * operands (stripped from the analyzed plan — zero cost), MySQL
     * numeric form otherwise: temporal → yyyymmdd[hhmmss] DECIMAL,
@@ -597,11 +692,14 @@ object MySqlArithRewrite {
     case a if isArith(a) => a.withNewChildren(a.children.map(mapOperand))
     case other => inner(other)
   }
-  /** Divide coerces its own operands — no NumOperand wrap. */
+  /** Divide coerces its own operands — no NumOperand wrap. Non-arith
+    * operands re-enter the FULL rewrite so node-level cases (function
+    * coercions, comparisons) still fire inside an arithmetic spine
+    * (`sqrt(-1) + 1` needs sqrt's NULL-domain wrap). */
   private def divOperand(e: Expression): Expression =
-    if (isArith(e)) mapSpine(e) else inner(e)
+    if (isArith(e)) mapSpine(e) else rewriteExpr(e)
   private def mapOperand(e: Expression): Expression =
-    if (isArith(e)) mapSpine(e) else MySqlNumOperand(inner(e))
+    if (isArith(e)) mapSpine(e) else MySqlNumOperand(rewriteExpr(e))
   /** Recurse into a non-spine subtree for independent nested rewrites. */
   private def inner(e: Expression): Expression = e.mapChildren(rewriteExpr)
 
@@ -665,6 +763,23 @@ object MySqlArithRewrite {
         if f.arguments.size == 1 &&
           f.nameParts.last.equalsIgnoreCase("dayname") =>
       f.copy(arguments = Seq(MySqlDateOperand(rewriteExpr(f.arguments.head))))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.size == 1 &&
+          f.nameParts.last.equalsIgnoreCase("bit_count") =>
+      MySqlBitCount(rewriteExpr(f.arguments.head))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.size == 1 &&
+          Set("sqrt", "asin", "acos")(f.nameParts.last.toLowerCase) =>
+      // MySQL yields NULL outside the domain where Spark yields NaN
+      // (sqrt(-1), asin(2)); NULL-safe via nanvl → null
+      NaNvl(f.copy(arguments = Seq(rewriteExpr(f.arguments.head))),
+        Literal(null, DoubleType))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.size == 1 && !f.isDistinct &&
+          Set("sum", "avg")(f.nameParts.last.toLowerCase) =>
+      // SUM/AVG over strings aggregate the numeric prefix (sum('abc')
+      // over n rows is 0, not NULL) — identity-stripped when numeric
+      f.copy(arguments = Seq(MySqlNumOperand(rewriteExpr(f.arguments.head))))
     case a if isArith(a) =>
       val mapped = mapSpine(a)
       if (containsDiv(a)) MySqlDivRound(mapped) else mapped
@@ -675,6 +790,14 @@ object MySqlArithRewrite {
     case b: BitwiseXor =>
       MySqlBitOp(rewriteExpr(b.left), rewriteExpr(b.right), "^")
     case b: BitwiseNot => MySqlBitNot(rewriteExpr(b.child))
+    case s: ShiftLeft =>
+      MySqlBitOp(rewriteExpr(s.left), rewriteExpr(s.right), "<<")
+    case s: ShiftRight =>
+      MySqlBitOp(rewriteExpr(s.left), rewriteExpr(s.right), ">>")
+    case c: Cast if c.dataType == DecimalType(20, 0) =>
+      // DECIMAL(20,0) casts only arise from the AS UNSIGNED mapping
+      // (Dialect chain) — uint64 wrap semantics
+      MySqlUnsigned(rewriteExpr(c.child))
     case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
       sub.withNewPlan(apply(sub.plan))
     case other => other.mapChildren(rewriteExpr)

@@ -25,10 +25,25 @@ object expressions {
       extends Expression with CodegenFallback {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = false
+    // MySQL FIELD compares as strings only when EVERY argument is a
+    // string; any numeric operand switches the whole call to numeric
+    // comparison (field(i, '1', '2') matches by value, reference
+    // sql/expression/function/field.go)
+    private lazy val numericMode = !children.forall(c => c.dataType match {
+      case _: StringType | BinaryType | NullType => true
+      case _ => false
+    })
     override def eval(input: InternalRow): Any = {
       val target = children.head.eval(input)
       if (target == null) 0
-      else {
+      else if (numericMode) {
+        val t = MySqlArith.toDoubleVal(target, children.head.dataType)
+        val idx = children.tail.indexWhere { e =>
+          val v = e.eval(input)
+          v != null && MySqlArith.toDoubleVal(v, e.dataType) == t
+        }
+        idx + 1
+      } else {
         val idx = children.tail.indexWhere { e =>
           val v = e.eval(input)
           v != null && v == target
@@ -38,6 +53,21 @@ object expressions {
     }
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+  }
+
+  /** CHARSET(expr) — static from the operand's type: strings are the
+    * session charset, numbers/NULL report 'binary' (reference
+    * sql/expression/function/charset.go over CollationCoercibility). */
+  case class CharsetOf(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      UTF8String.fromString(child.dataType match {
+        case _: StringType => "utf8mb4"
+        case _ => "binary"
+      })
+    override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
   /** INSERT(str, pos, len, newstr) — MySQL string splice: replaces `len`
