@@ -699,7 +699,13 @@ object MySqlArithRewrite {
   private def divOperand(e: Expression): Expression =
     if (isArith(e)) mapSpine(e) else rewriteExpr(e)
   private def mapOperand(e: Expression): Expression =
-    if (isArith(e)) mapSpine(e) else MySqlNumOperand(rewriteExpr(e))
+    if (isArith(e)) {
+      val m = mapSpine(e)
+      // an interval-arithmetic subtree stays temporal internally, but as
+      // an operand of the ENCLOSING spine it takes its numeric form like
+      // any temporal value (ts1 - (ts2 - INTERVAL 1 SECOND) is numeric)
+      if (e.children.exists(isIntervalOperand)) MySqlNumOperand(m) else m
+    } else MySqlNumOperand(rewriteExpr(e))
   /** Recurse into a non-spine subtree for independent nested rewrites. */
   private def inner(e: Expression): Expression = e.mapChildren(rewriteExpr)
 

@@ -113,11 +113,145 @@ object MySqlFormat {
 
   def strToDateExpr(es: Seq[Expression]): Expression = {
     require(es.length == 2, "str_to_date(str, format)")
-    val (fmt, orig) = translated(es(1), parse = true)
-    val hasTime = orig.exists(_.sliding(2).exists(p =>
-      p.length == 2 && p.charAt(0) == '%' && timeSpecs(p.charAt(1))))
-    if (orig.isDefined && !hasTime) new ParseToDate(es(0), fmt)
-    else new ParseToTimestamp(es(0), fmt)
+    es(1) match {
+      case Literal(s: UTF8String, _: StringType) =>
+        MySqlStrToDate(es(0), s.toString)
+      case other => new ParseToTimestamp(es(0), other)
+    }
+  }
+
+  /** STR_TO_DATE with the reference's parse semantics
+    * (sql/expression/function/str_to_date.go): unset date fields default
+    * to ZERO and the zero parts normalize Go-style (month 0 → previous
+    * December, day 0 → previous month's last day — STR_TO_DATE('9','%m')
+    * is 0000-08-31, a time-only parse sits on -0001-11-30), %p/%r's
+    * AM/PM marker is consumed but not applied, %f digits read literally
+    * as microseconds, literals match case-insensitively, numeric fields
+    * skip leading spaces, and trailing input garbage is ignored. A parse
+    * that sets NO field at all — or a literal mismatch — is NULL. */
+  case class MySqlStrToDate(child: Expression, fmt: String)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+
+    private val hasTime: Boolean = fmt.sliding(2).exists(p =>
+      p.length == 2 && p.charAt(0) == '%' && timeSpecs(p.charAt(1)))
+    override def dataType: DataType =
+      if (hasTime) TimestampType else DateType
+    override def nullable: Boolean = true
+
+    private val fullMonths = Seq("january", "february", "march", "april",
+      "may", "june", "july", "august", "september", "october", "november",
+      "december")
+
+    override def nullSafeEval(v: Any): Any = {
+      val input = v match {
+        case u: UTF8String => u.toString
+        case b: Array[Byte] => new String(b, "UTF-8")
+        case o => String.valueOf(o)
+      }
+      var pos = 0
+      var y = -1; var mo = -1; var d = -1; var doy = -1
+      var h = -1; var mi = -1; var se = -1; var micro = -1
+      var failed = false
+      var hour24 = false // %p combined with a 24-hour specifier is NULL
+      def skipSpaces(): Unit =
+        while (pos < input.length && input.charAt(pos).isWhitespace) pos += 1
+      def num(maxDigits: Int): Int = {
+        skipSpaces()
+        val start = pos
+        while (pos < input.length && pos - start < maxDigits &&
+               input.charAt(pos).isDigit) pos += 1
+        if (pos == start) { failed = true; -1 }
+        else input.substring(start, pos).toInt
+      }
+      def word(): String = {
+        skipSpaces()
+        val start = pos
+        while (pos < input.length && input.charAt(pos).isLetter) pos += 1
+        input.substring(start, pos)
+      }
+      def ampm(): Unit = { // consumed, NOT applied (reference behavior)
+        val save = pos
+        skipSpaces()
+        if (pos + 1 < input.length &&
+            "ap".indexOf(Character.toLowerCase(input.charAt(pos))) >= 0 &&
+            Character.toLowerCase(input.charAt(pos + 1)) == 'm') pos += 2
+        else pos = save
+      }
+      def timeTriple(): Unit = {
+        h = num(2)
+        if (!failed && pos < input.length && input.charAt(pos) == ':') {
+          pos += 1; mi = num(2)
+          if (!failed && pos < input.length && input.charAt(pos) == ':') {
+            pos += 1; se = num(2)
+          }
+        }
+      }
+      var i = 0
+      while (i < fmt.length && !failed) {
+        val c = fmt.charAt(i)
+        if (c == '%' && i + 1 < fmt.length) {
+          fmt.charAt(i + 1) match {
+            case 'Y' => y = num(4)
+            case 'y' =>
+              val yy = num(2)
+              if (!failed) y = if (yy >= 70) 1900 + yy else 2000 + yy
+            case 'm' | 'c' => mo = num(2)
+            case 'd' | 'e' => d = num(2)
+            case 'j' => doy = num(3)
+            case 'H' | 'k' => hour24 = true; h = num(2)
+            case 'h' | 'I' | 'l' => h = num(2)
+            case 'i' => mi = num(2)
+            case 'S' | 's' => se = num(2)
+            case 'f' => micro = num(6)
+            case 'p' => if (hour24) failed = true else ampm()
+            case 'r' => timeTriple(); ampm()
+            case 'T' => hour24 = true; timeTriple()
+            case 'M' | 'b' =>
+              val w = word().toLowerCase
+              val idx = fullMonths.indexWhere(m =>
+                m == w || (w.length >= 3 && m.startsWith(w)))
+              if (idx < 0) failed = true else mo = idx + 1
+            case 'W' | 'a' => if (word().isEmpty) failed = true
+            case '%' =>
+              if (pos < input.length && input.charAt(pos) == '%') pos += 1
+              else failed = true
+            case _ => failed = true // unsupported specifier
+          }
+          i += 2
+        } else {
+          if (c.isWhitespace) skipSpaces()
+          else {
+            skipSpaces()
+            if (pos < input.length && Character.toLowerCase(
+                input.charAt(pos)) == Character.toLowerCase(c)) pos += 1
+            else failed = true
+          }
+          i += 1
+        }
+      }
+      val anyField = y >= 0 || mo >= 0 || d >= 0 || doy >= 0 || h >= 0 ||
+        mi >= 0 || se >= 0 || micro >= 0
+      if (failed || !anyField) return null
+      if (mo > 12 || d > 31 || h > 23 || mi > 59 || se > 59) return null
+      val year = if (y >= 0) y else 0
+      val date =
+        try {
+          if (doy >= 1) java.time.LocalDate.ofYearDay(year, doy)
+          else java.time.LocalDate.of(year, 1, 1)
+            .plusMonths(math.max(mo, 0) - 1L)
+            .plusDays(math.max(d, 0) - 1L)
+        } catch { case _: Exception => return null }
+      if (!hasTime) date.toEpochDay.toInt
+      else {
+        val ldt = date.atTime(math.max(h, 0), math.max(mi, 0),
+          math.max(se, 0), math.max(micro, 0) * 1000)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c, fmt)
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -127,8 +127,8 @@ class CorpusSpec extends AnyFunSuite {
       """SELECT DATE '1998-12-01' - INTERVAL 90 DAY AS d,
                TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 90 MINUTE AS t""")
       .collect()(0)
-    assert(r.getDate(0).toString == "1998-09-02")
-    assert(r.getTimestamp(1).toString == "2024-01-01 01:30:00.0")
+    assert(String.valueOf(GoNorm.norm(r.get(0))).startsWith("1998-09-02"))
+    assert(String.valueOf(GoNorm.norm(r.get(1))) == "2024-01-01 01:30:00")
   }
 
   test("NOT IN against a set containing NULL matches nothing (3VL)") {

@@ -14,7 +14,7 @@ class DateTimeExtSpec extends AnyFunSuite {
   test("to_days / from_days match MySQL doc values") {
     assert(one[Int](toDays(lit("2007-10-07"))) == 733321)
     assert(one[Int](toDays(lit("1970-01-01"))) == 719528)
-    assert(one[java.sql.Date](fromDays(lit(733321))).toString == "2007-10-07")
+    assert(one[java.time.LocalDate](fromDays(lit(733321))).toString == "2007-10-07")
   }
 
   test("yearweek mode 0 matches MySQL examples") {
@@ -40,8 +40,8 @@ class DateTimeExtSpec extends AnyFunSuite {
   }
 
   test("makedate builds from year + day-of-year") {
-    assert(one[java.sql.Date](makeDate(lit(2011), lit(31))).toString == "2011-01-31")
-    assert(one[java.sql.Date](makeDate(lit(2011), lit(32))).toString == "2011-02-01")
+    assert(one[java.time.LocalDate](makeDate(lit(2011), lit(31))).toString == "2011-01-31")
+    assert(one[java.time.LocalDate](makeDate(lit(2011), lit(32))).toString == "2011-02-01")
   }
 
   test("week modes 0-7 match MySQL doc examples and calcWeek semantics") {
@@ -82,7 +82,7 @@ class DateTimeExtSpec extends AnyFunSuite {
   }
 
   test("str_to_date parses via the %-translator") {
-    assert(one[java.sql.Date](functions.MySqlFormat
+    assert(one[java.time.LocalDate](functions.MySqlFormat
       .strToDate(lit("04/10/1997"), "%d/%m/%Y").cast("date")).toString == "1997-10-04")
   }
 

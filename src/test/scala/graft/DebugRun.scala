@@ -18,14 +18,18 @@ object DebugRun {
     "MyhistorytableData", "KeylessData", "FooData", "Graph_tablesData",
     "XyData")
 
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    val bare = args0.headOption.contains("--bare")
+    val args = if (bare) args0.tail else args0
     val spark = SparkSpec.spark
     val e = new Engine(spark)
-    val fixtures = simpleSetup.flatMap(GoCorpus.setupScripts(setupPath, _)) ++ Seq(
-      "insert into myhistorytable values " +
-        "(1, 'first row, 3', '1'), (2, 'second row, 3', '2'), " +
-        "(3, 'third row, 3', '3')")
-    fixtures.foreach(e.query)
+    if (!bare) {
+      val fixtures = simpleSetup.flatMap(GoCorpus.setupScripts(setupPath, _)) ++ Seq(
+        "insert into myhistorytable values " +
+          "(1, 'first row, 3', '1'), (2, 'second row, 3', '2'), " +
+          "(3, 'third row, 3', '3')")
+      fixtures.foreach(e.query)
+    }
     val queries: Seq[String] = args.toSeq.flatMap { a =>
       if (a.startsWith("@"))
         scala.io.Source.fromFile(a.drop(1)).getLines()

@@ -35,6 +35,13 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
     case d: java.math.BigDecimal => BigDecimal(d)
     case a: Array[Byte] => a.toSeq
     case s: String => s
+    // java8 datetime API (SparkSpec) and legacy expectation objects
+    // meet at GoNorm's canonical display strings
+    case d: java.sql.Date => GoNorm.norm(d)
+    case t: java.sql.Timestamp => GoNorm.norm(t)
+    case d: java.time.LocalDate => GoNorm.norm(d)
+    case t: java.time.LocalDateTime => GoNorm.norm(t)
+    case t: java.time.Instant => GoNorm.norm(t)
     case other => other
   }
 

@@ -10,6 +10,10 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // java.time results (proleptic Gregorian): pre-1582 values —
+      // MySQL zero-date normalizations like 0000-08-31 — round-trip
+      // exactly; java.sql.Timestamp's hybrid calendar mangles them
+      .config("spark.sql.datetime.java8API.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -243,7 +243,7 @@ class StreamingSpec extends AnyFunSuite {
       src.addData(ev(6, "purchase", "10:05"))
       q.processAllAvailable()
       val hours = spark.table("trend_stream")
-        .collect().map(_.getTimestamp(0).toString).distinct.sorted
+        .collect().map(_.getAs[Any](0).toString).distinct.sorted
       assert(hours.length == 2, hours.toSeq)
     } finally q.stop()
   }

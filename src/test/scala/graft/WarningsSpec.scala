@@ -324,7 +324,7 @@ class WarningsSpec extends AnyFunSuite {
     assert(warnRows() == Seq((1411, "Warning"), (1411, "Warning")))
     // a successful parse stays silent
     assert(rows("SELECT STR_TO_DATE('01,5,2013','%d,%m,%Y') AS v") ==
-      Seq(Seq(java.sql.Date.valueOf("2013-05-01"))))
+      Seq(Seq(java.time.LocalDate.parse("2013-05-01"))))
     assert(warnRows() == Seq.empty)
     engine.query("SELECT 1")
   }
