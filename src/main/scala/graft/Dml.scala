@@ -3408,6 +3408,18 @@ object Dml {
       .filter(col("__rn__") === 1).drop("__seq__", "__rn__")
   }
 
+  /** lastPerKey over a frame that ALREADY carries a pinned `__iseq__`
+    * statement-order column (the ODKU path mints it before its dedup
+    * fold — a fresh id after the fold's shuffle would not be batch
+    * order). Keeps `__iseq__` for downstream tie-breaks. */
+  private def lastPerKeyOrdered(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(k => col(s"`$k`")).toIndexedSeq: _*)
+      .orderBy(col("__iseq__").desc)
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+  }
+
   /** INSERT ... ON DUPLICATE KEY UPDATE — per-row merge against the
     * declared key. MySQL affected-rows: 1 per inserted, 2 per updated.
     * `VALUES(col)` in an assignment refers to the incoming row. The
@@ -3442,10 +3454,20 @@ object Dml {
     // duplicate-key match (generated_columns.go ODKU uk_v block)
     val coerced = e.computeGenerated(table,
       e.coerceAndFill(table, incoming0, fillMissing = true))
-    val incoming = keysList.foldLeft(coerced) { (df, ks) =>
+    // __iseq__ (statement order) is minted ONCE here, before the per-key
+    // dedup fold: lastPerKey's window shuffles by key, so an id assigned
+    // after it would no longer reflect batch order — and the "last in
+    // batch wins" tie-breaks below must all see the ORIGINAL order. The
+    // checkpoint pins the generated ids across re-evaluations.
+    val coercedSeq = coerced
+      .withColumn("__iseq__", monotonically_increasing_id())
+      .localCheckpoint()
+    val incomingSeq = keysList.foldLeft(coercedSeq) { (df, ks) =>
       val nonNull = ks.map(k => col(s"`$k`").isNotNull).reduce(_ && _)
-      lastPerKey(df.filter(nonNull), ks).unionByName(df.filter(!nonNull))
+      lastPerKeyOrdered(df.filter(nonNull), ks)
+        .unionByName(df.filter(!nonNull))
     }
+    val incoming = incomingSeq.drop("__iseq__")
     val t = e.spark.table(table)
     // row-alias references rewrite onto the incoming-row (__i_)
     // namespace first: `alias.c` names incoming column c; with an alias
@@ -3556,9 +3578,9 @@ object Dml {
     // __iseq__ pins batch order; the localCheckpoints pin the generated
     // ids so every re-evaluation of the merge frames sees the same rows
     // (mono ids regenerate per evaluation otherwise).
-    val i2all = incoming.select((incoming.columns.map(c =>
+    val i2all = incomingSeq.select((incoming.columns.map(c =>
       col(s"`$c`").as(s"__i_$c")) :+
-      monotonically_increasing_id().as("__iseq__")).toIndexedSeq: _*)
+      col("__iseq__")).toIndexedSeq: _*)
       .localCheckpoint()
     val tR = t.withColumn("__tid__", monotonically_increasing_id())
       .localCheckpoint()
