@@ -1426,6 +1426,11 @@ object Dml {
     case CreateIdxStmt(uniq, kind, name, tableRaw, cols) =>
       val table = normName(tableRaw)
       checkIdent(name)
+      // PRIMARY is reserved for the primary key's index
+      // (script_queries.go "show create table with duplicate primary key")
+      if (name.equalsIgnoreCase("primary"))
+        throw new IllegalArgumentException(
+          s"invalid index name '$name' (MySQL ErrInvalidIndexName)")
       // items are plain columns or parenthesized FUNCTIONAL expressions
       // — CREATE INDEX idx ON t ((LOWER(name))), reference
       // indexed_expressions_queries.go
@@ -2785,7 +2790,23 @@ object Dml {
       """(?is)^ADD\s+(?:CONSTRAINT\s+(?:`?([A-Za-z0-9_]+)`?\s+)?)?CHECK\s*\(.*$""".r
     val DropCheck =
       """(?is)^DROP\s+(?:CHECK|CONSTRAINT)\s+`?([A-Za-z0-9_]+)`?$""".r
-    splitTop(actions).foreach { action0 =>
+    // `ADD [COLUMN] (def, def, …)` is MySQL's parenthesized COLUMN-def
+    // list (no INDEX/KEY/UNIQUE keyword and no index name) — expand to
+    // one ADD COLUMN action per def so it can't be mistaken for an
+    // anonymous ADD INDEX (script_queries.go "Multialter DDL with
+    // ADD/DROP INDEX": ADD COLUMN (v2 int), ADD INDEX myidx (v2))
+    val ColDefList =
+      """(?is)^ADD\s+(?:COLUMN\s+)?\(\s*(.+)\s*\)$""".r
+    val expanded = splitTop(actions).flatMap { a =>
+      a.trim match {
+        case ColDefList(defs)
+            if !a.trim.toUpperCase.matches(
+              "(?s)^ADD\\s+(UNIQUE|FULLTEXT|SPATIAL|INDEX|KEY|CONSTRAINT|PRIMARY|FOREIGN|CHECK)\\b.*") =>
+          splitTop(defs).map(d => s"ADD COLUMN ${d.trim}")
+        case _ => Seq(a)
+      }
+    }
+    expanded.foreach { action0 =>
       // `ADD CONSTRAINT name UNIQUE (cols)` → canonical ADD UNIQUE form
       val action =
         if (action0.toUpperCase.matches(
@@ -2815,6 +2836,19 @@ object Dml {
           val parts = parseKeyParts(e, table, cols,
             kind = if (uniq != null) "unique" else "index", liveType)
           val colSeq = parts.map(_._1)
+          if (Option(nameOpt).exists(_.equalsIgnoreCase("primary")))
+            throw new IllegalArgumentException(
+              s"invalid index name '$nameOpt' (MySQL ErrInvalidIndexName)")
+          // every plain key column must exist on the statement's WORKING
+          // frame — an earlier DROP COLUMN in the same multi-ALTER makes
+          // the whole statement fail atomically (script_queries.go
+          // "Multialter DDL with ADD/DROP INDEX": ErrKeyColumnDoesNotExist)
+          parts.map(_._1).foreach { c =>
+            if (!df.columns.exists(_.equalsIgnoreCase(c)))
+              throw new IllegalArgumentException(
+                s"""Key column '$c' doesn't exist in table """ +
+                "(MySQL ErrKeyColumnDoesNotExist)")
+          }
           // default name: first key column, deduped _2/_3 (MySQL rule)
           val takenIdx = e.secondaryIndexes.collect {
             case (t, n, _) if t == table => n.toLowerCase }.toSet
@@ -2846,7 +2880,24 @@ object Dml {
             throw new IllegalArgumentException(
               s"Cannot drop index '${stripTick(name)}': needed in a " +
               "foreign key constraint (MySQL ErrForeignKeyDropIndex)")
-          e.dropIndex(table, name)
+          val nm = stripTick(name)
+          val known =
+            e.secondaryIndexes.exists(x => x._1 == table &&
+              x._2.equalsIgnoreCase(nm)) ||
+            e.uniqueKeys.exists(x => x._1 == table &&
+              x._2.equalsIgnoreCase(nm)) ||
+            e.uniqueExprIdx.exists(x => x._1 == table &&
+              x._2.equalsIgnoreCase(nm)) ||
+            nm.equalsIgnoreCase("primary")
+          // dropping a nonexistent index fails the WHOLE statement
+          // (script_queries.go "Multialter DDL with ADD/DROP INDEX":
+          // ErrCantDropFieldOrKey 1091)
+          if (!known)
+            throw new IllegalArgumentException(
+              s"Can't DROP '$nm'; check that column/key exists " +
+              "(MySQL error 1091)")
+          if (nm.equalsIgnoreCase("primary")) e.tableKeys.remove(table)
+          else e.dropIndex(table, nm)
         case a if a.toUpperCase.matches("(?s)^ADD\\s+(?:CONSTRAINT\\s+\\S+\\s+)?FOREIGN\\s+KEY\\b.*") =>
           // ADD FOREIGN KEY validates existing rows before registering
           parseFk(e, table, a.replaceFirst("(?is)^ADD\\s+", "")).foreach { fk =>
@@ -3016,8 +3067,18 @@ object Dml {
           // SHOW CREATE renders AUTO_INCREMENT=n+1 immediately
           if (hasAI) e.autoIncCounter(table) = df.count() + 1
         case AlterColDefault(cn, d) =>
+          // the column must exist (script_queries.go "ALTER TABLE, ALTER
+          // COLUMN SET, DROP DEFAULT": ErrTableColumnNotFound)
+          if (!df.columns.exists(_.equalsIgnoreCase(stripTick(cn))))
+            throw new IllegalArgumentException(
+              s"table '$table' does not have column '${stripTick(cn)}' " +
+              "(MySQL ErrTableColumnNotFound)")
           e.declareDefault(table, stripTick(cn), d.trim)
         case AlterColDropDefault(cn) =>
+          if (!df.columns.exists(_.equalsIgnoreCase(stripTick(cn))))
+            throw new IllegalArgumentException(
+              s"table '$table' does not have column '${stripTick(cn)}' " +
+              "(MySQL ErrTableColumnNotFound)")
           e.columnDefaults.remove((table, stripTick(cn).toLowerCase))
         case DropCol(cn) =>
           val lc = stripTick(cn).toLowerCase
@@ -3174,6 +3235,42 @@ object Dml {
                 "cannot become NOT NULL (MySQL ErrForeignKeyTypeChangeSetNull)")
             e.declareNotNull(table, name)
           } else e.notNullCols.remove((table, name.toLowerCase))
+          // integer re-declarations re-derive the UNSIGNED bound and
+          // validate EXISTING rows against the new range — MODIFY i2 int
+          // unsigned over a -1 value is sql.ErrValueOutOfRange
+          // (script_queries.go "alter table out of range value error of
+          // column type change")
+          locally {
+            val newBase = spec.trim.toLowerCase
+              .takeWhile(c => c.isLetter || c == '_')
+            val intBases = Map(
+              "tinyint" -> (BigDecimal(-128), BigDecimal(127)),
+              "smallint" -> (BigDecimal(-32768), BigDecimal(32767)),
+              "mediumint" -> (BigDecimal(-8388608), BigDecimal(8388607)),
+              "int" -> (BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue)),
+              "integer" -> (BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue)),
+              "bigint" -> (BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue)))
+            if (intBases.contains(newBase)) {
+              val unsignedNow =
+                """(?i)\bUNSIGNED\b""".r.findFirstIn(spec).isDefined
+              if (unsignedNow) e.declareUnsigned(table, name, newBase)
+              else e.unsignedBounds.remove((table, name.toLowerCase))
+              val (lo, hi) =
+                if (unsignedNow) e.unsignedBounds((table, name.toLowerCase))
+                else intBases(newBase)
+              val oldIsNumeric = df.schema.fields
+                .find(_.name.equalsIgnoreCase(name))
+                .exists(_.dataType.isInstanceOf[
+                  org.apache.spark.sql.types.NumericType])
+              if (oldIsNumeric) {
+                val bad = df.filter(col(s"`$name`") < lit(lo.underlying) ||
+                    col(s"`$name`") > lit(hi.underlying)).limit(1).count()
+                if (bad > 0) throw new IllegalArgumentException(
+                  s"Out of range value for column '$name' " +
+                  "(MySQL error 1264, sql.ErrValueOutOfRange)")
+              }
+            }
+          }
           df = df.withColumn(name, col(s"`$name`").cast(dt))
           val afterRe =
             """(?is).*\bAFTER\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r

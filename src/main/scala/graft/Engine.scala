@@ -838,12 +838,53 @@ class Engine(val spark: SparkSession) {
     try queryInner(sql) finally queryDepth -= 1
   }
 
+  /** Blank out quoted literals and parenthesized segments — leaves only
+    * a statement's TOP-LEVEL tokens for structural guards. */
+  private def stripQuotesAndParens(s: String): String = {
+    val sb = new StringBuilder
+    var depth = 0; var quote: Char = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`') i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => if (depth == 0) sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   private def queryInner(sql: String): DataFrame = {
     // information_schema views are snapshots of the session catalog +
     // declared metadata, so (re)materialize them whenever a statement
     // reads them — the MySQL front door needs no explicit enable call
     if (sql.toLowerCase.contains("information_schema"))
       enableInformationSchema()
+    // unquoted `dual` is MySQL's builtin pseudo-table even when a real
+    // `dual` table exists (created backticked): `SELECT * FROM dual` has
+    // no columns to expand — ER_NO_TABLES_USED (script_queries.go
+    // "basic test on tables dual and `dual`")
+    if ("""(?is)\bSELECT\s+\*\s+FROM\s+DUAL\b""".r.findFirstIn(sql).isDefined)
+      throw new IllegalArgumentException("No tables used (MySQL error 1096)")
+    // a set operation's global ORDER BY may not use table-qualified
+    // names (MySQL 1250; script_queries.go "set op schema merge":
+    // `table t1 union table t2 order by t1.i` is an error)
+    locally {
+      val top = stripQuotesAndParens(sql)
+      if ("""(?i)\b(union|intersect|except)\b""".r.findFirstIn(top).isDefined) {
+        """(?i)\border\s+by\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\.""".r
+          .findFirstMatchIn(top).foreach { m =>
+            throw new IllegalArgumentException(
+              s"Table '${m.group(1)}' from one of the SELECTs cannot be " +
+              "used in global ORDER clause (MySQL error 1250)")
+          }
+      }
+    }
     // MySQL lenient literal casts run BEFORE the dialect pass (the
     // DATETIME(p) precision is still visible here) and feed 1292s into
     // the diagnostics area
@@ -1801,6 +1842,24 @@ class Engine(val spark: SparkSession) {
             df.withColumn(f.name,
               lit(columnVocab((table, f.name.toLowerCase))._2.head)
                 .cast(f.dataType))
+          case None
+              if notNullCols((table, f.name.toLowerCase)) &&
+                !generatedCols.exists(g => g._1 == table &&
+                  g._2.equalsIgnoreCase(f.name)) =>
+            // a NOT NULL column with no declared default omitted from
+            // the insert is MySQL 1364 in strict mode; non-strict /
+            // IGNORE stores the type's implicit default with a warning
+            // (script_queries.go "ALTER TABLE, ALTER COLUMN SET, DROP
+            // DEFAULT": the post-DROP DEFAULT insert must fail)
+            if (strictWriteMode && !ignoreMode)
+              throw new IllegalArgumentException(
+                s"Field '${f.name}' doesn't have a default value " +
+                "(MySQL error 1364)")
+            warn(1364, s"Field '${f.name}' doesn't have a default value")
+            zeroValueLit(f.dataType) match {
+              case Some(z) => df.withColumn(f.name, z.cast(f.dataType))
+              case None => df
+            }
           case None => df
         }
       }
@@ -4192,7 +4251,10 @@ class Engine(val spark: SparkSession) {
               .exists(_.trim.startsWith("("))) "DEFAULT_GENERATED"
           else ""
         (("def", Option(t.database).getOrElse(db), t.name, f.name, i + 1,
-          dflt, if (f.nullable) "YES" else "NO", dataType),
+          dflt,
+          // declared nullability, not the physical frame's flag
+          if (f.nullable && !notNullCols((t.name, lc)) && !pk(lc)) "YES"
+          else "NO", dataType),
          (charMax, charOctet, numPrec, numScale, dtPrec, csName, collName,
           colType, key, extra, "insert,references,select,update", "",
           genExpr, null: Integer))
@@ -4426,7 +4488,11 @@ class Engine(val spark: SparkSession) {
         else if (generatedCols.exists(g =>
           g._1 == table && g._2.equalsIgnoreCase(f.name))) "STORED GENERATED"
         else ""
-      (f.name, renderColumnType(table, f), if (f.nullable) "YES" else "NO", key,
+      // nullability is the DECLARED state (notNullCols / PK), not the
+      // physical frame's nullable flag — an expression-default fill can
+      // make the stored frame nullable while the column stays NOT NULL
+      val notNull = !f.nullable || notNullCols((table, lc)) || pk(lc)
+      (f.name, renderColumnType(table, f), if (notNull) "NO" else "YES", key,
         columnDefaults.get((table, lc)), extra)
     }
   }

@@ -296,7 +296,12 @@ object MySqlArith {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = child.dataType match {
       case ByteType | ShortType | IntegerType | BooleanType => LongType
-      case LongType => DecimalType(20, 0)
+      // negating a BIGINT LITERAL widens to DECIMAL (the reference folds
+      // -(-9223372036854775808) to "9223372036854775808"); a bigint
+      // COLUMN keeps its type and overflows with 1690 instead
+      // (script_queries.go "double negation of integer minimum values":
+      // SELECT -t0.c0 over the min value is sql.ErrValueOutOfRange)
+      case LongType => if (child.foldable) DecimalType(20, 0) else LongType
       case d: DecimalType => d
       case NullType => NullType
       case other => other
@@ -307,6 +312,10 @@ object MySqlArith {
       case b: Byte => -b.toLong
       case s: Short => -s.toLong
       case i: Int => -i.toLong
+      case l: Long if dataType == LongType =>
+        if (l == Long.MinValue) throw new ArithmeticException(
+          "BIGINT value is out of range (MySQL error 1690)")
+        -l
       case l: Long => Decimal(new JBD(l).negate(), 20, 0)
       case d: Decimal =>
         Decimal(d.toJavaBigDecimal.negate(), d.precision, d.scale)
