@@ -197,8 +197,10 @@ object Dml {
   // session.go:680 Warn): reads the session diagnostics area the write
   // paths feed. SHOW WARNINGS lists every level; SHOW ERRORS only
   // Error-level entries. LIMIT [off,]n applies to the listed rows.
+  // a trailing /* comment */ is tolerated (dbddl_queries "SHOW WARNINGS
+  // /* 1 */" disambiguation comments)
   private val ShowWarnings =
-    """(?is)^\s*SHOW\s+(WARNINGS|ERRORS)(?:\s+LIMIT\s+(?:(\d+)\s*,\s*)?(\d+))?\s*$""".r
+    """(?is)^\s*SHOW\s+(WARNINGS|ERRORS)(?:\s+LIMIT\s+(?:(\d+)\s*,\s*)?(\d+))?\s*(?:/\*.*?\*/\s*)?$""".r
   private val ShowCountWarnings =
     """(?is)^\s*SHOW\s+COUNT\(\*\)\s+(WARNINGS|ERRORS)\s*$""".r
   // client-probe SHOW surface for descoped features (triggers, events,
@@ -343,7 +345,24 @@ object Dml {
     }
   }
 
+  // database DDL + USE (reference sql/plan/dbddl.go, dbddl_queries):
+  // existence errors 1007/1008/1049, IF (NOT) EXISTS Notes, display-case
+  // names, charset/collation clause 1235 warnings
+  private val CreateDbStmt =
+    """(?is)^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_$][A-Za-z0-9_$]*)`?\s*(.*?)\s*;?\s*$""".r
+  private val DropDbStmt =
+    """(?is)^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?`?([A-Za-z_$][A-Za-z0-9_$]*)`?\s*;?\s*$""".r
+  private val UseStmt =
+    """(?is)^\s*USE\s+`?([A-Za-z_$][A-Za-z0-9_$]*)`?\s*;?\s*$""".r
+
   private def dispatchTrimmed(e: Engine, sql: String): Option[DataFrame] = sql match {
+    case CreateDbStmt(ifNot, name, tail) =>
+      Some(ok(e, e.createDatabaseStmt(name, ifNot != null, tail)))
+    case DropDbStmt(ifEx, name) =>
+      Some(ok(e, e.dropDatabaseStmt(name, ifEx != null)))
+    case UseStmt(name) =>
+      e.useStmt(name)
+      Some(e.spark.emptyDataFrame)
     // INSERT ... RETURNING <exprs> (MariaDB-style, supported by the
     // reference — insert_queries.go "insert...returning... statements"):
     // run the insert, then project the expressions over the rows this

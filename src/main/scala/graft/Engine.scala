@@ -448,6 +448,16 @@ class Engine(val spark: SparkSession) {
     }, "scala_udf")
     // SLEEP(n) returns 0; an embedded analytics session does not block
     reg.createOrReplaceTempFunction("sleep", _ => Literal(0), "scala_udf")
+    // DATABASE()/SCHEMA() read the SESSION's selected database — NULL
+    // after the current database is dropped (dbddl.go), the display-case
+    // name otherwise. Resolved at analysis time like the lock functions.
+    def dbLit(): Literal =
+      if (sessionDb == null)
+        Literal(null, org.apache.spark.sql.types.StringType)
+      else Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(sessionDb), org.apache.spark.sql.types.StringType)
+    reg.createOrReplaceTempFunction("database", _ => dbLit(), "scala_udf")
+    reg.createOrReplaceTempFunction("schema", _ => dbLit(), "scala_udf")
   }
 
   private val namedLocks = scala.collection.mutable.Map.empty[String, Int]
@@ -1163,11 +1173,74 @@ class Engine(val spark: SparkSession) {
 
   def currentDatabase: String = spark.catalog.currentDatabase
 
+  /** Display-case registry: Spark lowercases catalog namespaces, MySQL
+    * preserves the CREATE DATABASE spelling (SHOW DATABASES / DATABASE()
+    * report 'NewDatabase', not 'newdatabase'). */
+  private[graft] val dbDisplay =
+    scala.collection.mutable.Map.empty[String, String]
+  private def dbShown(lower: String): String = dbDisplay.getOrElse(lower, lower)
+
   def showDatabases(): Seq[String] =
-    spark.catalog.listDatabases().collect().map(_.name).toSeq.sorted
+    spark.catalog.listDatabases().collect().map(d => dbShown(d.name))
+      .toSeq.sorted
 
   def dropDatabase(db: String): Unit =
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+
+  /** CREATE DATABASE/SCHEMA statement semantics (reference
+    * sql/plan/dbddl.go): duplicate name is 1007 (a Note under IF NOT
+    * EXISTS, still OkResult 1); charset/collation/encryption clauses
+    * warn 1235. */
+  private[graft] def createDatabaseStmt(name: String, ifNotExists: Boolean,
+                                        clauseTail: String): Long = {
+    val lower = name.toLowerCase
+    val exists = spark.catalog.databaseExists(lower)
+    if (exists) {
+      if (!ifNotExists) throw new IllegalArgumentException(
+        s"can't create database $name; database exists (MySQL error 1007)")
+      addDiag("Note", 1007, s"Can't create database $name; database exists ")
+      return 1L
+    }
+    if (clauseTail.trim.nonEmpty &&
+        """(?i)\b(CHARACTER\s+SET|CHARSET|COLLATE|ENCRYPTION)\b""".r
+          .findFirstIn(clauseTail).isDefined)
+      warn(1235,
+        "Setting CHARACTER SET, COLLATION and ENCRYPTION are not supported yet")
+    spark.sql(s"CREATE DATABASE `$lower`")
+    dbDisplay(lower) = name
+    1L
+  }
+
+  /** DROP DATABASE/SCHEMA: missing name is 1008 (a Note + OkResult 0
+    * under IF EXISTS); dropping the CURRENT database leaves no database
+    * selected — DATABASE() reads NULL (reference dbddl.go). */
+  private[graft] def dropDatabaseStmt(name: String, ifExists: Boolean): Long = {
+    val lower = name.toLowerCase
+    if (!spark.catalog.databaseExists(lower)) {
+      if (!ifExists) throw new IllegalArgumentException(
+        s"can't drop database $name; database doesn't exist (MySQL error 1008)")
+      addDiag("Note", 1008,
+        s"Can't drop database $name; database doesn't exist ")
+      return 0L
+    }
+    val wasCurrent = sessionDb != null && sessionDb.toLowerCase == lower
+    if (spark.catalog.currentDatabase == lower) spark.sql("USE default")
+    spark.sql(s"DROP DATABASE `$lower` CASCADE")
+    dbDisplay.remove(lower)
+    if (wasCurrent) sessionDb = null
+    1L
+  }
+
+  /** USE statement: unknown database is MySQL 1049. */
+  private[graft] def useStmt(name: String): Unit = {
+    val lower = name.toLowerCase
+    if (!spark.catalog.databaseExists(lower) &&
+        lower != "information_schema" && lower != "mysql")
+      throw new IllegalArgumentException(
+        s"database not found: $name (MySQL error 1049)")
+    if (spark.catalog.databaseExists(lower)) spark.sql(s"USE `$lower`")
+    sessionDb = dbShown(lower)
+  }
 
   /** CREATE TABLE t AS SELECT ... (TableCopier, sql/plan/table_copier.go).
     * A db-qualified target materializes into the catalog namespace. */
