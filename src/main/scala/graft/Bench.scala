@@ -35,19 +35,26 @@ object Bench {
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
-    // global JVM warm-up on an unrelated plan, then per-query best-of-2
+    // global JVM warm-up on an unrelated plan, then per-query best-of-N
+    // (default 2). GRAFT_BENCH_SAMPLES raises N for variance analysis —
+    // every sample lands in BENCH_FULL.json's "samples" map so an
+    // intermittent spike is distinguishable from machine noise.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.all.filter(q => only.forall(_.contains(q.name))).map { q =>
-      val a = timeOnce(q.fn)
-      val b = timeOnce(q.fn)
+    val nSamples = sys.env.get("GRAFT_BENCH_SAMPLES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    val sampled = SparkEntry.all.filter(q => only.forall(_.contains(q.name))).map { q =>
+      val ss = Vector.fill(nSamples)(timeOnce(q.fn))
       // Release this query's persisted intermediates before moving on.
-      // Between the two runs the caches stay warm (Spark's CacheManager
-      // dedupes on plan equality, so run b reuses run a's materialized
+      // Between samples the caches stay warm (Spark's CacheManager
+      // dedupes on plan equality, so later runs reuse the materialized
       // intermediates — the steady-state shape of a long-lived cluster);
       // across 173 queries they must not accrete, or LRU eviction churn
       // taxes the tail queries (the r10 driver sweep's 2–4× spikes).
       CacheScope.drain()
-      q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      q.name -> ss
+    }
+    val results = sampled.map { case (n, ss) =>
+      n -> (if (ss.exists(_ < 0)) -1.0 else ss.min)
     }
 
     // ms precision: the harness capturing this line keeps only a ~2000-char
@@ -64,8 +71,14 @@ object Bench {
     // a GRAFT_BENCH_ONLY-filtered iteration must never clobber the full
     // sweep, so filtered runs land in BENCH_PARTIAL.json instead
     val outName = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    // the on-disk copy carries every raw sample (the stdout contract
+    // stays one compact line — the driver keeps only a short tail)
+    val samplesJson = sampled.map { case (k, ss) =>
+      "\"" + k + "\":[" + ss.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileLine = line.stripSuffix("}") + s""","samples":$samplesJson}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outName), line + "\n")
+      java.nio.file.Paths.get(outName), fileLine + "\n")
     catch { case _: Throwable => }
     println(line)
     spark.stop()

@@ -1657,7 +1657,7 @@ object Dml {
         .filter(t => db == null || t.tableType != "TEMPORARY" ||
           t.database == db)
         // info-schema scaffolding views are not user tables
-        .filterNot(_.name.startsWith("information_schema_"))
+        .filterNot(t => e.infoSchemaViews(t.name.toLowerCase))
         .map(t => (t.name,
           if (e.viewDefs.contains(t.name) || t.tableType == "VIEW") "VIEW"
           else "BASE TABLE"))

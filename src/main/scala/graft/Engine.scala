@@ -290,6 +290,13 @@ object Dialect {
   * the reference's in-memory integrator semantics.
   */
 object Engine {
+  /** Exact JVM-global registry of information_schema scaffolding view
+    * names (the views live in the shared SparkSession): catalog listings
+    * hide these by MEMBERSHIP, never by name prefix, so a user table
+    * named `information_schema_foo` stays visible. */
+  private[graft] val infoSchemaViews =
+    scala.collection.mutable.Set.empty[String]
+
   /** Monotonic per-JVM engine id: durable-state paths (snapshots, DML
     * materializations) are scoped per Engine instance so two engines on
     * one SparkSession never overwrite each other's warehouse files (an
@@ -4074,10 +4081,26 @@ class Engine(val spark: SparkSession) {
       .write.mode("overwrite").option("sep", fieldsTerminatedBy).csv(path)
   }
 
+  /** Exact registry of the engine's information_schema scaffolding view
+    * names: SHOW TABLES / information_schema.tables hide these by
+    * MEMBERSHIP, never by name prefix — a user table that happens to be
+    * called `information_schema_foo` must stay visible. */
+  // JVM-global (companion): the views live in the SHARED SparkSession,
+  // so a fresh Engine must still hide scaffolding a previous one
+  // registered
+  private[graft] def infoSchemaViews = Engine.infoSchemaViews
+  private[graft] implicit class InfoViewDf(
+      df: org.apache.spark.sql.DataFrame) {
+    def asInfoView(name: String): Unit = {
+      infoSchemaViews += name.toLowerCase
+      df.createOrReplaceTempView(name)
+    }
+  }
+
   /** SHOW TABLES (catalog read; info-schema scaffolding excluded). */
   def showTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq
-      .filterNot(_.startsWith("information_schema_")).sorted
+      .filterNot(n => infoSchemaViews(n.toLowerCase)).sorted
 
   /** DESCRIBE t (catalog read). */
   def describe(table: String): Seq[(String, String)] =
@@ -4202,13 +4225,13 @@ class Engine(val spark: SparkSession) {
     // the information_schema_* views themselves are catalog
     // infrastructure, not user tables — never enumerate them
     val tables = spark.catalog.listTables().collect()
-      .filterNot(_.name.startsWith("information_schema_"))
+      .filterNot(t => infoSchemaViews(t.name.toLowerCase))
     val db = sessionDb
 
     Seq(("def", db, "utf8mb4", "utf8mb4_0900_ai_ci", null: String, "NO"))
       .toDF("catalog_name", "schema_name", "default_character_set_name",
         "default_collation_name", "sql_path", "default_encryption")
-      .createOrReplaceTempView("information_schema_schemata")
+      .asInfoView("information_schema_schemata")
 
     // MySQL's full 21-column TABLES shape (tables_table.go; the
     // information_schema_queries.go "column specific tests" blocks pin
@@ -4246,7 +4269,7 @@ class Engine(val spark: SparkSession) {
         "data_length", "max_data_length", "index_length", "data_free",
         "auto_increment", "table_collation", "checksum", "create_options",
         "table_comment")
-      .createOrReplaceTempView("information_schema_tables")
+      .asInfoView("information_schema_tables")
 
     tables.flatMap { t =>
       // column_key renders like DESCRIBE's Key column (PRI/UNI/MUL;
@@ -4345,7 +4368,7 @@ class Engine(val spark: SparkSession) {
         "character_set_name", "collation_name", "column_type",
         "column_key", "extra", "privileges", "column_comment",
         "generation_expression", "srs_id")
-      .createOrReplaceTempView("information_schema_columns")
+      .asInfoView("information_schema_columns")
 
     // declared keys AND secondary/unique index declarations surface
     // (reference statistics_table.go; non_unique = 0 for PK/UNIQUE)
@@ -4376,7 +4399,7 @@ class Engine(val spark: SparkSession) {
         "index_schema", "index_name", "seq_in_index", "column_name",
         "collation", "cardinality", "sub_part", "packed", "nullable",
         "index_type", "comment", "index_comment", "is_visible", "expression")
-      .createOrReplaceTempView("information_schema_statistics")
+      .asInfoView("information_schema_statistics")
     // key_column_usage: PK + UNIQUE + FK child columns with their
     // referenced parent (reference key_column_usage_table.go)
     val kcuRows =
@@ -4405,7 +4428,7 @@ class Engine(val spark: SparkSession) {
         "ordinal_position", "position_in_unique_constraint",
         "referenced_table_schema", "referenced_table_name",
         "referenced_column_name")
-      .createOrReplaceTempView("information_schema_key_column_usage")
+      .asInfoView("information_schema_key_column_usage")
 
     // TABLE_CONSTRAINTS / REFERENTIAL_CONSTRAINTS / CHECK_CONSTRAINTS —
     // MySQL's full column shapes (table_constraints_table.go,
@@ -4425,7 +4448,7 @@ class Engine(val spark: SparkSession) {
     (pkRows ++ ckRows ++ ukRows ++ fkRows)
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
         "table_schema", "table_name", "constraint_type", "enforced")
-      .createOrReplaceTempView("information_schema_table_constraints")
+      .asInfoView("information_schema_table_constraints")
     foreignKeys.toSeq
       .map { f =>
         // UNIQUE_CONSTRAINT_NAME: the parent-side key the FK targets —
@@ -4446,22 +4469,22 @@ class Engine(val spark: SparkSession) {
         "unique_constraint_catalog", "unique_constraint_schema",
         "unique_constraint_name", "match_option", "update_rule",
         "delete_rule", "table_name", "referenced_table_name")
-      .createOrReplaceTempView("information_schema_referential_constraints")
+      .asInfoView("information_schema_referential_constraints")
     checkConstraints.toSeq.map { case (t, n, ex, _) =>
       ("def", db, n, graft.functions.CheckExprRender.render(ex)) }
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
         "check_clause")
-      .createOrReplaceTempView("information_schema_check_constraints")
+      .asInfoView("information_schema_check_constraints")
 
     Seq(("utf8mb4", "utf8mb4_0900_ai_ci", "UTF-8 Unicode", 4))
       .toDF("character_set_name", "default_collate_name", "description",
         "maxlen")
-      .createOrReplaceTempView("information_schema_character_sets")
+      .asInfoView("information_schema_character_sets")
 
     // VIEWS: the stored CREATE VIEW definitions (views_table.go)
     viewDefs.toSeq.map { case (n, sql) => ("def", db, n, sql) }
       .toDF("table_catalog", "table_schema", "table_name", "view_definition")
-      .createOrReplaceTempView("information_schema_views")
+      .asInfoView("information_schema_views")
 
     registerStaticInfoSchema()
 
@@ -4470,7 +4493,7 @@ class Engine(val spark: SparkSession) {
     // the JSON here follows the USING DATA grammar (stats_queries.go)
     columnStats.toSeq.map { case ((t, c), h) => (db, t, c, h) }
       .toDF("schema_name", "table_name", "column_name", "histogram")
-      .createOrReplaceTempView("information_schema_column_statistics")
+      .asInfoView("information_schema_column_statistics")
 
     // MySQL-client parity: report the InnoDB engine row exactly as the
     // reference does (information_schema_queries.go ENGINES block) —
@@ -4479,7 +4502,7 @@ class Engine(val spark: SparkSession) {
       "Supports transactions, row-level locking, and foreign keys",
       "YES", "YES", "YES"))
       .toDF("engine", "support", "comment", "transactions", "xa", "savepoints")
-      .createOrReplaceTempView("information_schema_engines")
+      .asInfoView("information_schema_engines")
 
     // registered function surface (reference routines_table.go; here the
     // session FunctionRegistry stands in for stored routines)
@@ -4487,7 +4510,7 @@ class Engine(val spark: SparkSession) {
       .listFunction().map(f => (f.funcName.toLowerCase, "FUNCTION", db))
       .distinct.sorted
       .toDF("routine_name", "routine_type", "routine_schema")
-      .createOrReplaceTempView("information_schema_routines")
+      .asInfoView("information_schema_routines")
   }
 
   /** Static MySQL catalogs + empty-but-present system tables — contents
@@ -4506,26 +4529,26 @@ class Engine(val spark: SparkSession) {
       (n, cs, id, if (d) "Yes" else "", if (c) "Yes" else "", sl, pad) }
       .toDF("collation_name", "character_set_name", "id", "is_default",
         "is_compiled", "sortlen", "pad_attribute")
-      .createOrReplaceTempView("information_schema_collations")
+      .asInfoView("information_schema_collations")
 
     Engine.collationCatalog.map { case (_, n, cs, _, _, _, _) => (n, cs) }
       .toDF("collation_name", "character_set_name")
-      .createOrReplaceTempView(
+      .asInfoView(
         "information_schema_collation_character_set_applicability")
 
     Engine.keywordCatalog
       .toDF("word", "reserved")
-      .createOrReplaceTempView("information_schema_keywords")
+      .asInfoView("information_schema_keywords")
 
     Engine.unitsCatalog
       .toDF("unit_name", "unit_type", "description", "conversion_factor")
-      .createOrReplaceTempView("information_schema_st_units_of_measure")
+      .asInfoView("information_schema_st_units_of_measure")
 
     Engine.srsCatalog.map { case (n, id, org, ocs, defn, desc) =>
       (n, id, org, ocs, defn, if (desc.isEmpty) null else desc) }
       .toDF("srs_name", "srs_id", "organization",
         "organization_coordsys_id", "definition", "description")
-      .createOrReplaceTempView(
+      .asInfoView(
         "information_schema_st_spatial_reference_systems")
 
     // system tables a JDBC/BI metadata probe expects to resolve —
@@ -4537,7 +4560,7 @@ class Engine(val spark: SparkSession) {
           org.apache.spark.sql.types.StringType, nullable = true)))
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        .createOrReplaceTempView("information_schema_" + t)
+        .asInfoView("information_schema_" + t)
     }
   }
 
