@@ -1672,8 +1672,15 @@ object Dml {
     case ShowColumns(full, tableRaw, dbOpt, like, where) =>
       val s = e.spark
       import s.implicits._
+      // the FROM-db qualifier resolves like SHOW INDEXES: the session
+      // database's tables live as unqualified temp views, so a qualified
+      // name that doesn't resolve falls back to the bare one
+      // (information_schema_queries.go `show columns from fk_tbl from mydb`)
       val table = Option(dbOpt) match {
-        case Some(db) => s"$db.${normName(tableRaw)}"
+        case Some(db) =>
+          Some(e.canonicalTable(s"$db.${normName(tableRaw)}"))
+            .filter(q => scala.util.Try(e.spark.table(q)).isSuccess)
+            .getOrElse(normName(tableRaw))
         case None => normName(tableRaw)
       }
       val base =
@@ -1722,6 +1729,11 @@ object Dml {
       val nullable = if (t == null) Map.empty[String, Boolean]
         else t.schema.fields.map(f =>
           f.name.toLowerCase -> f.nullable).toMap
+      // Null reports the DECLARED state (notNullCols/PK), not the
+      // physical frame flag; Table reports the STORED name case
+      val pkColsIdx = e.tableKeys.getOrElse(table, Seq.empty)
+        .map(_.toLowerCase).toSet
+      val shownName = table.split('.').last
       val uniqueNames = e.uniqueKeys.collect {
         case (tt, n, _) if tt == table => n.toLowerCase }.toSet
       def rows(keyName: String, nonUnique: Int, cols: Seq[String],
@@ -1729,8 +1741,10 @@ object Dml {
         if (infoSchemaDb) Seq.empty
         else cols.zipWithIndex.map { case (c, i) =>
           val nn = if (expr.isEmpty &&
-              nullable.getOrElse(c.toLowerCase, true)) "YES" else ""
-          (bare, nonUnique, keyName, i + 1,
+              nullable.getOrElse(c.toLowerCase, true) &&
+              !e.notNullCols((table, c.toLowerCase)) &&
+              !pkColsIdx(c.toLowerCase)) "YES" else ""
+          (shownName, nonUnique, keyName, i + 1,
             if (expr.isDefined) null else c,
             null: String, 0L, null: String, null: String, nn, "BTREE",
             "", "", "YES", expr.orNull)
@@ -1763,15 +1777,18 @@ object Dml {
           "COLLATE utf8mb4_0900_bin */"))
         .toDF("Database", "Create Database"))
 
-    case ShowCreate(table) if e.viewDefs.contains(table) =>
+    case ShowCreate(tableRaw) if e.viewDefs.contains(tableRaw) =>
       // MySQL's SHOW CREATE TABLE on a view answers in the view form
       // (ansi_quotes_queries.go "show create table view1")
-      dispatchTrimmed(e, s"SHOW CREATE VIEW `$table`")
+      dispatchTrimmed(e, s"SHOW CREATE VIEW `$tableRaw`")
 
-    case ShowCreate(table) =>
+    case ShowCreate(tableRaw) =>
       val s = e.spark
       import s.implicits._
-      Some(Seq((table, e.showCreateTable(table)))
+      // render the STORED name, not the query's spelling
+      // (information_schema_queries.go `SHOW CREATE TABLE mytaBLE`)
+      val table = e.canonicalTable(normName(tableRaw))
+      Some(Seq((table.split('.').last, e.showCreateTable(table)))
         .toDF("Table", "Create Table"))
 
     case _ => None

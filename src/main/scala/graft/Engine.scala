@@ -2045,8 +2045,18 @@ class Engine(val spark: SparkSession) {
                 .isInstanceOf[org.apache.spark.sql.types.StringType]
             case _ => false
           }
+          // booleans write their MySQL tinyint form into string columns
+          // ('1'/'0', not Spark's 'true'/'false' — script_queries.go
+          // "bool and string/int": INSERT true into VARCHAR reads '1')
+          val boolToStr = dt.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+            df.schema(c).dataType == org.apache.spark.sql.types.BooleanType
           val casted =
-            if (fracSrc && integralBounds(dt).isDefined)
+            if (boolToStr) {
+              import org.apache.spark.sql.functions.when
+              when(df(c) === true, "1").when(df(c) === false, "0")
+                .otherwise(null).cast(dt)
+            }
+            else if (fracSrc && integralBounds(dt).isDefined)
               org.apache.spark.sql.functions.round(df(c)).cast(dt)
             else if (temporalSrc)
               org.apache.spark.sql.GraftBridge.column(
@@ -4449,6 +4459,37 @@ class Engine(val spark: SparkSession) {
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
         "table_schema", "table_name", "constraint_type", "enforced")
       .asInfoView("information_schema_table_constraints")
+
+    // *_EXTENSIONS catalog tables (MySQL 8 engine-attribute surface —
+    // information_schema_queries.go extensions blocks): one row per
+    // schema/table/column/constraint, NULL attribute columns
+    tables.toSeq.map(t => ("def", Option(t.database).getOrElse(db), t.name,
+        null: String, null: String))
+      .toDF("table_catalog", "table_schema", "table_name",
+        "engine_attribute", "secondary_engine_attribute")
+      .asInfoView("information_schema_tables_extensions")
+    tables.flatMap { t =>
+      scala.util.Try(spark.table(t.name).schema.fields).toOption
+        .getOrElse(Array.empty).map(f =>
+          ("def", Option(t.database).getOrElse(db), t.name, f.name,
+            null: String, null: String))
+    }.toSeq
+      .toDF("table_catalog", "table_schema", "table_name", "column_name",
+        "engine_attribute", "secondary_engine_attribute")
+      .asInfoView("information_schema_columns_extensions")
+    (tableKeys.keys.toSeq.map(t => ("def", db, "PRIMARY", t.toLowerCase)) ++
+      foreignKeys.toSeq.map(f => ("def", db, f.name, f.child.toLowerCase)) ++
+      uniqueKeys.toSeq.map { case (t, n, _) => ("def", db, n, t.toLowerCase) } ++
+      checkConstraints.toSeq.map { case (t, n, _, _) =>
+        ("def", db, n, t.toLowerCase) })
+      .map { case (a, b, c, d) => (a, b, c, d, null: String, null: String) }
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "table_name", "engine_attribute", "secondary_engine_attribute")
+      .asInfoView("information_schema_table_constraints_extensions")
+    ("information_schema" +: showDatabases().filterNot(_ == "default"))
+      .distinct.map(s => ("def", s, ""))
+      .toDF("catalog_name", "schema_name", "options")
+      .asInfoView("information_schema_schemata_extensions")
     foreignKeys.toSeq
       .map { f =>
         // UNIQUE_CONSTRAINT_NAME: the parent-side key the FK targets —

@@ -304,6 +304,8 @@ object MySqlArith {
       case LongType => if (child.foldable) DecimalType(20, 0) else LongType
       case d: DecimalType => d
       case NullType => NullType
+      // -'' / -'3x' negate the string's double prefix (convert_value.go)
+      case dt if isStringish(dt) => DoubleType
       case other => other
     }
     override def nullable: Boolean = true
@@ -321,6 +323,8 @@ object MySqlArith {
         Decimal(d.toJavaBigDecimal.negate(), d.precision, d.scale)
       case f: Float => -f
       case d: Double => -d
+      case u: UTF8String => -strToDouble(u.toString)
+      case b: Array[Byte] => -strToDouble(new String(b, "UTF-8"))
       case other => other
     }
     override protected def withNewChildInternal(c: Expression) = copy(c)
@@ -622,6 +626,25 @@ object MySqlArith {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** DIV-operand coercion (reference div.go IntDiv): inexact operands
+    * (double/float/string/temporal) convert to DECIMAL so Spark's
+    * integral division accepts them — 1.2 DIV 1 is 1, 'a1' DIV 'a1' is
+    * 0 DIV 0 → NULL. Identity (stripped) on exact numerics. */
+  case class MySqlIntOperand(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    def isIdentity: Boolean = isExactNumeric(child.dataType)
+    override def dataType: DataType =
+      if (isIdentity) child.dataType else DecimalType(38, 9)
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(v: Any): Any =
+      if (isIdentity) v
+      else {
+        val jb = toJbd(v, child.dataType)
+        if (jb == null) null else Decimal(jb.setScale(9, RoundingMode.HALF_UP), 38, 9)
+      }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** Adaptive arithmetic-operand coercion: identity on numeric/null
     * operands (stripped from the analyzed plan — zero cost), MySQL
     * numeric form otherwise: temporal → yyyymmdd[hhmmss] DECIMAL,
@@ -693,6 +716,9 @@ object MySqlArithRewrite {
     * through [[rewriteExpr]] for nested chains (`floor(1/2) + 1`). */
   private def mapSpine(e: Expression): Expression = e match {
     case d: Divide => MySqlDiv(divOperand(d.left), divOperand(d.right))
+    case d: IntegralDivide =>
+      // DIV needs exact operands; MySqlIntOperand converts inexact ones
+      d.withNewChildren(d.children.map(c => MySqlIntOperand(mapOperand(c))))
     case a if isArith(a) && a.children.exists(isIntervalOperand) =>
       // temporal ± interval: native Spark semantics; interiors still
       // get their own rewrites
@@ -758,6 +784,11 @@ object MySqlArithRewrite {
     case l: Like =>
       Like(MySqlStrOperand(rewriteExpr(l.left)),
         MySqlStrOperand(rewriteExpr(l.right)), l.escapeChar)
+    case c: Concat =>
+      // || under PIPES_AS_CONCAT concatenates MySQL string forms
+      // (true || false is '10', not 'truefalse')
+      c.withNewChildren(c.children.map(ch =>
+        MySqlStrOperand(rewriteExpr(ch))))
     case b: Between =>
       // MySQL BETWEEN is (a >= lo AND a <= hi) with per-pair comparison
       // coercion; Spark's RuntimeReplaceable desugar would use native
@@ -938,6 +969,7 @@ object MySqlArithRewrite {
   private val stripRules: PartialFunction[Expression, Expression] = {
     case sub: SubqueryExpression => sub.withNewPlan(stripIdentity(sub.plan))
     case n: MySqlNumOperand if n.isIdentity => n.child
+    case n: MySqlIntOperand if n.isIdentity => n.child
     case b: MySqlBool if b.isIdentity => b.child
     case b: MySqlBool if b.child.dataType == NullType =>
       Literal(null, BooleanType)
