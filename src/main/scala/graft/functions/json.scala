@@ -317,7 +317,11 @@ object json {
     else if (n.isTextual) "STRING"
     else if (n.isBoolean) "BOOLEAN"
     else if (n.isNull) "NULL"
-    else if (n.isIntegralNumber) "INTEGER"
+    // integral values past uint32 report the unsigned type (reference
+    // json type mapping: json_type('4294967296') is UNSIGNED INTEGER,
+    // '4294967295' is INTEGER)
+    else if (n.isIntegralNumber)
+      if (n.asLong(0L) > 4294967295L) "UNSIGNED INTEGER" else "INTEGER"
     else "DOUBLE"
 
   /** MySQL JSON_CONTAINS semantics. */
@@ -1059,7 +1063,29 @@ object json {
     reg.createOrReplaceTempFunction("json_keys", es => JsonKeys(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_length_mysql", es => JsonLengthMySql(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_depth", es => JsonDepth(es), "scala_udf")
-    reg.createOrReplaceTempFunction("json_type", es => JsonTypeOf(es), "scala_udf")
+    reg.createOrReplaceTempFunction("json_type", es => {
+      // CAST(x AS JSON) renders to text here, erasing the SOURCE type the
+      // reference's json_type reports — recover it statically from the
+      // cast chain (decimal -> DECIMAL, date/datetime -> DATE/DATETIME,
+      // the unsigned marker DECIMAL(20,0) -> UNSIGNED INTEGER)
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val static = es.headOption.collect {
+        case c: Cast if c.dataType.isInstanceOf[StringType] =>
+          scala.util.Try(c.child.dataType).toOption.collect {
+            case DecimalType() if c.child.dataType == DecimalType(20, 0) =>
+              "UNSIGNED INTEGER"
+            case _: DecimalType => "DECIMAL"
+            case DateType => "DATE"
+            case TimestampType | TimestampNTZType => "DATETIME"
+          }
+      }.flatten
+      static match {
+        case Some(t) => Literal(UTF8String.fromString(t), StringType)
+        case None => JsonTypeOf(es)
+      }
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("json_valid", es => JsonValid(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("json_contains", es => JsonContainsMySql(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_contains_path", es => JsonContainsPath(es), "scala_udf")
