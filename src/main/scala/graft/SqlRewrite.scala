@@ -1061,10 +1061,16 @@ object SqlRewrite {
               (cI, allNumeric)
             }.toMap
             val selects = tuples.map { tup =>
+              // MySQL names VALUES-table columns column_0, column_1… —
+              // the Dialect pass has ALREADY renamed query references to
+              // Spark's col1, col2… (1-based), so the lifted selects
+              // alias to those
               "SELECT " + tup.zipWithIndex.map { case (v, cI) =>
-                if (lifted(cI) && v.startsWith("'"))
-                  v.substring(1, v.length - 1)
-                else v
+                val v2 =
+                  if (lifted(cI) && v.startsWith("'"))
+                    v.substring(1, v.length - 1)
+                  else v
+                s"$v2 AS col${cI + 1}"
               }.mkString(", ")
             }
             return sql.substring(0, toks(i).start) +
