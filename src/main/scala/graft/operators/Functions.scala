@@ -1363,6 +1363,6 @@ object Functions {
                 'root@localhost' AS session_usr,
                 'root@localhost' AS cur_usr,
                 CAST(0 AS BIGINT) AS found_n, CAST(-1 AS BIGINT) AS row_n,
-                CAST(0 AS BIGINT) AS last_id, 'default' AS db"""))
+                CAST(0 AS BIGINT) AS last_id, 'mydb' AS db"""))
   )
 }

@@ -11,6 +11,10 @@ class ReferenceDatabaseScriptsSpec extends GoScriptCorpusSpec {
   val path = "/root/reference/enginetest/queries/script_queries.go"
   val varNames = Seq("CreateDatabaseScripts", "DropDatabaseScripts")
   override def fixtures: Seq[String] = Seq(
+    // earlier suites may leave catalog databases behind (the info-schema
+    // fixtures create `foo`); the scripts assert exact SHOW DATABASES
+    // contents, so start from the reference harness's {mydb} state
+    "DROP DATABASE IF EXISTS foo",
     "CREATE DATABASE IF NOT EXISTS mydb",
     "USE mydb")
   override def blockDivergenceFile: Option[String] =

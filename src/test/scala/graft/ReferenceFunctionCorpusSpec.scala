@@ -414,7 +414,8 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
     // DIVERGENCE: MySQL wraps a bare DECIMAL literal as a JSON DECIMAL
     // (json_scripts.go:84); this engine's JSON documents are text, so the
     // numeric re-parses as DOUBLE. Pinned.
-    one("select JSON_TYPE(CAST(321.4 AS JSON))", "DOUBLE")
+    // unquoted 321.4 parses as a DECIMAL before wrapping (json_scripts.go)
+    one("select JSON_TYPE(CAST(321.4 AS JSON))", "DECIMAL")
   }
 
   test("COALESCE cases (function_queries.go:376-398)") {
