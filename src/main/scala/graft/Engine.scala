@@ -95,6 +95,9 @@ object Dialect {
       .replaceAll("(?i)\\bAS\\s+JSON\\s*\\)", "AS STRING)")
       // MySQL 8 VALUES ROW(...) constructor -> bare tuples
       .replaceAll("(?i)\\bROW\\s*\\(", "(")
+      // niladic keyword form: CURRENT_USER without parentheses calls the
+      // registered function (Spark's bare CURRENT_USER is the OS user)
+      .replaceAll("(?i)\\bCURRENT_USER\\b(?!\\s*\\()", "CURRENT_USER()")
       // MySQL logical operators (reference sql/expression/logic.go):
       // || is OR, && is AND, ! is NOT — except under PIPES_AS_CONCAT
       // (sql_mode.go:30), where || is string concat, which is exactly

@@ -339,6 +339,15 @@ object MySqlArith {
     case _ => false
   }
 
+  /** CAST(boolean AS JSON) — rendered as 'true'/'false' text here — is a
+    * JSON BOOLEAN document; MySQL's JSON comparison orders it apart from
+    * any STRING. */
+  private[functions] def isBoolJsonCast(e: Expression): Boolean = e match {
+    case c: Cast => c.dataType.isInstanceOf[StringType] &&
+      c.child.dataType == BooleanType
+    case _ => false
+  }
+
   /** MySQL truthiness of any value (reference sql/types/convert_value.go
     * ConvertToBool, used by logic.go AND/OR/XOR and boolean contexts):
     * numbers ≠ 0, strings by numeric prefix ('3bxu' → true, 'asdf' →
@@ -494,6 +503,11 @@ object MySqlArith {
           case _ => 0
         }
         Some(Integer.compare(b(l, lt), b(r, rt)))
+      } else if (isStringish(lt) && isStringish(rt) &&
+                 (isBoolJsonCast(left) != isBoolJsonCast(right))) {
+        // JSON BOOLEAN document vs STRING: different JSON types — never
+        // equal; MySQL's JSON type order puts BOOLEAN above STRING
+        Some(if (isBoolJsonCast(left)) 1 else -1)
       } else if (isStringish(lt) && isStringish(rt)) {
         // reached only through mixed-type IN lists (plain same-type
         // comparisons strip to the native operator); MySQL's default
@@ -504,6 +518,11 @@ object MySqlArith {
           case o => String.valueOf(o)
         }
         Some(str(l).compareToIgnoreCase(str(r)))
+      } else if ((isBoolJsonCast(left) && isNumericish(rt)) ||
+                 (isBoolJsonCast(right) && isNumericish(lt))) {
+        // JSON BOOLEAN document vs number: different JSON types — never
+        // equal (BOOLEAN sorts above numbers in MySQL's JSON order)
+        Some(if (isBoolJsonCast(left)) 1 else -1)
       } else if (isStringish(lt) || isStringish(rt) ||
                  lt == DoubleType || rt == DoubleType ||
                  lt == FloatType || rt == FloatType) {
@@ -844,6 +863,16 @@ object MySqlArithRewrite {
       // DECIMAL(20,0) casts only arise from the AS UNSIGNED mapping
       // (Dialect chain) — uint64 wrap semantics
       MySqlUnsigned(rewriteExpr(c.child))
+    case c: Cast
+        if c.dataType.isInstanceOf[NumericType] &&
+          (c.child match {
+            case inner: Cast => inner.dataType.isInstanceOf[StringType] &&
+              inner.child.dataType == BooleanType
+            case _ => false
+          }) =>
+      // CAST(CAST(bool AS JSON) AS SIGNED): the JSON boolean document is
+      // its 0/1 value, not Spark's failed 'true'-string parse
+      Cast(rewriteExpr(c.child.asInstanceOf[Cast].child), c.dataType)
     case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
       sub.withNewPlan(apply(sub.plan))
     case other => other.mapChildren(rewriteExpr)
@@ -882,7 +911,9 @@ object MySqlArithRewrite {
     * standard Catalyst nodes. */
   private def needsMySqlCmp(l: Expression, r: Expression): Boolean = {
     val (lt, rt) = (l.dataType, r.dataType)
-    if (isJsonSide(l) || isJsonSide(r))
+    if (isBoolJsonCast(l) != isBoolJsonCast(r) &&
+        isStringish(lt) && isStringish(rt)) true
+    else if (isJsonSide(l) || isJsonSide(r))
       // JSON-vs-number double-compares natively (JsonNumericCompareRule
       // semantics, applied by nativeCmp); JSON-vs-boolean needs the
       // custom bool-text comparison ('true' doc = TRUE is 1, not NULL)

@@ -650,6 +650,13 @@ object json {
   /** JSON_TYPE(doc) — MySQL type-name string. */
   case class JsonTypeOf(children: Seq[Expression]) extends JsonExpr {
     override def dataType: DataType = StringType
+    // a NULL input reports the type string "NULL", not SQL NULL
+    // (queries.go json_type(json_extract(..., null)) rows)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = children.head.eval(input)
+      if (v == null) return UTF8String.fromString("NULL")
+      evalNotNull(Seq(v))
+    }
     protected def evalNotNull(vs: Seq[Any]): Any = {
       val d = doc(vs(0))
       if (d == null) null else UTF8String.fromString(typeName(d))
