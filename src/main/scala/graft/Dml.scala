@@ -1280,7 +1280,9 @@ object Dml {
     // savepoints accept as no-ops — every write is already durable
     // (insert_queries.go "autocommit off" blocks run COMMIT explicitly)
     case s if s.matches(
-        "(?is)^\\s*(?:COMMIT|ROLLBACK|BEGIN|START\\s+TRANSACTION|" +
+        "(?is)^\\s*(?:COMMIT|ROLLBACK|BEGIN(?:\\s+WORK)?|" +
+        "START\\s+TRANSACTION(?:[\\s,]+(?:READ\\s+(?:ONLY|WRITE)|" +
+        "WITH\\s+CONSISTENT\\s+SNAPSHOT))*|" +
         "(?:RELEASE\\s+)?SAVEPOINT\\s+\\S+|ROLLBACK\\s+TO\\s+\\S+)\\s*$") =>
       Some(ok(e, 0L))
 

@@ -222,20 +222,20 @@ object Dialect {
     // token-level passes first (each is literal-aware on its own):
     // GROUP_CONCAT(...SEPARATOR...) -> listagg, MySQL XOR truthiness,
     // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
-    val pre = SqlRewrite.orderlessRankWindow(
-      SqlRewrite.tupleCompare(SqlRewrite.convertFn(
+    val pre = SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
+      SqlRewrite.tupleCompare(SqlRewrite.jsonYearCasts(SqlRewrite.convertFn(
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
-          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql))))))))
+          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql))))))))))
     mapCode(pre)(rewriteCode)
   }
 
   /** Session-aware variant: PIPES_AS_CONCAT leaves `||` as Spark's
     * native string concatenation. */
   def rewrite(sql: String, pipesAsConcat: Boolean): String = {
-    val pre = SqlRewrite.orderlessRankWindow(
-      SqlRewrite.tupleCompare(SqlRewrite.convertFn(
+    val pre = SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
+      SqlRewrite.tupleCompare(SqlRewrite.jsonYearCasts(SqlRewrite.convertFn(
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
-          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql))))))))
+          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql))))))))))
     mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
   }
 
@@ -456,8 +456,13 @@ class Engine(val spark: SparkSession) {
       }
       Literal(releaseAllCount)
     }, "scala_udf")
-    // SLEEP(n) returns 0; an embedded analytics session does not block
-    reg.createOrReplaceTempFunction("sleep", _ => Literal(0), "scala_udf")
+    // SLEEP(n) blocks the task for n seconds, then returns 0
+    reg.createOrReplaceTempFunction("sleep",
+      es => graft.functions.expressions.MySqlSleep(es.head), "scala_udf")
+    // SYSDATE() reads the wall clock at each evaluation (NOW() stays
+    // fixed at statement start)
+    reg.createOrReplaceTempFunction("sysdate",
+      _ => graft.functions.expressions.SysDate(), "scala_udf")
     // DATABASE()/SCHEMA() read the SESSION's selected database — NULL
     // after the current database is dropped (dbddl.go), the display-case
     // name otherwise. Resolved at analysis time like the lock functions.
@@ -714,7 +719,11 @@ class Engine(val spark: SparkSession) {
   // @@version_comment` is the first thing the mysql CLI sends). Values
   // are SQL literals; unknown variables read as NULL.
   private val systemVars: Map[String, String] = Map(
-    "version" -> "'8.0.31'", "version_comment" -> "'graft-spark'",
+    "version" -> "'8.0.31'", "version_comment" -> "'Dolt'",
+    "version_compile_machine" -> "''", "version_compile_os" -> "''",
+    "version_compile_zlib" -> "''",
+    "windowing_use_high_precision" -> "'ON'",
+    "back_log" -> "-1", "auto_increment_offset" -> "1",
     "sql_mode" -> "''", "autocommit" -> "1",
     "character_set_client" -> "'utf8mb4'",
     "character_set_connection" -> "'utf8mb4'",
@@ -949,92 +958,181 @@ class Engine(val spark: SparkSession) {
       if (!isSelect) rewritten3
       else SqlRewrite.getFormatKeyword(SqlRewrite.binaryPrefix(rewritten3))
     Dml.dispatch(this, rewritten).getOrElse {
-    plans.RecursiveSql.run(spark, rewritten).getOrElse {
-      try runWithTruthyRetry(rewritten)
-      catch {
-        // MySQL HAVING-without-GROUP-BY is a row filter over projection
-        // aliases (reference sql/planbuilder/select.go); Spark turns it
-        // into a global aggregate. Retry-only: rewrite HAVING -> WHERE
-        // with alias substitution (the result re-enters the truthiness
-        // retry so `HAVING <numeric>` also resolves).
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("MISSING_GROUP_BY") =>
-          val viaWhere = SqlRewrite.havingNoGroup(rewritten)
-          if (viaWhere != rewritten) runWithTruthyRetry(viaWhere)
-          else {
-            // aggregate + bare column without GROUP BY: legal under
-            // ONLY_FULL_GROUP_BY only when WHERE pins the column to a
-            // constant (queries.go `SELECT pk1, SUM(c1) FROM two_pk
-            // WHERE pk1 = 0`); otherwise it stays an error
-            // (order_by_group_by_queries.go `select AVG(j), i from tij`)
+      // recursive-CTE statements execute through the driver fixpoint
+      // loop; routing retries through runStmt keeps the MySQL-semantics
+      // rewrites (HAVING->WHERE, any_value, alias substitution) available
+      // to them too
+      def runStmt(s: String): DataFrame =
+        plans.RecursiveSql.run(spark, s).getOrElse(runWithTruthyRetry(s))
+      // each MySQL-semantics rewrite may expose the NEXT gap in the
+      // same statement (e.g. a second deep-correlated subquery), so
+      // retries recurse with a small budget instead of firing once
+      def attempt(cur: String, budget: Int): DataFrame = {
+        try runStmt(cur)
+        catch {
+          // MySQL HAVING-without-GROUP-BY is a row filter over projection
+          // aliases (reference sql/planbuilder/select.go); Spark turns it
+          // into a global aggregate. Retry-only: rewrite HAVING -> WHERE
+          // with alias substitution (the result re-enters the truthiness
+          // retry so `HAVING <numeric>` also resolves).
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains("MISSING_GROUP_BY") =>
+            val viaWhere = SqlRewrite.havingNoGroup(cur)
+            if (viaWhere != cur) attempt(viaWhere, budget - 1)
+            else {
+              // aggregate + bare column without GROUP BY: legal under
+              // ONLY_FULL_GROUP_BY only when WHERE pins the column to a
+              // constant (queries.go `SELECT pk1, SUM(c1) FROM two_pk
+              // WHERE pk1 = 0`); otherwise it stays an error
+              // (order_by_group_by_queries.go `select AVG(j), i from tij`)
+              def constPinned(c: String): Boolean =
+                ("(?is)\\b" + java.util.regex.Pattern.quote(c) +
+                  "\\s*=\\s*(?:'[^']*'|-?\\d+(?:\\.\\d+)?)").r
+                  .findFirstIn(cur).isDefined
+              val wrapped = SqlRewrite.anyValueWrap(cur, constPinned)
+              if (wrapped == cur) throw e
+              attempt(wrapped, budget - 1)
+            }
+          // non-aggregated column in a grouped select: ONLY_FULL_GROUP_BY
+          // admits it only when the group key functionally determines it —
+          // here, when the single FROM table's PRIMARY KEY is grouped
+          // (order_by_group_by_queries.go: `group by team` + bare id stays
+          // an error; queries.go `GROUP BY i` on mytable's pk passes)
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains("MISSING_AGGREGATION") =>
+            val fromTbl = """(?i)\bFROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?"""
+              .r.findFirstMatchIn(cur).map(_.group(1))
+            val groupTxt =
+              """(?is)\bGROUP\s+BY\s+(.*?)(?:\bHAVING\b|\bORDER\b|\bLIMIT\b|$)"""
+                .r.findFirstMatchIn(cur).map(_.group(1)).getOrElse("")
+            val groupWords = """[A-Za-z_][A-Za-z0-9_]*""".r
+              .findAllIn(groupTxt).map(_.toLowerCase).toSet
+            val pkGrouped = fromTbl.flatMap(t =>
+              tableKeys.get(canonicalTable(t))).exists(pk =>
+              pk.nonEmpty && pk.forall(c => groupWords(c.toLowerCase)))
+            // the offending column is also admissible when WHERE pins it
+            // (or the table pk) to a constant — functionally single-group
             def constPinned(c: String): Boolean =
               ("(?is)\\b" + java.util.regex.Pattern.quote(c) +
                 "\\s*=\\s*(?:'[^']*'|-?\\d+(?:\\.\\d+)?)").r
-                .findFirstIn(rewritten).isDefined
-            val wrapped = SqlRewrite.anyValueWrap(rewritten, constPinned)
-            if (wrapped == rewritten) throw e
-            runWithTruthyRetry(wrapped)
-          }
-        // non-aggregated column in a grouped select: ONLY_FULL_GROUP_BY
-        // admits it only when the group key functionally determines it —
-        // here, when the single FROM table's PRIMARY KEY is grouped
-        // (order_by_group_by_queries.go: `group by team` + bare id stays
-        // an error; queries.go `GROUP BY i` on mytable's pk passes)
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("MISSING_AGGREGATION") =>
-          val fromTbl = """(?i)\bFROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?"""
-            .r.findFirstMatchIn(rewritten).map(_.group(1))
-          val groupTxt =
-            """(?is)\bGROUP\s+BY\s+(.*?)(?:\bHAVING\b|\bORDER\b|\bLIMIT\b|$)"""
-              .r.findFirstMatchIn(rewritten).map(_.group(1)).getOrElse("")
-          val groupWords = """[A-Za-z_][A-Za-z0-9_]*""".r
-            .findAllIn(groupTxt).map(_.toLowerCase).toSet
-          val pkGrouped = fromTbl.flatMap(t =>
-            tableKeys.get(canonicalTable(t))).exists(pk =>
-            pk.nonEmpty && pk.forall(c => groupWords(c.toLowerCase)))
-          if (!pkGrouped) throw e
-          val wrapped = SqlRewrite.anyValueWrap(rewritten)
-          if (wrapped == rewritten) throw e
-          runWithTruthyRetry(wrapped)
-        // DATE-vs-numeric comparison (TestConvert STR_TO_DATE block):
-        // MySQL compares the DATE as yyyymmdd; Spark's analyzer rejects
-        // the type pair. Retry with the date side rendered numeric.
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("BINARY_OP_DIFF_TYPES") &&
-               e.getMessage.contains("\"DATE\"") =>
-          val expanded = SqlRewrite.dateNumericCompare(rewritten)
-          if (expanded == rewritten) throw e
-          runWithTruthyRetry(expanded)
-        // inline VALUES derived table with mixed literal types: MySQL
-        // unifies numerically; rewrite to UNION ALL selects and retry
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("INVALID_INLINE_TABLE") =>
-          val expanded = SqlRewrite.inlineTableUnion(rewritten)
-          if (expanded == rewritten) throw e
-          runWithTruthyRetry(expanded)
-        // BETWEEN over a collated column: Spark's With-node desugaring
-        // drops the collation (INDETERMINATE_COLLATION). Retry with the
-        // explicit >= AND <= form, which is MySQL's definition anyway.
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("INDETERMINATE_COLLATION") =>
-          val expanded = SqlRewrite.betweenExpand(rewritten)
-          if (expanded == rewritten) throw e
-          runWithTruthyRetry(expanded)
-        // MySQL row-value comparisons — `(a,b) = (c,d)`, `(a,b) IN
-        // ((1,2),(3,4))` — have no Spark parse; expand to pairwise
-        // scalar comparisons (exact 3VL) and retry.
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PARSE_SYNTAX_ERROR") ||
-               e.getMessage.contains("Syntax error") ||
-               // row-subquery comparisons: `(select a, b …) IN ((1,2))`
-               // compile to struct comparisons on retry
-               e.getMessage.contains(
-                 "SCALAR_SUBQUERY_RETURN_MORE_THAN_ONE_OUTPUT_COLUMN") =>
-          val expanded = SqlRewrite.tupleCompare(rewritten)
-          if (expanded == rewritten) throw e
-          runWithTruthyRetry(expanded)
+                .findFirstIn(cur).isDefined
+            val offending = "non-aggregating expression \"([^\"]+)\"".r
+              .findFirstMatchIn(e.getMessage).map(_.group(1))
+            val pkPinned = fromTbl.flatMap(t =>
+              tableKeys.get(canonicalTable(t))).exists(pk =>
+              pk.nonEmpty && pk.forall(constPinned))
+            if (sys.env.contains("GRAFT_DEBUG_RETRY"))
+              println(s"MISSING_AGG retry: from=$fromTbl keys=" +
+                fromTbl.map(t => tableKeys.get(canonicalTable(t))) +
+                s" groupWords=$groupWords pkGrouped=$pkGrouped " +
+                s"pkPinned=$pkPinned offending=$offending")
+            if (!pkGrouped && !pkPinned &&
+                !offending.exists(constPinned)) throw e
+            // `SELECT *` with the pk grouped: expand the star to the
+            // table's columns first so the wrap has names to work on
+            val expanded =
+              if (!"""(?is)\bSELECT\s+\*\s+FROM\b""".r
+                    .findFirstIn(cur).isDefined) cur
+              else fromTbl.flatMap(t =>
+                scala.util.Try(spark.table(canonicalTable(t)).columns).toOption)
+                .map(cols => cur.replaceFirst("(?is)(\\bSELECT\\s+)\\*",
+                  "$1" + cols.map(c => s"`$c`").mkString(", ")))
+                .getOrElse(cur)
+            val wrapped = SqlRewrite.anyValueWrap(expanded)
+            if (wrapped == cur) throw e
+            attempt(wrapped, budget - 1)
+          // grouped HAVING referencing a select alias (inside an
+          // aggregate): MySQL resolves via the projection scope; Spark
+          // loses the alias in the Aggregate. Substitute and retry.
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains("MISSING_ATTRIBUTES") =>
+            val sub = SqlRewrite.havingAliasSub(cur)
+            if (sub == cur) throw e
+            attempt(sub, budget - 1)
+          // duplicate select alias referenced in GROUP BY/HAVING: MySQL
+          // binds the FIRST occurrence; Spark errors AMBIGUOUS_REFERENCE
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains("AMBIGUOUS_REFERENCE") =>
+            val sub = SqlRewrite.aliasSubGroupHaving(cur)
+            if (sub == cur) throw e
+            attempt(sub, budget - 1)
+          // UNRESOLVED_COLUMN family of MySQL-scoping gaps, in order:
+          // vacuous ORDER BY over a global aggregate; a 2-levels-out
+          // reference inside an IN subquery (-> LEFT SEMI JOIN, which
+          // lifts every reference one scope); a select-list alias
+          // referenced inside a select-list subquery
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains("UNRESOLVED_COLUMN") =>
+            val nm = "with name ((?:`[^`]+`\\.?)+)".r
+              .findFirstMatchIn(e.getMessage)
+              .map(_.group(1).replace("`", ""))
+            def colsFor(t: String): Seq[String] =
+              scala.util.Try(spark.table(canonicalTable(t)).columns.toSeq)
+                .getOrElse(Seq.empty)
+            val candidates: Seq[() => String] = Seq(
+              () => if ("(?i)\\border\\s+by\\b".r
+                          .findFirstIn(cur).isDefined)
+                      SqlRewrite.stripOrderByGlobalAgg(cur)
+                    else cur,
+              () => if ("(?i)\\border\\s+by\\b".r
+                          .findFirstIn(cur).isDefined)
+                      SqlRewrite.distinctOrderByHidden(cur)
+                    else cur) ++
+              nm.toSeq.flatMap { n =>
+                val deep = () => SqlRewrite.deepInSemiJoin(cur, n, colsFor)
+                val alias = () =>
+                  SqlRewrite.aliasIntoSubquery(cur, n.split('.').last)
+                if (n.contains(".")) Seq(deep, alias) else Seq(alias, deep)
+              }
+            if (sys.env.contains("GRAFT_DEBUG_RETRY"))
+              println(s"UNRESOLVED retry: nm=$nm cands=" +
+                candidates.map(f => f()).map(c =>
+                  if (c == cur) "<same>" else c).mkString(" | "))
+            candidates.view.map(f => f()).find(_ != cur) match {
+              case Some(fixed) => attempt(fixed, budget - 1)
+              case None => throw e
+            }
+          // DATE-vs-numeric comparison (TestConvert STR_TO_DATE block):
+          // MySQL compares the DATE as yyyymmdd; Spark's analyzer rejects
+          // the type pair. Retry with the date side rendered numeric.
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains("BINARY_OP_DIFF_TYPES") &&
+                 e.getMessage.contains("\"DATE\"") =>
+            val expanded = SqlRewrite.dateNumericCompare(cur)
+            if (expanded == cur) throw e
+            attempt(expanded, budget - 1)
+          // inline VALUES derived table with mixed literal types: MySQL
+          // unifies numerically; rewrite to UNION ALL selects and retry
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains("INVALID_INLINE_TABLE") =>
+            val expanded = SqlRewrite.inlineTableUnion(cur)
+            if (expanded == cur) throw e
+            attempt(expanded, budget - 1)
+          // BETWEEN over a collated column: Spark's With-node desugaring
+          // drops the collation (INDETERMINATE_COLLATION). Retry with the
+          // explicit >= AND <= form, which is MySQL's definition anyway.
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains("INDETERMINATE_COLLATION") =>
+            val expanded = SqlRewrite.betweenExpand(cur)
+            if (expanded == cur) throw e
+            attempt(expanded, budget - 1)
+          // MySQL row-value comparisons — `(a,b) = (c,d)`, `(a,b) IN
+          // ((1,2),(3,4))` — have no Spark parse; expand to pairwise
+          // scalar comparisons (exact 3VL) and retry.
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains("PARSE_SYNTAX_ERROR") ||
+                 e.getMessage.contains("Syntax error") ||
+                 // row-subquery comparisons: `(select a, b …) IN ((1,2))`
+                 // compile to struct comparisons on retry
+                 e.getMessage.contains(
+                   "SCALAR_SUBQUERY_RETURN_MORE_THAN_ONE_OUTPUT_COLUMN") =>
+            val expanded = SqlRewrite.tupleCompare(cur)
+            if (expanded == cur) throw e
+            attempt(expanded, budget - 1)
+        }
+
       }
-    }
+      attempt(rewritten, 6)
     }
   }
 
@@ -1211,15 +1309,37 @@ class Engine(val spark: SparkSession) {
       addDiag("Note", 1007, s"Can't create database $name; database exists ")
       return 1L
     }
+    // CHARACTER SET / COLLATE clauses record the schema default for
+    // information_schema.schemata (reference schemata_table.go); the
+    // charset is the collation's family prefix. ENCRYPTION still warns.
+    val collClause = """(?i)\bCOLLATE\s*=?\s*[`']?([\w]+)""".r
+      .findFirstMatchIn(clauseTail).map(_.group(1))
+    val csClause = """(?i)\b(?:CHARACTER\s+SET|CHARSET)\s*=?\s*[`']?([\w]+)""".r
+      .findFirstMatchIn(clauseTail).map(_.group(1))
+    (collClause, csClause) match {
+      case (Some(coll), _) =>
+        val cs = Engine.collationCatalog.find(_._2 == coll).map(_._3)
+          .getOrElse(coll.takeWhile(_ != '_'))
+        dbCollations(lower) = (cs, coll)
+      case (None, Some(cs)) =>
+        val coll = Engine.collationCatalog
+          .find(c => c._3 == cs && c._4).map(_._2).getOrElse(cs + "_general_ci")
+        dbCollations(lower) = (cs, coll)
+      case _ => ()
+    }
     if (clauseTail.trim.nonEmpty &&
-        """(?i)\b(CHARACTER\s+SET|CHARSET|COLLATE|ENCRYPTION)\b""".r
-          .findFirstIn(clauseTail).isDefined)
+        """(?i)\bENCRYPTION\b""".r.findFirstIn(clauseTail).isDefined)
       warn(1235,
         "Setting CHARACTER SET, COLLATION and ENCRYPTION are not supported yet")
     spark.sql(s"CREATE DATABASE `$lower`")
     dbDisplay(lower) = name
     1L
   }
+
+  /** Per-database declared (charset, collation) from CREATE DATABASE
+    * clauses; absent = the utf8mb4/utf8mb4_0900_bin default. */
+  private[graft] val dbCollations =
+    scala.collection.mutable.Map.empty[String, (String, String)]
 
   /** DROP DATABASE/SCHEMA: missing name is 1008 (a Note + OkResult 0
     * under IF EXISTS); dropping the CURRENT database leaves no database
@@ -4241,7 +4361,18 @@ class Engine(val spark: SparkSession) {
       .filterNot(t => infoSchemaViews(t.name.toLowerCase))
     val db = sessionDb
 
-    Seq(("def", db, "utf8mb4", "utf8mb4_0900_ai_ci", null: String, "NO"))
+    // every known database plus information_schema itself; reference
+    // schemata_table.go defaults a schema to utf8mb4/utf8mb4_0900_bin
+    // unless CREATE DATABASE declared a charset/collation
+    val sparkDbs = spark.catalog.listDatabases().collect().map(_.name)
+      .filterNot(_ == "default").map(dbShown).toSeq
+    val allDbs = ("information_schema" +:
+      (if (sparkDbs.nonEmpty) sparkDbs else Seq(db))).distinct
+    allDbs.map { d =>
+      val (cs, coll) = dbCollations.getOrElse(
+        d.toLowerCase, ("utf8mb4", "utf8mb4_0900_bin"))
+      ("def", d, cs, coll, null: String, "NO")
+    }
       .toDF("catalog_name", "schema_name", "default_character_set_name",
         "default_collation_name", "sql_path", "default_encryption")
       .asInfoView("information_schema_schemata")

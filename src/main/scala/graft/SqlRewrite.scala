@@ -779,8 +779,11 @@ object SqlRewrite {
             val arg = text.substring(toks(idx + 2).start, toks(comma - 1).end)
             val ivl = text.substring(toks(comma + 1).start, toks(close - 1).end)
             val op = if (isAdd) "+" else "-"
+            // mysql_dtnorm accepts MySQL-legal datetime shapes Spark's
+            // cast rejects; mysql_dt_clamp nulls results outside
+            // [0000-01-01, 9999-12-31] (reference dateadd.go range)
             text = text.substring(0, t.start) +
-              s"(CAST($arg AS TIMESTAMP) $op $ivl)" +
+              s"mysql_dt_clamp(CAST(mysql_dtnorm($arg) AS TIMESTAMP) $op $ivl)" +
               text.substring(toks(close).end)
             again = true
           }
@@ -881,29 +884,32 @@ object SqlRewrite {
     val toks = tokenize(sql)
     var depth = 0
     var selectAt = -1
-    var fromEnd = -1 // token index where the select list ends
+    var fromAt = -1
+    var groupAt = -1
     var i = 0
-    while (i < toks.length && fromEnd < 0) {
+    while (i < toks.length) {
       val t = toks(i)
       t.text match {
         case "(" => depth += 1
         case ")" => depth -= 1
         case _ if depth == 0 && t.isWord("select") && selectAt < 0 =>
           selectAt = i
-        case _ if depth == 0 && selectAt >= 0 &&
-            (t.isWord("from") || t.isWord("group")) =>
-          fromEnd = i
+        case _ if depth == 0 && selectAt >= 0 && fromAt < 0 &&
+            t.isWord("from") => fromAt = i
+        case _ if depth == 0 && selectAt >= 0 && groupAt < 0 &&
+            t.isWord("group") => groupAt = i
         case _ =>
       }
       i += 1
     }
     if (selectAt < 0) return sql
+    val fromEnd = if (fromAt >= 0) fromAt else groupAt
     // with a top-level GROUP BY, only bare columns OUTSIDE the group
     // list wrap (MISSING_AGGREGATION shape: `SELECT sum(i) isum, s FROM
     // mytable GROUP BY i`); without one, MySQL's implicit single group
     val groupCols: Set[String] =
-      if (fromEnd >= 0 && toks(fromEnd).isWord("group")) {
-        var k = fromEnd + 1
+      if (groupAt >= 0) {
+        var k = groupAt + 1
         var depth = 0
         val b = Set.newBuilder[String]
         var stop = false
@@ -924,27 +930,9 @@ object SqlRewrite {
         }
         b.result()
       } else Set.empty
-    val hadGroupBy = fromEnd >= 0 && toks(fromEnd).isWord("group")
-    // find the select list end: FROM even when GROUP was hit first —
-    // re-scan for the FROM before fromEnd
+    val hadGroupBy = groupAt >= 0
     val listStart = toks(selectAt).end
-    val listEnd =
-      if (hadGroupBy) {
-        // locate the top-level FROM between select and group
-        var k = selectAt + 1; var depth = 0; var at = -1
-        while (k < fromEnd && at < 0) {
-          toks(k).text match {
-            case "(" => depth += 1
-            case ")" => depth -= 1
-            case _ if depth == 0 && toks(k).isWord("from") => at = k
-            case _ =>
-          }
-          k += 1
-        }
-        if (at < 0) return sql
-        toks(at).start
-      } else if (fromEnd < 0) sql.length
-      else toks(fromEnd).start
+    val listEnd = if (fromEnd < 0) sql.length else toks(fromEnd).start
     val listTxt = sql.substring(listStart, listEnd)
     if (listTxt.trim.toUpperCase.startsWith("DISTINCT")) return sql
     val items = topLevelSplitText(listTxt)
@@ -1083,34 +1071,46 @@ object SqlRewrite {
     sql
   }
 
-  def havingNoGroup(sql: String): String = {
-    val toks = tokenize(sql)
+  /** Top-level SELECT branches of a statement (union members included):
+    * (selectAt, fromAt, whereAt, groupAt, havingAt) token indices, -1
+    * when the clause is absent in that branch. */
+  private final case class SelBranch(selectAt: Int) {
+    var fromAt: Int = -1; var whereAt: Int = -1
+    var groupAt: Int = -1; var havingAt: Int = -1
+  }
+
+  private def topSelects(toks: Vector[Tok]): Seq[SelBranch] = {
+    val sels = ArrayBuffer.empty[SelBranch]
     var depth = 0
-    var selectAt = -1
-    var fromAt = -1
-    var whereAt = -1
-    var havingAt = -1
-    var groupSeen = false
     toks.zipWithIndex.foreach { case (t, k) =>
       t.text match {
         case "(" => depth += 1
         case ")" => depth -= 1
         case _ if depth == 0 && t.kind == Word =>
           t.text.toLowerCase match {
-            case "select" if selectAt < 0 => selectAt = k
-            case "from" if fromAt < 0 => fromAt = k
-            case "where" if whereAt < 0 => whereAt = k
-            case "group" => groupSeen = true
-            case "having" if havingAt < 0 && !groupSeen => havingAt = k
+            case "select" => sels += SelBranch(k)
+            case "from" if sels.nonEmpty && sels.last.fromAt < 0 =>
+              sels.last.fromAt = k
+            case "where" if sels.nonEmpty && sels.last.whereAt < 0 =>
+              sels.last.whereAt = k
+            case "group" if sels.nonEmpty && sels.last.groupAt < 0 =>
+              sels.last.groupAt = k
+            case "having" if sels.nonEmpty && sels.last.havingAt < 0 =>
+              sels.last.havingAt = k
             case _ =>
           }
         case _ =>
       }
     }
-    if (havingAt < 0 || selectAt < 0 || fromAt <= selectAt) return sql
+    sels.toSeq
+  }
 
-    // alias -> select-list expression text (top-level comma split;
-    // `expr AS alias` or trailing implicit `expr alias`)
+  /** alias -> select-list expression text for one branch's select list
+    * (top-level comma split; `expr AS alias` or trailing implicit
+    * `expr alias`). */
+  private def selectAliases(sql: String, toks: Vector[Tok],
+                            selectAt: Int, fromAt: Int)
+      : Map[String, String] = {
     val aliases = scala.collection.mutable.Map.empty[String, String]
     var d = 0
     var itemStart = selectAt + 1
@@ -1131,22 +1131,28 @@ object SqlRewrite {
       val item = toks.slice(from, until)
       if (item.length >= 3 && item(item.length - 2).isWord("as") &&
           item.last.kind == Word) {
-        aliases(item.last.text.toLowerCase) =
-          sql.substring(item.head.start, item(item.length - 3).end)
+        val a = item.last.text.toLowerCase
+        if (!aliases.contains(a)) // duplicate alias: MySQL binds the FIRST
+          aliases(a) = sql.substring(item.head.start, item(item.length - 3).end)
       } else if (item.length >= 2 && item.last.kind == Word &&
           !item.last.text.head.isDigit &&
           (item(item.length - 2).kind == Lit ||
            item(item.length - 2).text == ")" ||
            item(item.length - 2).kind == Word)) {
-        aliases(item.last.text.toLowerCase) =
-          sql.substring(item.head.start, item(item.length - 2).end)
+        val a = item.last.text.toLowerCase
+        if (!aliases.contains(a))
+          aliases(a) = sql.substring(item.head.start, item(item.length - 2).end)
       }
     }
+    aliases.toMap
+  }
 
-    // condition span: havingAt+1 until next top-level clause stop
-    var j = havingAt + 1
-    d = 0
-    var condEnd = havingAt
+  /** [start, condEnd] token span of the condition following clause
+    * token `at` (HAVING/WHERE), stopping at the next top-level clause. */
+  private def condSpanEnd(toks: Vector[Tok], at: Int): Int = {
+    var j = at + 1
+    var d = 0
+    var condEnd = at
     var stop = false
     while (j < toks.length && !stop) {
       val u = toks(j)
@@ -1161,20 +1167,18 @@ object SqlRewrite {
       }
       if (!stop) { condEnd = j; j += 1 }
     }
-    if (condEnd <= havingAt) return sql
+    condEnd
+  }
 
-    // render the condition with depth-0 alias references substituted;
-    // qualified names (t1.u) are single tokens and never match an alias
+  /** Render toks[from..to] with depth-0 alias references substituted by
+    * their (parenthesized) select-list expressions; qualified names
+    * (t1.u) are single tokens and never match an alias. */
+  private def renderWithAliases(toks: Vector[Tok], from: Int, to: Int,
+                                aliases: Map[String, String]): String = {
     val cond = new StringBuilder
-    d = 0
-    (havingAt + 1 to condEnd).foreach { k =>
+    (from to to).foreach { k =>
       val t = toks(k)
-      t.text match {
-        case "(" => d += 1
-        case ")" => d -= 1
-        case _ =>
-      }
-      val isCall = k + 1 <= condEnd && toks(k + 1).text == "("
+      val isCall = k + 1 <= to && toks(k + 1).text == "("
       val sub =
         if (t.kind == Word && !isCall && aliases.contains(t.text.toLowerCase))
           s"(${aliases(t.text.toLowerCase)})"
@@ -1182,20 +1186,609 @@ object SqlRewrite {
       if (cond.nonEmpty) cond.append(' ')
       cond.append(sub)
     }
-
-    val patches = ArrayBuffer.empty[(Int, Int, String)]
-    if (whereAt >= 0 && whereAt < havingAt) {
-      // wrap the existing WHERE condition, then AND-merge
-      patches += ((toks(whereAt + 1).start, toks(havingAt - 1).end,
-        s"(${sql.substring(toks(whereAt + 1).start, toks(havingAt - 1).end)})"))
-      patches += ((toks(havingAt).start, toks(condEnd).end,
-        s"AND (${cond.result()})"))
-    } else {
-      patches += ((toks(havingAt).start, toks(condEnd).end,
-        s"WHERE (${cond.result()})"))
-    }
-    splice(sql, patches.toSeq)
+    cond.result()
   }
+
+  def havingNoGroup(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    // every top-level branch with HAVING but no GROUP BY converts
+    // (union members each get their own rewrite)
+    topSelects(toks).foreach { s =>
+      if (s.havingAt >= 0 && s.groupAt < 0 && s.fromAt > s.selectAt) {
+        val aliases = selectAliases(sql, toks, s.selectAt, s.fromAt)
+        val condEnd = condSpanEnd(toks, s.havingAt)
+        if (condEnd > s.havingAt) {
+          val cond = renderWithAliases(toks, s.havingAt + 1, condEnd, aliases)
+          if (s.whereAt >= 0 && s.whereAt < s.havingAt) {
+            // wrap the existing WHERE condition, then AND-merge
+            patches += ((toks(s.whereAt + 1).start, toks(s.havingAt - 1).end,
+              s"(${sql.substring(toks(s.whereAt + 1).start, toks(s.havingAt - 1).end)})"))
+            patches += ((toks(s.havingAt).start, toks(condEnd).end,
+              s"AND ($cond)"))
+          } else {
+            patches += ((toks(s.havingAt).start, toks(condEnd).end,
+              s"WHERE ($cond)"))
+          }
+        }
+      }
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** Retry-only (UNRESOLVED_COLUMN naming a 2-levels-out reference):
+    * rewrite `X IN (SELECT e FROM t [a] [WHERE c])` into a LEFT SEMI
+    * JOIN in the ENCLOSING query. Every reference inside the subquery
+    * moves one level up — Spark resolves outer references one level
+    * only, so `... WHERE c1 IN (SELECT c4 FROM t WHERE c3 > opk.c5)`
+    * (opk two scopes out, reference queries.go correlated blocks)
+    * becomes resolvable: the opk reference lands in a join condition
+    * one level below its scope. NULL-IN vs semi-join divergence is
+    * immaterial in WHERE context (NULL filters like FALSE).
+    * `cols(table)` resolves a table's lowercase column names (empty =
+    * unknown table -> bail). Only fires when `needle` (the unresolved
+    * reference) appears inside the subquery body. */
+  def deepInSemiJoin(sql: String, needle: String,
+                     cols: String => Seq[String]): String = {
+    val toks = tokenize(sql)
+    // paren depth at each token
+    val depth = new Array[Int](toks.length)
+    var d = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d; d += 1 }
+      else if (t.text == ")") { d -= 1; depth(k) = d }
+      else depth(k) = d
+    }
+    val stopsLeft = Set("and", "or", "where", "not", "having", "on", "when", "then")
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("in") && i + 2 < toks.length &&
+          toks(i + 1).text == "(" && toks(i + 2).isWord("select")) {
+        // subquery span
+        var close = i + 2
+        while (close < toks.length &&
+               !(toks(close).text == ")" && depth(close) == depth(i + 1)))
+          close += 1
+        val subRange = (i + 2) until close
+        val hasNeedle = subRange.exists(k =>
+          toks(k).kind == Word && toks(k).text.equalsIgnoreCase(needle))
+        if (hasNeedle && close < toks.length) {
+          val subDepth = depth(i + 2)
+          // inner: SELECT e FROM tbl [alias] [WHERE cond] — bail on any
+          // other clause shape
+          var fromAt = -1; var whereAt = -1; var bad = false
+          subRange.drop(1).foreach { k =>
+            if (depth(k) == subDepth && toks(k).kind == Word)
+              toks(k).text.toLowerCase match {
+                case "from" if fromAt < 0 => fromAt = k
+                case "where" if whereAt < 0 => whereAt = k
+                case "join" | "group" | "order" | "limit" | "union" |
+                     "intersect" | "except" | "distinct" | "having" =>
+                  bad = true
+                case _ =>
+              }
+            if (depth(k) == subDepth && toks(k).text == ",") bad = true
+          }
+          if (!bad && fromAt > 0) {
+            val innerTblAt = fromAt + 1
+            val innerTbl = toks(innerTblAt).text
+            val innerCols = cols(innerTbl.toLowerCase).map(_.toLowerCase).toSet
+            // optional inner alias
+            val aliasAt = innerTblAt + 1
+            val innerAliasTok =
+              if (aliasAt < close && toks(aliasAt).kind == Word &&
+                  !toks(aliasAt).isWord("where")) Some(toks(aliasAt).text)
+              else None
+            val eEnd = fromAt - 1
+            val eStart = i + 3
+            val condStart = if (whereAt > 0) whereAt + 1 else -1
+            val condEnd = close - 1
+            if (innerCols.nonEmpty && eEnd >= eStart) {
+              // X span: walk left from IN to the conjunct boundary
+              var xStart = i - 1
+              var bail = false
+              var rel = 0 // paren balance walking left
+              var k = i - 1
+              var found = -1
+              while (k >= 0 && found < 0 && !bail) {
+                val t = toks(k)
+                if (t.text == ")") rel += 1
+                else if (t.text == "(") {
+                  if (rel == 0) found = k + 1 else rel -= 1
+                } else if (rel == 0 && t.kind == Word &&
+                           stopsLeft(t.text.toLowerCase)) found = k + 1
+                else if (rel < 0) bail = true
+                if (found < 0) k -= 1
+              }
+              if (found >= 0) xStart = found
+              if (k < 0) bail = true
+              // enclosing select at the IN site's depth
+              val encDepth = depth(i)
+              var selAt = -1
+              var m = i
+              while (m >= 0 && selAt < 0) {
+                if (toks(m).isWord("select") && depth(m) == encDepth) selAt = m
+                m -= 1
+              }
+              // enclosing FROM: single table [alias], then WHERE
+              var encFromAt = -1; var encWhereAt = -1
+              var p = selAt
+              while (p >= 0 && p < i && (encFromAt < 0 || encWhereAt < 0)) {
+                if (depth(p) == encDepth && toks(p).kind == Word) {
+                  if (encFromAt < 0 && toks(p).isWord("from")) encFromAt = p
+                  else if (encWhereAt < 0 && toks(p).isWord("where"))
+                    encWhereAt = p
+                }
+                p += 1
+              }
+              if (!bail && selAt >= 0 && encFromAt > 0 && encWhereAt > encFromAt) {
+                val outTbl = toks(encFromAt + 1).text
+                val outAliasTok =
+                  if (encFromAt + 2 < i && toks(encFromAt + 2).kind == Word &&
+                      !toks(encFromAt + 2).isWord("where"))
+                    Some(toks(encFromAt + 2).text)
+                  else None
+                val outCols = cols(outTbl.toLowerCase).map(_.toLowerCase).toSet
+                val outQual = outAliasTok.getOrElse(outTbl)
+                // keep the subquery's own alias when it had one so its
+                // qualified references (mt2.i) keep resolving
+                val innerQual = innerAliasTok.getOrElse("__sj" + i)
+                // render a token span, qualifying unqualified member
+                // columns of `members` with `qual`
+                def render(from: Int, to: Int, members: Set[String],
+                           qual: String): String = {
+                  val sb = new StringBuilder
+                  (from to to).foreach { k =>
+                    val t = toks(k)
+                    val isCall = k + 1 <= to && toks(k + 1).text == "("
+                    val txt =
+                      if (t.kind == Word && !isCall && !t.text.contains(".") &&
+                          members(t.text.toLowerCase)) s"$qual.${t.text}"
+                      else t.text
+                    if (sb.nonEmpty) sb.append(' ')
+                    sb.append(txt)
+                  }
+                  sb.result()
+                }
+                val xTxt = render(xStart, i - 1, outCols, outQual)
+                val eTxt = render(eStart, eEnd, innerCols, innerQual)
+                val condTxt =
+                  if (condStart > 0 && condEnd >= condStart)
+                    " AND (" + render(condStart, condEnd, innerCols, innerQual) + ")"
+                  else ""
+                val joinTxt = s" LEFT SEMI JOIN $innerTbl $innerQual " +
+                  s"ON ($xTxt) = ($eTxt)$condTxt "
+                return splice(sql, Seq(
+                  (toks(encWhereAt).start, toks(encWhereAt).start, joinTxt),
+                  (toks(xStart).start, toks(close).end, "TRUE")))
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** Retry-only (UNRESOLVED_COLUMN naming a select-list alias): MySQL
+    * resolves an outer select's ALIAS inside a select-list subquery
+    * (`SELECT pk AS a, (SELECT max(pk) FROM t WHERE pk <= a) ...`);
+    * Spark does not. A literal alias substitutes directly; a column
+    * alias pushes into a derived table `(SELECT *, expr AS a FROM t)`
+    * aliased by the original qualifier so every other reference keeps
+    * resolving. */
+  def aliasIntoSubquery(sql: String, name: String): String = {
+    val toks = tokenize(sql)
+    val sels = topSelects(toks)
+    if (sels.isEmpty) return sql
+    val s = sels.head
+    val listEnd =
+      if (s.fromAt > s.selectAt) s.fromAt
+      else toks.length // fromless: list runs to the end
+    val aliases = selectAliases(sql, toks, s.selectAt, listEnd)
+    val expr = aliases.getOrElse(name.toLowerCase, return sql)
+    val exprToks = tokenize(expr)
+    val isLiteral = exprToks.length == 1 &&
+      (exprToks.head.kind == Lit || exprToks.head.text.forall(
+        c => c.isDigit || c == '.' || c == '-'))
+    // paren depth per token
+    val depth = new Array[Int](toks.length)
+    var d = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d; d += 1 }
+      else if (t.text == ")") { d -= 1; depth(k) = d }
+      else depth(k) = d
+    }
+    if (isLiteral) {
+      // substitute the literal for alias references INSIDE subqueries
+      // (depth >= 1) of the select list
+      val patches = ArrayBuffer.empty[(Int, Int, String)]
+      ((s.selectAt + 1) until math.min(listEnd, toks.length)).foreach { k =>
+        val t = toks(k)
+        if (t.kind == Word && depth(k) >= 1 &&
+            t.text.equalsIgnoreCase(name) &&
+            !(k + 1 < toks.length && toks(k + 1).text == "("))
+          patches += ((t.start, t.end, s"($expr)"))
+      }
+      if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+    } else {
+      // FROM single-table shape only
+      if (s.fromAt < 0) return sql
+      val tblAt = s.fromAt + 1
+      if (tblAt >= toks.length || toks(tblAt).kind != Word) return sql
+      val tbl = toks(tblAt).text
+      val clauseStops = Set("where", "group", "order", "limit", "offset",
+        "union", "having", "join", "on", "left", "right", "inner", "cross")
+      val aliasTok =
+        if (tblAt + 1 < toks.length && toks(tblAt + 1).kind == Word &&
+            !clauseStops(toks(tblAt + 1).text.toLowerCase))
+          Some(toks(tblAt + 1).text)
+        else None
+      // anything else joined in? bail when the next token after the
+      // [alias] is not a clause stop / statement end
+      val afterAt = tblAt + (if (aliasTok.isDefined) 2 else 1)
+      if (afterAt < toks.length && toks(afterAt).kind == Word &&
+          !clauseStops(toks(afterAt).text.toLowerCase)) return sql
+      if (afterAt < toks.length && !(toks(afterAt).kind == Word)) {
+        if (toks(afterAt).text != ";") return sql
+      }
+      val qual = aliasTok.getOrElse(tbl)
+      val fromEnd = toks(tblAt + (if (aliasTok.isDefined) 1 else 0)).end
+      splice(sql, Seq((toks(tblAt).start, fromEnd,
+        s"(SELECT *, $expr AS $name FROM $tbl) $qual")))
+    }
+  }
+
+  /** SELECT-list `X [NOT] IN (SELECT ...)`: Spark's existence-join
+    * evaluation loses MySQL's 3-valued logic in projection context
+    * (NULL IN (empty) must be FALSE; no-match over a null-bearing set
+    * must be NULL — queries.go niltable/emptytable block). Expand to the
+    * explicit CASE over count/exists probes. WHERE-context INs keep the
+    * native semi-join plan. */
+  def inSubquerySelectList(sql: String): String = {
+    val toks = tokenize(sql)
+    val depth = new Array[Int](toks.length)
+    var d = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d; d += 1 }
+      else if (t.text == ")") { d -= 1; depth(k) = d }
+      else depth(k) = d
+    }
+    val sels = topSelects(toks)
+    if (sels.isEmpty) return sql
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    var counter = 0
+    sels.foreach { s =>
+      val listEnd =
+        if (s.fromAt > s.selectAt) s.fromAt
+        else if (s.whereAt >= 0) s.whereAt
+        else toks.length
+      var i = s.selectAt + 1
+      while (i < listEnd) {
+        val isNot = toks(i).isWord("not")
+        val inAt = if (isNot) i + 1 else i
+        if (depth(i) == 0 && inAt + 2 < listEnd + 2 &&
+            toks(inAt).isWord("in") && inAt + 2 < toks.length &&
+            toks(inAt + 1).text == "(" && toks(inAt + 2).isWord("select")) {
+          // subquery close
+          var close = inAt + 2
+          while (close < toks.length &&
+                 !(toks(close).text == ")" && depth(close) == depth(inAt + 1)))
+            close += 1
+          // X span: walk left to the previous top-level ',' or SELECT
+          var xStart = -1
+          var k = i - 1
+          var rel = 0
+          var stop = false
+          while (k > s.selectAt && !stop) {
+            val t = toks(k)
+            if (t.text == ")") rel += 1
+            else if (t.text == "(") {
+              if (rel == 0) { xStart = k + 1; stop = true } else rel -= 1
+            } else if (rel == 0 && (t.text == "," ||
+                       (t.kind == Word && t.isWord("distinct")))) {
+              xStart = k + 1; stop = true
+            }
+            if (!stop) k -= 1
+          }
+          if (xStart < 0) xStart = s.selectAt + 1
+          // a subquery or tuple LHS ((select a,b) / (1,2) IN ...) is a
+          // row-value comparison — tupleCompare owns those shapes; and a
+          // multi-column subquery can't alias to one __v column
+          val lhsHasSelect = (xStart until i).exists(k => toks(k).isWord("select"))
+          val lhsTuple = (xStart until i).exists(k =>
+            toks(k).text == "," && depth(k) == depth(i) + 1) &&
+            toks(xStart).text == "("
+          val subMultiCol = {
+            var k = inAt + 3; var multi = false; var seenFrom = false
+            while (k < close && !seenFrom) {
+              if (depth(k) == depth(inAt + 2)) {
+                if (toks(k).isWord("from")) seenFrom = true
+                else if (toks(k).text == ",") multi = true
+              }
+              k += 1
+            }
+            multi
+          }
+          if (close < toks.length && xStart < i && !lhsHasSelect &&
+              !lhsTuple && !subMultiCol) {
+            val x = sql.substring(toks(xStart).start, toks(i - 1).end)
+            val sub = sql.substring(toks(inAt + 1).end, toks(close).start)
+            val a = s"__inq$counter"; counter += 1
+            val core =
+              s"CASE WHEN (SELECT count(*) FROM ($sub) $a) = 0 THEN FALSE " +
+              s"WHEN ($x) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+              s"WHEN EXISTS (SELECT 1 FROM ($sub) $a(__v) WHERE __v = ($x)) THEN TRUE " +
+              s"WHEN EXISTS (SELECT 1 FROM ($sub) $a(__v) WHERE __v IS NULL) THEN CAST(NULL AS BOOLEAN) " +
+              "ELSE FALSE END"
+            val repl = if (isNot) s"(NOT ($core))" else s"($core)"
+            patches += ((toks(xStart).start, toks(close).end, repl))
+            i = close
+          }
+        }
+        i += 1
+      }
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** Retry-only (UNRESOLVED_COLUMN in ORDER BY of a DISTINCT select):
+    * the reference orders DISTINCT output by a HIDDEN column — rows
+    * sort first, then dedupe keeps the first-seen order — which is
+    * GROUP BY select-items ORDER BY min(hidden) (binary string order,
+    * matching queries.go bigtable expectations). */
+  def distinctOrderByHidden(sql: String): String = {
+    val toks = tokenize(sql)
+    val sels = topSelects(toks)
+    if (sels.size != 1) return sql
+    val s = sels.head
+    if (s.groupAt >= 0 || s.fromAt < s.selectAt ||
+        !(s.selectAt + 1 < toks.length &&
+          toks(s.selectAt + 1).isWord("distinct"))) return sql
+    // top-level ORDER BY span
+    var depth = 0
+    var orderAt = -1
+    toks.zipWithIndex.foreach { case (t, k) =>
+      t.text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && t.isWord("order") && orderAt < 0 &&
+            k + 1 < toks.length && toks(k + 1).isWord("by") => orderAt = k
+        case _ =>
+      }
+    }
+    if (orderAt < 0) return sql
+    var j = orderAt + 2
+    depth = 0
+    var end = orderAt + 1
+    var stop = false
+    while (j < toks.length && !stop) {
+      val u = toks(j)
+      u.text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case ";" if depth == 0 => stop = true
+        case w if depth == 0 && u.kind == Word &&
+            Set("limit", "offset")(w.toLowerCase) => stop = true
+        case _ =>
+      }
+      if (!stop) { end = j; j += 1 }
+    }
+    val items = sql.substring(toks(s.selectAt + 1).end, toks(s.fromAt).start)
+    // each ORDER BY key wraps in min(...), keeping ASC/DESC
+    val keys = topLevelSplitText(
+      sql.substring(toks(orderAt + 2).start, toks(end).end)).map { k0 =>
+      val k = k0.trim
+      val m = "(?i)\\s+(ASC|DESC)$".r.findFirstMatchIn(k)
+      m match {
+        case Some(mm) =>
+          s"min(${k.substring(0, mm.start)}) ${mm.group(1)}"
+        case None => s"min($k)"
+      }
+    }
+    splice(sql, Seq(
+      (toks(s.selectAt).start, toks(s.selectAt + 1).end, "SELECT"),
+      (toks(orderAt).start, toks(end).end,
+        s"GROUP BY $items ORDER BY ${keys.mkString(", ")}")))
+  }
+
+  /** CAST(x AS JSON) / CAST(x AS YEAR) — Spark has neither type.
+    * JSON: wrap in json_canon so the value is MySQL's canonical JSON
+    * document text AND downstream comparisons can see the operand is a
+    * JSON document (reference types/json.go Convert). YEAR: mysql_year
+    * applies the 2-digit window + range (types/year.go). Token-level,
+    * literal-aware; outermost-first like convertFn. */
+  def jsonYearCasts(sql: String): String = {
+    var text = sql
+    var again = true
+    while (again) {
+      again = false
+      val toks = tokenize(text)
+      var idx = 0
+      while (idx < toks.length && !again) {
+        val t = toks(idx)
+        if (t.isWord("cast") && idx + 1 < toks.length &&
+            toks(idx + 1).text == "(") {
+          var j = idx + 2
+          var depth = 0
+          var asAt = -1
+          var close = -1
+          while (j < toks.length && close < 0) {
+            val u = toks(j)
+            u.text match {
+              case "(" => depth += 1
+              case ")" if depth == 0 => close = j
+              case ")" => depth -= 1
+              case _ if depth == 0 && u.isWord("as") => asAt = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (close > 0 && asAt > idx + 2 && asAt + 1 < close) {
+            val tpe = toks.slice(asAt + 1, close)
+            val arg = text.substring(toks(idx + 2).start, toks(asAt - 1).end)
+            if (tpe.length == 1 && tpe.head.isWord("json")) {
+              text = text.substring(0, t.start) +
+                s"json_canon(CAST(($arg) AS STRING))" +
+                text.substring(toks(close).end)
+              again = true
+            } else if (tpe.length == 1 && tpe.head.isWord("year")) {
+              text = text.substring(0, t.start) + s"mysql_year($arg)" +
+                text.substring(toks(close).end)
+              again = true
+            }
+          }
+        }
+        idx += 1
+      }
+    }
+    text
+  }
+
+  /** ORDER BY over a GLOBAL aggregate (retry-only): MySQL accepts
+    * `SELECT count(*) FROM t WHERE … ORDER BY hidden_col` — the result
+    * is one row, so the sort is vacuous and the hidden column never
+    * needs to resolve (queries.go people/keyless entries). Spark errors
+    * UNRESOLVED_COLUMN. Strip the top-level ORDER BY (keeping LIMIT). */
+  def stripOrderByGlobalAgg(sql: String): String = {
+    val toks = tokenize(sql)
+    val sels = topSelects(toks)
+    if (sels.isEmpty) return sql
+    val s = sels.last
+    if (s.groupAt >= 0 || s.fromAt < 0) return sql
+    // the aggregate must sit at the TOP level of the select list — an
+    // aggregate inside a subquery item doesn't make the query global
+    val aggNames = Set("sum", "count", "avg", "min", "max", "group_concat",
+      "listagg", "bit_and", "bit_or", "bit_xor", "std", "stddev",
+      "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance",
+      "json_arrayagg", "json_objectagg", "approx_count_distinct")
+    var dd = 0
+    var topAgg = false
+    ((s.selectAt + 1) until s.fromAt).foreach { k =>
+      toks(k).text match {
+        case "(" => dd += 1
+        case ")" => dd -= 1
+        case _ if dd == 0 && toks(k).kind == Word &&
+            aggNames(toks(k).text.toLowerCase) &&
+            k + 1 < s.fromAt && toks(k + 1).text == "(" => topAgg = true
+        case _ =>
+      }
+    }
+    if (!topAgg) return sql
+    // top-level ORDER BY span
+    var depth = 0
+    var orderAt = -1
+    toks.zipWithIndex.foreach { case (t, k) =>
+      t.text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && t.isWord("order") && orderAt < 0 &&
+            k + 1 < toks.length && toks(k + 1).isWord("by") => orderAt = k
+        case _ =>
+      }
+    }
+    if (orderAt < 0) return sql
+    var j = orderAt + 2
+    depth = 0
+    var end = orderAt + 1
+    var stop = false
+    while (j < toks.length && !stop) {
+      val u = toks(j)
+      u.text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case ";" if depth == 0 => stop = true
+        case w if depth == 0 && u.kind == Word &&
+            Set("limit", "offset", "union", "intersect", "except")(
+              w.toLowerCase) => stop = true
+        case _ =>
+      }
+      if (!stop) { end = j; j += 1 }
+    }
+    splice(sql, Seq((toks(orderAt).start, toks(end).end, "")))
+  }
+
+  /** GROUP BY + HAVING alias substitution (retry-only, for
+    * AMBIGUOUS_REFERENCE): when two select items share an alias, MySQL
+    * binds GROUP BY/HAVING references to the FIRST (with a 1052-adjacent
+    * warning); Spark errors. Substitute the first alias's expression
+    * into both clause bodies. */
+  def aliasSubGroupHaving(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    topSelects(toks).foreach { s =>
+      // fromless selects (SELECT 1 as a ... GROUP BY a) end their select
+      // list at WHERE/GROUP instead
+      val listEnd =
+        if (s.fromAt > s.selectAt) s.fromAt
+        else if (s.whereAt >= 0) s.whereAt
+        else s.groupAt
+      if (s.groupAt >= 0 && listEnd > s.selectAt) {
+        val aliases = selectAliases(sql, toks, s.selectAt, listEnd)
+        if (aliases.nonEmpty) {
+          // GROUP BY item span: after the BY keyword until HAVING or a
+          // clause stop
+          var gEnd = s.groupAt + 1
+          var j = s.groupAt + 2 // skip "group by"
+          var d = 0
+          var stop = false
+          while (j < toks.length && !stop) {
+            val u = toks(j)
+            u.text match {
+              case "(" => d += 1
+              case ")" if d == 0 => stop = true
+              case ")" => d -= 1
+              case ";" if d == 0 => stop = true
+              case w if d == 0 && u.kind == Word &&
+                  (havingCondStops(w.toLowerCase) ||
+                   w.equalsIgnoreCase("having")) => stop = true
+              case _ =>
+            }
+            if (!stop) { gEnd = j; j += 1 }
+          }
+          if (gEnd > s.groupAt + 1) {
+            val body = renderWithAliases(toks, s.groupAt + 2, gEnd, aliases)
+            patches += ((toks(s.groupAt).start, toks(gEnd).end,
+              s"GROUP BY $body"))
+          }
+          if (s.havingAt >= 0) {
+            val condEnd = condSpanEnd(toks, s.havingAt)
+            if (condEnd > s.havingAt) {
+              val cond =
+                renderWithAliases(toks, s.havingAt + 1, condEnd, aliases)
+              patches += ((toks(s.havingAt).start, toks(condEnd).end,
+                s"HAVING ($cond)"))
+            }
+          }
+        }
+      }
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** GROUPED having with select-list alias references (retry-only):
+    * MySQL resolves `having AVG(z) > 0` where z aliases a select item
+    * (reference planbuilder HAVING scope); Spark leaves `z` unresolved
+    * inside the Aggregate. Substitute aliases by their expressions,
+    * keeping the HAVING in place. */
+  def havingAliasSub(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    topSelects(toks).foreach { s =>
+      if (s.havingAt >= 0 && s.groupAt >= 0 && s.fromAt > s.selectAt) {
+        val aliases = selectAliases(sql, toks, s.selectAt, s.fromAt)
+        val condEnd = condSpanEnd(toks, s.havingAt)
+        if (aliases.nonEmpty && condEnd > s.havingAt) {
+          val cond = renderWithAliases(toks, s.havingAt + 1, condEnd, aliases)
+          patches += ((toks(s.havingAt).start, toks(condEnd).end,
+            s"HAVING ($cond)"))
+        }
+      }
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
 
   // ---- truthiness pass (retry-only): wrap non-comparison atoms of
   //      WHERE / HAVING / searched-CASE WHEN bodies in ((atom) <> 0).

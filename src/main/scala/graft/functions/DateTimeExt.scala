@@ -137,10 +137,14 @@ object DateTimeExt {
   // strings that don't match any MySQL shape pass through unchanged
   // (the subsequent cast yields NULL and strict mode raises 1292).
 
+  // the date-time separator is ANY non-digit in MySQL ('2009-02-09:10'),
+  // not just space/T
   private val DelimDt =
     ("""^(\d{1,4})[^\dT ](\d{1,2})[^\dT ](\d{1,2})""" +
-     """(?:[ T](\d{1,2})(?:[^\d](\d{1,2})(?:[^\d.](\d{1,2})(\.\d+)?)?)?)?$""").r
+     """(?:[^\d](\d{1,2})(?:[^\d](\d{1,2})(?:[^\d.](\d{1,2})(\.\d+)?)?)?)?$""").r
   private val PackedDt = """^(\d{6}|\d{8}|\d{12}|\d{14})(\.\d+)?$""".r
+  private val CastableIso =
+    """^\d{4}-\d{1,2}-\d{1,2}( \d{1,2}:\d{1,2}:\d{1,2}(\.\d{1,6})?)?$""".r
 
   private def expandYear(y: String): Int = {
     val n = y.toInt
@@ -159,15 +163,32 @@ object DateTimeExt {
         val hh = h.toInt
         val mm = if (mi == null) 0 else mi.toInt
         val ss = if (se == null) 0 else se.toInt
-        f"$date $hh%02d:$mm%02d:$ss%02d" + (if (fr == null) "" else fr)
+        // MySQL datetimes carry microseconds; digits beyond 6 ROUND
+        // half-up ('.9999994' -> .999999, '.9999995' carries a second —
+        // possibly out of range, which the subsequent range check nulls)
+        if (fr == null) f"$date $hh%02d:$mm%02d:$ss%02d"
+        else {
+          val bd = BigDecimal("0" + fr)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          val micros = (bd * 1000000).toLongExact
+          if (micros < 1000000L)
+            f"$date $hh%02d:$mm%02d:$ss%02d.$micros%06d"
+          else
+            try {
+              val c = java.time.LocalDateTime
+                .of(y, mo.toInt, d.toInt, hh, mm, ss).plusSeconds(1)
+              f"${c.getYear}%04d-${c.getMonthValue}%02d-${c.getDayOfMonth}%02d " +
+                f"${c.getHour}%02d:${c.getMinute}%02d:${c.getSecond}%02d"
+            } catch { case _: Exception => s0 }
+        }
       }
     }
     s match {
       case DelimDt(y, mo, d, h, mi, se, fr) =>
-        // 4-digit-year ISO with '-' is already Spark-castable; leave it
-        // alone so valid fast-path strings never round-trip a rebuild
-        if (y.length == 4 && s.length >= 8 && s.charAt(4) == '-' &&
-            !s.contains('T')) s
+        // Spark-castable ISO form passes through so valid fast-path
+        // strings never round-trip a rebuild (the shape check includes
+        // the ' ' time separator and a ≤6-digit fraction)
+        if (CastableIso.pattern.matcher(s).matches()) s
         else render(expandYear(y), mo, d, h, mi, se, fr)
       case PackedDt(digits, fr) =>
         val yLen = if (digits.length == 8 || digits.length == 14) 4 else 2
@@ -180,5 +201,59 @@ object DateTimeExt {
           digits.substring(yLen + 8, yLen + 10), fr)
       case _ => s0
     }
+  }
+
+  /** mysql_dtnorm(x): canonicalize a MySQL-legal datetime STRING to a
+    * Spark-castable ISO form (identity for non-strings and for strings
+    * matching no MySQL shape). Read-path twin of the write-path
+    * canonicalization above. */
+  case class MySqlDtNorm(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = child.dataType match {
+      case _: StringType => StringType
+      case other => other
+    }
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(mysqlDateStrNorm(u.toString))
+      case other => other
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(c)
+  }
+
+  /** mysql_dt_clamp(x): NULL when a DATE/TIMESTAMP value falls outside
+    * MySQL's representable datetime range [0000-01-01,
+    * 9999-12-31 23:59:59.999999] (reference types/datetime.go range
+    * check — date_add overflow reads NULL with a 1441 warning).
+    * Type-preserving; pass-through for in-range values. */
+  case class MySqlDtClamp(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = true
+    private val minMicros = java.time.LocalDateTime.of(0, 1, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    private val maxMicros = java.time.LocalDateTime
+      .of(9999, 12, 31, 23, 59, 59, 999999000)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 999999L
+    private val minDays = java.time.LocalDate.of(0, 1, 1).toEpochDay
+    private val maxDays = java.time.LocalDate.of(9999, 12, 31).toEpochDay
+    override def nullSafeEval(v: Any): Any = child.dataType match {
+      case DateType =>
+        val d = v.asInstanceOf[Int].toLong
+        if (d < minDays || d > maxDays) null else v
+      case TimestampType | TimestampNTZType =>
+        val m = v.asInstanceOf[Long]
+        if (m < minMicros || m > maxMicros) null else v
+      case _ => v
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(c)
   }
 }

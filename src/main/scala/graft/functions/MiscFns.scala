@@ -213,8 +213,17 @@ object MiscFns {
     * of the same name in registry.go. */
   def builders: Seq[(String, B)] = Seq(
     // date/time tail (reference time.go, dateadd.go)
-    "adddate" -> tmpl("date_add(CAST(__arg0 AS DATE), CAST(__arg1 AS INT))"),
-    "subdate" -> tmpl("date_sub(CAST(__arg0 AS DATE), CAST(__arg1 AS INT))"),
+    // day counts beyond MySQL's representable range read NULL (the CASE
+    // guard keeps the INT cast from wrapping; mysql_dt_clamp nulls
+    // results past year 9999 / before year 0)
+    "adddate" -> tmpl(
+      "mysql_dt_clamp(CASE WHEN CAST(__arg1 AS DOUBLE) BETWEEN -4000000 AND 4000000 " +
+      "THEN date_add(CAST(mysql_dtnorm(__arg0) AS DATE), CAST(__arg1 AS INT)) END)"),
+    "subdate" -> tmpl(
+      "mysql_dt_clamp(CASE WHEN CAST(__arg1 AS DOUBLE) BETWEEN -4000000 AND 4000000 " +
+      "THEN date_sub(CAST(mysql_dtnorm(__arg0) AS DATE), CAST(__arg1 AS INT)) END)"),
+    "mysql_dtnorm" -> (es => DateTimeExt.MySqlDtNorm(es.head)),
+    "mysql_dt_clamp" -> (es => DateTimeExt.MySqlDtClamp(es.head)),
     "curtime" -> tmpl("date_format(current_timestamp(), 'HH:mm:ss')"),
     "sysdate" -> tmpl("current_timestamp()"),
     "localtime" -> tmpl("current_timestamp()"),
@@ -285,9 +294,17 @@ object MiscFns {
     "char" -> (es =>
       CatalystSqlParser.parseExpression(
         // chr(): same builtin under its alias — spelling it `char` here
-        // would re-enter this registration and loop the analyzer
-        es.indices.map(i => s"coalesce(chr(CAST(__arg$i AS BIGINT)), '')")
+        // would re-enter this registration and loop the analyzer.
+        // Code point 0 (including '' coerced to 0) is the NUL byte —
+        // Spark's chr(0) returns '' instead (string_functions.go Char)
+        es.indices.map(i =>
+          s"CASE WHEN __arg$i IS NULL THEN '' " +
+          s"WHEN coalesce(CAST(__arg$i AS BIGINT), 0) = 0 THEN __nul " +
+          s"ELSE chr(CAST(__arg$i AS BIGINT)) END")
           .mkString("concat(", ", ", ")")).transformUp {
+        case a: UnresolvedAttribute
+            if a.nameParts.length == 1 && a.nameParts.head == "__nul" =>
+          Literal(UTF8String.fromString("\u0000"), StringType)
         case a: UnresolvedAttribute
             if a.nameParts.length == 1 && a.nameParts.head.startsWith("__arg") =>
           es(a.nameParts.head.drop(5).toInt)

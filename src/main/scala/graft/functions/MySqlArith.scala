@@ -35,6 +35,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MySqlArith {
 
+  /** An explicit CAST(x AS JSON) operand (json_canon wrapper) — a typed
+    * JSON document, compared with plain strings as documents. */
+  private[functions] def isJsonCanonSide(e: Expression): Boolean = e match {
+    case _: graft.functions.json.JsonCanon => true
+    // NB: an explicit outer CAST (e.g. CAST(x AS CHAR) over the JSON)
+    // converts the document to a plain string — do NOT look through it
+    case s: MySqlStrOperand => isJsonCanonSide(s.child)
+    case n: MySqlNumOperand => isJsonCanonSide(n.child)
+    case _ => false
+  }
+
+
   private[functions] def isExactNumeric(dt: DataType): Boolean = dt match {
     case _: DecimalType | ByteType | ShortType | IntegerType | LongType |
         BooleanType | NullType => true
@@ -345,6 +357,9 @@ object MySqlArith {
   private[functions] def isBoolJsonCast(e: Expression): Boolean = e match {
     case c: Cast => c.dataType.isInstanceOf[StringType] &&
       c.child.dataType == BooleanType
+    case jc: graft.functions.json.JsonCanon => isBoolJsonCast(jc.child)
+    case s: MySqlStrOperand => isBoolJsonCast(s.child)
+    case n: MySqlNumOperand => isBoolJsonCast(n.child)
     case _ => false
   }
 
@@ -375,6 +390,52 @@ object MySqlArith {
     * (LIKE operands, MD5/SHA inputs): booleans are '1'/'0' (tinyint
     * display), numbers their decimal form, temporals their display
     * form. Identity (stripped) on string/binary operands. */
+  /** Display-type CLASS of a coalesce argument — used to decide when
+    * MySQL's dynamically-typed COALESCE display diverges from Spark's
+    * statically-unified type. */
+  private[functions] def typeClass(dt: DataType): Int = dt match {
+    case NullType => 0 // null joins any class
+    case ByteType | ShortType | IntegerType | LongType => 1
+    case _: DecimalType => 2
+    case FloatType | DoubleType => 3
+    case BooleanType => 4
+    case DateType | TimestampType | TimestampNTZType => 5
+    case _ => 6
+  }
+
+  /** COALESCE over heterogeneously-typed (resolved) arguments: the
+    * reference evaluates lazily and renders the chosen value in its own
+    * type's display form (coalesce.go; COALESCE(1, 0.0) is "1"). */
+  case class MySqlCoalesceDyn(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      children.iterator.map(c => (c.eval(input), c.dataType))
+        .find(_._1 != null) match {
+        case None => null
+        case Some((v, dt)) => UTF8String.fromString(display(v, dt))
+      }
+    }
+    private def display(v: Any, dt: DataType): String = (v, dt) match {
+      case (b: Boolean, _) => if (b) "1" else "0"
+      case (d: Decimal, _) => d.toJavaBigDecimal.toPlainString
+      case (i: Int, DateType) =>
+        java.time.LocalDate.ofEpochDay(i.toLong).toString
+      case (m: Long, TimestampType | TimestampNTZType) =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(m, 1000000L), 0, java.time.ZoneOffset.UTC)
+          .toString.replace('T', ' ')
+      case (d: Double, _) =>
+        if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
+        else d.toString
+      case (f: Float, _) => display(f.toDouble, DoubleType)
+      case (other, _) => String.valueOf(other)
+    }
+    override protected def withNewChildrenInternal(
+        n: IndexedSeq[Expression]): Expression = copy(n)
+  }
+
   case class MySqlStrOperand(child: Expression)
       extends UnaryExpression with CodegenFallback {
     def isIdentity: Boolean = child.dataType match {
@@ -503,6 +564,40 @@ object MySqlArith {
           case _ => 0
         }
         Some(Integer.compare(b(l, lt), b(r, rt)))
+      } else if (isJsonCanonSide(left) != isJsonCanonSide(right)) {
+        // explicit CAST(x AS JSON) vs a plain scalar: document
+        // comparison — the scalar converts to its JSON type (string →
+        // JSON string, number → JSON number, boolean → JSON boolean);
+        // different JSON types never compare equal (rank order is
+        // deterministic-only), same types compare by value
+        def txt(x: Any): String = x match {
+          case u: UTF8String => u.toString
+          case b: Array[Byte] => new String(b, "UTF-8")
+          case o => String.valueOf(o)
+        }
+        val flip = !isJsonCanonSide(left)
+        val (dv, sv, svDt) = if (flip) (r, l, lt) else (l, r, rt)
+        val docText = txt(dv)
+        val (rank, strVal) = graft.functions.json.docTypeRank(docText)
+        val svRank =
+          if (svDt == BooleanType) 6
+          else if (isNumericish(svDt) || isTemporal(svDt)) 2
+          else 3
+        val c =
+          if (rank != svRank) Integer.compare(rank, svRank)
+          else rank match {
+            case 6 =>
+              val db = docText.trim.equalsIgnoreCase("true")
+              val sb = sv match {
+                case b: Boolean => b
+                case o => toDoubleVal(o, svDt) != 0.0
+              }
+              java.lang.Boolean.compare(db, sb)
+            case 2 => java.lang.Double.compare(
+              toDoubleVal(dv, StringType), toDoubleVal(sv, svDt))
+            case _ => strVal.compareTo(txt(sv))
+          }
+        Some(if (flip) -c else c)
       } else if (isStringish(lt) && isStringish(rt) &&
                  (isBoolJsonCast(left) != isBoolJsonCast(right))) {
         // JSON BOOLEAN document vs STRING: different JSON types — never
@@ -700,6 +795,22 @@ object MySqlArith {
   * cleanup. Applied by Engine.query's SQL path only — DataFrame-API
   * pipelines (SparkEntry/TpcH/Dedup/…) never see these nodes. */
 object MySqlArithRewrite {
+
+  /** The BOOLEAN expression under a CAST(x AS JSON) shape — either the
+    * raw Cast(bool AS STRING) or the (still unresolved) json_canon
+    * wrapper around it. */
+  private def boolJsonInner(e: Expression): Option[Expression] = e match {
+    case inner: Cast if inner.dataType.isInstanceOf[StringType] &&
+        inner.child.resolved && inner.child.dataType == BooleanType =>
+      Some(inner.child)
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.last.equalsIgnoreCase("json_canon") &&
+          f.arguments.size == 1 =>
+      boolJsonInner(f.arguments.head)
+    case jc: graft.functions.json.JsonCanon => boolJsonInner(jc.child)
+    case _ => None
+  }
+
   import MySqlArith._
 
   private def isArith(e: Expression): Boolean = e match {
@@ -759,7 +870,14 @@ object MySqlArithRewrite {
       // an operand of the ENCLOSING spine it takes its numeric form like
       // any temporal value (ts1 - (ts2 - INTERVAL 1 SECOND) is numeric)
       if (e.children.exists(isIntervalOperand)) MySqlNumOperand(m) else m
-    } else MySqlNumOperand(rewriteExpr(e))
+    } else e match {
+      // a HEX literal (X'0a') is a NUMBER in numeric context — its
+      // big-endian byte value, not a string parse of the bytes
+      // (reference types/bit.go hexlit coercion; CONV(10+X'0a'...))
+      case Literal(b: Array[Byte], BinaryType) if b.length <= 8 =>
+        Literal(b.foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)))
+      case _ => MySqlNumOperand(rewriteExpr(e))
+    }
   /** Recurse into a non-spine subtree for independent nested rewrites. */
   private def inner(e: Expression): Expression = e.mapChildren(rewriteExpr)
 
@@ -827,7 +945,21 @@ object MySqlArithRewrite {
     case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if f.arguments.size == 1 &&
           f.nameParts.last.equalsIgnoreCase("dayname") =>
-      f.copy(arguments = Seq(MySqlDateOperand(rewriteExpr(f.arguments.head))))
+      // MySQL DAYNAME is the full weekday name ("Tuesday"); Spark's
+      // builtin dayname() abbreviates, so map to date_format 'EEEE'
+      f.copy(nameParts = Seq("date_format"),
+        arguments = Seq(MySqlDateOperand(rewriteExpr(f.arguments.head)),
+          org.apache.spark.sql.catalyst.expressions.Literal("EEEE")))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.size >= 2 && f.arguments.forall(_.resolved) &&
+          Set("coalesce", "ifnull")(f.nameParts.last.toLowerCase) &&
+          f.arguments.map(a => typeClass(a.dataType)).distinct.size > 1 =>
+      // heterogeneously-typed COALESCE: the reference evaluates
+      // dynamically and displays the chosen value in its OWN type's
+      // form (coalesce(1, 0.0) is "1", not decimal "1.0"). Resolved
+      // (literal-shaped) arguments only — column exprs keep Spark's
+      // native typed coalesce.
+      MySqlCoalesceDyn(f.arguments.map(rewriteExpr))
     case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if f.arguments.size == 1 &&
           f.nameParts.last.equalsIgnoreCase("bit_count") =>
@@ -866,13 +998,45 @@ object MySqlArithRewrite {
     case c: Cast
         if c.dataType.isInstanceOf[NumericType] &&
           (c.child match {
-            case inner: Cast => inner.dataType.isInstanceOf[StringType] &&
-              inner.child.dataType == BooleanType
+            case Literal(b: Array[Byte], BinaryType) => b.length <= 8
             case _ => false
           }) =>
+      // CAST(X'20' AS DECIMAL/SIGNED): a hex literal is its big-endian
+      // numeric value in numeric context (reference types coercion)
+      val b = c.child.asInstanceOf[Literal].value.asInstanceOf[Array[Byte]]
+      Cast(Literal(b.foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))),
+        c.dataType)
+    case c: Cast
+        if (c.dataType.isInstanceOf[StringType] ||
+            c.dataType.isInstanceOf[org.apache.spark.sql.types.CharType] ||
+            c.dataType.isInstanceOf[org.apache.spark.sql.types.VarcharType]) &&
+          c.child.isInstanceOf[Literal] && c.child.resolved &&
+          c.child.dataType == BinaryType =>
+      // CAST(X'...' AS CHAR(n)): bytes must decode as valid utf8mb4 or
+      // the cast reads NULL with a 1300-shaped warning (reference
+      // charset validation); Spark would emit replacement chars
+      try {
+        val b = c.child.asInstanceOf[Literal].value.asInstanceOf[Array[Byte]]
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        val s = dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+        Cast(Literal(s), c.dataType)
+      } catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          Literal(null, StringType)
+      }
+    case c: Cast
+        if c.dataType == BinaryType && c.child.resolved &&
+          c.child.dataType.isInstanceOf[NumericType] =>
+      // CAST(1 AS BINARY) is the DIGIT bytes "1" in MySQL, not the
+      // machine int encoding Spark produces (types/strings.go)
+      Cast(Cast(rewriteExpr(c.child), StringType), BinaryType)
+    case c: Cast
+        if c.dataType.isInstanceOf[NumericType] &&
+          boolJsonInner(c.child).isDefined =>
       // CAST(CAST(bool AS JSON) AS SIGNED): the JSON boolean document is
-      // its 0/1 value, not Spark's failed 'true'-string parse
-      Cast(rewriteExpr(c.child.asInstanceOf[Cast].child), c.dataType)
+      // its 0/1 value, not Spark's failed 'true'-string parse (the json
+      // cast may appear as a raw string cast or the json_canon wrapper)
+      Cast(rewriteExpr(boolJsonInner(c.child).get), c.dataType)
     case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
       sub.withNewPlan(apply(sub.plan))
     case other => other.mapChildren(rewriteExpr)
@@ -916,8 +1080,11 @@ object MySqlArithRewrite {
     else if (isJsonSide(l) || isJsonSide(r))
       // JSON-vs-number double-compares natively (JsonNumericCompareRule
       // semantics, applied by nativeCmp); JSON-vs-boolean needs the
-      // custom bool-text comparison ('true' doc = TRUE is 1, not NULL)
-      lt == BooleanType || rt == BooleanType
+      // custom bool-text comparison ('true' doc = TRUE is 1, not NULL);
+      // an explicit CAST(x AS JSON) vs a plain string compares as
+      // documents (the string side is a JSON string scalar)
+      lt == BooleanType || rt == BooleanType ||
+        (isJsonCanonSide(l) != isJsonCanonSide(r))
     else if (isStringish(lt) && isNumericish(rt)) true
     else if (isNumericish(lt) && isStringish(rt)) true
     else if (isTemporal(lt) && isStringish(rt)) true
@@ -929,11 +1096,13 @@ object MySqlArithRewrite {
   private def isJsonSide(e: Expression): Boolean = e match {
     case _: graft.functions.json.JsonExtractMySql => true
     case _: graft.functions.json.JsonValueFn => true
+    case _: graft.functions.json.JsonCanon => true
     case c: Cast => isJsonSide(c.child)
     case s: MySqlStrOperand => isJsonSide(s.child)
     case n: MySqlNumOperand => isJsonSide(n.child)
     case _ => false
   }
+
   private def mkCmp(op: String, l: Expression, r: Expression): Expression =
     op match {
       case "=" => EqualTo(l, r)

@@ -19,6 +19,71 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object expressions {
 
+  /** SLEEP(n) — blocks the evaluating task for n seconds and returns 0
+    * (reference sql/expression/function/sleep.go). Nondeterministic so
+    * the analyzer never constant-folds the pause away, and so sibling
+    * projections evaluate in statement order around it. */
+  case class MySqlSleep(child: Expression)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Nondeterministic
+      with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = false
+    override protected def initializeInternal(partitionIndex: Int): Unit = ()
+    override protected def evalInternal(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v != null) {
+        val secs = MySqlArith.toDoubleVal(v, child.dataType)
+        if (secs > 0) Thread.sleep((secs * 1000).toLong)
+      }
+      0
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** SYSDATE() — wall-clock at each EVALUATION, unlike NOW() which is
+    * fixed at statement start (reference function/now.go SysDate).
+    * Nondeterministic keeps it out of constant folding. */
+  case class SysDate()
+      extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+      with org.apache.spark.sql.catalyst.expressions.Nondeterministic
+      with CodegenFallback {
+    override def dataType: DataType = TimestampType
+    override def nullable: Boolean = false
+    override protected def initializeInternal(partitionIndex: Int): Unit = ()
+    override protected def evalInternal(input: InternalRow): Any =
+      System.currentTimeMillis() * 1000L
+  }
+
+  /** CAST(x AS YEAR) (reference sql/types/year.go): 2-digit window
+    * 1..69 -> 2001..2069, 70..99 -> 1970..1999; 0 -> 2000 for strings,
+    * 0000 for numeric 0; 1901..2155 pass through; outside -> NULL.
+    * DECIMAL(20,0) result so json_type sees the unsigned marker. */
+  case class MySqlYearCast(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DecimalType(20, 0)
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val isStr = child.dataType.isInstanceOf[StringType] ||
+        child.dataType == BinaryType
+      val n = try {
+        val d = MySqlArith.toDoubleVal(v, child.dataType)
+        if (d != math.floor(d)) return null
+        d.toLong
+      } catch { case _: Exception => return null }
+      val y =
+        if (n == 0) { if (isStr) 2000L else 0L }
+        else if (n >= 1 && n <= 69) 2000 + n
+        else if (n >= 70 && n <= 99) 1900 + n
+        else if (n >= 1901 && n <= 2155) n
+        else return null
+      org.apache.spark.sql.types.Decimal(y)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** FIELD(x, s1, s2, ...) — 1-based index of x among s1.., 0 if absent
     * (reference: FIELD in registry.go; NULL x -> 0 per MySQL). */
   case class MySqlField(children: Seq[Expression])

@@ -74,7 +74,10 @@ object json {
       p.charAt(i) match {
         case '.' =>
           i += 1
-          if (i < p.length && p.charAt(i) == '"') {
+          if (i < p.length && p.charAt(i) == '[') {
+            // `$.[0]`: MySQL tolerates a dot before a bracket leg
+            // (queries.go JSON_EXTRACT('[1, 2, 3]', '$.[0]'))
+          } else if (i < p.length && p.charAt(i) == '"') {
             val end = p.indexOf('"', i + 1)
             if (end < 0) return null
             steps += Key(p.substring(i + 1, end)); i = end + 1
@@ -178,6 +181,38 @@ object json {
     try mapper.readTree(s) catch { case _: Exception => null }
 
   private def out(n: JsonNode): UTF8String = UTF8String.fromString(n.toString)
+
+  /** (JSON type rank, string value when the document is a string
+    * scalar) for document-vs-string comparisons; unparseable text reads
+    * as a string scalar. Ranks only order deterministically. */
+  def docTypeRank(text: String): (Int, String) = {
+    val d = tryParse(text)
+    if (d == null) (3, text)
+    else if (d.isNull) (1, null)
+    else if (d.isNumber) (2, null)
+    else if (d.isTextual) (3, d.asText())
+    else if (d.isObject) (4, null)
+    else if (d.isArray) (5, null)
+    else (6, null) // boolean
+  }
+
+  /** MySQL's JSON display form — ", " element and ": " key separators
+    * (compact otherwise). Used when a document coerces to a STRING
+    * (e.g. as a JSON_OBJECT key). */
+  def mysqlJsonText(n: JsonNode): String = n match {
+    case o: ObjectNode =>
+      val it = o.fieldNames()
+      val parts = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val k = it.next()
+        parts += F.textNode(k).toString + ": " + mysqlJsonText(o.get(k))
+      }
+      parts.result().mkString("{", ", ", "}")
+    case a: ArrayNode =>
+      (0 until a.size).map(i => mysqlJsonText(a.get(i)))
+        .mkString("[", ", ", "]")
+    case other => other.toString
+  }
 
   /** MySQL's binary-JSON object layout sorts keys by LENGTH, then by
     * code point; display reflects it (json_scripts.go "json is formatted
@@ -498,7 +533,24 @@ object json {
       children.grouped(2).foreach { case Seq(k, v) =>
         val kv = k.eval(input)
         if (kv == null) return null
-        o.set[JsonNode](kv.toString, toNode(v.eval(input)))
+        // MySQL coerces the key to its string FORM per source type:
+        // booleans are '1'/'0', temporals their display text, JSON
+        // documents their spaced JSON rendering (json_queries.go
+        // JSON_OBJECT(DATE(...)/JSON_OBJECT(...)/true blocks)
+        val key = (k.dataType, kv) match {
+          case (BooleanType, b: Boolean) => if (b) "1" else "0"
+          case (DateType, d: Int) =>
+            java.time.LocalDate.ofEpochDay(d.toLong).toString
+          case (TimestampType | TimestampNTZType, m: Long) =>
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(m, 1000000L), 0, java.time.ZoneOffset.UTC)
+              .toString.replace('T', ' ')
+          case _ if k.isInstanceOf[JsonExpr] =>
+            val d = tryParse(kv.toString)
+            if (d == null) kv.toString else mysqlJsonText(d)
+          case _ => kv.toString
+        }
+        o.set[JsonNode](key, toNode(v.eval(input)))
       }
       out(o)
     }
@@ -877,8 +929,21 @@ object json {
   case class JsonContainsMySql(children: Seq[Expression]) extends JsonExpr {
     override def dataType: DataType = BooleanType
     protected def evalNotNull(vs: Seq[Any]): Any = {
-      val t = doc(vs(0)); val c = doc(vs(1))
-      if (t == null || c == null) null else contains(t, c)
+      val t0 = doc(vs(0)); val c = doc(vs(1))
+      if (t0 == null || c == null) return null
+      // 3-arg form tests containment AT the path (reference
+      // function/json_contains.go); no match at the path -> NULL
+      val t =
+        if (vs.length < 3) t0
+        else {
+          val p = parsePath(str(vs(2)))
+          if (p == null) return null
+          navigateAll(t0, p) match {
+            case Seq(one) => one
+            case _ => return null
+          }
+        }
+      contains(t, c)
     }
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
   }
@@ -1078,7 +1143,10 @@ object json {
       import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
       import org.apache.spark.sql.types._
       import org.apache.spark.unsafe.types.UTF8String
-      val static = es.headOption.collect {
+      val static = es.headOption.map {
+        case jc: JsonCanon => jc.child // CAST(x AS JSON) wrapper
+        case o => o
+      }.collect {
         case c: Cast if c.dataType.isInstanceOf[StringType] =>
           scala.util.Try(c.child.dataType).toOption.collect {
             case DecimalType() if c.child.dataType == DecimalType(20, 0) =>
@@ -1094,6 +1162,11 @@ object json {
       }
     }, "scala_udf")
     reg.createOrReplaceTempFunction("json_valid", es => JsonValid(es.head), "scala_udf")
+    // CAST(x AS JSON) compiles to json_canon (Dialect jsonYearCasts):
+    // canonical document text, and a JSON-typed marker for comparisons
+    reg.createOrReplaceTempFunction("json_canon", es => JsonCanon(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("mysql_year",
+      es => graft.functions.expressions.MySqlYearCast(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("json_contains", es => JsonContainsMySql(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_contains_path", es => JsonContainsPath(es), "scala_udf")
     reg.createOrReplaceTempFunction("json_search", es => JsonSearch(es), "scala_udf")

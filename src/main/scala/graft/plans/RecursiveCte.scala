@@ -19,30 +19,47 @@ import org.apache.spark.sql.DataFrame
   */
 object RecursiveCte {
 
-  /** UNION ALL variant (WITH RECURSIVE ... UNION ALL ...). */
-  def unionAll(seed: DataFrame, step: DataFrame => DataFrame, maxDepth: Int = 100): DataFrame = {
+  /** UNION ALL variant (WITH RECURSIVE ... UNION ALL ...). `maxRows`
+    * implements MySQL's LIMIT-in-recursive-member semantics: the cap is
+    * on the CUMULATIVE row count (anchor included) and stops the
+    * iteration (cte.go pushdown of the limit into the working-table
+    * loop). The per-iteration count() only runs when a cap is set, so
+    * uncapped recursions pay nothing. */
+  def unionAll(seed: DataFrame, step: DataFrame => DataFrame,
+               maxDepth: Int = 100,
+               maxRows: Long = Long.MaxValue): DataFrame = {
     var acc = seed
+    var total = if (maxRows == Long.MaxValue) 0L else seed.count()
     var delta = seed
     var depth = 0
-    while (depth < maxDepth && !delta.isEmpty) {
+    while (depth < maxDepth && total < maxRows && !delta.isEmpty) {
       delta = step(delta).localCheckpoint(eager = true)
-      if (!delta.isEmpty) acc = acc.unionAll(delta)
+      if (!delta.isEmpty) {
+        acc = acc.unionAll(delta)
+        if (maxRows != Long.MaxValue) total += delta.count()
+      }
       depth += 1
     }
-    acc
+    if (maxRows != Long.MaxValue) acc.limit(maxRows.toInt) else acc
   }
 
   /** UNION DISTINCT variant: new rows already seen do not re-enter the
     * working table (the reference's default UNION semantics). */
-  def unionDistinct(seed: DataFrame, step: DataFrame => DataFrame, maxDepth: Int = 100): DataFrame = {
+  def unionDistinct(seed: DataFrame, step: DataFrame => DataFrame,
+                    maxDepth: Int = 100,
+                    maxRows: Long = Long.MaxValue): DataFrame = {
     var acc = seed.distinct().localCheckpoint(eager = true)
+    var total = if (maxRows == Long.MaxValue) 0L else acc.count()
     var delta = acc
     var depth = 0
-    while (depth < maxDepth && !delta.isEmpty) {
+    while (depth < maxDepth && total < maxRows && !delta.isEmpty) {
       delta = step(delta).distinct().exceptAll(acc).localCheckpoint(eager = true)
-      if (!delta.isEmpty) acc = acc.unionAll(delta).localCheckpoint(eager = true)
+      if (!delta.isEmpty) {
+        acc = acc.unionAll(delta).localCheckpoint(eager = true)
+        if (maxRows != Long.MaxValue) total += delta.count()
+      }
       depth += 1
     }
-    acc
+    if (maxRows != Long.MaxValue) acc.limit(maxRows.toInt) else acc
   }
 }

@@ -22,9 +22,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RecursiveSql {
 
-  private val Head =
-    """(?is)^\s*WITH\s+RECURSIVE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(([^)]*)\))?\s+AS\s*\(""".r
-
   /** MySQL @@cte_max_recursion_depth default. */
   private val MaxDepth = 1000
 
@@ -75,14 +72,38 @@ object RecursiveSql {
     (terms.result().map(_.trim).filter(_.nonEmpty), allBag)
   }
 
-  /** Try to run `sql` as a recursive CTE; None when the shape doesn't match. */
-  def run(spark: SparkSession, sql: String): Option[DataFrame] =
-    Head.findFirstMatchIn(sql).flatMap { m =>
-      val name = m.group(1)
-      val cols = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
-      // matching close paren of AS (
+  /** One parsed CTE binding: name, declared cols, body text. */
+  private final case class Binding(name: String, cols: Option[Seq[String]],
+                                   body: String)
+
+  private val BindHead =
+    """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(([^)]*)\))?\s+AS\s*\(""".r
+
+  /** Try to run `sql` as a recursive-CTE statement; None when the shape
+    * doesn't match. Supports a comma-separated binding LIST (each
+    * binding may reference earlier ones and itself) and a WITH RECURSIVE
+    * nested inside a larger statement: the bindings materialize as temp
+    * views in order, the with-clause text is spliced out, and the
+    * remaining statement runs against the views. */
+  def run(spark: SparkSession, sql: String): Option[DataFrame] = {
+    // literal-aware locate of the WITH RECURSIVE keywords (a regex over
+    // raw text would also match inside string literals)
+    val toksAll = graft.SqlRewrite.tokenize(sql)
+    val wIdx = toksAll.indices.find(k =>
+      toksAll(k).isWord("with") && k + 1 < toksAll.length &&
+        toksAll(k + 1).isWord("recursive")).getOrElse(return None)
+    val withStart = toksAll(wIdx).start
+    val bindStart = toksAll(wIdx + 1).end
+    // parse the comma-separated bindings
+    val bindings = Seq.newBuilder[Binding]
+    var pos = bindStart
+    var more = true
+    while (more) {
+      val bm = BindHead.findFirstMatchIn(sql.substring(pos))
+        .getOrElse(return None)
+      val bodyStart = pos + bm.end
       var depth = 1
-      var i = m.end
+      var i = bodyStart
       while (i < sql.length && depth > 0) {
         sql.charAt(i) match {
           case '(' => depth += 1; i += 1
@@ -92,35 +113,87 @@ object RecursiveSql {
         }
       }
       if (depth != 0) return None
-      val body = sql.substring(m.end, i - 1)
-      val outer = sql.substring(i).trim
-      if (outer.isEmpty) return None
-
-      val (terms, allBag) = splitUnions(body)
-      val selfRef = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
-      val (recTerms, anchorTerms) =
-        terms.partition(t => selfRef.findFirstIn(t).isDefined)
-      if (anchorTerms.isEmpty) return None
-
-      val seedSql = anchorTerms.map(t => s"($t)").mkString(" UNION ALL ")
-      var seed = spark.sql(seedSql)
-      cols.foreach(cs => seed = seed.toDF(cs: _*))
-
-      // recursive-term outputs keep the working table's column names
-      // (Spark auto-names unaliased expressions like `(k + 5)`)
-      val colNames = seed.columns.toSeq
-      val step = (delta: DataFrame) => {
-        delta.createOrReplaceTempView(name)
-        recTerms.map(t => spark.sql(t).toDF(colNames: _*)).reduce(_ unionAll _)
-      }
-      val acc =
-        if (recTerms.isEmpty) seed
-        else if (allBag) RecursiveCte.unionAll(seed, step, MaxDepth)
-        else RecursiveCte.unionDistinct(seed, step, MaxDepth)
-
-      acc.createOrReplaceTempView(name)
-      val result = spark.sql(outer) // analysis is eager; safe to drop after
-      spark.catalog.dropTempView(name)
-      Some(result)
+      bindings += Binding(bm.group(1),
+        Option(bm.group(2)).map(_.split(",").map(_.trim).toSeq),
+        sql.substring(bodyStart, i - 1))
+      // a comma continues the binding list
+      var j = i
+      while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      if (j < sql.length && sql.charAt(j) == ',') { pos = j + 1; more = true }
+      else { pos = j; more = false }
     }
+    val binds = bindings.result()
+    // statement with the whole WITH clause spliced out
+    val outer = (sql.substring(0, withStart) + " " + sql.substring(pos)).trim
+    if (outer.isEmpty) return None
+
+    val made = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      binds.foreach { b =>
+        val df = evalBinding(spark, b)
+        df.createOrReplaceTempView(b.name)
+        made += b.name
+      }
+      val result = spark.sql(outer) // analysis is eager; safe to drop after
+      Some(result)
+    } finally made.foreach { n =>
+      try spark.catalog.dropTempView(n) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Materialize one binding: non-recursive bodies run directly;
+    * self-referencing bodies drive the working-table loop. */
+  private def evalBinding(spark: SparkSession, b: Binding): DataFrame = {
+    val (terms0, allBag) = splitUnions(b.body)
+    val selfRef = ("(?i)\\b" + java.util.regex.Pattern.quote(b.name) + "\\b").r
+    // a trailing top-level [ORDER BY ...] LIMIT n on the LAST term caps
+    // the CUMULATIVE working table (MySQL cte.go limit pushdown); the
+    // ORDER BY before it has no effect on accumulation and drops
+    var maxRows = Long.MaxValue
+    val terms = terms0.init :+ {
+      val last = terms0.last
+      val toks = graft.SqlRewrite.tokenize(last)
+      var d = 0
+      var limitAt = -1
+      var orderAt = -1
+      toks.zipWithIndex.foreach { case (t, k) =>
+        t.text match {
+          case "(" => d += 1
+          case ")" => d -= 1
+          case _ if d == 0 && t.isWord("limit") => limitAt = k
+          case _ if d == 0 && t.isWord("order") && orderAt < 0 &&
+              k + 1 < toks.length && toks(k + 1).isWord("by") => orderAt = k
+          case _ =>
+        }
+      }
+      if (limitAt > 0 && limitAt == toks.length - 2 &&
+          toks.last.text.forall(_.isDigit) && toks.last.text.nonEmpty) {
+        maxRows = toks.last.text.toLong
+        val cut = if (orderAt > 0 && orderAt < limitAt) orderAt else limitAt
+        last.substring(0, toks(cut).start)
+      } else last
+    }
+    val (recTerms, anchorTerms) =
+      terms.partition(t => selfRef.findFirstIn(t).isDefined)
+    if (anchorTerms.isEmpty)
+      throw new IllegalArgumentException(
+        s"recursive CTE ${b.name} has no anchor term")
+
+    val seedSql = anchorTerms.map(t => s"($t)").mkString(" UNION ALL ")
+    var seed = spark.sql(seedSql)
+    b.cols.foreach(cs => seed = seed.toDF(cs: _*))
+
+    // recursive-term outputs keep the working table's column names
+    // (Spark auto-names unaliased expressions like `(k + 5)`)
+    val colNames = seed.columns.toSeq
+    val step = (delta: DataFrame) => {
+      delta.createOrReplaceTempView(b.name)
+      recTerms.map(t => spark.sql(t).toDF(colNames: _*)).reduce(_ unionAll _)
+    }
+    val acc =
+      if (recTerms.isEmpty) (if (allBag) seed else seed.distinct())
+      else if (allBag) RecursiveCte.unionAll(seed, step, MaxDepth, maxRows)
+      else RecursiveCte.unionDistinct(seed, step, MaxDepth, maxRows)
+    acc
+  }
 }

@@ -96,7 +96,8 @@ class DateTimeExtSpec extends AnyFunSuite {
     assert(mysqlDateStrNorm("20090209") == "2009-02-09")
     assert(mysqlDateStrNorm("090209") == "2009-02-09")
     assert(mysqlDateStrNorm("20090209123456") == "2009-02-09 12:34:56")
-    assert(mysqlDateStrNorm("090209123456.5") == "2009-02-09 12:34:56.5")
+    // fractions render at micro precision (digits beyond 6 round half-up)
+    assert(mysqlDateStrNorm("090209123456.5") == "2009-02-09 12:34:56.500000")
     // 2-digit years: 00-69 -> 20xx, 70-99 -> 19xx
     assert(mysqlDateStrNorm("69.1.2") == "2069-01-02")
     assert(mysqlDateStrNorm("70.1.2") == "1970-01-02")

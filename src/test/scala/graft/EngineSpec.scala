@@ -585,7 +585,8 @@ class EngineSpec extends AnyFunSuite {
 
   test("SHOW surface answers client-probe statements as SQL text") {
     val r = engine.query("SHOW VARIABLES LIKE 'version%'").collect()
-    assert(r.map(_.getString(0)).toSet == Set("version", "version_comment"))
+    assert(r.map(_.getString(0)).toSet == Set("version", "version_comment",
+      "version_compile_machine", "version_compile_os", "version_compile_zlib"))
     assert(r.find(_.getString(0) == "version").get.getString(1) == "8.0.31")
     assert(engine.query("SHOW SESSION VARIABLES").count() >= 10)
     assert(engine.query("SHOW STATUS LIKE 'Threads%'").count() == 1)

@@ -249,7 +249,7 @@ class ReferenceScriptCorpusSpec extends AnyFunSuite {
 
   test("system variable reads (script_queries.go:231)") {
     val e = freshEngine
-    check(e, "SELECT @@version_comment", Seq(Seq("graft-spark")))
+    check(e, "SELECT @@version_comment", Seq(Seq("Dolt")))
     check(e, "SELECT @@version", Seq(Seq("8.0.31")))
     // live session state — the reference's default set verbatim
     // (order_by_group_by_queries.go:232)

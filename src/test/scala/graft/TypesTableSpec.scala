@@ -96,8 +96,11 @@ class TypesTableSpec extends AnyFunSuite {
     val e = new Engine(spark)
     e.attachDir(SparkSpec.sfDir)
     e.enableInformationSchema()
-    assert(e.query("SELECT default_collation_name FROM information_schema_schemata")
-      .collect()(0).getString(0) == "utf8mb4_0900_ai_ci")
+    // reference schemata_table.go: schema default is utf8mb4_0900_bin
+    assert(e.query(
+      """SELECT default_collation_name FROM information_schema_schemata
+         WHERE schema_name != 'information_schema' LIMIT 1""")
+      .collect()(0).getString(0) == "utf8mb4_0900_bin")
     assert(e.query(
       """SELECT collation_name FROM information_schema_collations
          WHERE is_default = 'Yes' AND character_set_name = 'utf8mb4'""")
