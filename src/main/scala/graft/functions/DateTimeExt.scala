@@ -110,6 +110,59 @@ object DateTimeExt {
     }
   }
 
+  /** Scalar twin of [[week]] for driver/eval-side callers (the
+    * %U/%u/%V/%X date-format specs) — same mode table. */
+  def weekModeInt(d: java.time.LocalDate, mode: Int): Int = {
+    if (mode == 3)
+      return d.get(java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear)
+    val mondayFirst = mode % 2 == 1
+    val fourDays = Set(1, 4, 6)(mode)
+    val zeroRange = Set(0, 1, 4, 5)(mode)
+    def startOf(y: Int): java.time.LocalDate = {
+      val jan1 = java.time.LocalDate.of(y, 1, 1)
+      val dow =
+        if (mondayFirst) jan1.getDayOfWeek.getValue - 1
+        else jan1.getDayOfWeek.getValue % 7
+      if (fourDays) {
+        if (dow <= 3) jan1.minusDays(dow.toLong)
+        else jan1.plusDays((7 - dow).toLong)
+      } else jan1.plusDays(((7 - dow) % 7).toLong)
+    }
+    def wk(start: java.time.LocalDate): Int =
+      (java.time.temporal.ChronoUnit.DAYS.between(start, d) / 7 + 1).toInt
+    val y = d.getYear
+    val s0 = startOf(y)
+    if (fourDays && !zeroRange && !d.isBefore(startOf(y + 1))) 1
+    else if (!d.isBefore(s0)) wk(s0)
+    else if (zeroRange) 0
+    else wk(startOf(y - 1))
+  }
+
+  /** The year a [[weekModeInt]] week belongs to (1..53-range modes roll
+    * into the adjacent year). */
+  def weekYearInt(d: java.time.LocalDate, mode: Int): Int = {
+    if (mode == 3)
+      return d.get(java.time.temporal.WeekFields.ISO.weekBasedYear)
+    val mondayFirst = mode % 2 == 1
+    val fourDays = Set(1, 4, 6)(mode)
+    val zeroRange = Set(0, 1, 4, 5)(mode)
+    def startOf(y: Int): java.time.LocalDate = {
+      val jan1 = java.time.LocalDate.of(y, 1, 1)
+      val dow =
+        if (mondayFirst) jan1.getDayOfWeek.getValue - 1
+        else jan1.getDayOfWeek.getValue % 7
+      if (fourDays) {
+        if (dow <= 3) jan1.minusDays(dow.toLong)
+        else jan1.plusDays((7 - dow).toLong)
+      } else jan1.plusDays(((7 - dow) % 7).toLong)
+    }
+    val y = d.getYear
+    if (fourDays && !zeroRange && !d.isBefore(startOf(y + 1))) y + 1
+    else if (!d.isBefore(startOf(y))) y
+    else if (zeroRange) y
+    else y - 1
+  }
+
   /** GET_FORMAT(type, standard) — the MySQL constant table. */
   def getFormat(typ: String, standard: String): String =
     (typ.toUpperCase, standard.toUpperCase) match {
@@ -199,9 +252,14 @@ object DateTimeExt {
         else render(y, mo, d, digits.substring(yLen + 4, yLen + 6),
           digits.substring(yLen + 6, yLen + 8),
           digits.substring(yLen + 8, yLen + 10), fr)
+      // a digit run of any OTHER length is not a MySQL date shape —
+      // Spark's cast would read '1234' as the year 1234, so emit an
+      // explicitly uncastable form (CAST(1234 AS DATE) is NULL)
+      case BadDigits() => "invalid-datetime:" + s
       case _ => s0
     }
   }
+  private val BadDigits = """^\d+(?:\.\d+)?$""".r
 
   /** mysql_dtnorm(x): canonicalize a MySQL-legal datetime STRING to a
     * Spark-castable ISO form (identity for non-strings and for strings

@@ -222,6 +222,43 @@ object MiscFns {
     "subdate" -> tmpl(
       "mysql_dt_clamp(CASE WHEN CAST(__arg1 AS DOUBLE) BETWEEN -4000000 AND 4000000 " +
       "THEN date_sub(CAST(mysql_dtnorm(__arg0) AS DATE), CAST(__arg1 AS INT)) END)"),
+    // NAME_CONST(name, value): a named constant — both args must be
+    // constant-shaped (reference function/registry.go NameConst;
+    // script_queries.go name_const block pins the error text)
+    "name_const" -> (es => {
+      require(es.length == 2, "name_const(name, value)")
+      def constShape(e: Expression): Boolean = e match {
+        case _: Literal => true
+        case c: Cast => constShape(c.child)
+        case n: UnaryMinus => constShape(n.child)
+        case _ => false
+      }
+      if (!es.forall(constShape))
+        throw new IllegalArgumentException(
+          "incorrect arguments to: NAME_CONST")
+      val name = es.head match {
+        case Literal(s: UTF8String, _) => s.toString
+        case Literal(d: Int, DateType) =>
+          java.time.LocalDate.ofEpochDay(d.toLong).toString
+        case Literal(v, _) => String.valueOf(v)
+        case other => other.sql
+      }
+      Alias(es(1), name)()
+    }),
+    // FROM_UNIXTIME: NULL outside [0, 32536771199.999999] (reference
+    // function/unixtimestamp.go); 2-arg form formats with %-specs
+    "from_unixtime" -> (es => {
+      val guarded = tmpl(
+        "CASE WHEN CAST(__arg0 AS DOUBLE) >= 0 AND " +
+        "CAST(__arg0 AS DOUBLE) <= 32536771199.999999 " +
+        "THEN CAST(timestamp_seconds(CAST(__arg0 AS DECIMAL(20,6))) " +
+        "AS TIMESTAMP) END")(Seq(es.head))
+      if (es.length == 1) guarded
+      else MySqlFormat.dateFormatExpr(Seq(guarded, es(1)))
+    }),
+    "charset_convert" -> (es =>
+      graft.functions.expressions.CharsetConvert(es(0),
+        litStr(es(1), "charset_convert"))),
     "mysql_dtnorm" -> (es => DateTimeExt.MySqlDtNorm(es.head)),
     "mysql_dt_clamp" -> (es => DateTimeExt.MySqlDtClamp(es.head)),
     "curtime" -> tmpl("date_format(current_timestamp(), 'HH:mm:ss')"),

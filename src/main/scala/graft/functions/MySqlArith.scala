@@ -912,9 +912,24 @@ object MySqlArithRewrite {
     case o: Or => Or(boolWrap(o.left), boolWrap(o.right))
     case n: Not => Not(boolWrap(n.child))
     case cw: CaseWhen =>
-      CaseWhen(
-        cw.branches.map { case (c, v) => (boolWrap(c), rewriteExpr(v)) },
-        cw.elseValue.map(rewriteExpr))
+      // mixed BOOLEAN/numeric branch values unify numerically in MySQL
+      // (a boolean arm is its 0/1 value); Spark's casewhen rejects the
+      // pair. Statically-typed (literal-shaped) arms only.
+      val branches =
+        cw.branches.map { case (c, v) => (boolWrap(c), rewriteExpr(v)) }
+      val elseV = cw.elseValue.map(rewriteExpr)
+      val values = branches.map(_._2) ++ elseV.toSeq
+      def dtOf(e: Expression): Option[DataType] =
+        scala.util.Try(e.dataType).toOption
+      val dts = values.map(dtOf)
+      val mixBool = dts.forall(_.isDefined) &&
+        dts.exists(_.contains(BooleanType)) &&
+        dts.flatten.exists(d =>
+          d != BooleanType && d.isInstanceOf[NumericType])
+      def arm(r: Expression): Expression =
+        if (mixBool && dtOf(r).contains(BooleanType)) Cast(r, IntegerType)
+        else r
+      CaseWhen(branches.map { case (c, v) => (c, arm(v)) }, elseV.map(arm))
     case i: If =>
       If(boolWrap(i.predicate), rewriteExpr(i.trueValue),
         rewriteExpr(i.falseValue))
@@ -933,6 +948,15 @@ object MySqlArithRewrite {
       val in = noRound(b.input)
       And(MySqlCompare(in, noRound(b.lower), ">="),
         MySqlCompare(in, noRound(b.upper), "<="))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.size == 3 &&
+          f.nameParts.last.equalsIgnoreCase("between") =>
+      // Spark 4 parses BETWEEN as the `between` function (resolved to a
+      // With/CommonExpression) — same MySQL pairwise-coercion expansion
+      // as the Between node above
+      val in = noRound(f.arguments(0))
+      And(MySqlCompare(in, noRound(f.arguments(1)), ">="),
+        MySqlCompare(in, noRound(f.arguments(2)), "<="))
     case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if f.arguments.size == 3 && f.nameParts.last.equalsIgnoreCase("if") =>
       f.copy(arguments = Seq(boolWrap(f.arguments(0)),
@@ -953,7 +977,8 @@ object MySqlArithRewrite {
     case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if f.arguments.size >= 2 && f.arguments.forall(_.resolved) &&
           Set("coalesce", "ifnull")(f.nameParts.last.toLowerCase) &&
-          f.arguments.map(a => typeClass(a.dataType)).distinct.size > 1 =>
+          f.arguments.map(a => typeClass(a.dataType))
+            .filter(_ != 0).distinct.size > 1 =>
       // heterogeneously-typed COALESCE: the reference evaluates
       // dynamically and displays the chosen value in its OWN type's
       // form (coalesce(1, 0.0) is "1", not decimal "1.0"). Resolved
@@ -1024,6 +1049,15 @@ object MySqlArithRewrite {
         case _: java.nio.charset.CharacterCodingException =>
           Literal(null, StringType)
       }
+    case c: Cast
+        if (c.dataType == DateType || c.dataType == TimestampType ||
+            c.dataType == TimestampNTZType) &&
+          c.child.isInstanceOf[Literal] && c.child.resolved &&
+          c.child.dataType.isInstanceOf[NumericType] =>
+      // CAST(20090209 AS DATE): MySQL reads the DIGITS as a date shape;
+      // non-date digit runs (CAST(1234 AS DATE)) read NULL
+      Cast(graft.functions.DateTimeExt.MySqlDtNorm(
+        Cast(rewriteExpr(c.child), StringType)), c.dataType)
     case c: Cast
         if c.dataType == BinaryType && c.child.resolved &&
           c.child.dataType.isInstanceOf[NumericType] =>

@@ -108,7 +108,20 @@ object MySqlFormat {
 
   def dateFormatExpr(es: Seq[Expression]): Expression = {
     require(es.length == 2, "date_format(expr, format)")
-    new DateFormatClass(es(0), translated(es(1))._1)
+    es(1) match {
+      case Literal(f: UTF8String, _: StringType) if f.toString.contains("%") =>
+        val fmt = f.toString
+        try new DateFormatClass(es(0),
+          Literal(UTF8String.fromString(toJavaPattern(fmt)), StringType))
+        catch {
+          case _: IllegalArgumentException =>
+            // specs Java patterns can't express (%D/%x/%v/%U...) take
+            // the eval-mode formatter
+            MySqlDateFormatEval(org.apache.spark.sql.catalyst.expressions.Cast(
+              es(0), org.apache.spark.sql.types.TimestampNTZType), fmt)
+        }
+      case other => new DateFormatClass(es(0), other)
+    }
   }
 
   def strToDateExpr(es: Seq[Expression]): Expression = {
@@ -120,13 +133,109 @@ object MySqlFormat {
     }
   }
 
+  /** Eval-mode DATE_FORMAT for %-specs Java patterns can't express
+    * (%D ordinal day, %x/%v ISO week-year pairs, %U/%u week numbers) —
+    * reference dateformat.go via strftime. Used only when the
+    * translated-pattern fast path throws; the codegen'd date_format
+    * keeps serving translatable formats. */
+  case class MySqlDateFormatEval(child: Expression, fmt: String)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    private def ord(n: Int): String = {
+      val suf =
+        if (n % 100 >= 11 && n % 100 <= 13) "th"
+        else n % 10 match {
+          case 1 => "st"; case 2 => "nd"; case 3 => "rd"; case _ => "th" }
+      n.toString + suf
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val ldt = (v, child.dataType) match {
+        case (m: Long, TimestampType | TimestampNTZType) =>
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(m, 1000000L),
+            (Math.floorMod(m, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        case (d: Int, DateType) =>
+          java.time.LocalDate.ofEpochDay(d.toLong).atStartOfDay()
+        case _ => return null
+      }
+      val sb = new StringBuilder
+      var i = 0
+      while (i < fmt.length) {
+        val c = fmt.charAt(i)
+        if (c == '%' && i + 1 < fmt.length) {
+          val sp = fmt.charAt(i + 1)
+          val wf = java.time.temporal.WeekFields.ISO
+          sp match {
+            case 'Y' => sb.append(f"${ldt.getYear}%04d")
+            case 'y' => sb.append(f"${ldt.getYear % 100}%02d")
+            case 'M' => sb.append(ldt.getMonth.getDisplayName(
+              java.time.format.TextStyle.FULL, java.util.Locale.US))
+            case 'b' => sb.append(ldt.getMonth.getDisplayName(
+              java.time.format.TextStyle.SHORT, java.util.Locale.US))
+            case 'm' => sb.append(f"${ldt.getMonthValue}%02d")
+            case 'c' => sb.append(ldt.getMonthValue.toString)
+            case 'd' => sb.append(f"${ldt.getDayOfMonth}%02d")
+            case 'e' => sb.append(ldt.getDayOfMonth.toString)
+            case 'D' => sb.append(ord(ldt.getDayOfMonth))
+            case 'j' => sb.append(f"${ldt.getDayOfYear}%03d")
+            case 'H' => sb.append(f"${ldt.getHour}%02d")
+            case 'k' => sb.append(ldt.getHour.toString)
+            case 'h' | 'I' =>
+              val h12 = if (ldt.getHour % 12 == 0) 12 else ldt.getHour % 12
+              sb.append(f"$h12%02d")
+            case 'l' =>
+              sb.append((if (ldt.getHour % 12 == 0) 12
+                         else ldt.getHour % 12).toString)
+            case 'i' => sb.append(f"${ldt.getMinute}%02d")
+            case 'S' | 's' => sb.append(f"${ldt.getSecond}%02d")
+            case 'f' => sb.append(f"${ldt.getNano / 1000}%06d")
+            case 'p' => sb.append(if (ldt.getHour < 12) "AM" else "PM")
+            case 'W' => sb.append(ldt.getDayOfWeek.getDisplayName(
+              java.time.format.TextStyle.FULL, java.util.Locale.US))
+            case 'a' => sb.append(ldt.getDayOfWeek.getDisplayName(
+              java.time.format.TextStyle.SHORT, java.util.Locale.US))
+            case 'w' => sb.append((ldt.getDayOfWeek.getValue % 7).toString)
+            case 'v' => // ISO week (mode 3), 2 digits
+              sb.append(f"${ldt.get(wf.weekOfWeekBasedYear)}%02d")
+            case 'x' => // ISO week-year
+              sb.append(f"${ldt.get(wf.weekBasedYear)}%04d")
+            case 'u' => // week 0-53, Monday first (mode 1)
+              sb.append(f"${DateTimeExt.weekModeInt(ldt.toLocalDate, 1)}%02d")
+            case 'U' => // week 0-53, Sunday first (mode 0)
+              sb.append(f"${DateTimeExt.weekModeInt(ldt.toLocalDate, 0)}%02d")
+            case 'V' => // week 1-53, Sunday first (mode 2)
+              sb.append(f"${DateTimeExt.weekModeInt(ldt.toLocalDate, 2)}%02d")
+            case 'X' => // week-year for %V
+              sb.append(f"${DateTimeExt.weekYearInt(ldt.toLocalDate, 2)}%04d")
+            case 'T' => sb.append(
+              f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d")
+            case 'r' =>
+              val h12 = if (ldt.getHour % 12 == 0) 12 else ldt.getHour % 12
+              sb.append(f"$h12%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d ")
+              sb.append(if (ldt.getHour < 12) "AM" else "PM")
+            case '%' => sb.append('%')
+            case other => sb.append(other)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.result())
+    }
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
   /** STR_TO_DATE with the reference's parse semantics
     * (sql/expression/function/str_to_date.go): unset date fields default
     * to ZERO and the zero parts normalize Go-style (month 0 → previous
     * December, day 0 → previous month's last day — STR_TO_DATE('9','%m')
     * is 0000-08-31, a time-only parse sits on -0001-11-30), %p/%r's
     * AM/PM marker is consumed but not applied, %f digits read literally
-    * as microseconds, literals match case-insensitively, numeric fields
+    * as microseconds, literals match case-sensitively, numeric fields
     * skip leading spaces, and trailing input garbage is ignored. A parse
     * that sets NO field at all — or a literal mismatch — is NULL. */
   case class MySqlStrToDate(child: Expression, fmt: String)
@@ -224,8 +333,10 @@ object MySqlFormat {
           if (c.isWhitespace) skipSpaces()
           else {
             skipSpaces()
-            if (pos < input.length && Character.toLowerCase(
-                input.charAt(pos)) == Character.toLowerCase(c)) pos += 1
+            // literal characters match CASE-SENSITIVELY:
+            // STR_TO_DATE('A09:30:17','a%h:%i:%s') is NULL while the
+            // lowercase input parses (queries.go:9865-9879)
+            if (pos < input.length && input.charAt(pos) == c) pos += 1
             else failed = true
           }
           i += 1

@@ -127,12 +127,60 @@ object expressions {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
+    private def unwrap(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => unwrap(c.child)
+      case o => o
+    }
     override def eval(input: InternalRow): Any =
-      UTF8String.fromString(child.dataType match {
-        case _: StringType => "utf8mb4"
-        case _ => "binary"
+      UTF8String.fromString(unwrap(child) match {
+        case cc: CharsetConvert => cc.cs.toLowerCase
+        case _ => child.dataType match {
+          case _: StringType => "utf8mb4"
+          case _ => "binary"
+        }
       })
     override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** CONVERT(x USING cs) — a lossy round-trip through the target
+    * charset (unmappable chars become '?', like MySQL's conversion with
+    * warnings), tagged so CHARSET()/COLLATION() report the declared
+    * charset (reference sql/expression/convert.go USING). */
+  case class CharsetConvert(child: Expression, cs: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    @transient private lazy val jcharset: Option[java.nio.charset.Charset] =
+      cs.toLowerCase match {
+        case "latin1" => Some(java.nio.charset.StandardCharsets.ISO_8859_1)
+        case "ascii" => Some(java.nio.charset.StandardCharsets.US_ASCII)
+        case "utf8" | "utf8mb3" | "utf8mb4" =>
+          Some(java.nio.charset.StandardCharsets.UTF_8)
+        case "ucs2" | "utf16" => Some(java.nio.charset.StandardCharsets.UTF_16BE)
+        case "utf16le" => Some(java.nio.charset.StandardCharsets.UTF_16LE)
+        case "utf32" =>
+          scala.util.Try(java.nio.charset.Charset.forName("UTF-32BE")).toOption
+        case _ => None // binary and unmapped charsets: identity
+      }
+    override def nullSafeEval(v: Any): Any = {
+      val str = v match {
+        case u: UTF8String => u.toString
+        case b: Array[Byte] => new String(b, "UTF-8")
+        case o => String.valueOf(o)
+      }
+      val out = jcharset match {
+        case Some(c) if c != java.nio.charset.StandardCharsets.UTF_8 =>
+          val enc = c.newEncoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+            .replaceWith("?".getBytes(c))
+          val bytes = enc.encode(java.nio.CharBuffer.wrap(str))
+          new String(bytes.array(), bytes.position(), bytes.remaining(), c)
+        case _ => str
+      }
+      UTF8String.fromString(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
   /** INSERT(str, pos, len, newstr) — MySQL string splice: replaces `len`

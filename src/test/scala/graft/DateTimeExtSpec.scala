@@ -103,7 +103,7 @@ class DateTimeExtSpec extends AnyFunSuite {
     assert(mysqlDateStrNorm("70.1.2") == "1970-01-02")
     // delimited with time part
     assert(mysqlDateStrNorm("2009.02.09 12:34:56") == "2009-02-09 12:34:56")
-    assert(mysqlDateStrNorm("09.02.09 1:2:3.25") == "2009-02-09 01:02:03.25")
+    assert(mysqlDateStrNorm("09.02.09 1:2:3.25") == "2009-02-09 01:02:03.250000")
     // already-ISO fast path stays byte-identical
     assert(mysqlDateStrNorm("2009-02-09") == "2009-02-09")
     assert(mysqlDateStrNorm("2009-02-09 12:34:56.123") == "2009-02-09 12:34:56.123")

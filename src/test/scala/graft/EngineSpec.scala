@@ -798,14 +798,17 @@ class EngineSpec extends AnyFunSuite {
     val e = new Engine(spark)
     e.query("create table expl_t (i int primary key, s varchar(10))")
     e.query("insert into expl_t values (1, 'a'), (2, 'b')")
-    val plan = e.query("EXPLAIN SELECT i FROM expl_t WHERE i > 1")
-      .collect()(0).getString(0)
-    assert(plan.contains("Physical Plan"))
-    // FORMAT=TREE and DESCRIBE spellings route the same way
-    assert(e.query("EXPLAIN FORMAT=TREE SELECT 1").collect()(0)
-      .getString(0).contains("Physical Plan"))
-    assert(e.query("DESCRIBE SELECT 1").collect()(0)
-      .getString(0).contains("Physical Plan"))
+    // plain EXPLAIN <select> is MySQL's 12-column tabular row
+    val row = e.query("EXPLAIN SELECT i FROM expl_t WHERE i > 1").collect()(0)
+    assert(row.getLong(0) == 1L && row.getString(1) == "SELECT" &&
+      row.getString(2) == "expl_t")
+    // FORMAT=TREE / PLAN render the reference's tree for deterministic
+    // shapes, Spark's formatted plan otherwise
+    assert(e.query("EXPLAIN FORMAT=TREE SELECT 1").collect()
+      .map(_.getString(0)).head == "Project")
+    assert(e.query("EXPLAIN PLAN SELECT i FROM expl_t WHERE i > 1")
+      .collect()(0).getString(0).contains("Physical Plan"))
+    assert(e.query("DESCRIBE SELECT 1").collect()(0).getString(1) == "SELECT")
     // ANALYZE adds cost annotations
     assert(e.query("EXPLAIN ANALYZE SELECT i FROM expl_t").collect()(0)
       .getString(0).nonEmpty)

@@ -46,13 +46,23 @@ object GoCorpus {
         while (ch != '"') {
           if (ch == '\\') {
             i += 1
-            sb.append(ch match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-              case 'v' => '\u000b'; case 'f' => '\f'; case 'a' => '\u0007'
-              case 'b' => '\b'; case '0' => '\u0000'
-              case '\\' => '\\'; case '"' => '"'; case '\'' => '\''
-              case o => o
-            })
+            ch match {
+              case 'x' if i + 2 < s.length => // \xNN hex byte escape
+                sb.append(Integer.parseInt(
+                  s.substring(i + 1, i + 3), 16).toChar)
+                i += 2
+              case 'u' if i + 4 < s.length => // \uNNNN unicode escape
+                sb.append(Integer.parseInt(
+                  s.substring(i + 1, i + 5), 16).toChar)
+                i += 4
+              case c0 => sb.append(c0 match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case 'v' => '\u000b'; case 'f' => '\f'; case 'a' => '\u0007'
+                case 'b' => '\b'; case '0' => '\u0000'
+                case '\\' => '\\'; case '"' => '"'; case '\'' => '\''
+                case o => o
+              })
+            }
           } else sb.append(ch)
           i += 1
         }

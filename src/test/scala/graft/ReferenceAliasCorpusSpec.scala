@@ -94,14 +94,11 @@ class ReferenceAliasCorpusSpec extends AnyFunSuite {
   test("subquery scoping (column_alias_queries.go:180-240)") {
     check("select x, (select 1) as y from xy",
       Seq(Seq(0, 1), Seq(1, 1), Seq(2, 1), Seq(3, 1)))
-    // DIVERGENCE: MySQL resolves projection aliases of the ENCLOSING
-    // scope inside scalar subqueries (`select "foo" as dummy, (select
-    // dummy)` — column_alias_queries.go:183); Spark scopes subqueries to
-    // table columns of enclosing relations only. Pinned on the family's
-    // simplest member.
-    intercept[org.apache.spark.sql.AnalysisException] {
-      engine.query("""select "foo" as dummy, (select dummy)""").collect()
-    }
+    // MySQL resolves projection aliases of the ENCLOSING scope inside
+    // scalar subqueries (column_alias_queries.go:183) — the retry-only
+    // alias substitution covers literal-aliased cases
+    check("""select "foo" as dummy, (select dummy)""",
+      Seq(Seq("foo", "foo")))
   }
   test("sibling projection alias reference " +
       "(column_alias_queries.go ErrMisusedAlias) [DIVERGENCE pinned]") {

@@ -185,23 +185,19 @@ class ReferenceCorpusSpec extends AnyFunSuite {
   }
 
   test("NULL-IN 3VL truth table (scalar and subquery forms)") {
-    // DIVERGENCE: MySQL defines IN over an EMPTY set as FALSE even for a
-    // NULL probe; Spark's non-ANSI mode (which the Engine runs for
-    // MySQL-faithful x/0 -> NULL arithmetic) keeps the NULL probe NULL.
-    check("SELECT NULL IN (SELECT i FROM emptytable)", Seq(Seq(null)))
-    check("SELECT NULL NOT IN (SELECT i FROM emptytable)", Seq(Seq(null)))
+    // MySQL defines IN over an EMPTY set as FALSE even for a NULL
+    // probe (queries.go:2718); projection-context INs expand to the
+    // explicit 3VL CASE probes
+    check("SELECT NULL IN (SELECT i FROM emptytable)", Seq(Seq(false)))
+    check("SELECT NULL NOT IN (SELECT i FROM emptytable)", Seq(Seq(true)))
     check("SELECT NULL IN (SELECT i FROM mytable)", Seq(Seq(null)))
     check("SELECT NULL NOT IN (SELECT i FROM mytable)", Seq(Seq(null)))
     check("SELECT NULL IN (SELECT i2 FROM niltable)", Seq(Seq(null)))
     check("SELECT 2 IN (SELECT i2 FROM niltable)", Seq(Seq(true)))
     check("SELECT 2 NOT IN (SELECT i2 FROM niltable)", Seq(Seq(false)))
-    // DIVERGENCE: for a non-matching probe against a subquery whose result
-    // contains NULLs, MySQL yields UNKNOWN (NULL) but Spark's
-    // ExistenceJoin rewrite of projected IN-subqueries yields false for
-    // both polarities. Filter-context IN (the common path) agrees with
-    // MySQL; pinned here so the divergence is tracked, not hidden.
-    check("SELECT 100 IN (SELECT i2 FROM niltable)", Seq(Seq(false)))
-    check("SELECT 100 NOT IN (SELECT i2 FROM niltable)", Seq(Seq(false)))
+    // a non-matching probe against a null-bearing set is UNKNOWN
+    check("SELECT 100 IN (SELECT i2 FROM niltable)", Seq(Seq(null)))
+    check("SELECT 100 NOT IN (SELECT i2 FROM niltable)", Seq(Seq(null)))
     check("SELECT 1 IN (2,3,4,null)", Seq(Seq(null)))
     check("SELECT 1 IN (2,3,4,null,1)", Seq(Seq(true)))
     check("SELECT 1 IN (1,2,3)", Seq(Seq(true)))

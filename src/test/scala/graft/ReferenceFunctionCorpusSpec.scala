@@ -198,12 +198,10 @@ class ReferenceFunctionCorpusSpec extends AnyFunSuite {
     // MySQL 8 VALUES ROW() + NOT BETWEEN NULL 3VL
     check("SELECT DISTINCT * FROM (values row(7,31,27), row(79,17,38), row(78,59,26)) a (col0, col1, col2) WHERE ( + col1 + + col2 ) NOT BETWEEN NULL AND col1",
       Seq(Seq(7, 31, 27), Seq(79, 17, 38), Seq(78, 59, 26)))
-    // DIVERGENCE: MySQL coerces COALESCE(INT, DATE) through its
-    // permissive result-type algorithm (queries.go:888 expects 1);
-    // Spark requires a common type and rejects INT vs DATE. Pinned.
-    intercept[org.apache.spark.sql.AnalysisException] {
-      engine.query("select coalesce(1, CAST('2017-08-29' AS DATE))").collect()
-    }
+    // MySQL coerces COALESCE(INT, DATE) through its permissive
+    // result-type algorithm (queries.go:888): the dynamic-display
+    // coalesce renders the chosen value's own form
+    one("select coalesce(1, CAST('2017-08-29' AS DATE))", "1")
   }
 
   test("NULLIF/IFNULL/IF cases (queries.go:5191-5249)") {

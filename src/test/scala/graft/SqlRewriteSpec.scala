@@ -15,16 +15,16 @@ class SqlRewriteSpec extends AnyFunSuite {
   test("dateArith rewrites string-literal first arguments") {
     assert(squash(SqlRewrite.dateArith(
       "SELECT DATE_ADD('2018-05-02', INTERVAL 1 day)")) ==
-      "SELECT (CAST('2018-05-02' AS TIMESTAMP) + INTERVAL 1 day)")
+      "SELECT mysql_dt_clamp(CAST(mysql_dtnorm('2018-05-02') AS TIMESTAMP) + INTERVAL 1 day)")
     assert(squash(SqlRewrite.dateArith(
       "SELECT date_sub(da, INTERVAL 3 MONTH) FROM t")) ==
-      "SELECT (CAST(da AS TIMESTAMP) - INTERVAL 3 MONTH) FROM t")
+      "SELECT mysql_dt_clamp(CAST(mysql_dtnorm(da) AS TIMESTAMP) - INTERVAL 3 MONTH) FROM t")
   }
 
   test("dateArith handles nested calls and leaves integer-days form alone") {
     assert(squash(SqlRewrite.dateArith(
       "SELECT DATE_ADD(DATE_SUB(x, INTERVAL 1 DAY), INTERVAL 2 HOUR)")) ==
-      "SELECT (CAST((CAST(x AS TIMESTAMP) - INTERVAL 1 DAY) AS TIMESTAMP) + INTERVAL 2 HOUR)")
+      "SELECT mysql_dt_clamp(CAST(mysql_dtnorm(mysql_dt_clamp(CAST(mysql_dtnorm(x) AS TIMESTAMP) - INTERVAL 1 DAY)) AS TIMESTAMP) + INTERVAL 2 HOUR)")
     val intDays = "SELECT adddate('2020-01-01', 1)"
     assert(SqlRewrite.dateArith(intDays) == intDays)
     // inside a string literal: untouched
@@ -37,10 +37,10 @@ class SqlRewriteSpec extends AnyFunSuite {
       "SELECT CAST('1' AS SIGNED)")
     assert(squash(SqlRewrite.convertFn(
       "SELECT CONVERT(UUID() USING utf8mb4)")) ==
-      "SELECT CAST(UUID() AS STRING)")
+      "SELECT charset_convert(CAST(UUID() AS STRING), 'utf8mb4')")
     assert(squash(SqlRewrite.convertFn(
       "SELECT CONVERT(CONVERT(x USING binary), CHAR(5))")) ==
-      "SELECT CAST(CAST(x AS STRING) AS CHAR(5))")
+      "SELECT CAST(charset_convert(CAST(x AS STRING), 'binary') AS CHAR(5))")
     val lit = "SELECT 'CONVERT(x, SIGNED)'"
     assert(SqlRewrite.convertFn(lit) == lit)
   }
