@@ -290,7 +290,7 @@ object Dml {
     """(?is)^\s*SHOW\s+TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+`?([A-Za-z0-9_]+)`?)?(?:\s+LIKE\s+'([^']*)'|\s+WHERE\s+(.+?))?\s*$""".r
   // standalone index DDL (reference sql/planbuilder/ddl.go buildCreateIndex)
   private val CreateIdxStmt =
-    re("""(?is)^\s*CREATE\s+(UNIQUE\s+)?(FULLTEXT\s+|SPATIAL\s+|VECTOR\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*\((.*)\)\s*$""")
+    re("""(?is)^\s*CREATE\s+(UNIQUE\s+)?(FULLTEXT\s+|SPATIAL\s+|VECTOR\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+(?:USING\s+(?:HASH|BTREE)\s+)?ON\s+<T>\s*\((.*)\)\s*(?:USING\s+(?:HASH|BTREE))?\s*(?:(?:IN)?VISIBLE)?\s*$""")
   private val DropIdxStmt =
     re("""(?is)^\s*DROP\s+INDEX\s+`?([A-Za-z0-9_]+)`?\s+ON\s+<T>\s*$""")
   private val AnalyzeStmt =
@@ -1847,12 +1847,16 @@ object Dml {
         "Index_comment", "Visible", "Expression"))
 
     case ShowCreateDb(db) =>
-      // MySQL's version-comment form (queries.go:5129)
+      // MySQL's version-comment form (queries.go:5129) with the
+      // schema's declared charset/collation (script_queries.go "test
+      // show create database")
       val s = e.spark
       import s.implicits._
+      val (cs, coll) = e.dbCollations.getOrElse(db.toLowerCase,
+        ("utf8mb4", "utf8mb4_0900_bin"))
       Some(Seq((db,
-        s"CREATE DATABASE `$db` /*!40100 DEFAULT CHARACTER SET utf8mb4 " +
-          "COLLATE utf8mb4_0900_bin */"))
+        s"CREATE DATABASE `$db` /*!40100 DEFAULT CHARACTER SET $cs " +
+          s"COLLATE $coll */"))
         .toDF("Database", "Create Database"))
 
     case ShowCreate(tableRaw) if e.viewDefs.contains(tableRaw) =>
@@ -1944,11 +1948,16 @@ object Dml {
       case "date" => (DateType, None)
       case "datetime" => (TimestampNTZType, None)
       case "timestamp" => (TimestampType, None)
-      case "time" | "year" | "json" | "uuid" => (StringType, None)
+      case "time" | "json" | "uuid" => (StringType, None)
+      // YEAR stores its numeric value (types/year.go; reads are int16)
+      case "year" => (IntegerType, None)
       case "char" | "varchar" | "tinytext" | "text" | "mediumtext" |
            "longtext" | "nchar" | "nvarchar" => (StringType, None)
       case "binary" | "varbinary" | "tinyblob" | "blob" | "mediumblob" |
-           "longblob" | "bit" => (BinaryType, None)
+           "longblob" => (BinaryType, None)
+      // BIT(n) is an unsigned n-bit integer on read (queries expect
+      // uint64 values, not bytes)
+      case "bit" => (DecimalType(20, 0), None)
       case "enum" =>
         (StringType, Some((false, args.map(unq))))
       case "set" =>
@@ -2320,6 +2329,22 @@ object Dml {
         if (!mm.group(1).toLowerCase.contains("var"))
           e.charKindCols += ((table, colName.toLowerCase))
       }
+    if (baseLower == "year") e.yearCols += ((table, colName.toLowerCase))
+    if (baseLower == "bit")
+      e.bitWidths((table, colName.toLowerCase)) =
+        """(?i)^bit\s*\(\s*(\d+)\s*\)""".r.findFirstMatchIn(typeText.trim)
+          .map(_.group(1).toInt).getOrElse(1)
+    // TEXT(m) picks the smallest text type that fits m (strings.go):
+    // the DECLARED KIND survives into DESCRIBE
+    if (baseLower == "text")
+      """(?i)^text\s*\(\s*(\d+)\s*\)""".r.findFirstMatchIn(typeText.trim)
+        .foreach { mm =>
+          val m = mm.group(1).toLong
+          val kind =
+            if (m < 256) "tinytext" else if (m < 65536) "text"
+            else if (m < 16777216) "mediumtext" else "longtext"
+          e.textKindCols((table, colName.toLowerCase)) = kind
+        }
     // fixed BINARY(n): stored values zero-pad to the declared width
     """(?i)^binary\s*(?:\(\s*(\d+)\s*\))?(?:\s|$)""".r
       .findFirstMatchIn(typeText.trim)

@@ -98,6 +98,9 @@ object Dialect {
       // niladic keyword form: CURRENT_USER without parentheses calls the
       // registered function (Spark's bare CURRENT_USER is the OS user)
       .replaceAll("(?i)\\bCURRENT_USER\\b(?!\\s*\\()", "CURRENT_USER()")
+      // ORDER BY -N: a NEGATIVE integer is a constant expression, not a
+      // position (queries only treat unsigned ints as ordinals)
+      .replaceAll("(?i)(\\bORDER\\s+BY\\s+)-\\s*(\\d+)", "$1(0 - $2)")
       // MySQL logical operators (reference sql/expression/logic.go):
       // || is OR, && is AND, ! is NOT — except under PIPES_AS_CONCAT
       // (sql_mode.go:30), where || is string concat, which is exactly
@@ -123,6 +126,11 @@ object Dialect {
     * replaces gave explicit-COLLATE queries binary order. */
   private def rewriteCollate(code: String): String =
     if (!code.toUpperCase.contains("COLLATE")) code
+    // CREATE DATABASE records the MySQL collation NAME as catalog
+    // metadata (schemata/SHOW CREATE DATABASE) — don't map it to a
+    // Spark collation
+    else if ("""(?is)^\s*CREATE\s+(?:DATABASE|SCHEMA)\b""".r
+               .findFirstIn(code).isDefined) code
     else CollateRe.replaceAllIn(code,
       m => "COLLATE " + mapCollation(m.group(1)))
 
@@ -227,7 +235,7 @@ object Dialect {
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
           SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
-              SqlRewrite.hoistNestedWith(sql)))))))))))))
+              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql))))))))))))))
     mapCode(pre)(rewriteCode)
   }
 
@@ -239,7 +247,7 @@ object Dialect {
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
           SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
-              SqlRewrite.hoistNestedWith(sql)))))))))))))
+              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql))))))))))))))
     mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
   }
 
@@ -733,7 +741,8 @@ class Engine(val spark: SparkSession) {
     "character_set_connection" -> "'utf8mb4'",
     "character_set_results" -> "'utf8mb4'",
     "collation_connection" -> "'utf8mb4_0900_ai_ci'",
-    "collation_server" -> "'utf8mb4_0900_ai_ci'",
+    "collation_server" -> "'utf8mb4_0900_bin'",
+    "character_set_server" -> "'utf8mb4'",
     "max_allowed_packet" -> "67108864", "lower_case_table_names" -> "0",
     "net_write_timeout" -> "60", "wait_timeout" -> "28800",
     "max_connections" -> "151", "timestamp" -> "0",
@@ -807,6 +816,13 @@ class Engine(val spark: SparkSession) {
         else "'" + v.replace("'", "''") + "'" // bareword string value
     }
     sysVarOverrides(name) = norm
+    // character_set_server couples collation_server to the charset's
+    // default collation (system_variables.go charset/collation pairing)
+    if (name == "character_set_server") {
+      val cs = norm.stripPrefix("'").stripSuffix("'")
+      Engine.collationCatalog.find(c => c._3 == cs && c._4)
+        .foreach(c => sysVarOverrides("collation_server") = s"'${c._2}'")
+    }
   }
 
   // Both substitutions run through Dialect.mapCode so @@name / @name text
@@ -820,16 +836,22 @@ class Engine(val spark: SparkSession) {
     if (!sql.contains("@@") || sql.trim.toUpperCase.startsWith("SET") ||
         sql.trim.toUpperCase.startsWith("LOAD")) sql
     else Dialect.mapCode(sql) { code =>
-      """@@(?:[Ss][Ee][Ss][Ss][Ii][Oo][Nn]\.|[Gg][Ll][Oo][Bb][Aa][Ll]\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
-        .replaceAllIn(code, m => java.util.regex.Matcher.quoteReplacement(
-          m.group(1).toLowerCase match {
+      """@@([Ss][Ee][Ss][Ss][Ii][Oo][Nn]\.|[Gg][Ll][Oo][Bb][Aa][Ll]\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
+        .replaceAllIn(code, m => java.util.regex.Matcher.quoteReplacement({
+          // @@global.x reads the builtin default — SET writes are
+          // session-scoped here (system_variables.go scope split)
+          val isGlobal = Option(m.group(1))
+            .exists(_.toLowerCase.startsWith("g"))
+          m.group(2).toLowerCase match {
             case "sql_mode" => s"'$sqlModeStr'" // live session state
             case "time_zone" => s"'$tzDisplay'"
             case "warning_count" => warningCount.toString // live diagnostics
             case "error_count" => errorCount.toString
+            case other if isGlobal => systemVars.getOrElse(other, "NULL")
             case other => sysVarOverrides.getOrElse(other,
               systemVars.getOrElse(other, "NULL"))
-          }))
+          }
+        }))
     }
 
   private def substituteVars(sql: String): String = {
@@ -991,6 +1013,14 @@ class Engine(val spark: SparkSession) {
               if budget > 0 && e.getMessage.contains("MISSING_GROUP_BY") =>
             val viaWhere = SqlRewrite.havingNoGroup(cur)
             if (viaWhere != cur) attempt(viaWhere, budget - 1)
+            else if (!sqlModeString.toUpperCase.contains(
+                "ONLY_FULL_GROUP_BY")) {
+              // without ONLY_FULL_GROUP_BY every non-aggregated item is
+              // admitted as any-value (sql_mode.go)
+              val wrapped = SqlRewrite.anyValueWrap(cur, wrapAll = true)
+              if (wrapped == cur) throw e
+              attempt(wrapped, budget - 1)
+            }
             else {
               // aggregate + bare column without GROUP BY: legal under
               // ONLY_FULL_GROUP_BY only when WHERE pins the column to a
@@ -1038,7 +1068,9 @@ class Engine(val spark: SparkSession) {
                 fromTbl.map(t => tableKeys.get(canonicalTable(t))) +
                 s" groupWords=$groupWords pkGrouped=$pkGrouped " +
                 s"pkPinned=$pkPinned offending=$offending")
-            if (!pkGrouped && !pkPinned &&
+            val fullGroupBy =
+              sqlModeString.toUpperCase.contains("ONLY_FULL_GROUP_BY")
+            if (fullGroupBy && !pkGrouped && !pkPinned &&
                 !offending.exists(constPinned)) throw e
             // `SELECT *` with the pk grouped: expand the star to the
             // table's columns first so the wrap has names to work on
@@ -1050,7 +1082,8 @@ class Engine(val spark: SparkSession) {
                 .map(cols => cur.replaceFirst("(?is)(\\bSELECT\\s+)\\*",
                   "$1" + cols.map(c => s"`$c`").mkString(", ")))
                 .getOrElse(cur)
-            val wrapped = SqlRewrite.anyValueWrap(expanded)
+            val wrapped = SqlRewrite.anyValueWrap(expanded,
+              wrapAll = !fullGroupBy)
             if (wrapped == cur) throw e
             attempt(wrapped, budget - 1)
           // grouped HAVING referencing a select alias (inside an
@@ -1345,7 +1378,17 @@ class Engine(val spark: SparkSession) {
         val coll = Engine.collationCatalog
           .find(c => c._3 == cs && c._4).map(_._2).getOrElse(cs + "_general_ci")
         dbCollations(lower) = (cs, coll)
-      case _ => ()
+      case _ =>
+        // no clause: the session's character_set_server (when set)
+        // becomes the schema default (script_queries.go modified-server-
+        // variables block)
+        sysVarOverrides.get("character_set_server").foreach { v =>
+          val cs = v.stripPrefix("'").stripSuffix("'")
+          val coll = Engine.collationCatalog
+            .find(c => c._3 == cs && c._4).map(_._2)
+            .getOrElse(cs + "_general_ci")
+          dbCollations(lower) = (cs, coll)
+        }
     }
     if (clauseTail.trim.nonEmpty &&
         """(?i)\bENCRYPTION\b""".r.findFirstIn(clauseTail).isDefined)
@@ -2166,7 +2209,16 @@ class Engine(val spark: SparkSession) {
     // conversion": VALUES (1, 'dasd') into INT -> (1, 0) + warning).
     val targetTypes = target.schema.fields
       .map(f => f.name.toLowerCase -> (f.name, f.dataType)).toMap
-    incomingAi.columns.foldLeft(incomingAi) { (df, c) =>
+    // YEAR columns window BEFORE the generic casts: the string/number
+    // distinction matters ('0' -> 2000, numeric 0 -> 0000 — year.go)
+    val incomingYr = incomingAi.columns.foldLeft(incomingAi) { (df, c) =>
+      if (!yearCols((table, c.toLowerCase))) df
+      else df.withColumn(c, org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expressions.MySqlYearCast(
+          org.apache.spark.sql.GraftBridge.expression(df(c))))
+        .cast(org.apache.spark.sql.types.IntegerType))
+    }
+    incomingYr.columns.foldLeft(incomingYr) { (df, c) =>
       targetTypes.get(c.toLowerCase) match {
         // declared VECTOR column: binary payloads (STRING_TO_VECTOR,
         // 0x… hex literals) decode as packed little-endian float32; a
@@ -2214,8 +2266,20 @@ class Engine(val spark: SparkSession) {
           // "bool and string/int": INSERT true into VARCHAR reads '1')
           val boolToStr = dt.isInstanceOf[org.apache.spark.sql.types.StringType] &&
             df.schema(c).dataType == org.apache.spark.sql.types.BooleanType
+          // binary payloads into CHARACTER columns must be valid
+          // utf8mb4: strict writes raise 1366, non-strict/IGNORE
+          // truncates at the first invalid byte (types/strings.go)
+          val binToStr =
+            dt.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+              df.schema(c).dataType == org.apache.spark.sql.types.BinaryType
           val casted =
-            if (boolToStr) {
+            if (binToStr) {
+              org.apache.spark.sql.GraftBridge.column(
+                graft.functions.expressions.Utf8BinToStr(
+                  org.apache.spark.sql.GraftBridge.expression(df(c)),
+                  c, strictWriteMode && !ignoreMode)).cast(dt)
+            }
+            else if (boolToStr) {
               import org.apache.spark.sql.functions.when
               when(df(c) === true, "1").when(df(c) === false, "0")
                 .otherwise(null).cast(dt)
@@ -2283,6 +2347,16 @@ class Engine(val spark: SparkSession) {
   /** Declared fixed BINARY(n) widths — writes zero-pad to n bytes. */
   private[graft] val binPadLens =
     scala.collection.mutable.Map.empty[(String, String), Int]
+
+  /** Declared YEAR columns — writes coerce through the 2-digit window. */
+  private[graft] val yearCols =
+    scala.collection.mutable.Set.empty[(String, String)]
+  /** Declared BIT(n) widths — catalog render only. */
+  private[graft] val bitWidths =
+    scala.collection.mutable.Map.empty[(String, String), Int]
+  /** Declared TEXT(m) kinds (tinytext/text/mediumtext/longtext). */
+  private[graft] val textKindCols =
+    scala.collection.mutable.Map.empty[(String, String), String]
 
   /** Declared DATETIME(p)/TIMESTAMP(p) truncates the stored fractional
     * seconds to p digits on write (bare datetime is datetime(0) — the
@@ -4812,10 +4886,20 @@ class Engine(val spark: SparkSession) {
   /** SHOW COLUMNS FROM t — MySQL Field/Type/Null/Key/Default/Extra shape
     * (reference sql/rowexec/show.go showColumns). */
   def showColumns(table: String): Seq[(String, String, String, String, Option[String], String)] = {
-    val pk = tableKeys.getOrElse(table, Seq.empty).map(_.toLowerCase).toSet
-    val uni = uniqueKeys.toSeq.collect {
+    val pk0 = tableKeys.getOrElse(table, Seq.empty).map(_.toLowerCase).toSet
+    val uni0 = uniqueKeys.toSeq.collect {
       case (t, _, Seq(c)) if t == table => c.toLowerCase
     }.toSet
+    // MySQL promotes the FIRST single-column NOT NULL UNIQUE key to the
+    // PRI display when the table has no primary key (show.go)
+    val promoted: Set[String] =
+      if (pk0.nonEmpty) Set.empty
+      else uniqueKeys.toSeq.collectFirst {
+        case (t, _, Seq(c)) if t == table &&
+            notNullCols((table, c.toLowerCase)) => c.toLowerCase
+      }.toSet
+    val pk = pk0 ++ promoted
+    val uni = uni0 -- promoted
     val mul = secondaryIndexes.toSeq.collect {
       case (t, _, cols) if t == table => cols.head.toLowerCase
     }.toSet
@@ -5122,6 +5206,11 @@ class Engine(val spark: SparkSession) {
               case "4294967295" => "int"
               case _ => "bigint"
             }) + " unsigned"
+          case _ if yearCols((table, f.name.toLowerCase)) => "year"
+          case _ if bitWidths.contains((table, f.name.toLowerCase)) =>
+            s"bit(${bitWidths((table, f.name.toLowerCase))})"
+          case _ if textKindCols.contains((table, f.name.toLowerCase)) =>
+            textKindCols((table, f.name.toLowerCase))
           case _ =>
             vecDims.get((table, f.name.toLowerCase)) match {
               case Some(n) if n > 0 => s"vector($n)"

@@ -165,8 +165,23 @@ object SqlRewrite {
             else ""
           val dkw = if (distinct) "DISTINCT " else ""
           val within = if (order.nonEmpty) s" WITHIN GROUP (ORDER BY $order)" else ""
-          patches += ((toks(idx).start, toks(close).end,
-            s"listagg($dkw$exprSql, $sep)$within"))
+          // DISTINCT + ORDER BY over the SAME expression: Spark's
+          // listagg rejects the pair (resolved exprs differ once the
+          // MySQL-coercion wraps land); a sorted collect_set is exactly
+          // MySQL's semantics here
+          val orderBase = order.trim
+            .replaceAll("(?i)\\s+(ASC|DESC)$", "").trim
+          val orderDesc = "(?i)\\s+DESC$".r.findFirstIn(order.trim).isDefined
+          val repl =
+            if (distinct && order.nonEmpty &&
+                orderBase.replaceAll("[`\\s]", "") ==
+                  exprSql.replaceAll("[`\\s]", "")) {
+              val sorted =
+                if (orderDesc) s"reverse(array_sort(collect_set($exprSql)))"
+                else s"array_sort(collect_set($exprSql))"
+              s"array_join(transform($sorted, __gc -> CAST(__gc AS STRING)), $sep)"
+            } else s"listagg($dkw$exprSql, $sep)$within"
+          patches += ((toks(idx).start, toks(close).end, repl))
           idx = close
         }
       }
@@ -883,8 +898,8 @@ object SqlRewrite {
      "var_samp|variance|json_arrayagg|json_objectagg|" +
      "approx_count_distinct)\\s*\\(").r
 
-  def anyValueWrap(sql: String, allowCol: String => Boolean = _ => true)
-      : String = {
+  def anyValueWrap(sql: String, allowCol: String => Boolean = _ => true,
+                   wrapAll: Boolean = false): String = {
     val toks = tokenize(sql)
     var depth = 0
     var selectAt = -1
@@ -941,7 +956,7 @@ object SqlRewrite {
     if (listTxt.trim.toUpperCase.startsWith("DISTINCT")) return sql
     val items = topLevelSplitText(listTxt)
     val hasAgg = (s: String) => aggFnRe.findFirstIn(s).isDefined
-    if (!hadGroupBy && !items.exists(hasAgg)) return sql
+    if (!wrapAll && !hadGroupBy && !items.exists(hasAgg)) return sql
     val BareCol =
       """^\s*((?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)(?:\.(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?)\s*(?:(?:AS\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
     var changed = false
@@ -952,13 +967,30 @@ object SqlRewrite {
           val colLast = col0.split('.').last
             .stripPrefix("`").stripSuffix("`").toLowerCase
           if (hadGroupBy && groupCols.contains(colLast)) it
-          else if (!allowCol(colLast)) return sql
+          else if (!allowCol(colLast) && !wrapAll) return sql
           else {
             val display = Option(alias).getOrElse(
               col0.split('.').last).stripPrefix("`").stripSuffix("`")
             changed = true
             s" any_value($col0) AS `$display`"
           }
+        case _ if wrapAll && !it.contains("`") && {
+          // constant items (no bare column reference) stay unwrapped —
+          // they still evaluate over an EMPTY single group, where
+          // any_value would null them (123 / concat('abc','def'))
+          val its = tokenize(it)
+          its.zipWithIndex.exists { case (t, k) =>
+            t.kind == Word && !t.text.forall(_.isDigit) &&
+              !(k + 1 < its.length && its(k + 1).text == "(") &&
+              !Set("as", "null", "true", "false", "distinct",
+                "and", "or", "not", "case", "when", "then", "else",
+                "end", "interval")(t.text.toLowerCase)
+          }
+        } =>
+          // sql_mode without ONLY_FULL_GROUP_BY admits ANY expression;
+          // MySQL names the column by its original text
+          changed = true
+          s" any_value($it) AS `${it.trim}`"
         case _ => it
       }
     }
@@ -1459,6 +1491,37 @@ object SqlRewrite {
     * a scalar BOOLEAN subquery of pairwise comparisons (empty subquery
     * -> NULL, exact 3VL); IN becomes EXISTS over the aliased RHS with
     * the pairwise `=` subquery correlated in. One site per call. */
+  /** MySQL bit literals: b'0101' / B'0101' (adjacent Word+Lit tokens)
+    * and 0b0101 words become their integer value (reference types
+    * bit literals; Spark rejects the typed-literal spelling). */
+  def bitLiterals(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    var k = 0
+    while (k < toks.length) {
+      val t = toks(k)
+      if (t.kind == Word && (t.text == "b" || t.text == "B") &&
+          k + 1 < toks.length && toks(k + 1).kind == Lit &&
+          toks(k + 1).start == t.end &&
+          toks(k + 1).text.startsWith("'")) {
+        val body = toks(k + 1).text.stripPrefix("'").stripSuffix("'")
+        if (body.nonEmpty && body.length <= 64 && body.forall(c => c == '0' || c == '1')) {
+          patches += ((t.start, toks(k + 1).end,
+            java.lang.Long.parseUnsignedLong(body, 2).toString))
+          k += 1
+        }
+      } else if (t.kind == Word && t.text.length > 2 &&
+          (t.text.startsWith("0b") || t.text.startsWith("0B")) &&
+          t.text.drop(2).forall(c => c == '0' || c == '1') &&
+          t.text.length <= 66) {
+        patches += ((t.start, t.end,
+          java.lang.Long.parseUnsignedLong(t.text.drop(2), 2).toString))
+      }
+      k += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   /** Fixpoint of [[tupleSubqueryCompare]] (one site per inner call). */
   def tupleSubqueryAll(sql: String): String = {
     var cur = sql

@@ -225,6 +225,17 @@ object MiscFns {
     // NAME_CONST(name, value): a named constant — both args must be
     // constant-shaped (reference function/registry.go NameConst;
     // script_queries.go name_const block pins the error text)
+    // UNIX_TIMESTAMP: session-tz interpretation + MySQL result typing
+    "unix_timestamp" -> (es =>
+      if (es.isEmpty)
+        CatalystSqlParser.parseExpression(
+          "unix_seconds(current_timestamp())")
+      else graft.functions.expressions.MySqlUnixTimestamp(es.head)),
+    // NOW(fsp)/CURRENT_TIMESTAMP(fsp): the precision argument is
+    // accepted (statement-time value either way)
+    "now" -> (_ => CatalystSqlParser.parseExpression("current_timestamp()")),
+    "localtimestamp" ->
+      (_ => CatalystSqlParser.parseExpression("current_timestamp()")),
     "name_const" -> (es => {
       require(es.length == 2, "name_const(name, value)")
       def constShape(e: Expression): Boolean = e match {
@@ -248,12 +259,17 @@ object MiscFns {
     // FROM_UNIXTIME: NULL outside [0, 32536771199.999999] (reference
     // function/unixtimestamp.go); 2-arg form formats with %-specs
     "from_unixtime" -> (es => {
+      // DECIMAL comparison: the upper bound is within half an ulp of
+      // 32536771200.0 as a double, so a double compare admits it
       val guarded = tmpl(
-        "CASE WHEN CAST(__arg0 AS DOUBLE) >= 0 AND " +
-        "CAST(__arg0 AS DOUBLE) <= 32536771199.999999 " +
+        "CASE WHEN CAST(__arg0 AS DECIMAL(26,6)) >= 0 AND " +
+        "CAST(__arg0 AS DECIMAL(26,6)) <= 32536771199.999999 " +
         "THEN CAST(timestamp_seconds(CAST(__arg0 AS DECIMAL(20,6))) " +
         "AS TIMESTAMP) END")(Seq(es.head))
-      if (es.length == 1) guarded
+      // render in the SESSION time zone (date_format / the %-formatter
+      // both read it); a bare timestamp would collect in the JVM zone
+      if (es.length == 1)
+        tmpl("date_format(__arg0, 'yyyy-MM-dd HH:mm:ss')")(Seq(guarded))
       else MySqlFormat.dateFormatExpr(Seq(guarded, es(1)))
     }),
     "charset_convert" -> (es =>

@@ -436,6 +436,44 @@ object MySqlArith {
         n: IndexedSeq[Expression]): Expression = copy(n)
   }
 
+  /** CAST(string AS number) over column values — MySQL's prefix-number
+    * read (strings.go / my_strtoll10): floats take the full numeric
+    * prefix, SIGNED integer casts stop at the first non-digit, DECIMAL
+    * takes the float prefix at the declared scale. */
+  case class MySqlStrNumCast(child: Expression, override val dataType: DataType)
+      extends UnaryExpression with CodegenFallback {
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(v: Any): Any = {
+      val s = v match {
+        case u: UTF8String => u.toString
+        case b: Array[Byte] => new String(b, "UTF-8")
+        case o => String.valueOf(o)
+      }
+      dataType match {
+        case DoubleType => strToDouble(s)
+        case FloatType => strToDouble(s).toFloat
+        case LongType | IntegerType =>
+          // integer prefix: spaces/tabs, sign, digits — stops at '.'
+          val m = java.util.regex.Pattern
+            .compile("^[ \\t]*([+-]?\\d+)").matcher(s)
+          val l = if (m.find()) m.group(1).toLong else 0L
+          if (dataType == IntegerType) l.toInt else l
+        case dt: DecimalType =>
+          val m = java.util.regex.Pattern
+            .compile("^[ \\t]*([+-]?(?:\\d+(?:\\.\\d*)?|\\.\\d+)(?:[eE][+-]?\\d+)?)")
+            .matcher(s)
+          val bd =
+            if (m.find()) new java.math.BigDecimal(m.group(1))
+            else java.math.BigDecimal.ZERO
+          Decimal(bd.setScale(dt.scale, java.math.RoundingMode.HALF_UP),
+            dt.precision, dt.scale)
+        case _ => null
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
   case class MySqlStrOperand(child: Expression)
       extends UnaryExpression with CodegenFallback {
     def isIdentity: Boolean = child.dataType match {
@@ -1021,6 +1059,22 @@ object MySqlArithRewrite {
       // (Dialect chain) — uint64 wrap semantics
       MySqlUnsigned(rewriteExpr(c.child))
     case c: Cast
+        if (c.dataType == DoubleType || c.dataType == FloatType ||
+            c.dataType == LongType || c.dataType == IntegerType ||
+            c.dataType.isInstanceOf[DecimalType]) &&
+          (!c.child.resolved ||
+            (!c.child.isInstanceOf[Literal] &&
+              isStringish(c.child.dataType))) &&
+          boolJsonInner(c.child).isEmpty =>
+      // CAST(string COLUMN AS number): MySQL prefix-parses the value
+      // ('  3 12 4' -> 3, '-3.1a' -> -3.1, '5.9e7abc' -> 5.9e7; the
+      // SIGNED form stops at the first non-digit). Column types are
+      // unknown at parse, so every numeric cast wraps adaptively and
+      // non-string children strip back to the native Cast post-analysis.
+      // Literal casts keep the textual pass (lenientCastLiterals) with
+      // its 1292 warnings.
+      MySqlStrNumCast(rewriteExpr(c.child), c.dataType)
+    case c: Cast
         if c.dataType.isInstanceOf[NumericType] &&
           (c.child match {
             case Literal(b: Array[Byte], BinaryType) => b.length <= 8
@@ -1214,6 +1268,9 @@ object MySqlArithRewrite {
       nativeIn(i)
     case r: MySqlDivRound if !r.child.dataType.isInstanceOf[DecimalType] =>
       r.child
+    case c: MySqlStrNumCast
+        if !isStringish(c.child.dataType) && c.child.dataType != BinaryType =>
+      Cast(c.child, c.dataType)
   }
 
   /** Post-analysis cleanup: identity wrappers disappear so well-typed

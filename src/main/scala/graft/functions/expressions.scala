@@ -55,6 +55,131 @@ object expressions {
       System.currentTimeMillis() * 1000L
   }
 
+  /** A binary value written into a CHARACTER column must be valid
+    * utf8mb4 (reference types/strings.go ConvertToBytes): strict mode
+    * raises 1366 "Incorrect string value" with MySQL's byte rendering;
+    * non-strict/IGNORE truncates at the first invalid byte. */
+  case class Utf8BinToStr(child: Expression, col: String, strict: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    private def validPrefixLen(b: Array[Byte]): Int = {
+      var i = 0
+      while (i < b.length) {
+        val x = b(i) & 0xff
+        val n =
+          if (x < 0x80) 1
+          else if ((x & 0xe0) == 0xc0) 2
+          else if ((x & 0xf0) == 0xe0) 3
+          else if ((x & 0xf8) == 0xf0) 4
+          else return i
+        if (i + n > b.length) return i
+        var j = 1
+        while (j < n) {
+          if ((b(i + j) & 0xc0) != 0x80) return i
+          j += 1
+        }
+        i += n
+      }
+      b.length
+    }
+    private def fmt(b: Array[Byte], from: Int): String = {
+      val sb = new StringBuilder
+      var i = from
+      while (i < b.length && i < from + 6) {
+        val x = b(i) & 0xff
+        if (x >= 0x20 && x < 0x7f) sb.append(x.toChar)
+        else sb.append(f"\\x$x%02X")
+        i += 1
+      }
+      if (b.length > from + 6) sb.append("...")
+      sb.result()
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      val ok = validPrefixLen(b)
+      if (ok == b.length) UTF8String.fromBytes(b)
+      else if (strict)
+        throw new IllegalArgumentException(
+          s"Incorrect string value: '${fmt(b, ok)}' for column '$col' " +
+          "at row 1 (MySQL error 1366)")
+      else UTF8String.fromBytes(java.util.Arrays.copyOf(b, ok))
+    }
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
+  /** UNIX_TIMESTAMP(x) with MySQL result typing (reference
+    * function/unixtimestamp.go): DATETIME/varchar inputs interpret in
+    * the SESSION time zone; a string input yields DECIMAL — scale = the
+    * literal's fraction digits, 6 for column strings; temporal inputs
+    * yield integers; pre-epoch/invalid read 0/NULL. */
+  case class MySqlUnixTimestamp(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    private lazy val litFracScale: Option[Int] = child match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: UTF8String, _: StringType) =>
+        val str = s.toString
+        val i = str.lastIndexOf('.')
+        if (i > 0 && i < str.length - 1 && str.drop(i + 1).forall(_.isDigit))
+          Some(math.min(6, str.length - i - 1))
+        else Some(0)
+      case _ => None
+    }
+    override def dataType: DataType = child.dataType match {
+      case _: StringType => litFracScale match {
+        case Some(0) => LongType
+        case Some(k) => DecimalType(20 + k, k)
+        case None => DecimalType(26, 6)
+      }
+      case _ => LongType
+    }
+    override def nullable: Boolean = true
+    private def tz: java.time.ZoneId = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    private val Dt =
+      """^(\d{4})-(\d{2})-(\d{2})(?: (\d{1,2}):(\d{1,2}):(\d{1,2})(\.(\d+))?)?$""".r
+    override def nullSafeEval(v: Any): Any = {
+      def out(epoch: Long, fracDigits: String): Any = dataType match {
+        case LongType => math.max(0L, epoch)
+        case dt: DecimalType =>
+          val k = dt.scale
+          val base = java.math.BigDecimal.valueOf(math.max(0L, epoch))
+          val fr =
+            if (epoch < 0 || fracDigits.isEmpty) java.math.BigDecimal.ZERO
+            else new java.math.BigDecimal("0." + fracDigits.take(6))
+          org.apache.spark.sql.types.Decimal(
+            base.add(fr).setScale(k, java.math.RoundingMode.HALF_UP))
+        case _ => math.max(0L, epoch)
+      }
+      (v, child.dataType) match {
+        case (u: UTF8String, _: StringType) =>
+          DateTimeExt.mysqlDateStrNorm(u.toString) match {
+            case Dt(y, mo, d, h, mi, se, _, fr) =>
+              try {
+                val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt,
+                  d.toInt, Option(h).map(_.toInt).getOrElse(0),
+                  Option(mi).map(_.toInt).getOrElse(0),
+                  Option(se).map(_.toInt).getOrElse(0))
+                out(ldt.atZone(tz).toEpochSecond,
+                  Option(fr).getOrElse(""))
+              } catch { case _: Exception => null }
+            case _ => null
+          }
+        case (m: Long, TimestampType) => out(Math.floorDiv(m, 1000000L), "")
+        case (m: Long, TimestampNTZType) =>
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(m, 1000000L), 0, java.time.ZoneOffset.UTC)
+          out(ldt.atZone(tz).toEpochSecond, "")
+        case (d: Int, DateType) =>
+          out(java.time.LocalDate.ofEpochDay(d.toLong)
+            .atStartOfDay(tz).toEpochSecond, "")
+        case _ => null
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** CAST(x AS YEAR) (reference sql/types/year.go): 2-digit window
     * 1..69 -> 2001..2069, 70..99 -> 1970..1999; 0 -> 2000 for strings,
     * 0000 for numeric 0; 1901..2155 pass through; outside -> NULL.
