@@ -1774,7 +1774,8 @@ object Dml {
               if (c._2.startsWith("varchar") || c._2.startsWith("char") ||
                   c._2.contains("text") || c._2.startsWith("enum") ||
                   c._2.startsWith("set")) "utf8mb4_0900_bin" else null,
-              c._3, c._4, c._5.orNull, c._6, "", ""))
+              c._3, c._4, c._5.orNull, c._6, "",
+              e.columnComments.getOrElse((table, c._1.toLowerCase), "")))
             .toDF("Field", "Type", "Collation", "Null", "Key", "Default",
               "Extra", "Privileges", "Comment")
       val filtered = filterLike(base, "Field", like)

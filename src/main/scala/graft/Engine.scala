@@ -1127,7 +1127,9 @@ class Engine(val spark: SparkSession) {
                 val deep = () => SqlRewrite.deepInSemiJoin(cur, n, colsFor)
                 val alias = () =>
                   SqlRewrite.aliasIntoSubquery(cur, n.split('.').last)
-                if (n.contains(".")) Seq(deep, alias) else Seq(alias, deep)
+                val hoist = () => SqlRewrite.hoistDeepEquality(cur, n)
+                if (n.contains(".")) Seq(deep, hoist, alias)
+                else Seq(alias, deep, hoist)
               }
             if (sys.env.contains("GRAFT_DEBUG_RETRY"))
               println(s"UNRESOLVED retry: nm=$nm cands=" +
@@ -1153,6 +1155,19 @@ class Engine(val spark: SparkSession) {
             val expanded = SqlRewrite.inlineTableUnion(cur)
             if (expanded == cur) throw e
             attempt(expanded, budget - 1)
+          // MySQL DECIMAL reaches precision 65 (ref sql/types/decimal.go:58);
+          // Spark caps at 38. Literal-only wide-decimal shapes constant-fold
+          // to their exact MySQL display string.
+          // (SparkArithmeticException, not AnalysisException — the
+          // precision check fires when the literal's DecimalType builds)
+          case e: Throwable
+              if budget > 0 &&
+                 e.isInstanceOf[org.apache.spark.SparkThrowable] &&
+                 String.valueOf(e.getMessage).contains(
+                   "DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION") =>
+            val folded = SqlRewrite.foldWideDecimal(cur)
+            if (folded == cur) throw e
+            attempt(folded, budget - 1)
           // BETWEEN over a collated column: Spark's With-node desugaring
           // drops the collation (INDETERMINATE_COLLATION). Retry with the
           // explicit >= AND <= form, which is MySQL's definition anyway.
@@ -1175,13 +1190,16 @@ class Engine(val spark: SparkSession) {
                    "SCALAR_SUBQUERY_RETURN_MORE_THAN_ONE_OUTPUT_COLUMN")) =>
             // subquery sides first: the pairwise-boolean expansion keeps
             // exact 3VL where the struct form would compare null fields
-            // as equal
+            // as equal; then ANY/SOME/ALL quantified comparisons
             val expanded = SqlRewrite.tupleSubqueryCompare(cur)
             val expanded2 =
               if (expanded != cur) expanded
               else SqlRewrite.tupleCompare(cur)
-            if (expanded2 == cur) throw e
-            attempt(expanded2, budget - 1)
+            val expanded3 =
+              if (expanded2 != cur) expanded2
+              else SqlRewrite.quantifiedCompare(cur)
+            if (expanded3 == cur) throw e
+            attempt(expanded3, budget - 1)
         }
 
       }
@@ -4526,12 +4544,21 @@ class Engine(val spark: SparkSession) {
     // version=10, row_format=Dynamic, empty create_options/comment)
     tables.map { t =>
       val isView = t.tableType == "VIEW"
+      // table_rows: exact for LocalRelation-backed stored tables via
+      // plan stats (free — no job), like the reference's live count
+      // (tables_table.go); 0 when the estimate is unavailable
+      val rowsEst: java.lang.Long =
+        if (isView) null
+        else scala.util.Try(
+          spark.table(t.name).queryExecution.optimizedPlan.stats.rowCount
+            .map(_.toLong)).toOption.flatten.map(Long.box)
+          .getOrElse(java.lang.Long.valueOf(0L))
       (("def", Option(t.database).getOrElse(db), t.name,
         if (isView) "VIEW" else "BASE TABLE",
         if (isView) null else "InnoDB",
         if (isView) null else Integer.valueOf(10),
         if (isView) null else "Dynamic",
-        if (isView) null else java.lang.Long.valueOf(0L)),
+        rowsEst),
        (if (isView) null else java.lang.Long.valueOf(0L),
         if (isView) null else java.lang.Long.valueOf(0L),
         if (isView) null else java.lang.Long.valueOf(0L),
@@ -4704,13 +4731,25 @@ class Engine(val spark: SparkSession) {
           case ((cc, pc), i) => (f.name, f.child, cc, i + 1, f.parent, pc)
         }
       }
+    // a db-qualified canonical name ("foo.othertable") contributes its
+    // own schema; bare names belong to the session db
+    // (information_schema_queries.go SELECT-* shapes list foo's PK
+    // under constraint_schema foo)
+    def schemaOf(t: String): (String, String) = {
+      val i = t.indexOf('.')
+      if (i > 0) (t.substring(0, i), t.substring(i + 1)) else (db, t)
+    }
     kcuRows
       .map { case (n, t, c, i, rt, rc) =>
-        ("def", db, n, "def", db, t.toLowerCase, c, i,
+        val (sch, bare) = schemaOf(t.toLowerCase)
+        val (rSch, rBare) =
+          if (rt == null) (null: String, null: String)
+          else schemaOf(rt.toLowerCase)
+        ("def", sch, n, "def", sch, bare, c, i,
           // POSITION_IN_UNIQUE_CONSTRAINT: FK columns carry their
           // ordinal; key columns are NULL (key_column_usage_table.go)
           if (rt == null) null else Integer.valueOf(i),
-          if (rt == null) null else db, rt, rc) }
+          rSch, rBare, rc) }
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
         "table_catalog", "table_schema", "table_name", "column_name",
         "ordinal_position", "position_in_unique_constraint",
@@ -4725,14 +4764,18 @@ class Engine(val spark: SparkSession) {
     // table names render lowercase — Spark's catalog (like the
     // reference's) folds relation names, so `CREATE TABLE T2` lists as
     // t2 and the corpus filters on the folded form
+    def tcRow(t: String, n: String, typ: String, en: String) = {
+      val (sch, bare) = schemaOf(t.toLowerCase)
+      ("def", sch, n, sch, bare, typ, en)
+    }
     val pkRows = tableKeys.keys.toSeq.map(t =>
-      ("def", db, "PRIMARY", db, t.toLowerCase, "PRIMARY KEY", "YES"))
+      tcRow(t, "PRIMARY", "PRIMARY KEY", "YES"))
     val ckRows = checkConstraints.toSeq.map { case (t, n, _, en) =>
-      ("def", db, n, db, t.toLowerCase, "CHECK", if (en) "YES" else "NO") }
+      tcRow(t, n, "CHECK", if (en) "YES" else "NO") }
     val ukRows = uniqueKeys.toSeq.map { case (t, n, _) =>
-      ("def", db, n, db, t.toLowerCase, "UNIQUE", "YES") }
+      tcRow(t, n, "UNIQUE", "YES") }
     val fkRows = foreignKeys.toSeq.map(f =>
-      ("def", db, f.name, db, f.child.toLowerCase, "FOREIGN KEY", "YES"))
+      tcRow(f.child, f.name, "FOREIGN KEY", "YES"))
     (pkRows ++ ckRows ++ ukRows ++ fkRows)
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
         "table_schema", "table_name", "constraint_type", "enforced")

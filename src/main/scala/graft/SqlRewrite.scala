@@ -988,9 +988,21 @@ object SqlRewrite {
           }
         } =>
           // sql_mode without ONLY_FULL_GROUP_BY admits ANY expression;
-          // MySQL names the column by its original text
+          // MySQL names the column by its original text. A trailing
+          // `AS alias` must stay OUTSIDE the wrap (any_value(e AS a) is
+          // invalid SQL) and becomes the display name.
           changed = true
-          s" any_value($it) AS `${it.trim}`"
+          val its2 = tokenize(it)
+          val aliased =
+            if (its2.length >= 3 && its2(its2.length - 2).isWord("as") &&
+                its2.last.kind == Word)
+              Some((it.substring(0, its2(its2.length - 2).start),
+                    its2.last.text))
+            else None
+          aliased match {
+            case Some((expr, al)) => s" any_value($expr) AS `$al`"
+            case None => s" any_value($it) AS `${it.trim}`"
+          }
         case _ => it
       }
     }
@@ -1338,6 +1350,13 @@ object SqlRewrite {
               }
               if (found >= 0) xStart = found
               if (k < 0) bail = true
+              // only fire under a pure AND-conjunction: a left boundary
+              // of OR/NOT (disjunct / negated predicate) or a trailing
+              // OR makes the TRUE+semi-join splice change semantics
+              if (found >= 1 && (toks(found - 1).isWord("or") ||
+                                 toks(found - 1).isWord("not"))) bail = true
+              if (close + 1 < toks.length && toks(close + 1).isWord("or"))
+                bail = true
               // enclosing select at the IN site's depth
               val encDepth = depth(i)
               var selAt = -1
@@ -3337,6 +3356,387 @@ object SqlRewrite {
           patches += ((toks(i).start, toks(i + 1).end, ""))
           patches += ((toks(close).start, toks(close).end, ""))
           i = close
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** Retry-only (UNRESOLVED_COLUMN naming a 2-levels-out reference):
+    * the exists-max shape — a scalar subquery whose WHERE equates one
+    * LOCAL column to both a near (1-out) and a deep (2-out) reference:
+    *
+    *   ... WHERE ab.b = (SELECT max(v) FROM uv
+    *                     WHERE uv.v = ab2.a AND uv.v = ab.a) ...
+    *
+    * By transitivity `v=deep AND v=near` ⟺ `v=near AND near=deep`, and
+    * in a WHERE-conjunct truth context the `near=deep` factor can hoist
+    * into the ENCLOSING query (when it fails, the inner set is empty →
+    * scalar NULL → the enclosing conjunct was already not-true). After
+    * the hoist every reference is one scope deep, which Spark resolves.
+    * Fires only when the subquery's enclosing WHERE is a pure AND
+    * conjunction (no top-level OR/NOT — the hoist would change their
+    * semantics). Reference surface: queries.go exists-max pair,
+    * sqllogictest subquery_correlated.txt L435. */
+  def hoistDeepEquality(sql: String, needle: String): String = {
+    val toks = tokenize(sql)
+    val depth = new Array[Int](toks.length)
+    var d0 = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d0; d0 += 1 }
+      else if (t.text == ")") { d0 -= 1; depth(k) = d0 }
+      else depth(k) = d0
+    }
+    // every occurrence of the needle as a word token
+    val occ = toks.indices.filter(k => toks(k).kind == Word &&
+      toks(k).text.equalsIgnoreCase(needle))
+    for (at <- occ) {
+      // the conjunct `A = needle` / `needle = A` (A a word token)
+      val (aTok, lo, hi) =
+        if (at >= 2 && toks(at - 1).text == "=" && toks(at - 2).kind == Word)
+          (Some(toks(at - 2)), at - 2, at)
+        else if (at + 2 < toks.length && toks(at + 1).text == "=" &&
+                 toks(at + 2).kind == Word)
+          (Some(toks(at + 2)), at, at + 2)
+        else (None, -1, -1)
+      val okBounds = aTok.isDefined &&
+        (lo == 0 || toks(lo - 1).isWord("and") || toks(lo - 1).isWord("where")) &&
+        (hi + 1 >= toks.length || toks(hi + 1).isWord("and") ||
+          toks(hi + 1).text == ")" || toks(hi + 1).text == ";")
+      if (okBounds) {
+        val a = aTok.get.text
+        // the innermost subquery containing the conjunct: nearest '('
+        // to the left at depth(at)-1 whose next token is SELECT
+        var open = -1
+        var k = at - 1
+        while (k >= 0 && open < 0) {
+          if (toks(k).text == "(" && depth(k) == depth(at) - 1 &&
+              k + 1 < toks.length && toks(k + 1).isWord("select")) open = k
+          else if (toks(k).text == "(" && depth(k) < depth(at) - 1) k = -1
+          k -= 1
+        }
+        if (open >= 0) {
+          val close = closeParenFor(toks, open)
+          // WHERE span of the inner subquery
+          val whereAt = (open + 1 until close).find(j =>
+            depth(j) == depth(at) && toks(j).isWord("where")).getOrElse(-1)
+          if (whereAt > 0 && at > whereAt) {
+            // sibling conjunct `A = B` (B any OTHER word token) inside
+            // the same WHERE span
+            val sibling = (whereAt + 1 until close).collectFirst {
+              case j if j != lo && depth(j) == depth(at) &&
+                  toks(j).kind == Word && toks(j).text.equalsIgnoreCase(a) &&
+                  j + 2 < close && toks(j + 1).text == "=" &&
+                  toks(j + 2).kind == Word &&
+                  !toks(j + 2).text.equalsIgnoreCase(needle) =>
+                toks(j + 2).text
+              case j if j != hi && depth(j) == depth(at) &&
+                  toks(j).kind == Word && toks(j).text.equalsIgnoreCase(a) &&
+                  j >= whereAt + 3 && toks(j - 1).text == "=" &&
+                  toks(j - 2).kind == Word &&
+                  !toks(j - 2).text.equalsIgnoreCase(needle) =>
+                toks(j - 2).text
+            }
+            sibling.foreach { b =>
+              // enclosing query's WHERE: nearest WHERE to the left of
+              // `open` at depth(open); require pure AND conjunction
+              val encDepth = depth(open)
+              var encWhere = -1
+              var m = open - 1
+              while (m >= 0 && encWhere < 0) {
+                if (depth(m) == encDepth && toks(m).isWord("where"))
+                  encWhere = m
+                else if (depth(m) < encDepth) m = -1
+                m -= 1
+              }
+              if (encWhere >= 0) {
+                val encEnd = condSpanEnd(toks, encWhere)
+                val pure = (encWhere + 1 to encEnd).forall(j =>
+                  !(depth(j) == encDepth && (toks(j).isWord("or") ||
+                    toks(j).isWord("not"))))
+                if (pure && encEnd >= encWhere + 1) {
+                  // drop the deep conjunct; hoist `B = needle` around
+                  // the enclosing condition
+                  return splice(sql, Seq(
+                    (toks(encWhere).end, toks(encWhere).end,
+                      s" $b = $needle AND ("),
+                    (toks(lo).start, toks(hi).end, "TRUE"),
+                    (toks(encEnd).end, toks(encEnd).end, ")")))
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    sql
+  }
+
+  /** Retry-only (PARSE_SYNTAX_ERROR on ANY/SOME/ALL): MySQL quantified
+    * subquery comparisons `X op ANY (SELECT e FROM …)` / `X op ALL (…)`
+    * have no Spark parse. Rewrite to a correlated aggregate scalar
+    * subquery with exact 3VL (reference sql/expression/comparison.go
+    * AnyCmp/AllCmp semantics; CockroachDB-derived sqllogictest
+    * subquery_correlated.txt is the conformance surface):
+    *
+    *   X op ANY (SELECT e FROM R) ->
+    *     (SELECT CASE WHEN max(F) = 2 THEN TRUE
+    *                  WHEN max(F) = 1 THEN CAST(NULL AS BOOLEAN)
+    *                  ELSE FALSE END
+    *      FROM R)  with F = CASE WHEN (X) op (e) THEN 2
+    *                             WHEN ((X) op (e)) IS NULL THEN 1
+    *                             ELSE 0 END
+    *
+    * (ALL dually: F tests NOT((X) op (e)), result ELSE-branch TRUE.)
+    * The global aggregate always returns one row, so the empty set maps
+    * to FALSE (ANY) / TRUE (ALL); a null-valued comparison anywhere
+    * yields NULL unless decided. X moves one scope down, which keeps
+    * its own references resolvable (Spark outer refs are one-level).
+    * One occurrence per pass — the Engine retry loop re-enters. */
+  def quantifiedCompare(sql: String): String = {
+    val toks = tokenize(sql)
+    val stopsLeft = Set("and", "or", "not", "where", "having", "on",
+      "when", "then", "else", "select", "by", "case")
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == Sym && cmpSyms(toks(i).text) &&
+          i + 3 < toks.length &&
+          (toks(i + 1).isWord("any") || toks(i + 1).isWord("some") ||
+           toks(i + 1).isWord("all")) &&
+          toks(i + 2).text == "(" && toks(i + 3).isWord("select")) {
+        val op = toks(i).text
+        val isAll = toks(i + 1).isWord("all")
+        val close = closeParenFor(toks, i + 2)
+        if (close > 0) {
+          // subquery internals: single select item, then FROM tail
+          val subDepth = {
+            var d = 0
+            toks.slice(0, i + 3).foreach { t =>
+              if (t.text == "(") d += 1 else if (t.text == ")") d -= 1 }
+            d
+          }
+          var d2 = subDepth
+          var fromAt = -1; var multi = false
+          var k = i + 3
+          while (k < close && fromAt < 0) {
+            toks(k).text match {
+              case "(" => d2 += 1
+              case ")" => d2 -= 1
+              case "," if d2 == subDepth => multi = true
+              case _ if d2 == subDepth && toks(k).isWord("from") &&
+                  k > i + 3 => fromAt = k
+              case _ =>
+            }
+            k += 1
+          }
+          if (fromAt > 0 && !multi) {
+            var eStart = i + 4
+            if (toks(eStart).isWord("distinct")) eStart += 1
+            val eTxt = sql.substring(toks(eStart).start,
+              toks(fromAt - 1).end)
+            val restTxt = sql.substring(toks(fromAt).start,
+              toks(close - 1).end)
+            // X span: walk left to the conjunct boundary
+            var rel = 0; var found = -1; var bail = false
+            var p = i - 1
+            while (p >= 0 && found < 0 && !bail) {
+              val t = toks(p)
+              if (t.text == ")") rel += 1
+              else if (t.text == "(") {
+                if (rel == 0) found = p + 1 else rel -= 1
+              } else if (rel == 0 && t.kind == Word &&
+                         stopsLeft(t.text.toLowerCase)) found = p + 1
+              else if (rel == 0 && t.text == ",") found = p + 1
+              else if (rel < 0) bail = true
+              if (found < 0) p -= 1
+            }
+            if (p < 0 && found < 0) found = 0
+            if (!bail && found >= 0 && found <= i - 1) {
+              val xTxt = sql.substring(toks(found).start, toks(i - 1).end)
+              val subTxt = sql.substring(toks(i + 3).start,
+                toks(close - 1).end)
+              // = ANY and <> ALL are IN / NOT IN, which Spark evaluates
+              // natively with exact 3VL
+              val native =
+                if (op == "=" && !isAll) Some(s"($xTxt) IN ($subTxt)")
+                else if ((op == "<>" || op == "!=") && isAll)
+                  Some(s"($xTxt) NOT IN ($subTxt)")
+                else None
+              // Spark allows outer refs only in the subquery's
+              // WHERE/HAVING, so each aggregate the decision needs
+              // becomes its OWN pure-local correlated scalar subquery
+              // (`S(agg)`) and the outer X combines with them OUTSIDE;
+              // min/max/count(distinct) decide every ordering op exactly
+              val x = s"($xTxt)"; val ee = s"($eTxt)"
+              def S(agg: String) = s"(SELECT $agg $restTxt)"
+              val cnt = S("count(1)"); val cntE = S(s"count($ee)")
+              val cntD = S(s"count(distinct $ee)")
+              val mn = S(s"min($ee)"); val mx = S(s"max($ee)")
+              val decided: Option[String] = (op, isAll) match {
+                case ("<", false)  => Some(s"$x < $mx")
+                case ("<=", false) => Some(s"$x <= $mx")
+                case (">", false)  => Some(s"$x > $mn")
+                case (">=", false) => Some(s"$x >= $mn")
+                case ("<>" | "!=", false) =>
+                  Some(s"$cntD >= 2 OR ($cntD = 1 AND $x <> $mn)")
+                case ("<", true)   => Some(s"$x >= $mn")
+                case ("<=", true)  => Some(s"$x > $mn")
+                case (">", true)   => Some(s"$x <= $mx")
+                case (">=", true)  => Some(s"$x < $mx")
+                case ("=", true)   =>
+                  Some(s"$cntD >= 2 OR ($cntD = 1 AND $x <> $mn)")
+                case _ => None // <=> quantified: no MySQL surface
+              }
+              val repl = native.orElse(decided.map { dec =>
+                val (hit, miss) = if (isAll) ("FALSE", "TRUE")
+                                  else ("TRUE", "FALSE")
+                s"(CASE WHEN $cnt = 0 THEN $miss " +
+                s"WHEN $x IS NULL THEN CAST(NULL AS BOOLEAN) " +
+                s"WHEN $dec THEN $hit " +
+                s"WHEN $cnt > $cntE THEN CAST(NULL AS BOOLEAN) " +
+                s"ELSE $miss END)"
+              })
+              repl match {
+                case Some(r) =>
+                  return splice(sql, Seq(
+                    (toks(found).start, toks(close).end, r)))
+                case None => ()
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** Retry-only (DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION): MySQL
+    * decimals reach precision 65 (ref sql/types/decimal.go:58); Spark
+    * caps at 38. Literal-only shapes fold at rewrite time with
+    * java.math.BigDecimal under MySQL scale rules — division widens the
+    * working scale to `ceil((s1+s2+4)/9)*9` digits (ref
+    * sql/expression/div.go:226) — and splice back as the exact display
+    * string (the reference marshals wide DECIMALs as display strings
+    * anyway). Two shapes fold: `CAST(<literal arith> AS DECIMAL(p,s))`
+    * with p > 38, and a bare numeric literal wider than 38 digits in a
+    * select list. Non-literal shapes are left for the error to surface. */
+  def foldWideDecimal(sql: String): String = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val toks = tokenize(sql)
+    def isNum(t: Tok): Boolean =
+      t.kind == Word && t.text.matches("\\d+(\\.\\d+)?")
+
+    /** MySQL division: working scale = inc*9 where
+      * inc = ceil((s1+s2+4)/9), floored by ceil(s1/9)+ceil(s2/9) when
+      * both operands have fraction digits. */
+    def mysqlDiv(a: JBD, b: JBD): Option[JBD] = {
+      if (b.signum() == 0) return None
+      val (ls, rs) = (math.max(a.scale, 0), math.max(b.scale, 0))
+      var inc = math.ceil((ls + rs + 4) / 9.0).toInt
+      if (ls != 0 && rs != 0) {
+        val inc2 = math.ceil(ls / 9.0).toInt + math.ceil(rs / 9.0).toInt
+        if (inc2 > inc) inc = inc2
+      }
+      Some(a.divide(b, inc * 9, RoundingMode.HALF_UP))
+    }
+
+    /** Recursive-descent eval of a literal-only token span. */
+    def evalSpan(from: Int, to: Int): Option[JBD] = {
+      var p = from
+      def parseExpr(): Option[JBD] = {
+        var acc = parseTerm()
+        while (acc.isDefined && p <= to && toks(p).kind == Sym &&
+               (toks(p).text == "+" || toks(p).text == "-")) {
+          val op = toks(p).text; p += 1
+          acc = for (a <- acc; b <- parseTerm())
+            yield if (op == "+") a.add(b) else a.subtract(b)
+        }
+        acc
+      }
+      def parseTerm(): Option[JBD] = {
+        var acc = parseFactor()
+        while (acc.isDefined && p <= to && toks(p).kind == Sym &&
+               (toks(p).text == "*" || toks(p).text == "/")) {
+          val op = toks(p).text; p += 1
+          acc = for {
+            a <- acc; b <- parseFactor()
+            r <- if (op == "*") Some(a.multiply(b)) else mysqlDiv(a, b)
+          } yield r
+        }
+        acc
+      }
+      def parseFactor(): Option[JBD] = {
+        if (p > to) return None
+        val t = toks(p)
+        if (t.kind == Sym && (t.text == "-" || t.text == "+")) {
+          p += 1
+          parseFactor().map(v => if (t.text == "-") v.negate else v)
+        } else if (t.text == "(") {
+          p += 1
+          val inner = parseExpr()
+          if (p <= to && toks(p).text == ")") { p += 1; inner } else None
+        } else if (isNum(t)) { p += 1; Some(new JBD(t.text)) }
+        else None
+      }
+      val r = parseExpr()
+      if (p == to + 1) r else None
+    }
+
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.isWord("cast") && i + 1 < toks.length && toks(i + 1).text == "(") {
+        val close = closeParenFor(toks, i + 1)
+        // shape: cast ( EXPR as decimal ( p [, s] ) ) — the AS sits one
+        // level inside the cast's paren
+        var depth = 0; var asAt = -1
+        var k = i + 2
+        while (k < close && asAt < 0) {
+          toks(k).text match {
+            case "(" => depth += 1
+            case ")" => depth -= 1
+            case _ if depth == 0 && toks(k).isWord("as") => asAt = k
+            case _ =>
+          }
+          k += 1
+        }
+        if (close > 0 && asAt > i + 2 && asAt + 2 < close &&
+            toks(asAt + 1).isWord("decimal") && toks(asAt + 2).text == "(") {
+          val dClose = closeParenFor(toks, asAt + 2)
+          val args = (asAt + 3 until dClose).map(toks)
+            .filter(x => x.kind == Word).map(_.text)
+          val prec = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+          val scale = args.lift(1).flatMap(_.toIntOption).getOrElse(0)
+          if (prec > 38 && scale <= 30 && dClose == close - 1) {
+            evalSpan(i + 2, asAt - 1)
+              .map(_.setScale(scale, RoundingMode.HALF_UP))
+              .filter(v => v.precision - v.scale <= prec - scale) match {
+              case Some(v) =>
+                val orig = sql.substring(t.start, toks(close).end)
+                  .linesIterator.mkString(" ")
+                patches += ((t.start, toks(close).end,
+                  s"'${v.toPlainString}' AS `$orig`"))
+                i = close
+              case None => ()
+            }
+          }
+        }
+      } else if (isNum(t) && t.text.count(_.isDigit) > 38 &&
+                 patches.forall(p => t.start >= p._2 || t.end <= p._1)) {
+        // bare wide literal: fold only in a select-list position
+        val prevOk = i == 0 || toks(i - 1).isWord("select") ||
+          toks(i - 1).text == ","
+        val nextOk = i + 1 >= toks.length || toks(i + 1).text == "," ||
+          toks(i + 1).text == ";" || toks(i + 1).isWord("from") ||
+          toks(i + 1).isWord("as")
+        if (prevOk && nextOk) {
+          val aliased =
+            if (i + 1 < toks.length && toks(i + 1).isWord("as")) s"'${t.text}'"
+            else s"'${t.text}' AS `${t.text}`"
+          patches += ((t.start, t.end, aliased))
         }
       }
       i += 1

@@ -73,12 +73,18 @@ object SetOpsSubqueries {
     QueryDef(
       "set_except",
       (s, d) => {
+        // customer nations ⊆ supplier nations at small SF, which left the
+        // original customer-vs-supplier EXCEPT vacuously empty; except a
+        // proper filtered subset so the operator's output is observable
         val cust = Tables.t(s, d, "customer").select(col("c_nationkey").as("k"))
-        val supp = Tables.t(s, d, "supplier").select(col("s_nationkey").as("k"))
-        cust.except(supp).orderBy(col("k"))
+        val low = Tables.t(s, d, "customer")
+          .filter(col("c_nationkey") < 10)
+          .select(col("c_nationkey").as("k"))
+        cust.except(low).orderBy(col("k"))
       },
       Some("""SELECT c_nationkey AS k FROM customer
-              EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""")),
+              EXCEPT SELECT c_nationkey FROM customer WHERE c_nationkey < 10
+              ORDER BY k""")),
 
     QueryDef(
       "set_intersect_all",

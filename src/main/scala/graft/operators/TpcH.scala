@@ -612,7 +612,12 @@ object TpcH {
       "tpch_q22",
       (s, d) => {
         val c = t("customer")(s, d)
-        val o = t("orders")(s, d).select(col("o_custkey"))
+        // q22's anti-join over ALL orders is vacuously empty at small SF
+        // (every customer has orders); restrict to urgent orders so the
+        // anti-join + global-scalar-subquery shape stays observable
+        val o = t("orders")(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
         // exact-decimal sum / count -> deterministic double threshold
         val thresh = c.filter(col("c_acctbal") > 0.0)
           .agg((sum(col("c_acctbal").cast(DecimalType(12, 2))).cast("double") /
@@ -634,7 +639,9 @@ object TpcH {
               WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
                                    AS DOUBLE) / COUNT(*)
                                  FROM customer WHERE c_acctbal > 0.0)
-                AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_orderpriority = '1-URGENT'
+                                  AND o_custkey = c_custkey)
               GROUP BY cc ORDER BY cc"""))
   )
 }

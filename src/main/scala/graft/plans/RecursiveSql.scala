@@ -22,8 +22,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RecursiveSql {
 
-  /** MySQL @@cte_max_recursion_depth default. */
-  private val MaxDepth = 1000
+  /** Reference cteRecursionLimit (sql/rowexec/rel_iters.go:549): 10001
+    * cycles, then ErrCteRecursionLimitExceeded. */
+  private val MaxDepth = 10001
 
   /** index just past a quoted literal starting at `i` (s(i) is the quote). */
   private def skipQuoted(s: String, i0: Int): Int = {
@@ -191,7 +192,13 @@ object RecursiveSql {
       recTerms.map(t => spark.sql(t).toDF(colNames: _*)).reduce(_ unionAll _)
     }
     val acc =
-      if (recTerms.isEmpty) (if (allBag) seed else seed.distinct())
+      if (recTerms.isEmpty) {
+        // the stripped trailing LIMIT still applies to a non-recursive body
+        val base = if (allBag) seed else seed.distinct()
+        if (maxRows != Long.MaxValue)
+          base.limit(math.min(maxRows, Int.MaxValue.toLong).toInt)
+        else base
+      }
       else if (allBag) RecursiveCte.unionAll(seed, step, MaxDepth, maxRows)
       else RecursiveCte.unionDistinct(seed, step, MaxDepth, maxRows)
     acc
