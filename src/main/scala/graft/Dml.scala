@@ -192,10 +192,35 @@ object Dml {
       case _ => false
     }
     val analyzed = df.queryExecution.analyzed
-    // count(*) over a bare table: the reference's table_count shortcut
-    val CountStar = "(?is)^\\s*SELECT\\s+COUNT\\s*\\(\\s*\\*\\s*\\)\\s+FROM\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*;?\\s*$".r
+    // count(*) over a bare table — the reference's table_count shortcut
+    // — PROVEN from the analyzed plan: a global Aggregate whose single
+    // output is count(1) over a bare relation chain (no filter/project)
+    def countStarTable(p: LogicalPlan): Option[String] = p match {
+      case Aggregate(groups, aggs, child, _) if groups.isEmpty &&
+          aggs.length == 1 =>
+        val isCountStar = aggs.head.collectFirst {
+          case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
+              if c.children.forall(_.isInstanceOf[Literal]) => c
+        }.isDefined
+        // a bare relation chain: alias/view wrappers only, ending in a
+        // leaf (any Project/Filter would falsify the table_count claim)
+        def bareChain(q: LogicalPlan): Boolean = q match {
+          case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+          case SubqueryAlias(_, c) => bareChain(c)
+          case v: View => bareChain(v.child)
+          case _ => false
+        }
+        def bareName(q: LogicalPlan): Option[String] = q match {
+          case SubqueryAlias(id, c) if bareChain(c) => Some(id.name)
+          case _ => None
+        }
+        if (isCountStar) bareName(child) else None
+      case Project(_, c) => countStarTable(c)
+      case _ => None
+    }
     inner match {
-      case CountStar(t) =>
+      case _ if countStarTable(analyzed).isDefined =>
+        val t = countStarTable(analyzed).get
         Seq("Project",
           " ├─ columns: [count(1)]",
           " └─ Project",
@@ -1332,8 +1357,20 @@ object Dml {
         // (rowexec/show.go describe row)
         // absent cells render the literal string "NULL", as the
         // reference's describe row does (queries.go:9247)
-        val tbl = "(?is)\\bFROM\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?".r
-          .findFirstMatchIn(inner).map(_.group(1)).getOrElse("NULL")
+        // table cell: the first aliased leaf relation in the ANALYZED
+        // plan (not a regex over the input text); "NULL" when the plan
+        // scans nothing (literal-only selects)
+        def leafChain(q: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+          q match {
+            case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+            case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, c) => leafChain(c)
+            case v: org.apache.spark.sql.catalyst.plans.logical.View => leafChain(v.child)
+            case _ => false
+          }
+        val tbl = df.queryExecution.analyzed.collectFirst {
+          case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+              id, c) if leafChain(c) => id.name
+        }.getOrElse("NULL")
         val row = org.apache.spark.sql.Row(1L, "SELECT", tbl,
           "NULL", "NULL", "NULL", "NULL", "NULL", "NULL", "NULL", "NULL", "")
         val schema = org.apache.spark.sql.types.StructType(
@@ -2346,6 +2383,10 @@ object Dml {
             else if (m < 16777216) "mediumtext" else "longtext"
           e.textKindCols((table, colName.toLowerCase)) = kind
         }
+    // signed MEDIUMINT stores as Spark int; keep the declared kind for
+    // the catalog render (DESCRIBE/information_schema expect mediumint)
+    if (baseLower == "mediumint" && !typeText.toLowerCase.contains("unsigned"))
+      e.textKindCols((table, colName.toLowerCase)) = "mediumint"
     // fixed BINARY(n): stored values zero-pad to the declared width
     """(?i)^binary\s*(?:\(\s*(\d+)\s*\))?(?:\s|$)""".r
       .findFirstMatchIn(typeText.trim)

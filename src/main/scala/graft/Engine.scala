@@ -312,6 +312,39 @@ object Engine {
   private[graft] val infoSchemaViews =
     scala.collection.mutable.Set.empty[String]
 
+  /** MySQL 8's information_schema table catalog — the SYSTEM VIEW rows
+    * information_schema.tables lists for its own schema (reference
+    * information_schema.go table registry; the expected enumeration is
+    * pinned by information_schema_queries.go). */
+  private[graft] val infoSchemaCatalogTables: Seq[String] = Seq(
+    "administrable_role_authorizations", "applicable_roles",
+    "character_sets", "check_constraints", "collations",
+    "collation_character_set_applicability", "columns",
+    "columns_extensions", "column_privileges", "column_statistics",
+    "enabled_roles", "engines", "events", "files", "innodb_buffer_page",
+    "innodb_buffer_page_lru", "innodb_buffer_pool_stats",
+    "innodb_cached_indexes", "innodb_cmp", "innodb_cmpmem",
+    "innodb_cmpmem_reset", "innodb_cmp_per_index",
+    "innodb_cmp_per_index_reset", "innodb_cmp_reset", "innodb_columns",
+    "innodb_datafiles", "innodb_fields", "innodb_foreign",
+    "innodb_foreign_cols", "innodb_ft_being_deleted", "innodb_ft_config",
+    "innodb_ft_default_stopword", "innodb_ft_deleted",
+    "innodb_ft_index_cache", "innodb_ft_index_table", "innodb_indexes",
+    "innodb_metrics", "innodb_session_temp_tablespaces", "innodb_tables",
+    "innodb_tablespaces", "innodb_tablespaces_brief",
+    "innodb_tablestats", "innodb_temp_table_info", "innodb_trx",
+    "innodb_virtual", "keywords", "key_column_usage", "optimizer_trace",
+    "parameters", "partitions", "plugins", "processlist", "profiling",
+    "referential_constraints", "resource_groups", "role_column_grants",
+    "role_routine_grants", "role_table_grants", "routines", "schemata",
+    "schemata_extensions", "schema_privileges", "statistics",
+    "st_geometry_columns", "st_spatial_reference_systems",
+    "st_units_of_measure", "tables", "tablespaces",
+    "tablespaces_extensions", "tables_extensions", "table_constraints",
+    "table_constraints_extensions", "table_privileges", "triggers",
+    "user_attributes", "user_privileges", "views", "view_routine_usage",
+    "view_table_usage")
+
   /** Monotonic per-JVM engine id: durable-state paths (snapshots, DML
     * materializations) are scoped per Engine instance so two engines on
     * one SparkSession never overwrite each other's warehouse files (an
@@ -1128,8 +1161,10 @@ class Engine(val spark: SparkSession) {
                 val alias = () =>
                   SqlRewrite.aliasIntoSubquery(cur, n.split('.').last)
                 val hoist = () => SqlRewrite.hoistDeepEquality(cur, n)
-                if (n.contains(".")) Seq(deep, hoist, alias)
-                else Seq(alias, deep, hoist)
+                val subst = () => SqlRewrite.substDeepEquality(cur, n)
+                val goAlias = () => SqlRewrite.groupOrderExprAlias(cur)
+                if (n.contains(".")) Seq(deep, hoist, subst, alias, goAlias)
+                else Seq(alias, deep, hoist, subst, goAlias)
               }
             if (sys.env.contains("GRAFT_DEBUG_RETRY"))
               println(s"UNRESOLVED retry: nm=$nm cands=" +
@@ -1155,6 +1190,19 @@ class Engine(val spark: SparkSession) {
             val expanded = SqlRewrite.inlineTableUnion(cur)
             if (expanded == cur) throw e
             attempt(expanded, budget - 1)
+          // subquery expressions in positions Spark doesn't evaluate:
+          // VALUES ROW(...) single-row inline tables become one-row
+          // SELECTs; an INNER JOIN's ON-conjunct holding a scalar
+          // subquery moves to WHERE (equivalent for inner joins)
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains(
+                "UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY") =>
+            val v = SqlRewrite.valuesRowSelect(cur)
+            val v2 =
+              if (v != cur) v
+              else SqlRewrite.innerJoinOnSubqueryToWhere(cur)
+            if (v2 == cur) throw e
+            attempt(v2, budget - 1)
           // MySQL DECIMAL reaches precision 65 (ref sql/types/decimal.go:58);
           // Spark caps at 38. Literal-only wide-decimal shapes constant-fold
           // to their exact MySQL display string.
@@ -1197,11 +1245,20 @@ class Engine(val spark: SparkSession) {
               else SqlRewrite.tupleCompare(cur)
             val expanded3 =
               if (expanded2 != cur) expanded2
-              else SqlRewrite.quantifiedCompare(cur)
+              else
+                // the = ANY -> IN / <> ALL -> NOT IN mapping re-applies
+                // the 3VL IN probes for null-observable positions
+                SqlRewrite.inSubquerySelectList(
+                  SqlRewrite.quantifiedCompare(cur))
             if (expanded3 == cur) throw e
             attempt(expanded3, budget - 1)
         }
 
+      }
+      // MySQL 1066: the same unaliased table joined twice in one FROM
+      // (Spark admits the self-join; the reference rejects it)
+      SqlRewrite.duplicateUnaliasedTable(rewritten).foreach { t =>
+        throw new IllegalArgumentException(s"Not unique table/alias: '$t'")
       }
       attempt(rewritten, 6)
     }
@@ -3289,6 +3346,9 @@ class Engine(val spark: SparkSession) {
     uniqueExprIdx.filterInPlace(_._1 != table)
     indexPrefixes.filterInPlace { case ((t, _, _), _) => t != table }
     columnStats.filterInPlace { case ((t, _), _) => t != table }
+    textKindCols.filterInPlace { case ((t, _), _) => t != table }
+    bitWidths.filterInPlace { case ((t, _), _) => t != table }
+    yearCols.filterInPlace { case (t, _) => t != table }
   }
 
   // ---- ENUM / SET write validation --------------------------------------
@@ -3596,7 +3656,8 @@ class Engine(val spark: SparkSession) {
     moveColMap(columnDefaults); moveColMap(columnVocab)
     moveColMap(charLimits); moveColMap(timePrecisions)
     moveColMap(vecDims); moveColMap(columnComments); moveColMap(columnStats)
-    moveColMap(unsignedBounds)
+    moveColMap(unsignedBounds); moveColMap(textKindCols)
+    moveColMap(bitWidths)
     // (table, column) sets re-key
     def moveSet(s: scala.collection.mutable.Set[(String, String)]): Unit = {
       val moved = s.toSeq.collect { case (t, c) if t == oldName => c }
@@ -4543,7 +4604,7 @@ class Engine(val spark: SparkSession) {
     // information_schema_queries.go "column specific tests" blocks pin
     // version=10, row_format=Dynamic, empty create_options/comment)
     tables.map { t =>
-      val isView = t.tableType == "VIEW"
+      val isView = t.tableType == "VIEW" || viewDefs.contains(t.name)
       // table_rows: exact for LocalRelation-backed stored tables via
       // plan stats (free — no job), like the reference's live count
       // (tables_table.go); 0 when the estimate is unavailable
@@ -4579,6 +4640,14 @@ class Engine(val spark: SparkSession) {
         (a1, a2, a3, a4, a5, a6, a7, a8, b1, b2, b3, b4, b5, b6, b7, b8,
           b9, b10)
       }
+      // plus information_schema's own catalog as SYSTEM VIEW rows
+      // (MySQL lists them; information_schema_queries.go enumerates)
+      .++(Engine.infoSchemaCatalogTables.map(n =>
+        ("def", "information_schema", n, "SYSTEM VIEW", null: String,
+          null: Integer, null: String, null: java.lang.Long,
+          null: java.lang.Long, null: java.lang.Long, null: java.lang.Long,
+          null: java.lang.Long, null: java.lang.Long, null: java.lang.Long,
+          "utf8mb4_0900_ai_ci", null: java.lang.Long, null: String, "")))
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
         "engine", "version", "row_format", "table_rows", "avg_row_length",
         "data_length", "max_data_length", "index_length", "data_free",
@@ -4602,7 +4671,10 @@ class Engine(val spark: SparkSession) {
         val dataType = columnVocab.get((t.name, f.name.toLowerCase)) match {
           case Some((true, _)) => "set"
           case Some((false, _)) => "enum"
-          case None => f.dataType.simpleString
+          // MySQL DATA_TYPE is the bare type keyword of the DECLARED
+          // type (columns_table.go): varchar not string, mediumint not
+          // int; strip the (n[,m]) suffix off the full render
+          case None => renderColumnType(t.name, f).takeWhile(_ != '(').trim
         }
         val lc = f.name.toLowerCase
         val key = if (pk(lc)) "PRI" else if (uni(lc)) "UNI"
@@ -4701,13 +4773,18 @@ class Engine(val spark: SparkSession) {
           cols.zipWithIndex.map { case (c, i) => (db, t, 1, n, i + 1, c) }
         }
     statRows
-      .map { case (sch, t, nu, idx, seq, c) =>
+      .map { case (sch0, t, nu, idx, seq, c) =>
         val sub: Integer = indexPrefixes.get((t, idx, c.toLowerCase))
           .map(Integer.valueOf).orNull
         val nullable = scala.util.Try(spark.table(t).schema
           .fields.find(_.name.equalsIgnoreCase(c)).exists(_.nullable))
           .getOrElse(true)
-        ("def", sch, t, nu, sch, idx, seq, c, "A", 0L, sub, null: String,
+        // a db-qualified canonical name contributes its own schema
+        val dot = t.indexOf('.')
+        val (sch, bare) =
+          if (dot > 0) (t.substring(0, dot), t.substring(dot + 1))
+          else (sch0, t)
+        ("def", sch, bare, nu, sch, idx, seq, c, "A", 0L, sub, null: String,
           if (nullable) "YES" else "", "BTREE", "", "", "YES", null: String)
       }
       .toDF("table_catalog", "table_schema", "table_name", "non_unique",

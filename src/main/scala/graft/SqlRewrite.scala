@@ -916,7 +916,8 @@ object SqlRewrite {
         case _ if depth == 0 && selectAt >= 0 && fromAt < 0 &&
             t.isWord("from") => fromAt = i
         case _ if depth == 0 && selectAt >= 0 && groupAt < 0 &&
-            t.isWord("group") => groupAt = i
+            t.isWord("group") && i + 1 < toks.length &&
+            toks(i + 1).isWord("by") => groupAt = i
         case _ =>
       }
       i += 1
@@ -1899,80 +1900,111 @@ object SqlRewrite {
     } else None
   }
 
-  /** SELECT-list `X [NOT] IN (SELECT ...)`: Spark's existence-join
-    * evaluation loses MySQL's 3-valued logic in projection context
-    * (NULL IN (empty) must be FALSE; no-match over a null-bearing set
-    * must be NULL — queries.go niltable/emptytable block). Expand to the
-    * explicit CASE over count/exists probes. WHERE-context INs keep the
-    * native semi-join plan. */
+  /** `X [NOT] IN (SELECT ...)` in a NULL-OBSERVABLE position: Spark's
+    * existence-join evaluation loses MySQL's 3-valued logic outside
+    * pure filter conjuncts (NULL IN (empty) must be FALSE; no-match
+    * over a null-bearing set must be NULL — queries.go niltable blocks,
+    * sqllogictest subquery_correlated.txt "NULL IN" blocks). Expand to
+    * the explicit CASE over count/exists probes (outer refs inside the
+    * probes stay legal — Spark allows them in subquery WHERE at any
+    * derived-table depth). Rewrites fire for INs in a top-level select
+    * list (any paren depth, compound expressions included) and for INs
+    * inside a parenthesized group immediately followed by IS — the
+    * IS [NOT] NULL observation. WHERE-conjunct INs keep the native
+    * semi-join plan (NULL behaves as FALSE there, so 2VL is exact and
+    * the plan stays one join). */
   def inSubquerySelectList(sql: String): String = {
     val toks = tokenize(sql)
     val depth = new Array[Int](toks.length)
+    val matchOpen = new Array[Int](toks.length) // close idx -> open idx
+    val openStack = scala.collection.mutable.ArrayDeque.empty[Int]
     var d = 0
     toks.zipWithIndex.foreach { case (t, k) =>
-      if (t.text == "(") { depth(k) = d; d += 1 }
-      else if (t.text == ")") { d -= 1; depth(k) = d }
-      else depth(k) = d
+      if (t.text == "(") { depth(k) = d; d += 1; openStack.append(k) }
+      else if (t.text == ")") {
+        d -= 1; depth(k) = d
+        if (openStack.nonEmpty) matchOpen(k) = openStack.removeLast()
+        else matchOpen(k) = -1
+      } else depth(k) = d
     }
     val sels = topSelects(toks)
     if (sels.isEmpty) return sql
+    // select-list spans of the top-level selects
+    val listSpans = sels.map { s =>
+      val e = if (s.fromAt > s.selectAt) s.fromAt
+              else if (s.whereAt >= 0) s.whereAt else toks.length
+      (s.selectAt, e)
+    }
+    val stopsLeft = Set("and", "or", "xor", "not", "when", "then", "else",
+      "case", "select", "distinct", "where", "having", "on", "by", "in",
+      "like", "between", "is", "end")
     val patches = ArrayBuffer.empty[(Int, Int, String)]
     var counter = 0
-    sels.foreach { s =>
-      val listEnd =
-        if (s.fromAt > s.selectAt) s.fromAt
-        else if (s.whereAt >= 0) s.whereAt
-        else toks.length
-      var i = s.selectAt + 1
-      while (i < listEnd) {
-        val isNot = toks(i).isWord("not")
-        val inAt = if (isNot) i + 1 else i
-        if (depth(i) == 0 && inAt + 2 < listEnd + 2 &&
-            toks(inAt).isWord("in") && inAt + 2 < toks.length &&
-            toks(inAt + 1).text == "(" && toks(inAt + 2).isWord("select")) {
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("in") && i + 2 < toks.length &&
+          toks(i + 1).text == "(" && toks(i + 2).isWord("select")) {
+        val inAt = i
+        val isNot = inAt > 0 && toks(inAt - 1).isWord("not")
+        // innermost enclosing '(' (if any)
+        var encOpen = -1
+        var rel = 0
+        var k = inAt - 1
+        while (k >= 0 && encOpen < 0) {
+          if (toks(k).text == ")") rel += 1
+          else if (toks(k).text == "(") {
+            if (rel == 0) encOpen = k else rel -= 1
+          }
+          k -= 1
+        }
+        val encClose = if (encOpen >= 0) closeParenFor(toks, encOpen) else -1
+        val insideNestedSelect = encOpen >= 0 &&
+          encOpen + 1 < toks.length && toks(encOpen + 1).isWord("select")
+        val inListSpan = listSpans.exists { case (a, b) => inAt > a && inAt < b }
+        val isObserved = encOpen >= 0 && encClose > 0 &&
+          encClose + 1 < toks.length && toks(encClose + 1).isWord("is")
+        if ((inListSpan && !insideNestedSelect) ||
+            (isObserved && !insideNestedSelect)) {
           // subquery close
-          var close = inAt + 2
-          while (close < toks.length &&
-                 !(toks(close).text == ")" && depth(close) == depth(inAt + 1)))
-            close += 1
-          // X span: walk left to the previous top-level ',' or SELECT
+          val close = closeParenFor(toks, inAt + 1)
+          // X span: walk left to a boundary at the IN's level
           var xStart = -1
-          var k = i - 1
-          var rel = 0
           var stop = false
-          while (k > s.selectAt && !stop) {
+          rel = 0
+          k = (if (isNot) inAt - 2 else inAt - 1)
+          val xEnd = k
+          while (k >= 0 && !stop) {
             val t = toks(k)
             if (t.text == ")") rel += 1
             else if (t.text == "(") {
               if (rel == 0) { xStart = k + 1; stop = true } else rel -= 1
             } else if (rel == 0 && (t.text == "," ||
-                       (t.kind == Word && t.isWord("distinct")))) {
+                       (t.kind == Sym && cmpSyms(t.text)) ||
+                       (t.kind == Word && stopsLeft(t.text.toLowerCase)))) {
               xStart = k + 1; stop = true
             }
             if (!stop) k -= 1
           }
-          if (xStart < 0) xStart = s.selectAt + 1
-          // a subquery or tuple LHS ((select a,b) / (1,2) IN ...) is a
-          // row-value comparison — tupleCompare owns those shapes; and a
-          // multi-column subquery can't alias to one __v column
-          val lhsHasSelect = (xStart until i).exists(k => toks(k).isWord("select"))
-          val lhsTuple = (xStart until i).exists(k =>
-            toks(k).text == "," && depth(k) == depth(i) + 1) &&
-            toks(xStart).text == "("
+          if (xStart < 0) xStart = 0
+          val lhsHasSelect =
+            (xStart to xEnd).exists(k2 => toks(k2).isWord("select"))
+          val lhsTuple = xEnd >= xStart && toks(xStart).text == "(" &&
+            (xStart to xEnd).exists(k2 =>
+              toks(k2).text == "," && depth(k2) == depth(inAt) + 1)
           val subMultiCol = {
-            var k = inAt + 3; var multi = false; var seenFrom = false
-            while (k < close && !seenFrom) {
-              if (depth(k) == depth(inAt + 2)) {
-                if (toks(k).isWord("from")) seenFrom = true
-                else if (toks(k).text == ",") multi = true
+            var k2 = inAt + 3; var multi = false; var seenFrom = false
+            while (k2 < close && !seenFrom) {
+              if (depth(k2) == depth(inAt + 2)) {
+                if (toks(k2).isWord("from")) seenFrom = true
+                else if (toks(k2).text == ",") multi = true
               }
-              k += 1
+              k2 += 1
             }
             multi
           }
-          if (close < toks.length && xStart < i && !lhsHasSelect &&
-              !lhsTuple && !subMultiCol) {
-            val x = sql.substring(toks(xStart).start, toks(i - 1).end)
+          if (close > 0 && close < toks.length && xStart <= xEnd &&
+              !lhsHasSelect && !lhsTuple && !subMultiCol) {
+            val x = sql.substring(toks(xStart).start, toks(xEnd).end)
             val sub = sql.substring(toks(inAt + 1).end, toks(close).start)
             val a = s"__inq$counter"; counter += 1
             val core =
@@ -1982,12 +2014,14 @@ object SqlRewrite {
               s"WHEN EXISTS (SELECT 1 FROM ($sub) $a(__v) WHERE __v IS NULL) THEN CAST(NULL AS BOOLEAN) " +
               "ELSE FALSE END"
             val repl = if (isNot) s"(NOT ($core))" else s"($core)"
-            patches += ((toks(xStart).start, toks(close).end, repl))
+            val from = if (isNot) toks(inAt - 1).start else toks(xStart).start
+            patches += ((math.min(toks(xStart).start, from), toks(close).end,
+              repl))
             i = close
           }
         }
-        i += 1
       }
+      i += 1
     }
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
@@ -3363,6 +3397,285 @@ object SqlRewrite {
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
+  /** MySQL error 1066: the same UNALIASED table name joined twice in
+    * one FROM clause is "Not unique table/alias" (Spark admits the
+    * self-join; the reference rejects it — sqllogictest join.txt L447).
+    * Returns the offending name; aliased repeats are legal. Scope-aware:
+    * a subquery's FROM is its own namespace. */
+  def duplicateUnaliasedTable(sql: String): Option[String] = {
+    val toks = tokenize(sql)
+    // after a table name, these mean "no alias followed"
+    val notAlias = Set("join", "inner", "left", "right", "full", "cross",
+      "natural", "straight_join", "on", "using", "where", "group", "order",
+      "limit", "offset", "having", "union", "intersect", "except", "for",
+      "lateral", "window")
+    // scope = (depthOfSelect); names collected per scope
+    val names = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.Set[String]]
+    val scopeIds = scala.collection.mutable.ArrayDeque.empty[Int]
+    var nextScope = 0
+    var depth = 0
+    // depth -> scope id active at that depth
+    val scopeAtDepth = scala.collection.mutable.Map.empty[Int, Int]
+    var i = 0
+    var inFromScope = -1
+    while (i < toks.length) {
+      val t = toks(i)
+      t.text match {
+        case "(" => depth += 1
+        case ")" =>
+          scopeAtDepth.remove(depth)
+          depth -= 1
+        case _ if t.isWord("select") =>
+          scopeAtDepth(depth) = { nextScope += 1; nextScope }
+        case _ if t.isWord("from") || t.isWord("join") =>
+          // the table name: skip open parens (join grouping) and LATERAL
+          var k = i + 1
+          while (k < toks.length && (toks(k).text == "(" ||
+                 toks(k).isWord("lateral"))) k += 1
+          if (k < toks.length && toks(k).kind == Word &&
+              !toks(k).isWord("select") &&
+              !toks(k).text.contains(".") && // qualified: rare, skip
+              !notAlias(toks(k).text.toLowerCase)) {
+            // aliased? `AS x` or a bare following word; a '(' next means
+            // a table FUNCTION call (json_table(...)), not a table name
+            val isCall = k + 1 < toks.length && toks(k + 1).text == "("
+            val hasAlias = k + 1 < toks.length &&
+              (toks(k + 1).isWord("as") ||
+                (toks(k + 1).kind == Word &&
+                 !notAlias(toks(k + 1).text.toLowerCase)))
+            if (!hasAlias && !isCall) {
+              // the nearest enclosing select scope
+              val sc = scopeAtDepth.toSeq.filter(_._1 <= depth)
+                .sortBy(-_._1).headOption.map(_._2).getOrElse(0)
+              val set = names.getOrElseUpdate(sc,
+                scala.collection.mutable.Set.empty[String])
+              val n = toks(k).text.toLowerCase
+              if (!set.add(n)) return Some(toks(k).text)
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Retry-only (SCALAR_SUBQUERY_IN_VALUES): a single-row inline table
+    * `(VALUES ROW(e1, e2, …)) AS v(c1, c2, …)` whose expressions hold
+    * subqueries has no Spark evaluation; an equivalent one-row SELECT
+    * does: `(SELECT e1 AS c1, e2 AS c2) AS v`. (sqllogictest
+    * subquery_correlated.txt "Subquery in VALUES clause".) */
+  def valuesRowSelect(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i + 2 < toks.length) {
+      // `( VALUES ROW ( … ) )` or the ROW-stripped `( VALUES ( … ) )`
+      val rowOpen =
+        if (toks(i).text == "(" && toks(i + 1).isWord("values") &&
+            toks(i + 2).isWord("row") && i + 3 < toks.length &&
+            toks(i + 3).text == "(") i + 3
+        else if (toks(i).text == "(" && toks(i + 1).isWord("values") &&
+                 toks(i + 2).text == "(") i + 2
+        else -1
+      if (rowOpen > 0) {
+        val rowClose = closeParenFor(toks, rowOpen)
+        val outerClose = closeParenFor(toks, i)
+        // single ROW only, then the closing paren of the VALUES group
+        if (rowClose > 0 && outerClose == rowClose + 1) {
+          // alias with column list: AS v ( c1 , c2 ) — optional
+          var j = outerClose + 1
+          if (j < toks.length && toks(j).isWord("as")) j += 1
+          val (aliasTok, colsOpen) =
+            if (j < toks.length && toks(j).kind == Word &&
+                j + 1 < toks.length && toks(j + 1).text == "(")
+              (Some(toks(j)), j + 1)
+            else (None, -1)
+          val exprs = {
+            // top-level comma split of the ROW(...) body
+            val body = sql.substring(toks(rowOpen).end, toks(rowClose).start)
+            topLevelSplitText(body).map(_.trim)
+          }
+          if (aliasTok.isDefined && colsOpen > 0) {
+            val colsClose = closeParenFor(toks, colsOpen)
+            val cols = sql.substring(toks(colsOpen).end,
+              toks(colsClose).start).split(",").map(_.trim).toSeq
+            if (cols.length == exprs.length && exprs.nonEmpty) {
+              val items = exprs.zip(cols)
+                .map { case (e, c) => s"$e AS `$c`" }.mkString(", ")
+              return splice(sql, Seq((toks(i).start, toks(colsClose).end,
+                s"(SELECT $items) AS ${aliasTok.get.text}")))
+            }
+          } else if (exprs.nonEmpty) {
+            return splice(sql, Seq((toks(i).start, toks(outerClose).end,
+              s"(SELECT ${exprs.mkString(", ")})")))
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** Retry-only (UNSUPPORTED_CORRELATED_SCALAR_SUBQUERY in a join
+    * condition): for an INNER join, `ON A AND B` ⟺ `ON A` + `WHERE B`,
+    * so an ON-conjunct holding a scalar subquery moves to WHERE, where
+    * Spark supports it. Left/right/outer joins bail (the move would
+    * change null-extension semantics). */
+  def innerJoinOnSubqueryToWhere(sql: String): String = {
+    val toks = tokenize(sql)
+    val depth = new Array[Int](toks.length)
+    var d = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d; d += 1 }
+      else if (t.text == ")") { d -= 1; depth(k) = d }
+      else depth(k) = d
+    }
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("on") && i > 0) {
+        // the owning JOIN must be INNER (bare JOIN or INNER JOIN)
+        var j = i - 1
+        var joinAt = -1
+        while (j >= 0 && joinAt < 0) {
+          if (depth(j) == depth(i) && toks(j).isWord("join")) joinAt = j
+          else if (depth(j) == depth(i) && toks(j).kind == Word &&
+                   Set("where", "select", "from")(toks(j).text.toLowerCase))
+            j = -1
+          j -= 1
+        }
+        val inner = joinAt > 0 &&
+          !Set("left", "right", "full", "outer", "cross", "natural")(
+            toks(joinAt - 1).text.toLowerCase)
+        if (inner) {
+          // ON condition span: to the next same-depth clause keyword
+          val stops = Set("where", "group", "order", "limit", "having",
+            "union", "intersect", "except", "join", "inner", "left",
+            "right", "full", "cross", "natural", "on")
+          var end = i
+          var k = i + 1
+          var stop = false
+          while (k < toks.length && !stop) {
+            val t = toks(k)
+            if (t.text == ")" && depth(k) < depth(i)) stop = true
+            else if (t.text == ";") stop = true
+            else if (depth(k) == depth(i) && t.kind == Word &&
+                     stops(t.text.toLowerCase)) stop = true
+            else { end = k; k += 1 }
+          }
+          // top-level AND conjuncts of the ON span; find one with a
+          // subquery
+          var cStart = i + 1
+          var m = i + 1
+          var moved: Option[(Int, Int)] = None
+          while (m <= end + 1 && moved.isEmpty) {
+            val atAnd = m > end ||
+              (depth(m) == depth(i) && toks(m).isWord("and"))
+            if (atAnd) {
+              val hasSub = (cStart until m).exists(x =>
+                toks(x).isWord("select"))
+              if (hasSub && cStart > i + 1) moved = Some((cStart, m - 1))
+              else cStart = m + 1
+            }
+            m += 1
+          }
+          moved.foreach { case (cs, ce) =>
+            val conj = sql.substring(toks(cs).start, toks(ce).end)
+            // splice: drop `AND conj` from ON; AND it into WHERE (or
+            // open one at the ON span's end)
+            val whereAt = (end + 1 until toks.length).find(x =>
+              depth(x) == depth(i) && toks(x).isWord("where"))
+            val patches = ArrayBuffer[(Int, Int, String)](
+              (toks(cs - 1).start, toks(ce).end, "")) // the AND + conjunct
+            whereAt match {
+              case Some(w) =>
+                patches += ((toks(w).end, toks(w).end, s" ($conj) AND "))
+              case None =>
+                patches += ((toks(end).end, toks(end).end, s" WHERE $conj "))
+            }
+            return splice(sql, patches.toSeq)
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** Retry-only (UNRESOLVED_COLUMN inside a GROUP BY / ORDER BY
+    * expression): MySQL accepts full expressions (including correlated
+    * subqueries) in GROUP BY; Spark resolves them better through the
+    * select-list ALIAS when the identical expression is projected.
+    * Substitute any GROUP BY / ORDER BY item that textually matches an
+    * aliased select item with the alias. */
+  def groupOrderExprAlias(sql: String): String = {
+    val toks = tokenize(sql)
+    val sels = topSelects(toks)
+    if (sels.size != 1) return sql
+    val s = sels.head
+    if (s.fromAt <= s.selectAt) return sql
+    def normTxt(t: String) = t.replaceAll("\\s+", " ").trim.toLowerCase
+    // aliased select items
+    val items = topLevelSplitText(
+      sql.substring(toks(s.selectAt).end, toks(s.fromAt).start))
+    val aliased = items.flatMap { it =>
+      val m = "(?is)^(.*?)\\s+AS\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*$"
+        .r.findFirstMatchIn(it)
+      m.map(mm => normTxt(mm.group(1)) -> mm.group(2))
+    }.toMap
+    if (aliased.isEmpty) return sql
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    // GROUP BY / ORDER BY item lists at top level
+    var i = 0
+    var depth = 0
+    while (i < toks.length) {
+      toks(i).text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 &&
+            (toks(i).isWord("group") || toks(i).isWord("order")) &&
+            i + 1 < toks.length && toks(i + 1).isWord("by") =>
+          val stops = Set("having", "order", "limit", "offset", "union",
+            "intersect", "except", "group", "window")
+          var end = i + 1
+          var k = i + 2
+          var d2 = 0
+          var stop = false
+          while (k < toks.length && !stop) {
+            val t = toks(k)
+            if (t.text == "(") d2 += 1
+            else if (t.text == ")") { if (d2 == 0) stop = true else d2 -= 1 }
+            else if (t.text == ";" && d2 == 0) stop = true
+            else if (d2 == 0 && t.kind == Word && stops(t.text.toLowerCase))
+              stop = true
+            if (!stop) { end = k; k += 1 }
+          }
+          if (end > i + 1) {
+            val span = sql.substring(toks(i + 2).start, toks(end).end)
+            val rebuilt = topLevelSplitText(span).map { item0 =>
+              val item = item0.trim
+              val m = "(?i)\\s+(ASC|DESC)$".r.findFirstMatchIn(item)
+              val (core, dir) = m match {
+                case Some(mm) => (item.substring(0, mm.start), " " + mm.group(1))
+                case None => (item, "")
+              }
+              aliased.get(normTxt(core)) match {
+                case Some(al) => s"$al$dir"
+                case None => item
+              }
+            }
+            val out = rebuilt.mkString(", ")
+            if (normTxt(out) != normTxt(span))
+              patches += ((toks(i + 2).start, toks(end).end, out))
+            i = end
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   /** Retry-only (UNRESOLVED_COLUMN naming a 2-levels-out reference):
     * the exists-max shape — a scalar subquery whose WHERE equates one
     * LOCAL column to both a near (1-out) and a deep (2-out) reference:
@@ -3454,7 +3767,8 @@ object SqlRewrite {
                 val encEnd = condSpanEnd(toks, encWhere)
                 val pure = (encWhere + 1 to encEnd).forall(j =>
                   !(depth(j) == encDepth && (toks(j).isWord("or") ||
-                    toks(j).isWord("not"))))
+                    (toks(j).isWord("not") &&
+                      !(j > 0 && toks(j - 1).isWord("is"))))))
                 if (pure && encEnd >= encWhere + 1) {
                   // drop the deep conjunct; hoist `B = needle` around
                   // the enclosing condition
@@ -3466,6 +3780,119 @@ object SqlRewrite {
                 }
               }
             }
+          }
+        }
+      }
+    }
+    sql
+  }
+
+  /** Retry-only (UNRESOLVED_COLUMN naming a 2-levels-out reference),
+    * sibling of [[hoistDeepEquality]]: when the ENCLOSING query's
+    * pure-AND WHERE already pins `B = needle`, the deep subquery can
+    * simply substitute B for the needle — exact, because rows where the
+    * pin fails never evaluate the subquery. If the inner FROM's
+    * table/alias SHADOWS B's qualifier (`FROM o` inside `FROM o WHERE
+    * o.c_id=c.c_id`), the inner relation first renames to a fresh
+    * alias. (sqllogictest subquery_correlated.txt L560.) */
+  def substDeepEquality(sql: String, needle: String): String = {
+    val toks = tokenize(sql)
+    val depth = new Array[Int](toks.length)
+    var d0 = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d0; d0 += 1 }
+      else if (t.text == ")") { d0 -= 1; depth(k) = d0 }
+      else depth(k) = d0
+    }
+    val occ = toks.indices.filter(k => toks(k).kind == Word &&
+      toks(k).text.equalsIgnoreCase(needle))
+    for (at <- occ) {
+      // innermost subquery containing the occurrence
+      var open = -1
+      var k = at - 1
+      while (k >= 0 && open < 0) {
+        if (toks(k).text == "(" && depth(k) == depth(at) - 1 &&
+            k + 1 < toks.length && toks(k + 1).isWord("select")) open = k
+        else if (toks(k).text == "(" && depth(k) < depth(at) - 1) k = -1
+        k -= 1
+      }
+      if (open >= 0) {
+        val close = closeParenFor(toks, open)
+        // the enclosing scope's WHERE with a pure AND conjunct B = needle
+        val encDepth = depth(open)
+        var encWhere = -1
+        var m = open - 1
+        while (m >= 0 && encWhere < 0) {
+          if (depth(m) == encDepth && toks(m).isWord("where")) encWhere = m
+          else if (depth(m) < encDepth) m = -1
+          m -= 1
+        }
+        if (encWhere >= 0) {
+          val encEnd = condSpanEnd(toks, encWhere)
+          val pure = (encWhere + 1 to encEnd).forall(j =>
+            !(depth(j) == encDepth && (toks(j).isWord("or") ||
+              (toks(j).isWord("not") &&
+                !(j > 0 && toks(j - 1).isWord("is"))))))
+          val bOpt = (encWhere + 1 to encEnd).collectFirst {
+            case j if depth(j) == encDepth && toks(j).kind == Word &&
+                toks(j).text.equalsIgnoreCase(needle) &&
+                j >= encWhere + 3 && toks(j - 1).text == "=" &&
+                toks(j - 2).kind == Word &&
+                !toks(j - 2).text.equalsIgnoreCase(needle) =>
+              toks(j - 2).text
+            case j if depth(j) == encDepth && toks(j).kind == Word &&
+                toks(j).text.equalsIgnoreCase(needle) &&
+                j + 2 <= encEnd && toks(j + 1).text == "=" &&
+                toks(j + 2).kind == Word &&
+                !toks(j + 2).text.equalsIgnoreCase(needle) =>
+              toks(j + 2).text
+          }
+          (bOpt, if (pure) Some(()) else None) match {
+            case (Some(b), Some(())) =>
+              val bQual = b.split('.').headOption.getOrElse("")
+              // inner FROM: single table [alias]
+              val fromAt = (open + 1 until close).find(j =>
+                depth(j) == depth(at) && toks(j).isWord("from")).getOrElse(-1)
+              if (fromAt > 0 && fromAt + 1 < close &&
+                  toks(fromAt + 1).kind == Word) {
+                val innerTbl = toks(fromAt + 1).text
+                val innerAlias =
+                  if (fromAt + 2 < close && toks(fromAt + 2).kind == Word &&
+                      !toks(fromAt + 2).isWord("where"))
+                    Some(toks(fromAt + 2).text)
+                  else None
+                val innerName = innerAlias.getOrElse(innerTbl)
+                val patches = ArrayBuffer.empty[(Int, Int, String)]
+                if (b.contains(".") &&
+                    innerName.equalsIgnoreCase(bQual)) {
+                  // shadowed: rename the inner relation, requalify its refs
+                  val fresh = "__sh" + open
+                  innerAlias match {
+                    case Some(_) =>
+                      patches += ((toks(fromAt + 2).start,
+                        toks(fromAt + 2).end, fresh))
+                    case None =>
+                      patches += ((toks(fromAt + 1).end,
+                        toks(fromAt + 1).end, s" $fresh"))
+                  }
+                  (open + 1 until close).foreach { j =>
+                    val t = toks(j)
+                    if (j != at && t.kind == Word &&
+                        t.text.toLowerCase.startsWith(
+                          innerName.toLowerCase + "."))
+                      patches += ((t.start, t.end,
+                        fresh + t.text.substring(innerName.length)))
+                  }
+                } else if (innerName.equalsIgnoreCase(bQual)) {
+                  // unqualified B with shadow risk: bail
+                  patches.clear()
+                }
+                if (b.contains(".") || !innerName.equalsIgnoreCase(bQual)) {
+                  patches += ((toks(at).start, toks(at).end, b))
+                  return splice(sql, patches.toSeq)
+                }
+              }
+            case _ =>
           }
         }
       }

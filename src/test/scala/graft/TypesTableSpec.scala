@@ -76,9 +76,11 @@ class TypesTableSpec extends AnyFunSuite {
          FROM information_schema_columns
          WHERE table_name = 'region' ORDER BY ordinal_position""")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // DATA_TYPE is the bare MySQL type keyword (columns_table.go):
+    // an undeclared parquet string reports text, not Spark's "string"
     assert(cols.toSeq == Seq(
       ("r_regionkey", "int", "int", "YES"),
-      ("r_name", "string", "text", "YES")))
+      ("r_name", "text", "text", "YES")))
     assert(e.query(
       "SELECT count(*) FROM information_schema_tables").collect()(0).getLong(0) >= 10)
     // MySQL-shaped metadata joins: columns per table via tables

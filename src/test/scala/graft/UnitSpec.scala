@@ -46,10 +46,24 @@ class RecursiveCteSpec extends AnyFunSuite {
     assert(out.orderBy("n").collect().map(_.getInt(0)).toSeq == Seq(0, 1, 2))
   }
 
-  test("maxDepth bounds runaway recursion") {
+  test("maxDepth errors on runaway recursion (reference cteRecursionLimit)") {
+    // the reference errors past its cycle limit (sql/rowexec/
+    // rel_iters.go:642 ErrCteRecursionLimitExceeded) instead of
+    // silently truncating
+    val e = intercept[IllegalStateException] {
+      RecursiveCte.unionAll(
+        Seq(1L).toDF("n"), p => p.select((col("n") + 1).as("n")),
+        maxDepth = 7).count()
+    }
+    assert(e.getMessage.contains("iteration limit"))
+  }
+
+  test("maxDepth does not fire on recursion that converges at the limit") {
     val out = RecursiveCte.unionAll(
-      Seq(1L).toDF("n"), p => p.select((col("n") + 1).as("n")), maxDepth = 7)
-    assert(out.count() == 8) // seed + 7 iterations
+      Seq(1L).toDF("n"),
+      p => p.select((col("n") + 1).as("n")).filter(col("n") <= 7),
+      maxDepth = 7)
+    assert(out.count() == 7)
   }
 }
 
