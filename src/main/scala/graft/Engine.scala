@@ -1162,9 +1162,11 @@ class Engine(val spark: SparkSession) {
                   SqlRewrite.aliasIntoSubquery(cur, n.split('.').last)
                 val hoist = () => SqlRewrite.hoistDeepEquality(cur, n)
                 val subst = () => SqlRewrite.substDeepEquality(cur, n)
+                val derived = () => SqlRewrite.hoistDerivedConjunct(cur, n)
                 val goAlias = () => SqlRewrite.groupOrderExprAlias(cur)
-                if (n.contains(".")) Seq(deep, hoist, subst, alias, goAlias)
-                else Seq(alias, deep, hoist, subst, goAlias)
+                if (n.contains("."))
+                  Seq(deep, hoist, subst, derived, alias, goAlias)
+                else Seq(alias, deep, hoist, subst, derived, goAlias)
               }
             if (sys.env.contains("GRAFT_DEBUG_RETRY"))
               println(s"UNRESOLVED retry: nm=$nm cands=" +

@@ -1088,14 +1088,18 @@ object SqlRewrite {
             }
           if (tuples.nonEmpty && tuples.forall(_.length == tuples.head.length)) {
             val width = tuples.head.length
-            val lifted = (0 until width).map { cI =>
+            // a quoted literal keeps the whole column STRING-typed in
+            // MySQL (queries.go mixed VALUES DISTINCT: int 2 and '2'
+            // collapse through display while 1 and 1.00 stay distinct),
+            // so when a position mixes quoted and numeric literals the
+            // numerics quote to their own display text; Spark's union
+            // coercion would have pulled the string to DECIMAL instead
+            val stringify = (0 until width).map { cI =>
               val col = tuples.map(_(cI))
-              val allNumeric = col.forall { v =>
-                NumLit.findFirstIn(v).isDefined ||
-                  (v.length > 2 && v.head == '\'' && v.last == '\'' &&
-                    NumLit.findFirstIn(v.substring(1, v.length - 1)).isDefined)
-              }
-              (cI, allNumeric)
+              cI -> (col.exists(_.startsWith("'")) &&
+                col.forall(v => v.startsWith("'") ||
+                  v.equalsIgnoreCase("null") ||
+                  NumLit.findFirstIn(v).isDefined))
             }.toMap
             val selects = tuples.map { tup =>
               // MySQL names VALUES-table columns column_0, column_1… —
@@ -1104,8 +1108,8 @@ object SqlRewrite {
               // alias to those
               "SELECT " + tup.zipWithIndex.map { case (v, cI) =>
                 val v2 =
-                  if (lifted(cI) && v.startsWith("'"))
-                    v.substring(1, v.length - 1)
+                  if (stringify(cI) && !v.startsWith("'") &&
+                      !v.equalsIgnoreCase("null")) s"'${v.trim}'"
                   else v
                 s"$v2 AS col${cI + 1}"
               }.mkString(", ")
@@ -3777,6 +3781,162 @@ object SqlRewrite {
                       s" $b = $needle AND ("),
                     (toks(lo).start, toks(hi).end, "TRUE"),
                     (toks(encEnd).end, toks(encEnd).end, ")")))
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    sql
+  }
+
+  /** Retry-only (UNRESOLVED_COLUMN naming a too-deep reference): a
+    * DERIVED TABLE whose WHERE carries an AND-conjunct that references
+    * NOTHING from the derived table's own FROM (only deeper outer refs
+    * — the reference's derived-table scope leak, queries.go
+    * `join (select t2.y from xy t2 where exists(... xy.x ...)) t1`)
+    * hoists that conjunct into the ENCLOSING query's WHERE. Valid for
+    * inner/cross-joined derived tables (a local-free filter commutes
+    * with the join); every outer reference in the conjunct rises one
+    * scope, which Spark can resolve. */
+  def hoistDerivedConjunct(sql: String, needle: String): String = {
+    val toks = tokenize(sql)
+    val depth = new Array[Int](toks.length)
+    var d0 = 0
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.text == "(") { depth(k) = d0; d0 += 1 }
+      else if (t.text == ")") { d0 -= 1; depth(k) = d0 }
+      else depth(k) = d0
+    }
+    val occ = toks.indices.filter(k => toks(k).kind == Word &&
+      toks(k).text.equalsIgnoreCase(needle))
+    for (at <- occ) {
+      // enclosing select-opens, innermost first
+      var opens = List.empty[Int]
+      var rel = 0
+      var k = at - 1
+      while (k >= 0) {
+        if (toks(k).text == ")") rel += 1
+        else if (toks(k).text == "(") {
+          if (rel == 0) {
+            if (k + 1 < toks.length && toks(k + 1).isWord("select"))
+              opens ::= k
+          } else rel -= 1
+        }
+        k -= 1
+      }
+      // innermost derived-table select among them (not under an outer
+      // join) whose WHERE span contains the needle
+      for (open <- opens.reverse) { // innermost-first
+        val close = closeParenFor(toks, open)
+        val prev = open - 1
+        val isDerivedCtx = prev >= 0 && (toks(prev).isWord("join") ||
+          toks(prev).isWord("from") || toks(prev).text == ",")
+        val innerJoin = !(prev >= 1 && toks(prev).isWord("join") &&
+          Set("left", "right", "full", "outer")(
+            toks(prev - 1).text.toLowerCase))
+        val aliasAfter = close + 1 < toks.length &&
+          (toks(close + 1).kind == Word || toks(close + 1).isWord("as"))
+        if (isDerivedCtx && innerJoin && aliasAfter) {
+          val selDepth = depth(open) + 1
+          val whereAt = (open + 1 until close).find(j =>
+            depth(j) == selDepth && toks(j).isWord("where")).getOrElse(-1)
+          if (whereAt > 0 && at > whereAt && at < close) {
+            val whereEnd = {
+              var e = whereAt
+              var j = whereAt + 1
+              var stop = false
+              while (j < close && !stop) {
+                if (depth(j) == selDepth && toks(j).kind == Word &&
+                    Set("group", "order", "limit", "having", "union",
+                      "window")(toks(j).text.toLowerCase)) stop = true
+                else { e = j; j += 1 }
+              }
+              e
+            }
+            // conjunct boundaries: split at ANDs at selDepth; bail on
+            // OR/NOT (outside IS NOT) at selDepth
+            val impure = (whereAt + 1 to whereEnd).exists(j =>
+              depth(j) == selDepth && (toks(j).isWord("or") ||
+                (toks(j).isWord("not") &&
+                  !(j > 0 && toks(j - 1).isWord("is")))))
+            if (!impure) {
+              val ands = (whereAt + 1 to whereEnd).filter(j =>
+                depth(j) == selDepth && toks(j).isWord("and"))
+              val bounds = (whereAt +: ands :+ (whereEnd + 1))
+              val conj = bounds.sliding(2).map(p => (p(0) + 1, p(1) - 1))
+                .find { case (a, b) => at >= a && at <= b }
+              conj.foreach { case (cs, ce) =>
+                // derived table's own FROM relation names
+                val fromAt = (open + 1 until close).find(j =>
+                  depth(j) == selDepth && toks(j).isWord("from"))
+                  .getOrElse(-1)
+                val locals = scala.collection.mutable.Set.empty[String]
+                if (fromAt > 0) {
+                  var j = fromAt
+                  while (j < whereAt) {
+                    if (toks(j).isWord("from") || toks(j).isWord("join")) {
+                      var n = j + 1
+                      while (n < whereAt && toks(n).text == "(") n += 1
+                      if (n < whereAt && toks(n).kind == Word &&
+                          !toks(n).isWord("select")) {
+                        // effective name = alias if present, else table
+                        var a = n + 1
+                        if (a < whereAt && toks(a).isWord("as")) a += 1
+                        if (a < whereAt && toks(a).kind == Word &&
+                            !Set("join", "inner", "left", "right", "full",
+                              "cross", "natural", "on", "using", "where")(
+                              toks(a).text.toLowerCase))
+                          locals += toks(a).text.toLowerCase
+                        else locals += toks(n).text.toLowerCase
+                      }
+                    }
+                    j += 1
+                  }
+                }
+                val refsLocal = (cs to ce).exists { j =>
+                  val t = toks(j)
+                  t.kind == Word && locals.exists(l =>
+                    t.text.equalsIgnoreCase(l) ||
+                    t.text.toLowerCase.startsWith(l + "."))
+                }
+                if (!refsLocal && locals.nonEmpty && fromAt > 0) {
+                  val conjTxt = sql.substring(toks(cs).start, toks(ce).end)
+                  // drop the conjunct from the derived WHERE
+                  val patches = ArrayBuffer.empty[(Int, Int, String)]
+                  if (ands.isEmpty)
+                    patches += ((toks(whereAt).start, toks(ce).end, ""))
+                  else if (cs == whereAt + 1)
+                    patches += ((toks(cs).start, toks(ce + 1).end, ""))
+                  else
+                    patches += ((toks(cs - 1).start, toks(ce).end, ""))
+                  // append to the ENCLOSING select's WHERE (or open one
+                  // after the derived table's alias clause)
+                  val encDepth = depth(open)
+                  var encWhere = -1
+                  var stopAt = -1
+                  var j = close + 1
+                  while (j < toks.length && stopAt < 0 && encWhere < 0) {
+                    val t = toks(j)
+                    if (t.text == ")" && depth(j) < encDepth) stopAt = j
+                    else if (t.text == ";") stopAt = j
+                    else if (depth(j) == encDepth && t.kind == Word) {
+                      if (t.isWord("where")) encWhere = j
+                      else if (Set("group", "order", "limit", "having",
+                        "union", "window")(t.text.toLowerCase)) stopAt = j
+                    }
+                    if (encWhere < 0 && stopAt < 0) j += 1
+                  }
+                  if (encWhere >= 0)
+                    patches += ((toks(encWhere).end, toks(encWhere).end,
+                      s" ($conjTxt) AND "))
+                  else {
+                    val ins = if (stopAt >= 0) toks(stopAt).start
+                              else sql.length
+                    patches += ((ins, ins, s" WHERE $conjTxt "))
+                  }
+                  return splice(sql, patches.toSeq)
                 }
               }
             }

@@ -551,6 +551,7 @@ object MiscFns {
     // MySQL LEAST/GREATEST return NULL when ANY argument is NULL
     // (reference function/greatest.go); Spark's builtins skip NULLs, so
     // the session registry overrides them with the propagating form.
+    "log10" -> (es => graft.functions.expressions.GoLog10(es.head)),
     "least" -> (es => If(
       es.map(e => IsNull(e): Expression).reduce(Or(_, _)),
       Literal.create(null, NullType), Least(es))),

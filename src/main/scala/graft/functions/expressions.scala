@@ -19,6 +19,32 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object expressions {
 
+  /** LOG10(x) with the reference's exact float result: Go's math.Log10
+    * (sql/expression/function/logarithm.go:254 -> go math stdlib) is an
+    * FDLIBM port, which java.lang.StrictMath.log reproduces bit-for-bit;
+    * scaling by the correctly-rounded 1/ln(10) matches the corpus points
+    * where the JVM's intrinsic Math.log10 is 1 ulp off. x <= 0 -> NULL
+    * (computeLog, logarithm.go:242). */
+  case class GoLog10(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val x = v match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case n: Number => n.doubleValue()
+        case u: UTF8String =>
+          try u.toString.trim.toDouble catch { case _: Throwable => return null }
+      }
+      if (x <= 0) null
+      else java.lang.StrictMath.log(x) * 0.4342944819032518
+    }
+    override def prettyName: String = "log10"
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
+  }
+
   /** SLEEP(n) — blocks the evaluating task for n seconds and returns 0
     * (reference sql/expression/function/sleep.go). Nondeterministic so
     * the analyzer never constant-folds the pause away, and so sibling
