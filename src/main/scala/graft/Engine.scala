@@ -458,6 +458,62 @@ class Engine(val spark: SparkSession) {
       "scala_udf")
     reg.createOrReplaceTempFunction("row_count",
       _ => Literal(rowCountVal), "scala_udf")
+    // VALIDATE_PASSWORD_STRENGTH (reference sql/expression/function/
+    // hash.go:526): 0/25/50/75/100 ladder against the session-effective
+    // validate_password.* component variables. Literal passwords only —
+    // the whole corpus surface; the vars read at analysis time.
+    reg.createOrReplaceTempFunction("validate_password_strength", es => {
+      def gv(n: String): Int =
+        sysVarOverrides.getOrElse(n, systemVars(n))
+          .stripPrefix("'").stripSuffix("'").toDouble.toInt
+      es.head match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+          val pw = u.toString
+          var strength = 0
+          if (pw.length >= 4) {
+            strength += 25
+            if (pw.length >= gv("validate_password.length")) {
+              strength += 25
+              var num = gv("validate_password.number_count")
+              var upper = gv("validate_password.mixed_case_count")
+              var lower = upper
+              var special = gv("validate_password.special_char_count")
+              pw.foreach { c =>
+                if (c.isDigit) num -= 1
+                else if (c.isUpper) upper -= 1
+                else if (c.isLower) lower -= 1
+                else special -= 1
+              }
+              if (num <= 0 && upper <= 0 && lower <= 0 && special <= 0)
+                strength += 50 // MEDIUM met; dictionary check always passes
+            }
+          }
+          Literal(strength)
+        case Literal(null, _) =>
+          Literal.create(null, org.apache.spark.sql.types.IntegerType)
+        case other =>
+          // column argument: same ladder as a SQL expression, with the
+          // session-effective component variables baked in at analysis
+          // time (ASCII character classes — the corpus surface)
+          val L = gv("validate_password.length")
+          val nC = gv("validate_password.number_count")
+          val mC = gv("validate_password.mixed_case_count")
+          val sC = gv("validate_password.special_char_count")
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(
+              s"""CASE WHEN length(__pw) < 4 THEN 0
+                 |WHEN length(__pw) < $L THEN 25
+                 |WHEN length(regexp_replace(__pw, '[^0-9]', '')) >= $nC
+                 |  AND length(regexp_replace(__pw, '[^A-Z]', '')) >= $mC
+                 |  AND length(regexp_replace(__pw, '[^a-z]', '')) >= $mC
+                 |  AND length(regexp_replace(__pw, '[0-9A-Za-z]', '')) >= $sC
+                 |THEN 100 ELSE 50 END""".stripMargin)
+            .transformUp {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                  if a.nameParts == Seq("__pw") => other
+            }
+      }
+    }, "scala_udf")
     // Named user locks (reference sql/function/registry.go get_lock
     // family): a single-session engine resolves them against an
     // in-memory registry at ANALYSIS time — literal lock names only,
@@ -794,6 +850,12 @@ class Engine(val spark: SparkSession) {
     "gtid_owned" -> "''", "gtid_purged" -> "''",
     "gtid_domain_id" -> "0", "gtid_seq_no" -> "0",
     "block_encryption_mode" -> "'aes-128-ecb'",
+    // validate_password component (system_variables.go:2968; the
+    // strength function reads these)
+    "validate_password.length" -> "8",
+    "validate_password.number_count" -> "1",
+    "validate_password.mixed_case_count" -> "1",
+    "validate_password.special_char_count" -> "1",
     "innodb_autoinc_lock_mode" -> "2", "offline_mode" -> "'OFF'",
     "pseudo_slave_mode" -> "'OFF'", "rbr_exec_mode" -> "'STRICT'",
     "ssl_fips_mode" -> "'OFF'")
@@ -869,8 +931,18 @@ class Engine(val spark: SparkSession) {
     if (!sql.contains("@@") || sql.trim.toUpperCase.startsWith("SET") ||
         sql.trim.toUpperCase.startsWith("LOAD")) sql
     else Dialect.mapCode(sql) { code =>
+      // DOTTED catalog names first (validate_password.length …): the
+      // generic single-segment regex would otherwise strand ".length"
+      // as a field extraction over the substituted value
+      val dottedSubst = systemVars.keysIterator.filter(_.contains("."))
+        .foldLeft(code) { (acc, n) =>
+          ("(?i)@@(?:session\\.|global\\.)?" +
+            java.util.regex.Pattern.quote(n) + "\\b").r
+            .replaceAllIn(acc, java.util.regex.Matcher.quoteReplacement(
+              sysVarOverrides.getOrElse(n, systemVars(n))))
+        }
       """@@([Ss][Ee][Ss][Ss][Ii][Oo][Nn]\.|[Gg][Ll][Oo][Bb][Aa][Ll]\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
-        .replaceAllIn(code, m => java.util.regex.Matcher.quoteReplacement({
+        .replaceAllIn(dottedSubst, m => java.util.regex.Matcher.quoteReplacement({
           // @@global.x reads the builtin default — SET writes are
           // session-scoped here (system_variables.go scope split)
           val isGlobal = Option(m.group(1))
@@ -1195,7 +1267,8 @@ class Engine(val spark: SparkSession) {
           // subquery expressions in positions Spark doesn't evaluate:
           // VALUES ROW(...) single-row inline tables become one-row
           // SELECTs; an INNER JOIN's ON-conjunct holding a scalar
-          // subquery moves to WHERE (equivalent for inner joins)
+          // subquery moves to WHERE (equivalent for inner joins);
+          // ORDER BY subqueries lift into a hidden projection
           case e: org.apache.spark.sql.AnalysisException
               if budget > 0 && e.getMessage.contains(
                 "UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY") =>
@@ -1203,8 +1276,11 @@ class Engine(val spark: SparkSession) {
             val v2 =
               if (v != cur) v
               else SqlRewrite.innerJoinOnSubqueryToWhere(cur)
-            if (v2 == cur) throw e
-            attempt(v2, budget - 1)
+            val v3 =
+              if (v2 != cur) v2
+              else SqlRewrite.orderBySubqueryLift(cur)
+            if (v3 == cur) throw e
+            attempt(v3, budget - 1)
           // MySQL DECIMAL reaches precision 65 (ref sql/types/decimal.go:58);
           // Spark caps at 38. Literal-only wide-decimal shapes constant-fold
           // to their exact MySQL display string.
@@ -1736,7 +1812,7 @@ class Engine(val spark: SparkSession) {
             .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
             .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
           val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
-            col(s"`$cc`") === col(s"`__fk_$pc`")
+            fkPairEq(fk, cc, pc, s"__fk_$pc")
           }.reduce(_ && _)
           val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
             .reduce(_ && _)
@@ -2840,7 +2916,12 @@ class Engine(val spark: SparkSession) {
         val ok = cf.dataType == pf.dataType ||
           (cf.dataType.isInstanceOf[StringType] &&
             pf.dataType.isInstanceOf[StringType]) ||
-          (cf.dataType == BinaryType && pf.dataType == BinaryType)
+          (cf.dataType == BinaryType && pf.dataType == BinaryType) ||
+          // DECIMAL pairs may differ in precision/scale — the FK is
+          // legal but representation-exact matching means a scale
+          // mismatch never matches (script_queries.go decimals-with-FK)
+          (cf.dataType.isInstanceOf[DecimalType] &&
+            pf.dataType.isInstanceOf[DecimalType])
         if (!ok) throw new IllegalArgumentException(
           s"Foreign key '${fk.name}': column '$cc' type " +
           s"${cf.dataType.simpleString} does not match referenced column " +
@@ -2993,6 +3074,63 @@ class Engine(val spark: SparkSession) {
       !(f.child == child && f.name.equalsIgnoreCase(name)))
   }
 
+  /** FK matching expression for one side: enum-to-enum pairs compare
+    * by 1-based vocab ordinal, set-to-set pairs by bitmask — never by
+    * label (reference script_queries.go "enums/set with foreign keys":
+    * child enum('x','y','z') value 1 matches parent enum('a','b','c')
+    * value 1). `name` is the column's (possibly renamed) name in the
+    * frame being joined. */
+  private def fkKeyCol(name: String,
+      vocab: Option[(Boolean, Seq[String])]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    vocab match {
+      case Some((false, vs)) =>
+        array_position(array(vs.map(lit): _*), col(s"`$name`"))
+      case Some((true, vs)) =>
+        val cases = vs.zipWithIndex.map { case (v, i) =>
+          s"WHEN '${v.replace("'", "''")}' THEN ${1L << i}"
+        }.mkString(" ")
+        expr(s"aggregate(filter(split(`$name`, ','), m -> m != ''), " +
+          s"CAST(0 AS BIGINT), (acc, m) -> acc + CASE m $cases ELSE 0 END)")
+      case None => col(s"`$name`")
+    }
+  }
+
+  /** The FK pair's vocabularies, when BOTH ends declare the same kind. */
+  private def fkPairVocab(fk: ForeignKey, cc: String, pc: String)
+      : (Option[(Boolean, Seq[String])], Option[(Boolean, Seq[String])]) = {
+    val cv = columnVocab.get((fk.child, cc.toLowerCase))
+    val pv = columnVocab.get((fk.parent, pc.toLowerCase))
+    (cv, pv) match {
+      case (Some((ck, _)), Some((pk, _))) if ck == pk => (cv, pv)
+      case _ => (None, None)
+    }
+  }
+
+  /** One FK column-pair equality: vocab pairs by ordinal/bitmask;
+    * decimal pairs with DIFFERENT declared types compare representation-
+    * exact (cast to string), so a scale mismatch never matches —
+    * dolt's index-encoded matching (script_queries.go decimals-with-FK:
+    * child decimal(4,1) 78.9 does NOT match parent decimal(4,2) 78.90).
+    * `pcName` is the parent column's renamed name in the joined frame. */
+  private def fkPairEq(fk: ForeignKey, cc: String, pc: String,
+      pcName: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    val (cv, pv) = fkPairVocab(fk, cc, pc)
+    if (cv.isDefined || pv.isDefined) fkKeyCol(cc, cv) === fkKeyCol(pcName, pv)
+    else {
+      def dt(t: String, c: String) = scala.util.Try(spark.table(t).schema
+        .fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+        .toOption.flatten
+      (dt(fk.child, cc), dt(fk.parent, pc)) match {
+        case (Some(c: org.apache.spark.sql.types.DecimalType),
+              Some(p: org.apache.spark.sql.types.DecimalType)) if c != p =>
+          col(s"`$cc`").cast("string") === col(s"`$pcName`").cast("string")
+        case _ => col(s"`$cc`") === col(s"`$pcName`")
+      }
+    }
+  }
+
   /** Child-side enforcement: every incoming row whose FK columns are all
     * non-NULL must match a parent row (MySQL error 1452). One anti-join
     * per declared FK over the batch. */
@@ -3015,7 +3153,7 @@ class Engine(val spark: SparkSession) {
       val parent = parentAll.distinct()
         .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
       val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
-        col(s"`$cc`") === col(s"`__fk_$pc`")
+        fkPairEq(fk, cc, pc, s"__fk_$pc")
       }.reduce(_ && _)
       val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
         .reduce(_ && _)
@@ -3058,7 +3196,7 @@ class Engine(val spark: SparkSession) {
       val parent = parentAll.distinct()
         .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
       val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
-        col(s"`$cc`") === col(s"`__fk_$pc`")
+        fkPairEq(fk, cc, pc, s"__fk_$pc")
       }.reduce(_ && _)
       val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
         .reduce(_ && _)
@@ -3146,7 +3284,7 @@ class Engine(val spark: SparkSession) {
           .select(fk.parentCols.map(c => col(s"`$c`")): _*).distinct()
           .toDF(fk.parentCols.map(c => s"__fk_$c"): _*)
         val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
-          col(s"`$cc`") === col(s"`__fk_$pc`")
+          fkPairEq(fk, cc, pc, s"__fk_$pc")
         }.reduce(_ && _)
         val nonNull = fk.childCols.map(c => col(s"`$c`").isNotNull)
           .reduce(_ && _)
@@ -3255,7 +3393,7 @@ class Engine(val spark: SparkSession) {
         .dropDuplicates(fk.parentCols.map(c => s"__old_$c"))
         .withColumn("__hit__", lit(true))
       val cond = fk.childCols.zip(fk.parentCols).map { case (cc, pc) =>
-        col(s"`$cc`") === col(s"__old_$pc")
+        fkPairEq(fk, cc, pc, s"__old_$pc")
       }.reduce(_ && _)
       val action = fk.onUpdate.toUpperCase
       if (changed.limit(1).count() > 0) {

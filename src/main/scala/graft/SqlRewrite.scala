@@ -180,6 +180,33 @@ object SqlRewrite {
                 if (orderDesc) s"reverse(array_sort(collect_set($exprSql)))"
                 else s"array_sort(collect_set($exprSql))"
               s"array_join(transform($sorted, __gc -> CAST(__gc AS STRING)), $sep)"
+            } else if (distinct && order.nonEmpty) {
+              // DISTINCT ordered by OTHER columns: MySQL sorts rows by
+              // the ORDER BY keys, then dedupes the evaluated expression
+              // keeping the first occurrence (reference groupconcat.go);
+              // Spark's listagg rejects the pair. Emulate with sorted
+              // structs + array_distinct (first-occurrence semantics).
+              val keys = topLevelSplitText(order).map(_.trim)
+                .filter(_.nonEmpty).map { k =>
+                  val desc = "(?i)\\s+DESC$".r.findFirstIn(k).isDefined
+                  val base = k.replaceAll("(?i)\\s+(ASC|DESC)$", "").trim
+                  (base, desc)
+                }
+              val kFields = keys.zipWithIndex
+                .map { case ((b, _), i) => s"$b AS __k$i" }
+              val cmp = keys.zipWithIndex.flatMap { case ((_, desc), i) =>
+                val (lt, gt) = if (desc) ("1", "-1") else ("-1", "1")
+                Seq(s"WHEN l.__k$i < r.__k$i THEN $lt",
+                    s"WHEN l.__k$i > r.__k$i THEN $gt")
+              }.mkString(" ")
+              val st = "struct(" + (kFields :+
+                s"CAST($exprSql AS STRING) AS __v").mkString(", ") + ")"
+              val arr =
+                s"array_distinct(transform(array_sort(" +
+                s"filter(collect_list($st), s -> s.__v IS NOT NULL), " +
+                s"(l, r) -> CASE $cmp ELSE 0 END), s -> s.__v))"
+              s"CASE WHEN size($arr) = 0 THEN NULL " +
+              s"ELSE array_join($arr, $sep) END"
             } else s"listagg($dkw$exprSql, $sep)$within"
           patches += ((toks(idx).start, toks(close).end, repl))
           idx = close
@@ -236,7 +263,7 @@ object SqlRewrite {
     * window spec) into ranking-function windows that lack one. */
   def orderlessRankWindow(sql: String): String = {
     val re =
-      """(?is)\b(?:row_number|rank|dense_rank|percent_rank|cume_dist|ntile)\s*\([^()]*\)\s*over\s*\(""".r
+      """(?is)\b(?:row_number|rank|dense_rank|percent_rank|cume_dist|ntile|lag|lead)\s*\([^()]*\)\s*over\s*\(""".r
     // scans the CURRENT text (match offsets come from the mutated
     // string — scanning the original would drift after the first
     // insertion and can index past its end)
@@ -3789,6 +3816,82 @@ object SqlRewrite {
       }
     }
     sql
+  }
+
+  /** Retry-only (UNSUPPORTED_CORRELATED_SCALAR_SUBQUERY in ORDER BY):
+    * MySQL sorts by correlated scalar subqueries (script_queries.go
+    * "TopN rows where sort condition is a subquery"); Spark evaluates
+    * correlated scalars only in filters/aggregations/projections. Lift
+    * each subquery ORDER key into a hidden projection of a derived
+    * table and sort by the alias:
+    *
+    *   SELECT <items> FROM R ORDER BY (SELECT …) DESC LIMIT 1
+    *   -> SELECT * EXCEPT (__ord0) FROM
+    *        (SELECT <items>, (SELECT …) AS __ord0 FROM R) __ordt
+    *      ORDER BY __ord0 DESC LIMIT 1
+    */
+  def orderBySubqueryLift(sql: String): String = {
+    val toks = tokenize(sql)
+    val sels = topSelects(toks)
+    if (sels.size != 1) return sql
+    val s = sels.head
+    if (s.fromAt <= s.selectAt || s.groupAt >= 0 || s.havingAt >= 0)
+      return sql
+    if (s.selectAt + 1 < toks.length &&
+        toks(s.selectAt + 1).isWord("distinct")) return sql
+    // top-level ORDER BY
+    var depth = 0
+    var orderAt = -1
+    toks.zipWithIndex.foreach { case (t, k) =>
+      t.text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && orderAt < 0 && t.isWord("order") &&
+            k + 1 < toks.length && toks(k + 1).isWord("by") => orderAt = k
+        case _ =>
+      }
+    }
+    if (orderAt < 0) return sql
+    // ORDER item list end (before LIMIT/OFFSET/end)
+    var end = orderAt + 1
+    var j = orderAt + 2
+    depth = 0
+    var stop = false
+    while (j < toks.length && !stop) {
+      toks(j).text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case ";" if depth == 0 => stop = true
+        case w if depth == 0 && toks(j).kind == Word &&
+            Set("limit", "offset")(w.toLowerCase) => stop = true
+        case _ =>
+      }
+      if (!stop) { end = j; j += 1 }
+    }
+    val items = sql.substring(toks(s.selectAt).end, toks(s.fromAt).start)
+    val fromSpan = sql.substring(toks(s.fromAt).start, toks(orderAt).start)
+    val tail = sql.substring(toks(end).end)
+    val keys = topLevelSplitText(
+      sql.substring(toks(orderAt + 2).start, toks(end).end))
+    var n = 0
+    val lifted = keys.map { k0 =>
+      val k = k0.trim
+      val m = "(?i)\\s+(ASC|DESC)$".r.findFirstMatchIn(k)
+      val (core, dir) = m match {
+        case Some(mm) => (k.substring(0, mm.start).trim, " " + mm.group(1))
+        case None => (k, "")
+      }
+      if ("(?is)^\\(\\s*select\\b".r.findFirstIn(core).isDefined) {
+        val a = s"__ord$n"; n += 1
+        (Some(s"$core AS $a"), s"$a$dir")
+      } else (None, k)
+    }
+    if (n == 0) return sql
+    val hidden = lifted.flatMap(_._1).mkString(", ")
+    val outerKeys = lifted.map(_._2).mkString(", ")
+    val exceptCols = (0 until n).map(i => s"__ord$i").mkString(", ")
+    s"SELECT * EXCEPT ($exceptCols) FROM (SELECT $items, $hidden " +
+      s"$fromSpan) __ordt ORDER BY $outerKeys$tail"
   }
 
   /** Retry-only (UNRESOLVED_COLUMN naming a too-deep reference): a
