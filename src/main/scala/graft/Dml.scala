@@ -1166,6 +1166,8 @@ object Dml {
     } =>
       topLevelSplit(listText, ',').foreach { item =>
         val SetItem(target, value) = item: @unchecked
+        val isGlobalScope =
+          "(?i)^(?:GLOBAL\\s|@@global\\.)".r.findFirstIn(target.trim).isDefined
         val bare = target.trim
           .replaceAll("(?i)^(?:SESSION|GLOBAL)\\s+", "")
         if (bare.startsWith("@") && !bare.startsWith("@@")) {
@@ -1204,7 +1206,7 @@ object Dml {
                   case s: String => "'" + s.replace("'", "''") + "'"
                   case other => other.toString
                 }
-              e.setSystemVar(name, rendered)
+              e.setSystemVar(name, rendered, isGlobalScope)
           }
         }
       }

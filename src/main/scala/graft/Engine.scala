@@ -885,8 +885,19 @@ class Engine(val spark: SparkSession) {
       k -> shown
     }
 
-  private[graft] def setSystemVar(name0: String, rawValue: String): Unit = {
+  /** Variables settable ONLY with SET GLOBAL (MySQL error 1229). */
+  private val globalOnlyVars = Set(
+    "validate_password.length", "validate_password.number_count",
+    "validate_password.mixed_case_count",
+    "validate_password.special_char_count")
+
+  private[graft] def setSystemVar(name0: String, rawValue: String,
+                                  isGlobal: Boolean = true): Unit = {
     val name = name0.toLowerCase
+    if (!isGlobal && globalOnlyVars(name))
+      throw new IllegalArgumentException(
+        s"Variable '$name' is a GLOBAL variable and should be set with " +
+        "SET GLOBAL (MySQL error 1229)")
     // MySQL error 1193 (ER_UNKNOWN_SYSTEM_VARIABLE): assigning a name
     // outside the catalog must not mint a phantom variable that would
     // then surface in SHOW VARIABLES (variable_queries.go unknown-var
@@ -1048,7 +1059,8 @@ class Engine(val spark: SparkSession) {
     // MySQL lenient literal casts run BEFORE the dialect pass (the
     // DATETIME(p) precision is still visible here) and feed 1292s into
     // the diagnostics area
-    val pre0 = SqlRewrite.lenientCastLiterals(applyAnsiQuotes(sql), warn)
+    val pre0 = SqlRewrite.lenientCastLiterals(
+      SqlRewrite.quotedAliases(applyAnsiQuotes(sql)), warn)
     SqlRewrite.truncateLiteralWarnings(pre0, warn)
     SqlRewrite.strToDateLiteralWarnings(pre0, warn)
     // zero-date literals in date arithmetic -> NULL + 1292
@@ -1236,8 +1248,9 @@ class Engine(val spark: SparkSession) {
                 val subst = () => SqlRewrite.substDeepEquality(cur, n)
                 val derived = () => SqlRewrite.hoistDerivedConjunct(cur, n)
                 val goAlias = () => SqlRewrite.groupOrderExprAlias(cur)
+                val dbq = () => SqlRewrite.dbQualifiedColumns(cur)
                 if (n.contains("."))
-                  Seq(deep, hoist, subst, derived, alias, goAlias)
+                  Seq(dbq, deep, hoist, subst, derived, alias, goAlias)
                 else Seq(alias, deep, hoist, subst, derived, goAlias)
               }
             if (sys.env.contains("GRAFT_DEBUG_RETRY"))

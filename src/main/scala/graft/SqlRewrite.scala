@@ -1173,7 +1173,10 @@ object SqlRewrite {
               sels.last.fromAt = k
             case "where" if sels.nonEmpty && sels.last.whereAt < 0 =>
               sels.last.whereAt = k
-            case "group" if sels.nonEmpty && sels.last.groupAt < 0 =>
+            // GROUP must be the clause keyword (GROUP BY), not the
+            // GROUP of a listagg WITHIN GROUP (ORDER BY …) spec
+            case "group" if sels.nonEmpty && sels.last.groupAt < 0 &&
+                k + 1 < toks.length && toks(k + 1).isWord("by") =>
               sels.last.groupAt = k
             case "having" if sels.nonEmpty && sels.last.havingAt < 0 =>
               sels.last.havingAt = k
@@ -3816,6 +3819,56 @@ object SqlRewrite {
       }
     }
     sql
+  }
+
+  /** `AS "alias"`: MySQL accepts a double-quoted (or single-quoted)
+    * string in column-alias position even without ANSI_QUOTES
+    * (script_queries.go Issue #499); Spark wants an identifier. The
+    * quoted alias becomes a backticked identifier. */
+  def quotedAliases(sql: String): String = {
+    if (!sql.contains("\"")) return sql
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.isWord("as") && k + 1 < toks.length &&
+          toks(k + 1).kind == Lit && toks(k + 1).text.startsWith("\"") &&
+          toks(k + 1).text.length >= 2) {
+        val inner = toks(k + 1).text.drop(1).dropRight(1)
+        if (!inner.contains("`"))
+          patches += ((toks(k + 1).start, toks(k + 1).end, s"`$inner`"))
+      }
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** Retry-only (UNRESOLVED_COLUMN on a db-qualified column): MySQL
+    * resolves `db1.t1.i` column references (script_queries.go Multi-db
+    * Aliasing); Spark's temp-view-backed namespaces don't. Strip the db
+    * qualifier from 3-part column references whose db.table prefix
+    * matches a FROM/JOIN target of the statement. */
+  def dbQualifiedColumns(sql: String): String = {
+    val toks = tokenize(sql)
+    val targets = toks.indices.collect {
+      case k if (toks(k).isWord("from") || toks(k).isWord("join")) &&
+          k + 1 < toks.length && toks(k + 1).kind == Word &&
+          toks(k + 1).text.count(_ == '.') == 1 =>
+        toks(k + 1).text.toLowerCase
+    }.toSet
+    if (targets.isEmpty) return sql
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.kind == Word && t.text.count(_ == '.') == 2 &&
+          !(k + 1 < toks.length && toks(k + 1).text == "(")) {
+        val lastDot = t.text.lastIndexOf('.')
+        val prefix = t.text.substring(0, lastDot)
+        if (targets(prefix.toLowerCase)) {
+          val tbl = prefix.substring(prefix.indexOf('.') + 1)
+          patches += ((t.start, t.end,
+            tbl + t.text.substring(lastDot)))
+        }
+      }
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
   /** Retry-only (UNSUPPORTED_CORRELATED_SCALAR_SUBQUERY in ORDER BY):

@@ -277,7 +277,10 @@ object MiscFns {
         litStr(es(1), "charset_convert"))),
     "mysql_dtnorm" -> (es => DateTimeExt.MySqlDtNorm(es.head)),
     "mysql_dt_clamp" -> (es => DateTimeExt.MySqlDtClamp(es.head)),
-    "curtime" -> tmpl("date_format(current_timestamp(), 'HH:mm:ss')"),
+    // via string cast, NOT date_format — the registry's date_format is
+    // the MySQL %-formatter which re-applies the session offset
+    "curtime" -> tmpl(
+      "substring(CAST(current_timestamp() AS STRING), 12, 8)"),
     "sysdate" -> tmpl("current_timestamp()"),
     "localtime" -> tmpl("current_timestamp()"),
     "time" -> tmpl("date_format(CAST(__arg0 AS TIMESTAMP), 'HH:mm:ss')"),
@@ -297,7 +300,11 @@ object MiscFns {
     "yearweek" -> tmpl(yearWeekSql),
     "week" -> (es =>
       tmpl(weekSql(if (es.length > 1) litInt(es(1), "week") else 0))(es)),
-    "weekday" -> tmpl("(dayofweek(CAST(__arg0 AS DATE)) + 5) % 7"),
+    // the inner string hop keeps non-temporal args LEGAL (MySQL
+    // coerces, yielding NULL for invalid dates — dolt#10092 NOT EXISTS
+    // block probes weekday(int)); a direct INT->DATE cast won't resolve
+    "weekday" -> tmpl(
+      "(dayofweek(CAST(CAST(__arg0 AS STRING) AS DATE)) + 5) % 7"),
     "get_format" -> (es => Literal(
       UTF8String.fromString(DateTimeExt.getFormat(
         litStr(es(0), "get_format"), litStr(es(1), "get_format"))),

@@ -491,9 +491,17 @@ object MySqlArith {
         UTF8String.fromString(
           java.time.LocalDate.ofEpochDay(i.toLong).toString)
       case l: Long if isTemporal(child.dataType) =>
-        val ldt = java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(l, 1000000L), (Math.floorMod(l, 1000000L) * 1000).toInt,
-          java.time.ZoneOffset.UTC)
+        // TIMESTAMP micros are an instant: display in the SESSION zone
+        // (a UTC render made NOW() LIKE CONCAT('%',CURTIME(),'%') false
+        // under an offset time_zone); NTZ micros are wall-clock already
+        val zone = child.dataType match {
+          case TimestampType => java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          case _ => java.time.ZoneOffset.UTC
+        }
+        val ldt = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L)
+          .atZone(zone).toLocalDateTime
         UTF8String.fromString(ldt.toString.replace('T', ' '))
       case n: Number => UTF8String.fromString(n.toString)
       case other => other

@@ -69,7 +69,11 @@ class MiscFnsSpec extends AnyFunSuite {
     assert(one("VALIDATE_PASSWORD_STRENGTH('abc')") == 0)
     assert(one("VALIDATE_PASSWORD_STRENGTH('abcdefg')") == 25)
     assert(one("VALIDATE_PASSWORD_STRENGTH('abcdefgh')") == 50)
-    assert(one("VALIDATE_PASSWORD_STRENGTH('Abcdefg1')") == 75)
+    // the reference ladder (hash.go:526) gates 50->100 on ALL four
+    // counters then always grants the dictionary +25+25: a password
+    // missing a special char stays 50 (MySQL's docs describe a 75 tier
+    // the reference doesn't implement)
+    assert(one("VALIDATE_PASSWORD_STRENGTH('Abcdefg1')") == 50)
     assert(one("VALIDATE_PASSWORD_STRENGTH('Abcdef1!')") == 100)
     assert(one("IS_BINARY(CAST('x' AS BINARY))") == true)
     assert(one("IS_BINARY('x')") == false)
