@@ -1166,9 +1166,15 @@ class Engine(val spark: SparkSession) {
                 .r.findFirstMatchIn(cur).map(_.group(1)).getOrElse("")
             val groupWords = """[A-Za-z_][A-Za-z0-9_]*""".r
               .findAllIn(groupTxt).map(_.toLowerCase).toSet
-            val pkGrouped = fromTbl.flatMap(t =>
-              tableKeys.get(canonicalTable(t))).exists(pk =>
-              pk.nonEmpty && pk.forall(c => groupWords(c.toLowerCase)))
+            // the reference admits a bare column when ANY joined table's
+            // full pk is grouped (Multi-db Aliasing: `from db1.t1 join
+            // db2.t2 group by i`, i = t1's pk, bare j admitted)
+            val allFromTbls =
+              """(?i)\b(?:FROM|JOIN)\s+`?([A-Za-z_][A-Za-z0-9_.]*)`?"""
+                .r.findAllMatchIn(cur).map(_.group(1)).toList
+            val pkGrouped = allFromTbls.exists(t =>
+              tableKeys.get(canonicalTable(t)).exists(pk =>
+                pk.nonEmpty && pk.forall(c => groupWords(c.toLowerCase))))
             // the offending column is also admissible when WHERE pins it
             // (or the table pk) to a constant — functionally single-group
             def constPinned(c: String): Boolean =
@@ -1177,6 +1183,11 @@ class Engine(val spark: SparkSession) {
                 .findFirstIn(cur).isDefined
             val offending = "non-aggregating expression \"([^\"]+)\"".r
               .findFirstMatchIn(e.getMessage).map(_.group(1))
+            // db-qualified select items (db1.t1.i) must strip to
+            // table-qualified before the any_value wrap can see them
+            val dbStripped = SqlRewrite.dbQualifiedColumns(cur)
+            if (dbStripped != cur) attempt(dbStripped, budget - 1)
+            else {
             val pkPinned = fromTbl.flatMap(t =>
               tableKeys.get(canonicalTable(t))).exists(pk =>
               pk.nonEmpty && pk.forall(constPinned))
@@ -1203,6 +1214,7 @@ class Engine(val spark: SparkSession) {
               wrapAll = !fullGroupBy)
             if (wrapped == cur) throw e
             attempt(wrapped, budget - 1)
+            }
           // grouped HAVING referencing a select alias (inside an
           // aggregate): MySQL resolves via the projection scope; Spark
           // loses the alias in the Aggregate. Substitute and retry.

@@ -988,6 +988,10 @@ object SqlRewrite {
     val BareCol =
       """^\s*((?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)(?:\.(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?)\s*(?:(?:AS\s+)?(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
     var changed = false
+    // qualified wrapped columns (t2.j) whose post-aggregate ORDER BY
+    // references must retarget the display alias
+    val wrappedQualified =
+      scala.collection.mutable.Map.empty[String, String]
     val rebuilt = items.map { it =>
       if (hasAgg(it)) it
       else it match {
@@ -1000,6 +1004,8 @@ object SqlRewrite {
             val display = Option(alias).getOrElse(
               col0.split('.').last).stripPrefix("`").stripSuffix("`")
             changed = true
+            if (col0.contains("."))
+              wrappedQualified += (col0.toLowerCase -> display)
             s" any_value($col0) AS `$display`"
           }
         case _ if wrapAll && !it.contains("`") && {
@@ -1035,8 +1041,31 @@ object SqlRewrite {
       }
     }
     if (!changed) sql
-    else sql.substring(0, listStart) + rebuilt.mkString(",") +
-      sql.substring(listEnd)
+    else {
+      var out = sql.substring(0, listStart) + rebuilt.mkString(",") +
+        sql.substring(listEnd)
+      // retarget top-level ORDER BY references to wrapped qualified
+      // columns at their alias (the qualifier dies with the aggregate)
+      wrappedQualified.foreach { case (q, display) =>
+        val ts = tokenize(out)
+        var d2 = 0
+        var afterOrder = false
+        val ps = ArrayBuffer.empty[(Int, Int, String)]
+        ts.zipWithIndex.foreach { case (t2, k2) =>
+          t2.text match {
+            case "(" => d2 += 1
+            case ")" => d2 -= 1
+            case _ if d2 == 0 && t2.isWord("order") => afterOrder = true
+            case _ if d2 == 0 && afterOrder && t2.kind == Word &&
+                t2.text.equalsIgnoreCase(q) =>
+              ps += ((t2.start, t2.end, s"`$display`"))
+            case _ =>
+          }
+        }
+        if (ps.nonEmpty) out = splice(out, ps.toSeq)
+      }
+      out
+    }
   }
 
   /** Top-level comma split of raw text (string/paren aware). */
@@ -3856,6 +3885,17 @@ object SqlRewrite {
     }.toSet
     if (targets.isEmpty) return sql
     val patches = ArrayBuffer.empty[(Int, Int, String)]
+    // dolt scope leak: `db.``.col` (EMPTY backticked table) resolves as
+    // a bare column of db's joined tables (Multi-db Aliasing block)
+    toks.zipWithIndex.foreach { case (t, k) =>
+      if (t.kind == Word && t.text.endsWith(".") &&
+          k + 2 < toks.length && toks(k + 1).text == "``" &&
+          toks(k + 2).kind == Word && toks(k + 2).text.startsWith(".") &&
+          targets.exists(_.startsWith(
+            t.text.dropRight(1).toLowerCase + "."))) {
+        patches += ((t.start, toks(k + 2).end, toks(k + 2).text.drop(1)))
+      }
+    }
     toks.zipWithIndex.foreach { case (t, k) =>
       if (t.kind == Word && t.text.count(_ == '.') == 2 &&
           !(k + 1 < toks.length && toks(k + 1).text == "(")) {

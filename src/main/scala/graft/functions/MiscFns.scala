@@ -559,6 +559,10 @@ object MiscFns {
     // (reference function/greatest.go); Spark's builtins skip NULLs, so
     // the session registry overrides them with the propagating form.
     "log10" -> (es => graft.functions.expressions.GoLog10(es.head)),
+    // MySQL coerces any operand numerically (LOG2(boolean) is legal);
+    // built directly — a tmpl'd log2() would resolve back to THIS entry
+    "log2" -> (es => org.apache.spark.sql.catalyst.expressions.Log2(
+      Cast(es.head, DoubleType))),
     "least" -> (es => If(
       es.map(e => IsNull(e): Expression).reduce(Or(_, _)),
       Literal.create(null, NullType), Least(es))),

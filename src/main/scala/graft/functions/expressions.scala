@@ -33,6 +33,7 @@ object expressions {
       val x = v match {
         case d: Double => d
         case f: Float => f.toDouble
+        case b: Boolean => if (b) 1.0 else 0.0
         case n: Number => n.doubleValue()
         case u: UTF8String =>
           try u.toString.trim.toDouble catch { case _: Throwable => return null }
@@ -152,12 +153,20 @@ object expressions {
         else Some(0)
       case _ => None
     }
+    private lazy val isConvertTz: Boolean = child.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.FromUTCTimestamp =>
+        true
+      case _ => false
+    }
     override def dataType: DataType = child.dataType match {
       case _: StringType => litFracScale match {
         case Some(0) => LongType
         case Some(k) => DecimalType(20 + k, k)
         case None => DecimalType(26, 6)
       }
+      // CONVERT_TZ returns DATETIME(6) in the reference, so its
+      // unix_timestamp renders 6 fraction digits ("1695625377.000000")
+      case _ if isConvertTz => DecimalType(26, 6)
       case _ => LongType
     }
     override def nullable: Boolean = true
@@ -192,7 +201,9 @@ object expressions {
               } catch { case _: Exception => null }
             case _ => null
           }
-        case (m: Long, TimestampType) => out(Math.floorDiv(m, 1000000L), "")
+        case (m: Long, TimestampType) =>
+          out(Math.floorDiv(m, 1000000L),
+            f"${Math.floorMod(m, 1000000L)}%06d")
         case (m: Long, TimestampNTZType) =>
           val ldt = java.time.LocalDateTime.ofEpochSecond(
             Math.floorDiv(m, 1000000L), 0, java.time.ZoneOffset.UTC)
