@@ -1560,7 +1560,10 @@ object Dml {
       else Some(Seq(e.warningCount).toDF("@@session.warning_count"))
 
     case CreateIdxStmt(uniq, kind, name, tableRaw, cols) =>
-      val table = normName(tableRaw)
+      // resolve to the CREATED spelling: declared-index metadata keys on
+      // it, and MySQL table lookups are case-insensitive
+      // (script_queries.go "case insensitive index handling")
+      val table = e.canonicalTable(normName(tableRaw))
       checkIdent(name)
       // PRIMARY is reserved for the primary key's index
       // (script_queries.go "show create table with duplicate primary key")
@@ -1604,7 +1607,13 @@ object Dml {
           s"invalid column type for vector index on '${colSeq.head}' " +
           s"(MySQL ErrVectorInvalidColumnType)")
       }
-      e.declareIndex(table, name, colSeq ++ exprItems.map(ex => s"($ex)"))
+      // key parts render with the COLUMN's declared case, not the
+      // statement's (show create table after CREATE INDEX ... (vAL1))
+      val colSeqCased = colSeq.map(c =>
+        scala.util.Try(e.spark.table(table)).toOption
+          .flatMap(_.schema.fields.find(_.name.equalsIgnoreCase(c)))
+          .map(_.name).getOrElse(c))
+      e.declareIndex(table, name, colSeqCased ++ exprItems.map(ex => s"($ex)"))
       colParts.foreach {
         case (c, Some(n)) => e.declareIndexPrefix(table, name, c, n)
         case _ => ()
@@ -1775,10 +1784,12 @@ object Dml {
           t.database == db)
         // info-schema scaffolding views are not user tables
         .filterNot(t => e.infoSchemaViews(t.name.toLowerCase))
-        .map(t => (t.name,
-          if (e.viewDefs.contains(t.name) || t.tableType == "VIEW") "VIEW"
+        // restore the created spelling (Spark lowercases temp views)
+        .map(t => (e.canonicalTable(t.name),
+          if (e.viewDefs.contains(e.canonicalTable(t.name)) ||
+              t.tableType == "VIEW") "VIEW"
           else "BASE TABLE"))
-        .sortBy(_._1)
+        .sortBy(_._1.toLowerCase)
       val colName = s"Tables_in_$dbName"
       val base =
         if (full == null) listed.map(_._1).toDF(colName)
@@ -2928,6 +2939,11 @@ object Dml {
       .foreach(mm => e.declareCharLimit(table, colName, mm.group(1).toInt))
 
   private def alterTable(e: Engine, table: String, actions: String): Unit = {
+    // ALTER TABLE rejects views outright (MySQL error 1347 "'v1' is not
+    // BASE TABLE"); RENAME TABLE is the statement that may move views
+    if (e.viewDefs.contains(e.canonicalTable(table)))
+      throw new IllegalArgumentException(
+        s"'$table' is not BASE TABLE (MySQL error 1347)")
     // a failed ALTER must not keep ANY half-applied declared metadata:
     // an early action may have renamed columns (renameColumnMeta),
     // dropped keys, or declared defaults before a later action or the

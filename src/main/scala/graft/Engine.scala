@@ -4618,10 +4618,14 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** SHOW TABLES (catalog read; info-schema scaffolding excluded). */
+  /** SHOW TABLES (catalog read; info-schema scaffolding excluded).
+    * Spark lowercases temp-view names; the created spelling is restored
+    * from createdRelations (script_queries.go rename blocks expect
+    * newTableName back, not newtablename). */
   def showTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq
-      .filterNot(n => infoSchemaViews(n.toLowerCase)).sorted
+      .filterNot(n => infoSchemaViews(n.toLowerCase))
+      .map(canonicalTable).sortBy(_.toLowerCase)
 
   /** DESCRIBE t (catalog read). */
   def describe(table: String): Seq[(String, String)] =
@@ -5238,12 +5242,16 @@ class Engine(val spark: SparkSession) {
   def declareUnique(table: String, name: String, cols: Seq[String]): Unit =
     uniqueKeys += ((table, name, cols))
 
-  def dropIndex(table: String, name: String): Unit = {
-    secondaryIndexes.filterInPlace(e => !(e._1 == table && e._2 == name))
-    uniqueKeys.filterInPlace(e => !(e._1 == table && e._2 == name))
-    uniqueExprIdx.filterInPlace(e => !(e._1 == table && e._2 == name))
-    indexPrefixes.filterInPlace { case ((t, n, _), _) =>
-      !(t == table && n == name) }
+  def dropIndex(table0: String, name: String): Unit = {
+    // table + index names are case-insensitive (case insensitive index
+    // handling block drops via a differently-cased spelling)
+    val table = canonicalTable(table0)
+    def m(t: String, n: String) =
+      t.equalsIgnoreCase(table) && n.equalsIgnoreCase(name)
+    secondaryIndexes.filterInPlace(e => !m(e._1, e._2))
+    uniqueKeys.filterInPlace(e => !m(e._1, e._2))
+    uniqueExprIdx.filterInPlace(e => !m(e._1, e._2))
+    indexPrefixes.filterInPlace { case ((t, n, _), _) => !m(t, n) }
   }
 
   /** Functional UNIQUE indexes — CREATE UNIQUE INDEX idx ON t ((c1*10))
