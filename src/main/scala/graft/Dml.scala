@@ -850,7 +850,7 @@ object Dml {
           e.validateForeignKeysChildChanged(table, subset0, transformed0)
           e.enforceParentUpdate(table, subset0, transformed0)
           e.replaceTable(table, newDf, bumpDepth = true)
-          Some(ok(e, affected))
+          Some({ e.foundRowsSet(affected); ok(e, affected) })
         case None =>
           val gate = whereOpt.map(cond =>
             coalesce(expr(cond).cast("boolean"), lit(false)))
@@ -907,7 +907,7 @@ object Dml {
             e.enforceUniqueExprsPost(table, newDf)
             e.enforceParentUpdate(table, t0, newDfRaw)
             e.replaceTable(table, newDf, bumpDepth = true)
-            Some(ok(e, affected))
+            Some({ e.foundRowsSet(affected); ok(e, affected) })
           } else if (!ignore) {
             // non-strict plain UPDATE (SET sql_mode=''): values coerce
             // with warnings like IGNORE, constraints still error
@@ -925,7 +925,7 @@ object Dml {
             e.enforceUniqueExprsPost(table, newDf)
             e.enforceParentUpdate(table, t0, cur)
             e.replaceTable(table, newDf, bumpDepth = true)
-            Some(ok(e, affected))
+            Some({ e.foundRowsSet(affected); ok(e, affected) })
           } else {
             // UPDATE IGNORE (reference sql/rowexec/update.go:98,150
             // convertDataAndWarn + ignore paths): instead of erroring,
@@ -978,7 +978,7 @@ object Dml {
             val newDf = newDf0.drop("__rid__", "__upd__")
             e.enforceParentUpdate(table, t0, newDf0.drop("__upd__"))
             e.replaceTable(table, newDf, bumpDepth = true)
-            Some(ok(e, affected))
+            Some({ e.foundRowsSet(affected); ok(e, affected) })
           }
       }
 
@@ -4241,7 +4241,9 @@ object Dml {
       e.enforceParentUpdate(table, t0, merged0)
       e.replaceTable(table, merged0.drop("__rid__"), bumpDepth = true)
     }
-    ok(e, work.map(_._4).sum)
+    val matchedTotal = work.map(_._4).sum
+    e.foundRowsSet(matchedTotal) // UPDATE stores matched (dml_iters.go:761)
+    ok(e, matchedTotal)
   }
 
   /** DELETE t1[, t2] FROM <sources> [WHERE …]: rows of each target that

@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `LIMIT offset, count`      -> `LIMIT count OFFSET offset`
   *  - `# comment`                -> `-- comment`
   *  - `STRAIGHT_JOIN`            -> `JOIN` (ordering is Catalyst's job)
-  *  - `SQL_CALC_FOUND_ROWS`      -> dropped (session feature, descoped)
+  *  - `SQL_CALC_FOUND_ROWS`      -> stripped in the query path, which
+  *    captures the un-LIMITed twin for FOUND_ROWS()
   *  - `GROUP_CONCAT(DISTINCT x ORDER BY x SEPARATOR s)` -> `listagg`
   *    (token pass, SqlRewrite.groupConcat)
   *  - `a XOR b` -> `(((a) <> 0) != ((b) <> 0))` with MySQL numeric
@@ -52,7 +53,8 @@ object Dialect {
       .replaceAll("(?i)\\bCOERCIBILITY\\s*\\(\\s*(?:CURRENT_USER|USER|" +
         "SESSION_USER|SYSTEM_USER|VERSION|DATABASE|SCHEMA)\\s*(?:\\(\\s*\\))?" +
         "\\s*\\)", "CAST(3 AS INT)")
-      .replaceAll("(?i)\\bSQL_CALC_FOUND_ROWS\\b", "")
+      // (SQL_CALC_FOUND_ROWS survives to the query path, which strips
+      // it and captures the un-LIMITed twin for FOUND_ROWS())
       // MySQL's 1-row dummy table (reference sql/planbuilder/from.go
       // resolves a missing/dual FROM to it); Spark has no dual
       .replaceAll("(?i)\\bFROM\\s+DUAL\\b", "FROM (SELECT 1) dual")
@@ -458,6 +460,14 @@ class Engine(val spark: SparkSession) {
       "scala_udf")
     reg.createOrReplaceTempFunction("row_count",
       _ => Literal(rowCountVal), "scala_udf")
+    // FOUND_ROWS(): rows the last SELECT returned (pre-LIMIT under
+    // SQL_CALC_FOUND_ROWS); UPDATE statements store their matched
+    // count (reference sql/plan/process.go:370, rowexec/dml_iters
+    // .go:761). The count is computed LAZILY from the captured
+    // analyzed frame — the analytics path never pays a count() unless
+    // found_rows() is actually called.
+    reg.createOrReplaceTempFunction("found_rows",
+      _ => Literal(foundRowsNow()), "scala_udf")
     // VALIDATE_PASSWORD_STRENGTH (reference sql/expression/function/
     // hash.go:526): 0/25/50/75/100 ladder against the session-effective
     // validate_password.* component variables. Literal passwords only —
@@ -501,7 +511,8 @@ class Engine(val spark: SparkSession) {
           val sC = gv("validate_password.special_char_count")
           org.apache.spark.sql.catalyst.parser.CatalystSqlParser
             .parseExpression(
-              s"""CASE WHEN length(__pw) < 4 THEN 0
+              s"""CASE WHEN __pw IS NULL THEN CAST(NULL AS INT)
+                 |WHEN length(__pw) < 4 THEN 0
                  |WHEN length(__pw) < $L THEN 25
                  |WHEN length(regexp_replace(__pw, '[^0-9]', '')) >= $nC
                  |  AND length(regexp_replace(__pw, '[^A-Z]', '')) >= $mC
@@ -1363,7 +1374,22 @@ class Engine(val spark: SparkSession) {
       SqlRewrite.duplicateUnaliasedTable(rewritten).foreach { t =>
         throw new IllegalArgumentException(s"Not unique table/alias: '$t'")
       }
-      attempt(rewritten, 6)
+      // SQL_CALC_FOUND_ROWS: strip the keyword; FOUND_ROWS() counts the
+      // un-limited result (reference sql/iters/top_rows_iters.go:69)
+      val (calcFound, cleaned) = SqlRewrite.stripCalcFoundRows(rewritten)
+      val result = attempt(cleaned, 6)
+      // session counters, top-level SELECT statements only (reference
+      // plan/process.go TrackedRowIter.updateSessionVars): ROW_COUNT()
+      // resets to -1; FOUND_ROWS() captures this result lazily
+      if (queryDepth == 1 && isSelect) {
+        rowCountVal = -1L
+        foundRowsDf =
+          if (!calcFound) Some(result)
+          else Some(
+            try attempt(SqlRewrite.stripTopLimit(cleaned), 6)
+            catch { case _: Exception => result })
+      }
+      result
     }
   }
 
@@ -2345,7 +2371,6 @@ class Engine(val spark: SparkSession) {
         if (!anyGen) incoming
         else {
           val next = autoIncNext(table)
-          lastInsertIdVal = next
           val w = org.apache.spark.sql.expressions.Window
             .orderBy(monotonically_increasing_id())
             .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -2360,7 +2385,7 @@ class Engine(val spark: SparkSession) {
           // gets F(i) + max(next-1, max over preceding explicit rows of
           // (v - F)) — each explicit max carries forward bumped by the
           // generated rows after it.
-          incoming
+          val assigned = incoming
             .withColumn("__ai_flag__", flag)
             .withColumn("__ai_f__",
               sum(col("__ai_flag__").cast("long")).over(w))
@@ -2373,7 +2398,16 @@ class Engine(val spark: SparkSession) {
                   coalesce(max(col("__ai_adj__")).over(w),
                     lit(Long.MinValue))) + col("__ai_f__")).cast(dt))
                 .otherwise(col(s"`$c`")))
-            .drop("__ai_flag__", "__ai_f__", "__ai_adj__")
+          // LAST_INSERT_ID() = the FIRST GENERATED value of the
+          // statement, which may exceed `next` when an earlier explicit
+          // value advanced the counter in-batch (`(10),(default)` →
+          // 11, not next — script_queries.go "last_insert_id(default)
+          // behavior"). Generated values are monotone within the batch,
+          // so min over generated rows IS the first.
+          val firstGen = assigned.filter(col("__ai_flag__"))
+            .agg(min(col(s"`$c`").cast("long"))).collect()(0)
+          if (!firstGen.isNullAt(0)) lastInsertIdVal = firstGen.getLong(0)
+          assigned.drop("__ai_flag__", "__ai_f__", "__ai_adj__")
         }
       case _ => incoming
     }
@@ -2715,6 +2749,24 @@ class Engine(val spark: SparkSession) {
     * recent generating INSERT; rows affected by the last DML. */
   private[graft] var lastInsertIdVal: Long = 0L
   private[graft] var rowCountVal: Long = -1L
+
+  /** FOUND_ROWS() session state (reference sql/session.go lastQueryInfo
+    * FoundRows; initialized to 1 like session.go:273). A SELECT captures
+    * its analyzed frame; the count materializes only when found_rows()
+    * is called (the captured plan resolved its temp views already, so a
+    * later DML re-registration cannot change the answer). */
+  private[graft] var foundRowsCnt: Long = 1L
+  private[graft] var foundRowsDf: Option[DataFrame] = None
+  private[graft] def foundRowsSet(n: Long): Unit = {
+    foundRowsCnt = n; foundRowsDf = None
+  }
+  private[graft] def foundRowsNow(): Long = {
+    foundRowsDf.foreach { df =>
+      foundRowsCnt = try df.count() catch { case _: Exception => 0L }
+      foundRowsDf = None
+    }
+    foundRowsCnt
+  }
 
   /** Current next-value, initializing from the table's max on first use
     * (how the reference seeds the editor from storage). */

@@ -196,7 +196,12 @@ object SqlRewrite {
                 .map { case ((b, _), i) => s"$b AS __k$i" }
               val cmp = keys.zipWithIndex.flatMap { case ((_, desc), i) =>
                 val (lt, gt) = if (desc) ("1", "-1") else ("-1", "1")
-                Seq(s"WHEN l.__k$i < r.__k$i THEN $lt",
+                // MySQL: NULL keys sort first ASC / last DESC; without
+                // the explicit branches every WHEN evaluates NULL and
+                // NULL-key rows keep arbitrary order
+                Seq(s"WHEN l.__k$i IS NULL AND r.__k$i IS NOT NULL THEN $lt",
+                    s"WHEN r.__k$i IS NULL AND l.__k$i IS NOT NULL THEN $gt",
+                    s"WHEN l.__k$i < r.__k$i THEN $lt",
                     s"WHEN l.__k$i > r.__k$i THEN $gt")
               }.mkString(" ")
               val st = "struct(" + (kFields :+
@@ -3460,6 +3465,42 @@ object SqlRewrite {
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
+  /** SQL_CALC_FOUND_ROWS modifier (reference sql/planbuilder select
+    * modifiers): strip it from the text; returns (wasPresent, text).
+    * Spark has no equivalent — the caller captures the un-LIMITed twin
+    * for FOUND_ROWS() instead. */
+  def stripCalcFoundRows(sql: String): (Boolean, String) = {
+    val toks = tokenize(sql)
+    val i = toks.indexWhere(_.isWord("sql_calc_found_rows"))
+    if (i < 0) (false, sql)
+    else (true, splice(sql, Seq((toks(i).start, toks(i).end, ""))))
+  }
+
+  /** Remove the statement's TOP-LEVEL `LIMIT n [OFFSET m]` / `LIMIT m, n`
+    * tail (for the SQL_CALC_FOUND_ROWS un-limited twin). */
+  def stripTopLimit(sql: String): String = {
+    val toks = tokenize(sql)
+    var depth = 0
+    var i = 0
+    while (i < toks.length) {
+      toks(i).text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && toks(i).isWord("limit") =>
+          // consume LIMIT and its operand tail: numbers, commas, OFFSET
+          var j = i + 1
+          while (j < toks.length &&
+                 (toks(j).kind != Word || toks(j).isWord("offset") ||
+                  toks(j).text.forall(c => c.isDigit))) j += 1
+          val end = if (j < toks.length) toks(j).start else sql.length
+          return splice(sql, Seq((toks(i).start, end, "")))
+        case _ =>
+      }
+      i += 1
+    }
+    sql
+  }
+
   /** MySQL error 1066: the same UNALIASED table name joined twice in
     * one FROM clause is "Not unique table/alias" (Spark admits the
     * self-join; the reference rejects it — sqllogictest join.txt L447).
@@ -3496,7 +3537,13 @@ object SqlRewrite {
           var k = i + 1
           while (k < toks.length && (toks(k).text == "(" ||
                  toks(k).isWord("lateral"))) k += 1
-          if (k < toks.length && toks(k).kind == Word &&
+          // Only a FROM/JOIN whose own paren depth hosts a SELECT is a
+          // table factor. A FROM inside a function call — EXTRACT(YEAR
+          // FROM d), SUBSTRING(s FROM n), TRIM(x FROM s) — sits one
+          // paren deeper than its SELECT and must not register a name
+          // (two such calls on the same operand are NOT error 1066).
+          if (scopeAtDepth.contains(depth) &&
+              k < toks.length && toks(k).kind == Word &&
               !toks(k).isWord("select") &&
               !toks(k).text.contains(".") && // qualified: rare, skip
               !notAlias(toks(k).text.toLowerCase)) {
@@ -3508,9 +3555,8 @@ object SqlRewrite {
                 (toks(k + 1).kind == Word &&
                  !notAlias(toks(k + 1).text.toLowerCase)))
             if (!hasAlias && !isCall) {
-              // the nearest enclosing select scope
-              val sc = scopeAtDepth.toSeq.filter(_._1 <= depth)
-                .sortBy(-_._1).headOption.map(_._2).getOrElse(0)
+              // the SELECT scope at this exact depth (guarded above)
+              val sc = scopeAtDepth(depth)
               val set = names.getOrElseUpdate(sc,
                 scala.collection.mutable.Set.empty[String])
               val n = toks(k).text.toLowerCase
@@ -4313,6 +4359,29 @@ object SqlRewrite {
             }
             k += 1
           }
+          // When the subquery's top level has GROUP BY / HAVING / LIMIT
+          // / set operators, splicing min/max/count around the FROM
+          // tail would make a grouped scalar subquery (one row per
+          // group — runtime error or wrong quantifier). Those shapes
+          // compute the aggregates over the subquery WRAPPED as a
+          // derived table instead.
+          var needsWrap = false
+          if (fromAt > 0) {
+            var d3 = subDepth
+            var k2 = fromAt
+            val grpStops = Set("group", "having", "limit", "union",
+              "intersect", "except")
+            while (k2 < close && !needsWrap) {
+              toks(k2).text match {
+                case "(" => d3 += 1
+                case ")" => d3 -= 1
+                case _ if d3 == subDepth && toks(k2).kind == Word &&
+                    grpStops(toks(k2).text.toLowerCase) => needsWrap = true
+                case _ =>
+              }
+              k2 += 1
+            }
+          }
           if (fromAt > 0 && !multi) {
             var eStart = i + 4
             if (toks(eStart).isWord("distinct")) eStart += 1
@@ -4351,8 +4420,20 @@ object SqlRewrite {
               // becomes its OWN pure-local correlated scalar subquery
               // (`S(agg)`) and the outer X combines with them OUTSIDE;
               // min/max/count(distinct) decide every ordering op exactly
-              val x = s"($xTxt)"; val ee = s"($eTxt)"
-              def S(agg: String) = s"(SELECT $agg $restTxt)"
+              val x = s"($xTxt)"
+              val (ee, mkS) =
+                if (needsWrap) {
+                  // grouped/limited/set-op body: aggregate over the
+                  // whole subquery as a derived table, never around its
+                  // FROM tail (value column aliased in the first branch)
+                  val inner = s"SELECT ($eTxt) AS __graft_qv $restTxt"
+                  ("__graft_qv",
+                    (agg: String) =>
+                      s"(SELECT $agg FROM ($inner) __graft_q)")
+                } else
+                  (s"($eTxt)",
+                    (agg: String) => s"(SELECT $agg $restTxt)")
+              def S(agg: String) = mkS(agg)
               val cnt = S("count(1)"); val cntE = S(s"count($ee)")
               val cntD = S(s"count(distinct $ee)")
               val mn = S(s"min($ee)"); val mx = S(s"max($ee)")

@@ -1362,7 +1362,7 @@ object Functions {
       Some("""SELECT '8.0.33-graft' AS version, CAST(1 AS BIGINT) AS conn_id,
                 'root@localhost' AS session_usr,
                 'root@localhost' AS cur_usr,
-                CAST(0 AS BIGINT) AS found_n, CAST(-1 AS BIGINT) AS row_n,
+                CAST(1 AS BIGINT) AS found_n, CAST(-1 AS BIGINT) AS row_n,
                 CAST(0 AS BIGINT) AS last_id, 'mydb' AS db"""))
   )
 }

@@ -66,22 +66,41 @@ object RecursiveCte {
         val acc = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](seedRows: _*)
         var delta: Seq[org.apache.spark.sql.Row] = seedRows.toSeq
         var depth = 0
-        while (depth < maxDepth && acc.length < maxRows && delta.nonEmpty &&
-               acc.length <= LocalRowCap) {
-          delta = step(localDF(spark, delta, schema)).collect().toSeq
-          acc ++= delta
+        // A single expanding iteration (join-shaped recursive member)
+        // can fan a 64k working set into millions of rows; never
+        // materialize that on the driver — collectSmall bounds the
+        // fetch and a too-big delta hands off distributed immediately.
+        var bigDelta: Option[DataFrame] = None
+        while (bigDelta.isEmpty && depth < maxDepth && acc.length < maxRows &&
+               delta.nonEmpty && acc.length <= LocalRowCap) {
+          val stepDf = step(localDF(spark, delta, schema))
+          collectSmall(stepDf) match {
+            case Some(rows) =>
+              delta = rows.toSeq
+              acc ++= delta
+            case None =>
+              bigDelta = Some(stepDf.localCheckpoint(eager = true))
+          }
           depth += 1
         }
-        if (delta.nonEmpty && depth >= maxDepth && acc.length < maxRows)
-          throw new IllegalStateException(
-            "recursive CTE exceeded iteration limit " + maxDepth)
-        if (acc.length > LocalRowCap && delta.nonEmpty &&
-            acc.length < maxRows)
-          // outgrew the local cap: continue distributed from here
-          unionAllDistributed(localDF(spark, acc.toSeq, schema),
-            localDF(spark, delta, schema), step,
-            maxDepth - depth, maxRows, acc.length.toLong)
-        else limitOf(localDF(spark, acc.toSeq, schema), maxRows)
+        bigDelta match {
+          case Some(dd) =>
+            val accDf = localDF(spark, acc.toSeq, schema).unionAll(dd)
+            unionAllDistributed(accDf, dd, step, maxDepth - depth, maxRows,
+              if (maxRows == Long.MaxValue) 0L
+              else acc.length.toLong + dd.count())
+          case None =>
+            if (delta.nonEmpty && depth >= maxDepth && acc.length < maxRows)
+              throw new IllegalStateException(
+                "recursive CTE exceeded iteration limit " + maxDepth)
+            if (acc.length > LocalRowCap && delta.nonEmpty &&
+                acc.length < maxRows)
+              // outgrew the local cap: continue distributed from here
+              unionAllDistributed(localDF(spark, acc.toSeq, schema),
+                localDF(spark, delta, schema), step,
+                maxDepth - depth, maxRows, acc.length.toLong)
+            else limitOf(localDF(spark, acc.toSeq, schema), maxRows)
+        }
       case None =>
         unionAllDistributed(seed, seed, step, maxDepth, maxRows,
           if (maxRows == Long.MaxValue) 0L else seed.count())
@@ -125,22 +144,43 @@ object RecursiveCte {
         var delta: Seq[org.apache.spark.sql.Row] =
           seedRows.toSeq.filter(add)
         var depth = 0
-        while (depth < maxDepth && acc.length < maxRows && delta.nonEmpty &&
-               acc.length <= LocalRowCap) {
-          delta = step(localDF(spark, delta, schema)).collect().toSeq
-            .filter(add)
+        // Bounded per-step fetch, like unionAll above: a delta that
+        // alone exceeds the cap is never collected — hand off.
+        var bigDelta: Option[DataFrame] = None
+        while (bigDelta.isEmpty && depth < maxDepth && acc.length < maxRows &&
+               delta.nonEmpty && acc.length <= LocalRowCap) {
+          val stepDf = step(localDF(spark, delta, schema))
+          collectSmall(stepDf) match {
+            case Some(rows) => delta = rows.toSeq.filter(add)
+            case None =>
+              bigDelta = Some(stepDf.localCheckpoint(eager = true))
+          }
           depth += 1
         }
-        if (delta.nonEmpty && depth >= maxDepth && acc.length < maxRows)
-          throw new IllegalStateException(
-            "recursive CTE exceeded iteration limit " + maxDepth)
-        if (acc.length > LocalRowCap && delta.nonEmpty &&
-            acc.length < maxRows)
-          unionDistinctDistributed(
-            localDF(spark, acc.toSeq, schema).localCheckpoint(eager = true),
-            localDF(spark, delta, schema), step,
-            maxDepth - depth, maxRows, acc.length.toLong)
-        else limitOf(localDF(spark, acc.toSeq, schema), maxRows)
+        bigDelta match {
+          case Some(dd) =>
+            val accDf = localDF(spark, acc.toSeq, schema)
+              .localCheckpoint(eager = true)
+            val freshDelta = dd.distinct().exceptAll(accDf)
+              .localCheckpoint(eager = true)
+            val newAcc = accDf.unionAll(freshDelta)
+              .localCheckpoint(eager = true)
+            unionDistinctDistributed(newAcc, freshDelta, step,
+              maxDepth - depth, maxRows,
+              if (maxRows == Long.MaxValue) 0L
+              else acc.length.toLong + freshDelta.count())
+          case None =>
+            if (delta.nonEmpty && depth >= maxDepth && acc.length < maxRows)
+              throw new IllegalStateException(
+                "recursive CTE exceeded iteration limit " + maxDepth)
+            if (acc.length > LocalRowCap && delta.nonEmpty &&
+                acc.length < maxRows)
+              unionDistinctDistributed(
+                localDF(spark, acc.toSeq, schema).localCheckpoint(eager = true),
+                localDF(spark, delta, schema), step,
+                maxDepth - depth, maxRows, acc.length.toLong)
+            else limitOf(localDF(spark, acc.toSeq, schema), maxRows)
+        }
       case None =>
         val acc0 = seed.distinct().localCheckpoint(eager = true)
         unionDistinctDistributed(acc0, acc0, step, maxDepth, maxRows,
