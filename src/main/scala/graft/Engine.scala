@@ -983,12 +983,29 @@ class Engine(val spark: SparkSession) {
 
   private def substituteVars(sql: String): String = {
     val s0 = substituteSysVars(sql)
-    if (sessionVars.isEmpty || !s0.contains("@")) s0
-    else Dialect.mapCode(s0) { code =>
-      sessionVars.foldLeft(code) { case (acc, (n, v)) =>
-        acc.replaceAll("@" + java.util.regex.Pattern.quote(n) + "\\b",
-          java.util.regex.Matcher.quoteReplacement(v))
+    // SET / PREPARE / EXECUTE / LOAD consume @vars themselves (SET's
+    // target must stay `@name` for the DML dispatcher — substituting an
+    // EXISTING var's value into its own re-assignment corrupts the
+    // statement; PREPARE FROM @v and EXECUTE USING @v read raw; LOAD
+    // DATA item lists bind per-row @cols)
+    val head = s0.trim.takeWhile(!_.isWhitespace).toUpperCase
+    if (head == "SET" || head == "PREPARE" || head == "EXECUTE" ||
+        head == "DEALLOCATE" || head == "LOAD") return s0
+    if (!s0.contains("@")) return s0
+    val subst =
+      if (sessionVars.isEmpty) s0
+      else Dialect.mapCode(s0) { code =>
+        sessionVars.foldLeft(code) { case (acc, (n, v)) =>
+          acc.replaceAll("@" + java.util.regex.Pattern.quote(n) + "\\b",
+            java.util.regex.Matcher.quoteReplacement(v))
+        }
       }
+    // a user @var never SET reads as NULL (reference sql/expression/
+    // uservar.go); @@sysvars were already resolved above
+    if (!subst.contains("@")) subst
+    else Dialect.mapCode(subst) { code =>
+      code.replaceAll("(?<![@A-Za-z0-9_.])@([A-Za-z_][A-Za-z0-9_]*)\\b",
+        "NULL")
     }
   }
 
@@ -1020,6 +1037,55 @@ class Engine(val spark: SparkSession) {
     try queryInner(sql) finally queryDepth -= 1
   }
 
+  /** Execute a SELECT whose INTO clause was extracted: @var targets and
+    * DUMPFILE require at most one row (MySQL 1172); OUTFILE streams all
+    * rows through the delimited writer; 0 rows leave @vars untouched
+    * (reference sql/rowexec/rel_iters.go intoIter). */
+  private def runSelectInto(cleaned: String,
+      target: SqlRewrite.IntoTarget): DataFrame = {
+    val df = queryInner(cleaned)
+    def atMostOne(): Array[org.apache.spark.sql.Row] = {
+      val rows = df.limit(2).collect()
+      if (rows.length > 1)
+        throw new IllegalArgumentException(
+          "Result consisted of more than one row (MySQL error 1172)")
+      rows
+    }
+    val affected: Long = target match {
+      case SqlRewrite.IntoVars(names) =>
+        val rows = atMostOne()
+        if (df.columns.length != names.length)
+          throw new IllegalArgumentException(
+            "The used SELECT statements have a different number of " +
+            "columns (MySQL error 1222)")
+        rows.headOption.foreach { r =>
+          names.zipWithIndex.foreach { case (n, ix) =>
+            setVar(n, r.get(ix) match {
+              case null => null
+              case v: java.lang.Number => v
+              case v: java.lang.Boolean => v
+              case other => String.valueOf(other) // quoted by setVar
+            })
+          }
+        }
+        rows.length.toLong
+      case SqlRewrite.IntoFile(path, true) =>
+        // DUMPFILE: the single row raw, no delimiters or terminators
+        val rows = atMostOne()
+        val bytes = rows.headOption.map(r =>
+          (0 until r.length).map(ix => String.valueOf(r.get(ix)))
+            .mkString("")).getOrElse("")
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          bytes.getBytes("UTF-8"))
+        rows.length.toLong
+      case SqlRewrite.IntoFile(path, false) =>
+        intoOutfile(cleaned, path)
+        df.count()
+    }
+    import spark.implicits._
+    Seq(affected).toDF("affected_rows")
+  }
+
   /** Blank out quoted literals and parenthesized segments — leaves only
     * a statement's TOP-LEVEL tokens for structural guards. */
   private def stripQuotesAndParens(s: String): String = {
@@ -1042,6 +1108,23 @@ class Engine(val spark: SparkSession) {
   }
 
   private def queryInner(sql: String): DataFrame = {
+    // SELECT … INTO @vars / OUTFILE / DUMPFILE (reference sql/plan/
+    // into.go:26): extracted BEFORE variable substitution — the INTO
+    // targets are assignment slots, not reads
+    SqlRewrite.extractSelectInto(sql) match {
+      case Some(Left(msg)) => throw new IllegalArgumentException(msg)
+      case Some(Right((cleaned, target))) =>
+        return runSelectInto(cleaned, target)
+      case None => ()
+    }
+    // MySQL allows DECLARE only inside BEGIN/END blocks (reference
+    // script_queries.go "Top-level DECLARE statements" — every form is
+    // a syntax error at top level). Spark 4 would otherwise accept
+    // `DECLARE x TYPE` as its own session-variable DDL.
+    if (sql.trim.takeWhile(!_.isWhitespace).equalsIgnoreCase("DECLARE"))
+      throw new IllegalArgumentException(
+        "DECLARE is only allowed inside BEGIN/END blocks " +
+        "(MySQL syntax error 1064)")
     // information_schema views are snapshots of the session catalog +
     // declared metadata, so (re)materialize them whenever a statement
     // reads them — the MySQL front door needs no explicit enable call

@@ -3465,6 +3465,82 @@ object SqlRewrite {
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
+  /** SELECT … INTO targets (reference sql/plan/into.go). */
+  sealed trait IntoTarget
+  final case class IntoVars(names: Seq[String]) extends IntoTarget
+  final case class IntoFile(path: String, dump: Boolean) extends IntoTarget
+
+  /** Extract a SELECT statement's top-level `INTO @vars` / `INTO
+    * OUTFILE 'p'` / `INTO DUMPFILE 'p'` clause. None = no INTO clause;
+    * Left(msg) = malformed placement (MySQL parse errors: multiple INTO
+    * clauses; mid-block INTO inside a set operation); Right((cleaned,
+    * target)) otherwise. */
+  def extractSelectInto(sql: String)
+      : Option[Either[String, (String, IntoTarget)]] = {
+    val toks = tokenize(sql)
+    if (toks.isEmpty) return None
+    val fw = toks.head.text.toLowerCase
+    if (fw != "select" && fw != "with" && fw != "(") return None
+    var depth = 0
+    var hasSetOp = false
+    // (startTok, endTokExclusive, target)
+    val hits = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, IntoTarget)]
+    var i = 0
+    while (i < toks.length) {
+      toks(i).text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && (toks(i).isWord("union") ||
+            toks(i).isWord("intersect") || toks(i).isWord("except")) =>
+          hasSetOp = true
+        case _ if depth == 0 && toks(i).isWord("into") &&
+            i + 1 < toks.length =>
+          val n = toks(i + 1)
+          if (n.kind == Word && n.text.startsWith("@") &&
+              !n.text.startsWith("@@")) {
+            // @a [, @b …]
+            val names = scala.collection.mutable.ArrayBuffer(
+              n.text.stripPrefix("@"))
+            var j = i + 2
+            while (j + 1 < toks.length && toks(j).text == "," &&
+                   toks(j + 1).kind == Word &&
+                   toks(j + 1).text.startsWith("@")) {
+              names += toks(j + 1).text.stripPrefix("@")
+              j += 2
+            }
+            hits += ((i, j, IntoVars(names.toSeq)))
+            i = j - 1
+          } else if ((n.isWord("outfile") || n.isWord("dumpfile")) &&
+                     i + 2 < toks.length && toks(i + 2).kind == Lit) {
+            val path = sql.substring(toks(i + 2).start + 1,
+              toks(i + 2).end - 1)
+            hits += ((i, i + 3, IntoFile(path, n.isWord("dumpfile"))))
+            i += 2
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    if (hits.isEmpty) None
+    else if (hits.length > 1)
+      Some(Left("Multiple INTO clauses in one query block (MySQL " +
+        "parse error)"))
+    else {
+      val (s, e, target) = hits.head
+      val atEnd = e >= toks.length
+      if (!atEnd && hasSetOp)
+        // MySQL rejects a mid-block INTO inside a set operation
+        // ("INTO clause is not allowed" — only the statement tail may
+        // carry it)
+        Some(Left("INTO clause is not allowed here (MySQL parse error)"))
+      else {
+        val end = if (atEnd) sql.length else toks(e).start
+        Some(Right((splice(sql, Seq((toks(s).start, end, ""))), target)))
+      }
+    }
+  }
+
   /** SQL_CALC_FOUND_ROWS modifier (reference sql/planbuilder select
     * modifiers): strip it from the text; returns (wasPresent, text).
     * Spark has no equivalent — the caller captures the un-LIMITed twin
