@@ -1118,6 +1118,8 @@ object Dml {
         e.replaceTable(newN, df, bumpDepth = false)
         e.renameTableMeta(oldN, newN)
         e.spark.catalog.dropTempView(oldN)
+        // views naming the old table must re-resolve (and break) now
+        e.refreshViews(oldN)
       }
       Some(ok(e, 0L))
 
@@ -1153,6 +1155,7 @@ object Dml {
           s"constraint (MySQL error 1701)")
       e.replaceTable(table, t.limit(0), bumpDepth = true)
       e.autoIncCounter.remove(table) // TRUNCATE resets AUTO_INCREMENT
+      e.autoIncShown.remove(table)
       Some(ok(e, 0L))
 
     // comma-separated SET list over user AND system variables
@@ -1165,7 +1168,15 @@ object Dml {
       topLevelSplit(listText, ',').forall(SetItem.matches)
     } =>
       topLevelSplit(listText, ',').foreach { item =>
-        val SetItem(target, value) = item: @unchecked
+        val SetItem(target, value0) = item: @unchecked
+        // a bare user-var RHS resolves here — SET statements skip the
+        // front door's substitution (the TARGET must stay `@name`), so
+        // `set @@time_zone = @old_time_zone` reads the var's stored form
+        val value = value0.trim match {
+          case v if v.matches("@[A-Za-z_][A-Za-z0-9_]*") =>
+            e.varRendered(v.stripPrefix("@")).getOrElse("NULL")
+          case v => v
+        }
         val isGlobalScope =
           "(?i)^(?:GLOBAL\\s|@@global\\.)".r.findFirstIn(target.trim).isDefined
         val bare = target.trim
@@ -1789,11 +1800,17 @@ object Dml {
           if (e.viewDefs.contains(e.canonicalTable(t.name)) ||
               t.tableType == "VIEW") "VIEW"
           else "BASE TABLE"))
-        .sortBy(_._1.toLowerCase)
+      // BROKEN views (underlying table renamed/dropped) keep their
+      // catalog listing even though no live temp view backs them
+      val withBroken = (listed ++ (if (db == null)
+          e.brokenViews.toSeq.filter(e.viewDefs.contains)
+            .map(n => (n, "VIEW"))
+        else Seq.empty))
+        .distinct.sortBy(_._1.toLowerCase)
       val colName = s"Tables_in_$dbName"
       val base =
-        if (full == null) listed.map(_._1).toDF(colName)
-        else listed.toDF(colName, "Table_type")
+        if (full == null) withBroken.map(_._1).toDF(colName)
+        else withBroken.toDF(colName, "Table_type")
       val filtered = filterLike(base, colName, like)
       Some(Option(where).map(w => filtered.filter(expr(w))).getOrElse(filtered))
 
@@ -2472,6 +2489,28 @@ object Dml {
             s"'$t' (MySQL syntax error)")
           val numLit = """^-?\d+(\.\d+)?$""".r.matches(t)
           val strLit = t.startsWith("'")
+          // DEFAULT NULL on an implicitly/explicitly NOT NULL column is
+          // MySQL 1067 (script_queries.go "enums with default values":
+          // `enum('a') primary key default null` →
+          // ErrIncompatibleDefaultType)
+          if (t.equalsIgnoreCase("NULL") &&
+              (up.contains("NOT NULL") || up.contains("PRIMARY KEY")))
+            throw new IllegalArgumentException(
+              s"Incompatible DEFAULT NULL for NOT NULL column " +
+              s"'$colName' (MySQL 1067)")
+          // an ENUM string default must name a member; a SET default's
+          // comma-joined parts must all be members ('' = the empty set
+          // is legal for SET, not for ENUM — "enums with empty string")
+          if (strLit && vocab.isDefined) {
+            val (isSet, members) = vocab.get
+            val body = unquoteSqlString(t)
+            val ok =
+              if (isSet) body.isEmpty || body.split(",", -1).forall(m =>
+                members.exists(_.equalsIgnoreCase(m)))
+              else members.exists(_.equalsIgnoreCase(body))
+            if (!ok) throw new IllegalArgumentException(
+              s"Invalid default value for '$colName' (MySQL 1067)")
+          }
           if (numLit && t.startsWith("-") &&
               rest.toUpperCase.contains("UNSIGNED"))
             throw new IllegalArgumentException(
@@ -3034,8 +3073,18 @@ object Dml {
         case AddPk(cols) =>
           val liveType = (c: String) =>
             df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-          e.declareKey(table,
-            parseKeyParts(e, table, cols, kind = "pk", liveType).map(_._1))
+          val parts = parseKeyParts(e, table, cols, kind = "pk", liveType)
+          // every pk column must exist on the statement's WORKING frame
+          // — the whole multi-ALTER fails atomically otherwise
+          // (script_queries.go "Multialter DDL with ADD/DROP Primary
+          // Key": add primary key (notacolumn) rolls everything back)
+          parts.map(_._1).foreach { c =>
+            if (!df.columns.exists(_.equalsIgnoreCase(c)))
+              throw new IllegalArgumentException(
+                s"key column '$c' doesn't exist in table " +
+                "(MySQL ErrKeyColumnDoesNotExist)")
+          }
+          e.declareKey(table, parts.map(_._1))
         case AddIndex(uniq, nameOpt, cols) =>
           val liveType = (c: String) =>
             df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
@@ -3424,6 +3473,7 @@ object Dml {
               """(?i)\bAUTO_INCREMENT\b""".r.findFirstIn(spec).isEmpty) {
             e.autoIncCols.remove(table)
             e.autoIncCounter.remove(table)
+            e.autoIncShown.remove(table)
           }
           // MODIFY may re-declare the DEFAULT and reposition the column
           // (column_default_queries.go t22/t23: MODIFY ... DEFAULT (x) FIRST)
@@ -3563,6 +3613,7 @@ object Dml {
         e.replaceTable(n, df, bumpDepth = false)
         e.renameTableMeta(table, n)
         e.spark.catalog.dropTempView(table)
+        e.refreshViews(table)
       case None => e.replaceTable(table, df, bumpDepth = true)
     }
   }

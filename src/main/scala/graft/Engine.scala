@@ -793,6 +793,11 @@ class Engine(val spark: SparkSession) {
   private[graft] val preparedStmts =
     scala.collection.mutable.Map.empty[String, String]
 
+  /** session @var in its stored RENDERED form (a SQL literal — quoted
+    * string / bare number / NULL), for splicing back into statements. */
+  private[graft] def varRendered(name: String): Option[String] =
+    sessionVars.get(name)
+
   /** session @var as raw text (unquoted literal) — PREPARE FROM @v. */
   private[graft] def getVar(name: String): Option[String] =
     sessionVars.get(name).map { v =>
@@ -1125,6 +1130,15 @@ class Engine(val spark: SparkSession) {
       throw new IllegalArgumentException(
         "DECLARE is only allowed inside BEGIN/END blocks " +
         "(MySQL syntax error 1064)")
+    // `fn(*)` with a bare star is invalid for everything except
+    // COUNT(*) (MySQL 1064; Spark would resolve hex(*) by expanding the
+    // star) — script_queries.go "different cases of function name"
+    if (sql.contains("*"))
+      SqlRewrite.starArgFunction(sql).foreach { fn =>
+        throw new IllegalArgumentException(
+          s"Incorrect parameter count in the call to function '$fn' " +
+          "(MySQL error 1582)")
+      }
     // information_schema views are snapshots of the session catalog +
     // declared metadata, so (re)materialize them whenever a statement
     // reads them — the MySQL front door needs no explicit enable call
@@ -1154,7 +1168,8 @@ class Engine(val spark: SparkSession) {
     // DATETIME(p) precision is still visible here) and feed 1292s into
     // the diagnostics area
     val pre0 = SqlRewrite.lenientCastLiterals(
-      SqlRewrite.quotedAliases(applyAnsiQuotes(sql)), warn)
+      SqlRewrite.castBinaryN(
+        SqlRewrite.quotedAliases(applyAnsiQuotes(sql))), warn)
     SqlRewrite.truncateLiteralWarnings(pre0, warn)
     SqlRewrite.strToDateLiteralWarnings(pre0, warn)
     // zero-date literals in date arithmetic -> NULL + 1292
@@ -1459,7 +1474,15 @@ class Engine(val spark: SparkSession) {
       }
       // SQL_CALC_FOUND_ROWS: strip the keyword; FOUND_ROWS() counts the
       // un-limited result (reference sql/iters/top_rows_iters.go:69)
-      val (calcFound, cleaned) = SqlRewrite.stripCalcFoundRows(rewritten)
+      val (calcFound, cleaned0) = SqlRewrite.stripCalcFoundRows(rewritten)
+      // dolt's clustered-scan tie order: TopN over a pk'd table breaks
+      // sort ties by primary key
+      val cleaned1 =
+        if (tableKeys.isEmpty) cleaned0
+        else SqlRewrite.stableTopN(cleaned0,
+          t => tableKeys.get(canonicalTable(t)))
+      // branch-local ORDER BY/LIMIT in parenthesized set-op operands
+      val cleaned = SqlRewrite.setOpBranchWrap(cleaned1)
       val result = attempt(cleaned, 6)
       // session counters, top-level SELECT statements only (reference
       // plan/process.go TrackedRowIter.updateSessionVars): ROW_COUNT()
@@ -1768,7 +1791,56 @@ class Engine(val spark: SparkSession) {
     * view_queries.go:584 — the stored text survives underlying-object
     * changes). */
   private[graft] val viewDefs =
-    scala.collection.mutable.Map.empty[String, String]
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+  /** Declared view column lists (CREATE VIEW v (c1, c2) AS …). */
+  private[graft] val viewCols =
+    scala.collection.mutable.Map.empty[String, Seq[String]]
+  /** Views whose LAST re-resolution failed (underlying table renamed or
+    * dropped): reads error like MySQL's ErrInvalidRefInView until a
+    * catalog change makes the definition valid again. */
+  private[graft] val brokenViews =
+    scala.collection.mutable.Set.empty[String]
+  private var viewRefreshing = false
+
+  /** MySQL views resolve their TEXT at read time; this engine registers
+    * them as analyzed temp views, so every catalog/data change to a
+    * table re-resolves the views that mention it (reference
+    * sql/planbuilder resolves views per statement; script_queries.go
+    * "Querying existing view that references non-existing table"). A
+    * failed re-resolution unregisters the temp view and marks it broken. */
+  private[graft] def refreshViews(touched: String): Unit = {
+    if (viewDefs.isEmpty || viewRefreshing) return
+    viewRefreshing = true
+    try {
+      val tl = touched.toLowerCase
+      val bare = if (tl.contains(".")) tl.substring(tl.indexOf('.') + 1) else tl
+      viewDefs.toSeq.foreach { case (n, sqlText) =>
+        if (!n.equalsIgnoreCase(touched)) {
+          val body = sqlText.toLowerCase
+          val refs =
+            ("\\b" + java.util.regex.Pattern.quote(tl) + "\\b").r
+              .findFirstIn(body).isDefined ||
+            ("\\b" + java.util.regex.Pattern.quote(bare) + "\\b").r
+              .findFirstIn(body).isDefined
+          if (refs || brokenViews.contains(n)) {
+            try {
+              val df0 = query(sqlText)
+              val cols = viewCols.getOrElse(n, Seq.empty)
+              val df = if (cols.isEmpty) df0 else df0.toDF(cols: _*)
+              if (!n.contains(".")) df.createOrReplaceTempView(n)
+              brokenViews.remove(n)
+            } catch {
+              case _: Exception =>
+                brokenViews += n
+                if (!n.contains("."))
+                  try spark.catalog.dropTempView(n)
+                  catch { case _: Throwable => () }
+            }
+          }
+        }
+      }
+    } finally viewRefreshing = false
+  }
 
   /** Relations THIS engine created (tables + views), for MySQL existence
     * semantics (1050 on duplicate CREATE VIEW, IF NOT EXISTS no-op).
@@ -1801,6 +1873,8 @@ class Engine(val spark: SparkSession) {
     val df0 = query(sql)
     val df = if (columns.isEmpty) df0 else df0.toDF(columns: _*)
     viewDefs(name) = sql
+    if (columns.nonEmpty) viewCols(name) = columns
+    brokenViews.remove(name)
     createdRelations += name
     // `SELECT * FROM t` views inherit the source's declared column
     // metadata so DESCRIBE renders varchar(20)/enum shapes, not the
@@ -1896,10 +1970,22 @@ class Engine(val spark: SparkSession) {
       truncateTimePrecision(table,
         coerceAndFill(table, incoming0, fillMissing,
           ignoreMode = ignoreDups || !strictWrites))))
-    // declared JSON columns store MySQL's sorted-key canonical form
+    // declared JSON columns store MySQL's sorted-key canonical form;
+    // malformed documents are MySQL 3140 even under IGNORE — invalid
+    // JSON is never an ignorable coercion (script_queries.go "INSERT
+    // IGNORE throws an error when json is badly formatted")
     jsonCols.toSeq.collect { case (t2, cl) if t2 == table => cl }
       .foreach { cl =>
         coerced.columns.find(_.toLowerCase == cl).foreach { c =>
+          val asStr = coerced(c).cast("string")
+          val bad = coerced.filter(asStr.isNotNull &&
+              !graft.functions.json.jsonValid(asStr))
+            .select(asStr).limit(1).collect()
+          bad.headOption.foreach { r =>
+            throw new IllegalArgumentException(
+              s"Invalid JSON text: '${r.get(0)}' for column '$c' " +
+              "(MySQL error 3140)")
+          }
           coerced = coerced.withColumn(c,
             org.apache.spark.sql.GraftBridge.column(
               graft.functions.json.JsonCanon(
@@ -2028,9 +2114,21 @@ class Engine(val spark: SparkSession) {
     autoIncCols.get(table)
       .filter(c => coerced.columns.exists(_.equalsIgnoreCase(c)))
       .foreach { c =>
+        // decimal agg: an UNSIGNED BIGINT value past Long.MaxValue
+        // (18446744073709551615) must still advance the counter —
+        // the Long counter saturates and the exact value is kept for
+        // the SHOW CREATE render
         val r = coerced.agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col(s"`$c`").cast("long"))).collect()(0)
-        if (!r.isNullAt(0)) autoIncObserve(table, r.getLong(0))
+          org.apache.spark.sql.functions.col(s"`$c`")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .collect()(0)
+        if (!r.isNullAt(0)) {
+          val m = BigDecimal(r.getDecimal(0))
+          if (m > BigDecimal(Long.MaxValue)) {
+            autoIncCounter(table) = Long.MaxValue
+            autoIncShown(table) = m
+          } else autoIncObserve(table, m.toLong)
+        }
       }
     n
   }
@@ -2567,8 +2665,18 @@ class Engine(val spark: SparkSession) {
           val binToStr =
             dt.isInstanceOf[org.apache.spark.sql.types.StringType] &&
               df.schema(c).dataType == org.apache.spark.sql.types.BinaryType
+          // a hex literal (0x…, binary after the dialect pass) written
+          // into a NUMERIC column is the number its bytes spell in
+          // big-endian, like MySQL (script_queries.go "Handle hex
+          // number to binary conversion": 0x7ED0599B into INT)
+          val binToNum =
+            dt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+              df.schema(c).dataType == org.apache.spark.sql.types.BinaryType
           val casted =
-            if (binToStr) {
+            if (binToNum)
+              org.apache.spark.sql.functions.conv(
+                org.apache.spark.sql.functions.hex(df(c)), 16, 10).cast(dt)
+            else if (binToStr) {
               org.apache.spark.sql.GraftBridge.column(
                 graft.functions.expressions.Utf8BinToStr(
                   org.apache.spark.sql.GraftBridge.expression(df(c)),
@@ -2727,6 +2835,12 @@ class Engine(val spark: SparkSession) {
     * Bulk file-backed inserts keep the union/warehouse path. */
   private[graft] def replaceTable(table: String, df0: DataFrame,
                                   bumpDepth: Boolean): Unit = {
+    replaceTableInner(table, df0, bumpDepth)
+    refreshViews(table)
+  }
+
+  private def replaceTableInner(table: String, df0: DataFrame,
+                                bumpDepth: Boolean): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     // dolt tables are CLUSTERED BY PRIMARY KEY: scans iterate in pk
     // order, which LIMIT/OFFSET-without-ORDER-BY and GROUP_CONCAT
@@ -2826,6 +2940,10 @@ class Engine(val spark: SparkSession) {
     * ALTER TABLE ... AUTO_INCREMENT = n. */
   private[graft] val autoIncCounter =
     scala.collection.mutable.Map.empty[String, Long]
+  /** Exact display value when the observed max exceeds Long range
+    * (UNSIGNED BIGINT tops at 2^64-1; the working counter saturates). */
+  private[graft] val autoIncShown =
+    scala.collection.mutable.Map.empty[String, BigDecimal]
 
   /** LAST_INSERT_ID() / ROW_COUNT() session state (reference
     * sql/session.go lastQueryInfo): first auto-generated id of the most
@@ -2869,7 +2987,10 @@ class Engine(val spark: SparkSession) {
   private[graft] def autoIncObserve(table: String, maxSeen: Long): Unit =
     if (autoIncCols.contains(table)) {
       val cur = autoIncCounter.getOrElse(table, 1L)
-      if (maxSeen + 1 > cur) autoIncCounter(table) = maxSeen + 1
+      // saturating: inserting Long.MaxValue must not wrap the counter
+      // (the render caps at the type max anyway)
+      val next = if (maxSeen == Long.MaxValue) Long.MaxValue else maxSeen + 1
+      if (next > cur) autoIncCounter(table) = next
     }
 
   // ---- generated columns + CHECK constraints ----------------------------
@@ -3081,7 +3202,11 @@ class Engine(val spark: SparkSession) {
           // legal but representation-exact matching means a scale
           // mismatch never matches (script_queries.go decimals-with-FK)
           (cf.dataType.isInstanceOf[DecimalType] &&
-            pf.dataType.isInstanceOf[DecimalType])
+            pf.dataType.isInstanceOf[DecimalType]) ||
+          // DATETIME/TIMESTAMP pairs mix freely at CREATE time; a kind
+          // or fractional-precision difference simply never matches
+          // (script_queries.go datetime/timestamps-with-FK, dolt #9544)
+          (isTsKind(cf.dataType) && isTsKind(pf.dataType))
         if (!ok) throw new IllegalArgumentException(
           s"Foreign key '${fk.name}': column '$cc' type " +
           s"${cf.dataType.simpleString} does not match referenced column " +
@@ -3273,9 +3398,14 @@ class Engine(val spark: SparkSession) {
     * dolt's index-encoded matching (script_queries.go decimals-with-FK:
     * child decimal(4,1) 78.9 does NOT match parent decimal(4,2) 78.90).
     * `pcName` is the parent column's renamed name in the joined frame. */
+  private[graft] def isTsKind(dt: org.apache.spark.sql.types.DataType)
+      : Boolean =
+    dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType
+
   private def fkPairEq(fk: ForeignKey, cc: String, pc: String,
       pcName: String): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val (cv, pv) = fkPairVocab(fk, cc, pc)
     if (cv.isDefined || pv.isDefined) fkKeyCol(cc, cv) === fkKeyCol(pcName, pv)
     else {
@@ -3286,6 +3416,14 @@ class Engine(val spark: SparkSession) {
         case (Some(c: org.apache.spark.sql.types.DecimalType),
               Some(p: org.apache.spark.sql.types.DecimalType)) if c != p =>
           col(s"`$cc`").cast("string") === col(s"`$pcName`").cast("string")
+        // temporal FK matching is representation-exact like decimals:
+        // a DATETIME/TIMESTAMP kind or fractional-precision mismatch
+        // never matches (dolt #9544 — child inserts always violate)
+        case (Some(c), Some(p)) if isTsKind(c) && isTsKind(p) &&
+            (c != p ||
+              timePrecisions.getOrElse((fk.child, cc.toLowerCase), 0) !=
+                timePrecisions.getOrElse((fk.parent, pc.toLowerCase), 0)) =>
+          lit(false)
         case _ => col(s"`$cc`") === col(s"`$pcName`")
       }
     }
@@ -4105,15 +4243,24 @@ class Engine(val spark: SparkSession) {
     val present = batch.columns.map(c => c.toLowerCase -> c).toMap
     val checks = target.schema.fields.toSeq.flatMap { f =>
       // a declared UNSIGNED column overrides the storage type's signed
-      // bounds (tinyint unsigned stores as ShortType but caps at 255)
+      // bounds (tinyint unsigned stores as ShortType but caps at 255);
+      // declared MEDIUMINT (24-bit, stored as IntegerType — Spark has
+      // no mediumint) narrows likewise (script_queries.go "int with
+      // auto_increment": 99999999 into mediumint is 1264)
+      val isMediumint = textKindCols.get((table, f.name.toLowerCase))
+        .contains("mediumint")
       val bounds = unsignedBounds.get((table, f.name.toLowerCase))
         .map { case (lo, hi) => (lo, hi) }
+        .orElse(if (isMediumint)
+          Some((BigDecimal(-8388608), BigDecimal(8388607))) else None)
         .orElse(integralBounds(f.dataType).map { case (lo, hi) =>
           (BigDecimal(lo), BigDecimal(hi)) })
       bounds.flatMap { case (lo, hi) =>
         present.get(f.name.toLowerCase).flatMap { name =>
           val src = batch.schema(name).dataType
-          val declared = unsignedBounds.contains((table, f.name.toLowerCase))
+          val declared =
+            unsignedBounds.contains((table, f.name.toLowerCase)) ||
+              isMediumint
           if ((src == f.dataType && !declared) || !isNumericSource(src)) None
           else {
             val asDec = col(s"`$name`").cast(DecimalType(38, 0))
@@ -4491,6 +4638,8 @@ class Engine(val spark: SparkSession) {
           spark.sql(s"DROP VIEW IF EXISTS `$db`.`$t`")
         } else spark.catalog.dropTempView(name)
     }
+    // views naming the dropped relation re-resolve (and break) now
+    refreshViews(name)
   }
 
   /** LOAD DATA INFILE (reference sql/plan/load_data.go:25): delimited-file
@@ -4758,9 +4907,13 @@ class Engine(val spark: SparkSession) {
     * from createdRelations (script_queries.go rename blocks expect
     * newTableName back, not newtablename). */
   def showTables(): Seq[String] =
-    spark.catalog.listTables().collect().map(_.name).toSeq
+    (spark.catalog.listTables().collect().map(_.name).toSeq
       .filterNot(n => infoSchemaViews(n.toLowerCase))
-      .map(canonicalTable).sortBy(_.toLowerCase)
+      .map(canonicalTable) ++
+      // a BROKEN view (underlying table renamed/dropped) has no live
+      // temp view but stays in the catalog listing, like MySQL
+      brokenViews.toSeq.filter(viewDefs.contains))
+      .distinct.sortBy(_.toLowerCase)
 
   /** DESCRIBE t (catalog read). */
   def describe(table: String): Seq[(String, String)] =
@@ -5569,13 +5722,16 @@ class Engine(val spark: SparkSession) {
         // stays AUTO_INCREMENT=127, not 128)
         val cl = c.toLowerCase
         val cap: Option[BigDecimal] =
-          unsignedBounds.get((table, cl)).map(_._2).orElse(
-            spark.table(table).schema.fields
+          unsignedBounds.get((table, cl)).map(_._2)
+            .orElse(if (textKindCols.get((table, cl)).contains("mediumint"))
+              Some(BigDecimal(8388607)) else None)
+            .orElse(spark.table(table).schema.fields
               .find(_.name.equalsIgnoreCase(c))
               .flatMap(f => integralBounds(f.dataType))
               .map(b => BigDecimal(b._2)))
-        val shown = cap.filter(_ < BigDecimal(n))
-          .map(_.toBigInt.toString).getOrElse(n.toString)
+        val raw = autoIncShown.getOrElse(table, BigDecimal(n))
+        val shown = cap.filter(_ < raw)
+          .map(_.toBigInt.toString).getOrElse(raw.toBigInt.toString)
         s" AUTO_INCREMENT=$shown"
       }.getOrElse("")
     val cs = tableCharsets.getOrElse(table, "utf8mb4")
@@ -5599,7 +5755,18 @@ class Engine(val spark: SparkSession) {
       s"'${t.substring(1, t.length - 1).replace("''", "'").replace("'", "''")}'"
     else if (t.matches("(?i)^(?:CURRENT_TIMESTAMP|NOW)\\s*(\\(\\s*\\d*\\s*\\))?$"))
       "CURRENT_TIMESTAMP"
-    else if (t.startsWith("(") && t.endsWith(")")) s"($t)"
+    else if (t.startsWith("(") && t.endsWith(")")) {
+      // the reference renders ONE outer paren pair; a parenthesized
+      // bare literal stays single-wrapped (`default (1)` → DEFAULT (1),
+      // not ((1)) — script_queries.go "enums with default values"),
+      // while expression bodies keep their own inner parens
+      val inner = t.substring(1, t.length - 1).trim
+      val litBody = inner.matches("^-?\\d+(\\.\\d+)?$") ||
+        (inner.length >= 2 && inner.startsWith("'") &&
+          inner.endsWith("'") &&
+          !inner.substring(1, inner.length - 1).contains("'"))
+      if (litBody) t else s"($t)"
+    }
     else s"($t)"
   }
 

@@ -1748,6 +1748,7 @@ object SqlRewrite {
         if (close + 1 < toks.length && toks(close + 1).isWord("union")) {
           // trailing ORDER BY/LIMIT inside the parens at inner depth
           var tailStart = -1
+          var sawInnerSetOp = false
           var j = k + 1
           while (j < close) {
             if (depth(j) == 1 && toks(j).kind == Word) {
@@ -1755,11 +1756,18 @@ object SqlRewrite {
               if (w == "order" && j + 1 < close && toks(j + 1).isWord("by") &&
                   tailStart < 0) tailStart = j
               else if (w == "limit" && tailStart < 0) tailStart = j
-              else if (Set("union", "intersect", "except")(w)) tailStart = -1
+              else if (Set("union", "intersect", "except")(w)) {
+                tailStart = -1; sawInnerSetOp = true
+              }
             }
             j += 1
           }
-          if (tailStart > 0) {
+          // the reference hoists ONLY when the paren group itself holds
+          // a set operation (`(A union B order by … limit n) union C` —
+          // the vitess parse artifact). A parenthesized SINGLE select's
+          // tail stays branch-local (script_queries.go "topN stable
+          // output": `(select … limit 1 offset 1) union (… offset 2)`).
+          if (tailStart > 0 && sawInnerSetOp) {
             val tail = sql.substring(toks(tailStart).start,
               toks(close - 1).end)
             val stmtEnd = sql.replaceAll("[;\\s]+$", "").length
@@ -3465,6 +3473,213 @@ object SqlRewrite {
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
+  /** `CAST(x AS BINARY(n))` — MySQL pads/truncates to n bytes; Spark
+    * has no parameterized BINARY cast (UNSUPPORTED_DATATYPE). Rewrite to
+    * `rpad(CAST(x AS BINARY), n, X'00')` (script_queries.go "binary
+    * type primary key"). */
+  def castBinaryN(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i + 1 < toks.length) {
+      if (toks(i).isWord("cast") && toks(i + 1).text == "(") {
+        val close = closeParenFor(toks, i + 1)
+        if (close > 0) {
+          // trailing `AS BINARY ( n )` just before the close
+          val isShape = close >= 5 &&
+            toks(close - 1).text == ")" &&
+            toks(close - 2).kind == Word &&
+            toks(close - 2).text.forall(_.isDigit) &&
+            toks(close - 3).text == "(" &&
+            toks(close - 4).isWord("binary") &&
+            toks(close - 5).isWord("as")
+          if (isShape) {
+            val n = toks(close - 2).text
+            patches += ((toks(i).start, toks(i).start, "rpad("))
+            patches += ((toks(close - 3).start, toks(close - 1).end, ""))
+            patches += ((toks(close).end, toks(close).end, s", $n, X'00')"))
+          } else {
+            // CAST(x AS CHAR(n)) truncates to n characters in MySQL;
+            // Spark's char(n) cast keeps the full string
+            val isChar = close >= 5 &&
+              toks(close - 1).text == ")" &&
+              toks(close - 2).kind == Word &&
+              toks(close - 2).text.forall(_.isDigit) &&
+              toks(close - 3).text == "(" &&
+              toks(close - 4).isWord("char") &&
+              toks(close - 5).isWord("as")
+            if (isChar) {
+              val n = toks(close - 2).text
+              patches += ((toks(i).start, toks(i).start, "substr("))
+              patches += ((toks(close - 3).start, toks(close - 1).end, ""))
+              patches += ((toks(close).end, toks(close).end, s", 1, $n)"))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** A parenthesized set-op OPERAND carrying its own ORDER BY / LIMIT —
+    * `(select … limit 1 offset 1) union (select … limit 1 offset 2)` —
+    * keeps those clauses branch-local in MySQL; Spark folds the second
+    * branch's tail into the whole union. Wrap such operands as derived
+    * tables: `(select * from ( … ) __graft_bN)`. */
+  def setOpBranchWrap(sql: String): String = {
+    val toks = tokenize(sql)
+    var d = 0
+    var hasOp = false
+    toks.foreach { t =>
+      t.text match {
+        case "(" => d += 1
+        case ")" => d -= 1
+        case _ if d == 0 && (t.isWord("union") || t.isWord("intersect") ||
+            t.isWord("except")) => hasOp = true
+        case _ =>
+      }
+    }
+    if (!hasOp) return sql
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    d = 0
+    var k = 0
+    while (i < toks.length) {
+      toks(i).text match {
+        case "(" if d == 0 =>
+          val prevOk = i == 0 || {
+            val p = toks(i - 1)
+            p.isWord("union") || p.isWord("intersect") ||
+              p.isWord("except") || p.isWord("all") || p.isWord("distinct")
+          }
+          val close = closeParenFor(toks, i)
+          if (prevOk && close > 0) {
+            var dd = 0
+            var hasTail = false
+            var j = i + 1
+            while (j < close) {
+              toks(j).text match {
+                case "(" => dd += 1
+                case ")" => dd -= 1
+                case _ if dd == 0 && (toks(j).isWord("limit") ||
+                    toks(j).isWord("order")) => hasTail = true
+                case _ =>
+              }
+              j += 1
+            }
+            if (hasTail && i + 1 < toks.length &&
+                toks(i + 1).isWord("select")) {
+              k += 1
+              patches += ((toks(i).end, toks(i).end, " SELECT * FROM ( "))
+              patches += ((toks(close).start, toks(close).start,
+                s" ) __graft_b$k "))
+            }
+            i = close // skip the whole balanced operand
+          } else d += 1
+        case "(" => d += 1
+        case ")" => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** Dolt iterates tables in CLUSTERED (primary key) order, so a TopN
+    * over tying sort keys returns the pk-smallest rows
+    * (script_queries.go "topN stable output": `order by y limit 1` over
+    * all-tied y picks pk 1). Spark's TakeOrdered breaks ties
+    * arbitrarily — append the single FROM table's pk as a trailing
+    * tiebreaker to every ORDER BY + LIMIT select block (plain
+    * single-table blocks only: no JOIN/GROUP/DISTINCT in the block). */
+  def stableTopN(sql: String,
+                 pkOf: String => Option[Seq[String]]): String = {
+    val toks = tokenize(sql)
+    if (!toks.exists(_.isWord("limit"))) return sql
+    // depth per token
+    val depths = new Array[Int](toks.length)
+    var d = 0
+    toks.indices.foreach { i =>
+      toks(i).text match {
+        case "(" => d += 1; depths(i) = d
+        case ")" => depths(i) = d; d -= 1
+        case _ => depths(i) = d
+      }
+    }
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("select")) {
+        val bd = depths(i)
+        // scan this block: same depth until closing paren / set op / end
+        var j = i + 1
+        var fromAt = -1; var orderAt = -1; var limitAt = -1
+        var tbl: Option[String] = None
+        var blocked = false
+        var end = toks.length
+        while (j < toks.length && end == toks.length) {
+          val t = toks(j)
+          if (t.text == ")" && depths(j) <= bd) end = j
+          else if (depths(j) == bd) {
+            if (t.isWord("union") || t.isWord("intersect") ||
+                t.isWord("except") || t.isWord("select")) end = j
+            else if (t.isWord("join") || t.isWord("group") ||
+                     t.isWord("distinct") || t.isWord("having")) blocked = true
+            else if (t.text == "," && fromAt > 0 && orderAt < 0)
+              blocked = true // comma join
+            else if (t.isWord("from") && fromAt < 0) {
+              fromAt = j
+              if (j + 1 < toks.length && toks(j + 1).kind == Word &&
+                  !toks(j + 1).text.contains("."))
+                tbl = Some(toks(j + 1).text)
+            }
+            else if (t.isWord("order") && j + 1 < toks.length &&
+                     toks(j + 1).isWord("by")) orderAt = j
+            else if (t.isWord("limit")) limitAt = j
+          }
+          j += 1
+        }
+        // a comma in the select list is fine; one between FROM and ORDER
+        // would be a comma-join — `blocked` above covers post-FROM only
+        if (!blocked && fromAt > 0 && orderAt > 0 && limitAt > orderAt) {
+          tbl.flatMap(t => pkOf(t)).filter(_.nonEmpty).foreach { pk =>
+            // the ORDER BY key list ends at LIMIT (same block)
+            val keysEnd = toks(limitAt).start
+            val keysTxt = sql.substring(toks(orderAt + 2).start, keysEnd)
+            val missing = pk.filterNot(c =>
+              ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+                .findFirstIn(keysTxt).isDefined)
+            if (missing.nonEmpty)
+              patches += ((keysEnd, keysEnd,
+                missing.mkString(", `", "`, `", "` ")))
+          }
+        }
+        // continue scanning AFTER this select keyword (nested selects
+        // get their own pass)
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** A function call with a bare `*` argument — `hex(*)` — is MySQL
+    * 1064/1582 for everything except COUNT(*) (reference planbuilder;
+    * script_queries.go "different cases of function name"). Returns the
+    * offending function name. */
+  def starArgFunction(sql: String): Option[String] = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i + 3 < toks.length) {
+      if (toks(i).kind == Word && !toks(i).isWord("count") &&
+          toks(i + 1).text == "(" && toks(i + 2).text == "*" &&
+          toks(i + 3).text == ")")
+        return Some(toks(i).text)
+      i += 1
+    }
+    None
+  }
+
   /** SELECT … INTO targets (reference sql/plan/into.go). */
   sealed trait IntoTarget
   final case class IntoVars(names: Seq[String]) extends IntoTarget
@@ -3597,14 +3812,26 @@ object SqlRewrite {
     var depth = 0
     // depth -> scope id active at that depth
     val scopeAtDepth = scala.collection.mutable.Map.empty[Int, Int]
+    // depth -> the paren at that depth is a JOIN GROUPING (preceded by
+    // FROM/JOIN/comma or another transparent paren), so names inside it
+    // belong to the ENCLOSING select scope. Parens opened by a function
+    // call — EXTRACT(YEAR FROM d), SUBSTRING(s FROM n), TRIM(x FROM s)
+    // — are opaque: a FROM inside them never registers a table.
+    val transparentAt = scala.collection.mutable.Map.empty[Int, Boolean]
     var i = 0
     var inFromScope = -1
     while (i < toks.length) {
       val t = toks(i)
       t.text match {
-        case "(" => depth += 1
+        case "(" =>
+          val prev = if (i > 0) Some(toks(i - 1)) else None
+          depth += 1
+          transparentAt(depth) = prev.exists(p =>
+            p.isWord("from") || p.isWord("join") || p.text == "," ||
+              (p.text == "(" && transparentAt.getOrElse(depth - 1, false)))
         case ")" =>
           scopeAtDepth.remove(depth)
+          transparentAt.remove(depth)
           depth -= 1
         case _ if t.isWord("select") =>
           scopeAtDepth(depth) = { nextScope += 1; nextScope }
@@ -3613,12 +3840,12 @@ object SqlRewrite {
           var k = i + 1
           while (k < toks.length && (toks(k).text == "(" ||
                  toks(k).isWord("lateral"))) k += 1
-          // Only a FROM/JOIN whose own paren depth hosts a SELECT is a
-          // table factor. A FROM inside a function call — EXTRACT(YEAR
-          // FROM d), SUBSTRING(s FROM n), TRIM(x FROM s) — sits one
-          // paren deeper than its SELECT and must not register a name
-          // (two such calls on the same operand are NOT error 1066).
-          if (scopeAtDepth.contains(depth) &&
+          // effective scope depth: drop through transparent (join
+          // grouping) parens to the enclosing select's depth
+          var ed = depth
+          while (ed > 0 && !scopeAtDepth.contains(ed) &&
+                 transparentAt.getOrElse(ed, false)) ed -= 1
+          if (scopeAtDepth.contains(ed) &&
               k < toks.length && toks(k).kind == Word &&
               !toks(k).isWord("select") &&
               !toks(k).text.contains(".") && // qualified: rare, skip
@@ -3631,8 +3858,8 @@ object SqlRewrite {
                 (toks(k + 1).kind == Word &&
                  !notAlias(toks(k + 1).text.toLowerCase)))
             if (!hasAlias && !isCall) {
-              // the SELECT scope at this exact depth (guarded above)
-              val sc = scopeAtDepth(depth)
+              // the SELECT scope at the effective depth (guarded above)
+              val sc = scopeAtDepth(ed)
               val set = names.getOrElseUpdate(sc,
                 scala.collection.mutable.Set.empty[String])
               val n = toks(k).text.toLowerCase

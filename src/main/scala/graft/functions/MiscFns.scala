@@ -434,6 +434,25 @@ object MiscFns {
     // swap=1 follows MySQL 8's time-swap layout — UuidFns is the Column
     // twin of these templates)
     "uuid_to_bin" -> (es => {
+      // a literal that cannot be a UUID errors at once (reference
+      // uuid.go ErrUuidUnableToParse — `UUID_TO_BIN(123)`); string
+      // literals validate their shape, non-string non-null literals
+      // can never parse
+      es.head match {
+        case Literal(null, _) =>
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+          val bare = u.toString.toLowerCase
+            .replace("-", "").replace("{", "").replace("}", "")
+          if (!bare.matches("[0-9a-f]{32}"))
+            throw new IllegalArgumentException(
+              s"Invalid argument to uuid_to_bin: '$u' cannot parse as " +
+              "UUID (MySQL ErrUuidUnableToParse)")
+        case Literal(v, _) =>
+          throw new IllegalArgumentException(
+            s"Invalid argument to uuid_to_bin: '$v' cannot parse as " +
+            "UUID (MySQL ErrUuidUnableToParse)")
+        case _ =>
+      }
       val h = "lower(replace(__arg0, '-', ''))"
       val sql =
         if (es.length > 1)
@@ -445,6 +464,18 @@ object MiscFns {
       tmpl(sql)(es)
     }),
     "bin_to_uuid" -> (es => {
+      // numeric literals can never be a 16-byte binary UUID (reference
+      // uuid.go ErrUuidUnableToParse — `BIN_TO_UUID(123)`); strings and
+      // binaries pass through byte-wise
+      es.head match {
+        case Literal(v, t)
+            if v != null && t.isInstanceOf[
+              org.apache.spark.sql.types.NumericType] =>
+          throw new IllegalArgumentException(
+            s"Invalid argument to bin_to_uuid: '$v' cannot parse as " +
+            "UUID (MySQL ErrUuidUnableToParse)")
+        case _ =>
+      }
       val h0 = "lower(hex(__arg0))"
       def fmt(h: String) =
         s"""concat_ws('-', substring($h,1,8), substring($h,9,4),
@@ -526,6 +557,15 @@ object MiscFns {
     // rewriter consumes the in-context form before Spark sees it)
     "values" -> (_ => Literal.create(null,
       org.apache.spark.sql.types.NullType)),
+    // MySQL's STD/STDDEV/VARIANCE are the POPULATION forms (reference
+    // sql/expression/function/aggregation — STDDEV aliases STDDEV_POP);
+    // Spark's stddev/variance are the SAMPLE forms, so the names remap
+    "std" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.StddevPop(es.head)),
+    "stddev" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.StddevPop(es.head)),
+    "variance" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.VariancePop(es.head)),
     "row_count" -> tmpl("CAST(-1 AS BIGINT)"),
     "last_insert_id" -> tmpl("CAST(0 AS BIGINT)"),
     "last_insert_uuid" -> tmpl("CAST(NULL AS STRING)"),

@@ -101,11 +101,21 @@ object expressions {
           else if ((x & 0xf8) == 0xf0) 4
           else return i
         if (i + n > b.length) return i
+        var cp = x & (if (n == 1) 0x7f else if (n == 2) 0x1f
+                      else if (n == 3) 0x0f else 0x07)
         var j = 1
         while (j < n) {
           if ((b(i + j) & 0xc0) != 0x80) return i
+          cp = (cp << 6) | (b(i + j) & 0x3f)
           j += 1
         }
+        // utf8mb4 rejects overlong encodings (C0 80, E0 80 80,
+        // F0 80 80 80), CESU-8 surrogates (ED A0 80 … ED BF BF) and
+        // code points past U+10FFFF (F4 90 80 80) — script_queries.go
+        // "charset validation edge cases"
+        if ((n == 2 && cp < 0x80) || (n == 3 && cp < 0x800) ||
+            (n == 4 && (cp < 0x10000 || cp > 0x10ffff)) ||
+            (cp >= 0xd800 && cp <= 0xdfff)) return i
         i += n
       }
       b.length

@@ -179,6 +179,26 @@ object RecursiveSql {
     if (anchorTerms.isEmpty)
       throw new IllegalArgumentException(
         s"recursive CTE ${b.name} has no anchor term")
+    // the self-referencing member must be a direct UNION arm: MySQL 8's
+    // tighter-binding INTERSECT/EXCEPT around it is rejected (reference
+    // ErrRecursiveCTENotUnion — script_queries.go "intersection and
+    // except tests"); INTERSECT inside an ANCHOR term stays legal
+    recTerms.foreach { t =>
+      val toks = graft.SqlRewrite.tokenize(t)
+      var d = 0
+      toks.foreach { tk =>
+        tk.text match {
+          case "(" => d += 1
+          case ")" => d -= 1
+          case _ if d == 0 &&
+              (tk.isWord("intersect") || tk.isWord("except")) =>
+            throw new IllegalArgumentException(
+              "recursive Common Table Expression should contain union " +
+              "(MySQL ErrRecursiveCTENotUnion)")
+          case _ => ()
+        }
+      }
+    }
 
     val seedSql = anchorTerms.map(t => s"($t)").mkString(" UNION ALL ")
     var seed = spark.sql(seedSql)

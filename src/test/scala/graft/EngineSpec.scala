@@ -20,7 +20,12 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT 1 -- trailing\nFROM t")
   }
   test("STRAIGHT_JOIN and SQL_CALC_FOUND_ROWS handled") {
+    // SQL_CALC_FOUND_ROWS survives the dialect pass — the query path
+    // strips it and captures the un-LIMITed twin for FOUND_ROWS()
     assert(Dialect.rewrite("SELECT SQL_CALC_FOUND_ROWS a FROM t STRAIGHT_JOIN u")
+      .replaceAll("\\s+", " ").trim == "SELECT SQL_CALC_FOUND_ROWS a FROM t JOIN u")
+    assert(SqlRewrite.stripCalcFoundRows(
+      "SELECT SQL_CALC_FOUND_ROWS a FROM t JOIN u")._2
       .replaceAll("\\s+", " ").trim == "SELECT a FROM t JOIN u")
   }
   test("escaped quotes inside literals survive") {
