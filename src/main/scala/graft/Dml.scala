@@ -156,8 +156,10 @@ object Dml {
   // PREPARE name FROM 'sql' / EXECUTE name [USING @a, ...] / DEALLOCATE
   // (reference sql/plan/prepare.go:181 — the SQL-text prepared surface;
   // Engine.queryPrepared is the API twin)
+  // single- OR double-quoted statement text (script_queries.go
+  // last_insert_uuid block: prepare stmt1 from "insert into …")
   private val PrepareStmt =
-    """(?is)^\s*PREPARE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+FROM\s+'((?:[^'\\]|\\.|'')*)'\s*$""".r
+    """(?is)^\s*PREPARE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+FROM\s+('(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*")\s*$""".r
   private val PrepareFromVar =
     """(?is)^\s*PREPARE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+FROM\s+@([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
   private val ExecuteStmt =
@@ -1223,10 +1225,14 @@ object Dml {
       }
       Some(ok(e, 0L))
 
-    case PrepareStmt(name, body) =>
+    case PrepareStmt(name, quoted) =>
       // the statement text is stored verbatim (MySQL keeps the source;
-      // '' and \' unescape to the literal text)
-      e.preparedStmts(name) = body.replace("''", "'").replace("\\'", "'")
+      // quote doubling and backslash escapes unescape to literal text)
+      val body = quoted.substring(1, quoted.length - 1)
+      e.preparedStmts(name) =
+        if (quoted.startsWith("\""))
+          body.replace("\"\"", "\"").replace("\\\"", "\"")
+        else body.replace("''", "'").replace("\\'", "'")
       Some(ok(e, 0L))
 
     case PrepareFromVar(name, varName) =>
@@ -3726,7 +3732,8 @@ object Dml {
       // MySQL without a column list is POSITIONAL: rename the source
       // columns to the full target schema
       val src = run(
-        valuesDefaults(e, table, target.columns.toIndexedSeq, body),
+        preGenUuids(e, table, target.columns.toIndexedSeq,
+          valuesDefaults(e, table, target.columns.toIndexedSeq, body)),
         identity)
       require(src.columns.length == target.columns.length,
         s"Column count doesn't match value count (${src.columns.length} " +
@@ -3743,10 +3750,54 @@ object Dml {
           s"Unknown column '$bad' in 'field list' (MySQL error 1054)")
       }
       if (body.trim.toUpperCase.startsWith("VALUES"))
-        run(valuesDefaults(e, table, names, body.trim),
+        run(preGenUuids(e, table, names,
+            valuesDefaults(e, table, names, body.trim)),
           v => s"SELECT * FROM ( $v ) AS __ins ${colList.trim}")
       else e.query(body).toDF(names: _*)
     }
+  }
+
+  /** Pre-evaluate `UUID()` calls at PRIMARY-KEY positions of a VALUES
+    * body: each becomes a literal generated driver-side, and the FIRST
+    * one becomes LAST_INSERT_UUID() (reference uuid.go auto-uuid
+    * tracking; script_queries.go "last_insert_uuid() behavior" — only
+    * pk-column generation updates the session value). DEFAULT tuples
+    * were already substituted with the declared default text, so a
+    * `default (UUID())` pk arrives here as an explicit UUID() call. */
+  private def preGenUuids(e: Engine, table: String, cols: Seq[String],
+                          values: String): String = {
+    val pk = e.tableKeys.getOrElse(table, Seq.empty).map(_.toLowerCase).toSet
+    if (pk.isEmpty || !values.trim.toUpperCase.startsWith("VALUES") ||
+        """(?i)\buuid\s*\(\s*\)""".r.findFirstIn(values).isEmpty)
+      return values
+    val pkPos = cols.zipWithIndex.collect {
+      case (c, i) if pk(c.toLowerCase) => i
+    }.toSet
+    if (pkPos.isEmpty) return values
+    val tuples = splitTop(values.trim.substring("VALUES".length))
+    var first: Option[String] = None
+    var any = false
+    val rebuilt = tuples.map { tup =>
+      val inner = tup.trim.stripPrefix("(").stripSuffix(")")
+      splitTop(inner).zipWithIndex.map { case (it, i) =>
+        if (!pkPos.contains(i)) it
+        else {
+          var out = it
+          var m = """(?i)\buuid\s*\(\s*\)""".r.findFirstMatchIn(out)
+          while (m.isDefined) {
+            val u = java.util.UUID.randomUUID().toString
+            if (first.isEmpty) first = Some(u)
+            any = true
+            out = out.substring(0, m.get.start) + s"'$u'" +
+              out.substring(m.get.end)
+            m = """(?i)\buuid\s*\(\s*\)""".r.findFirstMatchIn(out)
+          }
+          out
+        }
+      }.mkString("(", ", ", ")")
+    }
+    first.foreach(u => e.lastInsertUuidVal = u)
+    if (!any) values else "VALUES " + rebuilt.mkString(", ")
   }
 
   /** Keep the LAST row per key inside one incoming batch (statement

@@ -468,6 +468,8 @@ class Engine(val spark: SparkSession) {
     // found_rows() is actually called.
     reg.createOrReplaceTempFunction("found_rows",
       _ => Literal(foundRowsNow()), "scala_udf")
+    reg.createOrReplaceTempFunction("last_insert_uuid",
+      _ => Literal(lastInsertUuidVal), "scala_udf")
     // VALIDATE_PASSWORD_STRENGTH (reference sql/expression/function/
     // hash.go:526): 0/25/50/75/100 ladder against the session-effective
     // validate_password.* component variables. Literal passwords only —
@@ -2106,6 +2108,28 @@ class Engine(val spark: SparkSession) {
       enforcePkUnique(table, coerced, target)
       enforceUniqueExprs(table, coerced, target)
     }
+    // LAST_INSERT_UUID(): a pk column absent from the batch and FILLED
+    // from a uuid-bearing declared default generated a fresh UUID per
+    // row — record the first (explicit UUID() calls in VALUES were
+    // pre-generated at the text layer, Dml.preGenUuids)
+    tableKeys.getOrElse(table, Seq.empty).find { pk =>
+      !incoming0.columns.exists(_.equalsIgnoreCase(pk)) &&
+        columnDefaults.get((table, pk.toLowerCase)).exists(d =>
+          """(?i)\buuid\s*\(\s*\)""".r.findFirstIn(d).isDefined)
+    }.foreach { pk =>
+      val d = columnDefaults((table, pk.toLowerCase))
+      val swap = """(?i)uuid_to_bin\s*\(.*,\s*(1|true)\s*\)""".r
+        .findFirstIn(d).isDefined
+      coerced.select(col(s"`$pk`")).limit(1).collect().headOption
+        .foreach { r =>
+          r.get(0) match {
+            case s: String if s.nonEmpty => lastInsertUuidVal = s
+            case b: Array[Byte] if b.length == 16 =>
+              lastInsertUuidVal = bytesToUuid(b, swap)
+            case _ =>
+          }
+        }
+    }
     val n = coerced.count()
     val unioned = target.unionByName(coerced, allowMissingColumns = fillMissing)
     replaceTable(table, unioned, bumpDepth = true)
@@ -2950,6 +2974,10 @@ class Engine(val spark: SparkSession) {
     * recent generating INSERT; rows affected by the last DML. */
   private[graft] var lastInsertIdVal: Long = 0L
   private[graft] var rowCountVal: Long = -1L
+  /** LAST_INSERT_UUID() — the first UUID generated into a PRIMARY KEY
+    * column by the most recent generating INSERT (reference uuid.go;
+    * initial value is the empty string). */
+  private[graft] var lastInsertUuidVal: String = ""
 
   /** FOUND_ROWS() session state (reference sql/session.go lastQueryInfo
     * FoundRows; initialized to 1 like session.go:273). A SELECT captures
@@ -2982,6 +3010,18 @@ class Engine(val spark: SparkSession) {
         if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
       } catch { case _: Exception => 1L }
     })
+
+  /** 16 stored UUID bytes back to the canonical string; `swap` undoes
+    * UUID_TO_BIN(…, 1)'s time-part swap (reference uuidfuncs.go). */
+  private def bytesToUuid(b: Array[Byte], swap: Boolean): String = {
+    val hex = b.map(x => f"$x%02x").mkString
+    val h =
+      if (swap) hex.substring(8, 16) + hex.substring(4, 8) +
+        hex.substring(0, 4) + hex.substring(16)
+      else hex
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20)}"
+  }
 
   /** Advance the counter past an observed inserted value. */
   private[graft] def autoIncObserve(table: String, maxSeen: Long): Unit =
@@ -4463,8 +4503,16 @@ class Engine(val spark: SparkSession) {
     * Trailing spaces are deleted from member values (set.go:79). */
   def declareSet(table: String, column: String, values: Seq[String],
                  ci: Boolean = false): Unit = {
-    columnVocab((table, column.toLowerCase)) =
-      (true, values.map(_.replaceAll(" +$", "")))
+    val vs = values.map(_.replaceAll(" +$", ""))
+    // duplicate members are rejected at declaration (set.go
+    // ErrDuplicateEntrySet; case-insensitive collations compare folded)
+    val keys = if (ci) vs.map(_.toLowerCase) else vs
+    keys.diff(keys.distinct).headOption.foreach { d =>
+      throw new IllegalArgumentException(
+        s"Duplicate entry '$d' in SET definition of column '$column' " +
+        "(MySQL ErrDuplicateEntrySet)")
+    }
+    columnVocab((table, column.toLowerCase)) = (true, vs)
     if (ci) vocabCi += ((table, column.toLowerCase))
     else vocabCi -= ((table, column.toLowerCase))
   }
@@ -4566,9 +4614,23 @@ class Engine(val spark: SparkSession) {
           if (ci) array_join(
             transform(split(cp, ","), el => vocabCanonical(el, vocab)), ",")
           else cp
+        // MySQL normalizes SET text on write: duplicates drop and the
+        // surviving members order by DECLARATION position
+        // (script_queries.go "set with duplicates":
+        // 'a,b,a,c,a,b,b,b,c,c,c,a,a' stores 'a,b,c'). Unknown members
+        // keep the raw text so validateVocab's 1265 still fires.
+        val partsCanon = split(
+          if (ci) array_join(
+            transform(split(cp, ","), el => vocabCanonical(el, vocab)), ",")
+          else cp, ",")
+        val allMembers = forall(partsCanon,
+          el => array_contains(vocabArr, el) || el === lit(""))
+        val normalized = array_join(
+          filter(vocabArr, m => array_contains(partsCanon, m)), ",")
         d.withColumn(name,
           when(c.isNull || cp === lit(""), c)
             .when(isMask, decoded)
+            .when(allMembers, normalized)
             .otherwise(canonical)
             .cast(dt))
       case (d, _) => d
@@ -5490,12 +5552,27 @@ class Engine(val spark: SparkSession) {
         else if (generatedCols.exists(g =>
           g._1 == table && g._2.equalsIgnoreCase(f.name))) "STORED GENERATED"
         else ""
+      // expression defaults render re-parsed with backticked identifiers
+      // and mark Extra DEFAULT_GENERATED (show.go — script_queries.go
+      // "Describe with expressions": DEFAULT (pk * 2) shows
+      // ((`pk` * 2)) / DEFAULT_GENERATED)
+      val (defOut, exprDefault) = columnDefaults.get((table, lc)) match {
+        case Some(d) if d.trim.startsWith("(") && d.trim.endsWith(")") =>
+          val rendered =
+            try "(" + backtickIdents(org.apache.spark.sql.catalyst
+              .parser.CatalystSqlParser.parseExpression(d.trim).sql) + ")"
+            catch { case _: Exception => "(" + d.trim + ")" }
+          (Some(rendered), true)
+        case other => (other, false)
+      }
+      val extra2 = if (extra.isEmpty && exprDefault) "DEFAULT_GENERATED"
+                   else extra
       // nullability is the DECLARED state (notNullCols / PK), not the
       // physical frame's nullable flag — an expression-default fill can
       // make the stored frame nullable while the column stays NOT NULL
       val notNull = !f.nullable || notNullCols((table, lc)) || pk(lc)
       (f.name, renderColumnType(table, f), if (notNull) "NO" else "YES", key,
-        columnDefaults.get((table, lc)), extra)
+        defOut, extra2)
     }
   }
 
@@ -5742,6 +5819,43 @@ class Engine(val spark: SparkSession) {
       s" ENGINE=InnoDB$aiOpt DEFAULT CHARSET=$cs COLLATE=$coll$cmt"
   }
 
+  /** Backtick bare column identifiers in a rendered default expression
+    * (dolt prints `(`pk` * 2)`; Catalyst's .sql leaves attrs bare).
+    * Words followed by '(' are function names; keywords/literals stay. */
+  private[graft] def backtickIdents(s: String): String = {
+    val kw = Set("and", "or", "not", "case", "when", "then", "else", "end",
+      "null", "true", "false", "interval", "as", "is", "in", "like", "div",
+      "mod", "between", "current_timestamp", "current_date", "signed",
+      "unsigned")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val q = c
+        val st = i; i += 1
+        while (i < s.length && s.charAt(i) != q) i += 1
+        i = math.min(i + 1, s.length)
+        sb.append(s.substring(st, i))
+      } else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < s.length &&
+               (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        val w = s.substring(st, i)
+        var j = i
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        val isFn = j < s.length && s.charAt(j) == '('
+        if (isFn || kw(w.toLowerCase)) sb.append(w)
+        else sb.append('`').append(w).append('`')
+      } else if (c == ',') {
+        // dolt prints function arguments comma-tight: coalesce(`a`,10)
+        sb.append(c); i += 1
+        while (i < s.length && s.charAt(i) == ' ') i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** DEFAULT clause catalog rendering: literals quote ('100', 'abc'),
     * NULL stays bare, CURRENT_TIMESTAMP keeps its keyword form, any
     * other expression parenthesizes — matching the reference's
@@ -5765,7 +5879,15 @@ class Engine(val spark: SparkSession) {
         (inner.length >= 2 && inner.startsWith("'") &&
           inner.endsWith("'") &&
           !inner.substring(1, inner.length - 1).contains("'"))
-      if (litBody) t else s"($t)"
+      if (litBody) t
+      else
+        // expression bodies re-render with backticked identifiers
+        // (show.go: DEFAULT ((`v2` + 1)))
+        // ONE added wrap: self-parenthesizing exprs (binary ops) come
+        // out double, function calls single — dolt's display
+        try "(" + backtickIdents(org.apache.spark.sql.catalyst.parser
+          .CatalystSqlParser.parseExpression(t).sql) + ")"
+        catch { case _: Exception => s"($t)" }
     }
     else s"($t)"
   }

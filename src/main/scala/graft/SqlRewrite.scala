@@ -2826,12 +2826,19 @@ object SqlRewrite {
     val eqOps = Set("=", "!=", "<>")
     def numLit(t: Tok): Boolean =
       t.kind == Word && t.text.matches("\\d+")
+    // a SELECT statement has no assignment contexts, so select-list
+    // positions (after `,` / SELECT) are comparison contexts too
+    // (script_queries.go "enum conversion with system variables":
+    // `select e, @@autocommit, e = @@autocommit …` compares the index)
+    val selectStmt = toks.headOption.exists(t =>
+      t.isWord("select") || t.isWord("with") || t.text == "(")
     def predicateCtx(identIdx: Int): Boolean =
       identIdx == 0 || {
         val p = toks(identIdx - 1)
         (p.kind == Sym && (p.text == "(" )) ||
           Seq("where", "and", "or", "on", "not", "having", "when",
-            "then", "else").exists(p.isWord)
+            "then", "else").exists(p.isWord) ||
+          (selectStmt && (p.text == "," || p.isWord("select")))
       }
     i = 1
     while (i + 1 < toks.length) {
@@ -2873,6 +2880,35 @@ object SqlRewrite {
                 }
               case _ =>
             }
+        }
+      }
+      i += 1
+    }
+    // ---- `<vocab-ident> +|-|*|/ <number>` (and the mirror): arithmetic
+    //      uses the ordinal / bitmask numeric value (set.go `s + 0`
+    //      over SET('a','b','c') = 7; enum.go `e + 0` = index)
+    val arithOps = Set("+", "-", "*", "/")
+    def numericTok(x: Tok) =
+      x.kind == Word && x.text.matches("\\d+(\\.\\d+)?")
+    i = 1
+    while (i + 1 < toks.length) {
+      val t = toks(i)
+      if (t.kind == Sym && arithOps(t.text) &&
+          !patches.exists(p => p._1 <= t.start && t.end <= p._2)) {
+        (identAt(i - 1, i), toks(i + 1)) match {
+          case (Some(ident), n) if numericTok(n) =>
+            lookup(colKey(ident)).foreach { case (isSet, members) =>
+              patches += ((toks(i - 1).start, toks(i - 1).end,
+                ordinalExpr(ident, isSet, members)))
+            }
+          case _ if numericTok(toks(i - 1)) =>
+            identAt(i + 1, i + 2).foreach { ident =>
+              lookup(colKey(ident)).foreach { case (isSet, members) =>
+                patches += ((toks(i + 1).start, toks(i + 1).end,
+                  ordinalExpr(ident, isSet, members)))
+              }
+            }
+          case _ =>
         }
       }
       i += 1

@@ -107,8 +107,10 @@ object CheckExprRender {
         return s"($l $kw (${items.mkString(", ")}))"
       }
       if (eatWord("LIKE")) {
+        // dolt's LIKE does not self-parenthesize (script_queries.go
+        // "Show create table with various keys": CHECK (`b` LIKE '%abc%'))
         val kw = if (neg) "NOT LIKE" else "LIKE"
-        return s"($l $kw ${additive()})"
+        return s"$l $kw ${additive()}"
       }
       if (neg) throw new IllegalArgumentException("dangling NOT")
       if (eatWord("IS")) {

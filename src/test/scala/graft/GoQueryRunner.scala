@@ -121,7 +121,7 @@ abstract class GoQueryCorpusSpec extends AnyFunSuite {
               .findFirstIn(GoNorm.stripParens(a.query)).isDefined
             val (g, w) =
               if (ordered) (got, want)
-              else (got.sortBy(_.mkString("|")), want.sortBy(_.mkString("|")))
+              else (got.sortBy(GoNorm.sortKeyRow), want.sortBy(GoNorm.sortKeyRow))
             if (GoNorm.eqRows(g, w)) None
             else Some(s"${a.query}\n  got:  ${g.take(8)}\n  want: ${w.take(8)}")
         }

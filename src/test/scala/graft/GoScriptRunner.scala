@@ -115,6 +115,22 @@ object GoNorm {
     case _ => false
   })
 
+  /** Canonical cell key for UNORDERED row pairing: numerics (and
+    * numeric-looking strings — the reference marshals DECIMALs as
+    * display strings) key by their plain, zero-stripped decimal form so
+    * `4E-16` and "0.0000000000000004" pair up. */
+  def sortKey(v: Any): String = v match {
+    case b: BigDecimal =>
+      val s = b.underlying.stripTrailingZeros
+      if (s.compareTo(java.math.BigDecimal.ZERO) == 0) "0"
+      else s.toPlainString
+    case s: String if s.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?") =>
+      try sortKey(BigDecimal(s)) catch { case _: Throwable => s }
+    case other => String.valueOf(other)
+  }
+
+  def sortKeyRow(r: Seq[Any]): String = r.map(sortKey).mkString("|")
+
   def eqRows(g: Seq[Seq[Any]], w: Seq[Seq[Any]]): Boolean =
     g.length == w.length && g.zip(w).forall { case (gr, wr) =>
       gr.length == wr.length && gr.zip(wr).forall { case (a, b) => eqCell(a, b) }
@@ -266,8 +282,8 @@ abstract class GoScriptCorpusSpec extends AnyFunSuite {
                 .findFirstIn(GoNorm.stripParens(a.query)).isDefined
               val (g, w) =
                 if (ordered) (got, want)
-                else (got.sortBy(_.mkString("|")),
-                  want.sortBy(_.mkString("|")))
+                else (got.sortBy(GoNorm.sortKeyRow),
+                  want.sortBy(GoNorm.sortKeyRow))
               if (GoNorm.eqRows(g, w)) None
               else Some(s"${a.query}\n  got:  $g\n  want: $w")
           }

@@ -38,8 +38,8 @@ class ReferenceDerivedScopeSpec extends AnyFunSuite {
   private def check(sql: String, expected: Seq[Seq[Any]]): Unit = {
     val got = engine.query(sql).collect()
       .map(r => (0 until r.length).map(i => norm(r.get(i))).toSeq).toSeq
-      .sortBy(_.mkString("|"))
-    val want = expected.map(_.map(norm)).sortBy(_.mkString("|"))
+      .sortBy(GoNorm.sortKeyRow)
+    val want = expected.map(_.map(norm)).sortBy(GoNorm.sortKeyRow)
     assert(got == want, s"\nquery: $sql\ngot:  $got\nwant: $want")
   }
 

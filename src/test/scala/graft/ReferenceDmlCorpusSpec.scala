@@ -68,8 +68,8 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
       s"\nwrite: $write\naffected: ${res(0).getLong(0)} want $matched")
     val got = engine.query(select).collect()
       .map(r => (0 until r.length).map(i => norm(r.get(i))).toSeq).toSeq
-      .sortBy(_.mkString("|"))
-    val want = expected.map(_.map(norm)).sortBy(_.mkString("|"))
+      .sortBy(GoNorm.sortKeyRow)
+    val want = expected.map(_.map(norm)).sortBy(GoNorm.sortKeyRow)
     assert(got == want,
       s"\nwrite: $write\nselect: $select\ngot:  $got\nwant: $want")
   }
@@ -83,8 +83,8 @@ class ReferenceDmlCorpusSpec extends AnyFunSuite {
       s"\nwrite: $write\naffected: ${res(0).getLong(0)} want $matched")
     val got = engine.query(select).collect()
       .map(r => (0 until r.length).map(i => norm(r.get(i))).toSeq).toSeq
-      .sortBy(_.mkString("|"))
-    val want = expected.map(_.map(norm)).sortBy(_.mkString("|"))
+      .sortBy(GoNorm.sortKeyRow)
+    val want = expected.map(_.map(norm)).sortBy(GoNorm.sortKeyRow)
     assert(got == want, s"\nwrite: $write\nselect: $select\ngot:  $got\nwant: $want")
   }
 

@@ -22,10 +22,10 @@ class ReferenceFulltextCorpusSpec extends AnyFunSuite {
         case i: Int => i.toLong
         case d: java.math.BigDecimal => d.longValueExact()
         case other => other
-      }).toSeq).toSeq.sortBy(_.mkString("|"))
+      }).toSeq).toSeq.sortBy(GoNorm.sortKeyRow)
 
   private def sorted(rs: Seq[Seq[Any]]): Seq[Seq[Any]] =
-    rs.sortBy(_.mkString("|"))
+    rs.sortBy(GoNorm.sortKeyRow)
 
   test("basic matching over a FULLTEXT-indexed table (fulltext_queries.go:25)") {
     val e = freshEngine

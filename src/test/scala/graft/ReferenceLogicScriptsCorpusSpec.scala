@@ -117,8 +117,8 @@ class ReferenceLogicScriptsCorpusSpec extends AnyFunSuite {
             case None => None // write statement: execute-only
             case Some(want0) =>
               val want = want0.map(_.map(norm))
-              val g = got.sortBy(_.mkString("|"))
-              val w = want.sortBy(_.mkString("|"))
+              val g = got.sortBy(GoNorm.sortKeyRow)
+              val w = want.sortBy(GoNorm.sortKeyRow)
               if (g == w) None
               else Some(s"${a.query}\n  got:  $g\n  want: $w")
           }

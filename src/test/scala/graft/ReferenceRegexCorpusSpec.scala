@@ -43,7 +43,7 @@ class ReferenceRegexCorpusSpec extends AnyFunSuite {
     val ordered = sql.toLowerCase.contains("order by")
     val (g, w) =
       if (ordered) (got, want)
-      else (got.sortBy(_.mkString("|")), want.sortBy(_.mkString("|")))
+      else (got.sortBy(GoNorm.sortKeyRow), want.sortBy(GoNorm.sortKeyRow))
     assert(g == w, s"\nquery: $sql\ngot:  $g\nwant: $w")
   }
 

@@ -133,7 +133,7 @@ abstract class SqlLogicTestSpec extends AnyFunSuite {
               .findFirstIn(GoNorm.stripParens(sql)).isDefined
             val (g, w) =
               if (ordered) (got, want)
-              else (got.sortBy(_.mkString("|")), want.sortBy(_.mkString("|")))
+              else (got.sortBy(GoNorm.sortKeyRow), want.sortBy(GoNorm.sortKeyRow))
             if (GoNorm.eqRows(g, w)) None
             else Some(s"got:  ${g.take(12)}   want: ${w.take(12)}")
           }
