@@ -206,8 +206,33 @@ object DateTimeExt {
 
   /** Canonicalize one MySQL-legal datetime string to ISO
     * "yyyy-MM-dd[ HH:mm:ss[.f]]"; anything else returns unchanged. */
+  /** Explicit timezone suffix on a datetime literal — MySQL 8.0.19
+    * `'2020-02-16 12:00:00 +0800 CST'` (a trailing zone NAME after the
+    * offset is display-only): the value converts to the SESSION zone. */
+  private val TzSuffix =
+    ("""^(\d{4}-\d{1,2}-\d{1,2}[ T]\d{1,2}:\d{1,2}(?::\d{1,2}(?:\.\d+)?)?)""" +
+      """\s*([+-])(\d{1,2}):?(\d{2})(?:\s+[A-Za-z]{2,5})?$""").r
+
   def mysqlDateStrNorm(s0: String): String = {
-    val s = s0.trim
+    val s1 = s0.trim
+    val s = s1 match {
+      case TzSuffix(base, sign, hh, mm) =>
+        try {
+          val ldt = java.time.LocalDateTime.parse(
+            mysqlDateStrNorm(base).replace(' ', 'T'))
+          val k = if (sign == "-") -1 else 1
+          val off = java.time.ZoneOffset
+            .ofHoursMinutes(k * hh.toInt, k * mm.toInt)
+          val zone = java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          val shifted = ldt.atOffset(off).atZoneSameInstant(zone)
+            .toLocalDateTime
+          f"${shifted.getYear}%04d-${shifted.getMonthValue}%02d-" +
+            f"${shifted.getDayOfMonth}%02d ${shifted.getHour}%02d:" +
+            f"${shifted.getMinute}%02d:${shifted.getSecond}%02d"
+        } catch { case _: Exception => s1 }
+      case other => other
+    }
     def render(y: Int, mo: String, d: String, h: String, mi: String,
                se: String, fr: String): String = {
       val date = f"$y%04d-${mo.toInt}%02d-${d.toInt}%02d"
