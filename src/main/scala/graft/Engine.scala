@@ -5879,15 +5879,20 @@ class Engine(val spark: SparkSession) {
         (inner.length >= 2 && inner.startsWith("'") &&
           inner.endsWith("'") &&
           !inner.substring(1, inner.length - 1).contains("'"))
+      // dolt normalizes `cast(now() as signed)` defaults to the
+      // convert() spelling with NOW uppercased (script_queries.go
+      // "preserve now()": DEFAULT (convert(NOW(6), signed)))
+      val NowCast =
+        ("""(?i)^cast\(\s*(?:now|current_timestamp)\s*\(\s*(\d*)\s*\)""" +
+          """\s+as\s+(?:signed|bigint)\s*\)$""").r
       if (litBody) t
-      else
-        // expression bodies re-render with backticked identifiers
-        // (show.go: DEFAULT ((`v2` + 1)))
-        // ONE added wrap: self-parenthesizing exprs (binary ops) come
-        // out double, function calls single — dolt's display
-        try "(" + backtickIdents(org.apache.spark.sql.catalyst.parser
-          .CatalystSqlParser.parseExpression(t).sql) + ")"
-        catch { case _: Exception => s"($t)" }
+      else inner match {
+        case NowCast(p) => s"(convert(NOW($p), signed))"
+        case _ =>
+          try "(" + backtickIdents(org.apache.spark.sql.catalyst.parser
+            .CatalystSqlParser.parseExpression(t).sql) + ")"
+          catch { case _: Exception => s"($t)" }
+      }
     }
     else s"($t)"
   }
