@@ -1270,6 +1270,12 @@ class Engine(val spark: SparkSession) {
           // an error; queries.go `GROUP BY i` on mytable's pk passes)
           case e: org.apache.spark.sql.AnalysisException
               if budget > 0 && e.getMessage.contains("MISSING_AGGREGATION") =>
+            // HAVING over grouped table columns that a select alias
+            // shadows: equivalent pre-group WHERE (MySQL binds the
+            // table column; Spark bound the alias and errored)
+            val h2w = SqlRewrite.havingKeysToWhere(cur)
+            if (h2w != cur) attempt(h2w, budget - 1)
+            else {
             val fromTbl = """(?i)\bFROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?"""
               .r.findFirstMatchIn(cur).map(_.group(1))
             val groupTxt =
@@ -1325,6 +1331,7 @@ class Engine(val spark: SparkSession) {
               wrapAll = !fullGroupBy)
             if (wrapped == cur) throw e
             attempt(wrapped, budget - 1)
+            }
             }
           // grouped HAVING referencing a select alias (inside an
           // aggregate): MySQL resolves via the projection scope; Spark

@@ -3509,6 +3509,85 @@ object SqlRewrite {
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
+  /** HAVING over GROUPED TABLE COLUMNS whose names a select alias
+    * shadows — `SELECT -col2 AS col0 … GROUP BY col0, col2 HAVING
+    * col2 > -col0` (script_queries.go "group by having with conflicting
+    * aliases"): MySQL binds HAVING's col0 to the grouped table column;
+    * Spark binds the alias and errors. When every identifier in the
+    * HAVING text is a GROUP BY item (and the text has no calls or
+    * subqueries), the filter is equivalent PRE-grouping: move it to
+    * WHERE. Retry-only. */
+  def havingKeysToWhere(sql: String): String = {
+    val toks = tokenize(sql)
+    var depth = 0
+    var havingAt = -1; var groupAt = -1; var whereAt = -1
+    var i = 0
+    while (i < toks.length) {
+      toks(i).text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && toks(i).isWord("having") && havingAt < 0 =>
+          havingAt = i
+        case _ if depth == 0 && toks(i).isWord("group") && groupAt < 0 &&
+            i + 1 < toks.length && toks(i + 1).isWord("by") => groupAt = i
+        case _ if depth == 0 && toks(i).isWord("where") && whereAt < 0 =>
+          whereAt = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (havingAt < 0 || groupAt < 0 || groupAt > havingAt) return sql
+    // HAVING span: to the next top-level ORDER/LIMIT/UNION or end
+    var hEnd = havingAt + 1
+    depth = 0
+    var stop = false
+    while (hEnd < toks.length && !stop) {
+      toks(hEnd).text match {
+        case "(" => depth += 1; hEnd += 1
+        case ")" => depth -= 1; hEnd += 1
+        case _ if depth == 0 && (toks(hEnd).isWord("order") ||
+            toks(hEnd).isWord("limit") || toks(hEnd).isWord("union") ||
+            toks(hEnd).isWord("intersect") || toks(hEnd).isWord("except")) =>
+          stop = true
+        case _ => hEnd += 1
+      }
+    }
+    val hTxt = sql.substring(toks(havingAt + 1).start,
+      if (hEnd < toks.length) toks(hEnd).start else sql.length).trim
+    if (hTxt.contains("(")) return sql // calls/subqueries: keep HAVING
+    val gTxt = sql.substring(toks(groupAt + 2).start, toks(havingAt).start)
+    val gWords = """[A-Za-z_][A-Za-z0-9_]*""".r.findAllIn(gTxt)
+      .map(_.toLowerCase).toSet
+    val kw = Set("not", "and", "or", "xor", "is", "null", "true", "false",
+      "between", "like", "in", "div", "mod")
+    val hIds = """[A-Za-z_][A-Za-z0-9_]*""".r.findAllIn(hTxt)
+      .map(_.toLowerCase).filterNot(kw).toSet
+    if (hIds.isEmpty || !hIds.subsetOf(gWords)) return sql
+    // splice: drop HAVING clause; add/extend WHERE before GROUP BY
+    val noHaving = splice(sql, Seq((toks(havingAt).start,
+      if (hEnd < toks.length) toks(hEnd).start else sql.length, "")))
+    val toks2 = tokenize(noHaving)
+    // re-locate GROUP at top level in the spliced text
+    var d2 = 0; var g2 = -1; var w2 = -1
+    toks2.indices.foreach { k =>
+      toks2(k).text match {
+        case "(" => d2 += 1
+        case ")" => d2 -= 1
+        case _ if d2 == 0 && toks2(k).isWord("group") && g2 < 0 &&
+            k + 1 < toks2.length && toks2(k + 1).isWord("by") => g2 = k
+        case _ if d2 == 0 && toks2(k).isWord("where") && w2 < 0 => w2 = k
+        case _ =>
+      }
+    }
+    if (g2 < 0) return sql
+    if (w2 >= 0 && w2 < g2)
+      splice(noHaving, Seq((toks2(g2).start, toks2(g2).start,
+        s" AND ($hTxt) ")))
+    else
+      splice(noHaving, Seq((toks2(g2).start, toks2(g2).start,
+        s" WHERE ($hTxt) ")))
+  }
+
   /** `CAST(x AS BINARY(n))` — MySQL pads/truncates to n bytes; Spark
     * has no parameterized BINARY cast (UNSUPPORTED_DATATYPE). Rewrite to
     * `rpad(CAST(x AS BINARY), n, X'00')` (script_queries.go "binary
