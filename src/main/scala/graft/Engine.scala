@@ -1044,6 +1044,28 @@ class Engine(val spark: SparkSession) {
     try queryInner(sql) finally queryDepth -= 1
   }
 
+  /** MySQL's secure_file_priv: when set, SELECT INTO OUTFILE/DUMPFILE
+    * may only write under this directory (error 1290 outside it);
+    * unset = unrestricted, the reference test default. */
+  var secureFilePriv: Option[String] = None
+
+  /** INTO OUTFILE/DUMPFILE target guards (reference sql/plan/into.go +
+    * MySQL): never overwrite an existing file (error 1086), honor
+    * secure_file_priv when configured (error 1290). */
+  private def checkFileTarget(path: String): Unit = {
+    secureFilePriv.foreach { dir =>
+      val norm = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val base = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+      if (!norm.startsWith(base))
+        throw new IllegalArgumentException(
+          "The MySQL server is running with the --secure-file-priv " +
+          "option so it cannot execute this statement (MySQL error 1290)")
+    }
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      throw new IllegalArgumentException(
+        s"File '$path' already exists (MySQL error 1086)")
+  }
+
   /** Execute a SELECT whose INTO clause was extracted: @var targets and
     * DUMPFILE require at most one row (MySQL 1172); OUTFILE streams all
     * rows through the delimited writer; 0 rows leave @vars untouched
@@ -1077,15 +1099,26 @@ class Engine(val spark: SparkSession) {
         }
         rows.length.toLong
       case SqlRewrite.IntoFile(path, true) =>
-        // DUMPFILE: the single row raw, no delimiters or terminators
+        // DUMPFILE: the single row raw, no delimiters or terminators;
+        // BINARY cells write their raw bytes (reference into.go dumps
+        // the wire value, not a rendering)
+        checkFileTarget(path)
         val rows = atMostOne()
-        val bytes = rows.headOption.map(r =>
-          (0 until r.length).map(ix => String.valueOf(r.get(ix)))
-            .mkString("")).getOrElse("")
+        val out = new java.io.ByteArrayOutputStream()
+        rows.headOption.foreach { r =>
+          (0 until r.length).foreach { ix =>
+            r.get(ix) match {
+              case b: Array[Byte] => out.write(b)
+              case v => out.write(String.valueOf(v).getBytes("UTF-8"))
+            }
+          }
+        }
         java.nio.file.Files.write(java.nio.file.Paths.get(path),
-          bytes.getBytes("UTF-8"))
+          out.toByteArray,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
         rows.length.toLong
       case SqlRewrite.IntoFile(path, false) =>
+        checkFileTarget(path)
         intoOutfile(cleaned, path)
         df.count()
     }
@@ -1492,7 +1525,15 @@ class Engine(val spark: SparkSession) {
           t => tableKeys.get(canonicalTable(t)))
       // branch-local ORDER BY/LIMIT in parenthesized set-op operands
       val cleaned = SqlRewrite.setOpBranchWrap(cleaned1)
-      val result = attempt(cleaned, 6)
+      // the pk tiebreaker is best-effort: if the patched text fails
+      // analysis (shapes stableTopN's static guards missed), the
+      // un-tiebroken original must still run — rethrow ITS error only
+      val result =
+        if (cleaned1 == cleaned0) attempt(cleaned, 6)
+        else
+          try attempt(cleaned, 6)
+          catch { case _: Exception =>
+            attempt(SqlRewrite.setOpBranchWrap(cleaned0), 6) }
       // session counters, top-level SELECT statements only (reference
       // plan/process.go TrackedRowIter.updateSessionVars): ROW_COUNT()
       // resets to -1; FOUND_ROWS() captures this result lazily
@@ -1611,9 +1652,13 @@ class Engine(val spark: SparkSession) {
     * single-row single-column query and stores the scalar as a session
     * variable for later @var substitution. */
   def selectInto(sql: String, varName: String): Unit = {
-    val rows = query(sql).collect()
+    // bounded like runSelectInto's front door: never materialize a
+    // large misuse on the driver before erroring
+    val rows = query(sql).limit(2).collect()
     require(rows.length == 1 && rows(0).length == 1,
-      s"SELECT INTO expects 1 row x 1 column, got ${rows.length} rows")
+      s"SELECT INTO expects 1 row x 1 column, got " +
+      s"${if (rows.length > 1) "more than one" else rows.length.toString} " +
+      "rows")
     setVar(varName, rows(0).get(0))
   }
 
@@ -1804,6 +1849,12 @@ class Engine(val spark: SparkSession) {
   /** Declared view column lists (CREATE VIEW v (c1, c2) AS …). */
   private[graft] val viewCols =
     scala.collection.mutable.Map.empty[String, Seq[String]]
+  /** Actual table dependencies per view, recorded at CREATE VIEW time
+    * from the parsed FROM/JOIN targets — refreshViews keys on these,
+    * not on a whole-text word match (a column or alias that happens to
+    * share a table's name must not trigger a refresh). */
+  private[graft] val viewDeps =
+    scala.collection.mutable.Map.empty[String, Set[String]]
   /** Views whose LAST re-resolution failed (underlying table renamed or
     * dropped): reads error like MySQL's ErrInvalidRefInView until a
     * catalog change makes the definition valid again. */
@@ -1820,17 +1871,30 @@ class Engine(val spark: SparkSession) {
   private[graft] def refreshViews(touched: String): Unit = {
     if (viewDefs.isEmpty || viewRefreshing) return
     viewRefreshing = true
+    // internal refresh queries must not clobber the user-visible
+    // session counters (FOUND_ROWS/ROW_COUNT) — replaceTable can be
+    // reached outside a tracked statement, where the inner query()
+    // runs at depth 1
+    val savedRowCount = rowCountVal
+    val savedFoundDf = foundRowsDf
+    val savedFoundCnt = foundRowsCnt
     try {
       val tl = touched.toLowerCase
       val bare = if (tl.contains(".")) tl.substring(tl.indexOf('.') + 1) else tl
+      // accumulate: refreshing view v makes views that read v stale too
+      val stale = scala.collection.mutable.Set(tl, bare)
       viewDefs.toSeq.foreach { case (n, sqlText) =>
         if (!n.equalsIgnoreCase(touched)) {
-          val body = sqlText.toLowerCase
-          val refs =
-            ("\\b" + java.util.regex.Pattern.quote(tl) + "\\b").r
-              .findFirstIn(body).isDefined ||
-            ("\\b" + java.util.regex.Pattern.quote(bare) + "\\b").r
-              .findFirstIn(body).isDefined
+          // deps recorded at CREATE time; legacy fallback for views
+          // registered before dep tracking: whole-text word match
+          val refs = viewDeps.get(n) match {
+            case Some(deps) => deps.exists(stale)
+            case None =>
+              val body = sqlText.toLowerCase
+              stale.exists(s =>
+                ("\\b" + java.util.regex.Pattern.quote(s) + "\\b").r
+                  .findFirstIn(body).isDefined)
+          }
           if (refs || brokenViews.contains(n)) {
             try {
               val df0 = query(sqlText)
@@ -1845,10 +1909,18 @@ class Engine(val spark: SparkSession) {
                   try spark.catalog.dropTempView(n)
                   catch { case _: Throwable => () }
             }
+            val nl = n.toLowerCase
+            stale += nl
+            if (nl.contains(".")) stale += nl.substring(nl.indexOf('.') + 1)
           }
         }
       }
-    } finally viewRefreshing = false
+    } finally {
+      viewRefreshing = false
+      rowCountVal = savedRowCount
+      foundRowsDf = savedFoundDf
+      foundRowsCnt = savedFoundCnt
+    }
   }
 
   /** Relations THIS engine created (tables + views), for MySQL existence
@@ -1882,6 +1954,7 @@ class Engine(val spark: SparkSession) {
     val df0 = query(sql)
     val df = if (columns.isEmpty) df0 else df0.toDF(columns: _*)
     viewDefs(name) = sql
+    viewDeps(name) = SqlRewrite.tableRefs(sql)
     if (columns.nonEmpty) viewCols(name) = columns
     brokenViews.remove(name)
     createdRelations += name
@@ -3809,6 +3882,7 @@ class Engine(val spark: SparkSession) {
     uniqueKeys.filterInPlace(_._1 != table)
     foreignKeys.filterInPlace(_.child != table)
     viewDefs.remove(table)
+    viewDeps.remove(table)
     createdRelations.remove(table)
     tableKeys.remove(table)
     autoIncCols.remove(table)
@@ -4189,6 +4263,7 @@ class Engine(val spark: SparkSession) {
     createdRelations.remove(oldName)
     createdRelations += newName
     viewDefs.remove(oldName).foreach(v => viewDefs(newName) = v)
+    viewDeps.remove(oldName).foreach(d => viewDeps(newName) = d)
   }
 
   /** Copy the per-column declared surface from `src` to `dst` — CREATE

@@ -79,6 +79,86 @@ object SqlRewrite {
     sb.append(sql.substring(pos)).result()
   }
 
+  /** Table names a SELECT text references (FROM/JOIN targets at any
+    * depth, comma-joined lists included) — the dependency set a view
+    * records at CREATE time so data changes refresh exactly the views
+    * that read the touched table, not every view whose text happens to
+    * contain the word. Returns lowercased names, both the written form
+    * and (for dotted names) the bare last segment. */
+  def tableRefs(sql: String): Set[String] = {
+    val toks = tokenize(sql)
+    val out = scala.collection.mutable.Set.empty[String]
+    def add(t: Tok): Unit = {
+      val n = t.text.toLowerCase.replace("`", "")
+      out += n
+      if (n.contains(".")) out += n.substring(n.lastIndexOf('.') + 1)
+    }
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if ((t.isWord("from") || t.isWord("join")) && i + 1 < toks.length) {
+        var j = i + 1
+        // skip LATERAL; a "(" starts a derived table — its inner FROMs
+        // get their own hit on this same walk
+        if (toks(j).isWord("lateral") && j + 1 < toks.length) j += 1
+        if (toks(j).kind == Word && !toks(j).isWord("select")) {
+          add(toks(j))
+          // comma-join list: `FROM a, b AS x, c`
+          if (t.isWord("from")) {
+            var k = j + 1
+            var depth = 0
+            var go = true
+            while (go && k + 1 < toks.length) {
+              toks(k).text match {
+                case "(" => depth += 1; k += 1
+                case ")" if depth > 0 => depth -= 1; k += 1
+                case ")" => go = false
+                case "," if depth == 0 =>
+                  if (toks(k + 1).kind == Word &&
+                      !toks(k + 1).isWord("select")) add(toks(k + 1))
+                  k += 2
+                case _ if depth == 0 &&
+                    (toks(k).isWord("where") || toks(k).isWord("group") ||
+                     toks(k).isWord("order") || toks(k).isWord("limit") ||
+                     toks(k).isWord("having") || toks(k).isWord("union") ||
+                     toks(k).isWord("join") || toks(k).isWord("on")) =>
+                  go = false
+                case _ => k += 1
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    out.toSet
+  }
+
+  /** Split a clause body on commas outside parens/quotes (GROUP BY /
+    * select-list item boundaries). */
+  private[graft] def splitTopLevelCommas(txt: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0; var quote: Char = 0; var i = 0
+    while (i < txt.length) {
+      val c = txt.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`') { sb.append(c); i += 1
+          if (i < txt.length) sb.append(txt.charAt(i)) }
+        else { if (c == quote) quote = 0; sb.append(c) }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; sb.append(c)
+        case '(' => depth += 1; sb.append(c)
+        case ')' => depth -= 1; sb.append(c)
+        case ',' if depth == 0 => out += sb.result(); sb.clear()
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.result()
+    out.toSeq
+  }
+
   /** MySQL `information_schema.X` → the session's `information_schema_X`
     * temp view (Spark temp-view names cannot contain a dot; the
     * tokenizer folds dotted identifiers into one Word, so the whole
@@ -3555,14 +3635,20 @@ object SqlRewrite {
     val hTxt = sql.substring(toks(havingAt + 1).start,
       if (hEnd < toks.length) toks(hEnd).start else sql.length).trim
     if (hTxt.contains("(")) return sql // calls/subqueries: keep HAVING
+    // Whole-item matching: each HAVING identifier must BE a GROUP BY
+    // item (a bare/backticked identifier), not merely a word inside one
+    // — `GROUP BY a+b HAVING a > 1` must NOT move (a isn't constant
+    // per group)
     val gTxt = sql.substring(toks(groupAt + 2).start, toks(havingAt).start)
-    val gWords = """[A-Za-z_][A-Za-z0-9_]*""".r.findAllIn(gTxt)
-      .map(_.toLowerCase).toSet
+    val gKeys = splitTopLevelCommas(gTxt).map(_.trim.toLowerCase)
+      .collect {
+        case s if s.matches("`?[a-z_][a-z0-9_]*`?") => s.replace("`", "")
+      }.toSet
     val kw = Set("not", "and", "or", "xor", "is", "null", "true", "false",
       "between", "like", "in", "div", "mod")
     val hIds = """[A-Za-z_][A-Za-z0-9_]*""".r.findAllIn(hTxt)
       .map(_.toLowerCase).filterNot(kw).toSet
-    if (hIds.isEmpty || !hIds.subsetOf(gWords)) return sql
+    if (hIds.isEmpty || !hIds.subsetOf(gKeys)) return sql
     // splice: drop HAVING clause; add/extend WHERE before GROUP BY
     val noHaving = splice(sql, Seq((toks(havingAt).start,
       if (hEnd < toks.length) toks(hEnd).start else sql.length, "")))
@@ -3580,10 +3666,13 @@ object SqlRewrite {
       }
     }
     if (g2 < 0) return sql
-    if (w2 >= 0 && w2 < g2)
-      splice(noHaving, Seq((toks2(g2).start, toks2(g2).start,
-        s" AND ($hTxt) ")))
-    else
+    if (w2 >= 0 && w2 < g2) {
+      // parenthesize the ORIGINAL predicate before AND-ing: `WHERE a OR
+      // b` + h must become ((a OR b) AND h), not a OR (b AND h)
+      val origWhere = noHaving.substring(toks2(w2).end, toks2(g2).start).trim
+      splice(noHaving, Seq((toks2(w2).start, toks2(g2).start,
+        s"WHERE (($origWhere) AND ($hTxt)) ")))
+    } else
       splice(noHaving, Seq((toks2(g2).start, toks2(g2).start,
         s" WHERE ($hTxt) ")))
   }
@@ -3755,20 +3844,46 @@ object SqlRewrite {
           }
           j += 1
         }
+        // an implicit aggregate (`SELECT count(*) … ORDER BY 1 LIMIT 1`
+        // with no GROUP BY) collapses to one row — appending the pk
+        // would be MISSING_AGGREGATION; and a select alias equal to the
+        // pk name would capture the appended tiebreaker, binding the
+        // wrong expression
+        val selAliases = scala.collection.mutable.Set.empty[String]
+        if (!blocked && fromAt > 0) {
+          val aggFns = Set("count", "sum", "min", "max", "avg",
+            "group_concat", "bit_and", "bit_or", "bit_xor", "std",
+            "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop",
+            "var_samp", "json_arrayagg", "json_objectagg", "any_value",
+            "approx_count_distinct")
+          var k = i + 1
+          while (k < fromAt) {
+            val t = toks(k)
+            if (t.kind == Word && k + 1 < fromAt &&
+                toks(k + 1).text == "(" &&
+                aggFns(t.text.toLowerCase)) blocked = true
+            if (t.isWord("as") && k + 1 < fromAt &&
+                toks(k + 1).kind == Word)
+              selAliases += toks(k + 1).text.toLowerCase.replace("`", "")
+            k += 1
+          }
+        }
         // a comma in the select list is fine; one between FROM and ORDER
         // would be a comma-join — `blocked` above covers post-FROM only
         if (!blocked && fromAt > 0 && orderAt > 0 && limitAt > orderAt) {
-          tbl.flatMap(t => pkOf(t)).filter(_.nonEmpty).foreach { pk =>
-            // the ORDER BY key list ends at LIMIT (same block)
-            val keysEnd = toks(limitAt).start
-            val keysTxt = sql.substring(toks(orderAt + 2).start, keysEnd)
-            val missing = pk.filterNot(c =>
-              ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
-                .findFirstIn(keysTxt).isDefined)
-            if (missing.nonEmpty)
-              patches += ((keysEnd, keysEnd,
-                missing.mkString(", `", "`, `", "` ")))
-          }
+          tbl.flatMap(t => pkOf(t)).filter(_.nonEmpty)
+            .filterNot(_.exists(c => selAliases(c.toLowerCase)))
+            .foreach { pk =>
+              // the ORDER BY key list ends at LIMIT (same block)
+              val keysEnd = toks(limitAt).start
+              val keysTxt = sql.substring(toks(orderAt + 2).start, keysEnd)
+              val missing = pk.filterNot(c =>
+                ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+                  .findFirstIn(keysTxt).isDefined)
+              if (missing.nonEmpty)
+                patches += ((keysEnd, keysEnd,
+                  missing.mkString(", `", "`, `", "` ")))
+            }
         }
         // continue scanning AFTER this select keyword (nested selects
         // get their own pass)

@@ -447,7 +447,18 @@ object MiscFns {
             throw new IllegalArgumentException(
               s"Invalid argument to uuid_to_bin: '$u' cannot parse as " +
               "UUID (MySQL ErrUuidUnableToParse)")
-        case Literal(v, _) =>
+        case Literal(b: Array[Byte], _) =>
+          // X'…' binary literals coerce like binary STRINGS in MySQL —
+          // validate their decoded text, don't reject the type
+          val bare = new String(b, "UTF-8").toLowerCase
+            .replace("-", "").replace("{", "").replace("}", "")
+          if (!bare.matches("[0-9a-f]{32}"))
+            throw new IllegalArgumentException(
+              s"Invalid argument to uuid_to_bin: binary literal cannot " +
+              "parse as UUID (MySQL ErrUuidUnableToParse)")
+        case Literal(v, t)
+            if t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+               t == org.apache.spark.sql.types.BooleanType =>
           throw new IllegalArgumentException(
             s"Invalid argument to uuid_to_bin: '$v' cannot parse as " +
             "UUID (MySQL ErrUuidUnableToParse)")
