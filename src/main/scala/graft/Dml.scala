@@ -696,6 +696,13 @@ object Dml {
           org.apache.spark.sql.GraftBridge.column(
             graft.functions.vector.VecCoerce(
               org.apache.spark.sql.GraftBridge.expression(raw))).cast(at)
+        // wide DECIMAL assignment canonicalizes like the INSERT path
+        case _ if e.wideDecCols.contains((table, c.toLowerCase)) =>
+          val (p, s) = e.wideDecCols((table, c.toLowerCase))
+          org.apache.spark.sql.GraftBridge.column(
+            graft.functions.WideDecCoerce(
+              org.apache.spark.sql.GraftBridge.expression(raw),
+              p, s, e.strictWriteMode && !ignore))
         case dt => raw.cast(dt)
       }
       // MySQL applies assignments LEFT TO RIGHT, each one seeing the
@@ -2018,7 +2025,20 @@ object Dml {
       case "decimal" | "numeric" | "dec" | "fixed" =>
         val p = args.headOption.map(_.trim.toInt).getOrElse(10)
         val s = args.lift(1).map(_.trim.toInt).getOrElse(0)
-        (DecimalType(p, s), None)
+        // MySQL bounds (reference sql/types/decimal.go:58): p <= 65,
+        // s <= 30, s <= p. Spark's DecimalType caps at 38 — wider
+        // declarations store canonical fixed-scale text (StringType);
+        // the caller records (p, s) in Engine.wideDecCols and the
+        // write/compare paths go through functions.WideDecimal.
+        if (p > graft.functions.WideDecimal.MaxPrecision)
+          throw new IllegalArgumentException(
+            s"Too-big precision $p specified. Maximum is 65. (MySQL 1426)")
+        if (s > graft.functions.WideDecimal.MaxScale)
+          throw new IllegalArgumentException(
+            s"Too big scale $s specified. Maximum is 30. (MySQL 1425)")
+        if (s > p) throw new IllegalArgumentException(
+          s"For decimal(M,D), M must be >= D (MySQL 1427)")
+        if (p > 38) (StringType, None) else (DecimalType(p, s), None)
       case "date" => (DateType, None)
       case "datetime" => (TimestampNTZType, None)
       case "timestamp" => (TimestampType, None)
@@ -2404,6 +2424,15 @@ object Dml {
           e.charKindCols += ((table, colName.toLowerCase))
       }
     if (baseLower == "year") e.yearCols += ((table, colName.toLowerCase))
+    // DECIMAL wider than Spark's 38-digit cap: record the declared
+    // (p, s) — storage is canonical fixed-scale text (WideDecimal)
+    if (Set("decimal", "numeric", "dec", "fixed")(baseLower))
+      """(?i)^[a-z]+\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+        .findFirstMatchIn(typeText.trim).foreach { mm =>
+          val p = mm.group(1).toInt
+          val s = Option(mm.group(2)).map(_.toInt).getOrElse(0)
+          if (p > 38) e.wideDecCols((table, colName.toLowerCase)) = (p, s)
+        }
     if (baseLower == "bit")
       e.bitWidths((table, colName.toLowerCase)) =
         """(?i)^bit\s*\(\s*(\d+)\s*\)""".r.findFirstMatchIn(typeText.trim)

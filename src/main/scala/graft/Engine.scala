@@ -233,11 +233,11 @@ object Dialect {
     // GROUP_CONCAT(...SEPARATOR...) -> listagg, MySQL XOR truthiness,
     // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
     val pre = SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
-      SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.convertFn(
+      SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.wideDecimalLiteralCast(SqlRewrite.quoteWideNumericLiterals(SqlRewrite.convertFn(
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
           SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
-              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql))))))))))))))
+              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql))))))))))))))))
     mapCode(pre)(rewriteCode)
   }
 
@@ -245,11 +245,11 @@ object Dialect {
     * native string concatenation. */
   def rewrite(sql: String, pipesAsConcat: Boolean): String = {
     val pre = SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
-      SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.convertFn(
+      SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.wideDecimalLiteralCast(SqlRewrite.quoteWideNumericLiterals(SqlRewrite.convertFn(
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
           SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
-              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql))))))))))))))
+              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql))))))))))))))))
     mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
   }
 
@@ -618,9 +618,10 @@ class Engine(val spark: SparkSession) {
     val plan = df.queryExecution.analyzed
     // strip BEFORE the JSON rule: native comparisons only exist for it
     // to match once the adaptive MySqlCompare nodes have been reverted
-    val rewritten = functions.expressions.JsonNumericCompareRule(
-      functions.MySqlArithRewrite.stripIdentity(
-        functions.expressions.MySqlTrimRule(plan)))
+    val rewritten = functions.WideDecCompareRule(
+      functions.expressions.JsonNumericCompareRule(
+        functions.MySqlArithRewrite.stripIdentity(
+          functions.expressions.MySqlTrimRule(plan))))
     if (rewritten eq plan) df
     else org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
   }
@@ -2044,6 +2045,23 @@ class Engine(val spark: SparkSession) {
               throw new IllegalArgumentException(
                 s"Incorrect $kind value: '${r.get(0)}' (MySQL 1292)")
             }
+          // strict-mode DECIMAL overflow: a numeric value whose integer
+          // digits exceed p−s errors (reference types/decimal.go:303
+          // ErrConvertToDecimalLimit — "scale is not rounded" small_test:
+          // 12.1 into DECIMAL(3,2)); Spark's non-ANSI cast nulls silently
+          case Some(dt: DecimalType)
+              if isNumericSource(f.dataType) &&
+                !f.dataType.isInstanceOf[StringType] =>
+            val c = col(s"`${f.name}`")
+            val bad = incoming0
+              .filter(c.isNotNull && c.cast(dt).isNull)
+              .select(c).limit(1).collect()
+            bad.headOption.foreach { r =>
+              throw new IllegalArgumentException(
+                "Out of range value for column of Decimal type " +
+                s"('${f.name}' DECIMAL(${dt.precision},${dt.scale}) " +
+                s"cannot hold ${r.get(0)} — MySQL error 1264)")
+            }
           case _ => ()
         }
       }
@@ -2716,7 +2734,15 @@ class Engine(val spark: SparkSession) {
         .cast(org.apache.spark.sql.types.IntegerType))
     }
     incomingYr.columns.foldLeft(incomingYr) { (df, c) =>
-      targetTypes.get(c.toLowerCase) match {
+      // wide DECIMAL (p > 38): every write canonicalizes through
+      // WideDecCoerce regardless of incoming type — rounds HALF_UP to
+      // the declared scale, range-checks, renders fixed-scale text
+      wideDecCols.get((table, c.toLowerCase)).map { case (p, s) =>
+        df.withColumn(c, org.apache.spark.sql.GraftBridge.column(
+          graft.functions.WideDecCoerce(
+            org.apache.spark.sql.GraftBridge.expression(df(c)),
+            p, s, strictWriteMode && !ignoreMode)))
+      }.getOrElse(targetTypes.get(c.toLowerCase) match {
         // declared VECTOR column: binary payloads (STRING_TO_VECTOR,
         // 0x… hex literals) decode as packed little-endian float32; a
         // bare string is a MySQL type error — dolt requires the
@@ -2831,7 +2857,7 @@ class Engine(val spark: SparkSession) {
             case _ => df.withColumn(c, casted)
           }
         case _ => df
-      }
+      })
     }.transform { coerced =>
       // fixed BINARY(n) zero-pads stored values to the declared width
       // (types/strings.go binary padding; niltexttable's binary(2)
@@ -2943,9 +2969,19 @@ class Engine(val spark: SparkSession) {
     refreshViews(table)
   }
 
-  private def replaceTableInner(table: String, df0: DataFrame,
+  private def replaceTableInner(table: String, df00: DataFrame,
                                 bumpDepth: Boolean): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // wide DECIMAL columns re-stamp their field-metadata marker on every
+    // generation (DML withColumn chains drop metadata) so
+    // WideDecCompareRule keeps seeing them on reads
+    val df0 = wideDecCols.toSeq.foldLeft(df00) {
+      case (d, ((t, c), (p, s))) if t == canonicalTable(table) &&
+          d.columns.exists(_.equalsIgnoreCase(c)) =>
+        val actual = d.columns.find(_.equalsIgnoreCase(c)).get
+        d.withMetadata(actual, graft.functions.WideDecimal.metadata(p, s))
+      case (d, _) => d
+    }
     // dolt tables are CLUSTERED BY PRIMARY KEY: scans iterate in pk
     // order, which LIMIT/OFFSET-without-ORDER-BY and GROUP_CONCAT
     // observe. Store pk-sorted to match (insertion order otherwise).
@@ -3314,15 +3350,23 @@ class Engine(val spark: SparkSession) {
         // types must match; string/binary families compare length-blind
         // ("Type Mismatch special case for strings"), integer widths mix
         // freely ("mixed int type foreign key tests")
-        val ok = cf.dataType == pf.dataType ||
+        // wide DECIMAL (p > 38) stores as text but is decimal-kind for
+        // FK compatibility (decimals-with-FK: child decimal(65,30)
+        // references parent decimal(4,2))
+        def decKind(t: String, c: String,
+                    dt: org.apache.spark.sql.types.DataType) =
+          dt.isInstanceOf[DecimalType] ||
+            wideDecCols.contains((t, c.toLowerCase))
+        val cDec = decKind(fk.child, cc, cf.dataType)
+        val pDec = decKind(fk.parent, pc, pf.dataType)
+        val ok = (cf.dataType == pf.dataType && cDec == pDec) ||
           (cf.dataType.isInstanceOf[StringType] &&
-            pf.dataType.isInstanceOf[StringType]) ||
+            pf.dataType.isInstanceOf[StringType] && cDec == pDec) ||
           (cf.dataType == BinaryType && pf.dataType == BinaryType) ||
           // DECIMAL pairs may differ in precision/scale — the FK is
           // legal but representation-exact matching means a scale
           // mismatch never matches (script_queries.go decimals-with-FK)
-          (cf.dataType.isInstanceOf[DecimalType] &&
-            pf.dataType.isInstanceOf[DecimalType]) ||
+          (cDec && pDec) ||
           // DATETIME/TIMESTAMP pairs mix freely at CREATE time; a kind
           // or fractional-precision difference simply never matches
           // (script_queries.go datetime/timestamps-with-FK, dolt #9544)
@@ -3532,7 +3576,15 @@ class Engine(val spark: SparkSession) {
       def dt(t: String, c: String) = scala.util.Try(spark.table(t).schema
         .fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
         .toOption.flatten
+      val cWide = wideDecCols.get((fk.child, cc.toLowerCase))
+      val pWide = wideDecCols.get((fk.parent, pc.toLowerCase))
       (dt(fk.child, cc), dt(fk.parent, pc)) match {
+        // wide DECIMAL against any decimal: representation-exact text
+        // compare — a (65,30) child value "1.230000…0" never matches a
+        // (4,2) parent "1.23" (decimals-with-FK child_dec_65_30 rows)
+        case _ if (cWide.isDefined || pWide.isDefined) &&
+            cWide != pWide =>
+          col(s"`$cc`").cast("string") === col(s"`$pcName`").cast("string")
         case (Some(c: org.apache.spark.sql.types.DecimalType),
               Some(p: org.apache.spark.sql.types.DecimalType)) if c != p =>
           col(s"`$cc`").cast("string") === col(s"`$pcName`").cast("string")
@@ -3902,6 +3954,7 @@ class Engine(val spark: SparkSession) {
     blobTextCols.filterInPlace { case (t, _) => t != table }
     unsignedBounds.filterInPlace { case ((t, _), _) => t != table }
     vecDims.filterInPlace { case ((t, _), _) => t != table }
+    wideDecCols.filterInPlace { case ((t, _), _) => t != table }
     uniqueExprIdx.filterInPlace(_._1 != table)
     indexPrefixes.filterInPlace { case ((t, _, _), _) => t != table }
     columnStats.filterInPlace { case ((t, _), _) => t != table }
@@ -4190,6 +4243,13 @@ class Engine(val spark: SparkSession) {
     * declared vector column without a fixed dimension. */
   private[graft] val vecDims =
     scala.collection.mutable.Map.empty[(String, String), Int]
+  /** Declared DECIMAL(p, s) with p > 38 — MySQL reaches 65 (reference
+    * sql/types/decimal.go:58), Spark's DecimalType caps at 38. Storage
+    * is canonical fixed-scale plain text; functions.WideDecimal holds
+    * the write coercion + comparison rewrite. replaceTable stamps the
+    * field-metadata marker so WideDecCompareRule sees the columns. */
+  private[graft] val wideDecCols =
+    scala.collection.mutable.Map.empty[(String, String), (Int, Int)]
 
   /** Move EVERY piece of per-table declared metadata from `oldName` to
     * `newName` — table rename semantics (ALTER ... RENAME TO and
@@ -4214,7 +4274,8 @@ class Engine(val spark: SparkSession) {
     }
     moveColMap(columnDefaults); moveColMap(columnVocab)
     moveColMap(charLimits); moveColMap(timePrecisions)
-    moveColMap(vecDims); moveColMap(columnComments); moveColMap(columnStats)
+    moveColMap(vecDims); moveColMap(wideDecCols)
+    moveColMap(columnComments); moveColMap(columnStats)
     moveColMap(unsignedBounds); moveColMap(textKindCols)
     moveColMap(bitWidths)
     // (table, column) sets re-key
@@ -4294,6 +4355,8 @@ class Engine(val spark: SparkSession) {
       case (t, c) if t == src => (dst, c) }
     vecDims ++= vecDims.toSeq.collect {
       case ((t, c), n) if t == src => ((dst, c), n) }
+    wideDecCols ++= wideDecCols.toSeq.collect {
+      case ((t, c), ps) if t == src => ((dst, c), ps) }
     timePrecisions ++= timePrecisions.toSeq.collect {
       case ((t, c), p) if t == src => ((dst, c), p) }
     secondaryIndexes ++= secondaryIndexes.toSeq.collect {
@@ -6013,6 +6076,9 @@ class Engine(val spark: SparkSession) {
           case _ if yearCols((table, f.name.toLowerCase)) => "year"
           case _ if bitWidths.contains((table, f.name.toLowerCase)) =>
             s"bit(${bitWidths((table, f.name.toLowerCase))})"
+          case _ if wideDecCols.contains((table, f.name.toLowerCase)) =>
+            val (p, s) = wideDecCols((table, f.name.toLowerCase))
+            s"decimal($p,$s)"
           case _ if textKindCols.contains((table, f.name.toLowerCase)) =>
             textKindCols((table, f.name.toLowerCase))
           case _ =>

@@ -80,5 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer-stage: the json-vs-number repair must see the FINAL
     // coerced comparison (TypeCoercion's int cast), not the raw parse
     ext.injectOptimizerRule(_ => ge.JsonNumericCompareRule)
+    // wide DECIMAL (p > 38) comparisons bypass the lossy double
+    // coercion (see functions.WideDecimal)
+    ext.injectOptimizerRule(_ => graft.functions.WideDecCompareRule)
   }
 }

@@ -928,6 +928,68 @@ object SqlRewrite {
   //      The produced CAST target then flows through the Dialect's MySQL
   //      type-name mappings (SIGNED/UNSIGNED/CHAR/DATETIME).
 
+  /** Argless `CAST('<numeric literal>' AS DECIMAL)`: the reference
+    * converts through InternalDecimalType(65,30) — value-preserving —
+    * while Spark's bare DECIMAL is (10,0), which rounds to an integer
+    * (reference expression/convert.go:492 createConvertedDecimalType +
+    * types/decimal.go:67 InternalDecimalType). For QUOTED literals
+    * (script_queries.go "Ensure scale is not rounded" shape) give the
+    * cast a type that holds the literal exactly; numeric-literal and
+    * column-arg casts keep Spark's (10,0) — real MySQL's own default. */
+  def wideDecimalLiteralCast(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String)]
+    var i = 0
+    while (i + 5 < toks.length) {
+      if (toks(i).isWord("cast") && toks(i + 1).text == "(" &&
+          toks(i + 2).kind == Lit && toks(i + 2).text.startsWith("'") &&
+          toks(i + 3).isWord("as") && toks(i + 4).isWord("decimal") &&
+          toks(i + 5).text == ")") {
+        val body = toks(i + 2).text.stripPrefix("'").stripSuffix("'").trim
+        if (body.matches("[+-]?\\d+(\\.\\d+)?")) {
+          val unsigned = body.stripPrefix("+").stripPrefix("-")
+          val dot = unsigned.indexOf('.')
+          val intPart =
+            (if (dot < 0) unsigned else unsigned.substring(0, dot))
+              .dropWhile(_ == '0')
+          val fracDigits =
+            if (dot < 0) 0 else unsigned.length - dot - 1
+          val s = math.min(fracDigits, 30)
+          val intDigits = math.max(intPart.length, 1)
+          if (intDigits + s <= 38)
+            patches += ((toks(i + 4).start, toks(i + 4).end,
+              s"DECIMAL(${intDigits + s},$s)"))
+        }
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
+  /** Bare numeric literals wider than 38 digits (MySQL DECIMAL reaches
+    * 65) fail Spark's parser outright (DECIMAL_PRECISION_EXCEEDS_MAX_
+    * PRECISION). Quote them: the wide-DECIMAL write coercion and
+    * comparison rewrite parse text exactly (functions.WideDecimal), and
+    * Spark's string→double coercion covers residual numeric contexts —
+    * strictly better than a parse error. */
+  def quoteWideNumericLiterals(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String)]
+    toks.foreach { t =>
+      if (t.kind == Word && t.text.matches("[0-9]+(\\.[0-9]*)?|\\.[0-9]+")) {
+        val dot = t.text.indexOf('.')
+        val ip = (if (dot < 0) t.text else t.text.substring(0, dot))
+          .dropWhile(_ == '0')
+        val fp = if (dot < 0) "" else t.text.substring(dot + 1)
+        if (ip.length + fp.length > 38)
+          patches += ((t.start, t.end, s"'${t.text}'"))
+      }
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   def convertFn(sql: String): String = {
     var text = sql
     // one call per pass (outermost-first); each pass removes one CONVERT
