@@ -234,10 +234,10 @@ object Dialect {
     // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
     val pre = SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
       SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.wideDecimalLiteralCast(SqlRewrite.quoteWideNumericLiterals(SqlRewrite.convertFn(
-        SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
+        SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.infixMod(SqlRewrite.groupConcat(
           SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
-              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql))))))))))))))))
+              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql)))))))))))))))))
     mapCode(pre)(rewriteCode)
   }
 
@@ -246,10 +246,10 @@ object Dialect {
   def rewrite(sql: String, pipesAsConcat: Boolean): String = {
     val pre = SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
       SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.wideDecimalLiteralCast(SqlRewrite.quoteWideNumericLiterals(SqlRewrite.convertFn(
-        SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.groupConcat(
+        SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.infixMod(SqlRewrite.groupConcat(
           SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
-              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql))))))))))))))))
+              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql)))))))))))))))))
     mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
   }
 

@@ -401,6 +401,34 @@ object SqlRewrite {
     text
   }
 
+  /** Infix `a MOD b` → `a % b`: MySQL grammar Spark lacks (Spark keeps
+    * `div` but only the mod(a,b) FUNCTION form). A `mod` word counts as
+    * the infix operator when the previous token ends a value (literal,
+    * identifier, closing paren) and the next does not open a call. */
+  def infixMod(sql: String): String = {
+    val stops = Set("select", "from", "where", "and", "or", "xor", "not",
+      "when", "then", "else", "end", "by", "on", "set", "values", "case",
+      "like", "in", "is", "between", "as", "join", "having", "limit",
+      "group", "order", "union", "all", "distinct", "insert", "update",
+      "delete", "returning", "interval", "separator", "escape")
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String)]
+    var i = 1
+    while (i < toks.length - 1) {
+      val t = toks(i)
+      if (t.isWord("mod") && toks(i + 1).text != "(") {
+        val p = toks(i - 1)
+        val prevEndsValue = p.kind == Lit || p.text == ")" ||
+          (p.kind == Word && !stops(p.text.toLowerCase) &&
+            !"+-*/%=<>!&|^~,(".contains(p.text))
+        if (prevEndsValue) patches += ((t.start, t.end, "%"))
+      }
+      i += 1
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   def xor(sql: String): String = {
     var text = sql
     // each pass rewrites the first XOR token into `!=` form, so the token
@@ -904,8 +932,33 @@ object SqlRewrite {
           if (close > 0 && comma >= idx + 3 && comma + 1 < close &&
               toks(comma + 1).isWord("interval")) {
             val arg = text.substring(toks(idx + 2).start, toks(comma - 1).end)
-            val ivl = text.substring(toks(comma + 1).start, toks(close - 1).end)
+            val ivl0 = text.substring(toks(comma + 1).start, toks(close - 1).end)
             val op = if (isAdd) "+" else "-"
+            // `INTERVAL <expression> <unit>`: Spark's INTERVAL literal
+            // only takes constants — a computed count (fuzzer shape
+            // `INTERVAL ( BIT_LENGTH(…) ^ c ) DAY`) becomes
+            // make_interval (script_queries.go "complicated string to
+            // numeric conversion")
+            val ivlToks = tokenize(ivl0)
+            val unitArg: Option[String] =
+              if (ivlToks.length > 3 && ivlToks.last.kind == Word) {
+                val b = "CAST((" + ivl0.substring(ivlToks(1).start,
+                  ivlToks.last.start).trim + ") AS INT)"
+                ivlToks.last.text.toLowerCase match {
+                  case "year" => Some(s"make_interval($b)")
+                  case "quarter" => Some(s"make_interval(0, 3 * $b)")
+                  case "month" => Some(s"make_interval(0, $b)")
+                  case "week" => Some(s"make_interval(0, 0, $b)")
+                  case "day" => Some(s"make_interval(0, 0, 0, $b)")
+                  case "hour" => Some(s"make_interval(0, 0, 0, 0, $b)")
+                  case "minute" =>
+                    Some(s"make_interval(0, 0, 0, 0, 0, $b)")
+                  case "second" =>
+                    Some(s"make_interval(0, 0, 0, 0, 0, 0, $b)")
+                  case _ => None
+                }
+              } else None
+            val ivl = unitArg.getOrElse(ivl0)
             // mysql_dtnorm accepts MySQL-legal datetime shapes Spark's
             // cast rejects; mysql_dt_clamp nulls results outside
             // [0000-01-01, 9999-12-31] (reference dateadd.go range)

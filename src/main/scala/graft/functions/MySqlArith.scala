@@ -250,18 +250,24 @@ object MySqlArith {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DecimalType(20, 0)
     override def nullable: Boolean = true
-    private def toLongMySql(v: Any, dt: DataType): Long = {
-      val b = toJbd(v, dt)
-      if (b == null) 0L
-      else {
-        val r = b.setScale(0, RoundingMode.HALF_UP)
-        // uint64 domain check (bit_ops.go via types.Uint64): a magnitude
-        // past 2^64 is MySQL 1690, not a silent Java wrap
-        if (r.abs.compareTo(TwoTo64) >= 0)
-          throw new ArithmeticException(
-            s"BIGINT UNSIGNED value is out of range: $r (MySQL error 1690)")
-        r.longValue()
-      }
+    private def toLongMySql(v: Any, dt: DataType): Long = v match {
+      // hex/binary literals are their big-endian byte value in bit
+      // context (script_queries.go: X'7F' | X'80' = 255), not a text
+      // prefix parse
+      case bytes: Array[Byte] if dt == BinaryType =>
+        bytes.foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+      case _ =>
+        val b = toJbd(v, dt)
+        if (b == null) 0L
+        else {
+          val r = b.setScale(0, RoundingMode.HALF_UP)
+          // uint64 domain check (bit_ops.go via types.Uint64): a magnitude
+          // past 2^64 is MySQL 1690, not a silent Java wrap
+          if (r.abs.compareTo(TwoTo64) >= 0)
+            throw new ArithmeticException(
+              s"BIGINT UNSIGNED value is out of range: $r (MySQL error 1690)")
+          r.longValue()
+        }
     }
     private val TwoTo64 = new JBD(java.math.BigInteger.ONE.shiftLeft(64))
     override def nullSafeEval(l: Any, r: Any): Any = {
@@ -739,12 +745,15 @@ object MySqlArith {
     override def dataType: DataType = DecimalType(20, 0)
     override def nullable: Boolean = true
     private val TwoTo64 = new JBD(java.math.BigInteger.ONE.shiftLeft(64))
-    // full-string numerics parse exactly (the 20-digit uint64 max must
-    // not round-trip through double); only garbage falls to prefix read
+    // string→uint is the reference's TruncateStringToInt path
+    // (number.go:1179, round=false): INTEGER-digit prefix only — no
+    // fraction, no rounding ('5.932887e+07' AS UNSIGNED is 5, '3.6' is
+    // 3), sign kept (negatives wrap below); garbage reads 0
+    private val IntPrefix =
+      java.util.regex.Pattern.compile("^[ \\t]*([+-]?\\d+)")
     private def strToJbdExact(s: String): JBD = {
-      val t = s.trim
-      try new JBD(t)
-      catch { case _: NumberFormatException => JBD.valueOf(strToDouble(t)) }
+      val m = IntPrefix.matcher(s)
+      if (m.find()) new JBD(m.group(1)) else JBD.ZERO
     }
     override def nullSafeEval(v: Any): Any = {
       val jb = v match {

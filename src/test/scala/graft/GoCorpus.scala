@@ -17,7 +17,7 @@ object GoCorpus {
                           skip: Boolean, expectErr: Boolean)
 
   final case class Script(name: String, setup: Seq[String],
-                          asserts: Seq[Assert])
+                          asserts: Seq[Assert], skip: Boolean = false)
 
   private final class Cursor(val s: String, var i: Int) {
     def eof: Boolean = i >= s.length
@@ -185,12 +185,22 @@ object GoCorpus {
         }
         sb.toString
       case t if t.matches("-?\\d+") => BigDecimal(t)
-      case t if t.matches("-?\\d*\\.\\d+(e-?\\d+)?") => BigDecimal(t)
+      // Go float literals: optional fraction and exponent (e+07 / E-2)
+      case t if t.matches("-?\\d*\\.\\d+([eE][+-]?\\d+)?") => BigDecimal(t)
+      case t if t.matches("-?\\d+(\\.\\d*)?[eE][+-]?\\d+") => BigDecimal(t)
+      case t if t.startsWith("float32(") =>
+        // emulate Go's float32 conversion: the shortest-round-trip
+        // display of the 32-bit value is what the engine returns
+        // (5.932887e+07 → 5.9328872E7f)
+        goValue(tok.substring(tok.indexOf('(') + 1, tok.length - 1)) match {
+          case b: BigDecimal => b.toFloat
+          case o => o
+        }
       case t if t.startsWith("int64(") || t.startsWith("int32(") ||
           t.startsWith("int8(") || t.startsWith("int16(") ||
           t.startsWith("uint64(") || t.startsWith("uint32(") ||
           t.startsWith("uint8(") || t.startsWith("uint16(") ||
-          t.startsWith("float64(") || t.startsWith("float32(") =>
+          t.startsWith("float64(") =>
         goValue(tok.substring(tok.indexOf('(') + 1, tok.length - 1))
       case t if t.startsWith("[]byte(") || t.startsWith("[]uint8(") ||
           t.startsWith("types.MustJSON(") =>
@@ -322,7 +332,11 @@ object GoCorpus {
       splitTopLevel(c.readBraceGroup()).map(_.trim).filter(_.nonEmpty)
         .map(parseAssert)
     }.getOrElse(Seq.empty)
-    Script(name, setup, asserts)
+    // block-level Skip: the reference's own suite skips the whole script
+    val skip = field(body, "Skip").exists { at =>
+      body.substring(at + "Skip:".length).trim.startsWith("true")
+    }
+    Script(name, setup, asserts, skip)
   }
 
   private def parseAssert(entry: String): Assert = {

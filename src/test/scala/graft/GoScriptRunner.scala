@@ -309,6 +309,9 @@ abstract class GoScriptCorpusSpec extends AnyFunSuite {
           if (n == 1) s"$varName: ${sc.name}"
           else s"$varName: ${sc.name} #$n"
         blockDivergences.get(sc.name).orElse(pinnedBlocks.get(label)) match {
+          case _ if sc.skip =>
+            // the reference's own enginetest suite skips this block
+            ignore(s"$label [reference skips it: Skip: true]") {}
           case Some(reason) =>
             ignore(s"$label [pinned: $reason]") {}
           case None =>
