@@ -3906,9 +3906,32 @@ class Engine(val spark: SparkSession) {
             val joined = child0.join(changed, cond, "left")
             val rewritten = fk.childCols.zip(fk.parentCols)
               .foldLeft(joined) { case (d, (cc, pc)) =>
+                // enum/set pairs CASCADE by ordinal/bitmask, not text:
+                // parent enum('a','b','c') 'a'→'c' rewrites child
+                // enum('x','y','z') 'x' to 'z' (reference enum.go
+                // ordinal compare + dml_iters.go FK actions;
+                // script_queries.go enums/set-with-FK-and-cascade)
+                val (cv, pv) = fkPairVocab(fk, cc, pc)
+                val newVal = (cv, pv) match {
+                  case (Some((false, cms)), Some(_)) =>
+                    val ord = fkKeyCol(s"__new_$pc", pv)
+                    cms.zipWithIndex.foldLeft(
+                      lit(null).cast(child.schema(cc).dataType)) {
+                      case (acc, (m, i)) =>
+                        when(ord === (i + 1), lit(m)).otherwise(acc)
+                    }
+                  case (Some((true, cms)), Some(_)) =>
+                    val mask = fkKeyCol(s"__new_$pc", pv).cast("long")
+                    val parts = cms.zipWithIndex.map { case (m, i) =>
+                      when(mask.bitwiseAND(lit(1L << i)) =!= 0, lit(m)) }
+                    when(mask.isNull, lit(null))
+                      .otherwise(concat_ws(",", parts: _*))
+                      .cast(child.schema(cc).dataType)
+                  case _ =>
+                    col(s"__new_$pc").cast(child.schema(cc).dataType)
+                }
                 d.withColumn(cc, when(coalesce(col("__hit__"), lit(false)),
-                  col(s"__new_$pc").cast(child.schema(cc).dataType))
-                  .otherwise(col(s"`$cc`")))
+                  newVal).otherwise(col(s"`$cc`")))
               }.select((child.columns.map(c => col(s"`$c`")) :+
                 col("__rid__")).toIndexedSeq: _*)
             // cascaded key rewrites feed any generated column over them
