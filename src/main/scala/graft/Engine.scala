@@ -621,7 +621,8 @@ class Engine(val spark: SparkSession) {
     val rewritten = functions.WideDecCompareRule(
       functions.expressions.JsonNumericCompareRule(
         functions.MySqlArithRewrite.stripIdentity(
-          functions.expressions.MySqlTrimRule(plan))))
+          functions.expressions.MySqlCiLocateRule(
+            functions.expressions.MySqlTrimRule(plan)))))
     if (rewritten eq plan) df
     else org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
   }

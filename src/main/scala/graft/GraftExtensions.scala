@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("export_set", es => ge.ExportSet(es)),
       fn("mysql_quote", es => ge.QuoteStr(es.head)),
       fn("make_set", es => ge.MakeSet(es)),
+      fn("soundex", es => ge.MySqlSoundex(es.head)),
       fn("compress", es => ge.CompressExpr(es.head)),
       fn("uncompress", es => ge.UncompressExpr(es.head)),
       fn("uncompressed_length", es => ge.UncompressedLength(es.head)),
@@ -83,5 +84,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // wide DECIMAL (p > 38) comparisons bypass the lossy double
     // coercion (see functions.WideDecimal)
     ext.injectOptimizerRule(_ => graft.functions.WideDecCompareRule)
+    // LOCATE/POSITION/INSTR fold to case-insensitive matching (MySQL's
+    // default *_ci collations)
+    ext.injectOptimizerRule(_ => ge.MySqlCiLocateRule)
   }
 }

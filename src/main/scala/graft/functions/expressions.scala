@@ -526,6 +526,26 @@ object expressions {
       }
   }
 
+  /** LOCATE/POSITION/INSTR are case-insensitive in MySQL for non-binary
+    * strings (the default *_ci collations; reference string functions
+    * over TextStorage: locate('o', 'LOWERCASE') = 2). Spark's builtins
+    * compare exactly — fold both operands through Lower. Binary
+    * operands keep exact matching. */
+  object MySqlCiLocateRule extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{Lower, StringInstr, StringLocate}
+    private def ciText(e: Expression): Boolean =
+      e.resolved && e.dataType.isInstanceOf[StringType] &&
+        !e.isInstanceOf[Lower]
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.transformAllExpressions {
+        case StringLocate(sub, str, start) if ciText(sub) && ciText(str) =>
+          StringLocate(Lower(sub), Lower(str), start)
+        case StringInstr(str, sub) if ciText(sub) && ciText(str) =>
+          StringInstr(Lower(str), Lower(sub))
+      }
+  }
+
   /** INET_ATON('a.b.c.d') -> long, NULL on malformed input (MySQL). */
   case class InetAton(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -600,7 +620,8 @@ object expressions {
     * lowest bit first. */
   case class ExportSet(children: Seq[Expression])
       extends Expression with CodegenFallback {
-    require(children.length == 5)
+    require(children.length >= 3 && children.length <= 5,
+      "EXPORT_SET takes 3 to 5 arguments")
     override def dataType: DataType = StringType
     override def nullable: Boolean = children.exists(_.nullable)
     override def eval(input: InternalRow): Any = {
@@ -609,13 +630,59 @@ object expressions {
       val bits = vs(0).asInstanceOf[Number].longValue()
       val on = vs(1).asInstanceOf[UTF8String].toString
       val off = vs(2).asInstanceOf[UTF8String].toString
-      val sep = vs(3).asInstanceOf[UTF8String].toString
-      val n = math.min(math.max(vs(4).asInstanceOf[Number].intValue(), 0), 64)
+      // MySQL defaults: separator ',' and 64 bits
+      val sep = if (vs.length > 3) vs(3).asInstanceOf[UTF8String].toString
+                else ","
+      val n =
+        if (vs.length > 4)
+          math.min(math.max(vs(4).asInstanceOf[Number].intValue(), 0), 64)
+        else 64
       val out = (0 until n).map(i => if (((bits >> i) & 1L) == 1L) on else off)
       UTF8String.fromString(out.mkString(sep))
     }
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+  }
+
+  /** SOUNDEX with MySQL's unabridged algorithm (reference
+    * function/soundex.go): unlike the 4-char standard form, every coded
+    * consonant appends ("Test String!" → T2323652); the result still
+    * zero-pads to at least 4 chars, non-alpha characters are skipped,
+    * and an input with no letters yields the empty string. */
+  case class MySqlSoundex(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    private def code(c: Char): Int = Character.toUpperCase(c) match {
+      case 'B' | 'F' | 'P' | 'V' => 1
+      case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => 2
+      case 'D' | 'T' => 3
+      case 'L' => 4
+      case 'M' | 'N' => 5
+      case 'R' => 6
+      case _ => 0
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val s = v match {
+        case u: UTF8String => u.toString
+        case b: Array[Byte] => new String(b, "UTF-8")
+        case o => String.valueOf(o)
+      }
+      val letters = s.filter(_.isLetter)
+      if (letters.isEmpty) return UTF8String.fromString("")
+      val sb = new StringBuilder
+      sb.append(Character.toUpperCase(letters.head))
+      var prev = code(letters.head)
+      letters.tail.foreach { c =>
+        val d = code(c)
+        if (d != 0 && d != prev) sb.append(d)
+        prev = d
+      }
+      while (sb.length < 4) sb.append('0')
+      UTF8String.fromString(sb.result())
+    }
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
   }
 
   /** MAKE_SET(bits, s1, s2, ...) — joins with ',' the strings whose bit is
@@ -894,5 +961,7 @@ object expressions {
       es => WinnowFingerprint(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("ai_ci_fold",
       es => AccentFold(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("soundex",
+      es => MySqlSoundex(es.head), "scala_udf")
   }
 }

@@ -6,6 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ExpressionsSpec extends AnyFunSuite {
   import SparkSpec.spark
+  // registers the MySQL function overrides (soundex et al.) on the
+  // shared session — Spark 4's Column API resolves by registry name
+  new Engine(spark)
 
   private def one[T](c: org.apache.spark.sql.Column): T =
     spark.range(1).select(c.as("v")).collect()(0).getAs[T]("v")
@@ -65,13 +68,16 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(one[Any](gfx.makeSet(lit(null).cast("long"), lit("a"))) == null)
   }
 
-  test("soundex (Spark built-in): standard 4-char algorithm") {
-    // divergence note: MySQL SOUNDEX returns the extended-length variant
-    // ('Quadratically' -> 'Q36324'); Spark returns the standard 4-char
-    // prefix of the same code ('Q363'). Same equivalence classes.
-    assert(one[String](soundex(lit("Quadratically"))) == "Q363")
+  test("soundex: MySQL's unabridged algorithm") {
+    // MySQL SOUNDEX returns the extended-length variant — every coded
+    // consonant appends ('Quadratically' -> 'Q36324'); short codes
+    // still zero-pad to 4 (reference function/soundex.go). The session
+    // registry override covers both SQL and Column-API callers.
+    assert(one[String](soundex(lit("Quadratically"))) == "Q36324")
     assert(one[String](soundex(lit("Robert"))) == "R163")
     assert(one[String](soundex(lit("Robert"))) == one[String](soundex(lit("Rupert"))))
+    assert(one[String](soundex(lit("Test String!"))) == "T2323652")
+    assert(one[String](soundex(lit("!!"))) == "")
   }
 
   test("inet6 family: aton/ntoa round-trips, is_ipv4/is_ipv6") {

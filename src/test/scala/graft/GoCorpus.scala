@@ -205,6 +205,17 @@ object GoCorpus {
       case t if t.startsWith("[]byte(") || t.startsWith("[]uint8(") ||
           t.startsWith("types.MustJSON(") =>
         goValue(tok.substring(tok.indexOf('(') + 1, tok.length - 1))
+      case t if (t.startsWith("[]byte{") || t.startsWith("[]uint8{")) &&
+          t.endsWith("}") =>
+        // byte-slice literal: []byte{0xde, 0xad} → the raw bytes
+        val body = t.substring(t.indexOf('{') + 1, t.length - 1).trim
+        if (body.isEmpty) Array.empty[Byte]
+        else body.split(",").map { b =>
+          val s = b.trim
+          (if (s.startsWith("0x") || s.startsWith("0X"))
+             Integer.parseInt(s.substring(2), 16)
+           else s.toInt).toByte
+        }
       case t if t.startsWith("time.Date(") => goTimeDate(t)
       case t if t.startsWith("types.JSONDocument{") =>
         // types.JSONDocument{Val: <go value>} renders as the MARSHALED
