@@ -1109,7 +1109,12 @@ object Dml {
       }
 
     case AlterTable(name, actions) =>
-      alterTable(e, normName(name), actions); Some(ok(e, 0L))
+      // MySQL table names are case-insensitive on lookup — resolve to
+      // the created relation's canonical spelling so declared metadata
+      // (auto-inc, defaults, keys) keys consistently (`ALTER TABLE TEST
+      // MODIFY …` on a table created as `test`)
+      alterTable(e, e.canonicalTable(normName(name)), actions)
+      Some(ok(e, 0L))
 
     case RenameTables(listText)
         if topLevelSplit(listText, ',').forall(RenamePair.matches) =>
@@ -3510,6 +3515,13 @@ object Dml {
             e.autoIncCounter.remove(table)
             e.autoIncShown.remove(table)
           }
+          // MODIFY WITH the attribute declares the counter column — an
+          // `AUTO_INCREMENT = n` option later in the same statement (or
+          // the next generating INSERT) then sees it ("ALTER TABLE
+          // MULTI ADD/DROP COLUMN": MODIFY pk BIGINT AUTO_INCREMENT,
+          // AUTO_INCREMENT = 100)
+          if ("""(?i)\bAUTO_INCREMENT\b""".r.findFirstIn(spec).isDefined)
+            e.declareAutoInc(table, name)
           // MODIFY may re-declare the DEFAULT and reposition the column
           // (column_default_queries.go t22/t23: MODIFY ... DEFAULT (x) FIRST)
           extractDefault(spec).foreach(d => e.declareDefault(table, name, d))

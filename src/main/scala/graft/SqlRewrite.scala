@@ -163,15 +163,46 @@ object SqlRewrite {
     * temp view (Spark temp-view names cannot contain a dot; the
     * tokenizer folds dotted identifiers into one Word, so the whole
     * qualified name is a single token here). */
+  /** Identifier-name columns of the info-schema surface whose ORDER BY
+    * must follow utf8_general_ci: MySQL uppercases before comparing, so
+    * '_' (0x5F) sorts AFTER letters — "collations" before
+    * "collation_character_set_applicability". Binary order on the
+    * lowercase names gets this backwards. */
+  private val infoSchemaNameCols = Set("table_name", "column_name",
+    "table_schema", "schema_name", "constraint_name", "index_name",
+    "collation_name", "character_set_name", "routine_name",
+    "trigger_name", "event_name")
+
   def infoSchemaNames(sql: String): String = {
     val prefix = "information_schema."
-    val patches = tokenize(sql).collect {
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer(toks.collect {
       case t if t.kind == Word &&
           t.text.toLowerCase.startsWith(prefix) =>
         (t.start, t.end,
           "information_schema_" + t.text.substring(prefix.length))
+    }: _*)
+    if (patches.nonEmpty) {
+      // utf8_general_ci ordering over name columns: ORDER BY name →
+      // ORDER BY upper(name), name (upper-then-binary ≡ general_ci for
+      // the ASCII identifier charset)
+      var i = 0
+      while (i + 2 < toks.length) {
+        if (toks(i).isWord("order") && toks(i + 1).isWord("by") &&
+            toks(i + 2).kind == Word &&
+            infoSchemaNameCols(toks(i + 2).text.toLowerCase) &&
+            (i + 3 >= toks.length || toks(i + 3).kind == Word &&
+              Set("asc", "desc", "limit")(toks(i + 3).text.toLowerCase) ||
+              i + 3 < toks.length && toks(i + 3).text == ";")) {
+          val c = toks(i + 2).text
+          val desc = i + 3 < toks.length && toks(i + 3).isWord("desc")
+          patches += ((toks(i + 2).start, toks(i + 2).end,
+            if (desc) s"upper($c) DESC, $c" else s"upper($c), $c"))
+        }
+        i += 1
+      }
     }
-    if (patches.isEmpty) sql else splice(sql, patches)
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
   // ---- GROUP_CONCAT( [DISTINCT] expr[, expr…] [ORDER BY …] [SEPARATOR 'x'] )
