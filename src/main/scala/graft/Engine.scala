@@ -1309,7 +1309,13 @@ class Engine(val spark: SparkSession) {
             // shadows: equivalent pre-group WHERE (MySQL binds the
             // table column; Spark bound the alias and errored)
             val h2w = SqlRewrite.havingKeysToWhere(cur)
-            if (h2w != cur) attempt(h2w, budget - 1)
+            // a bare GROUP BY key naming a select alias groups by the
+            // aliased EXPRESSION in MySQL (aliases shadow table columns
+            // in GROUP BY) — expand before the pk/const admissibility
+            // fallbacks
+            val h2w2 =
+              if (h2w != cur) h2w else SqlRewrite.groupKeyAliasExpand(cur)
+            if (h2w2 != cur) attempt(h2w2, budget - 1)
             else {
             val fromTbl = """(?i)\bFROM\s+`?([A-Za-z_][A-Za-z0-9_]*)`?"""
               .r.findFirstMatchIn(cur).map(_.group(1))
@@ -1457,8 +1463,24 @@ class Engine(val spark: SparkSession) {
             val v3 =
               if (v2 != cur) v2
               else SqlRewrite.orderBySubqueryLift(cur)
-            if (v3 == cur) throw e
-            attempt(v3, budget - 1)
+            // correlated scalar probes over grouped columns: two-phase
+            // group-then-probe (pre-aggregate, correlate on the alias)
+            val v4 =
+              if (v3 != cur) v3
+              else if (e.getMessage.contains("SCALAR_SUBQUERY"))
+                SqlRewrite.groupThenProbe(cur)
+              else cur
+            if (v4 == cur) throw e
+            attempt(v4, budget - 1)
+          // correlated scalar probe referencing grouped columns
+          // (sqllogictest subquery_correlated L1130): pre-aggregate the
+          // outer into a derived table and correlate on its alias
+          case e: org.apache.spark.sql.AnalysisException
+              if budget > 0 && e.getMessage.contains(
+                "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION") =>
+            val probed = SqlRewrite.groupThenProbe(cur)
+            if (probed == cur) throw e
+            attempt(probed, budget - 1)
           // MySQL DECIMAL reaches precision 65 (ref sql/types/decimal.go:58);
           // Spark caps at 38. Literal-only wide-decimal shapes constant-fold
           // to their exact MySQL display string.

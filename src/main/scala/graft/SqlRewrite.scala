@@ -1074,6 +1074,103 @@ object SqlRewrite {
     if (patches.isEmpty) sql else splice(sql, patches.toSeq)
   }
 
+  /** Correlated scalar subqueries in the select list of a GROUPED query
+    * that reference the grouped columns (sqllogictest
+    * subquery_correlated L1130) — Spark rejects the shape outright
+    * (SCALAR_SUBQUERY references grouped columns). Two-phase rewrite:
+    * pre-aggregate the outer into a derived table and correlate each
+    * probe against the derived alias instead:
+    *   SELECT c.c_id, count(*) AS n, (SELECT … WHERE o2.id = c.c_id)
+    *   FROM c GROUP BY c.c_id
+    * ⇒ SELECT __g.c_id, __g.n, (SELECT … WHERE o2.id = __g.c_id)
+    *   FROM (SELECT c.c_id, count(*) AS n FROM c GROUP BY c.c_id) __g
+    * Retry-only (error-ladder) — bails to the original text unless the
+    * shape is clean: top-level GROUP BY, no HAVING, simple column group
+    * keys, every non-column base item explicitly aliased. */
+  def groupThenProbe(sql: String): String = {
+    val toks = tokenize(sql)
+    if (toks.isEmpty || !toks.head.isWord("select")) return sql
+    var depth = 0
+    var fromAt = -1; var groupAt = -1; var tailAt = -1
+    var i = 1
+    while (i < toks.length) {
+      val t = toks(i)
+      t.text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && t.kind == Word =>
+          t.text.toLowerCase match {
+            case "from" if fromAt < 0 => fromAt = i
+            case "group" if fromAt > 0 && groupAt < 0 &&
+                i + 1 < toks.length && toks(i + 1).isWord("by") =>
+              groupAt = i
+            case "having" if groupAt > 0 => return sql // bail
+            case "order" | "limit" if groupAt > 0 && tailAt < 0 =>
+              tailAt = i
+            case "union" | "intersect" | "except" if depth == 0 => return sql
+            case _ =>
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    if (fromAt < 0 || groupAt < 0) return sql
+    val selTxt = sql.substring(toks.head.end, toks(fromAt).start)
+    if (selTxt.toLowerCase.contains("distinct")) return sql
+    val fromTxt = sql.substring(toks(fromAt).end,
+      toks(groupAt).start)
+    val keysEnd = if (tailAt > 0) toks(tailAt).start else sql.length
+    val keysTxt = sql.substring(toks(groupAt + 2).start, keysEnd)
+    val tailTxt = if (tailAt > 0) sql.substring(toks(tailAt).start) else ""
+    // group keys must be simple (possibly qualified) columns
+    val keys = splitTopLevelCommas(keysTxt).map(_.trim)
+    val KeyPat = "^(?:`?([A-Za-z_][A-Za-z0-9_]*)`?\\.)?`?" +
+      "([A-Za-z_][A-Za-z0-9_]*)`?$"
+    val keyParts = keys.map { k =>
+      val m = java.util.regex.Pattern.compile(KeyPat).matcher(k)
+      if (!m.matches()) return sql
+      (Option(m.group(1)), m.group(2))
+    }
+    // bare output names must be unambiguous
+    if (keyParts.map(_._2.toLowerCase).distinct.size != keyParts.size)
+      return sql
+    val items = splitTopLevelCommas(selTxt).map(_.trim).filter(_.nonEmpty)
+    val (probes, base) = items.partition(it =>
+      "(?is)\\(\\s*select\\b".r.findFirstIn(it).isDefined)
+    if (probes.isEmpty || base.isEmpty) return sql
+    val AliasPat =
+      """(?is)^.*\s+AS\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""".r
+    val ColPat = ("^(?:`?[A-Za-z_][A-Za-z0-9_]*`?\\.)?`?" +
+      "([A-Za-z_][A-Za-z0-9_]*)`?$").r
+    // outer-facing name of each base item
+    val outerBase = base.map {
+      case AliasPat(a) => s"__g.`$a`"
+      case it => it.trim match {
+        case ColPat(c) => s"__g.`$c`"
+        case _ => return sql // unaliased expression: bail
+      }
+    }
+    // rewrite qualified grouped-column references inside probe items
+    // (and the ORDER BY/LIMIT tail) to the derived alias
+    def redirect(txt: String): String =
+      keyParts.foldLeft(txt) {
+        case (t, (Some(q), c)) =>
+          t.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(q) +
+            "\\s*\\.\\s*`?" + java.util.regex.Pattern.quote(c) + "`?\\b",
+            s"__g.`$c`")
+        case (t, (None, _)) => t
+      }
+    val outerProbes = probes.map(redirect)
+    // keep the original select-list item ORDER in the outer projection
+    val outer = items.map { it =>
+      if ("(?is)\\(\\s*select\\b".r.findFirstIn(it).isDefined)
+        outerProbes(probes.indexOf(it))
+      else outerBase(base.indexOf(it))
+    }
+    s"SELECT ${outer.mkString(", ")} FROM (SELECT ${base.mkString(", ")} " +
+      s"FROM $fromTxt GROUP BY $keysTxt) __g ${redirect(tailTxt)}".trim
+  }
+
   def convertFn(sql: String): String = {
     var text = sql
     // one call per pass (outermost-first); each pass removes one CONVERT
@@ -1532,6 +1629,59 @@ object SqlRewrite {
     cond.result()
   }
 
+  /** Retry-only (MISSING_AGGREGATION): a bare GROUP BY key that names a
+    * select ALIAS of an expression groups by THAT EXPRESSION in MySQL,
+    * even when a table column shares the name (`SELECT col2-100 AS col0
+    * … GROUP BY col0` groups by col2-100 — reference
+    * planbuilder/aggregates.go alias preference; script_queries.go
+    * "group by having with conflicting aliases test"). Spark binds the
+    * table column and errors on the un-grouped expression; expand the
+    * key to the aliased expression text. */
+  def groupKeyAliasExpand(sql: String): String = {
+    val toks = tokenize(sql)
+    val patches = ArrayBuffer.empty[(Int, Int, String)]
+    topSelects(toks).foreach { s =>
+      if (s.groupAt >= 0 && s.fromAt > s.selectAt) {
+        val aliases = selectAliases(sql, toks, s.selectAt, s.fromAt)
+        // GROUP BY key list: from after BY to the next clause keyword
+        var k = s.groupAt + 2
+        var depth = 0
+        var stop = false
+        while (k < toks.length && !stop) {
+          val t = toks(k)
+          t.text match {
+            case "(" => depth += 1
+            case ")" if depth > 0 => depth -= 1
+            case ")" => stop = true
+            case _ if depth == 0 && t.kind == Word &&
+                Set("having", "order", "limit", "union", "intersect",
+                  "except", "window")(t.text.toLowerCase) =>
+              stop = true
+            case _ if depth == 0 && t.kind == Word =>
+              val id = t.text.toLowerCase.replace("`", "")
+              // a bare single-token key only (preceded/followed by
+              // list punctuation or clause bounds)
+              val prevOk = k == s.groupAt + 2 || toks(k - 1).text == ","
+              val nextOk = k + 1 >= toks.length ||
+                Set(",", ";", ")").contains(toks(k + 1).text) ||
+                (toks(k + 1).kind == Word &&
+                  Set("having", "order", "limit", "union", "intersect",
+                    "except", "window", "asc", "desc")(
+                    toks(k + 1).text.toLowerCase))
+              aliases.get(id).foreach { e =>
+                val isSelf = e.toLowerCase.replace("`", "").trim == id
+                if (prevOk && nextOk && !isSelf)
+                  patches += ((t.start, t.end, s"($e)"))
+              }
+            case _ =>
+          }
+          k += 1
+        }
+      }
+    }
+    if (patches.isEmpty) sql else splice(sql, patches.toSeq)
+  }
+
   def havingNoGroup(sql: String): String = {
     val toks = tokenize(sql)
     val patches = ArrayBuffer.empty[(Int, Int, String)]
@@ -1541,6 +1691,42 @@ object SqlRewrite {
       if (s.havingAt >= 0 && s.groupAt < 0 && s.fromAt > s.selectAt) {
         val aliases = selectAliases(sql, toks, s.selectAt, s.fromAt)
         val condEnd = condSpanEnd(toks, s.havingAt)
+        // HAVING without GROUP BY may only reference select-list items:
+        // an alias, or a column that IS some item's expression (`SELECT
+        // col0 AS a … HAVING col0 = a` is legal; `SELECT col0+1 AS a …
+        // HAVING col0 = a` is MySQL 1054 — script_queries.go "group by
+        // having with conflicting aliases test" error rows)
+        if (condEnd > s.havingAt) {
+          val norm = (t: String) =>
+            t.toLowerCase.replace("`", "").replaceAll("\\s+", "")
+          val exprSet = {
+            val out = scala.collection.mutable.Set.empty[String]
+            aliases.values.foreach(v => out += norm(v))
+            // unaliased items: the full item text is the expression
+            splitTopLevelCommas(
+              sql.substring(toks(s.selectAt).end, toks(s.fromAt).start))
+              .foreach(it => out += norm(it))
+            out
+          }
+          val kw = Set("and", "or", "xor", "not", "is", "null", "true",
+            "false", "unknown", "like", "rlike", "regexp", "in",
+            "between", "div", "mod", "escape", "interval", "case",
+            "when", "then", "else", "end", "asc", "desc", "distinct")
+          ((s.havingAt + 1) to condEnd).foreach { k =>
+            val t = toks(k)
+            if (t.kind == Word && !t.text.head.isDigit &&
+                t.text.head != '@' && !kw(t.text.toLowerCase) &&
+                !(k + 1 <= condEnd && toks(k + 1).text == "(")) {
+              val id = t.text.toLowerCase.replace("`", "")
+              val bare = id.substring(id.lastIndexOf('.') + 1)
+              if (!aliases.contains(bare) && !exprSet(norm(t.text)) &&
+                  !exprSet(bare))
+                throw new IllegalArgumentException(
+                  s"Unknown column '${t.text}' in 'having clause' " +
+                  "(MySQL error 1054)")
+            }
+          }
+        }
         if (condEnd > s.havingAt) {
           val cond = renderWithAliases(toks, s.havingAt + 1, condEnd, aliases)
           if (s.whereAt >= 0 && s.whereAt < s.havingAt) {
