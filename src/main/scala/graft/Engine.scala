@@ -232,24 +232,24 @@ object Dialect {
     // token-level passes first (each is literal-aware on its own):
     // GROUP_CONCAT(...SEPARATOR...) -> listagg, MySQL XOR truthiness,
     // DATE_ADD/SUB(x, INTERVAL …) -> timestamp arithmetic, CONVERT -> CAST
-    val pre = SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
+    val pre = SqlRewrite.optimizerHints(SqlRewrite.forUpdateClause(SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
       SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.wideDecimalLiteralCast(SqlRewrite.quoteWideNumericLiterals(SqlRewrite.convertFn(
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.infixMod(SqlRewrite.groupConcat(
           SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
-              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql)))))))))))))))))
+              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql)))))))))))))))))))
     mapCode(pre)(rewriteCode)
   }
 
   /** Session-aware variant: PIPES_AS_CONCAT leaves `||` as Spark's
     * native string concatenation. */
   def rewrite(sql: String, pipesAsConcat: Boolean): String = {
-    val pre = SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
+    val pre = SqlRewrite.optimizerHints(SqlRewrite.forUpdateClause(SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
       SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.wideDecimalLiteralCast(SqlRewrite.quoteWideNumericLiterals(SqlRewrite.convertFn(
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.infixMod(SqlRewrite.groupConcat(
           SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
-              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql)))))))))))))))))
+              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql)))))))))))))))))))
     mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
   }
 

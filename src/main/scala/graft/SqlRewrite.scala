@@ -173,6 +173,115 @@ object SqlRewrite {
     "collation_name", "character_set_name", "routine_name",
     "trigger_name", "event_name")
 
+  /** Trailing `FOR UPDATE [OF tbls] [SKIP LOCKED | NOWAIT]` locking
+    * clause (script_queries.go "FOR UPDATE OF syntax support tests"):
+    * locks are meaningless on immutable snapshots, so the clause strips
+    * — after validating it like the reference does: `OF` names must
+    * resolve to a table or alias of the statement
+    * (ErrUnresolvedTableLock), an empty OF list or trailing junk is a
+    * syntax error. */
+  def forUpdateClause(sql: String): String = {
+    val toks = tokenize(sql)
+    if (toks.isEmpty) return sql
+    val head = toks.head.text.toLowerCase
+    if (head != "select" && head != "with" && head != "(" &&
+        head != "table" && head != "values") return sql
+    var depth = 0
+    var at = -1
+    var i = 0
+    while (i < toks.length && at < 0) {
+      toks(i).text match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _ if depth == 0 && toks(i).isWord("for") &&
+            i + 1 < toks.length && toks(i + 1).isWord("update") =>
+          at = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (at < 0) return sql
+    var j = at + 2
+    val ofNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (j < toks.length && toks(j).isWord("of")) {
+      j += 1
+      var expectIdent = true
+      var go = true
+      while (go && j < toks.length) {
+        val t = toks(j)
+        if (expectIdent) {
+          val lw = t.text.toLowerCase
+          val isEnd = t.kind != Word ||
+            (lw == "skip" && j + 1 < toks.length &&
+              toks(j + 1).isWord("locked")) || lw == "nowait"
+          if (isEnd) go = false
+          else {
+            ofNames += t.text.replace("`", "").toLowerCase
+            expectIdent = false; j += 1
+          }
+        } else if (t.text == ",") { expectIdent = true; j += 1 }
+        else go = false
+      }
+      if (ofNames.isEmpty || expectIdent)
+        throw new IllegalArgumentException(
+          "You have an error in your SQL syntax near 'FOR UPDATE OF' " +
+          "(MySQL error 1064)")
+    }
+    if (j < toks.length && toks(j).isWord("skip") &&
+        j + 1 < toks.length && toks(j + 1).isWord("locked")) j += 2
+    else if (j < toks.length && toks(j).isWord("nowait")) j += 1
+    if (j < toks.length && toks(j).text == ";") j += 1
+    if (j != toks.length)
+      throw new IllegalArgumentException(
+        "You have an error in your SQL syntax near " +
+        s"'${toks(j).text}' after FOR UPDATE (MySQL error 1064)")
+    // OF names must name a table or alias visible in the statement
+    val visible = toks.take(at).collect {
+      case t if t.kind == Word =>
+        val n = t.text.replace("`", "").toLowerCase
+        Seq(n, n.substring(n.lastIndexOf('.') + 1))
+    }.flatten.toSet
+    ofNames.foreach { n =>
+      if (!visible(n)) throw new IllegalArgumentException(
+        s"Table '$n' was not locked in the SELECT statement " +
+        "(MySQL ErrUnresolvedTableLock)")
+    }
+    sql.substring(0, toks(at).start).trim
+  }
+
+  /** MySQL-reference optimizer hints → Spark hints (reference
+    * memo/hints.go: JOIN_ORDER, HASH_JOIN, MERGE_JOIN, LOOKUP_JOIN…).
+    * HASH_JOIN→SHUFFLE_HASH, MERGE_JOIN→MERGE, LOOKUP_JOIN→BROADCAST
+    * (a lookup join's small probe side is broadcast-shaped); hints with
+    * no Spark counterpart (JOIN_ORDER — Catalyst reorders joins itself)
+    * strip, because Spark's hint resolver tries to bind unknown hint
+    * parameters as attributes and errors (AMBIGUOUS_REFERENCE on
+    * script_queries.go "filter pushdown through join uppercase name").
+    * Spark-native hint names pass through unchanged. */
+  def optimizerHints(sql: String): String = {
+    if (!sql.contains("/*+")) return sql
+    val HintBlock = """(?s)/\*\+(.*?)\*/""".r
+    HintBlock.replaceAllIn(sql, m => {
+      val body = m.group(1)
+      val HintItem = """(?i)([A-Za-z_0-9]+)\s*(\([^)]*\))?""".r
+      val mapped = HintItem.findAllMatchIn(body).flatMap { h =>
+        val args = Option(h.group(2)).getOrElse("")
+        h.group(1).toUpperCase match {
+          case "HASH_JOIN" => Some(s"SHUFFLE_HASH$args")
+          case "MERGE_JOIN" => Some(s"MERGE$args")
+          case "LOOKUP_JOIN" | "LEFT_OUTER_LOOKUP_JOIN" =>
+            Some(s"BROADCAST$args")
+          case "JOIN_ORDER" | "JOIN_FIXED_ORDER" | "NO_ICP" |
+               "SEMI_JOIN" | "ANTI_JOIN" | "INNER_JOIN" |
+               "LEFT_DEEP" | "MAX_EXECUTION_TIME" | "SET_VAR" => None
+          case _ => Some(h.group(0))
+        }
+      }.toSeq
+      java.util.regex.Matcher.quoteReplacement(
+        if (mapped.isEmpty) " " else s"/*+ ${mapped.mkString(", ")} */")
+    })
+  }
+
   def infoSchemaNames(sql: String): String = {
     val prefix = "information_schema."
     val toks = tokenize(sql)
