@@ -250,7 +250,11 @@ object Dialect {
           SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
               SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql)))))))))))))))))))
-    mapCode(pre)(c => rewriteCode(c, pipesAsConcat))
+    // MySQL's ||-as-concat binds tighter than +/- — fold to concat()
+    // BEFORE the chunk pass would leave Spark's low-precedence ||
+    val pre2 =
+      if (pipesAsConcat) SqlRewrite.pipesConcatTight(pre) else pre
+    mapCode(pre2)(c => rewriteCode(c, pipesAsConcat))
   }
 
   /** Apply `f` to each non-literal, non-comment run of `sql`, copying

@@ -282,6 +282,59 @@ object SqlRewrite {
     })
   }
 
+  /** PIPES_AS_CONCAT precedence: MySQL's `||`-as-concat binds TIGHTER
+    * than +/- (`1 + 2 || 3 + 4` = 1 + '23' + 4 = 28 — script_queries.go
+    * "pipes as concat mode"), while Spark parses `||` below arithmetic
+    * ('37'). Fold each `||` into concat(L, R) over the immediately
+    * adjacent unary operands, leftmost first (left-assoc chains). */
+  def pipesConcatTight(sql: String): String = {
+    var text = sql
+    var again = true
+    while (again) {
+      again = false
+      val toks = tokenize(text)
+      val at = toks.indexWhere(_.text == "||")
+      if (at > 0 && at + 1 < toks.length) {
+        // left operand: `)`-terminated call/paren span or single token
+        var ls = at - 1
+        if (toks(ls).text == ")") {
+          var d = 0; var k = ls
+          while (k >= 0 && { toks(k).text match {
+            case ")" => d += 1; true
+            case "(" => d -= 1; d > 0
+            case _ => true } }) k -= 1
+          ls = k
+          // a preceding word is the call name — unless it's a keyword
+          // (`select (1||2) || …` must not swallow SELECT)
+          val kw = Set("select", "from", "where", "when", "then", "else",
+            "and", "or", "xor", "not", "in", "like", "by", "on", "values",
+            "union", "all", "distinct", "as", "case", "having", "limit",
+            "order", "group", "join", "set", "between", "exists")
+          if (ls - 1 >= 0 && toks(ls - 1).kind == Word &&
+              !kw(toks(ls - 1).text.toLowerCase)) ls -= 1
+        }
+        // right operand: word-call span, paren span, or single token
+        var re = at + 1
+        if (toks(re).kind == Word && re + 1 < toks.length &&
+            toks(re + 1).text == "(") re += 1
+        if (toks(re).text == "(") {
+          var d = 0; var k = re
+          while (k < toks.length && { toks(k).text match {
+            case "(" => d += 1; true
+            case ")" => d -= 1; d > 0
+            case _ => true } }) k += 1
+          re = k
+        }
+        val l = text.substring(toks(ls).start, toks(at - 1).end)
+        val r = text.substring(toks(at + 1).start, toks(re).end)
+        text = text.substring(0, toks(ls).start) + s"concat($l, $r)" +
+          text.substring(toks(re).end)
+        again = true
+      }
+    }
+    text
+  }
+
   def infoSchemaNames(sql: String): String = {
     val prefix = "information_schema."
     val toks = tokenize(sql)

@@ -673,7 +673,11 @@ object MySqlArith {
       } else if (isStringish(lt) || isStringish(rt) ||
                  lt == DoubleType || rt == DoubleType ||
                  lt == FloatType || rt == FloatType) {
-        Some(java.lang.Double.compare(toDoubleVal(l, lt), toDoubleVal(r, rt)))
+        // + 0.0 folds IEEE negative zero into +0.0: MySQL compares
+        // -'' (= -0.0) equal to 0 ("floats in tuple are properly
+        // hashed"); Double.compare(0.0, -0.0) is 1, not 0
+        Some(java.lang.Double.compare(
+          toDoubleVal(l, lt) + 0.0, toDoubleVal(r, rt) + 0.0))
       } else if ((isNumericish(lt) || isTemporal(lt)) &&
                  (isNumericish(rt) || isTemporal(rt))) {
         Some(toJbd(l, lt).compareTo(toJbd(r, rt)))
@@ -996,6 +1000,13 @@ object MySqlArithRewrite {
       // (true || false is '10', not 'truefalse')
       c.withNewChildren(c.children.map(ch =>
         MySqlStrOperand(rewriteExpr(ch))))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.nonEmpty &&
+          f.nameParts.last.equalsIgnoreCase("concat") =>
+      // CONCAT() calls too — including the pipesConcatTight fold of
+      // high-precedence `||`, which reaches this rewrite unresolved
+      f.copy(arguments = f.arguments.map(a =>
+        MySqlStrOperand(rewriteExpr(a))))
     case b: Between =>
       // MySQL BETWEEN is (a >= lo AND a <= hi) with per-pair comparison
       // coercion; Spark's RuntimeReplaceable desugar would use native

@@ -374,21 +374,20 @@ object json {
 
   /** Depth-first search for string values LIKE `pat` (% and _ wildcards);
     * returns MySQL-style quoted path of the first match, or null. */
-  private def searchOne(n: JsonNode, path: String, rx: String): String = {
+  private def searchAll(n: JsonNode, path: String, rx: String,
+      acc: scala.collection.mutable.LinkedHashSet[String],
+      stopAtOne: Boolean): Unit = {
+    if (stopAtOne && acc.nonEmpty) return
     if (n.isTextual) {
-      return if (n.asText().matches(rx)) "\"" + path + "\"" else null
+      if (n.asText().matches(rx)) acc += "\"" + path + "\""
+      return
     }
     if (n.isObject)
-      n.properties().asScala.foreach { e =>
-        val r = searchOne(e.getValue, s"$path.${e.getKey}", rx)
-        if (r != null) return r
-      }
+      n.properties().asScala.foreach(e =>
+        searchAll(e.getValue, s"$path.${e.getKey}", rx, acc, stopAtOne))
     if (n.isArray)
       n.elements().asScala.zipWithIndex.foreach { case (c, i) =>
-        val r = searchOne(c, s"$path[$i]", rx)
-        if (r != null) return r
-      }
-    null
+        searchAll(c, s"$path[$i]", rx, acc, stopAtOne) }
   }
 
   private def likeToRegex(pat: String): String =
@@ -976,8 +975,29 @@ object json {
     protected def evalNotNull(vs: Seq[Any]): Any = {
       val d = doc(vs(0))
       if (d == null) return null
-      val r = searchOne(d, "$", likeToRegex(str(vs(2))))
-      if (r == null) null else UTF8String.fromString(r)
+      val mode = str(vs(1)).toLowerCase
+      if (mode != "one" && mode != "all")
+        throw new IllegalArgumentException(
+          "The oneOrAll argument to json_search may take these values: " +
+          "'one' or 'all' (MySQL ErrInvalidJsonOneOrAll)")
+      val rx = likeToRegex(str(vs(2)))
+      val acc = scala.collection.mutable.LinkedHashSet.empty[String]
+      // args 5+: restrict the search to the given path subtrees, path
+      // text prefixes the reported match (script_queries.go "test json
+      // search": json_search(j,'all','abc','','$.a','$.b') never
+      // reports $.c)
+      if (vs.length <= 4) searchAll(d, "$", rx, acc, mode == "one")
+      else vs.drop(4).foreach { pv =>
+        val ptxt = str(pv).trim
+        val p = parsePath(ptxt)
+        if (p != null)
+          navigateAll(d, p).foreach(n =>
+            searchAll(n, ptxt, rx, acc, mode == "one"))
+      }
+      if (acc.isEmpty) null
+      else if (acc.size == 1 || mode == "one")
+        UTF8String.fromString(acc.head)
+      else UTF8String.fromString(acc.mkString("[", ", ", "]"))
     }
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
   }
