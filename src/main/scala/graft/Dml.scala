@@ -133,6 +133,12 @@ object Dml {
     re("""(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?<T>\s+LIKE\s+<T>\s*$""")
   private val AlterTable =
     re("""(?is)^\s*ALTER\s+TABLE\s+<T>\s+(.*)$""")
+  // CREATE TRIGGER name BEFORE|AFTER INSERT|UPDATE|DELETE ON t
+  //   FOR EACH ROW <body>   (reference sql/plan/triggers.go)
+  private val CreateTrigger =
+    re("""(?is)^\s*CREATE\s+TRIGGER\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+ON\s+<T>\s+FOR\s+EACH\s+ROW\s+(.*)$""")
+  private val DropTrigger =
+    re("""(?is)^\s*DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""")
   // RENAME TABLE old TO new [, old2 TO new2 …] — processed LEFT TO
   // RIGHT like MySQL, so swap chains (a→tmp, b→a, tmp→b) work
   private val RenameTables =
@@ -842,7 +848,8 @@ object Dml {
             monotonically_increasing_id()).localCheckpoint()
           var transformed0 = e.coerceVocab(table,
             e.computeGenerated(table,
-              applyOnUpdate(assignSequential(snapOrig(subset0), None))))
+              applyOnUpdate(applyBeforeUpdateTriggers(e, table,
+                assignSequential(snapOrig(subset0), None), lit(true)))))
           if (ignore)
             // row-ordered key-conflict resolution, exactly like the
             // no-ORDER-BY IGNORE path (insert_queries.go "UPDATE IGNORE
@@ -906,7 +913,11 @@ object Dml {
             }
             val newDfRaw = e.coerceVocab(table,
               e.computeGenerated(table,
-                applyOnUpdate(assignSequential(snapOrig(t0), gate))))
+                applyOnUpdate(applyBeforeUpdateTriggers(e, table,
+                  assignSequential(snapOrig(t0)
+                      .withColumn("__trg_gate__", gate.getOrElse(lit(true))),
+                    gate),
+                  col("__trg_gate__")).drop("__trg_gate__"))))
             val newDf = newDfRaw.drop("__rid__")
             e.validateVocab(table, newDf)
             e.validateChecks(table, newDf)
@@ -920,8 +931,12 @@ object Dml {
           } else if (!ignore) {
             // non-strict plain UPDATE (SET sql_mode=''): values coerce
             // with warnings like IGNORE, constraints still error
-            val assigned = applyOnUpdate(
-              assignSequentialIgnore(snapOrig(t0), gate))
+            val assigned = applyOnUpdate(applyBeforeUpdateTriggers(e,
+              table,
+              assignSequentialIgnore(snapOrig(t0)
+                  .withColumn("__trg_gate__", gate.getOrElse(lit(true))),
+                gate),
+              col("__trg_gate__")).drop("__trg_gate__"))
             val afterGen = e.coerceVocab(table,
               e.computeGenerated(table, assigned))
             val (coerced, flagWarns) =
@@ -1107,6 +1122,22 @@ object Dml {
           .foreach(n => e.autoIncCounter(t) = n)
         Some(ok(e, 0L))
       }
+
+    case CreateTrigger(name, timing, event, tableRaw, body) =>
+      val table = e.canonicalTable(normName(tableRaw))
+      e.spark.table(table) // target must exist (MySQL 1146)
+      if (e.triggers.contains(name.toLowerCase))
+        throw new IllegalArgumentException(
+          s"Trigger '$name' already exists (MySQL error 1359)")
+      e.triggers(name.toLowerCase) = e.Trigger(name, timing.toUpperCase,
+        event.toUpperCase, table, parseTriggerBody(body))
+      Some(ok(e, 0L))
+
+    case DropTrigger(ifExists, name) =>
+      if (e.triggers.remove(name.toLowerCase).isEmpty && ifExists == null)
+        throw new IllegalArgumentException(
+          s"Trigger does not exist (MySQL error 1360)")
+      Some(ok(e, 0L))
 
     case AlterTable(name, actions) =>
       // MySQL table names are case-insensitive on lookup — resolve to
@@ -4245,6 +4276,80 @@ object Dml {
     * assigned once, so visit order cannot change the result).
     * affected = sum over targets of their matched row counts, the
     * reference's multi-target count. */
+  /** Parse a trigger body into (ifCondition, column, valueExpr) layers.
+    * Supported statement surface (the script-corpus shapes): bare
+    * `SET NEW.col = expr` and `IF cond THEN SET NEW.col = expr; END IF`,
+    * optionally inside BEGIN … END. NEW. qualifiers strip to bare
+    * columns (the layers apply over the post-assignment row image);
+    * anything else — including OLD. references — is rejected loudly. */
+  private def parseTriggerBody(body0: String)
+      : Seq[(Option[String], String, String)] = {
+    def stripNew(t: String): String = {
+      if ("""(?i)\bOLD\s*\.""".r.findFirstIn(t).isDefined)
+        throw new IllegalArgumentException(
+          "unsupported trigger body: OLD.<col> references")
+      t.replaceAll("(?i)\\bNEW\\s*\\.\\s*", "").trim
+    }
+    var b = body0.trim.stripSuffix(";").trim
+    if (b.toUpperCase.startsWith("BEGIN")) {
+      if (!b.toUpperCase.endsWith("END"))
+        throw new IllegalArgumentException(
+          s"unsupported trigger body: ${b.take(60)}")
+      b = b.substring(5, b.length - 3)
+    }
+    // ';' splits statements, but an IF … THEN … ; END IF block spans
+    // one — reassemble pieces until the block closes
+    val pieces = topLevelSplit(b, ';').map(_.trim).filter(_.nonEmpty)
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var acc = ""
+    pieces.foreach { p =>
+      val joined = if (acc.isEmpty) p else s"$acc; $p"
+      val opens = """(?i)^IF\b""".r.findFirstIn(joined).isDefined
+      val closed = """(?i)\bEND\s+IF$""".r.findFirstIn(joined).isDefined
+      if (opens && !closed) acc = joined
+      else { stmts += joined; acc = "" }
+    }
+    if (acc.nonEmpty) stmts += acc
+    val SetNew =
+      """(?is)^SET\s+NEW\s*\.\s*(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$""".r
+    val IfSet =
+      ("""(?is)^IF\s+(.+?)\s+THEN\s+SET\s+NEW\s*\.\s*""" +
+        """(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*;?\s*END\s+IF$""").r
+    stmts.toSeq.map {
+      case IfSet(cond, c, ex) =>
+        (Some(stripNew(cond)), stripTick(c.trim), stripNew(ex))
+      case SetNew(c, ex) =>
+        (None, stripTick(c.trim), stripNew(ex))
+      case other => throw new IllegalArgumentException(
+        s"unsupported trigger body statement: ${other.take(60)}")
+    }
+  }
+
+  /** Fold the table's BEFORE UPDATE trigger layers over the
+    * post-assignment row image, gated to the matched rows. Declaration
+    * order; each layer sees the values the previous layers produced
+    * (reference rowexec trigger iteration). */
+  private def applyBeforeUpdateTriggers(e: Engine, table: String,
+      df: DataFrame, gate: org.apache.spark.sql.Column): DataFrame = {
+    val trgs = e.triggers.values.toSeq.filter(t =>
+      t.table == table && t.timing == "BEFORE" && t.event == "UPDATE")
+    if (trgs.isEmpty) return df
+    val actual = df.columns.map(c => c.toLowerCase -> c).toMap
+    trgs.foldLeft(df) { (d, trg) =>
+      trg.actions.foldLeft(d) { case (dd, (condOpt, c0, ex)) =>
+        val c = actual.getOrElse(c0.toLowerCase,
+          throw new IllegalArgumentException(
+            s"Unknown column '$c0' in trigger '${trg.name}'"))
+        val dt = dd.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+        // MySQL truthiness for the IF gate: numeric non-zero
+        val cond = condOpt.map(ct =>
+          coalesce(expr(ct).cast("boolean"), lit(false))).getOrElse(lit(true))
+        dd.withColumn(c,
+          when(gate && cond, expr(ex).cast(dt)).otherwise(col(s"`$c`")))
+      }
+    }
+  }
+
   private def updateJoin(e: Engine, refsText: String, rest: String,
                          ignore: Boolean = false): DataFrame = {
     val (head, _) = splitOrderLimit(rest)
@@ -4360,14 +4465,20 @@ object Dml {
       // `__rid__` aligns pre/post rows for ON UPDATE CASCADE key mapping
       val t0 = t.withColumn("__rid__", monotonically_increasing_id())
       val assignedLower = asResolved.map(_._1.toLowerCase).toSet
-      val merged0 = t0.join(updates.withColumn("__upd", lit(true)),
+      val mergedGated = t0.join(updates.withColumn("__upd", lit(true)),
           key.toSeq, "left")
         .select((t.columns.map { c =>
           if (assignedLower.contains(c.toLowerCase))
             when(coalesce(col("__upd"), lit(false)), col(s"`__new_$c`"))
               .otherwise(col(s"`$c`")).as(c)
           else col(s"`$c`")
-        } :+ col("__rid__")).toIndexedSeq: _*)
+        } :+ col("__rid__") :+
+          coalesce(col("__upd"), lit(false)).as("__upd")).toIndexedSeq: _*)
+      // BEFORE UPDATE triggers fire on the matched rows, over the
+      // post-assignment image (script_queries.go "update join with
+      // update trigger" family)
+      val merged0 = applyBeforeUpdateTriggers(e, table, mergedGated,
+        col("__upd")).drop("__upd")
       (table, t0, merged0, matched)
     }
     // phase 2a: all read-only validations BEFORE any table swaps, so a

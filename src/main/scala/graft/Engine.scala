@@ -4005,6 +4005,7 @@ class Engine(val spark: SparkSession) {
     unsignedBounds.filterInPlace { case ((t, _), _) => t != table }
     vecDims.filterInPlace { case ((t, _), _) => t != table }
     wideDecCols.filterInPlace { case ((t, _), _) => t != table }
+    triggers.filterInPlace { case (_, trg) => trg.table != table }
     uniqueExprIdx.filterInPlace(_._1 != table)
     indexPrefixes.filterInPlace { case ((t, _, _), _) => t != table }
     columnStats.filterInPlace { case ((t, _), _) => t != table }
@@ -4300,6 +4301,17 @@ class Engine(val spark: SparkSession) {
     * field-metadata marker so WideDecCompareRule sees the columns. */
   private[graft] val wideDecCols =
     scala.collection.mutable.Map.empty[(String, String), (Int, Int)]
+
+  /** Row-level triggers (reference sql/plan/triggers.go +
+    * trigger_queries.go; the supported body surface is SET NEW.col =
+    * expr layers, optionally IF-gated — the shapes the script corpus
+    * exercises). `actions` entries are (ifCondition, column, valueExpr)
+    * with NEW./OLD. qualifiers already stripped to bare columns. */
+  private[graft] case class Trigger(name: String, timing: String,
+      event: String, table: String,
+      actions: Seq[(Option[String], String, String)])
+  private[graft] val triggers =
+    scala.collection.mutable.LinkedHashMap.empty[String, Trigger]
 
   /** Move EVERY piece of per-table declared metadata from `oldName` to
     * `newName` — table rename semantics (ALTER ... RENAME TO and
