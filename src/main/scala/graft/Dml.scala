@@ -2113,12 +2113,32 @@ object Dml {
     * per-query COLLATE clauses (reference: column collations resolve at
     * CREATE time, sql/planbuilder/ddl.go + sql/collations.go). The MySQL
     * name was already mapped to a Spark collation by Dialect.rewrite. */
+  /** Record (or clear) the re-declared column collation from a full
+    * MODIFY/CHANGE column spec — COLLATE name, or the deprecated
+    * `CHARACTER SET x BINARY` attribute = x_bin. */
+  private def recordSpecCollation(e: Engine, table: String, colName: String,
+                                  spec: String): Unit =
+    ("""(?i)\bCOLLATE\s+[`']?([A-Za-z0-9_]+)""".r.findFirstMatchIn(spec)
+      .map(_.group(1).toLowerCase)
+      .orElse {
+        """(?i)\b(?:CHARACTER\s+SET|CHARSET)\s+[`']?([A-Za-z0-9_]+)[`']?\s+BINARY\b""".r
+          .findFirstMatchIn(spec).map(_.group(1).toLowerCase + "_bin")
+      }) match {
+      case Some(c) => e.columnCollations((table, colName.toLowerCase)) = c
+      case None => e.columnCollations.remove((table, colName.toLowerCase))
+    }
+
   private def applyCollation(dt: org.apache.spark.sql.types.DataType,
                              spec: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types.StringType
-    """(?i)\bCOLLATE\s+([A-Za-z0-9_]+)""".r.findFirstMatchIn(spec) match {
-      case Some(m) if dt == StringType && !m.group(1).equalsIgnoreCase("UTF8_BINARY") =>
-        StringType(m.group(1))
+    """(?i)\bCOLLATE\s+[`']?([A-Za-z0-9_]+)""".r.findFirstMatchIn(spec) match {
+      case Some(m) if dt == StringType =>
+        // table DDL reaches here with the ORIGINAL MySQL name (the
+        // dialect pass leaves table DDL unmapped so the catalog can
+        // record it) — resolve to the Spark collation here
+        val mapped = Dialect.mapCollation(m.group(1))
+        if (mapped.equalsIgnoreCase("UTF8_BINARY")) dt
+        else StringType(mapped)
       case _ => dt
     }
   }
@@ -2434,6 +2454,17 @@ object Dml {
       throw new IllegalArgumentException(
         s"character set may only be declared on character-typed columns: " +
         s"column '$colName' (MySQL ErrCharacterSetOnInvalidType)")
+    // declared column collation — the MySQL catalog name — survives into
+    // SHOW CREATE / DESCRIBE when it differs from the table collation;
+    // the deprecated `CHARACTER SET x BINARY` attribute means x_bin
+    if (charFamily(baseLower))
+      """(?i)\bCOLLATE\s+[`']?([A-Za-z0-9_]+)""".r.findFirstMatchIn(rest)
+        .map(_.group(1).toLowerCase)
+        .orElse {
+          """(?i)\b(?:CHARACTER\s+SET|CHARSET)\s+[`']?([A-Za-z0-9_]+)[`']?\s+BINARY\b""".r
+            .findFirstMatchIn(rest).map(_.group(1).toLowerCase + "_bin")
+        }
+        .foreach(c => e.columnCollations((table, colName.toLowerCase)) = c)
     // column COMMENT survives into SHOW CREATE TABLE
     """(?is)\bCOMMENT\s+('(?:\\.|''|[^'\\])*'|"(?:\\.|""|[^"\\])*")""".r
       .findFirstMatchIn(rest).foreach { mm =>
@@ -3516,6 +3547,7 @@ object Dml {
               "constraint (MySQL ErrForeignKeyTypeChange)")
           }
           declareCharLimitFromSpec(e, table, name, spec)
+          recordSpecCollation(e, table, name, spec)
           // MODIFY to a BLOB/TEXT family type while the column sits in
           // any prefix-less key is 1170 (blob_queries.go BlobErrors
           // "alter table mytable modify s blob")
@@ -3650,6 +3682,7 @@ object Dml {
           if ("""(?i)\bNOT\s+NULL\b""".r.findFirstIn(spec).isDefined)
             e.declareNotNull(table, stripTick(b))
           else e.notNullCols.remove((table, stripTick(b).toLowerCase))
+          recordSpecCollation(e, table, stripTick(b), spec)
           val dt = applyCollation(mysqlDataType(spec)._1, spec)
           df = df.withColumn(stripTick(a), col(s"`${stripTick(a)}`").cast(dt))
             .withColumnRenamed(stripTick(a), stripTick(b))

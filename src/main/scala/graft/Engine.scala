@@ -28,6 +28,13 @@ object Dialect {
   private def rewriteCode(code: String): String =
     rewriteCode(code, pipesAsConcat = false)
 
+  /** Set per-statement before the chunk passes run: table DDL keeps its
+    * MySQL collation names (the column-def parser records them as
+    * catalog metadata and maps to Spark collations itself). */
+  private val skipCollateMap = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
   private def rewriteCode(code: String, pipesAsConcat: Boolean): String = {
     val chained = rewriteCode0(code, pipesAsConcat)
     // MySQL names VALUES table-constructor columns column_0, column_1…
@@ -37,7 +44,7 @@ object Dialect {
   }
 
   private def rewriteCode0(code: String, pipesAsConcat: Boolean): String =
-    rewriteCollate(code)
+    (if (skipCollateMap.get()) code else rewriteCollate(code))
       .replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
       // CHAR(… USING charset) — the charset clause is a no-op here
       // (queries.go:8642 `char(97, 98, 99 using utf8mb4)` -> 'abc')
@@ -235,10 +242,14 @@ object Dialect {
     val pre = SqlRewrite.optimizerHints(SqlRewrite.forUpdateClause(SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
       SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.wideDecimalLiteralCast(SqlRewrite.quoteWideNumericLiterals(SqlRewrite.convertFn(
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.infixMod(SqlRewrite.groupConcat(
-          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
+          SqlRewrite.matchAgainst(SqlRewrite.windowJsonArrayAgg(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
-              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql)))))))))))))))))))
-    mapCode(pre)(rewriteCode)
+              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql))))))))))))))))))))
+    skipCollateMap.set(
+      """(?is)^\s*(?:CREATE\s+(?:TEMPORARY\s+)?TABLE|ALTER\s+TABLE)\b""".r
+        .findFirstIn(sql).isDefined)
+    try mapCode(pre)(rewriteCode)
+    finally skipCollateMap.set(false)
   }
 
   /** Session-aware variant: PIPES_AS_CONCAT leaves `||` as Spark's
@@ -247,14 +258,18 @@ object Dialect {
     val pre = SqlRewrite.optimizerHints(SqlRewrite.forUpdateClause(SqlRewrite.inSubquerySelectList(SqlRewrite.orderlessRankWindow(
       SqlRewrite.tupleCompare(SqlRewrite.tupleSubqueryAll(SqlRewrite.jsonYearCasts(SqlRewrite.wideDecimalLiteralCast(SqlRewrite.quoteWideNumericLiterals(SqlRewrite.convertFn(
         SqlRewrite.dateArith(SqlRewrite.xor(SqlRewrite.infixMod(SqlRewrite.groupConcat(
-          SqlRewrite.matchAgainst(SqlRewrite.jsonArrows(
+          SqlRewrite.matchAgainst(SqlRewrite.windowJsonArrayAgg(SqlRewrite.jsonArrows(
             SqlRewrite.hoistParenUnionTail(
-              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql)))))))))))))))))))
+              SqlRewrite.hoistNestedWith(SqlRewrite.bitLiterals(sql))))))))))))))))))))
     // MySQL's ||-as-concat binds tighter than +/- — fold to concat()
     // BEFORE the chunk pass would leave Spark's low-precedence ||
     val pre2 =
       if (pipesAsConcat) SqlRewrite.pipesConcatTight(pre) else pre
-    mapCode(pre2)(c => rewriteCode(c, pipesAsConcat))
+    skipCollateMap.set(
+      """(?is)^\s*(?:CREATE\s+(?:TEMPORARY\s+)?TABLE|ALTER\s+TABLE)\b""".r
+        .findFirstIn(sql).isDefined)
+    try mapCode(pre2)(c => rewriteCode(c, pipesAsConcat))
+    finally skipCollateMap.set(false)
   }
 
   /** Apply `f` to each non-literal, non-comment run of `sql`, copying
@@ -4005,6 +4020,7 @@ class Engine(val spark: SparkSession) {
     unsignedBounds.filterInPlace { case ((t, _), _) => t != table }
     vecDims.filterInPlace { case ((t, _), _) => t != table }
     wideDecCols.filterInPlace { case ((t, _), _) => t != table }
+    columnCollations.filterInPlace { case ((t, _), _) => t != table }
     triggers.filterInPlace { case (_, trg) => trg.table != table }
     uniqueExprIdx.filterInPlace(_._1 != table)
     indexPrefixes.filterInPlace { case ((t, _, _), _) => t != table }
@@ -4302,6 +4318,13 @@ class Engine(val spark: SparkSession) {
   private[graft] val wideDecCols =
     scala.collection.mutable.Map.empty[(String, String), (Int, Int)]
 
+  /** Declared per-column collation (the MySQL catalog NAME — COLLATE
+    * <name>, or the deprecated `CHARACTER SET x BINARY` attribute =
+    * x_bin). SHOW CREATE / DESCRIBE render it when it differs from the
+    * table collation (reference column catalog rendering). */
+  private[graft] val columnCollations =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
   /** Row-level triggers (reference sql/plan/triggers.go +
     * trigger_queries.go; the supported body surface is SET NEW.col =
     * expr layers, optionally IF-gated — the shapes the script corpus
@@ -4337,6 +4360,7 @@ class Engine(val spark: SparkSession) {
     moveColMap(columnDefaults); moveColMap(columnVocab)
     moveColMap(charLimits); moveColMap(timePrecisions)
     moveColMap(vecDims); moveColMap(wideDecCols)
+    moveColMap(columnCollations)
     moveColMap(columnComments); moveColMap(columnStats)
     moveColMap(unsignedBounds); moveColMap(textKindCols)
     moveColMap(bitWidths)
@@ -4419,6 +4443,8 @@ class Engine(val spark: SparkSession) {
       case ((t, c), n) if t == src => ((dst, c), n) }
     wideDecCols ++= wideDecCols.toSeq.collect {
       case ((t, c), ps) if t == src => ((dst, c), ps) }
+    columnCollations ++= columnCollations.toSeq.collect {
+      case ((t, c), v) if t == src => ((dst, c), v) }
     timePrecisions ++= timePrecisions.toSeq.collect {
       case ((t, c), p) if t == src => ((dst, c), p) }
     secondaryIndexes ++= secondaryIndexes.toSeq.collect {
@@ -5778,7 +5804,8 @@ class Engine(val spark: SparkSession) {
       // physical frame's nullable flag — an expression-default fill can
       // make the stored frame nullable while the column stays NOT NULL
       val notNull = !f.nullable || notNullCols((table, lc)) || pk(lc)
-      (f.name, renderColumnType(table, f), if (notNull) "NO" else "YES", key,
+      (f.name, renderColumnType(table, f) + collateSuffix(table, f.name),
+        if (notNull) "NO" else "YES", key,
         defOut, extra2)
     }
   }
@@ -5924,7 +5951,11 @@ class Engine(val spark: SparkSession) {
       val lc = f.name.toLowerCase
       // PRIMARY KEY / AUTO_INCREMENT columns are implicitly NOT NULL
       // (MySQL and rowexec/show.go both render them so)
-      val nn = if (f.nullable && !pkCols(lc) && !aiCol.contains(lc)) ""
+      // the schema's nullable flag can lag a declared NOT NULL (ALTER
+      // CHANGE/MODIFY re-declare without rebuilding the frame) — the
+      // declaration registry is authoritative
+      val nn = if (f.nullable && !pkCols(lc) && !aiCol.contains(lc) &&
+          !notNullCols((table, lc))) ""
         else " NOT NULL"
       val gen = generated.get(lc)
         .map { ex =>
@@ -5950,7 +5981,8 @@ class Engine(val spark: SparkSession) {
       }.getOrElse("")
       val cmt = columnComments.get((table, lc))
         .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
-      s"  `${f.name}` ${renderColumnType(table, f)}$gen$nn$dflt$onUpd$ai$cmt"
+      s"  `${f.name}` ${renderColumnType(table, f)}" +
+        s"${collateSuffix(table, f.name)}$gen$nn$dflt$onUpd$ai$cmt"
     }
     val pk = tableKeys.get(table).map(k =>
       s"  PRIMARY KEY (${k.map(c => s"`$c`").mkString(",")})").toSeq
@@ -6108,6 +6140,17 @@ class Engine(val spark: SparkSession) {
     * vocabulary renders as enum('a','b') / set('a','b') (the reference's
     * SHOW CREATE TABLE / DESCRIBE shape — script_queries.go enum
     * blocks); everything else maps through the type table. */
+  /** ` COLLATE <name>` when the column's declared collation differs
+    * from the table collation; empty otherwise. SHOW CREATE TABLE and
+    * DESCRIBE append it (info-schema COLUMN_TYPE stays bare). */
+  private[graft] def collateSuffix(table: String, col: String): String =
+    columnCollations.get((table, col.toLowerCase)) match {
+      case Some(c) if !c.equalsIgnoreCase(
+          tableCollations.getOrElse(table, "utf8mb4_0900_bin")) =>
+        s" COLLATE $c"
+      case _ => ""
+    }
+
   private[graft] def renderColumnType(table: String,
       f: org.apache.spark.sql.types.StructField): String =
     columnVocab.get((table, f.name.toLowerCase)) match {
@@ -6141,6 +6184,9 @@ class Engine(val spark: SparkSession) {
           case _ if wideDecCols.contains((table, f.name.toLowerCase)) =>
             val (p, s) = wideDecCols((table, f.name.toLowerCase))
             s"decimal($p,$s)"
+          // declared JSON columns render their catalog type, not the
+          // text storage type ("alter json column default")
+          case _ if jsonCols((table, f.name.toLowerCase)) => "json"
           case _ if textKindCols.contains((table, f.name.toLowerCase)) =>
             textKindCols((table, f.name.toLowerCase))
           case _ =>

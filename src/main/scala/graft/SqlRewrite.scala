@@ -335,6 +335,61 @@ object SqlRewrite {
     text
   }
 
+  /** `JSON_ARRAYAGG(x) OVER (spec)` — the registry's json_arrayagg
+    * builder nests collect_list inside to_json/transform, so an OVER
+    * clause can't attach to the aggregate. Re-shape so the window binds
+    * collect_list and the unwrap applies outside (script_queries.go
+    * "window aggregate functions with order by col"). */
+  def windowJsonArrayAgg(sql: String): String = {
+    var text = sql
+    var again = true
+    while (again) {
+      again = false
+      val toks = tokenize(text)
+      var i = 0
+      while (i < toks.length && !again) {
+        if (toks(i).isWord("json_arrayagg") && i + 1 < toks.length &&
+            toks(i + 1).text == "(") {
+          // argument span
+          var d = 0; var k = i + 1; var close = -1
+          while (k < toks.length && close < 0) {
+            toks(k).text match {
+              case "(" => d += 1
+              case ")" => d -= 1; if (d == 0) close = k
+              case _ =>
+            }
+            k += 1
+          }
+          if (close > 0 && close + 2 < toks.length &&
+              toks(close + 1).isWord("over") &&
+              toks(close + 2).text == "(") {
+            var d2 = 0; var k2 = close + 2; var specClose = -1
+            while (k2 < toks.length && specClose < 0) {
+              toks(k2).text match {
+                case "(" => d2 += 1
+                case ")" => d2 -= 1; if (d2 == 0) specClose = k2
+                case _ =>
+              }
+              k2 += 1
+            }
+            if (specClose > 0) {
+              val arg = text.substring(toks(i + 1).end, toks(close).start)
+              val spec =
+                text.substring(toks(close + 2).end, toks(specClose).start)
+              text = text.substring(0, toks(i).start) +
+                s"to_json(transform(collect_list(struct(($arg) AS v)) " +
+                s"OVER ($spec), s -> s.v))" +
+                text.substring(toks(specClose).end)
+              again = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    text
+  }
+
   def infoSchemaNames(sql: String): String = {
     val prefix = "information_schema."
     val toks = tokenize(sql)
