@@ -2472,7 +2472,23 @@ object Dml {
           unquoteSqlString(mm.group(1))
       }
     val (dt0, vocab) = mysqlDataType(typeText)
-    val dt = applyCollation(dt0, rest)
+    val dt1 = applyCollation(dt0, rest)
+    // a column without its own COLLATE inherits the TABLE collation —
+    // including the Spark collated string type, so comparisons are
+    // collation-aware ("subquery with case insensitive collation":
+    // table-level ai_ci must make text IN-probes case-insensitive)
+    val dt = dt1 match {
+      case org.apache.spark.sql.types.StringType
+          if charFamily(baseLower) &&
+            """(?i)\bCOLLATE\s""".r.findFirstIn(rest).isEmpty =>
+        e.tableCollations.get(table).map { tc =>
+          val mapped = scala.util.Try(Dialect.mapCollation(tc))
+            .getOrElse("UTF8_BINARY")
+          if (mapped.equalsIgnoreCase("UTF8_BINARY")) dt1
+          else org.apache.spark.sql.types.StringType(mapped)
+        }.getOrElse(dt1)
+      case other => other
+    }
     // UNSIGNED integer columns keep their MySQL bound for strict-mode
     // range checks (no unsigned types in Spark — storage widens)
     if (typeText.toLowerCase.contains("unsigned") &&

@@ -641,7 +641,8 @@ class Engine(val spark: SparkSession) {
       functions.expressions.JsonNumericCompareRule(
         functions.MySqlArithRewrite.stripIdentity(
           functions.expressions.MySqlCiLocateRule(
-            functions.expressions.MySqlTrimRule(plan)))))
+            functions.expressions.MySqlUnixTsScaleRule(
+              functions.expressions.MySqlTrimRule(plan))))))
     if (rewritten eq plan) df
     else org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
   }
@@ -2963,9 +2964,12 @@ class Engine(val spark: SparkSession) {
           val back =
             if (f.dataType == TimestampNTZType) "timestamp_ntz"
             else "timestamp"
+          // MySQL ROUNDS fractional seconds into datetime(p), it does
+          // not truncate (types/datetime.go: '…56.123456' into
+          // datetime(4) stores .1235)
           df.withColumn(c, org.apache.spark.sql.functions.expr(
-            s"cast(timestamp_micros((unix_micros(cast(`$c` as timestamp))" +
-              s" div $fdiv) * $fdiv) as $back)"))
+            s"cast(timestamp_micros(((unix_micros(cast(`$c` as timestamp))" +
+              s" + ${fdiv / 2}) div $fdiv) * $fdiv) as $back)"))
         }
       }
     }
@@ -3017,11 +3021,22 @@ class Engine(val spark: SparkSession) {
     // wide DECIMAL columns re-stamp their field-metadata marker on every
     // generation (DML withColumn chains drop metadata) so
     // WideDecCompareRule keeps seeing them on reads
-    val df0 = wideDecCols.toSeq.foldLeft(df00) {
+    val df0a = wideDecCols.toSeq.foldLeft(df00) {
       case (d, ((t, c), (p, s))) if t == canonicalTable(table) &&
           d.columns.exists(_.equalsIgnoreCase(c)) =>
         val actual = d.columns.find(_.equalsIgnoreCase(c)).get
         d.withMetadata(actual, graft.functions.WideDecimal.metadata(p, s))
+      case (d, _) => d
+    }
+    // declared DATETIME(p)/TIMESTAMP(p) precision rides as field
+    // metadata too (UNIX_TIMESTAMP result scaling)
+    val df0 = timePrecisions.toSeq.foldLeft(df0a) {
+      case (d, ((t, c), p)) if p > 0 && t == canonicalTable(table) &&
+          d.columns.exists(_.equalsIgnoreCase(c)) =>
+        val actual = d.columns.find(_.equalsIgnoreCase(c)).get
+        d.withMetadata(actual,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft_time_prec", p.toLong).build())
       case (d, _) => d
     }
     // dolt tables are CLUSTERED BY PRIMARY KEY: scans iterate in pk

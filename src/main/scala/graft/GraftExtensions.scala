@@ -87,5 +87,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // LOCATE/POSITION/INSTR fold to case-insensitive matching (MySQL's
     // default *_ci collations)
     ext.injectOptimizerRule(_ => ge.MySqlCiLocateRule)
+    ext.injectOptimizerRule(_ => ge.MySqlUnixTsScaleRule)
   }
 }

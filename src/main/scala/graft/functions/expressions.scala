@@ -151,7 +151,8 @@ object expressions {
     * the SESSION time zone; a string input yields DECIMAL — scale = the
     * literal's fraction digits, 6 for column strings; temporal inputs
     * yield integers; pre-epoch/invalid read 0/NULL. */
-  case class MySqlUnixTimestamp(child: Expression)
+  case class MySqlUnixTimestamp(child: Expression,
+                                fracScale: Option[Int] = None)
       extends UnaryExpression with CodegenFallback {
     private lazy val litFracScale: Option[Int] = child match {
       case org.apache.spark.sql.catalyst.expressions.Literal(
@@ -168,12 +169,25 @@ object expressions {
         true
       case _ => false
     }
+    // a DATETIME(p)/TIMESTAMP(p) COLUMN with declared fractional
+    // precision yields DECIMAL scaled to p (replaceTable stamps the
+    // declared precision as field metadata — "UNIX_TIMESTAMP preserves
+    // trailing 0s": dt2 renders 1577943296.12)
+    private lazy val colFracScale: Option[Int] = fracScale.orElse(child match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if a.metadata.contains("graft_time_prec") =>
+        Some(a.metadata.getLong("graft_time_prec").toInt)
+      case _ => None
+    })
     override def dataType: DataType = child.dataType match {
       case _: StringType => litFracScale match {
         case Some(0) => LongType
         case Some(k) => DecimalType(20 + k, k)
         case None => DecimalType(26, 6)
       }
+      case TimestampType | TimestampNTZType
+          if colFracScale.exists(_ > 0) =>
+        DecimalType(20 + colFracScale.get, colFracScale.get)
       // CONVERT_TZ returns DATETIME(6) in the reference, so its
       // unix_timestamp renders 6 fraction digits ("1695625377.000000")
       case _ if isConvertTz => DecimalType(26, 6)
@@ -184,6 +198,8 @@ object expressions {
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     private val Dt =
       """^(\d{4})-(\d{2})-(\d{2})(?: (\d{1,2}):(\d{1,2}):(\d{1,2})(\.(\d+))?)?$""".r
+    private val TimeOnly =
+      """^(\d{1,3}):(\d{1,2}):(\d{1,2})(\.(\d+))?$""".r
     override def nullSafeEval(v: Any): Any = {
       def out(epoch: Long, fracDigits: String): Any = dataType match {
         case LongType => math.max(0L, epoch)
@@ -209,6 +225,13 @@ object expressions {
                 out(ldt.atZone(tz).toEpochSecond,
                   Option(fr).getOrElse(""))
               } catch { case _: Exception => null }
+            case TimeOnly(h, mi, se, _, fr) =>
+              // MySQL interprets a bare TIME as today's wall clock in
+              // the session zone (hours may exceed 24)
+              val today = java.time.LocalDate.now(tz)
+              out(today.atStartOfDay(tz).toEpochSecond +
+                h.toLong * 3600 + mi.toLong * 60 + se.toLong,
+                Option(fr).getOrElse(""))
             case _ => null
           }
         case (m: Long, TimestampType) =>
@@ -217,14 +240,16 @@ object expressions {
         case (m: Long, TimestampNTZType) =>
           val ldt = java.time.LocalDateTime.ofEpochSecond(
             Math.floorDiv(m, 1000000L), 0, java.time.ZoneOffset.UTC)
-          out(ldt.atZone(tz).toEpochSecond, "")
+          out(ldt.atZone(tz).toEpochSecond,
+            f"${Math.floorMod(m, 1000000L)}%06d")
         case (d: Int, DateType) =>
           out(java.time.LocalDate.ofEpochDay(d.toLong)
             .atStartOfDay(tz).toEpochSecond, "")
         case _ => null
       }
     }
-    override protected def withNewChildInternal(c: Expression) = copy(c)
+    override protected def withNewChildInternal(c: Expression) =
+      copy(child = c)
   }
 
   /** CAST(x AS YEAR) (reference sql/types/year.go): 2-digit window
@@ -543,6 +568,22 @@ object expressions {
           StringLocate(Lower(sub), Lower(str), start)
         case StringInstr(str, sub) if ciText(sub) && ciText(str) =>
           StringInstr(Lower(str), Lower(sub))
+      }
+  }
+
+  /** Pin MySqlUnixTimestamp's fractional scale from the child
+    * attribute's declared-precision metadata BEFORE binding replaces
+    * the attribute with a BoundReference (which has no metadata — the
+    * plan schema and the interpreted eval would disagree). */
+  object MySqlUnixTsScaleRule extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.transformAllExpressions {
+        case u @ MySqlUnixTimestamp(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+            None) if a.metadata.contains("graft_time_prec") =>
+          u.copy(fracScale =
+            Some(a.metadata.getLong("graft_time_prec").toInt))
       }
   }
 
