@@ -426,6 +426,109 @@ object SqlRewrite {
   //      -> listagg([DISTINCT] expr, 'x') [WITHIN GROUP (ORDER BY …)]
   //      (reference sql/expression/function/aggregation/group_concat.go:26)
 
+  /** Correlated scalar subqueries inside GROUP_CONCAT's internal ORDER
+    * BY (script_queries.go "Group Concat with Subquery in ORDER BY"):
+    * no Spark surface evaluates a subquery inside an aggregate's sort
+    * lambda. Lift each subquery into a derived-table projection aliased
+    * to the same table name (correlations keep resolving) and sort by
+    * the lifted column. Single-table FROM shapes only — bails
+    * otherwise. */
+  def groupConcatOrderSubquery(sql: String): String = {
+    if ("(?i)group_concat".r.findFirstIn(sql).isEmpty) return sql
+    if ("(?is)group_concat\\s*\\(.*order\\s+by\\s*\\(\\s*select\\b".r
+        .findFirstIn(sql).isEmpty) return sql
+    val toks = tokenize(sql)
+    val patches = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String)]
+    val lifted = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isWord("group_concat") && i + 1 < toks.length &&
+          toks(i + 1).text == "(") {
+        var d = 0; var j = i + 1; var close = -1; var obAt = -1
+        while (j < toks.length && close < 0) {
+          toks(j).text match {
+            case "(" => d += 1
+            case ")" => d -= 1; if (d == 0) close = j
+            case _ if d == 1 && toks(j).isWord("order") &&
+                j + 1 < toks.length && toks(j + 1).isWord("by") &&
+                obAt < 0 => obAt = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (close > 0 && obAt > 0) {
+          // each sort key starting `(SELECT …` lifts; keys are split by
+          // depth-1 commas, the list ends at SEPARATOR or the call close
+          var k = obAt + 2
+          var depth = 1
+          var expectKey = true
+          while (k < close) {
+            toks(k).text match {
+              case "(" if expectKey && k + 1 < close &&
+                  toks(k + 1).isWord("select") =>
+                var dd = 0; var m = k; var sqClose = -1
+                while (m < close + 1 && sqClose < 0) {
+                  toks(m).text match {
+                    case "(" => dd += 1
+                    case ")" => dd -= 1; if (dd == 0) sqClose = m
+                    case _ =>
+                  }
+                  m += 1
+                }
+                if (sqClose > 0) {
+                  val sqTxt = sql.substring(toks(k).start,
+                    toks(sqClose).end)
+                  patches += ((toks(k).start, toks(sqClose).end,
+                    s"`__gc${lifted.length}`"))
+                  lifted += sqTxt
+                  k = sqClose
+                }
+                expectKey = false
+              case "(" => depth += 1; expectKey = false
+              case ")" => depth -= 1; expectKey = false
+              case "," if depth == 1 => expectKey = true
+              case w if depth == 1 &&
+                  toks(k).isWord("separator") => k = close // stop
+              case _ => expectKey = false
+            }
+            k += 1
+          }
+        }
+      }
+      i += 1
+    }
+    if (lifted.isEmpty) return sql
+    // single-table FROM: `FROM <tbl>` with no join/comma before the
+    // next clause at depth 0
+    var d0 = 0; var fromAt = -1; var k = 0
+    while (k < toks.length && fromAt < 0) {
+      toks(k).text match {
+        case "(" => d0 += 1
+        case ")" => d0 -= 1
+        case _ if d0 == 0 && toks(k).isWord("from") => fromAt = k
+        case _ =>
+      }
+      k += 1
+    }
+    if (fromAt < 0 || fromAt + 1 >= toks.length ||
+        toks(fromAt + 1).kind != Word ||
+        toks(fromAt + 1).isWord("select")) return sql
+    // the token after the table must start a clause (or end)
+    if (fromAt + 2 < toks.length) {
+      val nxt = toks(fromAt + 2)
+      val clauseOk = nxt.kind == Word && Set("where", "group", "order",
+        "limit", "having")(nxt.text.toLowerCase)
+      if (!clauseOk && nxt.text != ";") return sql
+    }
+    val tbl = toks(fromAt + 1).text
+    val proj = lifted.zipWithIndex
+      .map { case (sq, n) => s"$sq AS `__gc$n`" }.mkString(", ")
+    patches += ((toks(fromAt).start, toks(fromAt + 1).end,
+      s"FROM (SELECT *, $proj FROM $tbl) $tbl"))
+    splice(sql, patches.toSeq)
+  }
+
   def groupConcat(sql: String): String = {
     val toks = tokenize(sql)
     val patches = ArrayBuffer.empty[(Int, Int, String)]

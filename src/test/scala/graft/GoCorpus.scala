@@ -217,6 +217,17 @@ object GoCorpus {
            else s.toInt).toByte
         }
       case t if t.startsWith("time.Date(") => goTimeDate(t)
+      case t if t.startsWith("time.Unix(") =>
+        // time.Unix(sec, nsec)[.Add(time.Hour * n)][.In(time.UTC)]
+        ("""time\.Unix\((\d+),\s*(\d+)\)""" +
+          """(?:\.Add\(time\.Hour\s*\*\s*(-?\d+)\))?""").r
+          .findFirstMatchIn(t) match {
+          case Some(m) =>
+            java.time.Instant.ofEpochSecond(m.group(1).toLong +
+              Option(m.group(3)).map(_.toLong).getOrElse(0L) * 3600L,
+              m.group(2).toLong)
+          case None => Opaque(t)
+        }
       case t if t.startsWith("types.JSONDocument{") =>
         // types.JSONDocument{Val: <go value>} renders as the MARSHALED
         // JSON fragment (a string Val "abc" displays as "abc" with
