@@ -872,6 +872,10 @@ class Engine(val spark: SparkSession) {
     "collation_connection" -> "'utf8mb4_0900_ai_ci'",
     "collation_server" -> "'utf8mb4_0900_bin'",
     "character_set_server" -> "'utf8mb4'",
+    // port vars are BIGINT-typed in the catalog (sysvars.go) — the
+    // NULLIF keeps a CTAS column nullable like the reference's describe
+    "port" -> "CAST(NULLIF(3306, 0) AS BIGINT)",
+    "admin_port" -> "CAST(NULLIF(33062, 0) AS BIGINT)",
     "max_allowed_packet" -> "67108864", "lower_case_table_names" -> "0",
     "net_write_timeout" -> "60", "wait_timeout" -> "28800",
     "max_connections" -> "151", "timestamp" -> "0",

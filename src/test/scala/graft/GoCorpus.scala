@@ -239,6 +239,14 @@ object GoCorpus {
               "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
             case o => o
           }
+        }.orElse {
+          // empty container literals: Val: map[string]interface{}{} /
+          // []interface{}{} render as the empty document
+          if ("""(?s)Val:\s*map\[string\]interface\{\}\{\s*\}\s*,?\s*}$""".r
+              .findFirstIn(t).isDefined) Some("{}")
+          else if ("""(?s)Val:\s*\[\]interface\{\}\{\s*\}\s*,?\s*}$""".r
+              .findFirstIn(t).isDefined) Some("[]")
+          else None
         }.getOrElse(Opaque(t))
       case t if namedTimes.contains(t) => namedTimes(t)
       case t if t.matches("[A-Za-z_][A-Za-z0-9_]*") =>
