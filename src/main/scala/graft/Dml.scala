@@ -137,6 +137,12 @@ object Dml {
   //   FOR EACH ROW <body>   (reference sql/plan/triggers.go)
   private val CreateTrigger =
     re("""(?is)^\s*CREATE\s+TRIGGER\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+ON\s+<T>\s+FOR\s+EACH\s+ROW\s+(.*)$""")
+  private val CreateProcedure =
+    re("""(?is)^\s*CREATE\s+PROCEDURE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\(([^)]*)\)\s*(.*)$""")
+  private val DropProcedure =
+    re("""(?is)^\s*DROP\s+PROCEDURE\s+(IF\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""")
+  private val CallProc =
+    re("""(?is)^\s*CALL\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*(?:\((.*)\))?\s*;?\s*$""")
   private val DropTrigger =
     re("""(?is)^\s*DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\s*$""")
   // RENAME TABLE old TO new [, old2 TO new2 …] — processed LEFT TO
@@ -1122,6 +1128,63 @@ object Dml {
           .foreach(n => e.autoIncCounter(t) = n)
         Some(ok(e, 0L))
       }
+
+    case CreateProcedure(name, paramsText, body0) =>
+      if (e.procedures.contains(name.toLowerCase))
+        throw new IllegalArgumentException(
+          s"PROCEDURE $name already exists (MySQL error 1304)")
+      val params = topLevelSplit(paramsText, ',').map(_.trim)
+        .filter(_.nonEmpty).map { pTxt =>
+          if ("""(?i)^(OUT|INOUT)\b""".r.findFirstIn(pTxt).isDefined)
+            throw new IllegalArgumentException(
+              "unsupported procedure parameter mode (IN only): " + pTxt)
+          val parts = pTxt.replaceFirst("(?i)^IN\\s+", "").split("\\s+", 2)
+          (stripTick(parts(0)), parts.lift(1).getOrElse("").trim)
+        }
+      var body = body0.trim.stripSuffix(";").trim
+      if (body.toUpperCase.startsWith("BEGIN")) {
+        if (!body.toUpperCase.endsWith("END"))
+          throw new IllegalArgumentException(
+            s"unsupported procedure body: ${body.take(60)}")
+        body = body.substring(5, body.length - 3)
+      }
+      if ("""(?i)\b(?:DECLARE|WHILE|LOOP|LEAVE|ITERATE|CURSOR|HANDLER)\b""".r
+          .findFirstIn(body).isDefined)
+        throw new IllegalArgumentException(
+          "unsupported procedure body: control-flow statements")
+      e.procedures(name.toLowerCase) = (params, body)
+      Some(ok(e, 0L))
+
+    case DropProcedure(ifExists, name) =>
+      if (e.procedures.remove(name.toLowerCase).isEmpty && ifExists == null)
+        throw new IllegalArgumentException(
+          s"PROCEDURE $name does not exist (MySQL error 1305)")
+      Some(ok(e, 0L))
+
+    case CallProc(name, argsText) =>
+      val (params, body) = e.procedures.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(
+          s"PROCEDURE $name does not exist (MySQL error 1305)"))
+      val args = Option(argsText).map(topLevelSplit(_, ',').map(_.trim)
+        .filter(_.nonEmpty)).getOrElse(Seq.empty)
+      if (args.length != params.length)
+        throw new IllegalArgumentException(
+          s"Incorrect number of arguments for PROCEDURE $name; " +
+          s"expected ${params.length}, got ${args.length} (MySQL 1318)")
+      var last: Option[DataFrame] = None
+      topLevelSplit(body, ';').map(_.trim).filter(_.nonEmpty)
+        .foreach { st0 =>
+          val st = params.zip(args).foldLeft(st0) { case (t, ((pn, _), a)) =>
+            t.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(pn) +
+              "\\b", java.util.regex.Matcher.quoteReplacement(s"($a)"))
+          }
+          last = Some(e.query(st))
+        }
+      // MySQL CALL returns the last statement's result set when it is a
+      // query; writes return a bare OkResult
+      Some(last.filter(df =>
+          !df.columns.sameElements(Array("affected_rows")))
+        .getOrElse(ok(e, 0L)))
 
     case CreateTrigger(name, timing, event, tableRaw, body) =>
       val table = e.canonicalTable(normName(tableRaw))

@@ -4355,6 +4355,15 @@ class Engine(val spark: SparkSession) {
   private[graft] val triggers =
     scala.collection.mutable.LinkedHashMap.empty[String, Trigger]
 
+  /** Stored procedures: name → (IN params as (name, type), body text).
+    * CALL substitutes literal arguments for the IN parameters and runs
+    * the body statements through the front door sequentially (reference
+    * sql/plan/procedures.go; the transaction statements inside are the
+    * engine's autocommit no-ops). OUT/INOUT and control flow are
+    * rejected loudly at CREATE. */
+  private[graft] val procedures = scala.collection.mutable.LinkedHashMap
+    .empty[String, (Seq[(String, String)], String)]
+
   /** Move EVERY piece of per-table declared metadata from `oldName` to
     * `newName` — table rename semantics (ALTER ... RENAME TO and
     * RENAME TABLE; alter_table_queries.go rename blocks). Constraints,
