@@ -2016,7 +2016,13 @@ object SqlRewrite {
         // col0 AS a … HAVING col0 = a` is legal; `SELECT col0+1 AS a …
         // HAVING col0 = a` is MySQL 1054 — script_queries.go "group by
         // having with conflicting aliases test" error rows)
-        if (condEnd > s.havingAt) {
+        // `SELECT *` (or t.*) selects every column — any table column is
+        // then a legal HAVING reference; skip the validation
+        val hasStar = (s.selectAt + 1 until s.fromAt).exists { k =>
+          toks(k).text == "*" ||
+            (toks(k).kind == Word && toks(k).text.endsWith(".*"))
+        }
+        if (condEnd > s.havingAt && !hasStar) {
           val norm = (t: String) =>
             t.toLowerCase.replace("`", "").replaceAll("\\s+", "")
           val exprSet = {
