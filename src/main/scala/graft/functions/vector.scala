@@ -89,6 +89,86 @@ object vector {
       copy(l, r)
   }
 
+  /** VEC_ARGMIN_L2SQ(v, cands): nearest candidate by squared L2 over a
+    * (broadcast) candidate array `array<struct<cid: long, cv:
+    * array<double>>>` — returns `struct<d2: double, cid: long>`, ties on
+    * d2 broken by the smaller cid (the same (d2, cid) order a row_number
+    * window / min(struct) argmin uses).
+    *
+    * This is the narrow centroid-assignment kernel for the IVF / k-means
+    * / PQ operators: computing the argmin per row inside the scan stage
+    * removes the explode-to-K-rows + exchange + sort (or window) the
+    * join-based assignment needs — zero shuffle at any scale (guide
+    * §2.4) — and the codegen'd primitive loop avoids the interpreted
+    * per-element lambda frames of the equivalent
+    * array_min(transform(...)) higher-order chain. */
+  case class VecArgminL2Sq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("d2", DoubleType, nullable = false),
+      StructField("cid", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any, cs: Any): Any = {
+      val x = v.asInstanceOf[ArrayData].toDoubleArray()
+      val cands = cs.asInstanceOf[ArrayData]
+      val n = cands.numElements()
+      if (n == 0) return null
+      var bestD = 0.0; var bestC = 0L; var found = false
+      var i = 0
+      while (i < n) {
+        val cand = cands.getStruct(i, 2)
+        val cid = cand.getLong(0)
+        val cv = cand.getArray(1).toDoubleArray()
+        val m = math.min(x.length, cv.length)
+        var acc = 0.0; var j = 0
+        while (j < m) { val dd = x(j) - cv(j); acc += dd * dd; j += 1 }
+        if (!found || acc < bestD || (acc == bestD && cid < bestC)) {
+          found = true; bestD = acc; bestC = cid
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestD, bestC))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, cs) => {
+        val xs = ctx.freshName("xs"); val n = ctx.freshName("n")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val cand = ctx.freshName("cand"); val cid = ctx.freshName("cid")
+        val cv = ctx.freshName("cv"); val m = ctx.freshName("m")
+        val acc = ctx.freshName("acc"); val dv = ctx.freshName("d")
+        val bestD = ctx.freshName("bestD"); val bestC = ctx.freshName("bestC")
+        val found = ctx.freshName("found")
+        s"""
+           |double[] $xs = $v.toDoubleArray();
+           |int $n = $cs.numElements();
+           |double $bestD = 0.0; long $bestC = 0L; boolean $found = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  InternalRow $cand = $cs.getStruct($i, 2);
+           |  long $cid = $cand.getLong(0);
+           |  double[] $cv = $cand.getArray(1).toDoubleArray();
+           |  int $m = java.lang.Math.min($xs.length, $cv.length);
+           |  double $acc = 0.0;
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    double $dv = $xs[$j] - $cv[$j];
+           |    $acc += $dv * $dv;
+           |  }
+           |  if (!$found || $acc < $bestD || ($acc == $bestD && $cid < $bestC)) {
+           |    $found = true; $bestD = $acc; $bestC = $cid;
+           |  }
+           |}
+           |if ($found) {
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions
+           |    .GenericInternalRow(new Object[]{$bestD, $bestC});
+           |} else {
+           |  ${ev.isNull} = true;
+           |}
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
   // ---- VECTOR binary form (reference sql/types/vector.go: packed
   // little-endian float32; STRING_TO_VECTOR / VECTOR_TO_STRING in
   // vector_function_queries.go operate on those bytes, so HEX/MD5/
@@ -236,6 +316,9 @@ object vector {
   private def x(col: Column): Expression = GraftBridge.expression(col)
 
   def vecDot(a: Column, b: Column): Column = c(VecDot(x(a), x(b)))
+  /** argmin over candidates: struct<d2: double, cid: long>, ties → min cid */
+  def vecArgminL2Sq(v: Column, cands: Column): Column =
+    c(VecArgminL2Sq(x(v), x(cands)))
   def vecL2Sq(a: Column, b: Column): Column = c(VecL2Sq(x(a), x(b)))
   def vecL2(a: Column, b: Column): Column = c(Sqrt(VecL2Sq(x(a), x(b))))
   def vecNorm(a: Column): Column = c(Sqrt(VecDot(x(a), x(a))))

@@ -44,16 +44,22 @@ object Similarity {
   //      M=4 subspaces × 16 dims, K=8 codes, 2 deterministic Lloyd
   //      iterations with exact-DECIMAL centroid sums
 
-  /** nearest codebook entry per (vector, subspace): equi-join on m
-    * against the broadcast centroids, window-min over K candidates */
+  /** nearest codebook entry per (vector, subspace): the K codebook
+    * entries of each subspace fold into ONE broadcast array row and the
+    * argmin is computed NARROWLY per input row —
+    * `array_min(transform(cands, k -> struct(dd, cid)))`, whose struct
+    * ordering (dd first, then cid) is exactly the (dd, cid) tie order
+    * the previous row_number window used. No explode to K rows, no
+    * exchange, no sort: the assignment runs inside the scan stage
+    * (guide §2.4 "remove shuffles outright"). */
   private def pqAssign(sub: DataFrame, c: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dd"), col("cid"))
-    sub.join(broadcast(c), Seq("m"))
-      .withColumn("dd", gvec.vecL2Sq(col("sv"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("cid"), col("sv"), col("dd"))
+    val cArr = c.groupBy(col("m"))
+      .agg(collect_list(struct(col("cid").cast("long").as("cid"),
+        col("cv"))).as("cands"))
+    sub.join(broadcast(cArr), Seq("m"))
+      .withColumn("mn", gvec.vecArgminL2Sq(col("sv"), col("cands")))
+      .select(col("vec_id"), col("m"), col("mn.cid").cast("int").as("cid"),
+        col("sv"), col("mn.d2").as("dd"))
   }
 
   /** (subspace slices, trained centroids) */
@@ -289,17 +295,20 @@ object Similarity {
         val e = emb(s, d)
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        val dists = e.select(col("vec_id"), col("v"))
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cent_id"),
-            gvec.vecL2Sq(col("v"), col("cv")).as("d2"))
-        // two-pass argmin (min distance, then min cent_id among exact
-        // ties) — deterministic and expressible identically in the oracle
-        val mins = dists.groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
-        val assigned = dists.join(mins, Seq("vec_id"))
-          .filter(col("d2") === col("md"))
-          .groupBy(col("vec_id")).agg(min(col("cent_id")).as("cent"))
-        val withCent = e.join(assigned, Seq("vec_id"))
+        // the 8 centroids fold into ONE broadcast array row; the argmin
+        // is computed NARROWLY per vector with array_min over
+        // struct(d2, cent_id) — min distance, then min cent_id among
+        // exact ties, the same two-level order as the old
+        // dists→mins→join two-pass argmin (which planned the dists
+        // subtree twice and re-scanned embeddings for the join-back).
+        // Assignment now runs inside the scan stage: no explode to K
+        // rows, no exchange, no sort (guide §2.4).
+        val cands = cents
+          .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cands"))
+        val withCent = e.crossJoin(broadcast(cands))
+          .withColumn("mn", gvec.vecArgminL2Sq(col("v"), col("cands")))
+          .select(col("vec_id"), col("mn.cid").as("cent"),
+            col("v"), col("nrm"))
         val probes = withCent.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe"), col("v").as("pv"),
             col("nrm").as("pn"), col("cent"))
@@ -363,25 +372,32 @@ object Similarity {
         val e = emb(s, d)
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        val dists = e.select(col("vec_id"), col("v"))
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cent_id"),
-            gvec.vecL2Sq(col("v"), col("cv")).as("d2"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2"), col("cent_id"))
-        val ranked = dists.withColumn("crk", row_number().over(wAssign))
-        val corpusAssign = ranked.filter(col("crk") === 1)
-          .select(col("vec_id"), col("cent_id").as("cent"))
-        val probeAssign = ranked.filter(col("crk") <= 2)
-          .select(col("vec_id"), col("cent_id").as("cent"))
-        val probes = e.filter(col("vec_id") < 5)
-          .join(probeAssign, Seq("vec_id"))
-          .select(col("vec_id").as("probe"), col("v").as("pv"),
-            col("nrm").as("pn"), col("cent"))
+        // the 8 centroids fold into ONE broadcast array row; assignments
+        // are computed NARROWLY per vector inside the scan stage (no
+        // explode to K rows, no exchange, no sort — guide §2.4). Corpus
+        // keeps its single nearest list via array_min over
+        // struct(d2, cent_id) (min distance, tie → min cent_id — the old
+        // window's order); each probe explodes just its top-2 lists
+        // (array_sort + slice), ~2 rows per probe.
+        val cands = cents
+          .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cands"))
         val corpus = e.filter(col("vec_id") >= 5)
-          .join(corpusAssign, Seq("vec_id"))
+          .crossJoin(broadcast(cands))
+          .withColumn("mn", gvec.vecArgminL2Sq(col("v"), col("cands")))
           .select(col("vec_id").as("neighbor"), col("v").as("nv_v"),
-            col("nrm").as("nn"), col("cent"))
+            col("nrm").as("nn"), col("mn.cid").as("cent"))
+        // probes explode just their top-2 lists (array_sort + slice over
+        // the 8 candidate structs; interpreted HOF is fine on the 5-row
+        // probe side)
+        val probes = e.filter(col("vec_id") < 5)
+          .crossJoin(broadcast(cands))
+          .select(col("vec_id").as("probe"), col("v").as("pv"),
+            col("nrm").as("pn"),
+            explode(slice(array_sort(transform(col("cands"),
+              k => struct(gvec.vecL2Sq(col("v"), k.getField("cv")).as("d2"),
+                k.getField("cent_id").as("cent_id")))), 1, 2)).as("mn"))
+          .select(col("probe"), col("pv"), col("pn"),
+            col("mn.cent_id").as("cent"))
         val scored = corpus.join(broadcast(probes), Seq("cent"))
           .select(col("probe"), col("neighbor"),
             (gvec.vecDot(col("pv"), col("nv_v")) / (col("pn") * col("nn")))
@@ -480,14 +496,18 @@ object Similarity {
           emb(s, d).select(col("vec_id"), col("v")).persist())
         var cent = e.filter(col("vec_id") < K)
           .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+        // the K centroids fold into ONE broadcast array row; the argmin
+        // is computed NARROWLY per vector with array_min over
+        // struct(d, cid) — same (d, cid) tie order as the old row_number
+        // window, but assignment runs inside the scan stage: no explode
+        // to K rows, no exchange, no sort (guide §2.4)
         def assign(c: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(col("d"), col("cid"))
-          e.crossJoin(broadcast(c))
-            .withColumn("d", gvec.vecL2Sq(col("v"), col("cv")))
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") === 1)
-            .select(col("vec_id"), col("cid"), col("v"), col("d"))
+          val cArr = c.agg(collect_list(struct(col("cid").cast("long")
+            .as("cid"), col("cv"))).as("cands"))
+          e.crossJoin(broadcast(cArr))
+            .withColumn("mn", gvec.vecArgminL2Sq(col("v"), col("cands")))
+            .select(col("vec_id"), col("mn.cid").cast("int").as("cid"),
+              col("v"), col("mn.d2").as("d"))
         }
         for (_ <- 0 until 2) {
           val a = assign(cent)
@@ -725,25 +745,30 @@ object Similarity {
         // IVF(nprobe=2) candidates (sim_ivf_nprobe's assignment)
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2"), col("cent_id"))
-        val ranked = e.select(col("vec_id"), col("v"))
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cent_id"),
-            gvec.vecL2Sq(col("v"), col("cv")).as("d2"))
-          .withColumn("crk", row_number().over(wAssign))
+        // IVF assignments mirror sim_ivf_nprobe's optimized shape: the 8
+        // centroids fold into ONE broadcast array row and assignments are
+        // computed NARROWLY inside the scan stage (array_min over
+        // struct(d2, cent_id) for the corpus, array_sort + slice top-2
+        // for the probes) — no explode to K rows, no exchange, no sort
+        // (guide §2.4).
+        val cands = cents
+          .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cands"))
+        val icorpus = e.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(cands))
+          .withColumn("mn", gvec.vecArgminL2Sq(col("v"), col("cands")))
+          .select(col("vec_id").as("neighbor"), col("v").as("nv_v"),
+            col("nrm").as("nn"), col("mn.cid").as("cent"))
+        val iprobes = e.filter(col("vec_id") < 5)
+          .crossJoin(broadcast(cands))
+          .select(col("vec_id").as("probe"), col("v").as("pv"),
+            col("nrm").as("pn"),
+            explode(slice(array_sort(transform(col("cands"),
+              k => struct(gvec.vecL2Sq(col("v"), k.getField("cv")).as("d2"),
+                k.getField("cent_id").as("cent_id")))), 1, 2)).as("mn"))
+          .select(col("probe"), col("pv"), col("pn"),
+            col("mn.cent_id").as("cent"))
         val ivf = top3(
-          e.filter(col("vec_id") >= 5)
-            .join(ranked.filter(col("crk") === 1)
-              .select(col("vec_id"), col("cent_id").as("cent")), Seq("vec_id"))
-            .select(col("vec_id").as("neighbor"), col("v").as("nv_v"),
-              col("nrm").as("nn"), col("cent"))
-            .join(broadcast(e.filter(col("vec_id") < 5)
-              .join(ranked.filter(col("crk") <= 2)
-                .select(col("vec_id"), col("cent_id").as("cent")),
-                Seq("vec_id"))
-              .select(col("vec_id").as("probe"), col("v").as("pv"),
-                col("nrm").as("pn"), col("cent"))), Seq("cent"))
+          icorpus.join(broadcast(iprobes), Seq("cent"))
             .select(col("probe"), col("neighbor"),
               (dot("pv", "nv_v") / (col("pn") * col("nn"))).as("cos"))
             .distinct())
