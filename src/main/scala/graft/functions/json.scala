@@ -463,6 +463,59 @@ object json {
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) = copy(n)
   }
 
+  /** One-parse column batch for a JSON_TABLE level (graft.plans.JsonTable):
+    * parses the document ONCE and evaluates every path-driven column of
+    * the level against the parsed tree, returning them as a struct.
+    * `specs` pairs (field name, kind); children = doc +: one path literal
+    * per spec. Kinds:
+    *   0 = extract+unquote (JsonExtractMySql one-path + JsonUnquote chain),
+    *   1 = exists (JsonContainsPath 'one', as INT 0/1),
+    *   2 = matches (JsonMatches array of fragments, the NESTED PATH rows).
+    * Field values are bit-identical to the per-column expression chain;
+    * the batch replaces N interpreted parses of the same fragment per row
+    * with one (guide §1.2 per-task work — JSON parse is the dominant
+    * per-row cost of the operator). */
+  case class JsonTableLevel(children: Seq[Expression],
+      specs: Seq[(String, Int)]) extends JsonExpr {
+    override def dataType: DataType = StructType(specs.map {
+      case (name, 1) => StructField(name, IntegerType)
+      case (name, 2) => StructField(name, ArrayType(StringType))
+      case (name, _) => StructField(name, StringType)
+    })
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0))
+      if (d == null) return null
+      val fields = specs.zipWithIndex.map { case ((_, kind), i) =>
+        val p = parsePath(str(vs(i + 1)))
+        kind match {
+          case 1 => if (p != null && navigateAll(d, p).nonEmpty) 1 else 0
+          case 2 =>
+            if (p == null) null
+            else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              navigateAll(d, p).map(out).toArray[Any])
+          case _ =>
+            if (p == null) null
+            else {
+              val ms = navigateAll(d, p)
+              if (ms.isEmpty) null
+              else if (!hasWildcard(p)) {
+                // single-path extract then unquote: textual node -> its text
+                val n = ms.head
+                if (n.isTextual) UTF8String.fromString(n.asText()) else out(n)
+              } else {
+                val arr = F.arrayNode()
+                ms.foreach(arr.add)
+                out(arr) // array text is never textual -> unquote is identity
+              }
+            }
+        }
+      }
+      InternalRow.fromSeq(fields)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) =
+      copy(children = n)
+  }
+
   /** JSON_UNQUOTE(v) — strips quotes from a JSON string value. */
   case class JsonUnquote(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -1076,6 +1129,11 @@ object json {
   def jsonArrayInsert(d: Column, p: Column, v: Column): Column =
     c(JsonArrayMutate(Seq(d, p, v).map(x), insert = true))
   def jsonUnquote(v: Column): Column = c(JsonUnquote(x(v)))
+  /** one-parse JSON_TABLE level batch: specs = (field, kind, path) */
+  def jsonTableLevel(d: Column, specs: Seq[(String, Int, String)]): Column =
+    c(JsonTableLevel(
+      x(d) +: specs.map(s => x(org.apache.spark.sql.functions.lit(s._3))),
+      specs.map(s => (s._1, s._2))))
   def jsonQuote(s: Column): Column = c(JsonQuoteFn(x(s)))
   def jsonSet(d: Column, p: Column, v: Column): Column =
     c(JsonMutate(Seq(d, p, v).map(x), 0))

@@ -316,7 +316,16 @@ object TpcH {
       (s, d) => {
         val li = t("lineitem")(s, d)
         val p = t("part")(s, d).filter(col("p_brand") === "Brand#13")
-        val avgQty = li.groupBy(col("l_partkey").as("aq_pk"))
+        // the per-part average only matters for Brand#13 parts (the join
+        // below discards every other partkey), so pre-filter the
+        // aggregate's input with a semi join on the filtered part side —
+        // the classic selective-build pre-filter (guide §3.2): the
+        // per-part aggregation shuffles ~1/25 of lineitem instead of all
+        // of it, at any scale. Joined rows are unchanged.
+        val avgQty = li
+          .join(dim(p.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey").as("aq_pk"))
           .agg(avg(col("l_quantity")).as("avg_qty"))
         li.join(dim(p), col("l_partkey") === col("p_partkey"))
           .join(avgQty, col("l_partkey") === col("aq_pk"))
@@ -497,17 +506,28 @@ object TpcH {
     QueryDef(
       "tpch_q16",
       (s, d) => {
-        val pairs = t("lineitem")(s, d)
-          .select(col("l_partkey"), col("l_suppkey")).distinct()
         val p = t("part")(s, d)
           .filter(col("p_brand") =!= "Brand#13" &&
             !col("p_type").startsWith("PROMO") &&
             col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
         val excluded = t("supplier")(s, d)
           .filter(col("s_name").endsWith("7")).select(col("s_suppkey"))
-        pairs.join(dim(p), col("l_partkey") === col("p_partkey"))
+        // the selective part filter and the supplier anti join apply
+        // BEFORE the distinct-pairs aggregation, so its exchange carries
+        // only the qualifying ~1/6 of lineitem's pairs (guide §2.3
+        // "shuffle fewer bytes"); (p_brand, p_type, p_size) ride through
+        // the distinct (functionally determined by l_partkey — the
+        // distinct pair set is unchanged). Old shape aggregated ALL pairs
+        // first and filtered after.
+        val pairs = t("lineitem")(s, d)
+          .select(col("l_partkey"), col("l_suppkey"))
+          .join(dim(p), col("l_partkey") === col("p_partkey"))
           .join(dim(excluded),
             col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("p_brand"), col("p_type"), col("p_size"))
+          .distinct()
+        pairs
           .groupBy(col("p_brand"), col("p_type"), col("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -571,21 +591,33 @@ object TpcH {
         val fOrders = t("orders")(s, d)
           .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
         val liF = t("lineitem")(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
           .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
-        val perOrder = liF.groupBy(col("l_orderkey").as("po_ok"))
+        // two-level aggregate replaces the old countDistinct pair + join
+        // of the R rows back onto the per-order frame: level 1 collapses
+        // lineitem to one row per (order, supplier) with its R-row count
+        // (map-side partial agg, no Expand), level 2 derives nsupp /
+        // nflag / the unique flagged supplier / its R-row total per
+        // order. One lineitem pass instead of two, and the only
+        // fact-sized exchange is the (order, supplier) aggregation —
+        // the old plan shuffled lineitem twice and doubled the agg input
+        // through countDistinct's Expand (guide §2.3/§2.4).
+        val perOS = liF.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(count(when(col("l_returnflag") === "R", 1)).as("r_rows"))
+        val perOrder = perOS.groupBy(col("l_orderkey"))
           .agg(
-            countDistinct(col("l_suppkey")).as("nsupp"),
-            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-              .as("nflag"))
-        val n = t("nation")(s, d).filter(col("n_name") === "NATION_3")
-        liF.filter(col("l_returnflag") === "R")
-          .join(perOrder, col("l_orderkey") === col("po_ok"))
+            count(lit(1)).as("nsupp"),
+            count(when(col("r_rows") > 0, 1)).as("nflag"),
+            max(when(col("r_rows") > 0, col("l_suppkey"))).as("flag_supp"),
+            sum(when(col("r_rows") > 0, col("r_rows"))).as("flag_rows"))
           .filter(col("nsupp") > 1 && col("nflag") === 1)
+        val n = t("nation")(s, d).filter(col("n_name") === "NATION_3")
+        perOrder
           .join(dim(t("supplier")(s, d)),
-            col("l_suppkey") === col("s_suppkey"))
+            col("flag_supp") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("s_name"))
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("flag_rows")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(100)
       },

@@ -31,52 +31,57 @@ object JsonTable {
       nestedPath: String = "",
       nested: Seq[Col] = Nil)
 
-  /** FOR ORDINALITY counter name bookkeeping: each nesting level gets its
-    * own 1-based ordinal. */
-  private def scalarCol(row: Column, ord: Column, c: Col): Column = {
-    val v =
-      if (c.forOrdinality) (ord + 1).cast("long")
-      else if (c.exists)
-        gjson.jsonContainsPath(row, lit("one"), lit(c.path)).cast("int")
-      else {
-        val raw = gjson.jsonUnquote(gjson.jsonExtract(row, lit(c.path)))
-        val withDefault = c.defaultOnEmpty match {
-          case Some(d) => coalesce(raw, lit(d))
-          case None => raw
-        }
-        withDefault.cast(c.colType)
-      }
-    v.as(c.name)
-  }
-
   /** Expand `df` with the columns of one level rooted at (`row`, `ord`),
-    * recursing into NESTED PATH columns. */
+    * recursing into NESTED PATH columns.
+    *
+    * Every path-driven column of the level (scalar PATH, EXISTS PATH and
+    * each NESTED PATH's match array) evaluates through ONE
+    * [[gjson.jsonTableLevel]] batch: the row fragment parses once per row
+    * instead of once per column. The batch lands in its own projection
+    * (`__lvl_<depth>`) referenced several times, which CollapseProject
+    * keeps un-inlined (non-cheap expression, multiple references), so the
+    * single evaluation survives optimization. Empty nested match set ->
+    * one all-NULL nested row: posexplode_outer already emits a NULL row
+    * for an EMPTY (not just NULL) array. */
   private def expand(df: DataFrame, row: String, ord: String,
       cols: Seq[Col], depth: Int): (DataFrame, Seq[String]) = {
     val (nestedCols, plainCols) = cols.partition(_.nested.nonEmpty)
+    val lvl = s"__lvl_$depth"
+    val specs =
+      plainCols.filter(c => !c.forOrdinality)
+        .map(c => (c.name, if (c.exists) 1 else 0, c.path)) ++
+      nestedCols.zipWithIndex
+        .map { case (nc, i) => (s"__arr_${depth}_$i", 2, nc.nestedPath) }
     var out = df
+    if (specs.nonEmpty)
+      out = out.withColumn(lvl, gjson.jsonTableLevel(col(row), specs))
     plainCols.foreach { c =>
-      out = out.withColumn(c.name, scalarCol(col(row), col(ord), c))
+      val v =
+        if (c.forOrdinality) (col(ord) + 1).cast("long")
+        else if (c.exists) col(s"$lvl.${c.name}")
+        else {
+          val raw = col(s"$lvl.${c.name}")
+          val withDefault = c.defaultOnEmpty match {
+            case Some(d) => coalesce(raw, lit(d))
+            case None => raw
+          }
+          withDefault.cast(c.colType)
+        }
+      out = out.withColumn(c.name, v.as(c.name))
     }
     var names = plainCols.map(_.name)
     nestedCols.zipWithIndex.foreach { case (nc, i) =>
       val arr = s"__arr_${depth}_$i"
       val nOrd = s"__ord_${depth}_$i"
       val nRow = s"__row_${depth}_$i"
-      // empty nested match set -> NULL array -> one all-NULL nested row
       out = out
-        .withColumn(arr, {
-          val m = gjson.jsonMatches(col(row), lit(nc.nestedPath))
-          when(size(m) === 0, lit(null)).otherwise(m)
-        })
         .select(out.columns.map(col) :+
-          posexplode_outer(col(arr)).as(Seq(nOrd, nRow)): _*)
-        .drop(arr)
+          posexplode_outer(col(s"$lvl.$arr")).as(Seq(nOrd, nRow)): _*)
       val (expanded, childNames) = expand(out, nRow, nOrd, nc.nested, depth + 1)
       out = expanded
       names ++= childNames
     }
-    (out, names)
+    (out.drop(lvl), names)
   }
 
   /** Build the JSON_TABLE DataFrame: one output row per root-path match
