@@ -444,16 +444,21 @@ object Dedup {
           .withColumn("nrm", gvec.vecNorm(col("v")))
         val cent = e.filter(col("vec_id") < K)
           .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        // NOT persisted (measured): both self-join sides re-derive the
-        // assignment, but caching the wide 64-double vector column costs
-        // more than the recompute at this shape (1.04 s -> 1.41 s with
-        // persist) — the centroid side is broadcast either way
-        val assigned = e.crossJoin(broadcast(cent))
-          .withColumn("d", gvec.vecL2Sq(col("v"), col("cv")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+        // centroid assignment via the narrow codegen argmin (see
+        // functions.vector.VecArgminL2Sq): the K centroids fold into ONE
+        // broadcast array row and each vector picks its (d, cid)-minimum
+        // inside the scan stage — no explode to K rows, no window
+        // exchange/sort (guide §2.4). NOT persisted (measured in r12):
+        // both self-join sides re-derive the assignment, but caching the
+        // wide 64-double vector column costs more than this narrow
+        // recompute — the centroid side is broadcast either way
+        val cands = cent
+          .agg(collect_list(struct(col("cid").cast("long").as("cid"),
+            col("cv"))).as("cands"))
+        val assigned = e.crossJoin(broadcast(cands))
+          .withColumn("mn", gvec.vecArgminL2Sq(col("v"), col("cands")))
+          .select(col("vec_id"), col("mn.cid").cast("int").as("cid"),
+            col("v"), col("nrm"))
         val a = assigned.as("a"); val b = assigned.as("b")
         a.join(b, col("a.cid") === col("b.cid") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -567,8 +572,14 @@ object Dedup {
           .select(col("h")).distinct()
         val batch = docs.filter(!col("source").isin(corpusSrc: _*))
         val fresh = batch.join(corpus, Seq("h"), "left_anti")
-        val keep = fresh.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
-        fresh.join(keep, "h")
+        // first-occurrence flag as a window min over the digest: ONE pass
+        // over the anti-joined batch with a single h-keyed exchange — the
+        // old groupBy + join-back planned the fresh subtree (scan + md5 +
+        // anti join) twice and shuffled it twice (guide §2.4). md5 keys
+        // hash uniformly, so the window partition is skew-free at scale.
+        fresh
+          .withColumn("keep_id", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
           .select(col("doc_id"), col("source"), col("h"),
             (col("doc_id") === col("keep_id")).as("kept"))
           .orderBy(col("doc_id"))

@@ -744,8 +744,16 @@ object TextAnalysis {
           .select(col("doc_id"),
             explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
           .filter(length(col("tok")) > 0)
-        val tf = toks.groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
+        // persisted: both the scoring join and the document-frequency
+        // aggregate read tf — without the cache Catalyst plans the
+        // tokenize + (doc, tok) aggregation chain twice (the dfreq branch
+        // prunes columns differently, so ReuseExchange never fires) and
+        // the corpus is tokenized twice per run (guide §2.4; at 100 TB:
+        // one corpus pass instead of two)
+        val tf = CacheScope.track(
+          toks.groupBy(col("doc_id"), col("tok"))
+            .agg(count(lit(1)).as("tf"))
+            .persist())
         val dfreq = tf.groupBy(col("tok"))
           .agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
