@@ -128,11 +128,18 @@ object Dedup {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
-    val part = new HashPartitioner(
-      spark.sparkContext.defaultParallelism.min(256))
     val e0: RDD[(Long, Long)] = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // partition count follows the edge data, not the core count: e0's
+    // partitioning is AQE-coalesced to the advisory size, so the loop
+    // runs a handful of tasks per stage on a small pair graph and scales
+    // to bytes-proportional parallelism on a 100 TB one (guide §2 —
+    // scale-adaptive partitioning instead of a constant; the old
+    // defaultParallelism.min(256) ran full-width empty tasks every
+    // round at any input size)
+    val part = new HashPartitioner(
+      math.max(1, math.min(e0.getNumPartitions, 256)))
     val bi = e0.flatMap { case (s, d) => Seq((s, d), (d, s)) }
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     // init fused with the first neighbor-min: lbl₀(v) = min(v, neighbors)
@@ -246,11 +253,16 @@ object Dedup {
       (s, d) => {
         val sh = CacheScope.track(shingles(s, d).persist())
         val b = bands(CacheScope.track(signaturesFrom(sh).persist()))
-        val cand = b.as("a").join(b.as("c"),
+        // persisted: the intersection join and the final left join both
+        // read cand — without the cache the bands self-join + distinct
+        // runs twice per query (the pair set is tiny next to the
+        // shingles; a checkpoint table at 100 TB)
+        val cand = CacheScope.track(b.as("a").join(b.as("c"),
             col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey") &&
               col("a.doc_id") < col("c.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
           .distinct()
+          .persist())
         val na = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = cand
           .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

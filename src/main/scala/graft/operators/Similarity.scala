@@ -303,8 +303,12 @@ object Similarity {
         // subtree twice and re-scanned embeddings for the join-back).
         // Assignment now runs inside the scan stage: no explode to K
         // rows, no exchange, no sort (guide §2.4).
-        val cands = cents
+        // persisted: the single candidate-array row is read by every
+        // branch that assigns or ranks against the centroids — without
+        // the cache each consumer re-plans the centroid scan + fold
+        val cands = CacheScope.track(cents
           .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cands"))
+          .persist())
         val withCent = e.crossJoin(broadcast(cands))
           .withColumn("mn", gvec.vecArgminL2Sq(col("v"), col("cands")))
           .select(col("vec_id"), col("mn.cid").as("cent"),
@@ -379,8 +383,12 @@ object Similarity {
         // struct(d2, cent_id) (min distance, tie → min cent_id — the old
         // window's order); each probe explodes just its top-2 lists
         // (array_sort + slice), ~2 rows per probe.
-        val cands = cents
+        // persisted: the single candidate-array row is read by every
+        // branch that assigns or ranks against the centroids — without
+        // the cache each consumer re-plans the centroid scan + fold
+        val cands = CacheScope.track(cents
           .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cands"))
+          .persist())
         val corpus = e.filter(col("vec_id") >= 5)
           .crossJoin(broadcast(cands))
           .withColumn("mn", gvec.vecArgminL2Sq(col("v"), col("cands")))
@@ -751,8 +759,12 @@ object Similarity {
         // struct(d2, cent_id) for the corpus, array_sort + slice top-2
         // for the probes) — no explode to K rows, no exchange, no sort
         // (guide §2.4).
-        val cands = cents
+        // persisted: the single candidate-array row is read by every
+        // branch that assigns or ranks against the centroids — without
+        // the cache each consumer re-plans the centroid scan + fold
+        val cands = CacheScope.track(cents
           .agg(collect_list(struct(col("cent_id"), col("cv"))).as("cands"))
+          .persist())
         val icorpus = e.filter(col("vec_id") >= 5)
           .crossJoin(broadcast(cands))
           .withColumn("mn", gvec.vecArgminL2Sq(col("v"), col("cands")))
