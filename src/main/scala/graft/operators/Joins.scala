@@ -250,13 +250,18 @@ object Joins {
                   col("o_orderdate") < lit("1996-01-01"))
         val l = t("lineitem")(s, d)
         val sp = t("supplier")(s, d)
-        l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(sp, l("l_suppkey") === sp("s_suppkey"))
+        // the ASIA filter reaches the fact table through the supplier
+        // chain BEFORE the fact-fact orders join: supplier ⋈ nation ⋈
+        // region(ASIA) prunes lineitem to ~1/5 of its rows first (guide
+        // §3 — reduce the big side before shuffling it); inner joins
+        // commute, so the result is unchanged
+        l.join(sp, l("l_suppkey") === sp("s_suppkey"))
+          .join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
           .join(dim(c),
             o("o_custkey") === c("c_custkey") &&
               c("c_nationkey") === sp("s_nationkey"))
-          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("n_name"))
           .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
             (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
