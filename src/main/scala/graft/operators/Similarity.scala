@@ -237,7 +237,13 @@ object Similarity {
       "sim_lsh_bucket",
       (s, d) => {
         val bucketed = emb(s, d).withColumn("bucket",
-          expr("aggregate(sequence(0, 7), 0L, (acc, j) -> acc + CASE WHEN element_at(v, j + 1) > 0 THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"))
+          // unrolled sign-bit fold: plain conditional sums stay inside
+          // whole-stage codegen, where the aggregate()/lambda higher-order
+          // form is CodegenFallback and pays a lambda frame per element
+          // per row (guide step 4)
+          (0 until 8).map(j =>
+            when(element_at(col("v"), j + 1) > 0, lit(1L << j))
+              .otherwise(lit(0L))).reduce(_ + _))
         val probes = bucketed.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe"), col("v").as("pv"),
             col("nrm").as("pn"), col("bucket"))
@@ -740,7 +746,13 @@ object Similarity {
             .persist())
         // LSH index candidates (8 sign-bit bucket, sim_lsh_bucket's key)
         val bucketed = e.withColumn("bucket",
-          expr("aggregate(sequence(0, 7), 0L, (acc, j) -> acc + CASE WHEN element_at(v, j + 1) > 0 THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"))
+          // unrolled sign-bit fold: plain conditional sums stay inside
+          // whole-stage codegen, where the aggregate()/lambda higher-order
+          // form is CodegenFallback and pays a lambda frame per element
+          // per row (guide step 4)
+          (0 until 8).map(j =>
+            when(element_at(col("v"), j + 1) > 0, lit(1L << j))
+              .otherwise(lit(0L))).reduce(_ + _))
         val lsh = top3(
           bucketed.filter(col("vec_id") >= 5)
             .select(col("vec_id").as("neighbor"), col("v").as("nv"),
