@@ -482,11 +482,18 @@ object json {
       case (name, 2) => StructField(name, ArrayType(StringType))
       case (name, _) => StructField(name, StringType)
     })
+    /** Paths are foldable literals in every caller: parse each once per
+      * (deserialized) instance instead of once per spec per row. None =
+      * non-foldable child, fall back to per-row parsing. */
+    @transient private lazy val cachedSteps: IndexedSeq[Option[Seq[Step]]] =
+      children.drop(1).toIndexedSeq.map { e =>
+        if (e.foldable) Some(parsePath(str(e.eval(null)))) else None
+      }
     protected def evalNotNull(vs: Seq[Any]): Any = {
       val d = doc(vs(0))
       if (d == null) return null
       val fields = specs.zipWithIndex.map { case ((_, kind), i) =>
-        val p = parsePath(str(vs(i + 1)))
+        val p = cachedSteps(i).getOrElse(parsePath(str(vs(i + 1))))
         kind match {
           case 1 => if (p != null && navigateAll(d, p).nonEmpty) 1 else 0
           case 2 =>
@@ -511,6 +518,86 @@ object json {
         }
       }
       InternalRow.fromSeq(fields)
+    }
+    override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) =
+      copy(children = n)
+  }
+
+  /** JSON_TABLE column spec for [[JsonTableTree]]: kind 0 = extract+unquote,
+    * 1 = exists (INT 0/1). Paths are constant strings (the plan builder
+    * only ever emits literals), parsed once per operator instance. */
+  case class JTreeCol(name: String, kind: Int, path: String)
+  /** One JSON_TABLE level: the level's row-source path, its path-driven
+    * columns, and the NESTED PATH sub-levels keyed by output field name. */
+  case class JTreeLevel(path: String, cols: Seq[JTreeCol],
+      nested: Seq[(String, JTreeLevel)])
+
+  /** Whole-tree one-parse evaluation for JSON_TABLE (graft.plans.JsonTable):
+    * parses the document ONCE per input row and evaluates the entire level
+    * tree — root-path matches, every level's scalar/EXISTS columns and
+    * every NESTED PATH's match tree — directly over the parsed Jackson
+    * nodes, returning `array<struct<...>>` (one element per root match,
+    * NESTED levels as nested array<struct> fields).
+    *
+    * Replaces the per-level JsonMatches + JsonTableLevel chain, which
+    * re-serialized each match fragment and re-parsed it at the next level
+    * (one parse per level per row; 6 fragment parses per event for the
+    * nested two-level shape → 1 here). Field values are bit-identical:
+    * fragment rendering still goes through the same Jackson `toString`,
+    * so extract/unquote/EXISTS semantics and the empty-nested-array →
+    * one all-NULL row behavior (via posexplode_outer) are unchanged. */
+  case class JsonTableTree(children: Seq[Expression], spec: JTreeLevel)
+      extends JsonExpr {
+    private def levelType(l: JTreeLevel): ArrayType = ArrayType(StructType(
+      l.cols.map {
+        case JTreeCol(n, 1, _) => StructField(n, IntegerType)
+        case JTreeCol(n, _, _) => StructField(n, StringType)
+      } ++ l.nested.map { case (n, nl) => StructField(n, levelType(nl)) }))
+    override def dataType: DataType = levelType(spec)
+
+    /** Parsed-path mirror of the spec tree, built once per instance. */
+    private case class PLevel(root: Seq[Step], cols: Seq[(Int, Seq[Step])],
+        nested: Seq[PLevel])
+    @transient private lazy val parsed: PLevel = parseLevel(spec)
+    private def parseLevel(l: JTreeLevel): PLevel =
+      PLevel(parsePath(l.path), l.cols.map(c => (c.kind, parsePath(c.path))),
+        l.nested.map { case (_, nl) => parseLevel(nl) })
+
+    protected def evalNotNull(vs: Seq[Any]): Any = {
+      val d = doc(vs(0))
+      if (d == null) return null
+      evalLevel(d, parsed)
+    }
+
+    private def evalLevel(node: JsonNode, pl: PLevel): Any = {
+      if (pl.root == null) return null // malformed path literal, like JsonMatches
+      val matches = navigateAll(node, pl.root)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        matches.map { m =>
+          val fields = new Array[Any](pl.cols.length + pl.nested.length)
+          var i = 0
+          pl.cols.foreach { case (kind, p) =>
+            fields(i) =
+              if (kind == 1) { if (p != null && navigateAll(m, p).nonEmpty) 1 else 0 }
+              else if (p == null) null
+              else {
+                val ms = navigateAll(m, p)
+                if (ms.isEmpty) null
+                else if (!hasWildcard(p)) {
+                  // single-path extract then unquote: textual node -> its text
+                  val n = ms.head
+                  if (n.isTextual) UTF8String.fromString(n.asText()) else out(n)
+                } else {
+                  val arr = F.arrayNode()
+                  ms.foreach(arr.add)
+                  out(arr) // array text is never textual -> unquote is identity
+                }
+              }
+            i += 1
+          }
+          pl.nested.foreach { nl => fields(i) = evalLevel(m, nl); i += 1 }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
+        }.toArray[Any])
     }
     override protected def withNewChildrenInternal(n: IndexedSeq[Expression]) =
       copy(children = n)
@@ -1134,6 +1221,9 @@ object json {
     c(JsonTableLevel(
       x(d) +: specs.map(s => x(org.apache.spark.sql.functions.lit(s._3))),
       specs.map(s => (s._1, s._2))))
+  /** one-parse whole-tree JSON_TABLE evaluation (plans.JsonTable) */
+  def jsonTableTree(d: Column, spec: JTreeLevel): Column =
+    c(JsonTableTree(Seq(x(d)), spec))
   def jsonQuote(s: Column): Column = c(JsonQuoteFn(x(s)))
   def jsonSet(d: Column, p: Column, v: Column): Column =
     c(JsonMutate(Seq(d, p, v).map(x), 0))
