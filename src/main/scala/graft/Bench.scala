@@ -42,8 +42,17 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     val nSamples = sys.env.get("GRAFT_BENCH_SAMPLES")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    // GRAFT_BENCH_COLD=1 drains the per-query persisted intermediates
+    // between samples too, so every sample pays the full cost of
+    // materializing them (a truly cold run). Default (unset) keeps the
+    // long-standing warm behavior — the driver contract is unchanged.
+    val cold = sys.env.get("GRAFT_BENCH_COLD").contains("1")
     val sampled = SparkEntry.all.filter(q => only.forall(_.contains(q.name))).map { q =>
-      val ss = Vector.fill(nSamples)(timeOnce(q.fn))
+      val ss = Vector.fill(nSamples) {
+        val t = timeOnce(q.fn)
+        if (cold) CacheScope.drain()
+        t
+      }
       // Release this query's persisted intermediates before moving on.
       // Between samples the caches stay warm (Spark's CacheManager
       // dedupes on plan equality, so later runs reuse the materialized
@@ -81,6 +90,15 @@ object Bench {
       java.nio.file.Paths.get(outName), fileLine + "\n")
     catch { case _: Throwable => }
     println(line)
+    // The harness keeps only a ~2000-char tail of stdout, and at 173
+    // queries the full line above is ~4.5 KB — it has never parsed on the
+    // driver side (BENCH_r13..r16 all record `parsed: null`). Print a
+    // SECOND, compact line AFTER it that always fits in the tail: same
+    // metric/value/unit/sf fields, per-query detail via the committed
+    // full-copy file. The long line (the original contract) is unchanged
+    // and still comes first.
+    val nOk = results.count(_._2 >= 0)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_ok":$nOk,"full":"$outName"}""")
     spark.stop()
   }
 }
