@@ -122,7 +122,12 @@ object vector {
         val m = math.min(x.length, cv.length)
         var acc = 0.0; var j = 0
         while (j < m) { val dd = x(j) - cv(j); acc += dd * dd; j += 1 }
-        if (!found || acc < bestD || (acc == bestD && cid < bestC)) {
+        // total order via Double.compare so NaN distances sort LAST like
+        // Spark's double ordering (a plain `<` is NaN-sticky: a NaN first
+        // candidate would win every later comparison); identical on
+        // finite inputs — d2 is a sum of squares, so -0.0 never occurs
+        val cmp = java.lang.Double.compare(acc, bestD)
+        if (!found || cmp < 0 || (cmp == 0 && cid < bestC)) {
           found = true; bestD = acc; bestC = cid
         }
         i += 1
@@ -138,7 +143,7 @@ object vector {
         val cv = ctx.freshName("cv"); val m = ctx.freshName("m")
         val acc = ctx.freshName("acc"); val dv = ctx.freshName("d")
         val bestD = ctx.freshName("bestD"); val bestC = ctx.freshName("bestC")
-        val found = ctx.freshName("found")
+        val found = ctx.freshName("found"); val cmp = ctx.freshName("cmp")
         s"""
            |double[] $xs = $v.toDoubleArray();
            |int $n = $cs.numElements();
@@ -153,7 +158,9 @@ object vector {
            |    double $dv = $xs[$j] - $cv[$j];
            |    $acc += $dv * $dv;
            |  }
-           |  if (!$found || $acc < $bestD || ($acc == $bestD && $cid < $bestC)) {
+           |  // NaN-safe total order (NaN sorts last, like Spark doubles)
+           |  int $cmp = java.lang.Double.compare($acc, $bestD);
+           |  if (!$found || $cmp < 0 || ($cmp == 0 && $cid < $bestC)) {
            |    $found = true; $bestD = $acc; $bestC = $cid;
            |  }
            |}

@@ -603,8 +603,16 @@ object TpcH {
       (s, d) => {
         val fOrders = t("orders")(s, d)
           .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        // NULL suppkeys can never contribute: the reference shape joins
+        // supplier on l_suppkey and its EXISTS/NOT-EXISTS predicates use
+        // <>, which NULL never satisfies — and the two-level aggregate
+        // below counts GROUPS, so an unfiltered (order, NULL) group would
+        // inflate nsupp where the old countDistinct ignored it. The
+        // filter pushes into the scan (free) and pins exact
+        // countDistinct semantics for any future NULL-bearing data.
         val liF = t("lineitem")(s, d)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+          .filter(col("l_suppkey").isNotNull)
           .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
         // two-level aggregate replaces the old countDistinct pair + join
         // of the R rows back onto the per-order frame: level 1 collapses

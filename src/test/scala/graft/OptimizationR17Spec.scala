@@ -74,6 +74,39 @@ class OptimizationR17Spec extends AnyFunSuite {
     assert(a.length === b.length)
   }
 
+  // ---- VecArgminL2Sq: NaN distances sort last (ADVICE r16) -------------
+
+  test("VecArgminL2Sq: a NaN-distance candidate never beats a finite one") {
+    // candidate 10 yields NaN distance (NaN component) and comes FIRST in
+    // the array — the old `<` comparison was NaN-sticky and kept it
+    val vecs = Seq((1L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+      .withColumn("v", expr("transform(v, x -> CAST(x AS DOUBLE))"))
+    val cents = Seq(
+      (10L, Seq(Double.NaN, 0.0)),
+      (11L, Seq(3.0, 4.0)),
+      (12L, Seq(1.0, 0.0))).toDF("cid", "cv")
+      .withColumn("cv", expr("transform(cv, x -> CAST(x AS DOUBLE))"))
+    val cands = cents.coalesce(1).sortWithinPartitions(col("cid")).agg(
+      expr("array_agg(struct(cid, cv))").as("cands"))
+    val got = vecs.crossJoin(broadcast(cands))
+      .withColumn("mn", graft.functions.vector.vecArgminL2Sq(col("v"), col("cands")))
+      .select(col("mn.cid"), col("mn.d2")).collect()(0)
+    assert(got.getLong(0) === 12L && got.getDouble(1) === 1.0)
+    // all-NaN candidates: the NaN minimum is still returned (sorts last
+    // but exists), with the (d2, cid) tie order over equal NaN bits
+    val onlyNaN = Seq((20L, Seq(Double.NaN)), (21L, Seq(Double.NaN)))
+      .toDF("cid", "cv")
+      .withColumn("cv", expr("transform(cv, x -> CAST(x AS DOUBLE))"))
+      .coalesce(1).sortWithinPartitions(col("cid"))
+      .agg(expr("array_agg(struct(cid, cv))").as("cands"))
+    val got2 = Seq(Tuple1(Seq(0.0))).toDF("v")
+      .withColumn("v", expr("transform(v, x -> CAST(x AS DOUBLE))"))
+      .crossJoin(broadcast(onlyNaN))
+      .withColumn("mn", graft.functions.vector.vecArgminL2Sq(col("v"), col("cands")))
+      .select(col("mn.cid"), col("mn.d2")).collect()(0)
+    assert(got2.getLong(0) === 20L && got2.getDouble(1).isNaN)
+  }
+
   test("json_table_nested plans exactly one JSON parse site (jsontabletree)") {
     val plan = SparkEntry.queries("json_table_nested")(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
