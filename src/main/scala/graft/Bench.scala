@@ -19,6 +19,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // pin the Spark default: the q8/q9 star joins rely on runtime
+      // Bloom-filter injection once the fact sides exceed the broadcast
+      // threshold at cluster scale (dormant at local SFs — the creation/
+      // application thresholds are cluster-sized; OptimizationR17Spec
+      // asserts it fires in the synthetic no-broadcast shape)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

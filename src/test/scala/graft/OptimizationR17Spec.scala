@@ -107,6 +107,70 @@ class OptimizationR17Spec extends AnyFunSuite {
     assert(got2.getLong(0) === 20L && got2.getDouble(1).isNaN)
   }
 
+  // ---- connectedComponents: one action per propagation round -----------
+
+  test("connectedComponents fuses the convergence scalar into each round's action") {
+    // The per-round label-sum fold is the ONLY action: it materializes the
+    // round's persisted labels AND returns the convergence scalar in one
+    // job. Pin jobs <= rounds + 2 (one initial label-sum, at most one
+    // partition/materialization probe) so a second per-round action can
+    // never sneak back in.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // chain of diameter 31: several pointer-doubling rounds
+      val edges = (0L until 31L).map(i => (i, i + 1)).toDF("src", "dst")
+      jobs.set(0)
+      val (labels, rounds) = operators.Dedup.connectedComponents(edges)
+      Thread.sleep(1000) // listener bus is async
+      val loopJobs = jobs.get
+      assert(rounds >= 3, s"chain graph should need several rounds, got $rounds")
+      assert(loopJobs <= rounds + 2,
+        s"$loopJobs jobs for $rounds rounds — a second per-round action appeared")
+      val mm = labels.agg(min(col("lbl")), max(col("lbl"))).collect()(0)
+      assert(mm.getLong(0) === 0L && mm.getLong(1) === 0L)
+      CacheScope.drain()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  // ---- runtime Bloom filters at cluster scale (q8/q9/q18) --------------
+
+  test("runtime Bloom filter injects for q8/q9 once fact joins exceed broadcast") {
+    // At sf0.1 every dimension broadcasts and the rule is (correctly)
+    // dormant — its creation/application thresholds are sized for
+    // clusters. Recreate the 100 TB shape: dims too big to broadcast
+    // (SMJ fact joins) and thresholds at their cluster proportions.
+    // InjectRuntimeFilter must then pre-filter the fact scans from the
+    // selective dimension sides (guide §3.2).
+    for (q <- Seq("tpch_q8", "tpch_q9")) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      val plan = SparkEntry.queries(q)(s2, sfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      assert(plan.contains("SortMergeJoin"), s"$q: expected the no-broadcast shape")
+      assert(plan.contains("bloom_filter_agg") && plan.contains("might_contain"),
+        s"$q: runtime Bloom filter did not inject in the cluster-scale shape")
+      CacheScope.drain()
+    }
+    // q18 documented impossibility: its only pre-join reducer is the
+    // HAVING aggregate over lineitem itself — there is no selective
+    // creation-side FILTER for InjectRuntimeFilter to build from, at any
+    // scale, so no assertion can ever fire there.
+  }
+
+  test("session default keeps runtime Bloom filters enabled") {
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") === "true")
+  }
+
   test("json_table_nested plans exactly one JSON parse site (jsontabletree)") {
     val plan = SparkEntry.queries("json_table_nested")(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
