@@ -122,9 +122,64 @@ object Dedup {
     * edges, and `reduceByKey` is map-side combined. This is the GraphX
     * execution shape, which is itself RDD-based for exactly this reason.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 50)
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
+      localEdgeCap: Int = 1 << 20)
       : (DataFrame, Int) = {
     val spark = edges.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lbl",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    // Capped driver-local fast path (the RecursiveCte.collectSmall
+    // precedent, same budget reasoning as a broadcast join's driver-side
+    // build): probe the edge list with limit(cap+1). At or under the cap
+    // (default 1M edges ≈ 16 MB of longs) union-find labels the graph in
+    // milliseconds where every distributed round is a scheduled join+
+    // reduce job — the dominant cost of small candidate graphs. Past the
+    // cap the probe stops at cap+1 rows and the pointer-doubling loop
+    // below runs unchanged (the 100 TB path; ConnectedComponentsSpec pins
+    // label equality between the two paths). Nothing is precomputed or
+    // cached across runs — the edge frame is computed from the inputs
+    // either way.
+    if (localEdgeCap > 0) {
+      val head = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(localEdgeCap + 1).collect()
+      if (head.length <= localEdgeCap) {
+        val idx = new java.util.HashMap[Long, Integer]()
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        def id(v: Long): Int = {
+          val got = idx.get(v)
+          if (got != null) got.intValue
+          else { val i = ids.length; idx.put(v, i); ids += v; i }
+        }
+        head.foreach { r => id(r.getLong(0)); id(r.getLong(1)) }
+        val n = ids.length
+        val parent = Array.tabulate(n)(identity)
+        def find(a0: Int): Int = {
+          var a = a0
+          while (parent(a) != a) { parent(a) = parent(parent(a)); a = parent(a) }
+          a
+        }
+        head.foreach { r =>
+          val a = find(id(r.getLong(0))); val b = find(id(r.getLong(1)))
+          if (a != b) parent(a) = b
+        }
+        // component label = min vertex id, exactly the fixpoint's labels
+        val minLbl = new Array[Long](n)
+        java.util.Arrays.fill(minLbl, Long.MaxValue)
+        var i = 0
+        while (i < n) {
+          val r = find(i)
+          if (ids(i) < minLbl(r)) minLbl(r) = ids(i)
+          i += 1
+        }
+        val rows = (0 until n).map(i =>
+          org.apache.spark.sql.Row(ids(i), minLbl(find(i))))
+        import scala.jdk.CollectionConverters._
+        return (spark.createDataFrame(rows.asJava, outSchema), 0)
+      }
+    }
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
@@ -186,11 +241,7 @@ object Dedup {
     CacheScope.track(labels)
     val out = spark.createDataFrame(
       labels.map { case (v, l) => org.apache.spark.sql.Row(v, l) },
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("lbl",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      outSchema)
     (out, rounds)
   }
 

@@ -125,9 +125,11 @@ class OptimizationR17Spec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       // chain of diameter 31: several pointer-doubling rounds
+      // (localEdgeCap = 0 forces the distributed loop under measurement)
       val edges = (0L until 31L).map(i => (i, i + 1)).toDF("src", "dst")
       jobs.set(0)
-      val (labels, rounds) = operators.Dedup.connectedComponents(edges)
+      val (labels, rounds) =
+        operators.Dedup.connectedComponents(edges, localEdgeCap = 0)
       Thread.sleep(1000) // listener bus is async
       val loopJobs = jobs.get
       assert(rounds >= 3, s"chain graph should need several rounds, got $rounds")
